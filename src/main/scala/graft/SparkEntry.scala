@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by operator-family modules under
+  * [[graft.queries]]; this object only aggregates them. Every key in
+  * [[oracleSql]] is DuckDB SQL over the driver-registered fixture views
+  * producing the same columns (names included) as the Spark query.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[QueryModule] = Seq(
+    Aggregates,
+  )
+
+  /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2B. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
+  /** DuckDB-equivalent SQL per query (omitted => rows-only check). */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
+
+  /** The BENCH headline subset (mirrors BASELINE.md's measured queries). */
+  def benchQueries: Seq[String] = Seq(
+    "q_pricing_summary", "q_join_agg", "q_window_topk",
+    "q_tumbling_window", "q_distinct_users").filter(queries.contains)
 }

@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated fixture tables (see FIXTURES.md).
+  *
+  * Scale posture: every loader returns a bare parquet scan — no cache, no
+  * collect, no eager action — so Catalyst predicate pushdown / column
+  * pruning reach the scan, and directory-partitioned layouts would
+  * partition-prune unchanged on a real cluster.
+  *
+  * The single column-level normalization is the `events.ts` nanosecond
+  * fix: the fixture stores TIMESTAMP(NANOS) which Spark 4.x only reads
+  * with `spark.sql.legacy.parquet.nanosAsLong=true` (arriving as BIGINT
+  * ns). We truncate to microseconds with integer `div` — double division
+  * would lose precision at 1e18-scale nanosecond magnitudes (> 2^53).
+  */
+object Tables {
+  /** All fixture tables, in FK order. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  private def scan(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Generic accessor; routes `events` through the ns-timestamp fix. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else scan(spark, sfDir, name)
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = scan(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = scan(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = scan(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = scan(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = scan(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = scan(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = scan(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = scan(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = scan(spark, sfDir, "embeddings")
+
+  /** `events` with `ts` normalized from BIGINT nanoseconds to a proper
+    * microsecond TIMESTAMP. The DuckDB oracle side must truncate
+    * identically: `CAST(ts AS TIMESTAMP)`.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scan(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register every fixture table as a temp view (SQL entry point E2). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
