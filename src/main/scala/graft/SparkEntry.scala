@@ -13,12 +13,12 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Aggregates,
+    Aggregates, Scalars, Joins, Windows, SetSort, EventOps,
   )
 
   /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q_join_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2B. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

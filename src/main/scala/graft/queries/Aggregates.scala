@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.io.Tables
+import graft.functions.WeightedMean
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2B B27–B36).
@@ -29,9 +30,12 @@ object Aggregates extends QueryModule {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          // Price-magnitude sums rounded to 2dp: cross-engine partial-sum
+          // ordering drifts ~1e-4 absolute at 1e10 magnitudes, which 4dp
+          // rounding would expose (SURVEY §3.3 float rule).
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -43,7 +47,7 @@ object Aggregates extends QueryModule {
     "q_global_agg" -> ((s, dir) => {
       Tables.orders(s, dir).agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("sum_price"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
         round(avg(col("o_totalprice")), 4).as("avg_price"),
         round(min(col("o_totalprice")), 4).as("min_price"),
         round(max(col("o_totalprice")), 4).as("max_price"))
@@ -57,15 +61,114 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
     }),
+
+    // B31 rollup + grouping_id.
+    "q_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // B31 cube.
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // B32 collect_set, order-pinned via sort_array, projected to a string.
+    "q_collect_set" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B32 collect_list pinned to an explicit sequence order (sort structs,
+    // then project the field) — the deterministic form of list aggregation.
+    "q_collect_ordered" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("o_orderkey"), col("o_orderstatus")))),
+            x => x.getField("o_orderstatus"))).as("status_seq"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // B33 statistical aggregates (magnitudes kept small for fp parity;
+    // skewness/kurtosis differ in sample-vs-population convention across
+    // engines, covered in ScalaTest instead).
+    "q_stats_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B34 min_by / max_by (arg-min/max).
+    "q_minmax_by" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), col("value")).as("top_event"),
+          min_by(col("event_id"), col("value")).as("bottom_event"),
+          round(max(col("value")), 4).as("max_value"),
+          round(min(col("value")), 4).as("min_value"))
+        .orderBy("event_type")
+    }),
+
+    // B35 custom typed UDAF with algebraic oracle expansion.
+    "q_weighted_avg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(WeightedMean(col("l_extendedprice"), col("l_quantity")), 2).as("w_avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B30 approx distinct (HLL) — no exact oracle by design; the driver
+    // records rows-only and AggregatesSpec bounds it against the exact count.
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B56 scalar UDF (1→1 bolt escape hatch), algebraically expandable.
+    "q_scalar_udf" -> ((s, dir) => {
+      val netPrice = udf((p: Double, d: Double) => p * (1.0 - d))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(netPrice(col("l_extendedprice"), col("l_discount")), 4).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,
@@ -77,7 +180,7 @@ object Aggregates extends QueryModule {
 
     "q_global_agg" ->
       """SELECT count(*) AS n_orders,
-        | round(sum(o_totalprice),4) AS sum_price,
+        | round(sum(o_totalprice),2) AS sum_price,
         | round(avg(o_totalprice),4) AS avg_price,
         | round(min(o_totalprice),4) AS min_price,
         | round(max(o_totalprice),4) AS max_price
@@ -90,5 +193,61 @@ object Aggregates extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price,
+        | CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_collect_set" ->
+      """SELECT o_orderpriority,
+        | array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_collect_ordered" ->
+      """SELECT o_custkey,
+        | array_to_string(list(o_orderstatus ORDER BY o_orderkey), ',') AS status_seq,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity),4) AS sd_qty,
+        | round(var_samp(l_quantity),4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice),4) AS corr_qp,
+        | round(covar_samp(l_quantity, l_discount),6) AS cov_qd,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT event_type,
+        | arg_max(event_id, value) AS top_event,
+        | arg_min(event_id, value) AS bottom_event,
+        | round(max(value),4) AS max_value,
+        | round(min(value),4) AS min_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice*l_quantity)/sum(l_quantity),2) AS w_avg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount),4) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

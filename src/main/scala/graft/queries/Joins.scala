@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2B B18–B26).
+  *
+  * Scale posture: dimension tables (region/nation, literal lookup tables)
+  * are explicitly `broadcast(...)` so the plan never shuffles the fact
+  * side for them; fact⋈fact joins (lineitem⋈orders) stay shuffle joins on
+  * their keys, which is the partitioning a 1000-executor cluster needs.
+  * The as-of join is implemented with the union+window trick — a single
+  * shuffle by key instead of the quadratic range self-join a naive
+  * formulation would cost (the oracle uses the naive SQL, which is fine
+  * at sf0.01 but would not be at 100 TB).
+  */
+object Joins extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // B18 inner equi chain + agg — BENCH headline q_join_agg (TPC-H Q5 shape).
+    "q_join_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // B19 broadcast hash join against the dim chain.
+    "q_join_broadcast" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // B20 left outer join (kept rows counted via null-side probes).
+    "q_join_left" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_no_order_rows"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // B20 full outer join over pre-aggregated sides.
+    "q_join_full" -> ((s, dir) => {
+      val cc = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val ss = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("s_cnt"))
+      cc.join(ss, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("c_cnt"), col("s_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    // B21 left semi (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_with_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // B21 left anti (NOT EXISTS) — against the pending-order subset so the
+    // anti side is non-empty at every scale factor.
+    "q_join_anti" -> ((s, dir) => {
+      val pending = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      Tables.customer(s, dir)
+        .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_without_pending"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // B22 theta/range join against a literal band table (broadcast).
+    "q_join_range" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("budget", 0.0, 1000.0),
+        ("mid", 1000.0, 1500.0),
+        ("premium", 1500.0, 1e9))).toDF("band", "lo", "hi")
+      Tables.part(s, dir)
+        .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy("band")
+    }),
+
+    // B23 cross join.
+    "q_cross_join" -> ((s, dir) => {
+      val statuses = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("status")).distinct()
+      Tables.region(s, dir).select("r_name")
+        .crossJoin(statuses)
+        .orderBy("r_name", "status")
+    }),
+
+    // B24 as-of join: for each purchase, the latest click by the same user
+    // at ts <= purchase ts. Implemented scalably as union + running max
+    // over a single per-user window (one shuffle); the oracle is the naive
+    // range-join SQL, hash-matched.
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_purchase", when(col("event_type") === "purchase", 1).otherwise(0))
+      // clicks sort before purchases at equal ts => ts<= semantics.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("last_click_ts",
+          max(when(col("is_purchase") === 0, col("ts"))).over(w))
+        .filter(col("is_purchase") === 1 && col("last_click_ts").isNotNull)
+        .select(col("event_id"), col("last_click_ts"))
+        .orderBy("event_id")
+    }),
+
+    // B26 self join: consecutive line numbers within an order.
+    "q_self_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"), col("l_quantity").as("qa"))
+      val b = li.select(col("l_orderkey").as("k2"), col("l_linenumber").as("ln2"), col("l_quantity").as("qb"))
+      a.join(b, col("k") === col("k2") && col("ln2") === col("ln") + 1)
+        .select(col("k").as("l_orderkey"), col("ln").as("l_linenumber"),
+          round(col("qb") - col("qa"), 4).as("qty_delta"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_agg" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | round(avg(c_acctbal),4) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_mktsegment,
+        | count(DISTINCT c_custkey) AS n_customers,
+        | count(o_orderkey) AS n_orders,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey, c_cnt, s_cnt
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS c_cnt FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS s_cnt FROM supplier GROUP BY 1) s
+        |ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_without_pending
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT band, count(*) AS n_parts, round(avg(p_retailprice),4) AS avg_price
+        |FROM part
+        |JOIN (VALUES ('budget',0.0,1000.0),('mid',1000.0,1500.0),('premium',1500.0,1e9)) bands(band,lo,hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, status
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+        |ORDER BY r_name, status""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, max(CAST(c.ts AS TIMESTAMP)) AS last_click_ts
+        |FROM events p
+        |JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND c.event_type = 'click'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "q_self_join" ->
+      """SELECT a.l_orderkey, a.l_linenumber,
+        | round(b.l_quantity - a.l_quantity, 4) AS qty_delta
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        | AND b.l_linenumber = a.l_linenumber + 1
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / scalar-expression operators (SURVEY §2B B8–B17).
+  *
+  * These are the 1→1 "bolt" transforms of the reference's dataflow model,
+  * expressed declaratively so Catalyst pushes filters and prunes columns
+  * into the parquet scan (verified by plan-shape specs). All per-row
+  * arithmetic is deterministic across engines; only libm-backed functions
+  * (exp/ln/log10) are rounded to 6 dp on both sides.
+  */
+object Scalars extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // B1+B8 scan, projection, rename, computed columns.
+    "q_scan_project" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          col("p_retailprice"),
+          round(col("p_retailprice") * 0.9, 4).as("discounted"))
+        .orderBy("p_partkey")
+    }),
+
+    // B9 filter: comparison, boolean ops, IN, BETWEEN, NOT.
+    "q_filter_predicates" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(5, 45)
+          && col("l_returnflag").isin("A", "N")
+          && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && !(col("l_discount") < 0.02))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B10 conditionals: CASE/WHEN, coalesce, nullif, null-safe equality.
+    "q_conditional" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("bucket",
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small"))
+        .withColumn("status_np", expr("coalesce(nullif(o_orderstatus, 'P'), '(pending)')"))
+        .groupBy("bucket", "status_np")
+        .agg(count(lit(1)).as("n"),
+          sum(when(expr("nullif(o_orderstatus, 'P') <=> NULL"), 1).otherwise(0)).as("n_nullsafe"))
+        .orderBy("bucket", "status_np")
+    }),
+
+    // B11 string functions (+ LIKE filter).
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          substring(col("c_name"), 1, 10).as("name10"),
+          lower(col("c_name")).as("name_lower"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("-", col("c_mktsegment"), trim(col("c_name"))).as("seg_name"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"),
+          instr(col("c_name"), "8").as("pos8"),
+          regexp_replace(col("c_name"), "[aeiou]", "").as("novowels"),
+          split(col("c_name"), "#").getItem(0).as("first_part"))
+        .orderBy("c_custkey")
+    }),
+
+    // B12 math functions (libm-backed ones rounded 6dp both engines).
+    "q_math_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price2"),
+          abs(col("l_discount") - 0.05).as("disc_abs"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          round(exp(col("l_discount")), 6).as("disc_exp"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(log10(col("l_extendedprice")), 6).as("price_log10"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+          signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // B13 date/time functions.
+    "q_datetime_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          to_date(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // B14 casts across the fixture type inventory.
+    "q_casts" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          col("l_orderkey").cast("string").as("key_str"),
+          col("l_orderkey").cast("double").as("key_dbl"),
+          floor(col("l_quantity")).as("qty_int"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date_str"),
+          lit("3.14").cast("double").as("pi"),
+          col("l_linenumber").cast("long").as("ln_long"))
+        .orderBy("l_orderkey", "key_str", "ln_long")
+    }),
+
+    // B15 array functions over tokenized documents (scalar projections so
+    // the parquet/duckdb compare never hashes raw list cells).
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_contains(toks, "spark").cast("int").as("has_spark"),
+          concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3"),
+          toks.getItem(0).as("first_token"))
+        .orderBy("doc_id")
+    }),
+
+    // B15 higher-order functions: transform / filter / aggregate.
+    "q_higher_order" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x).as("total_chars"),
+          size(filter(toks, x => length(x) > 5)).as("n_long"),
+          aggregate(toks, lit(0L), (acc, x) => acc + when(x === "spark", 1L).otherwise(0L)).as("n_spark"))
+        .orderBy("doc_id")
+    }),
+
+    // B17 JSON extraction from events.props.
+    "q_json_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k_val")), 4).as("avg_k"),
+          min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, p_retailprice,
+        | round(p_retailprice*0.9,4) AS discounted
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 45
+        |  AND l_returnflag IN ('A','N')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND NOT (l_discount < 0.02)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_conditional" ->
+      """SELECT
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus,'P'), '(pending)') AS status_np,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus,'P') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe
+        |FROM orders GROUP BY bucket, status_np ORDER BY bucket, status_np""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | substring(c_name,1,10) AS name10,
+        | lower(c_name) AS name_lower,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | concat_ws('-', c_mktsegment, trim(c_name)) AS seg_name,
+        | lpad(CAST(c_custkey AS VARCHAR),10,'0') AS key_pad,
+        | regexp_extract(c_name,'(\d+)',1) AS digits,
+        | CAST(instr(c_name,'8') AS INTEGER) AS pos8,
+        | regexp_replace(c_name,'[aeiou]','','g') AS novowels,
+        | string_split(c_name,'#')[1] AS first_part
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice,2) AS price2,
+        | abs(l_discount-0.05) AS disc_abs,
+        | l_quantity*l_quantity AS qty_sq,
+        | round(sqrt(l_extendedprice),6) AS price_sqrt,
+        | round(exp(l_discount),6) AS disc_exp,
+        | round(ln(l_extendedprice),6) AS price_ln,
+        | round(log10(l_extendedprice),6) AS price_log10,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        | CAST(mod(l_orderkey,7) AS BIGINT) AS key_mod,
+        | CAST(sign(l_discount-0.05) AS INTEGER) AS disc_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | o_orderdate + INTERVAL '30 days' AS plus30,
+        | CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        | CAST(o_orderdate AS DATE) AS odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_casts" ->
+      """SELECT l_orderkey,
+        | CAST(l_orderkey AS VARCHAR) AS key_str,
+        | CAST(l_orderkey AS DOUBLE) AS key_dbl,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+        | CAST(l_shipdate AS DATE) AS ship_date,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+        | CAST('3.14' AS DOUBLE) AS pi,
+        | CAST(l_linenumber AS BIGINT) AS ln_long
+        |FROM lineitem ORDER BY l_orderkey, key_str, ln_long""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct,
+        | CAST(list_contains(string_split(text,' '),'spark') AS INTEGER) AS has_spark,
+        | array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3],',') AS first3,
+        | string_split(text,' ')[1] AS first_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_higher_order" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS total_chars,
+        | CAST(len(list_filter(string_split(text,' '), x -> length(x) > 5)) AS INTEGER) AS n_long,
+        | CAST(len(list_filter(string_split(text,' '), x -> x = 'spark')) AS BIGINT) AS n_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k,
+        | min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -24,6 +24,9 @@ def canon(df):
 
 
 def cells_equal(a, b):
+    # STRICT float equality — the driver hash-compares exact values, so a
+    # near-miss here is a real driver failure. Near misses are reported
+    # separately by the caller for diagnosis.
     if a is None and b is None:
         return True
     try:
@@ -31,7 +34,7 @@ def cells_equal(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            return fa == fb or abs(fa - fb) < 1e-9 * max(1.0, abs(fa))
+            return fa == fb
     except (TypeError, ValueError):
         pass
     return str(a) == str(b)
