@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** A typed event row for the stateful (keyed-state) operators. */
+case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Keyed running state — the Spark analog of the reference's stateful
+  * bolt instance (per-key state owned by the task the key hash-routes to).
+  */
+case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
+
+/** Streaming surface (SURVEY §2B B47–B55), built on Structured Streaming.
+  *
+  * Design: every windowed aggregation is defined ONCE as a
+  * DataFrame=>DataFrame transform and reused verbatim by the batch twins
+  * in [[graft.queries.EventOps]] (DuckDB-oracled) and by streaming queries
+  * over `readStream`/MemoryStream (asserted equal in StreamingSpec) —
+  * the two-hop verification story for operators DuckDB cannot see.
+  *
+  * Scale posture: state is partitioned by grouping key across the state
+  * store (RocksDB-backed on a real cluster); watermarks bound state size;
+  * nothing here collects to the driver.
+  */
+object StreamOps {
+
+  /** Raw parquet schema of `events` under nanosAsLong (ts = BIGINT ns). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** B4: streaming file source over the events fixture, normalized to the
+    * same schema the batch loader produces.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; select just the events file.
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ---------- shared window transforms (batch twin == streaming plan) ----------
+
+  /** B47 tumbling 1h window per event_type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** B48 sliding 1h window, 15min slide. Only streamable aggregates here
+    * (no countDistinct — unsupported on streams); exact distinct counting
+    * lives in the batch-only q_distinct_users.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+
+  /** B49 session window, 10 minute gap, per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** B55 stream–static join: events × broadcast literal weight dim. */
+  def weightedByType(spark: SparkSession, events: DataFrame): DataFrame = {
+    val weights = spark.createDataFrame(Seq(
+      ("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0))).toDF("event_type", "weight")
+    events.join(broadcast(weights), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(sum(col("value") * col("weight")), 4).as("weighted_value"),
+        count(lit(1)).as("n"))
+  }
+
+  // ---------- streaming-only operators ----------
+
+  /** B50 declarative late-data policy (strictly more capable than the
+    * reference, which leaves lateness to user bolt code).
+    */
+  def withLatenessPolicy(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** B51 streaming dedup by event_id, state bounded by the watermark. */
+  def dedupStream(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  /** B51 variant: dedup keyed on event_id within the watermark window only
+    * (state evicted once the watermark passes, unlike plain dropDuplicates).
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** B52 arbitrary keyed state: per-user running event count + value total
+    * (the per-key counting bolt of the Storm model). Update-mode output:
+    * one refreshed row per key per micro-batch.
+    */
+  def runningCounters(events: Dataset[UserEvent]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserCounter, UserCounter](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserCounter]) =>
+          val prev = state.getOption.getOrElse(UserCounter(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserCounter(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** B52 alert-on-threshold: emits a row only when a user's running total
+    * first crosses `threshold` (append-mode flatMapGroupsWithState).
+    */
+  def thresholdAlerts(events: Dataset[UserEvent], threshold: Double): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(UserCounter, Boolean), UserCounter](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(UserCounter, Boolean)]) =>
+          val (prev, alreadyAlerted) =
+            state.getOption.getOrElse((UserCounter(uid, 0L, 0.0), false))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserCounter(uid, n, tot)
+          val crossed = !alreadyAlerted && tot >= threshold
+          state.update((next, alreadyAlerted || crossed))
+          if (crossed) Iterator(next) else Iterator.empty
+      }
+  }
+
+  /** B25 stream–stream interval join: purchases within 1 hour after a
+    * click by the same user; watermarks bound both join-state sides.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape and semantic assertions for the relational surface —
+  * the tests the DuckDB oracle can't express (SURVEY §5.2 items 2/5/6).
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.{sf001, sf01}
+
+  test("driver smoke: entry() returns rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry with matching shape intent") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("B2: Tables.events reads ns-timestamps via runtime conf (bare session)") {
+    val e = Tables.events(spark, sf001)
+    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.count() == 1000)
+  }
+
+  test("B19 plan shape: dim joins use BroadcastHashJoin") {
+    val plan = SparkEntry.queries("q_join_broadcast")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dim join degenerated to SMJ")
+  }
+
+  test("B36 plan shape: aggregation is partial -> final HashAggregate") {
+    val plan = SparkEntry.queries("q_pricing_summary")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in:\n$plan")
+  }
+
+  test("plan shape: filter and projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, sf001)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("B43 plan shape: orderBy+limit plans as TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q_topn")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
+
+  test("B27/B63 word-count golden test against independent JVM computation") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf001).select("text").as[String].collect()
+    val expected: Map[String, Long] = texts.toSeq.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val got = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("B30 approx_count_distinct within 10% of exact") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf01)
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.10,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("B42 sortWithinPartitions orders inside every partition") {
+    val sorted = Tables.orders(spark, sf001)
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .select("o_totalprice")
+    val violations = sorted.rdd.mapPartitions { it =>
+      val prices = it.map(_.getDouble(0)).toSeq
+      Iterator.single(prices.zip(prices.drop(1)).count { case (a, b) => a > b })
+    }.sum()
+    assert(violations == 0)
+  }
+
+  test("B24 as-of window implementation matches naive range-join semantics") {
+    val asof = SparkEntry.queries("q_asof_join")(spark, sf001)
+    val e = Tables.events(spark, sf001)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val naive = p.join(c, col("c_user") === col("p_user") && col("c_ts") <= col("p_ts"))
+      .groupBy(col("p_id").as("event_id"))
+      .agg(max(col("c_ts")).as("last_click_ts"))
+    assert(asof.count() == naive.count())
+    assert(asof.except(naive).isEmpty && naive.except(asof).isEmpty)
+  }
+
+  test("B35 WeightedMean agrees with algebraic expansion") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf001)
+    val viaUdaf = li.agg(graft.functions.WeightedMean(col("l_extendedprice"), col("l_quantity")))
+      .as[Double].head()
+    val expanded = li.agg(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+      .as[Double].head()
+    assert(math.abs(viaUdaf - expanded) < 1e-6 * math.abs(expanded))
+  }
+}

@@ -1,0 +1,206 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.io.Tables
+import graft.streaming.{StreamOps, UserCounter, UserEvent}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2B B47–B55: streaming semantics that DuckDB cannot oracle —
+  * batch≡streaming equivalence, watermark late-data drops, keyed state,
+  * streaming dedup, stream–stream joins, output modes, triggers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def assertSameRows(got: DataFrame, expected: DataFrame): Unit = {
+    assert(got.count() == expected.count(),
+      s"row count ${got.count()} != ${expected.count()}")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "symmetric difference non-empty")
+  }
+
+  test("B47/B53/B54 tumbling window: streaming complete-mode equals batch twin") {
+    val stream = StreamOps.eventsStream(spark, sf001)
+    val q = StreamOps.tumblingAgg(stream).writeStream
+      .format("memory").queryName("tumb_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumb_stream")
+    val expected = StreamOps.tumblingAgg(Tables.events(spark, sf001))
+    assertSameRows(got, expected)
+  }
+
+  test("B48 sliding window: streaming complete-mode equals batch twin") {
+    val stream = StreamOps.eventsStream(spark, sf001)
+    val q = StreamOps.slidingAgg(stream).writeStream
+      .format("memory").queryName("slide_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assertSameRows(spark.table("slide_stream"),
+      StreamOps.slidingAgg(Tables.events(spark, sf001)))
+  }
+
+  test("B49 session window: append-mode streaming equals batch on flushed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val sessioned = StreamOps.sessionAgg(
+      input.toDF().withWatermark("ts", "10 minutes"))
+    val q = sessioned.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    val real = Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0),   // same session
+      UserEvent(3, ts("2024-01-01 10:30:00"), 1, "click", 1.0),  // new session (gap 25m)
+      UserEvent(4, ts("2024-01-01 10:02:00"), 2, "click", 1.0))
+    input.addData(real)
+    q.processAllAvailable()
+    // sentinels push the watermark far past every real session end
+    input.addData(Seq(UserEvent(98, ts("2024-01-01 13:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(99, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_stream").filter($"user_id" =!= 99)
+    val expected = StreamOps.sessionAgg(real.toDF())
+    assertSameRows(got, expected)
+  }
+
+  test("B50 watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val agg = StreamOps.tumblingAgg(
+      StreamOps.withLatenessPolicy(input.toDF(), "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 12:00:00"), 1, "click", 1.0)))
+    q.processAllAvailable() // watermark -> 11:50; hour 10 finalized next batch
+    input.addData(Seq(
+      UserEvent(3, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // LATE: dropped
+      UserEvent(4, ts("2024-01-01 12:10:00"), 1, "click", 1.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(9, ts("2024-01-01 14:00:00"), 9, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val hour10 = spark.table("late_stream")
+      .filter($"ws" === ts("2024-01-01 10:00:00")).select("n").as[Long].collect()
+    assert(hour10.toSeq == Seq(1L), s"late row leaked into hour-10 window: ${hour10.toSeq}")
+  }
+
+  test("B52 mapGroupsWithState running counters accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.runningCounters(input.toDS()).writeStream
+      .format("memory").queryName("counter_stream")
+      .outputMode("update").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+      UserEvent(3, ts("2024-01-01 10:02:00"), 2, "view", 5.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(4, ts("2024-01-01 10:03:00"), 1, "buy", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user = the accumulated state
+    val finalPerUser = spark.table("counter_stream").as[UserCounter]
+      .collect().groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(finalPerUser(1L) == UserCounter(1L, 3L, 6.0))
+    assert(finalPerUser(2L) == UserCounter(2L, 1L, 5.0))
+  }
+
+  test("B52 flatMapGroupsWithState emits exactly one alert at threshold crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.thresholdAlerts(input.toDS(), 10.0).writeStream
+      .format("memory").queryName("alert_stream")
+      .outputMode("append").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "buy", 6.0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 2, "buy", 1.0)))
+    q.processAllAvailable() // nobody crossed
+    input.addData(Seq(
+      UserEvent(3, ts("2024-01-01 10:02:00"), 1, "buy", 5.0),   // user1 crosses (11)
+      UserEvent(4, ts("2024-01-01 10:03:00"), 2, "buy", 2.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(5, ts("2024-01-01 10:04:00"), 1, "buy", 9.0)))
+    q.processAllAvailable() // user1 already alerted: no second alert
+    q.stop()
+    val alerts = spark.table("alert_stream").as[UserCounter].collect()
+    assert(alerts.length == 1 && alerts.head.user_id == 1L && alerts.head.total_value == 11.0,
+      s"unexpected alerts: ${alerts.toSeq}")
+  }
+
+  test("B51 streaming dedup keeps first occurrence per event_id across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.dedupStream(input.toDF(), "1 hour").writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // dup
+      UserEvent(3, ts("2024-01-01 10:05:00"), 2, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("B25 stream-stream interval join matches its batch-mode evaluation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val joined = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("join_stream")
+      .outputMode("append").start()
+    val cData = Seq(
+      UserEvent(10, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      UserEvent(11, ts("2024-01-01 09:00:00"), 2, "click", 0))
+    val pData = Seq(
+      UserEvent(20, ts("2024-01-01 10:30:00"), 1, "purchase", 0), // within 1h of click 10
+      UserEvent(21, ts("2024-01-01 11:30:00"), 1, "purchase", 0), // > 1h after click 10
+      UserEvent(22, ts("2024-01-01 10:30:00"), 3, "purchase", 0)) // no click
+    clicks.addData(cData); purchases.addData(pData)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("join_stream").select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    // same function on bounded frames = batch semantics (watermark no-op)
+    val batch = StreamOps.clickPurchaseJoin(cData.toDF(), pData.toDF())
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L)) && got == batch)
+  }
+
+  test("B51 dropDuplicatesWithinWatermark variant also dedups in-window duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.dedupWithinWatermark(input.toDF(), "1 hour").writeStream
+      .format("memory").queryName("dedup_wm_stream")
+      .outputMode("append").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_wm_stream").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared session for all suites. Deliberately does NOT set
+  * `nanosAsLong` statically — reading `events` through Tables must
+  * succeed via its runtime conf.set fallback, which this exercises.
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
+}
