@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from Spark's
+  * codegen'd higher-order functions (`zip_with`/`transform`/`aggregate`)
+  * — no UDF in the hot path (SURVEY §2B B61).
+  *
+  * All arithmetic is done in DOUBLE: the fixture stores float32, and
+  * float accumulation is neither engine-stable nor precise enough for
+  * oracle parity (DuckDB's list_cosine_similarity stays in float32 and
+  * diverges at the 6th decimal — measured).
+  */
+object Vec {
+
+  /** Engine-stable element type for arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential left-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; null-safe on zero-norm vectors (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(null).cast("double")).otherwise(d / nn)
+  }
+
+  /** Cosine rounded for cross-engine hash parity. */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+}

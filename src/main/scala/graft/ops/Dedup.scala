@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2B
+  * B59/B60 + north-star mandate): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on a content digest (one shuffle on the
+  *    digest, never on the full text);
+  *  - MinHash+LSH turns O(n²) near-dup search into a band-bucket
+  *    shuffle-join: candidates only form inside equal (band, band-key)
+  *    buckets, which is linear-ish in practice at 100 TB;
+  *  - signatures are built from `xxhash64` (codegen'd Catalyst expression)
+  *    over shingles via higher-order functions — no UDFs, whole-stage
+  *    codegen preserved.
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sliding word n-gram shingles as strings ("w1 w2 w3"). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact-dup statistics keyed by md5 digest (oracle-matched in DuckDB). */
+  def exactDupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("survivor_id"))
+
+  /** Exact dedup keeping the lowest doc_id per distinct text. */
+  def dropExactDups(docs: DataFrame): DataFrame =
+    docs.withColumn("digest", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("digest", "rn")
+
+  /** Exact token-set Jaccard between doc pairs (the verification step a
+    * MinHash candidate pipeline feeds into).
+    */
+  def jaccard(aToks: Column, bToks: Column): Column =
+    round(size(array_intersect(aToks, bToks)).cast("double") /
+      size(array_union(aToks, bToks)), 6)
+
+  /** n-gram Jaccard over nearby same-language doc pairs. The id-band
+    * predicate is the test-scale stand-in for an LSH bucket join — at
+    * 100 TB the pair generation comes from [[minhashCandidates]] instead.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, idGap: Int): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      array_distinct(shingles(col("text"), n)).as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      array_distinct(shingles(col("text"), n)).as("sb"))
+    a.join(b, col("lang") === col("lang_b")
+        && col("doc_b") > col("doc_a")
+        && col("doc_b") <= col("doc_a") + idGap)
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+  }
+
+  /** MinHash signature: per permutation i, min over shingles of
+    * xxhash64(shingle, i). numPerm columns of state per doc — constant
+    * size regardless of document length.
+    */
+  def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
+    transform(sequence(lit(1), lit(numPerm)),
+      i => array_min(transform(shingles(text, n), s => xxhash64(s, i))))
+
+  /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
+    * of signature) bucket. bands*rowsPerBand must equal numPerm.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val sigs = docs.select(col("doc_id"),
+      minhashSignature(col("text"), n, numPerm).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"), col("pos").as("band"),
+        // hash the band slice into a single bucket key
+        xxhash64(concat_ws(",", col("col")), col("pos")).as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+      col("doc_id").as("doc_b"))
+    l.join(r, col("band") === col("band_r")
+        && col("bucket") === col("bucket_r")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    * permutations) — used to rank candidates without re-tokenizing.
+    */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    round(size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA), 6)
+
+  /** SimHash as a 64-char bit string. Each position b uses an independent
+    * 1-bit hash function — the sign of xxhash64(token, b) — and takes the
+    * token majority vote. The string form keeps hamming distance
+    * expressible with higher-order functions (Spark's shift functions
+    * only take static Int amounts, so per-bit extraction of one 64-bit
+    * hash is not expressible as a Column).
+    */
+  def simhashBits(text: Column): Column = {
+    val toks = tokens(text)
+    concat_ws("", transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(xxhash64(t, b) >= 0, 1L).otherwise(-1L)) > 0,
+        lit("1")).otherwise(lit("0"))))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), v => v))
+}

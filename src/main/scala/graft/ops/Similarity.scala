@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.functions.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2B B61/B62 +
+  * north-star mandate).
+  *
+  * Two tiers, matching how ANN is deployed at scale:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the (huge) corpus; one corpus scan, no shuffle of
+  *    the corpus itself, per-query top-k via window. The baseline every
+  *    ANN variant is measured against.
+  *  - [[ivfCentroids]] / [[ivfTopK]]: IVF-style bucketed search — assign
+  *    every corpus vector to a centroid bucket, probe only the nprobe
+  *    closest buckets per query. At 100 TB, bucket = partition key, so
+  *    probing is partition pruning; recall < 1 is the accepted trade.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query. `queries` must be small enough to
+    * broadcast (query_id, qvec).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF coarse quantizer: per-label centroid = mean vector. (The fixture
+    * `label` is the cluster assignment; a full pipeline would k-means
+    * this — the search machinery below is identical either way.)
+    */
+  def ivfCentroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), posexplode(Vec.asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
+  /** IVF search: probe the nprobe nearest centroid buckets per query,
+    * exact cosine inside the probed buckets only.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("label"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("label"),
+        Vec.cosine6(col("qvec"), col("centroid")).as("c_sim"))
+      .withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("label"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(broadcast(probed), Seq("label"))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+  }
+
+  /** All near-duplicate pairs above a cosine threshold within an id-bounded
+    * slice (test-scale shape; the 100 TB path generates pairs from LSH
+    * buckets — [[Dedup.minhashCandidates]] — not a cross join).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val a = corpus.filter(col("vec_id") <= maxId)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.filter(col("vec_id") <= maxId)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Vec.cosine6(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2B B63 +
+  * north-star mandate): tokenization/counting, quality scoring,
+  * heuristic language ID, and content fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins over the `documents`
+  * table; per-doc work is embarrassingly parallel (no shuffle except the
+  * final aggregations), which is the right shape for a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Marker-token sets for the heuristic language identifier. Real
+    * pipelines would use character n-gram profiles; the scoring and
+    * argmax plumbing here is the scale-relevant part.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Whitespace + BPE-ish token counting and shape stats per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(toks(col("text"))).as("ws_tokens"),
+      expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("int").as("bpe_tokens"),
+      length(col("text")).as("n_chars_measured"))
+
+  /** Composite quality score: token count, punctuation ratio, stopword
+    * ratio, mean token length — the usual cheap pre-filter signals.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTokens = size(t)
+    val punct = expr("regexp_count(text, '[^a-z0-9 ]')").cast("double")
+    val stopHits = size(filter(t, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    docs.select(col("doc_id"), col("lang"),
+      nTokens.as("n_tokens"),
+      round(punct / length(col("text")), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / nTokens, 6).as("stop_ratio"),
+      round(length(col("text")).cast("double") / nTokens, 4).as("avg_token_len"),
+      round(
+        least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - least(punct / length(col("text")), lit(1.0))) * 0.3
+          + least(stopHits.cast("double") / nTokens * 5.0, lit(1.0)) * 0.2,
+        6).as("quality"))
+  }
+
+  /** Heuristic language ID: score = |tokens ∩ markers(lang)|, predict the
+    * argmax with a fixed precedence tie-break, 'und' when all zero.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val distinctToks = array_distinct(toks(col("text")))
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), distinctToks.as("dt"))) {
+      case (df, (l, markers)) =>
+        df.withColumn(s"s_$l",
+          size(array_intersect(col("dt"), array(markers.map(lit): _*))))
+    }
+    val scores = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val best = greatest(scores: _*)
+    // declared order = tie-break precedence (en beats de on equal score)
+    val predOrdered = langMarkers.reverse.foldLeft(lit("und")) {
+      case (elseCol, (l, _)) =>
+        when(best > 0 && col(s"s_$l") === best, lit(l)).otherwise(elseCol)
+    }
+    scored.select((Seq(col("doc_id"), col("lang"), predOrdered.as("predicted_lang")) ++
+      langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
+  }
+
+  /** Content digest fingerprint (md5) — the exact-dedup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("digest"),
+      substring(md5(col("text")), 1, 8).as("digest8"),
+      length(col("text")).as("n_chars_measured"))
+
+  /** Winnowing-style rolling fingerprint: xxhash64 over k-gram shingles,
+    * then the minimum within each sliding window of w hashes — the
+    * document-similarity sketch used by MOSS-style dedup. Set-valued; the
+    * fingerprint count is the stable scalar summary.
+    */
+  def rollingFingerprint(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val hashes = transform(Dedup.shingles(col("text"), k), s => xxhash64(s))
+    val windows = when(size(hashes) < w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), size(hashes) - (w - 1)),
+        i => array_min(slice(hashes, i, lit(w)))))
+    docs.select(col("doc_id"),
+      array_distinct(windows).as("fingerprints"),
+      size(array_distinct(windows)).as("n_fingerprints"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import graft.functions.Vec
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator queries (SURVEY §2B B59–B64): dedup,
+  * similarity search, text analysis, multimodal struct assembly — each
+  * wired to the `documents` / `embeddings` fixtures with a DuckDB oracle
+  * where the computation is engine-portable (md5, token sets, DOUBLE
+  * vector math), and rows-only + ScalaTest where it is not
+  * (xxhash64-based MinHash/SimHash, IVF probing).
+  */
+object LlmOps extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // B59 exact dedup stats via content digest.
+    "q_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupStats(Tables.documents(s, dir))
+        .agg(count(lit(1)).as("n_distinct_texts"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(when(col("n_docs") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    }),
+
+    // B59/fingerprint: md5 digest per document.
+    "q_doc_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // B60 n-gram (3-shingle) Jaccard over nearby same-lang pairs.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, idGap = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // B60 MinHash+LSH candidate pairs — xxhash64-based, rows-only check
+    // (LlmSpec asserts candidate quality against exact Jaccard).
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(Tables.documents(s, dir), n = 2, bands = 8, rowsPerBand = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // B60 SimHash bit-signatures — rows-only check (LlmSpec covers
+    // hamming locality).
+    "q_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // B61/B62 brute-force cosine top-10 against the vec_id=0 query vector.
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("rnk")
+    }),
+
+    // B61 embedding near-dup pairs above a cosine threshold.
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), maxId = 300, threshold = 0.8)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // B61 vector norms (embeddings are L2-normalized — the oracle doubles
+    // as a data-quality assertion).
+    "q_embed_norms" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          round(Vec.norm(col("embedding")), 6).as("l2_norm"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    }),
+
+    // B62 IVF (bucketed ANN) — rows-only; LlmSpec measures recall vs
+    // brute force.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.ivfCentroids(emb)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, centroids, qs, nprobe = 2, k = 10)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // B63 token counting (whitespace + BPE-ish regex).
+    "q_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"),
+          round(avg(col("n_chars_measured")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // B63 quality scoring.
+    "q_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio",
+          "avg_token_len", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // B63 heuristic language ID.
+    "q_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(Tables.documents(s, dir))
+        .groupBy("predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("predicted_lang")
+    }),
+
+    // B63 word count — the canonical Storm/gostream demo over documents.
+    "q_word_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    }),
+
+    // B64 multimodal struct assembly: documents × embeddings, projected
+    // to scalars for the hash compare.
+    "q_multimodal_struct" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"), col("embedding")).as("doc"))
+        .select(col("doc.doc_id").as("doc_id"),
+          col("doc.lang").as("lang"),
+          col("doc.n_chars").as("n_chars"),
+          length(col("doc.text")).as("text_len"),
+          size(col("doc.embedding")).as("dim"),
+          round(Vec.norm(col("doc.embedding")), 6).as("l2_norm"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT count(*) AS n_distinct_texts,
+        | CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM (SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS survivor_id
+        |      FROM documents GROUP BY 1)""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS digest, substring(md5(text),1,8) AS digest8,
+        | CAST(length(text) AS INTEGER) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+        |      THEN [text]
+        |      ELSE list_transform(generate_series(1, len(string_split(text,' '))-2),
+        |        i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))
+        |    END) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    round(sum(CAST(e.embedding[g.i] AS DOUBLE)*CAST(q.qe[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(e.embedding[g.i] AS DOUBLE)*CAST(e.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(q.qe[g.i] AS DOUBLE)*CAST(q.qe[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings e, generate_series(1,64) g(i), q
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, cos_sim,
+        | CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+        |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(sum(CAST(a.embedding[g.i] AS DOUBLE)*CAST(b.embedding[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(a.embedding[g.i] AS DOUBLE)*CAST(a.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(b.embedding[g.i] AS DOUBLE)*CAST(b.embedding[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings a, embeddings b, generate_series(1,64) g(i)
+        |  WHERE a.vec_id < b.vec_id AND a.vec_id <= 300 AND b.vec_id <= 300
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM sims
+        |WHERE cos_sim >= 0.8 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_embed_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm,
+        | CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+        | round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        | round(CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text), 6) AS punct_ratio,
+        | round(CAST(len(list_filter(string_split(text,' '),
+        |   w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
+        |   / len(string_split(text,' ')), 6) AS stop_ratio,
+        | round(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')), 4) AS avg_token_len,
+        | round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (1.0 - least(CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text), 1.0))*0.3
+        |   + least(CAST(len(list_filter(string_split(text,' '),
+        |       w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
+        |       / len(string_split(text,' ')) * 5.0, 1.0)*0.2, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['the','and','of','is'], w))) AS s_en,
+        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['der','und','die','ist'], w))) AS s_de,
+        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['el','la','que','es'], w))) AS s_es,
+        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['le','la','et','est'], w))) AS s_fr,
+        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['的','是','在','了'], w))) AS s_zh
+        |  FROM documents)
+        |SELECT predicted_lang, count(*) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |    WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |    WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |  FROM scored)
+        |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    "q_word_count" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q_multimodal_struct" ->
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        | CAST(length(d.text) AS INTEGER) AS text_len,
+        | CAST(len(e.embedding) AS INTEGER) AS dim,
+        | round(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}

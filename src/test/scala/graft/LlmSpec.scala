@@ -1,0 +1,186 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2B B59–B64 coverage the DuckDB oracle can't express: MinHash
+  * estimate quality, SimHash locality, IVF recall, multimodal binary
+  * plumbing, rolling fingerprints, dedup idempotence.
+  */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private def docsWithDups = {
+    import spark.implicits._
+    Tables.documents(spark, sf001)
+      .unionByName(
+        Tables.documents(spark, sf001).limit(5)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  test("B59 dropExactDups removes injected duplicates and is idempotent") {
+    val docs = docsWithDups
+    val deduped = Dedup.dropExactDups(docs)
+    val nDistinct = docs.select(countDistinct(col("text"))).head().getLong(0)
+    assert(deduped.count() == nDistinct)
+    assert(Dedup.dropExactDups(deduped).count() == nDistinct)
+    // survivor is always the lowest doc_id (the original, not the clone)
+    assert(deduped.filter(col("doc_id") >= 1000000).count() == 0)
+  }
+
+  test("B60 MinHash estimate approximates exact Jaccard on shingle sets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).limit(100)
+    val n = 2
+    val sigs = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), n)).as("sh"),
+      Dedup.minhashSignature(col("text"), n, 64).as("sig"))
+    val a = sigs.select(col("doc_id").as("ida"), col("sh").as("sha"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("idb"), col("sh").as("shb"), col("sig").as("sigb"))
+    val pairs = a.join(b, col("idb") > col("ida") && col("idb") <= col("ida") + 3)
+      .select(Dedup.jaccard(col("sha"), col("shb")).as("exact"),
+        Dedup.minhashEstimate(col("siga"), col("sigb")).as("est"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    val mae = pairs.map { case (e, m) => math.abs(e - m) }.sum / pairs.length
+    // 64 permutations => stderr ~ sqrt(j(1-j)/64) <= 0.0625; MAE well under
+    assert(mae < 0.08, s"MinHash MAE too high: $mae over ${pairs.length} pairs")
+  }
+
+  test("B60 LSH candidates include every truly-similar pair (no false negatives)") {
+    import spark.implicits._
+    // construct near-duplicates: doc + same doc with last token changed
+    val base = Tables.documents(spark, sf001).limit(20)
+    val mutated = base
+      .withColumn("doc_id", col("doc_id") + 5000)
+      .withColumn("text", concat(col("text"), lit(" extratoken")))
+    val corpus = base.unionByName(mutated)
+    val candidates = Dedup.minhashCandidates(corpus, n = 2, bands = 8, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    val expected = base.select(col("doc_id")).as[Long].collect()
+      .map(id => (id, id + 5000)).toSet
+    val missed = expected -- candidates
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
+  }
+
+  test("B60 SimHash locality: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).limit(20)
+      .select(col("doc_id"), col("text"),
+        concat(col("text"), lit(" extratoken")).as("text2"))
+    val dists = docs.select(
+      Dedup.hamming(Dedup.simhashBits(col("text")), Dedup.simhashBits(col("text2"))).as("d"))
+      .as[Int].collect()
+    assert(dists.forall(_ <= 16), s"near-dup hamming too large: ${dists.toSeq}")
+    // distinct random docs should usually differ by much more
+    val cross = Tables.documents(spark, sf001).limit(10)
+    val aa = cross.select(col("doc_id").as("ida"), Dedup.simhashBits(col("text")).as("sa"))
+    val bb = cross.select(col("doc_id").as("idb"), Dedup.simhashBits(col("text")).as("sb"))
+    val far = aa.join(bb, col("idb") > col("ida"))
+      .select(Dedup.hamming(col("sa"), col("sb")).as("d")).as[Int].collect()
+    assert(far.sum.toDouble / far.length > 8.0, "unrelated docs look similar")
+  }
+
+  test("B62 IVF search achieves high recall on genuinely clustered vectors") {
+    import spark.implicits._
+    // The fixture's label clusters are near-random (intra-label cosine
+    // ~0.02 — measured), so IVF's recall contract is validated on
+    // synthetic tight clusters instead; fixture behavior is covered by
+    // the structural test below.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.tabulate(10)(c =>
+      Array.tabulate(dim)(d => if (d == c) 5.0f else 0.0f))
+    val vecs = (0 until 200).map { i =>
+      val c = i % 10
+      val v = centers(c).clone()
+      (0 until dim).foreach(d => v(d) = v(d) + rnd.nextGaussian().toFloat * 0.3f)
+      (i.toLong, v.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, Similarity.ivfCentroids(emb), queries,
+      nprobe = 2, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+  }
+
+  test("B62 IVF structural contract on fixture data: results come only from probed buckets") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = Similarity.ivfTopK(emb, Similarity.ivfCentroids(emb), queries,
+      nprobe = 2, k = 10)
+    // k results per query, ranks 1..10, all cos_sim in [-1,1]
+    val perQuery = res.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQuery.forall(_ == 10))
+    val labelsUsed = res.join(emb, Seq("vec_id"))
+      .groupBy("query_id").agg(countDistinct(col("label")).as("nl"))
+      .select("nl").as[Long].collect()
+    assert(labelsUsed.forall(_ <= 2), s"results leaked outside nprobe buckets: ${labelsUsed.toSeq}")
+  }
+
+  test("B64 multimodal: binary payload + meta struct survive a parquet round-trip") {
+    import spark.implicits._
+    val packed = Multimodal.packBinary(Tables.documents(spark, sf001))
+    val out = java.nio.file.Files.createTempDirectory("mm").toString
+    packed.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("payload").dataType.typeName == "binary")
+    assert(back.count() == packed.count())
+    // payload decodes back to the original text; meta matches
+    val mismatches = back
+      .join(Tables.documents(spark, sf001), Seq("doc_id"))
+      .filter(expr("cast(payload as string)") =!= col("text")
+        || col("meta.n_bytes") =!= length(col("text")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("B64 decode stub + frame sampling produce bounded deterministic output") {
+    val media = Multimodal.decodeStub(
+      Multimodal.packBinary(Tables.documents(spark, sf001).limit(50)))
+    val dims = media.select("decoded.width", "decoded.height").collect()
+    assert(dims.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 1280
+      && r.getInt(1) >= 1 && r.getInt(1) <= 720))
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 32, maxFrames = 4)
+    assert(frames.count() > 0)
+    val counts = frames.groupBy("doc_id").count().select(max("count")).head().getLong(0)
+    assert(counts <= 4, s"frame explosion unbounded: $counts")
+    // deterministic: same input -> same output
+    val again = Multimodal.frameSample(media, 16, 32, 4)
+    assert(frames.exceptAll(again).isEmpty && again.exceptAll(frames).isEmpty)
+  }
+
+  test("B64 mapPartitions feature extraction emits fixed-dim vectors in [0,1]") {
+    import spark.implicits._
+    val media = Multimodal.packBinary(Tables.documents(spark, sf001).limit(30))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val rows = feats.select(col("features")).as[Seq[Double]].collect()
+    assert(rows.length == 30)
+    assert(rows.forall(f => f.length == 8 && f.forall(v => v >= 0.0 && v <= 1.0)))
+  }
+
+  test("B63 rolling fingerprint: shared content shares fingerprints") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).limit(10)
+    val fp1 = TextAnalysis.rollingFingerprint(docs, k = 3, w = 4)
+      .select(col("doc_id"), col("fingerprints"))
+    val mutated = docs.withColumn("text", concat(lit("prefixword "), col("text")))
+    val fp2 = TextAnalysis.rollingFingerprint(mutated, k = 3, w = 4)
+      .select(col("doc_id").as("doc_id2"), col("fingerprints").as("fp2"))
+    val overlap = fp1.join(fp2, col("doc_id") === col("doc_id2"))
+      .select((size(array_intersect(col("fingerprints"), col("fp2"))).cast("double") /
+        size(col("fingerprints"))).as("frac"))
+      .as[Double].collect()
+    assert(overlap.forall(_ > 0.5), s"fingerprint overlap too low: ${overlap.toSeq}")
+  }
+}
