@@ -103,6 +103,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(asof.except(naive).isEmpty && naive.except(asof).isEmpty)
   }
 
+  test("B3 JSON/CSV round-trip: schema-d read equals the parquet source") {
+    val src = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("b3").toString
+    src.write.mode("overwrite").json(s"$dir/j")
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val js = spark.read.schema(src.schema).json(s"$dir/j")
+    val cs = spark.read.schema(src.schema).option("header", "true").csv(s"$dir/c")
+    assert(js.exceptAll(src).isEmpty && src.exceptAll(js).isEmpty)
+    assert(cs.exceptAll(src).isEmpty && src.exceptAll(cs).isEmpty)
+  }
+
+  test("B16 map functions: map/map_keys/map_values/explode") {
+    import spark.implicits._
+    val m = Tables.orders(spark, sf001)
+      .limit(100)
+      .select(col("o_orderkey"),
+        map(lit("status"), col("o_orderstatus"),
+          lit("priority"), col("o_orderpriority")).as("m"))
+    assert(m.select(explode(map_keys(col("m")))).distinct().as[String]
+      .collect().toSet == Set("status", "priority"))
+    val exploded = m.select(col("o_orderkey"), explode(col("m")))
+    assert(exploded.count() == 200)
+    assert(exploded.filter(col("key") === "status" && col("value").isin("F", "O", "P"))
+      .count() == 100)
+  }
+
   test("B35 WeightedMean agrees with algebraic expansion") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf001)

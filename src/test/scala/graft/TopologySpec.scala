@@ -1,0 +1,86 @@
+package graft
+
+import graft.api.{Stream, TopologyBuilder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2A: the Storm-model facade. The word-count topology is the
+  * reference framework's canonical example, rebuilt as
+  * spout → flatMap bolt → fields-grouped counting bolt.
+  */
+class TopologySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  test("A2-A6: word-count topology (spout -> split bolt -> fields-grouped count bolt)") {
+    import spark.implicits._
+    val tb = new TopologyBuilder(spark)
+    val counts = tb.parquetSpout(s"$sf001/documents.parquet")
+      .flatMapBolt("word", explode(split(col("text"), " ")))   // 1->n bolt
+      .fieldsGrouping(4, "word")                               // hash route by key
+      .aggBolt(Seq("word"), Seq(count(lit(1)).as("n")))        // stateful count bolt
+    val got = counts.df.as[(String, Long)].collect().toMap
+    // independent expected computation
+    val expected = Tables_texts().flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    assert(got == expected)
+  }
+
+  private def Tables_texts(): Seq[String] = {
+    import spark.implicits._
+    graft.io.Tables.documents(spark, sf001).select("text").as[String].collect().toSeq
+  }
+
+  test("A7/A8: allGrouping broadcasts, globalGrouping single-partitions") {
+    val tb = new TopologyBuilder(spark)
+    val nation = tb.parquetSpout(s"$sf001/nation.parquet")
+    val customer = tb.parquetSpout(s"$sf001/customer.parquet")
+    val joined = customer.joinBolt(nation.allGrouping(),
+      col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"allGrouping didn't broadcast:\n$plan")
+
+    val global = customer.globalGrouping()
+    assert(global.df.rdd.getNumPartitions == 1)
+  }
+
+  test("A5: shuffleGrouping redistributes to n partitions") {
+    val tb = new TopologyBuilder(spark)
+    val s = tb.parquetSpout(s"$sf001/orders.parquet").shuffleGrouping(7)
+    assert(s.df.rdd.getNumPartitions == 7)
+  }
+
+  test("A4: one stream feeds multiple downstream branches (fan-out)") {
+    val tb = new TopologyBuilder(spark)
+    val orders = tb.parquetSpout(s"$sf001/orders.parquet")
+    val big = orders.filterBolt(col("o_totalprice") > 200000)
+    val byStatus = orders.aggBolt(Seq("o_orderstatus"), Seq(count(lit(1)).as("n")))
+    assert(big.df.count() > 0 && byStatus.df.count() == 3)
+  }
+
+  test("A2/A12: rate spout + processing-time trigger tick analog") {
+    val tb = new TopologyBuilder(spark)
+    val q = tb.rateSpout(100)
+      .bolt(_.select(col("value")))
+      .toStreamingSink("memory", "rate_tick", "append", Some("500 milliseconds"))
+      .start()
+    try {
+      // rate source generates forever — processAllAvailable would never
+      // settle; wait for a few ticks instead, then check rows arrived.
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("rate_tick").count() == 0
+          && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(spark.table("rate_tick").count() > 0, "no ticks produced in 20s")
+    } finally q.stop()
+  }
+
+  test("valuesSpout: in-memory tuples flow through bolts") {
+    val tb = new TopologyBuilder(spark)
+    val s = tb.valuesSpout(Seq(("a", 1), ("b", 2), ("a", 3)))
+      .bolt(_.toDF("k", "v"))
+      .fieldsGrouping(2, "k")
+      .aggBolt(Seq("k"), Seq(sum(col("v")).as("total")))
+    val got = s.collectToDriver().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L))
+  }
+}
