@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §1.2 / builder north star: "salting for skew").
+  *
+  * At 100 TB a handful of hot keys (the `en` language bucket, a viral
+  * user_id) overwhelm single reducers. Two standard rewrites, both pure
+  * DataFrame (AQE's skew-join split handles the *join* case adaptively at
+  * runtime; these are the declarative forms for when AQE can't see it —
+  * aggregation skew, or joins under disabled/misestimated AQE):
+  *
+  *  - [[saltedAggregate]]: two-phase aggregation — phase 1 groups by
+  *    (key, salt) spreading a hot key over `buckets` reducers, phase 2
+  *    merges the partials by key. Requires algebraic aggregates; the
+  *    caller supplies both phases.
+  *  - [[saltedJoin]]: the big (skewed) side gets a random-ish salt; the
+  *    small side is replicated across all salt values; the join key
+  *    becomes (key, salt), splitting each hot key's rows over `buckets`
+  *    tasks.
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Spreads rows of one key across buckets. Salt only needs uniformity,
+    * not determinism — monotonically_increasing_id is cheap and collision
+    * -free within a partition.
+    */
+  private def salt(buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+
+  /** Two-phase salted aggregation.
+    *
+    * @param phase1 aggregates computed per (key, salt) — e.g.
+    *               `Seq(count(lit(1)).as("n"), sum($"v").as("s"))`
+    * @param phase2 merge of the phase-1 partials by key — e.g.
+    *               `Seq(sum($"n").as("n"), sum($"s").as("s"))`
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
+      phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
+    val salted = df.withColumn(SaltCol, salt(buckets))
+    val partial = salted
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+
+  /** Salted inner equi-join: `big` is skewed on `key`; `small` is
+    * replicated `buckets`× (only acceptable when small is genuinely
+    * small — the same precondition as a broadcast).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val b = big.withColumn(SaltCol, salt(buckets))
+    val s = small.withColumn(SaltCol,
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    b.join(s, Seq(key, SaltCol)).drop(SaltCol)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-machinery semantics: salting must be result-invariant, bucketed
+  * joins must eliminate the shuffle, AQE must be on in harness sessions.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  test("salted aggregation equals direct aggregation (hot-key invariance)") {
+    import spark.implicits._
+    // skew: replicate one key 10k times
+    val hot = Seq.fill(10000)(("hotkey", 1.0)) ++
+      (1 to 500).map(i => (s"k$i", i.toDouble))
+    val df = hot.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("s"))
+    val salted = Skew.saltedAggregate(df, Seq("k"), buckets = 16,
+      phase1 = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      phase2 = Seq(sum(col("n")).as("n"), round(sum(col("s")), 4).as("s")))
+    assert(salted.count() == direct.count())
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join equals plain join under a hot key") {
+    import spark.implicits._
+    val big = (Seq.fill(5000)(1L) ++ (2L to 100L)).map(k => (k, k * 2)).toDF("key", "payload")
+    val small = (1L to 100L).map(k => (k, s"dim$k")).toDF("key", "name")
+    val plain = big.join(small, Seq("key")).select("key", "payload", "name")
+    val salted = Skew.saltedJoin(big, small, "key", buckets = 8)
+      .select("key", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables co-locate the join (no shuffle exchange in plan)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the metastore may be fresh while the warehouse dir persists across
+    // JVMs — clear locations directly or saveAsTable refuses
+    import scala.reflect.io.Directory
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach(t =>
+      new Directory(new java.io.File(s"$wh/$t")).deleteRecursively())
+    Tables.orders(spark, sf001)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf001)
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles the fact side:\n$plan")
+    assert(joined.count() == 3)
+  }
+
+  test("AQE is enabled in harness-equivalent sessions (Spark 4 default)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
+  test("B33 percentile_approx within 2% relative of exact percentile") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, TestSpark.sf01)
+    val exact = li.select(expr("percentile(l_extendedprice, 0.5)")).as[Double].head()
+    val approx = li.select(expr("percentile_approx(l_extendedprice, 0.5, 10000)")).as[Double].head()
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
+  }
+}
