@@ -17,6 +17,35 @@ case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
   */
 case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 
+/** StatefulProcessor for [[StreamOps.runningCountersTws]]: one ValueState
+  * per user, updated per micro-batch (Spark 4 transformWithState API).
+  */
+class RunningCounterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserCounter] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var state: ValueState[UserCounter] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    implicit val enc: Encoder[UserCounter] = Encoders.product[UserCounter]
+    state = getHandle.getValueState[UserCounter]("counter", enc,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserCounter] = {
+    val prev = Option(state.get()).getOrElse(UserCounter(key, 0L, 0.0))
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val next = UserCounter(key, n, tot)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** Streaming surface (SURVEY §2B B47–B55), built on Structured Streaming.
   *
   * Design: every windowed aggregation is defined ONCE as a
@@ -145,6 +174,20 @@ object StreamOps {
           state.update((next, alreadyAlerted || crossed))
           if (crossed) Iterator(next) else Iterator.empty
       }
+  }
+
+  /** B52, Spark-4-native form: the same running counter as
+    * [[runningCounters]] built on `transformWithState` — the
+    * arbitrary-state API whose typed value/list/map state handles map
+    * onto the RocksDB state store with per-state-variable column
+    * families at scale.
+    */
+  def runningCountersTws(events: Dataset[UserEvent]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCounterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** B25 stream–stream interval join: purchases within 1 hour after a

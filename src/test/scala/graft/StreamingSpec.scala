@@ -188,6 +188,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((10L, 20L)) && got == batch)
   }
 
+  test("B52 transformWithState running counters match mapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState needs per-state-variable column families =>
+    // RocksDB provider (the scale-grade store; HDFS-backed can't do it)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.runningCountersTws(input.toDS()).writeStream
+      .format("memory").queryName("tws_stream")
+      .outputMode("update").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+      UserEvent(3, ts("2024-01-01 10:02:00"), 2, "view", 5.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(4, ts("2024-01-01 10:03:00"), 1, "buy", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    val finalPerUser = spark.table("tws_stream").as[UserCounter]
+      .collect().groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(finalPerUser(1L) == UserCounter(1L, 3L, 6.0))
+    assert(finalPerUser(2L) == UserCounter(2L, 1L, 5.0))
+  }
+
+  test("B7 foreachBatch sink writes every micro-batch exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("feb").toString
+    val input = MemoryStream[UserEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .outputMode("append").start()
+    input.addData(Seq(UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0),
+      UserEvent(3, ts("2024-01-01 10:02:00"), 2, "view", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$outDir/data")
+    assert(written.count() == 3)
+    assert(written.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("B51 dropDuplicatesWithinWatermark variant also dedups in-window duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
