@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Aggregates, Scalars, Joins, Windows, SetSort, EventOps, LlmOps,
+    Aggregates, Scalars, Joins, Windows, SetSort, EventOps, LlmOps, Subqueries,
   )
 
   /** Flagship query; driver smoke-checks rows>0 on sf0.001. */

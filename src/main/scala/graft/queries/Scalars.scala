@@ -212,7 +212,7 @@ object Scalars extends QueryModule {
         | CAST(year(o_orderdate) AS INTEGER) AS yr,
         | CAST(month(o_orderdate) AS INTEGER) AS mo,
         | CAST(day(o_orderdate) AS INTEGER) AS dom,
-        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         | o_orderdate + INTERVAL '30 days' AS plus30,
         | CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INTEGER) AS days_to_2002,
         | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,

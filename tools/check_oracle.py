@@ -65,6 +65,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
             n_fail += 1
             continue
+        # column-type compare (both described by DuckDB for consistent names)
+        stypes = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet'))").fetchall())
+        dtypes = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {sql})").fetchall())
+        tdiff = {c: (stypes.get(c), dtypes.get(c)) for c in stypes
+                 if stypes.get(c) != dtypes.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}")
+            n_fail += 1
+            continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1
