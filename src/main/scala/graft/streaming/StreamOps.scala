@@ -17,6 +17,15 @@ case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
   */
 case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 
+/** Open-session buffer for [[StreamOps.sessionize]]. */
+case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+/** A completed session emitted by [[StreamOps.sessionize]] — same shape
+  * as the built-in session_window aggregation (end = last event + gap).
+  */
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
+
 /** StatefulProcessor for [[StreamOps.runningCountersTws]]: one ValueState
   * per user, updated per micro-batch (Spark 4 transformWithState API).
   */
@@ -188,6 +197,52 @@ object StreamOps {
       .transformWithState(new RunningCounterProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** B52 hard case: custom sessionization with EventTimeTimeout — the
+    * arbitrary-keyed-state spelling of session windows (what a Storm user
+    * hand-writes in a stateful bolt). A session closes either when a
+    * later event arrives past the gap (emitted immediately) or when the
+    * watermark passes sessionEnd (event-time timeout fires with no data).
+    * Input must already carry a watermark ≥ the gap.
+    */
+  def sessionize(events: Dataset[UserEvent], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs + gapMs), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  open = Some(s.copy(lastMs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, new Timestamp(s.startMs),
+                    new Timestamp(s.lastMs + gapMs), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
   }
 
   /** B25 stream–stream interval join: purchases within 1 hour after a

@@ -216,6 +216,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalPerUser(2L) == UserCounter(2L, 1L, 5.0))
   }
 
+  test("B52 custom sessionize (EventTimeTimeout) matches built-in session_window semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("ts", "10 minutes").as[graft.streaming.UserEvent], 10)
+    val q = sessions.writeStream.format("memory").queryName("sessz_stream")
+      .outputMode("append").start()
+    val real = Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0),   // session A
+      UserEvent(3, ts("2024-01-01 10:30:00"), 1, "click", 1.0),  // session B (gap 25m)
+      UserEvent(4, ts("2024-01-01 10:02:00"), 2, "click", 1.0))  // session C
+    input.addData(real)
+    q.processAllAvailable()
+    // watermark push so open sessions time out
+    input.addData(Seq(UserEvent(98, ts("2024-01-01 13:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(99, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessz_stream")
+      .filter($"user_id" =!= 99)
+      .select("user_id", "session_start", "session_end", "n_events")
+    // must equal the built-in session_window batch aggregation exactly
+    val expected = StreamOps.sessionAgg(real.toDF())
+    assert(got.count() == 3)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"sessionize != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
+  }
+
   test("B7 foreachBatch sink writes every micro-batch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
