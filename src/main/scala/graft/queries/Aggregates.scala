@@ -121,13 +121,17 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
-    // B34 min_by / max_by (arg-min/max).
+    // B34 min_by / max_by (arg-min/max). The fixture's `value` is
+    // 2-decimal and ties heavily at sf0.1, so the comparison key embeds
+    // event_id as a tie-break: round(value*100)*1e7 + event_id is exact
+    // in double (< 2^53) and strictly monotonic in (value, event_id).
     "q_minmax_by" -> ((s, dir) => {
+      val tieKey = round(col("value") * 100) * 10000000L + col("event_id")
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          max_by(col("event_id"), col("value")).as("top_event"),
-          min_by(col("event_id"), col("value")).as("bottom_event"),
+          max_by(col("event_id"), tieKey).as("top_event"),
+          min_by(col("event_id"), tieKey).as("bottom_event"),
           round(max(col("value")), 4).as("max_value"),
           round(min(col("value")), 4).as("min_value"))
         .orderBy("event_type")
@@ -233,8 +237,8 @@ object Aggregates extends QueryModule {
 
     "q_minmax_by" ->
       """SELECT event_type,
-        | arg_max(event_id, value) AS top_event,
-        | arg_min(event_id, value) AS bottom_event,
+        | arg_max(event_id, round(value*100)*10000000 + event_id) AS top_event,
+        | arg_min(event_id, round(value*100)*10000000 + event_id) AS bottom_event,
         | round(max(value),4) AS max_value,
         | round(min(value),4) AS min_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

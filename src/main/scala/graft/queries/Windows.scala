@@ -56,9 +56,14 @@ object Windows extends QueryModule {
     }),
 
     // B39 frame specs: running sum, moving average, numeric range frame.
+    // NOTE (measured at sf0.1): (l_orderkey, l_linenumber) is NOT unique
+    // in the fixture — the order must also include the aggregated columns
+    // so that residual ties are between identical values (frame contents
+    // then form the same multiset under any tie order).
     "q_window_frames" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       val wq = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -104,10 +109,10 @@ object Windows extends QueryModule {
     "q_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
         | round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_quantity

@@ -54,4 +54,69 @@ class PropertySpec extends AnyFunSuite {
   test("WeightedMean: empty buffer finishes to NaN, not a crash") {
     assert(WeightedMean.finish(WeightedMean.zero).isNaN)
   }
+
+  // ---- Spark-evaluated laws for the vector/dedup primitives ----
+
+  private lazy val spark = TestSpark.spark
+
+  test("Vec.cosine: symmetry, self-similarity 1, range [-1,1] on random vectors") {
+    import graft.functions.Vec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("id", "v")
+    val a = vecs.select($"id".as("ida"), $"v".as("va"))
+    val b = vecs.select($"id".as("idb"), $"v".as("vb"))
+    val pairs = a.crossJoin(b)
+      .select($"ida", $"idb",
+        Vec.cosine6($"va", $"vb").as("ab"),
+        Vec.cosine6($"vb", $"va").as("ba"))
+      .collect()
+    pairs.foreach { r =>
+      val (ida, idb, ab, ba) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(ab == ba, s"cosine not symmetric for ($ida,$idb)")
+      assert(ab >= -1.0000001 && ab <= 1.0000001, s"cosine out of range: $ab")
+      if (ida == idb) assert(math.abs(ab - 1.0) < 1e-6, s"self-cosine $ab != 1")
+    }
+  }
+
+  test("Dedup.jaccard: bounds, symmetry, identity on Spark-evaluated token sets") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    val a = docs.select($"id".as("ida"), array_distinct(split($"text", " ")).as("ta"))
+    val b = docs.select($"id".as("idb"), array_distinct(split($"text", " ")).as("tb"))
+    val rows = a.crossJoin(b).select($"ida", $"idb",
+      Dedup.jaccard($"ta", $"tb").as("jab"), Dedup.jaccard($"tb", $"ta").as("jba")).collect()
+    rows.foreach { r =>
+      val (ida, idb, jab, jba) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(jab == jba, "jaccard not symmetric")
+      assert(jab >= 0.0 && jab <= 1.0, s"jaccard out of bounds: $jab")
+      if (ida == idb) assert(jab == 1.0, s"self-jaccard $jab != 1")
+    }
+  }
+
+  test("Dedup.hamming: zero on self, symmetric, bounded by signature length") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1 to 20).map(i =>
+      (i.toLong, Seq.fill(5)(s"w${rnd.nextInt(30)}").mkString(" "))).toDF("id", "text")
+    val sigs = docs.select($"id", Dedup.simhashBits($"text").as("s"))
+    val a = sigs.select($"id".as("ida"), $"s".as("sa"))
+    val b = sigs.select($"id".as("idb"), $"s".as("sb"))
+    val rows = a.crossJoin(b).select($"ida", $"idb",
+      Dedup.hamming($"sa", $"sb").as("dab"), Dedup.hamming($"sb", $"sa").as("dba")).collect()
+    rows.foreach { r =>
+      val (ida, idb, dab, dba) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      assert(dab == dba, "hamming not symmetric")
+      assert(dab >= 0 && dab <= 64, s"hamming out of bounds: $dab")
+      if (ida == idb) assert(dab == 0, s"self-hamming $dab != 0")
+    }
+  }
 }
