@@ -55,6 +55,16 @@ object Subqueries extends QueryModule {
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // B31 explicit GROUPING SETS through SQL (rollup/cube's general form).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Pivot: wide conditional aggregation (DataFrame pivot; the oracle is
     // the CASE-WHEN expansion, which is also what Catalyst plans).
     "q_pivot" -> ((s, dir) => {
@@ -141,6 +151,13 @@ object Subqueries extends QueryModule {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

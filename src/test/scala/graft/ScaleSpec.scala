@@ -62,6 +62,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == 3)
   }
 
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"no partition filter in scan:\n$plan")
+    // pruned scan must read strictly fewer files than the full scan
+    val expected = Tables.orders(spark, sf001)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("streaming checkpoint: restart resumes exactly-once (no reprocessing)") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckout").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    def start(src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]) =
+      src.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", s"$outDir/data")
+        .outputMode("append").start()
+    val q1 = start(in1)
+    in1.addData(Seq((1L, 1.0), (2L, 2.0)))
+    q1.processAllAvailable(); q1.stop()
+    // second incarnation, same checkpoint: only new data lands
+    val q2 = start(in1)
+    in1.addData(Seq((3L, 3.0)))
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(s"$outDir/data").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"checkpoint replayed or lost rows: ${ids.toSeq}")
+  }
+
   test("AQE is enabled in harness-equivalent sessions (Spark 4 default)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
