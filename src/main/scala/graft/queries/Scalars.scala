@@ -141,6 +141,57 @@ object Scalars extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B11 second string batch: split_part, repeat, reverse, translate,
+    // ascii, left/right, locate.
+    "q_string_funcs2" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          repeat(col("p_brand"), 2).as("brand_twice"),
+          reverse(col("p_name")).as("name_rev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_caps_vowels"),
+          ascii(col("p_brand")).as("brand_ascii"),
+          expr("left(p_name, 5)").as("name_left"),
+          expr("right(p_name, 3)").as("name_right"),
+          locate("a", col("p_name")).as("first_a"))
+        .orderBy("p_partkey")
+    }),
+
+    // B12 second math batch: trig on small exact args, greatest/least,
+    // cbrt, bit ops.
+    "q_math_funcs2" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(sin(col("o_orderkey") % 7), 6).as("sin_k"),
+          round(cos(col("o_orderkey") % 7), 6).as("cos_k"),
+          round(atan2(col("o_orderkey") % 7, lit(2.0)), 6).as("atan2_k"),
+          round(degrees(col("o_orderkey") % 7), 6).as("deg_k"),
+          round(radians(col("o_orderkey") % 7), 6).as("rad_k"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_100k"),
+          least(col("o_totalprice"), lit(100000.0)).as("cap_100k"),
+          round(cbrt(col("o_totalprice")), 6).as("price_cbrt"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("k_and"),
+          (col("o_orderkey").bitwiseOR(lit(8L))).as("k_or"),
+          (col("o_orderkey").bitwiseXOR(lit(129L))).as("k_xor"))
+        .orderBy("o_orderkey")
+    }),
+
+    // B13 second date batch: quarter, day-of-week (Spark Sunday=1 mapped
+    // to DuckDB isodow), ISO week, last_day, add_months, date_format,
+    // make_date.
+    "q_datetime_funcs2" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate"), 1).as("next_month"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_first"))
+        .orderBy("o_orderkey")
+    }),
+
     // B17 JSON extraction from events.props.
     "q_json_events" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -245,6 +296,44 @@ object Scalars extends QueryModule {
         | CAST(len(list_filter(string_split(text,' '), x -> length(x) > 5)) AS INTEGER) AS n_long,
         | CAST(len(list_filter(string_split(text,' '), x -> x = 'spark')) AS BIGINT) AS n_spark
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        | split_part(p_type,' ',1) AS type_head,
+        | repeat(p_brand,2) AS brand_twice,
+        | reverse(p_name) AS name_rev,
+        | translate(p_name,'aeiou','AEIOU') AS name_caps_vowels,
+        | CAST(ascii(p_brand) AS INTEGER) AS brand_ascii,
+        | left(p_name,5) AS name_left,
+        | right(p_name,3) AS name_right,
+        | CAST(position('a' IN p_name) AS INTEGER) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_math_funcs2" ->
+      """SELECT o_orderkey,
+        | round(sin(o_orderkey % 7),6) AS sin_k,
+        | round(cos(o_orderkey % 7),6) AS cos_k,
+        | round(atan2(CAST(o_orderkey % 7 AS DOUBLE), 2.0),6) AS atan2_k,
+        | round(degrees(o_orderkey % 7),6) AS deg_k,
+        | round(radians(o_orderkey % 7),6) AS rad_k,
+        | greatest(o_totalprice, 100000.0) AS floor_100k,
+        | least(o_totalprice, 100000.0) AS cap_100k,
+        | round(cbrt(o_totalprice),6) AS price_cbrt,
+        | CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+        | CAST(o_orderkey | 8 AS BIGINT) AS k_or,
+        | CAST(xor(o_orderkey, 129) AS BIGINT) AS k_xor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_datetime_funcs2" ->
+      """SELECT o_orderkey,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(isodow(o_orderdate) % 7 + 1 AS INTEGER) AS dow_sun1,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_first
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_json_events" ->
       """SELECT event_type, count(*) AS n,
