@@ -35,4 +35,22 @@ object Vec {
 
   /** Cosine rounded for cross-engine hash parity. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Symmetric linear int8 quantization: scale = max|x| / 127, codes in
+    * [-127, 127]. Returns struct(scale, codes array<int>). At 100 TB this
+    * is the 4× storage/bandwidth lever for ANN — codes join + rerank on
+    * the float originals.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val d = asDouble(v)
+    val maxAbs = aggregate(transform(d, x => abs(x)), lit(0.0),
+      (acc, x) => greatest(acc, x))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(scale.as("scale"),
+      transform(d, x => round(x / scale).cast("int")).as("codes"))
+  }
+
+  /** Dequantize back to array<double>. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -77,6 +77,19 @@ object TextAnalysis {
       langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
   }
 
+  /** Regex scrubbing pass (PII-shaped): redact email-like tokens, long
+    * digit runs, and hex identifiers — the cheap pre-training scrub.
+    * Pure regexp_replace chain: codegen'd, shuffle-free, oracle-portable.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.withColumn("text_redacted",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>"),
+        "\\b[0-9a-f]{16,}\\b", "<HEX>"))
+
   /** Content digest fingerprint (md5) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("digest"),

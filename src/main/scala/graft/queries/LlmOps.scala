@@ -117,6 +117,30 @@ object LlmOps extends QueryModule {
         .orderBy("predicted_lang")
     }),
 
+    // Text scrubbing: regex redaction chain (PII-shaped pre-training pass).
+    "q_redact" -> ((s, dir) => {
+      TextAnalysis.redact(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          length(col("text_redacted")).as("len_redacted"),
+          (length(col("text")) - length(col("text_redacted"))).as("chars_removed"),
+          substring(col("text_redacted"), 1, 40).as("head40"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding int8 quantization round-trip: rows-only oracle (code
+    // rounding at half-ulp boundaries is not engine-portable); LlmSpec
+    // bounds the round-trip cosine at > 0.999.
+    "q_quantize_roundtrip" -> ((s, dir) => {
+      val q = graft.functions.Vec.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), q.as("q"), col("embedding"))
+        .select(col("vec_id"),
+          round(col("q.scale"), 6).as("scale6"),
+          graft.functions.Vec.cosine6(col("embedding"),
+            graft.functions.Vec.dequantizeInt8(col("q"))).as("rt_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // B63 word count — the canonical Storm/gostream demo over documents.
     "q_word_count" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -247,6 +271,21 @@ object LlmOps extends QueryModule {
         |    ELSE 'zh' END AS predicted_lang
         |  FROM scored)
         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        | CAST(length(r) AS INTEGER) AS len_redacted,
+        | CAST(length(text) - length(r) AS INTEGER) AS chars_removed,
+        | substring(r, 1, 40) AS head40
+        |FROM (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |        '[0-9]{6,}', '<NUM>', 'g'),
+        |      '\b[0-9a-f]{16,}\b', '<HEX>', 'g') AS r
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_word_count" ->
       """SELECT word, count(*) AS n FROM (

@@ -169,6 +169,33 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(f => f.length == 8 && f.forall(v => v >= 0.0 && v <= 1.0)))
   }
 
+  test("int8 quantization round-trip preserves cosine > 0.999 and bounds codes") {
+    import spark.implicits._
+    import graft.functions.Vec
+    val emb = Tables.embeddings(spark, sf001)
+    val q = Vec.quantizeInt8(col("embedding"))
+    val rows = emb.select(
+      Vec.cosine6(col("embedding"), Vec.dequantizeInt8(q)).as("rt"),
+      array_max(transform(q.getField("codes"), c => abs(c))).as("max_code"))
+      .as[(Double, Int)].collect()
+    assert(rows.forall(_._1 > 0.999), s"worst rt cosine: ${rows.map(_._1).min}")
+    assert(rows.forall(_._2 <= 127), "code out of int8 range")
+  }
+
+  test("redact replaces emails, digit runs, and hex ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at someone@example.com thanks", "en", "s", 40L),
+      (2L, "id 1234567890 and hash deadbeefdeadbeefdead", "en", "s", 44L),
+      (3L, "clean text only", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.redact(docs)
+      .select("text_redacted").as[String].collect()
+    assert(out(0) == "contact me at <EMAIL> thanks")
+    assert(out(1) == "id <NUM> and hash <HEX>")
+    assert(out(2) == "clean text only")
+  }
+
   test("B63 rolling fingerprint: shared content shares fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).limit(10)
