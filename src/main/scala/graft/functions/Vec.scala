@@ -43,11 +43,14 @@ object Vec {
     */
   def quantizeInt8(v: Column): Column = {
     val d = asDouble(v)
-    val maxAbs = aggregate(transform(d, x => abs(x)), lit(0.0),
-      (acc, x) => greatest(acc, x))
+    val maxAbs = array_max(transform(d, x => abs(x)))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
-    struct(scale.as("scale"),
-      transform(d, x => round(x / scale).cast("int")).as("codes"))
+    // zip against array_repeat(scale, n): scale (an O(dim) reduction) is
+    // evaluated ONCE per row, not once per element — embedding it in the
+    // transform lambda would make this O(dim^2)
+    val codes = zip_with(d, array_repeat(scale, size(d)),
+      (x, sc) => round(x / sc).cast("int"))
+    struct(scale.as("scale"), codes.as("codes"))
   }
 
   /** Dequantize back to array<double>. */

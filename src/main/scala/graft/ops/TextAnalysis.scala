@@ -82,13 +82,17 @@ object TextAnalysis {
     * Pure regexp_replace chain: codegen'd, shuffle-free, oracle-portable.
     */
   def redact(docs: DataFrame): DataFrame =
+    // order matters: hex ids must be scrubbed BEFORE digit runs, or a
+    // 6+-digit prefix inside a hex id gets eaten by <NUM> and the
+    // remainder falls under the {16,} threshold; (?i) because PII scrubs
+    // see raw-case input even in a lowercase corpus
     docs.withColumn("text_redacted",
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"),
-            "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
-          "[0-9]{6,}", "<NUM>"),
-        "\\b[0-9a-f]{16,}\\b", "<HEX>"))
+            "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+          "(?i)\\b[0-9a-f]{16,}\\b", "<HEX>"),
+        "[0-9]{6,}", "<NUM>"))
 
   /** Content digest fingerprint (md5) — the exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =

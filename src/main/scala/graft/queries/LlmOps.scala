@@ -131,13 +131,13 @@ object LlmOps extends QueryModule {
     // rounding at half-ulp boundaries is not engine-portable); LlmSpec
     // bounds the round-trip cosine at > 0.999.
     "q_quantize_roundtrip" -> ((s, dir) => {
-      val q = graft.functions.Vec.quantizeInt8(col("embedding"))
+      val q = Vec.quantizeInt8(col("embedding"))
       Tables.embeddings(s, dir)
         .select(col("vec_id"), q.as("q"), col("embedding"))
         .select(col("vec_id"),
           round(col("q.scale"), 6).as("scale6"),
-          graft.functions.Vec.cosine6(col("embedding"),
-            graft.functions.Vec.dequantizeInt8(col("q"))).as("rt_cosine"))
+          Vec.cosine6(col("embedding"),
+            Vec.dequantizeInt8(col("q"))).as("rt_cosine"))
         .orderBy("vec_id")
     }),
 
@@ -281,9 +281,9 @@ object LlmOps extends QueryModule {
         |  SELECT doc_id, text,
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
-        |        '[0-9]{6,}', '<NUM>', 'g'),
-        |      '\b[0-9a-f]{16,}\b', '<HEX>', 'g') AS r
+        |        regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |        '(?i)\b[0-9a-f]{16,}\b', '<HEX>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS r
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -182,18 +182,24 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_._2 <= 127), "code out of int8 range")
   }
 
-  test("redact replaces emails, digit runs, and hex ids") {
+  test("redact replaces emails, digit runs, and hex ids (order + case)") {
     import spark.implicits._
     val docs = Seq(
       (1L, "contact me at someone@example.com thanks", "en", "s", 40L),
       (2L, "id 1234567890 and hash deadbeefdeadbeefdead", "en", "s", 44L),
-      (3L, "clean text only", "en", "s", 15L))
+      (3L, "clean text only", "en", "s", 15L),
+      // hex id STARTING with a 6+ digit run: hex pass must win
+      (4L, "token 00112233aabbccddeeff end", "en", "s", 30L),
+      // mixed-case PII must still be caught
+      (5L, "mail John.Doe@Example.COM and DEADBEEFDEADBEEFDEAD", "en", "s", 50L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = graft.ops.TextAnalysis.redact(docs)
-      .select("text_redacted").as[String].collect()
+      .orderBy("doc_id").select("text_redacted").as[String].collect()
     assert(out(0) == "contact me at <EMAIL> thanks")
     assert(out(1) == "id <NUM> and hash <HEX>")
     assert(out(2) == "clean text only")
+    assert(out(3) == "token <HEX> end", s"hex-with-digit-prefix mangled: ${out(3)}")
+    assert(out(4) == "mail <EMAIL> and <HEX>", s"mixed case leaked: ${out(4)}")
   }
 
   test("B63 rolling fingerprint: shared content shares fingerprints") {
