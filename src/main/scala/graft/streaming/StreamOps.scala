@@ -17,6 +17,37 @@ case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
   */
 case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
 
+/** Last-N events per user, emitted by [[StreamOps.recentEvents]]. */
+case class RecentEvents(user_id: Long, event_ids: Seq[Long])
+
+/** StatefulProcessor keeping a bounded ListState of the most recent N
+  * event ids per user — demonstrates Spark-4 state *variables* beyond a
+  * single value (each variable is its own column family in RocksDB).
+  */
+class RecentEventsProcessor(maxN: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, RecentEvents] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    implicit val enc: Encoder[Long] = Encoders.scalaLong
+    recent = getHandle.getListState[Long]("recent", enc,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[RecentEvents] = {
+    val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_id)
+    val merged = (recent.get().toSeq ++ incoming).takeRight(maxN)
+    recent.clear()
+    recent.appendList(merged.toArray)
+    Iterator.single(RecentEvents(key, merged))
+  }
+}
+
 /** Open-session buffer for [[StreamOps.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
@@ -195,6 +226,17 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCounterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** B52, list-state variant: bounded most-recent-N event ids per user
+    * (the "recent activity" bolt), on transformWithState ListState.
+    */
+  def recentEvents(events: Dataset[UserEvent], maxN: Int): Dataset[RecentEvents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(maxN),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }

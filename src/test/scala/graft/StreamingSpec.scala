@@ -247,6 +247,33 @@ class StreamingSpec extends AnyFunSuite {
       s"sessionize != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
   }
 
+  test("B52 ListState recent-events keeps a bounded, ordered last-N across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.recentEvents(input.toDS(), maxN = 3).writeStream
+      .format("memory").queryName("recent_stream")
+      .outputMode("update").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "a", 0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "b", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      UserEvent(3, ts("2024-01-01 10:02:00"), 1, "c", 0),
+      UserEvent(4, ts("2024-01-01 10:03:00"), 1, "d", 0)))
+    q.processAllAvailable()
+    q.stop()
+    prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    val last = spark.table("recent_stream")
+      .as[graft.streaming.RecentEvents].collect()
+      .filter(_.user_id == 1L).maxBy(_.event_ids.max)
+    assert(last.event_ids == Seq(2L, 3L, 4L), s"got ${last.event_ids}")
+  }
+
   test("B7 foreachBatch sink writes every micro-batch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
