@@ -130,6 +130,48 @@ class RelationalSpec extends AnyFunSuite {
       .count() == 100)
   }
 
+  test("na functions: fill, drop, replace over injected nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
+      .toDF("k", "v")
+    assert(df.na.drop().count() == 1)
+    assert(df.na.drop(Seq("k")).count() == 2)
+    val filled = df.na.fill(Map("k" -> -1L, "v" -> "missing"))
+    assert(filled.filter($"k" === -1L || $"v" === "missing").count() == 2)
+    val replaced = df.na.replace("v", Map("a" -> "A"))
+    assert(replaced.filter($"v" === "A").count() == 1)
+  }
+
+  test("B58 explode_outer preserves rows with empty/null arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("x", "y")),
+      (2L, Seq.empty[String])).toDF("id", "arr")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "arr"))
+    assert(df.select($"id", explode($"arr")).count() == 2)       // inner drops 2,3
+    val outer = df.select($"id", explode_outer($"arr").as("e"))
+    assert(outer.count() == 4)
+    assert(outer.filter($"e".isNull).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("B34 first/last with ignoreNulls skip null values") {
+    import spark.implicits._
+    val df = Seq[(Int, java.lang.Double)]((1, null), (2, 2.0), (3, 3.0), (4, null))
+      .toDF("ord", "v").orderBy("ord").coalesce(1)
+    val r = df.agg(
+      first($"v", ignoreNulls = true).as("f"),
+      last($"v", ignoreNulls = true).as("l")).head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0)
+  }
+
+  test("operational columns: monotonically_increasing_id unique, partition id bounded") {
+    import spark.implicits._
+    val df = Tables.orders(spark, sf001).repartition(4)
+      .select(monotonically_increasing_id().as("mid"), spark_partition_id().as("pid"))
+    assert(df.select(countDistinct($"mid")).head().getLong(0) == df.count())
+    assert(df.select(max($"pid")).head().getInt(0) < 4)
+  }
+
   test("B35 WeightedMean agrees with algebraic expansion") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf001)
