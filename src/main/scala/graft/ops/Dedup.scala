@@ -73,6 +73,26 @@ object Dedup {
     transform(sequence(lit(1), lit(numPerm)),
       i => array_min(transform(shingles(text, n), s => xxhash64(s, i))))
 
+  /** One-pass MinHash signatures via the native Catalyst aggregate
+    * ([[graft.functions.MinHashAgg]]): explode shingles, aggregate by
+    * doc — constant numPerm-long state with map-side partials. Produces
+    * bit-identical signatures to [[minhashSignature]] (asserted in
+    * LlmSpec).
+    *
+    * MEASURED (sf0.1, 5k short docs, 64 perms): this path is ~8x SLOWER
+    * than the HOF form (explode+shuffle+interpreted aggregate vs
+    * whole-stage-codegen'd per-row arrays). Use [[minhashSignature]] by
+    * default; this path exists for very long documents (millions of
+    * shingles per doc) where the per-row hashes array would not fit in
+    * task memory — there the bounded buffer is what completes at all.
+    */
+  def minhashSignaturesAgg(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
+    graft.functions.MinHashAgg.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(expr(s"minhash_agg(shingle, $numPerm)").as("sig"))
+  }
+
   /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
     * of signature) bucket. bands*rowsPerBand must equal numPerm.
     */

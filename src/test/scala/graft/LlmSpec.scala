@@ -50,6 +50,19 @@ class LlmSpec extends AnyFunSuite {
     assert(mae < 0.08, s"MinHash MAE too high: $mae over ${pairs.length} pairs")
   }
 
+  test("B60 native MinHashAgg produces bit-identical signatures to the HOF form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val hof = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 2, 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashSignaturesAgg(docs, n = 2, numPerm = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(agg.keySet == hof.keySet)
+    val diffs = hof.keys.filter(k => hof(k) != agg(k))
+    assert(diffs.isEmpty, s"signatures differ for docs: ${diffs.take(5)}")
+  }
+
   test("B60 LSH candidates include every truly-similar pair (no false negatives)") {
     import spark.implicits._
     // construct near-duplicates: doc + same doc with last token changed
