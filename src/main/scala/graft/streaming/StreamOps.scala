@@ -48,6 +48,40 @@ class RecentEventsProcessor(maxN: Int)
   }
 }
 
+/** Per-user per-event-type counts from [[StreamOps.typeCounts]]. */
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** StatefulProcessor holding a MapState[event_type -> count] per user —
+  * completes the Spark-4 state-variable trio (Value/List/Map), each its
+  * own RocksDB column family.
+  */
+class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    implicit val kEnc: Encoder[String] = Encoders.STRING
+    implicit val vEnc: Encoder[Long] = Encoders.scalaLong
+    counts = getHandle.getMapState[String, Long]("counts", kEnc, vEnc,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.Set.empty[String]
+    rows.foreach { e =>
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, prev + 1)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+  }
+}
+
 /** Open-session buffer for [[StreamOps.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
@@ -226,6 +260,15 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCounterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** B52, map-state variant: per-user per-event-type running counts. */
+  def typeCounts(events: Dataset[UserEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }

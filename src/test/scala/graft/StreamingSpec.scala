@@ -274,6 +274,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.event_ids == Seq(2L, 3L, 4L), s"got ${last.event_ids}")
   }
 
+  test("B52 MapState per-type counts accumulate independently per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.typeCounts(input.toDS()).writeStream
+      .format("memory").queryName("typecount_stream")
+      .outputMode("update").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      UserEvent(2, ts("2024-01-01 10:01:00"), 1, "view", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      UserEvent(3, ts("2024-01-01 10:02:00"), 1, "click", 0),
+      UserEvent(4, ts("2024-01-01 10:03:00"), 2, "click", 0)))
+    q.processAllAvailable()
+    q.stop()
+    prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    val latest = spark.table("typecount_stream")
+      .as[graft.streaming.TypeCount].collect()
+      .groupBy(t => (t.user_id, t.event_type))
+      .map { case (k, rows) => k -> rows.map(_.n).max }
+    assert(latest((1L, "click")) == 2L)
+    assert(latest((1L, "view")) == 1L)
+    assert(latest((2L, "click")) == 1L)
+  }
+
+  test("observe() metrics surface row counts without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("verify_metrics")
+    val df = graft.io.Tables.orders(spark, TestSpark.sf001)
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("o_totalprice")).as("total"))
+    val n = df.count()
+    val row = obs.get
+    assert(row("rows") == n)
+    assert(row("total").asInstanceOf[Double] > 0)
+  }
+
   test("B7 foreachBatch sink writes every micro-batch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
