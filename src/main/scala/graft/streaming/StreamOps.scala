@@ -82,6 +82,50 @@ class TypeCountProcessor
   }
 }
 
+/** Idle-user alert emitted by [[StreamOps.idleAlerts]]. */
+case class IdleAlert(user_id: Long, last_seen: Timestamp, n_events: Long)
+
+/** StatefulProcessor using event-time TIMERS: when a user's watermark
+  * timer fires without new events, emit an idle alert and clear state —
+  * the transformWithState spelling of "alert when a key goes quiet"
+  * (completes the feature matrix: value/list/map state + timers).
+  */
+class IdleAlertProcessor(idleMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, IdleAlert] {
+  import org.apache.spark.sql.streaming.{TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var seen: ValueState[(Long, Long)] = _ // (lastSeenMs, n)
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    seen = getHandle.getValueState[(Long, Long)]("seen", enc,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[IdleAlert] = {
+    val prev = Option(seen.get()).getOrElse((0L, 0L))
+    var last = prev._1
+    var n = prev._2
+    rows.foreach { e => last = math.max(last, e.ts.getTime); n += 1 }
+    seen.update((last, n))
+    // re-arm: fire when the watermark passes last-seen + idle gap
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(last + idleMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleAlert] = {
+    val (last, n) = seen.get()
+    seen.clear()
+    Iterator.single(IdleAlert(key, new Timestamp(last), n))
+  }
+}
+
 /** Open-session buffer for [[StreamOps.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
@@ -262,6 +306,17 @@ object StreamOps {
       .transformWithState(new RunningCounterProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** B52, timer variant: alert when a user goes idle for `idle` (event
+    * time). Input must carry a watermark.
+    */
+  def idleAlerts(events: Dataset[UserEvent], idleMs: Long): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new IdleAlertProcessor(idleMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** B52, map-state variant: per-user per-event-type running counts. */

@@ -130,6 +130,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"checkpoint replayed or lost rows: ${ids.toSeq}")
   }
 
+  test("dynamic partition overwrite backfills one partition without truncating others") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyn").toString
+    val base = Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+    graft.ops.Sinks.overwritePartitions(base, dir, Seq("order_year"))
+    val before = spark.read.parquet(dir).count()
+    // backfill ONLY 1996 with a modified slice (half the rows)
+    val backfill = base.filter($"order_year" === 1996)
+      .filter($"o_orderkey" % 2 === 0)
+    graft.ops.Sinks.overwritePartitions(backfill, dir, Seq("order_year"))
+    // fresh reads each time: a reused DataFrame pins the old file listing
+    val y1996 = spark.read.parquet(dir).filter($"order_year" === 1996).count()
+    val others = spark.read.parquet(dir).filter($"order_year" =!= 1996).count()
+    assert(y1996 == backfill.count(), "1996 partition not replaced")
+    assert(others == before - base.filter($"order_year" === 1996).count(),
+      "untouched partitions were truncated")
+    // rerun is idempotent
+    val afterCount = spark.read.parquet(dir).count()
+    graft.ops.Sinks.overwritePartitions(backfill, dir, Seq("order_year"))
+    assert(spark.read.parquet(dir).count() == afterCount)
+  }
+
   test("AQE is enabled in harness-equivalent sessions (Spark 4 default)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }

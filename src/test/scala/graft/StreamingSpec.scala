@@ -304,6 +304,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest((2L, "click")) == 1L)
   }
 
+  test("B52 event-time timers: idle alert fires once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val alerts = StreamOps.idleAlerts(
+      input.toDS().withWatermark("ts", "0 seconds").as[graft.streaming.UserEvent],
+      idleMs = 10 * 60000L)
+    val q = alerts.writeStream.format("memory").queryName("idle_stream")
+      .outputMode("append").start()
+    input.addData(Seq(
+      UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      UserEvent(2, ts("2024-01-01 10:02:00"), 1, "click", 0)))
+    q.processAllAvailable() // watermark 10:02, timer armed for 10:12
+    input.addData(Seq(UserEvent(3, ts("2024-01-01 10:05:00"), 2, "view", 0)))
+    q.processAllAvailable() // watermark 10:05: user1 timer not yet due
+    val early = spark.table("idle_stream").count()
+    input.addData(Seq(UserEvent(4, ts("2024-01-01 11:00:00"), 3, "view", 0)))
+    q.processAllAvailable() // watermark 11:00: both user1+user2 idle
+    q.stop()
+    prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    assert(early == 0, s"alert fired before idle gap elapsed ($early rows)")
+    val got = spark.table("idle_stream").as[graft.streaming.IdleAlert]
+      .collect().map(a => a.user_id -> ((a.last_seen.toString, a.n_events))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (("2024-01-01 10:02:00.0", 2L)))
+    assert(got(2L) == (("2024-01-01 10:05:00.0", 1L)))
+  }
+
   test("observe() metrics surface row counts without a second pass") {
     val obs = new org.apache.spark.sql.Observation("verify_metrics")
     val df = graft.io.Tables.orders(spark, TestSpark.sf001)
