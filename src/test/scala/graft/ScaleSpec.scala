@@ -157,6 +157,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("schema drift detects added/removed/retyped columns and gates pipelines") {
+    import graft.ops.Quality
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+    val v2 = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType), // retyped
+      StructField("extra", IntegerType)))                        // added; tag removed
+    val drifts = Quality.schemaDrift(v1, v2).map(d => (d.kind, d.col_name)).toSet
+    assert(drifts == Set(("added", "extra"), ("removed", "tag"), ("retyped", "v")))
+    intercept[IllegalArgumentException] {
+      Quality.requireCompatible(v1, v2)
+    }
+    // identical schemas pass the gate
+    Quality.requireCompatible(v1, v1)
+    // real fixture read matches its own schema
+    val orders = Tables.orders(spark, sf001)
+    assert(Quality.schemaDrift(orders.schema, orders.schema).isEmpty)
+  }
+
   test("B33 percentile_approx within 2% relative of exact percentile") {
     import spark.implicits._
     val li = Tables.lineitem(spark, TestSpark.sf01)
