@@ -43,6 +43,49 @@ object Analytics extends QueryModule {
         .limit(20)
     }),
 
+    // TPC-H Q12 shape: order-priority buckets per line status via
+    // conditional aggregation over a joined band.
+    "q_priority_buckets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — a ratio of conditional sums
+    // (single global row; 2dp-rounded ratio of price sums).
+    "q_promo_share" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .agg(round(
+          sum(when(col("p_type").like("%a%"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0
+            / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"))
+    }),
+
+    // Market basket: top part pairs co-occurring within an order
+    // (self-join on orderkey, pair-key dedup, top-20 by support).
+    "q_part_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("k2"), col("l_partkey").as("pb"))
+      a.join(b, col("k") === col("k2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Event funnel: per user, first view -> first click after that view
     // -> first purchase after that click; stage conversion counts.
     "q_event_funnel" -> ((s, dir) => {
@@ -91,6 +134,28 @@ object Analytics extends QueryModule {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_priority_buckets" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type LIKE '%a%' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0
+        |  / sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q_part_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY pa, pb
+        |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin,
 
     "q_event_funnel" ->
       """WITH v AS (
