@@ -60,7 +60,8 @@ object Analytics extends QueryModule {
     }),
 
     // TPC-H Q14 shape: promo revenue share — a ratio of conditional sums
-    // (single global row; 2dp-rounded ratio of price sums).
+    // (single global row; 4dp-rounded — the ratio normalizes away the
+    // partial-sum drift that forces 2dp on raw price sums).
     "q_promo_share" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
