@@ -66,12 +66,21 @@ object Dedup {
   }
 
   /** MinHash signature: per permutation i, min over shingles of
-    * xxhash64(shingle, i). numPerm columns of state per doc — constant
-    * size regardless of document length.
+    * xxhash64(shingle, i). numPerm longs per doc — constant size
+    * regardless of document length.
+    *
+    * Shape note: iterate shingles OUTER and permutations INNER, folding
+    * an elementwise-min accumulator. The naive per-permutation
+    * `array_min(transform(shingles, ...))` re-evaluates the shingle
+    * construction (slices + concats) once per permutation — measured
+    * ~10x slower at 32 perms.
     */
   def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
-    transform(sequence(lit(1), lit(numPerm)),
-      i => array_min(transform(shingles(text, n), s => xxhash64(s, i))))
+    aggregate(
+      transform(shingles(text, n),
+        s => transform(sequence(lit(1), lit(numPerm)), i => xxhash64(s, i))),
+      array_repeat(lit(Long.MaxValue), numPerm),
+      (acc, h) => zip_with(acc, h, (a, b) => least(a, b)))
 
   /** One-pass MinHash signatures via the native Catalyst aggregate
     * ([[graft.functions.MinHashAgg]]): explode shingles, aggregate by
@@ -106,6 +115,13 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"),
         // hash the band slice into a single bucket key
         xxhash64(concat_ws(",", col("col")), col("pos")).as("bucket"))
+      // materialize once: both self-join sides reuse the signatures
+      // instead of re-running shingling+hashing (production pipelines
+      // write signatures to storage for the same reason). The count()
+      // fills the cache BEFORE the join kicks off both sides — measured
+      // ~2x on this operator
+      .persist()
+    banded.count()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))
