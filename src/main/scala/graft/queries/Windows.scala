@@ -40,6 +40,16 @@ object Windows extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // B37 cumulative distribution (rational values — exact at 6dp).
+    "q_window_cumedist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_custkey")
+    }),
+
     // B38 analytic family: lag/lead/first/last/nth.
     "q_window_analytic" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -92,6 +102,12 @@ object Windows extends QueryModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_cumedist" ->
+      """SELECT c_custkey, c_mktsegment,
+        | round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal DESC, c_custkey), 6) AS cdist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_window_analytic" ->
       """SELECT o_custkey, o_orderkey,
