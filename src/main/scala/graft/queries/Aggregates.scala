@@ -106,6 +106,15 @@ object Aggregates extends QueryModule {
         .orderBy("o_custkey")
     }),
 
+    // B32 listagg (Spark 4 WITHIN GROUP syntax) — ordered string aggregation.
+    "q_listagg" -> ((s, dir) => {
+      graft.io.Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority,
+              | listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+              | count(*) AS n
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // B33 statistical aggregates (magnitudes kept small for fp parity;
     // skewness/kurtosis differ in sample-vs-population convention across
     // engines, covered in ScalaTest instead).
@@ -225,6 +234,12 @@ object Aggregates extends QueryModule {
         | array_to_string(list(o_orderstatus ORDER BY o_orderkey), ',') AS status_seq,
         | count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

@@ -192,6 +192,21 @@ object Scalars extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // B10/B14 error-safe ops: try_divide / try_cast (nulls, not failures
+    // — DuckDB's plain division and try_cast share the NULL semantics).
+    "q_try_ops" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, 0)").as("div_zero"),
+          // no rounding: IEEE division of identical operands is already
+          // bit-identical across engines, while round() at a half-ulp
+          // boundary is not (measured)
+          expr("try_divide(l_extendedprice, l_quantity)").as("unit_price"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+          expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("ln_roundtrip"))
+        .orderBy("l_orderkey", "l_linenumber", "unit_price")
+    }),
+
     // B17 JSON extraction from events.props.
     "q_json_events" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -334,6 +349,14 @@ object Scalars extends QueryModule {
         | strftime(o_orderdate, '%Y-%m') AS ym,
         | make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_first
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_try_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice / 0 AS div_zero,
+        | l_extendedprice / l_quantity AS unit_price,
+        | try_cast(l_returnflag AS INTEGER) AS flag_int,
+        | try_cast(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, unit_price""".stripMargin,
 
     "q_json_events" ->
       """SELECT event_type, count(*) AS n,
