@@ -13,14 +13,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Headline subset (mirrors BASELINE.md's measured queries), one warmup
-    // action first so JVM/codegen startup isn't billed to the first query.
+    // action first so JVM/codegen startup isn't billed to the first query;
+    // each query runs twice and reports the min (steady-state number, not
+    // first-run jitter).
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
