@@ -18,19 +18,25 @@ object Bench {
     // first-run jitter).
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
+    // A failing query must not masquerade as a fast one: its entry
+    // reports -1 and its name is listed under "errors".
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> samples.min
-    }.toMap
+      val good = samples.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0)
+    }
+    val failed = results.collect { case (k, t) if t < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

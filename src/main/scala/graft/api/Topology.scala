@@ -57,8 +57,13 @@ final case class Stream(df: DataFrame) {
     */
   def allGrouping(): Stream = Stream(broadcast(df))
 
-  /** A8: route everything through a single task (global order/agg). */
-  def globalGrouping(): Stream = Stream(df.coalesce(1))
+  /** A8: route everything through a single task (global order/agg).
+    * repartition(1), not coalesce(1): coalesce would collapse the whole
+    * upstream pipeline into one task; a shuffle keeps upstream parallel
+    * and makes only the post-shuffle consumer single-task — matching
+    * GlobalGrouping semantics, where only the receiving bolt is serial.
+    */
+  def globalGrouping(): Stream = Stream(df.repartition(1))
 
   /** Keyed stateful bolt (fields-grouped counting/agg bolt): groupBy+agg
     * — Spark plans partial+final automatically.

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated fixture tables (see FIXTURES.md).
   *
@@ -11,10 +12,14 @@ import org.apache.spark.sql.functions._
   * partition-prune unchanged on a real cluster.
   *
   * The single column-level normalization is the `events.ts` nanosecond
-  * fix: the fixture stores TIMESTAMP(NANOS) which Spark 4.x only reads
-  * with `spark.sql.legacy.parquet.nanosAsLong=true` (arriving as BIGINT
-  * ns). We truncate to microseconds with integer `div` — double division
-  * would lose precision at 1e18-scale nanosecond magnitudes (> 2^53).
+  * fix: the fixture stores TIMESTAMP(NANOS), which Spark 4.x schema
+  * inference rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`.
+  * Rather than mutating session conf at plan time (which would silently
+  * change the type of every later nanos read in the session), the loader
+  * supplies an explicit BIGINT-ns schema — the reader then accepts the
+  * file without any conf. We truncate to microseconds with integer
+  * `div` — double division would lose precision at 1e18-scale
+  * nanosecond magnitudes (> 2^53).
   */
 object Tables {
   /** All fixture tables, in FK order. */
@@ -41,15 +46,22 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = scan(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = scan(spark, sfDir, "embeddings")
 
+  /** Raw schema of the events fixture with `ts` as BIGINT nanoseconds —
+    * passing it explicitly sidesteps the TIMESTAMP(NANOS) inference
+    * error without touching `spark.sql.legacy.parquet.nanosAsLong`.
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** `events` with `ts` normalized from BIGINT nanoseconds to a proper
     * microsecond TIMESTAMP. The DuckDB oracle side must truncate
     * identically: `CAST(ts AS TIMESTAMP)`.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scan(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(path(sfDir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Register every fixture table as a temp view (SQL entry point E2). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -115,13 +115,16 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"),
         // hash the band slice into a single bucket key
         xxhash64(concat_ws(",", col("col")), col("pos")).as("bucket"))
-      // materialize once: both self-join sides reuse the signatures
-      // instead of re-running shingling+hashing (production pipelines
-      // write signatures to storage for the same reason). The count()
-      // fills the cache BEFORE the join kicks off both sides — measured
-      // ~2x on this operator
-      .persist()
-    banded.count()
+      // EAGERLY materialize once (localCheckpoint runs a job here, by
+      // design): both self-join sides reuse the signatures instead of
+      // re-running shingling+hashing — measured ~2x on this operator.
+      // Unlike persist()+count(), the checkpoint blocks are released by
+      // the ContextCleaner once the returned DataFrame is unreferenced,
+      // so repeated calls don't leak cached blocks. At 100 TB,
+      // signatures are written to real storage instead (and
+      // localCheckpoint's no-recompute-on-executor-loss caveat goes
+      // away with them).
+      .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))

@@ -24,12 +24,19 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
-  /** Spreads rows of one key across buckets. Salt only needs uniformity,
-    * not determinism — monotonically_increasing_id is cheap and collision
-    * -free within a partition.
+  /** Spreads rows of one key across buckets, deterministically from row
+    * CONTENT (hash of every column). A nondeterministic salt
+    * (rand/monotonically_increasing_id) becomes a correctness bug on
+    * stage retry: a recomputed map task can assign different salts than
+    * the output some reducers already fetched, duplicating or dropping
+    * rows (the SPARK-23207 class). Content-derived salt is stable across
+    * retries; the residual caveat — many EXACTLY identical rows of one
+    * hot key all land in one bucket — is acceptable for the aggregation/
+    * join shapes here and is the same trade Spark's own
+    * sortBeforeRepartition mitigation makes.
     */
-  private def salt(buckets: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
 
   /** Two-phase salted aggregation.
     *
@@ -40,7 +47,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
       phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
-    val salted = df.withColumn(SaltCol, salt(buckets))
+    val salted = df.withColumn(SaltCol, salt(df, buckets))
     val partial = salted
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(phase1.head, phase1.tail: _*)
@@ -53,7 +60,7 @@ object Skew {
     * small — the same precondition as a broadcast).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
-    val b = big.withColumn(SaltCol, salt(buckets))
+    val b = big.withColumn(SaltCol, salt(big, buckets))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     b.join(s, Seq(key, SaltCol)).drop(SaltCol)

@@ -178,23 +178,20 @@ class RunningCounterProcessor
   */
 object StreamOps {
 
-  /** Raw parquet schema of `events` under nanosAsLong (ts = BIGINT ns). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw parquet schema of `events` (ts = BIGINT ns). */
+  val eventsRawSchema: StructType = graft.io.Tables.eventsRawSchema
 
   /** B4: streaming file source over the events fixture, normalized to the
-    * same schema the batch loader produces.
+    * same schema the batch loader produces. The explicit schema makes the
+    * reader accept TIMESTAMP(NANOS) without any session-conf mutation
+    * (same approach as the batch loader).
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     // FileStreamSource wants a directory; select just the events file.
     spark.readStream.schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   // ---------- shared window transforms (batch twin == streaming plan) ----------
 

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared session for all suites. Deliberately does NOT set
-  * `nanosAsLong` statically — reading `events` through Tables must
-  * succeed via its runtime conf.set fallback, which this exercises.
+  * `nanosAsLong` — reading `events` through Tables must succeed via its
+  * explicit-schema read, which every events-touching spec exercises.
   */
 object TestSpark {
   lazy val spark: SparkSession = {
