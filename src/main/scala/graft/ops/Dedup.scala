@@ -102,6 +102,48 @@ object Dedup {
       .agg(expr(s"minhash_agg(shingle, $numPerm)").as("sig"))
   }
 
+  /** Engine-portable MinHash signature: permutation i hashes a shingle
+    * as the lowercase-hex string `md5(shingle + "#" + i)` and the
+    * signature element is the LEXICOGRAPHIC min — md5 exists in DuckDB
+    * with the identical hex rendering, so signatures (and the LSH
+    * candidate pairs built from them) are oracle-verifiable
+    * value-for-value, unlike the xxhash64 production path
+    * ([[minhashSignature]]) which has no DuckDB twin. Uniformity of the
+    * hex prefix makes the min-string a valid min-hash; ASCII compare of
+    * equal-length lowercase hex is engine-independent.
+    */
+  def minhashSignatureMd5(text: Column, n: Int, numPerm: Int): Column =
+    aggregate(
+      transform(shingles(text, n),
+        s => transform(sequence(lit(1), lit(numPerm)),
+          i => md5(concat(s, lit("#"), i.cast("string"))))),
+      array_repeat(lit("~"), numPerm), // '~' > 'f': identity for string min
+      (acc, h) => zip_with(acc, h, (a, b) => least(a, b)))
+
+  /** LSH candidates over [[minhashSignatureMd5]] signatures. Same
+    * band-bucket shape as [[minhashCandidates]] but the bucket key is the
+    * concatenated band slice itself (a string) instead of an xxhash64 of
+    * it — wider shuffle keys, but every step reproducible in DuckDB SQL
+    * (md5 + string min + string_agg), which is the point.
+    */
+  def minhashCandidatesMd5(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val banded = docs.select(col("doc_id"),
+      minhashSignatureMd5(col("text"), n, numPerm).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .localCheckpoint() // same eager reuse rationale as minhashCandidates
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+      col("doc_id").as("doc_b"))
+    l.join(r, col("band") === col("band_r")
+        && col("bucket") === col("bucket_r")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
     * of signature) bucket. bands*rowsPerBand must equal numPerm.
     */

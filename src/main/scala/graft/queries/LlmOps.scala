@@ -43,6 +43,26 @@ object LlmOps extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // B60 engine-portable MinHash signatures (md5 permutations),
+    // flattened to (doc_id, perm, mh) scalars — hash-matched in DuckDB.
+    "q_minhash_sig_md5" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Dedup.minhashSignatureMd5(col("text"), n = 3, numPerm = 16).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("perm"),
+          col("col").as("mh"))
+        .orderBy("doc_id", "perm")
+    }),
+
+    // B60 LSH candidate pairs over the md5 signatures — the full
+    // signature→band→bucket→join path, hash-matched in DuckDB.
+    "q_minhash_pairs_md5" -> ((s, dir) => {
+      Dedup.minhashCandidatesMd5(Tables.documents(s, dir), n = 3,
+          bands = 4, rowsPerBand = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // B60 SimHash bit-signatures — rows-only check (LlmSpec covers
     // hamming locality).
     "q_simhash" -> ((s, dir) => {
@@ -196,6 +216,37 @@ object LlmOps extends QueryModule {
         |   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b
         |  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_sig_md5" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents)
+        |SELECT doc_id, CAST(g.i AS INTEGER) AS perm,
+        | min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS mh
+        |FROM ex, generate_series(1,16) g(i)
+        |GROUP BY doc_id, g.i
+        |ORDER BY doc_id, perm""".stripMargin,
+
+    "q_minhash_pairs_md5" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+        |bd AS (
+        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM mh GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bd a JOIN bd b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_cosine_topk" ->

@@ -79,6 +79,21 @@ class LlmSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("B60 md5-permutation LSH (oracle-portable variant) also catches near-dups") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf001).limit(20)
+    val mutated = base
+      .withColumn("doc_id", col("doc_id") + 5000)
+      .withColumn("text", concat(col("text"), lit(" extratoken")))
+    val corpus = base.unionByName(mutated)
+    val candidates = Dedup.minhashCandidatesMd5(corpus, n = 3, bands = 8, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val expected = base.select(col("doc_id")).as[Long].collect()
+      .map(id => (id, id + 5000)).toSet
+    val missed = expected -- candidates
+    assert(missed.isEmpty, s"md5 LSH missed near-dup pairs: $missed")
+  }
+
   test("B60 SimHash locality: near-identical docs have small hamming distance") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).limit(20)
