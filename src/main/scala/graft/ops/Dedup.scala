@@ -50,18 +50,20 @@ object Dedup {
     round(size(array_intersect(aToks, bToks)).cast("double") /
       size(array_union(aToks, bToks)), 6)
 
-  /** n-gram Jaccard over nearby same-language doc pairs. The id-band
-    * predicate is the test-scale stand-in for an LSH bucket join — at
-    * 100 TB the pair generation comes from [[minhashCandidates]] instead.
+  /** Exact n-gram Jaccard reranking of LSH candidate pairs — the
+    * candidate→verify pipeline near-dup dedup actually ships: pair
+    * generation is the [[minhashCandidatesMd5]] band-bucket equi-join
+    * (linear-ish at 100 TB, no cross join / near-cartesian anywhere),
+    * and only those candidates pay the exact set intersection. The md5
+    * signature variant keeps every step reproducible in the SQL oracle.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, idGap: Int): DataFrame = {
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      array_distinct(shingles(col("text"), n)).as("sa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      array_distinct(shingles(col("text"), n)).as("sb"))
-    a.join(b, col("lang") === col("lang_b")
-        && col("doc_b") > col("doc_a")
-        && col("doc_b") <= col("doc_a") + idGap)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val cands = minhashCandidatesMd5(docs, n, bands, rowsPerBand)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), n)).as("s"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
   }
 

@@ -68,11 +68,52 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** All near-duplicate pairs above a cosine threshold within an id-bounded
-    * slice (test-scale shape; the 100 TB path generates pairs from LSH
-    * buckets — [[Dedup.minhashCandidates]] — not a cross join).
+  /** Random-hyperplane-LSH candidate pairs, axis-aligned variant: band g's
+    * code is the SIGN PATTERN of dimensions [g*bits+1 .. (g+1)*bits]; two
+    * vectors are candidates iff some band's full sign pattern matches.
+    * Everything is an equi-join on (band, code) — the linear-ish 100 TB
+    * shape (bucket = shuffle key), no cross join anywhere — and sign
+    * extraction is exact float math reproducible in the SQL oracle.
+    * bands*bits must be <= the embedding dimension.
     */
-  def cosineNearDupPairs(corpus: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+  def signLshCandidates(corpus: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val banded = corpus.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        g => concat_ws("", transform(slice(col("embedding"), g * bits + 1, lit(bits)),
+          v => when(v >= 0, lit("1")).otherwise(lit("0")))))))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("code"))
+    val l = banded.select(col("band"), col("code"), col("vec_id").as("vec_a"))
+    val r = banded.select(col("band").as("band_r"), col("code").as("code_r"),
+      col("vec_id").as("vec_b"))
+    l.join(r, col("band") === col("band_r")
+        && col("code") === col("code_r")
+        && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, generated the scale-
+    * safe way: [[signLshCandidates]] bucket equi-join proposes pairs, an
+    * exact cosine rerank keeps those above `threshold`. The result is the
+    * deterministic set "pairs sharing a sign band AND cos >= threshold" —
+    * exactly mirrored by the SQL oracle. Candidate recall vs the exact
+    * O(n²) scan is measured in LlmSpec against [[cosineNearDupPairsExact]].
+    */
+  def cosineNearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
+      threshold: Double): DataFrame = {
+    val cands = signLshCandidates(corpus, bands, bits)
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cands.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"), Vec.cosine6(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Exact all-pairs variant — O(n²) BroadcastNestedLoopJoin by
+    * construction, so strictly a TEST-SCALE ground-truth generator for
+    * measuring [[cosineNearDupPairs]] recall (LlmSpec). Never ship this
+    * shape against a full corpus; the id bound is mandatory.
+    */
+  def cosineNearDupPairsExact(corpus: DataFrame, maxId: Long, threshold: Double): DataFrame = {
     val a = corpus.filter(col("vec_id") <= maxId)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.filter(col("vec_id") <= maxId)

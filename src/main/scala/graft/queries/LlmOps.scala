@@ -30,9 +30,11 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // B60 n-gram (3-shingle) Jaccard over nearby same-lang pairs.
+    // B60 exact n-gram (3-shingle) Jaccard reranking of md5-LSH candidate
+    // pairs — the scale-safe candidate→verify dedup pipeline end-to-end.
     "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, idGap = 5)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
+          bands = 4, rowsPerBand = 4)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -82,9 +84,13 @@ object LlmOps extends QueryModule {
         .orderBy("rnk")
     }),
 
-    // B61 embedding near-dup pairs above a cosine threshold.
+    // B61 embedding near-dup pairs: sign-LSH bucket candidates + exact
+    // cosine rerank over the FULL corpus (no id bound — the plan is
+    // equi-join-only, so it scales; threshold 0.4 is calibrated to the
+    // fixture's near-random embeddings so the result is non-empty).
     "q_embed_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), maxId = 300, threshold = 0.8)
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          bands = 8, bits = 8, threshold = 0.4)
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -203,19 +209,32 @@ object LlmOps extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
-        |      THEN [text]
-        |      ELSE list_transform(generate_series(1, len(string_split(text,' '))-2),
-        |        i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))
-        |    END) AS s
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+        |bd AS (
+        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS s
         |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |SELECT c.doc_a, c.doc_b,
+        | round(CAST(len(list_filter(x.s, v -> list_contains(y.s, v))) AS DOUBLE)
+        |   / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_minhash_sig_md5" ->
@@ -264,16 +283,28 @@ object LlmOps extends QueryModule {
         |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_embed_neardup" ->
-      """WITH sims AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(sum(CAST(a.embedding[g.i] AS DOUBLE)*CAST(b.embedding[g.i] AS DOUBLE)) /
-        |      (sqrt(sum(CAST(a.embedding[g.i] AS DOUBLE)*CAST(a.embedding[g.i] AS DOUBLE))) *
-        |       sqrt(sum(CAST(b.embedding[g.i] AS DOUBLE)*CAST(b.embedding[g.i] AS DOUBLE)))), 6) AS cos_sim
-        |  FROM embeddings a, embeddings b, generate_series(1,64) g(i)
-        |  WHERE a.vec_id < b.vec_id AND a.vec_id <= 300 AND b.vec_id <= 300
-        |  GROUP BY a.vec_id, b.vec_id)
-        |SELECT vec_a, vec_b, cos_sim FROM sims
-        |WHERE cos_sim >= 0.8 ORDER BY vec_a, vec_b""".stripMargin,
+      """WITH bd AS (
+        |  SELECT vec_id, g.b AS band,
+        |    string_agg(CASE WHEN embedding[g.b*8 + d.i] >= 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY d.i) AS code
+        |  FROM embeddings, generate_series(0,7) g(b), generate_series(1,8) d(i)
+        |  GROUP BY vec_id, g.b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+        |rr AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    round(sum(CAST(x.embedding[g.i] AS DOUBLE)*CAST(y.embedding[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(x.embedding[g.i] AS DOUBLE)*CAST(x.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(y.embedding[g.i] AS DOUBLE)*CAST(y.embedding[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN embeddings x ON x.vec_id = c.vec_a
+        |  JOIN embeddings y ON y.vec_id = c.vec_b,
+        |  generate_series(1,64) g(i)
+        |  GROUP BY c.vec_a, c.vec_b)
+        |SELECT vec_a, vec_b, cos_sim FROM rr
+        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id,

@@ -244,4 +244,28 @@ class LlmSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(overlap.forall(_ > 0.5), s"fingerprint overlap too low: ${overlap.toSeq}")
   }
+
+  test("B61 sign-LSH near-dup search finds every true near-duplicate pair") {
+    import spark.implicits._
+    // fixture embeddings are near-random (no cos>=0.9 pairs), so recall is
+    // validated on constructed near-dups: same sign pattern, tiny
+    // magnitude-only perturbation => LSH must propose the pair and the
+    // exact rerank must keep it.
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)))
+    val dups = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x * (1.0f + 0.01f * rnd.nextFloat()))) }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val found = Similarity.cosineNearDupPairs(emb, bands = 8, bits = 8, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    val missed = expected -- found
+    assert(missed.isEmpty, s"sign-LSH missed near-dup pairs: ${missed.take(5)}")
+    // and the LSH result agrees with exact ground truth on what it proposes
+    val exact = Similarity.cosineNearDupPairsExact(emb, maxId = 2000, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact), "LSH+rerank produced a pair below threshold")
+  }
 }

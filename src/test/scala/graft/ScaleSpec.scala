@@ -185,4 +185,16 @@ class ScaleSpec extends AnyFunSuite {
     val approx = li.select(expr("percentile_approx(l_extendedprice, 0.5, 10000)")).as[Double].head()
     assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
   }
+
+  test("near-dup pair queries have no nested-loop/cartesian join (scale-safe plans)") {
+    // VERDICT r1 flagged the old pair generators as quadratic; both now
+    // source candidates from LSH bucket equi-joins. Lock that in at the
+    // physical-plan level.
+    Seq("q_embed_neardup", "q_ngram_jaccard").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
 }
