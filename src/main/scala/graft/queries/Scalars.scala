@@ -218,9 +218,72 @@ object Scalars extends QueryModule {
           max(col("k_val")).as("max_k"))
         .orderBy("event_type")
     }),
+
+    // B16 map functions: props parsed to a MapType, enriched with
+    // map_concat, then exploded to (key, value) rows and aggregated.
+    "q_map_funcs" -> ((s, dir) => {
+      val pm = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      val full = map_concat(pm, map(
+        lit("et"), col("event_type"),
+        lit("uid"), col("user_id").cast("string")))
+      Tables.events(s, dir)
+        .select(col("event_type"), explode(full))
+        .select(col("event_type"), col("key"), col("value").as("val"))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy("event_type", "key")
+    }),
+
+    // B16 map element access: element_at / map_keys / map_filter.
+    "q_map_element" -> ((s, dir) => {
+      val pm = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      val full = map_concat(pm, map(
+        lit("et"), col("event_type"),
+        lit("uid"), col("user_id").cast("string")))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          element_at(pm, "k").cast("int").as("kv"),
+          size(map_keys(pm)).as("nk"),
+          size(map_filter(full, (k, _) => k === lit("uid"))).as("n_uid"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("kv")).as("k_min"),
+          max(col("kv")).as("k_max"),
+          sum(col("nk")).as("total_keys"),
+          sum(col("n_uid")).as("total_uid"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    unnest(['k','et','uid']) AS key,
+        |    unnest([json_extract_string(props,'$.k'), event_type,
+        |            CAST(user_id AS VARCHAR)]) AS val
+        |  FROM events)
+        |SELECT event_type, key, count(*) AS n,
+        | min(val) AS min_val, max(val) AS max_val
+        |FROM m GROUP BY event_type, key
+        |ORDER BY event_type, key""".stripMargin,
+
+    "q_map_element" ->
+      """SELECT event_type, count(*) AS n,
+        | min(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS k_min,
+        | max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS k_max,
+        | CAST(count(*) AS BIGINT) AS total_keys,
+        | CAST(count(*) AS BIGINT) AS total_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_scan_project" ->
       """SELECT p_partkey, upper(p_name) AS name_upper, p_retailprice,
         | round(p_retailprice*0.9,4) AS discounted

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** B3 JSON/CSV scans, oracled end-to-end: each query writes `events` out
+  * in the text format, reads it back with an explicit schema, and
+  * aggregates; the DuckDB oracle computes the same aggregate straight
+  * from the parquet fixture. Equal hashes therefore prove the
+  * write→scan round-trip is value-lossless — a stronger statement than
+  * scanning a canned file.
+  *
+  * Timestamps travel as BIGINT microseconds (`unix_micros`): JSON/CSV
+  * timestamp FORMATTING is lossy (millisecond default patterns) and
+  * engine-specific, while int64 text round-trips exactly. Doubles are
+  * safe as-is — Spark writes shortest-round-trip decimal forms.
+  *
+  * The write happens eagerly at plan-build time into a per-(format, sf)
+  * path under /tmp (overwrite mode, so repeated runs reuse the same
+  * directory rather than leaking).
+  */
+object ScanOps extends QueryModule {
+
+  private val rtSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts_us", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def roundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    val src = Tables.events(s, dir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    val out = s"/tmp/graft_rt_${fmt}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    fmt match {
+      case "json" =>
+        src.write.mode("overwrite").json(out)
+        s.read.schema(rtSchema).json(out)
+      case "csv" =>
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(rtSchema).option("header", "true").csv(out)
+    }
+  }
+
+  private def rtAgg(rt: DataFrame): DataFrame =
+    rt.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        sum(length(col("props"))).as("props_chars"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_json_scan" -> ((s, dir) => rtAgg(roundTrip(s, dir, "json"))),
+    "q_csv_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "csv"))),
+  )
+
+  private val aggSql =
+    """SELECT event_type, count(*) AS n_events,
+      | round(sum(value), 2) AS sum_value,
+      | min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+      | max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+      | CAST(sum(length(props)) AS BIGINT) AS props_chars
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_json_scan" -> aggSql,
+    "q_csv_scan" -> aggSql,
+  )
+}
