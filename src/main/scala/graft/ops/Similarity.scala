@@ -33,18 +33,63 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** IVF coarse quantizer: per-label centroid = mean vector. (The fixture
-    * `label` is the cluster assignment; a full pipeline would k-means
-    * this — the search machinery below is identical either way.)
+  /** Per-cluster mean vectors: explode to (cluster, dim, value), average
+    * per (cluster, dim), re-assemble the array in dim order. Two key-hash
+    * aggregations, no collect — the update step of Lloyd's at any scale.
     */
-  def ivfCentroids(corpus: DataFrame): DataFrame =
-    corpus.select(col("label"), posexplode(Vec.asDouble(col("embedding"))))
+  private def meanByCluster(assigned: DataFrame, clusterCol: String): DataFrame =
+    assigned.select(col(clusterCol).as("label"), posexplode(Vec.asDouble(col("embedding"))))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("v"))
       .groupBy(col("label"))
       .agg(transform(
         sort_array(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
+
+  /** IVF coarse quantizer from a precomputed assignment column (the
+    * fixture `label`); [[kmeansCentroids]] learns the assignment instead.
+    */
+  def ivfCentroids(corpus: DataFrame): DataFrame =
+    meanByCluster(corpus, "label")
+
+  /** Nearest-centroid assignment WITHOUT multiplying rows: the (small)
+    * centroid set is collapsed to a single-row array and broadcast, so
+    * each corpus row scans it inside one codegen'd `aggregate` HOF — no
+    * shuffle, no per-(row, centroid) blowup, which is what keeps an
+    * assignment pass viable over 100 TB.
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val centsArr = centroids
+      .agg(collect_list(struct(col("label"), col("centroid"))).as("cents"))
+    corpus.crossJoin(broadcast(centsArr))
+      .withColumn("cluster",
+        aggregate(col("cents"),
+          struct(lit(-2.0).as("sim"), lit(-1L).cast("long").as("label")),
+          (acc, c) => {
+            val sim = Vec.cosine(col("embedding"), c.getField("centroid"))
+            when(sim > acc.getField("sim"),
+              struct(sim.as("sim"), c.getField("label").cast("long").as("label")))
+              .otherwise(acc)
+          }).getField("label"))
+      .drop("cents")
+  }
+
+  /** Spherical k-means (Lloyd's): seed with the first k vectors, then
+    * alternate nearest-centroid assignment and per-cluster mean — all
+    * DataFrame ops, nothing collected to the driver. Each iteration's
+    * (tiny) centroid table is localCheckpoint'ed so the lineage doesn't
+    * compound across iterations. Clusters that lose every member simply
+    * drop out (k shrinks) — acceptable for a coarse quantizer.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("label"),
+        Vec.asDouble(col("embedding")).as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = meanByCluster(assignClusters(corpus, cents), "cluster").localCheckpoint()
+    cents
+  }
 
   /** IVF search: probe the nprobe nearest centroid buckets per query,
     * exact cosine inside the probed buckets only.

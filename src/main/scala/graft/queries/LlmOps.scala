@@ -104,14 +104,18 @@ object LlmOps extends QueryModule {
         .orderBy("vec_id")
     }),
 
-    // B62 IVF (bucketed ANN) — rows-only; LlmSpec measures recall vs
-    // brute force.
+    // B62 IVF (bucketed ANN) over LEARNED k-means centroids — rows-only;
+    // LlmSpec measures recall vs brute force.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val centroids = Similarity.ivfCentroids(emb)
+      val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+      // bucket the corpus by the LEARNED assignment (at scale this is the
+      // partition key the index is written with)
+      val bucketed = Similarity.assignClusters(emb, centroids)
+        .drop("label").withColumnRenamed("cluster", "label")
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, centroids, qs, nprobe = 2, k = 10)
+      Similarity.ivfTopK(bucketed, centroids, qs, nprobe = 2, k = 10)
         .select("query_id", "vec_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     }),

@@ -138,6 +138,38 @@ class LlmSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+    // same bound with LEARNED centroids: seed k-means, re-bucket the
+    // corpus by the learned assignment, search unchanged
+    val cents = Similarity.kmeansCentroids(emb, k = 10, iters = 3)
+    val bucketed = Similarity.assignClusters(emb, cents)
+      .drop("label").withColumnRenamed("cluster", "label")
+    val learned = Similarity.ivfTopK(bucketed, cents, queries, nprobe = 2, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallL = (exact & learned).size.toDouble / exact.size
+    assert(recallL >= 0.9, s"IVF recall with k-means centroids too low: $recallL")
+  }
+
+  test("B62 k-means on tight clusters recovers a pure partition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.tabulate(10)(c =>
+      Array.tabulate(dim)(d => if (d == c) 5.0f else 0.0f))
+    val vecs = (0 until 200).map { i =>
+      val c = i % 10
+      val v = centers(c).clone()
+      (0 until dim).foreach(d => v(d) = v(d) + rnd.nextGaussian().toFloat * 0.3f)
+      (i.toLong, v.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(emb, k = 10, iters = 3)
+    // every learned cluster contains members of exactly one true cluster
+    val purity = Similarity.assignClusters(emb, cents)
+      .groupBy("cluster")
+      .agg(countDistinct(col("label")).as("n_true"))
+      .select("n_true").as[Long].collect()
+    assert(purity.nonEmpty && purity.forall(_ == 1),
+      s"k-means clusters are impure: ${purity.toSeq}")
   }
 
   test("B62 IVF structural contract on fixture data: results come only from probed buckets") {
