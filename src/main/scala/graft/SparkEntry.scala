@@ -29,8 +29,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 
-  /** The BENCH headline subset (mirrors BASELINE.md's measured queries). */
+  /** The BENCH headline subset: BASELINE.md's five measured queries first
+    * (kept stable across rounds for honest deltas), then the LLM-pipeline
+    * operators (word-count, cosine top-k, MinHash LSH) so the extension
+    * surface is measured under the driver's bench too.
+    */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
-    "q_tumbling_window", "q_distinct_users").filter(queries.contains)
+    "q_tumbling_window", "q_distinct_users",
+    "q_word_count", "q_cosine_topk", "q_minhash_lsh").filter(queries.contains)
 }

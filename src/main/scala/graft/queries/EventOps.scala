@@ -29,6 +29,14 @@ object EventOps extends QueryModule {
     // B55 stream–static join twin: events × broadcast literal dim.
     "q_stream_static_join" -> ((s, dir) =>
       StreamOps.weightedByType(s, Tables.events(s, dir)).orderBy("event_type")),
+
+    // B4+B47+B50+B51 REAL streaming run (readStream → watermark → dedup →
+    // tumbling agg → AvailableNow → foreachBatch parquet), not a batch
+    // twin: the harness observes the streaming engine end-to-end.
+    "q_streaming_pipeline" -> ((s, dir) => StreamOps.tumblingPipeline(s, dir)),
+
+    // B49+B50 real streaming session windows, append mode.
+    "q_streaming_sessions" -> ((s, dir) => StreamOps.sessionPipeline(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,6 +74,42 @@ object EventOps extends QueryModule {
         | count(*) AS n_events
         |FROM numbered
         |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Append-mode semantics under a 0s watermark: only windows whose end
+    // has been passed by the final watermark (= max ts) are emitted; the
+    // in-flight tail window is correctly withheld. event_id is unique in
+    // the fixture, so the streaming dedup is a semantic no-op (the
+    // operator still runs and keeps state).
+    "q_streaming_pipeline" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+        | time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS we,
+        | event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |HAVING we <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL '10 minutes' AS session_end,
+        | count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |HAVING session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_static_join" ->

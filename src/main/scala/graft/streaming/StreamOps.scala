@@ -382,6 +382,63 @@ object StreamOps {
       }
   }
 
+  // ---------- bounded end-to-end runs (harness-visible streaming) ----------
+
+  /** Runs a streaming DataFrame to completion over the bounded source
+    * (`Trigger.AvailableNow`), landing every append-mode batch in a temp
+    * parquet dir via foreachBatch — the production sink shape (idempotent
+    * per-batch append keyed by checkpoint) — and returns the landed
+    * result. This is how the driver's correctness harness sees the
+    * streaming engine end-to-end: source → watermark → stateful ops →
+    * sink, not just the logical transform.
+    */
+  private def runBounded(spark: SparkSession, streaming: DataFrame): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    // Write the schema up-front so the read-back works even if no batch
+    // ever emits (all-late data edge).
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      streaming.schema).write.mode("overwrite").parquet(out)
+    val q = streaming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** B4+B47+B50+B51 end-to-end: streaming file source → 0s watermark →
+    * streaming dedup by event_id → tumbling 1h aggregation → append-mode
+    * foreachBatch parquet sink, run to completion with AvailableNow.
+    *
+    * Oracle-verifiable despite append mode: with a 0-second watermark the
+    * final watermark is max(ts), and append mode emits exactly the windows
+    * whose end <= max(ts) — a condition DuckDB can state as a HAVING
+    * clause. The withheld tail window is the *correct* append-mode answer,
+    * not data loss.
+    */
+  def tumblingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    runBounded(spark, tumblingAgg(src)).orderBy("ws", "event_type")
+  }
+
+  /** B49+B50 end-to-end: session windows (10 min gap) per user under a 0s
+    * watermark, emitted in append mode once the watermark passes each
+    * session's end (= last event + gap). Same oracle trick as
+    * [[tumblingPipeline]]: emitted sessions are exactly those with
+    * session_end <= max(ts).
+    */
+  def sessionPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir).withWatermark("ts", "0 seconds")
+    runBounded(spark, sessionAgg(src)).orderBy("user_id", "session_start")
+  }
+
   /** B25 stream–stream interval join: purchases within 1 hour after a
     * click by the same user; watermarks bound both join-state sides.
     */
