@@ -59,7 +59,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val cands = minhashCandidatesMd5(docs, n, bands, rowsPerBand)
-    val sh = docs.select(col("doc_id"),
+    val sh = Par.spread(docs).select(col("doc_id"),
       array_distinct(shingles(col("text"), n)).as("s"))
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -130,13 +130,18 @@ object Dedup {
     */
   def minhashCandidatesMd5(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val banded = docs.select(col("doc_id"),
-      minhashSignatureMd5(col("text"), n, numPerm).as("sig"))
+    // Materialize signatures BEFORE banding — same rationale as
+    // minhashCandidates (banding would otherwise re-run the signature
+    // once per band), and md5-string signatures are strictly more
+    // expensive to recompute than the xxhash64 ones.
+    val sigs = Par.spread(docs)
+      .select(col("doc_id"), minhashSignatureMd5(col("text"), n, numPerm).as("sig"))
+      .localCheckpoint()
+    val banded = sigs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-      .localCheckpoint() // same eager reuse rationale as minhashCandidates
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))
@@ -151,24 +156,29 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val sigs = docs.select(col("doc_id"),
-      minhashSignature(col("text"), n, numPerm).as("sig"))
+    // EAGERLY materialize the signatures BEFORE banding (localCheckpoint
+    // runs the one signature job here, by design), for two reasons:
+    //  1. The banding projection references `sig` inside `bands` slice
+    //     lambdas; without a materialization barrier, CollapseProject
+    //     inlines the whole signature aggregate into EVERY lambda, so
+    //     shingling+hashing runs `bands` times per row (measured 8x =
+    //     3.3 s of a 4.3 s query at sf0.1).
+    //  2. Both self-join sides reuse the one materialized copy instead
+    //     of recomputing.
+    // Unlike persist()+count(), checkpoint blocks are released by the
+    // ContextCleaner once the returned DataFrame is unreferenced, so
+    // repeated calls don't leak cached blocks. At 100 TB, signatures
+    // are written to real storage instead (and localCheckpoint's
+    // no-recompute-on-executor-loss caveat goes away with them).
+    val sigs = Par.spread(docs)
+      .select(col("doc_id"), minhashSignature(col("text"), n, numPerm).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("doc_id"), col("pos").as("band"),
         // hash the band slice into a single bucket key
         xxhash64(concat_ws(",", col("col")), col("pos")).as("bucket"))
-      // EAGERLY materialize once (localCheckpoint runs a job here, by
-      // design): both self-join sides reuse the signatures instead of
-      // re-running shingling+hashing — measured ~2x on this operator.
-      // Unlike persist()+count(), the checkpoint blocks are released by
-      // the ContextCleaner once the returned DataFrame is unreferenced,
-      // so repeated calls don't leak cached blocks. At 100 TB,
-      // signatures are written to real storage instead (and
-      // localCheckpoint's no-recompute-on-executor-loss caveat goes
-      // away with them).
-      .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))

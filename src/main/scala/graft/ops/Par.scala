@@ -1,0 +1,19 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for CPU-bound per-row operators (MinHash/SimHash
+  * signatures, cosine scoring): a small parquet fixture arrives as ONE
+  * input split, so without intervention the whole hash/score pipeline
+  * runs on a single core no matter how many the session has. [[spread]]
+  * round-robins rows across the session's default parallelism first — a
+  * trivially small shuffle at test scale. On a real cluster input splits
+  * already outnumber cores, the guard condition fails, and the call is a
+  * no-op (no shuffle inserted), so this never degrades the 100 TB plan.
+  */
+object Par {
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

@@ -22,15 +22,25 @@ object Similarity {
 
   /** Exact cosine top-k per query. `queries` must be small enough to
     * broadcast (query_id, qvec).
+    *
+    * The top-k itself is the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): O(k) state per group with map-side
+    * partials, so the shuffle moves at most k rows per partition per
+    * query — not the scored corpus. The window formulation
+    * (`row_number` over partitionBy(query_id)) would shuffle every
+    * scored row to its query's task; with few queries that is a
+    * single-task sort over the whole corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(queries))
+    graft.functions.TopKAgg.register(corpus.sparkSession)
+    Par.spread(corpus).crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cos_sim, vec_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).as("rnk"))
   }
 
   /** Per-cluster mean vectors: explode to (cluster, dim, value), average
@@ -96,6 +106,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
+    // Probe selection stays a window: it ranks per-query over the (tiny)
+    // centroid table only, so the shuffle is queries × n_centroids rows.
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("label"))
     val probed = queries.crossJoin(broadcast(centroids))
@@ -104,13 +116,17 @@ object Similarity {
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("qvec"), col("label"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
+    // The in-bucket scan uses the bounded-heap aggregate — same rationale
+    // as bruteForceTopK: never shuffle the scored bucket contents.
+    graft.functions.TopKAgg.register(corpus.sparkSession)
     corpus.join(broadcast(probed), Seq("label"))
       .select(col("query_id"), col("vec_id"),
         Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cos_sim, vec_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).as("rnk"))
   }
 
   /** Random-hyperplane-LSH candidate pairs, axis-aligned variant: band g's
@@ -122,7 +138,7 @@ object Similarity {
     * bands*bits must be <= the embedding dimension.
     */
   def signLshCandidates(corpus: DataFrame, bands: Int, bits: Int): DataFrame = {
-    val banded = corpus.select(col("vec_id"),
+    val banded = Par.spread(corpus).select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         g => concat_ws("", transform(slice(col("embedding"), g * bits + 1, lit(bits)),
           v => when(v >= 0, lit("1")).otherwise(lit("0")))))))
