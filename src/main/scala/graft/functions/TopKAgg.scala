@@ -72,7 +72,9 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sorted(worstAtHead.reverse) // best first
+    // Under worstAtHead, "least" = highest score (lowest id on ties), so
+    // the natural ascending sort is already best-first.
+    val sorted = buf.toArray.sorted(worstAtHead)
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
   }
 

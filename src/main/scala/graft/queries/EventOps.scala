@@ -78,14 +78,17 @@ object EventOps extends QueryModule {
 
     // Append-mode semantics under a 0s watermark: only windows whose end
     // has been passed by the final watermark (= max ts) are emitted; the
-    // in-flight tail window is correctly withheld. event_id is unique in
-    // the fixture, so the streaming dedup is a semantic no-op (the
-    // operator still runs and keeps state).
+    // in-flight tail window is correctly withheld. The oracle mirrors the
+    // streaming dedup with DISTINCT ON (event_id): a no-op while the
+    // fixture's event_ids are unique, and still aligned with Spark's
+    // keep-one-per-key if the fixture ever gains exact-duplicate rows
+    // (only non-identical rows sharing an event_id — a fixture bug —
+    // would make the two picks diverge).
     "q_streaming_pipeline" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
         | time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS we,
         | event_type, count(*) AS n, round(sum(value),4) AS sum_value
-        |FROM events
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
         |GROUP BY 1, 2, 3
         |HAVING we <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
         |ORDER BY ws, event_type""".stripMargin,

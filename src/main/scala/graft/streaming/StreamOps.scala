@@ -385,30 +385,42 @@ object StreamOps {
   // ---------- bounded end-to-end runs (harness-visible streaming) ----------
 
   /** Runs a streaming DataFrame to completion over the bounded source
-    * (`Trigger.AvailableNow`), landing every append-mode batch in a temp
-    * parquet dir via foreachBatch — the production sink shape (idempotent
-    * per-batch append keyed by checkpoint) — and returns the landed
-    * result. This is how the driver's correctness harness sees the
-    * streaming engine end-to-end: source → watermark → stateful ops →
-    * sink, not just the logical transform.
+    * (`Trigger.AvailableNow`), landing every append-mode batch via
+    * foreachBatch into a batchId-keyed subdirectory with OVERWRITE — so a
+    * batch replayed after a restart from the checkpoint rewrites its own
+    * directory instead of duplicating rows (genuinely idempotent, not just
+    * append-and-hope). Returns the landed union. This is how the driver's
+    * correctness harness sees the streaming engine end-to-end: source →
+    * watermark → stateful ops → sink, not just the logical transform.
     */
   private def runBounded(spark: SparkSession, streaming: DataFrame): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    // Write the schema up-front so the read-back works even if no batch
-    // ever emits (all-late data edge).
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      streaming.schema).write.mode("overwrite").parquet(out)
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    // Temp output + checkpoint (incl. state store files) are deleted when
+    // the JVM exits — repeated verify/bench runs must not leak disk.
+    Seq(out, ckpt).foreach(d => sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(d))
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    })
     val q = streaming.writeStream
       .outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/b$bid")
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    // Read the per-batch directories back; if no batch ever emitted
+    // (all-late-data edge) there is nothing to glob, so synthesize empty.
+    val batchDirs = new java.io.File(out.toString).listFiles()
+    if (batchDirs == null || batchDirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streaming.schema)
+    else spark.read.schema(streaming.schema).parquet(batchDirs.map(_.toString): _*)
   }
 
   /** B4+B47+B50+B51 end-to-end: streaming file source → 0s watermark →

@@ -149,6 +149,28 @@ class LlmSpec extends AnyFunSuite {
     assert(recallL >= 0.9, s"IVF recall with k-means centroids too low: $recallL")
   }
 
+  test("B62 bruteForceTopK rank order matches the window formulation exactly") {
+    import spark.implicits._
+    import graft.functions.Vec
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val agg = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val win = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(agg == win, s"topk_agg disagrees with window top-k:\n  agg-only=${(agg -- win).take(5)}\n  win-only=${(win -- agg).take(5)}")
+  }
+
   test("B62 k-means on tight clusters recovers a pure partition") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
