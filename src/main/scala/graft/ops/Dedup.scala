@@ -188,6 +188,57 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Duplicate-cluster formation — the dedup endgame a training-data
+    * pipeline actually ships: LSH candidate pairs are only EDGES; keeping
+    * one survivor per near-dup GROUP requires the connected components of
+    * that edge set (doc A~B, B~C must collapse to one cluster even though
+    * A,C never shared a bucket). Components come from
+    * [[connectedComponents]]; cluster_id = min doc_id in the component,
+    * so the survivor rule (`doc_id == cluster_id`) is deterministic.
+    */
+  def dupClusters(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id")),
+      minhashCandidatesMd5(docs, n, bands, rowsPerBand))
+
+  /** Connected components by iterative min-label propagation, all
+    * DataFrame ops: each round every node takes the min label over itself
+    * and its neighbors; fixpoint in O(component diameter) rounds.
+    *
+    * Scale shape: one equi-join + one key-shuffle aggregation per round —
+    * the same per-round cost profile as large-scale CC implementations
+    * (GraphX/Pregel CC is this exact exchange); near-dup components are
+    * shallow (dup groups, not social graphs), so rounds stay small. Each
+    * round's label table is localCheckpoint'ed to cut compounding lineage
+    * (same rationale as k-means in [[Similarity.kmeansCentroids]]); at
+    * 100 TB the label table would live in real storage between rounds.
+    * The per-round convergence `count` is a driver-side scalar of an
+    * aggregated job, not a collect of data.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = e.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
     * permutations) — used to rank candidates without re-tokenizing.
     */

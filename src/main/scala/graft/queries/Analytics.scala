@@ -109,6 +109,72 @@ object Analytics extends QueryModule {
         .groupBy("stage").agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("stage")
     }),
+
+    // TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem per
+    // order, HAVING-filter on the summed quantity, then join the small
+    // surviving set to orders+customer. The agg-before-join order matters
+    // at scale: the 3-way join only ever sees qualifying orderkeys.
+    "q_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (idle wealthy customers): above-average balance AND
+    // no RECENT orders — scalar subquery for the average, anti join for
+    // "no orders since the cutoff", grouped by market segment. (Every
+    // fixture customer has *some* order, so the unwindowed Q22 predicate
+    // would be vacuously empty; the cutoff keeps the anti join load-bearing.)
+    "q_idle_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // SCD1 / latest-record-per-key: newest order per customer via max_by
+    // over a (date, orderkey) struct — partial-aggregating shuffle that
+    // moves ONE row per key per partition, not a whole-partition window
+    // sort; the composite key makes the pick deterministic on date ties.
+    "q_scd1_latest" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+        .select(col("o_custkey"), col("last.o_orderkey").as("last_orderkey"),
+          col("last.o_orderdate").as("last_orderdate"),
+          col("last.o_totalprice").as("last_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // B33 exact percentiles (interpolated): quartiles + p95 of extended
+    // price per return flag — Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition.
+    "q_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +244,44 @@ object Analytics extends QueryModule {
         |  UNION ALL SELECT '2_clicked', user_id FROM cl
         |  UNION ALL SELECT '3_purchased', user_id FROM p)
         |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity),2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_idle_customers" ->
+      """SELECT c_mktsegment,
+        | count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_scd1_latest" ->
+      """SELECT o_custkey,
+        | last_orderkey, last_orderdate, last_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey AS last_orderkey,
+        |    o_orderdate AS last_orderdate, o_totalprice AS last_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document scoring: duplicate
+  * CLUSTER formation (connected components over LSH candidate edges),
+  * TF-IDF term weighting, and text normalization — the multi-stage pieces
+  * a 100 TB training-data pipeline runs between raw ingest and tokenizer.
+  * All three are fully oracle-verifiable: the md5-permutation LSH path
+  * keeps edges portable, and DuckDB's recursive CTE reproduces the
+  * transitive closure the Spark label-propagation loop converges to.
+  */
+object Curation extends QueryModule {
+
+  /** Shared md5-LSH parameters (n-gram size, bands, rows per band) — must
+    * stay in lockstep with the CTE constants in the q_dup_clusters oracle.
+    */
+  private val N = 3
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  val queries: Map[String, Q] = Map(
+    // Near-dup groups: LSH pair edges -> connected components ->
+    // min-doc_id survivor per cluster. Emits every doc with its cluster
+    // and survivor flag (the projection a dedup-keep pass filters on).
+    "q_dup_clusters" -> ((s, dir) => {
+      Dedup.dupClusters(Tables.documents(s, dir), N, Bands, RowsPerBand)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top-3 terms per document. df/N come from two key-shuffle
+    // aggregations; the doc-count scalar is a broadcast single-row cross
+    // join (no driver action). Top-3 per doc is a window over doc_id —
+    // bounded group size (distinct terms per doc), high-cardinality
+    // partition key, so no degenerate single-task sort at scale.
+    "q_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Normalization pass: lowercase, strip non-alphanumerics, collapse
+    // runs of whitespace, trim — pure codegen'd regex chain, shuffle-free.
+    "q_text_normalize" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_chars_norm"),
+          size(split(col("norm"), " ")).as("n_tokens_norm"),
+          substring(col("norm"), 1, 40).as("head40"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  /** The edge-generating CTEs (ex/mh/bd/cand) mirror q_minhash_pairs_md5
+    * with the same N/Bands/RowsPerBand constants; `reach` is the
+    * transitive closure, so min(dst) per src is exactly the label the
+    * propagation loop converges to.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      """WITH RECURSIVE ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+        |bd AS (
+        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | CAST(coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+        | CAST(CASE WHEN coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id
+        |      THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln((n.n_docs + 1.0)/(dfreq.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        | CAST(length(norm) AS INTEGER) AS n_chars_norm,
+        | CAST(len(string_split(norm,' ')) AS INTEGER) AS n_tokens_norm,
+        | substring(norm, 1, 40) AS head40
+        |FROM (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

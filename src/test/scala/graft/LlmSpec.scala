@@ -94,6 +94,40 @@ class LlmSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"md5 LSH missed near-dup pairs: $missed")
   }
 
+  test("connected components: chains collapse transitively, singletons self-cluster") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6-7-8 (diameter 7) forces multiple propagation
+    // rounds; 10-11 is an independent component; 20 is a singleton node
+    val nodes = (1L to 8L).union(Seq(10L, 11L, 20L)).toDF("doc_id")
+    val edges = (1L to 7L).map(i => (i, i + 1)).union(Seq((10L, 11L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(got(_) == 1L), s"chain did not collapse: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L)
+  }
+
+  test("dupClusters groups injected near-duplicates and keeps min-id survivors") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf001).limit(10)
+    // two mutated generations of each doc: base ~ gen1 ~ gen2
+    val gen1 = base.withColumn("doc_id", col("doc_id") + 5000)
+      .withColumn("text", concat(col("text"), lit(" tailtok")))
+    val gen2 = base.withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" tailtok moretok")))
+    val corpus = base.unionByName(gen1).unionByName(gen2)
+    val clusters = Dedup.dupClusters(corpus, n = 3, bands = 8, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toMap
+    val baseIds = base.select("doc_id").as[Long].collect()
+    // every generation chain lands in its base doc's cluster
+    baseIds.foreach { id =>
+      assert(clusters(id + 5000) == clusters(id) && clusters(id + 10000) == clusters(id),
+        s"chain for doc $id split: ${clusters(id)}, ${clusters(id + 5000)}, ${clusters(id + 10000)}")
+      assert(clusters(id) <= id, "cluster label is not a min doc_id")
+    }
+  }
+
   test("B60 SimHash locality: near-identical docs have small hamming distance") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).limit(20)
