@@ -58,6 +58,22 @@ object Curation extends QueryModule {
         .orderBy("doc_id", "rnk")
     }),
 
+    // URL metadata extraction (web-corpus curation): documents get a
+    // deterministic synthetic URL (the fixture has no URL column), then
+    // Spark's parse_url pulls host/path/query-param — the
+    // provenance-tagging pass a crawl pipeline runs per document.
+    "q_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+        .orderBy("doc_id")
+    }),
+
     // Normalization pass: lowercase, strip non-alphanumerics, collapse
     // runs of whitespace, trim — pure codegen'd regex chain, shuffle-free.
     "q_text_normalize" -> ((s, dir) => {
@@ -129,6 +145,17 @@ object Curation extends QueryModule {
         |    ORDER BY tfidf DESC, term) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_url_parse" ->
+      """SELECT doc_id,
+        | regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        | regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+        | regexp_extract(url, 'lang=(.*)$', 1) AS lang_param
+        |FROM (
+        |  SELECT doc_id, 'https://' || source || '.example.com/docs/' ||
+        |    CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

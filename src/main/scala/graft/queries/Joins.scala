@@ -128,6 +128,21 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // Bloom-prefiltered fact⋈dim join: high-value orders' keys become a
+    // broadcast Bloom filter that prunes lineitem BEFORE the join
+    // shuffle; the exact join then removes the false positives, so the
+    // result is identical to the plain join (which is the oracle).
+    "q_bloom_join" -> ((s, dir) => {
+      val hot = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      val pre = graft.ops.BloomJoin.semiFilter(
+        Tables.lineitem(s, dir), "l_orderkey", hot, "o_orderkey", 100000L)
+      pre.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // B26 self join: consecutive line numbers within an order.
     "q_self_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -216,5 +231,15 @@ object Joins extends QueryModule {
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         | AND b.l_linenumber = a.l_linenumber + 1
         |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+
+    // The Bloom prefilter never drops a matching row, so the oracle is
+    // simply the unfiltered exact join.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

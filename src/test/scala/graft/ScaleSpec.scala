@@ -38,6 +38,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bloom semiFilter keeps every matching row and actually prunes") {
+    val li = Tables.lineitem(spark, sf001)
+    val hot = Tables.orders(spark, sf001).filter(col("o_totalprice") > 450000)
+    val pre = graft.ops.BloomJoin.semiFilter(li, "l_orderkey", hot, "o_orderkey", 100000L)
+    // no false negatives: the exact semi join result is fully contained
+    val trueMatches = li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(trueMatches.exceptAll(pre).isEmpty,
+      "bloom prefilter dropped a matching row (false negative)")
+    // and the filter is load-bearing: most non-matching rows are gone
+    val (total, kept) = (li.count(), pre.count())
+    assert(kept < total / 2, s"bloom filter pruned almost nothing: $kept of $total")
+    // shape: the bloom is a literal filter on the fact scan — no shuffle
+    // exchange or join node is introduced by the prefilter itself
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom filter missing from plan")
+    assert(!plan.contains("Exchange"), "bloom prefilter introduced a shuffle")
+  }
+
   test("bucketed tables co-locate the join (no shuffle exchange in plan)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
