@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-for-bit parity with the HOF form ([[graft.ops.Dedup.minhashSignature]])
   * is guaranteed by reusing XxHash64Function with the same seed chain as
-  * the `xxhash64(shingle, i)` builtin: h = xxh64(int i, seed = xxh64(s, 42)).
+  * its `xxhash64(xxhash64(s), i)` derivation: base = xxh64(s, 42), then
+  * h_i = xxh64(int i, seed = xxh64(long base, 42)) — the string is hashed
+  * once, permutations derive from the fixed-width base.
   *
   * Usage (after [[MinHashAgg.register]]):
   * {{{ explodedShingles.groupBy("doc_id").agg(expr("minhash_agg(shingle, 32)")) }}}
@@ -43,10 +45,11 @@ case class MinHashAgg(
     val v = left.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      val base = XxHash64Function.hash(s, StringType, 42L)
+      val seed = XxHash64Function.hash(base, LongType, 42L)
       var i = 1
       while (i <= numPerm) {
-        val h = XxHash64Function.hash(i, IntegerType, h1)
+        val h = XxHash64Function.hash(i, IntegerType, seed)
         if (h < buf(i - 1)) buf(i - 1) = h
         i += 1
       }

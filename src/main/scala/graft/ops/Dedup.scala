@@ -71,18 +71,29 @@ object Dedup {
     * xxhash64(shingle, i). numPerm longs per doc — constant size
     * regardless of document length.
     *
-    * Shape note: iterate shingles OUTER and permutations INNER, folding
-    * an elementwise-min accumulator. The naive per-permutation
-    * `array_min(transform(shingles, ...))` re-evaluates the shingle
-    * construction (slices + concats) once per permutation — measured
-    * ~10x slower at 32 perms.
+    * Shape notes:
+    *  - iterate shingles OUTER and permutations INNER, folding an
+    *    elementwise-min accumulator. The naive per-permutation
+    *    `array_min(transform(shingles, ...))` re-evaluates the shingle
+    *    construction (slices + concats) once per permutation — measured
+    *    ~10x slower at 32 perms.
+    *  - hash the shingle STRING only once (`xxhash64(s)`), binding the
+    *    64-bit base as a lambda variable, then derive the numPerm
+    *    permutation values from it (`xxhash64(base, i)` hashes a
+    *    long+int, independent of shingle length). The earlier
+    *    `xxhash64(s, i)` form re-hashed the full string per
+    *    permutation — O(len·numPerm) vs O(len + numPerm) work. (The
+    *    binding must be a lambda variable: HOF lambdas are interpreted,
+    *    so a nested `xxhash64(xxhash64(s), i)` would still re-hash the
+    *    string once per permutation.)
     */
   def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
     aggregate(
-      transform(shingles(text, n),
-        s => transform(sequence(lit(1), lit(numPerm)), i => xxhash64(s, i))),
+      transform(shingles(text, n), s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), numPerm),
-      (acc, h) => zip_with(acc, h, (a, b) => least(a, b)))
+      (acc, b) => zip_with(acc,
+        transform(sequence(lit(1), lit(numPerm)), i => xxhash64(b, i)),
+        (a, h) => least(a, h)))
 
   /** One-pass MinHash signatures via the native Catalyst aggregate
     * ([[graft.functions.MinHashAgg]]): explode shingles, aggregate by
@@ -170,8 +181,12 @@ object Dedup {
     // repeated calls don't leak cached blocks. At 100 TB, signatures
     // are written to real storage instead (and localCheckpoint's
     // no-recompute-on-executor-loss caveat goes away with them).
+    // Signature via the native single-pass expression (bit-identical to
+    // the HOF minhashSignature, ~2x faster — no interpreted-lambda
+    // allocations per shingle; parity asserted in LlmSpec).
+    graft.functions.MinHashSig.register(docs.sparkSession)
     val sigs = Par.spread(docs)
-      .select(col("doc_id"), minhashSignature(col("text"), n, numPerm).as("sig"))
+      .select(col("doc_id"), expr(s"minhash_sig(text, $n, $numPerm)").as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

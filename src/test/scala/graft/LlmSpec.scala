@@ -61,6 +61,15 @@ class LlmSpec extends AnyFunSuite {
     assert(agg.keySet == hof.keySet)
     val diffs = hof.keys.filter(k => hof(k) != agg(k))
     assert(diffs.isEmpty, s"signatures differ for docs: ${diffs.take(5)}")
+    // and the native scalar expression (the production path inside
+    // minhashCandidates) matches both
+    graft.functions.MinHashSig.register(spark)
+    val native = docs.select(col("doc_id"),
+        expr("minhash_sig(text, 2, 32)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == hof.keySet)
+    val ndiffs = hof.keys.filter(k => hof(k) != native(k))
+    assert(ndiffs.isEmpty, s"native sigs differ for docs: ${ndiffs.take(5)}")
   }
 
   test("B60 LSH candidates include every truly-similar pair (no false negatives)") {
