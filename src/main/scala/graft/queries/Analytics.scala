@@ -175,6 +175,27 @@ object Analytics extends QueryModule {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")
     }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-table join — lineitem
+    // shuffle-joins orders (both big, on their keys); supplier and the
+    // nation⋈region dim chain broadcast; the c_nationkey = s_nationkey
+    // residual makes it a genuinely multi-way plan, not a star.
+    "q_local_supplier_volume" -> ((s, dir) => {
+      val asia = Tables.nation(s, dir).join(
+        broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +304,19 @@ object Analytics extends QueryModule {
         | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
         | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_local_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
   )
 }

@@ -88,6 +88,54 @@ object Curation extends QueryModule {
           substring(col("norm"), 1, 40).as("head40"))
         .orderBy("doc_id")
     }),
+
+    // Deterministic content-hashed train/val/test split — the assignment
+    // must be a pure function of content (not rand()) so re-runs,
+    // retries, and incremental appends land every doc in the same split.
+    // First hex nibble of md5(text): 0..b→train (75%), c..d→val (12.5%),
+    // e..f→test (12.5%). Shuffle-free scan + one tiny agg.
+    "q_train_test_split" -> ((s, dir) => {
+      val nib = substring(md5(col("text")), 1, 1)
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(nib < "c", "train").when(nib < "e", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    }),
+
+    // Vocabulary-level fuzzy matching: levenshtein over DISTINCT part
+    // names. Distinct-first keeps the pairwise comparison quadratic in
+    // the VOCABULARY (64 names here, ~10^4 pairs), not the corpus — the
+    // shape that survives 100 TB, where the name dictionary stays small
+    // even as rows explode. Both sides are post-distinct and tiny, so
+    // the cross pairing broadcasts.
+    "q_edit_distance" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(broadcast(b), col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // Inverted index (search-side of a corpus store): term -> document
+    // frequency + first postings. One explode + one groupBy(term)
+    // shuffle; postings stay bounded in the output via slice, while df
+    // is exact. collect_set dedups in-group (term repeated in a doc).
+    "q_inverted_index" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          concat_ws(",", transform(
+            slice(sort_array(collect_set(col("doc_id"))), 1, 10),
+            x => x.cast("string"))).as("postings10"))
+        .orderBy("term")
+    }),
   )
 
   /** The edge-generating CTEs (ex/mh/bd/cand) mirror q_minhash_pairs_md5
@@ -168,5 +216,29 @@ object Curation extends QueryModule {
         |    ' +', ' ', 'g')) AS norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT CASE WHEN substr(md5(text),1,1) < 'c' THEN 'train'
+        |            WHEN substr(md5(text),1,1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | round(avg(n_chars),4) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_inverted_index" ->
+      """SELECT term, count(DISTINCT doc_id) AS df,
+        | array_to_string(list_sort(list_distinct(list(doc_id)))[1:10], ',') AS postings10
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        |      FROM documents)
+        |GROUP BY term ORDER BY term""".stripMargin,
   )
 }

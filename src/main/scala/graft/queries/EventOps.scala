@@ -37,6 +37,36 @@ object EventOps extends QueryModule {
 
     // B49+B50 real streaming session windows, append mode.
     "q_streaming_sessions" -> ((s, dir) => StreamOps.sessionPipeline(s, dir)),
+
+    // Anomaly detection: per-event-type z-score of `value`; flag events
+    // beyond 2.5 sigma. Two window functions over ONE partitioning (one
+    // shuffle on event_type); no collect, no second pass over the data.
+    "q_zscore_outliers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .withColumn("z", (col("value") - avg("value").over(w)) /
+          stddev_samp(col("value")).over(w))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Time-decayed engagement score: recent events count more, with a
+    // 7-day exponential half-life-ish decay anchored at the corpus max
+    // timestamp. The anchor is a 1-row broadcast (no window over the
+    // whole table); age math stays on exact integer microseconds so both
+    // engines see identical doubles.
+    "q_time_decay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("decay",
+          exp((unix_micros(col("ts")) - col("mx")).cast("double") / 86400e6 / lit(7.0)))
+        .groupBy("user_id")
+        .agg(round(sum(col("value") * col("decay")), 4).as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +153,24 @@ object EventOps extends QueryModule {
         |JOIN (VALUES ('click',1.0),('view',0.5),('purchase',10.0),('signup',5.0),('error',0.0)) w(event_type, weight)
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """SELECT event_id, event_type, round(z, 4) AS z FROM (
+        |  SELECT event_id, event_type,
+        |    (value - avg(value) OVER (PARTITION BY event_type)) /
+        |      stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        |  FROM events) t
+        |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+
+    "q_time_decay" ->
+      """WITH anchor AS (
+        |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events)
+        |SELECT user_id,
+        | round(sum(value * exp(
+        |   CAST(epoch_us(CAST(ts AS TIMESTAMP)) - mx AS DOUBLE) / 86400e6 / 7.0)), 4)
+        |   AS decayed_value,
+        | count(*) AS n_events
+        |FROM events CROSS JOIN anchor
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

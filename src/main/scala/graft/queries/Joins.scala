@@ -153,6 +153,22 @@ object Joins extends QueryModule {
           round(col("qb") - col("qa"), 4).as("qty_delta"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+
+    // Skew-mitigated join under the oracle: documents is skewed on
+    // `lang` (5 values), so the per-lang dim join runs through
+    // Skew.saltedJoin — the hot key spreads over 8 salt buckets while
+    // the 5-row dim replicates 8x. The oracle is the plain join: salting
+    // must be result-invariant.
+    "q_skew_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val langStats = Tables.documents(s, dir).groupBy("lang")
+        .agg(avg(col("n_chars")).as("lang_avg_chars"))
+      graft.ops.Skew.saltedJoin(docs, langStats, "lang", 8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") > col("lang_avg_chars"), 1).otherwise(0)).as("n_above_avg"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +247,15 @@ object Joins extends QueryModule {
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         | AND b.l_linenumber = a.l_linenumber + 1
         |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+
+    // Salting must not change the result: the oracle is the plain join.
+    "q_skew_join" ->
+      """WITH ls AS (
+        |  SELECT lang, avg(n_chars) AS lang_avg_chars FROM documents GROUP BY lang)
+        |SELECT d.lang AS lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN d.n_chars > ls.lang_avg_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM documents d JOIN ls ON d.lang = ls.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // The Bloom prefilter never drops a matching row, so the oracle is
     // simply the unfiltered exact join.

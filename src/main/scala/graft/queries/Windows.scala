@@ -83,6 +83,21 @@ object Windows extends QueryModule {
           round(sum(col("l_quantity")).over(wq.rangeBetween(-5, 0)), 4).as("range_sum"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
+
+    // B37 ntile feature binning: order values -> deciles -> per-bin
+    // stats (the quantile-bucketing pass ML feature pipelines run).
+    // Tie-broken by o_orderkey so bin assignment is deterministic.
+    "q_ntile_bins" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(avg(col("o_totalprice")), 4).as("mean"))
+        .orderBy("decile")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,5 +150,16 @@ object Windows extends QueryModule {
         |   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS range_sum
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_ntile_bins" ->
+      """SELECT decile, count(*) AS n,
+        | round(min(o_totalprice),2) AS lo,
+        | round(max(o_totalprice),2) AS hi,
+        | round(avg(o_totalprice),4) AS mean
+        |FROM (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |  FROM orders) t
+        |GROUP BY decile ORDER BY decile""".stripMargin,
   )
 }
