@@ -176,6 +176,26 @@ object Analytics extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Winsorization (outlier capping for feature pipelines): clip
+    // extended price to the per-flag [p01, p99] band. The percentile
+    // table is 3 rows -> broadcast back; the data pays one scan + one
+    // map-side join, no second shuffle.
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pct = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      li.join(broadcast(pct), "l_returnflag")
+        .withColumn("capped",
+          greatest(least(col("l_extendedprice"), col("p99")), col("p01")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 4).as("avg_raw"),
+          round(avg(col("capped")), 4).as("avg_winsorized"),
+          round(max(col("capped")), 4).as("max_winsorized"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q5 shape (local supplier volume): 6-table join — lineitem
     // shuffle-joins orders (both big, on their keys); supplier and the
     // nation⋈region dim chain broadcast; the c_nationkey = s_nationkey
@@ -304,6 +324,19 @@ object Analytics extends QueryModule {
         | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
         | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS p01,
+        |    quantile_cont(l_extendedprice, 0.99) AS p99
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, count(*) AS n,
+        | round(avg(l_extendedprice), 4) AS avg_raw,
+        | round(avg(greatest(least(l_extendedprice, p99), p01)), 4) AS avg_winsorized,
+        | round(max(greatest(least(l_extendedprice, p99), p01)), 4) AS max_winsorized
+        |FROM lineitem li JOIN pct ON li.l_returnflag = pct.l_returnflag
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
 
     "q_local_supplier_volume" ->
       """SELECT n_name,

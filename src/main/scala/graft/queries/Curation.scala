@@ -122,6 +122,29 @@ object Curation extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // End-to-end curation composite — the filter chain a corpus build
+    // actually ships, stacked in one plan: exact dedup (keep min doc_id
+    // per content digest) -> language whitelist -> token-length band ->
+    // deterministic split assignment -> per-(lang, split) stats. One
+    // digest shuffle + one final agg shuffle; everything between is
+    // scan-local, and Catalyst pushes the lang/token filters below the
+    // window where legal.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      val nib = substring(col("digest"), 1, 1)
+      Tables.documents(s, dir)
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("lang").isin("en", "de", "fr") && col("n_tokens").between(5, 500))
+        .withColumn("split",
+          when(nib < "c", "train").when(nib < "e", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     // Inverted index (search-side of a corpus store): term -> document
     // frequency + first postings. One explode + one groupBy(term)
     // shuffle; postings stay bounded in the output via slice, while df
@@ -233,6 +256,24 @@ object Curation extends QueryModule {
         |FROM names a JOIN names b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH dedup AS (
+        |  SELECT *, md5(text) AS digest,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |kept AS (
+        |  SELECT lang, digest, len(string_split(text, ' ')) AS n_tokens
+        |  FROM dedup
+        |  WHERE rn = 1 AND lang IN ('en','de','fr')
+        |    AND len(string_split(text, ' ')) BETWEEN 5 AND 500)
+        |SELECT lang,
+        | CASE WHEN substr(digest,1,1) < 'c' THEN 'train'
+        |      WHEN substr(digest,1,1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | round(avg(n_tokens), 4) AS avg_tokens
+        |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q_inverted_index" ->
       """SELECT term, count(DISTINCT doc_id) AS df,

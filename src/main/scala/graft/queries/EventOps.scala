@@ -51,6 +51,37 @@ object EventOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // B39 time-based frame: rolling 1-hour count/sum per user via a
+    // RANGE BETWEEN INTERVAL frame — the batch twin of a sliding
+    // stream aggregation, one shuffle on user_id. RANGE (not ROWS)
+    // makes tied timestamps peers, so the result is deterministic.
+    "q_rolling_1h" -> ((s, dir) => {
+      val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_1h", expr(s"count(*) $frame"))
+        .withColumn("sum_1h", expr(s"round(sum(value) $frame, 4)"))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
+    // SCD2 history construction (the CDC-side of a warehouse load):
+    // each per-user event becomes a validity interval
+    // [ts, next_ts) via lead(); the open interval is the current row.
+    // One shuffle on user_id; interval assembly is pure window work.
+    "q_scd2_intervals" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // Time-decayed engagement score: recent events count more, with a
     // 7-day exponential half-life-ish decay anchored at the corpus max
     // timestamp. The anchor is a 1-row broadcast (no window over the
@@ -153,6 +184,25 @@ object EventOps extends QueryModule {
         |JOIN (VALUES ('click',1.0),('view',0.5),('purchase',10.0),('signup',5.0),('error',0.0)) w(event_type, weight)
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_rolling_1h" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | round(sum(value) OVER w, 4) AS sum_1h
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """SELECT user_id, event_id,
+        | CAST(ts AS TIMESTAMP) AS valid_from,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_zscore_outliers" ->
       """SELECT event_id, event_type, round(z, 4) AS z FROM (
