@@ -165,6 +165,21 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable HLL sketches — the sketch lifecycle that matters at
+    // 100 TB: build a sketch per source partition (here: per `source`),
+    // then MERGE the fixed-size sketches instead of re-scanning the
+    // data (hll_union_agg). Rows-only (approx by nature); StatSpec
+    // bounds the union estimate against the exact distinct count.
+    "q_hll_union" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          countDistinct(col("doc_id")).as("exact"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+          sum(col("exact")).as("exact_total"),
+          count(lit(1)).as("n_sources"))
+    }),
+
     // B56 scalar UDF (1→1 bolt escape hatch), algebraically expandable.
     "q_scalar_udf" -> ((s, dir) => {
       val netPrice = udf((p: Double, d: Double) => p * (1.0 - d))

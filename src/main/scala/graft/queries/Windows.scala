@@ -87,6 +87,10 @@ object Windows extends QueryModule {
     // B37 ntile feature binning: order values -> deciles -> per-bin
     // stats (the quantile-bucketing pass ML feature pipelines run).
     // Tie-broken by o_orderkey so bin assignment is deterministic.
+    // Scale note: an unpartitioned ntile windows through ONE task (exact
+    // global ranks demand it); at 100 TB the same binning is done with
+    // approx_percentile boundaries + width_bucket — exactness here is
+    // what makes the oracle hash-match.
     "q_ntile_bins" -> ((s, dir) => {
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, dir)

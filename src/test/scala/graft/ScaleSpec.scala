@@ -215,4 +215,41 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("EVERY harness query plans scale-safe (global nested-loop/cartesian sweep)") {
+    // The generalization of the check above: any future query that
+    // accidentally plans a cartesian or nested-loop join fails here, not
+    // in a 100 TB run. Whitelisted exceptions are the queries whose
+    // non-equi/cross shape is the DECLARED semantics over a provably
+    // tiny side:
+    //   q_cross_join      — B23 cross join is the operator itself (5x3 dims)
+    //   q_cosine_topk     — corpus x broadcast 1-row query set (B61 baseline)
+    //   q_ann_ivf         — probe-pruned corpus x broadcast few-row query set
+    //   q_edit_distance   — 64-name DISTINCT vocabulary, both sides tiny
+    //   q_date_spine      — calendar sequence (1 row per day) range join
+    //   q_part_pairs      — within-order pair mining, bounded fan-out
+    // Streaming end-to-end queries execute on construction, so they are
+    // exercised (not planned) elsewhere and skipped here.
+    // A second allowed shape: a 1-ROW broadcast anchor (global scalar —
+    // corpus max ts, total doc count, global avg) cross-joined back into
+    // the data. A nested-loop join whose build side is one row is a
+    // linear pass — the standard way to attach a global scalar without
+    // collapsing the data to one partition.
+    val allowNonEqui = Set("q_cross_join", "q_cosine_topk", "q_ann_ivf",
+      "q_edit_distance", "q_date_spine", "q_part_pairs",
+      "q_join_range", // B22: the non-equi band join IS the operator
+      "q_time_decay", "q_tfidf", "q_idle_customers") // 1-row anchors
+    val skip = Set("q_streaming_pipeline", "q_streaming_sessions")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip).filterNot(allowNonEqui)
+      .flatMap { q =>
+        val plan = graft.SparkEntry.queries(q)(spark, sf001)
+          .queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(q)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning nested-loop/cartesian joins: $offenders")
+  }
 }

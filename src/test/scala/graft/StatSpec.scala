@@ -65,6 +65,24 @@ class StatSpec extends AnyFunSuite {
     assert(train.exceptAll(train2).isEmpty)
   }
 
+  test("HLL sketch union estimate tracks the exact distinct count (q_hll_union)") {
+    import spark.implicits._
+    val row = graft.SparkEntry.queries("q_hll_union")(spark, sf001)
+      .select(col("est_union").cast("double"), col("exact_total").cast("double"))
+      .as[(Double, Double)].head()
+    val (est, exact) = row
+    assert(exact > 0)
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"HLL union estimate $est vs exact $exact (>5% off)")
+    // the merge is also exercised piecewise: unioning per-source sketches
+    // must estimate the same universe as one global sketch
+    val global = Tables.documents(spark, sf001)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").cast("double"))
+      .as[Double].head()
+    assert(math.abs(est - global) / global < 0.02,
+      s"piecewise union $est vs single sketch $global diverge")
+  }
+
   test("approxQuantile brackets the exact quantiles at the stated error") {
     val li = Tables.lineitem(spark, TestSpark.sf01)
     val Array(q25, q50, q75) =
