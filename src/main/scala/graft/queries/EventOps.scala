@@ -38,6 +38,11 @@ object EventOps extends QueryModule {
     // B49+B50 real streaming session windows, append mode.
     "q_streaming_sessions" -> ((s, dir) => StreamOps.sessionPipeline(s, dir)),
 
+    // B25 real stream–stream interval join (clicks ⋈ purchases within
+    // 1h per user), run to completion and exactly equal to the batch
+    // join — see StreamOps.joinPipeline.
+    "q_streaming_join" -> ((s, dir) => StreamOps.joinPipeline(s, dir)),
+
     // Anomaly detection: per-event-type z-score of `value`; flag events
     // beyond 2.5 sigma. Two window functions over ONE partitioning (one
     // shuffle on event_type); no collect, no second pass over the data.
@@ -184,6 +189,19 @@ object EventOps extends QueryModule {
         |JOIN (VALUES ('click',1.0),('view',0.5),('purchase',10.0),('signup',5.0),('error',0.0)) w(event_type, weight)
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // Inner interval join: the streaming run emits exactly the batch
+    // matches (watermarks only bound state retention, never drop inner
+    // matches on bounded input).
+    "q_streaming_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | CAST(c.ts AS TIMESTAMP) AS c_ts, CAST(p.ts AS TIMESTAMP) AS p_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_rolling_1h" ->
       """SELECT event_id, user_id,

@@ -451,6 +451,21 @@ object StreamOps {
     runBounded(spark, sessionAgg(src)).orderBy("user_id", "session_start")
   }
 
+  /** B25 end-to-end: a REAL stream–stream interval join run to
+    * completion — two readStream sources over the same events file
+    * (clicks, purchases), watermarked both sides, inner-joined on
+    * user + 1-hour interval, landed via the idempotent foreachBatch
+    * sink. INNER interval joins emit every match (append-mode
+    * withholding only affects outer sides), so the bounded result
+    * equals the batch join exactly and the oracle is plain SQL.
+    */
+  def joinPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir).filter(col("event_type") === "click")
+    val purchases = eventsStream(spark, sfDir).filter(col("event_type") === "purchase")
+    runBounded(spark, clickPurchaseJoin(clicks, purchases))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** B25 stream–stream interval join: purchases within 1 hour after a
     * click by the same user; watermarks bound both join-state sides.
     */
