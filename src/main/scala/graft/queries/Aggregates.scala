@@ -180,6 +180,19 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("n_sources"))
     }),
 
+    // Frequent-items sketch (approx_top_k): heavy-hitter detection in
+    // one pass, mergeable like the HLL above. With 5 distinct types the
+    // sketch tracks every item exactly, so — unusually for a sketch —
+    // the oracle is the exact top-3; StatSpec covers the
+    // accumulate/combine merge path where approximation would appear.
+    "q_freq_types" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy("event_type")
+    }),
+
     // B56 scalar UDF (1→1 bolt escape hatch), algebraically expandable.
     "q_scalar_udf" -> ((s, dir) => {
       val netPrice = udf((p: Double, d: Double) => p * (1.0 - d))
@@ -191,6 +204,13 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact because 5 distinct values < the sketch's tracking capacity.
+    "q_freq_types" ->
+      """SELECT event_type, n FROM (
+        |  SELECT event_type, count(*) AS n FROM events
+        |  GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3)
+        |ORDER BY event_type""".stripMargin,
+
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

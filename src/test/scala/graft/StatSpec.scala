@@ -83,6 +83,24 @@ class StatSpec extends AnyFunSuite {
       s"piecewise union $est vs single sketch $global diverge")
   }
 
+  test("approx_top_k accumulate/combine merge equals the single-pass sketch") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf001)
+    // partial sketches per shard, combined — the distributed lifecycle
+    val merged = ev.withColumn("shard", pmod(col("user_id"), lit(4)))
+      .groupBy("shard")
+      .agg(expr("approx_top_k_accumulate(event_type, 10)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 10), 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).as[(String, Long)]
+      .collect().toMap
+    val direct = ev.agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).as[(String, Long)]
+      .collect().toMap
+    assert(merged == direct, s"merged $merged vs direct $direct")
+  }
+
   test("approxQuantile brackets the exact quantiles at the stated error") {
     val li = Tables.lineitem(spark, TestSpark.sf01)
     val Array(q25, q50, q75) =
