@@ -180,6 +180,25 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("n_sources"))
     }),
 
+    // Incremental view maintenance: yesterday's stored PARTIAL
+    // aggregates merge with today's delta instead of re-scanning
+    // history — the pattern that turns an O(history) daily job into
+    // O(delta). Algebraic aggregates (count/sum) merge exactly, so the
+    // oracle is the full recompute.
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = "2024-01-15"
+      // "stored" partials over history; in production these are read
+      // back from the previous run's sink, not recomputed
+      val base = ev.filter(col("ts") < cutoff).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      val delta = ev.filter(col("ts") >= cutoff).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      base.unionByName(delta).groupBy("event_type")
+        .agg(sum(col("n")).as("n"), round(sum(col("s")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Frequent-items sketch (approx_top_k): heavy-hitter detection in
     // one pass, mergeable like the HLL above. With 5 distinct types the
     // sketch tracks every item exactly, so — unusually for a sketch —
@@ -204,6 +223,11 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // Partial-merge must equal full recompute.
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Exact because 5 distinct values < the sketch's tracking capacity.
     "q_freq_types" ->
       """SELECT event_type, n FROM (

@@ -56,6 +56,21 @@ object ScanOps extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_json_scan" -> ((s, dir) => rtAgg(roundTrip(s, dir, "json"))),
     "q_csv_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "csv"))),
+
+    // Z-order (Morton) clustering key over (customer, order-day) — the
+    // multi-dimensional layout key that makes parquet min/max stats
+    // prune on EITHER dimension after
+    // `repartitionByRange(z).sortWithinPartitions(z)`. Pure bit
+    // arithmetic, so the identical shift chain runs in the oracle and
+    // the z-values hash-match end to end.
+    "q_zorder" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zorder2(
+            col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01"))).as("z"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   private val aggSql =
@@ -69,5 +84,24 @@ object ScanOps extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_json_scan" -> aggSql,
     "q_csv_scan" -> aggSql,
+
+    // The same 5-stage Morton spread, one CTE per parallel-prefix step.
+    "q_zorder" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey AS BIGINT) & 4294967295 AS a,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 4294967295 AS b
+        |  FROM orders),
+        |t1 AS (SELECT o_orderkey, (a | (a<<16)) & 281470681808895 AS a,
+        |                          (b | (b<<16)) & 281470681808895 AS b FROM d),
+        |t2 AS (SELECT o_orderkey, (a | (a<<8)) & 71777214294589695 AS a,
+        |                          (b | (b<<8)) & 71777214294589695 AS b FROM t1),
+        |t3 AS (SELECT o_orderkey, (a | (a<<4)) & 1085102592571150095 AS a,
+        |                          (b | (b<<4)) & 1085102592571150095 AS b FROM t2),
+        |t4 AS (SELECT o_orderkey, (a | (a<<2)) & 3689348814741910323 AS a,
+        |                          (b | (b<<2)) & 3689348814741910323 AS b FROM t3),
+        |t5 AS (SELECT o_orderkey, (a | (a<<1)) & 6148914691236517205 AS a,
+        |                          (b | (b<<1)) & 6148914691236517205 AS b FROM t4)
+        |SELECT o_orderkey, a | (b<<1) AS z FROM t5 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -216,6 +216,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder2 is injective and quadrant-monotonic (data-skipping layout key)") {
+    import spark.implicits._
+    val pairs = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("a", "b")
+    val z = pairs.withColumn("z", graft.ops.Layout.zorder2(col("a"), col("b")))
+    // bijective over the domain: no two (a,b) share a z
+    assert(z.select("z").distinct().count() == 64 * 64)
+    // quadrant property: z < 2^(2k) exactly when both dims < 2^k — the
+    // reason min/max file stats prune on either dimension
+    Seq(1, 2, 4, 8, 16, 32).foreach { q =>
+      val inQuad = z.filter(col("a") < q && col("b") < q)
+      assert(inQuad.filter(col("z") >= q.toLong * q).count() == 0,
+        s"z escapes the $q-quadrant")
+      assert(z.filter((col("a") >= q || col("b") >= q) &&
+        col("z") < q.toLong * q).count() == 0,
+        s"out-of-quadrant point maps under ${q.toLong * q}")
+    }
+  }
+
   test("EVERY harness query plans scale-safe (global nested-loop/cartesian sweep)") {
     // The generalization of the check above: any future query that
     // accidentally plans a cartesian or nested-loop join fails here, not
