@@ -235,6 +235,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
+    val li = Tables.lineitem(spark, sf001)
+    val ord = Tables.orders(spark, sf001)
+    def planOf(hint: String): String =
+      li.join(ord.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint ignored")
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
+  }
+
+  test("z-order layout bounds BOTH dimensions per file; 1-col sort does not") {
+    // A full sort on `a` minimizes box AREA too — z-order's actual claim
+    // is bounded per-file EXTENT on every interleaved dimension, so
+    // min/max stats prune scans filtered on either one. Dims must be
+    // scaled to a common bit width first (production z-order writers
+    // range-bucket each column before interleaving, for this reason).
+    val raw = Tables.orders(spark, sf001)
+      .select(col("o_custkey").cast("long").as("a"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("b"))
+    val r = raw.agg(min("a"), max("a"), min("b"), max("b")).head()
+    val (minA, maxA, minB, maxB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val dims = raw.select(
+      ((col("a") - minA) * 1024 / (maxA - minA + 1)).cast("long").as("a"),
+      ((col("b") - minB) * 1024 / (maxB - minB + 1)).cast("long").as("b"))
+    val z = graft.ops.Layout.zorder2(col("a"), col("b"))
+    def avgExtents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val e = df.withColumn("f", spark_partition_id())
+        .groupBy("f")
+        .agg((max(col("a")) - min(col("a"))).cast("double").as("ea"),
+          (max(col("b")) - min(col("b"))).cast("double").as("eb"))
+        .agg(avg(col("ea")), avg(col("eb"))).head()
+      (e.getDouble(0), e.getDouble(1))
+    }
+    val (zA, zB) = avgExtents(dims.repartitionByRange(8, z).sortWithinPartitions(z))
+    val (sA, sB) = avgExtents(
+      dims.repartitionByRange(8, col("a")).sortWithinPartitions(col("a")))
+    // a-sort clusters a tightly but leaves b at ~full range
+    assert(sB > 0.8 * 1024, s"fixture degenerate: a-sort b-extent $sB")
+    // z-order: BOTH dims bounded well below their full range
+    assert(zB < 0.6 * sB, s"z-order b-extent $zB not tighter than a-sort $sB")
+    assert(zA < 0.9 * 1024, s"z-order a-extent $zA unbounded")
+  }
+
   test("EVERY harness query plans scale-safe (global nested-loop/cartesian sweep)") {
     // The generalization of the check above: any future query that
     // accidentally plans a cartesian or nested-loop join fails here, not
