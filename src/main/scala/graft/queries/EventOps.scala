@@ -43,6 +43,38 @@ object EventOps extends QueryModule {
     // join — see StreamOps.joinPipeline.
     "q_streaming_join" -> ((s, dir) => StreamOps.joinPipeline(s, dir)),
 
+    // Impossible-travel detection (fraud/abuse staple): consecutive
+    // events per user get haversine distance over event-derived
+    // deterministic coordinates (the fixture has no geo columns);
+    // speed > 500 km/h between events flags the pair. Exercises the
+    // trig surface (radians/sin/cos/asin/sqrt) + lag windows; one
+    // shuffle on user_id.
+    "q_impossible_travel" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val lat = (col("event_id") * 37 % 17000) / lit(100.0) - 85.0
+      val lon = (col("event_id") * 73 % 36000) / lit(100.0) - 180.0
+      def hav(x: org.apache.spark.sql.Column) = pow(sin(radians(x) / 2), 2)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lat.as("lat"), lon.as("lon"))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .filter(col("pts").isNotNull)
+      val distKm = lit(2 * 6371.0) * asin(sqrt(
+        hav(col("lat") - col("plat")) +
+          cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          hav(col("lon") - col("plon"))))
+      val hours = (unix_micros(col("ts")) - unix_micros(col("pts"))) / lit(3600e6)
+      ev.withColumn("dist_km", distKm).withColumn("hours", hours)
+        .filter(col("hours") > 0.01 && col("dist_km") / col("hours") > 500)
+        .select(col("user_id"), col("event_id"),
+          round(col("dist_km"), 2).as("dist_km"),
+          round(col("hours"), 4).as("hours"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Anomaly detection: per-event-type z-score of `value`; flag events
     // beyond 2.5 sigma. Two window functions over ONE partitioning (one
     // shuffle on event_type); no collect, no second pass over the data.
@@ -221,6 +253,31 @@ object EventOps extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_impossible_travel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    (event_id * 37 % 17000) / 100.0 - 85.0 AS lat,
+        |    (event_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts, lat, lon,
+        |    lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+        |    lag(ts) OVER w AS pts
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |scored AS (
+        |  SELECT user_id, event_id,
+        |    2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(lat - plat) / 2), 2) +
+        |      cos(radians(plat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - plon) / 2), 2))) AS dist_km,
+        |    CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE) / 3600e6 AS hours
+        |  FROM lagged WHERE pts IS NOT NULL)
+        |SELECT user_id, event_id,
+        | round(dist_km, 2) AS dist_km, round(hours, 4) AS hours
+        |FROM scored
+        |WHERE hours > 0.01 AND dist_km / hours > 500
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_zscore_outliers" ->
       """SELECT event_id, event_type, round(z, 4) AS z FROM (
