@@ -122,6 +122,20 @@ object Curation extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // PageRank over the near-dup graph: LSH candidate pairs as
+    // symmetric edges, 3 iterations of Graph.pagerank — iterative
+    // DataFrame algorithms (join + key-agg per round) under the oracle,
+    // which unrolls the identical three iterations in SQL.
+    "q_pagerank" -> ((s, dir) => {
+      val cands = Dedup.minhashCandidatesMd5(
+        Tables.documents(s, dir), N, Bands, RowsPerBand)
+      val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cands.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.ops.Graph.pagerank(edges, iters = 3)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation composite — the filter chain a corpus build
     // actually ships, stacked in one plan: exact dedup (keep min doc_id
     // per content digest) -> language whitelist -> token-length band ->
@@ -161,32 +175,37 @@ object Curation extends QueryModule {
     }),
   )
 
-  /** The edge-generating CTEs (ex/mh/bd/cand) mirror q_minhash_pairs_md5
-    * with the same N/Bands/RowsPerBand constants; `reach` is the
-    * transitive closure, so min(dst) per src is exactly the label the
-    * propagation loop converges to.
+  /** The edge-generating CTEs (ex/mh/bd/cand/edges) mirror
+    * q_minhash_pairs_md5 with the same N/Bands/RowsPerBand constants —
+    * shared verbatim by the q_dup_clusters and q_pagerank oracles.
+    */
+  private val edgeCtes =
+    """WITH RECURSIVE ex AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(string_split(text,' '))-2),
+      |    i -> concat_ws(' ', string_split(text,' ')[i],
+      |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+      |  FROM documents),
+      |mh AS (
+      |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+      |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+      |bd AS (
+      |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+      |  FROM mh GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bd a JOIN bd b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand)""".stripMargin
+
+  /** `reach` is the transitive closure, so min(dst) per src is exactly
+    * the label the propagation loop converges to.
     */
   val oracles: Map[String, String] = Map(
-    "q_dup_clusters" ->
-      """WITH RECURSIVE ex AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, len(string_split(text,' '))-2),
-        |    i -> concat_ws(' ', string_split(text,' ')[i],
-        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
-        |  FROM documents),
-        |mh AS (
-        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
-        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
-        |bd AS (
-        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
-        |  FROM mh GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bd a JOIN bd b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM cand
-        |  UNION SELECT doc_b, doc_a FROM cand),
+    "q_dup_clusters" -> (edgeCtes +
+      """,
         |reach AS (
         |  SELECT src, dst FROM edges
         |  UNION
@@ -197,7 +216,34 @@ object Curation extends QueryModule {
         | CAST(CASE WHEN coalesce(least(c.min_reach, d.doc_id), d.doc_id) = d.doc_id
         |      THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Three unrolled PageRank iterations over the same symmetric LSH
+    // edge set; teleport/damping literals (0.15/0.85) match the Spark
+    // side exactly (passed as literals, never computed as 1-d).
+    "q_pagerank" -> (edgeCtes +
+      """,
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |p0 AS (SELECT node, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(p.rank/d.outdeg) AS c
+        |       FROM edges e JOIN p0 p ON p.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |p1 AS (SELECT nd.node, 0.15/nn.n + 0.85*coalesce(c1.c, 0) AS rank
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT e.dst AS node, sum(p.rank/d.outdeg) AS c
+        |       FROM edges e JOIN p1 p ON p.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |p2 AS (SELECT nd.node, 0.15/nn.n + 0.85*coalesce(c2.c, 0) AS rank
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT e.dst AS node, sum(p.rank/d.outdeg) AS c
+        |       FROM edges e JOIN p2 p ON p.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |p3 AS (SELECT nd.node, 0.15/nn.n + 0.85*coalesce(c3.c, 0) AS rank
+        |       FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(rank, 6) AS pr
+        |FROM p3 ORDER BY doc_id""".stripMargin),
 
     "q_tfidf" ->
       """WITH toks AS (

@@ -235,6 +235,30 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank conserves probability mass each iteration") {
+    import spark.implicits._
+    // symmetric edge set => every node has outdeg >= 1, so total rank
+    // stays exactly 1 (teleport + damped redistribution, no leakage)
+    val cands = graft.ops.Dedup.minhashCandidatesMd5(
+      Tables.documents(spark, sf001), 3, 4, 4)
+    val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cands.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val ranks = graft.ops.Graph.pagerank(edges, iters = 3)
+    val total = ranks.agg(sum("rank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass $total drifted from 1")
+    // note: regular components (the fixture's LSH pairs) have UNIFORM
+    // rank as their true fixed point, so differentiation is asserted on
+    // an asymmetric synthetic graph instead: a star's hub must outrank
+    // its leaves
+    val star = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 3L), (4L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val sr = graft.ops.Graph.pagerank(star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sr(1L) > sr(2L) && sr(1L) > sr(3L) && sr(1L) > sr(4L),
+      s"hub does not outrank leaves: $sr")
+    assert(math.abs(sr.values.sum - 1.0) < 1e-9)
+  }
+
   test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
     val li = Tables.lineitem(spark, sf001)
     val ord = Tables.orders(spark, sf001)
@@ -301,7 +325,8 @@ class ScaleSpec extends AnyFunSuite {
     val allowNonEqui = Set("q_cross_join", "q_cosine_topk", "q_ann_ivf",
       "q_edit_distance", "q_date_spine", "q_part_pairs",
       "q_join_range", // B22: the non-equi band join IS the operator
-      "q_time_decay", "q_tfidf", "q_idle_customers") // 1-row anchors
+      "q_time_decay", "q_tfidf", "q_idle_customers",
+      "q_pagerank") // 1-row anchors
     val skip = Set("q_streaming_pipeline", "q_streaming_sessions")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).filterNot(allowNonEqui)
