@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,21 +29,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle.
   *
   * Null text → null signature, matching the HOF chain's null
-  * propagation. `n`/`numPerm` must be foldable (checked at bind time by
-  * eval()'s literal access pattern — they are constructor-shaped ints in
-  * every call site).
+  * propagation. `n`/`numPerm` arrive as ordinary (in practice literal)
+  * int children.
   */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with CodegenFallback {
-
-  private lazy val n: Int = second.eval().asInstanceOf[Number].intValue()
-  private lazy val numPerm: Int = third.eval().asInstanceOf[Number].intValue()
+  extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = first.nullable
 
-  override protected def nullSafeEval(text: Any, nAny: Any, pAny: Any): Any = {
-    val words = text.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(text: Any, nAny: Any, pAny: Any): Any =
+    MinHashSig.compute(text.asInstanceOf[UTF8String],
+      nAny.asInstanceOf[Number].intValue(), pAny.asInstanceOf[Number].intValue())
+
+  /** Delegates to the static [[MinHashSig.compute]] so the surrounding
+    * stage stays whole-stage-codegen'd (a CodegenFallback here would
+    * force the entire projection back to interpreted row-at-a-time).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, p) =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($t, $n, $p);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinHashSig =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** Register as a SQL-callable function: `minhash_sig(text, n, numPerm)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
+
+  /** The whole per-row computation, callable from generated code. */
+  def compute(text: UTF8String, n: Int, numPerm: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
     val acc = Array.fill(numPerm)(Long.MaxValue)
     val sb = new java.lang.StringBuilder
     val nShingles = if (words.length < n) 1 else words.length - n + 1
@@ -70,19 +94,4 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
     }
     new GenericArrayData(acc)
   }
-
-  override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): MinHashSig =
-    copy(first = newFirst, second = newSecond, third = newThird)
-
-  override def prettyName: String = "minhash_sig"
-}
-
-object MinHashSig {
-  /** Register as a SQL-callable function: `minhash_sig(text, n, numPerm)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinHashSig(exprs.head, exprs(1), exprs(2)),
-      "scala_udf")
 }
