@@ -20,4 +20,34 @@ object Sinks {
     try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming sinks and fine-grained
+    * backfills accrete thousands of tiny files; at 100 TB the resulting
+    * scan-planning and open() overhead dominates reads, so periodic
+    * compaction is table maintenance, not an optimization. Sizing comes
+    * from the files' on-disk footprint (no extra scan of the data); the
+    * rewrite itself is one narrow repartition job into a temp dir, then
+    * an atomic-as-the-filesystem-allows swap.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val parts = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val totalBytes = parts.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path + ".compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = path + ".compact_old"
+    Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    rm(Paths.get(bak))
+  }
 }

@@ -43,6 +43,21 @@ object EventOps extends QueryModule {
     // join — see StreamOps.joinPipeline.
     "q_streaming_join" -> ((s, dir) => StreamOps.joinPipeline(s, dir)),
 
+    // Retention cohorts: users grouped by first-seen week, activity
+    // tracked per week offset — the product-analytics staple. Two
+    // shuffles (first-seen agg on user, cohort-cell agg), both keyed.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .withColumn("week_offset",
+          datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
+        .groupBy(col("cohort"), col("week_offset").cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // Impossible-travel detection (fraud/abuse staple): consecutive
     // events per user get haversine distance over event-derived
     // deterministic coordinates (the fixture has no geo columns);
@@ -253,6 +268,17 @@ object EventOps extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        | CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(e.wk AS DATE)) // 7 AS INTEGER) AS week_offset,
+        | count(DISTINCT e.user_id) AS active_users
+        |FROM ev e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
 
     "q_impossible_travel" ->
       """WITH ev AS (

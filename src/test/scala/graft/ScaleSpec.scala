@@ -259,6 +259,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(sr.values.sum - 1.0) < 1e-9)
   }
 
+  test("compaction rewrites many small files into few, data-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val li = Tables.lineitem(spark, sf001)
+    li.repartition(64).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 64, s"precondition: expected many small files, got $nFiles")
+    graft.ops.Sinks.compact(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    assert(nFiles <= 2, s"compaction left $nFiles files")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == li.count())
+    assert(after.exceptAll(li).isEmpty && li.exceptAll(after).isEmpty)
+  }
+
   test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
     val li = Tables.lineitem(spark, sf001)
     val ord = Tables.orders(spark, sf001)
