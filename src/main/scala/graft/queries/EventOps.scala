@@ -43,6 +43,33 @@ object EventOps extends QueryModule {
     // join — see StreamOps.joinPipeline.
     "q_streaming_join" -> ((s, dir) => StreamOps.joinPipeline(s, dir)),
 
+    // Session path mining: per 10-minute-gap session, the ordered
+    // event-type sequence becomes a path string; paths are counted and
+    // the top 20 reported — the journey-analysis pass product analytics
+    // runs. Reuses the gaps-and-islands sessionization (lag + cumulative
+    // sum), then one agg per session and one per path.
+    "q_event_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              >= 600L * 1000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      sessions
+        .groupBy("user_id", "sid")
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+    }),
+
     // Retention cohorts: users grouped by first-seen week, activity
     // tracked per week offset — the product-analytics staple. Two
     // shuffles (first-seen agg on user, cohort-cell agg), both keyed.
@@ -268,6 +295,27 @@ object EventOps extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM numbered GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q_retention" ->
       """WITH ev AS (
