@@ -196,6 +196,31 @@ object Analytics extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q7 shape (bilateral trade volume): supplier-nation x
+    // customer-nation flows for one nation pair, by ship year. The
+    // nation dim joins broadcast twice under DIFFERENT aliases and the
+    // pair condition is a disjunction — the OR lives in a post-join
+    // filter over two broadcast equi-joins, never a nested-loop join.
+    "q_nation_trade" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q5 shape (local supplier volume): 6-table join — lineitem
     // shuffle-joins orders (both big, on their keys); supplier and the
     // nation⋈region dim chain broadcast; the c_nationkey = s_nationkey
@@ -337,6 +362,22 @@ object Analytics extends QueryModule {
         | round(max(greatest(least(l_extendedprice, p99), p01)), 4) AS max_winsorized
         |FROM lineitem li JOIN pct ON li.l_returnflag = pct.l_returnflag
         |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+
+    "q_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_local_supplier_volume" ->
       """SELECT n_name,
