@@ -47,28 +47,12 @@ object EventOps extends QueryModule {
     // event-type sequence becomes a path string; paths are counted and
     // the top 20 reported — the journey-analysis pass product analytics
     // runs. Reuses the gaps-and-islands sessionization (lag + cumulative
-    // sum), then one agg per session and one per path.
-    "q_event_paths" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val sessions = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("new_s",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-              >= 600L * 1000000L, 1).otherwise(0))
-        .withColumn("sid", sum(col("new_s")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      sessions
-        .groupBy("user_id", "sid")
-        .agg(concat_ws(">", transform(
-          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-          x => x.getField("event_type"))).as("path"))
-        .groupBy("path")
-        .agg(count(lit(1)).as("n_sessions"))
-        .orderBy(desc("n_sessions"), col("path"))
-        .limit(20)
-    }),
+    // sum), then one agg per session and one per path. Paths are capped
+    // at the first `maxPathEvents` events per session (see
+    // [[sessionPaths]]) so a runaway bot session stays a bounded row.
+    "q_event_paths" -> ((s, dir) =>
+      sessionPaths(Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))),
 
     // Retention cohorts: users grouped by first-seen week, activity
     // tracked per week offset — the product-analytics staple. Two
@@ -178,6 +162,43 @@ object EventOps extends QueryModule {
         .orderBy("user_id")
     }),
   )
+
+  /** Top-K session journey paths with a hard per-session event cap.
+    *
+    * The cap is applied BEFORE the per-session collect: a row-number
+    * filter keeps only each session's first `maxPathEvents` events, so
+    * both the aggregation payload and the final path row are bounded —
+    * a million-event bot session contributes `maxPathEvents` rows, never
+    * one giant array in one task. The second window (user_id, sid) needs
+    * no extra shuffle: HashPartitioning(user_id) already satisfies its
+    * clustering requirement (subset rule), it only adds a local sort.
+    * The "top journey prefixes" meaning survives the cap.
+    */
+  def sessionPaths(events: org.apache.spark.sql.DataFrame, gapMinutes: Int = 10,
+      maxPathEvents: Int = 50, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = events
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= gapMinutes * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    sessions
+      .withColumn("k", row_number().over(wSess))
+      .filter(col("k") <= maxPathEvents)
+      .groupBy("user_id", "sid")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_tumbling_window" ->
@@ -309,10 +330,15 @@ object EventOps extends QueryModule {
         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS k
+        |    FROM numbered) WHERE k <= 50),
         |paths AS (
         |  SELECT user_id, sid,
         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        |  FROM numbered GROUP BY user_id, sid)
+        |  FROM capped GROUP BY user_id, sid)
         |SELECT path, count(*) AS n_sessions
         |FROM paths GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
