@@ -14,29 +14,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Headline subset (mirrors BASELINE.md's measured queries), one warmup
     // action first so JVM/codegen startup isn't billed to the first query;
-    // each query runs twice and reports the min (steady-state number, not
-    // first-run jitter).
+    // each query runs three times and reports the min (steady-state
+    // number, not first-run jitter) plus the max-min spread so a drift
+    // between rounds can be told from sampling noise.
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
     // A failing query must not masquerade as a fast one: its entry
     // reports -1 and its name is listed under "errors".
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       val good = samples.collect { case (true, t) => t }
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> (if (good.nonEmpty) (good.min, good.max - good.min) else (-1.0, 0.0))
     }
-    val failed = results.collect { case (k, t) if t < 0 => k }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, (t, _)) if t < 0 => k }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, (_, d)) =>
+      s"\"" + k + "\":" + f"$d%.3f" }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (t, _)) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -251,6 +251,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // A diameter > maxIters graph would exit here with truncated labels —
+    // callers must be able to tell that from convergence.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIters=$maxIters before convergence; " +
+          "cluster labels may be truncated (raise maxIters for deep graphs)")
     labels
   }
 
@@ -273,6 +279,25 @@ object Dedup {
     concat_ws("", transform(sequence(lit(0), lit(63)), b =>
       when(aggregate(toks, lit(0L), (acc, t) =>
         acc + when(xxhash64(t, b) >= 0, 1L).otherwise(-1L)) > 0,
+        lit("1")).otherwise(lit("0"))))
+  }
+
+  /** Engine-portable SimHash twin of [[simhashBits]]: bit b's 1-bit hash
+    * of a token is the TOP BIT of `md5(token + "#" + b)` — i.e. whether
+    * the first lowercase-hex character is >= '8' — and the bit is the
+    * token majority vote, exactly as in the xxhash64 production path.
+    * md5 renders identically in DuckDB (same pattern as
+    * [[minhashSignatureMd5]]), so the full 64-bit signature is
+    * oracle-verifiable value-for-value. Production keeps [[simhashBits]]
+    * (one xxhash64 vs an md5 per token-bit); this variant exists to make
+    * the algorithm's correctness externally checkable.
+    */
+  def simhashBitsMd5(text: Column): Column = {
+    val toks = tokens(text)
+    concat_ws("", transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(substring(md5(concat(t, lit("#"), b.cast("string"))), 1, 1) >= "8",
+          1L).otherwise(-1L)) > 0,
         lit("1")).otherwise(lit("0"))))
   }
 

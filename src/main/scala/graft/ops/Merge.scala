@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-INTO-shaped keyed upsert: apply a CDC delta (full-row
+  * upsert/delete ops) to a base table — the daily "apply the change feed
+  * to the corpus table" step every training-data pipeline ships.
+  *
+  * Scale shape: ONE shuffle — a full-outer equi-join on the key — then a
+  * row-local resolve; no window, no collect, no driver state. AQE handles
+  * key skew the same way it does for any shuffle join, and when the delta
+  * is small relative to the base the optimizer broadcast-plans the delta
+  * side exactly as MERGE implementations in lakehouse table formats do
+  * their source-side lookup.
+  */
+object Merge {
+
+  /** Collapse a multi-row CDC stream to the latest op per key: max_by over
+    * an `orderCols` struct — the same partial-aggregating one-row-per-key
+    * shuffle as SCD1 (never a whole-partition window sort).
+    */
+  def latestPerKey(cdc: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = cdc.columns.filterNot(keys.contains).toSeq
+    cdc.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("last"))
+      .select(keys.map(col) ++ payload.map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** Apply `delta` to `base`. `delta` must carry every non-key column of
+    * `base` (full-row CDC, no partial updates) plus `opCol` with values
+    * 'upsert' (insert if the key is absent, replace if present) or
+    * 'delete' (drop the key; deleting an absent key is a no-op), and at
+    * most one row per key (pre-collapse with [[latestPerKey]]).
+    */
+  def upsert(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    val missing = payload.filterNot(delta.columns.contains) ++
+      (if (delta.columns.contains(opCol)) Nil else Seq(opCol))
+    require(missing.isEmpty, s"delta is missing columns: ${missing.mkString(", ")}")
+    val joined = base.as("b").join(delta.as("d"), keys, "full_outer")
+    val op = col(s"d.$opCol")
+    joined
+      .filter(op.isNull || op =!= "delete")
+      .select(keys.map(col) ++
+        payload.map(c => when(op.isNotNull, col(s"d.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** Transactional upsert into a stored versioned table
+    * ([[Sinks]] layout): read the live version, merge, publish as the
+    * next version with an atomic pointer flip. Re-applying the same delta
+    * is a no-op on the data (a new version with identical rows), so a
+    * retried batch cannot corrupt the table. Returns the published
+    * version.
+    */
+  def applyTo(spark: SparkSession, root: String, delta: DataFrame,
+      keys: Seq[String], opCol: String = "op"): Long =
+    Sinks.publishVersioned(
+      upsert(Sinks.readCurrent(spark, root), delta, keys, opCol), root)
+}

@@ -162,6 +162,39 @@ object Analytics extends QueryModule {
         .orderBy("o_custkey")
     }),
 
+    // MERGE-shaped keyed upsert (graft.ops.Merge): a CDC delta derived
+    // from each customer's latest order — delete when that order is
+    // finalized ('F'), full-row update otherwise, plus synthetic inserts
+    // under offset keys — applied to the customer table via ONE
+    // full-outer key join. Oracle = full recompute of the same merge in
+    // DuckDB; MergeSpec covers idempotence + the stored versioned-table
+    // path.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val last = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      val updates = last.select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("Customer#Merged"), col("o_custkey").cast("string")).as("c_name"),
+        round(col("last.o_totalprice"), 2).as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"),
+        when(col("last.o_orderstatus") === "F", lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      val inserts = last.filter(col("last.o_orderkey") % 3 === 0).select(
+        (col("o_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("Customer#New"), col("o_custkey").cast("string")).as("c_name"),
+        round(col("last.o_totalprice"), 2).as("c_acctbal"),
+        lit("INSERTED").as("c_mktsegment"),
+        lit("upsert").as("op"))
+      graft.ops.Merge.upsert(base, updates.unionByName(inserts), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     // B33 exact percentiles (interpolated): quartiles + p95 of extended
     // price per return flag — Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition.
@@ -341,6 +374,35 @@ object Analytics extends QueryModule {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH last AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus FROM (
+        |    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |delta AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'Customer#Merged' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    round(o_totalprice, 2) AS c_acctbal,
+        |    'MERGED' AS c_mktsegment,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM last
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000,
+        |    'Customer#New' || CAST(o_custkey AS VARCHAR),
+        |    round(o_totalprice, 2), 'INSERTED', 'upsert'
+        |  FROM last WHERE o_orderkey % 3 = 0),
+        |base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
+        |SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_name ELSE b.c_name END AS c_name,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM base b FULL JOIN delta d ON b.c_custkey = d.c_custkey
+        |WHERE d.op IS NULL OR d.op <> 'delete'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

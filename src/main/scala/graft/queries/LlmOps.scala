@@ -73,6 +73,15 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B60 engine-portable SimHash (md5 top-bit hashes) — hash-matched in
+    // DuckDB bit-for-bit; the xxhash64 production path above stays
+    // rows-only with its hamming-locality spec.
+    "q_simhash_md5" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhashBitsMd5(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
     // B61/B62 brute-force cosine top-10 against the vec_id=0 query vector.
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -271,6 +280,19 @@ object LlmOps extends QueryModule {
         |FROM bd a JOIN bd b
         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.t
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+        |bits AS (
+        |  SELECT doc_id, g.b,
+        |    CASE WHEN sum(CASE WHEN substring(md5(t || '#' || CAST(g.b AS VARCHAR)), 1, 1) >= '8'
+        |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+        |  FROM toks, generate_series(0, 63) g(b)
+        |  GROUP BY doc_id, g.b)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

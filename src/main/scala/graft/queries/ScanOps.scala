@@ -57,6 +57,24 @@ object ScanOps extends QueryModule {
     "q_json_scan" -> ((s, dir) => rtAgg(roundTrip(s, dir, "json"))),
     "q_csv_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "csv"))),
 
+    // Partition pruning on the driver's own path: a date-partitioned copy
+    // of events (written once per sf under /tmp, event_date=yyyy-MM-dd
+    // directories) is read back with a one-week partition filter — the
+    // 100 TB layout where a day's query opens a day's files. The filter
+    // lands in the scan's PartitionFilters (asserted in RelationalSpec:
+    // 7 of 30 date partitions survive planning), and the aggregate is
+    // oracled against the unpartitioned fixture, proving the
+    // partitioned round-trip value-lossless.
+    "q_partition_pruning" -> ((s, dir) => {
+      val out = partitionedEventsCopy(s, dir)
+      s.read.parquet(out)
+        .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-day) — the
     // multi-dimensional layout key that makes parquet min/max stats
     // prune on EITHER dimension after
@@ -73,6 +91,16 @@ object ScanOps extends QueryModule {
     }),
   )
 
+  /** Write (once per sf dir) and return the date-partitioned events copy. */
+  def partitionedEventsCopy(s: SparkSession, dir: String): String = {
+    val out = "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(out + "/_SUCCESS").exists())
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    out
+  }
+
   private val aggSql =
     """SELECT event_type, count(*) AS n_events,
       | round(sum(value), 2) AS sum_value,
@@ -84,6 +112,14 @@ object ScanOps extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_json_scan" -> aggSql,
     "q_csv_scan" -> aggSql,
+
+    "q_partition_pruning" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The same 5-stage Morton spread, one CTE per parallel-prefix step.
     "q_zorder" ->

@@ -393,18 +393,30 @@ object StreamOps {
     * correctness harness sees the streaming engine end-to-end: source →
     * watermark → stateful ops → sink, not just the logical transform.
     */
+  /** Temp dirs pending JVM-exit cleanup, drained by ONE shutdown hook —
+    * per-call `addShutdownHook` would accumulate hooks (and retained Path
+    * references) without bound across repeated verify/bench runs.
+    */
+  private val tempDirsToClean = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = sys.addShutdownHook {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    var d = tempDirsToClean.poll()
+    while (d != null) {
+      if (Files.exists(d))
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      d = tempDirsToClean.poll()
+    }
+  }
+
   private def runBounded(spark: SparkSession, streaming: DataFrame): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     // Temp output + checkpoint (incl. state store files) are deleted when
     // the JVM exits — repeated verify/bench runs must not leak disk.
-    Seq(out, ckpt).foreach(d => sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(d))
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    })
+    cleanupHook
+    Seq(out, ckpt).foreach(tempDirsToClean.add)
     val q = streaming.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -420,7 +432,8 @@ object StreamOps {
     if (batchDirs == null || batchDirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         streaming.schema)
-    else spark.read.schema(streaming.schema).parquet(batchDirs.map(_.toString): _*)
+    else spark.read.schema(streaming.schema)
+      .parquet(batchDirs.map(_.toString).toSeq: _*)
   }
 
   /** B4+B47+B50+B51 end-to-end: streaming file source → 0s watermark →

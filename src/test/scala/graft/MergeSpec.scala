@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Merge, Sinks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE-shaped keyed upsert semantics + the stored versioned-table path. */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "v")
+
+  // update k=1, delete k=2, insert k=4, delete absent k=9 (no-op)
+  private def delta = Seq(
+    (1L, "a2", 11.0, "upsert"), (2L, "b", 20.0, "delete"),
+    (4L, "d", 40.0, "upsert"), (9L, "x", 0.0, "delete")
+  ).toDF("k", "name", "v", "op")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("upsert applies insert/update/delete; absent-key delete is a no-op") {
+    val out = rows(Merge.upsert(base, delta, Seq("k")))
+    assert(out == Seq((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert is idempotent: re-applying the same delta changes nothing") {
+    val once = Merge.upsert(base, delta, Seq("k"))
+    val twice = Merge.upsert(once, delta, Seq("k"))
+    assert(rows(twice) == rows(once))
+  }
+
+  test("upsert rejects a delta missing payload or op columns") {
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(base, delta.drop("v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("missing columns"))
+  }
+
+  test("latestPerKey collapses a CDC stream to one newest row per key") {
+    val cdc = Seq(
+      (1L, 100L, "old", 1.0, "upsert"), (1L, 200L, "new", 2.0, "upsert"),
+      (2L, 150L, "only", 3.0, "delete")
+    ).toDF("k", "seq", "name", "v", "op")
+    val out = Merge.latestPerKey(cdc, Seq("k"), Seq("seq"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 200L, "new"), (2L, 150L, "only")))
+  }
+
+  test("applyTo merges into the stored versioned table; retry is a data no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    Sinks.publishVersioned(base, root)
+    val v1 = Merge.applyTo(spark, root, delta, Seq("k"))
+    assert(v1 == 1L)
+    val expected = rows(Merge.upsert(base, delta, Seq("k")))
+    assert(rows(Sinks.readCurrent(spark, root)) == expected)
+    // a retried batch publishes a new version with identical data
+    val v2 = Merge.applyTo(spark, root, delta, Seq("k"))
+    assert(v2 == 2L)
+    assert(rows(Sinks.readCurrent(spark, root)) == expected)
+  }
+}

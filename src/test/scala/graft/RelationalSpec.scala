@@ -33,6 +33,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "dim join degenerated to SMJ")
   }
 
+  test("q_partition_pruning plan: 7 of 30 date partitions survive planning") {
+    val out = graft.queries.ScanOps.partitionedEventsCopy(spark, sf01)
+    val scan = spark.read.parquet(out)
+      .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+    val fs = scan.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(fs.partitionFilters.nonEmpty, "filter did not reach PartitionFilters")
+    val total = fs.relation.location.listFiles(Nil, Nil).length
+    val pruned = fs.relation.location.listFiles(fs.partitionFilters, Nil).length
+    assert(total == 30, s"expected 30 date partitions, got $total")
+    assert(pruned == 7, s"expected 7 partitions after pruning, got $pruned")
+  }
+
   test("B36 plan shape: aggregation is partial -> final HashAggregate") {
     val plan = SparkEntry.queries("q_pricing_summary")(spark, sf001)
       .queryExecution.executedPlan.toString
