@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** The rest of the TPC-H composite sweep (Q2/Q4/Q6/Q8/Q9/Q11/Q13/Q15/
+  * Q16/Q17/Q19/Q20/Q21 shapes), adapted to the fixture schema — the
+  * fixture has no partsupp table and no commit/receipt dates, so those
+  * roles are played by lineitem-derived part–supplier facts and
+  * return-flag predicates; every query keeps its original's OPERATOR
+  * shape (correlated min, grouped EXISTS, OR-of-ANDs pushdown,
+  * semi/anti self-joins, scalar-anchor HAVING, …), which is what the
+  * coverage claim is about. All 13 are DuckDB-oracled.
+  *
+  * Scale notes: every join is an equi-join on a key column; dimension
+  * sides (part, supplier, nation, region) broadcast; the two queries
+  * that attach a global scalar (q_important_parts, q_top_supplier) use
+  * the whitelisted 1-row broadcast-anchor pattern.
+  */
+object TpchMore extends QueryModule {
+
+  private def volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+    // Q2 shape — cheapest supplier per part: per-(part, supplier) supply
+    // fact from lineitem, then the correlated-min pick via min_by (one
+    // row per key, deterministic (cost, suppkey) tie-break), dims joined
+    // after the reduction.
+    "q_cheapest_supplier" -> ((s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("supply_cost"))
+      val best = cost.groupBy(col("l_partkey"))
+        .agg(min_by(struct(col("l_suppkey"), col("supply_cost")),
+          struct(col("supply_cost"), col("l_suppkey"))).as("best"))
+        .select(col("l_partkey"), col("best.l_suppkey").as("l_suppkey"),
+          col("best.supply_cost").as("supply_cost"))
+      best
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 10)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), col("supply_cost"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q4 shape — order-priority distribution over orders that HAVE a
+    // returned line (grouped EXISTS = left-semi join).
+    "q_priority_exists" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q6 shape — forecast revenue: tight scan-level predicate band
+    // (date + discount + quantity), single global agg; the whole WHERE
+    // pushes to the parquet scan.
+    "q_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // Q8 shape — market share: NATION_3's share of PROMO-part revenue
+    // among EUROPE-region customers, per order year. Two nation roles
+    // (customer side filters the region, supplier side feeds the
+    // numerator flag) — the double-aliased broadcast dim pattern.
+    "q_market_share" -> ((s, dir) => {
+      val custNation = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
+            sum(volume), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q9 shape — profit by supplier nation and year; the partsupp cost
+    // term is proxied by the part's retail price (60% COGS), keeping
+    // the join tree and grouped-signed-sum shape intact.
+    "q_product_profit" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(volume - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // Q11 shape — important parts: per-part value with a
+    // HAVING-above-global-fraction cut; the global total joins back as
+    // a 1-row broadcast anchor (whitelisted linear pass, no collapse to
+    // one partition).
+    "q_important_parts" -> ((s, dir) => {
+      val pv = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("value"))
+      val total = pv.agg(sum(col("value")).as("total_value"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value") > col("total_value") * 0.002)
+        .select(col("l_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(desc("value"), col("l_partkey"))
+    }),
+
+    // Q13 shape — customer order-count distribution: left join keeps
+    // zero-order customers, count(col) counts matches only, then the
+    // histogram of counts.
+    "q_order_count_dist" -> ((s, dir) => {
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // Q15 shape — top supplier: quarterly revenue per supplier, pick the
+    // max via a 1-row broadcast anchor equality (the view + scalar
+    // subquery of the original).
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(volume), 2).as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q16 shape — supplier variety per (brand, type, size): distinct
+    // part–supplier pairs from lineitem, negative-balance suppliers
+    // excluded by anti-join, count distinct suppliers per bucket.
+    "q_supplier_variety" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 5, 10, 15))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q17 shape — small-quantity revenue: per-part average quantity
+    // joined back (correlated scalar subquery as an equi-join), rows
+    // below half the part's average contribute, one global number out.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // Q19 shape — OR-of-ANDs bracket revenue: one equi-join on partkey,
+    // the disjunctive brand/size/quantity brackets evaluated post-join
+    // (and partially pushed to both scans by Catalyst).
+    "q_bracket_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(round(sum(volume), 2).as("revenue"))
+    }),
+
+    // Q20 shape — excess suppliers: the nested IN-chain as semi-joins
+    // (suppliers who shipped > 100 units of PROMO parts in 1996).
+    "q_excess_suppliers" -> ((s, dir) => {
+      val promoKeys = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val heavy = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(promoKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+
+    // Q21 shape — suppliers who alone returned lines in multi-supplier
+    // orders: semi-join (another supplier exists in the order) + anti-
+    // join (no OTHER supplier returned), both equi on orderkey, then the
+    // grouped count. The original's waiting-orders predicate maps to the
+    // return flag the fixture does have.
+    "q_waiting_suppliers" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val r = base.filter(col("l_returnflag") === "R")
+      val others = base.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
+      val othersR = r.select(col("l_orderkey").as("r_key"), col("l_suppkey").as("r_supp"))
+      r.join(others, col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("r_key") &&
+          col("l_suppkey") =!= col("r_supp"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cheapest_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, round(sum(l_extendedprice), 2) AS supply_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, l_suppkey, supply_cost FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY supply_cost, l_suppkey) AS rn FROM cost) WHERE rn = 1)
+        |SELECT p_partkey, p_brand, s_name, n_name, supply_cost
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey AND p_size = 10
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |     THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |   sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(sum(l_extendedprice * (1 - l_discount)
+        |   - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(l_extendedprice) AS value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(value, 2) AS value
+        |FROM pv
+        |WHERE value > (SELECT sum(value) FROM pv) * 0.002
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_supplier_variety" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#5'
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q_bracket_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_excess_suppliers" ->
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+        |ORDER BY s_name""".stripMargin,
+
+    "q_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+  )
+}
