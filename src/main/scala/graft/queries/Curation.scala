@@ -173,6 +173,51 @@ object Curation extends QueryModule {
             x => x.cast("string"))).as("postings10"))
         .orderBy("term")
     }),
+
+    // Repetition quality signals (the Gopher-style filters): per doc,
+    // token total/distinct counts, the single most-frequent token's
+    // share, and the duplicate-token fraction. Two keyed shuffles
+    // ((doc_id, tok) count then doc_id rollup) — per-doc state is a
+    // handful of counters, never the token list.
+    "q_repetition_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(max(col("c")) / sum(col("c")), 4).as("top_token_frac"),
+          round(lit(1) - count(lit(1)) / sum(col("c")), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-level top bigrams — the n-gram frequency job tokenizer and
+    // contamination analyses run. One explode + one keyed count; top-20
+    // via TakeOrderedAndProject (never a full sort at scale).
+    "q_top_bigrams" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram")).limit(20)
+    }),
+
+    // Curation funnel: how many docs survive each successive filter
+    // stage (length band -> language -> minimum token count), computed
+    // as ONE conditional-aggregation scan — the shape that lets a
+    // 100 TB corpus report its whole filter cascade in a single pass.
+    "q_curation_funnel" -> ((s, dir) => {
+      val nToks = size(split(col("text"), " "))
+      val passLen = col("n_chars").between(100, 500)
+      val passLang = col("lang") === "en"
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(passLen, 1).otherwise(0)).as("n_len"),
+        sum(when(passLen && passLang, 1).otherwise(0)).as("n_len_lang"),
+        sum(when(passLen && passLang && nToks >= 40, 1).otherwise(0)).as("n_final"))
+    }),
   )
 
   /** The edge-generating CTEs (ex/mh/bd/cand/edges) mirror
@@ -320,6 +365,36 @@ object Curation extends QueryModule {
         | count(*) AS n_docs,
         | round(avg(n_tokens), 4) AS avg_tokens
         |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q_repetition_stats" ->
+      """WITH tc AS (
+        |  SELECT doc_id, t.tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t(doc_id, tok)
+        |  GROUP BY doc_id, t.tok)
+        |SELECT doc_id,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | count(*) AS n_distinct,
+        | round(max(c) / sum(c), 4) AS top_token_frac,
+        | round(1 - count(*) / sum(c), 4) AS dup_frac
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_top_bigrams" ->
+      """SELECT bg AS bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+        |  FROM documents)
+        |GROUP BY bg ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_curation_funnel" ->
+      """SELECT count(*) AS n_total,
+        | CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        | CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500 AND lang = 'en'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_len_lang,
+        | CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 500 AND lang = 'en'
+        |   AND len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM documents""".stripMargin,
 
     "q_inverted_index" ->
       """SELECT term, count(DISTINCT doc_id) AS df,

@@ -103,6 +103,19 @@ object LlmOps extends QueryModule {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // B61 per-label centroid vectors (the class-prototype computation
+    // classifier-based quality filters train on): posexplode to
+    // (label, dim, value), one keyed avg — the vector mean without ever
+    // holding a group's vectors in one task. Flat (label, dim) output
+    // keeps the oracle exact.
+    "q_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+        .orderBy("label", "dim")
+    }),
+
     // B61 vector norms (embeddings are L2-normalized — the oracle doubles
     // as a data-quality assertion).
     "q_embed_norms" -> ((s, dir) => {
@@ -331,6 +344,12 @@ object LlmOps extends QueryModule {
         |  GROUP BY c.vec_a, c.vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM rr
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, CAST(g.i AS INTEGER) AS dim,
+        | round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS centroid
+        |FROM embeddings, generate_series(1, 64) g(i)
+        |GROUP BY label, g.i ORDER BY label, dim""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id,
