@@ -51,6 +51,44 @@ class MergeSpec extends AnyFunSuite {
     assert(out == Seq((1L, 200L, "new"), (2L, 150L, "only")))
   }
 
+  test("sequential deltas compose: apply d1 then d2 == apply key-wise-last-wins combine") {
+    val d1 = Seq((1L, "a2", 11.0, "upsert"), (2L, "b", 20.0, "delete"),
+      (4L, "d", 40.0, "upsert")).toDF("k", "name", "v", "op")
+    val d2 = Seq((1L, "a3", 12.0, "upsert"), (4L, "d", 40.0, "delete"),
+      (5L, "e", 50.0, "upsert")).toDF("k", "name", "v", "op")
+    val sequential = Merge.upsert(Merge.upsert(base, d1, Seq("k")), d2, Seq("k"))
+    val combined = Merge.latestPerKey(
+      d1.withColumn("seq", lit(1)).unionByName(d2.withColumn("seq", lit(2))),
+      Seq("k"), Seq("seq"))
+    val atOnce = Merge.upsert(base, combined.drop("seq"), Seq("k"))
+    assert(rows(sequential) == rows(atOnce))
+  }
+
+  test("streaming CDC apply: foreachBatch + applyTo lands the batch-merge result") {
+    // Bounded stream of CDC files -> foreachBatch applies each batch to
+    // the stored versioned table -> final table equals the one-shot batch
+    // merge. Keys are disjoint across files so multi-batch apply order
+    // cannot matter.
+    val root = java.nio.file.Files.createTempDirectory("graft_smerge").toString + "/t"
+    Sinks.publishVersioned(base, root)
+    val src = java.nio.file.Files.createTempDirectory("graft_smerge_src").toString
+    delta.filter(col("k") <= 2).write.parquet(s"$src/f1")
+    delta.filter(col("k") > 2).write.parquet(s"$src/f2")
+    val stream = spark.readStream.schema(delta.schema).parquet(s"$src/*")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smerge_ck").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Merge.applyTo(spark, root, batch, Seq("k"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(rows(Sinks.readCurrent(spark, root)) ==
+      rows(Merge.upsert(base, delta, Seq("k"))))
+  }
+
   test("applyTo merges into the stored versioned table; retry is a data no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
     Sinks.publishVersioned(base, root)
