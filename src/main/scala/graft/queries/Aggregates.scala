@@ -212,6 +212,19 @@ object Aggregates extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Fixed-width value histogram (the feature-distribution profile a
+    // data-quality dashboard draws): bucket = floor(price / 25k), one
+    // keyed agg. Fixed bounds, so no global-extent pre-pass — the shape
+    // that streams and incrementally merges at 100 TB.
+    "q_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
     // B56 scalar UDF (1→1 bolt escape hatch), algebraically expandable.
     "q_scalar_udf" -> ((s, dir) => {
       val netPrice = udf((p: Double, d: Double) => p * (1.0 - d))
@@ -227,6 +240,13 @@ object Aggregates extends QueryModule {
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // Exact because 5 distinct values < the sketch's tracking capacity.
     "q_freq_types" ->

@@ -204,6 +204,20 @@ object Curation extends QueryModule {
         .orderBy(desc("n"), col("bigram")).limit(20)
     }),
 
+    // Deterministic stratified sampling: per-language keep rates via an
+    // md5 hex-prefix band on doc_id — the rebalancing downsample a
+    // training mix ships, reproducible across engines and runs (unlike
+    // RNG-seeded sampleBy, whose stream is engine-specific). 2 hex chars
+    // = 256 uniform buckets: en keeps < '40' (25%), others < '80' (50%).
+    // Pure map-side filter — no shuffle at all until the final count.
+    "q_stratified_sample" -> ((s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, dir)
+        .filter(bucket < when(col("lang") === "en", "40").otherwise("80"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Curation funnel: how many docs survive each successive filter
     // stage (length band -> language -> minimum token count), computed
     // as ONE conditional-aggregation scan — the shape that lets a
@@ -386,6 +400,12 @@ object Curation extends QueryModule {
         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
         |  FROM documents)
         |GROUP BY bg ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_curation_funnel" ->
       """SELECT count(*) AS n_total,

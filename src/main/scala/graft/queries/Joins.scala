@@ -128,6 +128,26 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // B24 forward as-of join: for each click, the EARLIEST purchase by
+    // the same user at ts >= click ts — the attribution-window twin of
+    // q_asof_join, same union+window trick (one shuffle; min over a
+    // current-row→following frame instead of a running max). At equal
+    // ts the click sorts first, so the frame includes the simultaneous
+    // purchase (>= semantics).
+    "q_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_purchase", when(col("event_type") === "purchase", 1).otherwise(0))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("next_purchase_ts",
+          min(when(col("is_purchase") === 1, col("ts"))).over(w))
+        .filter(col("is_purchase") === 0 && col("next_purchase_ts").isNotNull)
+        .select(col("event_id"), col("next_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     // Bloom-prefiltered fact⋈dim join: high-value orders' keys become a
     // broadcast Bloom filter that prunes lineitem BEFORE the join
     // shuffle; the exact join then removes the false positives, so the
@@ -239,6 +259,16 @@ object Joins extends QueryModule {
         | AND c.event_type = 'click'
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, min(CAST(p.ts AS TIMESTAMP)) AS next_purchase_ts
+        |FROM events c
+        |JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND p.event_type = 'purchase'
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
 
     "q_self_join" ->
       """SELECT a.l_orderkey, a.l_linenumber,
