@@ -89,6 +89,22 @@ class MergeSpec extends AnyFunSuite {
       rows(Merge.upsert(base, delta, Seq("k"))))
   }
 
+  test("a crash between version write and pointer flip leaves readers on the old version") {
+    // Simulate the writer dying after materializing v1 but BEFORE the
+    // pointer rename: readers resolving through _CURRENT must still see
+    // v0 complete — the whole point of the pointer-flip publish.
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    Sinks.publishVersioned(base, root)
+    // orphaned next version, no pointer flip (the crash window)
+    Merge.upsert(base, delta, Seq("k")).write.parquet(s"$root/v1")
+    assert(Sinks.currentVersion(root).contains(0L))
+    assert(rows(Sinks.readCurrent(spark, root)) == rows(base))
+    // the next successful publish supersedes the orphan (overwrite mode)
+    val v = Sinks.publishVersioned(Merge.upsert(base, delta, Seq("k")), root)
+    assert(v == 1L)
+    assert(rows(Sinks.readCurrent(spark, root)) == rows(Merge.upsert(base, delta, Seq("k"))))
+  }
+
   test("applyTo merges into the stored versioned table; retry is a data no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
     Sinks.publishVersioned(base, root)

@@ -101,6 +101,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_histogram partitions the data: bucket counts sum to the table count") {
+    val dir = TestSpark.sf001
+    val hist = SparkEntry.queries("q_histogram")(spark, dir)
+    val total = hist.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == graft.io.Tables.orders(spark, dir).count())
+  }
+
+  test("q_stratified_sample keep rates track the md5 band widths") {
+    val dir = TestSpark.sf01
+    val docs = graft.io.Tables.documents(spark, dir)
+    val kept = SparkEntry.queries("q_stratified_sample")(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- totals) {
+      val want = if (lang == "en") 64.0 / 256 else 128.0 / 256
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      // binomial noise at fixture sizes: ±4 sigma
+      val tol = 4 * math.sqrt(want * (1 - want) / n)
+      assert(math.abs(got - want) <= tol,
+        s"$lang keep rate $got outside $want ± $tol (n=$n)")
+    }
+  }
+
   test("Dedup.hamming: zero on self, symmetric, bounded by signature length") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions._
