@@ -195,6 +195,51 @@ object Analytics extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // STREAMING MERGE end-to-end: the orders CDC feed arrives through a
+    // real readStream file source, each micro-batch is collapsed to its
+    // newest op per key (latestPerKey) and applied to the stored
+    // versioned customer table via foreachBatch + Merge.applyTo; the
+    // harness reads the FINAL TABLE STATE, and DuckDB recomputes the
+    // same merge from scratch — the streaming engine, the CDC collapse,
+    // the full-outer merge join, and the atomic versioned publish are
+    // all under one oracle. (The fixture is one parquet file, so
+    // AvailableNow delivers one batch and the per-batch collapse equals
+    // the global collapse the oracle computes.)
+    "q_streaming_merge" -> ((s, dir) => {
+      import graft.ops.{Merge, Sinks}
+      val root = java.nio.file.Files.createTempDirectory("graft_qsm").toString + "/t"
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      Sinks.publishVersioned(base, root)
+      val cdc = s.readStream
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("Customer#Merged"), col("o_custkey").cast("string")).as("c_name"),
+          round(col("o_totalprice"), 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"),
+          when(col("o_orderstatus") === "F", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("o_orderdate").as("seq"), col("o_orderkey").as("seq2"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_qsm_ck").toString
+      val q = cdc.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val delta = Merge.latestPerKey(batch, Seq("c_custkey"), Seq("seq", "seq2"))
+              .drop("seq", "seq2")
+            Merge.applyTo(s, root, delta, Seq("c_custkey"))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      Sinks.readCurrent(s, root).orderBy("c_custkey")
+    }),
+
     // B33 exact percentiles (interpolated): quartiles + p95 of extended
     // price per return flag — Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition.
@@ -394,6 +439,30 @@ object Analytics extends QueryModule {
         |    'Customer#New' || CAST(o_custkey AS VARCHAR),
         |    round(o_totalprice, 2), 'INSERTED', 'upsert'
         |  FROM last WHERE o_orderkey % 3 = 0),
+        |base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
+        |SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_name ELSE b.c_name END AS c_name,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM base b FULL JOIN delta d ON b.c_custkey = d.c_custkey
+        |WHERE d.op IS NULL OR d.op <> 'delete'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_streaming_merge" ->
+      """WITH last AS (
+        |  SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+        |    SELECT o_custkey, o_totalprice, o_orderstatus,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |delta AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'Customer#Merged' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    round(o_totalprice, 2) AS c_acctbal,
+        |    'MERGED' AS c_mktsegment,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM last),
         |base AS (
         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
         |SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,

@@ -408,7 +408,7 @@ class ScaleSpec extends AnyFunSuite {
       "q_time_decay", "q_tfidf", "q_idle_customers",
       "q_pagerank", "q_important_parts", "q_top_supplier") // 1-row anchors
     val skip = Set("q_streaming_pipeline", "q_streaming_sessions",
-      "q_streaming_join")
+      "q_streaming_join", "q_streaming_merge")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).filterNot(allowNonEqui)
       .flatMap { q =>
