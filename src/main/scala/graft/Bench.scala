@@ -35,8 +35,10 @@ object Bench {
     val failed = results.collect { case (k, (t, _)) if t < 0 => k }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // raw Double toString, not locale-sensitive %-formatting (a
+    // comma-decimal default locale would corrupt the JSON line)
     val spread = results.map { case (k, (_, d)) =>
-      s"\"" + k + "\":" + f"$d%.3f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + (math.rint(d * 1000) / 1000) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, (t, _)) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")

@@ -54,19 +54,60 @@ object Sinks {
   def readCurrent(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(root))
 
-  /** Publish `df` as the next version: write v<N+1> completely, then flip
-    * the `_CURRENT` pointer via write-temp + atomic rename. Returns the
-    * published version number.
+  /** Publish `df` as the next version: write a freshly-reserved v<N>
+    * completely, then flip the `_CURRENT` pointer via write-temp +
+    * atomic rename. Returns the published version number.
+    *
+    * Concurrency: safe under concurrent writers via optimistic
+    * concurrency — the version DIRECTORY is reserved atomically
+    * (`createDirectory` fails if it exists, so two writers can never
+    * write into the same v<N>), and the pointer flip happens under a
+    * cross-process file lock only if the table is still at the version
+    * this writer based itself on; a writer that lost the race gets a
+    * `ConcurrentModificationException` (recompute against the new
+    * current and retry) instead of silently clobbering the winner —
+    * the same conditional-commit protocol lakehouse table formats run.
     */
-  def publishVersioned(df: DataFrame, root: String): Long = {
+  def publishVersioned(df: DataFrame, root: String): Long =
+    publishVersioned(df, root, currentVersion(root))
+
+  /** As [[publishVersioned]], with an explicit expected base version
+    * (None = expecting to create the table).
+    */
+  def publishVersioned(df: DataFrame, root: String, expected: Option[Long]): Long = {
     Files.createDirectories(Paths.get(root))
-    val next = currentVersion(root).map(_ + 1).getOrElse(0L)
+    // atomic reservation of the version dir — no two writers share a v<N>
+    var next = expected.map(_ + 1).getOrElse(0L)
+    var reserved = false
+    while (!reserved) {
+      try { Files.createDirectory(Paths.get(s"$root/v$next")); reserved = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
+    }
     df.write.mode("overwrite").parquet(s"$root/v$next")
-    val tmp = Paths.get(root, s"$Pointer.tmp")
-    Files.write(tmp, next.toString.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(root, Pointer),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    withCommitLock(root) {
+      val cur = currentVersion(root)
+      if (cur != expected) {
+        deleteRecursively(Paths.get(s"$root/v$next")) // abandon the orphan
+        throw new java.util.ConcurrentModificationException(
+          s"$root moved to v$cur while this writer was basing on v$expected; " +
+            "recompute against the new current and retry")
+      }
+      val tmp = Paths.get(root, s"$Pointer.tmp")
+      Files.write(tmp, next.toString.getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(root, Pointer),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     next
+  }
+
+  /** JVM mutex + cross-process file lock around the pointer flip. (On an
+    * object store this becomes the conditional PUT of the table format.)
+    */
+  private def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { val lock = ch.lock(); try body finally lock.release() }
+    finally ch.close()
   }
 
   /** Compaction over the versioned layout: rewrite the live version into
@@ -117,9 +158,14 @@ object Sinks {
     val dir = Paths.get(path)
     val bak = Paths.get(path + ".compact_old")
     // crash recovery: a previous run that died between the two renames
-    // left the data in .compact_old and no live dir — restore first.
+    // left the data in .compact_old and no live dir — restore first. A
+    // backup ALONGSIDE a live dir is debris from a crash after the swap
+    // completed but before cleanup — drop it, or the rename below would
+    // fail forever on the existing target.
     if (!Files.exists(dir) && Files.exists(bak))
       Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(dir) && Files.exists(bak))
+      deleteRecursively(bak)
     val entries = listDir(dir)
     val nested = entries.filter(p => Files.isDirectory(p))
     require(nested.isEmpty,

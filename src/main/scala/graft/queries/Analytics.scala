@@ -185,8 +185,11 @@ object Analytics extends QueryModule {
         lit("MERGED").as("c_mktsegment"),
         when(col("last.o_orderstatus") === "F", lit("delete"))
           .otherwise(lit("upsert")).as("op"))
+      // insert keys = NEGATED custkeys: disjoint from the (positive)
+      // customer key domain at every scale factor, unlike any fixed
+      // offset, so the delta keeps its one-row-per-key contract
       val inserts = last.filter(col("last.o_orderkey") % 3 === 0).select(
-        (col("o_custkey") + 1000000L).as("c_custkey"),
+        (-col("o_custkey")).as("c_custkey"),
         concat(lit("Customer#New"), col("o_custkey").cast("string")).as("c_name"),
         round(col("last.o_totalprice"), 2).as("c_acctbal"),
         lit("INSERTED").as("c_mktsegment"),
@@ -207,7 +210,9 @@ object Analytics extends QueryModule {
     // the global collapse the oracle computes.)
     "q_streaming_merge" -> ((s, dir) => {
       import graft.ops.{Merge, Sinks}
-      val root = java.nio.file.Files.createTempDirectory("graft_qsm").toString + "/t"
+      val rootDir = java.nio.file.Files.createTempDirectory("graft_qsm")
+      graft.streaming.StreamOps.cleanOnExit(rootDir)
+      val root = rootDir.toString + "/t"
       val base = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"))
@@ -223,7 +228,9 @@ object Analytics extends QueryModule {
           when(col("o_orderstatus") === "F", lit("delete"))
             .otherwise(lit("upsert")).as("op"),
           col("o_orderdate").as("seq"), col("o_orderkey").as("seq2"))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_qsm_ck").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_qsm_ck")
+      graft.streaming.StreamOps.cleanOnExit(ckptDir)
+      val ckpt = ckptDir.toString
       val q = cdc.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -435,7 +442,7 @@ object Analytics extends QueryModule {
         |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
         |  FROM last
         |  UNION ALL
-        |  SELECT o_custkey + 1000000,
+        |  SELECT -o_custkey,
         |    'Customer#New' || CAST(o_custkey AS VARCHAR),
         |    round(o_totalprice, 2), 'INSERTED', 'upsert'
         |  FROM last WHERE o_orderkey % 3 = 0),

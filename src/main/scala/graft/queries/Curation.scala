@@ -197,9 +197,14 @@ object Curation extends QueryModule {
     // via TakeOrderedAndProject (never a full sort at scale).
     "q_top_bigrams" -> ((s, dir) => {
       val toks = split(col("text"), " ")
+      // one-token docs yield no bigrams; without the guard Spark's
+      // sequence(1, 0) is DESCENDING [1,0] and slice(toks, 0, 2) throws
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
       Tables.documents(s, dir)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+        .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram")).limit(20)
     }),

@@ -91,13 +91,41 @@ object ScanOps extends QueryModule {
     }),
   )
 
-  /** Write (once per sf dir) and return the date-partitioned events copy. */
+  /** Write (once per sf dir) and return the date-partitioned events copy.
+    * Staleness-checked (a regenerated fixture invalidates the cache via
+    * mtime) and race-safe across processes: the copy is built in a
+    * process-unique staging dir and atomically renamed into place; if a
+    * concurrent builder won the rename, its copy is used and the staging
+    * dir dropped.
+    */
   def partitionedEventsCopy(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val out = "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(out + "/_SUCCESS").exists())
+    val marker = Paths.get(out, "_SUCCESS")
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "events"))).toMillis
+    val fresh = Files.exists(marker) &&
+      Files.getLastModifiedTime(marker).toMillis >= srcMtime
+    if (!fresh) {
+      val staging = out + ".stage-" + ProcessHandle.current().pid()
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        .write.mode("overwrite").partitionBy("event_date").parquet(staging)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val st = Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally st.close()
+      }
+      if (Files.exists(Paths.get(out))) rmTree(Paths.get(out)) // stale copy
+      try Files.move(Paths.get(staging), Paths.get(out), StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the race to a concurrent builder — use theirs
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.AccessDeniedException
+             | _: java.nio.file.DirectoryNotEmptyException =>
+          rmTree(Paths.get(staging))
+      }
+    }
     out
   }
 

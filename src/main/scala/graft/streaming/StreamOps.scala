@@ -398,6 +398,17 @@ object StreamOps {
     * references) without bound across repeated verify/bench runs.
     */
   private val tempDirsToClean = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** Register a temp dir for JVM-exit cleanup by the shared hook (used by
+    * every operator that materializes scratch state, e.g. the streaming
+    * MERGE's versioned table + checkpoint).
+    */
+  def cleanOnExit(dir: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempDirsToClean.add(dir)
+    ()
+  }
+
   private lazy val cleanupHook: Unit = sys.addShutdownHook {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
@@ -415,8 +426,7 @@ object StreamOps {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     // Temp output + checkpoint (incl. state store files) are deleted when
     // the JVM exits — repeated verify/bench runs must not leak disk.
-    cleanupHook
-    Seq(out, ckpt).foreach(tempDirsToClean.add)
+    Seq(out, ckpt).foreach(cleanOnExit)
     val q = streaming.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)

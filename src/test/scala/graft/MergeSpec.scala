@@ -89,6 +89,23 @@ class MergeSpec extends AnyFunSuite {
       rows(Merge.upsert(base, delta, Seq("k"))))
   }
 
+  test("publishVersioned detects a concurrent writer instead of clobbering it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ").toString + "/t"
+    Sinks.publishVersioned(base, root) // v0
+    val expected = Sinks.currentVersion(root)
+    assert(Sinks.publishVersioned(base, root, expected) == 1L) // winner
+    // a second writer based on the same v0 must fail, not silently win
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.publishVersioned(base, root, expected)
+    }
+    assert(Sinks.currentVersion(root).contains(1L))
+    assert(rows(Sinks.readCurrent(spark, root)) == rows(base))
+    // the loser's orphaned version dir was cleaned up
+    val vdirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(vdirs == Set("v0", "v1"), s"orphan left behind: $vdirs")
+  }
+
   test("a crash between version write and pointer flip leaves readers on the old version") {
     // Simulate the writer dying after materializing v1 but BEFORE the
     // pointer rename: readers resolving through _CURRENT must still see
@@ -99,9 +116,10 @@ class MergeSpec extends AnyFunSuite {
     Merge.upsert(base, delta, Seq("k")).write.parquet(s"$root/v1")
     assert(Sinks.currentVersion(root).contains(0L))
     assert(rows(Sinks.readCurrent(spark, root)) == rows(base))
-    // the next successful publish supersedes the orphan (overwrite mode)
+    // the next successful publish skips past the orphaned reservation
+    // (atomic createDirectory allocation) and supersedes it
     val v = Sinks.publishVersioned(Merge.upsert(base, delta, Seq("k")), root)
-    assert(v == 1L)
+    assert(v == 2L)
     assert(rows(Sinks.readCurrent(spark, root)) == rows(Merge.upsert(base, delta, Seq("k"))))
   }
 
