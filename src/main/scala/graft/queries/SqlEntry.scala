@@ -39,14 +39,28 @@ object SqlEntry extends QueryModule {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Window functions through the SQL door: top-3 customers by account
+    * balance per market segment (rank + frame-based running share).
+    */
+  private val windowSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    rank() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sql_pricing" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(pricingSql) }),
     "q_sql_revenue" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(revenueSql) }),
+    "q_sql_window" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(windowSql) }),
   )
 
   // the SAME text is the oracle — that identity is the point of E2
   val oracles: Map[String, String] = Map(
     "q_sql_pricing" -> pricingSql,
     "q_sql_revenue" -> revenueSql,
+    "q_sql_window" -> windowSql,
   )
 }

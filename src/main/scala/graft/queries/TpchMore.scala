@@ -101,8 +101,14 @@ object TpchMore extends QueryModule {
 
     // Q9 shape — profit by supplier nation and year; the partsupp cost
     // term is proxied by the part's retail price (60% COGS), keeping
-    // the join tree and grouped-signed-sum shape intact.
+    // the join tree and grouped-signed-sum shape intact. The per-row
+    // profit is rounded to CENTS and summed as integers: the signed sum
+    // cancels heavily, so a double accumulation drifts past 2dp at
+    // sf0.1 partial-sum orderings — integer cents make the sum
+    // order-independent and exact in both engines.
     "q_product_profit" -> ((s, dir) => {
+      val cents = round((volume - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+        * 100, 0).cast("long")
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
           col("l_partkey") === col("p_partkey"))
@@ -110,8 +116,7 @@ object TpchMore extends QueryModule {
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(volume - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
-          .as("sum_profit"))
+        .agg(round(sum(cents) / 100.0, 2).as("sum_profit"))
         .orderBy(col("nation"), desc("o_year"))
     }),
 
@@ -300,10 +305,12 @@ object TpchMore extends QueryModule {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
+    // per-row cents rounding mirrored (see the Spark side's note on
+    // signed-sum cancellation)
     "q_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        | round(sum(l_extendedprice * (1 - l_discount)
-        |   - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        | round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |   - 0.6 * p_retailprice * l_quantity) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
         |JOIN orders ON l_orderkey = o_orderkey
