@@ -41,6 +41,9 @@ object ScanOps extends QueryModule {
       case "csv" =>
         src.write.mode("overwrite").option("header", "true").csv(out)
         s.read.schema(rtSchema).option("header", "true").csv(out)
+      case "orc" =>
+        src.write.mode("overwrite").orc(out)
+        s.read.schema(rtSchema).orc(out)
     }
   }
 
@@ -56,6 +59,10 @@ object ScanOps extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_json_scan" -> ((s, dir) => rtAgg(roundTrip(s, dir, "json"))),
     "q_csv_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "csv"))),
+    // ORC round-trip: the columnar alternative a mixed lake serves; same
+    // write→scan identity proof as json/csv (binary columnar formats
+    // carry int64/double losslessly by construction).
+    "q_orc_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "orc"))),
 
     // Partition pruning on the driver's own path: a date-partitioned copy
     // of events (written once per sf under /tmp, event_date=yyyy-MM-dd
@@ -140,6 +147,7 @@ object ScanOps extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_json_scan" -> aggSql,
     "q_csv_scan" -> aggSql,
+    "q_orc_scan" -> aggSql,
 
     "q_partition_pruning" ->
       """SELECT event_type, count(*) AS n_events,
