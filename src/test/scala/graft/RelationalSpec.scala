@@ -47,6 +47,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(pruned == 7, s"expected 7 partitions after pruning, got $pruned")
   }
 
+  test("round-5 plan shapes: merge full-outer SMJ, dims broadcast in TPC-H sweep") {
+    // q_merge_upsert: the MERGE join must be a shuffle join on the key
+    // (full-outer cannot broadcast) — if this ever plans a nested loop
+    // the operator is broken at scale.
+    val merge = SparkEntry.queries("q_merge_upsert")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(merge.contains("SortMergeJoin") && merge.contains("FullOuter"),
+      s"merge upsert lost its full-outer SMJ:\n$merge")
+    // q_market_share: every dimension side broadcasts (two nation roles,
+    // part, supplier, region) — no dim may degrade to a shuffle join.
+    val share = SparkEntry.queries("q_market_share")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(share).size >= 5,
+      s"market share lost its broadcast dims:\n$share")
+  }
+
   test("B36 plan shape: aggregation is partial -> final HashAggregate") {
     val plan = SparkEntry.queries("q_pricing_summary")(spark, sf001)
       .queryExecution.executedPlan.toString
