@@ -37,6 +37,8 @@ object Merge {
   def upsert(base: DataFrame, delta: DataFrame,
       keys: Seq[String], opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(keys.contains).toSeq
+    require(!base.columns.contains(opCol),
+      s"base must not contain the op column '$opCol' (rename one of them)")
     val missing = payload.filterNot(delta.columns.contains) ++
       (if (delta.columns.contains(opCol)) Nil else Seq(opCol))
     require(missing.isEmpty, s"delta is missing columns: ${missing.mkString(", ")}")
