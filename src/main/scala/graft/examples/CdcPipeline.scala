@@ -29,7 +29,9 @@ object CdcPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/customers"
+    val rootDir = java.nio.file.Files.createTempDirectory("graft_cdc")
+    graft.streaming.StreamOps.cleanOnExit(rootDir)
+    val root = rootDir.toString + "/customers"
 
     // 1. bootstrap the stored table
     val base = Tables.customer(spark, sfDir)

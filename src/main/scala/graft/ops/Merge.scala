@@ -52,14 +52,19 @@ object Merge {
   }
 
   /** Transactional upsert into a stored versioned table
-    * ([[Sinks]] layout): read the live version, merge, publish as the
-    * next version with an atomic pointer flip. Re-applying the same delta
-    * is a no-op on the data (a new version with identical rows), so a
-    * retried batch cannot corrupt the table. Returns the published
-    * version.
+    * ([[Sinks]] layout): pin the live version ONCE, read exactly that
+    * version, merge, and publish conditioned on that same version — so a
+    * concurrent publish between the read and the commit surfaces as a
+    * `ConcurrentModificationException` (recompute and retry) rather than
+    * a silent lost update. Re-applying the same delta is a no-op on the
+    * data (a new version with identical rows), so a retried batch cannot
+    * corrupt the table. Returns the published version.
     */
   def applyTo(spark: SparkSession, root: String, delta: DataFrame,
-      keys: Seq[String], opCol: String = "op"): Long =
-    Sinks.publishVersioned(
-      upsert(Sinks.readCurrent(spark, root), delta, keys, opCol), root)
+      keys: Seq[String], opCol: String = "op"): Long = {
+    val baseVersion = Sinks.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
+    Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion))
+  }
 }

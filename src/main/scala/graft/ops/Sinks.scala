@@ -2,6 +2,7 @@ package graft.ops
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import graft.io.Fs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch sink patterns for pipeline reruns (the A4 emit-to-storage analog
@@ -27,13 +28,15 @@ object Sinks {
   //
   // Layout: <root>/v<N>/ holds immutable parquet versions; <root>/_CURRENT
   // is a tiny pointer file naming the live version. Writers fully
-  // materialize v<N+1>, then flip the pointer with a single atomic rename
-  // — readers that resolve through the pointer either see the old complete
-  // version or the new complete version, never a missing/partial table.
-  // This is the small-manifest commit that table formats (Delta/Iceberg
-  // transaction logs) implement on object stores with a conditional PUT;
-  // on HDFS/POSIX the rename below IS atomic, and at 100 TB the layout
-  // delegates cleanly to such a format without changing callers.
+  // materialize their data in a private staging dir, then COMMIT under a
+  // cross-process lock: the version number is allocated inside the lock,
+  // the staging dir is renamed to v<N> (one atomic rename), and the
+  // pointer flips (another atomic rename). Readers that resolve through
+  // the pointer see the old complete version or the new complete version,
+  // never a missing/partial table. This is the small-manifest conditional
+  // commit that table formats (Delta/Iceberg logs) implement on object
+  // stores with a conditional PUT; at 100 TB the layout delegates cleanly
+  // to such a format without changing callers.
 
   private val Pointer = "_CURRENT"
 
@@ -44,63 +47,67 @@ object Sinks {
     else None
   }
 
+  /** Path of version `v` under `root`. */
+  def versionPath(root: String, v: Long): String = s"$root/v$v"
+
   /** Path of the live version directory (readers resolve through this). */
   def resolve(root: String): String = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    s"$root/v$v"
+    versionPath(root, v)
   }
 
   def readCurrent(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(root))
 
-  /** Publish `df` as the next version: write a freshly-reserved v<N>
-    * completely, then flip the `_CURRENT` pointer via write-temp +
-    * atomic rename. Returns the published version number.
+  /** Publish `df` as the next version. Returns the published version.
     *
-    * Concurrency: safe under concurrent writers via optimistic
-    * concurrency — the version DIRECTORY is reserved atomically
-    * (`createDirectory` fails if it exists, so two writers can never
-    * write into the same v<N>), and the pointer flip happens under a
-    * cross-process file lock only if the table is still at the version
-    * this writer based itself on; a writer that lost the race gets a
-    * `ConcurrentModificationException` (recompute against the new
-    * current and retry) instead of silently clobbering the winner —
-    * the same conditional-commit protocol lakehouse table formats run.
+    * Concurrency (optimistic): the data lands in a writer-private staging
+    * dir first; the COMMIT — check the table is still at `expected`,
+    * allocate the next free version number, rename staging → v<N>, flip
+    * the pointer — runs under a JVM mutex + cross-process file lock. A
+    * writer whose base version was superseded gets a
+    * `ConcurrentModificationException` (recompute against the new current
+    * and retry) instead of silently clobbering the winner. Version
+    * numbers are allocated inside the lock, so no two writers ever share
+    * a v<N>; a crash before the commit leaves only a hidden `.stage-*`
+    * dir, and a crash between the two renames leaves an unreferenced
+    * v<N> that later commits simply skip past.
     */
   def publishVersioned(df: DataFrame, root: String): Long =
     publishVersioned(df, root, currentVersion(root))
 
   /** As [[publishVersioned]], with an explicit expected base version
-    * (None = expecting to create the table).
+    * (None = expecting to create the table). Callers that READ the table
+    * to derive `df` must pass the version they read (see
+    * [[graft.ops.Merge.applyTo]]) — re-reading the pointer at commit time
+    * would let a concurrent publish slip between the read and the check.
     */
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long]): Long = {
     Files.createDirectories(Paths.get(root))
-    // atomic reservation of the version dir — no two writers share a v<N>
-    var next = expected.map(_ + 1).getOrElse(0L)
-    var reserved = false
-    while (!reserved) {
-      try { Files.createDirectory(Paths.get(s"$root/v$next")); reserved = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
-    }
-    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(stage.toString)
     withCommitLock(root) {
       val cur = currentVersion(root)
       if (cur != expected) {
-        deleteRecursively(Paths.get(s"$root/v$next")) // abandon the orphan
+        Fs.deleteRecursively(stage)
         throw new java.util.ConcurrentModificationException(
           s"$root moved to v$cur while this writer was basing on v$expected; " +
             "recompute against the new current and retry")
       }
+      // allocate past any orphan left by a crash between rename and flip
+      var next = cur.map(_ + 1).getOrElse(0L)
+      while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
+      Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
       val tmp = Paths.get(root, s"$Pointer.tmp")
       Files.write(tmp, next.toString.getBytes("UTF-8"))
       Files.move(tmp, Paths.get(root, Pointer),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      next
     }
-    next
   }
 
-  /** JVM mutex + cross-process file lock around the pointer flip. (On an
+  /** JVM mutex + cross-process file lock around the commit. (On an
     * object store this becomes the conditional PUT of the table format.)
     */
   private def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
@@ -112,22 +119,26 @@ object Sinks {
 
   /** Compaction over the versioned layout: rewrite the live version into
     * ceil(bytes / targetBytes) files as a NEW version and flip the
-    * pointer — readers see no window where the table is absent. Version
-    * dirs older than the immediately-previous one are vacuumed (the
-    * previous is kept for readers that resolved just before the flip;
-    * production table formats age these out by retention time instead).
+    * pointer — readers see no window where the table is absent. The
+    * vacuum keeps exactly the version that was live when compaction
+    * started (readers that resolved just before the flip) and the new
+    * one; everything else — older versions AND orphaned dirs from
+    * crashed publishes — is deleted. Production table formats age these
+    * out by retention time instead.
     */
   def compactVersioned(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val live = resolve(root)
+    val liveV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val live = versionPath(root, liveV)
     val nFiles = fileCount(Paths.get(live), targetBytes)
-    val v = publishVersioned(spark.read.parquet(live).repartition(nFiles), root)
-    // vacuum: delete v<k> for k < v-1
-    listDir(Paths.get(root)).foreach { p =>
+    val v = publishVersioned(
+      spark.read.parquet(live).repartition(nFiles), root, Some(liveV))
+    Fs.listDir(Paths.get(root)).foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
-          && name.drop(1).toLong < v - 1)
-        deleteRecursively(p)
+      if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
+          && name.drop(1).toLong != liveV && name.drop(1).toLong != v)
+        Fs.deleteRecursively(p)
     }
     v
   }
@@ -165,8 +176,8 @@ object Sinks {
     if (!Files.exists(dir) && Files.exists(bak))
       Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
     else if (Files.exists(dir) && Files.exists(bak))
-      deleteRecursively(bak)
-    val entries = listDir(dir)
+      Fs.deleteRecursively(bak)
+    val entries = Fs.listDir(dir)
     val nested = entries.filter(p => Files.isDirectory(p))
     require(nested.isEmpty,
       s"compact() requires a flat parquet directory; $path contains " +
@@ -178,30 +189,14 @@ object Sinks {
       .write.mode("overwrite").parquet(tmp)
     Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(bak)
+    Fs.deleteRecursively(bak)
   }
 
   /** ceil(total parquet bytes / target), from file metadata only. */
   private def fileCount(dir: Path, targetBytes: Long): Int = {
-    val totalBytes = listDir(dir)
+    val totalBytes = Fs.listDir(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(Files.size).sum
     math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-  }
-
-  /** Directory listing with the stream closed (Files.list leaks an fd
-    * otherwise).
-    */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.toArray.toSeq.map(_.asInstanceOf[Path])
-    finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
-    finally s.close()
   }
 }

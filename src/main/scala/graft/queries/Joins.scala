@@ -22,23 +22,26 @@ object Joins extends QueryModule {
   val queries: Map[String, Q] = Map(
     // B18 inner equi chain + agg — BENCH headline q_join_agg (TPC-H Q5
     // shape). Lineitem is PARTIALLY AGGREGATED to one row per order
-    // BEFORE the join chain (sum/count re-aggregate associatively under
-    // the n_name grouping, so results are identical): the orders join
-    // then shuffles one row per order instead of ~4 lineitems, and the
-    // customer join carries the reduced width onward. Catalyst does not
-    // push aggregates below joins itself; measured ~14% at sf0.1 and a
-    // strictly smaller shuffle at any scale.
+    // BEFORE the join chain: the orders join then shuffles one row per
+    // order instead of ~4 lineitems, and the customer join carries the
+    // reduced width onward. Catalyst does not push aggregates below
+    // joins itself; measured ~14% at sf0.1 and a strictly smaller
+    // shuffle at any scale. Revenue is summed as per-row integer CENTS
+    // (mirrored in the oracle) so the two-level regrouping stays exact —
+    // double re-association at 1e8 magnitudes can drift a nation past a
+    // half-cent rounding boundary.
     "q_join_agg" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")
       val perOrder = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
-          count(lit(1)).as("cnt"))
+        .agg(sum(cents).as("rev_cents"), count(lit(1)).as("cnt"))
       perOrder
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("rev")), 2).as("revenue"),
+        .agg(round(sum(col("rev_cents")) / 100.0, 2).as("revenue"),
           sum(col("cnt")).as("n_items"))
         .orderBy("n_name")
     }),
@@ -205,7 +208,7 @@ object Joins extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_join_agg" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(sum(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) / 100.0, 2) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -118,19 +118,22 @@ object ScanOps extends QueryModule {
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(staging)
-      def rmTree(p: java.nio.file.Path): Unit = {
-        val st = Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally st.close()
+      // retire a stale live copy by ATOMIC RENAME, never an in-place
+      // delete — a concurrent reader mid-scan keeps its open file
+      // handles (POSIX unlink semantics) and new plans re-resolve
+      if (Files.exists(Paths.get(out))) {
+        val retired = Paths.get(out + ".old-" + ProcessHandle.current().pid()
+          + "-" + System.nanoTime())
+        try Files.move(Paths.get(out), retired, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.NoSuchFileException => () } // other retirer won
+        graft.io.Fs.deleteRecursively(retired)
       }
-      if (Files.exists(Paths.get(out))) rmTree(Paths.get(out)) // stale copy
       try Files.move(Paths.get(staging), Paths.get(out), StandardCopyOption.ATOMIC_MOVE)
       catch { // lost the race to a concurrent builder — use theirs
         case _: java.nio.file.FileAlreadyExistsException
              | _: java.nio.file.AccessDeniedException
              | _: java.nio.file.DirectoryNotEmptyException =>
-          rmTree(Paths.get(staging))
+          graft.io.Fs.deleteRecursively(Paths.get(staging))
       }
     }
     out

@@ -410,13 +410,9 @@ object StreamOps {
   }
 
   private lazy val cleanupHook: Unit = sys.addShutdownHook {
-    import java.nio.file.{Files, Path}
-    import java.util.Comparator
     var d = tempDirsToClean.poll()
     while (d != null) {
-      if (Files.exists(d))
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+      graft.io.Fs.deleteRecursively(d)
       d = tempDirsToClean.poll()
     }
   }
