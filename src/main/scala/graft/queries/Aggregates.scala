@@ -212,6 +212,21 @@ object Aggregates extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // B33 correlation/covariance (the feature-relationship profile):
+    // Pearson corr + sample covariance + slope of the implied regression
+    // per return flag — one partial-aggregating pass, matching DuckDB's
+    // definitions exactly (round 6 absorbs accumulation order).
+    "q_corr" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) /
+            var_samp(col("l_quantity")), 6).as("slope"))
+        .orderBy("l_returnflag")
+    }),
+
     // Fixed-width value histogram (the feature-distribution profile a
     // data-quality dashboard draws): bucket = floor(price / 25k), one
     // keyed agg. Fixed bounds, so no global-extent pre-pass — the shape
@@ -240,6 +255,13 @@ object Aggregates extends QueryModule {
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
