@@ -59,8 +59,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val cands = minhashCandidatesMd5(docs, n, bands, rowsPerBand)
-    val sh = Par.spread(docs).select(col("doc_id"),
-      array_distinct(shingles(col("text"), n)).as("s"))
+    // materialize the shingle table once — it feeds BOTH join sides, and
+    // without the barrier the full tokenize/slice/concat subtree would
+    // run twice over the corpus (same hazard the signature checkpoint in
+    // minhashCandidates documents)
+    val sh = Par.spread(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("s"))
+      .localCheckpoint()
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
@@ -145,7 +150,11 @@ object Dedup {
     // minhashCandidates (banding would otherwise re-run the signature
     // once per band), and md5-string signatures are strictly more
     // expensive to recompute than the xxhash64 ones.
-    val sigs = Par.spread(docs)
+    // null-text docs are EXCLUDED: their signature would be null and every
+    // band bucket the empty string, forming one all-null candidate clique
+    // (m docs -> m(m-1)/2 pairs — a job-killing cross product at scale,
+    // and semantically wrong: absent text is not "similar text")
+    val sigs = Par.spread(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), minhashSignatureMd5(col("text"), n, numPerm).as("sig"))
       .localCheckpoint()
     val banded = sigs
@@ -185,7 +194,8 @@ object Dedup {
     // the HOF minhashSignature, ~2x faster — no interpreted-lambda
     // allocations per shingle; parity asserted in LlmSpec).
     graft.functions.MinHashSig.register(docs.sparkSession)
-    val sigs = Par.spread(docs)
+    // null-text docs excluded — same all-null-clique hazard as the md5 path
+    val sigs = Par.spread(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), expr(s"minhash_sig(text, $n, $numPerm)").as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("doc_id"),
@@ -207,14 +217,22 @@ object Dedup {
     * pipeline actually ships: LSH candidate pairs are only EDGES; keeping
     * one survivor per near-dup GROUP requires the connected components of
     * that edge set (doc A~B, B~C must collapse to one cluster even though
-    * A,C never shared a bucket). Components come from
+    * A,C never shared a bucket). Edges are VERIFIED by exact n-gram
+    * Jaccard before clustering: transitive closure amplifies every
+    * false-positive band collision into whole-cluster data loss (one bad
+    * edge chains two unrelated groups and the survivor rule then drops
+    * genuine non-duplicates), so only candidates with
+    * jaccard >= minJaccard become edges. Components come from
     * [[connectedComponents]]; cluster_id = min doc_id in the component,
     * so the survivor rule (`doc_id == cluster_id`) is deterministic.
     */
-  def dupClusters(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+  def dupClusters(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      minJaccard: Double = 0.2): DataFrame =
     connectedComponents(
       docs.select(col("doc_id")),
-      minhashCandidatesMd5(docs, n, bands, rowsPerBand))
+      ngramJaccardPairs(docs, n, bands, rowsPerBand)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b")))
 
   /** Connected components by iterative min-label propagation, all
     * DataFrame ops: each round every node takes the min label over itself

@@ -33,15 +33,22 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKAgg.register(corpus.sparkSession)
-    Par.spread(corpus).crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"),
-        Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
-      .groupBy(col("query_id"))
+    topKPerQuery(
+      Par.spread(corpus).crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim")), k)
+  }
+
+  /** Shared tail of both search paths: (query_id, vec_id, cos_sim) rows →
+    * per-query bounded-heap top-k with 1-based rank. One implementation so
+    * the brute-force and IVF outputs can never drift in shape.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
       .agg(expr(s"topk_agg(cos_sim, vec_id, $k)").as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         col("col.score").as("cos_sim"), (col("pos") + 1).as("rnk"))
-  }
 
   /** Per-cluster mean vectors: explode to (cluster, dim, value), average
     * per (cluster, dim), re-assemble the array in dim order. Two key-hash
@@ -97,7 +104,13 @@ object Similarity {
         Vec.asDouble(col("embedding")).as("centroid"))
       .localCheckpoint()
     for (_ <- 1 to iters)
-      cents = meanByCluster(assignClusters(corpus, cents), "cluster").localCheckpoint()
+      // cluster -1 is the sentinel for rows where every cosine was null
+      // (zero-norm/null embeddings) — excluding them keeps a phantom
+      // zero-vector "cluster" from materializing and persisting as a
+      // probe-able bucket across iterations
+      cents = meanByCluster(
+        assignClusters(corpus, cents).filter(col("cluster") >= 0),
+        "cluster").localCheckpoint()
     cents
   }
 
@@ -119,14 +132,10 @@ object Similarity {
     // The in-bucket scan uses the bounded-heap aggregate — same rationale
     // as bruteForceTopK: never shuffle the scored bucket contents.
     graft.functions.TopKAgg.register(corpus.sparkSession)
-    corpus.join(broadcast(probed), Seq("label"))
-      .select(col("query_id"), col("vec_id"),
-        Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim"))
-      .groupBy(col("query_id"))
-      .agg(expr(s"topk_agg(cos_sim, vec_id, $k)").as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(col("query_id"), col("col.id").as("vec_id"),
-        col("col.score").as("cos_sim"), (col("pos") + 1).as("rnk"))
+    topKPerQuery(
+      corpus.join(broadcast(probed), Seq("label"))
+        .select(col("query_id"), col("vec_id"),
+          Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim")), k)
   }
 
   /** Random-hyperplane-LSH candidate pairs, axis-aligned variant: band g's
@@ -138,9 +147,17 @@ object Similarity {
     * bands*bits must be <= the embedding dimension.
     */
   def signLshCandidates(corpus: DataFrame, bands: Int, bits: Int): DataFrame = {
+    // fail fast if bands*bits overruns the vector: an out-of-range slice
+    // yields [] and concat_ws "", so EVERY vector would share that band's
+    // bucket — a silent all-pairs clique instead of an error
+    val needed = bands * bits
+    val checked = when(size(col("embedding")) >= needed, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"signLshCandidates: bands*bits=$needed exceeds embedding dim "),
+        size(col("embedding")).cast("string"))))
     val banded = Par.spread(corpus).select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        g => concat_ws("", transform(slice(col("embedding"), g * bits + 1, lit(bits)),
+        g => concat_ws("", transform(slice(checked, g * bits + 1, lit(bits)),
           v => when(v >= 0, lit("1")).otherwise(lit("0")))))))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("code"))
     val l = banded.select(col("band"), col("code"), col("vec_id").as("vec_a"))

@@ -264,11 +264,36 @@ object Curation extends QueryModule {
       |  SELECT doc_a AS src, doc_b AS dst FROM cand
       |  UNION SELECT doc_b, doc_a FROM cand)""".stripMargin
 
+  /** Verified-edge variant for q_dup_clusters: candidates pass the exact
+    * n-gram Jaccard gate (>= 0.2, mirroring Dedup.dupClusters) before the
+    * symmetric edge set is built — same CTE prefix as [[edgeCtes]].
+    */
+  private val verifiedEdgeCtes =
+    edgeCtes.stripSuffix(
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand)""".stripMargin) +
+      """sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS s
+        |  FROM documents),
+        |vcand AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |              JOIN sh y ON y.doc_id = c.doc_b
+        |  WHERE round(CAST(len(list_filter(x.s, v -> list_contains(y.s, v))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM vcand
+        |  UNION SELECT doc_b, doc_a FROM vcand)""".stripMargin
+
   /** `reach` is the transitive closure, so min(dst) per src is exactly
     * the label the propagation loop converges to.
     */
   val oracles: Map[String, String] = Map(
-    "q_dup_clusters" -> (edgeCtes +
+    "q_dup_clusters" -> (verifiedEdgeCtes +
       """,
         |reach AS (
         |  SELECT src, dst FROM edges

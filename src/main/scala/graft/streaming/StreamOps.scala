@@ -29,22 +29,26 @@ class RecentEventsProcessor(maxN: Int)
   import org.apache.spark.sql.streaming.{ListState, TimerValues}
   import org.apache.spark.sql.{Encoder, Encoders}
 
-  @transient private var recent: ListState[Long] = _
+  // state carries (tsMs, event_id), not bare ids: "most recent N" is an
+  // EVENT-TIME property, and a late event appended in arrival order
+  // would otherwise be recorded as newest and evict genuinely newer ids
+  @transient private var recent: ListState[(Long, Long)] = _
 
   override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-    implicit val enc: Encoder[Long] = Encoders.scalaLong
-    recent = getHandle.getListState[Long]("recent", enc,
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    recent = getHandle.getListState[(Long, Long)]("recent", enc,
       org.apache.spark.sql.streaming.TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[UserEvent],
       timerValues: TimerValues): Iterator[RecentEvents] = {
-    val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_id)
-    val merged = (recent.get().toSeq ++ incoming).takeRight(maxN)
+    val incoming = rows.map(e => (e.ts.getTime, e.event_id)).toSeq
+    val merged = (recent.get().toSeq ++ incoming).sorted.takeRight(maxN)
     recent.clear()
     recent.appendList(merged.toArray)
-    Iterator.single(RecentEvents(key, merged))
+    Iterator.single(RecentEvents(key, merged.map(_._2)))
   }
 }
 
@@ -363,8 +367,20 @@ object StreamOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  open = Some(s.copy(lastMs = t, n = s.n + 1))
+                // within gap of the open session's INTERVAL (an event from
+                // an earlier batch may precede startMs): extend both ends —
+                // overwriting lastMs backward would shrink the session and
+                // then falsely split it on the next in-gap event
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
+                  open = Some(OpenSession(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1))
+                // stale straggler older than the open session by more than
+                // the gap: its own already-elapsed singleton session (it
+                // cannot merge retroactively); the open session is untouched
+                case Some(s) if t < s.startMs - gapMs =>
+                  closed += SessionOut(uid, new Timestamp(t),
+                    new Timestamp(t + gapMs), 1)
+                // later than the gap: close the open session, start anew
                 case Some(s) =>
                   closed += SessionOut(uid, new Timestamp(s.startMs),
                     new Timestamp(s.lastMs + gapMs), s.n)

@@ -103,6 +103,35 @@ class LlmSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"md5 LSH missed near-dup pairs: $missed")
   }
 
+  test("null-text docs form no LSH candidate clique and are never paired") {
+    import spark.implicits._
+    // three null-text docs + two real near-dups: without the null guard
+    // every null doc would share the all-null bucket with every other —
+    // m(m-1)/2 bogus pairs and, downstream, silent deletion of unrelated
+    // records by the survivor rule
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (900L, null.asInstanceOf[String]), (901L, null.asInstanceOf[String]),
+      (902L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatesMd5(docs, n = 3, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "real near-dup pair lost")
+    assert(pairs.forall { case (a, b) => a < 900 && b < 900 },
+      s"null-text docs paired: $pairs")
+  }
+
+  test("signLshCandidates fails fast when bands*bits exceeds the embedding dim") {
+    val e = intercept[Exception] {
+      Similarity.signLshCandidates(Tables.embeddings(spark, sf001),
+        bands = 8, bits = 16).count() // 128 > dim 64
+    }
+    assert(e.getMessage != null && e.getMessage.contains("exceeds embedding dim")
+      || e.getCause != null && e.getCause.getMessage.contains("exceeds embedding dim"),
+      s"wrong failure: $e")
+  }
+
   test("connected components: chains collapse transitively, singletons self-cluster") {
     import spark.implicits._
     // path graph 1-2-3-4-5-6-7-8 (diameter 7) forces multiple propagation

@@ -247,6 +247,38 @@ class StreamingSpec extends AnyFunSuite {
       s"sessionize != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
   }
 
+  test("B52 sessionize merges an out-of-order cross-batch event instead of splitting") {
+    // The latent bug this pins: an earlier-timestamped event arriving in a
+    // later batch used to overwrite lastMs BACKWARD (never extending
+    // startMs), so the next in-gap event falsely closed the session.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("ts", "10 minutes").as[graft.streaming.UserEvent], 10)
+    val q = sessions.writeStream.format("memory").queryName("sessz_ooo")
+      .outputMode("append").start()
+    val b1 = Seq(UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    val b2 = Seq(
+      UserEvent(2, ts("2024-01-01 09:56:00"), 1, "view", 1.0),  // late, in-gap
+      UserEvent(3, ts("2024-01-01 10:07:00"), 1, "click", 1.0))
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq(UserEvent(98, ts("2024-01-01 13:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(99, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessz_ooo").filter($"user_id" === 1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+    // must equal the built-in session_window over the SAME events: one
+    // merged session [09:56, 10:17) with 3 events
+    val expected = StreamOps.sessionAgg((b1 ++ b2).toDF()).filter($"user_id" === 1L)
+    assert(got.count() == 1, s"split session: ${got.collect().mkString(",")}")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"ooo sessionize != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
+  }
+
   test("B52 ListState recent-events keeps a bounded, ordered last-N across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
