@@ -38,10 +38,20 @@ final case class Stream(df: DataFrame) {
   def filterBolt(cond: Column): Stream = Stream(df.filter(cond))
 
   /** 1→n generator bolt (explode-style emit). `generator` must be a
-    * generator expression (explode/posexplode/inline).
+    * generator expression (explode/posexplode/inline); supply one output
+    * name per generated column — posexplode emits two (pos, value) and
+    * inline one per struct field, so they need the multi-name overload.
     */
   def flatMapBolt(outputName: String, generator: Column): Stream =
-    Stream(df.select(generator.as(outputName)))
+    flatMapBolt(generator, outputName)
+
+  /** Multi-output generator bolt: `outputNames` must match the number of
+    * columns the generator emits (multi-alias resolution).
+    */
+  def flatMapBolt(generator: Column, outputNames: String*): Stream = {
+    require(outputNames.nonEmpty, "flatMapBolt needs at least one output name")
+    Stream(df.select(generator.as(outputNames)))
+  }
 
   /** A5: round-robin repartition to n parallel downstream tasks. */
   def shuffleGrouping(n: Int): Stream = Stream(df.repartition(n))

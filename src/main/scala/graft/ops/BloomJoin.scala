@@ -48,8 +48,11 @@ object BloomJoin {
   def semiFilter(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String, expectedItems: Long): DataFrame = {
     register(large.sparkSession)
+    // backtick-quote the key so names needing escaping (spaces, keywords,
+    // dots) parse — symmetric with the col(largeKey) treatment below
+    val quotedKey = "`" + smallKey.replace("`", "``") + "`"
     val bloomBytes = small
-      .agg(expr(s"graft_bloom_agg($smallKey, ${expectedItems}L)").as("b"))
+      .agg(expr(s"graft_bloom_agg($quotedKey, ${expectedItems}L)").as("b"))
       .head().getAs[Array[Byte]]("b")
     if (bloomBytes == null) large.filter(lit(false)) // empty build side
     else large.filter(

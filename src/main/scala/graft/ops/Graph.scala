@@ -22,13 +22,19 @@ object Graph {
     *                 rather than computed as 1-damping so literal values
     *                 match an oracle's decimal literals bit-for-bit
     *
-    * Nodes are those appearing as a source (for a symmetrized edge set
-    * that is every node, and guarantees outdeg >= 1 — no dangling-mass
-    * correction needed).
+    * Accepts ANY directed edge list: the node set is src ∪ dst (a page
+    * that is only linked-to still gets a rank), and the mass parked on
+    * dangling nodes (outdeg = 0) is redistributed uniformly each round
+    * (the standard dangling-node correction), so total rank stays exactly
+    * 1 whether or not the input is symmetrized. For a symmetric edge set
+    * the dangling term is identically 0.0 and the arithmetic — hence the
+    * q_pagerank oracle hash — is unchanged.
     */
   def pagerank(edges: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     val nAnchor = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(nAnchor)
@@ -39,13 +45,20 @@ object Graph {
         .groupBy("dst")
         .agg(sum(col("rank") / col("outdeg")).as("c"))
         .withColumnRenamed("dst", "node")
+      // rank mass sitting on dangling nodes this round — a 1-row
+      // broadcast anchor, like n
+      val dangling = broadcast(
+        ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(nAnchor)
+        .crossJoin(dangling)
         .select(col("node"),
           (lit(teleport) / col("n") +
-            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dangling_mass") / col("n"))).as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 }

@@ -44,13 +44,20 @@ object Multimodal {
   /** Frame/chunk sampling: explode every stride-th slice of the payload,
     * up to maxFrames bounded slices per row (bounded output per input row
     * — no payload amplification beyond maxFrames × frameBytes).
+    *
+    * The last frame index is floor((n_bytes-1)/stride) = the highest
+    * stride multiple that still lands INSIDE the payload; floor(n/stride)
+    * would emit a zero-length trailing frame whenever stride divides
+    * n_bytes exactly. Empty/null payloads yield no frames (the
+    * when() leaves the frame array null, which posexplode drops).
     */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int, maxFrames: Int): DataFrame =
     media.select(col("doc_id"), col("meta"),
-      posexplode(transform(
+      posexplode(when(col("meta.n_bytes") > 0, transform(
         sequence(lit(0),
-          least(floor(col("meta.n_bytes") / stride).cast("int"), lit(maxFrames - 1))),
-        i => col("payload").substr(i * stride + 1, lit(frameBytes)))))
+          least(floor((col("meta.n_bytes") - 1) / stride).cast("int"),
+            lit(maxFrames - 1))),
+        i => col("payload").substr(i * stride + 1, lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
 
@@ -67,7 +74,9 @@ object Multimodal {
       // per-partition setup happens ONCE here (model load in real life)
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // null payloads (e.g. packBinary over a null text) feature as
+        // all-zeros rather than NPE-failing the task
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val feats = Array.tabulate(dim) { i =>
           if (bytes.isEmpty) 0.0
           else bytes.iterator.zipWithIndex

@@ -13,7 +13,19 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // If the plan already contains an exchange, leave it alone: (a) AQE
+    // sizes post-shuffle parallelism itself, and (b) touching df.rdd here
+    // would make AQE materialize every upstream shuffle stage eagerly just
+    // to read a partition count — and the returned DataFrame would then
+    // RECOMPUTE that work as a separate execution. The guard is only for
+    // exchange-free scan pipelines, where df.rdd is pure planning (file
+    // splits), no job runs, and nothing is recomputed.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }

@@ -24,19 +24,41 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Spreads rows of one key across buckets, deterministically from row
     * CONTENT (hash of every column). A nondeterministic salt
     * (rand/monotonically_increasing_id) becomes a correctness bug on
     * stage retry: a recomputed map task can assign different salts than
     * the output some reducers already fetched, duplicating or dropping
     * rows (the SPARK-23207 class). Content-derived salt is stable across
-    * retries; the residual caveat — many EXACTLY identical rows of one
-    * hot key all land in one bucket — is acceptable for the aggregation/
-    * join shapes here and is the same trade Spark's own
-    * sortBeforeRepartition mitigation makes.
+    * retries.
+    *
+    * Degenerate case, and why it is tolerable: rows whose non-key
+    * columns are determined by the key (worst case: a projection to the
+    * key columns alone) all hash to ONE salt bucket, so the salt spreads
+    * nothing. But for [[saltedAggregate]] those are exactly the rows
+    * map-side partial aggregation collapses to one partial per (key,
+    * salt) per map task BEFORE the shuffle — the hot key's reducer
+    * receives at most #mapTasks partial rows with or without salting, so
+    * the case where the salt degenerates is the case where it was not
+    * needed. Salting earns its keep when per-key rows are distinct
+    * (count-distinct inputs, collect buffers, join rows), and distinct
+    * content is precisely what content-hash spreads. [[degenerateWarn]]
+    * still flags the guaranteed-degenerate call shape loudly.
     */
   private def salt(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
+
+  /** Loud (not silent) no-op detection: a df whose every column is a key
+    * column cannot be spread by content salt.
+    */
+  private def degenerateWarn(df: DataFrame, keys: Seq[String], op: String): Unit =
+    if (df.columns.toSet.subsetOf(keys.toSet))
+      log.warn(s"$op: input columns ${df.columns.mkString("[", ",", "]")} are all " +
+        "key columns, so the content-derived salt is constant per key and spreads " +
+        "nothing; rely on map-side partial aggregation here, or keep a non-key " +
+        "column in the input")
 
   /** Two-phase salted aggregation.
     *
@@ -47,6 +69,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
       phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
+    degenerateWarn(df, keys, "saltedAggregate")
     val salted = df.withColumn(SaltCol, salt(df, buckets))
     val partial = salted
       .groupBy((keys :+ SaltCol).map(col): _*)
@@ -60,6 +83,7 @@ object Skew {
     * small — the same precondition as a broadcast).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    degenerateWarn(big, Seq(key), "saltedJoin")
     val b = big.withColumn(SaltCol, salt(big, buckets))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))

@@ -27,7 +27,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est"),
     "zh" -> Seq("的", "是", "在", "了"))
 
-  private def toks(c: Column): Column = split(c, " ")
+  /** Whitespace tokenization that is robust to real corpus text: split
+    * on RUNS of any whitespace (tabs, newlines, multi-space) and drop
+    * the empty fragments a leading/trailing run produces. A plain
+    * `split(c, " ")` counts "a\nb" as one token and "a  b" as three —
+    * systematically wrong signals on anything but single-spaced
+    * fixtures. Empty/blank text tokenizes to [] (not [""]).
+    */
+  private[ops] def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Whitespace + BPE-ish token counting and shape stats per document. */
   def tokenStats(docs: DataFrame): DataFrame =
@@ -38,21 +46,29 @@ object TextAnalysis {
 
   /** Composite quality score: token count, punctuation ratio, stopword
     * ratio, mean token length — the usual cheap pre-filter signals.
+    *
+    * Empty/blank documents score 0.0 (worst), NOT null: a null quality
+    * would slip through `quality < threshold` curation filters, letting
+    * exactly the junkiest inputs survive the gate.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val nTokens = size(t)
     val punct = expr("regexp_count(text, '[^a-z0-9 ]')").cast("double")
     val stopHits = size(filter(t, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val punctRatio = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(punct / length(col("text")))
     docs.select(col("doc_id"), col("lang"),
       nTokens.as("n_tokens"),
-      round(punct / length(col("text")), 6).as("punct_ratio"),
-      round(stopHits.cast("double") / nTokens, 6).as("stop_ratio"),
-      round(length(col("text")).cast("double") / nTokens, 4).as("avg_token_len"),
-      round(
+      round(punctRatio, 6).as("punct_ratio"),
+      round(when(nTokens === 0, lit(0.0))
+        .otherwise(stopHits.cast("double") / nTokens), 6).as("stop_ratio"),
+      round(when(nTokens === 0, lit(0.0))
+        .otherwise(length(col("text")).cast("double") / nTokens), 4).as("avg_token_len"),
+      round(when(nTokens === 0, lit(0.0)).otherwise(
         least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
           + (lit(1.0) - least(punct / length(col("text")), lit(1.0))) * 0.3
-          + least(stopHits.cast("double") / nTokens * 5.0, lit(1.0)) * 0.2,
+          + least(stopHits.cast("double") / nTokens * 5.0, lit(1.0)) * 0.2),
         6).as("quality"))
   }
 

@@ -359,35 +359,47 @@ object LlmOps extends QueryModule {
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(len(list_filter(regexp_split_to_array(text,'\s+'), w -> len(w) > 0))) AS BIGINT) AS total_ws_tokens,
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
         | round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality_score" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
-        | round(CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text), 6) AS punct_ratio,
-        | round(CAST(len(list_filter(string_split(text,' '),
-        |   w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
-        |   / len(string_split(text,' ')), 6) AS stop_ratio,
-        | round(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')), 4) AS avg_token_len,
-        | round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.5
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text,'\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text) END, 6) AS punct_ratio,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0
+        |   ELSE CAST(len(list_filter(toks,
+        |     w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
+        |     / len(toks) END, 6) AS stop_ratio,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0
+        |   ELSE CAST(length(text) AS DOUBLE)/len(toks) END, 4) AS avg_token_len,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0
+        |   ELSE least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)*0.5
         |   + (1.0 - least(CAST(len(regexp_extract_all(text,'[^a-z0-9 ]')) AS DOUBLE)/length(text), 1.0))*0.3
-        |   + least(CAST(len(list_filter(string_split(text,' '),
+        |   + least(CAST(len(list_filter(toks,
         |       w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
-        |       / len(string_split(text,' ')) * 5.0, 1.0)*0.2, 6) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       / len(toks) * 5.0, 1.0)*0.2 END, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
-      """WITH scored AS (
+      """WITH t AS (
         |  SELECT doc_id,
-        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['the','and','of','is'], w))) AS s_en,
-        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['der','und','die','ist'], w))) AS s_de,
-        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['el','la','que','es'], w))) AS s_es,
-        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['le','la','et','est'], w))) AS s_fr,
-        |    len(list_filter(list_distinct(string_split(text,' ')), w -> list_contains(['的','是','在','了'], w))) AS s_zh
-        |  FROM documents)
+        |    list_distinct(list_filter(regexp_split_to_array(text,'\s+'), w -> len(w) > 0)) AS dt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(dt, w -> list_contains(['the','and','of','is'], w))) AS s_en,
+        |    len(list_filter(dt, w -> list_contains(['der','und','die','ist'], w))) AS s_de,
+        |    len(list_filter(dt, w -> list_contains(['el','la','que','es'], w))) AS s_es,
+        |    len(list_filter(dt, w -> list_contains(['le','la','et','est'], w))) AS s_fr,
+        |    len(list_filter(dt, w -> list_contains(['的','是','在','了'], w))) AS s_zh
+        |  FROM t)
         |SELECT predicted_lang, count(*) AS n_docs FROM (
         |  SELECT CASE
         |    WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'

@@ -394,4 +394,48 @@ class LlmSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(found.subsetOf(exact), "LSH+rerank produced a pair below threshold")
   }
+
+  test("B64 frame sampling: no zero-length trailing frame, null payloads drop") {
+    import spark.implicits._
+    // 64 = exact multiple of stride 32 (the old floor(n/stride) bound
+    // emitted a third, EMPTY frame here); 63 = one byte short; null text
+    val docs = Seq(
+      (1L, "a" * 64, "en", "web"),
+      (2L, "b" * 63, "en", "web"),
+      (3L, null.asInstanceOf[String], "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val media = Multimodal.packBinary(docs)
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 32, maxFrames = 4)
+      .select(col("doc_id"), col("frame_no"), octet_length(col("frame")).as("len"))
+      .as[(Long, Int, Int)].collect()
+    assert(frames.forall(_._3 > 0), s"zero-length frame emitted: ${frames.toSeq}")
+    assert(frames.count(_._1 == 1L) == 2, "64B/stride 32 must yield exactly 2 frames")
+    assert(frames.count(_._1 == 2L) == 2)
+    assert(!frames.exists(_._1 == 3L), "null payload must yield no frames")
+    // feature extraction tolerates the null payload (all-zero features)
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+    assert(feats.count() == 3)
+    val nullFeats = feats.filter(col("doc_id") === 3L)
+      .select("features").as[Seq[Double]].head()
+    assert(nullFeats == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("B63 tokenizer is whitespace-robust; empty docs score 0 quality, not null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello\nworld", "en", "web", 11),
+      (2L, "a  b", "en", "web", 4),
+      (3L, "", "en", "web", 0),
+      (4L, "  the  end\t", "en", "web", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stats = TextAnalysis.tokenStats(docs)
+      .select("doc_id", "ws_tokens").as[(Long, Int)].collect().toMap
+    assert(stats == Map(1L -> 2, 2L -> 2, 3L -> 0, 4L -> 2),
+      s"whitespace tokenization wrong: $stats")
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 3L)
+      .select("n_tokens", "punct_ratio", "stop_ratio", "avg_token_len", "quality")
+      .as[(Int, Double, Double, Double, Double)].head()
+    assert(q == ((0, 0.0, 0.0, 0.0, 0.0)),
+      s"empty doc must score all-zero (null would pass quality<x gates): $q")
+  }
 }

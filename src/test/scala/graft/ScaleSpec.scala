@@ -54,6 +54,10 @@ class ScaleSpec extends AnyFunSuite {
     val plan = pre.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), "bloom filter missing from plan")
     assert(!plan.contains("Exchange"), "bloom prefilter introduced a shuffle")
+    // identifier escaping: a build-side key that needs backticks parses
+    val odd = hot.withColumnRenamed("o_orderkey", "order key")
+    val pre2 = graft.ops.BloomJoin.semiFilter(li, "l_orderkey", odd, "order key", 100000L)
+    assert(pre2.count() == kept)
   }
 
   test("bucketed tables co-locate the join (no shuffle exchange in plan)") {
@@ -194,6 +198,23 @@ class ScaleSpec extends AnyFunSuite {
     // real fixture read matches its own schema
     val orders = Tables.orders(spark, sf001)
     assert(Quality.schemaDrift(orders.schema, orders.schema).isEmpty)
+    // NESTED nullability loosening (what a parquet round-trip does to
+    // array/struct columns) is soft drift, not a retype — the gate passes
+    val n1 = StructType(Seq(
+      StructField("emb", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("meta", StructType(Seq(StructField("w", IntegerType, nullable = false))))))
+    val n2 = StructType(Seq(
+      StructField("emb", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("meta", StructType(Seq(StructField("w", IntegerType, nullable = true))))))
+    assert(Quality.schemaDrift(n1, n2).map(_.kind).toSet == Set("renullabled"),
+      s"nested nullability must be soft drift: ${Quality.schemaDrift(n1, n2)}")
+    Quality.requireCompatible(n1, n2)
+    // a genuine nested retype still trips the gate
+    val n3 = StructType(Seq(
+      StructField("emb", ArrayType(DoubleType, containsNull = true)),
+      StructField("meta", StructType(Seq(StructField("w", IntegerType))))))
+    assert(Quality.schemaDrift(n1, n3).exists(_.kind == "retyped"))
+    intercept[IllegalArgumentException] { Quality.requireCompatible(n1, n3) }
   }
 
   test("B33 percentile_approx within 2% relative of exact percentile") {
@@ -257,6 +278,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(sr(1L) > sr(2L) && sr(1L) > sr(3L) && sr(1L) > sr(4L),
       s"hub does not outrank leaves: $sr")
     assert(math.abs(sr.values.sum - 1.0) < 1e-9)
+    // plain DIRECTED edge list (the canonical crawl-graph input): sink
+    // node 3 has no outlinks and never appears as src — it must still be
+    // ranked, and its dangling mass redistributed, not leaked
+    val directed = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dr = graft.ops.Graph.pagerank(directed, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dr.keySet == Set(1L, 2L, 3L), s"sink-only node dropped: ${dr.keySet}")
+    assert(math.abs(dr.values.sum - 1.0) < 1e-9,
+      s"directed-graph rank mass ${dr.values.sum} leaked (dangling nodes)")
+    assert(dr(3L) > dr(2L) && dr(2L) > dr(1L),
+      s"link structure not reflected: $dr")
   }
 
   test("compaction rewrites many small files into few, data-identical") {

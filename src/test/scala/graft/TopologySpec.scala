@@ -31,6 +31,22 @@ class TopologySpec extends AnyFunSuite {
     graft.io.Tables.documents(spark, sf001).select("text").as[String].collect().toSeq
   }
 
+  test("A3: flatMapBolt supports multi-column generators (posexplode/inline)") {
+    import spark.implicits._
+    val tb = new TopologyBuilder(spark)
+    val vs = tb.valuesSpout(Seq(("x", Seq("a", "b")), ("y", Seq("c"))))
+    // posexplode emits TWO columns — needs the multi-name form
+    val pos = vs.flatMapBolt(posexplode(col("_2")), "idx", "item")
+    assert(pos.df.columns.toSeq == Seq("idx", "item"))
+    assert(pos.df.as[(Int, String)].collect().toSet == Set((0, "a"), (1, "b"), (0, "c")))
+    // inline emits one column per struct field
+    val inl = vs
+      .bolt(_.select(array(struct(col("_1").as("k"), lit(1).as("v"))).as("arr")))
+      .flatMapBolt(inline(col("arr")), "k", "v")
+    assert(inl.df.columns.toSeq == Seq("k", "v"))
+    assert(inl.df.as[(String, Int)].collect().toSet == Set(("x", 1), ("y", 1)))
+  }
+
   test("A7/A8: allGrouping broadcasts, globalGrouping single-partitions") {
     val tb = new TopologyBuilder(spark)
     val nation = tb.parquetSpout(s"$sf001/nation.parquet")
