@@ -67,11 +67,18 @@ object Tables {
     * Idempotent per (session, dir): re-registration re-reads ten parquet
     * footers for nothing (measured ~0.4 s per call in the bench), and a
     * real deployment registers its catalog once per session — a marker
-    * in the session conf models that.
+    * in the session conf models that. The marker alone is not trusted:
+    * a caller may have dropped a view since, so the skip also requires
+    * every view to still exist. (A view deliberately *shadowed* via
+    * createOrReplaceTempView still exists and is respected — callers
+    * that shadow a fixture name own that choice; call
+    * `spark.catalog.dropTempView` first to get the fixture back.)
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     val marker = "graft.registeredDir"
-    if (!spark.conf.getOption(marker).contains(sfDir)) {
+    val allPresent = spark.conf.getOption(marker).contains(sfDir) &&
+      names.forall(spark.catalog.tableExists)
+    if (!allPresent) {
       names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
       spark.conf.set(marker, sfDir)
     }

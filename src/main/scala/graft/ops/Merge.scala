@@ -42,7 +42,17 @@ object Merge {
     val missing = payload.filterNot(delta.columns.contains) ++
       (if (delta.columns.contains(opCol)) Nil else Seq(opCol))
     require(missing.isEmpty, s"delta is missing columns: ${missing.mkString(", ")}")
-    val joined = base.as("b").join(delta.as("d"), keys, "full_outer")
+    // Fail loudly on a malformed feed: any op outside {upsert, delete}
+    // (typos, wrong case, null) must abort the merge, not be silently
+    // applied as an upsert. Checked on the delta BEFORE the join — after
+    // the full outer join a null op legitimately marks base-only rows.
+    val checked = delta.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"Merge.upsert: invalid $opCol value '"),
+          coalesce(col(opCol).cast("string"), lit("null")),
+          lit("' (expected 'upsert' or 'delete')")))))
+    val joined = base.as("b").join(checked.as("d"), keys, "full_outer")
     val op = col(s"d.$opCol")
     joined
       .filter(op.isNull || op =!= "delete")

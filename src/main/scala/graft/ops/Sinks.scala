@@ -86,24 +86,31 @@ object Sinks {
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long]): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(stage.toString)
-    withCommitLock(root) {
-      val cur = currentVersion(root)
-      if (cur != expected) {
-        Fs.deleteRecursively(stage)
-        throw new java.util.ConcurrentModificationException(
-          s"$root moved to v$cur while this writer was basing on v$expected; " +
-            "recompute against the new current and retry")
+    // Any failure before the stage→v<N> rename (a failed write, a lost
+    // CME race, a commit-lock error) must not leak the staging dir; the
+    // rename itself removes `stage`, so the cleanup below is a no-op on
+    // the success path.
+    try {
+      df.write.mode("overwrite").parquet(stage.toString)
+      withCommitLock(root) {
+        val cur = currentVersion(root)
+        if (cur != expected) {
+          throw new java.util.ConcurrentModificationException(
+            s"$root moved to v$cur while this writer was basing on v$expected; " +
+              "recompute against the new current and retry")
+        }
+        // allocate past any orphan left by a crash between rename and flip
+        var next = cur.map(_ + 1).getOrElse(0L)
+        while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
+        Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
+        val tmp = Paths.get(root, s"$Pointer.tmp")
+        Files.write(tmp, next.toString.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(root, Pointer),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        next
       }
-      // allocate past any orphan left by a crash between rename and flip
-      var next = cur.map(_ + 1).getOrElse(0L)
-      while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
-      Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
-      val tmp = Paths.get(root, s"$Pointer.tmp")
-      Files.write(tmp, next.toString.getBytes("UTF-8"))
-      Files.move(tmp, Paths.get(root, Pointer),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      next
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
   }
 
@@ -120,11 +127,16 @@ object Sinks {
   /** Compaction over the versioned layout: rewrite the live version into
     * ceil(bytes / targetBytes) files as a NEW version and flip the
     * pointer — readers see no window where the table is absent. The
-    * vacuum keeps exactly the version that was live when compaction
-    * started (readers that resolved just before the flip) and the new
-    * one; everything else — older versions AND orphaned dirs from
-    * crashed publishes — is deleted. Production table formats age these
-    * out by retention time instead.
+    * vacuum keeps the version that was live when compaction started
+    * (readers that resolved just before the flip) and everything at or
+    * after it; only versions STRICTLY BELOW that base are deleted, and
+    * the deletion runs under the commit lock — so a concurrent writer
+    * that commits v+1 between our flip and the vacuum can never lose its
+    * committed directory. Orphaned `.stage-*` dirs from crashed publishes
+    * are also removed, but only when the owning pid (encoded in the dir
+    * name) is no longer alive — a live writer's in-flight staging dir is
+    * untouchable. Production table formats age all of these out by
+    * retention time instead.
     */
   def compactVersioned(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
@@ -134,14 +146,27 @@ object Sinks {
     val nFiles = fileCount(Paths.get(live), targetBytes)
     val v = publishVersioned(
       spark.read.parquet(live).repartition(nFiles), root, Some(liveV))
-    Fs.listDir(Paths.get(root)).foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
-          && name.drop(1).toLong != liveV && name.drop(1).toLong != v)
-        Fs.deleteRecursively(p)
+    withCommitLock(root) {
+      Fs.listDir(Paths.get(root)).foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
+            && name.drop(1).toLong < liveV)
+          Fs.deleteRecursively(p)
+        else if (name.startsWith(".stage-") && stageOwnerDead(name))
+          Fs.deleteRecursively(p)
+      }
     }
     v
   }
+
+  /** True iff a `.stage-<pid>-<nano>` dir's owning process is provably
+    * gone (crashed publish debris). Unparseable names or live pids are
+    * conservatively kept.
+    */
+  private def stageOwnerDead(name: String): Boolean =
+    name.stripPrefix(".stage-").takeWhile(_.isDigit).toLongOption.exists { pid =>
+      pid != ProcessHandle.current().pid() && !ProcessHandle.of(pid).isPresent
+    }
 
   /** Small-file compaction of a FLAT parquet directory, in place.
     * Streaming sinks and fine-grained backfills accrete thousands of tiny

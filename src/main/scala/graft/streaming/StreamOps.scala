@@ -363,32 +363,62 @@ object StreamOps {
           } else {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
+            // in-progress run of stale stragglers (older than the open
+            // session by ≥ gap) — consecutive stragglers within gap of
+            // each other form ONE session, not per-event singletons
+            var stale = Option.empty[OpenSession]
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            def elapsed(s: OpenSession): SessionOut =
+              SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs), s.n)
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
                 // within gap of the open session's INTERVAL (an event from
                 // an earlier batch may precede startMs): extend both ends —
                 // overwriting lastMs backward would shrink the session and
-                // then falsely split it on the next in-gap event
-                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
-                  open = Some(OpenSession(math.min(s.startMs, t),
-                    math.max(s.lastMs, t), s.n + 1))
+                // then falsely split it on the next in-gap event. Both
+                // bounds are INCLUSIVE to match session_window exactly
+                // (the built-in merges a session whose next event starts
+                // at the previous session's end, i.e. exactly gapMs after
+                // the last event — verified against the batch oracle in
+                // StreamingSpec) — the same boundary rule whichever order
+                // the two events arrive in.
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+                  val ext = OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1)
+                  // a backward extension can bring the pending stale run
+                  // within gap of the session — absorb it instead of
+                  // emitting a falsely-split session
+                  stale match {
+                    case Some(ss) if ext.startMs - ss.lastMs <= gapMs =>
+                      open = Some(OpenSession(ss.startMs, ext.lastMs, ext.n + ss.n))
+                      stale = None
+                    case _ => open = Some(ext)
+                  }
                 // stale straggler older than the open session by more than
-                // the gap: its own already-elapsed singleton session (it
-                // cannot merge retroactively); the open session is untouched
+                // the gap: it cannot merge into the open session, but it
+                // CAN merge with other stragglers near it (events arrive
+                // sorted, so stragglers form a prefix run)
                 case Some(s) if t < s.startMs - gapMs =>
-                  closed += SessionOut(uid, new Timestamp(t),
-                    new Timestamp(t + gapMs), 1)
+                  stale match {
+                    case Some(ss) if t - ss.lastMs <= gapMs =>
+                      stale = Some(OpenSession(ss.startMs, t, ss.n + 1))
+                    case Some(ss) =>
+                      closed += elapsed(ss)
+                      stale = Some(OpenSession(t, t, 1))
+                    case None =>
+                      stale = Some(OpenSession(t, t, 1))
+                  }
                 // later than the gap: close the open session, start anew
                 case Some(s) =>
-                  closed += SessionOut(uid, new Timestamp(s.startMs),
-                    new Timestamp(s.lastMs + gapMs), s.n)
+                  closed += elapsed(s)
                   open = Some(OpenSession(t, t, 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }
             }
+            // a stale run still pending at batch end is already elapsed
+            // (it ended ≥ gap before the open session started)
+            stale.foreach(closed += elapsed(_))
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)

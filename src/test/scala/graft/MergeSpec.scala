@@ -40,6 +40,19 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing columns"))
   }
 
+  test("upsert aborts on a malformed op value instead of silently upserting") {
+    // typos, wrong case, and null op must all fail the merge loudly — a
+    // malformed CDC feed corrupting the table is worse than a failed batch
+    for (badOp <- Seq("DELETE", "update", null)) {
+      val bad = Seq((1L, "a2", 11.0, badOp)).toDF("k", "name", "v", "op")
+      val e = intercept[Exception] { Merge.upsert(base, bad, Seq("k")).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("invalid op value")),
+        s"op='$badOp' did not raise the domain error: $e")
+    }
+  }
+
   test("latestPerKey collapses a CDC stream to one newest row per key") {
     val cdc = Seq(
       (1L, 100L, "old", 1.0, "upsert"), (1L, 200L, "new", 2.0, "upsert"),

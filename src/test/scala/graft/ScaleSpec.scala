@@ -367,6 +367,75 @@ class ScaleSpec extends AnyFunSuite {
     assert(vdirs.length <= 2, s"vacuum left ${vdirs.map(_.getName).toSeq}")
   }
 
+  test("versioned vacuum deletes only versions strictly below the compaction base") {
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vvac").toString + "/t"
+    val df = Tables.region(spark, sf001)
+    Sinks.publishVersioned(df, root)                 // v0
+    Sinks.publishVersioned(df, root, Some(0L))       // v1
+    Sinks.publishVersioned(df, root, Some(1L))       // v2 (live)
+    val v = Sinks.compactVersioned(spark, root)      // → v3; base liveV=2
+    assert(v == 3L)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    // strictly-below-base rule: v0/v1 vacuumed, the base v2 (still being
+    // read by anyone who resolved pre-flip) and the new v3 both kept
+    assert(!dirs.contains("v0") && !dirs.contains("v1"), s"left $dirs")
+    assert(dirs.contains("v2") && dirs.contains("v3"), s"left $dirs")
+  }
+
+  test("versioned publish cleans its staging dir on failure; vacuum removes only dead-pid stages") {
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vstage").toString + "/t"
+    val df = Tables.region(spark, sf001)
+    Sinks.publishVersioned(df, root) // v0
+    // a writer basing on "table absent" must lose, and must not leak its stage dir
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.publishVersioned(df, root, None)
+    }
+    def stages() = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage-")).toSeq
+    assert(stages().isEmpty, s"leaked stage dirs: ${stages()}")
+    // crash debris from a dead process is vacuumed; a LIVE writer's
+    // in-flight stage dir is untouchable
+    val deadPid = (100000 to 200000).find(p => ProcessHandle.of(p.toLong).isEmpty).get
+    val dead = java.nio.file.Paths.get(root, s".stage-$deadPid-1")
+    val live = java.nio.file.Paths.get(root, s".stage-${ProcessHandle.current().pid()}-1")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.createDirectories(live)
+    Sinks.compactVersioned(spark, root)
+    assert(stages() == Seq(s".stage-${ProcessHandle.current().pid()}-1"),
+      s"vacuum touched the wrong stages: ${stages()}")
+  }
+
+  test("versioned table survives concurrent publishes racing compaction (no lost committed version)") {
+    // Pins the round-5 advice: the vacuum used to run outside the commit
+    // lock and delete any version except {base, new}, so a writer that
+    // committed between the pointer flip and the vacuum lost its version
+    // dir. Now the vacuum is locked and strictly-below-base, so a
+    // committed, pointer-referenced version can never be deleted.
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vrace").toString + "/t"
+    val df = Tables.region(spark, sf001)
+    val expected = df.count()
+    Sinks.publishVersioned(df, root)
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      try while (!stop) {
+        try Sinks.publishVersioned(df, root, Sinks.currentVersion(root))
+        catch { case _: java.util.ConcurrentModificationException => () } // lost the race; retry
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    writer.start()
+    try (1 to 3).foreach { _ =>
+      try Sinks.compactVersioned(spark, root)
+      catch { case _: java.util.ConcurrentModificationException => () }
+    } finally { stop = true; writer.join(60000) }
+    assert(failure.isEmpty, s"concurrent writer failed: $failure")
+    // the committed current version must exist and be fully readable
+    assert(Sinks.readCurrent(spark, root).count() == expected)
+  }
+
   test("join strategy hints are honored (merge, shuffle_hash, broadcast)") {
     val li = Tables.lineitem(spark, sf001)
     val ord = Tables.orders(spark, sf001)

@@ -279,6 +279,46 @@ class StreamingSpec extends AnyFunSuite {
       s"ooo sessionize != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
   }
 
+  test("B52 sessionize boundary cases match session_window: exact-gap merge, straggler fold, backward absorb") {
+    // Three behaviors this pins against the built-in session_window oracle:
+    // user 1 — two events EXACTLY gapMs apart must MERGE whichever order
+    //          they arrive in (session_window's boundary is inclusive; the
+    //          forward rule used to be strict and split the in-order case);
+    // user 2 — two stale stragglers within gap of each other must fold
+    //          into ONE session (used to emit per-event singletons);
+    // user 3 — a backward extension of the open session that comes within
+    //          gap of a pending stale run must absorb it.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("ts", "70 minutes").as[graft.streaming.UserEvent], 10)
+    val q = sessions.writeStream.format("memory").queryName("sessz_edge")
+      .outputMode("append").start()
+    val b1 = Seq(
+      UserEvent(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+      UserEvent(3, ts("2024-01-01 10:10:00"), 3, "click", 1.0))
+    val b2 = Seq(
+      UserEvent(4, ts("2024-01-01 10:00:00"), 1, "view", 1.0),  // exactly gap before → merge
+      UserEvent(5, ts("2024-01-01 10:00:00"), 2, "view", 1.0),  // stale vs 11:00 …
+      UserEvent(6, ts("2024-01-01 10:05:00"), 2, "view", 1.0),  // … folds with 10:00
+      UserEvent(7, ts("2024-01-01 09:55:00"), 3, "view", 1.0),  // stale vs 10:10 …
+      UserEvent(8, ts("2024-01-01 10:02:00"), 3, "view", 1.0))  // … extends open back, absorbs 09:55
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(Seq(UserEvent(98, ts("2024-01-01 13:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(99, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessz_edge").filter($"user_id" =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val expected = StreamOps.sessionAgg((b1 ++ b2).toDF())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"sessionize edge != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
+  }
+
   test("B52 ListState recent-events keeps a bounded, ordered last-N across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
