@@ -142,6 +142,24 @@ object LlmOps extends QueryModule {
         .orderBy("query_id", "rnk")
     }),
 
+    // B62 IVF with a FIXED bucket assignment (the fixture `label` column)
+    // instead of learned k-means — same probe/search machinery as
+    // q_ann_ivf, but fully deterministic, so the whole path gets a
+    // hash-green oracle: per-label mean centroids, nprobe=2 probe ranking
+    // (c_sim DESC, label), exact cosine inside the probed buckets, top-10
+    // per query (cos_sim DESC, vec_id). At scale `label` is the partition
+    // key the index layout is written with, so probing = partition pruning.
+    "q_ann_ivf_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.ivfCentroids(emb)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, centroids, qs, nprobe = 2, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // B63 token counting (whitespace + BPE-ish regex).
     "q_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir))
@@ -320,6 +338,42 @@ object LlmOps extends QueryModule {
         |SELECT vec_id, cos_sim,
         | CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
         |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_fixed" ->
+      """WITH cents AS (
+        |  SELECT label, g.i AS dim, avg(CAST(embedding[g.i] AS DOUBLE)) AS v
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  GROUP BY label, g.i),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |csims AS (
+        |  SELECT q.query_id, c.label,
+        |    round(sum(c.v * CAST(q.qe[c.dim] AS DOUBLE)) /
+        |      (sqrt(sum(c.v * c.v)) *
+        |       sqrt(sum(CAST(q.qe[c.dim] AS DOUBLE) * CAST(q.qe[c.dim] AS DOUBLE)))), 6) AS c_sim
+        |  FROM cents c, q
+        |  GROUP BY q.query_id, c.label),
+        |sel AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, label) AS p
+        |    FROM csims) WHERE p <= 2),
+        |scored AS (
+        |  SELECT s.query_id, e.vec_id,
+        |    round(sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(q.qe[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM sel s
+        |  JOIN embeddings e ON e.label = s.label
+        |  JOIN q ON q.query_id = s.query_id,
+        |  generate_series(1, 64) g(i)
+        |  GROUP BY s.query_id, e.vec_id)
+        |SELECT query_id, vec_id, cos_sim, rnk FROM (
+        |  SELECT query_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH bd AS (
