@@ -319,6 +319,87 @@ class StreamingSpec extends AnyFunSuite {
       s"sessionize edge != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
   }
 
+  test("streaming MERGE crash recovery: kill after an applied-but-uncommitted batch, restart resumes exactly-once") {
+    // The exactly-once-EFFECT proof for the CDC path: the query is killed
+    // AFTER batch 1's merge has been applied to the versioned table but
+    // BEFORE the checkpoint commit for batch 1 lands (the worst crash
+    // window — side effect done, progress not recorded). The restarted
+    // incarnation replays batch 1; Merge.applyTo is idempotent on the
+    // data, so the final table must equal an uninterrupted run's.
+    import spark.implicits._
+    import graft.ops.{Merge, Sinks}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_crash")
+    StreamOps.cleanOnExit(scratch)
+    val srcDir = java.nio.file.Files.createDirectory(scratch.resolve("cdc"))
+
+    // one CDC file per micro-batch (maxFilesPerTrigger=1), mtimes spaced
+    // so the file source delivers them oldest-first in a fixed order
+    def writeCdcFile(name: String, rows: Seq[(Long, String, Double, String, Long)], mtime: Long): Unit = {
+      val tmp = scratch.resolve(s"tmp_$name")
+      rows.toDF("k", "name", "v", "op", "seq").coalesce(1).write.parquet(tmp.toString)
+      val part = graft.io.Fs.listDir(tmp).find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      graft.io.Fs.deleteRecursively(tmp)
+    }
+    val t0 = 1700000000000L
+    writeCdcFile("f0", Seq((1L, "a2", 10.0, "upsert", 1L), (6L, "f", 60.0, "upsert", 2L)), t0)
+    writeCdcFile("f1", Seq((2L, "b", 0.0, "delete", 3L), (1L, "a3", 11.0, "upsert", 4L)), t0 + 10000)
+    writeCdcFile("f2", Seq((7L, "g", 70.0, "upsert", 5L), (3L, "c", 0.0, "delete", 6L)), t0 + 20000)
+
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0), (5L, "e", 5.0))
+      .toDF("k", "name", "v")
+
+    def runPipeline(root: String, ckpt: String, crashAtBatch: Option[Long]): Unit = {
+      var crashed = true
+      while (crashed) {
+        crashed = false
+        val q = spark.readStream
+          .schema("k BIGINT, name STRING, v DOUBLE, op STRING, seq BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              val delta = Merge.latestPerKey(batch, Seq("k"), Seq("seq")).drop("seq")
+              Merge.applyTo(spark, root, delta, Seq("k"))
+            }
+            // crash AFTER the side effect, BEFORE the checkpoint commit
+            if (crashAtBatch.contains(batchId))
+              throw new RuntimeException("injected crash")
+            ()
+          }
+          .start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if e.getMessage.contains("injected crash") =>
+            crashed = crashAtBatch.isDefined
+        }
+        // second incarnation must not crash again
+        if (crashed) return runPipeline(root, ckpt, None)
+      }
+    }
+
+    val rootA = scratch.resolve("tA").toString // crash + restart
+    val rootB = scratch.resolve("tB").toString // uninterrupted twin
+    Sinks.publishVersioned(base, rootA)
+    Sinks.publishVersioned(base, rootB)
+    runPipeline(rootA, scratch.resolve("ckA").toString, crashAtBatch = Some(1L))
+    runPipeline(rootB, scratch.resolve("ckB").toString, crashAtBatch = None)
+
+    val got = Sinks.readCurrent(spark, rootA)
+    val expected = Sinks.readCurrent(spark, rootB)
+    assertSameRows(got, expected)
+    // and the recovered state is the correct merge outcome
+    val rows = got.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a3", 11.0), (4L, "d", 4.0), (5L, "e", 5.0),
+      (6L, "f", 60.0), (7L, "g", 70.0)), s"wrong recovered state: $rows")
+  }
+
   test("B52 ListState recent-events keeps a bounded, ordered last-N across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
