@@ -60,6 +60,36 @@ object Sinks {
   def readCurrent(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(root))
 
+  /** Snapshot versions present under `root`, ascending — the time-travel
+    * inventory. Every listed version directory holds complete, immutable
+    * data (the stage→v<N> rename is atomic, so a directory either exists
+    * in full or not at all); a crash between rename and pointer flip can
+    * leave a version that was never live, which still reads fine.
+    * Versions below the last compaction base are vacuumed — pin within
+    * the retention window (see [[compactVersioned]]).
+    */
+  def listVersions(root: String): Seq[Long] =
+    Fs.listDir(Paths.get(root)).flatMap { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit))
+        Some(name.drop(1).toLong)
+      else None
+    }.sorted
+
+  /** Time-travel read: the immutable contents of version `v`, unaffected
+    * by any later publish — a reader that pins a version keeps a
+    * consistent snapshot for its whole job (the versioned-layout
+    * equivalent of a table format's `VERSION AS OF`).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val p = versionPath(root, v)
+    if (!Files.exists(Paths.get(p)))
+      throw new IllegalStateException(
+        s"version $v does not exist under $root (available: ${listVersions(root).mkString(", ")})" +
+          " — it may have been vacuumed by compaction")
+    spark.read.parquet(p)
+  }
+
   /** Publish `df` as the next version. Returns the published version.
     *
     * Concurrency (optimistic): the data lands in a writer-private staging

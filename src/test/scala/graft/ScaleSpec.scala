@@ -367,6 +367,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(vdirs.length <= 2, s"vacuum left ${vdirs.map(_.getName).toSeq}")
   }
 
+  test("time travel: a pinned version reads byte-identical while later versions publish") {
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vtt").toString + "/t"
+    val v0data = Tables.region(spark, sf001)
+    Sinks.publishVersioned(v0data, root) // v0
+    val pinned = Sinks.readVersion(spark, root, 0L)
+    val before = pinned.orderBy("r_regionkey").collect().toSeq
+    // concurrent reader hammers the pinned version while new versions land
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val again = Sinks.readVersion(spark, root, 0L).orderBy("r_regionkey").collect().toSeq
+        if (again != before) failure = Some(new AssertionError("pinned version drifted"))
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      Sinks.publishVersioned(v0data.limit(3), root, Some(0L)) // v1: different data
+      Sinks.publishVersioned(v0data.limit(1), root, Some(1L)) // v2
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, s"pinned reader failed: $failure")
+    // the pre-publish Dataset handle is also still valid and unchanged
+    assert(pinned.orderBy("r_regionkey").collect().toSeq == before)
+    assert(Sinks.readCurrent(spark, root).count() == 1)   // follows the pointer
+    assert(Sinks.listVersions(root) == Seq(0L, 1L, 2L))
+    val e = intercept[IllegalStateException] { Sinks.readVersion(spark, root, 99L) }
+    assert(e.getMessage.contains("may have been vacuumed"))
+  }
+
   test("versioned vacuum deletes only versions strictly below the compaction base") {
     import graft.ops.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_vvac").toString + "/t"
