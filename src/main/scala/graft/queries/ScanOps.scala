@@ -44,6 +44,14 @@ object ScanOps extends QueryModule {
       case "orc" =>
         src.write.mode("overwrite").orc(out)
         s.read.schema(rtSchema).orc(out)
+      // XML is a built-in source since Spark 4 (SPARK-44265 folded the
+      // spark-xml package into core). Avro would complete the format
+      // matrix but its connector module (spark-avro) is not on this
+      // cluster's classpath and the environment has no egress to add it —
+      // XML is the remaining mainstream text format that IS available.
+      case "xml" =>
+        src.write.mode("overwrite").option("rowTag", "event").xml(out)
+        s.read.schema(rtSchema).option("rowTag", "event").xml(out)
     }
   }
 
@@ -63,6 +71,7 @@ object ScanOps extends QueryModule {
     // write→scan identity proof as json/csv (binary columnar formats
     // carry int64/double losslessly by construction).
     "q_orc_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "orc"))),
+    "q_xml_scan"  -> ((s, dir) => rtAgg(roundTrip(s, dir, "xml"))),
 
     // Partition pruning on the driver's own path: a date-partitioned copy
     // of events (written once per sf under /tmp, event_date=yyyy-MM-dd
@@ -151,6 +160,7 @@ object ScanOps extends QueryModule {
     "q_json_scan" -> aggSql,
     "q_csv_scan" -> aggSql,
     "q_orc_scan" -> aggSql,
+    "q_xml_scan" -> aggSql,
 
     "q_partition_pruning" ->
       """SELECT event_type, count(*) AS n_events,
