@@ -33,15 +33,29 @@ object Merge {
     * 'upsert' (insert if the key is absent, replace if present) or
     * 'delete' (drop the key; deleting an absent key is a no-op), and at
     * most one row per key (pre-collapse with [[latestPerKey]]).
+    *
+    * Schema evolution: a delta column ABSENT from the base becomes a new
+    * nullable column of the result — pre-existing base rows are
+    * back-filled null, exactly the additive-column CDC wrinkle every
+    * production MERGE eventually meets. (Dropping a base column is NOT
+    * evolution and still fails loudly; a retyped column goes through
+    * Spark's usual when/otherwise coercion and fails analysis when the
+    * types are incompatible.)
     */
   def upsert(base: DataFrame, delta: DataFrame,
       keys: Seq[String], opCol: String = "op"): DataFrame = {
-    val payload = base.columns.filterNot(keys.contains).toSeq
     require(!base.columns.contains(opCol),
       s"base must not contain the op column '$opCol' (rename one of them)")
-    val missing = payload.filterNot(delta.columns.contains) ++
+    val missing = base.columns.filterNot(keys.contains).filterNot(delta.columns.contains) ++
       (if (delta.columns.contains(opCol)) Nil else Seq(opCol))
     require(missing.isEmpty, s"delta is missing columns: ${missing.mkString(", ")}")
+    // additive evolution: null-typed placeholders on the base side so the
+    // resolve below is uniform across old and new columns
+    val newCols = delta.columns
+      .filterNot(c => keys.contains(c) || c == opCol || base.columns.contains(c)).toSeq
+    val widened = newCols.foldLeft(base)((b, c) =>
+      b.withColumn(c, lit(null).cast(delta.schema(c).dataType)))
+    val payload = widened.columns.filterNot(keys.contains).toSeq
     // Fail loudly on a malformed feed: any op outside {upsert, delete}
     // (typos, wrong case, null) must abort the merge, not be silently
     // applied as an upsert. Checked on the delta BEFORE the join — after
@@ -52,7 +66,7 @@ object Merge {
           lit(s"Merge.upsert: invalid $opCol value '"),
           coalesce(col(opCol).cast("string"), lit("null")),
           lit("' (expected 'upsert' or 'delete')")))))
-    val joined = base.as("b").join(checked.as("d"), keys, "full_outer")
+    val joined = widened.as("b").join(checked.as("d"), keys, "full_outer")
     val op = col(s"d.$opCol")
     joined
       .filter(op.isNull || op =!= "delete")

@@ -53,6 +53,45 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: a delta-only column is added nullable, base rows back-filled null") {
+    val evolved = Seq(
+      (1L, "a2", 11.0, "gold", "upsert"),   // update, carries new col
+      (4L, "d", 40.0, null.asInstanceOf[String], "upsert") // insert, new col null
+    ).toDF("k", "name", "v", "tag", "op")
+    val out = Merge.upsert(base, evolved, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "name", "v", "tag"))
+    val got = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1L, "a2", 11.0, Some("gold")),
+      (2L, "b", 20.0, None),   // untouched base rows: new col back-filled null
+      (3L, "c", 30.0, None),
+      (4L, "d", 40.0, None)))
+    // idempotent on the EVOLVED schema: re-applying the same delta (now a
+    // no-new-column merge) changes nothing
+    val again = Merge.upsert(out, evolved, Seq("k"))
+    assert(again.orderBy("k").collect().toSeq == out.orderBy("k").collect().toSeq)
+    // and a dropped base column is still a hard error, not "evolution"
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(out, evolved.drop("name"), Seq("k"))
+    }
+    assert(e.getMessage.contains("missing columns"))
+  }
+
+  test("schema evolution through the stored versioned table (applyTo)") {
+    import org.apache.spark.sql.types.StringType
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    Sinks.publishVersioned(base, root)
+    val evolved = Seq((1L, "a2", 11.0, "gold", "upsert")).toDF("k", "name", "v", "tag", "op")
+    Merge.applyTo(spark, root, evolved, Seq("k"))
+    val cur = Sinks.readCurrent(spark, root)
+    assert(cur.schema("tag").dataType == StringType && cur.schema("tag").nullable)
+    assert(cur.count() == 3)
+    assert(cur.filter(col("tag").isNull).count() == 2)
+    // the pre-evolution snapshot is still readable with the OLD schema
+    assert(Sinks.readVersion(spark, root, 0L).columns.toSeq == Seq("k", "name", "v"))
+  }
+
   test("latestPerKey collapses a CDC stream to one newest row per key") {
     val cdc = Seq(
       (1L, 100L, "old", 1.0, "upsert"), (1L, 200L, "new", 2.0, "upsert"),
