@@ -31,13 +31,13 @@ object SparkEntry {
 
   /** The BENCH headline subset: BASELINE.md's five measured queries first
     * (kept stable across rounds for honest deltas), then the LLM-pipeline
-    * operators (word-count, cosine top-k, MinHash LSH), then round-5's
-    * MERGE upsert and the SQL-door Q1 twin so the new surfaces are
-    * measured under the driver's bench too.
+    * operators (word-count, cosine top-k, MinHash LSH), round-5's MERGE
+    * upsert and the SQL-door Q1 twin, and round-6's oracled IVF search —
+    * each new surface measured under the driver's bench too.
     */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
     "q_tumbling_window", "q_distinct_users",
     "q_word_count", "q_cosine_topk", "q_minhash_lsh",
-    "q_merge_upsert", "q_sql_pricing").filter(queries.contains)
+    "q_merge_upsert", "q_sql_pricing", "q_ann_ivf_fixed").filter(queries.contains)
 }

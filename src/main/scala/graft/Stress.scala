@@ -1,0 +1,108 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale stress: replicate the sf0.1 fixtures `factor`× with
+  * key-shifted copies (FK relationships preserved — each copy shifts
+  * every key domain by the same stride), then run the headline bench
+  * queries plus the skew/LSH/connected-components paths against the
+  * enlarged dataset. This turns the "scale-safe by plan shape" claims
+  * into measured wall-times at 10× the per-round bench volume (≈6M
+  * lineitem rows, 1M events, 80k docs with genuine 10-clique duplicate
+  * groups — the dup-heavy corpus a real crawl produces).
+  *
+  * Usage: runMain graft.Stress [srcDir] [factor] [outDir]
+  * Prints one JSON line: {"metric":"stress_total", ..., "queries":{...}}
+  */
+object Stress {
+
+  /** Copies ≥1 shift every key by copy*stride; copy 0 is the original, so
+    * fixed-id lookups (query vectors, vec_id=0) keep working.
+    */
+  private val Stride = 1L << 33
+
+  private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame =
+    (0 until factor).map { i =>
+      keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Stride)))
+    }.reduce(_.unionAll(_))
+
+  def buildReplicas(spark: SparkSession, src: String, factor: Int, out: String): Unit = {
+    val marker = java.nio.file.Paths.get(out, "_REPLICAS_DONE")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // key domains shifted per copy; dims (region/nation/part/supplier)
+    // pass through unreplicated — fact:dim ratio grows with the factor,
+    // exactly how a real corpus scales against its reference data
+    val shifted: Map[String, Seq[String]] = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    Tables.names.foreach { name =>
+      // events carries the ns-timestamp column: replicate from the RAW
+      // long-ns read so the written copy stays BIGINT and Tables.events'
+      // schema override keeps working against the replica dir
+      val base =
+        if (name == "events")
+          spark.read.schema(Tables.eventsRawSchema).parquet(Tables.path(src, name))
+        else spark.read.parquet(Tables.path(src, name))
+      val rep = name match {
+        case "events" => replicate(base, factorOf(name, factor), Seq("event_id", "user_id"))
+        case n if shifted.contains(n) => replicate(base, factorOf(name, factor), shifted(n))
+        case _ => base
+      }
+      rep.write.mode("overwrite").parquet(Tables.path(out, name))
+    }
+    java.nio.file.Files.createFile(marker)
+    ()
+  }
+
+  private def factorOf(name: String, factor: Int): Int = name match {
+    case "region" | "nation" | "part" | "supplier" => 1
+    case _ => factor
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse(s"/tmp/graft_stress_${factor}x_" +
+      src.replaceAll("[^A-Za-z0-9.]", "_"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildReplicas(spark, src, factor, out)
+    val names = SparkEntry.benchQueries ++
+      Seq("q_skew_join", "q_embed_neardup", "q_dup_clusters", "q_exact_dedup")
+    spark.read.parquet(Tables.path(out, "lineitem")).count() // warmup
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, out).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[stress] $name failed: $e"); -1L }
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val best = samples.filter(_._1 >= 0).map(_._2)
+      name -> (samples.last._1, if (best.nonEmpty) best.min else -1.0)
+    }
+    val qs = results.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, (n, _)) if n < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs,"rows":$rows,"errors":$errs,"src":"$src"}""")
+    spark.stop()
+  }
+}
