@@ -157,19 +157,22 @@ object Sinks {
   /** Compaction over the versioned layout: rewrite the live version into
     * ceil(bytes / targetBytes) files as a NEW version and flip the
     * pointer — readers see no window where the table is absent. The
-    * vacuum keeps the version that was live when compaction started
-    * (readers that resolved just before the flip) and everything at or
-    * after it; only versions STRICTLY BELOW that base are deleted, and
-    * the deletion runs under the commit lock — so a concurrent writer
-    * that commits v+1 between our flip and the vacuum can never lose its
-    * committed directory. Orphaned `.stage-*` dirs from crashed publishes
-    * are also removed, but only when the owning pid (encoded in the dir
-    * name) is no longer alive — a live writer's in-flight staging dir is
-    * untouchable. Production table formats age all of these out by
-    * retention time instead.
+    * vacuum keeps the newest `retainVersions` snapshots BELOW the
+    * compaction base (the time-travel retention window) plus the base
+    * itself (readers that resolved just before the flip) and everything
+    * at or after it; deletion runs under the commit lock — so a
+    * concurrent writer that commits v+1 between our flip and the vacuum
+    * can never lose its committed directory. Orphaned `.stage-*` dirs
+    * from crashed publishes are also removed, but only when the owning
+    * pid (encoded in the dir name) is no longer alive — a live writer's
+    * in-flight staging dir is untouchable. Production table formats age
+    * all of these out by retention time instead; `retainVersions` is the
+    * snapshot-count spelling of the same policy for [[readVersion]]
+    * pinning.
     */
   def compactVersioned(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = 0): Long = {
+    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
     val liveV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val live = versionPath(root, liveV)
@@ -177,10 +180,12 @@ object Sinks {
     val v = publishVersioned(
       spark.read.parquet(live).repartition(nFiles), root, Some(liveV))
     withCommitLock(root) {
+      val below = listVersions(root).filter(_ < liveV)
+      val evict = below.sorted.dropRight(retainVersions).toSet
       Fs.listDir(Paths.get(root)).foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
-            && name.drop(1).toLong < liveV)
+            && evict(name.drop(1).toLong))
           Fs.deleteRecursively(p)
         else if (name.startsWith(".stage-") && stageOwnerDead(name))
           Fs.deleteRecursively(p)

@@ -413,6 +413,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(dirs.contains("v2") && dirs.contains("v3"), s"left $dirs")
   }
 
+  test("compaction retention window keeps the newest N pre-base snapshots for time travel") {
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vret").toString + "/t"
+    val df = Tables.region(spark, sf001)
+    (0 to 3).foreach(i => Sinks.publishVersioned(df, root,
+      if (i == 0) None else Some(i - 1L)))       // v0..v3 (v3 live)
+    Sinks.compactVersioned(spark, root, retainVersions = 2) // → v4, base=3
+    // newest 2 below the base (v1, v2) retained; v0 vacuumed
+    assert(Sinks.listVersions(root) == Seq(1L, 2L, 3L, 4L))
+    // a pinned reader inside the window still works post-compaction
+    assert(Sinks.readVersion(spark, root, 2L).count() == df.count())
+  }
+
   test("versioned publish cleans its staging dir on failure; vacuum removes only dead-pid stages") {
     import graft.ops.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_vstage").toString + "/t"
@@ -534,6 +547,7 @@ class ScaleSpec extends AnyFunSuite {
     // linear pass — the standard way to attach a global scalar without
     // collapsing the data to one partition.
     val allowNonEqui = Set("q_cross_join", "q_cosine_topk", "q_ann_ivf",
+      "q_ann_ivf_fixed", // same probe shape as q_ann_ivf: queries x broadcast centroid table
       "q_edit_distance", "q_date_spine", "q_part_pairs",
       "q_join_range", // B22: the non-equi band join IS the operator
       "q_time_decay", "q_tfidf", "q_idle_customers",
