@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{CosineSim, TopKAgg}
+import graft.plans.AnnRewrite
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` entry point — the deployment
+  * spelling of everything the library otherwise wires imperatively:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * }}}
+  *
+  * Injects:
+  *  - [[graft.plans.AnnRewrite]] as an optimizer rule, so declarative
+  *    [[graft.plans.AnnRewrite.annTopK]] plans get their physical
+  *    similarity strategy (brute force vs IVF probe) chosen at
+  *    optimization time on every session built from the config — no
+  *    `install()` call needed;
+  *  - `topk_agg(score, id, k)` ([[graft.functions.TopKAgg]]) — the
+  *    bounded-heap top-k aggregate;
+  *  - `cosine_sim(a, b)` ([[graft.functions.CosineSim]]) — the fused
+  *    codegen'd cosine similarity.
+  *
+  * The imperative registrars ([[TopKAgg.register]],
+  * [[CosineSim.register]], [[AnnRewrite.install]]) remain for sessions
+  * created without the config (the library call sites use them
+  * defensively); both paths are idempotent and coexist.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => AnnRewrite)
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim.withCast(exprs.head, exprs(1))))
+  }
+}

@@ -36,6 +36,17 @@ object Vec {
   /** Cosine rounded for cross-engine hash parity. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
 
+  /** [[CosineSim]]-backed spelling of [[cosine]]: bit-identical values
+    * (spec-pinned in LlmSpec) from ONE fused codegen'd loop instead of
+    * three HOF passes. `cosine_sim` must be registered on the executing
+    * session ([[CosineSim.register]]; `GraftExtensions` injects it).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", asDouble(a), asDouble(b))
+
+  /** Native cosine rounded for cross-engine hash parity. */
+  def cosine6Native(a: Column, b: Column): Column = round(cosineNative(a, b), 6)
+
   /** Symmetric linear int8 quantization: scale = max|x| / 127, codes in
     * [-127, 127]. Returns struct(scale, codes array<int>). At 100 TB this
     * is the 4× storage/bandwidth lever for ANN — codes join + rerank on

@@ -33,10 +33,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKAgg.register(corpus.sparkSession)
+    graft.functions.CosineSim.register(corpus.sparkSession)
     topKPerQuery(
       Par.spread(corpus).crossJoin(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
-          Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim")), k)
+          Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")), k)
   }
 
   /** Shared tail of both search paths: (query_id, vec_id, cos_sim) rows →
@@ -76,6 +77,7 @@ object Similarity {
     * assignment pass viable over 100 TB.
     */
   def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val centsArr = centroids
       .agg(collect_list(struct(col("label"), col("centroid"))).as("cents"))
     corpus.crossJoin(broadcast(centsArr))
@@ -83,7 +85,7 @@ object Similarity {
         aggregate(col("cents"),
           struct(lit(-2.0).as("sim"), lit(-1L).cast("long").as("label")),
           (acc, c) => {
-            val sim = Vec.cosine(col("embedding"), c.getField("centroid"))
+            val sim = Vec.cosineNative(col("embedding"), c.getField("centroid"))
             when(sim > acc.getField("sim"),
               struct(sim.as("sim"), c.getField("label").cast("long").as("label")))
               .otherwise(acc)
@@ -123,9 +125,10 @@ object Similarity {
     // centroid table only, so the shuffle is queries × n_centroids rows.
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("label"))
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val probed = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("label"),
-        Vec.cosine6(col("qvec"), col("centroid")).as("c_sim"))
+        Vec.cosine6Native(col("qvec"), col("centroid")).as("c_sim"))
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("qvec"), col("label"))
@@ -135,7 +138,7 @@ object Similarity {
     topKPerQuery(
       corpus.join(broadcast(probed), Seq("label"))
         .select(col("query_id"), col("vec_id"),
-          Vec.cosine6(col("embedding"), col("qvec")).as("cos_sim")), k)
+          Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")), k)
   }
 
   /** Random-hyperplane-LSH candidate pairs, axis-aligned variant: band g's
@@ -178,11 +181,12 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
       threshold: Double): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val cands = signLshCandidates(corpus, bands, bits)
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cands.join(a, "vec_a").join(b, "vec_b")
-      .select(col("vec_a"), col("vec_b"), Vec.cosine6(col("ea"), col("eb")).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), Vec.cosine6Native(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -192,12 +196,13 @@ object Similarity {
     * shape against a full corpus; the id bound is mandatory.
     */
   def cosineNearDupPairsExact(corpus: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val a = corpus.filter(col("vec_id") <= maxId)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.filter(col("vec_id") <= maxId)
       .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), Vec.cosine6(col("ea"), col("eb")).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), Vec.cosine6Native(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.io.Tables
+import graft.plans.{AnnRewrite, AnnTopKMarker}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.sql.extensions=graft.GraftExtensions` — the declarative
+  * deployment path for the whole engine surface (optimizer rule +
+  * native functions), proven on a REAL session built from the config,
+  * not by calling the imperative registrars.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  /** Build a brand-new SparkSession over the shared SparkContext with
+    * the extensions config applied (getOrCreate only constructs — and
+    * only applies extensions — when no active/default session exists).
+    * `spark.sql.extensions` is STATIC: session construction reads it
+    * from the SparkContext conf, exactly where `spark-submit --conf`
+    * puts it — so that is where the test sets it.
+    */
+  private def withExtensionSession[A](f: SparkSession => A): A = {
+    val prior = spark
+    // SparkEnv.get.conf IS the context's live SparkConf (the context
+    // clones the user conf once and hands that instance to SparkEnv)
+    val scConf = org.apache.spark.SparkEnv.get.conf
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    scConf.set("spark.sql.extensions", "graft.GraftExtensions")
+    try {
+      val s2 = SparkSession.builder().getOrCreate()
+      assert(s2 ne prior, "getOrCreate returned the prior session — extensions not applied")
+      f(s2)
+    } finally {
+      // never stop s2 — it shares the suite-wide SparkContext
+      scConf.remove("spark.sql.extensions")
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("config-built session has cosine_sim and topk_agg without any register() call") {
+    withExtensionSession { s2 =>
+      val cos = s2.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head().getDouble(0)
+      assert(cos == 1.0)
+      // float inputs get the widening cast from the injected builder
+      val tk = s2.sql(
+        """SELECT topk_agg(s, i, 2) AS tk
+          |FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS t(s, i)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+    }
+  }
+
+  test("config-built session rewrites AnnTopKMarker without AnnRewrite.install") {
+    withExtensionSession { s2 =>
+      // the injected rule must be in the session's optimizer
+      assert(s2.sessionState.optimizer.batches.exists(_.rules.exists(_ eq AnnRewrite)),
+        "AnnRewrite missing from the optimizer of the extensions-built session")
+      // plant the marker BY HAND (annTopK would call install() and mask
+      // the extensions path); the injected rule alone must expand it
+      val corpus = Tables.embeddings(s2, sf001)
+      val queries = Tables.embeddings(s2, sf001).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val template = graft.ops.Similarity.bruteForceTopK(corpus, queries, 5)
+      val out = template.schema.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+      val declared = PlanBridge.ofRows(s2, AnnTopKMarker(
+        corpus.queryExecution.analyzed, queries.queryExecution.analyzed, 5, out.toSeq))
+      assert(declared.queryExecution.optimizedPlan
+        .collect { case m: AnnTopKMarker => m }.isEmpty,
+        "marker survived optimization — injected rule did not fire")
+      assert(declared.orderBy("query_id", "rnk").collect().toSeq ==
+        template.orderBy("query_id", "rnk").collect().toSeq)
+    }
+  }
+}

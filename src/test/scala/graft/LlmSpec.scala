@@ -31,6 +31,42 @@ class LlmSpec extends AnyFunSuite {
     assert(deduped.filter(col("doc_id") >= 1000000).count() == 0)
   }
 
+  test("B61 native CosineSim is bit-identical to the HOF cosine on every fixture pair") {
+    import graft.functions.{CosineSim, Vec}
+    CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // all 500×5 fixture pairs: HOF and native must agree to the BIT
+    // (same sequential fold order) — this is what licenses the hot-path
+    // swap without re-running the DuckDB oracle per call site
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        Vec.cosine(col("embedding"), col("qvec")).as("hof"),
+        Vec.cosineNative(col("embedding"), col("qvec")).as("native"))
+    assert(both.count() == 2500)
+    val diverging = both.filter(
+      !(col("hof") <=> col("native"))).count()
+    assert(diverging == 0, s"$diverging pairs diverge between HOF and native cosine")
+    // null/edge semantics match too: zero vector, length mismatch, null
+    // element, null array
+    val edges = spark.sql(
+      """SELECT
+        |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero_norm,
+        |  cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS len_mismatch,
+        |  cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS null_elem,
+        |  cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_arr,
+        |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS self
+        |""".stripMargin).head()
+    assert(edges.isNullAt(0) && edges.isNullAt(1) && edges.isNullAt(2) && edges.isNullAt(3))
+    assert(edges.getDouble(4) == 1.0)
+    // float inputs take the same widening cast as Vec.asDouble
+    val floatIn = spark.sql(
+      "SELECT cosine_sim(CAST(array(1.5, 2.5) AS ARRAY<FLOAT>), array(1.5d, 2.5d)) AS c")
+      .head().getDouble(0)
+    assert(floatIn == 1.0)
+  }
+
   test("B60 MinHash estimate approximates exact Jaccard on shingle sets") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).limit(100)
