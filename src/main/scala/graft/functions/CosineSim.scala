@@ -119,10 +119,13 @@ object CosineSim {
   def withCast(a: Expression, b: Expression): CosineSim =
     CosineSim(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
 
-  /** Register as a SQL-callable function: `cosine_sim(a, b)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => withCast(exprs.head, exprs(1)),
-      "scala_udf")
+  /** Idempotently register as a SQL-callable function: `cosine_sim(a, b)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim",
+        exprs => withCast(exprs.head, exprs(1)),
+        "scala_udf")
+  }
 }

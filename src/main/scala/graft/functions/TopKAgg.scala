@@ -113,10 +113,13 @@ case class TopKAgg(
 }
 
 object TopKAgg {
-  /** Register as a SQL-callable aggregate: `topk_agg(score, id, k)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_agg",
-      exprs => TopKAgg(exprs.head, exprs(1), exprs(2)),
-      "scala_udf")
+  /** Idempotently register as a SQL-callable aggregate: `topk_agg(score, id, k)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg")))
+      reg.createOrReplaceTempFunction(
+        "topk_agg",
+        exprs => TopKAgg(exprs.head, exprs(1), exprs(2)),
+        "scala_udf")
+  }
 }

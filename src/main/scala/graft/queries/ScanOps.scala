@@ -91,6 +91,26 @@ object ScanOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // The versioned-table SQL door: GraftCatalog exposes the Sinks
+    // commit layout as a DataSource V2 catalog, and this query reads
+    // BOTH through SQL — `VERSION AS OF 0` (time travel to the full
+    // fixture) unioned with the bare table name (the _CURRENT pointer,
+    // = the r_regionkey<3 subset published as v1). The oracle rebuilds
+    // the same union from the raw fixture, hash-proving version
+    // resolution AND pointer resolution end to end.
+    "q_catalog_timetravel" -> ((s, dir) => {
+      val wh = catalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graftwh", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftwh.root", wh)
+      s.sql(
+        """SELECT 'v0' AS src, r_regionkey, r_name
+          |FROM graftwh.regions VERSION AS OF 0
+          |UNION ALL
+          |SELECT 'cur' AS src, r_regionkey, r_name
+          |FROM graftwh.regions
+          |ORDER BY src, r_regionkey""".stripMargin)
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-day) — the
     // multi-dimensional layout key that makes parquet min/max stats
     // prune on EITHER dimension after
@@ -148,6 +168,31 @@ object ScanOps extends QueryModule {
     out
   }
 
+  /** Versioned warehouse for q_catalog_timetravel: `regions` v0 = the
+    * full fixture, v1 (current) = the r_regionkey<3 subset. Built once
+    * per sf dir through the real commit protocol; rebuilt when the
+    * fixture regenerates (v0 mtime vs source mtime).
+    */
+  def catalogWarehouse(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val root = "/tmp/graft_wh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tbl = root + "/regions"
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "region"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L) &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(root))
+      Sinks.publishVersioned(Tables.region(s, dir), tbl, None)
+      Sinks.publishVersioned(
+        Tables.region(s, dir).filter(col("r_regionkey") < 3), tbl, Some(0L))
+    }
+    root
+  }
+
   private val aggSql =
     """SELECT event_type, count(*) AS n_events,
       | round(sum(value), 2) AS sum_value,
@@ -161,6 +206,13 @@ object ScanOps extends QueryModule {
     "q_csv_scan" -> aggSql,
     "q_orc_scan" -> aggSql,
     "q_xml_scan" -> aggSql,
+
+    "q_catalog_timetravel" ->
+      """SELECT 'v0' AS src, r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT 'cur' AS src, r_regionkey, r_name FROM region
+        |WHERE r_regionkey < 3
+        |ORDER BY src, r_regionkey""".stripMargin,
 
     "q_partition_pruning" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Paths}
+
+import graft.ops.Sinks
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftCatalog: the versioned Sinks layout exposed as a DataSource V2
+  * catalog — current reads, VERSION AS OF / TIMESTAMP AS OF time travel,
+  * SHOW TABLES, read-only enforcement, and pushdown through the
+  * delegated parquet scan.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft_catalog").toString
+    val r = graft.io.Tables.region(spark, sf001)
+    // t1: v0 = full table, v1 = a strict subset (so versions differ)
+    Sinks.publishVersioned(r, s"$dir/t1", None)
+    Sinks.publishVersioned(r.limit(3), s"$dir/t1", Some(0L))
+    // pin commit times for TIMESTAMP AS OF: v0 @ 2020-01-01, v1 @ 2020-01-03
+    Files.setLastModifiedTime(Paths.get(s"$dir/t1/v0"),
+      FileTime.fromMillis(java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli))
+    Files.setLastModifiedTime(Paths.get(s"$dir/t1/v1"),
+      FileTime.fromMillis(java.time.Instant.parse("2020-01-03T00:00:00Z").toEpochMilli))
+    // a namespaced table
+    Sinks.publishVersioned(graft.io.Tables.nation(spark, sf001), s"$dir/ns/t2", None)
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", dir)
+    dir
+  }
+
+  test("SELECT from the catalog reads the current version") {
+    root
+    assert(spark.sql("SELECT * FROM graft.t1").count() == 3)
+    assert(spark.sql("SELECT * FROM graft.ns.t2").count() ==
+      graft.io.Tables.nation(spark, sf001).count())
+  }
+
+  test("VERSION AS OF reads a pinned snapshot; absent versions fail clearly") {
+    root
+    assert(spark.sql("SELECT * FROM graft.t1 VERSION AS OF 0").count() ==
+      graft.io.Tables.region(spark, sf001).count())
+    assert(spark.sql("SELECT * FROM graft.t1 VERSION AS OF 1").count() == 3)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.t1 VERSION AS OF 7").collect())
+    assert(e.getMessage.contains("version 7 not present"))
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time; pre-history fails clearly") {
+    root
+    assert(spark.sql(
+      "SELECT * FROM graft.t1 TIMESTAMP AS OF '2020-01-02 00:00:00'").count() ==
+      graft.io.Tables.region(spark, sf001).count())
+    assert(spark.sql(
+      "SELECT * FROM graft.t1 TIMESTAMP AS OF '2020-01-04 00:00:00'").count() == 3)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.t1 TIMESTAMP AS OF '2019-12-31 00:00:00'").collect())
+    assert(e.getMessage.contains("no version committed at or before"))
+  }
+
+  test("SHOW TABLES lists only versioned tables, per namespace") {
+    root
+    val top = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(top == Set("t1"), s"got $top") // ns/ has no _CURRENT, t1 does
+    val ns = spark.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).toSet
+    assert(ns == Set("t2"), s"got $ns")
+  }
+
+  test("missing tables raise a not-found error, not a blank failure") {
+    root
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.absent").collect())
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
+  test("the catalog is read-only: INSERT INTO a version snapshot is refused") {
+    root
+    // the wrapper strips BATCH_WRITE, so Spark's capability check blocks
+    // the write at analysis — before anything could touch the immutable
+    // version directory
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.t1 VALUES (99, 'x')"))
+    assert(e.getMessage.contains("does not support append"), e.getMessage)
+  }
+
+  test("filters push down through the delegated parquet scan") {
+    root
+    val plan = spark.sql(
+      "SELECT r_name FROM graft.t1 VERSION AS OF 0 WHERE r_regionkey > 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(r_regionkey,2"),
+      s"pushdown missing from plan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("r_comment"),
+      "column pruning missing — scan reads unprojected columns")
+  }
+}
