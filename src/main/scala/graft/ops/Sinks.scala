@@ -90,6 +90,61 @@ object Sinks {
     spark.read.parquet(p)
   }
 
+  /** Row-level change feed between two committed versions — what a
+    * downstream consumer applies to move a replica from `fromV` to `toV`
+    * (the read half of CDC; [[graft.ops.Merge.applyTo]] is the write
+    * half).
+    *
+    * With `keyCols` empty: bag semantics — `_change_type` ∈
+    * {insert, delete} from two `exceptAll` diffs. With keys: ONE
+    * full-outer key join classifies each key as insert (post only),
+    * delete (pre only), update (both, payload differs — emitted as
+    * `update_preimage` + `update_postimage` rows, Delta-CDF style), or
+    * unchanged (dropped). Output: keys ++ payload ++ `_change_type`.
+    *
+    * Scale shape: the keyed path is a single key-hash shuffle of the two
+    * version scans; the payload comparison is one null-safe struct
+    * equality per key — no window, no collect, skew handled by AQE like
+    * any other key join.
+    */
+  def changesBetween(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = readVersion(spark, root, fromV)
+    val to = readVersion(spark, root, toV)
+    require(from.columns.sameElements(to.columns) || keyCols.nonEmpty,
+      s"schema drift between v$fromV and v$toV requires keyCols to classify")
+    if (keyCols.isEmpty) {
+      to.exceptAll(from).withColumn("_change_type", lit("insert"))
+        .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+    } else {
+      val payload = from.columns.filterNot(keyCols.contains).toSeq
+      require(payload.nonEmpty, "keyCols must not cover every column")
+      val pre = from.select(keyCols.map(col) :+
+        struct(payload.map(col): _*).as("_pre"): _*)
+      val post = to.select(keyCols.map(col) :+
+        struct(payload.map(col): _*).as("_post"): _*)
+      val changed = pre.join(post, keyCols, "full_outer")
+        .withColumn("_rows",
+          when(col("_pre").isNull,
+            array(struct(lit("insert").as("t"), col("_post").as("p"))))
+          .when(col("_post").isNull,
+            array(struct(lit("delete").as("t"), col("_pre").as("p"))))
+          .when(col("_pre") <=> col("_post"),
+            // unchanged key drops out via an empty array; slicing a
+            // one-element build to length 0 yields the empty array of
+            // the right type without spelling the payload struct type
+            slice(array(struct(lit("x").as("t"), col("_pre").as("p"))), 1, 0))
+          .otherwise(array(
+            struct(lit("update_preimage").as("t"), col("_pre").as("p")),
+            struct(lit("update_postimage").as("t"), col("_post").as("p")))))
+      changed.select(keyCols.map(col) :+ explode(col("_rows")).as("_c"): _*)
+        .select(keyCols.map(col) ++
+          payload.map(p => col(s"_c.p.$p").as(p)) :+
+          col("_c.t").as("_change_type"): _*)
+    }
+  }
+
   /** Publish `df` as the next version. Returns the published version.
     *
     * Concurrency (optimistic): the data lands in a writer-private staging

@@ -111,6 +111,18 @@ object ScanOps extends QueryModule {
           |ORDER BY src, r_regionkey""".stripMargin)
     }),
 
+    // Change-data-feed read over the versioned table: v0 = the nation
+    // fixture, v1 = deletes (key>=20) + updates (regionkey bump for
+    // key<5) + one insert. changesBetween classifies every key in ONE
+    // full-outer key join (Delta-CDF row shape: insert / delete /
+    // update_preimage / update_postimage); the oracle rebuilds v0/v1 as
+    // CTEs from the fixture and classifies with the same join in SQL.
+    "q_table_changes" -> ((s, dir) => {
+      val tbl = cdfWarehouse(s, dir)
+      graft.ops.Sinks.changesBetween(s, tbl, 0L, 1L, Seq("n_nationkey"))
+        .orderBy("_change_type", "n_nationkey")
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-day) — the
     // multi-dimensional layout key that makes parquet min/max stats
     // prune on EITHER dimension after
@@ -193,6 +205,36 @@ object ScanOps extends QueryModule {
     root
   }
 
+  /** Versioned table for q_table_changes: `nations` v0 = the fixture,
+    * v1 = keys <20 kept (regionkey+1 for keys <5) plus one inserted row.
+    * Returns the TABLE root (not the warehouse root).
+    */
+  def cdfWarehouse(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val tbl = "/tmp/graft_cdf_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/nations"
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "nation"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L) &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+    if (!fresh) {
+      import s.implicits._
+      graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
+      val n = Tables.nation(s, dir)
+      Sinks.publishVersioned(n, tbl, None)
+      val v1 = n.filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") < 5, col("n_regionkey") + 1)
+            .otherwise(col("n_regionkey")).as("n_regionkey"))
+        .unionByName(Seq((27, "ATLANTIS", 9))
+          .toDF("n_nationkey", "n_name", "n_regionkey"))
+      Sinks.publishVersioned(v1, tbl, Some(0L))
+    }
+    tbl
+  }
+
   private val aggSql =
     """SELECT event_type, count(*) AS n_events,
       | round(sum(value), 2) AS sum_value,
@@ -213,6 +255,37 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    "q_table_changes" ->
+      """WITH v0 AS (SELECT * FROM nation),
+        |v1 AS (
+        |  SELECT n_nationkey, n_name,
+        |    CASE WHEN n_nationkey < 5 THEN n_regionkey + 1
+        |         ELSE n_regionkey END AS n_regionkey
+        |  FROM nation WHERE n_nationkey < 20
+        |  UNION ALL SELECT 27, 'ATLANTIS', 9
+        |),
+        |j AS (
+        |  SELECT coalesce(a.n_nationkey, b.n_nationkey) AS k,
+        |         a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |         a.n_name AS an, a.n_regionkey AS ar,
+        |         b.n_name AS bn, b.n_regionkey AS br
+        |  FROM v0 a FULL OUTER JOIN v1 b ON a.n_nationkey = b.n_nationkey
+        |)
+        |SELECT k AS n_nationkey, bn AS n_name, br AS n_regionkey,
+        |       'insert' AS _change_type
+        |FROM j WHERE ak IS NULL
+        |UNION ALL
+        |SELECT k, an, ar, 'delete' FROM j WHERE bk IS NULL
+        |UNION ALL
+        |SELECT k, an, ar, 'update_preimage' FROM j
+        |WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |  AND (an IS DISTINCT FROM bn OR ar IS DISTINCT FROM br)
+        |UNION ALL
+        |SELECT k, bn, br, 'update_postimage' FROM j
+        |WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |  AND (an IS DISTINCT FROM bn OR ar IS DISTINCT FROM br)
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
 
     "q_partition_pruning" ->
       """SELECT event_type, count(*) AS n_events,

@@ -413,6 +413,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(dirs.contains("v2") && dirs.contains("v3"), s"left $dirs")
   }
 
+  test("changesBetween classifies keyed CDF rows; unchanged keys drop; self-diff is empty") {
+    import graft.ops.Sinks
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_spec").toString + "/t"
+    val v0 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val v1 = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    Sinks.publishVersioned(v0, root, None)
+    Sinks.publishVersioned(v1, root, Some(0L))
+    val ch = Sinks.changesBetween(spark, root, 0L, 1L, Seq("k"))
+      .orderBy("_change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(ch.toSeq == Seq(
+      (3L, "c", 30, "delete"),
+      (4L, "d", 40, "insert"),
+      (2L, "B", 20, "update_postimage"),
+      (2L, "b", 20, "update_preimage")))
+    // unkeyed bag mode: same rows, classified insert/delete only
+    val bag = Sinks.changesBetween(spark, root, 0L, 1L)
+      .orderBy("_change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(bag.toSeq == Seq(
+      (2L, "b", 20, "delete"), (3L, "c", 30, "delete"),
+      (2L, "B", 20, "insert"), (4L, "d", 40, "insert")))
+    // self-diff is empty in both modes
+    assert(Sinks.changesBetween(spark, root, 1L, 1L, Seq("k")).count() == 0)
+    assert(Sinks.changesBetween(spark, root, 1L, 1L).count() == 0)
+  }
+
   test("compaction retention window keeps the newest N pre-base snapshots for time travel") {
     import graft.ops.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_vret").toString + "/t"
