@@ -145,6 +145,21 @@ object Sinks {
     }
   }
 
+  /** Adapt a [[changesBetween]] keyed feed into a [[Merge.upsert]] delta:
+    * inserts and update postimages become 'upsert', deletes 'delete',
+    * preimages drop. By construction
+    * `Merge.upsert(v_from, changesAsDelta(changesBetween(from, to)))`
+    * reproduces v_to exactly (ScaleSpec pins the round trip) — the CDC
+    * read and write halves compose into replica sync.
+    */
+  def changesAsDelta(changes: DataFrame, opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    changes.filter(col("_change_type") =!= "update_preimage")
+      .withColumn(opCol,
+        when(col("_change_type") === "delete", lit("delete")).otherwise(lit("upsert")))
+      .drop("_change_type")
+  }
+
   /** Publish `df` as the next version. Returns the published version.
     *
     * Concurrency (optimistic): the data lands in a writer-private staging

@@ -441,6 +441,14 @@ class ScaleSpec extends AnyFunSuite {
     // self-diff is empty in both modes
     assert(Sinks.changesBetween(spark, root, 1L, 1L, Seq("k")).count() == 0)
     assert(Sinks.changesBetween(spark, root, 1L, 1L).count() == 0)
+    // round trip: CDF read half ∘ MERGE write half = replica sync —
+    // applying the feed to v0 reproduces v1 exactly
+    val replayed = graft.ops.Merge.upsert(
+      Sinks.readVersion(spark, root, 0L),
+      Sinks.changesAsDelta(Sinks.changesBetween(spark, root, 0L, 1L, Seq("k"))),
+      Seq("k"))
+    assert(replayed.exceptAll(Sinks.readVersion(spark, root, 1L)).count() == 0)
+    assert(Sinks.readVersion(spark, root, 1L).exceptAll(replayed).count() == 0)
   }
 
   test("compaction retention window keeps the newest N pre-base snapshots for time travel") {
