@@ -93,6 +93,22 @@ object LlmOps extends QueryModule {
         .orderBy("rnk")
     }),
 
+    // B62 through the ENGINE door: the same top-k as q_cosine_topk but
+    // declared via AnnRewrite.annTopK — the AnnTopKMarker logical node
+    // is expanded to the brute-force plan by the optimizer RULE (no
+    // centroids registered), so the oracle hash-checks the whole
+    // marker → rewrite → execute path, not just the library function.
+    "q_ann_rewrite" -> ((s, dir) => {
+      graft.plans.AnnRewrite.clearCentroids(s) // pin the exact path
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("query_id"), col("embedding").as("qvec"))
+      graft.plans.AnnRewrite.annTopK(emb.filter(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("rnk")
+    }),
+
     // B61 embedding near-dup pairs: sign-LSH bucket candidates + exact
     // cosine rerank over the FULL corpus (no id bound — the plan is
     // equi-join-only, so it scales; threshold 0.4 is calibrated to the
@@ -326,6 +342,22 @@ object LlmOps extends QueryModule {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    round(sum(CAST(e.embedding[g.i] AS DOUBLE)*CAST(q.qe[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(e.embedding[g.i] AS DOUBLE)*CAST(e.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(q.qe[g.i] AS DOUBLE)*CAST(q.qe[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings e, generate_series(1,64) g(i), q
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, cos_sim,
+        | CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+        |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical result contract to q_cosine_topk — the rule must be
+    // result-invariant when no index is registered
+    "q_ann_rewrite" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sims AS (
         |  SELECT e.vec_id,

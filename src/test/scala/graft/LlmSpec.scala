@@ -67,6 +67,25 @@ class LlmSpec extends AnyFunSuite {
     assert(floatIn == 1.0)
   }
 
+  test("B61 CosineSim survives CODEGEN_ONLY mode (doGenCode compiles, no interpreted fallback)") {
+    import graft.functions.{CosineSim, Vec}
+    CosineSim.register(spark)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    // FALLBACK (default) silently swallows a broken doGenCode by
+    // interpreting; CODEGEN_ONLY turns that into a hard failure
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val got = Tables.embeddings(spark, sf001).filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          Vec.cosineNative(col("embedding"), col("embedding")).as("self"))
+        .collect()
+      assert(got.length == 50)
+      // self-similarity is exactly 1 for nonzero vectors
+      assert(got.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("B60 MinHash estimate approximates exact Jaccard on shingle sets") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001).limit(100)
