@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSim, TopKAgg}
-import graft.plans.AnnRewrite
+import graft.plans.{AnnRewrite, GraftStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    similarity strategy (brute force vs IVF probe) chosen at
   *    optimization time on every session built from the config — no
   *    `install()` call needed;
+  *  - [[graft.plans.GraftStrategy]] as a planner strategy — the safety
+  *    net that plans any marker the rule didn't expand (exact brute
+  *    force, always correct);
   *  - `topk_agg(score, id, k)` ([[graft.functions.TopKAgg]]) — the
   *    bounded-heap top-k aggregate;
   *  - `cosine_sim(a, b)` ([[graft.functions.CosineSim]]) — the fused
@@ -34,6 +37,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnRewrite)
+    ext.injectPlannerStrategy(_ => GraftStrategy)
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

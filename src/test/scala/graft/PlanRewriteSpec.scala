@@ -73,4 +73,30 @@ class PlanRewriteSpec extends AnyFunSuite {
     try assert(rows(declared) == rows(Similarity.ivfTopK(corpus, centroids, queries, 2, 10)))
     finally AnnRewrite.clearCentroids(spark)
   }
+
+  test("GraftStrategy plans a marker the optimizer rule never expanded (strategy-only session)") {
+    import graft.plans.GraftStrategy
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graft.PlanBridge
+    AnnRewrite.clearCentroids(spark)
+    // simulate a session where only the planner strategy is installed
+    val savedRules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = savedRules.filterNot(_ eq AnnRewrite)
+    GraftStrategy.install(spark)
+    try {
+      val template = Similarity.bruteForceTopK(corpus, queries, 10)
+      val out = template.schema.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+      val declared = PlanBridge.ofRows(spark, AnnTopKMarker(
+        corpus.queryExecution.analyzed, queries.queryExecution.analyzed, 10, out.toSeq))
+      // no rule → the marker SURVIVES optimization ...
+      assert(declared.queryExecution.optimizedPlan
+        .collect { case m: AnnTopKMarker => m }.nonEmpty,
+        "marker unexpectedly expanded — the rule is still installed")
+      // ... and the strategy still makes it executable, exactly
+      assert(rows(declared) == rows(template))
+    } finally {
+      spark.experimental.extraOptimizations = savedRules
+    }
+  }
 }

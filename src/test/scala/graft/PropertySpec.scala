@@ -81,6 +81,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CDF law: upsert(v0, changesAsDelta(changesBetween(v0,v1))) == v1 on random mutations") {
+    import graft.ops.{Merge, Sinks}
+    import spark.implicits._
+    for (round <- 1 to 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_cdf_prop$round")
+        .toString + "/t"
+      // v0: random keyed table; v1: random per-key keep/mutate + new keys
+      val n = 20 + rnd.nextInt(60)
+      val v0rows = (1 to n).map(i => (i.toLong, rnd.nextInt(5), rnd.nextDouble()))
+      val v1rows = v0rows.collect {
+        case (k, c, v) if rnd.nextDouble() > 0.3 => // 30% deleted
+          if (rnd.nextDouble() < 0.5) (k, rnd.nextInt(5), v) else (k, c, v)
+      } ++ (1 to rnd.nextInt(10)).map(i => ((n + i).toLong, rnd.nextInt(5), rnd.nextDouble()))
+      val v0 = v0rows.toDF("k", "c", "v")
+      val v1 = v1rows.toDF("k", "c", "v")
+      Sinks.publishVersioned(v0, root, None)
+      Sinks.publishVersioned(v1, root, Some(0L))
+      val replayed = Merge.upsert(
+        Sinks.readVersion(spark, root, 0L),
+        Sinks.changesAsDelta(
+          Sinks.changesBetween(spark, root, 0L, 1L, Seq("k"))),
+        Seq("k"))
+      assert(replayed.exceptAll(Sinks.readVersion(spark, root, 1L)).count() == 0
+        && Sinks.readVersion(spark, root, 1L).exceptAll(replayed).count() == 0,
+        s"round $round: replica sync diverged")
+      // feed size law: every v1-only key appears once (insert), every
+      // v0-only key once (delete), changed keys twice (pre+post)
+      val k0 = v0rows.map(_._1).toSet
+      val k1 = v1rows.map(_._1).toSet
+      val changedKeys = v0rows.filter(r => k1.contains(r._1)).toSet
+        .map((r: (Long, Int, Double)) => r._1)
+        .filter(k => v0rows.find(_._1 == k) != v1rows.find(_._1 == k))
+      val expected = (k1 -- k0).size + (k0 -- k1).size + 2 * changedKeys.size
+      assert(Sinks.changesBetween(spark, root, 0L, 1L, Seq("k")).count() == expected,
+        s"round $round: feed size law broken")
+    }
+  }
+
   test("Dedup.jaccard: bounds, symmetry, identity on Spark-evaluated token sets") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions._
