@@ -6,10 +6,9 @@ import java.util
 import graft.ops.Sinks
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -70,12 +69,12 @@ class GraftCatalog extends TableCatalog {
   /** The delegated parquet scan WITHOUT the write half: FileTable
     * supports appends, but a version directory is immutable once its
     * `_CURRENT` rename lands — letting INSERT INTO splice files into it
-    * would corrupt the snapshot every pinned reader relies on. The
-    * wrapper keeps SupportsWrite only to fail with a pointer at the
-    * commit protocol instead of a generic capability error.
+    * would corrupt the snapshot every pinned reader relies on. Not
+    * implementing SupportsWrite means Spark's capability check rejects
+    * every write form at analysis, before anything touches the dir.
     */
-  private final class ReadOnlySnapshot(delegate: ParquetTable, catalog: String)
-    extends Table with SupportsRead with SupportsWrite {
+  private final class ReadOnlySnapshot(delegate: ParquetTable)
+    extends Table with SupportsRead {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -91,10 +90,6 @@ class GraftCatalog extends TableCatalog {
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.newScanBuilder(options)
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      throw new UnsupportedOperationException(
-        s"catalog $catalog is read-only: write through the versioned commit " +
-          "protocol (graft.ops.Sinks.publishVersioned / graft.ops.Merge.applyTo)")
   }
 
   private def table(ident: Identifier, path: String): Table =
@@ -104,7 +99,7 @@ class GraftCatalog extends TableCatalog {
       options = CaseInsensitiveStringMap.empty(),
       paths = Seq(path),
       userSpecifiedSchema = None,
-      fallbackFileFormat = classOf[ParquetFileFormat]), catalogName)
+      fallbackFileFormat = classOf[ParquetFileFormat]))
 
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRoot(ident)

@@ -119,13 +119,14 @@ object CosineSim {
   def withCast(a: Expression, b: Expression): CosineSim =
     CosineSim(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
 
-  /** Idempotently register as a SQL-callable function: `cosine_sim(a, b)`. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
-      reg.createOrReplaceTempFunction(
-        "cosine_sim",
-        exprs => withCast(exprs.head, exprs(1)),
-        "scala_udf")
-  }
+  /** Register the SQL spelling `cosine_sim(a, b)`, replacing any prior
+    * binding of the name. Library operators do NOT resolve through this
+    * name (they build the expression via ExprBridge), so registration is
+    * purely for user-facing SQL.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => withCast(exprs.head, exprs(1)),
+      "scala_udf")
 }

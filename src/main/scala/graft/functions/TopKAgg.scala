@@ -113,13 +113,13 @@ case class TopKAgg(
 }
 
 object TopKAgg {
-  /** Idempotently register as a SQL-callable aggregate: `topk_agg(score, id, k)`. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("topk_agg")))
-      reg.createOrReplaceTempFunction(
-        "topk_agg",
-        exprs => TopKAgg(exprs.head, exprs(1), exprs(2)),
-        "scala_udf")
-  }
+  /** Register the SQL spelling `topk_agg(score, id, k)`, replacing any
+    * prior binding of the name. Library operators build the aggregate
+    * via ExprBridge, not this name — registration is for user SQL.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_agg",
+      exprs => TopKAgg(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
 }

@@ -38,11 +38,16 @@ object Vec {
 
   /** [[CosineSim]]-backed spelling of [[cosine]]: bit-identical values
     * (spec-pinned in LlmSpec) from ONE fused codegen'd loop instead of
-    * three HOF passes. `cosine_sim` must be registered on the executing
-    * session ([[CosineSim.register]]; `GraftExtensions` injects it).
+    * three HOF passes. Built DIRECTLY from the expression — no
+    * function-registry lookup, so operator results cannot be changed by
+    * a same-name user registration ([[CosineSim.register]] remains for
+    * the SQL spelling only).
     */
-  def cosineNative(a: Column, b: Column): Column =
-    call_function("cosine_sim", asDouble(a), asDouble(b))
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(CosineSim(
+      ExprBridge.expr(asDouble(a)), ExprBridge.expr(asDouble(b))))
+  }
 
   /** Native cosine rounded for cross-engine hash parity. */
   def cosine6Native(a: Column, b: Column): Column = round(cosineNative(a, b), 6)

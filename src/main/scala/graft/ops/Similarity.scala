@@ -31,25 +31,26 @@ object Similarity {
     * scored row to its query's task; with few queries that is a
     * single-task sort over the whole corpus.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.TopKAgg.register(corpus.sparkSession)
-    graft.functions.CosineSim.register(corpus.sparkSession)
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKPerQuery(
       Par.spread(corpus).crossJoin(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
           Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")), k)
-  }
 
   /** Shared tail of both search paths: (query_id, vec_id, cos_sim) rows →
     * per-query bounded-heap top-k with 1-based rank. One implementation so
     * the brute-force and IVF outputs can never drift in shape.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ExprBridge
     scored.groupBy(col("query_id"))
-      .agg(expr(s"topk_agg(cos_sim, vec_id, $k)").as("tk"))
+      .agg(ExprBridge.aggColumn(graft.functions.TopKAgg(
+        ExprBridge.expr(col("cos_sim")), ExprBridge.expr(col("vec_id")),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         col("col.score").as("cos_sim"), (col("pos") + 1).as("rnk"))
+  }
 
   /** Per-cluster mean vectors: explode to (cluster, dim, value), average
     * per (cluster, dim), re-assemble the array in dim order. Two key-hash
@@ -77,7 +78,6 @@ object Similarity {
     * assignment pass viable over 100 TB.
     */
   def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
     val centsArr = centroids
       .agg(collect_list(struct(col("label"), col("centroid"))).as("cents"))
     corpus.crossJoin(broadcast(centsArr))
@@ -125,7 +125,6 @@ object Similarity {
     // centroid table only, so the shuffle is queries × n_centroids rows.
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("label"))
-    graft.functions.CosineSim.register(corpus.sparkSession)
     val probed = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("label"),
         Vec.cosine6Native(col("qvec"), col("centroid")).as("c_sim"))
@@ -134,7 +133,6 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("label"))
     // The in-bucket scan uses the bounded-heap aggregate — same rationale
     // as bruteForceTopK: never shuffle the scored bucket contents.
-    graft.functions.TopKAgg.register(corpus.sparkSession)
     topKPerQuery(
       corpus.join(broadcast(probed), Seq("label"))
         .select(col("query_id"), col("vec_id"),
@@ -181,7 +179,6 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, bands: Int, bits: Int,
       threshold: Double): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
     val cands = signLshCandidates(corpus, bands, bits)
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -196,7 +193,6 @@ object Similarity {
     * shape against a full corpus; the id bound is mandatory.
     */
   def cosineNearDupPairsExact(corpus: DataFrame, maxId: Long, threshold: Double): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
     val a = corpus.filter(col("vec_id") <= maxId)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.filter(col("vec_id") <= maxId)

@@ -102,6 +102,12 @@ object Sinks {
     * `update_preimage` + `update_postimage` rows, Delta-CDF style), or
     * unchanged (dropped). Output: keys ++ payload ++ `_change_type`.
     *
+    * Schema evolution mirrors [[Merge.upsert]]: a column ADDED in `toV`
+    * appears in the feed with the `fromV` side read as null (so a row
+    * whose only change is the new column classifies as an update, and
+    * replaying the feed reproduces `toV` including the new column); a
+    * column DROPPED in `toV` is not evolution and fails loudly.
+    *
     * Scale shape: the keyed path is a single key-hash shuffle of the two
     * version scans; the payload comparison is one null-safe struct
     * equality per key — no window, no collect, skew handled by AQE like
@@ -110,16 +116,25 @@ object Sinks {
   def changesBetween(spark: SparkSession, root: String, fromV: Long, toV: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from = readVersion(spark, root, fromV)
+    val rawFrom = readVersion(spark, root, fromV)
     val to = readVersion(spark, root, toV)
-    require(from.columns.sameElements(to.columns) || keyCols.nonEmpty,
+    require(rawFrom.columns.sameElements(to.columns) || keyCols.nonEmpty,
       s"schema drift between v$fromV and v$toV requires keyCols to classify")
     if (keyCols.isEmpty) {
-      to.exceptAll(from).withColumn("_change_type", lit("insert"))
-        .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+      to.exceptAll(rawFrom).withColumn("_change_type", lit("insert"))
+        .unionByName(rawFrom.exceptAll(to).withColumn("_change_type", lit("delete")))
     } else {
-      val payload = from.columns.filterNot(keyCols.contains).toSeq
+      val dropped = rawFrom.columns.filterNot(to.columns.contains)
+      require(dropped.isEmpty,
+        s"columns dropped in v$toV are not schema evolution: ${dropped.mkString(", ")}")
+      // additive evolution: null-backfill new columns on the from side so
+      // a new-column-only change classifies as an update, not unchanged
+      val from = to.columns.filterNot(rawFrom.columns.contains).foldLeft(rawFrom)(
+        (d, c) => d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
+      val payload = to.columns.filterNot(keyCols.contains).toSeq
       require(payload.nonEmpty, "keyCols must not cover every column")
+      require(keyCols.forall(to.columns.contains),
+        s"keyCols missing from the table: ${keyCols.filterNot(to.columns.contains).mkString(", ")}")
       val pre = from.select(keyCols.map(col) :+
         struct(payload.map(col): _*).as("_pre"): _*)
       val post = to.select(keyCols.map(col) :+
@@ -203,6 +218,13 @@ object Sinks {
         var next = cur.map(_ + 1).getOrElse(0L)
         while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
         Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
+        // stamp the COMMIT instant: rename preserves the staging-write
+        // mtime, which can predate the commit by however long this
+        // writer waited on the lock — TIMESTAMP AS OF resolves by this
+        // mtime (GraftCatalog), so it must be the visibility time, not
+        // the write time
+        Files.setLastModifiedTime(Paths.get(versionPath(root, next)),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
         val tmp = Paths.get(root, s"$Pointer.tmp")
         Files.write(tmp, next.toString.getBytes("UTF-8"))
         Files.move(tmp, Paths.get(root, Pointer),

@@ -100,15 +100,19 @@ object ScanOps extends QueryModule {
     // resolution AND pointer resolution end to end.
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
-      s.conf.set("spark.sql.catalog.graftwh", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftwh.root", wh)
+      // catalog name is PER SF DIR: Spark instantiates a catalog once per
+      // name and snapshots its options, so reusing one name across dirs
+      // in a session would silently pin the first dir's warehouse
+      val cat = "graftwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
       s.sql(
-        """SELECT 'v0' AS src, r_regionkey, r_name
-          |FROM graftwh.regions VERSION AS OF 0
-          |UNION ALL
-          |SELECT 'cur' AS src, r_regionkey, r_name
-          |FROM graftwh.regions
-          |ORDER BY src, r_regionkey""".stripMargin)
+        s"""SELECT 'v0' AS src, r_regionkey, r_name
+           |FROM $cat.regions VERSION AS OF 0
+           |UNION ALL
+           |SELECT 'cur' AS src, r_regionkey, r_name
+           |FROM $cat.regions
+           |ORDER BY src, r_regionkey""".stripMargin)
     }),
 
     // Change-data-feed read over the versioned table: v0 = the nation

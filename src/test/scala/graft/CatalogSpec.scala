@@ -111,7 +111,15 @@ class CatalogSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(r_regionkey,2"),
       s"pushdown missing from plan:\n$plan")
-    assert(plan.contains("ReadSchema") && !plan.contains("r_comment"),
-      "column pruning missing — scan reads unprojected columns")
+    // pruning must be asserted on a column that EXISTS and is unprojected:
+    // nation (ns.t2) has 3 columns; project 1, filter another, and the
+    // third must vanish from ReadSchema
+    val pruned = spark.sql(
+      "SELECT n_regionkey FROM graft.ns.t2 WHERE n_nationkey > 2")
+      .queryExecution.executedPlan.toString
+    val readSchema = pruned.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$pruned"))
+    assert(!readSchema.contains("n_name"),
+      s"column pruning missing — unprojected n_name still read: $readSchema")
   }
 }

@@ -81,6 +81,7 @@ class PlanRewriteSpec extends AnyFunSuite {
     AnnRewrite.clearCentroids(spark)
     // simulate a session where only the planner strategy is installed
     val savedRules = spark.experimental.extraOptimizations
+    val savedStrategies = spark.experimental.extraStrategies
     spark.experimental.extraOptimizations = savedRules.filterNot(_ eq AnnRewrite)
     GraftStrategy.install(spark)
     try {
@@ -97,6 +98,7 @@ class PlanRewriteSpec extends AnyFunSuite {
       assert(rows(declared) == rows(template))
     } finally {
       spark.experimental.extraOptimizations = savedRules
+      spark.experimental.extraStrategies = savedStrategies
     }
   }
 }

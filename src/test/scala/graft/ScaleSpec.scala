@@ -449,6 +449,25 @@ class ScaleSpec extends AnyFunSuite {
       Seq("k"))
     assert(replayed.exceptAll(Sinks.readVersion(spark, root, 1L)).count() == 0)
     assert(Sinks.readVersion(spark, root, 1L).exceptAll(replayed).count() == 0)
+    // additive schema evolution: v2 adds column w — every surviving key
+    // classifies as an update (pre reads w as null), and replaying the
+    // feed onto v1 reproduces v2 INCLUDING the new column
+    Sinks.publishVersioned(
+      v1.withColumn("w", col("k") * 2), root, Some(1L))
+    val evolved = Sinks.changesBetween(spark, root, 1L, 2L, Seq("k"))
+    assert(evolved.filter(col("_change_type").startsWith("update")).count() == 6,
+      "3 keys x pre+post expected under additive evolution")
+    assert(evolved.filter(col("_change_type") === "update_preimage")
+      .filter(col("w").isNotNull).count() == 0, "preimages must read new column as null")
+    val replayed2 = graft.ops.Merge.upsert(
+      Sinks.readVersion(spark, root, 1L),
+      Sinks.changesAsDelta(evolved), Seq("k"))
+    assert(replayed2.exceptAll(Sinks.readVersion(spark, root, 2L)).count() == 0)
+    assert(Sinks.readVersion(spark, root, 2L).exceptAll(replayed2).count() == 0)
+    // a DROPPED column is not evolution — fail loudly
+    val e = intercept[IllegalArgumentException](
+      Sinks.changesBetween(spark, root, 2L, 1L, Seq("k")))
+    assert(e.getMessage.contains("dropped"))
   }
 
   test("compaction retention window keeps the newest N pre-base snapshots for time travel") {
