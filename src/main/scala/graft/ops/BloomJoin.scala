@@ -20,19 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Uses Spark's native `BloomFilterAggregate` / `BloomFilterMightContain`
   * expressions (keys pre-hashed with xxhash64, as the injected rule does)
-  * registered as session temp functions — codegen'd, no UDF.
+  * built directly via ExprBridge — codegen'd, no UDF, no registry names.
   */
 object BloomJoin {
-
-  private def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_bloom_agg",
-      exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs.head)), exprs(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_might_contain",
-      exprs => BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1)))),
-      "scala_udf")
-  }
 
   /** Rows of `large` whose `largeKey` might appear in `small.smallKey`.
     * `expectedItems` sizes the filter (bits scale with it; FP rate rises
@@ -47,15 +37,16 @@ object BloomJoin {
     */
   def semiFilter(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String, expectedItems: Long): DataFrame = {
-    register(large.sparkSession)
-    // backtick-quote the key so names needing escaping (spaces, keywords,
-    // dots) parse — symmetric with the col(largeKey) treatment below
-    val quotedKey = "`" + smallKey.replace("`", "``") + "`"
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
     val bloomBytes = small
-      .agg(expr(s"graft_bloom_agg($quotedKey, ${expectedItems}L)").as("b"))
+      .agg(ExprBridge.aggColumn(new BloomFilterAggregate(
+        new XxHash64(Seq(ExprBridge.expr(col(smallKey)))),
+        Literal(expectedItems))).as("b"))
       .head().getAs[Array[Byte]]("b")
     if (bloomBytes == null) large.filter(lit(false)) // empty build side
-    else large.filter(
-      call_function("graft_might_contain", lit(bloomBytes), col(largeKey)))
+    else large.filter(ExprBridge.column(BloomFilterMightContain(
+      ExprBridge.expr(lit(bloomBytes)),
+      new XxHash64(Seq(ExprBridge.expr(col(largeKey)))))))
   }
 }

@@ -114,10 +114,12 @@ object Dedup {
     * task memory — there the bounded buffer is what completes at all.
     */
   def minhashSignaturesAgg(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
-    graft.functions.MinHashAgg.register(docs.sparkSession)
+    import org.apache.spark.sql.graft.ExprBridge
     docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .groupBy("doc_id")
-      .agg(expr(s"minhash_agg(shingle, $numPerm)").as("sig"))
+      .agg(ExprBridge.aggColumn(graft.functions.MinHashAgg(
+        ExprBridge.expr(col("shingle")),
+        org.apache.spark.sql.catalyst.expressions.Literal(numPerm))).as("sig"))
   }
 
   /** Engine-portable MinHash signature: permutation i hashes a shingle
@@ -192,11 +194,15 @@ object Dedup {
     // no-recompute-on-executor-loss caveat goes away with them).
     // Signature via the native single-pass expression (bit-identical to
     // the HOF minhashSignature, ~2x faster — no interpreted-lambda
-    // allocations per shingle; parity asserted in LlmSpec).
-    graft.functions.MinHashSig.register(docs.sparkSession)
+    // allocations per shingle; parity asserted in LlmSpec). Built via
+    // ExprBridge, not a registry name — same-name user functions can't
+    // capture the operator.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
     // null-text docs excluded — same all-null-clique hazard as the md5 path
     val sigs = Par.spread(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"), expr(s"minhash_sig(text, $n, $numPerm)").as("sig"))
+      .select(col("doc_id"), ExprBridge.column(graft.functions.MinHashSig(
+        ExprBridge.expr(col("text")), Literal(n), Literal(numPerm))).as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
