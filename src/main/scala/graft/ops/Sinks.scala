@@ -175,6 +175,52 @@ object Sinks {
       .drop("_change_type")
   }
 
+  /** Catch `replicaRoot` up to `sourceRoot`'s current version by
+    * replaying the change feed instead of recopying — the operational
+    * composition of [[changesBetween]] (read half) and [[Merge.upsert]]
+    * (write half). The replica records which SOURCE version it reflects
+    * in a `_SYNCED_FROM` sidecar (its own version numbers advance
+    * independently, one per apply).
+    *
+    *  - First sync bootstraps with a full copy of the source's current.
+    *  - Later syncs ship ONE end-state diff (`changesBetween(last, cur)`)
+    *    regardless of how many source versions elapsed — O(changed keys)
+    *    data movement, the whole point at 100 TB.
+    *  - If the last-synced version has been VACUUMED (compaction
+    *    retention passed it), the incremental path is impossible; sync
+    *    falls back to a full bootstrap copy — the standard CDC
+    *    gap-resync behavior.
+    *
+    * Returns the source version the replica now reflects.
+    */
+  def syncReplica(spark: SparkSession, sourceRoot: String, replicaRoot: String,
+      keys: Seq[String]): Long = {
+    val srcV = currentVersion(sourceRoot).getOrElse(
+      throw new IllegalStateException(s"no published version under $sourceRoot"))
+    val marker = Paths.get(replicaRoot, "_SYNCED_FROM")
+    val synced =
+      if (Files.exists(marker))
+        Some(new String(Files.readAllBytes(marker), "UTF-8").trim.toLong)
+      else None
+    def bootstrap(): Unit = {
+      val full = readVersion(spark, sourceRoot, srcV)
+      publishVersioned(full, replicaRoot, currentVersion(replicaRoot))
+      ()
+    }
+    synced match {
+      case Some(s) if s == srcV => () // already current
+      case Some(s) if listVersions(sourceRoot).contains(s) =>
+        val feed = changesBetween(spark, sourceRoot, s, srcV, keys)
+        Merge.applyTo(spark, replicaRoot, changesAsDelta(feed), keys)
+      case _ => bootstrap() // never synced, or the base was vacuumed
+    }
+    val tmp = Paths.get(replicaRoot, "_SYNCED_FROM.tmp")
+    Files.write(tmp, srcV.toString.getBytes("UTF-8"))
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    srcV
+  }
+
   /** Publish `df` as the next version. Returns the published version.
     *
     * Concurrency (optimistic): the data lands in a writer-private staging

@@ -470,6 +470,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dropped"))
   }
 
+  test("syncReplica: bootstrap, incremental catch-up over a version gap, vacuum fallback") {
+    import graft.ops.Sinks
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sync").toString
+    val src = s"$base/src"
+    val rep = s"$base/rep"
+    def table(rows: Seq[(Long, String)]) = rows.toDF("k", "s")
+    def assertInSync(): Unit = {
+      val s = Sinks.readCurrent(spark, src)
+      val r = Sinks.readCurrent(spark, rep)
+      assert(s.exceptAll(r).count() == 0 && r.exceptAll(s).count() == 0,
+        "replica diverged from source")
+    }
+    // bootstrap
+    Sinks.publishVersioned(table(Seq(1L -> "a", 2L -> "b")), src, None)
+    assert(Sinks.syncReplica(spark, src, rep, Seq("k")) == 0L)
+    assertInSync()
+    // two source versions elapse; ONE incremental sync catches up
+    Sinks.publishVersioned(table(Seq(1L -> "a2", 2L -> "b", 3L -> "c")), src, Some(0L))
+    Sinks.publishVersioned(table(Seq(1L -> "a2", 3L -> "c2")), src, Some(1L))
+    val repVersionsBefore = Sinks.listVersions(rep).size
+    assert(Sinks.syncReplica(spark, src, rep, Seq("k")) == 2L)
+    assertInSync()
+    assert(Sinks.listVersions(rep).size == repVersionsBefore + 1,
+      "multi-version gap must apply as ONE replica publish")
+    // re-sync with nothing new is a no-op (no new replica version)
+    val repVersionsNow = Sinks.listVersions(rep).size
+    assert(Sinks.syncReplica(spark, src, rep, Seq("k")) == 2L)
+    assert(Sinks.listVersions(rep).size == repVersionsNow)
+    // vacuum the replica's sync base out of source history -> bootstrap fallback
+    Sinks.publishVersioned(table(Seq(3L -> "c3", 4L -> "d")), src, Some(2L))
+    Sinks.compactVersioned(spark, src) // vacuums v0..v2 (retainVersions=0)
+    assert(!Sinks.listVersions(src).contains(2L), "precondition: base vacuumed")
+    Sinks.syncReplica(spark, src, rep, Seq("k"))
+    assertInSync()
+  }
+
   test("compaction retention window keeps the newest N pre-base snapshots for time travel") {
     import graft.ops.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_vret").toString + "/t"
