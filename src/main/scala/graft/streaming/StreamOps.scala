@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.io.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** A typed event row for the stateful (keyed-state) operators. */
@@ -545,5 +545,27 @@ object StreamOps {
       "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
+  /** Continuous replica maintenance driven by a streaming trigger — the
+    * A12 tick-tuple analog applied to CDC: a 1-row/s rate source exists
+    * only to make the engine fire `foreachBatch` on the processing-time
+    * cadence, and each tick runs one [[graft.ops.Sinks.syncReplica]]
+    * catch-up (itself a no-op when the source hasn't moved). This is how
+    * "keep the replica fresh" deploys without an external scheduler:
+    * the trigger cadence, checkpointing, and restart story are all the
+    * streaming engine's. Stop via the returned query handle.
+    */
+  def continuousSync(spark: SparkSession, sourceRoot: String, replicaRoot: String,
+      keys: Seq[String], every: String = "1 second"): StreamingQuery = {
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(every))
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.ops.Sinks.syncReplica(spark, sourceRoot, replicaRoot, keys)
+        ()
+      }
+      .start()
   }
 }

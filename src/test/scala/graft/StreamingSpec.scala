@@ -537,4 +537,32 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.table("dedup_wm_stream").select("event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L))
   }
+
+  test("continuousSync keeps a replica converged on a processing-time tick (A12 analog)") {
+    import graft.ops.Sinks
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_csync").toString
+    val src = s"$base/src"
+    val rep = s"$base/rep"
+    Sinks.publishVersioned(Seq(1L -> "a", 2L -> "b").toDF("k", "s"), src, None)
+    val q = StreamOps.continuousSync(spark, src, rep, Seq("k"), every = "250 milliseconds")
+    try {
+      def converged(expect: Set[(Long, String)]): Boolean = {
+        val deadline = System.currentTimeMillis() + 30000
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          ok = Sinks.currentVersion(rep).exists { _ =>
+            Sinks.readCurrent(spark, rep).as[(Long, String)].collect().toSet == expect
+          }
+          if (!ok) Thread.sleep(200)
+        }
+        ok
+      }
+      assert(converged(Set(1L -> "a", 2L -> "b")), "bootstrap sync never landed")
+      // source moves on while the query ticks: update + delete + insert
+      Sinks.publishVersioned(Seq(1L -> "a2", 3L -> "c").toDF("k", "s"), src, Some(0L))
+      assert(converged(Set(1L -> "a2", 3L -> "c")), "incremental sync never landed")
+    } finally q.stop()
+  }
 }
