@@ -95,13 +95,43 @@ object Stress {
       val best = samples.filter(_._1 >= 0).map(_._2)
       name -> (samples.last._1, if (best.nonEmpty) best.min else -1.0)
     }
-    val qs = results.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
+    // CDF + replica-sync at scale: two ~factor×150k-row customer
+    // versions with a 10% mutation (update/delete/insert mix), then the
+    // row-level diff and a full replica catch-up — the table-format ops
+    // measured at the same volume as the query sweep
+    val cdfTimes = {
+      val c = spark.read.parquet(Tables.path(out, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val root = s"$out/cdf_customer"
+      val rep = s"$out/cdf_customer_replica"
+      if (graft.ops.Sinks.currentVersion(root).isEmpty) {
+        graft.ops.Sinks.publishVersioned(c, root, None)
+        val v1 = c.filter(pmod(col("c_custkey"), lit(20)) =!= 0)     // 5% deleted
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(10)) === 1,              // 10% updated
+              col("c_acctbal") + 1).otherwise(col("c_acctbal")))
+          .unionByName(c.limit(0))                                    // schema-stable
+        graft.ops.Sinks.publishVersioned(v1, root, Some(0L))
+      }
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nChanges, tDiff) = timed(
+        graft.ops.Sinks.changesBetween(spark, root, 0L, 1L, Seq("c_custkey")).count())
+      val (_, tSync) = timed {
+        graft.ops.Sinks.syncReplica(spark, root, rep, Seq("c_custkey"))
+      }
+      System.err.println(s"[stress] cdf: $nChanges change rows, diff=$tDiff sync=$tSync")
+      Seq("cdf_diff" -> (nChanges, tDiff), "replica_sync" -> (0L, tSync))
+    }
+    val all = results ++ cdfTimes
+    val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val rows = results.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
+    val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (n, _)) if n < 0 => "\"" + k + "\"" }
+    val errs = all.collect { case (k, (n, _)) if n < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2._2).filter(_ >= 0).sum
+    val total = all.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs,"rows":$rows,"errors":$errs,"src":"$src"}""")
     spark.stop()
   }
