@@ -127,6 +127,10 @@ object Sinks {
       val dropped = rawFrom.columns.filterNot(to.columns.contains)
       require(dropped.isEmpty,
         s"columns dropped in v$toV are not schema evolution: ${dropped.mkString(", ")}")
+      // a KEY column may never be evolution — null-backfilling a key
+      // would full-outer-join every from-row on null
+      require(keyCols.forall(rawFrom.columns.contains),
+        s"key columns absent from v$fromV: ${keyCols.filterNot(rawFrom.columns.contains).mkString(", ")}")
       // additive evolution: null-backfill new columns on the from side so
       // a new-column-only change classifies as an update, not unchanged
       val from = to.columns.filterNot(rawFrom.columns.contains).foldLeft(rawFrom)(
