@@ -223,6 +223,45 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without RNG (Efraimidis–Spirakis A-ES): each
+    // doc draws its uniform u from its own content hash (md5 prefix →
+    // (0,1]) and competes on priority ln(u)/w with w = doc length, so
+    // longer docs win proportionally more — the quality/length-weighted
+    // corpus downsample, reproducible across engines, retries, and
+    // appends. Top-k by priority is a TakeOrderedAndProject, no window,
+    // no shuffle of the corpus. Priority rounded to 6dp on BOTH engines
+    // and tie-broken on doc_id so the hash compare is exact.
+    "q_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double") + 1) /
+        4294967297.0
+      val w = length(col("text")).cast("double")
+      Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"),
+          round(log(u) / w, 6).as("p6"))
+        .orderBy(col("p6").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Triangle counting over the co-purchase graph (parts sharing an
+    // order), the classic two-equi-join graph algorithm: orient every
+    // edge low-id → high-id so each triangle is counted exactly once,
+    // then wedges (e1.b = e2.a) close against the edge set. At 100 TB
+    // the orientation key would be DEGREE, not id (bounds the wedge
+    // fan-out to sqrt(m) per edge); the join shape — two shuffles on
+    // vertex keys — is the same.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // Curation funnel: how many docs survive each successive filter
     // stage (length band -> language -> minimum token count), computed
     // as ONE conditional-aggregation scan — the shape that lets a
@@ -436,6 +475,25 @@ object Curation extends QueryModule {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+        | round(ln((CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) + 1)
+        |   / 4294967297.0) / length(text), 6) AS p6
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY p6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
     "q_curation_funnel" ->
       """SELECT count(*) AS n_total,
