@@ -262,6 +262,23 @@ object Curation extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Character-entropy quality signal (the Gopher-family filter that
+    // catches boilerplate/garbage text token stats miss): H = -Σ p ln p
+    // over the per-doc character distribution. Two keyed aggregations —
+    // (doc, char) counts then per-doc entropy — high-cardinality keys,
+    // partial aggregation absorbs the char explosion map-side.
+    "q_char_entropy" -> ((s, dir) => {
+      val chars = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("double").as("len"),
+          explode(split(col("text"), "")).as("ch"))
+      chars.groupBy(col("doc_id"), col("len"), col("ch"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum((col("n") / col("len")) * log(col("n") / col("len"))), 6)
+          .as("h6"))
+        .orderBy("doc_id")
+    }),
+
     // Curation funnel: how many docs survive each successive filter
     // stage (length band -> language -> minimum token count), computed
     // as ONE conditional-aggregation scan — the shape that lets a
@@ -494,6 +511,18 @@ object Curation extends QueryModule {
         |FROM e e1
         |JOIN e e2 ON e1.b = e2.a
         |JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+        |         unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0
+        |), freq AS (
+        |  SELECT doc_id, len, ch, CAST(count(*) AS DOUBLE) AS n
+        |  FROM chars GROUP BY doc_id, len, ch
+        |)
+        |SELECT doc_id, round(-sum((n/len) * ln(n/len)), 6) AS h6
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_curation_funnel" ->
       """SELECT count(*) AS n_total,
