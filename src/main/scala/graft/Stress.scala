@@ -95,34 +95,45 @@ object Stress {
       val best = samples.filter(_._1 >= 0).map(_._2)
       name -> (samples.last._1, if (best.nonEmpty) best.min else -1.0)
     }
-    // CDF + replica-sync at scale: two ~factor×150k-row customer
-    // versions with a 10% mutation (update/delete/insert mix), then the
-    // row-level diff and a full replica catch-up — the table-format ops
-    // measured at the same volume as the query sweep
-    val cdfTimes = {
+    // CDF + replica-sync at scale: two factor×15k-row customer versions
+    // with a 10%-update / 5%-delete mutation, then the row-level diff,
+    // a bootstrap copy, and the INCREMENTAL catch-up — the table-format
+    // ops measured at the sweep's volume. Rebuilt from scratch every run
+    // (cheap at this size) so the timings always measure the same thing
+    // and a previously killed run can't wedge the layout.
+    val cdfTimes = try {
       val c = spark.read.parquet(Tables.path(out, "customer"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val root = s"$out/cdf_customer"
       val rep = s"$out/cdf_customer_replica"
-      if (graft.ops.Sinks.currentVersion(root).isEmpty) {
-        graft.ops.Sinks.publishVersioned(c, root, None)
-        val v1 = c.filter(pmod(col("c_custkey"), lit(20)) =!= 0)     // 5% deleted
-          .withColumn("c_acctbal",
-            when(pmod(col("c_custkey"), lit(10)) === 1,              // 10% updated
-              col("c_acctbal") + 1).otherwise(col("c_acctbal")))
-          .unionByName(c.limit(0))                                    // schema-stable
-        graft.ops.Sinks.publishVersioned(v1, root, Some(0L))
-      }
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(rep))
+      graft.ops.Sinks.publishVersioned(c, root, None)
+      val v1 = c.filter(pmod(col("c_custkey"), lit(20)) =!= 0)     // 5% deleted
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(10)) === 1,              // 10% updated
+            col("c_acctbal") + 1).otherwise(col("c_acctbal")))
+      graft.ops.Sinks.publishVersioned(v1, root, Some(0L))
       def timed(f: => Long): (Long, Double) = {
         val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
       }
       val (nChanges, tDiff) = timed(
         graft.ops.Sinks.changesBetween(spark, root, 0L, 1L, Seq("c_custkey")).count())
-      val (_, tSync) = timed {
-        graft.ops.Sinks.syncReplica(spark, root, rep, Seq("c_custkey"))
-      }
-      System.err.println(s"[stress] cdf: $nChanges change rows, diff=$tDiff sync=$tSync")
-      Seq("cdf_diff" -> (nChanges, tDiff), "replica_sync" -> (0L, tSync))
+      // bootstrap lands the replica at v1, then a THIRD source version
+      // makes the second sync exercise the incremental diff-apply path
+      val (_, tBoot) = timed(
+        graft.ops.Sinks.syncReplica(spark, root, rep, Seq("c_custkey")))
+      graft.ops.Sinks.publishVersioned(
+        v1.withColumn("c_acctbal", col("c_acctbal") + 1), root, Some(1L))
+      val (_, tSync) = timed(
+        graft.ops.Sinks.syncReplica(spark, root, rep, Seq("c_custkey")))
+      System.err.println(
+        s"[stress] cdf: $nChanges change rows, diff=$tDiff boot=$tBoot incr_sync=$tSync")
+      Seq("cdf_diff" -> (nChanges, tDiff),
+        "replica_bootstrap" -> (0L, tBoot), "replica_sync_incr" -> (0L, tSync))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] cdf leg failed: $e")
+      Seq("cdf_diff" -> (-1L, -1.0))
     }
     val all = results ++ cdfTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }

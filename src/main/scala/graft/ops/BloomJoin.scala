@@ -39,14 +39,17 @@ object BloomJoin {
       small: DataFrame, smallKey: String, expectedItems: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ExprBridge
+    // backtick-quote key names so columns literally containing dots or
+    // backticks resolve as columns, not nested-field paths
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
     val bloomBytes = small
       .agg(ExprBridge.aggColumn(new BloomFilterAggregate(
-        new XxHash64(Seq(ExprBridge.expr(col(smallKey)))),
+        new XxHash64(Seq(ExprBridge.expr(q(smallKey)))),
         Literal(expectedItems))).as("b"))
       .head().getAs[Array[Byte]]("b")
     if (bloomBytes == null) large.filter(lit(false)) // empty build side
     else large.filter(ExprBridge.column(BloomFilterMightContain(
       ExprBridge.expr(lit(bloomBytes)),
-      new XxHash64(Seq(ExprBridge.expr(col(largeKey)))))))
+      new XxHash64(Seq(ExprBridge.expr(q(largeKey)))))))
   }
 }

@@ -137,8 +137,6 @@ object Sinks {
         (d, c) => d.withColumn(c, lit(null).cast(to.schema(c).dataType)))
       val payload = to.columns.filterNot(keyCols.contains).toSeq
       require(payload.nonEmpty, "keyCols must not cover every column")
-      require(keyCols.forall(to.columns.contains),
-        s"keyCols missing from the table: ${keyCols.filterNot(to.columns.contains).mkString(", ")}")
       val pre = from.select(keyCols.map(col) :+
         struct(payload.map(col): _*).as("_pre"): _*)
       val post = to.select(keyCols.map(col) :+
@@ -199,6 +197,9 @@ object Sinks {
     */
   def syncReplica(spark: SparkSession, sourceRoot: String, replicaRoot: String,
       keys: Seq[String]): Long = {
+    // keyless bag mode is fine for changesBetween but means nothing to
+    // MERGE (a zero-column join key) — reject it before it can corrupt
+    require(keys.nonEmpty, "syncReplica requires key columns")
     val srcV = currentVersion(sourceRoot).getOrElse(
       throw new IllegalStateException(s"no published version under $sourceRoot"))
     val marker = Paths.get(replicaRoot, "_SYNCED_FROM")

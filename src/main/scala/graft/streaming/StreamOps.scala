@@ -553,8 +553,12 @@ object StreamOps {
     * cadence, and each tick runs one [[graft.ops.Sinks.syncReplica]]
     * catch-up (itself a no-op when the source hasn't moved). This is how
     * "keep the replica fresh" deploys without an external scheduler:
-    * the trigger cadence, checkpointing, and restart story are all the
-    * streaming engine's. Stop via the returned query handle.
+    * the trigger cadence and query lifecycle are the streaming engine's.
+    * A FAILED tick (source not yet published, concurrent-writer CME,
+    * sync base vacuumed mid-diff) is logged and retried on the next
+    * tick rather than killing the query — each sync is independently
+    * idempotent, so skipping a tick loses nothing. Stop via the
+    * returned query handle.
     */
   def continuousSync(spark: SparkSession, sourceRoot: String, replicaRoot: String,
       keys: Seq[String], every: String = "1 second"): StreamingQuery = {
@@ -562,8 +566,13 @@ object StreamOps {
       .writeStream
       .trigger(Trigger.ProcessingTime(every))
       .outputMode("append")
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        graft.ops.Sinks.syncReplica(spark, sourceRoot, replicaRoot, keys)
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        try graft.ops.Sinks.syncReplica(spark, sourceRoot, replicaRoot, keys)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[continuousSync] tick $batchId failed (will retry): $e")
+        }
         ()
       }
       .start()

@@ -565,4 +565,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(converged(Set(1L -> "a2", 3L -> "c")), "incremental sync never landed")
     } finally q.stop()
   }
+
+  test("continuousSync survives failing ticks (source not yet published) and converges later") {
+    import graft.ops.Sinks
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_csync2").toString
+    val src = s"$base/src"
+    val rep = s"$base/rep"
+    // start syncing BEFORE the source exists: every early tick throws
+    // inside syncReplica and must be swallowed, not kill the query
+    val q = StreamOps.continuousSync(spark, src, rep, Seq("k"), every = "200 milliseconds")
+    try {
+      Thread.sleep(1500) // let several failing ticks elapse
+      assert(q.isActive, "query died on a failing tick")
+      Sinks.publishVersioned(Seq(1L -> "a").toDF("k", "s"), src, None)
+      val deadline = System.currentTimeMillis() + 30000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        ok = Sinks.currentVersion(rep).exists(_ =>
+          Sinks.readCurrent(spark, rep).as[(Long, String)].collect().toSet == Set(1L -> "a"))
+        if (!ok) Thread.sleep(200)
+      }
+      assert(ok, "sync never recovered after the source appeared")
+    } finally q.stop()
+  }
 }
