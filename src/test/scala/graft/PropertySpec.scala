@@ -81,6 +81,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSim ≡ HOF cosine bit-for-bit on adversarial random vectors") {
+    import graft.functions.Vec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // magnitudes spanning denormal-adjacent to huge, zero vectors, and
+    // exact negatives — the inputs where a fused loop could diverge from
+    // the three-pass HOF form if the fold order differed at all
+    val vecs = (1 to 200).map { i =>
+      val dim = 1 + rnd.nextInt(32)
+      val scale = math.pow(10, rnd.nextInt(20) - 10)
+      val v =
+        if (i % 17 == 0) Seq.fill(dim)(0.0)
+        else Seq.fill(dim)((rnd.nextDouble() * 2 - 1) * scale)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val a = vecs.select($"id".as("ida"), $"v".as("va"))
+    val b = vecs.select($"id".as("idb"), $"v".as("vb"))
+    val diverging = a.crossJoin(b)
+      .select(Vec.cosine($"va", $"vb").as("hof"),
+        Vec.cosineNative($"va", $"vb").as("native"))
+      .filter(!($"hof" <=> $"native"))
+      .count()
+    assert(diverging == 0, s"$diverging of 40000 random pairs diverge")
+  }
+
   test("CDF law: upsert(v0, changesAsDelta(changesBetween(v0,v1))) == v1 on random mutations") {
     import graft.ops.{Merge, Sinks}
     import spark.implicits._
