@@ -89,6 +89,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not support append"), e.getMessage)
   }
 
+  test("TIMESTAMP AS OF works on real commit stamps (publishVersioned stamps at the rename)") {
+    val r = graft.io.Tables.region(spark, sf001)
+    Sinks.publishVersioned(r, s"$root/t4", None)
+    Thread.sleep(1100) // ensure distinct wall-clock stamps
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    Sinks.publishVersioned(r.limit(2), s"$root/t4", Some(0L))
+    // travel to the instant between the two commits → v0, not v1 —
+    // this is what the commit-time stamping guarantees: the version
+    // directory's mtime is its VISIBILITY instant, even though v1's
+    // staging write may have started before `between`
+    val ts = java.sql.Timestamp.from(between).toString
+    assert(spark.sql(
+      s"SELECT * FROM graft.t4 TIMESTAMP AS OF '$ts'").count() == r.count())
+    val now = java.sql.Timestamp.from(java.time.Instant.now()).toString
+    assert(spark.sql(
+      s"SELECT * FROM graft.t4 TIMESTAMP AS OF '$now'").count() == 2)
+  }
+
   test("version resolution is snapshot-isolated: a resolved plan survives a later publish") {
     val r = graft.io.Tables.region(spark, sf001)
     Sinks.publishVersioned(r, s"$root/t3", None) // v0: 5 rows
