@@ -6,7 +6,7 @@ import java.util
 import graft.ops.Sinks
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -43,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * which is what enforces the OCC/atomic-rename guarantees. `createTable`
   * etc. say so instead of silently writing an unversioned dir.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -155,6 +155,58 @@ class GraftCatalog extends TableCatalog {
       } finally names.close()
     }
   }
+
+  // ---- namespaces: directories under root that are not themselves
+  // versioned tables (a dir with _CURRENT is a table, not a namespace) ----
+
+  private def subdirs(parts: Seq[String]): Array[String] = {
+    val dir = Paths.get((root +: parts).mkString("/"))
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val names = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        names.iterator().asScala
+          .filter(p => Files.isDirectory(p)
+            && Sinks.currentVersion(p.toString).isEmpty
+            && !p.getFileName.toString.startsWith(".")
+            && !p.getFileName.toString.startsWith("_")
+            && !p.getFileName.toString.matches("v\\d+"))
+          .map(_.getFileName.toString)
+          .toArray
+      } finally names.close()
+    }
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    subdirs(Nil).map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace.toSeq)
+    subdirs(namespace.toSeq).map(n => namespace :+ n)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = Paths.get((root +: namespace.toSeq).mkString("/"))
+      Files.isDirectory(p) && Sinks.currentVersion(p.toString).isEmpty
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly()
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
     s"catalog $catalogName is read-only: write through the versioned commit " +

@@ -72,6 +72,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(ns == Set("t2"), s"got $ns")
   }
 
+  test("SHOW NAMESPACES lists table-free dirs; version dirs and tables are not namespaces") {
+    root
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
+    assert(ns.contains("ns"), s"got $ns")
+    assert(!ns.contains("t1"), s"table listed as namespace: $ns")
+    val e = intercept[Exception](
+      spark.sql("SHOW NAMESPACES IN graft.absent_ns").collect())
+    assert(e.getMessage.toLowerCase.contains("schema"), e.getMessage)
+  }
+
   test("missing tables raise a not-found error, not a blank failure") {
     root
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.absent").collect())
