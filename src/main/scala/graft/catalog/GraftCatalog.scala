@@ -1,16 +1,18 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
 import graft.ops.Sinks
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,7 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.events_agg                      -- current version
   *   SELECT * FROM graft.events_agg VERSION AS OF 2      -- time travel
   *   SELECT * FROM graft.events_agg TIMESTAMP AS OF '...'-- commit-time travel
-  *   SHOW TABLES IN graft
+  *   CREATE TABLE graft.daily AS SELECT ...              -- publishes v0 (v1 for CTAS data)
+  *   INSERT INTO graft.daily VALUES ...                  -- publishes a NEW version
+  *   INSERT OVERWRITE graft.daily SELECT ...             -- publishes a NEW version
+  *   SHOW TABLES IN graft; SHOW NAMESPACES IN graft; DROP TABLE graft.daily
   * }}}
   *
   * `graft.ns.t` maps to `<root>/ns/t`; a table is any directory with a
@@ -38,10 +43,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * resolved even if a writer publishes or compaction vacuums mid-query —
   * the same snapshot-isolation story ScaleSpec hammers via the API.
   *
-  * The catalog is READ-ONLY by design: writes go through the library's
-  * commit protocol ([[Sinks.publishVersioned]], [[graft.ops.Merge.applyTo]]),
-  * which is what enforces the OCC/atomic-rename guarantees. `createTable`
-  * etc. say so instead of silently writing an unversioned dir.
+  * Writes route through the SAME commit protocol as the API
+  * ([[Sinks.publishVersioned]] with an OCC precondition): every SQL
+  * write — append or overwrite — lands as a NEW atomic version, so
+  * individual version directories stay immutable and every pre-write
+  * state remains time-travelable. A table loaded AT a version
+  * (`VERSION/TIMESTAMP AS OF`) is a pinned snapshot and stays strictly
+  * read-only. SQL `INSERT INTO` (append) rewrites current ∪ new as the
+  * next version — correctness-first at this scale; bulk appends and CDC
+  * belong on [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -66,46 +76,88 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (root +: parts).mkString("/")
   }
 
-  /** The delegated parquet scan WITHOUT the write half: FileTable
-    * supports appends, but a version directory is immutable once its
-    * `_CURRENT` rename lands — letting INSERT INTO splice files into it
-    * would corrupt the snapshot every pinned reader relies on. Not
-    * implementing SupportsWrite means Spark's capability check rejects
-    * every write form at analysis, before anything touches the dir.
+  /** Read half shared by both table flavors: delegate to the v2 parquet
+    * scan over one resolved version directory.
     */
-  private final class ReadOnlySnapshot(delegate: ParquetTable)
+  private sealed abstract class SnapshotTable(delegate: ParquetTable)
     extends Table with SupportsRead {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
-    override def capabilities(): util.Set[TableCapability] = {
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+    protected def readCaps(delegate: ParquetTable): util.HashSet[TableCapability] = {
       val caps = new util.HashSet[TableCapability](delegate.capabilities())
       caps.remove(TableCapability.BATCH_WRITE)
+      caps.remove(TableCapability.V1_BATCH_WRITE)
       caps.remove(TableCapability.STREAMING_WRITE)
       caps.remove(TableCapability.TRUNCATE)
       caps.remove(TableCapability.OVERWRITE_BY_FILTER)
       caps.remove(TableCapability.OVERWRITE_DYNAMIC)
       caps
     }
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
   }
 
-  private def table(ident: Identifier, path: String): Table =
-    new ReadOnlySnapshot(ParquetTable(
+  /** A pinned `VERSION/TIMESTAMP AS OF` snapshot: reads only. A version
+    * directory is immutable once its `_CURRENT` rename lands; with no
+    * write capability, Spark rejects every write form at analysis.
+    */
+  private final class ReadOnlySnapshot(delegate: ParquetTable)
+    extends SnapshotTable(delegate) {
+    override def capabilities(): util.Set[TableCapability] = readCaps(delegate)
+  }
+
+  /** The CURRENT table: reads from the resolved version, writes publish
+    * the NEXT version through the commit protocol (V1Write fallback —
+    * the df lands via [[Sinks.publishVersioned]] with the resolved
+    * version as the OCC precondition, so a concurrent publish fails the
+    * statement instead of losing an update).
+    */
+  private final class WritableTable(delegate: ParquetTable, tRoot: String,
+      baseVersion: Option[Long]) extends SnapshotTable(delegate) with SupportsWrite {
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = readCaps(delegate)
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps
+    }
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var truncateFirst = false
+        override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                val out =
+                  if (truncateFirst || overwrite || baseVersion.isEmpty) data
+                  else Sinks.readVersion(spark, tRoot, baseVersion.get)
+                    .unionByName(data)
+                Sinks.publishVersioned(out, tRoot, baseVersion)
+                ()
+              }
+            }
+        }
+      }
+  }
+
+  private def parquetDelegate(ident: Identifier, path: String): ParquetTable =
+    ParquetTable(
       name = s"$catalogName.${ident.toString}",
       sparkSession = SparkSession.active,
       options = CaseInsensitiveStringMap.empty(),
       paths = Seq(path),
       userSpecifiedSchema = None,
-      fallbackFileFormat = classOf[ParquetFileFormat]))
+      fallbackFileFormat = classOf[ParquetFileFormat])
 
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRoot(ident)
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
-    table(ident, Sinks.versionPath(tr, v))
+    new WritableTable(parquetDelegate(ident, Sinks.versionPath(tr, v)), tr, Some(v))
   }
 
   /** `VERSION AS OF <v>`. */
@@ -120,12 +172,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: version $v not present " +
           s"(have ${Sinks.listVersions(tr).mkString(", ")}) — vacuumed or never published")
-    table(ident, Sinks.versionPath(tr, v))
+    new ReadOnlySnapshot(parquetDelegate(ident, Sinks.versionPath(tr, v)))
   }
 
   /** `TIMESTAMP AS OF <ts>` (micros): the newest version committed at or
     * before the timestamp, by version-directory mtime — the layout's
-    * commit time (the dir becomes visible at the atomic rename).
+    * commit time ([[Sinks.publishVersioned]] stamps the dir at the
+    * commit rename).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val tr = tableRoot(ident)
@@ -138,8 +191,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: no version committed at or before " +
           s"timestamp $timestamp us (oldest retained: v${live.min})")
-    table(ident, Sinks.versionPath(tr, eligible.max))
+    new ReadOnlySnapshot(parquetDelegate(ident, Sinks.versionPath(tr, eligible.max)))
   }
+
+  /** `CREATE TABLE` (and the create half of CTAS): publish an EMPTY v0
+    * with the declared schema through the commit protocol — CTAS data
+    * then arrives as an append, landing v1. The empty frame is built
+    * with ONE partition so parquet writes a footer-bearing file and the
+    * schema survives for later reads.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName does not support partitioned tables (version dirs are the layout)")
+    val tr = tableRoot(ident)
+    if (Sinks.currentVersion(tr).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+    Sinks.publishVersioned(empty, tr, None)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val tr = tableRoot(ident)
+    val existed = Sinks.currentVersion(tr).isDefined
+    if (existed) graft.io.Fs.deleteRecursively(Paths.get(tr))
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableRoot(oldIdent)
+    if (Sinks.currentVersion(from).isEmpty) throw new NoSuchTableException(oldIdent)
+    val to = tableRoot(newIdent)
+    if (Sinks.currentVersion(to).isDefined)
+      throw new TableAlreadyExistsException(newIdent)
+    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE is not supported — schema evolution happens " +
+        "through the write path (Merge.upsert additive columns)")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
@@ -183,8 +278,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.nonEmpty && !namespaceExists(namespace))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-        name() +: namespace.toSeq)
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
     subdirs(namespace.toSeq).map(n => namespace :+ n)
   }
 
@@ -196,28 +290,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-        name() +: namespace.toSeq)
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
     java.util.Collections.emptyMap()
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = readOnly()
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.forall(p => p.nonEmpty && !p.contains("/")
+      && !p.contains("\\") && p != "." && p != ".."),
+      s"illegal namespace: ${namespace.mkString(".")}")
+    Files.createDirectories(Paths.get((root +: namespace.toSeq).mkString("/")))
+    ()
+  }
+
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = readOnly()
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    readOnly()
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces carry no metadata to alter")
 
-  private def readOnly(): Nothing = throw new UnsupportedOperationException(
-    s"catalog $catalogName is read-only: write through the versioned commit " +
-      "protocol (graft.ops.Sinks.publishVersioned / graft.ops.Merge.applyTo)")
-
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly()
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly()
-  override def dropTable(ident: Identifier): Boolean = readOnly()
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val p = Paths.get((root +: namespace.toSeq).mkString("/"))
+      val empty = listTables(namespace).isEmpty && subdirs(namespace.toSeq).isEmpty
+      if (!empty && !cascade)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      graft.io.Fs.deleteRecursively(p)
+      true
+    }
+  }
 }

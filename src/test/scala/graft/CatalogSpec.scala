@@ -89,14 +89,50 @@ class CatalogSpec extends AnyFunSuite {
       || e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
-  test("the catalog is read-only: INSERT INTO a version snapshot is refused") {
+  test("CTAS / INSERT / OVERWRITE publish new versions; pre-write states stay travelable") {
     root
-    // the wrapper strips BATCH_WRITE, so Spark's capability check blocks
-    // the write at analysis — before anything could touch the immutable
-    // version directory
-    val e = intercept[Exception](
-      spark.sql("INSERT INTO graft.t1 VALUES (99, 'x')"))
-    assert(e.getMessage.contains("does not support append"), e.getMessage)
+    // CTAS: create publishes an empty v0 with the schema, data lands as v1
+    spark.sql("CREATE TABLE graft.t5 AS SELECT * FROM graft.t1 VERSION AS OF 0")
+    assert(spark.sql("SELECT * FROM graft.t5").count() == 5)
+    assert(Sinks.listVersions(s"$root/t5") == Seq(0L, 1L))
+    assert(spark.sql("SELECT * FROM graft.t5 VERSION AS OF 0").count() == 0)
+    // INSERT INTO appends as a NEW version — v1 is untouched on disk
+    spark.sql("INSERT INTO graft.t5 VALUES (99, 'x')")
+    assert(spark.sql("SELECT * FROM graft.t5").count() == 6)
+    assert(spark.sql("SELECT * FROM graft.t5 VERSION AS OF 1").count() == 5)
+    // INSERT OVERWRITE also lands as a new version
+    spark.sql(
+      "INSERT OVERWRITE graft.t5 SELECT * FROM graft.t5 WHERE r_regionkey < 2")
+    assert(spark.sql("SELECT * FROM graft.t5").count() == 2)
+    assert(spark.sql("SELECT * FROM graft.t5 VERSION AS OF 2").count() == 6)
+    // DROP TABLE removes it from listing and resolution
+    spark.sql("DROP TABLE graft.t5")
+    val top = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(!top.contains("t5"), s"dropped table still listed: $top")
+    intercept[Exception](spark.sql("SELECT * FROM graft.t5").collect())
+  }
+
+  test("a pinned VERSION AS OF snapshot carries no write capability") {
+    root
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableCapability}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val pinned = cat.loadTable(Identifier.of(Array.empty[String], "t1"), "0")
+    assert(!pinned.capabilities().contains(TableCapability.BATCH_WRITE)
+      && !pinned.capabilities().contains(TableCapability.V1_BATCH_WRITE),
+      "pinned snapshot must be read-only")
+    val current = cat.loadTable(Identifier.of(Array.empty[String], "t1"))
+    assert(current.capabilities().contains(TableCapability.V1_BATCH_WRITE))
+  }
+
+  test("CREATE / DROP NAMESPACE manage warehouse directories") {
+    root
+    spark.sql("CREATE NAMESPACE graft.ns2")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet.contains("ns2"))
+    spark.sql("DROP NAMESPACE graft.ns2")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet.contains("ns2"))
   }
 
   test("TIMESTAMP AS OF works on real commit stamps (publishVersioned stamps at the rename)") {
