@@ -52,6 +52,15 @@ object EngineDeployment {
     println("change feed v0->v1 by type: " + changes.groupBy("_change_type").count()
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", "))
 
+    // SQL DDL/DML lands through the same commit protocol: every write is
+    // a new atomic version, so the pre-INSERT state stays travelable
+    spark.sql("CREATE TABLE wh.top_nations AS SELECT * FROM wh.nations WHERE n_nationkey < 5")
+    spark.sql("INSERT INTO wh.top_nations VALUES (97, 'VALINOR', 9)")
+    println("wh.top_nations: now=" +
+      spark.sql("SELECT count(*) AS n FROM wh.top_nations").head().getLong(0) +
+      " rows, pre-INSERT (VERSION AS OF 1)=" +
+      spark.sql("SELECT count(*) AS n FROM wh.top_nations VERSION AS OF 1").head().getLong(0))
+
     // injected functions straight from SQL — no register() anywhere
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
     val sims = spark.sql(
