@@ -66,13 +66,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  /** `<root>/<namespace...>/<name>`, with path-traversal components
-    * rejected (identifiers come from SQL text).
+  /** One identifier path segment: no traversal, and none of the layout's
+    * own metadata names (`_CURRENT`/`_LOCK`/`.stage-*`/`v<N>`…) — a table
+    * named `_CURRENT` would corrupt listing for its whole namespace.
+    */
+  private def validPart(p: String): Boolean =
+    p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+      p != "." && p != ".." &&
+      !p.startsWith(".") && !p.startsWith("_") && !p.matches("v\\d+")
+
+  /** `<root>/<namespace...>/<name>`, with path-traversal components and
+    * layout-reserved names rejected (identifiers come from SQL text).
     */
   private def tableRoot(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
-    require(parts.forall(p => p.nonEmpty && !p.contains("/") && !p.contains("\\")
-      && p != "." && p != ".."), s"illegal table identifier: $ident")
+    require(parts.forall(validPart),
+      s"illegal table identifier (reserved or traversal segment): $ident")
     (root +: parts).mkString("/")
   }
 
@@ -87,7 +96,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     override def properties(): util.Map[String, String] = delegate.properties()
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.newScanBuilder(options)
-    protected def readCaps(delegate: ParquetTable): util.HashSet[TableCapability] = {
+    protected def readCaps(): util.HashSet[TableCapability] = {
       val caps = new util.HashSet[TableCapability](delegate.capabilities())
       caps.remove(TableCapability.BATCH_WRITE)
       caps.remove(TableCapability.V1_BATCH_WRITE)
@@ -105,7 +114,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   private final class ReadOnlySnapshot(delegate: ParquetTable)
     extends SnapshotTable(delegate) {
-    override def capabilities(): util.Set[TableCapability] = readCaps(delegate)
+    override def capabilities(): util.Set[TableCapability] = readCaps()
   }
 
   /** The CURRENT table: reads from the resolved version, writes publish
@@ -115,9 +124,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * statement instead of losing an update).
     */
   private final class WritableTable(delegate: ParquetTable, tRoot: String,
-      baseVersion: Option[Long]) extends SnapshotTable(delegate) with SupportsWrite {
+      baseVersion: Long) extends SnapshotTable(delegate) with SupportsWrite {
     override def capabilities(): util.Set[TableCapability] = {
-      val caps = readCaps(delegate)
+      val caps = readCaps()
       caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
@@ -133,10 +142,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
                 val spark = data.sparkSession
                 val out =
-                  if (truncateFirst || overwrite || baseVersion.isEmpty) data
-                  else Sinks.readVersion(spark, tRoot, baseVersion.get)
-                    .unionByName(data)
-                Sinks.publishVersioned(out, tRoot, baseVersion)
+                  if (truncateFirst || overwrite) data
+                  else Sinks.readVersion(spark, tRoot, baseVersion).unionByName(data)
+                Sinks.publishVersioned(out, tRoot, Some(baseVersion))
                 ()
               }
             }
@@ -157,7 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val tr = tableRoot(ident)
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
-    new WritableTable(parquetDelegate(ident, Sinks.versionPath(tr, v)), tr, Some(v))
+    new WritableTable(parquetDelegate(ident, Sinks.versionPath(tr, v)), tr, v)
   }
 
   /** `VERSION AS OF <v>`. */
@@ -204,6 +212,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       s"$catalogName does not support partitioned tables (version dirs are the layout)")
+    // fail loudly on clauses this layout cannot honor rather than
+    // silently reinterpreting them; benign metadata (comment, owner)
+    // passes through ignored
+    Option(properties.get("provider")).foreach(p =>
+      require(p.equalsIgnoreCase("parquet"),
+        s"$catalogName tables are parquet; USING $p is not supported"))
+    require(!properties.containsKey("location"),
+      s"$catalogName tables live under the catalog root; LOCATION is not supported")
     val tr = tableRoot(ident)
     if (Sinks.currentVersion(tr).isDefined)
       throw new TableAlreadyExistsException(ident)
@@ -216,9 +232,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val tr = tableRoot(ident)
-    val existed = Sinks.currentVersion(tr).isDefined
-    if (existed) graft.io.Fs.deleteRecursively(Paths.get(tr))
-    existed
+    // under the table's commit lock: a concurrent INSERT either commits
+    // fully before the delete or fails its OCC check after — never a
+    // half-deleted table or a resurrected one
+    if (Sinks.currentVersion(tr).isEmpty) false
+    else Sinks.withTableLock(tr) {
+      val existed = Sinks.currentVersion(tr).isDefined
+      if (existed) graft.io.Fs.deleteRecursively(Paths.get(tr))
+      existed
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -227,7 +249,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val to = tableRoot(newIdent)
     if (Sinks.currentVersion(to).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    if (!Files.isDirectory(Paths.get(to).getParent))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace().toSeq)
+    Sinks.withTableLock(from) {
+      Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    }
     ()
   }
 
@@ -296,10 +322,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    require(namespace.forall(p => p.nonEmpty && !p.contains("/")
-      && !p.contains("\\") && p != "." && p != ".."),
-      s"illegal namespace: ${namespace.mkString(".")}")
-    Files.createDirectories(Paths.get((root +: namespace.toSeq).mkString("/")))
+    require(namespace.forall(validPart),
+      s"illegal namespace (reserved or traversal segment): ${namespace.mkString(".")}")
+    val p = Paths.get((root +: namespace.toSeq).mkString("/"))
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        (name() +: namespace.toSeq).toArray)
+    if (Files.exists(p))
+      throw new IllegalStateException(
+        s"${namespace.mkString(".")} already exists as a TABLE, not a namespace")
+    Files.createDirectories(p)
     ()
   }
 
@@ -312,7 +344,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(namespace) || namespace.isEmpty) false
     else {
       val p = Paths.get((root +: namespace.toSeq).mkString("/"))
-      val empty = listTables(namespace).isEmpty && subdirs(namespace.toSeq).isEmpty
+      // the non-CASCADE guard must see EVERYTHING — loose files, staging
+      // dirs, metadata-named dirs — not just what lists as table/namespace
+      val entries = Files.list(p)
+      val empty = try !entries.findFirst().isPresent finally entries.close()
       if (!empty && !cascade)
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")

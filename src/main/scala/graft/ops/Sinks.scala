@@ -290,6 +290,13 @@ object Sinks {
   /** JVM mutex + cross-process file lock around the commit. (On an
     * object store this becomes the conditional PUT of the table format.)
     */
+  /** The table's commit lock, for callers whose mutation must not
+    * interleave with a publish — destructive DDL (drop/rename) takes it
+    * so a concurrent writer can never observe a half-deleted table or
+    * resurrect one mid-commit.
+    */
+  def withTableLock[T](root: String)(body: => T): T = withCommitLock(root)(body)
+
   private def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
     val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)

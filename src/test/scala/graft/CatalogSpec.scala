@@ -125,6 +125,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(current.capabilities().contains(TableCapability.V1_BATCH_WRITE))
   }
 
+  test("reserved layout names and unhonorable clauses are rejected, not reinterpreted") {
+    root
+    // a table named after the pointer file would corrupt its namespace
+    intercept[Exception](spark.sql("CREATE TABLE graft.ns.`_CURRENT` (c INT)"))
+    intercept[Exception](spark.sql("CREATE TABLE graft.`v3` (c INT)"))
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.`_meta`"))
+    // USING csv / LOCATION cannot be honored by the versioned layout
+    val e1 = intercept[Exception](spark.sql("CREATE TABLE graft.t6 (c INT) USING csv"))
+    assert(e1.getMessage.contains("parquet"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.t6 (c INT) USING parquet LOCATION '/elsewhere'"))
+    assert(e2.getMessage.contains("LOCATION"), e2.getMessage)
+    // duplicate namespace raises instead of silently succeeding
+    spark.sql("CREATE NAMESPACE graft.ns3")
+    try intercept[Exception](spark.sql("CREATE NAMESPACE graft.ns3"))
+    finally spark.sql("DROP NAMESPACE graft.ns3")
+    // non-CASCADE drop refuses a namespace holding ANY content
+    spark.sql("CREATE NAMESPACE graft.ns4")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ns4/loose.txt"), "data")
+    val e3 = intercept[Exception](spark.sql("DROP NAMESPACE graft.ns4"))
+    assert(e3.getMessage.contains("CASCADE"), e3.getMessage)
+    spark.sql("DROP NAMESPACE graft.ns4 CASCADE")
+  }
+
   test("CREATE / DROP NAMESPACE manage warehouse directories") {
     root
     spark.sql("CREATE NAMESPACE graft.ns2")
