@@ -257,10 +257,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ()
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported — schema evolution happens " +
-        "through the write path (Merge.upsert additive columns)")
+  /** `ALTER TABLE ... ADD COLUMNS`: the DDL spelling of the layout's
+    * additive schema evolution — publishes a NEW version with the
+    * column(s) null-backfilled, same as a Merge.upsert delta carrying
+    * them would. Every other change class (drop/rename/retype column)
+    * is not evolution under this layout and fails loudly, matching
+    * [[Sinks.changesBetween]]'s contract.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only top-level ADD COLUMNS is supported " +
+          s"(additive evolution); got $other")
+    }
+    val tr = tableRoot(ident)
+    val v = Sinks.currentVersion(tr)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val widened = adds.foldLeft(Sinks.readVersion(spark, tr, v)) { (df, a) =>
+      require(!df.columns.contains(a.fieldNames()(0)),
+        s"column ${a.fieldNames()(0)} already exists")
+      df.withColumn(a.fieldNames()(0),
+        org.apache.spark.sql.functions.lit(null).cast(a.dataType()))
+    }
+    Sinks.publishVersioned(widened, tr, Some(v))
+    loadTable(ident)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((root +: namespace.toSeq).mkString("/"))

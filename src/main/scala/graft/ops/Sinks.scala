@@ -76,6 +76,21 @@ object Sinks {
       else None
     }.sorted
 
+  /** Table history (the DESCRIBE HISTORY analog): one row per retained
+    * version with its commit instant ([[publishVersioned]] stamps the
+    * version dir at the commit rename) and whether it is current.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root)
+    listVersions(root).map { v =>
+      (v,
+        new java.sql.Timestamp(
+          Files.getLastModifiedTime(Paths.get(versionPath(root, v))).toMillis),
+        cur.contains(v))
+    }.toDF("version", "committed_at", "is_current")
+  }
+
   /** Time-travel read: the immutable contents of version `v`, unaffected
     * by any later publish — a reader that pins a version keeps a
     * consistent snapshot for its whole job (the versioned-layout

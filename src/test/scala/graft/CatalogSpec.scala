@@ -125,6 +125,37 @@ class CatalogSpec extends AnyFunSuite {
     assert(current.capabilities().contains(TableCapability.V1_BATCH_WRITE))
   }
 
+  test("ALTER TABLE ADD COLUMNS publishes an evolved version; other alters refuse") {
+    root
+    spark.sql("CREATE TABLE graft.t7 AS SELECT * FROM graft.t1 VERSION AS OF 0")
+    try {
+      spark.sql("ALTER TABLE graft.t7 ADD COLUMNS (score DOUBLE)")
+      val after = spark.sql("SELECT * FROM graft.t7")
+      assert(after.columns.contains("score"))
+      assert(after.filter("score IS NOT NULL").count() == 0, "new column must backfill null")
+      assert(after.count() == 5)
+      // pre-evolution version keeps the old schema
+      assert(!spark.sql("SELECT * FROM graft.t7 VERSION AS OF 1")
+        .columns.contains("score"))
+      // and the evolved table accepts writes carrying the new column
+      spark.sql("INSERT INTO graft.t7 VALUES (98, 'y', 0.5)")
+      assert(spark.sql("SELECT * FROM graft.t7 WHERE score = 0.5").count() == 1)
+      // non-additive alters are not evolution
+      intercept[Exception](spark.sql("ALTER TABLE graft.t7 DROP COLUMN score"))
+      intercept[Exception](spark.sql("ALTER TABLE graft.t7 RENAME COLUMN score TO s"))
+    } finally spark.sql("DROP TABLE graft.t7")
+  }
+
+  test("Sinks.history reports retained versions with commit instants") {
+    root
+    import graft.ops.Sinks
+    val h = Sinks.history(spark, s"$root/t1")
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Sinks.listVersions(s"$root/t1"))
+    assert(h.count(_.getBoolean(2)) == 1, "exactly one current version")
+    assert(h.map(_.getTimestamp(1)).forall(_ != null))
+  }
+
   test("reserved layout names and unhonorable clauses are rejected, not reinterpreted") {
     root
     // a table named after the pointer file would corrupt its namespace
