@@ -180,6 +180,22 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.t8")
   }
 
+  test("CREATE OR REPLACE TABLE and reader-option time travel compose from the primitives") {
+    root
+    spark.sql("CREATE TABLE graft.t9 AS SELECT * FROM graft.t1 VERSION AS OF 0")
+    try {
+      // CREATE OR REPLACE = drop + create + write on a non-staging catalog
+      spark.sql("CREATE OR REPLACE TABLE graft.t9 AS " +
+        "SELECT * FROM graft.t1 VERSION AS OF 0 LIMIT 2")
+      assert(spark.sql("SELECT * FROM graft.t9").count() == 2)
+      // replace resets history (drop removed the old layout)
+      assert(Sinks.listVersions(s"$root/t9") == Seq(0L, 1L))
+      // DataFrameReader option spelling of VERSION AS OF
+      assert(spark.read.option("versionAsOf", "0").table("graft.t9").count() == 0)
+      assert(spark.read.table("graft.t9").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.t9")
+  }
+
   test("Sinks.history reports retained versions with commit instants") {
     root
     import graft.ops.Sinks
