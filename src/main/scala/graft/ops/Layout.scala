@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for scan pruning.
@@ -39,4 +39,42 @@ object Layout {
     */
   def zorder2(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Linear rescale of `c` from `[lo, hi]` onto the `bits`-bit integer
+    * grid `[0, 2^bits-1]`, clamped. Interleaving RAW columns is a Z-order
+    * trap: the dimension with more significant bits owns every top
+    * interleaved bit, so range-partitioning degenerates to a single-column
+    * sort and the other dimension prunes nothing (SkippingSpec caught
+    * exactly this on (custkey, day)). Normalizing both dimensions onto the
+    * same grid first — what production OPTIMIZE ZORDER implementations do
+    * via range-bucket ids — makes the top bits alternate between
+    * dimensions regardless of their native domains. `lo`/`hi` come from
+    * one tiny min/max aggregate of the frame being laid out.
+    */
+  def normalize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    val grid = lit((1L << bits) - 1)
+    val span = (hi - lo).cast("double")
+    val scaled = floor((c - lo).cast("double") * grid / greatest(span, lit(1.0)))
+    least(grid, greatest(lit(0L), scaled.cast("long")))
+  }
+
+  /** Save `df` as a bucketed + bucket-sorted catalog table: both sides of
+    * a repeated equi-join written this way join with NO shuffle exchange
+    * (the scan itself reports the hash partitioning, so the planner
+    * sort-merges in place — ScaleSpec plan-asserts it). The pre-shuffle
+    * `repartition` on the bucket keys uses the same murmur3-pmod hash as
+    * the bucket spec, so each task holds exactly one bucket and the table
+    * lands as one file per bucket instead of tasks × buckets shards — at
+    * 100 TB the difference between a clean layout and a small-file
+    * explosion.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "writeBucketed requires at least one bucket key")
+    df.repartition(buckets, keys.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite").saveAsTable(table)
+  }
 }

@@ -263,8 +263,16 @@ object Sinks {
     * to derive `df` must pass the version they read (see
     * [[graft.ops.Merge.applyTo]]) — re-reading the pointer at commit time
     * would let a concurrent publish slip between the read and the check.
+    *
+    * `statsCols` (optional) collects per-file min/max footer statistics
+    * for those columns into the version's `_stats` sidecar
+    * ([[Stats.annotate]]) BEFORE the commit rename — data and skipping
+    * metadata become visible in the same atomic commit, so
+    * [[Stats.readCurrentWhere]] never sees a version whose sidecar is
+    * missing or half-written.
     */
-  def publishVersioned(df: DataFrame, root: String, expected: Option[Long]): Long = {
+  def publishVersioned(df: DataFrame, root: String, expected: Option[Long],
+      statsCols: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -273,6 +281,7 @@ object Sinks {
     // the success path.
     try {
       df.write.mode("overwrite").parquet(stage.toString)
+      if (statsCols.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, statsCols)
       withCommitLock(root) {
         val cur = currentVersion(root)
         if (cur != expected) {

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One column's min/max/null summary for one parquet file, normalized to
+  * three comparison domains (integer-family → `lo_l/hi_l`, float-family →
+  * `lo_d/hi_d`, string → `lo_s/hi_s`; exactly one pair is populated when
+  * `has_stats`). `rows`/`nulls` let an all-null file be skipped outright.
+  * `file` is the BASENAME: the sidecar is written in the publish staging
+  * directory and must stay valid after the commit renames it to v<N>.
+  */
+case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
+    has_stats: Boolean,
+    lo_l: Option[Long], hi_l: Option[Long],
+    lo_d: Option[Double], hi_d: Option[Double],
+    lo_s: Option[String], hi_s: Option[String])
+
+/** File-level data skipping over parquet tables (the Delta/Iceberg
+  * "file statistics" capability): per-file min/max collected from parquet
+  * FOOTERS — metadata pages only, never a data scan — into a `_stats`
+  * sidecar, consulted by [[Stats.readWhere]] to open only the files whose
+  * value range can satisfy a predicate.
+  *
+  * Why this matters at 100 TB: partition pruning skips directories and
+  * row-group stats skip pages *after* a file is opened, but the planner
+  * still lists and opens every file in the surviving partitions. File
+  * stats close that gap — with a clustered layout ([[Layout.zorder2]] +
+  * `repartitionByRange.sortWithinPartitions`) a selective predicate on
+  * either clustering dimension opens a small fraction of the files.
+  * Collection is distributed (footer reads run on executors), and the
+  * sidecar is tiny (one row per file per column).
+  *
+  * The sidecar lives INSIDE the immutable version directory (leading
+  * underscore, so plain `spark.read.parquet(dir)` ignores it) and is
+  * written before the commit rename — stats publish atomically with the
+  * data ([[Sinks.publishVersioned]]'s `statsCols`).
+  */
+object Stats {
+
+  val Sidecar = "_stats"
+
+  /** Collect footer stats for `cols` over every `*.parquet` file in `dir`
+    * and write the `_stats` sidecar. Footer reads are distributed across
+    * executors; each emits one [[FileColStat]] row per (file, column).
+    * A column a footer carries no usable statistics for (suppressed
+    * long-binary min/max, unsupported physical type) is recorded
+    * `has_stats = false` and never pruned — missing stats degrade to a
+    * full scan, not a wrong answer.
+    */
+  def annotate(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "annotate requires at least one column")
+    import spark.implicits._
+    val files = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val colSet = cols
+    val stats = spark.createDataset(files)
+      .repartition(math.min(files.size, 32).max(1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f => footerStats(f, colSet, conf) }
+      }
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")
+  }
+
+  /** Footer stats of one file, merged across its row groups. Runs on an
+    * executor; pure parquet-mr metadata API.
+    */
+  private def footerStats(file: String, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[FileColStat] = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    val name = java.nio.file.Paths.get(file).getFileName.toString
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.map { c =>
+        // per-row-group summaries for this column, in file order
+        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+        val rows = blocks.map(_.getRowCount).sum
+        if (chunks.size != blocks.size) FileColStat(name, c, rows, 0, has_stats = false,
+          None, None, None, None, None, None)
+        else {
+          val sts = chunks.map(_.getStatistics)
+          val usable = sts.forall(st => st != null && !st.isEmpty && st.isNumNullsSet)
+          if (!usable) FileColStat(name, c, rows, 0, has_stats = false,
+            None, None, None, None, None, None)
+          else {
+            val nulls = sts.map(_.getNumNulls).sum
+            val withVals = sts.filter(_.hasNonNullValue)
+            // all-null column: pruneable (no value can match a range) and
+            // representable without a min/max domain
+            if (withVals.isEmpty) FileColStat(name, c, rows, nulls, has_stats = true,
+              None, None, None, None, None, None)
+            else withVals.head match {
+              case _: IntStatistics | _: LongStatistics =>
+                val los = withVals.map {
+                  case s: IntStatistics => s.getMin.toLong
+                  case s: LongStatistics => s.getMin
+                }
+                val his = withVals.map {
+                  case s: IntStatistics => s.getMax.toLong
+                  case s: LongStatistics => s.getMax
+                }
+                FileColStat(name, c, rows, nulls, has_stats = true,
+                  Some(los.min), Some(his.max), None, None, None, None)
+              case _: FloatStatistics | _: DoubleStatistics =>
+                val los = withVals.map {
+                  case s: FloatStatistics => s.getMin.toDouble
+                  case s: DoubleStatistics => s.getMin
+                }
+                val his = withVals.map {
+                  case s: FloatStatistics => s.getMax.toDouble
+                  case s: DoubleStatistics => s.getMax
+                }
+                // NaN poisons ordering; parquet writers vary in how they
+                // summarize it — refuse to prune such a file
+                if ((los ++ his).exists(_.isNaN))
+                  FileColStat(name, c, rows, nulls, has_stats = false,
+                    None, None, None, None, None, None)
+                else FileColStat(name, c, rows, nulls, has_stats = true,
+                  None, None, Some(los.min), Some(his.max), None, None)
+              case _: BinaryStatistics =>
+                val los = withVals.map(_.asInstanceOf[BinaryStatistics]
+                  .genericGetMin.toStringUsingUTF8)
+                val his = withVals.map(_.asInstanceOf[BinaryStatistics]
+                  .genericGetMax.toStringUsingUTF8)
+                FileColStat(name, c, rows, nulls, has_stats = true,
+                  None, None, None, None, Some(los.min), Some(his.max))
+              case _ =>
+                FileColStat(name, c, rows, nulls, has_stats = false,
+                  None, None, None, None, None, None)
+            }
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** The sidecar as a DataFrame (for inspection and specs). */
+  def sidecar(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$Sidecar")
+
+  /** Files of `dir` that MIGHT contain a row with `colName` in
+    * `[lo, hi]` (inclusive), per the sidecar. Conservative by
+    * construction: a file with no sidecar row or unusable stats is kept;
+    * a file is dropped only when its recorded value range cannot overlap
+    * the query range, or every row is null (a range predicate never
+    * matches null). Bounds are compared in the column's stored domain —
+    * integer-family columns take integral bounds, float-family take any
+    * number, strings take strings.
+    */
+  def prunedFiles(spark: SparkSession, dir: String,
+      colName: String, lo: Any, hi: Any): Seq[String] = {
+    val all = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val side = sidecar(spark, dir).filter(col("col") === colName)
+      .collect().map { r =>
+        r.getAs[String]("file") -> r
+      }.toMap
+    all.filter { f =>
+      side.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+        case None => true // no stats row → cannot prune
+        case Some(r) =>
+          if (!r.getAs[Boolean]("has_stats")) true
+          else if (r.getAs[Long]("nulls") == r.getAs[Long]("rows")) false // all null
+          else if (!r.isNullAt(r.fieldIndex("lo_l"))) {
+            val (ql, qh) = (toLong(lo), toLong(hi))
+            r.getAs[Long]("hi_l") >= ql && r.getAs[Long]("lo_l") <= qh
+          } else if (!r.isNullAt(r.fieldIndex("lo_d"))) {
+            val (ql, qh) = (toDouble(lo), toDouble(hi))
+            r.getAs[Double]("hi_d") >= ql && r.getAs[Double]("lo_d") <= qh
+          } else if (!r.isNullAt(r.fieldIndex("lo_s"))) {
+            val (ql, qh) = (lo.toString, hi.toString)
+            r.getAs[String]("hi_s") >= ql && r.getAs[String]("lo_s") <= qh
+          } else true // has_stats with no domain should be unreachable; keep
+      }
+    }
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case n: Byte => n.toLong
+    case n: Short => n.toLong
+    case n: Int => n.toLong
+    case n: Long => n
+    case other => throw new IllegalArgumentException(
+      s"integer-domain stats need an integral bound, got $other " +
+        "(floor/ceil fractional bounds at the call site)")
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"numeric bound expected, got $other")
+  }
+
+  /** Stats-pruned range scan: open only the files whose footer range can
+    * satisfy `colName BETWEEN lo AND hi`, then apply the predicate
+    * exactly (stats decide which files to OPEN, never which rows
+    * qualify). Result-identical to `spark.read.parquet(dir).filter(...)`
+    * — q_stats_skipping hash-proves it against the unclustered fixture.
+    */
+  def readWhere(spark: SparkSession, dir: String,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val files = prunedFiles(spark, dir, colName, lo, hi)
+    val pred = col(colName).between(lit(lo), lit(hi))
+    if (files.isEmpty) {
+      val schema = spark.read.parquet(dir).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files: _*).filter(pred)
+  }
+
+  /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table
+    * (publish with `statsCols` to make the sidecar exist).
+    */
+  def readCurrentWhere(spark: SparkSession, root: String,
+      colName: String, lo: Any, hi: Any): DataFrame =
+    readWhere(spark, Sinks.resolve(root), colName, lo, hi)
+}

@@ -141,6 +141,61 @@ object ScanOps extends QueryModule {
             datediff(to_date(col("o_orderdate")), lit("1995-01-01"))).as("z"))
         .orderBy("o_orderkey")
     }),
+
+    // File-level data skipping (B109): orders, Z-order-clustered on
+    // (custkey, order-day) and published through the versioned commit
+    // with footer min/max stats, read back through Stats.readCurrentWhere
+    // — only the files whose custkey range can overlap [10, 40] are
+    // OPENED (SkippingSpec asserts the prune count; at 100 TB this is
+    // the difference between listing a table and scanning it). The
+    // oracle computes the same aggregate from the unclustered fixture,
+    // hash-proving that skipping never changes results.
+    "q_stats_skipping" -> ((s, dir) => {
+      val tbl = statsTable(s, dir)
+      graft.ops.Stats.readCurrentWhere(s, tbl, "o_custkey", 10L, 40L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Incremental materialized view (B111): a stored GROUP BY aggregate
+    // over a versioned orders table, advanced to the mutated v1 by
+    // replaying the change feed (insert/delete/update signed
+    // contributions) rather than recomputing — O(changed rows) per
+    // refresh at any table size. The oracle recomputes the same
+    // aggregate over the reconstructed v1 in SQL, so a hash match proves
+    // the incremental path lands on exactly the full-recompute answer.
+    "q_mview_incremental" -> ((s, dir) => {
+      val (_, mv) = mviewWarehouse(s, dir)
+      graft.ops.Mview.readCurrent(s, mv)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n_rows"), col("sum_o_cents").as("sum_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Bucketed co-located join (B110): orders and lineitem written as
+    // bucket-sorted catalog tables on the join key; the sort-merge join
+    // then needs NO shuffle exchange on either side (ScaleSpec
+    // plan-asserts it) — the write-once/join-many layout that removes
+    // the dominant shuffle from every downstream join at 100 TB. The
+    // merge hint keeps the plan on the co-located SMJ path (a broadcast
+    // would sidestep the layout being exercised); the oracle is the
+    // plain join over the fixtures, proving the bucketed round-trip
+    // value-lossless.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (ot, lt) = bucketedTables(s, dir)
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+      s.table(lt)
+        .join(s.table(ot).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          round(sum(cents) / 100.0, 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   /** Write (once per sf dir) and return the date-partitioned events copy.
@@ -239,6 +294,122 @@ object ScanOps extends QueryModule {
     tbl
   }
 
+  /** Versioned, Z-order-clustered orders copy with footer stats on both
+    * clustering dimensions (B109). Built once per sf dir through the real
+    * commit protocol; rebuilt when the fixture regenerates.
+    */
+  def statsTable(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Layout, Sinks, Stats}
+    val tbl = "/tmp/graft_statsz_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_z"
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L) &&
+      Files.isDirectory(Paths.get(Sinks.versionPath(tbl, 0L) + "/" + Stats.Sidecar)) &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
+      val o = Tables.orders(s, dir)
+        .withColumn("o_day",
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")))
+      // one tiny extent aggregate (4 scalars to the driver — the same
+      // materialize-as-literal dance as the Bloom build) so both
+      // dimensions land on a common grid before interleaving; raw
+      // interleave would let the wider dimension own every top bit
+      val ext = o.agg(
+        min("o_custkey"), max("o_custkey"), min("o_day"), max("o_day")).head
+      val z = Layout.zorder2(
+        Layout.normalize(col("o_custkey"), lit(ext.getLong(0)), lit(ext.getLong(1)), 12),
+        Layout.normalize(col("o_day"), lit(ext.getInt(2)), lit(ext.getInt(3)), 12))
+      val laid = o
+        .withColumn("_z", z)
+        .repartitionByRange(16, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      Sinks.publishVersioned(laid, tbl, None, statsCols = Seq("o_custkey", "o_day"))
+    }
+    tbl
+  }
+
+  /** Source + materialized view for q_mview_incremental (B111).
+    * Source v0 = orders with an exact integer-cents column; v1 mutates it
+    * three ways (delete keys %13==0, +10% reprice for keys %7==0, insert
+    * key-shifted copies of keys %11==3). The MV (count + cents sum by
+    * status × priority) is created at v0 and REFRESHED to v1 through the
+    * change feed. Returns (srcRoot, mvRoot); rebuilt when the fixture
+    * regenerates.
+    */
+  def mviewWarehouse(s: SparkSession, dir: String): (String, String) = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Mview, Sinks}
+    val root = "/tmp/graft_mview_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (src, mv) = (s"$root/orders_src", s"$root/orders_mv")
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(src)) &&
+      Sinks.listVersions(src) == Seq(0L, 1L) &&
+      Mview.syncedVersions(mv).exists(_._2 == 1L) &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(src, 0L))).toMillis >= srcMtime
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(root))
+      val dims = Seq("o_orderstatus", "o_orderpriority")
+      val v0 = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("o_cents"))
+      Sinks.publishVersioned(v0, src, None)
+      Mview.create(s, src, mv, dims, Seq("o_cents"))
+      val v1 = v0.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_cents",
+          when(col("o_orderkey") % 7 === 0,
+            // integral division (DIV, not /): Spark's / on BIGINT returns
+            // DOUBLE, and the oracle must reprice in exact integer cents
+            expr("o_cents * 11 DIV 10")).otherwise(col("o_cents")))
+        .unionByName(v0.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 134217728L))
+      Sinks.publishVersioned(v1, src, Some(0L))
+      Mview.refresh(s, src, mv, Seq("o_orderkey"), dims, Seq("o_cents"))
+    }
+    (src, mv)
+  }
+
+  /** Bucket-sorted catalog tables for q_bucketed_join (B110), one pair
+    * per sf dir; rebuilt when missing from the session catalog or older
+    * than the fixture (the warehouse dir can outlive the metastore and
+    * vice versa — both are checked).
+    */
+  def bucketedTables(s: SparkSession, dir: String): (String, String) = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"bq_orders_$sfx", s"bq_lineitem_$sfx")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "lineitem"))).toMillis
+    def liveDir(t: String) = Paths.get(s"$wh/${t.toLowerCase}")
+    val fresh = Seq(ot, lt).forall(t => s.catalog.tableExists(t) &&
+      Files.isDirectory(liveDir(t)) &&
+      Files.getLastModifiedTime(liveDir(t)).toMillis >= srcMtime)
+    if (!fresh) {
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        // a warehouse dir left by a previous JVM (fresh metastore, stale
+        // files) makes saveAsTable refuse — clear it explicitly
+        graft.io.Fs.deleteRecursively(liveDir(t))
+      }
+      graft.ops.Layout.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        ot, buckets = 8, "o_orderkey")
+      graft.ops.Layout.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        lt, buckets = 8, "l_orderkey")
+    }
+    (ot, lt)
+  }
+
   private val aggSql =
     """SELECT event_type, count(*) AS n_events,
       | round(sum(value), 2) AS sum_value,
@@ -298,6 +469,44 @@ object ScanOps extends QueryModule {
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
         |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 40
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Reconstruct source v1 (same three mutations over the fixture) and
+    // aggregate it directly — the MV's incremental refresh must land on
+    // exactly this.
+    "q_mview_incremental" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN (o_cents * 11) // 10
+        |              ELSE o_cents END AS o_cents
+        |  FROM v0 WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 134217728, o_orderstatus, o_orderpriority, o_cents
+        |  FROM v0 WHERE o_orderkey % 11 = 3
+        |)
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(o_cents) AS BIGINT) AS sum_cents
+        |FROM v1
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        | round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The same 5-stage Morton spread, one CTE per parallel-prefix step.
     "q_zorder" ->

@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Mview, Sinks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental materialized view (B111): refresh-by-change-feed must equal
+  * the full recompute after any mix of inserts/updates/deletes, survive
+  * bookkeeping loss by falling back to a recompute, and keep null groups
+  * intact.
+  */
+class MviewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mview").toString
+
+  private def rows(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong,
+      if (i % 5 == 0) null else s"g${i % 3}", (i * 10).toLong)).toDF("id", "grp", "v")
+  }
+
+  private def same(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("incremental refresh over inserts/updates/deletes equals the full recompute") {
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Sinks.publishVersioned(rows(100), src, None)
+    Mview.create(spark, src, mv, dims = Seq("grp"), sumCols = Seq("v"))
+    // v1: delete ids%7==0, update v for ids%4==0, insert 20 new rows
+    import spark.implicits._
+    val v1 = rows(100).filter(col("id") % 7 =!= 0)
+      .withColumn("v", when(col("id") % 4 === 0, col("v") * 3).otherwise(col("v")))
+      .unionByName((201 to 220).map(i => (i.toLong, s"g${i % 3}", 7L)).toDF("id", "grp", "v"))
+    Sinks.publishVersioned(v1, src, Some(0L))
+    val mvV = Mview.refresh(spark, src, mv, srcKeys = Seq("id"),
+      dims = Seq("grp"), sumCols = Seq("v"))
+    assert(mvV == 1L)
+    val want = Mview.full(Sinks.readCurrent(spark, src), Seq("grp"), Seq("v"))
+    assert(same(Mview.readCurrent(spark, mv), want),
+      "incremental refresh diverged from full recompute")
+    // null group survives and is correct
+    val nullGrp = Mview.readCurrent(spark, mv).filter(col("grp").isNull)
+    assert(nullGrp.count() == 1)
+  }
+
+  test("a group whose rows all vanish drops out; one whose dims move transfers") {
+    import spark.implicits._
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    val v0 = Seq((1L, "a", 5L), (2L, "a", 6L), (3L, "b", 7L)).toDF("id", "grp", "v")
+    Sinks.publishVersioned(v0, src, None)
+    Mview.create(spark, src, mv, Seq("grp"), Seq("v"))
+    // b's only row moves to group a; a's id=1 row is deleted
+    val v1 = Seq((2L, "a", 6L), (3L, "a", 7L)).toDF("id", "grp", "v")
+    Sinks.publishVersioned(v1, src, Some(0L))
+    Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v"))
+    val got = Mview.readCurrent(spark, mv).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a" && got.head.getLong(1) == 2 &&
+      got.head.getLong(2) == 13)
+  }
+
+  test("refresh is a no-op when already current; repeated refresh stays stable") {
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Sinks.publishVersioned(rows(50), src, None)
+    val v0 = Mview.create(spark, src, mv, Seq("grp"), Seq("v"))
+    assert(Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v")) == v0)
+    assert(Sinks.currentVersion(mv).contains(v0), "no-op refresh published a version")
+  }
+
+  test("lost or stale bookkeeping falls back to a full recompute, never a wrong answer") {
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Sinks.publishVersioned(rows(60), src, None)
+    Mview.create(spark, src, mv, Seq("grp"), Seq("v"))
+    import spark.implicits._
+    Sinks.publishVersioned(rows(60).filter(col("id") <= 30), src, Some(0L))
+    // simulate the crash window: marker deleted after a publish
+    java.nio.file.Files.delete(java.nio.file.Paths.get(mv, "_MV_BASE"))
+    val v = Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v"))
+    assert(v == 1L)
+    val want = Mview.full(Sinks.readCurrent(spark, src), Seq("grp"), Seq("v"))
+    assert(same(Mview.readCurrent(spark, mv), want))
+    assert(Mview.syncedVersions(mv).contains((1L, 1L)), "marker not restored")
+  }
+
+  test("multi-step: two source versions elapse between refreshes — ONE feed catches up") {
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Sinks.publishVersioned(rows(40), src, None)
+    Mview.create(spark, src, mv, Seq("grp"), Seq("v"))
+    import spark.implicits._
+    Sinks.publishVersioned(rows(40).withColumn("v", col("v") + 1), src, Some(0L))
+    Sinks.publishVersioned(
+      rows(40).withColumn("v", col("v") + 1).filter(col("id") > 10), src, Some(1L))
+    val v = Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v"))
+    // one incremental publish, not one per elapsed source version
+    assert(v == 1L, s"expected a single catch-up publish, got mv v$v")
+    val want = Mview.full(Sinks.readCurrent(spark, src), Seq("grp"), Seq("v"))
+    assert(same(Mview.readCurrent(spark, mv), want))
+  }
+}

@@ -84,6 +84,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == 3)
   }
 
+  test("writeBucketed: one file per bucket, and the harness join plan has no exchange") {
+    val (ot, lt) = graft.queries.ScanOps.bucketedTables(spark, sf001)
+    // layout: the pre-shuffle aligns with the bucket spec → 1 file/bucket
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    Seq(ot, lt).foreach { t =>
+      val files = graft.io.Fs.listDir(java.nio.file.Paths.get(s"$wh/${t.toLowerCase}"))
+        .count(_.toString.endsWith(".parquet"))
+      assert(files == 8, s"$t: expected 8 bucket files, got $files")
+    }
+    val joined = SparkEntry.queries("q_bucketed_join")(spark, sf001)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles a join side:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected the co-located SMJ path:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     Tables.orders(spark, sf001)

@@ -1,0 +1,129 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.{Sinks, Stats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level data skipping (B109): footer stats must prune files a range
+  * predicate cannot match, never change results, and degrade to a full
+  * scan whenever stats are missing or unusable.
+  */
+class SkippingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("prunedFiles keeps exactly the overlapping files on a range-laid table") {
+    import spark.implicits._
+    val dir = tmp("skip") + "/t"
+    // 4 files with disjoint known key ranges: [0,249], [250,499], ...
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("k"))
+    val all = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(all.size == 4)
+    // a range inside one quarter opens one file
+    assert(Stats.prunedFiles(spark, dir, "k", 100L, 120L).size == 1)
+    // a range spanning a boundary opens two
+    assert(Stats.prunedFiles(spark, dir, "k", 240L, 260L).size == 2)
+    // out-of-domain range opens none
+    assert(Stats.prunedFiles(spark, dir, "k", 5000L, 6000L).isEmpty)
+    // full-domain range opens all
+    assert(Stats.prunedFiles(spark, dir, "k", 0L, 999L).size == 4)
+    // readWhere ≡ full scan + filter, for each shape
+    for ((lo, hi) <- Seq((100L, 120L), (240L, 260L), (5000L, 6000L))) {
+      val pruned = Stats.readWhere(spark, dir, "k", lo, hi)
+      val full = spark.read.parquet(dir).filter(col("k").between(lo, hi))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        s"readWhere($lo,$hi) diverged from the full scan")
+    }
+    // empty result still carries the table schema
+    assert(Stats.readWhere(spark, dir, "k", 5000L, 6000L).columns.toSeq ==
+      Seq("k", "payload"))
+  }
+
+  test("missing or unusable stats degrade to keep-the-file, never to a wrong answer") {
+    import spark.implicits._
+    val dir = tmp("skipcons") + "/t"
+    (0L until 100L).map(i => (i, i.toDouble / 7, s"s$i")).toDF("k", "v", "s")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("k"))
+    // a column absent from the sidecar cannot prune: all files kept
+    assert(Stats.prunedFiles(spark, dir, "v", 0.0, 0.001).size == 4)
+    // fractional bound on an integer-domain column is a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      Stats.prunedFiles(spark, dir, "k", 1.5, 2.5)
+    }
+  }
+
+  test("string and double domains prune; an all-null file is skipped") {
+    import spark.implicits._
+    val dir = tmp("skipdom") + "/t"
+    val withVals = (0 until 400).map(i =>
+      (f"key$i%03d", i / 10.0, i.toLong))
+    withVals.toDF("s", "d", "k")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    // one extra file where s and d are entirely null
+    Seq((Option.empty[String], Option.empty[Double], 9999L)).toDF("s", "d", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Stats.annotate(spark, dir, Seq("s", "d"))
+    val nFiles = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
+      .count(_.toString.endsWith(".parquet"))
+    assert(nFiles == 5)
+    // string range inside the first quarter: 1 file (all-null file skipped)
+    assert(Stats.prunedFiles(spark, dir, "s", "key010", "key020").size == 1)
+    // double range in the last quarter: 1 file
+    assert(Stats.prunedFiles(spark, dir, "d", 35.0, 39.0).size == 1)
+    // results identical to the unpruned filter in both domains
+    val full = spark.read.parquet(dir)
+    for ((c, lo: Any, hi: Any) <- Seq(
+        ("s", "key010", "key020"), ("d", 1.0, 3.5))) {
+      val a = Stats.readWhere(spark, dir, c, lo, hi)
+      val b = full.filter(col(c).between(lit(lo), lit(hi)))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
+  test("Z-order layout + stats prune on EITHER clustering dimension") {
+    val tbl = graft.queries.ScanOps.statsTable(spark, sf001)
+    val live = Sinks.resolve(tbl)
+    val total = graft.io.Fs.listDir(java.nio.file.Paths.get(live))
+      .count(_.toString.endsWith(".parquet"))
+    assert(total >= 8, s"expected a multi-file layout, got $total files")
+    val byCust = Stats.prunedFiles(spark, live, "o_custkey", 10L, 40L)
+    val byDay = Stats.prunedFiles(spark, live, "o_day", 0L, 60L)
+    assert(byCust.size < total,
+      s"custkey range pruned nothing: ${byCust.size} of $total")
+    assert(byDay.size < total,
+      s"day range pruned nothing: ${byDay.size} of $total")
+    // and the pruned read equals the fixture-side filter
+    val got = Stats.readCurrentWhere(spark, tbl, "o_custkey", 10L, 40L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val want = Tables.orders(spark, sf001)
+      .filter(col("o_custkey").between(10, 40))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stats sidecar publishes atomically with the version and stays invisible to plain reads") {
+    import spark.implicits._
+    val root = tmp("skipver") + "/t"
+    val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "grp")
+    val v = Sinks.publishVersioned(df.repartitionByRange(4, col("id")),
+      root, None, statsCols = Seq("id"))
+    // sidecar exists inside the version dir
+    val side = Stats.sidecar(spark, Sinks.versionPath(root, v))
+    assert(side.filter(col("col") === "id").count() == 4)
+    // a plain read of the version dir sees the DATA schema only
+    val back = Sinks.readCurrent(spark, root)
+    assert(back.columns.toSeq == Seq("id", "grp") && back.count() == 200)
+    // pruned read through the live pointer
+    val hit = Stats.readCurrentWhere(spark, root, "id", 0L, 10L)
+    assert(hit.count() == 11)
+  }
+}
