@@ -293,6 +293,22 @@ object Curation extends QueryModule {
         sum(when(passLen && passLang, 1).otherwise(0)).as("n_len_lang"),
         sum(when(passLen && passLang && nToks >= 40, 1).otherwise(0)).as("n_final"))
     }),
+
+    // Declarative data-quality expectations (B112): four named rules
+    // evaluated over events in ONE conditional-aggregate scan
+    // (Expect.stats) — the per-batch quality report an ingest gate
+    // emits. A rule evaluating to NULL counts as a violation (pinned in
+    // ExpectSpec); the oracle mirrors that with NOT coalesce(pred, false).
+    "q_expectations" -> ((s, dir) => {
+      import graft.ops.Expect
+      val rules = Seq(
+        Expect.rule("business_hours", hour(col("ts")).between(8, 17)),
+        Expect.rule("k_in_range",
+          get_json_object(col("props"), "$.k").cast("int") <= 50),
+        Expect.rule("not_error", col("event_type") =!= "error"),
+        Expect.rule("value_capped", col("value") <= 250))
+      Expect.stats(Tables.events(s, dir), rules).orderBy("rule")
+    }),
   )
 
   /** The edge-generating CTEs (ex/mh/bd/cand/edges) mirror
@@ -539,5 +555,27 @@ object Curation extends QueryModule {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
         |      FROM documents)
         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_expectations" ->
+      """WITH e AS (
+        |  SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |         event_type, value
+        |  FROM events),
+        |a AS (
+        |  SELECT count(*) AS n_checked,
+        |    sum(CASE WHEN NOT coalesce(h BETWEEN 8 AND 17, false) THEN 1 ELSE 0 END) AS v_bh,
+        |    sum(CASE WHEN NOT coalesce(k <= 50, false) THEN 1 ELSE 0 END) AS v_k,
+        |    sum(CASE WHEN NOT coalesce(event_type <> 'error', false) THEN 1 ELSE 0 END) AS v_err,
+        |    sum(CASE WHEN NOT coalesce(value <= 250, false) THEN 1 ELSE 0 END) AS v_cap
+        |  FROM e)
+        |SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+        |       round(n_violations * 1.0 / n_checked, 6) AS violation_rate
+        |FROM (
+        |  SELECT 'business_hours' AS rule, n_checked, v_bh AS n_violations FROM a
+        |  UNION ALL SELECT 'k_in_range', n_checked, v_k FROM a
+        |  UNION ALL SELECT 'not_error', n_checked, v_err FROM a
+        |  UNION ALL SELECT 'value_capped', n_checked, v_cap FROM a)
+        |ORDER BY rule""".stripMargin,
   )
 }
