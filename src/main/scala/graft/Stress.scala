@@ -135,7 +135,73 @@ object Stress {
       System.err.println(s"[stress] cdf leg failed: $e")
       Seq("cdf_diff" -> (-1L, -1.0))
     }
-    val all = results ++ cdfTimes
+    // Incremental-MV leg: the refresh cost of a 10%-update / 5%-delete
+    // delta against the factor×150k-row orders source, next to the full
+    // recompute of the same view — the O(delta) vs O(table) gap the MV
+    // exists to buy. (q_mview_incremental in the sweep above measures
+    // only the refreshed READ; this measures the REFRESH.)
+    val mvTimes = try {
+      import graft.ops.{Merge, Mview, Sinks}
+      val o = spark.read.parquet(Tables.path(out, "orders")).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("o_cents"))
+      val root = s"$out/mv_orders"
+      val (src2, mv2) = (s"$root/src", s"$root/mv")
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      Sinks.publishVersioned(o, src2, None)
+      val dims = Seq("o_orderstatus", "o_orderpriority")
+      Mview.create(spark, src2, mv2, dims, Seq("o_cents"))
+      // the mutation arrives as a MERGE that persists its change feed
+      // (emitChanges) — the production write path; the refresh then rides
+      // the O(delta) feed instead of re-diffing two snapshots
+      val delta = o.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .withColumn("o_cents", col("o_cents") + 100)
+          .withColumn("op", lit("upsert")))
+      Merge.applyTo(spark, src2, delta, Seq("o_orderkey"), "op", emitChanges = true)
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tIncr) = timed(
+        Mview.refresh(spark, src2, mv2, Seq("o_orderkey"), dims, Seq("o_cents")))
+      val (nGroups, tFull) = timed(
+        Mview.full(Sinks.readCurrent(spark, src2), dims, Seq("o_cents")).count())
+      val viaFeed = Sinks.changeFeed(spark, src2, 0L, 1L).isDefined
+      System.err.println(s"[stress] mview: $nGroups groups, feed_path=$viaFeed, " +
+        s"refresh_incr=$tIncr full_recompute=$tFull")
+      Seq("mv_refresh_incr" -> (nGroups, tIncr), "mv_full_recompute" -> (nGroups, tFull))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] mview leg failed: $e")
+      Seq("mv_refresh_incr" -> (-1L, -1.0))
+    }
+    // Data-skipping leg: how many files the custkey range actually opens
+    // on the Z-ordered stats table, and the pruned-read vs full-scan
+    // wall — the metric data skipping exists to move.
+    val skipTimes = try {
+      import graft.ops.{Sinks, Stats}
+      val tbl = graft.queries.ScanOps.statsTable(spark, out)
+      val live = Sinks.resolve(tbl)
+      val total = graft.io.Fs.listDir(java.nio.file.Paths.get(live))
+        .count(_.toString.endsWith(".parquet")).toLong
+      val kept = Stats.prunedFiles(spark, live, "o_custkey", 10L, 40L).size.toLong
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nRows, tPruned) = timed(
+        Stats.readCurrentWhere(spark, tbl, "o_custkey", 10L, 40L).count())
+      val (_, tFull) = timed(spark.read.parquet(live)
+        .filter(col("o_custkey").between(10L, 40L)).count())
+      System.err.println(
+        s"[stress] skipping: $kept of $total files opened, $nRows rows, " +
+          s"pruned=$tPruned full=$tFull")
+      Seq("skip_files_opened" -> (kept, tPruned),
+        "skip_files_total" -> (total, tFull))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] skipping leg failed: $e")
+      Seq("skip_files_opened" -> (-1L, -1.0))
+    }
+    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

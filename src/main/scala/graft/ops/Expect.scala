@@ -53,6 +53,28 @@ object Expect {
       marked.filter(size(col("_violations")) > 0))
   }
 
+  /** Fail-fast gate (the expect-or-fail mode): the input passed through
+    * unchanged, except that materializing any row that violates a rule
+    * aborts the job with the rule name and the row's rendering. For
+    * pipelines where bad input must stop the batch (a corrupt CDC feed,
+    * a schema-drift canary) rather than be quarantined. Row-local and
+    * shuffle-free, like [[annotate]].
+    */
+  def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    val marked = annotate(df, rules)
+    marked.withColumn("_violations",
+        when(size(col("_violations")) > 0,
+          raise_error(concat(
+            lit("expectation failed: "),
+            concat_ws(",", col("_violations")),
+            lit(" on row "),
+            to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
+          .otherwise(col("_violations")))
+      .filter(size(col("_violations")) === 0) // unreachable rows; keeps the gate lazy
+      .drop("_violations")
+  }
+
   /** One row per rule: `(rule, n_checked, n_violations, violation_rate)`,
     * computed in a single scan (one conditional sum per rule inside one
     * global aggregate, then unpivoted from the 1-row result).

@@ -44,8 +44,28 @@ object Merge {
     */
   def upsert(base: DataFrame, delta: DataFrame,
       keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val (joined, payload) = resolveJoin(base, delta, keys, opCol)
+    val op = col(s"d.$opCol")
+    joined
+      .filter(op.isNull || op =!= "delete")
+      .select(keys.map(col) ++
+        payload.map(c => when(op.isNotNull, col(s"d.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** The same full-outer resolve as [[upsert]], shared with
+    * [[upsertChanges]] so the MERGE result and its change feed are two
+    * projections of ONE join shape (never two divergent classifications).
+    * Returns the joined frame (aliases `b`/`d`, plus a `_b_present`
+    * marker — `d`-presence is `d.op`'s non-nullness) and the payload
+    * column list after additive widening.
+    */
+  private def resolveJoin(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], opCol: String): (DataFrame, Seq[String]) = {
     require(!base.columns.contains(opCol),
       s"base must not contain the op column '$opCol' (rename one of them)")
+    require(!base.columns.contains("_b_present") && !delta.columns.contains("_b_present"),
+      "_b_present is reserved by Merge")
     val missing = base.columns.filterNot(keys.contains).filterNot(delta.columns.contains) ++
       (if (delta.columns.contains(opCol)) Nil else Seq(opCol))
     require(missing.isEmpty, s"delta is missing columns: ${missing.mkString(", ")}")
@@ -66,13 +86,40 @@ object Merge {
           lit(s"Merge.upsert: invalid $opCol value '"),
           coalesce(col(opCol).cast("string"), lit("null")),
           lit("' (expected 'upsert' or 'delete')")))))
-    val joined = widened.as("b").join(checked.as("d"), keys, "full_outer")
+    val joined = widened.withColumn("_b_present", lit(true)).as("b")
+      .join(checked.as("d"), keys, "full_outer")
+    (joined, payload)
+  }
+
+  /** The row-level change feed this merge produces — exactly what
+    * [[Sinks.changesBetween]] would classify between the pre- and
+    * post-merge versions, but derived from the merge's OWN join at write
+    * time (insert / delete / update_preimage / update_postimage;
+    * unchanged upserts and deletes of absent keys emit nothing). Persist
+    * it with the commit ([[applyTo]] with `emitChanges`) and downstream
+    * readers get an O(changed rows) feed without ever re-diffing two
+    * table snapshots.
+    */
+  def upsertChanges(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val (joined, payload) = resolveJoin(base, delta, keys, opCol)
     val op = col(s"d.$opCol")
-    joined
-      .filter(op.isNull || op =!= "delete")
+    val bPresent = col("b._b_present").isNotNull
+    val pre = struct(payload.map(c => col(s"b.$c").as(c)): _*)
+    val post = struct(payload.map(c => col(s"d.$c").as(c)): _*)
+    val rows =
+      when(op === "upsert" && !bPresent,
+        array(struct(lit("insert").as("t"), post.as("p"))))
+      .when(op === "delete" && bPresent,
+        array(struct(lit("delete").as("t"), pre.as("p"))))
+      .when(op === "upsert" && bPresent && !(pre <=> post),
+        array(struct(lit("update_preimage").as("t"), pre.as("p")),
+          struct(lit("update_postimage").as("t"), post.as("p"))))
+      .otherwise(slice(array(struct(lit("x").as("t"), pre.as("p"))), 1, 0))
+    joined.select(keys.map(col) :+ explode(rows).as("_c"): _*)
       .select(keys.map(col) ++
-        payload.map(c => when(op.isNotNull, col(s"d.$c"))
-          .otherwise(col(s"b.$c")).as(c)): _*)
+        payload.map(p => col(s"_c.p.$p").as(p)) :+
+        col("_c.t").as("_change_type"): _*)
   }
 
   /** Transactional upsert into a stored versioned table
@@ -85,10 +132,22 @@ object Merge {
     * corrupt the table. Returns the published version.
     */
   def applyTo(spark: SparkSession, root: String, delta: DataFrame,
-      keys: Seq[String], opCol: String = "op"): Long = {
+      keys: Seq[String], opCol: String = "op"): Long =
+    applyTo(spark, root, delta, keys, opCol, emitChanges = false)
+
+  /** As [[applyTo]]; with `emitChanges` the merge also persists its
+    * row-level change feed ([[upsertChanges]]) into the new version's
+    * `_changes` sidecar — committed atomically with the data, making the
+    * version readable through [[Sinks.changeFeed]]'s O(delta) fast path.
+    */
+  def applyTo(spark: SparkSession, root: String, delta: DataFrame,
+      keys: Seq[String], opCol: String, emitChanges: Boolean): Long = {
     val baseVersion = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
-    Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion))
+    val changes =
+      if (emitChanges) Some(upsertChanges(base, delta, keys, opCol)) else None
+    Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion),
+      changeFeed = changes)
   }
 }

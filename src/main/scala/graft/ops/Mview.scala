@@ -73,7 +73,14 @@ object Mview {
     readMarker(mvRoot) match {
       case Some((`mvV`, baseV)) if baseV == srcV => mvV // already current
       case Some((`mvV`, baseV)) if Sinks.listVersions(srcRoot).contains(baseV) =>
-        val feed = Sinks.changesBetween(spark, srcRoot, baseV, srcV, srcKeys)
+        // prefer the writer-persisted O(delta) feed (Sinks.changeFeed);
+        // per-step rows telescope under signed summation, so the bag of
+        // step feeds and the net snapshot diff yield the same delta
+        // aggregate. Fall back to the O(table) snapshot diff when any
+        // step lacks a sidecar.
+        val feed = Sinks.changeFeed(spark, srcRoot, baseV, srcV)
+          .map(_.drop("_commit_version"))
+          .getOrElse(Sinks.changesBetween(spark, srcRoot, baseV, srcV, srcKeys))
         val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L)
         val delta = feed.groupBy(dims.map(col): _*)

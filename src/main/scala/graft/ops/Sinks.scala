@@ -177,6 +177,56 @@ object Sinks {
     }
   }
 
+  /** Name of the write-side change-feed sidecar inside a version dir
+    * (leading underscore: invisible to plain parquet reads of the dir).
+    */
+  val ChangesSidecar = "_changes"
+
+  /** The O(delta) change-feed fast path: when EVERY version in
+    * `(fromV, toV]` carries a writer-persisted `_changes` sidecar, return
+    * their concatenation with a `_commit_version` column (the Delta
+    * `table_changes` row shape) — no snapshot is opened, the read is
+    * proportional to what actually changed. Returns None when any step
+    * lacks a sidecar (a writer that didn't emit changes, a version
+    * created by plain [[publishVersioned]]) — callers fall back to
+    * [[changesBetween]], which is always available but O(table).
+    *
+    * Composition caveat: per-step feeds are exact for each step; summed
+    * signed contributions telescope correctly (what [[Mview]] needs), and
+    * last-write-wins collapse per key reproduces the net state change
+    * (what replica sync needs) — but the bag of rows is NOT the same as
+    * the NET classification [[changesBetween]] returns (a key inserted
+    * then deleted appears twice here, not zero times).
+    */
+  def changeFeed(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    if (fromV == toV)
+      return Some(spark.emptyDataFrame.withColumn("_commit_version", lit(0L)).limit(0))
+    // walk the BASE chain backwards from toV: each step must carry a
+    // sidecar whose recorded base links to the previous live version.
+    // This rejects gaps (a plain publish without a feed), vacuumed
+    // intermediates, and crash-orphaned versions whose feed was never
+    // live (their base equals their successor's base, so the walk never
+    // visits them).
+    var cur = toV
+    var chain = List.empty[Long]
+    while (cur != fromV) {
+      val side = Paths.get(versionPath(root, cur), ChangesSidecar)
+      val baseFile = side.resolve("_BASE")
+      if (!Files.isDirectory(side) || !Files.exists(baseFile)) return None
+      val base = new String(Files.readAllBytes(baseFile), "UTF-8").trim.toLong
+      if (base < fromV || base >= cur) return None // chain crosses the window or is malformed
+      chain ::= cur
+      cur = base
+    }
+    Some(chain.map { v =>
+      spark.read.parquet(Paths.get(versionPath(root, v), ChangesSidecar).toString)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
   /** Adapt a [[changesBetween]] keyed feed into a [[Merge.upsert]] delta:
     * inserts and update postimages become 'upsert', deletes 'delete',
     * preimages drop. By construction
@@ -230,8 +280,23 @@ object Sinks {
     synced match {
       case Some(s) if s == srcV => () // already current
       case Some(s) if listVersions(sourceRoot).contains(s) =>
-        val feed = changesBetween(spark, sourceRoot, s, srcV, keys)
-        Merge.applyTo(spark, replicaRoot, changesAsDelta(feed), keys)
+        import org.apache.spark.sql.functions._
+        // writer-persisted feeds make the catch-up O(changed rows):
+        // drop preimages, keep each key's LAST change across the steps
+        // (last-write-wins reproduces the net state change), map to
+        // upsert/delete ops. Snapshot diff remains the fallback.
+        val delta = changeFeed(spark, sourceRoot, s, srcV) match {
+          case Some(feed) =>
+            Merge.latestPerKey(
+                feed.filter(col("_change_type") =!= "update_preimage"),
+                keys, Seq("_commit_version"))
+              .withColumn("op",
+                when(col("_change_type") === "delete", lit("delete"))
+                  .otherwise(lit("upsert")))
+              .drop("_change_type", "_commit_version")
+          case None => changesAsDelta(changesBetween(spark, sourceRoot, s, srcV, keys))
+        }
+        Merge.applyTo(spark, replicaRoot, delta, keys)
       case _ => bootstrap() // never synced, or the base was vacuumed
     }
     val tmp = Paths.get(replicaRoot, "_SYNCED_FROM.tmp")
@@ -270,9 +335,17 @@ object Sinks {
     * metadata become visible in the same atomic commit, so
     * [[Stats.readCurrentWhere]] never sees a version whose sidecar is
     * missing or half-written.
+    *
+    * `changeFeed` (optional) persists the writer's row-level change
+    * classification for THIS commit (vs the version it replaces) into a
+    * `_changes` sidecar, also inside the atomic commit — the write-side
+    * CDF that lets [[changeFeed]] readers consume O(changed rows) instead
+    * of re-diffing two snapshots. The writer is responsible for the
+    * feed's truth (see [[Merge.upsertChanges]], derived from the merge's
+    * own join); ScaleSpec pins it against [[changesBetween]].
     */
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long],
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -282,6 +355,18 @@ object Sinks {
     try {
       df.write.mode("overwrite").parquet(stage.toString)
       if (statsCols.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, statsCols)
+      changeFeed.foreach { ch =>
+        require(ch.columns.contains("_change_type"),
+          "changeFeed must carry a _change_type column")
+        ch.write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
+        // the feed is only meaningful relative to the version it was
+        // computed against; readers validate the base CHAIN (an orphan
+        // version left by a crash between rename and pointer flip also
+        // carries a feed, but its base equals its successor's — walking
+        // the chain from the target version skips it)
+        Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
+          expected.getOrElse(-1L).toString.getBytes("UTF-8"))
+      }
       withCommitLock(root) {
         val cur = currentVersion(root)
         if (cur != expected) {
@@ -351,8 +436,15 @@ object Sinks {
       throw new IllegalStateException(s"no published version under $root"))
     val live = versionPath(root, liveV)
     val nFiles = fileCount(Paths.get(live), targetBytes)
+    // a compaction must not silently demote the table from skippable to
+    // full-scan: carry the live version's stats columns into the rewrite
+    val statsCols =
+      if (Files.isDirectory(Paths.get(live, Stats.Sidecar)))
+        Stats.sidecar(spark, live).select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      else Nil
     val v = publishVersioned(
-      spark.read.parquet(live).repartition(nFiles), root, Some(liveV))
+      spark.read.parquet(live).repartition(nFiles), root, Some(liveV), statsCols)
     withCommitLock(root) {
       val below = listVersions(root).filter(_ < liveV)
       val evict = below.sorted.dropRight(retainVersions).toSet

@@ -319,7 +319,7 @@ object ScanOps extends QueryModule {
       // dimensions land on a common grid before interleaving; raw
       // interleave would let the wider dimension own every top bit
       val ext = o.agg(
-        min("o_custkey"), max("o_custkey"), min("o_day"), max("o_day")).head
+        min("o_custkey"), max("o_custkey"), min("o_day"), max("o_day")).head()
       val z = Layout.zorder2(
         Layout.normalize(col("o_custkey"), lit(ext.getLong(0)), lit(ext.getLong(1)), 12),
         Layout.normalize(col("o_day"), lit(ext.getInt(2)), lit(ext.getInt(3)), 12))

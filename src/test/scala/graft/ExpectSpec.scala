@@ -55,6 +55,22 @@ class ExpectSpec extends AnyFunSuite {
       s"stats introduced a keyed shuffle:\n$plan")
   }
 
+  test("enforce passes a clean frame through and aborts on the first violating row") {
+    import spark.implicits._
+    val clean = Seq((1L, 5.0, "ok"), (2L, 6.0, "ok")).toDF("id", "value", "status")
+    val cleanRules = Seq(
+      Expect.rule("nonneg", col("value") >= 0),
+      Expect.rule("status_ok", col("status") === "ok"))
+    val passed = Expect.enforce(clean, cleanRules)
+    assert(passed.columns.toSeq == clean.columns.toSeq)
+    assert(passed.count() == 2)
+    val err = intercept[Exception] { Expect.enforce(df, rules).count() }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expectation failed"),
+      s"expected the gate's message, got: $msg")
+  }
+
   test("guard rails: duplicate names, empty rule set, reserved column") {
     intercept[IllegalArgumentException] {
       Expect.annotate(df, rules :+ Expect.rule("nonneg", lit(true)))

@@ -110,6 +110,29 @@ class SkippingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("compaction carries the stats sidecar into the rewritten version") {
+    import spark.implicits._
+    val root = tmp("skipcompact") + "/t"
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("k", "payload")
+    Sinks.publishVersioned(df.repartitionByRange(8, col("k")), root, None,
+      statsCols = Seq("k"))
+    val v = Sinks.compactVersioned(spark, root, targetBytes = 1L << 20)
+    val live = Sinks.versionPath(root, v)
+    // the compacted version has its own sidecar over the REWRITTEN files
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live, Stats.Sidecar)),
+      "compaction dropped the stats sidecar — table lost data skipping")
+    val side = Stats.sidecar(spark, live)
+    assert(side.select("col").distinct().collect().map(_.getString(0)).toSeq == Seq("k"))
+    val names = side.select("file").collect().map(_.getString(0)).toSet
+    val actual = graft.io.Fs.listDir(java.nio.file.Paths.get(live))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    assert(names == actual, "sidecar describes stale (pre-compaction) files")
+    // and skipping still answers correctly through the live pointer
+    val got = Stats.readCurrentWhere(spark, root, "k", 10L, 20L)
+    assert(got.count() == 11)
+  }
+
   test("stats sidecar publishes atomically with the version and stays invisible to plain reads") {
     import spark.implicits._
     val root = tmp("skipver") + "/t"
