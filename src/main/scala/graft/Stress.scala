@@ -65,6 +65,11 @@ object Stress {
     case _ => factor
   }
 
+  /** (result, seconds) of a counted action. */
+  private def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -114,9 +119,6 @@ object Stress {
           when(pmod(col("c_custkey"), lit(10)) === 1,              // 10% updated
             col("c_acctbal") + 1).otherwise(col("c_acctbal")))
       graft.ops.Sinks.publishVersioned(v1, root, Some(0L))
-      def timed(f: => Long): (Long, Double) = {
-        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
-      }
       val (nChanges, tDiff) = timed(
         graft.ops.Sinks.changesBetween(spark, root, 0L, 1L, Seq("c_custkey")).count())
       // bootstrap lands the replica at v1, then a THIRD source version
@@ -160,9 +162,6 @@ object Stress {
           .withColumn("o_cents", col("o_cents") + 100)
           .withColumn("op", lit("upsert")))
       Merge.applyTo(spark, src2, delta, Seq("o_orderkey"), "op", emitChanges = true)
-      def timed(f: => Long): (Long, Double) = {
-        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
-      }
       val (_, tIncr) = timed(
         Mview.refresh(spark, src2, mv2, Seq("o_orderkey"), dims, Seq("o_cents")))
       val (nGroups, tFull) = timed(
@@ -185,9 +184,6 @@ object Stress {
       val total = graft.io.Fs.listDir(java.nio.file.Paths.get(live))
         .count(_.toString.endsWith(".parquet")).toLong
       val kept = Stats.prunedFiles(spark, live, "o_custkey", 10L, 40L).size.toLong
-      def timed(f: => Long): (Long, Double) = {
-        val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
-      }
       val (nRows, tPruned) = timed(
         Stats.readCurrentWhere(spark, tbl, "o_custkey", 10L, 40L).count())
       val (_, tFull) = timed(spark.read.parquet(live)

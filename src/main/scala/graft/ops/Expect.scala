@@ -81,11 +81,15 @@ object Expect {
     */
   def stats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no expectations given")
+    require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+    // internal agg columns are indexed, not name-derived: a rule named
+    // "value.capped" must not turn into a column-path lookup
     val agg = df.agg(
       count(lit(1)).as("n_checked"),
-      rules.map(r => sum(when(failed(r), 1L).otherwise(0L)).as(s"v_${r.name}")): _*)
-    val stacked = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(s"v_${r.name}").as("n_violations")))
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(failed(r), 1L).otherwise(0L)).as(s"_v$i") }: _*)
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"_v$i").as("n_violations")) }
     agg.select(col("n_checked"), explode(array(stacked: _*)).as("r"))
       .select(col("r.rule").as("rule"), col("n_checked"),
         col("r.n_violations").as("n_violations"),

@@ -43,22 +43,28 @@ object Merge {
     * types are incompatible.)
     */
   def upsert(base: DataFrame, delta: DataFrame,
-      keys: Seq[String], opCol: String = "op"): DataFrame = {
-    val (joined, payload) = resolveJoin(base, delta, keys, opCol)
-    val op = col(s"d.$opCol")
-    joined
-      .filter(op.isNull || op =!= "delete")
+      keys: Seq[String], opCol: String = "op"): DataFrame =
+    resultOf(resolveJoin(base, delta, keys, opCol), keys)
+
+  /** The merged table from a resolved flat join. */
+  private def resultOf(rj: (DataFrame, Seq[String]), keys: Seq[String]): DataFrame = {
+    val (flat, payload) = rj
+    val op = col("_op")
+    flat.filter(op.isNull || op =!= "delete")
       .select(keys.map(col) ++
-        payload.map(c => when(op.isNotNull, col(s"d.$c"))
-          .otherwise(col(s"b.$c")).as(c)): _*)
+        payload.map(c => when(op.isNotNull, col(s"_d_$c"))
+          .otherwise(col(s"_b_$c")).as(c)): _*)
   }
 
   /** The same full-outer resolve as [[upsert]], shared with
     * [[upsertChanges]] so the MERGE result and its change feed are two
     * projections of ONE join shape (never two divergent classifications).
-    * Returns the joined frame (aliases `b`/`d`, plus a `_b_present`
-    * marker — `d`-presence is `d.op`'s non-nullness) and the payload
-    * column list after additive widening.
+    * Returns a FLAT disambiguated frame — `keys ++ _b_present ++ _op ++
+    * _b_<c>/_d_<c>` — so it can also be materialized once
+    * (`localCheckpoint`) and both outputs derived from the identical
+    * rows (see [[applyTo]] with `emitChanges`); alias-qualified columns
+    * would not survive a checkpoint. `d`-presence is `_op`'s
+    * non-nullness.
     */
   private def resolveJoin(base: DataFrame, delta: DataFrame,
       keys: Seq[String], opCol: String): (DataFrame, Seq[String]) = {
@@ -88,7 +94,12 @@ object Merge {
           lit("' (expected 'upsert' or 'delete')")))))
     val joined = widened.withColumn("_b_present", lit(true)).as("b")
       .join(checked.as("d"), keys, "full_outer")
-    (joined, payload)
+    val flat = joined.select(
+      keys.map(col) ++
+        Seq(col("b._b_present").as("_b_present"), col(s"d.$opCol").as("_op")) ++
+        payload.map(c => col(s"b.$c").as(s"_b_$c")) ++
+        payload.map(c => col(s"d.$c").as(s"_d_$c")): _*)
+    (flat, payload)
   }
 
   /** The row-level change feed this merge produces — exactly what
@@ -101,12 +112,16 @@ object Merge {
     * table snapshots.
     */
   def upsertChanges(base: DataFrame, delta: DataFrame,
-      keys: Seq[String], opCol: String = "op"): DataFrame = {
-    val (joined, payload) = resolveJoin(base, delta, keys, opCol)
-    val op = col(s"d.$opCol")
-    val bPresent = col("b._b_present").isNotNull
-    val pre = struct(payload.map(c => col(s"b.$c").as(c)): _*)
-    val post = struct(payload.map(c => col(s"d.$c").as(c)): _*)
+      keys: Seq[String], opCol: String = "op"): DataFrame =
+    changesOf(resolveJoin(base, delta, keys, opCol), keys)
+
+  /** The change feed from a resolved flat join. */
+  private def changesOf(rj: (DataFrame, Seq[String]), keys: Seq[String]): DataFrame = {
+    val (flat, payload) = rj
+    val op = col("_op")
+    val bPresent = col("_b_present").isNotNull
+    val pre = struct(payload.map(c => col(s"_b_$c").as(c)): _*)
+    val post = struct(payload.map(c => col(s"_d_$c").as(c)): _*)
     val rows =
       when(op === "upsert" && !bPresent,
         array(struct(lit("insert").as("t"), post.as("p"))))
@@ -116,7 +131,7 @@ object Merge {
         array(struct(lit("update_preimage").as("t"), pre.as("p")),
           struct(lit("update_postimage").as("t"), post.as("p"))))
       .otherwise(slice(array(struct(lit("x").as("t"), pre.as("p"))), 1, 0))
-    joined.select(keys.map(col) :+ explode(rows).as("_c"): _*)
+    flat.select(keys.map(col) :+ explode(rows).as("_c"): _*)
       .select(keys.map(col) ++
         payload.map(p => col(s"_c.p.$p").as(p)) :+
         col("_c.t").as("_change_type"): _*)
@@ -139,15 +154,26 @@ object Merge {
     * row-level change feed ([[upsertChanges]]) into the new version's
     * `_changes` sidecar — committed atomically with the data, making the
     * version readable through [[Sinks.changeFeed]]'s O(delta) fast path.
+    *
+    * The resolved join is materialized ONCE (`localCheckpoint`) and both
+    * the merged table and the feed project from those identical rows —
+    * never two executions of the join, so (a) the merge's dominant
+    * shuffle is not paid twice and (b) a non-deterministic delta (tied
+    * `max_by` collapses, sampled sources) cannot make the committed feed
+    * disagree with the committed data.
     */
   def applyTo(spark: SparkSession, root: String, delta: DataFrame,
       keys: Seq[String], opCol: String, emitChanges: Boolean): Long = {
     val baseVersion = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
-    val changes =
-      if (emitChanges) Some(upsertChanges(base, delta, keys, opCol)) else None
-    Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion),
-      changeFeed = changes)
+    if (!emitChanges)
+      Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion))
+    else {
+      val (flat, payload) = resolveJoin(base, delta, keys, opCol)
+      val pinned = (flat.localCheckpoint(), payload)
+      Sinks.publishVersioned(resultOf(pinned, keys), root, Some(baseVersion),
+        changeFeed = Some(changesOf(pinned, keys)))
+    }
   }
 }

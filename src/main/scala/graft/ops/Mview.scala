@@ -37,13 +37,19 @@ object Mview {
 
   /** The view definition applied as a full computation (also the refresh
     * fallback and the spec's ground truth): `GROUP BY dims` with `n_rows`
-    * and `sum_<c>` partials.
+    * and, per sum column, `sum_<c>` plus `nn_<c>` (its non-null count).
+    * The non-null count is what keeps SQL null semantics exact under
+    * incremental maintenance: `sum` over zero non-null values is NULL,
+    * not 0, and only a maintained count can tell those apart after
+    * deletes (coalescing NULL partials to 0 would make the refreshed MV
+    * diverge from this very recompute).
     */
   def full(df: DataFrame, dims: Seq[String], sumCols: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "materialized view needs at least one group dimension")
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+          count(col(c)).as(s"nn_$c"))): _*)
   }
 
   /** Materialize the view of `srcRoot`'s CURRENT version into `mvRoot`.
@@ -85,7 +91,9 @@ object Mview {
           .otherwise(-1L)
         val delta = feed.groupBy(dims.map(col): _*)
           .agg(sum(sign).as("d_n"),
-            sumCols.map(c => sum(sign * col(c)).as(s"d_sum_$c")): _*)
+            sumCols.flatMap(c => Seq(
+              sum(sign * col(c)).as(s"d_sum_$c"),
+              sum(sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(s"d_nn_$c"))): _*)
         val merged = applyDelta(Sinks.readVersion(spark, mvRoot, mvV), delta, dims, sumCols)
         val newV = Sinks.publishVersioned(merged, mvRoot, Some(mvV))
         writeMarker(mvRoot, newV, srcV)
@@ -114,9 +122,15 @@ object Mview {
         dims.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k)) ++
           Seq((coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.d_n"), lit(0L)))
             .as("n_rows")) ++
-          sumCols.map(c =>
-            (coalesce(col(s"m.sum_$c"), lit(0L)) + coalesce(col(s"d.d_sum_$c"), lit(0L)))
-              .as(s"sum_$c")): _*)
+          sumCols.flatMap { c =>
+            val nn = coalesce(col(s"m.nn_$c"), lit(0L)) + coalesce(col(s"d.d_nn_$c"), lit(0L))
+            // zero non-null contributions ⇒ the sum is NULL (SQL sum
+            // semantics), exactly what the full recompute would say
+            Seq(when(nn === 0, lit(null))
+                .otherwise(coalesce(col(s"m.sum_$c"), lit(0L)) +
+                  coalesce(col(s"d.d_sum_$c"), lit(0L))).as(s"sum_$c"),
+              nn.as(s"nn_$c"))
+          }: _*)
       .filter(col("n_rows") > 0)
   }
 

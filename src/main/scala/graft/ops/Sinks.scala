@@ -202,8 +202,17 @@ object Sinks {
       fromV: Long, toV: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
     require(fromV <= toV, s"fromV $fromV > toV $toV")
-    if (fromV == toV)
-      return Some(spark.emptyDataFrame.withColumn("_commit_version", lit(0L)).limit(0))
+    if (fromV == toV) {
+      // the empty feed must still carry the documented row shape (keys ++
+      // payload ++ _change_type ++ _commit_version) or an idle poller's
+      // first filter on it would throw; borrow the schema from toV's own
+      // sidecar, and report unavailable if there is none to borrow
+      val side = Paths.get(versionPath(root, toV), ChangesSidecar)
+      return if (Files.isDirectory(side))
+        Some(spark.read.parquet(side.toString)
+          .withColumn("_commit_version", lit(toV)).limit(0))
+      else None
+    }
     // walk the BASE chain backwards from toV: each step must carry a
     // sidecar whose recorded base links to the previous live version.
     // This rejects gaps (a plain publish without a feed), vacuumed
@@ -438,13 +447,27 @@ object Sinks {
     val nFiles = fileCount(Paths.get(live), targetBytes)
     // a compaction must not silently demote the table from skippable to
     // full-scan: carry the live version's stats columns into the rewrite
+    // AND re-cluster by them — a round-robin repartition would spread
+    // every key range across every output file, leaving the re-annotated
+    // stats formally present but useless (each file's min/max ≈ the
+    // global extent). Range-partitioning on the stats columns keeps
+    // single-column pruning exact; a multi-dimensional (Z-order) layout
+    // that must survive compaction should be re-laid with its own key
+    // and republished instead.
     val statsCols =
       if (Files.isDirectory(Paths.get(live, Stats.Sidecar)))
         Stats.sidecar(spark, live).select("col").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       else Nil
-    val v = publishVersioned(
-      spark.read.parquet(live).repartition(nFiles), root, Some(liveV), statsCols)
+    val base = spark.read.parquet(live)
+    val rewritten =
+      if (statsCols.isEmpty) base.repartition(nFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        base.repartitionByRange(nFiles, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
+      }
+    val v = publishVersioned(rewritten, root, Some(liveV), statsCols)
     withCommitLock(root) {
       val below = listVersions(root).filter(_ < liveV)
       val evict = below.sorted.dropRight(retainVersions).toSet

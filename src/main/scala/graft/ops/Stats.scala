@@ -54,10 +54,20 @@ object Stats {
     val files = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
       .map(_.toString).filter(_.endsWith(".parquet")).sorted
     val colSet = cols
+    // the session's effective Hadoop conf must travel to the executors
+    // (s3a credentials, fs.<scheme>.impl, defaultFS live there — a bare
+    // `new Configuration()` only sees classpath defaults); Configuration
+    // itself is not serializable, so ship the entries
+    val confKV = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toVector
+    }
     val stats = spark.createDataset(files)
       .repartition(math.min(files.size, 32).max(1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKV.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { f => footerStats(f, colSet, conf) }
       }
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")

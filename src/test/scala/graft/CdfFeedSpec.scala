@@ -94,7 +94,8 @@ class CdfFeedSpec extends AnyFunSuite {
     val versions = feed.select("_commit_version").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(versions == Set(1L, 3L), s"orphan v2 leaked into the chain: $versions")
-    // key 200 appears once — the orphan's phantom row was not replayed
+    // key 100 (the row the orphan's copied feed duplicates) appears
+    // exactly once — the phantom insert was not replayed
     assert(feed.filter(col("id") === 100L).count() == 1)
   }
 

@@ -89,6 +89,35 @@ class MviewSpec extends AnyFunSuite {
     assert(Mview.syncedVersions(mv).contains((1L, 1L)), "marker not restored")
   }
 
+  test("an all-null sum group stays NULL through refresh, exactly like the recompute") {
+    import spark.implicits._
+    val root = tmp()
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    // group 'n' holds only null values; group 'a' has one non-null row
+    val v0 = Seq((1L, "n", Option.empty[Long]), (2L, "n", Option.empty[Long]),
+      (3L, "a", Some(7L))).toDF("id", "grp", "v")
+    Sinks.publishVersioned(v0, src, None)
+    Mview.create(spark, src, mv, Seq("grp"), Seq("v"))
+    // v1: touch only group 'a'; 'n' must remain (n_rows=2, sum_v=NULL)
+    Sinks.publishVersioned(
+      v0.unionByName(Seq((4L, "a", Some(1L))).toDF("id", "grp", "v")), src, Some(0L))
+    Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v"))
+    val want = Mview.full(Sinks.readCurrent(spark, src), Seq("grp"), Seq("v"))
+    assert(same(Mview.readCurrent(spark, mv), want),
+      "refresh rewrote a NULL sum to 0 (or vice versa)")
+    val n = Mview.readCurrent(spark, mv).filter(col("grp") === "n").collect().head
+    assert(n.getAs[Long]("n_rows") == 2 && n.isNullAt(n.fieldIndex("sum_v")))
+    // and deleting the only non-null row of a group nulls its sum again
+    Sinks.publishVersioned(
+      Sinks.readCurrent(spark, src).filter(col("id") =!= 3 && col("id") =!= 4)
+        .unionByName(Seq((5L, "a", Option.empty[Long])).toDF("id", "grp", "v")),
+      src, Some(1L))
+    Mview.refresh(spark, src, mv, Seq("id"), Seq("grp"), Seq("v"))
+    val a = Mview.readCurrent(spark, mv).filter(col("grp") === "a").collect().head
+    assert(a.getAs[Long]("n_rows") == 1 && a.isNullAt(a.fieldIndex("sum_v")),
+      "sum must return to NULL when the last non-null contributor is deleted")
+  }
+
   test("multi-step: two source versions elapse between refreshes — ONE feed catches up") {
     val root = tmp()
     val (src, mv) = (s"$root/src", s"$root/mv")

@@ -116,7 +116,9 @@ class SkippingSpec extends AnyFunSuite {
     val df = (0L until 500L).map(i => (i, s"p$i")).toDF("k", "payload")
     Sinks.publishVersioned(df.repartitionByRange(8, col("k")), root, None,
       statsCols = Seq("k"))
-    val v = Sinks.compactVersioned(spark, root, targetBytes = 1L << 20)
+    // a small target so the compacted version still has several files —
+    // the prune assertion below needs a multi-file rewrite
+    val v = Sinks.compactVersioned(spark, root, targetBytes = 4096L)
     val live = Sinks.versionPath(root, v)
     // the compacted version has its own sidecar over the REWRITTEN files
     assert(java.nio.file.Files.isDirectory(
@@ -131,6 +133,15 @@ class SkippingSpec extends AnyFunSuite {
     // and skipping still answers correctly through the live pointer
     val got = Stats.readCurrentWhere(spark, root, "k", 10L, 20L)
     assert(got.count() == 11)
+    // the rewrite re-clustered by the stats columns, so the carried
+    // stats still PRUNE — a round-robin rewrite would leave every file
+    // spanning the full key domain (stats present but useless)
+    val totalAfter = actual.size
+    if (totalAfter > 1) {
+      val kept = Stats.prunedFiles(spark, live, "k", 10L, 20L).size
+      assert(kept < totalAfter,
+        s"compaction scrambled the clustering: $kept of $totalAfter files kept")
+    }
   }
 
   test("stats sidecar publishes atomically with the version and stays invisible to plain reads") {
