@@ -150,6 +150,16 @@ object Merge {
       keys: Seq[String], opCol: String = "op"): Long =
     applyTo(spark, root, delta, keys, opCol, emitChanges = false)
 
+  /** `statsCols` carries file-level data skipping ([[Stats]]) through the
+    * merge: without it every MERGE would publish a stats-less version and
+    * silently demote the table to full scans (the same guarantee
+    * compaction gives).
+    */
+  def applyTo(spark: SparkSession, root: String, delta: DataFrame,
+      keys: Seq[String], opCol: String, emitChanges: Boolean,
+      statsCols: Seq[String]): Long =
+    applyToImpl(spark, root, delta, keys, opCol, emitChanges, statsCols)
+
   /** As [[applyTo]]; with `emitChanges` the merge also persists its
     * row-level change feed ([[upsertChanges]]) into the new version's
     * `_changes` sidecar — committed atomically with the data, making the
@@ -163,17 +173,23 @@ object Merge {
     * disagree with the committed data.
     */
   def applyTo(spark: SparkSession, root: String, delta: DataFrame,
-      keys: Seq[String], opCol: String, emitChanges: Boolean): Long = {
+      keys: Seq[String], opCol: String, emitChanges: Boolean): Long =
+    applyToImpl(spark, root, delta, keys, opCol, emitChanges, Nil)
+
+  private def applyToImpl(spark: SparkSession, root: String, delta: DataFrame,
+      keys: Seq[String], opCol: String, emitChanges: Boolean,
+      statsCols: Seq[String]): Long = {
     val baseVersion = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
     if (!emitChanges)
-      Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion))
+      Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion),
+        statsCols)
     else {
       val (flat, payload) = resolveJoin(base, delta, keys, opCol)
       val pinned = (flat.localCheckpoint(), payload)
       Sinks.publishVersioned(resultOf(pinned, keys), root, Some(baseVersion),
-        changeFeed = Some(changesOf(pinned, keys)))
+        statsCols, changeFeed = Some(changesOf(pinned, keys)))
     }
   }
 }

@@ -167,6 +167,11 @@ object Stats {
       colName: String, lo: Any, hi: Any): Seq[String] = {
     val all = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
       .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    // no sidecar at all (a version published without statsCols, e.g. a
+    // plain merge) degrades to the full file list — same conservative
+    // contract as a missing per-file stats row, never an error
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, Sidecar))) return all
     val side = sidecar(spark, dir).filter(col("col") === colName)
       .collect().map { r =>
         r.getAs[String]("file") -> r

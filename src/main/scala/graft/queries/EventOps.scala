@@ -43,6 +43,28 @@ object EventOps extends QueryModule {
     // join — see StreamOps.joinPipeline.
     "q_streaming_join" -> ((s, dir) => StreamOps.joinPipeline(s, dir)),
 
+    // B112 on a stream: the expectations gate as a REAL streaming ingest
+    // sink — each micro-batch split once into clean/quarantine tables
+    // (idempotent per-batch-dir sink). The harness aggregates both
+    // dispositions; the oracle restates the gate as one boolean over the
+    // batch fixture (null predicate = violation on both sides).
+    "q_streaming_gate" -> ((s, dir) => {
+      import graft.ops.Expect
+      val rules = Seq(
+        Expect.rule("business_hours", hour(col("ts")).between(8, 17)),
+        Expect.rule("k_in_range",
+          get_json_object(col("props"), "$.k").cast("int") <= 50),
+        Expect.rule("not_error", col("event_type") =!= "error"),
+        Expect.rule("value_capped", col("value") <= 250))
+      val (clean, bad) = StreamOps.gatedRun(s, dir, rules)
+      clean.select(lit("clean").as("disposition"), col("event_type"))
+        .unionByName(
+          bad.select(lit("quarantined").as("disposition"), col("event_type")))
+        .groupBy("disposition", "event_type")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("disposition", "event_type")
+    }),
+
     // Session path mining: per 10-minute-gap session, the ordered
     // event-type sequence becomes a path string; paths are counted and
     // the top 20 reported — the journey-analysis pass product analytics
@@ -297,6 +319,22 @@ object EventOps extends QueryModule {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // The gate restated as one boolean per row over the batch fixture:
+    // clean ⇔ every rule passes with null counted as failure.
+    "q_streaming_gate" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (coalesce(hour(CAST(ts AS TIMESTAMP)) BETWEEN 8 AND 17, false)
+        |     AND coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER) <= 50, false)
+        |     AND coalesce(event_type <> 'error', false)
+        |     AND coalesce(value <= 250, false)) AS ok
+        |  FROM events)
+        |SELECT CASE WHEN ok THEN 'clean' ELSE 'quarantined' END AS disposition,
+        |       event_type, count(*) AS n_rows
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY disposition, event_type""".stripMargin,
 
     "q_rolling_1h" ->
       """SELECT event_id, user_id,

@@ -516,6 +516,42 @@ object StreamOps {
     runBounded(spark, sessionAgg(src)).orderBy("user_id", "session_start")
   }
 
+  /** B112 on a stream: the data-quality gate as an ingest sink. Each
+    * micro-batch is split ONCE ([[graft.ops.Expect.split]]) and lands in
+    * two tables — clean rows in the corpus, violating rows (with their
+    * `_violations` triage column) in quarantine. Per-batch directories
+    * keyed by batch id make replays idempotent (same overwrite trick as
+    * the other bounded pipelines). Returns (clean, quarantine) read back
+    * after an AvailableNow run to completion.
+    */
+  def gatedRun(spark: SparkSession, sfDir: String,
+      rules: Seq[graft.ops.Expect.Rule]): (DataFrame, DataFrame) = {
+    val src = eventsStream(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt")
+    Seq(out, ckpt).foreach(cleanOnExit)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val (clean, bad) = graft.ops.Expect.split(batch, rules)
+        clean.write.mode("overwrite").parquet(s"$out/clean/b$bid")
+        bad.write.mode("overwrite").parquet(s"$out/quarantine/b$bid")
+      }
+      .start()
+    q.awaitTermination()
+    def readBack(sub: String, schema: StructType): DataFrame = {
+      val dirs = new java.io.File(s"$out/$sub").listFiles()
+      if (dirs == null || dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(dirs.map(_.toString).toSeq: _*)
+    }
+    val badSchema = StructType(src.schema.fields :+
+      StructField("_violations", ArrayType(StringType, containsNull = true)))
+    (readBack("clean", src.schema), readBack("quarantine", badSchema))
+  }
+
   /** B25 end-to-end: a REAL stream–stream interval join run to
     * completion — two readStream sources over the same events file
     * (clicks, purchases), watermarked both sides, inner-joined on

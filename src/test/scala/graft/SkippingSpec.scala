@@ -144,6 +144,27 @@ class SkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("a stats-less version degrades to a full-list read; MERGE can carry stats through") {
+    import spark.implicits._
+    val root = tmp("skipmerge") + "/t"
+    val df = (0L until 300L).map(i => (i, i % 5, s"p$i")).toDF("k", "grp", "payload")
+    // v0 published WITHOUT stats: pruning must keep everything, not throw
+    Sinks.publishVersioned(df.repartitionByRange(4, col("k")), root, None)
+    val live0 = Sinks.resolve(root)
+    val all0 = Stats.prunedFiles(spark, live0, "k", 0L, 10L)
+    assert(all0.size == 4, "missing sidecar must degrade to the full file list")
+    assert(Stats.readCurrentWhere(spark, root, "k", 0L, 10L).count() == 11)
+    // a MERGE that carries statsCols restores skipping on the new version
+    val delta = Seq((500L, 0L, "new", "upsert")).toDF("k", "grp", "payload", "op")
+    graft.ops.Merge.applyTo(spark, root, delta, Seq("k"), "op",
+      emitChanges = false, statsCols = Seq("k"))
+    val live1 = Sinks.resolve(root)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live1, Stats.Sidecar)),
+      "merge with statsCols did not publish a sidecar")
+    assert(Stats.readCurrentWhere(spark, root, "k", 500L, 500L).count() == 1)
+  }
+
   test("stats sidecar publishes atomically with the version and stays invisible to plain reads") {
     import spark.implicits._
     val root = tmp("skipver") + "/t"
