@@ -180,6 +180,24 @@ object Aggregates extends QueryModule {
           count(lit(1)).as("n_sources"))
     }),
 
+    // Mergeable quantile sketch (deterministic KLL-style compactor
+    // stack, functions/QuantileSketch.scala) — the third mergeable
+    // sketch family after HLL (distincts) and approx_top_k (heavy
+    // hitters): per-group sketches accumulate map-side and MERGE at the
+    // exchange, so the shuffle carries O(k log n) state, never values.
+    // Rows-only (approx by nature); QuantileSpec pins determinism, the
+    // merge law, and rank-error bounds vs exact percentiles.
+    "q_quantile_sketch" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.QuantileAgg(
+            col("l_extendedprice"), Seq(0.5, 0.95)).as("approx_q"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_q"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Incremental view maintenance: yesterday's stored PARTIAL
     // aggregates merge with today's delta instead of re-scanning
     // history — the pattern that turns an O(history) daily job into
