@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions.udaf
   * next to HLL (distincts) and approx_top_k (heavy hitters).
   */
 final class QuantileAgg(qs: Seq[Double], k: Int)
-    extends Aggregator[Double, QuantileSketch, Seq[Double]] {
+    extends Aggregator[java.lang.Double, QuantileSketch, Seq[Double]] {
   require(qs.nonEmpty, "at least one quantile point required")
   override def zero: QuantileSketch = QuantileSketch.empty(k)
-  override def reduce(b: QuantileSketch, v: Double): QuantileSketch = b.add(v)
+  // boxed input + null skip: every SQL quantile function (percentile,
+  // percentile_approx) ignores NULLs — a non-nullable Double input
+  // encoder would instead crash (or fold 0.0 in) on nullable columns
+  override def reduce(b: QuantileSketch, v: java.lang.Double): QuantileSketch =
+    if (v == null) b else b.add(v.doubleValue())
   override def merge(a: QuantileSketch, b: QuantileSketch): QuantileSketch = a.merge(b)
   override def finish(s: QuantileSketch): Seq[Double] = s.quantiles(qs)
   override def bufferEncoder: Encoder[QuantileSketch] = Encoders.product[QuantileSketch]
@@ -27,7 +31,7 @@ final class QuantileAgg(qs: Seq[Double], k: Int)
 object QuantileAgg {
   /** quantile_sketch_agg(x, qs...) as a Column. */
   def apply(x: Column, qs: Seq[Double], k: Int = 200): Column = {
-    implicit val enc: Encoder[Double] = Encoders.scalaDouble
+    implicit val enc: Encoder[java.lang.Double] = Encoders.DOUBLE
     udaf(new QuantileAgg(qs, k)).apply(x)
   }
 }

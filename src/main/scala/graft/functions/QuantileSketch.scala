@@ -81,20 +81,26 @@ final case class QuantileSketch(k: Int, count: Long,
       : QuantileSketch = normalized(ls, ps)
 
   /** The value at rank quantile `q` in [0,1] (weighted lower quantile). */
-  def quantile(q: Double): Double = {
-    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+  def quantile(q: Double): Double = quantiles(Seq(q)).head
+
+  /** All requested quantile points from ONE flatten+sort of the sketch
+    * (the per-group finish path answers every point against the same
+    * sorted weighted list instead of rebuilding it per point).
+    */
+  def quantiles(qs: Seq[Double]): Seq[Double] = {
+    qs.foreach(q => require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q"))
     val weighted = levels.zipWithIndex.flatMap { case (l, i) =>
       l.map(v => (v, 1L << i))
     }.sortBy(_._1)
-    if (weighted.isEmpty) return Double.NaN
+    if (weighted.isEmpty) return qs.map(_ => Double.NaN)
     val total = weighted.map(_._2).sum
-    val target = math.min((q * total).toLong, total - 1)
-    var acc = 0L
-    weighted.find { case (_, w) => acc += w; acc > target }.map(_._1)
-      .getOrElse(weighted.last._1)
+    qs.map { q =>
+      val target = math.min((q * total).toLong, total - 1)
+      var acc = 0L
+      weighted.find { case (_, w) => acc += w; acc > target }.map(_._1)
+        .getOrElse(weighted.last._1)
+    }
   }
-
-  def quantiles(qs: Seq[Double]): Seq[Double] = qs.map(quantile)
 }
 
 object QuantileSketch {

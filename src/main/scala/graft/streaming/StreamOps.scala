@@ -463,29 +463,44 @@ object StreamOps {
     }
   }
 
-  private def runBounded(spark: SparkSession, streaming: DataFrame): DataFrame = {
+  /** Run `streaming` to completion (AvailableNow) through `sink`, which
+    * lands each micro-batch under per-batch directories below the
+    * returned temp dir (idempotent on replay: a re-run batch overwrites
+    * its own directory). Temp output + checkpoint (incl. state store
+    * files) are deleted when the JVM exits — repeated verify/bench runs
+    * must not leak disk.
+    */
+  private def runToCompletion(streaming: DataFrame)(
+      sink: (DataFrame, Long, String) => Unit): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    // Temp output + checkpoint (incl. state store files) are deleted when
-    // the JVM exits — repeated verify/bench runs must not leak disk.
     Seq(out, ckpt).foreach(cleanOnExit)
     val q = streaming.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/b$bid")
-      }
+      .foreachBatch { (batch: DataFrame, bid: Long) => sink(batch, bid, out.toString) }
       .start()
     q.awaitTermination()
-    // Read the per-batch directories back; if no batch ever emitted
-    // (all-late-data edge) there is nothing to glob, so synthesize empty.
-    val batchDirs = new java.io.File(out.toString).listFiles()
+    out.toString
+  }
+
+  /** Read a per-batch-dir output back; if no batch ever emitted
+    * (all-late-data edge) there is nothing to glob, so synthesize empty.
+    */
+  private def readBatchDirs(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val batchDirs = new java.io.File(dir).listFiles()
     if (batchDirs == null || batchDirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        streaming.schema)
-    else spark.read.schema(streaming.schema)
-      .parquet(batchDirs.map(_.toString).toSeq: _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(batchDirs.map(_.toString).toSeq: _*)
+  }
+
+  private def runBounded(spark: SparkSession, streaming: DataFrame): DataFrame = {
+    val out = runToCompletion(streaming) { (batch, bid, dir) =>
+      batch.write.mode("overwrite").parquet(s"$dir/b$bid")
+    }
+    readBatchDirs(spark, out, streaming.schema)
   }
 
   /** B4+B47+B50+B51 end-to-end: streaming file source → 0s watermark →
@@ -527,29 +542,21 @@ object StreamOps {
   def gatedRun(spark: SparkSession, sfDir: String,
       rules: Seq[graft.ops.Expect.Rule]): (DataFrame, DataFrame) = {
     val src = eventsStream(spark, sfDir)
-    val out = java.nio.file.Files.createTempDirectory("graft_gate_out")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt")
-    Seq(out, ckpt).foreach(cleanOnExit)
-    val q = src.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
+    val out = runToCompletion(src) { (batch, bid, dir) =>
+      // persist so the gate really IS evaluated once: the two writes
+      // below are separate actions, and without the pin each would
+      // rescan the source and re-run every rule
+      batch.persist()
+      try {
         val (clean, bad) = graft.ops.Expect.split(batch, rules)
-        clean.write.mode("overwrite").parquet(s"$out/clean/b$bid")
-        bad.write.mode("overwrite").parquet(s"$out/quarantine/b$bid")
-      }
-      .start()
-    q.awaitTermination()
-    def readBack(sub: String, schema: StructType): DataFrame = {
-      val dirs = new java.io.File(s"$out/$sub").listFiles()
-      if (dirs == null || dirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(dirs.map(_.toString).toSeq: _*)
+        clean.write.mode("overwrite").parquet(s"$dir/clean/b$bid")
+        bad.write.mode("overwrite").parquet(s"$dir/quarantine/b$bid")
+      } finally { batch.unpersist(); () }
     }
     val badSchema = StructType(src.schema.fields :+
       StructField("_violations", ArrayType(StringType, containsNull = true)))
-    (readBack("clean", src.schema), readBack("quarantine", badSchema))
+    (readBatchDirs(spark, s"$out/clean", src.schema),
+      readBatchDirs(spark, s"$out/quarantine", badSchema))
   }
 
   /** B25 end-to-end: a REAL stream–stream interval join run to

@@ -38,7 +38,10 @@ class QuantileSpec extends AnyFunSuite {
     val orders = Map(
       "sorted" -> uniform,
       "reversed" -> uniform.reverse,
-      "interleaved" -> uniform.grouped(2).toSeq.flatten.reverse,
+      // genuinely alternating low/high halves (grouped(2).flatten would
+      // be the identity — a do-nothing "interleave")
+      "interleaved" -> uniform.take(n / 2).zip(uniform.drop(n / 2).reverse)
+        .flatMap { case (lo, hi) => Seq(lo, hi) },
       "blocky" -> uniform.grouped(1000).toSeq.reverse.flatten)
     for ((name, data) <- orders; q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
       val e = rankErr(data, q)
