@@ -54,11 +54,24 @@ final case class QuantileSketch(k: Int, count: Long,
   }
 
   def add(v: Double): QuantileSketch = {
-    val ls = levels.map(_.toVector).toVector
-    val base = if (ls.isEmpty) Vector(Vector(v)) else ls.updated(0, ls(0) :+ v)
-    val ps = if (parities.isEmpty) Vector(false) else parities.toVector
-    copy(count = count + 1, levels = base.map(_.toSeq), parities = ps.toSeq)
-      .normalizedSelf
+    // hot path: level 0 has room — append without touching the stack.
+    // Compaction semantics are unchanged (it only ever fires when a
+    // level EXCEEDS k, which this branch cannot cause), so the sketch
+    // stays bit-identical to the always-normalize form; the branch just
+    // skips the per-row full-stack scan that dominated aggregate cost.
+    if (levels.nonEmpty && levels.head.size < k) {
+      val l0 = (levels.head match {
+        case vec: Vector[Double] => vec
+        case s => s.toVector
+      }) :+ v
+      copy(count = count + 1, levels = levels.toVector.updated(0, l0))
+    } else {
+      val ls = levels.map(_.toVector).toVector
+      val base = if (ls.isEmpty) Vector(Vector(v)) else ls.updated(0, ls(0) :+ v)
+      val ps = if (parities.isEmpty) Vector(false) else parities.toVector
+      copy(count = count + 1, levels = base.map(_.toSeq), parities = ps.toSeq)
+        .normalizedSelf
+    }
   }
 
   private def normalizedSelf: QuantileSketch =
