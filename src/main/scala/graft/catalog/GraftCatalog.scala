@@ -70,10 +70,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * own metadata names (`_CURRENT`/`_LOCK`/`.stage-*`/`v<N>`…) — a table
     * named `_CURRENT` would corrupt listing for its whole namespace.
     */
+  /** Names the layout reserves for itself (sidecars, version dirs,
+    * staging) — shared by identifier validation and directory listing so
+    * the two can never disagree.
+    */
+  private def reservedName(n: String): Boolean =
+    n.startsWith(".") || n.startsWith("_") || n.matches("v\\d+")
+
   private def validPart(p: String): Boolean =
     p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
-      p != "." && p != ".." &&
-      !p.startsWith(".") && !p.startsWith("_") && !p.matches("v\\d+")
+      p != "." && p != ".." && !reservedName(p)
+
+  /** Resolved namespace path, or None when ANY segment is reserved or a
+    * traversal token — probes over illegal names (including a backticked
+    * `..`) answer "absent"; they can never resolve outside the root.
+    */
+  private def nsPath(parts: Seq[String]): Option[java.nio.file.Path] =
+    if (parts.forall(validPart)) Some(Paths.get((root +: parts).mkString("/")))
+    else None
+
+  /** A directory is a NAMESPACE only if it carries none of the table
+    * layout's markers: `_CURRENT` makes it a table, and a `_LOCK` (or
+    * staging debris) without `_CURRENT` marks a failed/racing CREATE —
+    * neither table nor namespace, invisible until recreated.
+    */
+  private def isNamespaceDir(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p) &&
+      Sinks.currentVersion(p.toString).isEmpty &&
+      !Files.exists(p.resolve("_LOCK"))
 
   /** `<root>/<namespace...>/<name>`, with path-traversal components and
     * layout-reserved names rejected (identifiers come from SQL text).
@@ -223,10 +247,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val tr = tableRoot(ident)
     if (Sinks.currentVersion(tr).isDefined)
       throw new TableAlreadyExistsException(ident)
+    // an existing NAMESPACE must not be silently converted into a table
+    // (its child tables would become invisible and a later DROP TABLE
+    // would take their data with it)
+    if (isNamespaceDir(Paths.get(tr)))
+      throw new IllegalStateException(
+        s"$catalogName.${ident.toString} already exists as a NAMESPACE")
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
-    Sinks.publishVersioned(empty, tr, None)
+    // a lost CREATE race must surface as the exception Spark's
+    // IF NOT EXISTS handling understands, not a raw OCC conflict
+    try Sinks.publishVersioned(empty, tr, None)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     loadTable(ident)
   }
 
@@ -249,7 +285,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val to = tableRoot(newIdent)
     if (Sinks.currentVersion(to).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    if (!Files.isDirectory(Paths.get(to).getParent))
+    // the destination parent must be the root or a real NAMESPACE — a
+    // table directory also passes a bare isDirectory check, and a table
+    // renamed inside another table becomes invisible collateral of that
+    // table's DROP
+    val destParent = Paths.get(to).getParent
+    val parentOk =
+      if (newIdent.namespace().isEmpty) Files.isDirectory(destParent)
+      else isNamespaceDir(destParent)
+    if (!parentOk)
       throw new NoSuchNamespaceException(name() +: newIdent.namespace().toSeq)
     Sinks.withTableLock(from) {
       Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
@@ -266,7 +310,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.map {
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        // clauses the null-backfilled layout cannot honor fail loudly:
+        // every pre-existing row of a NOT NULL column would be NULL, and
+        // column positions are not stored
+        require(a.isNullable,
+          s"$catalogName: ADD COLUMNS ${a.fieldNames()(0)} NOT NULL is not " +
+            "satisfiable — existing rows are null-backfilled")
+        require(a.position() == null,
+          s"$catalogName: column positions (FIRST/AFTER) are not supported")
+        a
       case other => throw new UnsupportedOperationException(
         s"$catalogName: only top-level ADD COLUMNS is supported " +
           s"(additive evolution); got $other")
@@ -286,17 +339,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(dir)) Array.empty
-    else {
-      val names = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        names.iterator().asScala
-          .filter(p => Sinks.currentVersion(p.toString).isDefined)
-          .map(p => Identifier.of(namespace, p.getFileName.toString))
-          .toArray
-      } finally names.close()
+    nsPath(namespace.toSeq) match {
+      case None => Array.empty
+      case Some(dir) if !Files.isDirectory(dir) => Array.empty
+      case Some(dir) =>
+        val names = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          names.iterator().asScala
+            .filter(p => Sinks.currentVersion(p.toString).isDefined)
+            .map(p => Identifier.of(namespace, p.getFileName.toString))
+            .toArray
+        } finally names.close()
     }
   }
 
@@ -304,21 +358,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // versioned tables (a dir with _CURRENT is a table, not a namespace) ----
 
   private def subdirs(parts: Seq[String]): Array[String] = {
-    val dir = Paths.get((root +: parts).mkString("/"))
-    if (!Files.isDirectory(dir)) Array.empty
-    else {
-      val names = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        names.iterator().asScala
-          .filter(p => Files.isDirectory(p)
-            && Sinks.currentVersion(p.toString).isEmpty
-            && !p.getFileName.toString.startsWith(".")
-            && !p.getFileName.toString.startsWith("_")
-            && !p.getFileName.toString.matches("v\\d+"))
-          .map(_.getFileName.toString)
-          .toArray
-      } finally names.close()
+    nsPath(parts) match {
+      case None => Array.empty
+      case Some(dir) if !Files.isDirectory(dir) => Array.empty
+      case Some(dir) =>
+        val names = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          names.iterator().asScala
+            .filter(p => isNamespaceDir(p) && !reservedName(p.getFileName.toString))
+            .map(_.getFileName.toString)
+            .toArray
+        } finally names.close()
     }
   }
 
@@ -332,10 +383,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || {
-      val p = Paths.get((root +: namespace.toSeq).mkString("/"))
-      Files.isDirectory(p) && Sinks.currentVersion(p.toString).isEmpty
-    }
+    namespace.isEmpty || nsPath(namespace.toSeq).exists(isNamespaceDir)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -364,9 +412,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName: namespaces carry no metadata to alter")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    // namespaceExists validates every segment (nsPath), so a traversal
+    // token like a backticked `..` answers "absent" here and can never
+    // aim the recursive delete outside the warehouse root
+    if (namespace.isEmpty || !namespaceExists(namespace)) false
     else {
-      val p = Paths.get((root +: namespace.toSeq).mkString("/"))
+      val p = nsPath(namespace.toSeq).get
       // the non-CASCADE guard must see EVERYTHING — loose files, staging
       // dirs, metadata-named dirs — not just what lists as table/namespace
       val entries = Files.list(p)
@@ -374,6 +425,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!empty && !cascade)
         throw new IllegalStateException(
           s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      if (!empty) {
+        // child TABLES first, each under its own commit lock (same
+        // reasoning as dropTable: a racing INSERT either commits fully
+        // before the delete or fails its OCC check after — an unlocked
+        // bulk delete could race a commit mid-walk and die half-done);
+        // child namespaces recurse, then the final sweep removes loose
+        // files and ghost dirs
+        listTables(namespace).foreach { id =>
+          val tr = tableRoot(id)
+          Sinks.withTableLock(tr) { graft.io.Fs.deleteRecursively(Paths.get(tr)) }
+        }
+        subdirs(namespace.toSeq).foreach(n =>
+          dropNamespace(namespace :+ n, cascade = true))
+      }
       graft.io.Fs.deleteRecursively(p)
       true
     }

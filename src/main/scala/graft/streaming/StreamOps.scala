@@ -133,6 +133,14 @@ class IdleAlertProcessor(idleMs: Long)
 /** Open-session buffer for [[StreamOps.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
+/** Keyed state for [[StreamOps.sessionize]]: EVERY session not yet past
+  * the watermark, open or closed — emission is gated on the watermark
+  * (not on "a later event arrived"), because until the watermark passes a
+  * session's end a still-legal out-of-order event may extend it or BRIDGE
+  * it with a neighbor. Sessions are pairwise more than a gap apart.
+  */
+case class SessionList(sessions: Seq[OpenSession])
+
 /** A completed session emitted by [[StreamOps.sessionize]] — same shape
   * as the built-in session_window aggregation (end = last event + gap).
   */
@@ -342,89 +350,58 @@ object StreamOps {
 
   /** B52 hard case: custom sessionization with EventTimeTimeout — the
     * arbitrary-keyed-state spelling of session windows (what a Storm user
-    * hand-writes in a stateful bolt). A session closes either when a
-    * later event arrives past the gap (emitted immediately) or when the
-    * watermark passes sessionEnd (event-time timeout fires with no data).
-    * Input must already carry a watermark ≥ the gap.
+    * hand-writes in a stateful bolt). Input must already carry a
+    * watermark ≥ the gap.
+    *
+    * Emission is WATERMARK-GATED, exactly like the built-in
+    * `session_window`: a session is emitted only once the event-time
+    * watermark passes its end (last event + gap). Emitting any earlier —
+    * e.g. the moment a later event lands past the gap — is irrevocable
+    * in append mode, yet a still-legal out-of-order event in a later
+    * batch may extend the session or BRIDGE it with a neighbor (the
+    * divergence a review pass caught in the previous eager-emitting
+    * version). State therefore holds a LIST of pending sessions,
+    * pairwise more than a gap apart; each incoming event merges every
+    * session within a gap of it (one event can fuse two), and each
+    * invocation flushes the sessions the watermark has passed. The
+    * event-time timeout fires at the earliest pending end, so sessions
+    * drain without further data. Fold order over a batch is irrelevant —
+    * merging is commutative here — which also removes the old version's
+    * per-batch sort.
     */
   def sessionize(events: Dataset[UserEvent], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[SessionList, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
-          if (it.isEmpty && state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(uid, new Timestamp(s.startMs),
-              new Timestamp(s.lastMs + gapMs), s.n))
-          } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            // in-progress run of stale stragglers (older than the open
-            // session by ≥ gap) — consecutive stragglers within gap of
-            // each other form ONE session, not per-event singletons
-            var stale = Option.empty[OpenSession]
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            def elapsed(s: OpenSession): SessionOut =
-              SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs), s.n)
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                // within gap of the open session's INTERVAL (an event from
-                // an earlier batch may precede startMs): extend both ends —
-                // overwriting lastMs backward would shrink the session and
-                // then falsely split it on the next in-gap event. Both
-                // bounds are INCLUSIVE to match session_window exactly
-                // (the built-in merges a session whose next event starts
-                // at the previous session's end, i.e. exactly gapMs after
-                // the last event — verified against the batch oracle in
-                // StreamingSpec) — the same boundary rule whichever order
-                // the two events arrive in.
-                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
-                  val ext = OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1)
-                  // a backward extension can bring the pending stale run
-                  // within gap of the session — absorb it instead of
-                  // emitting a falsely-split session
-                  stale match {
-                    case Some(ss) if ext.startMs - ss.lastMs <= gapMs =>
-                      open = Some(OpenSession(ss.startMs, ext.lastMs, ext.n + ss.n))
-                      stale = None
-                    case _ => open = Some(ext)
-                  }
-                // stale straggler older than the open session by more than
-                // the gap: it cannot merge into the open session, but it
-                // CAN merge with other stragglers near it (events arrive
-                // sorted, so stragglers form a prefix run)
-                case Some(s) if t < s.startMs - gapMs =>
-                  stale match {
-                    case Some(ss) if t - ss.lastMs <= gapMs =>
-                      stale = Some(OpenSession(ss.startMs, t, ss.n + 1))
-                    case Some(ss) =>
-                      closed += elapsed(ss)
-                      stale = Some(OpenSession(t, t, 1))
-                    case None =>
-                      stale = Some(OpenSession(t, t, 1))
-                  }
-                // later than the gap: close the open session, start anew
-                case Some(s) =>
-                  closed += elapsed(s)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[SessionList]) =>
+          val existing = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          // interval-with-gap merging, both bounds INCLUSIVE to match
+          // session_window (an event exactly gapMs from a session's edge
+          // merges, whichever order the two arrive in)
+          val merged = it.foldLeft(existing) { (ss, e) =>
+            val t = e.ts.getTime
+            val (near, far) = ss.partition(s =>
+              t >= s.startMs - gapMs && t <= s.lastMs + gapMs)
+            val fused = near.foldLeft(OpenSession(t, t, 1L)) { (a, s) =>
+              OpenSession(math.min(a.startMs, s.startMs),
+                math.max(a.lastMs, s.lastMs), a.n + s.n)
             }
-            // a stale run still pending at batch end is already elapsed
-            // (it ended ≥ gap before the open session started)
-            stale.foreach(closed += elapsed(_))
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.iterator
+            fused :: far
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = merged.partition(_.lastMs + gapMs <= wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(SessionList(pending))
+            // strictly above the watermark by the partition above
+            state.setTimeoutTimestamp(pending.map(_.lastMs + gapMs).min)
+          }
+          ripe.sortBy(_.startMs).iterator.map(s =>
+            SessionOut(uid, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs + gapMs), s.n))
       }
   }
 

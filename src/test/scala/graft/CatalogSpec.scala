@@ -275,6 +275,81 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.t3").count() == 1)
   }
 
+  test("traversal segments can never escape the warehouse root") {
+    root
+    // a backticked `..` must answer "no such namespace", never resolve
+    // the warehouse root's PARENT and recursively delete it
+    val sentinel = Paths.get(root).getParent.resolve(
+      "catalog_traversal_sentinel_" + System.nanoTime())
+    Files.createDirectories(sentinel)
+    try {
+      assert(!spark.sql("DROP NAMESPACE IF EXISTS graft.`..` CASCADE").isEmpty ||
+        true) // statement completes as a no-op
+      assert(Files.isDirectory(Paths.get(root)), "warehouse root deleted!")
+      assert(Files.isDirectory(sentinel), "sibling directory deleted!")
+      // probes over illegal names answer absent, not resolve
+      assert(spark.sql("SHOW TABLES IN graft.`..`").count() == 0)
+    } finally graft.io.Fs.deleteRecursively(sentinel)
+  }
+
+  test("a namespace cannot be silently converted into a table, nor a table into a parent") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.convns")
+    spark.sql("CREATE TABLE graft.convns.child (x INT)")
+    // CREATE TABLE over the populated namespace must fail loudly
+    val e1 = intercept[Exception](spark.sql("CREATE TABLE graft.convns (c INT)"))
+    assert(e1.getMessage.contains("NAMESPACE"), e1.getMessage)
+    assert(spark.sql("SELECT * FROM graft.convns.child").count() == 0,
+      "child table lost after rejected conversion")
+    // renaming a table INSIDE another table must fail — Spark's analyzer
+    // rejects the SQL form (SCHEMA_NOT_FOUND, because t1 lists as no
+    // schema), and the catalog's own guard covers direct TableCatalog
+    // calls; accept either spelling
+    spark.sql("CREATE TABLE graft.renamer (x INT)")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.renamer RENAME TO graft.t1.inner"))
+    val m2 = e2.getMessage.toLowerCase
+    assert(m2.contains("namespace") || m2.contains("schema"), e2.getMessage)
+    // and the direct catalog-API path hits the guard itself
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val e3 = intercept[Exception](cat.renameTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "renamer"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("t1"), "inner")))
+    // the guard throws NoSuchNamespaceException, which Spark renders as
+    // SCHEMA_NOT_FOUND ("schema ... cannot be found")
+    assert(e3.getMessage.toLowerCase.contains("schema"), e3.getMessage)
+    assert(spark.table("graft.renamer").columns.sameElements(Array("x")))
+    spark.sql("DROP TABLE graft.renamer")
+    spark.sql("DROP NAMESPACE graft.convns CASCADE")
+  }
+
+  test("ADD COLUMNS rejects NOT NULL (null-backfill cannot honor it)") {
+    root
+    spark.sql("CREATE TABLE graft.addnn (x INT)")
+    try {
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE graft.addnn ADD COLUMNS (c INT NOT NULL)"))
+      assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+      // the nullable form still works
+      spark.sql("ALTER TABLE graft.addnn ADD COLUMNS (c INT)")
+      assert(spark.table("graft.addnn").columns.contains("c"))
+    } finally spark.sql("DROP TABLE graft.addnn")
+  }
+
+  test("DROP NAMESPACE CASCADE deletes child tables under their commit locks") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dropns")
+    spark.sql("CREATE TABLE graft.dropns.a (x INT)")
+    spark.sql("CREATE TABLE graft.dropns.b (x INT)")
+    spark.sql("CREATE NAMESPACE graft.dropns.sub")
+    spark.sql("CREATE TABLE graft.dropns.sub.c (x INT)")
+    assert(spark.sql("DROP NAMESPACE graft.dropns CASCADE").collect().isEmpty)
+    assert(!Files.exists(Paths.get(s"$root/dropns")))
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .forall(!_.getString(0).contains("dropns")))
+  }
+
   test("filters push down through the delegated parquet scan") {
     root
     val plan = spark.sql(

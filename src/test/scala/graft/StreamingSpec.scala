@@ -319,6 +319,40 @@ class StreamingSpec extends AnyFunSuite {
       s"sessionize edge != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
   }
 
+  test("B52 sessionize: a still-legal late event BRIDGES two pending sessions (no eager emission)") {
+    // The divergence this pins (caught in review): with watermark delay >
+    // gap, an eager emitter closes a stale run at batch end; a later
+    // still-legal event that would have merged it with the open session
+    // then produces split/overlapping sessions. Emission must be
+    // watermark-gated: gap=10m, delay=20m; events 12:00 / 11:45 / 11:52
+    // across THREE batches are ONE session [11:45, 12:10).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("ts", "20 minutes").as[graft.streaming.UserEvent], 10)
+    val q = sessions.writeStream.format("memory").queryName("sessz_bridge")
+      .outputMode("append").start()
+    val all = Seq(
+      UserEvent(1, ts("2024-01-01 12:00:00"), 1, "click", 1.0),
+      UserEvent(2, ts("2024-01-01 11:45:00"), 1, "view", 1.0),
+      UserEvent(3, ts("2024-01-01 11:52:00"), 1, "view", 1.0))
+    all.foreach { e => input.addData(Seq(e)); q.processAllAvailable() }
+    // watermark pushes so every session drains
+    input.addData(Seq(UserEvent(98, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(UserEvent(99, ts("2024-01-01 18:00:00"), 99, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessz_bridge").filter($"user_id" === 1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val expected = StreamOps.sessionAgg(all.toDF()).filter($"user_id" === 1L)
+    assert(got.count() == 1,
+      s"late bridge split the session: ${got.collect().mkString(",")}")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"bridge != session_window:\ngot=${got.collect().mkString(",")}\nexp=${expected.collect().mkString(",")}")
+  }
+
   test("streaming MERGE crash recovery: kill after an applied-but-uncommitted batch, restart resumes exactly-once") {
     // The exactly-once-EFFECT proof for the CDC path: the query is killed
     // AFTER batch 1's merge has been applied to the versioned table but
