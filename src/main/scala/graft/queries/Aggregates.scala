@@ -185,16 +185,27 @@ object Aggregates extends QueryModule {
     // sketch family after HLL (distincts) and approx_top_k (heavy
     // hitters): per-group sketches accumulate map-side and MERGE at the
     // exchange, so the shuffle carries O(k log n) state, never values.
-    // Rows-only (approx by nature); QuantileSpec pins determinism, the
-    // merge law, and rank-error bounds vs exact percentiles.
+    // Harness shape: exact percentiles as scalar columns (oracled
+    // against DuckDB quantile_cont) and the sketch answers verified
+    // in-query against a ±5%-rank exact band (the sketch's pinned
+    // bound is ≤1.5%, QuantileSpec) so the booleans oracle as TRUE —
+    // the whole row hashes, no array columns for the comparator.
     "q_quantile_sketch" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
           graft.functions.QuantileAgg(
-            col("l_extendedprice"), Seq(0.5, 0.95)).as("approx_q"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_q"),
+            col("l_extendedprice"), Seq(0.5, 0.95)).as("aq"),
+          expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.90, 0.95, 1.0))").as("ex"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ex"), 2), 4).as("q50_exact"),
+          round(element_at(col("ex"), 5), 4).as("q95_exact"),
+          (element_at(col("aq"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("aq"), 1) <= element_at(col("ex"), 3)).as("q50_in_bounds"),
+          (element_at(col("aq"), 2) >= element_at(col("ex"), 4) &&
+            element_at(col("aq"), 2) <= element_at(col("ex"), 6)).as("q95_in_bounds"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -269,6 +280,19 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact columns are exactly oracle-able (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`); the sketch's approx answers are folded into
+    // in-bounds booleans whose oracle is literal TRUE — a violated
+    // rank-error bound shows up as a hash mismatch, not a silent skip.
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS q50_exact,
+        | round(quantile_cont(l_extendedprice, 0.95),4) AS q95_exact,
+        | TRUE AS q50_in_bounds,
+        | TRUE AS q95_in_bounds,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // Partial-merge must equal full recompute.
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value
