@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnRewrite)
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
+    // converted to versioned-commit commands at resolution time
+    ext.injectResolutionRule(_ => graft.catalog.GraftDmlRule)
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

@@ -148,7 +148,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * statement instead of losing an update).
     */
   private final class WritableTable(delegate: ParquetTable, tRoot: String,
-      baseVersion: Long) extends SnapshotTable(delegate) with SupportsWrite {
+      baseVersion: Long) extends SnapshotTable(delegate) with SupportsWrite
+      with GraftWritableTable {
+    override def tableRootPath: String = tRoot
+    override def tableBaseVersion: Long = baseVersion
     override def capabilities(): util.Set[TableCapability] = {
       val caps = readCaps()
       caps.add(TableCapability.BATCH_WRITE)
@@ -253,6 +256,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isNamespaceDir(Paths.get(tr)))
       throw new IllegalStateException(
         s"$catalogName.${ident.toString} already exists as a NAMESPACE")
+    // the parent must be the root or a real NAMESPACE, same guard as
+    // renameTable: publishVersioned would silently createDirectories a
+    // missing namespace, and CREATE TABLE ns.t where `ns` is itself a
+    // TABLE would nest this table inside that table's directory — the
+    // outer table's DROP would then silently take it too
+    val parent = Paths.get(tr).getParent
+    val parentOk =
+      // the root itself comes from trusted config — create it on first use
+      if (ident.namespace().isEmpty) { Files.createDirectories(parent); true }
+      else isNamespaceDir(parent)
+    if (!parentOk)
+      throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)

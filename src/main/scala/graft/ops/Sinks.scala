@@ -380,7 +380,8 @@ object Sinks {
         val cur = currentVersion(root)
         if (cur != expected) {
           throw new java.util.ConcurrentModificationException(
-            s"$root moved to v$cur while this writer was basing on v$expected; " +
+            s"$root moved to ${cur.fold("absent")("v" + _)} while this writer " +
+              s"was basing on ${expected.fold("absent")("v" + _)}; " +
               "recompute against the new current and retry")
         }
         // allocate past any orphan left by a crash between rename and flip

@@ -92,8 +92,17 @@ object AnnRewrite extends Rule[LogicalPlan] {
       corpus.queryExecution.analyzed, queries.queryExecution.analyzed, k, out.toSeq))
   }
 
+  /** Kill switch: with `spark.graft.ann.rewrite.enabled=false` the rule
+    * leaves markers untouched and [[graft.plans.GraftStrategy]] executes
+    * them directly — the operational escape hatch when a rewrite
+    * misbehaves in production, and the door PlanRewriteSpec uses to
+    * exercise the strategy-only path.
+    */
+  val EnabledKey = "spark.graft.ann.rewrite.enabled"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case m: AnnTopKMarker =>
+    case m: AnnTopKMarker
+        if SparkSession.active.conf.get(EnabledKey, "true").toBoolean =>
       val spark = SparkSession.active
       val corpus = PlanBridge.ofRows(spark, m.corpus)
       val queries = PlanBridge.ofRows(spark, m.queries)

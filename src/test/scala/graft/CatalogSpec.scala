@@ -350,6 +350,143 @@ class CatalogSpec extends AnyFunSuite {
       .forall(!_.getString(0).contains("dropns")))
   }
 
+  test("DELETE FROM removes matching rows, keeps NULL-condition rows, stays travelable") {
+    root
+    spark.sql("CREATE TABLE graft.d1 (k INT, v STRING)")
+    try {
+      spark.sql("INSERT INTO graft.d1 VALUES (1, 'a'), (2, 'b'), (3, NULL), (4, 'd')")
+      // condition NULL (v = 'a' on a NULL v) must KEEP the row — SQL
+      // three-valued semantics: only TRUE deletes
+      spark.sql("DELETE FROM graft.d1 WHERE v = 'a'")
+      assert(spark.sql("SELECT * FROM graft.d1").count() == 3)
+      assert(spark.sql("SELECT * FROM graft.d1 WHERE k = 3").count() == 1)
+      // pre-delete state is still travelable (DELETE published a version)
+      assert(spark.sql("SELECT * FROM graft.d1 VERSION AS OF 1").count() == 4)
+      spark.sql("DELETE FROM graft.d1")  // unconditional: empty table, schema kept
+      assert(spark.sql("SELECT * FROM graft.d1").count() == 0)
+      assert(spark.sql("SELECT * FROM graft.d1").columns.toSeq == Seq("k", "v"))
+    } finally spark.sql("DROP TABLE graft.d1")
+  }
+
+  test("UPDATE rewrites matching rows in place; unmatched and NULL-condition rows keep values") {
+    root
+    spark.sql("CREATE TABLE graft.u1 (k INT, v STRING, n INT)")
+    try {
+      spark.sql("INSERT INTO graft.u1 VALUES (1, 'a', 10), (2, 'b', 20), (3, NULL, 30)")
+      spark.sql("UPDATE graft.u1 SET n = n + 100, v = upper(v) WHERE v = 'a'")
+      val rows = spark.sql("SELECT k, v, n FROM graft.u1 ORDER BY k").collect()
+      assert(rows(0).getString(1) == "A" && rows(0).getInt(2) == 110)
+      assert(rows(1).getString(1) == "b" && rows(1).getInt(2) == 20)
+      assert(rows(2).isNullAt(1) && rows(2).getInt(2) == 30)
+      // row count never changes under UPDATE
+      assert(spark.sql("SELECT * FROM graft.u1").count() == 3)
+      // assignments are cast to the column type (int literal into INT col via double expr)
+      spark.sql("UPDATE graft.u1 SET n = 1.0 + 1.5 WHERE k = 2")
+      assert(spark.sql("SELECT n FROM graft.u1 WHERE k = 2").head().getInt(0) == 2)
+    } finally spark.sql("DROP TABLE graft.u1")
+  }
+
+  test("MERGE INTO dispatches matched/not-matched/not-matched-by-source clauses in order") {
+    root
+    spark.sql("CREATE TABLE graft.m1 (k INT, v STRING, n INT)")
+    try {
+      spark.sql("INSERT INTO graft.m1 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+      spark.sql("""
+        MERGE INTO graft.m1 t
+        USING (SELECT * FROM VALUES (1, 'A', 100), (2, 'B', -1), (9, 'Z', 900) AS s(k, v, n)) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.n < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+        WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n + 1
+      """)
+      val out = spark.sql("SELECT k, v, n FROM graft.m1 ORDER BY k").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      // 1 updated, 2 deleted (first matching clause wins), 3 bumped by
+      // the not-matched-by-source clause, 9 inserted
+      assert(out == Seq((1, "A", 100), (3, "c", 31), (9, "Z", 900)))
+      // pre-merge state travelable
+      assert(spark.sql("SELECT * FROM graft.m1 VERSION AS OF 1").count() == 3)
+      // INSERT with a partial column list null-backfills the rest
+      spark.sql("""
+        MERGE INTO graft.m1 t
+        USING (SELECT 42 AS k) s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)
+      """)
+      val r42 = spark.sql("SELECT v, n FROM graft.m1 WHERE k = 42").head()
+      assert(r42.isNullAt(0) && r42.isNullAt(1))
+    } finally spark.sql("DROP TABLE graft.m1")
+  }
+
+  test("MERGE enforces the SQL cardinality rule: one target row, many source matches fails") {
+    root
+    spark.sql("CREATE TABLE graft.m2 (k INT, n INT)")
+    try {
+      spark.sql("INSERT INTO graft.m2 VALUES (1, 10)")
+      val e = intercept[Exception] {
+        spark.sql("""
+          MERGE INTO graft.m2 t
+          USING (SELECT * FROM VALUES (1, 1), (1, 2) AS s(k, n)) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET n = s.n
+        """)
+      }
+      assert(e.getMessage.contains("matched more than one source row"),
+        s"wrong error: ${e.getMessage}")
+      // the failed statement must not have published: table unchanged
+      assert(spark.sql("SELECT n FROM graft.m2").head().getInt(0) == 10)
+      // with no matched clauses the same source is legal (inserts only)
+      spark.sql("""
+        MERGE INTO graft.m2 t
+        USING (SELECT * FROM VALUES (7, 1), (7, 2) AS s(k, n)) s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n)
+      """)
+      assert(spark.sql("SELECT * FROM graft.m2 WHERE k = 7").count() == 2)
+    } finally spark.sql("DROP TABLE graft.m2")
+  }
+
+  test("DML loses cleanly to a concurrent publish (statement-level OCC)") {
+    root
+    spark.sql("CREATE TABLE graft.m3 (k INT)")
+    try {
+      spark.sql("INSERT INTO graft.m3 VALUES (1), (2)")
+      spark.sql("DELETE FROM graft.m3 WHERE k = 1")  // eager; table now {2}
+      // resolve a second DELETE against the current version but do NOT
+      // run it yet (spark.sql runs commands eagerly, so capture the
+      // analyzed plan instead), publish a competing INSERT, then run:
+      // the delete's base version is stale, so its commit must fail —
+      // not clobber the insert
+      val stale = spark.sessionState.analyzer.execute(
+        spark.sessionState.sqlParser.parsePlan("DELETE FROM graft.m3 WHERE k = 2"))
+      spark.sql("INSERT INTO graft.m3 VALUES (3)")
+      val e = intercept[Exception] {
+        org.apache.spark.sql.GraftSqlShims.ofRows(spark, stale).collect()
+      }
+      assert(e.getMessage.contains("recompute against the new current"),
+        s"wrong error: ${e.getMessage}")
+      // the stale delete did not destroy the concurrent insert
+      assert(spark.sql("SELECT * FROM graft.m3").count() == 2)  // k=2, k=3 (k=1 deleted eagerly above)
+    } finally spark.sql("DROP TABLE graft.m3")
+  }
+
+  test("CREATE TABLE refuses a missing namespace and a table posing as one") {
+    root
+    // missing namespace: publishVersioned must not silently create it
+    val e1 = intercept[Exception](spark.sql("CREATE TABLE graft.nope.t (x INT)"))
+    assert(e1.getMessage.toLowerCase.contains("schema") ||
+      e1.getMessage.toLowerCase.contains("namespace"), s"wrong error: ${e1.getMessage}")
+    // an existing TABLE as the parent: nesting would hand the outer
+    // table's DROP a silent kill of the inner one
+    spark.sql("CREATE TABLE graft.tparent (x INT)")
+    try {
+      val e2 = intercept[Exception](spark.sql("CREATE TABLE graft.tparent.inner (x INT)"))
+      assert(e2.getMessage.toLowerCase.contains("schema") ||
+        e2.getMessage.toLowerCase.contains("namespace"), s"wrong error: ${e2.getMessage}")
+    } finally spark.sql("DROP TABLE graft.tparent")
+  }
+
   test("filters push down through the delegated parquet scan") {
     root
     val plan = spark.sql(

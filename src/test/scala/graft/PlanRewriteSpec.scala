@@ -79,10 +79,10 @@ class PlanRewriteSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.graft.PlanBridge
     AnnRewrite.clearCentroids(spark)
-    // simulate a session where only the planner strategy is installed
-    val savedRules = spark.experimental.extraOptimizations
-    val savedStrategies = spark.experimental.extraStrategies
-    spark.experimental.extraOptimizations = savedRules.filterNot(_ eq AnnRewrite)
+    // simulate a session where only the planner strategy is installed:
+    // the extension-injected rule can't be uninstalled, so use its kill
+    // switch (the same conf an operator would flip in production)
+    spark.conf.set(AnnRewrite.EnabledKey, "false")
     GraftStrategy.install(spark)
     try {
       val template = Similarity.bruteForceTopK(corpus, queries, 10)
@@ -96,9 +96,6 @@ class PlanRewriteSpec extends AnyFunSuite {
         "marker unexpectedly expanded — the rule is still installed")
       // ... and the strategy still makes it executable, exactly
       assert(rows(declared) == rows(template))
-    } finally {
-      spark.experimental.extraOptimizations = savedRules
-      spark.experimental.extraStrategies = savedStrategies
-    }
+    } finally spark.conf.unset(AnnRewrite.EnabledKey)
   }
 }
