@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim.withCast(exprs.head, exprs(1))))
+    // change-data-feed read as a SQL table function (Delta's table_changes)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.catalog.TableChangesTvf.getClass.getName, "table_changes"),
+      (exprs: Seq[Expression]) => graft.catalog.TableChangesTvf.plan(exprs)))
   }
 }

@@ -1,0 +1,74 @@
+package graft.catalog
+
+import graft.ops.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+
+/** `table_changes(table, fromV, toV [, keyCol, ...])` — the SQL door for
+  * the change-data-feed read path (Delta's TVF of the same name), wired
+  * through `SparkSessionExtensions.injectTableFunction`. `table` is
+  * either a catalog-qualified name (`'cat.ns.tbl'` — resolved through
+  * the live [[GraftCatalog]], so every traversal/namespace guard applies)
+  * or a direct table-root path (contains `/`). With key columns the feed
+  * carries the Delta-CDF classification (insert / delete /
+  * update_preimage / update_postimage); keyless it degrades to the
+  * bag-diff insert/delete shape, exactly like [[Sinks.changesBetween]].
+  *
+  * The builder runs at analysis time and returns the diff's logical
+  * plan, so the TVF composes with any SQL around it (joins, filters,
+  * CTEs) and Catalyst optimizes through it.
+  */
+object TableChangesTvf {
+
+  private def stringArg(e: Expression, what: String): String = {
+    require(e.foldable, s"table_changes: $what must be a literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"table_changes: $what must not be NULL")
+    v.toString
+  }
+
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"table_changes: $what must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer version, got $other")
+    }
+  }
+
+  /** Resolve the table argument to a versioned-layout root. A
+    * catalog-qualified name goes through the registered catalog's own
+    * loadTable (all hardening applies); a path is used as-is.
+    */
+  private[graft] def resolveRoot(spark: SparkSession, table: String): String =
+    if (table.contains("/")) table
+    else {
+      val parts = table.split("\\.")
+      require(parts.length >= 2,
+        s"table_changes: '$table' is neither a path nor a catalog-qualified name " +
+          "(expected 'catalog.[ns.]table' or a table-root path)")
+      val cat = spark.sessionState.catalogManager.catalog(parts.head) match {
+        case t: TableCatalog => t
+        case other => throw new IllegalArgumentException(
+          s"table_changes: catalog '${parts.head}' is not a table catalog ($other)")
+      }
+      cat.loadTable(Identifier.of(parts.tail.init, parts.tail.last)) match {
+        case w: GraftWritableTable => w.tableRootPath
+        case other => throw new IllegalArgumentException(
+          s"table_changes: '$table' is not a graft versioned table (${other.getClass.getName})")
+      }
+    }
+
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 3,
+      "table_changes(table, fromVersion, toVersion [, keyCol, ...])")
+    val spark = SparkSession.active
+    val root = resolveRoot(spark, stringArg(exprs.head, "table"))
+    val fromV = longArg(exprs(1), "fromVersion")
+    val toV = longArg(exprs(2), "toVersion")
+    val keys = exprs.drop(3).zipWithIndex.map { case (e, i) => stringArg(e, s"keyCol ${i + 1}") }
+    Sinks.changesBetween(spark, root, fromV, toV, keys).queryExecution.analyzed
+  }
+}

@@ -127,6 +127,19 @@ object ScanOps extends QueryModule {
         .orderBy("_change_type", "n_nationkey")
     }),
 
+    // The same CDF read through the SQL door: the `table_changes` TVF
+    // (GraftExtensions.injectTableFunction) resolves the table, builds
+    // the keyed diff plan at analysis time, and composes with the
+    // surrounding SQL — same oracle as q_table_changes, so a hash match
+    // proves the TVF surface is value-identical to the Scala API.
+    "q_table_changes_sql" -> ((s, dir) => {
+      val tbl = cdfWarehouse(s, dir)
+      s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey, _change_type
+           |FROM table_changes('$tbl', 0, 1, 'n_nationkey')
+           |ORDER BY _change_type, n_nationkey""".stripMargin)
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-day) — the
     // multi-dimensional layout key that makes parquet min/max stats
     // prune on EITHER dimension after
@@ -431,7 +444,14 @@ object ScanOps extends QueryModule {
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
 
-    "q_table_changes" ->
+    "q_table_changes" -> tableChangesOracle,
+    "q_table_changes_sql" -> tableChangesOracle,
+  ) ++ oracles2
+
+  /** Shared by the Scala-API read (q_table_changes) and the SQL TVF
+    * (q_table_changes_sql): both must land on exactly this recompute.
+    */
+  private lazy val tableChangesOracle: String =
       """WITH v0 AS (SELECT * FROM nation),
         |v1 AS (
         |  SELECT n_nationkey, n_name,
@@ -460,8 +480,9 @@ object ScanOps extends QueryModule {
         |SELECT k, bn, br, 'update_postimage' FROM j
         |WHERE ak IS NOT NULL AND bk IS NOT NULL
         |  AND (an IS DISTINCT FROM bn OR ar IS DISTINCT FROM br)
-        |ORDER BY _change_type, n_nationkey""".stripMargin,
+        |ORDER BY _change_type, n_nationkey""".stripMargin
 
+  private lazy val oracles2: Map[String, String] = Map(
     "q_partition_pruning" ->
       """SELECT event_type, count(*) AS n_events,
         | round(sum(value), 4) AS sum_value

@@ -487,6 +487,27 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.tparent")
   }
 
+  test("table_changes TVF resolves catalog names through the hardened catalog") {
+    root
+    // keyless diff over t1 (v0 = full region fixture, v1 = 3-row subset):
+    // bag semantics classify the dropped rows as deletes
+    val byName = spark.sql("SELECT * FROM table_changes('graft.t1', 0, 1)")
+    val expected = graft.io.Tables.region(spark, sf001).count() - 3
+    assert(byName.filter("_change_type = 'delete'").count() == expected)
+    assert(byName.filter("_change_type = 'insert'").count() == 0)
+    // a path argument reads the same feed directly
+    val byPath = spark.sql(s"SELECT * FROM table_changes('$root/t1', 0, 1)")
+    assert(byPath.count() == byName.count())
+    // traversal through the TVF dies in the catalog's own guard
+    intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('graft.`..`.t1', 0, 1)").collect())
+    // non-literal args are rejected loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes(rand()::string, 0, 1)").collect())
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("resolve"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("filters push down through the delegated parquet scan") {
     root
     val plan = spark.sql(

@@ -624,4 +624,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(ok, "sync never recovered after the source appeared")
     } finally q.stop()
   }
+
+  test("B52 sessionize on the RocksDB state store: identical output, state survives restart") {
+    // The 100×-state path: the default (HDFS-backed) provider keeps all
+    // keyed state on the JVM heap; RocksDB spills to native memory +
+    // local disk, which is what survives wide key spaces on a real
+    // cluster. Same pipeline, same semantics — this pins (a) the output
+    // is bit-identical to the batch twin, (b) the provider really is
+    // RocksDB (its custom metrics appear in progress), and (c) a
+    // checkpoint stop/restart carries RocksDB state across incarnations
+    // (an event after the restart MERGES into a pre-restart session).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ck")
+    StreamOps.cleanOnExit(ckpt)
+    try {
+      val input = MemoryStream[UserEvent]
+      val sessions = StreamOps.sessionize(
+        input.toDS().withWatermark("ts", "10 minutes").as[graft.streaming.UserEvent], 10)
+      // memory sink refuses checkpoint recovery; a foreachBatch collector
+      // supports it (tiny test output — the collect is test-only)
+      val emitted = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def start() = sessions.toDF().writeStream
+        .option("checkpointLocation", ckpt.toString).outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emitted.synchronized { emitted ++= batch.collect() }; ()
+        }.start()
+
+      // incarnation 1: open sessions only (nothing emitted yet)
+      val q1 = start()
+      val batch1 = Seq(
+        UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        UserEvent(3, ts("2024-01-01 10:02:00"), 2, "click", 1.0))
+      input.addData(batch1)
+      q1.processAllAvailable()
+      val metrics = Option(q1.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"RocksDB provider not in use; state metrics: $metrics")
+      q1.stop()
+
+      // incarnation 2, same checkpoint: 10:07 must MERGE into user 1's
+      // pre-restart session (state carried), then watermark pushes flush
+      val q2 = start()
+      val batch2 = Seq(UserEvent(4, ts("2024-01-01 10:07:00"), 1, "click", 1.0))
+      input.addData(batch2)
+      q2.processAllAvailable()
+      input.addData(Seq(UserEvent(98, ts("2024-01-01 13:00:00"), 99, "click", 0.0)))
+      q2.processAllAvailable()
+      input.addData(Seq(UserEvent(99, ts("2024-01-01 15:00:00"), 99, "click", 0.0)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(emitted.synchronized(emitted.toList)),
+          sessions.schema)
+        .filter($"user_id" =!= 99)
+        .select("user_id", "session_start", "session_end", "n_events")
+      val expected = StreamOps.sessionAgg((batch1 ++ batch2).toDF())
+      assert(got.count() == 2, s"expected 2 sessions, got ${got.collect().mkString(",")}")
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"RocksDB run != batch twin:\ngot=${got.collect().mkString(",")}\n" +
+          s"exp=${expected.collect().mkString(",")}")
+      // the merged session proves cross-restart state: 3 events, 10:00–10:07
+      val s1 = got.filter($"user_id" === 1).head()
+      assert(s1.getAs[Long]("n_events") == 3L, s"restart split the session: $s1")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
