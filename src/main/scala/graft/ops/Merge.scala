@@ -160,6 +160,16 @@ object Merge {
       statsCols: Seq[String]): Long =
     applyToImpl(spark, root, delta, keys, opCol, emitChanges, statsCols)
 
+  /** As [[applyTo]], with an expectations gate over the delta: rows
+    * violating any rule are quarantined into the new version's
+    * `_quarantine` sidecar ([[Sinks.readQuarantine]]) in the same atomic
+    * commit as the merged data.
+    */
+  def applyTo(spark: SparkSession, root: String, delta: DataFrame,
+      keys: Seq[String], opCol: String, emitChanges: Boolean,
+      statsCols: Seq[String], rules: Seq[Expect.Rule]): Long =
+    applyToImpl(spark, root, delta, keys, opCol, emitChanges, statsCols, rules)
+
   /** As [[applyTo]]; with `emitChanges` the merge also persists its
     * row-level change feed ([[upsertChanges]]) into the new version's
     * `_changes` sidecar — committed atomically with the data, making the
@@ -178,18 +188,31 @@ object Merge {
 
   private def applyToImpl(spark: SparkSession, root: String, delta: DataFrame,
       keys: Seq[String], opCol: String, emitChanges: Boolean,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], rules: Seq[Expect.Rule] = Nil): Long = {
     val baseVersion = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
+    // Expectations gate the DELTA (the rows this merge would apply):
+    // violating delta rows are quarantined into the new version's
+    // sidecar instead of touching the table, and both land in the SAME
+    // atomic commit — a crash can never apply unvetted rows or lose the
+    // rejects. The delta is O(changes), so the pin is cheap.
+    val (cleanDelta, quarantine) =
+      if (rules.isEmpty) (delta, None)
+      else {
+        import org.apache.spark.sql.functions.{col, size}
+        val marked = Expect.annotate(delta, rules).localCheckpoint()
+        (marked.filter(size(col("_violations")) === 0).drop("_violations"),
+          Some(marked.filter(size(col("_violations")) > 0)))
+      }
     if (!emitChanges)
-      Sinks.publishVersioned(upsert(base, delta, keys, opCol), root, Some(baseVersion),
-        statsCols)
+      Sinks.publishVersioned(upsert(base, cleanDelta, keys, opCol), root,
+        Some(baseVersion), statsCols, changeFeed = None, quarantine = quarantine)
     else {
-      val (flat, payload) = resolveJoin(base, delta, keys, opCol)
+      val (flat, payload) = resolveJoin(base, cleanDelta, keys, opCol)
       val pinned = (flat.localCheckpoint(), payload)
       Sinks.publishVersioned(resultOf(pinned, keys), root, Some(baseVersion),
-        statsCols, changeFeed = Some(changesOf(pinned, keys)))
+        statsCols, changeFeed = Some(changesOf(pinned, keys)), quarantine = quarantine)
     }
   }
 }

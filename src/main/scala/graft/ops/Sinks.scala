@@ -182,6 +182,40 @@ object Sinks {
     */
   val ChangesSidecar = "_changes"
 
+  /** Per-version sidecar holding rows an expectations gate rejected at
+    * publish time (with their `_violations`). Underscore-prefixed, so
+    * plain parquet reads of the version dir never see it.
+    */
+  val QuarantineSidecar = "_quarantine"
+
+  /** Quarantined rows of `version`, if that publish carried an
+    * expectations gate ([[publishGated]] / [[Merge.applyTo]] with rules);
+    * None for ungated versions.
+    */
+  def readQuarantine(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val p = Paths.get(versionPath(root, version), QuarantineSidecar)
+    if (Files.isDirectory(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** As [[publishVersioned]], gated by `rules`: rows violating any rule
+    * are split into the version's `_quarantine` sidecar and only clean
+    * rows become table data — committed in the SAME atomic rename, so no
+    * crash can publish unclean data or lose the quarantine (the hazard
+    * of running [[Expect.split]] and two separate writes). The annotated
+    * frame is pinned once (`localCheckpoint`) so a non-deterministic
+    * input cannot route a row to both sides or neither.
+    */
+  def publishGated(df: DataFrame, root: String, expected: Option[Long],
+      rules: Seq[Expect.Rule], statsCols: Seq[String] = Nil,
+      changeFeed: Option[DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.{col, size}
+    require(rules.nonEmpty, "publishGated needs at least one rule (use publishVersioned)")
+    val marked = Expect.annotate(df, rules).localCheckpoint()
+    val clean = marked.filter(size(col("_violations")) === 0).drop("_violations")
+    val quarantine = marked.filter(size(col("_violations")) > 0)
+    publishVersioned(clean, root, expected, statsCols, changeFeed, Some(quarantine))
+  }
+
   /** The O(delta) change-feed fast path: when EVERY version in
     * `(fromV, toV]` carries a writer-persisted `_changes` sidecar, return
     * their concatenation with a `_commit_version` column (the Delta
@@ -354,7 +388,8 @@ object Sinks {
     * own join); ScaleSpec pins it against [[changesBetween]].
     */
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long],
-      statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None): Long = {
+      statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None,
+      quarantine: Option[DataFrame] = None): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -376,6 +411,10 @@ object Sinks {
         Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
           expected.getOrElse(-1L).toString.getBytes("UTF-8"))
       }
+      // quarantined rows ride the same staged dir: the rename below is
+      // the single commit point for data + stats + feed + quarantine
+      quarantine.foreach(_.write.mode("overwrite")
+        .parquet(s"$stage/$QuarantineSidecar"))
       withCommitLock(root) {
         val cur = currentVersion(root)
         if (cur != expected) {

@@ -40,6 +40,22 @@ object Stats {
 
   val Sidecar = "_stats"
 
+  /** String bounds MUST order by UTF-8 bytes, not Java's UTF-16 code
+    * units: parquet binary min/max and Spark's own string comparisons
+    * (`UTF8String.compareTo`) are unsigned-byte orders, and the two
+    * disagree for supplementary-plane characters (a surrogate pair's
+    * first unit 0xD800–0xDBFF sorts BELOW U+E000–U+FFFF in UTF-16 but
+    * ABOVE in UTF-8). Comparing bounds in the wrong order can prune a
+    * file whose rows match — a silent wrong answer, not a slow one.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Compare(a, b)
+
   /** Collect footer stats for `cols` over every `*.parquet` file in `dir`
     * and write the `_stats` sidecar. Footer reads are distributed across
     * executors; each emits one [[FileColStat]] row per (file, column).
@@ -138,8 +154,10 @@ object Stats {
                   .genericGetMin.toStringUsingUTF8)
                 val his = withVals.map(_.asInstanceOf[BinaryStatistics]
                   .genericGetMax.toStringUsingUTF8)
+                // merge row-group bounds in parquet's own (UTF-8) order
                 FileColStat(name, c, rows, nulls, has_stats = true,
-                  None, None, None, None, Some(los.min), Some(his.max))
+                  None, None, None, None,
+                  Some(los.min(utf8Ordering)), Some(his.max(utf8Ordering)))
               case _ =>
                 FileColStat(name, c, rows, nulls, has_stats = false,
                   None, None, None, None, None, None)
@@ -190,7 +208,8 @@ object Stats {
             r.getAs[Double]("hi_d") >= ql && r.getAs[Double]("lo_d") <= qh
           } else if (!r.isNullAt(r.fieldIndex("lo_s"))) {
             val (ql, qh) = (lo.toString, hi.toString)
-            r.getAs[String]("hi_s") >= ql && r.getAs[String]("lo_s") <= qh
+            utf8Compare(r.getAs[String]("hi_s"), ql) >= 0 &&
+              utf8Compare(r.getAs[String]("lo_s"), qh) <= 0
           } else true // has_stats with no domain should be unreachable; keep
       }
     }

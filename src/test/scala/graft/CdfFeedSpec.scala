@@ -145,4 +145,43 @@ class CdfFeedSpec extends AnyFunSuite {
       "feed-driven sync diverged from the source")
     assert(Sinks.readCurrent(spark, rep).filter(col("id") === 100L).count() == 0)
   }
+
+  test("vacuuming a version INSIDE a feed window makes the whole feed unavailable, never truncated") {
+    // The retention contract: the feed is only valid if every commit in
+    // (fromV, toV] still carries its sidecar chain. After compaction
+    // vacuums an intermediate version, a caller asking for the window
+    // that crosses it must get 'unavailable' (None → fall back to a
+    // snapshot diff or a bootstrap), NEVER a silently shorter feed that
+    // drops the vacuumed commit's changes.
+    import spark.implicits._
+    val root = tmp() + "/t"
+    Sinks.publishVersioned(base(20), root, None)
+    (1 to 3).foreach { i =>
+      Merge.applyTo(spark, root,
+        Seq((100L + i, "gV", i.toLong, "upsert")).toDF("id", "grp", "v", "op"),
+        Seq("id"), "op", emitChanges = true)
+    }
+    // whole window readable pre-vacuum: commits 1,2,3 each one insert
+    val pre = Sinks.changeFeed(spark, root, 0L, 3L).get
+    assert(pre.count() == 3)
+    // compact with retainVersions=0: only the new live version (4) and
+    // the compaction base (3) survive; 0..2 are vacuumed
+    Sinks.compactVersioned(spark, root, retainVersions = 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Sinks.versionPath(root, 1L))), "vacuum kept v1")
+    // any window crossing a vacuumed version: unavailable, not partial
+    assert(Sinks.changeFeed(spark, root, 0L, 3L).isEmpty,
+      "feed across vacuumed versions must be unavailable")
+    assert(Sinks.changeFeed(spark, root, 1L, 3L).isEmpty,
+      "feed crossing the vacuumed v2 sidecar must be unavailable")
+    // but a window needing ONLY surviving sidecars stays readable: the
+    // (2,3] feed is exactly v3's sidecar, and v3 (the compaction base)
+    // survived — vacuum must not over-invalidate either
+    assert(Sinks.changeFeed(spark, root, 2L, 3L).get.count() == 1,
+      "feed over surviving sidecars must remain readable")
+    // the surviving tail is still consistent: the compaction commit (4)
+    // carries no feed (it's a rewrite, not a logical change), so even
+    // the 3→4 window reports unavailable rather than inventing changes
+    assert(Sinks.changeFeed(spark, root, 3L, 4L).isEmpty)
+  }
 }

@@ -80,4 +80,68 @@ class ExpectSpec extends AnyFunSuite {
       Expect.annotate(df.withColumn("_violations", lit("x")), rules)
     }
   }
+
+  test("publishGated commits clean data and quarantine in ONE version") {
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString + "/t"
+    val v = Sinks.publishGated(df, root, None, rules)
+    assert(v == 0L)
+    // clean side is the table; quarantine rides the same version
+    val data = Sinks.readCurrent(spark, root)
+    assert(data.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(!data.columns.contains("_violations"))
+    val quar = Sinks.readQuarantine(spark, root, v).get
+    assert(quar.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L))
+    assert(quar.columns.contains("_violations"))
+    // ungated publishes report no quarantine
+    val v1 = Sinks.publishVersioned(data, root, Some(v))
+    assert(Sinks.readQuarantine(spark, root, v1).isEmpty)
+  }
+
+  test("gate crash window: a failure after the quarantine write publishes NOTHING") {
+    // The hazard the gate-on-write design removes: with split + two
+    // separate writes, a crash between them publishes unclean data or
+    // loses the rejects. Here the commit is the stage rename, so a
+    // failure after the data AND quarantine writes (injected via a
+    // change feed that throws at evaluation) must leave no new version,
+    // no visible quarantine, and no leaked staging dir.
+    import graft.ops.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_gatecrash").toString + "/t"
+    Sinks.publishGated(df, root, None, rules)
+    val before = Sinks.currentVersion(root)
+    val poison = df.withColumn("_change_type",
+      when(lit(true), raise_error(lit("injected crash"))).otherwise(lit("x")))
+    intercept[Exception] {
+      Sinks.publishGated(df, root, before, rules, changeFeed = Some(poison))
+    }
+    assert(Sinks.currentVersion(root) == before, "a failed gated publish moved the pointer")
+    assert(Sinks.readQuarantine(spark, root, before.get.longValue() + 1).isEmpty,
+      "half-committed quarantine visible")
+    val leaked = graft.io.Fs.listDir(java.nio.file.Paths.get(root))
+      .filter(_.getFileName.toString.startsWith(".stage-"))
+    assert(leaked.isEmpty, s"staging dirs leaked: $leaked")
+  }
+
+  test("Merge.applyTo with rules quarantines violating delta rows atomically") {
+    import spark.implicits._
+    import graft.ops.{Merge, Sinks}
+    val root = java.nio.file.Files.createTempDirectory("graft_gatemerge").toString + "/t"
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "value", "status")
+    Sinks.publishVersioned(base, root)
+    val delta = Seq(
+      (1L, 11.0, "a", "upsert"),   // clean update
+      (2L, -99.0, "b", "upsert"),  // violates nonneg → quarantined, NOT applied
+      (3L, 30.0, "c", "upsert"))   // clean insert
+      .toDF("id", "value", "status", "op")
+    val mergeRules = Seq(Expect.rule("nonneg", col("value") >= 0))
+    val v = Merge.applyTo(spark, root, delta, Seq("id"), "op",
+      emitChanges = false, statsCols = Nil, rules = mergeRules)
+    val got = Sinks.readCurrent(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)),
+      s"quarantined row leaked into the merge: $got")
+    val quar = Sinks.readQuarantine(spark, root, v).get
+    assert(quar.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(quar.select("_violations").head().getSeq[String](0) == Seq("nonneg"))
+  }
 }

@@ -181,4 +181,30 @@ class SkippingSpec extends AnyFunSuite {
     val hit = Stats.readCurrentWhere(spark, root, "id", 0L, 10L)
     assert(hit.count() == 11)
   }
+
+  test("string pruning orders by UTF-8 bytes, not UTF-16 code units") {
+    // U+FF61 (halfwidth ideographic full stop) vs U+10000 (a surrogate
+    // pair): UTF-16 code-unit order says FF61 > D800.., UTF-8 byte order
+    // (= parquet stats order = Spark's string comparison) says the
+    // opposite. A Java-String overlap test would prune the file whose
+    // row MATCHES the predicate — a silent wrong answer.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_utf8").toString + "/t"
+    val bmp = "｡"              // U+FF61, UTF-8: EF BD A1
+    val supp = new String(Character.toChars(0x10000)) // UTF-8: F0 90 80 80
+    val lo = ""               // UTF-8: EE 80 80
+    Seq(Tuple1(bmp)).toDF("s").coalesce(1).write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("s"))
+    // Spark's own answer: the row matches s BETWEEN lo AND supp
+    assert(spark.read.parquet(dir).filter(col("s").between(lit(lo), lit(supp))).count() == 1)
+    // the pruned read must agree — under UTF-16 ordering the file's
+    // bounds [FF61, FF61] look disjoint from [E000, D800 DC00] and the
+    // file would be dropped
+    assert(Stats.prunedFiles(spark, dir, "s", lo, supp).nonEmpty,
+      "UTF-16 ordering wrongly pruned a matching file")
+    assert(Stats.readWhere(spark, dir, "s", lo, supp).count() == 1)
+    // and the reverse stays a genuine prune: a range entirely below the
+    // file's min in UTF-8 order skips the file
+    assert(Stats.prunedFiles(spark, dir, "s", "a", "b").isEmpty)
+  }
 }
