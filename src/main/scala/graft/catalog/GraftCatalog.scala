@@ -152,6 +152,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       with GraftWritableTable {
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
+    // surface stored CHECK constraints through SHOW TBLPROPERTIES
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String](super.properties())
+      GraftCheck.load(tRoot).foreach { case (k, v) => m.put(k, v) }
+      m
+    }
     override def capabilities(): util.Set[TableCapability] = {
       val caps = readCaps()
       caps.add(TableCapability.BATCH_WRITE)
@@ -168,9 +174,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             new InsertableRelation {
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
                 val spark = data.sparkSession
+                // CHECK constraints gate the incoming rows; existing rows
+                // were validated when written (or when the constraint was
+                // added), so append never re-scans them
+                val gated = GraftCheck.enforce(data, tRoot)
                 val out =
-                  if (truncateFirst || overwrite) data
-                  else Sinks.readVersion(spark, tRoot, baseVersion).unionByName(data)
+                  if (truncateFirst || overwrite) gated
+                  else Sinks.readVersion(spark, tRoot, baseVersion).unionByName(gated)
                 Sinks.publishVersioned(out, tRoot, Some(baseVersion))
                 ()
               }
@@ -278,6 +288,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
     }
+    // CHECK constraints declared at CREATE time (TBLPROPERTIES
+    // ('check.<name>' = '<expr>')): validate against the (empty) table
+    // so a malformed expression fails the CREATE, then persist
+    import scala.jdk.CollectionConverters._
+    val checks = properties.asScala.filter(_._1.startsWith(GraftCheck.Prefix))
+    if (checks.nonEmpty) {
+      checks.foreach { case (k, v) =>
+        GraftCheck.validateNew(spark, tr, k.stripPrefix(GraftCheck.Prefix), v) }
+      GraftCheck.store(tr, checks.toMap)
+    }
     loadTable(ident)
   }
 
@@ -324,7 +344,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * [[Sinks.changesBetween]]'s contract.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    // property changes: CHECK constraints only ('check.<name>' = '<expr>'),
+    // validated against the CURRENT data before they are stored
+    val (propChanges, otherChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val tr = tableRoot(ident)
+      if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
+      val spark = SparkSession.active
+      val updated = propChanges.foldLeft(GraftCheck.load(tr)) {
+        case (props, s: TableChange.SetProperty) =>
+          require(s.property().startsWith(GraftCheck.Prefix),
+            s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties are " +
+              s"supported (CHECK constraints); got ${s.property()}")
+          GraftCheck.validateNew(spark, tr,
+            s.property().stripPrefix(GraftCheck.Prefix), s.value())
+          props + (s.property() -> s.value())
+        case (props, r: TableChange.RemoveProperty) =>
+          require(r.property().startsWith(GraftCheck.Prefix),
+            s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties can " +
+              s"be unset; got ${r.property()}")
+          props - r.property()
+        case (props, _) => props
+      }
+      GraftCheck.store(tr, updated)
+      if (otherChanges.isEmpty) return loadTable(ident)
+    }
+    val adds = otherChanges.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         // clauses the null-backfilled layout cannot honor fail loudly:
         // every pre-existing row of a NOT NULL column would be NULL, and

@@ -1,0 +1,100 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.ops.{Expect, Sinks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** SQL CHECK constraints for [[GraftCatalog]] tables, spelled as table
+  * properties (the Delta convention):
+  *
+  * {{{
+  *   ALTER TABLE graft.t SET TBLPROPERTIES ('check.nonneg' = 'value >= 0')
+  *   ALTER TABLE graft.t UNSET TBLPROPERTIES ('check.nonneg')
+  * }}}
+  *
+  * Constraints persist in a `_PROPS` sidecar at the table root (a
+  * reserved layout name, so it can never collide with a table and moves
+  * or dies with the table's directory on RENAME/DROP). Setting a
+  * constraint validates the CURRENT contents first (one scan — the same
+  * contract as Delta's ADD CONSTRAINT), so enforcement thereafter may
+  * check whole statement results without ever failing on pre-existing
+  * rows. Enforcement is [[Expect.enforce]]: row-local, codegen'd, rides
+  * the statement's own scan — violating statements fail atomically
+  * (nothing publishes) with the rule name and offending row.
+  */
+private[graft] object GraftCheck {
+  val Prefix = "check."
+
+  private def propsPath(root: String) = Paths.get(root, "_PROPS")
+
+  def load(root: String): Map[String, String] = {
+    val p = propsPath(root)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+    }
+  }
+
+  /** Replace the stored property map (under the table's commit lock;
+    * atomic move so readers never see a torn file).
+    */
+  def store(root: String, props: Map[String, String]): Unit =
+    Sinks.withTableLock(root) {
+      val tmp = Paths.get(root, "_PROPS.tmp")
+      val jp = new java.util.Properties()
+      props.foreach { case (k, v) => jp.setProperty(k, v) }
+      val out = Files.newOutputStream(tmp)
+      try jp.store(out, null) finally out.close()
+      Files.move(tmp, propsPath(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** The table's constraints as expectation rules, name-sorted for
+    * deterministic violation messages.
+    */
+  def rules(root: String): Seq[Expect.Rule] =
+    load(root).toSeq.collect {
+      case (k, v) if k.startsWith(Prefix) =>
+        Expect.rule(k.stripPrefix(Prefix), expr(v))
+    }.sortBy(_.name)
+
+  /** Gate `df` on the table's constraints; identity when none are set. */
+  def enforce(df: DataFrame, root: String): DataFrame = {
+    val r = rules(root)
+    if (r.isEmpty) df else Expect.enforce(df, r)
+  }
+
+  /** Validate a new constraint: the expression must parse and resolve
+    * to a boolean against the current schema, and every EXISTING row
+    * must satisfy it (otherwise enforcement on later statements would
+    * blame them for old data). One scan, at ALTER time.
+    */
+  def validateNew(spark: SparkSession, root: String, name: String,
+      expression: String): Unit = {
+    require(name.nonEmpty, "empty constraint name")
+    val cur = Sinks.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val df = Sinks.readVersion(spark, root, cur)
+    val rule =
+      try Expect.rule(name, expr(expression))
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"constraint $name: cannot parse '$expression': ${e.getMessage}") }
+    // resolve + type-check against the schema before scanning
+    try df.select(rule.good.cast("boolean")).queryExecution.analyzed
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"constraint $name: '$expression' does not resolve against " +
+        s"schema ${df.schema.simpleString}: ${e.getMessage}") }
+    // an empty table sums to NULL, which is zero violations
+    val vRow = Expect.stats(df, Seq(rule)).select("n_violations").head()
+    val violations = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
+    require(violations == 0L,
+      s"constraint $name: $violations existing row(s) violate '$expression' — " +
+        "clean the data before adding the constraint")
+  }
+}

@@ -136,7 +136,11 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
         case None => col0(attr).as(attr.name)
       }
     }
-    Sinks.publishVersioned(t.select(outCols: _*), tRoot, Some(baseVersion))
+    // CHECK constraints gate the rewritten contents (pre-existing rows
+    // were validated when the constraint was added, so only the rows
+    // this statement changes can trip the gate); row-local, same scan
+    Sinks.publishVersioned(
+      GraftCheck.enforce(t.select(outCols: _*), tRoot), tRoot, Some(baseVersion))
     Seq.empty
   }
 }
@@ -241,7 +245,8 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       c.as(attr.name)
     }
 
-    Sinks.publishVersioned(kept.select(outCols: _*), tRoot, Some(baseVersion))
+    Sinks.publishVersioned(
+      GraftCheck.enforce(kept.select(outCols: _*), tRoot), tRoot, Some(baseVersion))
     Seq.empty
   }
 }

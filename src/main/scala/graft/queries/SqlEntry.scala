@@ -57,16 +57,17 @@ object SqlEntry extends QueryModule {
     * is per sf dir (Spark snapshots catalog options per name) but the
     * root is stable per dir, so re-registering is idempotent.
     */
-  private def mergeWarehouse(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  private def mergeWarehouse(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String = "merge"): String =
     this.synchronized {
       import org.apache.spark.sql.functions.col
-      val root = "/tmp/graft_sqlmerge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft_sql${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
       graft.ops.Sinks.publishVersioned(
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
           col("c_acctbal"), col("c_mktsegment")),
         root + "/custs", None)
-      val cat = "graftsm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"graftsql${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       cat
@@ -111,6 +112,31 @@ object SqlEntry extends QueryModule {
                |  c_mktsegment
                |FROM $cat.custs ORDER BY c_custkey""".stripMargin)
     }),
+
+    // UPDATE through the SQL door: per-column CASE rewrite, one
+    // projection scan, published as the next version. The oracle is the
+    // same CASE projection in DuckDB.
+    "q_sql_update" -> ((s, dir) => {
+      val cat = mergeWarehouse(s, dir, tag = "upd")
+      s.sql(s"""UPDATE $cat.custs
+               |SET c_acctbal = round(c_acctbal * 1.1, 2),
+               |    c_mktsegment = concat(c_mktsegment, '_ADJ')
+               |WHERE c_acctbal < 0""".stripMargin)
+      s.sql(s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+               |  c_mktsegment
+               |FROM $cat.custs ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // DELETE through the SQL door: three-valued semantics (only TRUE
+    // deletes), one filtered scan. Oracle = the complementary filter.
+    "q_sql_delete" -> ((s, dir) => {
+      val cat = mergeWarehouse(s, dir, tag = "del")
+      s.sql(s"""DELETE FROM $cat.custs
+               |WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'""".stripMargin)
+      s.sql(s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+               |  c_mktsegment
+               |FROM $cat.custs ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   // the SAME text is the oracle — that identity is the point of E2
@@ -140,6 +166,22 @@ object SqlEntry extends QueryModule {
         |SELECT n.k, 'Customer#New' || CAST(-n.k AS VARCHAR), round(n.total, 2),
         |       'INSERTED'
         |FROM neg n
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_update" ->
+      """SELECT c_custkey, c_name,
+        |  round(CASE WHEN c_acctbal < 0
+        |             THEN round(c_acctbal * 1.1, 2) ELSE c_acctbal END, 2)
+        |    AS c_acctbal,
+        |  CASE WHEN c_acctbal < 0 THEN c_mktsegment || '_ADJ'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_delete" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0 OR c_mktsegment = 'BUILDING')
         |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -508,6 +508,56 @@ class CatalogSpec extends AnyFunSuite {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("CHECK constraints: SET validates existing data, then gates INSERT/UPDATE/MERGE") {
+    root
+    spark.sql("CREATE TABLE graft.ck (k INT, v DOUBLE)")
+    try {
+      spark.sql("INSERT INTO graft.ck VALUES (1, 10.0), (2, 20.0)")
+      // adding a constraint the data violates is refused with evidence
+      val bad = intercept[Exception](
+        spark.sql("ALTER TABLE graft.ck SET TBLPROPERTIES ('check.big' = 'v > 15')"))
+      assert(bad.getMessage.contains("existing row"), s"wrong error: ${bad.getMessage}")
+      // a satisfiable constraint lands and shows in SHOW TBLPROPERTIES
+      spark.sql("ALTER TABLE graft.ck SET TBLPROPERTIES ('check.nonneg' = 'v >= 0')")
+      assert(spark.sql("SHOW TBLPROPERTIES graft.ck").collect()
+        .exists(r => r.getString(0) == "check.nonneg" && r.getString(1) == "v >= 0"))
+      // INSERT: violating statement fails atomically, clean one lands
+      val e1 = intercept[Exception](
+        spark.sql("INSERT INTO graft.ck VALUES (3, -1.0), (4, 40.0)"))
+      assert(e1.getMessage.contains("nonneg"), s"wrong error: ${e1.getMessage}")
+      assert(spark.sql("SELECT * FROM graft.ck").count() == 2,
+        "a failed INSERT published rows")
+      spark.sql("INSERT INTO graft.ck VALUES (5, 50.0)")
+      // UPDATE: a rewrite that would break the constraint fails, table intact
+      val e2 = intercept[Exception](
+        spark.sql("UPDATE graft.ck SET v = v - 100 WHERE k = 1"))
+      assert(e2.getMessage.contains("nonneg"))
+      assert(spark.sql("SELECT v FROM graft.ck WHERE k = 1").head().getDouble(0) == 10.0)
+      // MERGE: a violating inserted row fails the whole statement
+      val e3 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.ck t USING (SELECT 9 AS k, -5.0 AS v) s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin))
+      assert(e3.getMessage.contains("nonneg"))
+      assert(spark.sql("SELECT * FROM graft.ck WHERE k = 9").count() == 0)
+      // UNSET lifts the gate
+      spark.sql("ALTER TABLE graft.ck UNSET TBLPROPERTIES ('check.nonneg')")
+      spark.sql("INSERT INTO graft.ck VALUES (6, -6.0)")
+      assert(spark.sql("SELECT * FROM graft.ck").count() == 4)
+      // malformed or non-check properties are rejected loudly
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.ck SET TBLPROPERTIES ('check.bad' = 'no_such_col > 0')"))
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.ck SET TBLPROPERTIES ('owner' = 'me')"))
+      // constraints can also be declared at CREATE time
+      spark.sql("CREATE TABLE graft.ck2 (x INT) TBLPROPERTIES ('check.pos' = 'x > 0')")
+      try {
+        intercept[Exception](spark.sql("INSERT INTO graft.ck2 VALUES (0)"))
+        spark.sql("INSERT INTO graft.ck2 VALUES (1)")
+        assert(spark.sql("SELECT * FROM graft.ck2").count() == 1)
+      } finally spark.sql("DROP TABLE graft.ck2")
+    } finally spark.sql("DROP TABLE graft.ck")
+  }
+
   test("filters push down through the delegated parquet scan") {
     root
     val plan = spark.sql(
