@@ -152,10 +152,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       with GraftWritableTable {
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
-    // surface stored CHECK constraints through SHOW TBLPROPERTIES
+    // surface stored CHECK constraints through SHOW TBLPROPERTIES —
+    // loaded once per table object (analysis calls properties() several
+    // times per statement; the object already snapshots its version, so
+    // a per-call file read would buy staleness-inconsistency AND I/O)
+    private lazy val checkProps: Map[String, String] = GraftCheck.load(tRoot)
     override def properties(): util.Map[String, String] = {
       val m = new util.HashMap[String, String](super.properties())
-      GraftCheck.load(tRoot).foreach { case (k, v) => m.put(k, v) }
+      checkProps.foreach { case (k, v) => m.put(k, v) }
       m
     }
     override def capabilities(): util.Set[TableCapability] = {
@@ -281,6 +285,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+    // CHECK constraints declared at CREATE time (TBLPROPERTIES
+    // ('check.<name>' = '<expr>')): validate against the in-memory empty
+    // frame BEFORE anything publishes — a malformed expression must fail
+    // the CREATE and leave NO table behind (publishing first would
+    // orphan a live, constraint-less table the user never created)
+    import scala.jdk.CollectionConverters._
+    val checks = properties.asScala.filter(_._1.startsWith(GraftCheck.Prefix))
+    checks.foreach { case (k, v) =>
+      GraftCheck.validateAgainst(empty, k.stripPrefix(GraftCheck.Prefix), v) }
     // a lost CREATE race must surface as the exception Spark's
     // IF NOT EXISTS handling understands, not a raw OCC conflict
     try Sinks.publishVersioned(empty, tr, None)
@@ -288,16 +301,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
     }
-    // CHECK constraints declared at CREATE time (TBLPROPERTIES
-    // ('check.<name>' = '<expr>')): validate against the (empty) table
-    // so a malformed expression fails the CREATE, then persist
-    import scala.jdk.CollectionConverters._
-    val checks = properties.asScala.filter(_._1.startsWith(GraftCheck.Prefix))
-    if (checks.nonEmpty) {
-      checks.foreach { case (k, v) =>
-        GraftCheck.validateNew(spark, tr, k.stripPrefix(GraftCheck.Prefix), v) }
-      GraftCheck.store(tr, checks.toMap)
-    }
+    if (checks.nonEmpty) GraftCheck.store(tr, checks.toMap)
     loadTable(ident)
   }
 
@@ -354,22 +358,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val tr = tableRoot(ident)
       if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
       val spark = SparkSession.active
-      val updated = propChanges.foldLeft(GraftCheck.load(tr)) {
-        case (props, s: TableChange.SetProperty) =>
+      // load-validate-store as ONE step under the table's commit lock:
+      // concurrent ALTERs serialize (neither loses the other's
+      // constraint) and validation scans a state no writer can commit
+      // past until the constraint is stored
+      GraftCheck.update(tr)(_ ++ propChanges.foldLeft(Map.empty[String, String]) {
+        case (acc, s: TableChange.SetProperty) =>
           require(s.property().startsWith(GraftCheck.Prefix),
             s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties are " +
               s"supported (CHECK constraints); got ${s.property()}")
           GraftCheck.validateNew(spark, tr,
             s.property().stripPrefix(GraftCheck.Prefix), s.value())
-          props + (s.property() -> s.value())
-        case (props, r: TableChange.RemoveProperty) =>
+          acc + (s.property() -> s.value())
+        case (acc, r: TableChange.RemoveProperty) =>
           require(r.property().startsWith(GraftCheck.Prefix),
             s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties can " +
               s"be unset; got ${r.property()}")
-          props - r.property()
-        case (props, _) => props
-      }
-      GraftCheck.store(tr, updated)
+          acc  // removals applied below; fold collects sets only
+      } -- propChanges.collect { case r: TableChange.RemoveProperty => r.property() })
       if (otherChanges.isEmpty) return loadTable(ident)
     }
     val adds = otherChanges.map {

@@ -41,11 +41,20 @@ private[graft] object GraftCheck {
     }
   }
 
-  /** Replace the stored property map (under the table's commit lock;
-    * atomic move so readers never see a torn file).
+  /** Atomically transform the stored property map under the table's
+    * commit lock — load, `f`, write, as one serialized step, so two
+    * concurrent ALTERs can never lose each other's constraint
+    * (load-modify-store outside the lock would). `f` may validate (scan
+    * the table) — holding the lock through validation serializes it
+    * against committing writers. A writer whose statement is already in
+    * flight when a constraint lands was gated by the rules it read at
+    * execution time; that window is the documented limit of data-only
+    * OCC (closing it needs metadata-transaction conflict detection à la
+    * Delta's protocol).
     */
-  def store(root: String, props: Map[String, String]): Unit =
+  def update(root: String)(f: Map[String, String] => Map[String, String]): Unit =
     Sinks.withTableLock(root) {
+      val props = f(load(root))
       val tmp = Paths.get(root, "_PROPS.tmp")
       val jp = new java.util.Properties()
       props.foreach { case (k, v) => jp.setProperty(k, v) }
@@ -55,13 +64,28 @@ private[graft] object GraftCheck {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
+  def store(root: String, props: Map[String, String]): Unit =
+    update(root)(_ => props)
+
+  /** SQL CHECK semantics: a constraint whose expression evaluates to
+    * UNKNOWN (NULL) is SATISFIED — unlike [[Expect]]'s
+    * null-is-violation default, which is right for data-quality gates
+    * but would make every null-backfilled column (partial-column
+    * INSERT, ADD COLUMNS evolution — both documented contracts of this
+    * layout) trip a `col > 0` constraint. Postgres and Delta agree.
+    */
+  private def checkRule(name: String, expression: String): Expect.Rule =
+    Expect.rule(name,
+      org.apache.spark.sql.functions.coalesce(
+        expr(expression).cast("boolean"),
+        org.apache.spark.sql.functions.lit(true)))
+
   /** The table's constraints as expectation rules, name-sorted for
     * deterministic violation messages.
     */
   def rules(root: String): Seq[Expect.Rule] =
     load(root).toSeq.collect {
-      case (k, v) if k.startsWith(Prefix) =>
-        Expect.rule(k.stripPrefix(Prefix), expr(v))
+      case (k, v) if k.startsWith(Prefix) => checkRule(k.stripPrefix(Prefix), v)
     }.sortBy(_.name)
 
   /** Gate `df` on the table's constraints; identity when none are set. */
@@ -77,12 +101,20 @@ private[graft] object GraftCheck {
     */
   def validateNew(spark: SparkSession, root: String, name: String,
       expression: String): Unit = {
-    require(name.nonEmpty, "empty constraint name")
     val cur = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    val df = Sinks.readVersion(spark, root, cur)
+    validateAgainst(Sinks.readVersion(spark, root, cur), name, expression)
+  }
+
+  /** As [[validateNew]] over an explicit frame — lets CREATE TABLE
+    * validate its declared constraints against an in-memory empty frame
+    * BEFORE anything is published (a failed CREATE must leave no table
+    * behind).
+    */
+  def validateAgainst(df: DataFrame, name: String, expression: String): Unit = {
+    require(name.nonEmpty, "empty constraint name")
     val rule =
-      try Expect.rule(name, expr(expression))
+      try checkRule(name, expression)
       catch { case e: Exception => throw new IllegalArgumentException(
         s"constraint $name: cannot parse '$expression': ${e.getMessage}") }
     // resolve + type-check against the schema before scanning

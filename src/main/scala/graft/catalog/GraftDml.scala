@@ -194,7 +194,16 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val needRid = matchedActions.nonEmpty
     val tdf0 = t.withColumn(TP, lit(true))
     val tdf = if (needRid) tdf0.withColumn(RID, monotonically_increasing_id()) else tdf0
-    val sdf = s.withColumn(SP, lit(true))
+    // with matched clauses the join is evaluated twice (cardinality
+    // check + publish) — pin the SOURCE so both see the same rows;
+    // otherwise a non-deterministic source could pass the check and
+    // still publish a duplicated target row (the corruption the rule
+    // exists to prevent; Delta materializes the source for the same
+    // reason). The target needs no pin: it is an immutable version dir,
+    // and RID (partition-indexed over that fixed scan) re-derives
+    // identically. Source is O(delta) — the cheap side to pin.
+    val sdf0 = s.withColumn(SP, lit(true))
+    val sdf = if (needRid) sdf0.localCheckpoint() else sdf0
 
     // full outer only when INSERT clauses consume source-only rows;
     // otherwise target-left keeps every target row and drops the

@@ -53,6 +53,18 @@ object Expect {
       marked.filter(size(col("_violations")) > 0))
   }
 
+  /** [[split]] with the annotated frame pinned (`localCheckpoint`) so a
+    * non-deterministic input cannot route a row to both sides or
+    * neither — the variant transactional writers use when clean and
+    * quarantine must commit as complementary sets
+    * ([[Sinks.publishGated]], [[Merge.applyTo]] with rules).
+    */
+  def splitPinned(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val marked = annotate(df, rules).localCheckpoint()
+    (marked.filter(size(col("_violations")) === 0).drop("_violations"),
+      marked.filter(size(col("_violations")) > 0))
+  }
+
   /** Fail-fast gate (the expect-or-fail mode): the input passed through
     * unchanged, except that materializing any row that violates a rule
     * aborts the job with the rule name and the row's rendering. For

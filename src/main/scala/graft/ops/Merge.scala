@@ -200,10 +200,8 @@ object Merge {
     val (cleanDelta, quarantine) =
       if (rules.isEmpty) (delta, None)
       else {
-        import org.apache.spark.sql.functions.{col, size}
-        val marked = Expect.annotate(delta, rules).localCheckpoint()
-        (marked.filter(size(col("_violations")) === 0).drop("_violations"),
-          Some(marked.filter(size(col("_violations")) > 0)))
+        val (clean, quar) = Expect.splitPinned(delta, rules)
+        (clean, Some(quar))
       }
     if (!emitChanges)
       Sinks.publishVersioned(upsert(base, cleanDelta, keys, opCol), root,

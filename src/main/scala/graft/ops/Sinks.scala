@@ -208,11 +208,8 @@ object Sinks {
   def publishGated(df: DataFrame, root: String, expected: Option[Long],
       rules: Seq[Expect.Rule], statsCols: Seq[String] = Nil,
       changeFeed: Option[DataFrame] = None): Long = {
-    import org.apache.spark.sql.functions.{col, size}
     require(rules.nonEmpty, "publishGated needs at least one rule (use publishVersioned)")
-    val marked = Expect.annotate(df, rules).localCheckpoint()
-    val clean = marked.filter(size(col("_violations")) === 0).drop("_violations")
-    val quarantine = marked.filter(size(col("_violations")) > 0)
+    val (clean, quarantine) = Expect.splitPinned(df, rules)
     publishVersioned(clean, root, expected, statsCols, changeFeed, Some(quarantine))
   }
 

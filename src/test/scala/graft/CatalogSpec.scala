@@ -554,7 +554,26 @@ class CatalogSpec extends AnyFunSuite {
         intercept[Exception](spark.sql("INSERT INTO graft.ck2 VALUES (0)"))
         spark.sql("INSERT INTO graft.ck2 VALUES (1)")
         assert(spark.sql("SELECT * FROM graft.ck2").count() == 1)
+        // SQL CHECK semantics: UNKNOWN (NULL) satisfies the constraint —
+        // a NULL x passes 'x > 0', exactly as in Postgres/Delta
+        spark.sql("INSERT INTO graft.ck2 VALUES (NULL)")
+        assert(spark.sql("SELECT * FROM graft.ck2").count() == 2)
+        // so the layout's null-backfill contracts compose with checks:
+        // a partial-column MERGE INSERT backfills unassigned cols with
+        // NULL and must not trip their constraints
+        spark.sql("ALTER TABLE graft.ck2 ADD COLUMNS (y INT)")
+        spark.sql("ALTER TABLE graft.ck2 SET TBLPROPERTIES ('check.ypos' = 'y > 0')")
+        spark.sql("""MERGE INTO graft.ck2 t USING (SELECT 7 AS x) s ON t.x = s.x
+                    |WHEN NOT MATCHED THEN INSERT (x) VALUES (s.x)""".stripMargin)
+        assert(spark.sql("SELECT * FROM graft.ck2 WHERE x = 7").count() == 1)
       } finally spark.sql("DROP TABLE graft.ck2")
+      // a CREATE whose constraint fails to validate leaves NO table
+      // behind — the corrected retry must succeed, not hit ALREADY_EXISTS
+      intercept[Exception](spark.sql(
+        "CREATE TABLE graft.ck3 (x INT) TBLPROPERTIES ('check.bad' = 'nope > 0')"))
+      assert(!spark.catalog.tableExists("graft.ck3"))
+      spark.sql("CREATE TABLE graft.ck3 (x INT) TBLPROPERTIES ('check.ok' = 'x >= 0')")
+      spark.sql("DROP TABLE graft.ck3")
     } finally spark.sql("DROP TABLE graft.ck")
   }
 
