@@ -136,9 +136,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * directory is immutable once its `_CURRENT` rename lands; with no
     * write capability, Spark rejects every write form at analysis.
     */
-  private final class ReadOnlySnapshot(delegate: ParquetTable)
+  private final class ReadOnlySnapshot(delegate: ParquetTable, tRoot: String)
     extends SnapshotTable(delegate) {
     override def capabilities(): util.Set[TableCapability] = readCaps()
+    override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
   }
 
   /** The CURRENT table: reads from the resolved version, writes publish
@@ -152,6 +153,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       with GraftWritableTable {
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
+    override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
     // surface stored CHECK constraints through SHOW TBLPROPERTIES —
     // loaded once per table object (analysis calls properties() several
     // times per statement; the object already snapshots its version, so
@@ -193,20 +195,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
   }
 
-  private def parquetDelegate(ident: Identifier, path: String): ParquetTable =
+  /** V2 parquet delegate over one version dir. For a PARTITIONED table
+    * the full read schema is pinned ([[Sinks.readSchemaFor]]) so
+    * partition-directory type inference can never rewrite a declared
+    * STRING partition column into a date/int — the user-specified schema
+    * makes Spark resolve partition values with the DECLARED types.
+    */
+  private def parquetDelegate(ident: Identifier, tRoot: String,
+      path: String): ParquetTable =
     ParquetTable(
       name = s"$catalogName.${ident.toString}",
       sparkSession = SparkSession.active,
       options = CaseInsensitiveStringMap.empty(),
       paths = Seq(path),
-      userSpecifiedSchema = None,
+      userSpecifiedSchema = Sinks.readSchemaFor(SparkSession.active, tRoot, path),
       fallbackFileFormat = classOf[ParquetFileFormat])
+
+  /** The table's declared partition transforms (identity columns), for
+    * DESCRIBE/SHOW surfaces and Spark's write-distribution planning.
+    */
+  private def partitionTransforms(tRoot: String): Array[Transform] =
+    graft.ops.TableProps.partitionCols(tRoot).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRoot(ident)
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
-    new WritableTable(parquetDelegate(ident, Sinks.versionPath(tr, v)), tr, v)
+    new WritableTable(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr, v)
   }
 
   /** `VERSION AS OF <v>`. */
@@ -221,7 +237,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: version $v not present " +
           s"(have ${Sinks.listVersions(tr).mkString(", ")}) — vacuumed or never published")
-    new ReadOnlySnapshot(parquetDelegate(ident, Sinks.versionPath(tr, v)))
+    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr)
   }
 
   /** `TIMESTAMP AS OF <ts>` (micros): the newest version committed at or
@@ -240,7 +256,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: no version committed at or before " +
           s"timestamp $timestamp us (oldest retained: v${live.min})")
-    new ReadOnlySnapshot(parquetDelegate(ident, Sinks.versionPath(tr, eligible.max)))
+    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, eligible.max)), tr)
   }
 
   /** `CREATE TABLE` (and the create half of CTAS): publish an EMPTY v0
@@ -251,8 +267,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"$catalogName does not support partitioned tables (version dirs are the layout)")
+    // PARTITIONED BY (col, …): identity transforms on top-level columns
+    // only — Hive-style directory partitioning inside each version dir.
+    // Bucketing/expression transforms are a different layout (see
+    // Layout.bucketedTable for co-located joins) and fail loudly.
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"$catalogName: only PARTITIONED BY (column, …) identity partitioning " +
+            s"is supported; got $t")
+      val c = refs(0).fieldNames()(0)
+      schema.find(_.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+        s"$catalogName: partition column $c is not in the table schema")).name
+    }
+    require(partCols.distinct == partCols,
+      s"$catalogName: duplicate partition column in ${partCols.mkString(", ")}")
+    require(partCols.size < schema.size,
+      s"$catalogName: at least one non-partition column is required " +
+        "(a table of only partition columns has no data files to carry the schema)")
+    // Hive convention, enforced rather than silently reordered: partition
+    // columns LAST, in PARTITIONED BY order. Reordering here would break
+    // CTAS (Spark writes the query output BY POSITION against the schema
+    // this method returns) and partitioned reads reconstruct dir columns
+    // after file columns anyway — requiring the declaration to match
+    // keeps every version's column order identical
+    require(partCols.isEmpty ||
+        schema.fields.takeRight(partCols.size).map(_.name).toSeq == partCols,
+      s"$catalogName: partition columns must be the LAST table columns, in " +
+        s"PARTITIONED BY order — declare (or CTAS-select) " +
+        s"(${(schema.fieldNames.filterNot(partCols.contains) ++ partCols).mkString(", ")})")
     // fail loudly on clauses this layout cannot honor rather than
     // silently reinterpreting them; benign metadata (comment, owner)
     // passes through ignored
@@ -301,7 +345,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
     }
-    if (checks.nonEmpty) GraftCheck.store(tr, checks.toMap)
+    // layout + constraint properties land AFTER the publish wins the
+    // CREATE race — a loser must never write props into the winner's
+    // table. The v0 empty file carries all columns flat, so reads are
+    // whole before the props land; the spec governs v1+ writes.
+    val partProp =
+      if (partCols.isEmpty) Map.empty[String, String]
+      else Map(graft.ops.TableProps.PartitionKey ->
+        StructType(partCols.map(c => schema(c))).toDDL)
+    if (checks.nonEmpty || partProp.nonEmpty)
+      graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp)
     loadTable(ident)
   }
 

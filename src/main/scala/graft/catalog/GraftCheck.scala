@@ -1,8 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import graft.ops.{Expect, Sinks}
+import graft.ops.{Expect, Sinks, TableProps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
@@ -27,45 +25,26 @@ import org.apache.spark.sql.functions.expr
 private[graft] object GraftCheck {
   val Prefix = "check."
 
-  private def propsPath(root: String) = Paths.get(root, "_PROPS")
-
-  def load(root: String): Map[String, String] = {
-    val p = propsPath(root)
-    if (!Files.exists(p)) Map.empty
-    else {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(p)
-      try props.load(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
-    }
-  }
-
-  /** Atomically transform the stored property map under the table's
-    * commit lock — load, `f`, write, as one serialized step, so two
-    * concurrent ALTERs can never lose each other's constraint
-    * (load-modify-store outside the lock would). `f` may validate (scan
-    * the table) — holding the lock through validation serializes it
-    * against committing writers. A writer whose statement is already in
-    * flight when a constraint lands was gated by the rules it read at
-    * execution time; that window is the documented limit of data-only
-    * OCC (closing it needs metadata-transaction conflict detection à la
-    * Delta's protocol).
+  /** All stored table properties (constraints AND the partition spec) —
+    * storage lives in [[graft.ops.TableProps]]; this module owns only
+    * the `check.*` semantics. Concurrent-ALTER safety: `update` runs
+    * load-validate-store as one serialized step under the table's commit
+    * lock. A writer whose statement is already in flight when a
+    * constraint lands was gated by the rules it read at execution time;
+    * that window is the documented limit of data-only OCC (closing it
+    * needs metadata-transaction conflict detection à la Delta's
+    * protocol).
     */
+  def load(root: String): Map[String, String] = TableProps.load(root)
+
   def update(root: String)(f: Map[String, String] => Map[String, String]): Unit =
-    Sinks.withTableLock(root) {
-      val props = f(load(root))
-      val tmp = Paths.get(root, "_PROPS.tmp")
-      val jp = new java.util.Properties()
-      props.foreach { case (k, v) => jp.setProperty(k, v) }
-      val out = Files.newOutputStream(tmp)
-      try jp.store(out, null) finally out.close()
-      Files.move(tmp, propsPath(root), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    TableProps.update(root)(f)
 
   def store(root: String, props: Map[String, String]): Unit =
-    update(root)(_ => props)
+    TableProps.update(root)(old =>
+      // replace the constraint family only — never clobber layout
+      // properties (the partition spec) stored alongside
+      old.filterNot(_._1.startsWith(Prefix)) ++ props)
 
   /** SQL CHECK semantics: a constraint whose expression evaluates to
     * UNKNOWN (NULL) is SATISFIED — unlike [[Expect]]'s

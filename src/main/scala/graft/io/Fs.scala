@@ -24,4 +24,22 @@ object Fs {
     try s.toArray.toSeq.map(_.asInstanceOf[Path])
     finally s.close()
   }
+
+  /** Every `*.parquet` DATA file under `dir`, recursively — partition
+    * subdirectories (`col=val/`) included, the layout's own `_`/`.`
+    * prefixed sidecars (`_stats`, `_changes`, `_quarantine`, staging)
+    * excluded, exactly matching what a Spark read of the directory sees.
+    */
+  def walkParquet(dir: Path): Seq[Path] = {
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Seq[Path] =
+      listDir(p).flatMap { c =>
+        val name = c.getFileName.toString
+        if (hidden(name)) Nil
+        else if (Files.isDirectory(c)) walk(c)
+        else if (name.endsWith(".parquet")) Seq(c)
+        else Nil
+      }
+    if (Files.isDirectory(dir)) walk(dir) else Nil
+  }
 }

@@ -58,7 +58,44 @@ object Sinks {
   }
 
   def readCurrent(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(root))
+    readDir(spark, root, resolve(root))
+
+  /** True iff any `*.parquet` data file exists under `p` (recursively,
+    * partition dirs included; the layout's own `_`/`.`-prefixed sidecars
+    * excluded).
+    */
+  private[graft] def hasParquetFile(p: java.nio.file.Path): Boolean =
+    Fs.walkParquet(p).nonEmpty
+
+  /** One version directory as a DataFrame, with partition-column types
+    * pinned to the table's DECLARED types ([[TableProps.partitionSchema]])
+    * when the table is partitioned. Directory-name type inference is
+    * what it is fenced against: a STRING partition column holding
+    * `2024-01-08`-shaped values would otherwise come back as DATE (and
+    * `00123` as INT, silently dropping the leading zeros) — a schema
+    * corruption, not a cosmetic change. Unpartitioned tables read
+    * exactly as before.
+    */
+  private[graft] def readDir(spark: SparkSession, root: String, p: String): DataFrame =
+    readSchemaFor(spark, root, p) match {
+      case None => spark.read.parquet(p)
+      case Some(fixed) => spark.read.schema(fixed).parquet(p)
+    }
+
+  /** The full read schema of version dir `p` with declared partition
+    * types substituted — what a reader (or the catalog's user-specified
+    * schema) must pin so inference never rewrites partition types. None
+    * when the table is unpartitioned (let the reader infer as usual).
+    */
+  private[graft] def readSchemaFor(spark: SparkSession, root: String,
+      p: String): Option[org.apache.spark.sql.types.StructType] =
+    TableProps.partitionSchema(root).map { declared =>
+      val inferred = spark.read.parquet(p).schema
+      org.apache.spark.sql.types.StructType(inferred.map { f =>
+        declared.find(_.name.equalsIgnoreCase(f.name))
+          .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
+      })
+    }
 
   /** Snapshot versions present under `root`, ascending — the time-travel
     * inventory. Every listed version directory holds complete, immutable
@@ -102,7 +139,7 @@ object Sinks {
       throw new IllegalStateException(
         s"version $v does not exist under $root (available: ${listVersions(root).mkString(", ")})" +
           " — it may have been vacuumed by compaction")
-    spark.read.parquet(p)
+    readDir(spark, root, p)
   }
 
   /** Row-level change feed between two committed versions — what a
@@ -394,7 +431,27 @@ object Sinks {
     // rename itself removes `stage`, so the cleanup below is a no-op on
     // the success path.
     try {
-      df.write.mode("overwrite").parquet(stage.toString)
+      // a table created PARTITIONED BY carries its partition spec in the
+      // _PROPS sidecar — EVERY publish (SQL INSERT, DML rewrite, merge,
+      // ALTER, compaction) lays the version out Hive-partitioned without
+      // call-site cooperation, so partition pruning survives any writer
+      val pcols = TableProps.partitionCols(root)
+      if (pcols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
+      else {
+        df.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+        // an empty result under partitionBy writes no footer-bearing
+        // file (no partition dirs exist), which would lose the schema —
+        // land an empty FLAT file instead (partition cols in the file,
+        // exactly like an unpartitioned empty publish); readers see the
+        // same schema either way
+        if (!hasParquetFile(stage)) {
+          val spark = df.sparkSession
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+              df.schema)
+            .write.mode("overwrite").parquet(stage.toString)
+        }
+      }
       if (statsCols.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, statsCols)
       changeFeed.foreach { ch =>
         require(ch.columns.contains("_change_type"),
@@ -496,9 +553,18 @@ object Sinks {
         Stats.sidecar(spark, live).select("col").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       else Nil
-    val base = spark.read.parquet(live)
+    val base = readDir(spark, root, live)
+    val pcols = TableProps.partitionCols(root)
     val rewritten =
-      if (statsCols.isEmpty) base.repartition(nFiles)
+      if (statsCols.isEmpty && pcols.nonEmpty) {
+        // partitioned table: cluster the rewrite BY the partition columns
+        // so each task holds whole partition values — a round-robin
+        // repartition would make every task write a sliver into every
+        // partition dir, multiplying small files instead of merging them
+        import org.apache.spark.sql.functions.col
+        base.repartition(nFiles, pcols.map(col): _*)
+      }
+      else if (statsCols.isEmpty) base.repartition(nFiles)
       else {
         import org.apache.spark.sql.functions.col
         base.repartitionByRange(nFiles, statsCols.map(col): _*)
@@ -580,9 +646,8 @@ object Sinks {
 
   /** ceil(total parquet bytes / target), from file metadata only. */
   private def fileCount(dir: Path, targetBytes: Long): Int = {
-    val totalBytes = Fs.listDir(dir)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    // recursive: partitioned versions nest data files under col=val/ dirs
+    val totalBytes = Fs.walkParquet(dir).map(Files.size).sum
     math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
   }
 }

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
   * three comparison domains (integer-family → `lo_l/hi_l`, float-family →
   * `lo_d/hi_d`, string → `lo_s/hi_s`; exactly one pair is populated when
   * `has_stats`). `rows`/`nulls` let an all-null file be skipped outright.
-  * `file` is the BASENAME: the sidecar is written in the publish staging
-  * directory and must stay valid after the commit renames it to v<N>.
+  * `file` is the path RELATIVE to the version directory (= the basename
+  * for flat layouts, `col=val/part-….parquet` for partitioned ones): the
+  * sidecar is written in the publish staging directory and must stay
+  * valid after the commit renames it to v<N>, and a basename alone would
+  * COLLIDE across partition directories — one task writing several
+  * partitions reuses its part-file name in each.
   */
 case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     has_stats: Boolean,
@@ -67,8 +71,12 @@ object Stats {
   def annotate(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     import spark.implicits._
-    val files = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
-      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    // recursive: a partitioned version nests its files under col=val/
+    // dirs; sidecars are _-prefixed and excluded by the walk. Each file
+    // travels with its dir-relative sidecar key (computed driver-side —
+    // executors must not re-derive it from a path they didn't list)
+    val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+      .map(p => (p.toString, relKey(dir, p.toString))).sorted
     val colSet = cols
     // the session's effective Hadoop conf must travel to the executors
     // (s3a credentials, fs.<scheme>.impl, defaultFS live there — a bare
@@ -84,15 +92,22 @@ object Stats {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confKV.foreach { case (k, v) => conf.set(k, v) }
-        it.flatMap { f => footerStats(f, colSet, conf) }
+        it.flatMap { case (f, key) => footerStats(f, key, colSet, conf) }
       }
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")
   }
 
+  /** Sidecar key of `file` under version dir `dir`: the dir-relative
+    * path. Files always come from a walk of `dir` itself, so plain
+    * prefix-stripping is exact (no symlink/normalization drift).
+    */
+  private def relKey(dir: String, file: String): String =
+    file.stripPrefix(dir).stripPrefix("/")
+
   /** Footer stats of one file, merged across its row groups. Runs on an
     * executor; pure parquet-mr metadata API.
     */
-  private def footerStats(file: String, cols: Seq[String],
+  private def footerStats(file: String, name: String, cols: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Seq[FileColStat] = {
     import org.apache.parquet.column.statistics._
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -100,7 +115,6 @@ object Stats {
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
-    val name = java.nio.file.Paths.get(file).getFileName.toString
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       cols.map { c =>
@@ -183,8 +197,8 @@ object Stats {
     */
   def prunedFiles(spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any): Seq[String] = {
-    val all = graft.io.Fs.listDir(java.nio.file.Paths.get(dir))
-      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+      .map(_.toString).sorted
     // no sidecar at all (a version published without statsCols, e.g. a
     // plain merge) degrades to the full file list — same conservative
     // contract as a missing per-file stats row, never an error
@@ -195,7 +209,7 @@ object Stats {
         r.getAs[String]("file") -> r
       }.toMap
     all.filter { f =>
-      side.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+      side.get(f.stripPrefix(dir).stripPrefix("/")) match {
         case None => true // no stats row → cannot prune
         case Some(r) =>
           if (!r.getAs[Boolean]("has_stats")) true
@@ -243,7 +257,10 @@ object Stats {
     if (files.isEmpty) {
       val schema = spark.read.parquet(dir).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(files: _*).filter(pred)
+    } else
+      // basePath keeps partition-dir columns in scope when the surviving
+      // files are addressed individually (no-op for flat layouts)
+      spark.read.option("basePath", dir).parquet(files: _*).filter(pred)
   }
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table

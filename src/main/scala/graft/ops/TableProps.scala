@@ -1,0 +1,77 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.types.StructType
+
+/** Table-level properties for the [[Sinks]] versioned layout, persisted
+  * as a `_PROPS` sidecar at the table root (a reserved layout name — it
+  * can never collide with a table and moves or dies with the table's
+  * directory on RENAME/DROP). Two property families ride here:
+  *
+  *  - `check.<name>` — SQL CHECK constraints ([[graft.catalog.GraftCheck]])
+  *  - `graft.partition` — the table's partition columns as a DDL string
+  *    (e.g. `event_type STRING`), set once at CREATE TABLE and never
+  *    altered: [[Sinks.publishVersioned]] reads it so EVERY publish —
+  *    SQL INSERT, DML commands, merges, ALTER, compaction — lays the new
+  *    version out Hive-partitioned without call-site cooperation, and
+  *    readers pin the declared column types so directory-name type
+  *    inference can never rewrite a string column into a date/int.
+  */
+private[graft] object TableProps {
+
+  /** Partition spec property: DDL of the partition columns, in declared
+    * partition order.
+    */
+  val PartitionKey = "graft.partition"
+
+  private def propsPath(root: String) = Paths.get(root, "_PROPS")
+
+  def load(root: String): Map[String, String] = {
+    val p = propsPath(root)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+    }
+  }
+
+  /** Atomically transform the stored property map under the table's
+    * commit lock — load, `f`, write, as one serialized step, so two
+    * concurrent writers can never lose each other's update. `f` may
+    * validate (scan the table) — holding the lock through validation
+    * serializes it against committing writers.
+    */
+  def update(root: String)(f: Map[String, String] => Map[String, String]): Unit = {
+    // same first step as publishVersioned: the lock file lives in the
+    // table dir, which a declare-props-then-publish API caller has not
+    // created yet
+    Files.createDirectories(Paths.get(root))
+    Sinks.withTableLock(root) {
+      val props = f(load(root))
+      val tmp = Paths.get(root, "_PROPS.tmp")
+      val jp = new java.util.Properties()
+      props.foreach { case (k, v) => jp.setProperty(k, v) }
+      val out = Files.newOutputStream(tmp)
+      try jp.store(out, null) finally out.close()
+      Files.move(tmp, propsPath(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def store(root: String, props: Map[String, String]): Unit =
+    update(root)(_ => props)
+
+  /** The table's declared partition columns (schema fragment, in
+    * partition order), if the table was created `PARTITIONED BY`.
+    */
+  def partitionSchema(root: String): Option[StructType] =
+    load(root).get(PartitionKey).map(StructType.fromDDL)
+
+  /** Partition column names, in declared order; empty when unpartitioned. */
+  def partitionCols(root: String): Seq[String] =
+    partitionSchema(root).map(_.fieldNames.toSeq).getOrElse(Nil)
+}

@@ -209,6 +209,25 @@ object ScanOps extends QueryModule {
           round(sum(cents) / 100.0, 2).as("revenue"))
         .orderBy("o_orderpriority")
     }),
+
+    // PARTITIONED BY catalog table end to end: events CTAS'd through the
+    // SQL door into a Hive-partitioned versioned table (partition spec in
+    // the _PROPS sidecar — every later publish re-lays it), then read
+    // back with a partition-column predicate that prunes DIRECTORIES at
+    // planning (CatalogSpec plan-asserts PartitionFilters; at 100 TB this
+    // is the first and cheapest pruning tier, ahead of file stats and
+    // row-group stats). The oracle recomputes from the raw fixture, so a
+    // hash match proves the partitioned round-trip value-lossless.
+    "q_catalog_partitioned" -> ((s, dir) => {
+      val cat = partitionedCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value
+           |FROM $cat.events_part
+           |WHERE event_type IN ('click', 'purchase')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
   )
 
   /** Write (once per sf dir) and return the date-partitioned events copy.
@@ -281,6 +300,41 @@ object ScanOps extends QueryModule {
     * v1 = keys <20 kept (regionkey+1 for keys <5) plus one inserted row.
     * Returns the TABLE root (not the warehouse root).
     */
+  /** Per-sf-dir catalog whose `events_part` table is the events fixture
+    * CTAS'd `PARTITIONED BY (event_type)` through the SQL door (v0 =
+    * empty CREATE, v1 = the CTAS data, Hive-partitioned). Returns the
+    * catalog name. Rebuilt when the fixture regenerates.
+    */
+  def partitionedCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Sinks, TableProps}
+    val wh = "/tmp/graft_ptwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // catalog name is PER SF DIR (Spark snapshots catalog options at
+    // first use — same reasoning as q_catalog_timetravel)
+    val cat = "graftpt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/events_part"
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "events"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L) &&
+      TableProps.partitionCols(tbl) == Seq("event_type") &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(tbl, 1L))).toMillis >= srcMtime
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(tbl))
+      // partition column last (the catalog enforces the Hive convention)
+      Tables.events(s, dir).select("event_id", "user_id", "value", "event_type")
+        .createOrReplaceTempView("graft_events_part_src")
+      s.sql(
+        s"""CREATE TABLE $cat.events_part USING parquet
+           |PARTITIONED BY (event_type)
+           |AS SELECT * FROM graft_events_part_src""".stripMargin)
+    }
+    cat
+  }
+
   def cdfWarehouse(s: SparkSession, dir: String): String = this.synchronized {
     import java.nio.file.{Files, Paths}
     import graft.ops.Sinks
@@ -446,6 +500,14 @@ object ScanOps extends QueryModule {
 
     "q_table_changes" -> tableChangesOracle,
     "q_table_changes_sql" -> tableChangesOracle,
+
+    "q_catalog_partitioned" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   ) ++ oracles2
 
   /** Shared by the Scala-API read (q_table_changes) and the SQL TVF

@@ -595,4 +595,76 @@ class CatalogSpec extends AnyFunSuite {
     assert(!readSchema.contains("n_name"),
       s"column pruning missing — unprojected n_name still read: $readSchema")
   }
+
+  test("PARTITIONED BY: Hive layout per version, pruned scans, declared types survive") {
+    root
+    spark.sql("""CREATE TABLE graft.pt (id INT, v DOUBLE, day STRING)
+                |USING parquet PARTITIONED BY (day)""".stripMargin)
+    try {
+      spark.sql("""INSERT INTO graft.pt VALUES
+                  |(1, 1.5, '2024-01-01'), (2, 2.5, '2024-01-01'),
+                  |(3, 3.5, '2024-01-02'), (4, 4.5, '00123')""".stripMargin)
+      // the inference trap: date-shaped and leading-zero values come back
+      // as the DECLARED string type, not DATE / INT 123
+      val df = spark.sql("SELECT * FROM graft.pt")
+      assert(df.schema("day").dataType == org.apache.spark.sql.types.StringType,
+        s"partition column type rewritten by inference: ${df.schema.simpleString}")
+      assert(df.where("day = '00123'").select("id").head().getInt(0) == 4)
+      assert(df.count() == 4)
+      // the version dir is genuinely Hive-partitioned
+      val wh = spark.conf.get("spark.sql.catalog.graft.root")
+      val v1 = Paths.get(s"$wh/pt/v1")
+      assert(Files.isDirectory(v1.resolve("day=2024-01-01")),
+        "INSERT did not lay the version out by partition column")
+      // and the partition filter reaches the scan (directory pruning)
+      val plan = spark.sql("SELECT id FROM graft.pt WHERE day = '2024-01-01'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("day"),
+        s"partition filter did not reach the scan:\n$plan")
+      assert(spark.sql("SELECT id FROM graft.pt WHERE day = '2024-01-01'").count() == 2)
+      // DESCRIBE surfaces the partitioning
+      val desc = spark.sql("DESCRIBE TABLE graft.pt").collect().map(_.getString(0))
+      assert(desc.contains("# Partition Information") && desc.count(_ == "day") == 2,
+        s"partitioning missing from DESCRIBE: ${desc.mkString(", ")}")
+    } finally spark.sql("DROP TABLE graft.pt")
+  }
+
+  test("partitioned tables: DML, ALTER, and time travel keep the layout and the types") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("""CREATE TABLE graft.pt2 (id INT, v DOUBLE, day STRING)
+                |USING parquet PARTITIONED BY (day)""".stripMargin)
+    try {
+      spark.sql("""INSERT INTO graft.pt2 VALUES
+                  |(1, 1.5, '2024-01-01'), (2, 2.5, '2024-01-02')""".stripMargin)
+      // UPDATE rewrites through the same publish → still partitioned
+      spark.sql("UPDATE graft.pt2 SET v = v * 2 WHERE day = '2024-01-01'")
+      assert(Files.isDirectory(Paths.get(s"$wh/pt2/v2/day=2024-01-01")),
+        "UPDATE lost the partitioned layout")
+      assert(spark.sql("SELECT v FROM graft.pt2 WHERE id = 1").head().getDouble(0) == 3.0)
+      // MERGE too
+      spark.sql("""MERGE INTO graft.pt2 t USING (SELECT 9 AS id, 9.0 AS v,
+                  |'2024-01-03' AS day) s ON t.id = s.id
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(Files.isDirectory(Paths.get(s"$wh/pt2/v3/day=2024-01-03")),
+        "MERGE lost the partitioned layout")
+      // ADD COLUMNS evolves; partition dirs survive; old versions travel
+      spark.sql("ALTER TABLE graft.pt2 ADD COLUMNS (note STRING)")
+      assert(Files.isDirectory(Paths.get(s"$wh/pt2/v4/day=2024-01-02")),
+        "ADD COLUMNS lost the partitioned layout")
+      assert(spark.sql("SELECT * FROM graft.pt2").columns.contains("note"))
+      val v1 = spark.sql("SELECT * FROM graft.pt2 VERSION AS OF 1")
+      assert(v1.count() == 2 && !v1.columns.contains("note"))
+      assert(v1.schema("day").dataType == org.apache.spark.sql.types.StringType)
+      // CTAS with PARTITIONED BY in one statement
+      spark.sql("""CREATE TABLE graft.pt3 USING parquet PARTITIONED BY (day)
+                  |AS SELECT id, v, day FROM graft.pt2""".stripMargin)
+      try {
+        assert(spark.sql("SELECT * FROM graft.pt3").count() == 3)
+        assert(graft.io.Fs.listDir(Paths.get(s"$wh/pt3/v1"))
+          .exists(_.getFileName.toString.startsWith("day=")),
+          "CTAS did not partition the data version")
+      } finally spark.sql("DROP TABLE graft.pt3")
+    } finally spark.sql("DROP TABLE graft.pt2")
+  }
 }

@@ -207,4 +207,43 @@ class SkippingSpec extends AnyFunSuite {
     // file's min in UTF-8 order skips the file
     assert(Stats.prunedFiles(spark, dir, "s", "a", "b").isEmpty)
   }
+
+  test("stats skipping composes with Hive-partitioned versions (relative sidecar keys)") {
+    import spark.implicits._
+    val root = tmp("skip_part") + "/t"
+    // partitioned table: partition dirs REUSE part-file basenames across
+    // directories, so sidecar keys must be dir-relative paths — a
+    // basename-keyed sidecar would collide and could mis-prune
+    graft.ops.TableProps.store(root, Map(
+      graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    val df = (0L until 400L).map(i => (i, s"p$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "payload", "cat")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, root, None, statsCols = Seq("k"))
+    val live = Sinks.resolve(root)
+    // layout sanity: partition dirs exist, files nest under them
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live, "cat=a")))
+    val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live))
+    assert(files.nonEmpty && files.forall(f =>
+      f.getParent.getFileName.toString.startsWith("cat=")))
+    // basenames DO collide across partition dirs here (each range task
+    // writes both categories) — the scenario the relative key exists for
+    val byBase = files.groupBy(_.getFileName.toString)
+    assert(byBase.exists(_._2.size > 1),
+      "fixture no longer reproduces colliding basenames; rework the test")
+    // every file has its own stats row under its relative key
+    val side = Stats.sidecar(spark, live)
+    assert(side.select("file").distinct().count() == files.size)
+    // pruning opens only the low-range files; results match a full scan
+    val pruned = Stats.prunedFiles(spark, live, "k", 0L, 50L)
+    assert(pruned.nonEmpty && pruned.size < files.size,
+      s"no pruning happened: ${pruned.size} of ${files.size}")
+    val viaStats = Stats.readCurrentWhere(spark, root, "k", 0L, 50L)
+    // partition columns survive the per-file read (basePath)
+    assert(viaStats.columns.contains("cat"))
+    val full = Sinks.readCurrent(spark, root).filter(col("k").between(0, 50))
+    assert(viaStats.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+  }
 }
