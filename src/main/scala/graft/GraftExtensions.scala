@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_changes"),
       new ExpressionInfo(graft.catalog.TableChangesTvf.getClass.getName, "table_changes"),
       (exprs: Seq[Expression]) => graft.catalog.TableChangesTvf.plan(exprs)))
+    // version inventory as a SQL table function (DESCRIBE HISTORY analog)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_history"),
+      new ExpressionInfo(graft.catalog.TableHistoryTvf.getClass.getName, "table_history"),
+      (exprs: Seq[Expression]) => graft.catalog.TableHistoryTvf.plan(exprs)))
   }
 }

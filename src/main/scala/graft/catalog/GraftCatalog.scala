@@ -6,7 +6,8 @@ import java.util
 import graft.ops.Sinks
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -53,7 +54,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * next version — correctness-first at this scale; bulk appends and CDC
   * belong on [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -532,6 +533,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
       s"$catalogName: namespaces carry no metadata to alter")
+
+  // ---- stored procedures: CALL <catalog>.system.<proc>(...) ----
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq(GraftProcedures.Namespace) ||
+        ident.name() != "compact")
+      throw new RuntimeException(
+        s"$catalogName: unknown procedure $ident (available: " +
+          s"${GraftProcedures.Namespace}.compact)")
+    new GraftProcedures.Compact(tbl => {
+      val parts = tbl.split("\\.").toSeq
+      val id = Identifier.of(parts.init.toArray, parts.last)
+      val tr = tableRoot(id) // same reserved-name/traversal guards as reads
+      if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(id)
+      tr
+    })
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq(GraftProcedures.Namespace))
+      Array(Identifier.of(namespace, "compact"))
+    else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     // namespaceExists validates every segment (nsPath), so a traversal

@@ -1,0 +1,70 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance stored procedures for [[GraftCatalog]] — the SQL `CALL`
+  * door (Spark 4 `ProcedureCatalog`, the Iceberg `system.*` convention)
+  * for operations that mutate table LAYOUT rather than table contents:
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'events_part',
+  *                             target_mb => 128, retain_versions => 2)
+  * }}}
+  *
+  * `compact` is [[graft.ops.Sinks.compactVersioned]]: rewrite the live
+  * version to target-size files (clustered by stats columns or partition
+  * columns, so skipping and partitioning survive the rewrite), then
+  * vacuum versions below the new base beyond `retain_versions`. Runs
+  * through the same OCC commit as every writer — a concurrent publish
+  * fails the CALL, never corrupts. Returns one row `(table,
+  * new_version)` so scripts can chain on the result.
+  */
+private[graft] object GraftProcedures {
+
+  val Namespace = "system"
+
+  /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
+    * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
+    * validated table root — supplied by the catalog so every identifier
+    * guard (reserved names, traversal) applies to CALL too.
+    */
+  final class Compact(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the live version to target-size files and vacuum versions " +
+        "beyond the retention window"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("128")
+        .comment("target output file size, megabytes").build(),
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0")
+        .comment("versions below the new base to keep time-travelable").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val targetMb = input.getInt(1)
+      val retain = input.getInt(2)
+      require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+      val root = resolveRoot(table)
+      val v = graft.ops.Sinks.compactVersioned(SparkSession.active, root,
+        targetMb.toLong * 1024 * 1024, retain)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+}

@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
   */
 object TableChangesTvf {
 
-  private def stringArg(e: Expression, what: String): String = {
+  private[graft] def stringArg(e: Expression, what: String): String = {
     require(e.foldable, s"table_changes: $what must be a literal, got ${e.sql}")
     val v = e.eval()
     require(v != null, s"table_changes: $what must not be NULL")
@@ -70,5 +70,22 @@ object TableChangesTvf {
     val toV = longArg(exprs(2), "toVersion")
     val keys = exprs.drop(3).zipWithIndex.map { case (e, i) => stringArg(e, s"keyCol ${i + 1}") }
     Sinks.changesBetween(spark, root, fromV, toV, keys).queryExecution.analyzed
+  }
+}
+
+/** `table_history(table)` — the DESCRIBE HISTORY analog as a TVF: one
+  * row per RETAINED version (`version`, `committed_at`, `is_current`),
+  * straight from [[Sinks.history]]. Same table-argument contract as
+  * [[TableChangesTvf]]: a catalog-qualified name resolves through the
+  * live catalog (with all its hardening), a `/`-bearing string is a
+  * table-root path.
+  */
+object TableHistoryTvf {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "table_history(table)")
+    val spark = SparkSession.active
+    val root = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs.head, "table"))
+    Sinks.history(spark, root).queryExecution.analyzed
   }
 }

@@ -508,6 +508,47 @@ class CatalogSpec extends AnyFunSuite {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("CALL graft.system.compact rewrites the live version and vacuums history") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.cmp (k INT, v DOUBLE)")
+    try {
+      // three INSERTs → v1..v3, each with its own small files
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO graft.cmp VALUES ($i, $i.5), (${i * 10}, $i.25)"))
+      assert(Sinks.listVersions(s"$wh/cmp") == Seq(0L, 1L, 2L, 3L))
+      val res = spark.sql(
+        "CALL graft.system.compact(table => 'cmp', retain_versions => 1)").collect()
+      // the procedure reports the version it published
+      assert(res.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("cmp", 4L)))
+      // data intact, file count collapsed to the target (1 at this size)
+      assert(spark.sql("SELECT sum(k) FROM graft.cmp").head().getLong(0) == 6 + 60)
+      assert(graft.io.Fs.walkParquet(
+        java.nio.file.Paths.get(s"$wh/cmp/v4")).size == 1)
+      // retention: base v3 + 1 retained version survive, older vacuumed
+      assert(Sinks.listVersions(s"$wh/cmp") == Seq(2L, 3L, 4L))
+      // unknown procedures and traversal table args fail loudly
+      intercept[Exception](spark.sql("CALL graft.system.nope()"))
+      intercept[Exception](
+        spark.sql("CALL graft.system.compact(table => '../cmp')"))
+    } finally spark.sql("DROP TABLE graft.cmp")
+  }
+
+  test("table_history TVF lists retained versions with the current flag") {
+    root
+    val h = spark.sql("SELECT * FROM table_history('graft.t1') ORDER BY version")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(h.map(r => r.getBoolean(2)).toSeq == Seq(false, true))
+    // composes with SQL around it — the time-travel join everyone writes:
+    // count rows at every retained version
+    val counts = spark.sql(
+      """SELECT version, (SELECT count(*) FROM graft.t1 VERSION AS OF 0) AS n0
+        |FROM table_history('graft.t1') WHERE is_current
+        |""".stripMargin).collect()
+    assert(counts.length == 1 && counts(0).getLong(0) == 1L)
+  }
+
   test("CHECK constraints: SET validates existing data, then gates INSERT/UPDATE/MERGE") {
     root
     spark.sql("CREATE TABLE graft.ck (k INT, v DOUBLE)")
@@ -594,6 +635,21 @@ class CatalogSpec extends AnyFunSuite {
       .getOrElse(fail(s"no ReadSchema in plan:\n$pruned"))
     assert(!readSchema.contains("n_name"),
       s"column pruning missing — unprojected n_name still read: $readSchema")
+  }
+
+  test("small catalog tables broadcast WITHOUT hints (size statistics reach the planner)") {
+    root
+    // join a large fixture against the 3-row catalog table, no hint: the
+    // delegated v2 parquet scan reports its file-size statistics, so the
+    // planner must pick a broadcast join on its own — at 100 TB this is
+    // what keeps dimension joins shuffle-free without per-query hints
+    val big = graft.io.Tables.nation(spark, sf001)
+    val small = spark.table("graft.t1")
+    val joined = big.join(small, big("n_regionkey") === small("r_regionkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small catalog table was not auto-broadcast:\n$plan")
+    assert(joined.count() > 0)
   }
 
   test("PARTITIONED BY: Hive layout per version, pruned scans, declared types survive") {
