@@ -198,7 +198,36 @@ object Stress {
       System.err.println(s"[stress] skipping leg failed: $e")
       Seq("skip_files_opened" -> (-1L, -1.0))
     }
-    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes
+    // Partitioned-table leg: publish the factor×100k-row events as a
+    // Hive-partitioned versioned table (partition spec in _PROPS — the
+    // same path every catalog writer takes), then the partition-pruned
+    // aggregate vs the full-table aggregate — the directory-pruning gap
+    // partitioning exists to buy at 100 TB.
+    val partTimes = try {
+      import graft.ops.{Sinks, TableProps}
+      val root = s"$out/events_part"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      TableProps.store(root, Map(TableProps.PartitionKey -> "event_type STRING"))
+      val ev = Tables.events(spark, out)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      val (_, tPub) = timed {
+        Sinks.publishVersioned(ev, root, None); 0L
+      }
+      val (nPruned, tPruned) = timed(
+        Sinks.readCurrent(spark, root).filter(col("event_type") === "click")
+          .agg(count(lit(1)), sum("value")).count())
+      val (_, tFull) = timed(
+        Sinks.readCurrent(spark, root)
+          .groupBy("event_type").agg(count(lit(1)), sum("value")).count())
+      System.err.println(
+        s"[stress] partitioned: publish=$tPub pruned_agg=$tPruned full_agg=$tFull")
+      Seq("part_publish" -> (0L, tPub),
+        "part_pruned_agg" -> (nPruned, tPruned), "part_full_agg" -> (0L, tFull))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] partitioned leg failed: $e")
+      Seq("part_publish" -> (-1L, -1.0))
+    }
+    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

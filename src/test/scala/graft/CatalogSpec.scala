@@ -682,6 +682,13 @@ class CatalogSpec extends AnyFunSuite {
       val desc = spark.sql("DESCRIBE TABLE graft.pt").collect().map(_.getString(0))
       assert(desc.contains("# Partition Information") && desc.count(_ == "day") == 2,
         s"partitioning missing from DESCRIBE: ${desc.mkString(", ")}")
+      // static partition INSERT (Spark rewrites it into a projection)
+      spark.sql("INSERT INTO graft.pt PARTITION (day='2024-02-01') VALUES (5, 5.5)")
+      assert(spark.sql("SELECT id FROM graft.pt WHERE day = '2024-02-01'")
+        .head().getInt(0) == 5)
+      // SHOW CREATE TABLE round-trips schema + partitioning
+      val ddl = spark.sql("SHOW CREATE TABLE graft.pt").head().getString(0)
+      assert(ddl.contains("PARTITIONED BY (day)"), s"partitioning lost in DDL:\n$ddl")
     } finally spark.sql("DROP TABLE graft.pt")
   }
 
