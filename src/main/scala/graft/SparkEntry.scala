@@ -34,14 +34,16 @@ object SparkEntry {
     * operators (word-count, cosine top-k, MinHash LSH), round-5's MERGE
     * upsert and the SQL-door Q1 twin, round-6's oracled IVF search, and
     * round-7's table-layout surfaces (stats-pruned scan, bucketed
-    * co-located join, incremental MV refresh read) — each new surface
-    * measured under the driver's bench too.
+    * co-located join, incremental MV refresh read), and round-8's
+    * partition-pruned catalog read — each new surface measured under
+    * the driver's bench too.
     */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
     "q_tumbling_window", "q_distinct_users",
     "q_word_count", "q_cosine_topk", "q_minhash_lsh",
     "q_merge_upsert", "q_sql_pricing", "q_ann_ivf_fixed",
-    "q_stats_skipping", "q_bucketed_join", "q_mview_incremental")
+    "q_stats_skipping", "q_bucketed_join", "q_mview_incremental",
+    "q_catalog_partitioned")
     .filter(queries.contains)
 }
