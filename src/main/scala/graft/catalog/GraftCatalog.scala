@@ -537,23 +537,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // ---- stored procedures: CALL <catalog>.system.<proc>(...) ----
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    if (ident.namespace().toSeq != Seq(GraftProcedures.Namespace) ||
-        ident.name() != "compact")
-      throw new RuntimeException(
-        s"$catalogName: unknown procedure $ident (available: " +
-          s"${GraftProcedures.Namespace}.compact)")
-    new GraftProcedures.Compact(tbl => {
+    // every procedure resolves table arguments through tableRoot, so the
+    // reserved-name/traversal guards apply to CALL like any read
+    def resolve(tbl: String): String = {
       val parts = tbl.split("\\.").toSeq
       val id = Identifier.of(parts.init.toArray, parts.last)
-      val tr = tableRoot(id) // same reserved-name/traversal guards as reads
+      val tr = tableRoot(id)
       if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(id)
       tr
-    })
+    }
+    if (ident.namespace().toSeq != Seq(GraftProcedures.Namespace))
+      throw new RuntimeException(s"$catalogName: unknown procedure $ident")
+    ident.name() match {
+      case "compact" => new GraftProcedures.Compact(resolve)
+      case "restore" => new GraftProcedures.Restore(resolve)
+      case other => throw new RuntimeException(
+        s"$catalogName: unknown procedure $other (available: " +
+          s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore)")
+    }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
-      Array(Identifier.of(namespace, "compact"))
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -67,4 +67,39 @@ private[graft] object GraftProcedures {
       java.util.Collections.singletonList(result).iterator()
     }
   }
+
+  /** `system.restore(table, version)` — rewind the table to a retained
+    * snapshot by republishing it as a NEW version
+    * ([[graft.ops.Sinks.restoreVersion]]: hardlinked, O(metadata), an
+    * ordinary OCC commit — the bad versions stay time-travelable until
+    * vacuumed). The `RESTORE TABLE ... TO VERSION AS OF` analog.
+    */
+  final class Restore(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "republish a retained version as the new current (time-travel rewind)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained version to restore to").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val version = input.getLong(1)
+      val root = resolveRoot(table)
+      val v = graft.ops.Sinks.restoreVersion(SparkSession.active, root, version)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
 }

@@ -469,35 +469,45 @@ object Sinks {
       // the single commit point for data + stats + feed + quarantine
       quarantine.foreach(_.write.mode("overwrite")
         .parquet(s"$stage/$QuarantineSidecar"))
-      withCommitLock(root) {
-        val cur = currentVersion(root)
-        if (cur != expected) {
-          throw new java.util.ConcurrentModificationException(
-            s"$root moved to ${cur.fold("absent")("v" + _)} while this writer " +
-              s"was basing on ${expected.fold("absent")("v" + _)}; " +
-              "recompute against the new current and retry")
-        }
-        // allocate past any orphan left by a crash between rename and flip
-        var next = cur.map(_ + 1).getOrElse(0L)
-        while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
-        Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
-        // stamp the COMMIT instant: rename preserves the staging-write
-        // mtime, which can predate the commit by however long this
-        // writer waited on the lock — TIMESTAMP AS OF resolves by this
-        // mtime (GraftCatalog), so it must be the visibility time, not
-        // the write time
-        Files.setLastModifiedTime(Paths.get(versionPath(root, next)),
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        val tmp = Paths.get(root, s"$Pointer.tmp")
-        Files.write(tmp, next.toString.getBytes("UTF-8"))
-        Files.move(tmp, Paths.get(root, Pointer),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        next
-      }
+      commitStaged(root, stage, expected)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
   }
+
+  /** The commit half every versioned writer shares: check the table is
+    * still at `expected`, allocate the next free version, rename
+    * stage → v<N>, stamp the commit instant, flip the pointer, and — when
+    * the table has a streaming feed directory — reconcile it. All under
+    * the commit lock.
+    */
+  private def commitStaged(root: String, stage: Path, expected: Option[Long]): Long =
+    withCommitLock(root) {
+      val cur = currentVersion(root)
+      if (cur != expected) {
+        throw new java.util.ConcurrentModificationException(
+          s"$root moved to ${cur.fold("absent")("v" + _)} while this writer " +
+            s"was basing on ${expected.fold("absent")("v" + _)}; " +
+            "recompute against the new current and retry")
+      }
+      // allocate past any orphan left by a crash between rename and flip
+      var next = cur.map(_ + 1).getOrElse(0L)
+      while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
+      Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
+      // stamp the COMMIT instant: rename preserves the staging-write
+      // mtime, which can predate the commit by however long this
+      // writer waited on the lock — TIMESTAMP AS OF resolves by this
+      // mtime (GraftCatalog), so it must be the visibility time, not
+      // the write time
+      Files.setLastModifiedTime(Paths.get(versionPath(root, next)),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      val tmp = Paths.get(root, s"$Pointer.tmp")
+      Files.write(tmp, next.toString.getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(root, Pointer),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      reconcileFeedLocked(root)
+      next
+    }
 
   /** JVM mutex + cross-process file lock around the commit. (On an
     * object store this becomes the conditional PUT of the table format.)
@@ -514,6 +524,238 @@ object Sinks {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     try { val lock = ch.lock(); try body finally lock.release() }
     finally ch.close()
+  }
+
+  // ---------- O(delta) appends and linked publishes ----------
+  //
+  // A snapshot publish rewrites the whole table per commit — correct,
+  // but O(table) even when the commit adds one row. Appends instead
+  // CARRY the live version's immutable data files into the new version
+  // by hardlink (same inode, no data movement) and write only the new
+  // rows; on an object store / table format this carry-over step is the
+  // manifest re-reference Delta and Iceberg logs perform, and hardlinks
+  // are its local-filesystem spelling. Readers are unchanged: every
+  // version directory still reads as a complete snapshot, time travel
+  // and vacuum keep working (the filesystem refcounts shared inodes, so
+  // deleting an old version dir never invalidates a newer one).
+
+  /** Marker file a streaming writer stamps into versions it commits
+    * ([[graft.ops.TableStream.streamTo]] restart dedupe). Content:
+    * `<writer-tag>:<batch-id>`.
+    */
+  private[graft] val BatchIdFile = "_BATCHID"
+
+  /** Publish `df` as the next version by APPEND: new rows are written,
+    * the `expected` live version's data files are carried over by
+    * hardlink, and the commit runs through the same OCC protocol as
+    * [[publishVersioned]]. O(appended rows), not O(table).
+    *
+    * Contract: `df`'s schema must match the live version's (same names
+    * and compatible types, any column order — columns are realigned to
+    * the table's order before the write). Appends are not schema
+    * evolution; evolving writers go through [[Merge.applyTo]]. With
+    * `expected = None` the append creates the table (nothing to carry).
+    *
+    * `statsCols`: footer stats are computed for the NEW files only and
+    * the prior version's `_stats` sidecar rows are carried alongside —
+    * the skipping metadata stays O(delta) per commit too. If the prior
+    * version has no sidecar its files simply stay unpruned (conservative
+    * keep), never a wrong answer.
+    *
+    * `emitFeed`: persist the appended rows as this commit's `_changes`
+    * sidecar (all `insert`, the append CDF). The feed rows are READ BACK
+    * from the staged data files rather than recomputed from `df`, so a
+    * non-deterministic input (sampling, unstable limits) cannot make the
+    * committed feed disagree with the committed data.
+    *
+    * `batchTag`: provenance marker for streaming writers (see
+    * [[BatchIdFile]]).
+    */
+  def appendVersioned(df: DataFrame, root: String, expected: Option[Long],
+      statsCols: Seq[String] = Nil, emitFeed: Boolean = false,
+      batchTag: Option[String] = None): Long = {
+    Files.createDirectories(Paths.get(root))
+    val spark = df.sparkSession
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      val pcols = TableProps.partitionCols(root)
+      // align to the live schema: same column set and order, or fail loudly
+      val aligned = expected match {
+        case None => df
+        // an expected version whose dir is gone (never existed, or
+        // vacuumed) cannot be aligned against — skip straight to the
+        // commit check, which reports it as the CME it is
+        case Some(v) if !Files.exists(Paths.get(versionPath(root, v))) => df
+        case Some(v) =>
+          val live = readDir(spark, root, versionPath(root, v)).schema
+          val missing = live.fieldNames.filterNot(df.columns.contains)
+          val extra = df.columns.filterNot(live.fieldNames.contains)
+          require(missing.isEmpty && extra.isEmpty,
+            s"append schema mismatch vs v$v (missing: ${missing.mkString(", ")}; " +
+              s"extra: ${extra.mkString(", ")}) — appends are not schema " +
+              "evolution, use Merge.applyTo")
+          df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      }
+      if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
+      else aligned.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      // new-file-only stats: the walk runs BEFORE carry-over, so annotate
+      // reads only the delta's footers
+      val hasNew = hasParquetFile(stage)
+      if (statsCols.nonEmpty && hasNew) Stats.annotate(spark, stage.toString, statsCols)
+      if (emitFeed) {
+        import org.apache.spark.sql.functions.lit
+        // read back the staged delta (file listing happens here, before
+        // any carry-over or the _changes write below lands in the dir)
+        val back =
+          if (hasNew) readDir(spark, root, stage.toString)
+          else aligned.limit(0)
+        back.withColumn("_change_type", lit("insert"))
+          .write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
+        Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
+          expected.getOrElse(-1L).toString.getBytes("UTF-8"))
+      }
+      batchTag.foreach(t =>
+        Files.write(stage.resolve(BatchIdFile), t.getBytes("UTF-8")))
+      // carry-over: link the live version's data files (and its skipping
+      // sidecar) into the stage, preserving dir-relative paths so the
+      // sidecar's file keys stay valid. The source version is immutable
+      // and — being `expected` = current — cannot be vacuumed before our
+      // commit check passes, so linking outside the lock is safe: if the
+      // table moves meanwhile the commit throws CME and the stage dies.
+      expected.foreach { v =>
+        val live = Paths.get(versionPath(root, v))
+        Fs.walkParquet(live).foreach { f =>
+          val dst = stage.resolve(live.relativize(f))
+          Files.createDirectories(dst.getParent)
+          if (Files.exists(dst))
+            throw new IllegalStateException(
+              s"append carry-over collision on ${live.relativize(f)} — " +
+                "staged delta reused a committed file name")
+          linkOrCopy(f, dst)
+        }
+        val prevStats = live.resolve(Stats.Sidecar)
+        if (Files.isDirectory(prevStats)) {
+          val dstStats = stage.resolve(Stats.Sidecar)
+          Files.createDirectories(dstStats)
+          Fs.listDir(prevStats).filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+              linkOrCopy(f, dstStats.resolve(s"prev$i-${f.getFileName}"))
+            }
+        }
+      }
+      // an empty append creating an empty table still needs a
+      // footer-bearing file or the version loses its schema
+      if (!hasParquetFile(stage)) {
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+            aligned.schema)
+          .write.mode("overwrite").parquet(stage.toString)
+      }
+      commitStaged(root, stage, expected)
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** RESTORE: republish the immutable contents of `v` as a NEW version
+    * (linked, no data movement) and flip the pointer — the administrative
+    * rewind (`RESTORE TABLE ... TO VERSION AS OF`). History is preserved:
+    * the bad versions stay readable until vacuumed, and the restore
+    * itself is an ordinary OCC commit. No `_changes` sidecar is emitted
+    * (a restore's delta is not insert-only); incremental consumers
+    * observe the chain break and fall back to a snapshot diff / resync,
+    * which is the honest contract for a rewind. Returns the new version
+    * (or the current one unchanged when `v` is already live).
+    */
+  def restoreVersion(spark: SparkSession, root: String, v: Long): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    if (v == cur) return cur
+    val src = Paths.get(versionPath(root, v))
+    if (!Files.exists(src))
+      throw new IllegalStateException(
+        s"version $v does not exist under $root (available: ${listVersions(root).mkString(", ")})" +
+          " — it may have been vacuumed by compaction")
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      Fs.walkParquet(src).foreach { f =>
+        val dst = stage.resolve(src.relativize(f))
+        Files.createDirectories(dst.getParent)
+        linkOrCopy(f, dst)
+      }
+      val srcStats = src.resolve(Stats.Sidecar)
+      if (Files.isDirectory(srcStats)) {
+        val dstStats = stage.resolve(Stats.Sidecar)
+        Files.createDirectories(dstStats)
+        Fs.listDir(srcStats).filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => linkOrCopy(f, dstStats.resolve(f.getFileName)))
+      }
+      commitStaged(root, stage, Some(cur))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** Hardlink `src` as `dst`, copying where the filesystem refuses links
+    * (cross-device, unsupported FS). Committed parquet files are
+    * immutable, so sharing the inode is safe.
+    */
+  private def linkOrCopy(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    }
+
+  // ---------- streaming-readable change feed directory ----------
+
+  /** Sibling directory of the version dirs holding every live commit's
+    * `_changes` files, hardlinked under `v<N>-<i>-<file>` names. Unlike
+    * the underscore-prefixed sidecars this directory is a plain name:
+    * it must be visible to Spark's file-stream source
+    * ([[graft.ops.TableStream.streamFeed]]), which ignores `_`/`.`
+    * path components. It is append-only — vacuuming a version does not
+    * invalidate its feed links (shared inodes survive), so a slow
+    * streaming consumer never loses data to retention.
+    */
+  val FeedDir = "feed"
+
+  /** Opt the table into the streaming feed: once the directory exists,
+    * EVERY commit (publish, append, merge, SQL DML) that carries a
+    * `_changes` sidecar links it in as part of the commit, inside the
+    * lock.
+    */
+  def enableStreamFeed(root: String): Unit = {
+    Files.createDirectories(Paths.get(root, FeedDir))
+    ()
+  }
+
+  /** Link every live commit's `_changes` files into `feed/`. Runs under
+    * the commit lock. Walks the `_BASE` chain back from the CURRENT
+    * version — never a bare directory listing — so an orphan version
+    * (crash between rename and pointer flip; its data was never live)
+    * can never leak rows into the feed. Idempotent by target name, which
+    * also makes it the crash repair: a commit that died after the
+    * pointer flip but before its feed links is healed by the next
+    * commit's pass.
+    */
+  private def reconcileFeedLocked(root: String): Unit = {
+    val feed = Paths.get(root, FeedDir)
+    if (!Files.isDirectory(feed)) return
+    var cur = currentVersion(root)
+    while (cur.isDefined) {
+      val side = Paths.get(versionPath(root, cur.get), ChangesSidecar)
+      val baseFile = side.resolve("_BASE")
+      if (!Files.isDirectory(side) || !Files.exists(baseFile)) return
+      Fs.listDir(side).filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+          val dst = feed.resolve(s"v${cur.get}-$i-${f.getFileName}")
+          if (!Files.exists(dst)) linkOrCopy(f, dst)
+        }
+      val base = new String(Files.readAllBytes(baseFile), "UTF-8").trim.toLong
+      // a malformed base (>= its successor) would cycle the walk — stop
+      cur = if (base < 0 || base >= cur.get) None else Some(base)
+    }
   }
 
   /** Compaction over the versioned layout: rewrite the live version into

@@ -1,0 +1,158 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Structured Streaming in and out of the versioned table layout — the
+  * tier that turns [[Sinks]] tables into streaming endpoints (the
+  * Delta-style `writeStream.table` / `readStream.table` pair):
+  *
+  *  - [[streamTo]]: an exactly-once streaming SINK. Each micro-batch is
+  *    an O(batch) [[Sinks.appendVersioned]] through the same OCC commit
+  *    every batch writer uses; replayed batches after a restart are
+  *    detected and skipped, so a crash anywhere leaves the table with
+  *    each batch applied exactly once.
+  *  - [[streamFeed]]: a streaming SOURCE over the table's change feed.
+  *    Commits link their `_changes` files into the table's `feed/`
+  *    directory ([[Sinks.enableStreamFeed]]), which Spark's standard
+  *    file-stream source then tails — checkpointable, replayable,
+  *    append-only. Feeding one table's commits into the next table's
+  *    merge is the bronze→silver pipeline shape.
+  *
+  * Scale shape: per micro-batch work is O(batch rows) + O(retained
+  * versions) metadata (the hardlink carry-over); nothing rescans the
+  * table. The feed directory is file-granular, so a 1000-executor
+  * consumer parallelizes over feed files like any parquet scan.
+  */
+object TableStream {
+
+  /** Stream `stream` into the versioned table at `root`, appending one
+    * version per non-empty micro-batch.
+    *
+    * Exactly-once: Spark's checkpoint makes batch CONTENTS deterministic
+    * per batch id (replayable sources re-produce the identical batch),
+    * and this sink refuses to re-commit a batch id it has already
+    * committed — recorded both in the version dir (`_BATCHID`, atomic
+    * with the data) and in the table properties (survives vacuuming the
+    * stamped version). The commit-then-crash window therefore
+    * deduplicates on restart instead of double-appending.
+    *
+    * One streaming writer per table: batch ids are scoped by a tag
+    * derived from `checkpoint`, so a RESTARTED query (same checkpoint)
+    * dedupes correctly, while two different queries writing one table
+    * would interleave appends — supported by OCC, but their batch ids
+    * are independent; coordinate at the application level if ordering
+    * matters.
+    *
+    * Concurrent batch writers (compaction, a MERGE) are handled by CME
+    * retry: the append recomputes against the new current and tries
+    * again — an append conflicts with nothing semantically (it only adds
+    * rows), so the retry always converges.
+    *
+    * The returned query is NOT awaited; callers drive it
+    * (`processAllAvailable`, `awaitTermination`).
+    */
+  def streamTo(stream: DataFrame, root: String, checkpoint: String,
+      statsCols: Seq[String] = Nil, emitFeed: Boolean = true): StreamingQuery = {
+    val tag = writerTag(checkpoint)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (!committed(root, tag, id)) {
+          // skip truly empty replays only when the table already exists —
+          // the first batch must still create it
+          val skip = Sinks.currentVersion(root).isDefined && batch.isEmpty
+          if (!skip) {
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                Sinks.appendVersioned(batch, root, Sinks.currentVersion(root),
+                  statsCols, emitFeed = emitFeed, batchTag = Some(s"$tag:$id"))
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException if attempts < 5 =>
+                  attempts += 1 // a concurrent writer moved the table; re-base
+              }
+            }
+          }
+          // durable high-water mark that survives vacuum; written AFTER
+          // the commit, so a crash between the two is covered by the
+          // version-dir scan in `committed`
+          TableProps.update(root)(_ + (lastBatchKey(tag) -> id.toString))
+        }
+      }
+      .start()
+  }
+
+  /** The table's change feed as a streaming DataFrame: every committed
+    * `_changes` row (keys ++ payload ++ `_change_type`) plus
+    * `_commit_version` parsed from the feed file name. Standard
+    * file-stream source semantics: a fresh checkpoint replays the feed
+    * from the beginning; an existing one resumes exactly where it left
+    * off.
+    *
+    * The schema is pinned at stream start (from existing feed files, or
+    * from the table schema when the feed is still empty) — columns added
+    * by later schema evolution need a stream restart to appear, the
+    * same contract as every fixed-schema file stream.
+    */
+  def streamFeed(spark: SparkSession, root: String): DataFrame = {
+    val feedPath = Paths.get(root, Sinks.FeedDir)
+    require(Files.isDirectory(feedPath),
+      s"no feed directory under $root — call Sinks.enableStreamFeed(root) " +
+        "before the first commit you want streamed")
+    spark.readStream.schema(feedSchema(spark, root)).parquet(feedPath.toString)
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_name"), "^v(\\d+)-", 1).cast("long"))
+  }
+
+  /** Feed row schema: borrowed from the feed's own files when any exist
+    * (exact), else the current table schema + `_change_type`.
+    */
+  private def feedSchema(spark: SparkSession, root: String): StructType = {
+    val feedPath = Paths.get(root, Sinks.FeedDir)
+    val hasFiles = graft.io.Fs.listDir(feedPath)
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+    if (hasFiles) spark.read.parquet(feedPath.toString).schema
+    else Sinks.currentVersion(root) match {
+      case Some(_) => Sinks.readCurrent(spark, root).schema.add("_change_type", StringType)
+      case None => throw new IllegalStateException(
+        s"cannot infer the feed schema of $root: the feed is empty and no " +
+          "version is published — publish first, or start the reader later")
+    }
+  }
+
+  /** True iff batch `id` of writer `tag` already committed: the durable
+    * property high-water mark, OR a `_BATCHID` stamp in any version at
+    * or below current (orphans above current never ran to visibility and
+    * must NOT count — their batch really does need re-appending).
+    */
+  private[graft] def committed(root: String, tag: String, id: Long): Boolean = {
+    if (TableProps.load(root).get(lastBatchKey(tag)).exists(_.toLong >= id)) return true
+    Sinks.currentVersion(root).exists { cur =>
+      Sinks.listVersions(root).filter(_ <= cur).exists { v =>
+        val f = Paths.get(Sinks.versionPath(root, v), Sinks.BatchIdFile)
+        Files.exists(f) && {
+          val s = new String(Files.readAllBytes(f), "UTF-8").trim
+          s.startsWith(tag + ":") && s.drop(tag.length + 1).toLong >= id
+        }
+      }
+    }
+  }
+
+  private def lastBatchKey(tag: String) = s"graft.stream.lastBatch.$tag"
+
+  /** Stable per-checkpoint writer tag (8 hex chars of the checkpoint
+    * path's UUID hash) — restarts of the same query share it, distinct
+    * queries do not.
+    */
+  private def writerTag(checkpoint: String): String =
+    java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+      .toString.replace("-", "").take(8)
+}

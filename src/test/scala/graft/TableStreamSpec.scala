@@ -1,0 +1,236 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{Merge, Sinks, Stats, TableProps, TableStream}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O(delta) appends, RESTORE, and the streaming table tier (B118/B119):
+  * appends must equal the union without rewriting carried files, restarted
+  * streaming writers must commit each batch exactly once, and the feed
+  * directory must expose exactly the live commits' changes to a
+  * file-stream reader.
+  */
+class TableStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("appendVersioned equals union, carries files by link, and is O(delta) on disk") {
+    import spark.implicits._
+    val root = tmp("app") + "/t"
+    val a = (0L until 500L).map(i => (i, s"a$i")).toDF("k", "s")
+    val b = (500L until 600L).map(i => (i, s"b$i")).toDF("k", "s")
+    Sinks.publishVersioned(a, root, None)
+    val v1 = Sinks.appendVersioned(b, root, Some(0L))
+    assert(v1 == 1L)
+    // result = union
+    val got = Sinks.readCurrent(spark, root).orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (a.collect() ++ b.collect()).map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.sameElements(want))
+    // carried files are the SAME inodes (hardlinks), not copies
+    val v0Files = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(root, 0)))
+    val v1Files = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(root, 1)))
+    assert(v1Files.size > v0Files.size)
+    val carried = v0Files.map(f => Paths.get(Sinks.versionPath(root, 1)).resolve(f.getFileName))
+    carried.foreach { f =>
+      assert(Files.exists(f))
+      assert(Files.getAttribute(f, "unix:nlink").asInstanceOf[Int] >= 2,
+        s"$f should be a hardlink to the v0 file, not a rewrite")
+    }
+    // time travel still sees the pre-append snapshot
+    assert(Sinks.readVersion(spark, root, 0).count() == 500)
+  }
+
+  test("append rejects schema drift and stale expected versions") {
+    import spark.implicits._
+    val root = tmp("appbad") + "/t"
+    Sinks.publishVersioned(Seq((1L, "x")).toDF("k", "s"), root, None)
+    val drift = intercept[IllegalArgumentException] {
+      Sinks.appendVersioned(Seq((2L, "y", 3.0)).toDF("k", "s", "extra"), root, Some(0L))
+    }
+    assert(drift.getMessage.contains("schema"))
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.appendVersioned(Seq((2L, "y")).toDF("k", "s"), root, Some(5L))
+    }
+    // column ORDER is realigned, not rejected
+    Sinks.appendVersioned(Seq(("z", 9L)).toDF("s", "k"), root, Some(0L))
+    val row = Sinks.readCurrent(spark, root).filter(col("k") === 9L).collect().head
+    assert(row.getAs[String]("s") == "z")
+  }
+
+  test("append carries the stats sidecar and annotates only new files") {
+    import spark.implicits._
+    val root = tmp("appstats") + "/t"
+    val a = (0L until 400L).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(a, root, None, statsCols = Seq("k"))
+    val b = (1000L until 1200L).map(i => (i, s"b$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.appendVersioned(b, root, Some(0L), statsCols = Seq("k"))
+    val live = Sinks.resolve(root)
+    // the sidecar covers carried AND new files
+    val statRows = Stats.sidecar(spark, live).select("file").distinct().count()
+    assert(statRows == graft.io.Fs.walkParquet(Paths.get(live)).size.toLong)
+    // pruning works across the append boundary: old-range query opens
+    // only old files, new-range only new
+    assert(Stats.prunedFiles(spark, live, "k", 0L, 100L).size == 1)
+    assert(Stats.prunedFiles(spark, live, "k", 1000L, 1050L).size == 1)
+    assert(Stats.readWhere(spark, live, "k", 1000L, 1050L).count() == 51)
+  }
+
+  test("append lays out partitioned tables and keeps pruning") {
+    import spark.implicits._
+    val root = tmp("apppart") + "/t"
+    TableProps.store(root, Map(TableProps.PartitionKey -> "region STRING"))
+    val a = Seq((1L, "eu"), (2L, "us")).toDF("k", "region")
+    Sinks.publishVersioned(a, root, None)
+    Sinks.appendVersioned(Seq((3L, "eu"), (4L, "ap")).toDF("k", "region"), root, Some(0L))
+    val cur = Sinks.readCurrent(spark, root)
+    assert(cur.count() == 4)
+    assert(cur.filter(col("region") === "eu").count() == 2)
+    // partition dirs exist for carried and appended values
+    val live = Paths.get(Sinks.resolve(root))
+    for (p <- Seq("region=eu", "region=us", "region=ap"))
+      assert(Files.isDirectory(live.resolve(p)), s"missing $p")
+  }
+
+  test("restoreVersion rewinds by link and keeps history") {
+    import spark.implicits._
+    val root = tmp("restore") + "/t"
+    Sinks.publishVersioned((0L until 100L).toDF("k"), root, None)
+    Sinks.publishVersioned((0L until 10L).toDF("k"), root, Some(0L)) // bad overwrite
+    val v2 = Sinks.restoreVersion(spark, root, 0L)
+    assert(v2 == 2L)
+    assert(Sinks.readCurrent(spark, root).count() == 100)
+    assert(Sinks.readVersion(spark, root, 1).count() == 10) // history intact
+    // restoring the live version is a no-op
+    assert(Sinks.restoreVersion(spark, root, 2L) == 2L)
+    intercept[IllegalStateException] { Sinks.restoreVersion(spark, root, 9L) }
+  }
+
+  test("streamTo commits each batch exactly once across a restart") {
+    import spark.implicits._
+    val root = tmp("stream") + "/t"
+    val cp = tmp("streamcp")
+    val src = tmp("streamsrc")
+    val schema = "k LONG, s STRING"
+    (0L until 100L).map(i => (i, s"a$i")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = TableStream.streamTo(
+      spark.readStream.schema(schema).parquet(src), root, cp)
+    q1.processAllAvailable(); q1.stop()
+    assert(Sinks.readCurrent(spark, root).count() == 100)
+    // restart with MORE data: only the new file lands, nothing replays
+    (100L until 150L).map(i => (i, s"b$i")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = TableStream.streamTo(
+      spark.readStream.schema(schema).parquet(src), root, cp)
+    q2.processAllAvailable(); q2.stop()
+    assert(Sinks.readCurrent(spark, root).count() == 150)
+    assert(Sinks.readCurrent(spark, root).select("k").distinct().count() == 150)
+  }
+
+  test("a committed-then-crashed batch is not re-appended (commit survives a lost props update)") {
+    import spark.implicits._
+    val root = tmp("crash") + "/t"
+    // simulate: the append committed with its _BATCHID stamp, but the
+    // writer died before TableProps.update recorded the high-water mark
+    Sinks.appendVersioned(Seq((1L, "x")).toDF("k", "s"), root, None,
+      batchTag = Some("deadbeef:0"))
+    assert(TableStream.committed(root, "deadbeef", 0L))
+    // an orphan ABOVE current (rename happened, pointer flip did not)
+    // must NOT count as committed — its data was never visible
+    val orphan = Paths.get(Sinks.versionPath(root, 7))
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("_BATCHID"), "deadbeef:3".getBytes("UTF-8"))
+    assert(!TableStream.committed(root, "deadbeef", 3L))
+    // distinct writer tags do not shadow each other
+    assert(!TableStream.committed(root, "cafebabe", 0L))
+  }
+
+  test("feed directory exposes exactly the live commits' changes and streams with versions") {
+    import spark.implicits._
+    val root = tmp("feed") + "/t"
+    Sinks.enableStreamFeed(root)
+    // v0: plain publish (no feed emitted) — must NOT appear in the feed
+    Sinks.publishVersioned((0L until 10L).map(i => (i, s"a$i")).toDF("k", "s"), root, None)
+    // v1, v2: appends with the insert feed
+    Sinks.appendVersioned((10L until 15L).map(i => (i, s"b$i")).toDF("k", "s"),
+      root, Some(0L), emitFeed = true)
+    Sinks.appendVersioned((15L until 18L).map(i => (i, s"c$i")).toDF("k", "s"),
+      root, Some(1L), emitFeed = true)
+    // batch read of the feed dir: 8 insert rows, v0's 10 absent
+    val batch = spark.read.parquet(s"$root/${Sinks.FeedDir}")
+    assert(batch.count() == 8)
+    assert(batch.filter(col("_change_type") =!= "insert").count() == 0)
+    // streaming read carries the commit version parsed from the file name
+    val got = TableStream.streamFeed(spark, root)
+      .writeStream.format("memory").queryName("feed_t").outputMode("append").start()
+    got.processAllAvailable(); got.stop()
+    val rows = spark.table("feed_t")
+    assert(rows.count() == 8)
+    assert(rows.groupBy("_commit_version").count().orderBy("_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 5L), (2L, 3L)))
+    // a MERGE commit's feed rides along too (update/delete rows)
+    val delta = Seq((10L, "B10", "upsert"), (0L, "", "delete")).toDF("k", "s", "op")
+    Merge.applyTo(spark, root, delta, Seq("k"), "op", emitChanges = true)
+    val after = spark.read.parquet(s"$root/${Sinks.FeedDir}")
+    assert(after.filter(col("_change_type") === "update_postimage").count() == 1)
+    assert(after.filter(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("feed links survive vacuum and a missing link is repaired by the next commit") {
+    import spark.implicits._
+    val root = tmp("feedvac") + "/t"
+    Sinks.enableStreamFeed(root)
+    Sinks.publishVersioned((0L until 10L).toDF("k"), root, None)
+    Sinks.appendVersioned((10L until 20L).toDF("k"), root, Some(0L), emitFeed = true)
+    // crash simulation: delete the feed link of v1 (commit stamped the
+    // pointer but died before reconcile... or an operator rm'd it)
+    graft.io.Fs.listDir(Paths.get(root, Sinks.FeedDir)).foreach(p => Files.delete(p))
+    assert(spark.read.schema("k LONG, _change_type STRING")
+      .parquet(s"$root/${Sinks.FeedDir}").count() == 0)
+    // the next commit repairs the whole live chain
+    Sinks.appendVersioned((20L until 25L).toDF("k"), root, Some(1L), emitFeed = true)
+    assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 15)
+    // vacuum old versions: compaction keeps the data; feed files survive
+    // as their own inodes
+    Sinks.compactVersioned(spark, root, retainVersions = 0)
+    assert(Sinks.listVersions(root).min >= 2L)
+    assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 15)
+  }
+
+  test("bronze→silver: streamFeed drives a downstream merge to convergence") {
+    import spark.implicits._
+    val bronze = tmp("medal") + "/bronze"
+    val silver = tmp("medal2") + "/silver"
+    val cp = tmp("medalcp")
+    Sinks.enableStreamFeed(bronze)
+    Sinks.appendVersioned(
+      Seq((1L, "eu", 10.0), (2L, "us", 20.0)).toDF("k", "region", "amt"),
+      bronze, None, emitFeed = true)
+    Sinks.appendVersioned(
+      Seq((3L, "eu", 5.0)).toDF("k", "region", "amt"),
+      bronze, Some(0L), emitFeed = true)
+    val q = TableStream.streamFeed(spark, bronze)
+      .filter(col("_change_type") === "insert")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.select(col("k"), col("region"), col("amt"))
+          .withColumn("op", lit("upsert"))
+        if (!batch.isEmpty) {
+          if (Sinks.currentVersion(silver).isEmpty)
+            Sinks.publishVersioned(delta.drop("op"), silver, None)
+          else Merge.applyTo(spark, silver, delta, Seq("k"))
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val got = Sinks.readCurrent(spark, silver).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "eu", 10.0), (2L, "us", 20.0), (3L, "eu", 5.0)))
+  }
+}
