@@ -50,9 +50,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * individual version directories stay immutable and every pre-write
   * state remains time-travelable. A table loaded AT a version
   * (`VERSION/TIMESTAMP AS OF`) is a pinned snapshot and stays strictly
-  * read-only. SQL `INSERT INTO` (append) rewrites current ∪ new as the
-  * next version — correctness-first at this scale; bulk appends and CDC
-  * belong on [[graft.ops.Merge.applyTo]], which shuffles only the delta.
+  * read-only. SQL `INSERT INTO` (append) is O(delta):
+  * [[Sinks.appendVersioned]] writes only the new rows and carries the
+  * current files forward by link, inheriting stats columns and emitting
+  * the insert change feed; CDC upserts belong on
+  * [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
@@ -185,10 +187,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 // were validated when written (or when the constraint was
                 // added), so append never re-scans them
                 val gated = GraftCheck.enforce(data, tRoot)
-                val out =
-                  if (truncateFirst || overwrite) gated
-                  else Sinks.readVersion(spark, tRoot, baseVersion).unionByName(gated)
-                Sinks.publishVersioned(out, tRoot, Some(baseVersion))
+                if (truncateFirst || overwrite) {
+                  // a full rewrite — keep the skipping tier: re-annotate
+                  // with the live sidecar's columns, like compaction does
+                  val liveDir = Sinks.versionPath(tRoot, baseVersion)
+                  val statsCols =
+                    if (Files.isDirectory(Paths.get(liveDir, graft.ops.Stats.Sidecar)))
+                      graft.ops.Stats.sidecar(spark, liveDir).select("col").distinct()
+                        .collect().map(_.getString(0)).toSeq.sorted
+                    else Nil
+                  Sinks.publishVersioned(gated, tRoot, Some(baseVersion), statsCols)
+                } else {
+                  // O(delta): new rows written, current files carried by
+                  // link; stats columns inherited; the insert feed makes
+                  // the commit readable through the table_changes /
+                  // streaming-feed fast paths
+                  Sinks.appendVersioned(gated, tRoot, Some(baseVersion),
+                    emitFeed = true)
+                }
                 ()
               }
             }

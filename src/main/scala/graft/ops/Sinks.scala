@@ -558,9 +558,11 @@ object Sinks {
     *
     * `statsCols`: footer stats are computed for the NEW files only and
     * the prior version's `_stats` sidecar rows are carried alongside —
-    * the skipping metadata stays O(delta) per commit too. If the prior
-    * version has no sidecar its files simply stay unpruned (conservative
-    * keep), never a wrong answer.
+    * the skipping metadata stays O(delta) per commit too. When empty,
+    * the live sidecar's columns are INHERITED (an append never demotes a
+    * skippable table to full scans). If the prior version has no sidecar
+    * its files simply stay unpruned (conservative keep), never a wrong
+    * answer.
     *
     * `emitFeed`: persist the appended rows as this commit's `_changes`
     * sidecar (all `insert`, the append CDF). The feed rows are READ BACK
@@ -598,10 +600,23 @@ object Sinks {
       }
       if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
       else aligned.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      // an append must not silently demote the table from skippable to
+      // full-scan (the same guarantee compaction gives): when the caller
+      // names no stats columns, inherit the live sidecar's — so a SQL
+      // INSERT or a streaming batch keeps the skipping tier intact
+      val effStats =
+        if (statsCols.nonEmpty) statsCols
+        else expected.toSeq.flatMap { v =>
+          val live = versionPath(root, v)
+          if (Files.isDirectory(Paths.get(live, Stats.Sidecar)))
+            Stats.sidecar(spark, live).select("col").distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+          else Nil
+        }
       // new-file-only stats: the walk runs BEFORE carry-over, so annotate
       // reads only the delta's footers
       val hasNew = hasParquetFile(stage)
-      if (statsCols.nonEmpty && hasNew) Stats.annotate(spark, stage.toString, statsCols)
+      if (effStats.nonEmpty && hasNew) Stats.annotate(spark, stage.toString, effStats)
       if (emitFeed) {
         import org.apache.spark.sql.functions.lit
         // read back the staged delta (file listing happens here, before

@@ -203,6 +203,38 @@ class TableStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 15)
   }
 
+  test("SQL INSERT INTO is an O(delta) linked append that keeps stats and feeds") {
+    import spark.implicits._
+    val wh = tmp("insap")
+    spark.conf.set("spark.sql.catalog.insap", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.insap.root", wh)
+    val root = s"$wh/t"
+    // v0 via the API with footer stats, so inheritance is observable
+    Sinks.publishVersioned((0L until 100L).map(i => (i, s"a$i")).toDF("k", "s"),
+      root, None, statsCols = Seq("k"))
+    Sinks.enableStreamFeed(root)
+    spark.sql("INSERT INTO insap.t VALUES (1000, 'x'), (1001, 'y')") // v1
+    spark.sql("INSERT INTO insap.t VALUES (1002, 'z')")              // v2
+    assert(spark.sql("SELECT count(*) FROM insap.t").head.getLong(0) == 103)
+    // v2 carries v1's files as hardlinks, not rewrites
+    val v1Files = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(root, 1)))
+    v1Files.foreach { f =>
+      val inV2 = Paths.get(Sinks.versionPath(root, 2)).resolve(f.getFileName)
+      assert(Files.exists(inV2))
+      assert(Files.getAttribute(inV2, "unix:nlink").asInstanceOf[Int] >= 2)
+    }
+    // the stats sidecar still covers EVERY file (inherited columns)
+    val live = Sinks.resolve(root)
+    assert(Stats.sidecar(spark, live).select("file").distinct().count() ==
+      graft.io.Fs.walkParquet(Paths.get(live)).size.toLong)
+    assert(Stats.readWhere(spark, live, "k", 1000L, 1002L).count() == 3)
+    // both INSERTs are readable through the O(delta) feed fast path AND
+    // the streaming feed dir
+    val feed = Sinks.changeFeed(spark, root, 0L, 2L)
+    assert(feed.isDefined && feed.get.count() == 3)
+    assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 3)
+  }
+
   test("bronze→silver: streamFeed drives a downstream merge to convergence") {
     import spark.implicits._
     val bronze = tmp("medal") + "/bronze"
