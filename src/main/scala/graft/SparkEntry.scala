@@ -35,8 +35,9 @@ object SparkEntry {
     * upsert and the SQL-door Q1 twin, round-6's oracled IVF search, and
     * round-7's table-layout surfaces (stats-pruned scan, bucketed
     * co-located join, incremental MV refresh read), and round-8's
-    * partition-pruned catalog read — each new surface measured under
-    * the driver's bench too.
+    * partition-pruned catalog read, and the appended-table and
+    * streamed-table reads — each new surface measured under the
+    * driver's bench too.
     */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
@@ -44,6 +45,6 @@ object SparkEntry {
     "q_word_count", "q_cosine_topk", "q_minhash_lsh",
     "q_merge_upsert", "q_sql_pricing", "q_ann_ivf_fixed",
     "q_stats_skipping", "q_bucketed_join", "q_mview_incremental",
-    "q_catalog_partitioned")
+    "q_catalog_partitioned", "q_table_append", "q_stream_table_sink")
     .filter(queries.contains)
 }

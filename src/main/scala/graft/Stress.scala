@@ -227,7 +227,40 @@ object Stress {
       System.err.println(s"[stress] partitioned leg failed: $e")
       Seq("part_publish" -> (-1L, -1.0))
     }
-    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes
+    // Append leg: the O(delta) vs O(table) commit gap appendVersioned
+    // exists to buy — a 0.1% delta committed by linked append (new files
+    // + hardlink carry-over, stats inherited, insert feed emitted) next
+    // to the snapshot rewrite of the same commit, on the full-width
+    // factor×600k-row lineitem. The append's cost is a handful of
+    // metadata-scale jobs and stays FLAT as the table grows; the
+    // snapshot rewrite grows linearly with the table.
+    val appendTimes = try {
+      import graft.ops.Sinks
+      val li = spark.read.parquet(Tables.path(out, "lineitem"))
+      val root = s"$out/append_lineitem"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      Sinks.publishVersioned(li, root, None, statsCols = Seq("l_orderkey"))
+      // pin the delta so both legs time COMMIT work, not the shared
+      // 6M-row scan that produces the 0.1% delta
+      val delta = li.filter(pmod(col("l_orderkey"), lit(1000)) === 7)
+        .withColumn("l_orderkey", -col("l_orderkey")) // disjoint key range
+        .localCheckpoint()
+      val (_, tAppend) = timed {
+        Sinks.appendVersioned(delta, root, Some(0L), emitFeed = true); 0L
+      }
+      val (_, tSnap) = timed {
+        Sinks.publishVersioned(
+          Sinks.readCurrent(spark, root).unionByName(delta), root, Some(1L)); 0L
+      }
+      System.err.println(
+        s"[stress] append: delta_commit=$tAppend snapshot_rewrite=$tSnap")
+      Seq("append_delta_commit" -> (0L, tAppend),
+        "append_snapshot_rewrite" -> (0L, tSnap))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] append leg failed: $e")
+      Seq("append_delta_commit" -> (-1L, -1.0))
+    }
+    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++ appendTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
