@@ -249,8 +249,10 @@ object Stress {
         Sinks.appendVersioned(delta, root, Some(0L), emitFeed = true); 0L
       }
       val (_, tSnap) = timed {
+        // the SAME logical commit as the append leg: base (v0) ∪ delta —
+        // readCurrent would already contain the appended delta
         Sinks.publishVersioned(
-          Sinks.readCurrent(spark, root).unionByName(delta), root, Some(1L)); 0L
+          Sinks.readVersion(spark, root, 0L).unionByName(delta), root, Some(1L)); 0L
       }
       System.err.println(
         s"[stress] append: delta_commit=$tAppend snapshot_rewrite=$tSnap")

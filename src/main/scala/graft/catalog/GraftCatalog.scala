@@ -190,12 +190,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 if (truncateFirst || overwrite) {
                   // a full rewrite — keep the skipping tier: re-annotate
                   // with the live sidecar's columns, like compaction does
-                  val liveDir = Sinks.versionPath(tRoot, baseVersion)
-                  val statsCols =
-                    if (Files.isDirectory(Paths.get(liveDir, graft.ops.Stats.Sidecar)))
-                      graft.ops.Stats.sidecar(spark, liveDir).select("col").distinct()
-                        .collect().map(_.getString(0)).toSeq.sorted
-                    else Nil
+                  val statsCols = graft.ops.Stats.sidecarCols(
+                    spark, Sinks.versionPath(tRoot, baseVersion))
                   Sinks.publishVersioned(gated, tRoot, Some(baseVersion), statsCols)
                 } else {
                   // O(delta): new rows written, current files carried by

@@ -493,6 +493,10 @@ object Sinks {
       // allocate past any orphan left by a crash between rename and flip
       var next = cur.map(_ + 1).getOrElse(0L)
       while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
+      // record the base so chain walks can traverse EVERY commit, not
+      // just the feed-carrying ones
+      Files.write(stage.resolve(VersionBaseFile),
+        expected.getOrElse(-1L).toString.getBytes("UTF-8"))
       Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
       // stamp the COMMIT instant: rename preserves the staging-write
       // mtime, which can predate the commit by however long this
@@ -505,7 +509,15 @@ object Sinks {
       Files.write(tmp, next.toString.getBytes("UTF-8"))
       Files.move(tmp, Paths.get(root, Pointer),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      reconcileFeedLocked(root)
+      // past this point the commit IS durable and visible: a reconcile
+      // failure (ENOSPC on a link, a chmod'd feed dir) must not make the
+      // caller believe the commit failed — a retried "failed" INSERT
+      // would double-insert. Links self-heal on the next commit's pass.
+      try reconcileFeedLocked(root)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] feed reconcile after commit v$next of " +
+          s"$root failed (links self-heal on the next commit): $e")
+      }
       next
     }
 
@@ -544,6 +556,23 @@ object Sinks {
     * `<writer-tag>:<batch-id>`.
     */
   private[graft] val BatchIdFile = "_BATCHID"
+
+  /** Version-level base marker every commit writes ([[commitStaged]]):
+    * the version this commit was based on (-1 for table creation). Lets
+    * chain walks (feed reconcile) traverse commits that carry no
+    * `_changes` sidecar — a compaction or plain publish must not strand
+    * the versions behind it — while still never visiting an orphan
+    * (a crash-abandoned rename that was never live is not on any
+    * live version's base chain).
+    */
+  private[graft] val VersionBaseFile = "_VBASE"
+
+  /** Sidecar-file count past which an append re-footers the whole
+    * staged table into ONE fresh sidecar instead of carrying the pile
+    * forward plus one — the log-checkpoint analog (bounds sidecar reads
+    * and carry-over work; amortized O(1) footer reads per commit).
+    */
+  private[graft] val StatsCheckpointEvery = 32
 
   /** Publish `df` as the next version by APPEND: new rows are written,
     * the `expected` live version's data files are carried over by
@@ -596,6 +625,17 @@ object Sinks {
             s"append schema mismatch vs v$v (missing: ${missing.mkString(", ")}; " +
               s"extra: ${extra.mkString(", ")}) — appends are not schema " +
               "evolution, use Merge.applyTo")
+          // TYPES must match too: a type-drifted file committed next to
+          // the carried files is corruption readers discover later, far
+          // from the cause (simpleString comparison: structural type,
+          // nullability ignored)
+          val retyped = live.filter(f =>
+            df.schema(f.name).dataType.simpleString != f.dataType.simpleString)
+          require(retyped.isEmpty,
+            s"append type mismatch vs v$v: " +
+              retyped.map(f => s"${f.name} is ${f.dataType.simpleString} but the " +
+                s"append carries ${df.schema(f.name).dataType.simpleString}")
+                .mkString("; ") + " — cast before appending")
           df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       }
       if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
@@ -606,17 +646,24 @@ object Sinks {
       // INSERT or a streaming batch keeps the skipping tier intact
       val effStats =
         if (statsCols.nonEmpty) statsCols
-        else expected.toSeq.flatMap { v =>
-          val live = versionPath(root, v)
-          if (Files.isDirectory(Paths.get(live, Stats.Sidecar)))
-            Stats.sidecar(spark, live).select("col").distinct()
-              .collect().map(_.getString(0)).toSeq.sorted
-          else Nil
-        }
+        else expected.toSeq.flatMap(v =>
+          Stats.sidecarCols(spark, versionPath(root, v)))
+      // each append adds one sidecar file (the delta's); past the
+      // checkpoint threshold, re-footer the WHOLE staged table into one
+      // fresh sidecar instead of carrying the pile forward — the
+      // log-checkpoint analog, amortized O(1) per commit
+      val prevStatsFiles = expected.map(v =>
+          Paths.get(versionPath(root, v), Stats.Sidecar))
+        .filter(Files.isDirectory(_))
+        .map(d => Fs.listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
+        .getOrElse(Nil)
+      val checkpointStats = effStats.nonEmpty &&
+        prevStatsFiles.size >= StatsCheckpointEvery
       // new-file-only stats: the walk runs BEFORE carry-over, so annotate
       // reads only the delta's footers
       val hasNew = hasParquetFile(stage)
-      if (effStats.nonEmpty && hasNew) Stats.annotate(spark, stage.toString, effStats)
+      if (effStats.nonEmpty && hasNew && !checkpointStats)
+        Stats.annotate(spark, stage.toString, effStats)
       if (emitFeed) {
         import org.apache.spark.sql.functions.lit
         // read back the staged delta (file listing happens here, before
@@ -648,13 +695,20 @@ object Sinks {
                 "staged delta reused a committed file name")
           linkOrCopy(f, dst)
         }
-        val prevStats = live.resolve(Stats.Sidecar)
-        if (Files.isDirectory(prevStats)) {
+        // carry the prior sidecar files under their ORIGINAL names (UUID
+        // part-file names never collide, and a carried-of-carried file
+        // keeps a stable name — names must not compound across appends
+        // or they eventually exceed NAME_MAX)
+        if (!checkpointStats && Files.isDirectory(live.resolve(Stats.Sidecar))) {
           val dstStats = stage.resolve(Stats.Sidecar)
           Files.createDirectories(dstStats)
-          Fs.listDir(prevStats).filter(_.getFileName.toString.endsWith(".parquet"))
-            .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
-              linkOrCopy(f, dstStats.resolve(s"prev$i-${f.getFileName}"))
+          Fs.listDir(live.resolve(Stats.Sidecar))
+            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+              val dst = dstStats.resolve(f.getFileName)
+              if (Files.exists(dst))
+                throw new IllegalStateException(
+                  s"append sidecar carry-over collision on ${f.getFileName}")
+              linkOrCopy(f, dst)
             }
         }
       }
@@ -666,6 +720,9 @@ object Sinks {
             aligned.schema)
           .write.mode("overwrite").parquet(stage.toString)
       }
+      // sidecar checkpoint: one fresh footer pass over the whole staged
+      // table (carried + new files — metadata-scale) replaces the pile
+      if (checkpointStats) Stats.annotate(spark, stage.toString, effStats)
       commitStaged(root, stage, expected)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -746,30 +803,43 @@ object Sinks {
   }
 
   /** Link every live commit's `_changes` files into `feed/`. Runs under
-    * the commit lock. Walks the `_BASE` chain back from the CURRENT
+    * the commit lock. Walks the base chain back from the CURRENT
     * version — never a bare directory listing — so an orphan version
     * (crash between rename and pointer flip; its data was never live)
-    * can never leak rows into the feed. Idempotent by target name, which
-    * also makes it the crash repair: a commit that died after the
-    * pointer flip but before its feed links is healed by the next
-    * commit's pass.
+    * can never leak rows into the feed. The walk follows the
+    * version-level `_VBASE` marker (every commit writes one), so
+    * commits WITHOUT a feed — compaction, plain publishes, restores —
+    * are traversed, not treated as the end of history: a feed-carrying
+    * version stranded behind one still gets (re-)linked before
+    * compaction's vacuum could delete its only copy. Idempotent by
+    * target name, which also makes it the crash repair: a commit that
+    * died after the pointer flip but before its feed links is healed by
+    * the next commit's pass.
     */
   private def reconcileFeedLocked(root: String): Unit = {
     val feed = Paths.get(root, FeedDir)
     if (!Files.isDirectory(feed)) return
     var cur = currentVersion(root)
     while (cur.isDefined) {
-      val side = Paths.get(versionPath(root, cur.get), ChangesSidecar)
-      val baseFile = side.resolve("_BASE")
-      if (!Files.isDirectory(side) || !Files.exists(baseFile)) return
-      Fs.listDir(side).filter(_.getFileName.toString.endsWith(".parquet"))
-        .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
-          val dst = feed.resolve(s"v${cur.get}-$i-${f.getFileName}")
-          if (!Files.exists(dst)) linkOrCopy(f, dst)
-        }
-      val base = new String(Files.readAllBytes(baseFile), "UTF-8").trim.toLong
-      // a malformed base (>= its successor) would cycle the walk — stop
-      cur = if (base < 0 || base >= cur.get) None else Some(base)
+      val vdir = Paths.get(versionPath(root, cur.get))
+      val side = vdir.resolve(ChangesSidecar)
+      if (Files.isDirectory(side) && Files.exists(side.resolve("_BASE"))) {
+        Fs.listDir(side).filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+            val dst = feed.resolve(s"v${cur.get}-$i-${f.getFileName}")
+            if (!Files.exists(dst)) linkOrCopy(f, dst)
+          }
+      }
+      // predecessor: the version-level base; fall back to the feed
+      // sidecar's base for versions committed before _VBASE existed
+      val base = Seq(vdir.resolve(VersionBaseFile), side.resolve("_BASE"))
+        .find(Files.exists(_))
+        .map(p => new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+      cur = base match {
+        // a malformed base (>= its successor) would cycle the walk — stop
+        case Some(b) if b >= 0 && b < cur.get => Some(b)
+        case _ => None
+      }
     }
   }
 
@@ -805,11 +875,7 @@ object Sinks {
     // single-column pruning exact; a multi-dimensional (Z-order) layout
     // that must survive compaction should be re-laid with its own key
     // and republished instead.
-    val statsCols =
-      if (Files.isDirectory(Paths.get(live, Stats.Sidecar)))
-        Stats.sidecar(spark, live).select("col").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-      else Nil
+    val statsCols = Stats.sidecarCols(spark, live)
     val base = readDir(spark, root, live)
     val pcols = TableProps.partitionCols(root)
     val rewritten =
@@ -828,6 +894,32 @@ object Sinks {
           .sortWithinPartitions(statsCols.map(col): _*)
       }
     val v = publishVersioned(rewritten, root, Some(liveV), statsCols)
+    // a vacuumed version may hold the only _BATCHID stamp proving a
+    // streaming batch committed (the writer crashed before its durable
+    // high-water mark landed): fold every evicted stamp into _PROPS
+    // BEFORE any deletion, or a restarted stream would re-append the
+    // batch. (Outside the commit lock — TableProps.update takes it, and
+    // the file lock is not reentrant; the evict set below liveV is
+    // immutable, so the two lock windows see the same candidates.)
+    val evictCandidates =
+      listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
+    val stamps = evictCandidates.flatMap { ev =>
+      val f = Paths.get(versionPath(root, ev), BatchIdFile)
+      if (!Files.exists(f)) None
+      else {
+        val s = new String(Files.readAllBytes(f), "UTF-8").trim
+        val i = s.lastIndexOf(':')
+        if (i <= 0) None
+        else s.drop(i + 1).toLongOption.map(id => (s.take(i), id))
+      }
+    }
+    if (stamps.nonEmpty) TableProps.update(root) { props =>
+      stamps.foldLeft(props) { case (p, (tag, id)) =>
+        val key = TableStream.lastBatchKey(tag)
+        val prev = p.get(key).flatMap(_.toLongOption).getOrElse(-1L)
+        if (id > prev) p + (key -> id.toString) else p
+      }
+    }
     withCommitLock(root) {
       val below = listVersions(root).filter(_ < liveV)
       val evict = below.sorted.dropRight(retainVersions).toSet

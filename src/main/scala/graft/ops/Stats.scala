@@ -186,6 +186,17 @@ object Stats {
   def sidecar(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$Sidecar")
 
+  /** Distinct columns recorded in version dir `dir`'s sidecar (sorted),
+    * or Nil when it has none — what a rewrite/append must re-annotate so
+    * it never silently demotes a skippable table to full scans. Shared
+    * by compaction, appends, and INSERT OVERWRITE.
+    */
+  def sidecarCols(spark: SparkSession, dir: String): Seq[String] =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, Sidecar)))
+      sidecar(spark, dir).select("col").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    else Nil
+
   /** Files of `dir` that MIGHT contain a row with `colName` in
     * `[lo, hi]` (inclusive), per the sidecar. Conservative by
     * construction: a file with no sidecar row or unusable stats is kept;

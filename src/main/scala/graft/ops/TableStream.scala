@@ -146,7 +146,11 @@ object TableStream {
     }
   }
 
-  private def lastBatchKey(tag: String) = s"graft.stream.lastBatch.$tag"
+  /** Durable high-water-mark property key for writer `tag` — also
+    * written by [[Sinks.compactVersioned]] when vacuum evicts a
+    * `_BATCHID`-stamped version.
+    */
+  private[graft] def lastBatchKey(tag: String) = s"graft.stream.lastBatch.$tag"
 
   /** Stable per-checkpoint writer tag (8 hex chars of the checkpoint
     * path's UUID hash) — restarts of the same query share it, distinct

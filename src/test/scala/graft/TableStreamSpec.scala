@@ -52,6 +52,12 @@ class TableStreamSpec extends AnyFunSuite {
       Sinks.appendVersioned(Seq((2L, "y", 3.0)).toDF("k", "s", "extra"), root, Some(0L))
     }
     assert(drift.getMessage.contains("schema"))
+    // same names but a drifted TYPE is committed corruption readers find
+    // later — must fail at the append
+    val retyped = intercept[IllegalArgumentException] {
+      Sinks.appendVersioned(Seq(("2", "y")).toDF("k", "s"), root, Some(0L))
+    }
+    assert(retyped.getMessage.contains("type mismatch"))
     intercept[java.util.ConcurrentModificationException] {
       Sinks.appendVersioned(Seq((2L, "y")).toDF("k", "s"), root, Some(5L))
     }
@@ -79,6 +85,42 @@ class TableStreamSpec extends AnyFunSuite {
     assert(Stats.prunedFiles(spark, live, "k", 0L, 100L).size == 1)
     assert(Stats.prunedFiles(spark, live, "k", 1000L, 1050L).size == 1)
     assert(Stats.readWhere(spark, live, "k", 1000L, 1050L).count() == 51)
+  }
+
+  test("sidecar carry-over names stay stable and checkpoint past the threshold") {
+    import spark.implicits._
+    val root = tmp("appsc") + "/t"
+    Sinks.publishVersioned((0L until 50L).map(i => (i, s"a$i")).toDF("k", "s")
+      .coalesce(1), root, None, statsCols = Seq("k"))
+    for (n <- 1 to 4)
+      Sinks.appendVersioned(
+        ((n * 1000L) until (n * 1000L + 10L)).map(i => (i, s"b$i")).toDF("k", "s")
+          .coalesce(1), root, Some(n - 1L))
+    val live = java.nio.file.Paths.get(Sinks.resolve(root))
+    val sideFiles = graft.io.Fs.listDir(live.resolve(Stats.Sidecar))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+    // one sidecar file per commit, ORIGINAL names — no compounding
+    // prefixes (compounding names eventually exceed NAME_MAX and brick
+    // the table)
+    assert(sideFiles.size == 5)
+    assert(sideFiles.forall(n => n.startsWith("part-") && n.length < 120))
+    assert(Stats.readWhere(spark, live.toString, "k", 4000L, 4005L).count() == 6)
+    // past the checkpoint threshold one append rewrites the pile into a
+    // single fresh sidecar covering every file
+    val prevSide = live.resolve(Stats.Sidecar)
+    val src = graft.io.Fs.listDir(prevSide)
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    (sideFiles.size until Sinks.StatsCheckpointEvery + 1).foreach { i =>
+      java.nio.file.Files.createLink(prevSide.resolve(s"pad$i-dup.parquet"), src)
+    }
+    Sinks.appendVersioned(Seq((9000L, "z")).toDF("k", "s"), root, Some(4L))
+    val after = java.nio.file.Paths.get(Sinks.resolve(root))
+    val afterFiles = graft.io.Fs.listDir(after.resolve(Stats.Sidecar))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+    assert(afterFiles.size == 1, s"checkpoint should collapse the sidecar, got $afterFiles")
+    assert(Stats.sidecar(spark, after.toString).select("file").distinct().count() ==
+      graft.io.Fs.walkParquet(after).size.toLong)
+    assert(Stats.readWhere(spark, after.toString, "k", 9000L, 9000L).count() == 1)
   }
 
   test("append lays out partitioned tables and keeps pruning") {
@@ -233,6 +275,40 @@ class TableStreamSpec extends AnyFunSuite {
     val feed = Sinks.changeFeed(spark, root, 0L, 2L)
     assert(feed.isDefined && feed.get.count() == 3)
     assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 3)
+  }
+
+  test("feed heals ACROSS a no-feed commit before vacuum can destroy the sidecar") {
+    import spark.implicits._
+    val root = tmp("feedheal") + "/t"
+    Sinks.enableStreamFeed(root)
+    Sinks.publishVersioned((0L until 10L).toDF("k"), root, None)
+    Sinks.appendVersioned((10L until 20L).toDF("k"), root, Some(0L), emitFeed = true) // v1
+    Sinks.publishVersioned((0L until 25L).toDF("k"), root, Some(1L))                 // v2, no feed
+    // crash simulation: v1's feed links vanish AFTER v2 committed (the
+    // reconcile that would have restored them already ran) — the next
+    // commit must walk THROUGH the no-feed v2 to re-link v1, or
+    // compaction's vacuum deletes the only copy of those rows
+    graft.io.Fs.listDir(Paths.get(root, Sinks.FeedDir)).foreach(p => Files.delete(p))
+    Sinks.compactVersioned(spark, root, retainVersions = 0) // v3 + vacuum of v0,v1
+    assert(Sinks.listVersions(root).min >= 2L)
+    assert(spark.read.parquet(s"$root/${Sinks.FeedDir}").count() == 10,
+      "v1's feed rows must be re-linked by the compaction commit before its vacuum")
+  }
+
+  test("vacuum folds evicted _BATCHID stamps into the durable high-water mark") {
+    import spark.implicits._
+    val root = tmp("vacstamp") + "/t"
+    // batch 5 committed with its stamp, writer died before the props
+    // update (the crash window)
+    Sinks.appendVersioned(Seq((1L, "x")).toDF("k", "s"), root, None,
+      batchTag = Some("deadbeef:5"))
+    Sinks.publishVersioned(Seq((1L, "x"), (2L, "y")).toDF("k", "s"), root, Some(0L))
+    assert(TableStream.committed(root, "deadbeef", 5L)) // via the v0 stamp
+    Sinks.compactVersioned(spark, root, retainVersions = 0) // evicts stamped v0
+    assert(!Files.exists(Paths.get(Sinks.versionPath(root, 0), "_BATCHID")))
+    assert(TableStream.committed(root, "deadbeef", 5L),
+      "the stamp must survive vacuum via _PROPS or a restarted stream re-appends")
+    assert(!TableStream.committed(root, "deadbeef", 6L))
   }
 
   test("bronze→silver: streamFeed drives a downstream merge to convergence") {
