@@ -87,6 +87,57 @@ private object GraftDml {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     GraftSqlShims.ofRows(spark, plan)
 
+  /** Version-dir-relative path of an `input_file_name()` URI — the key
+    * [[Sinks.cowPublish]]'s carry filter and the stats sidecar use. The
+    * URI carries a scheme prefix (`file:/…`), so the live dir is located
+    * by substring, not by prefix-stripping.
+    */
+  def relOf(liveDir: String, uri: String): String = {
+    val marker = liveDir.stripSuffix("/") + "/"
+    val i = uri.indexOf(marker)
+    require(i >= 0, s"graft DML: file $uri is not under $liveDir")
+    uri.substring(i + marker.length)
+  }
+
+  /** The data files of the pinned version whose rows can satisfy `cond`
+    * — Delta's touched-file pass: one scan projecting only the file
+    * name (`input_file_name()` is stamped at the scan, and the pushed
+    * condition prunes row groups), collected driver-side at metadata
+    * scale. Returns (absolute URIs, version-dir-relative keys).
+    */
+  def touchedFiles(t: DataFrame, cond: Column,
+      liveDir: String): (Seq[String], Set[String]) = {
+    val abs = t.filter(cond).select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSeq
+    (abs, abs.map(relOf(liveDir, _)).toSet)
+  }
+
+  /** The SAME resolved relation restricted to `touchedAbs` data files:
+    * a copy of the captured [[DataSourceV2Relation]] whose delegate
+    * scans only those paths, KEEPING the original output attributes —
+    * so the statement's resolved conditions and assignments still bind,
+    * while planning sees only the touched files (the rewrite scan is
+    * O(touched), not O(table)). `basePath` keeps partition columns in
+    * scope for partitioned layouts; the schema is pinned to the
+    * relation's, so partition-directory type inference cannot drift.
+    * An empty touched set is the empty relation.
+    */
+  def prunedTarget(spark: SparkSession, target: DataSourceV2Relation,
+      touchedAbs: Seq[String], liveDir: String): DataFrame = {
+    if (touchedAbs.isEmpty) return ofRows(spark, target).limit(0)
+    import scala.jdk.CollectionConverters._
+    val pruned = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name = target.table.name(),
+      sparkSession = spark,
+      options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("basePath" -> liveDir).asJava),
+      paths = touchedAbs,
+      userSpecifiedSchema = Some(target.table.schema()),
+      fallbackFileFormat =
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    ofRows(spark, target.copy(table = pruned))
+  }
+
   /** Assignment value for `attr` in `assignments`, if assigned. Nested
     * (struct-field) assignment keys are not representable in this
     * layout's rewrite — fail loudly rather than silently dropping them.
@@ -103,24 +154,35 @@ private object GraftDml {
     }
 }
 
-/** `DELETE FROM t WHERE cond`: keep the rows where the condition is
-  * FALSE or NULL (three-valued SQL semantics), publish as the next
-  * version. One filtered scan, shuffle-free.
+/** `DELETE FROM t WHERE cond`: copy-on-write at FILE granularity. A
+  * touched-file pass finds the data files whose rows can satisfy the
+  * condition; only THOSE files are rewritten (keeping the rows where the
+  * condition is FALSE or NULL — three-valued SQL semantics), and every
+  * other live file is carried into the new version by hardlink. A DELETE
+  * of 0.1% of a 100 TB table moves 0.1% of the bytes, not the table.
   */
 case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expression,
     tRoot: String, baseVersion: Long) extends LeafRunnableCommand {
   import GraftDml._
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ofRows(spark, target)
-    val kept = t.filter(!coalesce(col0(condition), lit(false)))
-    Sinks.publishVersioned(kept, tRoot, Some(baseVersion))
+    val cond = coalesce(col0(condition), lit(false))
+    val liveDir = Sinks.versionPath(tRoot, baseVersion)
+    val (touchedAbs, touchedRel) = touchedFiles(t, cond, liveDir)
+    // rewrite = the touched files' surviving rows only
+    val kept = prunedTarget(spark, target, touchedAbs, liveDir)
+      .filter(!cond)
+      .select(target.output.map(a => col0(a).as(a.name)): _*)
+    Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, kept)
     Seq.empty
   }
 }
 
-/** `UPDATE t SET ... WHERE cond`: per-column CASE WHEN cond THEN value
-  * ELSE current END — one projection scan, shuffle-free. NULL/FALSE
-  * condition keeps the current value (rows are never dropped).
+/** `UPDATE t SET ... WHERE cond`: copy-on-write at FILE granularity —
+  * the touched-file pass finds files whose rows can satisfy the
+  * condition, only those are rewritten (per-column CASE WHEN cond THEN
+  * value ELSE current END; NULL/FALSE keeps the current value, rows are
+  * never dropped), every other live file is carried by hardlink.
   */
 case class GraftUpdateCommand(target: DataSourceV2Relation,
     assignments: Seq[Assignment], condition: Option[Expression],
@@ -129,6 +191,9 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ofRows(spark, target)
     val cond = condition.map(col0).getOrElse(lit(true))
+    val liveDir = Sinks.versionPath(tRoot, baseVersion)
+    val (touchedAbs, touchedRel) =
+      touchedFiles(t, coalesce(cond, lit(false)), liveDir)
     val outCols = target.output.map { attr =>
       assignedValue(assignments, attr) match {
         case Some(v) =>
@@ -136,11 +201,13 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
         case None => col0(attr).as(attr.name)
       }
     }
+    val rewritten = prunedTarget(spark, target, touchedAbs, liveDir)
+      .select(outCols: _*)
     // CHECK constraints gate the rewritten contents (pre-existing rows
     // were validated when the constraint was added, so only the rows
     // this statement changes can trip the gate); row-local, same scan
-    Sinks.publishVersioned(
-      GraftCheck.enforce(t.select(outCols: _*), tRoot), tRoot, Some(baseVersion))
+    Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel,
+      GraftCheck.enforce(rewritten, tRoot))
     Seq.empty
   }
 }
@@ -168,6 +235,7 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
   private val SP = "__graft_s_present"
   private val RID = "__graft_rid"
   private val OP = "__graft_op"
+  private val FILE = "__graft_file"
 
   private def actionCond(a: MergeAction): Column = a match {
     case u: UpdateAction => u.condition.map(col0).getOrElse(lit(true))
@@ -192,18 +260,42 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val s = ofRows(spark, source)
 
     val needRid = matchedActions.nonEmpty
-    val tdf0 = t.withColumn(TP, lit(true))
-    val tdf = if (needRid) tdf0.withColumn(RID, monotonically_increasing_id()) else tdf0
+    // Copy-on-write (Delta's two-pass MERGE): pass 1 inner-joins target
+    // and source to find the files holding matched target rows; pass 2
+    // runs the real merge join against ONLY those files, and every
+    // untouched file is carried into the new version by hardlink. Any
+    // source row's match lives in a touched file BY DEFINITION, so the
+    // matched / not-matched classification over the touched subset is
+    // identical to the full-table join. WHEN NOT MATCHED BY SOURCE
+    // disables the optimization: those clauses can rewrite ANY target
+    // row, so every file is potentially touched.
+    val cow = notMatchedBySourceActions.isEmpty
+    val liveDir = Sinks.versionPath(tRoot, baseVersion)
     // with matched clauses the join is evaluated twice (cardinality
-    // check + publish) — pin the SOURCE so both see the same rows;
-    // otherwise a non-deterministic source could pass the check and
-    // still publish a duplicated target row (the corruption the rule
-    // exists to prevent; Delta materializes the source for the same
-    // reason). The target needs no pin: it is an immutable version dir,
-    // and RID (partition-indexed over that fixed scan) re-derives
+    // check + publish) — and under copy-on-write the source feeds the
+    // touched-file pass too — pin the SOURCE so every pass sees the
+    // same rows; otherwise a non-deterministic source could pass the
+    // check and still publish a duplicated target row (the corruption
+    // the rule exists to prevent; Delta materializes the source for the
+    // same reason). The target needs no pin: it is an immutable version
+    // dir, and RID (partition-indexed over that fixed scan) re-derives
     // identically. Source is O(delta) — the cheap side to pin.
     val sdf0 = s.withColumn(SP, lit(true))
-    val sdf = if (needRid) sdf0.localCheckpoint() else sdf0
+    val sdf = if (needRid || cow) sdf0.localCheckpoint() else sdf0
+    val (touchedAbs, touchedRel) =
+      if (!cow) (Seq.empty[String], Set.empty[String])
+      else {
+        // input_file_name() must be stamped AT the target scan, before
+        // the join moves rows between stages
+        val abs = t.withColumn(FILE, input_file_name())
+          .join(sdf, col0(mergeCondition), "inner")
+          .select(col(FILE)).distinct().collect().map(_.getString(0)).toSeq
+        (abs, abs.map(relOf(liveDir, _)).toSet)
+      }
+    val tCow =
+      if (cow) prunedTarget(spark, target, touchedAbs, liveDir) else t
+    val tdf0 = tCow.withColumn(TP, lit(true))
+    val tdf = if (needRid) tdf0.withColumn(RID, monotonically_increasing_id()) else tdf0
 
     // full outer only when INSERT clauses consume source-only rows;
     // otherwise target-left keeps every target row and drops the
@@ -254,8 +346,9 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       c.as(attr.name)
     }
 
-    Sinks.publishVersioned(
-      GraftCheck.enforce(kept.select(outCols: _*), tRoot), tRoot, Some(baseVersion))
+    val result = GraftCheck.enforce(kept.select(outCols: _*), tRoot)
+    if (cow) Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, result)
+    else Sinks.publishVersioned(result, tRoot, Some(baseVersion))
     Seq.empty
   }
 }

@@ -605,13 +605,9 @@ object Sinks {
   def appendVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, emitFeed: Boolean = false,
       batchTag: Option[String] = None): Long = {
-    Files.createDirectories(Paths.get(root))
     val spark = df.sparkSession
-    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    try {
-      val pcols = TableProps.partitionCols(root)
-      // align to the live schema: same column set and order, or fail loudly
-      val aligned = expected match {
+    // align to the live schema: same column set and order, or fail loudly
+    val aligned = expected match {
         case None => df
         // an expected version whose dir is gone (never existed, or
         // vacuumed) cannot be aligned against — skip straight to the
@@ -638,7 +634,49 @@ object Sinks {
                 .mkString("; ") + " — cast before appending")
           df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       }
-      if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
+    stageLinkedPublish(aligned, root, expected, statsCols, emitFeed, batchTag,
+      carry = _ => true)
+  }
+
+  /** Copy-on-write publish (file-granular DML): `rewritten` replaces the
+    * rows of the `touchedRel` data files (version-dir-relative paths)
+    * while every OTHER live file is carried into the new version by
+    * hardlink — the Delta-style rewrite. Commit cost scales with the
+    * files the predicate touches, not with the table: untouched files
+    * move zero bytes, their stats sidecar rows ride along (rows keyed by
+    * replaced files go stale and are ignored by pruning — the periodic
+    * sidecar checkpoint sweeps them), and fresh footer stats cover the
+    * rewritten files. `rewritten` must already be projected to the
+    * table's schema in table column order.
+    */
+  private[graft] def cowPublish(spark: SparkSession, root: String, expected: Long,
+      touchedRel: Set[String], rewritten: DataFrame): Long = {
+    // a no-op statement (predicate matched nothing) still commits a
+    // version — but writing its empty frame would land a zero-row file
+    // alongside every carried one; skip the write (the empty check is a
+    // trivial job here, the plan scans zero touched files)
+    val skipWrite = touchedRel.isEmpty && rewritten.isEmpty
+    stageLinkedPublish(rewritten, root, Some(expected), Nil,
+      emitFeed = false, batchTag = None,
+      carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite)
+  }
+
+  /** The shared linked-publish core: write `df` as the staged delta,
+    * carry the live files `carry` admits (by version-dir-relative path),
+    * maintain the skipping sidecar, optionally emit the insert feed and
+    * the streaming batch stamp, and commit through the OCC protocol.
+    */
+  private def stageLinkedPublish(aligned: DataFrame, root: String,
+      expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
+      batchTag: Option[String], carry: String => Boolean,
+      skipDataWrite: Boolean = false): Long = {
+    Files.createDirectories(Paths.get(root))
+    val spark = aligned.sparkSession
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      val pcols = TableProps.partitionCols(root)
+      if (skipDataWrite) Files.createDirectories(stage)
+      else if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
       else aligned.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
       // an append must not silently demote the table from skippable to
       // full-scan (the same guarantee compaction gives): when the caller
@@ -687,13 +725,16 @@ object Sinks {
       expected.foreach { v =>
         val live = Paths.get(versionPath(root, v))
         Fs.walkParquet(live).foreach { f =>
-          val dst = stage.resolve(live.relativize(f))
-          Files.createDirectories(dst.getParent)
-          if (Files.exists(dst))
-            throw new IllegalStateException(
-              s"append carry-over collision on ${live.relativize(f)} — " +
-                "staged delta reused a committed file name")
-          linkOrCopy(f, dst)
+          val rel = live.relativize(f)
+          if (carry(rel.toString)) {
+            val dst = stage.resolve(rel)
+            Files.createDirectories(dst.getParent)
+            if (Files.exists(dst))
+              throw new IllegalStateException(
+                s"append carry-over collision on $rel — " +
+                  "staged delta reused a committed file name")
+            linkOrCopy(f, dst)
+          }
         }
         // carry the prior sidecar files under their ORIGINAL names (UUID
         // part-file names never collide, and a carried-of-carried file

@@ -730,4 +730,60 @@ class CatalogSpec extends AnyFunSuite {
       } finally spark.sql("DROP TABLE graft.pt3")
     } finally spark.sql("DROP TABLE graft.pt2")
   }
+
+  test("DML is copy-on-write: untouched files are carried by hardlink, touched rewritten") {
+    import spark.implicits._
+    val wh = root
+    // 4 disjoint-range files so a narrow predicate touches exactly one
+    (0L until 400L).map(i => (i, s"p$i")).toDF("id", "pay")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id")
+      .createOrReplaceTempView("cow_src")
+    spark.sql("CREATE TABLE graft.cow AS SELECT * FROM cow_src")
+    try {
+      val tbl = s"$wh/cow"
+      val v0 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      // 4 range files + the empty v0 placeholder the CTAS append carried
+      val v0Files = graft.io.Fs.walkParquet(v0).map(_.getFileName.toString)
+      assert(v0Files.size == 5)
+      spark.sql("DELETE FROM graft.cow WHERE id BETWEEN 10 AND 20")
+      val v1 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      val v1Files = graft.io.Fs.walkParquet(v1).map(_.getFileName.toString)
+      // exactly one file replaced; every other carried under its
+      // original name as a hardlink (same inode, zero bytes moved)
+      assert(v1Files.toSet.intersect(v0Files.toSet).size == v0Files.size - 1)
+      v1Files.toSet.intersect(v0Files.toSet).foreach { n =>
+        assert(Files.getAttribute(v1.resolve(n), "unix:nlink")
+          .asInstanceOf[Int] >= 2, s"$n should be a hardlink")
+      }
+      assert(spark.sql("SELECT count(*) FROM graft.cow").head.getLong(0) == 389)
+      // UPDATE: same shape
+      spark.sql("UPDATE graft.cow SET pay = 'X' WHERE id = 350")
+      val v2 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      val v2Files = graft.io.Fs.walkParquet(v2).map(_.getFileName.toString)
+      assert(v2Files.toSet.intersect(v1Files.toSet).size == v1Files.size - 1)
+      assert(spark.sql("SELECT pay FROM graft.cow WHERE id = 350").head.getString(0) == "X")
+      assert(spark.sql("SELECT count(*) FROM graft.cow").head.getLong(0) == 389)
+      // MERGE without NOT MATCHED BY SOURCE: touched pass + COW; the
+      // insert lands in a new file, matched file rewritten, rest linked
+      Seq((100L, "m100"), (9999L, "new")).toDF("id", "pay")
+        .createOrReplaceTempView("cow_delta")
+      spark.sql(
+        """MERGE INTO graft.cow t USING cow_delta s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET pay = s.pay
+          |WHEN NOT MATCHED THEN INSERT (id, pay) VALUES (s.id, s.pay)""".stripMargin)
+      val v3 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      val v3Files = graft.io.Fs.walkParquet(v3).map(_.getFileName.toString)
+      assert(v3Files.toSet.intersect(v2Files.toSet).size == v2Files.size - 1,
+        s"MERGE should carry all but the matched file, got ${v3Files.mkString(",")}")
+      assert(spark.sql("SELECT pay FROM graft.cow WHERE id = 100").head.getString(0) == "m100")
+      assert(spark.sql("SELECT count(*) FROM graft.cow").head.getLong(0) == 390)
+      // a no-match DELETE bumps the version with EVERYTHING carried
+      spark.sql("DELETE FROM graft.cow WHERE id = -5")
+      val v4 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      assert(graft.io.Fs.walkParquet(v4).map(_.getFileName.toString).toSet ==
+        v3Files.toSet)
+      assert(spark.sql("SELECT count(*) FROM graft.cow").head.getLong(0) == 390)
+    } finally spark.sql("DROP TABLE graft.cow")
+  }
 }
