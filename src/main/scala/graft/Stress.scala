@@ -262,7 +262,42 @@ object Stress {
       System.err.println(s"[stress] append leg failed: $e")
       Seq("append_delta_commit" -> (-1L, -1.0))
     }
-    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++ appendTimes
+    // Copy-on-write DML leg: a narrow SQL DELETE against the range-laid
+    // factor×600k-row lineitem — the touched-file pass + rewrite of ONE
+    // file — next to the full-table rewrite the same statement cost
+    // before file-granular DML.
+    val dmlTimes = try {
+      import graft.ops.Sinks
+      val wh = s"$out/dml_wh"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(wh))
+      val li = spark.read.parquet(Tables.path(out, "lineitem"))
+        .repartitionByRange(16, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      Sinks.publishVersioned(li, s"$wh/li", None, statsCols = Seq("l_orderkey"))
+      val cat = "graftstress_dml"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val (_, tCow) = timed {
+        spark.sql(s"DELETE FROM $cat.li WHERE l_orderkey BETWEEN 1000 AND 2000"); 0L
+      }
+      val v = Sinks.currentVersion(s"$wh/li").get
+      val carried = graft.io.Fs.walkParquet(
+          java.nio.file.Paths.get(Sinks.versionPath(s"$wh/li", v)))
+        .count(f => java.nio.file.Files.getAttribute(f, "unix:nlink")
+          .asInstanceOf[Int] >= 2).toLong
+      val (_, tFull) = timed {
+        val cur = Sinks.readCurrent(spark, s"$wh/li")
+        Sinks.publishVersioned(
+          cur.filter(!col("l_orderkey").between(3000, 4000)), s"$wh/li", Some(v)); 0L
+      }
+      System.err.println(
+        s"[stress] dml_cow: carried=$carried files, cow_delete=$tCow full_rewrite=$tFull")
+      Seq("dml_cow_delete" -> (carried, tCow), "dml_full_rewrite" -> (0L, tFull))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] dml leg failed: $e")
+      Seq("dml_cow_delete" -> (-1L, -1.0))
+    }
+    val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
+      appendTimes ++ dmlTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

@@ -34,13 +34,18 @@ private[graft] trait GraftWritableTable {
   * `BatchWrite`) would buy nothing over recompute-and-publish while
   * costing a bespoke parquet write path.
   *
-  * Scale shape: UPDATE and DELETE are ONE projection/filter scan over
-  * the current version — no join, no shuffle. MERGE is one join of
-  * target and source on the merge condition (equi-conditions plan as
-  * hash/sort-merge joins; Catalyst picks broadcast when the source is
-  * small) plus, when matched actions exist, one aggregation over the
-  * matched pairs for the SQL-standard multiple-match check — the same
-  * cost class as Delta's touched-file pass.
+  * Scale shape: all three statements are FILE-GRANULAR copy-on-write.
+  * UPDATE and DELETE run a touched-file pass (one scan projecting only
+  * `input_file_name()`, condition pushed to the parquet row groups) and
+  * then rewrite ONLY those files — a shuffle-free projection/filter over
+  * the touched subset; every untouched file is carried into the new
+  * version by hardlink ([[Sinks.cowPublish]]). MERGE is Delta's
+  * two-pass: an inner join finds the touched files, then the real merge
+  * join runs against only those files plus the source (equi-conditions
+  * plan as hash/sort-merge joins; Catalyst broadcasts a small source),
+  * plus one aggregation over the matched pairs for the SQL-standard
+  * multiple-match check. `WHEN NOT MATCHED BY SOURCE` disables the
+  * touched-file optimization — those clauses can rewrite any target row.
   */
 object GraftDmlRule extends Rule[LogicalPlan] {
 
@@ -87,28 +92,42 @@ private object GraftDml {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     GraftSqlShims.ofRows(spark, plan)
 
-  /** Version-dir-relative path of an `input_file_name()` URI — the key
-    * [[Sinks.cowPublish]]'s carry filter and the stats sidecar use. The
-    * URI carries a scheme prefix (`file:/…`), so the live dir is located
-    * by substring, not by prefix-stripping.
+  /** `input_file_name()` returns a URL-ENCODED URI; the carry filter and
+    * sidecar keys compare RAW filesystem names. Decode before deriving
+    * any key — a Hive-escaped or non-ASCII partition value
+    * (`city=a%3Ab`, `city=北`) differs between the two spellings, and an
+    * undecoded key would make the carry filter keep the old file
+    * alongside its rewrite (silently resurrecting deleted rows).
     */
-  def relOf(liveDir: String, uri: String): String = {
+  def decodePath(uri: String): String =
+    try java.nio.file.Paths.get(new java.net.URI(uri)).toString
+    catch { case _: Exception => uri }
+
+  /** Version-dir-relative path of a DECODED data-file path — the key
+    * [[Sinks.cowPublish]]'s carry filter and the stats sidecar use. The
+    * path may still carry a scheme prefix, so the live dir is located by
+    * substring, not by prefix-stripping.
+    */
+  def relOf(liveDir: String, path: String): String = {
     val marker = liveDir.stripSuffix("/") + "/"
-    val i = uri.indexOf(marker)
-    require(i >= 0, s"graft DML: file $uri is not under $liveDir")
-    uri.substring(i + marker.length)
+    val i = path.indexOf(marker)
+    require(i >= 0, s"graft DML: file $path is not under $liveDir")
+    path.substring(i + marker.length)
   }
 
   /** The data files of the pinned version whose rows can satisfy `cond`
     * — Delta's touched-file pass: one scan projecting only the file
-    * name (`input_file_name()` is stamped at the scan, and the pushed
-    * condition prunes row groups), collected driver-side at metadata
-    * scale. Returns (absolute URIs, version-dir-relative keys).
+    * name (`input_file_name()` is stamped at the scan). Pass the RAW
+    * statement condition, not a `coalesce(cond, false)` wrapper:
+    * `filter` drops NULL-evaluating rows either way, and the raw
+    * condition is what the parquet scan can push down to prune row
+    * groups. Collected driver-side at metadata scale. Returns (decoded
+    * absolute paths, version-dir-relative keys).
     */
   def touchedFiles(t: DataFrame, cond: Column,
       liveDir: String): (Seq[String], Set[String]) = {
     val abs = t.filter(cond).select(input_file_name())
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct().collect().map(r => decodePath(r.getString(0))).toSeq
     (abs, abs.map(relOf(liveDir, _)).toSet)
   }
 
@@ -166,12 +185,13 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
   import GraftDml._
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ofRows(spark, target)
-    val cond = coalesce(col0(condition), lit(false))
     val liveDir = Sinks.versionPath(tRoot, baseVersion)
-    val (touchedAbs, touchedRel) = touchedFiles(t, cond, liveDir)
+    // raw condition for the touched pass (pushdown); NULL-safe wrapper
+    // only where the three-valued keep semantics need it
+    val (touchedAbs, touchedRel) = touchedFiles(t, col0(condition), liveDir)
     // rewrite = the touched files' surviving rows only
     val kept = prunedTarget(spark, target, touchedAbs, liveDir)
-      .filter(!cond)
+      .filter(!coalesce(col0(condition), lit(false)))
       .select(target.output.map(a => col0(a).as(a.name)): _*)
     Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, kept)
     Seq.empty
@@ -192,8 +212,9 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     val t = ofRows(spark, target)
     val cond = condition.map(col0).getOrElse(lit(true))
     val liveDir = Sinks.versionPath(tRoot, baseVersion)
-    val (touchedAbs, touchedRel) =
-      touchedFiles(t, coalesce(cond, lit(false)), liveDir)
+    // raw condition: filter drops NULL rows either way, and raw pushes
+    // down to the parquet row groups
+    val (touchedAbs, touchedRel) = touchedFiles(t, cond, liveDir)
     val outCols = target.output.map { attr =>
       assignedValue(assignments, attr) match {
         case Some(v) =>
@@ -282,14 +303,40 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     // identically. Source is O(delta) — the cheap side to pin.
     val sdf0 = s.withColumn(SP, lit(true))
     val sdf = if (needRid || cow) sdf0.localCheckpoint() else sdf0
+    // insert-only MERGE (no matched / by-source clauses): nothing in the
+    // target can change, so the touched-file pass and the rewrite are
+    // pure waste — select the unmatched source rows with ONE left-anti
+    // join and publish them as a linked append (every data file carried)
+    if (cow && matchedActions.isEmpty) {
+      val anti = sdf.join(t, col0(mergeCondition), "left_anti")
+      val insertTagged0 = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
+      val tagged = anti.withColumn(OP, dispatch(insertTagged0, "drop"))
+        .filter(col(OP) =!= "drop")
+      val outCols0 = target.output.map { attr =>
+        var c: Column = lit(null).cast(attr.dataType)
+        insertTagged0.foreach {
+          case (ins: InsertAction, tag) =>
+            val v = assignedValue(ins.assignments, attr)
+              .map(e => col0(e).cast(attr.dataType))
+              .getOrElse(lit(null).cast(attr.dataType))
+            c = when(col(OP) === tag, v).otherwise(c)
+          case _ => ()
+        }
+        c.as(attr.name)
+      }
+      Sinks.cowPublish(spark, tRoot, baseVersion, Set.empty,
+        GraftCheck.enforce(tagged.select(outCols0: _*), tRoot), checkEmpty = false)
+      return Seq.empty
+    }
     val (touchedAbs, touchedRel) =
       if (!cow) (Seq.empty[String], Set.empty[String])
       else {
         // input_file_name() must be stamped AT the target scan, before
-        // the join moves rows between stages
+        // the join moves rows between stages; decode before keying
         val abs = t.withColumn(FILE, input_file_name())
           .join(sdf, col0(mergeCondition), "inner")
-          .select(col(FILE)).distinct().collect().map(_.getString(0)).toSeq
+          .select(col(FILE)).distinct().collect()
+          .map(r => decodePath(r.getString(0))).toSeq
         (abs, abs.map(relOf(liveDir, _)).toSet)
       }
     val tCow =

@@ -650,12 +650,16 @@ object Sinks {
     * table's schema in table column order.
     */
   private[graft] def cowPublish(spark: SparkSession, root: String, expected: Long,
-      touchedRel: Set[String], rewritten: DataFrame): Long = {
+      touchedRel: Set[String], rewritten: DataFrame,
+      checkEmpty: Boolean = true): Long = {
     // a no-op statement (predicate matched nothing) still commits a
     // version — but writing its empty frame would land a zero-row file
     // alongside every carried one; skip the write (the empty check is a
-    // trivial job here, the plan scans zero touched files)
-    val skipWrite = touchedRel.isEmpty && rewritten.isEmpty
+    // trivial job here, the plan scans zero touched files). Callers
+    // whose `rewritten` is an expensive plan over an empty touched set
+    // (insert-only MERGE) pass checkEmpty = false — the probe would
+    // execute the plan twice.
+    val skipWrite = checkEmpty && touchedRel.isEmpty && rewritten.isEmpty
     stageLinkedPublish(rewritten, root, Some(expected), Nil,
       emitFeed = false, batchTag = None,
       carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite)
@@ -857,11 +861,38 @@ object Sinks {
     * died after the pointer flip but before its feed links is healed by
     * the next commit's pass.
     */
+  /** Watermark file inside `feed/`: the highest version whose chain has
+    * been fully reconciled. Bounds [[reconcileFeedLocked]] to the
+    * commits since the last pass (O(new commits), not O(retained
+    * history) under the commit lock every micro-batch). Crash-safe: the
+    * watermark advances only AFTER a complete walk, so a commit that
+    * died before its links left the watermark below it and the next
+    * pass revisits. Underscore-prefixed, so feed readers never see it.
+    */
+  private val FeedWatermark = "_RECONCILED"
+
+  /** Re-walk the ENTIRE live chain and relink anything missing,
+    * ignoring the watermark — the operator repair for feed links lost
+    * below it (a manually cleaned directory, a restored backup).
+    * Ordinary crash windows never need this; the per-commit reconcile
+    * heals them.
+    */
+  def repairFeed(root: String): Unit = withCommitLock(root) {
+    Files.deleteIfExists(Paths.get(root, FeedDir, FeedWatermark))
+    reconcileFeedLocked(root)
+  }
+
   private def reconcileFeedLocked(root: String): Unit = {
     val feed = Paths.get(root, FeedDir)
     if (!Files.isDirectory(feed)) return
-    var cur = currentVersion(root)
-    while (cur.isDefined) {
+    val wmFile = feed.resolve(FeedWatermark)
+    val wm =
+      if (Files.exists(wmFile))
+        new String(Files.readAllBytes(wmFile), "UTF-8").trim.toLong
+      else -1L
+    val top = currentVersion(root)
+    var cur = top
+    while (cur.isDefined && cur.get > wm) {
       val vdir = Paths.get(versionPath(root, cur.get))
       val side = vdir.resolve(ChangesSidecar)
       if (Files.isDirectory(side) && Files.exists(side.resolve("_BASE"))) {
@@ -881,6 +912,13 @@ object Sinks {
         case Some(b) if b >= 0 && b < cur.get => Some(b)
         case _ => None
       }
+    }
+    // advance the watermark only after the walk completed
+    top.foreach { t =>
+      val tmp = feed.resolve(FeedWatermark + ".tmp")
+      Files.write(tmp, t.toString.getBytes("UTF-8"))
+      Files.move(tmp, wmFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -962,8 +1000,22 @@ object Sinks {
       }
     }
     withCommitLock(root) {
+      // the commit's own reconcile swallows failures (a durable commit
+      // must not report as failed) — but VACUUM is the step that makes
+      // an unlinked `_changes` unrecoverable, so it re-verifies the
+      // feed first and skips version eviction when the reconcile cannot
+      // complete (stage debris cleanup is still safe: it holds no feed
+      // data). The next compaction retries the eviction.
+      val feedOk =
+        try { reconcileFeedLocked(root); true }
+        catch { case e: Exception =>
+          System.err.println(s"[graft] feed reconcile before vacuum of $root " +
+            s"failed — retaining all versions this pass: $e")
+          false
+        }
       val below = listVersions(root).filter(_ < liveV)
-      val evict = below.sorted.dropRight(retainVersions).toSet
+      val evict = if (feedOk) below.sorted.dropRight(retainVersions).toSet
+                  else Set.empty[Long]
       Fs.listDir(Paths.get(root)).foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)

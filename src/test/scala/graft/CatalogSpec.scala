@@ -786,4 +786,53 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM graft.cow").head.getLong(0) == 390)
     } finally spark.sql("DROP TABLE graft.cow")
   }
+
+  test("insert-only MERGE carries every data file and appends only the new rows") {
+    import spark.implicits._
+    val wh = root
+    (0L until 100L).map(i => (i, s"p$i")).toDF("id", "pay")
+      .createOrReplaceTempView("imrg_src")
+    spark.sql("CREATE TABLE graft.imrg AS SELECT * FROM imrg_src")
+    try {
+      val tbl = s"$wh/imrg"
+      val v0 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      val v0Files = graft.io.Fs.walkParquet(v0).map(_.getFileName.toString).toSet
+      Seq((50L, "dup"), (200L, "new")).toDF("id", "pay")
+        .createOrReplaceTempView("imrg_delta")
+      spark.sql(
+        """MERGE INTO graft.imrg t USING imrg_delta s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, pay) VALUES (s.id, s.pay)""".stripMargin)
+      val v1 = Paths.get(Sinks.versionPath(tbl, Sinks.currentVersion(tbl).get))
+      val v1Files = graft.io.Fs.walkParquet(v1).map(_.getFileName.toString).toSet
+      // NOTHING rewritten: every old file carried, one new file appended
+      assert(v0Files.subsetOf(v1Files),
+        s"insert-only MERGE must not rewrite matched files: ${v0Files -- v1Files} lost")
+      assert(spark.sql("SELECT count(*) FROM graft.imrg").head.getLong(0) == 101)
+      assert(spark.sql("SELECT pay FROM graft.imrg WHERE id = 50").head.getString(0) == "p50",
+        "a matched row must keep its TARGET values under insert-only MERGE")
+      assert(spark.sql("SELECT pay FROM graft.imrg WHERE id = 200").head.getString(0) == "new")
+    } finally spark.sql("DROP TABLE graft.imrg")
+  }
+
+  test("COW DML decodes escaped partition values — deleted rows never resurrect") {
+    root
+    spark.sql(
+      "CREATE TABLE graft.cowp (id BIGINT, city STRING) USING parquet PARTITIONED BY (city)")
+    try {
+      // 'a:b' Hive-escapes on disk (city=a%3Ab) and URL-encodes again in
+      // input_file_name (city=a%253Ab); 'x y' stays raw on disk but
+      // encodes as x%20y — both break an undecoded carry-filter key
+      spark.sql(
+        "INSERT INTO graft.cowp VALUES (1, 'a:b'), (2, 'a:b'), (3, 'plain'), (4, 'x y')")
+      spark.sql("DELETE FROM graft.cowp WHERE id = 1")
+      val rows = spark.sql("SELECT id FROM graft.cowp ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(2L, 3L, 4L),
+        s"undecoded COW keys resurrect/duplicate rows: got $rows")
+      spark.sql("UPDATE graft.cowp SET id = 40 WHERE city = 'x y'")
+      val rows2 = spark.sql("SELECT id FROM graft.cowp ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows2 == Seq(2L, 3L, 40L), s"got $rows2")
+    } finally spark.sql("DROP TABLE graft.cowp")
+  }
 }
