@@ -190,10 +190,18 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
     // only where the three-valued keep semantics need it
     val (touchedAbs, touchedRel) = touchedFiles(t, col0(condition), liveDir)
     // rewrite = the touched files' surviving rows only
-    val kept = prunedTarget(spark, target, touchedAbs, liveDir)
+    val touched = prunedTarget(spark, target, touchedAbs, liveDir)
+    val kept = touched
       .filter(!coalesce(col0(condition), lit(false)))
       .select(target.output.map(a => col0(a).as(a.name)): _*)
-    Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, kept)
+    // the statement's own change feed: exactly the deleted rows, read
+    // from the same immutable touched files (conditions must be
+    // deterministic — the COW contract)
+    val feed = touched.filter(coalesce(col0(condition), lit(false)))
+      .select(target.output.map(a => col0(a).as(a.name)): _*)
+      .withColumn("_change_type", lit("delete"))
+    Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, kept,
+      changeFeed = Some(feed))
     Seq.empty
   }
 }
@@ -222,13 +230,29 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
         case None => col0(attr).as(attr.name)
       }
     }
-    val rewritten = prunedTarget(spark, target, touchedAbs, liveDir)
-      .select(outCols: _*)
+    val touched = prunedTarget(spark, target, touchedAbs, liveDir)
+    val rewritten = touched.select(outCols: _*)
+    // the statement's change feed: pre/post images of the rows the
+    // condition selects, no-op assignments dropped (Delta-CDF parity
+    // with changesBetween); derived from the same immutable files
+    val names = target.output.map(_.name)
+    val pre = struct(target.output.map(a => col0(a).as(a.name)): _*)
+    val post = struct(target.output.map { attr =>
+      assignedValue(assignments, attr)
+        .map(e => col0(e).cast(attr.dataType)).getOrElse(col0(attr)).as(attr.name)
+    }: _*)
+    val feed = touched.filter(coalesce(cond, lit(false)))
+      .select(pre.as("_pre"), post.as("_post"))
+      .filter(!(col("_pre") <=> col("_post")))
+      .select(explode(array(
+        struct(lit("update_preimage").as("t"), col("_pre").as("p")),
+        struct(lit("update_postimage").as("t"), col("_post").as("p")))).as("_c"))
+      .select(names.map(n => col(s"_c.p.$n").as(n)) :+ col("_c.t").as("_change_type"): _*)
     // CHECK constraints gate the rewritten contents (pre-existing rows
     // were validated when the constraint was added, so only the rows
     // this statement changes can trip the gate); row-local, same scan
     Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel,
-      GraftCheck.enforce(rewritten, tRoot))
+      GraftCheck.enforce(rewritten, tRoot), changeFeed = Some(feed))
     Seq.empty
   }
 }
@@ -267,12 +291,14 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
   }
 
   /** First-match dispatch: the tag of the first action whose condition
-    * holds (NULL = does not hold), else `default`. DELETE tags as
-    * "drop" so the row filter below removes it.
+    * holds (NULL = does not hold), else `default`. DELETE actions tag as
+    * `d<tag>` — distinct from the `drop` default, so the change feed can
+    * tell a matched DELETE (emits a delete row) from an unmatched source
+    * row no clause consumed (emits nothing); the row filter removes both.
     */
   private def dispatch(acts: Seq[(MergeAction, String)], default: String): Column =
     acts.foldRight(lit(default): Column) { case ((a, tag), els) =>
-      val t = a match { case _: DeleteAction => "drop"; case _ => tag }
+      val t = a match { case _: DeleteAction => s"d$tag"; case _ => tag }
       when(coalesce(actionCond(a), lit(false)), lit(t)).otherwise(els)
     }
 
@@ -310,8 +336,10 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     if (cow && matchedActions.isEmpty) {
       val anti = sdf.join(t, col0(mergeCondition), "left_anti")
       val insertTagged0 = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
+      // pinned once: the data and the insert feed must be projections of
+      // the SAME rows even under a non-deterministic source
       val tagged = anti.withColumn(OP, dispatch(insertTagged0, "drop"))
-        .filter(col(OP) =!= "drop")
+        .filter(col(OP) =!= "drop").localCheckpoint()
       val outCols0 = target.output.map { attr =>
         var c: Column = lit(null).cast(attr.dataType)
         insertTagged0.foreach {
@@ -324,8 +352,11 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
         }
         c.as(attr.name)
       }
+      val inserted = GraftCheck.enforce(tagged.select(outCols0: _*), tRoot)
       Sinks.cowPublish(spark, tRoot, baseVersion, Set.empty,
-        GraftCheck.enforce(tagged.select(outCols0: _*), tRoot), checkEmpty = false)
+        inserted, checkEmpty = false,
+        changeFeed = Some(tagged.select(outCols0: _*)
+          .withColumn("_change_type", lit("insert"))))
       return Seq.empty
     }
     val (touchedAbs, touchedRel) =
@@ -369,7 +400,12 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       .when(sp && !tp, dispatch(insertTagged, "drop"))
       .otherwise(dispatch(nmbsTagged, "keep"))
 
-    val kept = joined.withColumn(OP, op).filter(col(OP) =!= "drop")
+    // ONE pinned execution of the dispatched join; the published table
+    // AND the change feed are projections of these identical rows
+    // (Merge.applyTo's emitChanges design) — the dominant shuffle is not
+    // paid twice, and feed/data can never disagree
+    val tagged = joined.withColumn(OP, op).localCheckpoint()
+    val kept = tagged.filter(!(col(OP) === "drop" || col(OP).startsWith("d")))
 
     val outCols = target.output.map { attr =>
       var c: Column = when(col(OP) === "keep", col0(attr))
@@ -394,8 +430,30 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     }
 
     val result = GraftCheck.enforce(kept.select(outCols: _*), tRoot)
-    if (cow) Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, result)
-    else Sinks.publishVersioned(result, tRoot, Some(baseVersion))
+    // the merge's row-level change feed, from the SAME pinned rows:
+    // inserts carry the post image, matched/by-source deletes the pre
+    // image, updates both (no-op updates dropped — changesBetween
+    // parity); 'keep' and unconsumed source rows emit nothing
+    val names = target.output.map(_.name)
+    val preS = struct(target.output.map(a => col0(a).as(a.name)): _*)
+    val postS = struct(outCols: _*)
+    val emptyRow = slice(array(struct(lit("x").as("t"), preS.as("p"))), 1, 0)
+    val feedRows =
+      when(col(OP).startsWith("i"),
+        array(struct(lit("insert").as("t"), postS.as("p"))))
+      .when(col(OP) =!= "drop" && col(OP).startsWith("d"),
+        array(struct(lit("delete").as("t"), preS.as("p"))))
+      .when((col(OP).startsWith("m") || col(OP).startsWith("b")) && !(preS <=> postS),
+        array(struct(lit("update_preimage").as("t"), preS.as("p")),
+          struct(lit("update_postimage").as("t"), postS.as("p"))))
+      .otherwise(emptyRow)
+    val feed = tagged.select(explode(feedRows).as("_c"))
+      .select(names.map(n => col(s"_c.p.$n").as(n)) :+
+        col("_c.t").as("_change_type"): _*)
+    if (cow) Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, result,
+      changeFeed = Some(feed))
+    else Sinks.publishVersioned(result, tRoot, Some(baseVersion),
+      changeFeed = Some(feed))
     Seq.empty
   }
 }

@@ -651,7 +651,8 @@ object Sinks {
     */
   private[graft] def cowPublish(spark: SparkSession, root: String, expected: Long,
       touchedRel: Set[String], rewritten: DataFrame,
-      checkEmpty: Boolean = true): Long = {
+      checkEmpty: Boolean = true,
+      changeFeed: Option[DataFrame] = None): Long = {
     // a no-op statement (predicate matched nothing) still commits a
     // version — but writing its empty frame would land a zero-row file
     // alongside every carried one; skip the write (the empty check is a
@@ -662,7 +663,8 @@ object Sinks {
     val skipWrite = checkEmpty && touchedRel.isEmpty && rewritten.isEmpty
     stageLinkedPublish(rewritten, root, Some(expected), Nil,
       emitFeed = false, batchTag = None,
-      carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite)
+      carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite,
+      changeFeedDf = changeFeed)
   }
 
   /** The shared linked-publish core: write `df` as the staged delta,
@@ -673,7 +675,11 @@ object Sinks {
   private def stageLinkedPublish(aligned: DataFrame, root: String,
       expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
       batchTag: Option[String], carry: String => Boolean,
-      skipDataWrite: Boolean = false): Long = {
+      skipDataWrite: Boolean = false,
+      changeFeedDf: Option[DataFrame] = None): Long = {
+    require(!(emitFeed && changeFeedDf.isDefined),
+      "emitFeed derives the insert feed from the staged files; a caller " +
+        "supplying its own feed must not also request it")
     Files.createDirectories(Paths.get(root))
     val spark = aligned.sparkSession
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -715,6 +721,15 @@ object Sinks {
           else aligned.limit(0)
         back.withColumn("_change_type", lit("insert"))
           .write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
+        Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
+          expected.getOrElse(-1L).toString.getBytes("UTF-8"))
+      }
+      // a caller-computed row-level feed (COW DML) rides the same staged
+      // commit as data + stats — the CDF contract every writer shares
+      changeFeedDf.foreach { ch =>
+        require(ch.columns.contains("_change_type"),
+          "changeFeed must carry a _change_type column")
+        ch.write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
         Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
           expected.getOrElse(-1L).toString.getBytes("UTF-8"))
       }

@@ -109,7 +109,61 @@ object TableStreamOps extends QueryModule {
       cat
     }
 
+  /** Catalog whose `nat` table accumulates one SQL DELETE, one SQL
+    * UPDATE, and one SQL MERGE over the nation fixture — each commit
+    * persisting its own writer-side change feed (the CDF-complete DML
+    * door). Returns the TABLE root. Cached per sf dir.
+    */
+  private def dmlFeedTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val wh = "/tmp/graft_dmlfeed_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = wh + "/nat"
+      val cat = "graftdmlf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val srcMtime = Files.getLastModifiedTime(
+        Paths.get(Tables.path(dir, "nation"))).toMillis
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
+        Files.getLastModifiedTime(
+          Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        Sinks.publishVersioned(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")), tbl, None)
+        s.sql(s"DELETE FROM $cat.nat WHERE n_nationkey >= 20")
+        s.sql(s"UPDATE $cat.nat SET n_regionkey = n_regionkey + 1 WHERE n_nationkey < 5")
+        s.sql(
+          s"""MERGE INTO $cat.nat t
+             |USING (SELECT * FROM VALUES
+             |  (3, 'MERGEDLAND', 0, 'u'), (30, 'NEWLAND', 9, 'u'), (10, '', 0, 'd')
+             |  AS m(k, name, rk, act)) s
+             |ON t.n_nationkey = s.k
+             |WHEN MATCHED AND s.act = 'd' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET n_name = s.name
+             |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+             |  VALUES (s.k, s.name, s.rk)""".stripMargin)
+      }
+      tbl
+    }
+
   override def queries: Map[String, Q] = Map(
+
+    // CDF-complete SQL DML: DELETE, UPDATE, and MERGE each persisted
+    // their writer-side row-level feed; the O(delta) fast path chains
+    // the three commits without opening a snapshot, and the oracle
+    // recomputes every (commit, change_type) cell from the raw fixture —
+    // a hash match proves classification AND per-commit attribution.
+    "q_sql_dml_feed" -> ((s, dir) => {
+      val tbl = dmlFeedTable(s, dir)
+      graft.ops.Sinks.changeFeed(s, tbl, 0L, 3L).get
+        .groupBy(col("_commit_version").as("commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .orderBy("commit_version", "_change_type")
+    }),
 
     // O(delta) append (B118): current = even-key v0 files (carried by
     // hardlink, never rewritten) + odd-key appended files. The oracle
@@ -169,6 +223,21 @@ object TableStreamOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_sql_dml_feed" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_version, 'delete' AS _change_type,
+        |       count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT 2, 'update_preimage', count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT 2, 'update_postimage', count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL SELECT 3, 'delete', 1, 10
+        |UNION ALL SELECT 3, 'insert', 1, 30
+        |UNION ALL SELECT 3, 'update_preimage', 1, 3
+        |UNION ALL SELECT 3, 'update_postimage', 1, 3
+        |ORDER BY commit_version, _change_type""".stripMargin,
     "q_table_append" ->
       """SELECT o_orderstatus,
         |       count(*) AS n_orders,

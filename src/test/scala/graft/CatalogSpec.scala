@@ -814,6 +814,41 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.imrg")
   }
 
+  test("SQL DML emits its change feed — the O(delta) fast path equals the snapshot diff") {
+    import spark.implicits._
+    val wh = root
+    (0L until 60L).map(i => (i, s"p$i")).toDF("id", "pay")
+      .createOrReplaceTempView("cdfd_src")
+    spark.sql("CREATE TABLE graft.cdfd AS SELECT * FROM cdfd_src")
+    try {
+      val tbl = s"$wh/cdfd"
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+        df.select("id", "pay", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      def stepMatches(from: Long, to: Long): Unit = {
+        val fast = graft.ops.Sinks.changeFeed(spark, tbl, from, to)
+        assert(fast.isDefined, s"v$from→v$to must be readable via the feed fast path")
+        val diff = graft.ops.Sinks.changesBetween(spark, tbl, from, to, Seq("id"))
+        assert(rows(fast.get.drop("_commit_version")) == rows(diff),
+          s"writer feed for v$from→v$to diverges from the snapshot diff")
+      }
+      spark.sql("DELETE FROM graft.cdfd WHERE id < 10")           // v2
+      stepMatches(1L, 2L)
+      spark.sql("UPDATE graft.cdfd SET pay = 'U' WHERE id % 7 = 0") // v3
+      stepMatches(2L, 3L)
+      Seq((15L, "m15", "u"), (100L, "new", "u"), (20L, "", "d"))
+        .toDF("id", "pay", "act").createOrReplaceTempView("cdfd_delta")
+      spark.sql(
+        """MERGE INTO graft.cdfd t USING cdfd_delta s ON t.id = s.id
+          |WHEN MATCHED AND s.act = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET pay = s.pay
+          |WHEN NOT MATCHED THEN INSERT (id, pay) VALUES (s.id, s.pay)""".stripMargin) // v4
+      stepMatches(3L, 4L)
+      // and the whole range composes through the chain
+      assert(graft.ops.Sinks.changeFeed(spark, tbl, 1L, 4L).get.count() > 0)
+    } finally spark.sql("DROP TABLE graft.cdfd")
+  }
+
   test("COW DML decodes escaped partition values — deleted rows never resurrect") {
     root
     spark.sql(
