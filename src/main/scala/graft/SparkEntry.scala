@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Aggregates, Scalars, Joins, Windows, SetSort, EventOps, LlmOps, Subqueries,
-    Analytics, ScanOps, Curation, SqlEntry, TpchMore, TableStreamOps,
+    Analytics, ScanOps, Curation, SqlEntry, TpchMore, TableStreamOps, TrainPrepOps,
   )
 
   /** Flagship query; driver smoke-checks rows>0 on sf0.001. */

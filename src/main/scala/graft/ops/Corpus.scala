@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators: benchmark decontamination,
+  * sequence packing, and domain-mixture resampling — the three
+  * corpus-level transforms a pretraining data pipeline runs AFTER
+  * dedup/quality filtering ([[Dedup]], [[TextAnalysis]]) and BEFORE
+  * export.
+  *
+  * All three are engine-portable by construction (md5-based hashing and
+  * IEEE-double arithmetic only), so each has an exact DuckDB oracle in
+  * the harness — no rows-only escape hatch.
+  *
+  * Scale shape, per operator:
+  *  - [[ngramContamination]]: candidate generation is an equi-join on a
+  *    16-hex-char n-gram digest; the benchmark side is distinct'd first
+  *    and in practice tiny relative to the corpus (benchmarks are MBs,
+  *    corpora are TBs), so Catalyst broadcasts it and the training side
+  *    never shuffles its grams. The shuffle that remains is the per-doc
+  *    count aggregation — O(distinct grams), never O(text bytes).
+  *  - [[packSequences]]: the cumulative-offset window partitions by the
+  *    stream column, so packing is embarrassingly parallel across
+  *    streams; no global total order exists anywhere in the plan (a
+  *    single-stream call degenerates to one partition — callers at 100 TB
+  *    pack per shard/language, which is also what training shards want).
+  *  - [[mixturePlan]] / [[mixtureSelect]]: one aggregate over the corpus
+  *    to size each domain, then the tiny per-domain rate table joins back
+  *    by broadcast; selection is a row-local hash compare, shuffle-free.
+  */
+object Corpus {
+
+  /** Word n-gram digests per document: `(idCol, h)` where `h` is the
+    * first 16 hex chars of md5 over the space-joined n-gram. Documents
+    * shorter than `n` words contribute no rows (and so never reach the
+    * contamination join). The digest (not the gram text) is what
+    * shuffles — 16 bytes per gram regardless of gram length.
+    */
+  def ngramDigests(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val w = split(col(textCol), " ")
+    docs.select(col(idCol), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => substring(md5(array_join(slice(col("w"), i, lit(n)), " ")), 1, 16))).as("h"))
+  }
+
+  /** Benchmark decontamination report: for every training document, how
+    * many of its DISTINCT word n-grams also appear in the benchmark set
+    * (the n-gram-overlap contamination check run before pretraining, so
+    * eval answers are not in the training set). Returns one row per
+    * training document with >= n words:
+    * `(idCol, n_grams, n_hit, hit_ratio)` — callers decontaminate by
+    * dropping/redacting rows above a ratio threshold.
+    *
+    * The benchmark side is distinct'd to a bare digest column before the
+    * join; training grams are distinct'd per document so a gram repeated
+    * inside one doc counts once (ratio stays in [0,1]).
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = ngramDigests(bench, idCol, textCol, n).select("h").distinct()
+    val trainGrams = ngramDigests(train, idCol, textCol, n).distinct()
+    val tot = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val hit = trainGrams.join(benchGrams, "h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("hit_ratio"))
+  }
+
+  /** Concatenate-then-chunk sequence packing (the GPT-style pretraining
+    * layout): documents in each stream are laid end to end in `orderCol`
+    * order and the token stream is cut into fixed `budget`-token
+    * sequences. Returns per-document placement:
+    * `(orderCol, streamCol, n_tok, start_off, seq_first, seq_last)` —
+    * `start_off` is the document's offset into its stream's token tape,
+    * `seq_first`/`seq_last` the first and last sequence index it lands
+    * in (a document longer than `budget` spans several).
+    *
+    * Token count = whitespace word count; swap in a real tokenizer by
+    * pre-computing a token-count column and calling [[packCounted]].
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      streamCol: String, orderCol: String, textCol: String): DataFrame =
+    packCounted(
+      docs.withColumn("n_tok", size(split(col(textCol), " ")).cast("long")),
+      budget, streamCol, orderCol)
+
+  /** [[packSequences]] over a pre-tokenized frame carrying `n_tok`. */
+  def packCounted(docs: DataFrame, budget: Int,
+      streamCol: String, orderCol: String): DataFrame = {
+    require(budget >= 1, s"sequence budget must be >= 1, got $budget")
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col(orderCol), col(streamCol), col("n_tok"),
+        (col("cum") - col("n_tok")).as("start_off"),
+        floor((col("cum") - col("n_tok")) / budget).as("seq_first"),
+        floor((col("cum") - 1) / budget).as("seq_last"))
+  }
+
+  /** Per-domain resampling plan for a target mixture: each domain's
+    * sampling rate to hit `targetShare * budgetTokens` tokens from it
+    * (capped at 1.0 — this layer never upsamples; epoch repetition is the
+    * trainer's job). Returns `(groupCol, n_docs, tokens, rate)`.
+    */
+  def mixturePlan(docs: DataFrame, groupCol: String, tokCol: String,
+      targetShare: Double, budgetTokens: Long): DataFrame = {
+    require(targetShare > 0 && targetShare <= 1.0,
+      s"targetShare must be in (0,1], got $targetShare")
+    docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("tokens"))
+      .withColumn("rate",
+        least(lit(1.0), lit(targetShare) * budgetTokens / col("tokens").cast("double")))
+  }
+
+  /** Deterministic per-domain downsampling against a [[mixturePlan]]:
+    * a document survives iff the first 8 hex chars of `md5(id)` fall
+    * below the domain's rate threshold — content-stable (the same corpus
+    * always selects the same rows; no RNG, no partition-order
+    * sensitivity), and engine-portable for the oracle. The plan side is
+    * a handful of rows, so the join broadcasts; the hash compare is
+    * row-local. A rate >= 1.0 keeps every row (the threshold compare
+    * alone cannot express "all": floor(2^32) does not fit 8 hex chars).
+    */
+  def mixtureSelect(docs: DataFrame, plan: DataFrame,
+      groupCol: String, idCol: String): DataFrame = {
+    val thr = lpad(lower(hex(floor(col("rate") * lit(4294967296L)).cast("long"))),
+      8, "0")
+    docs.join(broadcast(plan.select(col(groupCol), col("rate"))), groupCol)
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < thr)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Q
+import graft.io.Tables
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation queries (SURVEY §2B B120–B122): benchmark
+  * n-gram decontamination, GPT-style sequence packing, and domain-mixture
+  * resampling over the `documents` fixture. All three are engine-portable
+  * (md5 digests, IEEE-double arithmetic) so each is fully oracled — the
+  * corpus-prep tier has no rows-only entries.
+  */
+object TrainPrepOps extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // B120 benchmark decontamination: every 97th document plays the
+    // benchmark set; the report counts 4-gram digest overlap per training
+    // doc. The benchmark gram side is distinct'd and broadcast — the
+    // training corpus never shuffles its gram stream.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Corpus.ngramContamination(train, bench, "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // B121 sequence packing: per-language token tapes cut into 256-token
+    // sequences — the window partitions by lang, so packing runs one
+    // independent cumulative sum per stream (no global order).
+    "q_seq_packing" -> ((s, dir) => {
+      Corpus.packSequences(Tables.documents(s, dir), budget = 256,
+          streamCol = "lang", orderCol = "doc_id", textCol = "text")
+        .orderBy("doc_id")
+    }),
+
+    // B122 domain mixture: plan per-language sampling rates toward a
+    // uniform 20% share of a 50k-token budget, then deterministically
+    // select survivors by md5 threshold and report the realized mixture.
+    "q_domain_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+      val plan = Corpus.mixturePlan(d, "lang", "n_tok",
+        targetShare = 0.2, budgetTokens = 50000L)
+      val sel = Corpus.mixtureSelect(d, plan, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_selected"), sum(col("n_tok")).as("selected_tokens"))
+      plan.join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          round(col("rate"), 6).as("rate"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("selected_tokens"), lit(0L)).as("selected_tokens"))
+        .orderBy("lang")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+        |        i -> substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16))) AS h
+        |      FROM w),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+        |hit AS (SELECT t.doc_id AS doc_id, count(*) AS n_hit
+        |        FROM train t JOIN bench USING (h) GROUP BY 1)
+        |SELECT tot.doc_id AS doc_id, tot.n_grams AS n_grams,
+        | coalesce(hit.n_hit, 0) AS n_hit,
+        | round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_grams, 6) AS hit_ratio
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY 1""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |        len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT doc_id, lang, n_tok, cum - n_tok AS start_off,
+        | CAST(floor((cum - n_tok) / 256) AS BIGINT) AS seq_first,
+        | CAST(floor((cum - 1) / 256) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |        len(string_split(text, ' ')) AS n_tok FROM documents),
+        |plan AS (SELECT lang, count(*) AS n_docs,
+        |           CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |           least(CAST(1.0 AS DOUBLE),
+        |             CAST(0.2 AS DOUBLE) * 50000 / CAST(sum(n_tok) AS DOUBLE)) AS rate
+        |         FROM d GROUP BY 1),
+        |thr AS (SELECT *, lpad(lower(to_hex(
+        |          CAST(floor(rate * 4294967296) AS BIGINT))), 8, '0') AS t8
+        |        FROM plan),
+        |sel AS (SELECT d.lang AS lang, count(*) AS n_selected,
+        |          CAST(sum(d.n_tok) AS BIGINT) AS selected_tokens
+        |        FROM d JOIN thr USING (lang)
+        |        WHERE thr.rate >= 1.0
+        |           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t8
+        |        GROUP BY 1)
+        |SELECT p.lang AS lang, p.n_docs, p.tokens, round(p.rate, 6) AS rate,
+        | coalesce(s.n_selected, 0) AS n_selected,
+        | coalesce(s.selected_tokens, 0) AS selected_tokens
+        |FROM thr p LEFT JOIN sel s ON p.lang = s.lang
+        |ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2B B120–B122: corpus-prep contracts the oracle sweep doesn't
+  * pin — planted-contamination detection, packing tape invariants,
+  * mixture determinism and rate semantics.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  test("B120 contamination finds a planted benchmark copy and only reports real overlap") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    // plant: training doc 900001 IS benchmark doc 0's text; 900002 is clean
+    val benchRow = docs.filter(col("doc_id") === 0)
+      .select(lit(900001L).as("doc_id"), col("text"))
+    val clean = Seq((900002L, "completely fresh words nowhere else zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") > 0).select("doc_id", "text")
+      .unionByName(benchRow).unionByName(clean)
+    val bench = docs.filter(col("doc_id") === 0).select("doc_id", "text")
+    val rep = Corpus.ngramContamination(train, bench, "doc_id", "text", n = 4)
+    val planted = rep.filter(col("doc_id") === 900001L).head()
+    // a verbatim copy: every distinct 4-gram of the doc is contaminated
+    assert(planted.getAs[Double]("hit_ratio") === 1.0)
+    assert(planted.getAs[Long]("n_hit") === planted.getAs[Long]("n_grams"))
+    val cleanRow = rep.filter(col("doc_id") === 900002L).head()
+    assert(cleanRow.getAs[Long]("n_hit") === 0L)
+    // ratio stays in [0,1] everywhere (per-doc grams are distinct'd)
+    assert(rep.filter(col("hit_ratio") > 1.0 || col("hit_ratio") < 0.0).count() === 0)
+  }
+
+  test("B120 documents shorter than n words contribute no gram rows") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only three words"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val g = Corpus.ngramDigests(tiny, "doc_id", "text", n = 4)
+    assert(g.filter(col("doc_id") === 1L).count() === 0)
+    assert(g.filter(col("doc_id") === 2L).count() === 2) // 5 - 4 + 1
+  }
+
+  test("B121 packing lays each stream's tape contiguously and chunks by the budget") {
+    val packed = Corpus.packSequences(Tables.documents(spark, sf001),
+      budget = 256, streamCol = "lang", orderCol = "doc_id", textCol = "text")
+      .cache()
+    // per stream: offsets are gapless — start_off == sum of earlier docs'
+    // tokens, i.e. consecutive (start_off + n_tok) == next start_off
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val gaps = packed
+      .withColumn("prev_end", lag(col("start_off") + col("n_tok"), 1, 0L).over(w))
+      .filter(col("start_off") =!= col("prev_end"))
+    assert(gaps.count() === 0)
+    // seq bounds are exactly the chunk indices of [start, start + n_tok)
+    val bad = packed.filter(
+      col("seq_first") =!= floor(col("start_off") / 256) ||
+        col("seq_last") =!= floor((col("start_off") + col("n_tok") - 1) / 256) ||
+        col("seq_last") < col("seq_first"))
+    assert(bad.count() === 0)
+    // a doc spanning k sequences has n_tok > (k-1)*budget - spans are real
+    val spanBad = packed.filter(
+      (col("seq_last") - col("seq_first")) * 256 - col("n_tok") >= lit(256))
+    assert(spanBad.count() === 0)
+    packed.unpersist()
+  }
+
+  test("B122 mixture rates cap at 1.0, rate-1 domains keep every row, selection is deterministic") {
+    val d = Tables.documents(spark, sf001)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val plan = Corpus.mixturePlan(d, "lang", "n_tok", targetShare = 0.2,
+      budgetTokens = 50000L).cache()
+    assert(plan.filter(col("rate") > 1.0).count() === 0)
+    val sel = Corpus.mixtureSelect(d, plan, "lang", "doc_id").cache()
+    // rate >= 1.0 domains are passed through whole
+    val full = plan.filter(col("rate") >= 1.0).select("lang")
+      .collect().map(_.getString(0)).toSet
+    val perLang = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selPerLang = sel.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { l => assert(selPerLang(l) === perLang(l), s"lang $l") }
+    // downsampled domains select a strict, deterministic subset
+    val sel2 = Corpus.mixtureSelect(d, plan, "lang", "doc_id")
+    assert(sel.select("doc_id").exceptAll(sel2.select("doc_id")).count() === 0)
+    assert(sel2.select("doc_id").exceptAll(sel.select("doc_id")).count() === 0)
+    plan.unpersist(); sel.unpersist()
+  }
+
+  test("B122 a generous budget selects everything; a zero-ish rate selects almost nothing") {
+    val d = Tables.documents(spark, sf001)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val all = Corpus.mixtureSelect(d,
+      Corpus.mixturePlan(d, "lang", "n_tok", 1.0, 100000000L), "lang", "doc_id")
+    assert(all.count() === d.count())
+    val tiny = Corpus.mixtureSelect(d,
+      Corpus.mixturePlan(d, "lang", "n_tok", 0.001, 1000L), "lang", "doc_id")
+    assert(tiny.count() < d.count() / 10)
+  }
+}
