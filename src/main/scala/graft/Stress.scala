@@ -42,11 +42,13 @@ object Stress {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
     Tables.names.foreach { name =>
-      // events carries the ns-timestamp column: replicate from the RAW
+      // a legacy ns-timestamp events fixture must replicate from the RAW
       // long-ns read so the written copy stays BIGINT and Tables.events'
-      // schema override keeps working against the replica dir
+      // schema override keeps working against the replica dir; a native
+      // timestamp fixture round-trips as-is (and Tables.events detects
+      // the replica's layout from its own footer)
       val base =
-        if (name == "events")
+        if (name == "events" && !Tables.eventsHasNativeTs(spark, src))
           spark.read.schema(Tables.eventsRawSchema).parquet(Tables.path(src, name))
         else spark.read.parquet(Tables.path(src, name))
       val rep = name match {

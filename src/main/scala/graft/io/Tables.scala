@@ -11,15 +11,22 @@ import org.apache.spark.sql.types._
   * pruning reach the scan, and directory-partitioned layouts would
   * partition-prune unchanged on a real cluster.
   *
-  * The single column-level normalization is the `events.ts` nanosecond
-  * fix: the fixture stores TIMESTAMP(NANOS), which Spark 4.x schema
-  * inference rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`.
-  * Rather than mutating session conf at plan time (which would silently
-  * change the type of every later nanos read in the session), the loader
-  * supplies an explicit BIGINT-ns schema — the reader then accepts the
-  * file without any conf. We truncate to microseconds with integer
-  * `div` — double division would lose precision at 1e18-scale
-  * nanosecond magnitudes (> 2^53).
+  * The single column-level normalization is the `events.ts` timestamp
+  * fix, and it must handle BOTH physical layouts the fixture has
+  * shipped with:
+  *
+  *  - legacy TIMESTAMP(NANOS), which Spark 4.x schema inference rejects
+  *    unless `spark.sql.legacy.parquet.nanosAsLong=true`. The loader
+  *    supplies an explicit BIGINT-ns schema (no conf mutation) and
+  *    truncates to µs with integer `div` — double division would lose
+  *    precision at 1e18-scale nanosecond magnitudes (> 2^53);
+  *  - native TIMESTAMP(MICROS/MILLIS), which Spark reads directly.
+  *
+  * The layout is DETECTED from the footer, never assumed: reading a
+  * native-µs file through the BIGINT override "succeeds" with values
+  * 1000× off (epoch-1970 dates everywhere) — a silent whole-table
+  * corruption, found the hard way when the fixture regenerated with a
+  * native type mid-round. Detection is cached per path.
   */
 object Tables {
   /** All fixture tables, in FK order. */
@@ -55,13 +62,56 @@ object Tables {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** `events` with `ts` normalized from BIGINT nanoseconds to a proper
-    * microsecond TIMESTAMP. The DuckDB oracle side must truncate
-    * identically: `CAST(ts AS TIMESTAMP)`.
+  /** The normalized events schema every consumer sees: `ts` as a proper
+    * TIMESTAMP. Also valid as an explicit READ schema against a
+    * native-timestamp fixture (µs or ms physical — Spark widens ms
+    * exactly).
+    */
+  val eventsMicroSchema: StructType = StructType(
+    eventsRawSchema.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
+
+  /** Inferred schema of the events file under `sfDir` when `ts` is a
+    * NATIVE parquet timestamp (Spark-readable directly); None for the
+    * legacy TIMESTAMP(NANOS) layout. A pyarrow-written µs file carries
+    * `isAdjustedToUTC=false`, which Spark 4 infers as TimestampNTZType —
+    * both flavors count as native (the NTZ→LTZ cast below interprets
+    * wall-clock in the session timezone, UTC across the harness, exactly
+    * how DuckDB reads the same naive values). LongType (session has
+    * `nanosAsLong=true`) or the NANOS inference rejection → legacy. One
+    * footer read per distinct path, then cached — safe at plan time.
+    */
+  private val nativeSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
+  def eventsNativeSchema(spark: SparkSession, sfDir: String): Option[StructType] = {
+    val p = path(sfDir, "events")
+    nativeSchemaCache.computeIfAbsent(p, _ =>
+      try {
+        val sch = spark.read.parquet(p).schema
+        sch("ts").dataType match {
+          case TimestampType | TimestampNTZType => Some(sch)
+          case _ => None
+        }
+      } catch { case _: Exception => None })
+  }
+  def eventsHasNativeTs(spark: SparkSession, sfDir: String): Boolean =
+    eventsNativeSchema(spark, sfDir).isDefined
+
+  /** `events` with `ts` normalized to a microsecond session-tz TIMESTAMP,
+    * whichever physical layout the fixture carries. The DuckDB oracle
+    * side truncates identically (`CAST(ts AS TIMESTAMP)` — a µs
+    * truncation for legacy ns files, a no-op for native µs files).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(path(sfDir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsNativeSchema(spark, sfDir) match {
+      case Some(sch) =>
+        spark.read.schema(sch).parquet(path(sfDir, "events"))
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select(eventsRawSchema.fieldNames.map(col).toSeq: _*)
+      case None =>
+        spark.read.schema(eventsRawSchema).parquet(path(sfDir, "events"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
   /** Register every fixture table as a temp view (SQL entry point E2).
     * Idempotent per (session, dir): re-registration re-reads ten parquet

@@ -194,16 +194,25 @@ object StreamOps {
   val eventsRawSchema: StructType = graft.io.Tables.eventsRawSchema
 
   /** B4: streaming file source over the events fixture, normalized to the
-    * same schema the batch loader produces. The explicit schema makes the
-    * reader accept TIMESTAMP(NANOS) without any session-conf mutation
-    * (same approach as the batch loader).
+    * same schema the batch loader produces. A file stream needs its
+    * schema up front, so the fixture's physical ts layout (native µs vs
+    * legacy NANOS) is detected from the footer first — same contract as
+    * the batch loader, no session-conf mutation either way.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     // FileStreamSource wants a directory; select just the events file.
-    spark.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.io.Tables.eventsNativeSchema(spark, sfDir) match {
+      case Some(sch) =>
+        spark.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case None =>
+        spark.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
   // ---------- shared window transforms (batch twin == streaming plan) ----------
 

@@ -20,10 +20,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("B2: Tables.events reads ns-timestamps via runtime conf (bare session)") {
+  test("B2: Tables.events normalizes ts whatever the physical layout (bare session)") {
     val e = Tables.events(spark, sf001)
     assert(e.schema("ts").dataType.typeName == "timestamp")
     assert(e.count() == 1000)
+    // VALUE-level sanity, not just type: a fixture misread through the
+    // wrong physical-layout branch lands every instant in 1970 (µs read
+    // as ns is 1000× off). The fixture's domain is Jan 2024.
+    val yrs = e.select(min(year(col("ts"))), max(year(col("ts")))).head()
+    assert(yrs.getInt(0) == 2024 && yrs.getInt(1) == 2024,
+      s"events.ts misread: year range ${yrs.getInt(0)}..${yrs.getInt(1)}")
   }
 
   test("B19 plan shape: dim joins use BroadcastHashJoin") {
