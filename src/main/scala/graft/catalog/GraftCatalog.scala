@@ -563,15 +563,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ident.name() match {
       case "compact" => new GraftProcedures.Compact(resolve)
       case "restore" => new GraftProcedures.Restore(resolve)
+      case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
-          s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore)")
+          s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
+          s"${GraftProcedures.Namespace}.bloom_index)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
-      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"))
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
+        Identifier.of(namespace, "bloom_index"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -68,6 +68,60 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.bloom_index(table, columns)` — build the B123 `_bloom`
+    * point-lookup sidecar over the LIVE version's data files (one
+    * distributed pass; see [[graft.ops.Bloom.annotate]]). Layout-only
+    * like compact: the sidecar is advisory metadata — readers that know
+    * it prune, everyone else scans — so no OCC version bump is needed;
+    * the files it describes are immutable, and the next publish simply
+    * starts a new version without it (rebuild after major rewrites).
+    */
+  final class BloomIndex(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "bloom_index"
+    override def description(): String =
+      "build a per-file Bloom-filter sidecar for point-lookup file skipping"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated column names to index").build(),
+      ProcedureParameter.in("expected_items", LongType).defaultValue("100000")
+        .comment("expected distinct values per file (sizes each filter)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val items = input.getLong(2)
+      require(cols.nonEmpty, "columns must name at least one column")
+      require(items > 0, s"expected_items must be positive, got $items")
+      val root = resolveRoot(table)
+      val spark = SparkSession.active
+      val live = graft.ops.Sinks.resolve(root)
+      // unknown columns fail HERE with a clear message, not as a
+      // mid-job analysis error from the annotate scan
+      val schema = spark.read.parquet(live).schema.fieldNames.toSet
+      val missing = cols.filterNot(schema)
+      require(missing.isEmpty,
+        s"column(s) not in $table: ${missing.mkString(", ")}")
+      graft.ops.Bloom.annotate(spark, live, cols, expectedItems = items)
+      val v = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v,
+            UTF8String.fromString(cols.mkString(","))))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("columns", StringType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.restore(table, version)` — rewind the table to a retained
     * snapshot by republishing it as a NEW version
     * ([[graft.ops.Sinks.restoreVersion]]: hardlinked, O(metadata), an

@@ -174,6 +174,25 @@ object ScanOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // Bloom-filter point-lookup skipping (B123): orders HASH-laid on
+    // o_orderkey — every file's [min,max] spans the whole key domain, so
+    // B109 range stats open all 8 files for any point probe — then
+    // published with a per-file `_bloom` sidecar. The membership probe
+    // keeps ~1 file (SkippingSpec asserts the count); at 100 TB this
+    // turns an unclustered point lookup from a full scan into a
+    // metadata operation, the same trick as Delta's bloom index. The
+    // probe key is a scalar both engines derive identically, and the
+    // oracle runs the same lookup on the raw fixture — hash-proving
+    // membership pruning never changes results.
+    "q_bloom_skipping" -> ((s, dir) => {
+      val tbl = bloomTable(s, dir)
+      val k = Tables.orders(s, dir).filter(col("o_orderkey") >= 1000)
+        .agg(min("o_orderkey")).head().getLong(0)
+      graft.ops.Bloom.readCurrentWhereEq(s, tbl, "o_orderkey", k)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    }),
+
     // Incremental materialized view (B111): a stored GROUP BY aggregate
     // over a versioned orders table, advanced to the mutated v1 by
     // replaying the change feed (insert/delete/update signed
@@ -243,8 +262,20 @@ object ScanOps extends QueryModule {
     val marker = Paths.get(out, "_SUCCESS")
     val srcMtime = Files.getLastModifiedTime(
       Paths.get(Tables.path(dir, "events"))).toMillis
+    // freshness = mtime AND content sanity: a copy built while the
+    // session's ns-timestamp conf was not in effect collapses every row
+    // to epoch-era dates (one 1970 partition) and an mtime check alone
+    // would trust that corrupt build forever. The fixture's events span
+    // many days, so a sane layout always has several partition dirs.
+    def saneLayout: Boolean = {
+      val dirs = graft.io.Fs.listDir(Paths.get(out))
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("event_date="))
+      dirs.size > 1 && !dirs.exists(
+        _.getFileName.toString.startsWith("event_date=19"))
+    }
     val fresh = Files.exists(marker) &&
-      Files.getLastModifiedTime(marker).toMillis >= srcMtime
+      Files.getLastModifiedTime(marker).toMillis >= srcMtime && saneLayout
     if (!fresh) {
       val staging = out + ".stage-" + ProcessHandle.current().pid()
       Tables.events(s, dir)
@@ -396,6 +427,33 @@ object ScanOps extends QueryModule {
         .sortWithinPartitions("_z")
         .drop("_z")
       Sinks.publishVersioned(laid, tbl, None, statsCols = Seq("o_custkey", "o_day"))
+    }
+    tbl
+  }
+
+  /** Versioned orders table for q_bloom_skipping (B123): HASH layout on
+    * o_orderkey (every file spans the whole key domain — range stats
+    * cannot prune a point probe) with both sidecars: `_stats` (so the
+    * composition path runs) and `_bloom` on the key. Rebuilt when the
+    * fixture changes; the `_bloom` dir doubles as the completion marker.
+    */
+  def bloomTable(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Bloom, Sinks, Stats}
+    val tbl = "/tmp/graft_bloomz_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_h"
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L) &&
+      Files.isDirectory(Paths.get(Sinks.versionPath(tbl, 0L) + "/" + Bloom.Sidecar)) &&
+      Files.getLastModifiedTime(
+        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
+      val laid = Tables.orders(s, dir).repartition(8, col("o_orderkey"))
+      Sinks.publishVersioned(laid, tbl, None, statsCols = Seq("o_orderkey"))
+      Bloom.annotate(s, Sinks.resolve(tbl), Seq("o_orderkey"),
+        expectedItems = 50000L)
     }
     tbl
   }
@@ -560,6 +618,13 @@ object ScanOps extends QueryModule {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 40
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_bloom_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey =
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderkey >= 1000)""".stripMargin,
 
     // Reconstruct source v1 (same three mutations over the fixture) and
     // aggregate it directly — the MV's incremental refresh must land on

@@ -534,6 +534,41 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cmp")
   }
 
+  test("CALL graft.system.bloom_index builds the sidecar; point lookups prune and stay exact") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.blx (k BIGINT, tag STRING)")
+    try {
+      // hash-spread keys so range stats can't prune a point probe
+      graft.io.Tables.lineitem(spark, TestSpark.sf001)
+        .selectExpr("l_orderkey AS k", "l_returnflag AS tag")
+        .repartition(6, org.apache.spark.sql.functions.col("k"))
+        .createOrReplaceTempView("blx_src")
+      spark.sql("INSERT INTO graft.blx SELECT * FROM blx_src")
+      val res = spark.sql(
+        "CALL graft.system.bloom_index(table => 'blx', columns => 'k')").collect()
+      assert(res.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq(("blx", 1L, "k")))
+      val live = Sinks.resolve(s"$wh/blx")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(live, graft.ops.Bloom.Sidecar)))
+      // probe an existing key: few files open, result identical to SQL
+      val k = spark.sql("SELECT min(k) FROM graft.blx WHERE k >= 50").head().getLong(0)
+      val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live)).size
+      val kept = graft.ops.Bloom.prunedFilesEq(spark, live, "k", k).size
+      assert(kept < all, s"no pruning: $kept of $all")
+      val pruned = graft.ops.Bloom.readCurrentWhereEq(spark, s"$wh/blx", "k", k)
+        .orderBy("k", "tag").collect().toSeq
+      val full = spark.sql(s"SELECT * FROM graft.blx WHERE k = $k")
+        .orderBy("k", "tag").collect().toSeq
+      assert(pruned == full && pruned.nonEmpty)
+      // unknown column fails loudly at the CALL, not mid-job
+      val err = intercept[Exception](spark.sql(
+        "CALL graft.system.bloom_index(table => 'blx', columns => 'nope')"))
+      assert(err.getMessage.contains("nope"))
+    } finally spark.sql("DROP TABLE graft.blx")
+  }
+
   test("table_history TVF lists retained versions with the current flag") {
     root
     val h = spark.sql("SELECT * FROM table_history('graft.t1') ORDER BY version")

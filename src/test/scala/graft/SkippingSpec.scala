@@ -246,4 +246,75 @@ class SkippingSpec extends AnyFunSuite {
     assert(viaStats.orderBy("k").collect().toSeq ==
       full.orderBy("k").collect().toSeq)
   }
+
+  // ---- B123: per-file Bloom-filter point-lookup skipping ----
+
+  test("bloom prunes an UNCLUSTERED point lookup where min/max stats cannot") {
+    import spark.implicits._
+    val dir = tmp("bloom") + "/t"
+    // hash layout: every file's [min,max] spans ~the whole key domain,
+    // so B109 range stats keep all files for any point probe — the
+    // exact shape bloom membership exists for
+    (0L until 4000L).map(i => (i, s"id-$i", s"p$i")).toDF("k", "sid", "payload")
+      .repartition(8, col("k"))
+      .write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("k"))
+    graft.ops.Bloom.annotate(spark, dir, Seq("k", "sid"), expectedItems = 1000L)
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+    assert(all.size == 8)
+    // stats alone prune nothing for a mid-domain point
+    assert(Stats.prunedFiles(spark, dir, "k", 1234L, 1234L).size == 8)
+    // bloom keeps few files (≥ the true one; fpp makes >1 possible but
+    // with 8 files at 1% the expected extras are ~0.07 — assert < half)
+    val kept = graft.ops.Bloom.prunedFilesEq(spark, dir, "k", 1234L)
+    assert(kept.nonEmpty && kept.size < 4, s"bloom kept ${kept.size} of 8")
+    // the read is hash-identical to the full scan, and string cols work
+    for ((c, v) <- Seq(("k", 1234L: Any), ("sid", "id-77": Any))) {
+      val pruned = graft.ops.Bloom.readWhereEq(spark, dir, c, v)
+      val full = spark.read.parquet(dir).filter(col(c) === lit(v))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        s"readWhereEq($c, $v) diverged from the full scan")
+      assert(pruned.count() == 1)
+    }
+    // an absent value usually opens NO file (deterministic sketch — if
+    // a false positive ever trips this, change the probe, not the code)
+    val miss = graft.ops.Bloom.readWhereEq(spark, dir, "sid", "id-99999")
+    assert(miss.count() == 0)
+    assert(graft.ops.Bloom.prunedFilesEq(spark, dir, "sid", "id-99999").size <= 1)
+  }
+
+  test("bloom degrades conservatively: no sidecar, unannotated column, all-null group") {
+    import spark.implicits._
+    val dir = tmp("bloomcons") + "/t"
+    (0L until 100L).map(i => (i, if (i < 50) null else s"v$i"))
+      .toDF("k", "s").repartition(4, col("k")).write.parquet(dir)
+    // no _bloom sidecar at all → every file kept, result exact
+    assert(graft.ops.Bloom.prunedFilesEq(spark, dir, "k", 7L).size == 4)
+    val noSide = graft.ops.Bloom.readWhereEq(spark, dir, "k", 7L)
+    assert(noSide.count() == 1)
+    graft.ops.Bloom.annotate(spark, dir, Seq("s"), expectedItems = 100L)
+    // column not in the sidecar → kept
+    assert(graft.ops.Bloom.prunedFilesEq(spark, dir, "k", 7L).size == 4)
+    // nulls were never inserted; matching non-null values still found
+    val hit = graft.ops.Bloom.readWhereEq(spark, dir, "s", "v77")
+    assert(hit.count() == 1)
+    // null probe is a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.prunedFilesEq(spark, dir, "s", null)
+    }
+  }
+
+  test("bloom composes with stats on a versioned table: intersection prunes, result exact") {
+    import spark.implicits._
+    val root = tmp("bloomver") + "/t"
+    val df = (0L until 2000L).map(i => (i, s"u${i % 997}", i % 7))
+      .toDF("k", "user", "grp").repartition(8, col("k"))
+    Sinks.publishVersioned(df, root, None, statsCols = Seq("k"))
+    val live = Sinks.resolve(root)
+    graft.ops.Bloom.annotate(spark, live, Seq("k"), expectedItems = 500L)
+    val viaBoth = graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 555L)
+    val full = Sinks.readCurrent(spark, root).filter(col("k") === 555L)
+    assert(viaBoth.collect().toSeq == full.collect().toSeq)
+    assert(viaBoth.count() == 1)
+  }
 }
