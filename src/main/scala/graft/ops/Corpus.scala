@@ -137,4 +137,48 @@ object Corpus {
       .filter(col("rate") >= 1.0 ||
         substring(md5(col(idCol).cast("string")), 1, 8) < thr)
   }
+
+  /** Bigram-LM corpus scoring (B124): per-document average negative
+    * log-likelihood under an add-α-smoothed bigram model trained on the
+    * corpus itself — the perplexity-style quality signal real pipelines
+    * threshold on (boilerplate and templated spam score low, rare-token
+    * noise scores high). `p(w2|w1) = (c(w1,w2)+α) / (c1(w1)+α·V)` with
+    * `c1` = occurrences of `w1` as a bigram head and `V` = corpus
+    * vocabulary size; the score is `avg(-ln p)` over a doc's bigrams
+    * (perplexity = e^score). Docs with fewer than 2 tokens have no
+    * bigrams and drop out.
+    *
+    * Scale shape: tokenization and bigram assembly are codegen'd
+    * higher-order functions (slice+zip_with — no shuffle, no UDF); the
+    * model is two count aggregates over the bigram stream; scoring
+    * re-joins the stream to the counts on the bigram key — all
+    * equi-shuffles on count tables ≪ corpus size, with the vocabulary
+    * scalar broadcast as one row. Nothing collects to the driver.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        x => length(x) > 0).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("n12"))
+    val c1 = bi.groupBy("w1")
+      .agg(count(lit(1)).cast("double").as("n1"))
+    val v = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("vsize"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("n12") + alpha) / (col("n1") + lit(alpha) * col("vsize")))), 6)
+          .as("nll"))
+  }
 }

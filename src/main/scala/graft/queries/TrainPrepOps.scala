@@ -53,6 +53,16 @@ object TrainPrepOps extends QueryModule {
           coalesce(col("selected_tokens"), lit(0L)).as("selected_tokens"))
         .orderBy("lang")
     }),
+
+    // B124 bigram-LM scoring: every document scored by avg negative
+    // log-likelihood under the corpus's own add-0.5-smoothed bigram
+    // model — the perplexity-style filter signal. Fully relational on
+    // both engines (counts + ln are IEEE-portable; round(,6) absorbs
+    // summation-order ulps, the q_char_entropy precedent).
+    "q_lm_score" -> ((s, dir) => {
+      Corpus.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +116,28 @@ object TrainPrepOps extends QueryModule {
         | coalesce(s.selected_tokens, 0) AS selected_tokens
         |FROM thr p LEFT JOIN sel s ON p.lang = s.lang
         |ORDER BY 1""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 0) AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t)-1)) AS i, t
+        |  FROM toks WHERE len(t) >= 2
+        |), bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n12 FROM bi GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bi GROUP BY w1
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT u.w) AS DOUBLE) AS vsize
+        |  FROM (SELECT unnest(t) AS w FROM toks) u
+        |)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vsize))), 6) AS nll
+        |FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
   )
 }

@@ -100,4 +100,46 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.mixturePlan(d, "lang", "n_tok", 0.001, 1000L), "lang", "doc_id")
     assert(tiny.count() < d.count() / 10)
   }
+
+  test("B124 lmScore matches an independent JVM bigram-model computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "quartz vex jumble"),
+      (4L, "single"), // < 2 tokens: no bigrams, must drop out
+      (5L, "The CAT sat!")) // case/punct-normalizes to doc 2's bigrams
+      .toDF("doc_id", "text")
+    val alpha = 0.5
+    // independent model: plain Scala maps, no Spark involved
+    val tok = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "cat", "sat"),
+      3L -> Seq("quartz", "vex", "jumble"),
+      4L -> Seq("single"),
+      5L -> Seq("the", "cat", "sat"))
+    val bigrams = tok.toSeq.flatMap { case (id, t) =>
+      t.zip(t.drop(1)).map(b => (id, b))
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toDouble }
+    val c1 = bigrams.groupBy(_._2._1).map { case (w, xs) => w -> xs.size.toDouble }
+    val vsize = tok.values.flatten.toSet.size.toDouble
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val nll = xs.map { case (_, b) =>
+        -math.log((c12(b) + alpha) / (c1(b._1) + alpha * vsize))
+      }
+      id -> (xs.size.toLong,
+        BigDecimal(nll.sum / nll.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Corpus.lmScore(docs, "doc_id", "text", alpha)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L), s"wrong doc set: ${got.keySet}")
+    for ((id, (n, nll)) <- expected) {
+      assert(got(id)._1 === n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - nll) < 1e-6, s"doc $id nll: got ${got(id)._2}, want $nll")
+    }
+    // the common-phrase docs must score LOWER (more likely) than the
+    // rare-token doc — the thresholding property the filter relies on
+    assert(got(2L)._2 < got(3L)._2)
+  }
 }

@@ -664,7 +664,8 @@ class ScaleSpec extends AnyFunSuite {
       "q_edit_distance", "q_date_spine", "q_part_pairs",
       "q_join_range", // B22: the non-equi band join IS the operator
       "q_time_decay", "q_tfidf", "q_idle_customers",
-      "q_pagerank", "q_important_parts", "q_top_supplier") // 1-row anchors
+      "q_pagerank", "q_important_parts", "q_top_supplier",
+      "q_lm_score") // 1-row anchors (lm_score: broadcast vocab-size scalar)
     val skip = Set("q_streaming_pipeline", "q_streaming_sessions",
       "q_streaming_join", "q_streaming_merge")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
