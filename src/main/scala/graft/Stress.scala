@@ -298,8 +298,43 @@ object Stress {
       System.err.println(s"[stress] dml leg failed: $e")
       Seq("dml_cow_delete" -> (-1L, -1.0))
     }
+    // Bloom point-lookup leg (B123): the factor×150k-row orders table
+    // HASH-laid on o_orderkey (range stats useless for a point probe) with
+    // a _bloom sidecar — the membership prune vs the full scan for one
+    // key. At this toy scale parquet row-group pushdown keeps the full
+    // scan fast too; the structural claim is the files-opened count:
+    // bloom opens ~1 of 32 regardless of table size, the full scan opens
+    // all of them, and that ratio is what a 100 TB point lookup pays.
+    val bloomTimes = try {
+      import graft.ops.{Bloom, Sinks}
+      val root = s"$out/bloom_orders"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val o = spark.read.parquet(Tables.path(out, "orders"))
+        .repartition(32, col("o_orderkey"))
+      Sinks.publishVersioned(o, root, None, statsCols = Seq("o_orderkey"))
+      val live = Sinks.resolve(root)
+      val (_, tBuild) = timed {
+        Bloom.annotate(spark, live, Seq("o_orderkey"), expectedItems = 100000L); 0L
+      }
+      val key = o.filter(col("o_orderkey") >= 1000)
+        .agg(min("o_orderkey")).head().getLong(0)
+      val total = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live)).size
+      val kept = Bloom.prunedFilesEq(spark, live, "o_orderkey", key).size.toLong
+      val (nB, tBloom) = timed(
+        Bloom.readCurrentWhereEq(spark, root, "o_orderkey", key).count())
+      val (nF, tFull) = timed(
+        spark.read.parquet(live).filter(col("o_orderkey") === key).count())
+      require(nB == nF, s"bloom lookup diverged: $nB vs $nF rows")
+      System.err.println(s"[stress] bloom: kept=$kept/$total files, " +
+        s"build=$tBuild lookup=$tBloom full_scan=$tFull")
+      Seq("bloom_build" -> (0L, tBuild), "bloom_lookup" -> (kept, tBloom),
+        "bloom_full_scan" -> (total.toLong, tFull))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] bloom leg failed: $e")
+      Seq("bloom_lookup" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
-      appendTimes ++ dmlTimes
+      appendTimes ++ dmlTimes ++ bloomTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

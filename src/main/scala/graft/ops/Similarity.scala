@@ -56,7 +56,7 @@ object Similarity {
     * per (cluster, dim), re-assemble the array in dim order. Two key-hash
     * aggregations, no collect — the update step of Lloyd's at any scale.
     */
-  private def meanByCluster(assigned: DataFrame, clusterCol: String): DataFrame =
+  private[graft] def meanByCluster(assigned: DataFrame, clusterCol: String): DataFrame =
     assigned.select(col(clusterCol).as("label"), posexplode(Vec.asDouble(col("embedding"))))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("v"))

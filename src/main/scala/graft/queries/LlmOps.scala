@@ -253,7 +253,50 @@ object LlmOps extends QueryModule {
           round(Vec.norm(col("doc.embedding")), 6).as("l2_norm"))
         .orderBy("doc_id")
     }),
+
+    // B125 persisted IVF index: the same fixed-quantizer search as
+    // q_ann_ivf_fixed, but served from the bucket-partitioned index
+    // TABLE (built once, cached across runs) with dynamic partition
+    // pruning skipping unprobed bucket dirs at the scan — build-once /
+    // probe-many ANN riding the versioned table tier. Same oracle as
+    // the in-session path: a hash match proves persistence and pruning
+    // change nothing about the answer.
+    "q_ann_index" -> ((s, dir) => {
+      val root = annIndexTable(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.ops.AnnIndex.search(s, root, qs, nprobe = 2, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
   )
+
+  /** Cached persisted IVF index over the embeddings fixture (B125):
+    * built with the FIXED fixture-label quantizer so the search is
+    * deterministic and shares q_ann_ivf_fixed's oracle. Rebuilt when
+    * the fixture changes; the `_centroids` sidecar doubles as the
+    * completion marker (it lands after the data commit).
+    */
+  private def annIndexTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{AnnIndex, Sinks}
+      val root = "/tmp/graft_annidx_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/emb"
+      val srcMtime = Files.getLastModifiedTime(
+        Paths.get(Tables.path(dir, "embeddings"))).toMillis
+      val fresh = Files.isDirectory(Paths.get(root)) &&
+        Sinks.listVersions(root) == Seq(0L) &&
+        Files.isDirectory(Paths.get(Sinks.versionPath(root, 0L) + "/" +
+          AnnIndex.CentroidsSidecar)) &&
+        Files.getLastModifiedTime(
+          Paths.get(Sinks.versionPath(root, 0L))).toMillis >= srcMtime
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
+        AnnIndex.buildFixed(s, Tables.embeddings(s, dir), root)
+      }
+      root
+    }
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" ->
@@ -371,7 +414,13 @@ object LlmOps extends QueryModule {
         | CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
         |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q_ann_ivf_fixed" ->
+    "q_ann_ivf_fixed" -> annIvfFixedSql,
+    // B125: the persisted index serves the SAME fixed-quantizer search —
+    // one oracle, two serving paths (in-session vs index table).
+    "q_ann_index" -> annIvfFixedSql,
+  ) ++ oraclesTail
+
+  private lazy val annIvfFixedSql: String =
       """WITH cents AS (
         |  SELECT label, g.i AS dim, avg(CAST(embedding[g.i] AS DOUBLE)) AS v
         |  FROM embeddings, generate_series(1, 64) g(i)
@@ -405,8 +454,9 @@ object LlmOps extends QueryModule {
         |  SELECT query_id, vec_id, cos_sim,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
         |  FROM scored)
-        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  private lazy val oraclesTail: Map[String, String] = Map(
     "q_embed_neardup" ->
       """WITH bd AS (
         |  SELECT vec_id, g.b AS band,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.io.Tables
+import graft.ops.{AnnIndex, Similarity, Sinks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B125 persisted IVF index: bucket-partitioned layout, dynamic
+  * partition pruning at probe time, search ≡ the in-session IVF path
+  * (which q_ann_ivf_fixed oracles), and the loud-failure crash contract
+  * for a missing quantizer sidecar.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def queries5 = Tables.embeddings(spark, sf001)
+    .filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  test("buildFixed lays buckets out as partition dirs and search matches the in-session IVF") {
+    val root = tmp("annidx")
+    val emb = Tables.embeddings(spark, sf001)
+    val v = AnnIndex.buildFixed(spark, emb, root)
+    assert(v == 0L)
+    // partition-dir layout: one bucket=N dir per fixture label
+    val live = java.nio.file.Paths.get(Sinks.resolve(root))
+    val bucketDirs = graft.io.Fs.listDir(live)
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+    val nLabels = emb.select("label").distinct().count()
+    assert(bucketDirs.size == nLabels, s"${bucketDirs.size} bucket dirs for $nLabels labels")
+    // search ≡ the oracled in-session path, value for value
+    val got = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val want = Similarity.ivfTopK(emb, Similarity.ivfCentroids(emb), queries5,
+        nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == want)
+    assert(got.size == 50)
+  }
+
+  test("search probes with dynamic partition pruning — unprobed bucket dirs are skipped") {
+    val root = tmp("annidxdpp")
+    AnnIndex.buildFixed(spark, Tables.embeddings(spark, sf001), root)
+    val plan = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probe scan lost dynamic partition pruning:\n$plan")
+  }
+
+  test("missing _centroids sidecar fails loudly with a rebuild hint, not wrong probes") {
+    val root = tmp("annidxcrash")
+    AnnIndex.buildFixed(spark, Tables.embeddings(spark, sf001), root)
+    graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(
+      Sinks.resolve(root), AnnIndex.CentroidsSidecar))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+    }
+    assert(err.getMessage.contains("rebuild"))
+  }
+
+  test("rebuild publishes a new version; the previous index stays time-travelable") {
+    val root = tmp("annidxver")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixed(spark, emb, root)
+    val v1 = AnnIndex.buildLearned(spark, emb, root, k = 8, iters = 2)
+    assert(v1 == 1L)
+    assert(Sinks.listVersions(root) == Seq(0L, 1L))
+    // live search uses the learned index: every bucket it serves is a
+    // learned-centroid label, and results still rank by true cosine
+    val cents = AnnIndex.centroids(spark, root)
+    val labels = cents.select("label").collect().map(_.getLong(0)).toSet
+    val served = Sinks.readCurrent(spark, root)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(served.subsetOf(labels))
+    // v0 (fixed index) remains readable for time travel
+    val v0buckets = Sinks.readVersion(spark, root, 0L)
+      .select("bucket").distinct().count()
+    assert(v0buckets == emb.select("label").distinct().count())
+    val got = AnnIndex.search(spark, root, queries5, nprobe = 3, k = 5)
+    assert(got.count() == 25)
+  }
+}
