@@ -169,8 +169,11 @@ object Corpus {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("double").as("n12"))
-    val c1 = bi.groupBy("w1")
-      .agg(count(lit(1)).cast("double").as("n1"))
+    // head counts roll up from the (small) bigram-count table —
+    // c1(w1) = Σ_w2 c12(w1,w2) exactly — instead of re-aggregating the
+    // corpus-scale bigram stream a second time
+    val c1 = c12.groupBy("w1")
+      .agg(sum(col("n12")).as("n1"))
     val v = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("vsize"))
     bi.join(c12, Seq("w1", "w2"))

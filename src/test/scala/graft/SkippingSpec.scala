@@ -304,6 +304,30 @@ class SkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction drops the advisory _bloom sidecar; lookups degrade to full scan, stay exact") {
+    import spark.implicits._
+    val root = tmp("bloomcomp") + "/t"
+    val df = (0L until 3000L).map(i => (i, s"d$i")).toDF("k", "payload")
+      .repartition(8, col("k"))
+    Sinks.publishVersioned(df, root, None, statsCols = Seq("k"))
+    graft.ops.Bloom.annotate(spark, Sinks.resolve(root), Seq("k"),
+      expectedItems = 500L)
+    assert(graft.ops.Bloom.prunedFilesEq(spark, Sinks.resolve(root), "k", 777L).size < 8)
+    // compact to one file: the new version has no _bloom (the sidecar
+    // describes files that no longer exist — carrying it would be a lie)
+    graft.ops.Sinks.compactVersioned(spark, root)
+    val live = Sinks.resolve(root)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live, graft.ops.Bloom.Sidecar)))
+    // conservative contract: every (now fewer) file kept, result exact
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live))
+    assert(graft.ops.Bloom.prunedFilesEq(spark, live, "k", 777L).size == all.size)
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
+    // re-annotating the compacted layout restores pruning
+    graft.ops.Bloom.annotate(spark, live, Seq("k"), expectedItems = 5000L)
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
+  }
+
   test("bloom composes with stats on a versioned table: intersection prunes, result exact") {
     import spark.implicits._
     val root = tmp("bloomver") + "/t"
