@@ -113,6 +113,40 @@ object Bloom {
     side.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")
   }
 
+  /** Distinct columns recorded in `dir`'s bloom sidecar (sorted); empty
+    * when no sidecar exists. The append path uses this to inherit the
+    * indexed column set — an append must not silently demote a table
+    * from point-skippable to full-scan.
+    */
+  def sidecarCols(spark: SparkSession, dir: String): Seq[String] =
+    if (!Files.isDirectory(Paths.get(dir, Sidecar))) Nil
+    else {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/$Sidecar")
+        .select("cname").distinct().as[String].collect().toSeq.sorted
+    }
+
+  /** Rewrite `dir`'s bloom sidecar to ONE file holding only rows whose
+    * file key still exists under `dir` — the sidecar-pile checkpoint for
+    * linked appends (carried sidecar files accumulate one per commit,
+    * and rows keyed by COW-replaced files go stale). Metadata-scale:
+    * reads and rewrites filter rows, never corpus data.
+    */
+  def compactSidecar(spark: SparkSession, dir: String): Unit = {
+    val sidePath = Paths.get(dir, Sidecar)
+    if (!Files.isDirectory(sidePath)) return
+    val liveKeys = graft.io.Fs.walkParquet(Paths.get(dir))
+      .map(p => relKey(dir, p.toString))
+    // distributed rewrite: only file KEYS (strings) leave the driver;
+    // filter bytes move executor→executor through the one-file shuffle
+    val tmp = Paths.get(dir, Sidecar + ".ckpt")
+    spark.read.parquet(s"$dir/$Sidecar")
+      .filter(col("file").isInCollection(liveKeys))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    graft.io.Fs.deleteRecursively(sidePath)
+    Files.move(tmp, sidePath)
+  }
+
   /** Files of `dir` that MIGHT contain a row with `colName = value`.
     * The membership probe runs on executors (only surviving file keys
     * come back); files without a filter row are kept. Deterministic:

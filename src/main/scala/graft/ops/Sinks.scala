@@ -413,6 +413,11 @@ object Sinks {
     * [[Stats.readCurrentWhere]] never sees a version whose sidecar is
     * missing or half-written.
     *
+    * `bloomCols` (optional) builds the B123 point-lookup `_bloom`
+    * sidecar in staging, so data and bloom index become visible in the
+    * same atomic commit; linked commits (appends, COW DML) then inherit
+    * and extend it at O(delta) without being asked.
+    *
     * `changeFeed` (optional) persists the writer's row-level change
     * classification for THIS commit (vs the version it replaces) into a
     * `_changes` sidecar, also inside the atomic commit — the write-side
@@ -423,7 +428,8 @@ object Sinks {
     */
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None,
-      quarantine: Option[DataFrame] = None): Long = {
+      quarantine: Option[DataFrame] = None,
+      bloomCols: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -453,6 +459,10 @@ object Sinks {
         }
       }
       if (statsCols.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, statsCols)
+      // B123: build the point-lookup sidecar in staging so data and
+      // bloom index land in ONE atomic commit (the post-commit
+      // Bloom.annotate path stays available for existing tables)
+      if (bloomCols.nonEmpty) Bloom.annotate(df.sparkSession, stage.toString, bloomCols)
       changeFeed.foreach { ch =>
         require(ch.columns.contains("_change_type"),
           "changeFeed must carry a _change_type column")
@@ -712,6 +722,16 @@ object Sinks {
       val hasNew = hasParquetFile(stage)
       if (effStats.nonEmpty && hasNew && !checkpointStats)
         Stats.annotate(spark, stage.toString, effStats)
+      // bloom sidecar inheritance (B123): filters describe IMMUTABLE
+      // files by relative key, so a linked commit keeps the index at
+      // O(delta) — build filters for only the staged delta here (the
+      // stage holds nothing else yet), carry the prior sidecar files
+      // verbatim below; rows keyed by files the carry filter drops (COW
+      // rewrites) go stale and are ignored by the probe's file walk
+      val bloomInherit = expected.toSeq.flatMap(v =>
+        Bloom.sidecarCols(spark, versionPath(root, v)))
+      if (bloomInherit.nonEmpty && hasNew)
+        Bloom.annotate(spark, stage.toString, bloomInherit)
       if (emitFeed) {
         import org.apache.spark.sql.functions.lit
         // read back the staged delta (file listing happens here, before
@@ -770,6 +790,25 @@ object Sinks {
                   s"append sidecar carry-over collision on ${f.getFileName}")
               linkOrCopy(f, dst)
             }
+        }
+        // bloom sidecar rides the same carry (original UUID names, no
+        // compounding); past the checkpoint threshold the whole pile is
+        // rewritten to one file of live keys — metadata-scale, never a
+        // corpus scan (Bloom.compactSidecar)
+        if (Files.isDirectory(live.resolve(Bloom.Sidecar))) {
+          val prevBloomFiles = Fs.listDir(live.resolve(Bloom.Sidecar))
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+          val dstBloom = stage.resolve(Bloom.Sidecar)
+          Files.createDirectories(dstBloom)
+          prevBloomFiles.foreach { f =>
+            val dst = dstBloom.resolve(f.getFileName)
+            if (Files.exists(dst))
+              throw new IllegalStateException(
+                s"append bloom sidecar carry-over collision on ${f.getFileName}")
+            linkOrCopy(f, dst)
+          }
+          if (prevBloomFiles.size >= StatsCheckpointEvery)
+            Bloom.compactSidecar(spark, stage.toString)
         }
       }
       // an empty append creating an empty table still needs a

@@ -328,6 +328,56 @@ class SkippingSpec extends AnyFunSuite {
     assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
   }
 
+  test("append inherits the bloom sidecar at O(delta): old and new keys both prune") {
+    import spark.implicits._
+    val root = tmp("bloomapp") + "/t"
+    val v0 = (0L until 2000L).map(i => (i, s"r$i")).toDF("k", "payload")
+      .repartition(4, col("k"))
+    // bloomCols: index built IN the atomic commit, no post-commit step
+    Sinks.publishVersioned(v0, root, None, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    val delta = (10000L until 10500L).map(i => (i, s"r$i")).toDF("k", "payload")
+      .repartition(2, col("k"))
+    Sinks.appendVersioned(delta, root, Some(0L))
+    val live = Sinks.resolve(root)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live, graft.ops.Bloom.Sidecar)),
+      "append lost the bloom sidecar")
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live)).size
+    assert(all == 6) // 4 carried + 2 delta
+    // a v0-era key prunes via the CARRIED filter rows…
+    assert(graft.ops.Bloom.prunedFilesEq(spark, live, "k", 777L).size < all)
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
+    // …and an appended key via the delta's NEW rows
+    assert(graft.ops.Bloom.prunedFilesEq(spark, live, "k", 10123L).size < all)
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 10123L).count() == 1)
+    // absent key: nothing (or a rare fp) opens
+    assert(graft.ops.Bloom.prunedFilesEq(spark, live, "k", 999999L).size <= 1)
+  }
+
+  test("compactSidecar rewrites the pile to live keys only, lookups unchanged") {
+    import spark.implicits._
+    val dir = tmp("bloomckpt") + "/t"
+    (0L until 1000L).map(i => (i, s"x$i")).toDF("k", "s")
+      .repartition(4, col("k")).write.parquet(dir)
+    graft.ops.Bloom.annotate(spark, dir, Seq("k"), expectedItems = 300L)
+    // simulate a COW rewrite: one data file vanishes, its rows go stale
+    val victim = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir)).head
+    val victimKey = victim.getFileName.toString
+    java.nio.file.Files.delete(victim)
+    graft.ops.Bloom.compactSidecar(spark, dir)
+    val side = spark.read.parquet(s"$dir/${graft.ops.Bloom.Sidecar}")
+    assert(side.filter(col("file") === victimKey).count() == 0,
+      "stale row survived the checkpoint")
+    assert(graft.io.Fs.listDir(java.nio.file.Paths.get(dir, graft.ops.Bloom.Sidecar))
+      .count(_.getFileName.toString.endsWith(".parquet")) == 1)
+    // remaining data still lookup-exact through the compacted sidecar
+    val k = spark.read.parquet(dir).agg(min("k")).head().getLong(0)
+    val got = graft.ops.Bloom.readWhereEq(spark, dir, "k", k)
+    val full = spark.read.parquet(dir).filter(col("k") === k)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
   test("bloom composes with stats on a versioned table: intersection prunes, result exact") {
     import spark.implicits._
     val root = tmp("bloomver") + "/t"
