@@ -63,6 +63,51 @@ object TrainPrepOps extends QueryModule {
       Corpus.lmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // B126 the training-corpus prep FLAGSHIP: decontaminate → LM-quality
+    // filter → domain-mixture resample → sequence-pack, one lazy plan.
+    // Every stage is the already-oracled operator (B120/B124/B122/B121)
+    // and the composite is oracled end to end — the whole-pipeline
+    // arithmetic (who survives each gate, the packed-sequence counts per
+    // language) must land on the DuckDB recompute exactly. Data-dependent
+    // thresholds (the clean-corpus median NLL) ride as 1-row broadcast
+    // anchors, never driver scalars.
+    "q_trainprep_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      // 1. decontaminate: drop docs with >50% benchmark 4-gram overlap
+      //    (docs too short to gram have no report row and can't match)
+      val cont = Corpus.ngramContamination(train, bench, "doc_id", "text", n = 4)
+      // the decontaminated corpus feeds FOUR downstream consumers (LM
+      // model, median anchor, quality join, mixture) — pin it once so
+      // the contamination join isn't re-run per consumer (the same
+      // localCheckpoint barrier the MinHash signature path uses)
+      val clean = train.join(
+          cont.filter(col("hit_ratio") > 0.5).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // 2. LM-quality gate: keep docs at or below the clean corpus's
+      //    median NLL (model trained on the clean corpus itself)
+      val scored = Corpus.lmScore(clean, "doc_id", "text").localCheckpoint()
+      val med = scored.agg(round(expr("percentile(nll, 0.5)"), 6).as("med"))
+      val kept = clean.join(scored.select("doc_id", "nll"), Seq("doc_id"))
+        .crossJoin(broadcast(med)).filter(col("nll") <= col("med"))
+      // 3. resample toward uniform language shares of a 20k-token budget
+      val withTok = kept.withColumn("n_tok",
+        size(split(col("text"), " ")).cast("bigint"))
+      val plan = Corpus.mixturePlan(withTok, "lang", "n_tok",
+        targetShare = 0.25, budgetTokens = 20000L)
+      val sel = Corpus.mixtureSelect(withTok, plan, "lang", "doc_id")
+      // 4. pack survivors into 128-token sequences per language
+      val packed = Corpus.packSequences(sel.select("doc_id", "lang", "text"),
+        budget = 128, streamCol = "lang", orderCol = "doc_id", textCol = "text")
+      packed.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          (max(col("seq_last")) + 1).as("n_seqs"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +184,57 @@ object TrainPrepOps extends QueryModule {
         |  round(avg(-ln((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vsize))), 6) AS nll
         |FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_trainprep_pipeline" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+        |        i -> substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16))) AS h
+        |      FROM w),
+        |bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |tg AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+        |hitn AS (SELECT t.doc_id AS doc_id, count(*) AS n_hit
+        |         FROM tg t JOIN bg USING (h) GROUP BY 1),
+        |dirty AS (SELECT tot.doc_id FROM tot LEFT JOIN hitn USING (doc_id)
+        |          WHERE round(CAST(coalesce(hitn.n_hit, 0) AS DOUBLE)
+        |                        / tot.n_grams, 6) > 0.5),
+        |clean AS (SELECT d.* FROM documents d
+        |          WHERE d.doc_id % 97 <> 0
+        |            AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |toks AS (SELECT doc_id,
+        |           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> len(x) > 0) AS t
+        |         FROM clean),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(t)-1)) AS i, t
+        |        FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n12
+        |        FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS DOUBLE) AS n1 FROM c12 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT u.wd) AS DOUBLE) AS vsize
+        |      FROM (SELECT unnest(t) AS wd FROM toks) u),
+        |scores AS (
+        |  SELECT b.doc_id,
+        |    round(avg(-ln((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vsize))), 6) AS nll
+        |  FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY b.doc_id),
+        |med AS (SELECT round(quantile_cont(nll, 0.5), 6) AS med FROM scores),
+        |kept AS (SELECT c.doc_id, c.lang,
+        |           len(string_split(c.text, ' ')) AS n_tok
+        |         FROM clean c JOIN scores s USING (doc_id) CROSS JOIN med
+        |         WHERE s.nll <= med.med),
+        |plan AS (SELECT lang,
+        |           least(CAST(1.0 AS DOUBLE),
+        |             CAST(0.25 AS DOUBLE) * 20000 / CAST(sum(n_tok) AS DOUBLE)) AS rate
+        |         FROM kept GROUP BY 1),
+        |thr AS (SELECT *, lpad(lower(to_hex(
+        |          CAST(floor(rate * 4294967296) AS BIGINT))), 8, '0') AS t8
+        |        FROM plan),
+        |sel AS (SELECT k.* FROM kept k JOIN thr USING (lang)
+        |        WHERE thr.rate >= 1.0
+        |           OR substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) < thr.t8)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(floor((sum(n_tok) - 1) / 128) + 1 AS BIGINT) AS n_seqs
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
