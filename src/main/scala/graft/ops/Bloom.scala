@@ -96,6 +96,22 @@ object Bloom {
       fpp: Double = 0.01, expectedItems: Long = 100000L): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     import spark.implicits._
+    // Partition columns are DIRECTORY metadata, not file contents: their
+    // values here would come from directory-name type INFERENCE, whose
+    // string form can differ from the declared type ('00123' inferred as
+    // int 123), so a filter built from them could prune a file whose
+    // declared-string value matches — a silent wrong answer. Partition
+    // pruning already handles those columns exactly; bloom indexes only
+    // columns physically present in the files.
+    val physical = {
+      val files = graft.io.Fs.walkParquet(Paths.get(dir))
+      require(files.nonEmpty, s"no parquet data files under $dir")
+      spark.read.parquet(files.head.toString).schema.fieldNames.toSet
+    }
+    val nonPhysical = cols.filterNot(physical)
+    require(nonPhysical.isEmpty,
+      s"cannot bloom-index ${nonPhysical.mkString(", ")}: not stored in the " +
+        "data files (partition columns are pruned by directory, not by filter)")
     val base = spark.read.parquet(dir).withColumn("_gf_uri", input_file_name())
     val pairs = cols.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
     val exploded = base
@@ -137,11 +153,15 @@ object Bloom {
     if (!Files.isDirectory(sidePath)) return
     val liveKeys = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(p => relKey(dir, p.toString))
-    // distributed rewrite: only file KEYS (strings) leave the driver;
-    // filter bytes move executor→executor through the one-file shuffle
+    // distributed rewrite: only file KEYS (strings) leave the driver
+    // (as a broadcast join side, not a giant IN-literal the planner
+    // must fold); filter bytes move executor→executor through the
+    // one-file shuffle
+    import spark.implicits._
+    val keysDf = liveKeys.toDF("file")
     val tmp = Paths.get(dir, Sidecar + ".ckpt")
     spark.read.parquet(s"$dir/$Sidecar")
-      .filter(col("file").isInCollection(liveKeys))
+      .join(broadcast(keysDf), Seq("file"), "left_semi")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     graft.io.Fs.deleteRecursively(sidePath)
     Files.move(tmp, sidePath)

@@ -854,12 +854,20 @@ object Sinks {
         Files.createDirectories(dst.getParent)
         linkOrCopy(f, dst)
       }
-      val srcStats = src.resolve(Stats.Sidecar)
-      if (Files.isDirectory(srcStats)) {
-        val dstStats = stage.resolve(Stats.Sidecar)
-        Files.createDirectories(dstStats)
-        Fs.listDir(srcStats).filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(f => linkOrCopy(f, dstStats.resolve(f.getFileName)))
+      // carry every sidecar that DESCRIBES the restored files — stats,
+      // bloom filters, the ANN quantizer: all remain exactly valid for
+      // this file set. The `_changes` feed is deliberately NOT carried:
+      // it describes the source version's original delta, and surfacing
+      // it as this restore's change feed would be a lie (the restore's
+      // logical change is "table rewound", not that old delta).
+      Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar).foreach { sc =>
+        val srcSc = src.resolve(sc)
+        if (Files.isDirectory(srcSc)) {
+          val dstSc = stage.resolve(sc)
+          Files.createDirectories(dstSc)
+          Fs.listDir(srcSc).filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
+        }
       }
       commitStaged(root, stage, Some(cur))
     } catch {

@@ -63,6 +63,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rebuild"))
   }
 
+  test("restore carries the quantizer sidecar — a rewound index still serves probes") {
+    val root = tmp("annidxrest")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixed(spark, emb, root)                 // v0: fixed index
+    AnnIndex.buildLearned(spark, emb, root, k = 4, iters = 1) // v1: learned
+    val v2 = Sinks.restoreVersion(spark, root, 0L)        // rewind to fixed
+    assert(v2 == 2L)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Sinks.versionPath(root, v2), AnnIndex.CentroidsSidecar)),
+      "restore dropped the quantizer sidecar")
+    // the restored index answers EXACTLY like the original fixed build
+    val got = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val want = Similarity.ivfTopK(emb, Similarity.ivfCentroids(emb), queries5,
+        nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == want)
+  }
+
   test("rebuild publishes a new version; the previous index stays time-travelable") {
     val root = tmp("annidxver")
     val emb = Tables.embeddings(spark, sf001)

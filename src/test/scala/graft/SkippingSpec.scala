@@ -378,6 +378,25 @@ class SkippingSpec extends AnyFunSuite {
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 
+  test("bloom refuses partition columns — directory pruning owns them") {
+    import spark.implicits._
+    val dir = tmp("bloompart") + "/t"
+    (0L until 200L).map(i => (i, if (i % 2 == 0) "00123" else "00456", s"p$i"))
+      .toDF("k", "cat", "payload")
+      .write.partitionBy("cat").parquet(dir)
+    // a partition column's value here is directory-name INFERRED — a
+    // filter built from it could silently miss declared-string probes
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Bloom.annotate(spark, dir, Seq("cat"))
+    }
+    assert(err.getMessage.contains("partition"))
+    // data columns index fine on the same partitioned layout
+    graft.ops.Bloom.annotate(spark, dir, Seq("k"), expectedItems = 100L)
+    val hit = graft.ops.Bloom.readWhereEq(spark, dir, "k", 77L)
+    assert(hit.count() == 1)
+    assert(hit.columns.contains("cat")) // partition col survives basePath read
+  }
+
   test("bloom composes with stats on a versioned table: intersection prunes, result exact") {
     import spark.implicits._
     val root = tmp("bloomver") + "/t"
