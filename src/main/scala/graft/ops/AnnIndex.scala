@@ -81,6 +81,24 @@ object AnnIndex {
     v
   }
 
+  /** Append new vectors to the live index at O(delta): assign against
+    * the PERSISTED quantizer — old and new rows must agree on the
+    * bucketing scheme, so the stored centroids are authoritative, never
+    * re-derived — then linked-append the bucketed rows through
+    * [[Sinks.appendVersioned]]: existing bucket files carry by hardlink,
+    * the quantizer sidecar rides along, and the partition layout comes
+    * from the table's own `_PROPS`. Rows with null/zero-norm embeddings
+    * are unindexable and dropped, same as the build paths.
+    */
+  def append(spark: SparkSession, newRows: DataFrame, root: String): Long = {
+    val cents = centroids(spark, root)
+    val assigned = Similarity.assignClusters(newRows, cents)
+      .filter(col("cluster") >= 0)
+      .select(col("vec_id"), col("embedding"),
+        col("cluster").cast("long").as("bucket"))
+    Sinks.appendVersioned(assigned, root, Sinks.currentVersion(root))
+  }
+
   /** The persisted quantizer of the LIVE index version. */
   def centroids(spark: SparkSession, root: String): DataFrame = {
     val live = Sinks.resolve(root)

@@ -810,6 +810,17 @@ object Sinks {
           if (prevBloomFiles.size >= StatsCheckpointEvery)
             Bloom.compactSidecar(spark, stage.toString)
         }
+        // the ANN quantizer describes the BUCKETING SCHEME, not any file
+        // set — a linked commit preserves the bucket column as data, so
+        // the quantizer stays exactly valid and must ride along (without
+        // it, one append would brick AnnIndex.search on the new version)
+        if (Files.isDirectory(live.resolve(AnnIndex.CentroidsSidecar))) {
+          val dstC = stage.resolve(AnnIndex.CentroidsSidecar)
+          Files.createDirectories(dstC)
+          Fs.listDir(live.resolve(AnnIndex.CentroidsSidecar))
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => linkOrCopy(f, dstC.resolve(f.getFileName)))
+        }
       }
       // an empty append creating an empty table still needs a
       // footer-bearing file or the version loses its schema

@@ -63,6 +63,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rebuild"))
   }
 
+  test("append grows the index at O(delta): quantizer rides, new vectors are findable") {
+    val root = tmp("annidxgrow")
+    val emb = Tables.embeddings(spark, sf001)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.buildFixed(spark, half, root)
+    val v0Files = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.versionPath(root, 0L))).map(_.getFileName.toString).toSet
+    val v1 = AnnIndex.append(spark, rest, root)
+    assert(v1 == 1L)
+    // the quantizer carried into the appended version (search must work)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Sinks.versionPath(root, 1L), AnnIndex.CentroidsSidecar)),
+      "append dropped the quantizer sidecar")
+    // v0's files carried by name — the append staged only the delta
+    val v1Files = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.versionPath(root, 1L))).map(_.getFileName.toString).toSet
+    assert(v0Files.subsetOf(v1Files), "append rewrote carried index files")
+    assert(Sinks.readCurrent(spark, root).count() == emb.count())
+    // an APPENDED vector probes to itself as its own nearest neighbor
+    val probe = rest.limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = AnnIndex.search(spark, root, probe, nprobe = 2, k = 1).head()
+    assert(top1.getAs[Long]("query_id") == top1.getAs[Long]("vec_id"),
+      s"appended vector is not its own top hit: $top1")
+  }
+
   test("restore carries the quantizer sidecar — a rewound index still serves probes") {
     val root = tmp("annidxrest")
     val emb = Tables.embeddings(spark, sf001)
