@@ -99,6 +99,30 @@ object AnnIndex {
     Sinks.appendVersioned(assigned, root, Sinks.currentVersion(root))
   }
 
+  /** Exactly-once streaming ingestion into the live index: each
+    * micro-batch assigns against the persisted quantizer and
+    * linked-appends through [[TableStream.streamTo]]'s per-batch dedupe
+    * stamps (restart-safe, CME-retried against concurrent writers). The
+    * quantizer is re-read per batch — cheap (a few KB), and it makes a
+    * mid-stream rebuild behave correctly: batches after the rebuild
+    * file under the NEW scheme, whose version already re-filed every
+    * older row. The index must exist before streaming starts
+    * ([[buildFixed]]/[[buildLearned]]) — there is no quantizer to
+    * assign against otherwise, and [[centroids]] fails loudly.
+    */
+  def streamTo(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    centroids(stream.sparkSession, root) // fail at start, not first batch
+    TableStream.streamTo(stream, root, checkpoint, emitFeed = false,
+      transform = batch => {
+        val cents = centroids(batch.sparkSession, root)
+        Similarity.assignClusters(batch, cents)
+          .filter(col("cluster") >= 0)
+          .select(col("vec_id"), col("embedding"),
+            col("cluster").cast("long").as("bucket"))
+      })
+  }
+
   /** The persisted quantizer of the LIVE index version. */
   def centroids(spark: SparkSession, root: String): DataFrame = {
     val live = Sinks.resolve(root)

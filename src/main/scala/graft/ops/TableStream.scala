@@ -57,7 +57,8 @@ object TableStream {
     * (`processAllAvailable`, `awaitTermination`).
     */
   def streamTo(stream: DataFrame, root: String, checkpoint: String,
-      statsCols: Seq[String] = Nil, emitFeed: Boolean = true): StreamingQuery = {
+      statsCols: Seq[String] = Nil, emitFeed: Boolean = true,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
     val tag = writerTag(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -72,7 +73,12 @@ object TableStream {
             var done = false
             while (!done) {
               try {
-                Sinks.appendVersioned(batch, root, Sinks.currentVersion(root),
+                // transform runs INSIDE the retry loop: a per-batch
+                // enrichment that reads table state (e.g. the ANN
+                // quantizer sidecar) must recompute against the current
+                // version after a CME re-base
+                Sinks.appendVersioned(transform(batch.toDF()), root,
+                  Sinks.currentVersion(root),
                   statsCols, emitFeed = emitFeed, batchTag = Some(s"$tag:$id"))
                 done = true
               } catch {

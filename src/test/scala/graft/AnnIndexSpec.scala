@@ -90,6 +90,44 @@ class AnnIndexSpec extends AnyFunSuite {
       s"appended vector is not its own top hit: $top1")
   }
 
+  test("streaming ingestion: micro-batches land exactly-once, streamed vectors probe to themselves") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("annidxstream")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixed(spark, emb.filter(col("vec_id") % 2 === 0), root)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("annck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.streamTo(input.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      input.addData(rest.take(rest.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(rest.drop(rest.size / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every streamed row landed exactly once
+    assert(Sinks.readCurrent(spark, root).count() == emb.count())
+    assert(Sinks.readCurrent(spark, root).select("vec_id").distinct().count() == emb.count())
+    assert(Sinks.listVersions(root).size >= 3) // build + >=2 batch commits
+    // the quantizer still rides the streamed versions; a streamed vector
+    // probes to itself as its own nearest neighbor
+    val vid = rest.last._1
+    val probe = emb.filter(col("vec_id") === vid)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = AnnIndex.search(spark, root, probe, nprobe = 2, k = 1).head()
+    assert(top1.getAs[Long]("vec_id") == vid, s"streamed vector lost: $top1")
+    // streaming into a root with no index fails at START, not first batch
+    // (no published version at all → IllegalState from resolve; a table
+    // missing only the quantizer → IllegalArgument with a rebuild hint)
+    intercept[Exception] {
+      AnnIndex.streamTo(input.toDF().toDF("vec_id", "embedding"),
+        tmp("annidxnone"), java.nio.file.Files.createTempDirectory("annck2").toString)
+    }
+  }
+
   test("restore carries the quantizer sidecar — a rewound index still serves probes") {
     val root = tmp("annidxrest")
     val emb = Tables.embeddings(spark, sf001)
