@@ -59,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_history"),
       new ExpressionInfo(graft.catalog.TableHistoryTvf.getClass.getName, "table_history"),
       (exprs: Seq[Expression]) => graft.catalog.TableHistoryTvf.plan(exprs)))
+    // one-row operational summary (DESCRIBE DETAIL analog)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_detail"),
+      new ExpressionInfo(graft.catalog.TableDetailTvf.getClass.getName, "table_detail"),
+      (exprs: Seq[Expression]) => graft.catalog.TableDetailTvf.plan(exprs)))
   }
 }

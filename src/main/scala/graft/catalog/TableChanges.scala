@@ -89,3 +89,17 @@ object TableHistoryTvf {
     Sinks.history(spark, root).queryExecution.analyzed
   }
 }
+
+/** `table_detail('tbl')` — one-row operational summary, the DESCRIBE
+  * DETAIL analog, straight from [[Sinks.detail]]. Same table-argument
+  * contract as the other TVFs.
+  */
+object TableDetailTvf {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "table_detail(table)")
+    val spark = SparkSession.active
+    val root = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs.head, "table"))
+    Sinks.detail(spark, root).queryExecution.analyzed
+  }
+}

@@ -128,6 +128,30 @@ object Sinks {
     }.toDF("version", "committed_at", "is_current")
   }
 
+  /** One-row operational summary of the LIVE version — the DESCRIBE
+    * DETAIL analog: file/byte footprint, retained-version count, and
+    * which acceleration metadata this table carries (partition spec,
+    * stats columns, bloom columns, ANN quantizer, change feed). All of
+    * it is driver-side directory metadata — no data file is opened.
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val live = versionPath(root, cur)
+    val files = Fs.walkParquet(Paths.get(live))
+    Seq((root, "parquet", cur, listVersions(root).size.toLong,
+        files.size.toLong, files.map(Files.size).sum,
+        TableProps.partitionCols(root).mkString(","),
+        Stats.sidecarCols(spark, live).mkString(","),
+        Bloom.sidecarCols(spark, live).mkString(","),
+        Files.isDirectory(Paths.get(live, AnnIndex.CentroidsSidecar)),
+        Files.isDirectory(Paths.get(live, ChangesSidecar))))
+      .toDF("location", "format", "version", "n_versions", "n_files",
+        "size_bytes", "partition_cols", "stats_cols", "bloom_cols",
+        "is_ann_index", "has_change_feed")
+  }
+
   /** Time-travel read: the immutable contents of version `v`, unaffected
     * by any later publish — a reader that pins a version keeps a
     * consistent snapshot for its whole job (the versioned-layout

@@ -534,6 +534,29 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cmp")
   }
 
+  test("table_detail TVF: one-row operational summary incl. acceleration metadata") {
+    root
+    val d0 = spark.sql("SELECT * FROM table_detail('graft.t1')").head()
+    assert(d0.getAs[String]("format") == "parquet")
+    assert(d0.getAs[Long]("n_files") >= 1 && d0.getAs[Long]("size_bytes") > 0)
+    assert(d0.getAs[Long]("n_versions") >= 1)
+    assert(!d0.getAs[Boolean]("is_ann_index"))
+    // a bloom-indexed table reports its indexed columns
+    spark.sql("CREATE TABLE graft.dtl (k BIGINT, s STRING)")
+    try {
+      spark.sql("INSERT INTO graft.dtl VALUES (1, 'a'), (2, 'b')")
+      spark.sql("CALL graft.system.bloom_index(table => 'dtl', columns => 'k')")
+      val d = spark.sql("SELECT * FROM table_detail('graft.dtl')").head()
+      assert(d.getAs[String]("bloom_cols") == "k")
+      assert(d.getAs[Long]("version") == 1L)
+      // composes with surrounding SQL like any relation
+      val joined = spark.sql(
+        """SELECT h.version FROM table_history('graft.dtl') h
+          |JOIN table_detail('graft.dtl') d ON h.version = d.version""".stripMargin)
+      assert(joined.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally spark.sql("DROP TABLE graft.dtl")
+  }
+
   test("CALL graft.system.bloom_index builds the sidecar; point lookups prune and stay exact") {
     root
     val wh = spark.conf.get("spark.sql.catalog.graft.root")
