@@ -36,6 +36,19 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Content stamp (`<mtime>:<size>`) of a fixture file, for cache
+    * builders that persist derived copies under /tmp. Compare a STORED
+    * stamp for EQUALITY against the current one — the `marker mtime >=
+    * source mtime` freshness idiom silently trusts a stale cache when a
+    * regenerated fixture arrives with an epoch-era (1970) mtime, which
+    * this fixture is known to do.
+    */
+  def srcStamp(sfDir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(path(sfDir, name))
+    java.nio.file.Files.getLastModifiedTime(p).toMillis + ":" +
+      java.nio.file.Files.size(p)
+  }
+
   private def scan(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
@@ -82,10 +95,22 @@ object Tables {
     * footer read per distinct path, then cached — safe at plan time.
     */
   private val nativeSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[StructType]]()
   def eventsNativeSchema(spark: SparkSession, sfDir: String): Option[StructType] = {
     val p = path(sfDir, "events")
-    nativeSchemaCache.computeIfAbsent(p, _ =>
+    // cache key includes the file's (mtime, size): the fixture is known
+    // to REGENERATE mid-round, sometimes flipping the physical ts layout
+    // (legacy ns ↔ native µs) — a path-only cache would then silently
+    // re-introduce the 1000×/epoch-1970 corruption this detection exists
+    // to prevent. A changed file is simply a new key; stale entries for
+    // the old (mtime, size) are harmless (bounded by regeneration count).
+    val (mtime, size) =
+      try {
+        val fp = java.nio.file.Paths.get(p)
+        (java.nio.file.Files.getLastModifiedTime(fp).toMillis,
+          java.nio.file.Files.size(fp))
+      } catch { case _: Exception => (-1L, -1L) }
+    nativeSchemaCache.computeIfAbsent((p, mtime, size), _ =>
       try {
         val sch = spark.read.parquet(p).schema
         sch("ts").dataType match {

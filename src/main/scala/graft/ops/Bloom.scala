@@ -103,15 +103,35 @@ object Bloom {
     // declared-string value matches — a silent wrong answer. Partition
     // pruning already handles those columns exactly; bloom indexes only
     // columns physically present in the files.
-    val physical = {
+    val physicalSchema = {
       val files = graft.io.Fs.walkParquet(Paths.get(dir))
       require(files.nonEmpty, s"no parquet data files under $dir")
-      spark.read.parquet(files.head.toString).schema.fieldNames.toSet
+      spark.read.parquet(files.head.toString).schema
     }
+    val physical = physicalSchema.fieldNames.toSet
     val nonPhysical = cols.filterNot(physical)
     require(nonPhysical.isEmpty,
       s"cannot bloom-index ${nonPhysical.mkString(", ")}: not stored in the " +
         "data files (partition columns are pruned by directory, not by filter)")
+    // The build canonicalizes values as CAST(c AS STRING) while the probe
+    // canonicalizes as value.toString — the two string forms agree ONLY
+    // for string and integral types. For timestamp/date/decimal/float
+    // they routinely differ (formatting, trailing zeros, scientific
+    // notation), and a mismatch is not a conservative degrade: the probe
+    // would silently DROP files containing the value. Guard the domain at
+    // build time rather than letting CALL system.bloom_index index an
+    // unprobeable column.
+    import org.apache.spark.sql.types._
+    val badTypes = cols.flatMap { c =>
+      physicalSchema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => None
+        case other => Some(s"$c: ${other.simpleString}")
+      }
+    }
+    require(badTypes.isEmpty,
+      s"bloom index supports string and integral columns only (probe-time " +
+        s"canonicalization must match the build's CAST AS STRING); got " +
+        badTypes.mkString(", ") + " — use B109 range stats for those types")
     val base = spark.read.parquet(dir).withColumn("_gf_uri", input_file_name())
     val pairs = cols.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
     val exploded = base
@@ -201,7 +221,8 @@ object Bloom {
     * hash-identical to `spark.read.parquet(dir).filter(col === value)`.
     */
   def readWhereEq(spark: SparkSession, dir: String,
-      colName: String, value: Any): DataFrame = {
+      colName: String, value: Any,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val bloomKept = prunedFilesEq(spark, dir, colName, value)
     val kept =
       if (Files.isDirectory(Paths.get(dir, Stats.Sidecar)))
@@ -211,17 +232,25 @@ object Bloom {
       else bloomKept
     val pred = col(colName) === lit(value)
     if (kept.isEmpty) {
-      val schema = spark.read.parquet(dir).schema
+      val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else
-      spark.read.option("basePath", dir).parquet(kept: _*).filter(pred)
+    } else {
+      val rd = spark.read.option("basePath", dir)
+      readSchema.fold(rd)(rd.schema).parquet(kept: _*).filter(pred)
+    }
   }
 
   /** [[readWhereEq]] over the LIVE version of a [[Sinks]] versioned
     * table (run [[annotate]] against `Sinks.resolve(root)` after
-    * publishing).
+    * publishing). The read schema is pinned to the table's DECLARED
+    * partition types ([[Sinks.readSchemaFor]]) — both the kept-files
+    * read and the empty-prune frame — so a partitioned table's partition
+    * columns can never come back with inference-rewritten types
+    * ('00123' → int) diverging from [[Sinks.readCurrent]].
     */
   def readCurrentWhereEq(spark: SparkSession, root: String,
-      colName: String, value: Any): DataFrame =
-    readWhereEq(spark, Sinks.resolve(root), colName, value)
+      colName: String, value: Any): DataFrame = {
+    val live = Sinks.resolve(root)
+    readWhereEq(spark, live, colName, value, Sinks.readSchemaFor(spark, root, live))
+  }
 }

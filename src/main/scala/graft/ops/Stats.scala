@@ -262,22 +262,31 @@ object Stats {
     * — q_stats_skipping hash-proves it against the unclustered fixture.
     */
   def readWhere(spark: SparkSession, dir: String,
-      colName: String, lo: Any, hi: Any): DataFrame = {
+      colName: String, lo: Any, hi: Any,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val files = prunedFiles(spark, dir, colName, lo, hi)
     val pred = col(colName).between(lit(lo), lit(hi))
     if (files.isEmpty) {
-      val schema = spark.read.parquet(dir).schema
+      val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
+    } else {
       // basePath keeps partition-dir columns in scope when the surviving
       // files are addressed individually (no-op for flat layouts)
-      spark.read.option("basePath", dir).parquet(files: _*).filter(pred)
+      val rd = spark.read.option("basePath", dir)
+      readSchema.fold(rd)(rd.schema).parquet(files: _*).filter(pred)
+    }
   }
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table
-    * (publish with `statsCols` to make the sidecar exist).
+    * (publish with `statsCols` to make the sidecar exist). The read
+    * schema is pinned to the table's DECLARED partition types
+    * ([[Sinks.readSchemaFor]]) so partition columns keep the same types
+    * as [[Sinks.readCurrent]] even when pruning addresses files
+    * individually.
     */
   def readCurrentWhere(spark: SparkSession, root: String,
-      colName: String, lo: Any, hi: Any): DataFrame =
-    readWhere(spark, Sinks.resolve(root), colName, lo, hi)
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val live = Sinks.resolve(root)
+    readWhere(spark, live, colName, lo, hi, Sinks.readSchemaFor(spark, root, live))
+  }
 }
