@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
-import graft.ops.Sinks
+import graft.ops.{Sinks, TableProps}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
@@ -406,12 +406,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ()
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS`: the DDL spelling of the layout's
-    * additive schema evolution — publishes a NEW version with the
-    * column(s) null-backfilled, same as a Merge.upsert delta carrying
-    * them would. Every other change class (drop/rename/retype column)
-    * is not evolution under this layout and fails loudly, matching
-    * [[Sinks.changesBetween]]'s contract.
+  /** `ALTER TABLE ... ADD COLUMNS | RENAME COLUMN | DROP COLUMN`: the
+    * DDL spellings of schema evolution under this layout.
+    *
+    *  - ADD COLUMNS publishes a NEW version with the column(s)
+    *    null-backfilled (additive, the same evolution a Merge.upsert
+    *    delta carrying them performs).
+    *  - RENAME COLUMN / DROP COLUMN publish a NEW version with the data
+    *    REWRITTEN to the evolved schema, and migrate every sidecar the
+    *    engine keys by column name in the same operation: `_stats` and
+    *    `_bloom` are re-annotated under the new names (dropped columns
+    *    leave the index set; never stale-keyed), the partition spec in
+    *    `_PROPS` follows renames (dropping a partition column is
+    *    rejected), and CHECK constraints have their expressions
+    *    rewritten through renames — a constraint that still references a
+    *    dropped column fails the ALTER (drop the constraint first),
+    *    never silently breaks later writes. Old versions stay readable
+    *    under their original schema (time travel is unaffected); the
+    *    change-data chain intentionally breaks at the boundary
+    *    (no `_changes` is emitted — a schema change is not a row delta),
+    *    so incremental consumers resync, same contract as RESTORE.
+    *
+    *    Scale note: this layout stores no column-mapping indirection
+    *    (names in footers ARE the schema), so rename/drop is an O(table)
+    *    rewrite through the ordinary OCC commit. A 100 TB deployment
+    *    that renames frequently would add Delta-style column IDs; the
+    *    honest rewrite keeps every reader (plain parquet included)
+    *    correct without one.
+    *
+    * Retype/reposition remain unsupported and fail loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // property changes: CHECK constraints only ('check.<name>' = '<expr>'),
@@ -444,6 +467,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       } -- propChanges.collect { case r: TableChange.RemoveProperty => r.property() })
       if (otherChanges.isEmpty) return loadTable(ident)
     }
+    val renames = otherChanges.collect { case r: TableChange.RenameColumn => r }
+    val drops = otherChanges.collect { case d: TableChange.DeleteColumn => d }
+    if (renames.nonEmpty || drops.nonEmpty) {
+      require(renames.size + drops.size == otherChanges.size,
+        s"$catalogName: RENAME/DROP COLUMN cannot be combined with other " +
+          "column changes in one ALTER")
+      return evolveSchema(ident, renames, drops)
+    }
     val adds = otherChanges.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         // clauses the null-backfilled layout cannot honor fail loudly:
@@ -471,6 +502,144 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     Sinks.publishVersioned(widened, tr, Some(v))
     loadTable(ident)
+  }
+
+  /** RENAME COLUMN / DROP COLUMN (see [[alterTable]] for the contract):
+    * validate every change and every dependent piece of metadata FIRST,
+    * then move table properties (partition spec, rewritten CHECK
+    * constraints) ahead of the data publish — the staged layout uses the
+    * NEW partition names — and finally publish the rewritten data with
+    * the `_stats`/`_bloom` sidecars re-annotated under the new column
+    * set. A publish failure rolls the properties back, so no failure
+    * mode leaves metadata pointing at columns the live version lacks.
+    * The fail-loud window in between (a concurrent writer gating on
+    * updated constraints against the old schema) errors that writer's
+    * statement; it can never corrupt data — the documented limit of
+    * data-only OCC, same as [[GraftCheck]]'s concurrent-ALTER note.
+    */
+  private def evolveSchema(ident: Identifier,
+      renames: Seq[TableChange.RenameColumn],
+      drops: Seq[TableChange.DeleteColumn]): Table = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val tr = tableRoot(ident)
+    val v = Sinks.currentVersion(tr)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val liveDir = Sinks.versionPath(tr, v)
+    val cur = Sinks.readDir(spark, tr, liveDir)
+    val cols = cur.columns.toSeq
+    def canonical(n: String): Option[String] = cols.find(_.equalsIgnoreCase(n))
+
+    (renames.map(_.fieldNames().toSeq) ++ drops.map(_.fieldNames().toSeq))
+      .foreach(fn => require(fn.length == 1,
+        s"$catalogName: only top-level columns can be renamed/dropped; " +
+          s"got ${fn.mkString(".")}"))
+    val renameMap: Map[String, String] = renames.map { r =>
+      val from = canonical(r.fieldNames()(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$catalogName: no such column ${r.fieldNames()(0)}"))
+      val to = r.newName()
+      require(to.nonEmpty, s"$catalogName: empty rename target for $from")
+      require(!cols.exists(c => c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(from)),
+        s"$catalogName: column $to already exists")
+      from -> to
+    }.toMap
+    require(renameMap.size == renames.size,
+      s"$catalogName: duplicate column in RENAME set")
+    val dropSet: Set[String] = drops.flatMap { d =>
+      canonical(d.fieldNames()(0)) match {
+        case Some(c) => Some(c)
+        case None if d.ifExists() => None
+        case None => throw new IllegalArgumentException(
+          s"$catalogName: no such column ${d.fieldNames()(0)}")
+      }
+    }.toSet
+    require(renameMap.keySet.intersect(dropSet).isEmpty,
+      s"$catalogName: a column cannot be both renamed and dropped")
+    if (dropSet.isEmpty && renameMap.isEmpty) return loadTable(ident)
+
+    val pcols = TableProps.partitionCols(tr)
+    dropSet.foreach(c => require(!pcols.exists(_.equalsIgnoreCase(c)),
+      s"$catalogName: cannot drop partition column $c"))
+    require(cols.filterNot(dropSet).exists(c => !pcols.exists(_.equalsIgnoreCase(c))),
+      s"$catalogName: dropping ${dropSet.mkString(", ")} would leave no " +
+        "non-partition column")
+    // a renamed PARTITION column becomes a directory-name component; the
+    // layout's reserved prefixes (`_`/`.`) are invisible to parquet
+    // readers and would silently hide every data file
+    renameMap.foreach { case (from, to) =>
+      if (pcols.exists(_.equalsIgnoreCase(from)))
+        require(validPart(to),
+          s"$catalogName: $to is not a legal partition column name " +
+            "(reserved prefix or path character)")
+    }
+
+    def evolve(n: String): Option[String] =
+      if (dropSet.contains(n)) None else Some(renameMap.getOrElse(n, n))
+    val evolvedSchema = StructType(
+      cur.schema.flatMap(f => evolve(f.name).map(n => f.copy(name = n))))
+
+    // CHECK constraints follow the evolution: expressions are rewritten
+    // through renames (attribute-level, so `c_name` inside a function
+    // call follows too), then every constraint must RESOLVE against the
+    // evolved schema — one that references a dropped column fails the
+    // ALTER here, before anything is touched
+    val oldProps = TableProps.load(tr)
+    val evolvedEmpty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), evolvedSchema)
+    val rewrittenChecks: Map[String, String] = oldProps.collect {
+      case (k, text) if k.startsWith(GraftCheck.Prefix) =>
+        val newText =
+          if (renameMap.isEmpty) text
+          else rewriteColumnRefs(spark, text, renameMap)
+        try evolvedEmpty.select(expr(newText).cast("boolean")).queryExecution.analyzed
+        catch { case e: Exception => throw new IllegalStateException(
+          s"$catalogName: constraint ${k.stripPrefix(GraftCheck.Prefix)} " +
+            s"('$text') does not resolve against the evolved schema — " +
+            s"UNSET the constraint first (${e.getMessage})") }
+        k -> newText
+    }
+
+    // skipping sidecars: dropped columns leave the indexed set; renamed
+    // ones are re-annotated under the new name (the publish below
+    // rewrites every data file, so fresh footer/filter passes are exact)
+    def mapped(sidecarCols: Seq[String]): Seq[String] =
+      sidecarCols.flatMap(evolve)
+    val statsCols = mapped(graft.ops.Stats.sidecarCols(spark, liveDir))
+    val bloomCols = mapped(graft.ops.Bloom.sidecarCols(spark, liveDir))
+
+    val newPartProp = TableProps.partitionSchema(tr).map(st =>
+      TableProps.PartitionKey -> StructType(st.map(f =>
+        f.copy(name = renameMap.getOrElse(f.name, f.name)))).toDDL)
+    val newProps = oldProps.filterNot(p => p._1.startsWith(GraftCheck.Prefix) ||
+      p._1 == TableProps.PartitionKey) ++ rewrittenChecks ++ newPartProp
+
+    val evolved = cur.select(cur.columns.toIndexedSeq.flatMap(c =>
+      evolve(c).map(n => col(s"`$c`").as(n))): _*)
+    TableProps.store(tr, newProps)
+    try
+      Sinks.publishVersioned(evolved, tr, Some(v), statsCols = statsCols,
+        bloomCols = bloomCols)
+    catch { case e: Throwable =>
+      TableProps.store(tr, oldProps) // metadata must not outrun the data
+      throw e
+    }
+    loadTable(ident)
+  }
+
+  /** Rewrite single-part column references in a SQL expression through a
+    * rename map (case-insensitive match, Catalyst-parsed — string
+    * replacement would also hit literals and unrelated identifiers).
+    */
+  private def rewriteColumnRefs(spark: SparkSession, exprText: String,
+      renameMap: Map[String, String]): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(exprText).transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          renameMap.exists(_._1.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq(
+          renameMap.find(_._1.equalsIgnoreCase(a.nameParts.head)).get._2))
+    }.sql
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

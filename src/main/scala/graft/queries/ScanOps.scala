@@ -185,9 +185,7 @@ object ScanOps extends QueryModule {
     // oracle runs the same lookup on the raw fixture — hash-proving
     // membership pruning never changes results.
     "q_bloom_skipping" -> ((s, dir) => {
-      val tbl = bloomTable(s, dir)
-      val k = Tables.orders(s, dir).filter(col("o_orderkey") >= 1000)
-        .agg(min("o_orderkey")).head().getLong(0)
+      val (tbl, k) = bloomTable(s, dir)
       graft.ops.Bloom.readCurrentWhereEq(s, tbl, "o_orderkey", k)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
@@ -227,6 +225,25 @@ object ScanOps extends QueryModule {
           sum(col("l_quantity").cast("long")).as("qty"),
           round(sum(cents) / 100.0, 2).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Schema evolution through the SQL door (round-9 headline): customer
+    // CTAS'd into a catalog table WITH a CHECK constraint, then
+    // RENAME COLUMN c_name→cust_name (the constraint's expression is
+    // rewritten through the rename), DROP COLUMN c_mktsegment (the
+    // column leaves data, schema, and every name-keyed sidecar), and an
+    // INSERT INTO the evolved table (the rewritten constraint still
+    // gates). Each step is an ordinary OCC version; the pre-evolution
+    // versions stay time-travelable under their old schema (CatalogSpec
+    // covers that plus the reject paths). The oracle rebuilds the final
+    // state from the raw fixture + the inserted row, hash-proving the
+    // whole evolution chain value-lossless.
+    "q_catalog_schema_evolution" -> ((s, dir) => {
+      val cat = schemaEvolutionCatalog(s, dir)
+      s.sql(
+        s"""SELECT c_custkey, cust_name, c_nationkey,
+           |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+           |FROM $cat.cust ORDER BY c_custkey""".stripMargin)
     }),
 
     // PARTITIONED BY catalog table end to end: events CTAS'd through the
@@ -366,6 +383,43 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog whose `cust` table has lived a full schema-
+    * evolution life: CTAS from the customer fixture with a CHECK
+    * constraint on c_name (v0 empty + v1 data), RENAME COLUMN
+    * c_name→cust_name (v2 — constraint expression rewritten), DROP
+    * COLUMN c_mktsegment (v3), then INSERT one row through the evolved
+    * schema + rewritten constraint (v4). Returns the catalog name;
+    * rebuilt on fixture regeneration (content-stamp equality).
+    */
+  def schemaEvolutionCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_sewh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftse_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/cust"
+    val stampFile = Paths.get(tbl, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "customer")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L, 4L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(tbl))
+      Tables.customer(s, dir).createOrReplaceTempView("graft_se_src")
+      s.sql(
+        s"""CREATE TABLE $cat.cust USING parquet
+           |TBLPROPERTIES ('check.has_name' = 'length(c_name) > 0')
+           |AS SELECT * FROM graft_se_src""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.cust RENAME COLUMN c_name TO cust_name")
+      s.sql(s"ALTER TABLE $cat.cust DROP COLUMN c_mktsegment")
+      s.sql(s"INSERT INTO $cat.cust VALUES (9999999, 'ZZZ EVOLVED', 0, 1.5)")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   def cdfWarehouse(s: SparkSession, dir: String): String = this.synchronized {
     import java.nio.file.{Files, Paths}
     import graft.ops.Sinks
@@ -436,26 +490,41 @@ object ScanOps extends QueryModule {
     * cannot prune a point probe) with both sidecars: `_stats` (so the
     * composition path runs) and `_bloom` on the key. Rebuilt when the
     * fixture changes; the `_bloom` dir doubles as the completion marker.
+    *
+    * Returns (table root, probe key). The probe key — the smallest
+    * o_orderkey >= 1000, the scalar both engines derive identically —
+    * is computed ONCE here in the cached build branch and persisted in
+    * a `_PROBEKEY` marker beside the table, so the timed q_bloom_skipping
+    * region is the actual lookup, not a full orders scan re-deriving a
+    * constant (round-8 verdict item 9).
     */
-  def bloomTable(s: SparkSession, dir: String): String = this.synchronized {
+  def bloomTable(s: SparkSession, dir: String): (String, Long) = this.synchronized {
     import java.nio.file.{Files, Paths}
     import graft.ops.{Bloom, Sinks, Stats}
     val tbl = "/tmp/graft_bloomz_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_h"
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val keyFile = Paths.get(tbl, "_PROBEKEY")
+    val stampFile = Paths.get(tbl, "_SRCSTAMP")
+    // freshness = stored content stamp EQUALS the fixture's current one
+    // (mtime:size) — a >=-mtime check alone would trust a stale cache
+    // against an epoch-stamped regenerated fixture
+    val stamp = Tables.srcStamp(dir, "orders")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L) &&
       Files.isDirectory(Paths.get(Sinks.versionPath(tbl, 0L) + "/" + Bloom.Sidecar)) &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+      Files.exists(keyFile) && Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
       val laid = Tables.orders(s, dir).repartition(8, col("o_orderkey"))
       Sinks.publishVersioned(laid, tbl, None, statsCols = Seq("o_orderkey"))
       Bloom.annotate(s, Sinks.resolve(tbl), Seq("o_orderkey"),
         expectedItems = 50000L)
+      val k = Tables.orders(s, dir).filter(col("o_orderkey") >= 1000)
+        .agg(min("o_orderkey")).head().getLong(0)
+      Files.write(keyFile, k.toString.getBytes("UTF-8"))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
-    tbl
+    (tbl, new String(Files.readAllBytes(keyFile), "UTF-8").trim.toLong)
   }
 
   /** Source + materialized view for q_mview_incremental (B111).
@@ -558,6 +627,14 @@ object ScanOps extends QueryModule {
 
     "q_table_changes" -> tableChangesOracle,
     "q_table_changes_sql" -> tableChangesOracle,
+
+    "q_catalog_schema_evolution" ->
+      """SELECT c_custkey, c_name AS cust_name, c_nationkey,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |FROM (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |      UNION ALL
+        |      SELECT 9999999, 'ZZZ EVOLVED', 0, CAST(1.5 AS DOUBLE))
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_catalog_partitioned" ->
       """SELECT event_type, count(*) AS n_events,

@@ -140,9 +140,10 @@ class CatalogSpec extends AnyFunSuite {
       // and the evolved table accepts writes carrying the new column
       spark.sql("INSERT INTO graft.t7 VALUES (98, 'y', 0.5)")
       assert(spark.sql("SELECT * FROM graft.t7 WHERE score = 0.5").count() == 1)
-      // non-additive alters are not evolution
-      intercept[Exception](spark.sql("ALTER TABLE graft.t7 DROP COLUMN score"))
-      intercept[Exception](spark.sql("ALTER TABLE graft.t7 RENAME COLUMN score TO s"))
+      // retype/reposition remain unsupported (RENAME/DROP are since
+      // round 9 — see the dedicated schema-evolution tests below)
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.t7 ALTER COLUMN score TYPE STRING"))
     } finally spark.sql("DROP TABLE graft.t7")
   }
 
@@ -927,5 +928,134 @@ class CatalogSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq
       assert(rows2 == Seq(2L, 3L, 40L), s"got $rows2")
     } finally spark.sql("DROP TABLE graft.cowp")
+  }
+
+  // ---- round-9 schema evolution: RENAME / DROP COLUMN ----
+
+  test("RENAME COLUMN rewrites the data; old versions keep their schema") {
+    root
+    spark.sql("CREATE TABLE graft.se1 AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    try {
+      spark.sql("ALTER TABLE graft.se1 RENAME COLUMN v TO val")
+      assert(spark.table("graft.se1").columns.toSeq == Seq("k", "val"))
+      assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 90L)
+      // the pre-evolution version still reads under its ORIGINAL schema
+      assert(spark.sql("SELECT * FROM graft.se1 VERSION AS OF 1")
+        .columns.toSeq == Seq("k", "v"))
+      // collision and unknown-source renames refuse
+      assert(intercept[Exception](
+        spark.sql("ALTER TABLE graft.se1 RENAME COLUMN k TO val"))
+        .getMessage.contains("already exists"))
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.se1 RENAME COLUMN nope TO x"))
+      // writes through the evolved schema land normally
+      spark.sql("INSERT INTO graft.se1 VALUES (100, 200)")
+      assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 290L)
+    } finally spark.sql("DROP TABLE graft.se1")
+  }
+
+  test("DROP COLUMN removes data + schema; the last data column refuses") {
+    root
+    spark.sql(
+      "CREATE TABLE graft.se2 AS SELECT id AS k, id * 2 AS v, id * 3 AS w FROM range(10)")
+    try {
+      spark.sql("ALTER TABLE graft.se2 DROP COLUMN w")
+      assert(spark.table("graft.se2").columns.toSeq == Seq("k", "v"))
+      // the dropped column is gone from the FILES, not just the schema
+      // (plain parquet readers of the live dir must agree)
+      val live = Sinks.resolve(s"$root/se2")
+      assert(!spark.read.parquet(live).columns.contains("w"))
+      spark.sql("ALTER TABLE graft.se2 DROP COLUMN v")
+      val e = intercept[Exception](spark.sql("ALTER TABLE graft.se2 DROP COLUMN k"))
+      assert(e.getMessage.contains("no non-partition column"))
+      // time travel to the pre-drop version still sees all three columns
+      assert(spark.sql("SELECT * FROM graft.se2 VERSION AS OF 1")
+        .columns.toSeq == Seq("k", "v", "w"))
+    } finally spark.sql("DROP TABLE graft.se2")
+  }
+
+  test("schema evolution migrates the skipping sidecars — never stale-keyed") {
+    root
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Bloom, Stats}
+    val tr = s"$root/se3"
+    val df = spark.range(1000).selectExpr(
+      "id AS k", "CAST(id % 50 AS LONG) AS grp", "id * 7 AS extra")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tr, None,
+      statsCols = Seq("grp", "k"), bloomCols = Seq("k"))
+    try {
+      spark.sql("ALTER TABLE graft.se3 RENAME COLUMN k TO key")
+      val live = Sinks.resolve(tr)
+      assert(Stats.sidecarCols(spark, live) == Seq("grp", "key"),
+        "stats sidecar must be re-keyed under the renamed column")
+      assert(Bloom.sidecarCols(spark, live) == Seq("key"),
+        "bloom sidecar must be re-keyed under the renamed column")
+      // pruning still PRUNES on the new name (range-clustered on key)...
+      val keptFiles = Stats.prunedFiles(spark, live, "key", 10L, 20L)
+      val allFiles = graft.io.Fs.walkParquet(Paths.get(live))
+      assert(keptFiles.size < allFiles.size,
+        s"stats pruning stopped pruning after rename (${keptFiles.size}/${allFiles.size})")
+      // ...and stays exact
+      val got = Stats.readCurrentWhere(spark, tr, "key", 10L, 20L)
+        .agg(org.apache.spark.sql.functions.sum("key")).head().getLong(0)
+      assert(got == (10L to 20L).sum)
+      assert(Bloom.readCurrentWhereEq(spark, tr, "key", 500L).count() == 1)
+      // dropping an indexed column removes it from the sidecars
+      spark.sql("ALTER TABLE graft.se3 DROP COLUMN grp")
+      val live2 = Sinks.resolve(tr)
+      assert(Stats.sidecarCols(spark, live2) == Seq("key"))
+      assert(Bloom.sidecarCols(spark, live2) == Seq("key"))
+    } finally spark.sql("DROP TABLE graft.se3")
+  }
+
+  test("CHECK constraints follow renames; dropping a referenced column refuses") {
+    root
+    spark.sql(
+      """CREATE TABLE graft.se4 (a BIGINT, b STRING) USING parquet
+        |TBLPROPERTIES ('check.pos' = 'a > 0')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.se4 VALUES (1, 'x')")
+      spark.sql("ALTER TABLE graft.se4 RENAME COLUMN a TO amount")
+      // the REWRITTEN constraint still gates writes through the new name
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO graft.se4 VALUES (-5, 'bad')"))
+      assert(e.getMessage.contains("pos"),
+        s"rewritten constraint did not fire: ${e.getMessage}")
+      spark.sql("INSERT INTO graft.se4 VALUES (2, 'ok')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.se4").head().getLong(0) == 2L)
+      // a drop that would orphan the constraint refuses, names it, and
+      // succeeds once the constraint is unset
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.se4 DROP COLUMN amount"))
+      assert(e2.getMessage.contains("pos"))
+      spark.sql("ALTER TABLE graft.se4 UNSET TBLPROPERTIES ('check.pos')")
+      spark.sql("ALTER TABLE graft.se4 DROP COLUMN amount")
+      assert(spark.table("graft.se4").columns.toSeq == Seq("b"))
+    } finally spark.sql("DROP TABLE graft.se4")
+  }
+
+  test("partition column rename keeps the Hive layout; partition drop refuses") {
+    root
+    import graft.ops.TableProps
+    spark.sql(
+      "CREATE TABLE graft.se5 (v BIGINT, p STRING) USING parquet PARTITIONED BY (p)")
+    try {
+      spark.sql("INSERT INTO graft.se5 VALUES (1, 'x'), (2, 'y')")
+      spark.sql("ALTER TABLE graft.se5 RENAME COLUMN p TO part")
+      assert(TableProps.partitionCols(s"$root/se5") == Seq("part"))
+      val live = Sinks.resolve(s"$root/se5")
+      assert(graft.io.Fs.listDir(Paths.get(live))
+        .exists(_.getFileName.toString.startsWith("part=")),
+        "renamed partition column must re-lay the Hive directories")
+      assert(spark.sql("SELECT sum(v) AS s FROM graft.se5 WHERE part = 'x'")
+        .head().getLong(0) == 1L)
+      val e = intercept[Exception](spark.sql("ALTER TABLE graft.se5 DROP COLUMN part"))
+      assert(e.getMessage.contains("partition column"))
+      // a rename into the layout's reserved namespace would hide every
+      // data file from parquet readers — refused
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.se5 RENAME COLUMN part TO _part"))
+    } finally spark.sql("DROP TABLE graft.se5")
   }
 }
