@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** The commit moves every versioned-table writer shares, extracted from
+  * the write paths so the 100 TB object-store story is a BINDING, not a
+  * comment: [[Sinks]] (and through it the catalog, DML, streaming sink,
+  * ANN index — every writer) stages a complete immutable version
+  * directory, then drives exactly these five primitives under
+  * [[withCommitLock]]:
+  *
+  *  1. [[readPointer]] — the OCC precondition read,
+  *  2. [[versionExists]] — allocation probing past crash orphans,
+  *  3. [[publishVersionDir]] — make the staged dir visible, all-or-nothing,
+  *  4. [[flipPointer]] — move the live pointer, atomically replacing,
+  *  5. [[withCommitLock]] — serialize committers of one table.
+  *
+  * [[LocalFsCommit]] binds them to POSIX renames + an advisory file
+  * lock. An object-store binding maps 3 to a manifest upload and 4+5 to
+  * the store's conditional PUT (ETag/generation precondition) on the
+  * pointer object — the same compare-and-swap Delta/Iceberg commit
+  * services perform; no caller changes. The staged data itself never
+  * moves through the protocol: it is already at its final keys
+  * (object stores don't rename); only visibility metadata does.
+  */
+trait CommitProtocol {
+
+  /** The live version number, if the table has ever been published. */
+  def readPointer(root: String): Option[Long]
+
+  /** True iff version `v`'s directory exists under `root` (live OR
+    * crash-orphaned — allocation must skip both).
+    */
+  def versionExists(root: String, v: Long): Boolean
+
+  /** Make the fully-staged version dir visible at `dest`, atomically:
+    * after this returns, `dest` holds the complete immutable version
+    * stamped with its commit instant (the visibility time — TIMESTAMP AS
+    * OF resolves by it, and a writer may have waited on the lock long
+    * after its data was staged); on failure, `dest` must not exist
+    * half-written.
+    */
+  def publishVersionDir(stage: Path, dest: Path): Unit
+
+  /** Atomically point `root`'s live pointer at `v` (replacing any
+    * previous pointer). Readers concurrently resolving see the old or
+    * the new version, never an absent/partial pointer.
+    */
+  def flipPointer(root: String, v: Long): Unit
+
+  /** Serialize commit critical sections for one table across processes.
+    * Reentrancy is NOT required (and the local binding is not) — callers
+    * never nest.
+    */
+  def withCommitLock[T](root: String)(body: => T): T
+}
+
+/** Local-filesystem commit binding: `_CURRENT` pointer file, POSIX
+  * atomic renames, JVM mutex + cross-process advisory file lock.
+  */
+object LocalFsCommit extends CommitProtocol {
+
+  private val Pointer = "_CURRENT"
+
+  override def readPointer(root: String): Option[Long] = {
+    val p = Paths.get(root, Pointer)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  override def versionExists(root: String, v: Long): Boolean =
+    Files.exists(Paths.get(Sinks.versionPath(root, v)))
+
+  override def publishVersionDir(stage: Path, dest: Path): Unit = {
+    Files.move(stage, dest, StandardCopyOption.ATOMIC_MOVE)
+    // stamp the COMMIT instant: rename preserves the staging-write
+    // mtime, which can predate the commit by however long this writer
+    // waited on the lock — TIMESTAMP AS OF resolves by this mtime
+    // (GraftCatalog), so it must be the visibility time, not the write
+    // time
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  }
+
+  override def flipPointer(root: String, v: Long): Unit = {
+    val tmp = Paths.get(root, s"$Pointer.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, Pointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { val lock = ch.lock(); try body finally lock.release() }
+    finally ch.close()
+  }
+}

@@ -38,14 +38,18 @@ object Sinks {
   // stores with a conditional PUT; at 100 TB the layout delegates cleanly
   // to such a format without changing callers.
 
-  private val Pointer = "_CURRENT"
+  /** The bound [[CommitProtocol]] — the seam between the versioned
+    * layout's logic (staging, sidecars, OCC, feeds) and the platform's
+    * atomic-visibility primitives. Defaults to [[LocalFsCommit]]; an
+    * object-store deployment binds its conditional-PUT implementation
+    * here and every writer (catalog DML, streaming sink, ANN index,
+    * merges) commits through it unchanged.
+    */
+  @volatile var commitProtocol: CommitProtocol = LocalFsCommit
 
   /** The live version number, if the table has ever been published. */
-  def currentVersion(root: String): Option[Long] = {
-    val p = Paths.get(root, Pointer)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
-    else None
-  }
+  def currentVersion(root: String): Option[Long] =
+    commitProtocol.readPointer(root)
 
   /** Path of version `v` under `root`. */
   def versionPath(root: String, v: Long): String = s"$root/v$v"
@@ -453,7 +457,8 @@ object Sinks {
   def publishVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None,
       quarantine: Option[DataFrame] = None,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      sidecars: Seq[(String, DataFrame)] = Nil): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -503,6 +508,14 @@ object Sinks {
       // the single commit point for data + stats + feed + quarantine
       quarantine.foreach(_.write.mode("overwrite")
         .parquet(s"$stage/$QuarantineSidecar"))
+      // caller-supplied REQUIRED sidecars (the ANN quantizer) ride the
+      // same staged commit: a table that needs its sidecar to be usable
+      // must never have a window where data committed without it
+      sidecars.foreach { case (name, sdf) =>
+        require(name.startsWith("_"),
+          s"sidecar name must be _-prefixed (invisible to plain reads): $name")
+        sdf.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
+      }
       commitStaged(root, stage, expected)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -526,23 +539,13 @@ object Sinks {
       }
       // allocate past any orphan left by a crash between rename and flip
       var next = cur.map(_ + 1).getOrElse(0L)
-      while (Files.exists(Paths.get(versionPath(root, next)))) next += 1
+      while (commitProtocol.versionExists(root, next)) next += 1
       // record the base so chain walks can traverse EVERY commit, not
       // just the feed-carrying ones
       Files.write(stage.resolve(VersionBaseFile),
         expected.getOrElse(-1L).toString.getBytes("UTF-8"))
-      Files.move(stage, Paths.get(versionPath(root, next)), StandardCopyOption.ATOMIC_MOVE)
-      // stamp the COMMIT instant: rename preserves the staging-write
-      // mtime, which can predate the commit by however long this
-      // writer waited on the lock — TIMESTAMP AS OF resolves by this
-      // mtime (GraftCatalog), so it must be the visibility time, not
-      // the write time
-      Files.setLastModifiedTime(Paths.get(versionPath(root, next)),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      val tmp = Paths.get(root, s"$Pointer.tmp")
-      Files.write(tmp, next.toString.getBytes("UTF-8"))
-      Files.move(tmp, Paths.get(root, Pointer),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      commitProtocol.publishVersionDir(stage, Paths.get(versionPath(root, next)))
+      commitProtocol.flipPointer(root, next)
       // past this point the commit IS durable and visible: a reconcile
       // failure (ENOSPC on a link, a chmod'd feed dir) must not make the
       // caller believe the commit failed — a retried "failed" INSERT
@@ -555,9 +558,6 @@ object Sinks {
       next
     }
 
-  /** JVM mutex + cross-process file lock around the commit. (On an
-    * object store this becomes the conditional PUT of the table format.)
-    */
   /** The table's commit lock, for callers whose mutation must not
     * interleave with a publish — destructive DDL (drop/rename) takes it
     * so a concurrent writer can never observe a half-deleted table or
@@ -565,12 +565,8 @@ object Sinks {
     */
   def withTableLock[T](root: String)(body: => T): T = withCommitLock(root)(body)
 
-  private def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try { val lock = ch.lock(); try body finally lock.release() }
-    finally ch.close()
-  }
+  private def withCommitLock[T](root: String)(body: => T): T =
+    commitProtocol.withCommitLock(root)(body)
 
   // ---------- O(delta) appends and linked publishes ----------
   //

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.ops.{CommitProtocol, LocalFsCommit, Sinks}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The commit-protocol seam: a deliberately-failing binding at each
+  * commit move must leave NO partial state — pointer unchanged, the
+  * previous version fully readable, no staging debris — and a retry
+  * through the healthy binding must succeed. This is the local-FS
+  * stand-in for an object-store conditional-PUT failure (throttle,
+  * precondition loss, network death mid-commit).
+  */
+class CommitProtocolSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Delegating protocol that fails one step, ONLY for tables under
+    * `scope` — the binding is process-global, and sibling suites may be
+    * committing their own tables concurrently.
+    */
+  private final class FailAt(scope: String, step: String) extends CommitProtocol {
+    private def inScope(p: String) = p.startsWith(scope)
+    def readPointer(root: String): Option[Long] = LocalFsCommit.readPointer(root)
+    def versionExists(root: String, v: Long): Boolean =
+      LocalFsCommit.versionExists(root, v)
+    def publishVersionDir(stage: Path, dest: Path): Unit = {
+      if (step == "publish" && inScope(dest.toString))
+        throw new RuntimeException(s"injected failure @$step")
+      LocalFsCommit.publishVersionDir(stage, dest)
+    }
+    def flipPointer(root: String, v: Long): Unit = {
+      if (step == "flip" && inScope(root))
+        throw new RuntimeException(s"injected failure @$step")
+      LocalFsCommit.flipPointer(root, v)
+    }
+    def withCommitLock[T](root: String)(body: => T): T =
+      LocalFsCommit.withCommitLock(root)(body)
+  }
+
+  private def withProtocol[T](p: CommitProtocol)(body: => T): T = {
+    Sinks.commitProtocol = p
+    try body finally Sinks.commitProtocol = LocalFsCommit
+  }
+
+  private def stageDebris(root: String): Seq[String] =
+    graft.io.Fs.listDir(Paths.get(root))
+      .map(_.getFileName.toString).filter(_.startsWith(".stage-"))
+
+  test("a failed publish step leaks nothing: pointer, data, and staging all intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cps").toString + "/t"
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.publishVersioned(v0, root, None)
+    val next = Seq((3L, "c")).toDF("k", "v")
+
+    for (step <- Seq("publish", "flip")) {
+      val e = intercept[RuntimeException](
+        withProtocol(new FailAt(root, step)) {
+          Sinks.publishVersioned(next, root, Some(0L))
+        })
+      assert(e.getMessage.contains(step))
+      // pointer unchanged; the committed version reads fully
+      assert(Sinks.currentVersion(root).contains(0L), s"@$step moved the pointer")
+      assert(Sinks.readCurrent(spark, root).count() == 2, s"@$step damaged v0")
+      // no staging debris survives a failed commit
+      assert(stageDebris(root).isEmpty, s"@$step leaked staging dirs")
+    }
+    // @flip may strand an orphan version dir (documented: never live,
+    // never on any base chain); the retry allocates past it and wins
+    val v = Sinks.publishVersioned(next, root, Some(0L))
+    assert(Sinks.currentVersion(root).contains(v))
+    assert(Sinks.readCurrent(spark, root).count() == 1)
+    // and the orphan (if any) is not the live version
+    assert(v != 1L || !Files.exists(Paths.get(Sinks.versionPath(root, 2L))))
+  }
+
+  test("appends and linked publishes fail just as cleanly through the seam") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cpa").toString + "/t"
+    Sinks.publishVersioned(Seq((1L, "a")).toDF("k", "v"), root, None,
+      statsCols = Seq("k"))
+    val delta = Seq((2L, "b")).toDF("k", "v")
+    val e = intercept[RuntimeException](
+      withProtocol(new FailAt(root, "flip")) {
+        Sinks.appendVersioned(delta, root, Some(0L), emitFeed = true)
+      })
+    assert(e.getMessage.contains("flip"))
+    assert(Sinks.currentVersion(root).contains(0L))
+    assert(Sinks.readCurrent(spark, root).count() == 1)
+    assert(stageDebris(root).isEmpty)
+    // retry through the healthy binding: O(delta) append lands, stats
+    // sidecar inherited, feed readable
+    val v = Sinks.appendVersioned(delta, root, Some(0L), emitFeed = true)
+    assert(Sinks.readCurrent(spark, root).count() == 2)
+    assert(graft.ops.Stats.sidecarCols(spark, Sinks.resolve(root)) == Seq("k"))
+    assert(Sinks.changeFeed(spark, root, 0L, v).get.count() == 1)
+  }
+}
