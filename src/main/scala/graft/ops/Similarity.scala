@@ -41,7 +41,7 @@ object Similarity {
     * per-query bounded-heap top-k with 1-based rank. One implementation so
     * the brute-force and IVF outputs can never drift in shape.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.ExprBridge
     scored.groupBy(col("query_id"))
       .agg(ExprBridge.aggColumn(graft.functions.TopKAgg(
@@ -119,18 +119,26 @@ object Similarity {
   /** IVF search: probe the nprobe nearest centroid buckets per query,
     * exact cosine inside the probed buckets only.
     */
-  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
-    // Probe selection stays a window: it ranks per-query over the (tiny)
-    // centroid table only, so the shuffle is queries × n_centroids rows.
+  /** Per-query probe-bucket ranking over the (tiny) centroid table —
+    * shared by [[ivfTopK]] and the SQ8 index search. Returns
+    * (query_id, qvec, label) for the nprobe nearest buckets; the window
+    * shuffles queries × n_centroids rows only.
+    */
+  private[graft] def probeBuckets(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("label"))
-    val probed = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("label"),
         Vec.cosine6Native(col("qvec"), col("centroid")).as("c_sim"))
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("qvec"), col("label"))
+  }
+
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val probed = probeBuckets(centroids, queries, nprobe)
     // The in-bucket scan uses the bounded-heap aggregate — same rationale
     // as bruteForceTopK: never shuffle the scored bucket contents.
     topKPerQuery(

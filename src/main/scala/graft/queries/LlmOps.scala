@@ -270,6 +270,21 @@ object LlmOps extends QueryModule {
           col("rnk").cast("int").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
+
+    // B125 + SQ8 in-bucket compression (round-9 item 7): the same index
+    // search served two-stage — int8-code shortlist (column-pruned scan
+    // reads 1-byte codes, not 4-byte floats) + exact float re-rank of
+    // the shortlist only. Shares q_ann_index's oracle: the re-rank makes
+    // compression invisible in the answer, and the hash match proves it.
+    "q_ann_pq" -> ((s, dir) => {
+      val root = annSq8Table(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.ops.AnnIndex.searchSq8(s, root, qs, nprobe = 2, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
   )
 
   /** Cached persisted IVF index over the embeddings fixture (B125):
@@ -283,17 +298,45 @@ object LlmOps extends QueryModule {
       import java.nio.file.{Files, Paths}
       import graft.ops.{AnnIndex, Sinks}
       val root = "/tmp/graft_annidx_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/emb"
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(Tables.path(dir, "embeddings"))).toMillis
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      // content-stamp equality, not >=-mtime: an epoch-stamped
+      // regenerated fixture must still invalidate the cached index
+      val stamp = Tables.srcStamp(dir, "embeddings")
       val fresh = Files.isDirectory(Paths.get(root)) &&
         Sinks.listVersions(root) == Seq(0L) &&
         Files.isDirectory(Paths.get(Sinks.versionPath(root, 0L) + "/" +
           AnnIndex.CentroidsSidecar)) &&
-        Files.getLastModifiedTime(
-          Paths.get(Sinks.versionPath(root, 0L))).toMillis >= srcMtime
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
         AnnIndex.buildFixed(s, Tables.embeddings(s, dir), root)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** As [[annIndexTable]] but built with SQ8 codes ([[q_ann_pq]]'s
+    * two-stage serving path). A separate directory: the flat and
+    * compressed indexes coexist like any two tables.
+    */
+  private def annSq8Table(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{AnnIndex, Sinks}
+      val root = "/tmp/graft_annsq8_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/emb"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "embeddings")
+      val fresh = Files.isDirectory(Paths.get(root)) &&
+        Sinks.listVersions(root) == Seq(0L) &&
+        Files.isDirectory(Paths.get(Sinks.versionPath(root, 0L) + "/" +
+          AnnIndex.CentroidsSidecar)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
+        AnnIndex.buildFixedSq8(s, Tables.embeddings(s, dir), root)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
     }
@@ -418,6 +461,9 @@ object LlmOps extends QueryModule {
     // B125: the persisted index serves the SAME fixed-quantizer search —
     // one oracle, two serving paths (in-session vs index table).
     "q_ann_index" -> annIvfFixedSql,
+    // SQ8 + exact re-rank must land on the identical top-k: one oracle,
+    // three serving paths.
+    "q_ann_pq" -> annIvfFixedSql,
   ) ++ oraclesTail
 
   private lazy val annIvfFixedSql: String =

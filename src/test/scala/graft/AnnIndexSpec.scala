@@ -53,6 +53,9 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("missing _centroids sidecar fails loudly with a rebuild hint, not wrong probes") {
+    // the sidecar now rides the staged commit, so this state can only be
+    // reached by hand-damaging the directory (or a pre-round-9 index) —
+    // the loud failure stays as the last line of defense
     val root = tmp("annidxcrash")
     AnnIndex.buildFixed(spark, Tables.embeddings(spark, sf001), root)
     graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(
@@ -61,6 +64,83 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
     }
     assert(err.getMessage.contains("rebuild"))
+  }
+
+  test("quantizer rides the staged commit — no kill point can commit data without it") {
+    import java.nio.file.{Files, Path, Paths}
+    import graft.ops.{CommitProtocol, LocalFsCommit}
+    val emb = Tables.embeddings(spark, sf001)
+    for (step <- Seq("publish", "flip")) {
+      val root = tmp(s"annidxkill$step")
+      // fail the named commit move, scoped to THIS table (the binding is
+      // process-global; sibling suites keep committing through it)
+      val failing = new CommitProtocol {
+        def readPointer(r: String) = LocalFsCommit.readPointer(r)
+        def versionExists(r: String, v: Long) = LocalFsCommit.versionExists(r, v)
+        def publishVersionDir(s: Path, d: Path): Unit = {
+          if (step == "publish" && d.toString.startsWith(root))
+            throw new RuntimeException("kill@publish")
+          LocalFsCommit.publishVersionDir(s, d)
+        }
+        def flipPointer(r: String, v: Long): Unit = {
+          if (step == "flip" && r.startsWith(root))
+            throw new RuntimeException("kill@flip")
+          LocalFsCommit.flipPointer(r, v)
+        }
+        def withCommitLock[T](r: String)(b: => T) = LocalFsCommit.withCommitLock(r)(b)
+      }
+      Sinks.commitProtocol = failing
+      try intercept[RuntimeException](AnnIndex.buildFixed(spark, emb, root))
+      finally Sinks.commitProtocol = LocalFsCommit
+      // the invariant the old advisory-sidecar pattern could not give:
+      // EVERY version directory that exists — live or orphaned — carries
+      // its quantizer; a data-without-quantizer window cannot exist
+      Sinks.listVersions(root).foreach { v =>
+        assert(Files.isDirectory(Paths.get(
+            Sinks.versionPath(root, v), AnnIndex.CentroidsSidecar)),
+          s"kill@$step left v$v without its quantizer")
+      }
+      assert(Sinks.currentVersion(root).isEmpty, s"kill@$step flipped the pointer")
+      // a clean rebuild repairs fully (allocating past any orphan)
+      AnnIndex.buildFixed(spark, emb, root)
+      assert(AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10).count() == 50)
+    }
+  }
+
+  test("SQ8 index: code-shortlist + exact rerank equals the flat search exactly") {
+    val root = tmp("annidxsq8")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixedSq8(spark, emb, root)
+    // bucket files carry the byte codes alongside the floats
+    val live = Sinks.readCurrent(spark, root)
+    assert(live.columns.contains("qcodes") && live.columns.contains("qscale"))
+    assert(live.schema("qcodes").dataType.simpleString == "array<tinyint>",
+      "SQ8 codes must be 1-byte elements")
+    val got = AnnIndex.searchSq8(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val flat = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == flat, "rerank must make compression invisible in the answer")
+    assert(got.size == 50)
+  }
+
+  test("SQ8 shortlist pass scans codes, not floats (column pruning = the IO cut)") {
+    val root = tmp("annidxsq8io")
+    AnnIndex.buildFixedSq8(spark, Tables.embeddings(spark, sf001), root)
+    val plan = AnnIndex.sq8Shortlist(spark, root, queries5, nprobe = 2, shortlist = 80)
+      .queryExecution.executedPlan.toString
+    // the approx stage's scan OF THE INDEX must NOT materialize the
+    // float embedding column — ReadSchema carries qcodes only (scans of
+    // the query fixture legitimately read their qvec floats)
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains(root)).toSeq
+    assert(idxScans.nonEmpty, s"no index scan found in:\n$plan")
+    assert(!idxScans.exists(_.contains("embedding")),
+      s"shortlist scan reads the float embeddings:\n${idxScans.mkString("\n")}")
+    assert(idxScans.exists(_.contains("qcodes")),
+      s"shortlist scan lost the code column:\n${idxScans.mkString("\n")}")
+    // and the probe still dynamic-partition-prunes the bucket dirs
+    assert(plan.contains("dynamicpruning"), s"SQ8 probe lost DPP:\n$plan")
   }
 
   test("append grows the index at O(delta): quantizer rides, new vectors are findable") {
