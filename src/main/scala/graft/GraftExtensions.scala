@@ -64,5 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_detail"),
       new ExpressionInfo(graft.catalog.TableDetailTvf.getClass.getName, "table_detail"),
       (exprs: Seq[Expression]) => graft.catalog.TableDetailTvf.plan(exprs)))
+    // the streaming table tier's SQL door: a table's change feed as a
+    // streaming relation (read_stream / STREAM(tbl) analog)
+    ext.injectTableFunction((
+      FunctionIdentifier("read_stream"),
+      new ExpressionInfo(graft.catalog.ReadStreamTvf.getClass.getName, "read_stream"),
+      (exprs: Seq[Expression]) => graft.catalog.ReadStreamTvf.plan(exprs)))
   }
 }

@@ -103,3 +103,32 @@ object TableDetailTvf {
     Sinks.detail(spark, root).queryExecution.analyzed
   }
 }
+
+/** `read_stream('tbl')` — the SQL door for the STREAMING table tier
+  * (Delta's `read_stream` / `STREAM(tbl)` analog): the table's change
+  * feed as a streaming relation, so the exactly-once tier
+  * ([[graft.ops.TableStream]]) is reachable from pure SQL:
+  *
+  * {{{
+  *   spark.sql("SELECT k, v FROM read_stream('cat.ns.tbl') WHERE _change_type = 'insert'")
+  *     .writeStream...   // any sink; isStreaming = true
+  * }}}
+  *
+  * Same table-argument contract as the other TVFs (catalog-qualified
+  * names resolve through the hardened catalog; `/`-bearing strings are
+  * table-root paths). The plan is [[graft.ops.TableStream.streamFeed]]'s
+  * — a standard file-stream source over the table's `feed/` directory,
+  * checkpointable and replayable, composing with the SQL around it
+  * (projections/filters push into the micro-batch scans). The table must
+  * have its feed enabled ([[Sinks.enableStreamFeed]]) like any streaming
+  * consumer.
+  */
+object ReadStreamTvf {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "read_stream(table)")
+    val spark = SparkSession.active
+    val root = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs.head, "table"))
+    graft.ops.TableStream.streamFeed(spark, root).queryExecution.analyzed
+  }
+}

@@ -77,6 +77,50 @@ object TableStreamOps extends QueryModule {
       tbl
     }
 
+  /** Bronze→silver pipeline built through the SQL door: `bronze` is a
+    * customer table fed by THREE O(delta) append commits (each emitting
+    * its insert feed); `silver` is populated by a streaming query whose
+    * SOURCE is the `read_stream('bronze')` TVF — pure SQL — and whose
+    * sink is the exactly-once [[graft.ops.TableStream.streamTo]]. Cached
+    * per sf dir (content-stamp freshness).
+    */
+  private def sqlStreamTables(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{Sinks, TableStream}
+      val base = "/tmp/graft_sqlstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (bronze, silver) = (base + "/bronze", base + "/silver")
+      val stampFile = Paths.get(base, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer")
+      val fresh = Files.isDirectory(Paths.get(silver)) &&
+        Sinks.currentVersion(silver).isDefined &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(base))
+        val cust = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Sinks.enableStreamFeed(bronze)
+        // three feed-emitting commits (create + two linked appends)
+        Sinks.appendVersioned(cust.filter(col("c_custkey") % 3 === 0),
+          bronze, None, emitFeed = true)
+        Sinks.appendVersioned(cust.filter(col("c_custkey") % 3 === 1),
+          bronze, Some(0L), emitFeed = true)
+        Sinks.appendVersioned(cust.filter(col("c_custkey") % 3 === 2),
+          bronze, Some(1L), emitFeed = true)
+        // the silver leg: SQL source (read_stream TVF), exactly-once sink
+        val feed = s.sql(
+          s"""SELECT c_custkey, c_mktsegment, c_acctbal
+             |FROM read_stream('$bronze')
+             |WHERE _change_type = 'insert'""".stripMargin)
+        assert(feed.isStreaming, "read_stream must yield a streaming relation")
+        val q = TableStream.streamTo(feed, silver, base + "/cp")
+        try q.processAllAvailable() finally q.stop()
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      silver
+    }
+
   /** Per-sf catalog with a `nations_r` table restored through the SQL
     * door: v0 = the nation fixture, v1 = a destructive overwrite (keys
     * <10 only), v2 = `CALL <cat>.system.restore(version => 0)` — the
@@ -206,6 +250,21 @@ object TableStreamOps extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
+    // The streaming tier's SQL door end-to-end (round-9 item 2): the
+    // silver table was filled by a streaming query whose source is the
+    // read_stream('bronze') TVF — the whole bronze feed consumed through
+    // SQL, landed by the exactly-once sink. Final silver state vs the
+    // raw fixture: a hash match proves TVF resolution, the feed's
+    // insert stream, and the streaming sink compose value-losslessly.
+    "q_stream_sql" -> ((s, dir) => {
+      val silver = sqlStreamTables(s, dir)
+      graft.ops.Sinks.readCurrent(s, silver)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(round(col("c_acctbal") * 100, 0)) / 100.0, 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // RESTORE through the SQL door: after a destructive overwrite, CALL
     // system.restore republishes v0 as the new current (linked commit,
     // history intact). The oracle recomputes from the FULL nation
@@ -250,6 +309,13 @@ object TableStreamOps extends QueryModule {
         |FROM orders WHERE o_orderkey % 2 = 1
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_stream_table_sink" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_cust,
+        |       round(sum(round(c_acctbal*100, 0))/100.0, 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the silver table must hold exactly the customer rows (all three
+    // bronze commits' inserts, exactly once)
+    "q_stream_sql" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_cust,
         |       round(sum(round(c_acctbal*100, 0))/100.0, 2) AS total_bal

@@ -341,4 +341,36 @@ class TableStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1L, "eu", 10.0), (2L, "us", 20.0), (3L, "eu", 5.0)))
   }
+
+  test("read_stream TVF: the feed as a SQL streaming source, checkpoint-resumable") {
+    import spark.implicits._
+    val base = tmp("sqltvf")
+    val (bronze, silver, cp) = (base + "/b", base + "/s", base + "/cp")
+    Sinks.enableStreamFeed(bronze)
+    Sinks.appendVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      bronze, None, emitFeed = true)
+    def sqlFeed() = spark.sql(
+      s"SELECT k, v FROM read_stream('$bronze') WHERE _change_type = 'insert'")
+    assert(sqlFeed().isStreaming, "read_stream must yield a streaming relation")
+    val q1 = TableStream.streamTo(sqlFeed(), silver, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Sinks.readCurrent(spark, silver).orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // a new bronze commit; a RESTARTED query on the same checkpoint
+    // resumes where it left off and ships ONLY the delta
+    Sinks.appendVersioned(Seq((3L, "c")).toDF("k", "v"),
+      bronze, Some(0L), emitFeed = true)
+    val silverV = Sinks.currentVersion(silver).get
+    val q2 = TableStream.streamTo(sqlFeed(), silver, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Sinks.readCurrent(spark, silver).orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Sinks.currentVersion(silver).get == silverV + 1,
+      "the resumed stream must land exactly one O(delta) commit")
+    // a feed-less table refuses with the enableStreamFeed hint
+    val bare = base + "/bare"
+    Sinks.publishVersioned(Seq((9L, "z")).toDF("k", "v"), bare, None)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM read_stream('$bare')"))
+    assert(e.getMessage.contains("enableStreamFeed"))
+  }
 }
