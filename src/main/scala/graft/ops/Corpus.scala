@@ -154,9 +154,25 @@ object Corpus {
     * re-joins the stream to the counts on the bigram key — all
     * equi-shuffles on count tables ≪ corpus size, with the vocabulary
     * scalar broadcast as one row. Nothing collects to the driver.
+    *
+    * Skew note (100 TB): bigram keys are Zipfian — the `bi ⋈ c12`
+    * shuffle's "of the" partition dwarfs the rest. AQE's skew-join split
+    * CANNOT rescue this plan: `OptimizeSkewedJoin` only matches a
+    * sort-merge join whose children are bare shuffle stages, and the
+    * count-table side here always carries its aggregate between shuffle
+    * and join (verified against the executed plan — no split fires even
+    * with `forceOptimizeSkewedJoin`). `saltBuckets > 1` therefore
+    * pre-salts declaratively via [[Skew.saltedJoinMulti]]: the
+    * corpus-scale bigram stream takes a content-derived salt (doc_id
+    * varies within a hot key, so the head really spreads), the count
+    * tables replicate `saltBuckets`× (they are ≪ corpus), and each hot
+    * key's rows land on `saltBuckets` reducers instead of one. Join
+    * multiplicity is unchanged, so the result is value-identical
+    * (CorpusSpec pins salted ≡ unsalted on a synthetic Zipf head).
+    * Default 1 = unsalted, the right plan when counts broadcast.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5, saltBuckets: Int = 1): DataFrame = {
     val toks = docs.select(col(idCol),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         x => length(x) > 0).as("t"))
@@ -176,8 +192,12 @@ object Corpus {
       .agg(sum(col("n12")).as("n1"))
     val v = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("vsize"))
-    bi.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val withCounts =
+      if (saltBuckets <= 1) bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      else Skew.saltedJoinMulti(
+        Skew.saltedJoinMulti(bi, c12, Seq("w1", "w2"), saltBuckets),
+        c1, Seq("w1"), saltBuckets)
+    withCounts
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

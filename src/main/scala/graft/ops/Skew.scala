@@ -82,11 +82,19 @@ object Skew {
     * replicated `buckets`× (only acceptable when small is genuinely
     * small — the same precondition as a broadcast).
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
-    degenerateWarn(big, Seq(key), "saltedJoin")
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame =
+    saltedJoinMulti(big, small, Seq(key), buckets)
+
+  /** [[saltedJoin]] on a compound key (e.g. a bigram's (w1, w2)). */
+  def saltedJoinMulti(big: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    degenerateWarn(big, keys, "saltedJoin")
     val b = big.withColumn(SaltCol, salt(big, buckets))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    b.join(s, Seq(key, SaltCol)).drop(SaltCol)
+    b.join(s, keys :+ SaltCol).drop(SaltCol)
   }
+
+  /** The salt column name, for plan assertions in specs. */
+  private[graft] def saltColName: String = SaltCol
 }

@@ -35,6 +35,21 @@ object TrainPrepOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B121 sequence packing over a NON-WHITESPACE token count: the
+    // declared real-tokenizer seam (Corpus.packCounted) exercised with a
+    // precomputed count column — the ceil(n_chars / 4) proxy for a BPE
+    // tokenizer's ~4-chars-per-token rule of thumb. Same cumulative
+    // window shape as q_seq_packing (partitioned per source stream, no
+    // global order), but the counts come from the column, proving the
+    // packing layer is tokenizer-agnostic end to end.
+    "q_seq_packing_counted" -> ((s, dir) => {
+      Corpus.packCounted(
+          Tables.documents(s, dir)
+            .withColumn("n_tok", expr("(n_chars + 3) div 4")),
+          budget = 512, streamCol = "source", orderCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // B122 domain mixture: plan per-language sampling rates toward a
     // uniform 20% share of a 50k-token budget, then deterministically
     // select survivors by md5 threshold and report the realized mixture.
@@ -81,15 +96,16 @@ object TrainPrepOps extends QueryModule {
       val cont = Corpus.ngramContamination(train, bench, "doc_id", "text", n = 4)
       // the decontaminated corpus feeds FOUR downstream consumers (LM
       // model, median anchor, quality join, mixture) — pin it once so
-      // the contamination join isn't re-run per consumer (the same
-      // localCheckpoint barrier the MinHash signature path uses)
-      val clean = train.join(
+      // the contamination join isn't re-run per consumer. Pin.stable,
+      // not localCheckpoint: the pinned corpus is checkpointed to real
+      // storage, so an executor loss re-reads it instead of killing all
+      // four consumers (round-8 verdict item 5)
+      val clean = graft.ops.Pin.stable(train.join(
           cont.filter(col("hit_ratio") > 0.5).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+          Seq("doc_id"), "left_anti"))
       // 2. LM-quality gate: keep docs at or below the clean corpus's
       //    median NLL (model trained on the clean corpus itself)
-      val scored = Corpus.lmScore(clean, "doc_id", "text").localCheckpoint()
+      val scored = graft.ops.Pin.stable(Corpus.lmScore(clean, "doc_id", "text"))
       val med = scored.agg(round(expr("percentile(nll, 0.5)"), 6).as("med"))
       val kept = clean.join(scored.select("doc_id", "nll"), Seq("doc_id"))
         .crossJoin(broadcast(med)).filter(col("nll") <= col("med"))
@@ -137,6 +153,18 @@ object TrainPrepOps extends QueryModule {
         |SELECT doc_id, lang, n_tok, cum - n_tok AS start_off,
         | CAST(floor((cum - n_tok) / 256) AS BIGINT) AS seq_first,
         | CAST(floor((cum - 1) / 256) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_seq_packing_counted" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        (n_chars + 3) // 4 AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT doc_id, source, n_tok, cum - n_tok AS start_off,
+        | CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_first,
+        | CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_domain_mix" ->

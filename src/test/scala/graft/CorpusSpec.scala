@@ -142,4 +142,35 @@ class CorpusSpec extends AnyFunSuite {
     // rare-token doc — the thresholding property the filter relies on
     assert(got(2L)._2 < got(3L)._2)
   }
+
+  test("B124 Zipf-head skew: salted scoring spreads the hot bigram and stays value-identical") {
+    import spark.implicits._
+    // natural-language bigram keys are Zipfian: at 100 TB the "of the"
+    // partition of lmScore's bi⋈c12 shuffle dwarfs the rest, and AQE's
+    // skew split cannot fire on this shape (the count-table side carries
+    // its aggregate between shuffle and join — verified: no skew=true
+    // even under forceOptimizeSkewedJoin). saltBuckets is the fix; this
+    // pins BOTH halves of its contract on a synthetic Zipf head.
+    val hot = (1L to 400L).map(i => (i, ("zz " * 60).trim)) // (zz,zz) × ~24k
+    val tail = (401L to 800L).map(i => (i, s"w${i} x${i} y${i} q${i}"))
+    val docs = (hot ++ tail).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = Corpus.lmScore(docs, "doc_id", "text")
+    val salted = Corpus.lmScore(docs, "doc_id", "text", saltBuckets = 8)
+    // 1. value-identical: salting changes placement, never arithmetic
+    assert(canon(salted) == canon(plain))
+    // 2. the salt key really is in the join (the hot key spreads over 8
+    //    reducers instead of one)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains(graft.ops.Skew.saltColName),
+      s"salted plan lost the salt join key:\n${plan.take(3000)}")
+    // 3. and the salt genuinely spreads the head: the hot bigram's rows
+    //    take several distinct salt values (content-derived from doc_id)
+    val spread = docs.filter(col("doc_id") <= 400)
+      .select(pmod(xxhash64(col("doc_id"), lit("zz"), lit("zz")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"content salt spread only $spread/8 buckets")
+  }
 }
