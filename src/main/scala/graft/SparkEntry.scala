@@ -46,6 +46,7 @@ object SparkEntry {
     "q_merge_upsert", "q_sql_pricing", "q_ann_ivf_fixed",
     "q_stats_skipping", "q_bucketed_join", "q_mview_incremental",
     "q_catalog_partitioned", "q_table_append", "q_stream_table_sink",
-    "q_bloom_skipping", "q_lm_score", "q_ann_index", "q_trainprep_pipeline")
+    "q_bloom_skipping", "q_lm_score", "q_ann_index", "q_trainprep_pipeline",
+    "q_ann_pq", "q_catalog_schema_evolution", "q_stream_sql")
     .filter(queries.contains)
 }
