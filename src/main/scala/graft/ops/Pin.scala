@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 /** Durable mid-plan materialization barrier — the shared replacement for
   * `localCheckpoint()` on corpus-scale frames (round-8 verdict item 5).
@@ -10,35 +9,48 @@ import org.apache.spark.storage.StorageLevel
   * NON-REPLICATED on executors: at 100 TB, losing ONE executor loses
   * blocks that no surviving lineage can recompute, killing every
   * downstream consumer — the whole job dies to a single machine fault.
-  * [[stable]] keeps both properties a barrier needs and adds durability:
+  * [[stable]] materializes the frame ONCE as PARQUET under the pin root
+  * and returns a fresh scan of it, which gives a barrier all three
+  * properties it needs:
   *
-  *  1. the frame is computed ONCE (a `DISK_ONLY` persist absorbs the
-  *     compute, so the checkpoint write below re-reads blocks rather
-  *     than re-running the plan);
-  *  2. the rows are then CHECKPOINTED to the checkpoint filesystem —
-  *     on a real cluster `SparkContext.setCheckpointDir` points at
-  *     HDFS/object storage, which replicates; an executor loss costs a
-  *     re-read of checkpoint files, not the job;
-  *  3. lineage is truncated at the checkpoint (the reason the iterative
-  *     consumers — connected components, PageRank, k-means — pinned at
-  *     all: un-cut lineage compounds per round until planning dominates).
+  *  1. computed once — every downstream consumer reads the files;
+  *  2. durable — the pin root is the checkpoint dir when the session
+  *     has one (HDFS/object store on a real cluster, replicated by the
+  *     store; an executor loss costs a re-read, not the job), else a
+  *     JVM-temp dir (the local-mode stand-in, removed on exit);
+  *  3. lineage cut — the returned frame is a plain scan, so iterative
+  *     consumers (connected components, PageRank, k-means) keep flat
+  *     plans round over round.
   *
-  * When the session has no checkpoint dir configured, one is created
-  * under the JVM's temp dir (the local-mode stand-in; a deployment sets
-  * a durable path). The interim persist is dropped once the checkpoint
-  * is written.
+  * Parquet, not RDD `checkpoint()`, deliberately: checkpoint files are
+  * serialized-row blobs written AFTER a separate caching/recompute pass
+  * (two materializations or a persist's extra write), while this is one
+  * columnar-compressed write and vectorized reads — measured faster at
+  * bench scale, and the files are readable by anything for debugging.
   */
 object Pin {
 
+  @volatile private var localRoot: String = _
+
+  private def pinRoot(spark: org.apache.spark.sql.SparkSession): String = {
+    val fromCkpt = spark.sparkContext.getCheckpointDir
+    fromCkpt.getOrElse(this.synchronized {
+      if (localRoot == null) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-pin")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try graft.io.Fs.deleteRecursively(dir) catch { case _: Exception => () }))
+        localRoot = dir.toString
+      }
+      localRoot
+    })
+  }
+
   def stable(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    this.synchronized {
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    }
-    val cached = df.persist(StorageLevel.DISK_ONLY)
-    try cached.checkpoint() // eager: one compute into the cache, one write from it
-    finally cached.unpersist(blocking = false)
+    val spark = df.sparkSession
+    val dir = pinRoot(spark) + "/pin-" + java.util.UUID.randomUUID()
+    df.write.parquet(dir)
+    // explicit schema: an all-empty frame writes no footer-bearing part
+    // file, and a bare read of the directory would fail inference
+    spark.read.schema(df.schema).parquet(dir)
   }
 }
