@@ -434,7 +434,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     *    honest rewrite keeps every reader (plain parquet included)
     *    correct without one.
     *
-    * Retype/reposition remain unsupported and fail loudly.
+    *  - ALTER COLUMN … TYPE performs WIDENING-only retypes (see
+    *    [[widenTypes]]); lossy retypes and repositioning fail loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // property changes: CHECK constraints only ('check.<name>' = '<expr>'),
@@ -474,6 +475,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"$catalogName: RENAME/DROP COLUMN cannot be combined with other " +
           "column changes in one ALTER")
       return evolveSchema(ident, renames, drops)
+    }
+    val retypes = otherChanges.collect { case u: TableChange.UpdateColumnType => u }
+    if (retypes.nonEmpty) {
+      require(retypes.size == otherChanges.size,
+        s"$catalogName: ALTER COLUMN TYPE cannot be combined with other " +
+          "column changes in one ALTER")
+      return widenTypes(ident, retypes)
     }
     val adds = otherChanges.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
@@ -622,6 +630,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         bloomCols = bloomCols)
     catch { case e: Throwable =>
       TableProps.store(tr, oldProps) // metadata must not outrun the data
+      throw e
+    }
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — the third schema-evolution
+    * class: WIDENING only (byte→short→int→long, float→double), where
+    * every stored value maps exactly and every reader/constraint keeps
+    * its semantics. Anything lossy (downcasts, long→double's precision
+    * cliff, string↔number) fails loudly. The data is rewritten through
+    * the OCC commit (same no-column-mapping reasoning as rename/drop),
+    * skipping sidecars re-annotated — stats comparison domains are
+    * stable under these widenings (integral family stays `lo_l`,
+    * float-family stays `lo_d`) and bloom canonicalization
+    * (CAST AS STRING) renders 5 and 5L identically, so probes behave
+    * unchanged. A widened PARTITION column updates the declared spec in
+    * `_PROPS` so readers pin the new type.
+    */
+  private def widenTypes(ident: Identifier,
+      retypes: Seq[TableChange.UpdateColumnType]): Table = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val tr = tableRoot(ident)
+    val v = Sinks.currentVersion(tr)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val liveDir = Sinks.versionPath(tr, v)
+    val cur = Sinks.readDir(spark, tr, liveDir)
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val typeMap: Map[String, DataType] = retypes.map { u =>
+      require(u.fieldNames().length == 1,
+        s"$catalogName: only top-level columns can be retyped; " +
+          s"got ${u.fieldNames().mkString(".")}")
+      val c = cur.columns.find(_.equalsIgnoreCase(u.fieldNames()(0))).getOrElse(
+        throw new IllegalArgumentException(
+          s"$catalogName: no such column ${u.fieldNames()(0)}"))
+      val from = cur.schema(c).dataType
+      require(widens(from, u.newDataType()),
+        s"$catalogName: ALTER COLUMN $c TYPE ${u.newDataType().simpleString} is " +
+          s"not a widening of ${from.simpleString} — only byte→short→int→long " +
+          "and float→double preserve every stored value exactly")
+      c -> u.newDataType()
+    }.toMap
+    val widened = cur.select(cur.columns.toIndexedSeq.map(c =>
+      typeMap.get(c).fold(col(s"`$c`"))(t => col(s"`$c`").cast(t).as(c))): _*)
+    // a widened partition column updates the declared spec so readers
+    // pin the new type; the rewrite below re-lays the directories
+    val newPartProp = TableProps.partitionSchema(tr).map(st =>
+      TableProps.PartitionKey -> StructType(st.map(f =>
+        typeMap.get(f.name).fold(f)(t => f.copy(dataType = t)))).toDDL)
+    val oldProps = TableProps.load(tr)
+    newPartProp.foreach(p => TableProps.store(tr, oldProps - TableProps.PartitionKey + p))
+    try
+      Sinks.publishVersioned(widened, tr, Some(v),
+        statsCols = graft.ops.Stats.sidecarCols(spark, liveDir),
+        bloomCols = graft.ops.Bloom.sidecarCols(spark, liveDir))
+    catch { case e: Throwable =>
+      newPartProp.foreach(_ => TableProps.store(tr, oldProps))
       throw e
     }
     loadTable(ident)

@@ -1035,6 +1035,33 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.se4")
   }
 
+  test("ALTER COLUMN TYPE widens exactly; lossy retypes refuse") {
+    root
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    spark.sql(
+      """CREATE TABLE graft.se6 AS
+        |SELECT CAST(id AS INT) AS k, CAST(id AS FLOAT) AS x, id AS v
+        |FROM range(10)""".stripMargin)
+    try {
+      spark.sql("ALTER TABLE graft.se6 ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE graft.se6 ALTER COLUMN x TYPE DOUBLE")
+      val sch = spark.table("graft.se6").schema
+      assert(sch("k").dataType == LongType && sch("x").dataType == DoubleType)
+      assert(spark.sql("SELECT sum(k) AS s FROM graft.se6").head().getLong(0) == 45L)
+      // downcasts are refused by Spark's own analysis before the catalog
+      // even sees them; the long→double precision cliff passes Spark's
+      // up-cast rule and is OUR refusal
+      intercept[Exception](
+        spark.sql("ALTER TABLE graft.se6 ALTER COLUMN v TYPE INT"))
+      assert(intercept[Exception](
+        spark.sql("ALTER TABLE graft.se6 ALTER COLUMN v TYPE DOUBLE"))
+        .getMessage.contains("widening"))
+      // pre-widening versions keep their original types
+      assert(spark.sql("SELECT * FROM graft.se6 VERSION AS OF 1")
+        .schema("k").dataType == IntegerType)
+    } finally spark.sql("DROP TABLE graft.se6")
+  }
+
   test("partition column rename keeps the Hive layout; partition drop refuses") {
     root
     import graft.ops.TableProps
