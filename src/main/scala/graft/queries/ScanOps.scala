@@ -231,7 +231,8 @@ object ScanOps extends QueryModule {
     // CTAS'd into a catalog table WITH a CHECK constraint, then
     // RENAME COLUMN c_name→cust_name (the constraint's expression is
     // rewritten through the rename), DROP COLUMN c_mktsegment (the
-    // column leaves data, schema, and every name-keyed sidecar), and an
+    // column leaves data, schema, and every name-keyed sidecar),
+    // ALTER COLUMN c_nationkey TYPE BIGINT (widening retype), and an
     // INSERT INTO the evolved table (the rewritten constraint still
     // gates). Each step is an ordinary OCC version; the pre-evolution
     // versions stay time-travelable under their old schema (CatalogSpec
@@ -276,9 +277,8 @@ object ScanOps extends QueryModule {
   def partitionedEventsCopy(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val out = "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val marker = Paths.get(out, "_SUCCESS")
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "events"))).toMillis
+    val marker = Paths.get(out, "_GRAFT_STAMP")
+    val stamp = Tables.srcStamp(dir, "events")
     // freshness = mtime AND content sanity: a copy built while the
     // session's ns-timestamp conf was not in effect collapses every row
     // to epoch-era dates (one 1970 partition) and an mtime check alone
@@ -292,12 +292,15 @@ object ScanOps extends QueryModule {
         _.getFileName.toString.startsWith("event_date=19"))
     }
     val fresh = Files.exists(marker) &&
-      Files.getLastModifiedTime(marker).toMillis >= srcMtime && saneLayout
+      new String(Files.readAllBytes(marker), "UTF-8").trim == stamp && saneLayout
     if (!fresh) {
       val staging = out + ".stage-" + ProcessHandle.current().pid()
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(staging)
+      // the stamp rides the staged copy so the rename publishes both
+      java.nio.file.Files.write(Paths.get(staging, "_GRAFT_STAMP"),
+        stamp.getBytes("UTF-8"))
       // retire a stale live copy by ATOMIC RENAME, never an in-place
       // delete — a concurrent reader mid-scan keeps its open file
       // handles (POSIX unlink semantics) and new plans re-resolve
@@ -329,17 +332,19 @@ object ScanOps extends QueryModule {
     import graft.ops.Sinks
     val root = "/tmp/graft_wh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val tbl = root + "/regions"
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "region"))).toMillis
+    // content-stamp equality, not >=-mtime (epoch-stamped regeneration)
+    val stampFile = Paths.get(root, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "region")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L) &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(root))
       Sinks.publishVersioned(Tables.region(s, dir), tbl, None)
       Sinks.publishVersioned(
         Tables.region(s, dir).filter(col("r_regionkey") < 3), tbl, Some(0L))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     root
   }
@@ -363,13 +368,13 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/events_part"
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "events"))).toMillis
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "events")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L) &&
       TableProps.partitionCols(tbl) == Seq("event_type") &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(tbl, 1L))).toMillis >= srcMtime
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(tbl))
       // partition column last (the catalog enforces the Hive convention)
@@ -379,6 +384,8 @@ object ScanOps extends QueryModule {
         s"""CREATE TABLE $cat.events_part USING parquet
            |PARTITIONED BY (event_type)
            |AS SELECT * FROM graft_events_part_src""".stripMargin)
+      Files.createDirectories(Paths.get(wh))
+      Files.write(Paths.get(wh, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
     }
     cat
   }
@@ -387,8 +394,9 @@ object ScanOps extends QueryModule {
     * evolution life: CTAS from the customer fixture with a CHECK
     * constraint on c_name (v0 empty + v1 data), RENAME COLUMN
     * c_name→cust_name (v2 — constraint expression rewritten), DROP
-    * COLUMN c_mktsegment (v3), then INSERT one row through the evolved
-    * schema + rewritten constraint (v4). Returns the catalog name;
+    * COLUMN c_mktsegment (v3), ALTER COLUMN c_nationkey TYPE BIGINT
+    * (v4 — widening retype), then INSERT one row through the evolved
+    * schema + rewritten constraint (v5). Returns the catalog name;
     * rebuilt on fixture regeneration (content-stamp equality).
     */
   def schemaEvolutionCatalog(s: SparkSession, dir: String): String = this.synchronized {
@@ -402,7 +410,7 @@ object ScanOps extends QueryModule {
     val stampFile = Paths.get(tbl, "_SRCSTAMP")
     val stamp = Tables.srcStamp(dir, "customer")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
-      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L, 4L) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L, 4L, 5L) &&
       Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
@@ -414,6 +422,8 @@ object ScanOps extends QueryModule {
            |AS SELECT * FROM graft_se_src""".stripMargin)
       s.sql(s"ALTER TABLE $cat.cust RENAME COLUMN c_name TO cust_name")
       s.sql(s"ALTER TABLE $cat.cust DROP COLUMN c_mktsegment")
+      // the third evolution class: widening retype (INT -> BIGINT)
+      s.sql(s"ALTER TABLE $cat.cust ALTER COLUMN c_nationkey TYPE BIGINT")
       s.sql(s"INSERT INTO $cat.cust VALUES (9999999, 'ZZZ EVOLVED', 0, 1.5)")
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
@@ -424,12 +434,12 @@ object ScanOps extends QueryModule {
     import java.nio.file.{Files, Paths}
     import graft.ops.Sinks
     val tbl = "/tmp/graft_cdf_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/nations"
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "nation"))).toMillis
+    val stampFile = Paths.get(tbl, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "nation")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L) &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       import s.implicits._
       graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
@@ -442,6 +452,7 @@ object ScanOps extends QueryModule {
         .unionByName(Seq((27, "ATLANTIS", 9))
           .toDF("n_nationkey", "n_name", "n_regionkey"))
       Sinks.publishVersioned(v1, tbl, Some(0L))
+      Files.write(Paths.get(tbl, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
     }
     tbl
   }
@@ -454,13 +465,13 @@ object ScanOps extends QueryModule {
     import java.nio.file.{Files, Paths}
     import graft.ops.{Layout, Sinks, Stats}
     val tbl = "/tmp/graft_statsz_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_z"
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val stampFile = Paths.get(tbl, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders")
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L) &&
       Files.isDirectory(Paths.get(Sinks.versionPath(tbl, 0L) + "/" + Stats.Sidecar)) &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
       val o = Tables.orders(s, dir)
@@ -481,6 +492,7 @@ object ScanOps extends QueryModule {
         .sortWithinPartitions("_z")
         .drop("_z")
       Sinks.publishVersioned(laid, tbl, None, statsCols = Seq("o_custkey", "o_day"))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     tbl
   }
@@ -540,13 +552,13 @@ object ScanOps extends QueryModule {
     import graft.ops.{Mview, Sinks}
     val root = "/tmp/graft_mview_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val (src, mv) = (s"$root/orders_src", s"$root/orders_mv")
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "orders"))).toMillis
+    val stampFile = Paths.get(root, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders")
     val fresh = Files.isDirectory(Paths.get(src)) &&
       Sinks.listVersions(src) == Seq(0L, 1L) &&
       Mview.syncedVersions(mv).exists(_._2 == 1L) &&
-      Files.getLastModifiedTime(
-        Paths.get(Sinks.versionPath(src, 0L))).toMillis >= srcMtime
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(root))
       val dims = Seq("o_orderstatus", "o_orderpriority")
@@ -565,6 +577,7 @@ object ScanOps extends QueryModule {
           .withColumn("o_orderkey", col("o_orderkey") + 134217728L))
       Sinks.publishVersioned(v1, src, Some(0L))
       Mview.refresh(s, src, mv, Seq("o_orderkey"), dims, Seq("o_cents"))
+      Files.write(Paths.get(root, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
     }
     (src, mv)
   }
@@ -580,12 +593,13 @@ object ScanOps extends QueryModule {
     val (ot, lt) = (s"bq_orders_$sfx", s"bq_lineitem_$sfx")
     val wh = s.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:").stripPrefix("//")
-    val srcMtime = Files.getLastModifiedTime(
-      Paths.get(Tables.path(dir, "lineitem"))).toMillis
+    val stampFile = Paths.get(wh, s"_SRCSTAMP_$sfx")
+    val stamp = Tables.srcStamp(dir, "lineitem")
     def liveDir(t: String) = Paths.get(s"$wh/${t.toLowerCase}")
     val fresh = Seq(ot, lt).forall(t => s.catalog.tableExists(t) &&
-      Files.isDirectory(liveDir(t)) &&
-      Files.getLastModifiedTime(liveDir(t)).toMillis >= srcMtime)
+      Files.isDirectory(liveDir(t))) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
       Seq(ot, lt).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -600,6 +614,8 @@ object ScanOps extends QueryModule {
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
         lt, buckets = 8, "l_orderkey")
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     (ot, lt)
   }
@@ -629,7 +645,8 @@ object ScanOps extends QueryModule {
     "q_table_changes_sql" -> tableChangesOracle,
 
     "q_catalog_schema_evolution" ->
-      """SELECT c_custkey, c_name AS cust_name, c_nationkey,
+      """SELECT c_custkey, c_name AS cust_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
         |FROM (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
         |      UNION ALL

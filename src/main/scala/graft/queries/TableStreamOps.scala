@@ -24,12 +24,12 @@ object TableStreamOps extends QueryModule {
       import java.nio.file.{Files, Paths}
       import graft.ops.Sinks
       val tbl = "/tmp/graft_append_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders"
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(Tables.path(dir, "orders"))).toMillis
+      val stampFile = Paths.get(tbl, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "orders")
       val fresh = Files.isDirectory(Paths.get(tbl)) &&
         Sinks.listVersions(tbl) == Seq(0L, 1L) &&
-        Files.getLastModifiedTime(
-          Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(tbl).getParent)
         val orders = Tables.orders(s, dir).select(
@@ -39,6 +39,7 @@ object TableStreamOps extends QueryModule {
           tbl, None, statsCols = Seq("o_orderkey"))
         Sinks.appendVersioned(orders.filter(col("o_orderkey") % 2 === 1),
           tbl, Some(0L), statsCols = Seq("o_orderkey"), emitFeed = true)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       tbl
     }
@@ -55,12 +56,11 @@ object TableStreamOps extends QueryModule {
       import graft.ops.{Sinks, TableStream}
       val base = "/tmp/graft_streamtbl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       val tbl = base + "/customer"
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(Tables.path(dir, "customer"))).toMillis
+      val stamp = Tables.srcStamp(dir, "customer")
       val fresh = Files.isDirectory(Paths.get(tbl)) &&
         Sinks.currentVersion(tbl).isDefined &&
         Files.exists(Paths.get(base, "_BUILT")) &&
-        Files.getLastModifiedTime(Paths.get(base, "_BUILT")).toMillis >= srcMtime
+        new String(Files.readAllBytes(Paths.get(base, "_BUILT")), "UTF-8").trim == stamp
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(base))
         val src = base + "/src"
@@ -72,7 +72,7 @@ object TableStreamOps extends QueryModule {
           s.readStream.schema(cust.schema).option("maxFilesPerTrigger", "1").parquet(src),
           tbl, cp)
         try q.processAllAvailable() finally q.stop()
-        Files.write(Paths.get(base, "_BUILT"), Array.emptyByteArray)
+        Files.write(Paths.get(base, "_BUILT"), stamp.getBytes("UTF-8"))
       }
       tbl
     }
@@ -136,12 +136,12 @@ object TableStreamOps extends QueryModule {
       val cat = "graftrest_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(Tables.path(dir, "nation"))).toMillis
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation")
       val fresh = Files.isDirectory(Paths.get(tbl)) &&
         Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
-        Files.getLastModifiedTime(
-          Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(wh))
         val n = Tables.nation(s, dir)
@@ -149,6 +149,7 @@ object TableStreamOps extends QueryModule {
         Sinks.publishVersioned(n, tbl, None)
         Sinks.publishVersioned(n.filter(col("n_nationkey") < 10), tbl, Some(0L))
         s.sql(s"CALL $cat.system.restore(table => 'nations_r', version => 0)").collect()
+        Files.write(Paths.get(wh, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
       }
       cat
     }
@@ -167,12 +168,12 @@ object TableStreamOps extends QueryModule {
       val cat = "graftdmlf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(Tables.path(dir, "nation"))).toMillis
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation")
       val fresh = Files.isDirectory(Paths.get(tbl)) &&
         Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
-        Files.getLastModifiedTime(
-          Paths.get(Sinks.versionPath(tbl, 0L))).toMillis >= srcMtime
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(wh))
         Sinks.publishVersioned(Tables.nation(s, dir)
@@ -189,6 +190,7 @@ object TableStreamOps extends QueryModule {
              |WHEN MATCHED THEN UPDATE SET n_name = s.name
              |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
              |  VALUES (s.k, s.name, s.rk)""".stripMargin)
+        Files.write(Paths.get(wh, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
       }
       tbl
     }
