@@ -799,23 +799,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(id)
       tr
     }
+    // CREATE-side resolver (the clone target): same identifier guards,
+    // but the table must NOT exist and its parent must be the root or a
+    // real namespace — the same fences createTable applies, so CALL
+    // cannot conjure a table where CREATE TABLE would refuse
+    def resolveNew(tbl: String): String = {
+      val parts = tbl.split("\\.").toSeq
+      val id = Identifier.of(parts.init.toArray, parts.last)
+      val tr = tableRoot(id)
+      if (Sinks.currentVersion(tr).isDefined)
+        throw new TableAlreadyExistsException(id)
+      if (isNamespaceDir(Paths.get(tr)))
+        throw new IllegalStateException(
+          s"$catalogName.$tbl already exists as a NAMESPACE")
+      val parent = Paths.get(tr).getParent
+      val parentOk =
+        if (id.namespace().isEmpty) { Files.createDirectories(parent); true }
+        else isNamespaceDir(parent)
+      if (!parentOk)
+        throw new NoSuchNamespaceException(name() +: id.namespace().toSeq)
+      tr
+    }
     if (ident.namespace().toSeq != Seq(GraftProcedures.Namespace))
       throw new RuntimeException(s"$catalogName: unknown procedure $ident")
     ident.name() match {
       case "compact" => new GraftProcedures.Compact(resolve)
       case "restore" => new GraftProcedures.Restore(resolve)
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
+      case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
           s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
-          s"${GraftProcedures.Namespace}.bloom_index)")
+          s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "bloom_index"))
+        Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

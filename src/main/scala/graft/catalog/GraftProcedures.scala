@@ -156,4 +156,44 @@ private[graft] object GraftProcedures {
       java.util.Collections.singletonList(result).iterator()
     }
   }
+
+  /** `system.clone(source, target, version => -1)` — B131 zero-copy
+    * CLONE ([[graft.ops.Sinks.cloneTable]]): publish the source's live
+    * (or as-of) version as v0 of a brand-new table, hardlink carry, no
+    * data movement. `resolveNewRoot` applies the CREATE-side identifier
+    * guards (target must not exist, parent namespace must).
+    */
+  final class Clone(resolveRoot: String => String,
+      resolveNewRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy clone of a table's live (or as-of) version into a new table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("existing table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("new table name in this catalog; must not exist").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("source version to clone (-1 = live version)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val source = input.getUTF8String(0).toString
+      val target = input.getUTF8String(1).toString
+      val asOf = input.getLong(2) match { case -1L => None; case v => Some(v) }
+      val srcRoot = resolveRoot(source)
+      val dstRoot = resolveNewRoot(target)
+      val v = graft.ops.Sinks.cloneTable(SparkSession.active, srcRoot, dstRoot, asOf)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(target), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
 }

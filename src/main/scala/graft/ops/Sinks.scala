@@ -880,27 +880,87 @@ object Sinks {
           " — it may have been vacuumed by compaction")
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
-      Fs.walkParquet(src).foreach { f =>
-        val dst = stage.resolve(src.relativize(f))
-        Files.createDirectories(dst.getParent)
-        linkOrCopy(f, dst)
-      }
-      // carry every sidecar that DESCRIBES the restored files — stats,
-      // bloom filters, the ANN quantizer: all remain exactly valid for
-      // this file set. The `_changes` feed is deliberately NOT carried:
-      // it describes the source version's original delta, and surfacing
-      // it as this restore's change feed would be a lie (the restore's
-      // logical change is "table rewound", not that old delta).
-      Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar).foreach { sc =>
-        val srcSc = src.resolve(sc)
-        if (Files.isDirectory(srcSc)) {
-          val dstSc = stage.resolve(sc)
-          Files.createDirectories(dstSc)
-          Fs.listDir(srcSc).filter(_.getFileName.toString.endsWith(".parquet"))
-            .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
-        }
-      }
+      stageSnapshotLinks(src, stage)
       commitStaged(root, stage, Some(cur))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** Hardlink the immutable contents of version dir `src` into `stage`:
+    * every data file plus every sidecar that DESCRIBES those files —
+    * stats, bloom filters, the ANN quantizer: all remain exactly valid
+    * for this file set. The `_changes` feed is deliberately NOT carried:
+    * it describes the source version's original delta relative to ITS
+    * predecessor, and surfacing it as the new commit's change feed would
+    * be a lie (a restore's logical change is "table rewound", a clone's
+    * history starts fresh). `_BASE`/`_COMMIT_TS`/`_BATCHID` markers are
+    * likewise left behind — the commit writes its own (linking them
+    * would let the new commit's stamp writes reach the SOURCE's inode).
+    */
+  private def stageSnapshotLinks(src: Path, stage: Path): Unit = {
+    Fs.walkParquet(src).foreach { f =>
+      val dst = stage.resolve(src.relativize(f))
+      Files.createDirectories(dst.getParent)
+      linkOrCopy(f, dst)
+    }
+    Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar).foreach { sc =>
+      val srcSc = src.resolve(sc)
+      if (Files.isDirectory(srcSc)) {
+        val dstSc = stage.resolve(sc)
+        Files.createDirectories(dstSc)
+        Fs.listDir(srcSc).filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
+      }
+    }
+  }
+
+  /** Zero-copy CLONE: publish the source table's live version (or `asOf`
+    * version) as version 0 of a NEW table at `dstRoot` — the Delta
+    * `CREATE TABLE ... SHALLOW CLONE` analog, except that hardlink carry
+    * makes it as durable as a deep clone on this binding: the clone
+    * shares immutable inodes with the source, so vacuuming either table
+    * later only unlinks names (shared inodes survive — the same
+    * guarantee the streaming feed dir relies on). On an object-store
+    * binding the same moves become a manifest copy: zero data bytes
+    * move in either world.
+    *
+    * The clone carries the source's table metadata — partition spec,
+    * CHECK constraints, table properties — and its descriptive sidecars
+    * (stats, bloom, ANN quantizer), so file skipping and constraint
+    * enforcement work on the clone from the first read. It does NOT
+    * carry: version history (the clone starts at v0 — time travel on
+    * the clone sees only its own commits), the change feed (no
+    * predecessor to diff against), or streaming writer high-water marks
+    * (`graft.stream.lastBatch.*` — Delta's rule: stream metadata is not
+    * cloned; a stream targeting the clone is a NEW writer and must use
+    * a fresh checkpoint). After the clone, the tables evolve fully
+    * independently — every writer path copies-on-write, so neither can
+    * ever observe the other's subsequent commits.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Long] = None): Long = {
+    val srcV = asOf.getOrElse(currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no published version under $srcRoot")))
+    val src = Paths.get(versionPath(srcRoot, srcV))
+    if (!Files.exists(src))
+      throw new IllegalStateException(
+        s"version $srcV does not exist under $srcRoot (available: " +
+          s"${listVersions(srcRoot).mkString(", ")}) — it may have been vacuumed")
+    require(currentVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot already holds a published table")
+    Files.createDirectories(Paths.get(dstRoot))
+    // table-level metadata first (partition spec must be in place before
+    // any read of the committed clone pins partition types); writer
+    // high-water marks are per-table identities and stay behind
+    val srcProps = TableProps.load(srcRoot)
+    if (srcProps.nonEmpty)
+      TableProps.store(dstRoot,
+        srcProps.filterNot(_._1.startsWith("graft.stream.lastBatch.")))
+    val stage = Paths.get(s"$dstRoot/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      stageSnapshotLinks(src, stage)
+      commitStaged(dstRoot, stage, None)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }

@@ -265,6 +265,27 @@ object ScanOps extends QueryModule {
            |WHERE event_type IN ('click', 'purchase')
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
+
+    // B131 zero-copy CLONE end to end through the SQL door: nation
+    // CTAS'd as nat_src, `CALL system.clone` publishes its live version
+    // as v0 of nat_clone (hardlink carry — no data bytes move), then the
+    // two tables DIVERGE: an INSERT lands only in the clone, a DELETE
+    // lands only in the source. Reading both back tagged proves (a) the
+    // clone content-matches the source snapshot it was taken from and
+    // (b) post-clone commits are fully independent in both directions —
+    // every writer path copies-on-write, so shared inodes can never leak
+    // a change across. The oracle rebuilds both sides from the raw
+    // fixture.
+    "q_clone" -> ((s, dir) => {
+      val cat = cloneCatalog(s, dir)
+      s.sql(
+        s"""SELECT 'src' AS side, n_nationkey, n_name, n_regionkey
+           |FROM $cat.nat_src
+           |UNION ALL
+           |SELECT 'clone' AS side, n_nationkey, n_name, n_regionkey
+           |FROM $cat.nat_clone
+           |ORDER BY side, n_nationkey""".stripMargin)
+    }),
   )
 
   /** Write (once per sf dir) and return the date-partitioned events copy.
@@ -386,6 +407,38 @@ object ScanOps extends QueryModule {
            |AS SELECT * FROM graft_events_part_src""".stripMargin)
       Files.createDirectories(Paths.get(wh))
       Files.write(Paths.get(wh, "_SRCSTAMP"), stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_clone: `nat_src` CTAS'd from the nation
+    * fixture, `nat_clone` = `CALL system.clone` of its live version,
+    * then divergence both ways — INSERT into the clone only, DELETE from
+    * the source only. Returns the catalog name; rebuilt on fixture
+    * regeneration (content-stamp equality).
+    */
+  def cloneCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_clwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftcl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "nation")
+    val fresh = Files.isDirectory(Paths.get(s"$wh/nat_src")) &&
+      Sinks.listVersions(s"$wh/nat_src") == Seq(0L, 1L, 2L) &&
+      Sinks.listVersions(s"$wh/nat_clone") == Seq(0L, 1L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.nation(s, dir).createOrReplaceTempView("graft_clone_src")
+      s.sql(s"CREATE TABLE $cat.nat_src USING parquet AS SELECT * FROM graft_clone_src")
+      s.sql(s"CALL $cat.system.clone(source => 'nat_src', target => 'nat_clone')")
+      s.sql(s"INSERT INTO $cat.nat_clone VALUES (900, 'ZEALANDIA', 0)")
+      s.sql(s"DELETE FROM $cat.nat_src WHERE n_nationkey >= 20")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     cat
   }
@@ -660,6 +713,15 @@ object ScanOps extends QueryModule {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_clone" ->
+      """SELECT 'src' AS side, n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey < 20
+        |UNION ALL
+        |SELECT 'clone' AS side, n_nationkey, n_name, n_regionkey
+        |FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |      UNION ALL SELECT 900, 'ZEALANDIA', 0)
+        |ORDER BY side, n_nationkey""".stripMargin,
   ) ++ oracles2
 
   /** Shared by the Scala-API read (q_table_changes) and the SQL TVF
