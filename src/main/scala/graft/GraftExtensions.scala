@@ -24,6 +24,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[graft.plans.GraftStrategy]] as a planner strategy — the safety
   *    net that plans any marker the rule didn't expand (exact brute
   *    force, always correct);
+  *  - [[graft.plans.MetaCountRewrite]] as an optimizer rule — global
+  *    unfiltered `count(*)`/`count(col)` over Graft catalog tables
+  *    answered from the `_stats` sidecar (metadata) instead of a scan;
   *  - `topk_agg(score, id, k)` ([[graft.functions.TopKAgg]]) — the
   *    bounded-heap top-k aggregate;
   *  - `cosine_sim(a, b)` ([[graft.functions.CosineSim]]) — the fused
@@ -37,6 +40,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnRewrite)
+    // metadata-only count(*): global unfiltered counts over Graft
+    // catalog tables answered from the _stats sidecar, never the data
+    ext.injectOptimizerRule(_ => graft.plans.MetaCountRewrite)
     ext.injectPlannerStrategy(_ => GraftStrategy)
     // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
     // converted to versioned-commit commands at resolution time

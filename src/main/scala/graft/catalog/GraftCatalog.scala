@@ -115,8 +115,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** Read half shared by both table flavors: delegate to the v2 parquet
     * scan over one resolved version directory.
     */
-  private sealed abstract class SnapshotTable(delegate: ParquetTable)
-    extends Table with SupportsRead {
+  private sealed abstract class SnapshotTable(delegate: ParquetTable,
+      versionDir: String) extends Table with SupportsRead with GraftSnapshotDir {
+    override def snapshotVersionDir: String = versionDir
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -139,8 +140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * directory is immutable once its `_CURRENT` rename lands; with no
     * write capability, Spark rejects every write form at analysis.
     */
-  private final class ReadOnlySnapshot(delegate: ParquetTable, tRoot: String)
-    extends SnapshotTable(delegate) {
+  private final class ReadOnlySnapshot(delegate: ParquetTable, tRoot: String,
+      versionDir: String) extends SnapshotTable(delegate, versionDir) {
     override def capabilities(): util.Set[TableCapability] = readCaps()
     override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
   }
@@ -152,8 +153,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * statement instead of losing an update).
     */
   private final class WritableTable(delegate: ParquetTable, tRoot: String,
-      baseVersion: Long) extends SnapshotTable(delegate) with SupportsWrite
-      with GraftWritableTable {
+      baseVersion: Long)
+      extends SnapshotTable(delegate, Sinks.versionPath(tRoot, baseVersion))
+      with SupportsWrite with GraftWritableTable {
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
     override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
@@ -250,7 +252,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: version $v not present " +
           s"(have ${Sinks.listVersions(tr).mkString(", ")}) — vacuumed or never published")
-    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr)
+    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr,
+      Sinks.versionPath(tr, v))
   }
 
   /** `TIMESTAMP AS OF <ts>` (micros): the newest version committed at or
@@ -269,7 +272,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: no version committed at or before " +
           s"timestamp $timestamp us (oldest retained: v${live.min})")
-    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, eligible.max)), tr)
+    new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, eligible.max)),
+      tr, Sinks.versionPath(tr, eligible.max))
   }
 
   /** `CREATE TABLE` (and the create half of CTAS): publish an EMPTY v0

@@ -21,6 +21,16 @@ private[graft] trait GraftWritableTable {
   def tableBaseVersion: Long
 }
 
+/** Implemented by every Graft catalog table (current AND time-travel
+  * snapshots): the resolved immutable version directory this table
+  * object reads — the anchor for metadata-only rewrites
+  * ([[graft.plans.MetaCountRewrite]] answers `count(*)` from the
+  * `_stats` sidecar without scanning data).
+  */
+private[graft] trait GraftSnapshotDir {
+  def snapshotVersionDir: String
+}
+
 /** The SQL-DML door for [[GraftCatalog]] tables: an analyzer rule that
   * converts resolved `DELETE FROM` / `UPDATE` / `MERGE INTO` statements
   * over Graft tables into runnable commands executing through the SAME

@@ -1,0 +1,116 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Metadata-only `count(*)` / `count(col)` over Graft catalog tables —
+  * the Delta "answer counts from the transaction log" optimization,
+  * expressed against this layout's `_stats` sidecar.
+  *
+  * A global, unfiltered `SELECT count(*) FROM cat.tbl` normally plans a
+  * full table scan whose only output is row counts Spark already wrote
+  * down at commit time: every footer-stats sidecar row carries the
+  * file's row count ([[graft.ops.Stats]]), and appends/COW DML extend
+  * the sidecar inside the same atomic commit. At 100 TB the difference
+  * is a driver-side metadata read (KBs — one small parquet beside the
+  * data) versus scanning every file just to count it.
+  *
+  * Fires ONLY when provably exact:
+  *  - global aggregate, no grouping, no `Filter` below (the relation may
+  *    sit under attribute-only `Project`s — column pruning's leftovers);
+  *  - every aggregate expression is a non-distinct, unfiltered
+  *    `count(*)`/`count(lit)` (non-null literal) or `count(col)`;
+  *  - the relation is a Graft snapshot ([[graft.catalog.GraftSnapshotDir]]
+  *    — current reads AND `VERSION/TIMESTAMP AS OF`, both immutable
+  *    version dirs, so there is no read-vs-metadata race);
+  *  - the sidecar covers EVERY live data file (stale rows keyed by
+  *    COW-replaced files are ignored — same contract as pruning;
+  *    an uncovered file → the rule declines and the scan runs);
+  *  - for `count(col)`: the file's entry for that column has usable
+  *    footer stats (`has_stats` — null counts are only trusted when the
+  *    writer recorded them), else decline.
+  *
+  * Declining is always safe: the plan is left for the ordinary scan.
+  */
+object MetaCountRewrite extends Rule[LogicalPlan] {
+
+  private sealed trait Kind
+  private case object Star extends Kind
+  private final case class OfColumn(name: String) extends Kind
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      dir <- snapshotOf(agg.child)
+      kinds <- agg.aggregateExpressions.foldRight(
+          Option(List.empty[Kind]))((ne, acc) =>
+        acc.flatMap(t => kindOf(ne).map(_ :: t)))
+      if kinds.nonEmpty
+      values <- metaCounts(dir, kinds)
+    } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      Seq(InternalRow.fromSeq(values)))
+
+  /** The immutable version dir under `p`, when `p` is a Graft snapshot
+    * relation possibly wrapped in attribute-only projections. Anything
+    * else — a Filter, a computed projection, a join — disqualifies.
+    */
+  private def snapshotOf(p: LogicalPlan): Option[String] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.catalog.GraftSnapshotDir => Some(t.snapshotVersionDir)
+      case _ => None
+    }
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      snapshotOf(pr.child)
+    case _ => None
+  }
+
+  private def kindOf(ne: NamedExpression): Option[Kind] = ne match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(Star)
+        case Count(Seq(a: AttributeReference)) => Some(OfColumn(a.name))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Answer each requested count from the sidecar, or None when any
+    * live file is uncovered (exactness cannot be proven).
+    */
+  private def metaCounts(dir: String, kinds: Seq[Kind]): Option[Seq[Long]] = {
+    val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
+    if (!Files.isDirectory(sidecar)) return None
+    val live = graft.io.Fs.walkParquet(Paths.get(dir))
+      .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
+    if (live.isEmpty) return None
+    // the sidecar is metadata-scale (one row per file×column); the
+    // nested read contains no aggregate, so the rule cannot re-enter
+    val rows = SparkSession.active.read.parquet(sidecar.toString)
+      .select("file", "col", "rows", "nulls", "has_stats")
+      .collect()
+    val byFile = rows.groupBy(_.getString(0))
+    if (!live.forall(byFile.contains)) return None
+    val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum
+    val values = kinds.map {
+      case Star => Some(total)
+      case OfColumn(c) =>
+        val perFile = live.toSeq.map(f =>
+          byFile(f).find(r => r.getString(1).equalsIgnoreCase(c) && r.getBoolean(4))
+            .map(r => r.getLong(2) - r.getLong(3)))
+        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.flatten)
+  }
+}

@@ -266,6 +266,23 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // B132 metadata-only count: a global unfiltered count(*)/count(col)
+    // over a Graft catalog table is answered from the _stats sidecar by
+    // the MetaCountRewrite optimizer rule — the plan collapses to a
+    // LocalRelation, zero data files open (ScaleSpec plan-asserts it).
+    // The warehouse has LIVED first: published with stats, appended to,
+    // then COW-DELETEd through SQL DML — the sidecar follows every
+    // commit, so the metadata answer stays exact across the table's
+    // whole life. At 100 TB this is the difference between a KB-scale
+    // driver metadata read and scanning every file just to count it.
+    // The oracle recomputes the same counts from the raw fixture.
+    "q_meta_count" -> ((s, dir) => {
+      val cat = metaCatalog(s, dir)
+      s.sql(
+        s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+           |FROM $cat.ord_meta""".stripMargin)
+    }),
+
     // B131 zero-copy CLONE end to end through the SQL door: nation
     // CTAS'd as nat_src, `CALL system.clone` publishes its live version
     // as v0 of nat_clone (hardlink carry — no data bytes move), then the
@@ -438,6 +455,41 @@ object ScanOps extends QueryModule {
       s.sql(s"CALL $cat.system.clone(source => 'nat_src', target => 'nat_clone')")
       s.sql(s"INSERT INTO $cat.nat_clone VALUES (900, 'ZEALANDIA', 0)")
       s.sql(s"DELETE FROM $cat.nat_src WHERE n_nationkey >= 20")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_meta_count: `ord_meta` = orders published
+    * with footer stats (v0), appended to with stats (v1), then COW-
+    * DELETEd through SQL DML (v2) — the `_stats` sidecar follows every
+    * commit, so the metadata-only count rule stays exact across the
+    * table's life. Returns the catalog name; rebuilt on fixture
+    * regeneration (content-stamp equality).
+    */
+  def metaCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_mcwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftmc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/ord_meta"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      val orders = Tables.orders(s, dir)
+      val sc = Seq("o_orderkey", "o_custkey")
+      Sinks.publishVersioned(orders, tbl, None, statsCols = sc)
+      Sinks.appendVersioned(orders.filter(col("o_orderkey") < 100), tbl,
+        Some(0L), statsCols = sc)
+      s.sql(s"DELETE FROM $cat.ord_meta WHERE o_custkey BETWEEN 100 AND 199")
+      Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     cat
@@ -713,6 +765,12 @@ object ScanOps extends QueryModule {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_meta_count" ->
+      """WITH t AS (SELECT * FROM orders
+        |           UNION ALL SELECT * FROM orders WHERE o_orderkey < 100)
+        |SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+        |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
 
     "q_clone" ->
       """SELECT 'src' AS side, n_nationkey, n_name, n_regionkey

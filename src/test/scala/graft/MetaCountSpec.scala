@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Sinks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B132 metadata-only count ([[graft.plans.MetaCountRewrite]]):
+  * global unfiltered counts over Graft catalog tables collapse to a
+  * LocalRelation answered from the `_stats` sidecar — and every case
+  * where exactness cannot be proven declines to the ordinary scan.
+  */
+class MetaCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf001
+
+  private def isMetaOnly(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => true
+    }.isDefined &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }.isEmpty
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft_metacount").toString
+    val nation = graft.io.Tables.nation(spark, sf001)
+    // stats-annotated table (rule eligible)
+    Sinks.publishVersioned(nation, s"$dir/annotated", None,
+      statsCols = Seq("n_nationkey", "n_regionkey"))
+    // bare table (no sidecar — rule must decline)
+    Sinks.publishVersioned(nation, s"$dir/bare", None)
+    spark.conf.set("spark.sql.catalog.graftmeta", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftmeta.root", dir)
+    dir
+  }
+
+  test("count(*) and count(col) collapse to metadata and stay exact") {
+    root
+    val n = graft.io.Tables.nation(spark, sf001).count()
+    val df = spark.sql(
+      "SELECT count(*) AS a, count(n_regionkey) AS b FROM graftmeta.annotated")
+    assert(isMetaOnly(df), s"expected metadata-only plan, got\n${df.queryExecution.optimizedPlan}")
+    val row = df.collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == n)
+  }
+
+  test("the metadata answer follows appends and COW DML") {
+    root
+    val nation = graft.io.Tables.nation(spark, sf001)
+    val tbl = s"$root/lived"
+    Sinks.publishVersioned(nation, tbl, None, statsCols = Seq("n_nationkey"))
+    Sinks.appendVersioned(nation.filter(col("n_nationkey") < 5), tbl, Some(0L),
+      statsCols = Seq("n_nationkey"))
+    spark.sql("DELETE FROM graftmeta.lived WHERE n_nationkey >= 20")
+    val expected = nation.filter(col("n_nationkey") < 20).count() +
+      nation.filter(col("n_nationkey") < 5).count()
+    val df = spark.sql("SELECT count(*) AS a FROM graftmeta.lived")
+    assert(isMetaOnly(df),
+      s"sidecar must cover appended + COW-rewritten files\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("declines: filter, grouping, distinct, unannotated table, non-catalog frame — all still correct") {
+    root
+    val n = graft.io.Tables.nation(spark, sf001).count()
+    // a WHERE clause means the sidecar cannot answer — full scan, right result
+    val filtered = spark.sql(
+      "SELECT count(*) AS a FROM graftmeta.annotated WHERE n_nationkey < 5")
+    assert(!isMetaOnly(filtered))
+    assert(filtered.collect().head.getLong(0) == 5)
+    val grouped = spark.sql(
+      "SELECT n_regionkey, count(*) AS a FROM graftmeta.annotated GROUP BY n_regionkey")
+    assert(!isMetaOnly(grouped))
+    val distinct = spark.sql(
+      "SELECT count(DISTINCT n_regionkey) AS a FROM graftmeta.annotated")
+    assert(!isMetaOnly(distinct))
+    assert(distinct.collect().head.getLong(0) ==
+      graft.io.Tables.nation(spark, sf001).select("n_regionkey").distinct().count())
+    val bare = spark.sql("SELECT count(*) AS a FROM graftmeta.bare")
+    assert(!isMetaOnly(bare))
+    assert(bare.collect().head.getLong(0) == n)
+    // count over a non-catalog DataFrame is untouched
+    val plain = graft.io.Tables.nation(spark, sf001).agg(count(lit(1)).as("a"))
+    assert(plain.collect().head.getLong(0) == n)
+  }
+
+  test("count(col) declines when the column lacks usable stats; count(*) still fires") {
+    root
+    // n_name (string) was not in statsCols — per-column trust is per-file
+    val df = spark.sql("SELECT count(n_name) AS a FROM graftmeta.annotated")
+    assert(!isMetaOnly(df))
+    assert(df.collect().head.getLong(0) ==
+      graft.io.Tables.nation(spark, sf001).count())
+    val star = spark.sql("SELECT count(*) AS a FROM graftmeta.annotated")
+    assert(isMetaOnly(star))
+  }
+
+  test("time-travel snapshots answer from their own version's sidecar") {
+    root
+    val nation = graft.io.Tables.nation(spark, sf001)
+    val tbl = s"$root/tt"
+    Sinks.publishVersioned(nation, tbl, None, statsCols = Seq("n_nationkey"))
+    Sinks.publishVersioned(nation.filter(col("n_nationkey") < 3), tbl, Some(0L),
+      statsCols = Seq("n_nationkey"))
+    val v0 = spark.sql("SELECT count(*) AS a FROM graftmeta.tt VERSION AS OF 0")
+    val cur = spark.sql("SELECT count(*) AS a FROM graftmeta.tt")
+    assert(isMetaOnly(v0) && isMetaOnly(cur))
+    assert(v0.collect().head.getLong(0) == nation.count())
+    assert(cur.collect().head.getLong(0) == 3)
+  }
+}
