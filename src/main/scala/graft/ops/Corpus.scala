@@ -204,4 +204,62 @@ object Corpus {
         round(avg(-log((col("n12") + alpha) / (col("n1") + lit(alpha) * col("vsize")))), 6)
           .as("nll"))
   }
+
+  /** Corpus-global line/span dedup (the C4 / RefinedWeb pass): any line
+    * of `minChars`+ characters that occurs more than once ACROSS the
+    * whole corpus is kept only at its first occurrence (smallest
+    * (`idCol`, line position)); shorter lines bypass dedup entirely —
+    * they are structure (blank lines, bullets), not content, and
+    * cutting them would mangle documents while their duplicate mass
+    * would make the line key maximally skewed. Documents are split on
+    * `sep` (literal), deduped, and reassembled in original line order.
+    *
+    * Returns one row per INPUT document:
+    * `(idCol, text_dedup, n_kept, n_dropped)` — `text_dedup` is the
+    * empty string when every line was a seen-elsewhere duplicate.
+    *
+    * Scale shape: the election is `groupBy(md5(line)) → min(doc, pos)`
+    * — an algebraic aggregate, so hot keys (boilerplate repeated across
+    * millions of pages) pre-combine map-side and no single task owns a
+    * popular line (a window `row_number() OVER (PARTITION BY line)`
+    * would). The join of lines back to their winners is equi on the
+    * digest; its skew is AQE's to split (same contract as
+    * [[lmScore]]'s count join). Reassembly shuffles once on the
+    * document key — uniform by construction. Only the 16-byte digest,
+    * never line text, is a JOIN KEY anywhere.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minChars: Int = 10): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "line_no")
+      .withColumnRenamed("col", "line")
+    val elig = lines.filter(length(col("line")) >= minChars)
+      .withColumn("h", md5(col("line")))
+    val winners = elig.groupBy("h")
+      .agg(min(struct(col(idCol), col("line_no"))).as("keep"))
+    val keptElig = elig.join(winners, "h")
+      .where(struct(col(idCol), col("line_no")) === col("keep"))
+      .select(col(idCol), col("line_no"), col("line"))
+    val keptShort = lines.filter(length(col("line")) < minChars)
+      .select(col(idCol), col("line_no"), col("line"))
+    val kept = keptElig.unionByName(keptShort)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    // every input document comes back, even one whose lines all lost
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("_n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

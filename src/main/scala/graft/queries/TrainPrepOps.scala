@@ -35,6 +35,27 @@ object TrainPrepOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B133 corpus-global line dedup (the C4/RefinedWeb pass): any
+    // 10+-char line occurring more than once across the corpus survives
+    // only at its first (doc_id, position); shorter lines bypass.
+    // The fixture text is single-line, so the query first re-lines each
+    // document into 4-word spans (both engines compute the identical
+    // chunking) — at sf0.01 that plants ~340 genuinely duplicated lines
+    // for the election to cut. The election is an algebraic min-
+    // aggregate on the line digest (map-side combine ⇒ boilerplate hot
+    // keys never serialize into one task), and only digests are join
+    // keys — see Corpus.dedupLines.
+    "q_line_dedup" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(1), ceil(size(w) / 4.0).cast("int")),
+            i => array_join(slice(w, (i - lit(1)) * 4 + 1, lit(4)), " ")),
+          "\n").as("text"))
+      Corpus.dedupLines(lined, "doc_id", "text", sep = "\n", minChars = 10)
+        .orderBy("doc_id")
+    }),
+
     // B121 sequence packing over a NON-WHITESPACE token count: the
     // declared real-tokenizer seam (Corpus.packCounted) exercised with a
     // precomputed count column — the ceil(n_chars / 4) proxy for a BPE
@@ -142,6 +163,36 @@ object TrainPrepOps extends QueryModule {
         | round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_grams, 6) AS hit_ratio
         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
         |ORDER BY 1""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(1, CAST(ceil(len(string_split(text,' '))/4.0) AS INT)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), (i-1)*4+1, i*4), ' ')), chr(10)) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, u.line AS line, u.no AS line_no
+        |  FROM (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |          (x, i) -> {'line': x, 'no': i - 1})) AS u
+        |        FROM lined)),
+        |keepers AS (
+        |  SELECT doc_id, line_no, line FROM (
+        |    SELECT doc_id, line_no, line,
+        |      row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+        |    FROM lines WHERE length(line) >= 10) WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id, line_no, line FROM lines WHERE length(line) < 10
+        |  UNION ALL SELECT doc_id, line_no, line FROM keepers),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_dedup,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  coalesce(a.text_dedup, '') AS text_dedup,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(l.text, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM lined l LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_seq_packing" ->
       """WITH d AS (SELECT doc_id, lang,

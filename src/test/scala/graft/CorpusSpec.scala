@@ -173,4 +173,36 @@ class CorpusSpec extends AnyFunSuite {
       .distinct().count()
     assert(spread >= 6, s"content salt spread only $spread/8 buckets")
   }
+
+  test("B133 line dedup keeps first occurrence corpus-wide, bypasses short lines, reassembles in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"unique opening paragraph one\n$boiler\nclosing thoughts of doc one"),
+      (2L, s"$boiler\nsecond document's own content here"),
+      (3L, s"$boiler\n$boiler\na b\nthird doc body text line"),
+      // every long line a duplicate of doc 1/3 content? no — all dup of boiler
+      (4L, s"$boiler")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1 saw the boilerplate first (smallest doc_id) — keeps all 3 lines
+    assert(out(0).getString(1) ==
+      s"unique opening paragraph one\n$boiler\nclosing thoughts of doc one")
+    assert(out(0).getLong(2) == 3 && out(0).getLong(3) == 0)
+    // doc 2 loses the boilerplate, keeps its own line
+    assert(out(1).getString(1) == "second document's own content here")
+    assert(out(1).getLong(2) == 1 && out(1).getLong(3) == 1)
+    // doc 3: both boiler copies lost (first occurrence is doc 1's), the
+    // short "a b" line bypasses dedup, own body kept — order preserved
+    assert(out(2).getString(1) == "a b\nthird doc body text line")
+    assert(out(2).getLong(2) == 2 && out(2).getLong(3) == 2)
+    // doc 4: everything lost — row still comes back, empty
+    assert(out(3).getString(1) == "" && out(3).getLong(2) == 0 && out(3).getLong(3) == 1)
+    // short duplicate lines are untouched in every doc
+    val short = Seq((10L, "a b\nc d"), (11L, "a b\nc d")).toDF("doc_id", "text")
+    val so = graft.ops.Corpus.dedupLines(short, "doc_id", "text").orderBy("doc_id").collect()
+    assert(so.forall(r => r.getString(1) == "a b\nc d" && r.getLong(3) == 0))
+  }
 }
