@@ -254,6 +254,23 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B64 frame/chunk sampling as an ORACLED operator: every 32nd-byte
+    // slice of the binary payload, 16 bytes each, at most 4 frames per
+    // row — the bounded-output explode a video/audio sampler runs before
+    // a decode stage. Frames surface as md5 digests (DuckDB recomputes
+    // the identical substring arithmetic on the text the payload was
+    // packed from), so the hash compare proves the slice boundaries,
+    // the last-frame fencepost, and the bounded fan-out byte-exact.
+    "q_frame_sample" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.packBinary(Tables.documents(s, dir))
+      graft.ops.Multimodal.frameSample(media, frameBytes = 16, stride = 32,
+          maxFrames = 4)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // B125 persisted IVF index: the same fixed-quantizer search as
     // q_ann_ivf_fixed, but served from the bucket-partitioned index
     // TABLE (built once, cached across runs) with dynamic partition
@@ -620,5 +637,15 @@ object LlmOps extends QueryModule {
         | round(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, unnest(generate_series(0,
+        |    least(CAST(floor((length(text) - 1) / 32.0) AS INT), 3))) AS frame_no
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  md5(substring(text, frame_no * 32 + 1, 16)) AS frame_md5,
+        |  CAST(length(substring(text, frame_no * 32 + 1, 16)) AS BIGINT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
   )
 }
