@@ -5,10 +5,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Metadata-only `count(*)` / `count(col)` over Graft catalog tables —
   * the Delta "answer counts from the transaction log" optimization,
@@ -44,6 +45,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   private sealed trait Kind
   private case object Star extends Kind
   private final case class OfColumn(name: String) extends Kind
+  private final case class BoundOf(name: String, dt: DataType, isMin: Boolean)
+    extends Kind
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
@@ -57,7 +60,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           Option(List.empty[Kind]))((ne, acc) =>
         acc.flatMap(t => kindOf(ne).map(_ :: t)))
       if kinds.nonEmpty
-      values <- metaCounts(dir, kinds)
+      values <- metaValues(dir, kinds)
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow.fromSeq(values)))
 
@@ -75,21 +78,40 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** min/max are metadata-answerable only for types whose footer bounds
+    * are EXACT: integral and IEEE-float physical values (dates ride as
+    * int32 days). Strings decline — parquet writers may truncate binary
+    * min/max (fine for pruning, wrong as an answer); NaN-poisoned float
+    * files already carry `has_stats = false` and decline per-file.
+    */
+  private def boundable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
   private def kindOf(ne: NamedExpression): Option[Kind] = ne match {
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null => Some(Star)
         case Count(Seq(a: AttributeReference)) => Some(OfColumn(a.name))
+        case Min(a: AttributeReference) if boundable(a.dataType) =>
+          Some(BoundOf(a.name, a.dataType, isMin = true))
+        case Max(a: AttributeReference) if boundable(a.dataType) =>
+          Some(BoundOf(a.name, a.dataType, isMin = false))
         case _ => None
       }
     case _ => None
   }
 
-  /** Answer each requested count from the sidecar, or None when any
-    * live file is uncovered (exactness cannot be proven).
+  /** Answer each requested aggregate from the sidecar, or None when any
+    * live file is uncovered (exactness cannot be proven). `Some(null)`
+    * inside the result is a real SQL NULL (min/max over an all-null
+    * column), distinct from declining.
     */
-  private def metaCounts(dir: String, kinds: Seq[Kind]): Option[Seq[Long]] = {
+  private def metaValues(dir: String, kinds: Seq[Kind]): Option[Seq[Any]] = {
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
@@ -98,19 +120,49 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // the sidecar is metadata-scale (one row per file×column); the
     // nested read contains no aggregate, so the rule cannot re-enter
     val rows = SparkSession.active.read.parquet(sidecar.toString)
-      .select("file", "col", "rows", "nulls", "has_stats")
+      .select("file", "col", "rows", "nulls", "has_stats",
+        "lo_l", "hi_l", "lo_d", "hi_d")
       .collect()
     val byFile = rows.groupBy(_.getString(0))
     if (!live.forall(byFile.contains)) return None
-    val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum
-    val values = kinds.map {
-      case Star => Some(total)
-      case OfColumn(c) =>
-        val perFile = live.toSeq.map(f =>
-          byFile(f).find(r => r.getString(1).equalsIgnoreCase(c) && r.getBoolean(4))
-            .map(r => r.getLong(2) - r.getLong(3)))
-        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+    // every live file's trusted entry for column `c`, or None (decline)
+    def covered(c: String): Option[Seq[org.apache.spark.sql.Row]] = {
+      val per = live.toSeq.map(f =>
+        byFile(f).find(r => r.getString(1).equalsIgnoreCase(c) && r.getBoolean(4)))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
-    if (values.exists(_.isEmpty)) None else Some(values.flatten)
+    val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum
+    val values: Seq[Option[Any]] = kinds.map {
+      case Star => Some(total)
+      case OfColumn(c) => covered(c).map(_.map(r => r.getLong(2) - r.getLong(3)).sum)
+      case BoundOf(c, dt, isMin) => covered(c).map { rs =>
+        // files whose bounds are absent hold only nulls for this column
+        // (bounds ignore nulls); all files all-null => the answer IS null
+        def longs(i: Int) = rs.filter(!_.isNullAt(i)).map(_.getLong(i))
+        def dbls(i: Int) = rs.filter(!_.isNullAt(i)).map(_.getDouble(i))
+        dt match {
+          case FloatType | DoubleType =>
+            val vs = if (isMin) dbls(7) else dbls(8)
+            if (vs.isEmpty) null
+            else {
+              val v = if (isMin) vs.min else vs.max
+              if (dt == FloatType) v.toFloat else v
+            }
+          case _ =>
+            val vs = if (isMin) longs(5) else longs(6)
+            if (vs.isEmpty) null
+            else {
+              val v = if (isMin) vs.min else vs.max
+              dt match {
+                case LongType => v
+                case ByteType => v.toByte
+                case ShortType => v.toShort
+                case _ => v.toInt // IntegerType, DateType (int32 days)
+              }
+            }
+        }
+      }
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.map(_.get))
   }
 }

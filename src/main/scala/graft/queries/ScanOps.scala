@@ -279,7 +279,9 @@ object ScanOps extends QueryModule {
     "q_meta_count" -> ((s, dir) => {
       val cat = metaCatalog(s, dir)
       s.sql(
-        s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+        s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
@@ -476,7 +478,8 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/ord_meta"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "orders")
+    // the layout tag invalidates caches built before statsCols changed
+    val stamp = Tables.srcStamp(dir, "orders") + ":price-stats"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
       Files.exists(stampFile) &&
@@ -484,7 +487,7 @@ object ScanOps extends QueryModule {
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(wh))
       val orders = Tables.orders(s, dir)
-      val sc = Seq("o_orderkey", "o_custkey")
+      val sc = Seq("o_orderkey", "o_custkey", "o_totalprice")
       Sinks.publishVersioned(orders, tbl, None, statsCols = sc)
       Sinks.appendVersioned(orders.filter(col("o_orderkey") < 100), tbl,
         Some(0L), statsCols = sc)
@@ -769,7 +772,9 @@ object ScanOps extends QueryModule {
     "q_meta_count" ->
       """WITH t AS (SELECT * FROM orders
         |           UNION ALL SELECT * FROM orders WHERE o_orderkey < 100)
-        |SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+        |SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
 
     "q_clone" ->

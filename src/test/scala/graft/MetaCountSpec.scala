@@ -100,6 +100,31 @@ class MetaCountSpec extends AnyFunSuite {
     assert(isMetaOnly(star))
   }
 
+  test("min/max collapse to metadata for numeric columns, stay exact, and handle all-null") {
+    root
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Double, String)](
+      (5L, 1.5, null, "b"), (2L, -3.25, null, "a"), (9L, 7.0, null, "c"))
+      .toDF("k", "v", "allnull", "s")
+    val tbl = s"$root/mm"
+    Sinks.publishVersioned(df.repartition(2), tbl, None,
+      statsCols = Seq("k", "v", "allnull", "s"))
+    val q = spark.sql(
+      "SELECT min(k) AS a, max(k) AS b, min(v) AS c, max(v) AS d, " +
+        "max(allnull) AS e, count(*) AS n FROM graftmeta.mm")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == -3.25 && r.getDouble(3) == 7.0)
+    assert(r.isNullAt(4), "min/max over an all-null column is NULL, not a decline")
+    assert(r.getLong(5) == 3L)
+    // strings decline (parquet writers may truncate binary bounds) but
+    // the scan still answers correctly
+    val sq = spark.sql("SELECT min(s) AS a FROM graftmeta.mm")
+    assert(!isMetaOnly(sq))
+    assert(sq.collect().head.getString(0) == "a")
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
