@@ -37,7 +37,9 @@ object SparkEntry {
     * co-located join, incremental MV refresh read), and round-8's
     * partition-pruned catalog read, and the appended-table and
     * streamed-table reads — each new surface measured under the
-    * driver's bench too.
+    * driver's bench too. Round 9 adds the metadata-only count (the
+    * sub-scan-time floor), the corpus line dedup, and the
+    * evolve-then-read partitioned table.
     */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
@@ -47,6 +49,7 @@ object SparkEntry {
     "q_stats_skipping", "q_bucketed_join", "q_mview_incremental",
     "q_catalog_partitioned", "q_table_append", "q_stream_table_sink",
     "q_bloom_skipping", "q_lm_score", "q_ann_index", "q_trainprep_pipeline",
-    "q_ann_pq", "q_catalog_schema_evolution", "q_stream_sql")
+    "q_ann_pq", "q_catalog_schema_evolution", "q_stream_sql",
+    "q_meta_count", "q_line_dedup", "q_partition_evolution")
     .filter(queries.contains)
 }

@@ -831,17 +831,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "restore" => new GraftProcedures.Restore(resolve)
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
+      case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
           s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
-          s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone)")
+          s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone, " +
+          s"${GraftProcedures.Namespace}.repartition_table)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"))
+        Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"),
+        Identifier.of(namespace, "repartition_table"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

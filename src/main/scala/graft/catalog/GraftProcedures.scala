@@ -157,6 +157,42 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.repartition_table(table, partition_by)` — B134 partition
+    * evolution ([[graft.ops.Sinks.repartitionTable]]): re-lay the live
+    * version under a new (or no) partition spec as one OCC commit;
+    * history keeps its own layouts via version-local `_PSPEC` stamps.
+    * `partition_by` is a comma-separated column list; '' unpartitions.
+    */
+  final class RepartitionTable(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "repartition_table"
+    override def description(): String =
+      "re-lay the live version under a new partition spec (one OCC commit)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("partition_by", StringType)
+        .comment("comma-separated partition columns, '' to unpartition").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val root = resolveRoot(table)
+      val v = graft.ops.Sinks.repartitionTable(SparkSession.active, root, cols)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.clone(source, target, version => -1)` — B131 zero-copy
     * CLONE ([[graft.ops.Sinks.cloneTable]]): publish the source's live
     * (or as-of) version as v0 of a brand-new table, hardlink carry, no

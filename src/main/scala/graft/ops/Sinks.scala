@@ -86,14 +86,38 @@ object Sinks {
       case Some(fixed) => spark.read.schema(fixed).parquet(p)
     }
 
+  /** Version-local partition spec stamp: the partition-column DDL of the
+    * layout THIS version's files actually have (empty string =
+    * unpartitioned). Written by every commit, carried by RESTORE/CLONE,
+    * preferred by readers — so `VERSION AS OF` across a partition
+    * evolution ([[repartitionTable]]) reads each version under its own
+    * layout instead of the table's current one.
+    */
+  private[graft] val PartitionSpecFile = "_PSPEC"
+
+  /** The partition schema version dir `p` was committed under: its own
+    * `_PSPEC` when present (None inside = explicitly unpartitioned),
+    * falling back to the table-level spec for versions committed before
+    * the stamp existed.
+    */
+  private[graft] def partitionSchemaFor(root: String,
+      p: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = Paths.get(p, PartitionSpecFile)
+    if (Files.exists(f)) {
+      val ddl = new String(Files.readAllBytes(f), "UTF-8").trim
+      if (ddl.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else TableProps.partitionSchema(root)
+  }
+
   /** The full read schema of version dir `p` with declared partition
     * types substituted — what a reader (or the catalog's user-specified
     * schema) must pin so inference never rewrites partition types. None
-    * when the table is unpartitioned (let the reader infer as usual).
+    * when the version is unpartitioned (let the reader infer as usual).
     */
   private[graft] def readSchemaFor(spark: SparkSession, root: String,
       p: String): Option[org.apache.spark.sql.types.StructType] =
-    TableProps.partitionSchema(root).map { declared =>
+    partitionSchemaFor(root, p).map { declared =>
       val inferred = spark.read.parquet(p).schema
       org.apache.spark.sql.types.StructType(inferred.map { f =>
         declared.find(_.name.equalsIgnoreCase(f.name))
@@ -544,6 +568,26 @@ object Sinks {
       // just the feed-carrying ones
       Files.write(stage.resolve(VersionBaseFile),
         expected.getOrElse(-1L).toString.getBytes("UTF-8"))
+      // version-local partition spec: every commit records the layout its
+      // files actually have. A freshly-staged commit inherits the table's
+      // current spec; a stage that ALREADY carries a `_PSPEC` (RESTORE's
+      // hardlink carry of an old version, a cross-spec clone) describes
+      // data laid out under THAT spec — the table-level spec then syncs
+      // BACK to it here, inside the lock, so the next writer lays its
+      // files compatibly and a mixed-layout version can never be
+      // committed. Readers prefer the version-local spec (readSchemaFor),
+      // which keeps time travel across a partition evolution correct.
+      val pspec = stage.resolve(PartitionSpecFile)
+      if (Files.exists(pspec)) {
+        val ddl = new String(Files.readAllBytes(pspec), "UTF-8").trim
+        TableProps.updateLocked(root)(m =>
+          if (ddl.isEmpty) m - TableProps.PartitionKey
+          else m + (TableProps.PartitionKey -> ddl))
+      } else {
+        Files.write(pspec,
+          TableProps.load(root).getOrElse(TableProps.PartitionKey, "")
+            .getBytes("UTF-8"))
+      }
       commitProtocol.publishVersionDir(stage, Paths.get(versionPath(root, next)))
       commitProtocol.flipPointer(root, next)
       // past this point the commit IS durable and visible: a reconcile
@@ -904,6 +948,15 @@ object Sinks {
       Files.createDirectories(dst.getParent)
       linkOrCopy(f, dst)
     }
+    // the snapshot's own partition-spec stamp describes ITS layout and
+    // must travel (copied, not linked — the commit may rewrite it);
+    // commitStaged then syncs the table-level spec back to it, so a
+    // restore across a partition evolution also restores the spec
+    val pspec = src.resolve(PartitionSpecFile)
+    if (Files.exists(pspec)) {
+      Files.createDirectories(stage)
+      Files.copy(pspec, stage.resolve(PartitionSpecFile))
+    }
     Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar).foreach { sc =>
       val srcSc = src.resolve(sc)
       if (Files.isDirectory(srcSc)) {
@@ -912,6 +965,62 @@ object Sinks {
         Fs.listDir(srcSc).filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
       }
+    }
+  }
+
+  /** Partition evolution: re-lay the LIVE version under a new partition
+    * spec (possibly none) as one ordinary OCC commit — the
+    * `ALTER TABLE ... PARTITIONED BY` this layout can honor. Because
+    * files here carry no column-mapping indirection, a spec change is a
+    * rewrite of the live version (the Delta position: a different
+    * physical layout IS different files), not an Iceberg metadata-only
+    * spec append — but it is a rewrite of the LIVE version only: history
+    * stays untouched, and the version-local `_PSPEC` stamp means every
+    * retained version keeps reading (and time-travelling, and RESTORING)
+    * under the layout its files actually have. Restoring a pre-evolution
+    * version restores its spec with it — a mixed-layout version cannot
+    * be committed.
+    *
+    * The stats sidecar is rebuilt for the new files over the same
+    * columns (minus any that became partition directories); a `_bloom`
+    * sidecar describes dead files after a full rewrite and is dropped —
+    * re-annotate via `CALL system.bloom_index` (same contract as
+    * compaction). Returns the new version.
+    */
+  def repartitionTable(spark: SparkSession, root: String,
+      partitionBy: Seq[String]): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val df = readCurrent(spark, root)
+    val schema = df.schema
+    val canonical = partitionBy.map(c =>
+      schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")))
+    require(canonical.map(_.name).distinct.size == canonical.size,
+      s"duplicate partition column in ${partitionBy.mkString(", ")}")
+    require(canonical.size < schema.size,
+      "at least one non-partition column is required")
+    val oldProps = TableProps.load(root)
+    // metadata moves first (the evolveSchema pattern) and rolls back on
+    // failure, so no failure mode leaves the spec pointing at a layout
+    // the live version lacks — the data publish below lays out by it
+    TableProps.update(root)(m =>
+      if (canonical.isEmpty) m - TableProps.PartitionKey
+      else m + (TableProps.PartitionKey ->
+        org.apache.spark.sql.types.StructType(canonical).toDDL))
+    try {
+      // Hive convention: partition columns LAST, in spec order
+      val pnames = canonical.map(_.name)
+      val reordered = df.select(
+        (schema.fieldNames.filterNot(pnames.contains) ++ pnames)
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val sc = Stats.sidecarCols(spark, versionPath(root, cur))
+        .filterNot(pnames.contains)
+      publishVersioned(reordered, root, Some(cur), statsCols = sc)
+    } catch {
+      case e: Throwable => TableProps.store(root, oldProps); throw e
     }
   }
 

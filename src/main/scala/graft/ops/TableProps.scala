@@ -50,16 +50,24 @@ private[graft] object TableProps {
     // table dir, which a declare-props-then-publish API caller has not
     // created yet
     Files.createDirectories(Paths.get(root))
-    Sinks.withTableLock(root) {
-      val props = f(load(root))
-      val tmp = Paths.get(root, "_PROPS.tmp")
-      val jp = new java.util.Properties()
-      props.foreach { case (k, v) => jp.setProperty(k, v) }
-      val out = Files.newOutputStream(tmp)
-      try jp.store(out, null) finally out.close()
-      Files.move(tmp, propsPath(root), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    Sinks.withTableLock(root) { updateLocked(root)(f) }
+  }
+
+  /** The lock-free inner write — for callers ALREADY inside the table's
+    * commit lock (the lock is not reentrant): [[Sinks]]'s commit path
+    * syncing the partition spec from a restored version's `_PSPEC`.
+    * Everyone else goes through [[update]].
+    */
+  private[graft] def updateLocked(root: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val props = f(load(root))
+    val tmp = Paths.get(root, "_PROPS.tmp")
+    val jp = new java.util.Properties()
+    props.foreach { case (k, v) => jp.setProperty(k, v) }
+    val out = Files.newOutputStream(tmp)
+    try jp.store(out, null) finally out.close()
+    Files.move(tmp, propsPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def store(root: String, props: Map[String, String]): Unit =

@@ -285,6 +285,25 @@ object ScanOps extends QueryModule {
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
+    // B134 partition evolution end to end: events CTAS'd UNPARTITIONED,
+    // then `CALL system.repartition_table` re-lays the live version
+    // Hive-partitioned by event_type (one OCC commit; history keeps its
+    // own layout via the version-local _PSPEC stamp), then an INSERT
+    // lands through the evolved spec. The final read prunes partitions
+    // at the scan (PartitionEvolutionSpec plan-asserts it) and the
+    // oracle recomputes from the raw fixture + the inserted row —
+    // hash-proving the whole evolve-then-write chain value-lossless.
+    "q_partition_evolution" -> ((s, dir) => {
+      val cat = partitionEvolutionCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value
+           |FROM $cat.events_pe
+           |WHERE event_type IN ('click', 'purchase')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B131 zero-copy CLONE end to end through the SQL door: nation
     // CTAS'd as nat_src, `CALL system.clone` publishes its live version
     // as v0 of nat_clone (hardlink carry — no data bytes move), then the
@@ -457,6 +476,40 @@ object ScanOps extends QueryModule {
       s.sql(s"CALL $cat.system.clone(source => 'nat_src', target => 'nat_clone')")
       s.sql(s"INSERT INTO $cat.nat_clone VALUES (900, 'ZEALANDIA', 0)")
       s.sql(s"DELETE FROM $cat.nat_src WHERE n_nationkey >= 20")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_partition_evolution: `events_pe` CTAS'd
+    * UNPARTITIONED from the events fixture (v0 empty + v1 data), evolved
+    * to `PARTITIONED BY (event_type)` via `CALL system.repartition_table`
+    * (v2), then one INSERT through the evolved spec (v3). Returns the
+    * catalog name; rebuilt on fixture regeneration (content-stamp
+    * equality).
+    */
+  def partitionEvolutionCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_pewh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftpe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/events_pe"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "events")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.events(s, dir).select("event_id", "user_id", "value", "event_type")
+        .createOrReplaceTempView("graft_events_pe_src")
+      s.sql(s"CREATE TABLE $cat.events_pe USING parquet AS SELECT * FROM graft_events_pe_src")
+      s.sql(s"CALL $cat.system.repartition_table(table => 'events_pe', partition_by => 'event_type')")
+      s.sql(s"INSERT INTO $cat.events_pe VALUES (9000000, 999999, 1.5, 'click')")
+      Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     cat
@@ -776,6 +829,16 @@ object ScanOps extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
+
+    "q_partition_evolution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  UNION ALL SELECT 999999, 'click', 1.5)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM t WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_clone" ->
       """SELECT 'src' AS side, n_nationkey, n_name, n_regionkey
