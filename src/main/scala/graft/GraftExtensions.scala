@@ -40,6 +40,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnRewrite)
+    // deletion-vector subtraction for SQL reads of MOR-deleted tables —
+    // runs before MetaCountRewrite can see the relation, and before V2
+    // pushdown so filters still reach the file scan
+    ext.injectOptimizerRule(_ => graft.plans.DvReadRule)
     // metadata-only count(*): global unfiltered counts over Graft
     // catalog tables answered from the _stats sidecar, never the data
     ext.injectOptimizerRule(_ => graft.plans.MetaCountRewrite)

@@ -116,8 +116,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * scan over one resolved version directory.
     */
   private sealed abstract class SnapshotTable(delegate: ParquetTable,
-      versionDir: String) extends Table with SupportsRead with GraftSnapshotDir {
+      tRoot0: String, versionDir: String)
+    extends Table with SupportsRead with GraftSnapshotDir {
     override def snapshotVersionDir: String = versionDir
+    override def snapshotTableRoot: String = tRoot0
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -141,7 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * write capability, Spark rejects every write form at analysis.
     */
   private final class ReadOnlySnapshot(delegate: ParquetTable, tRoot: String,
-      versionDir: String) extends SnapshotTable(delegate, versionDir) {
+      versionDir: String) extends SnapshotTable(delegate, tRoot, versionDir) {
     override def capabilities(): util.Set[TableCapability] = readCaps()
     override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
   }
@@ -154,7 +156,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   private final class WritableTable(delegate: ParquetTable, tRoot: String,
       baseVersion: Long)
-      extends SnapshotTable(delegate, Sinks.versionPath(tRoot, baseVersion))
+      extends SnapshotTable(delegate, tRoot, Sinks.versionPath(tRoot, baseVersion))
       with SupportsWrite with GraftWritableTable {
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion

@@ -29,6 +29,7 @@ private[graft] trait GraftWritableTable {
   */
 private[graft] trait GraftSnapshotDir {
   def snapshotVersionDir: String
+  def snapshotTableRoot: String
 }
 
 /** The SQL-DML door for [[GraftCatalog]] tables: an analyzer rule that
@@ -194,6 +195,29 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
     tRoot: String, baseVersion: Long) extends LeafRunnableCommand {
   import GraftDml._
   override def run(spark: SparkSession): Seq[Row] = {
+    // merge-on-read route (B135): chosen by table property, or forced
+    // when a deletion vector already exists (a COW rewrite would read
+    // raw files and resurrect deleted rows — cowPublish refuses)
+    val morDir = Sinks.versionPath(tRoot, baseVersion)
+    val morMode = graft.ops.TableProps.load(tRoot)
+      .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
+      graft.ops.Dv.exists(morDir)
+    if (morMode) {
+      // re-bind the resolved condition by NAME onto the fresh scan the
+      // MOR door filters (subqueries are not re-bindable this way —
+      // refuse rather than mis-resolve)
+      require(!condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        "merge-on-read DELETE does not support subqueries in the " +
+          "condition; compact the table and use copy-on-write, or " +
+          "rewrite the predicate")
+      val nameBased = condition.transform {
+        case a: Attribute =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+      }
+      Sinks.deleteVector(spark, tRoot, col0(nameBased))
+      return Seq.empty
+    }
     val t = ofRows(spark, target)
     val liveDir = Sinks.versionPath(tRoot, baseVersion)
     // raw condition for the touched pass (pushdown); NULL-safe wrapper

@@ -223,6 +223,9 @@ object Bloom {
   def readWhereEq(spark: SparkSession, dir: String,
       colName: String, value: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // this fast path opens surviving files RAW — under a deletion
+    // vector that would resurrect deleted rows; refuse, never degrade
+    Dv.requireNone(dir, "the bloom point-lookup read")
     val bloomKept = prunedFilesEq(spark, dir, colName, value)
     val kept =
       if (Files.isDirectory(Paths.get(dir, Stats.Sidecar)))

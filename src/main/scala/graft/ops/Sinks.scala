@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.io.Fs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Batch sink patterns for pipeline reruns (the A4 emit-to-storage analog
   * with production semantics).
@@ -80,11 +80,25 @@ object Sinks {
     * corruption, not a cosmetic change. Unpartitioned tables read
     * exactly as before.
     */
-  private[graft] def readDir(spark: SparkSession, root: String, p: String): DataFrame =
-    readSchemaFor(spark, root, p) match {
+  private[graft] def readDir(spark: SparkSession, root: String, p: String): DataFrame = {
+    val base = readSchemaFor(spark, root, p) match {
       case None => spark.read.parquet(p)
       case Some(fixed) => spark.read.schema(fixed).parquet(p)
     }
+    // a version carrying a deletion vector (B135 merge-on-read DELETE)
+    // subtracts it at scan time — this is the single funnel every Scala
+    // read, snapshot diff, CDC read, replica bootstrap, and compaction
+    // flows through, so deleted rows can never resurface from any of
+    // them (SQL reads take the same subtraction via DvReadRule)
+    if (!Dv.exists(p)) base
+    else {
+      val cols = base.columns.toSeq
+      Dv.subtract(
+        base.select((cols.map(org.apache.spark.sql.functions.col) :+
+          org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*),
+        p, cols)
+    }
+  }
 
   /** Version-local partition spec stamp: the partition-column DDL of the
     * layout THIS version's files actually have (empty string =
@@ -727,6 +741,11 @@ object Sinks {
       touchedRel: Set[String], rewritten: DataFrame,
       checkEmpty: Boolean = true,
       changeFeed: Option[DataFrame] = None): Long = {
+    // a COW rewrite reads touched files RAW — under a deletion vector
+    // that would resurrect deleted rows into the rewritten files.
+    // Refuse with the purge hint (the Delta phasing: DV tables gate
+    // row-rewriting DML until the vector is compacted away).
+    Dv.requireNone(versionPath(root, expected), "copy-on-write DML")
     // a no-op statement (predicate matched nothing) still commits a
     // version — but writing its empty frame would land a zero-row file
     // alongside every carried one; skip the write (the empty check is a
@@ -750,10 +769,13 @@ object Sinks {
       expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
       batchTag: Option[String], carry: String => Boolean,
       skipDataWrite: Boolean = false,
-      changeFeedDf: Option[DataFrame] = None): Long = {
+      changeFeedDf: Option[DataFrame] = None,
+      dvSidecar: Option[DataFrame] = None): Long = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
+    require(!(emitFeed && dvSidecar.isDefined),
+      "a deletion-vector commit stages no new data files to feed from")
     Files.createDirectories(Paths.get(root))
     val spark = aligned.sparkSession
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -819,6 +841,11 @@ object Sinks {
       }
       batchTag.foreach(t =>
         Files.write(stage.resolve(BatchIdFile), t.getBytes("UTF-8")))
+      // B135: a caller-supplied deletion vector REPLACES the sidecar
+      // wholesale (it already merged the prior entries); its commit is
+      // the MOR delete — all data files carried, zero rewritten
+      dvSidecar.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stage/${Dv.Sidecar}"))
       // carry-over: link the live version's data files (and its skipping
       // sidecar) into the stage, preserving dir-relative paths so the
       // sidecar's file keys stay valid. The source version is immutable
@@ -873,6 +900,24 @@ object Sinks {
           }
           if (prevBloomFiles.size >= StatsCheckpointEvery)
             Bloom.compactSidecar(spark, stage.toString)
+        }
+        // an existing deletion vector describes carried files by
+        // relative key, so it rides every linked commit (appends,
+        // streaming batches) verbatim — unless this commit is itself a
+        // MOR delete, whose merged vector already replaced it above.
+        // (COW rewrites never reach here on a DV version: cowPublish
+        // refuses with the compact-to-purge hint.)
+        if (dvSidecar.isEmpty && Files.isDirectory(live.resolve(Dv.Sidecar))) {
+          val dstDv = stage.resolve(Dv.Sidecar)
+          Files.createDirectories(dstDv)
+          Fs.listDir(live.resolve(Dv.Sidecar))
+            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+              val dst = dstDv.resolve(f.getFileName)
+              if (Files.exists(dst))
+                throw new IllegalStateException(
+                  s"append dv sidecar carry-over collision on ${f.getFileName}")
+              linkOrCopy(f, dst)
+            }
         }
         // the ANN quantizer describes the BUCKETING SCHEME, not any file
         // set — a linked commit preserves the bucket column as data, so
@@ -957,7 +1002,8 @@ object Sinks {
       Files.createDirectories(stage)
       Files.copy(pspec, stage.resolve(PartitionSpecFile))
     }
-    Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar).foreach { sc =>
+    Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar,
+        Dv.Sidecar).foreach { sc =>
       val srcSc = src.resolve(sc)
       if (Files.isDirectory(srcSc)) {
         val dstSc = stage.resolve(sc)
@@ -966,6 +1012,61 @@ object Sinks {
           .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
       }
     }
+  }
+
+  /** Merge-on-read DELETE (B135): record the row POSITIONS matching
+    * `cond` in the live version's `_dv` deletion-vector sidecar and
+    * commit with every data file carried by hardlink — commit cost is
+    * O(matched rows + existing vector), zero data bytes rewritten. The
+    * COW worst case this exists for: a predicate matching 0.1% of rows
+    * spread across every file rewrites the whole table under B114;
+    * here it writes one small sidecar. Readers subtract the vector at
+    * scan time ([[readDir]], [[graft.plans.DvReadRule]]); `CALL
+    * system.compact` purges it into files. The commit emits the deleted
+    * rows as its `_changes` feed (only NEWLY deleted rows — re-matching
+    * an already-deleted row is a no-op), so CDC consumers and replicas
+    * see the same delta a COW delete would have produced.
+    *
+    * `cond` must reference table columns by NAME (the frame it filters
+    * is a fresh scan of the live version). NULL condition values keep
+    * the row — the same three-valued semantics as SQL DELETE.
+    */
+  def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val dir = versionPath(root, cur)
+    require(Dv.safeDir(dir),
+      s"merge-on-read delete requires a URI-transparent table path, got $dir" +
+        " — use copy-on-write DML for this table")
+    val base = readSchemaFor(spark, root, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some(fixed) => spark.read.schema(fixed).parquet(dir)
+    }
+    val cols = base.columns.toSeq
+    val dvOld = Dv.vector(spark, dir)
+    val live = base
+      .select((cols.map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
+      .withColumn("_dv_key", Dv.relKey(dir))
+      .withColumn("_dv_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+      .drop("_metadata")
+      .join(dvOld.withColumnRenamed("file", "_dv_file")
+          .withColumnRenamed("row_index", "_dv_row"),
+        org.apache.spark.sql.functions.col("_dv_key") ===
+          org.apache.spark.sql.functions.col("_dv_file") &&
+          org.apache.spark.sql.functions.col("_dv_pos") ===
+            org.apache.spark.sql.functions.col("_dv_row"),
+        "left_anti")
+    import org.apache.spark.sql.functions.{coalesce, lit, col => c}
+    val matched = live.filter(coalesce(cond, lit(false)))
+    val merged = dvOld.unionByName(
+      matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index")))
+    val feed = matched.select(cols.map(c).toIndexedSeq: _*)
+      .withColumn("_change_type", lit("delete"))
+    stageLinkedPublish(base.limit(0), root, Some(cur), Nil,
+      emitFeed = false, batchTag = None, carry = _ => true,
+      skipDataWrite = true, changeFeedDf = Some(feed),
+      dvSidecar = Some(merged))
   }
 
   /** Partition evolution: re-lay the LIVE version under a new partition

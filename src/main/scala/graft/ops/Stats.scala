@@ -264,6 +264,9 @@ object Stats {
   def readWhere(spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // this fast path opens surviving files RAW — under a deletion
+    // vector that would resurrect deleted rows; refuse, never degrade
+    Dv.requireNone(dir, "the stats-pruned read")
     val files = prunedFiles(spark, dir, colName, lo, hi)
     val pred = col(colName).between(lit(lo), lit(hi))
     if (files.isEmpty) {

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.catalog.GraftSnapshotDir
+import graft.ops.{Dv, Sinks}
+
+/** SQL-side deletion-vector subtraction (B135): when a Graft catalog
+  * relation's resolved version dir carries a `_dv` sidecar, swap the
+  * relation for the subtracted plan [[Sinks.readDir]] builds — a
+  * file-scan anti-joined with the (small, usually broadcast) vector on
+  * Spark's `_metadata` file/row-position columns — re-aliased to the
+  * original output attribute ids so everything above rebinds untouched.
+  * Current reads AND `VERSION/TIMESTAMP AS OF` snapshots each subtract
+  * their own version's vector; a DV-less version swaps nothing (the
+  * common case stays a bare DSv2 scan).
+  *
+  * Runs in the extended operator-optimization batch — BEFORE V2 scan
+  * pushdown, so filters and column pruning land in the underlying file
+  * scan of the swapped plan exactly as they would have in the original
+  * (predicates push through the anti-join's left side).
+  *
+  * Plans that read the relation's own `_metadata` columns cannot be
+  * swapped (the subtraction consumes them); rather than silently
+  * returning deleted rows, that combination fails loudly.
+  */
+object DvReadRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // exprIds referenced anywhere — to detect _metadata use of a
+    // relation we are about to swap
+    lazy val referenced: Set[Long] =
+      plan.collect { case p => p.expressions.flatMap(_.references.map(_.exprId.id)) }
+        .flatten.toSet
+    plan.transformUp {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSnapshotDir if Dv.exists(t.snapshotVersionDir) =>
+          val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
+          if (metaUsed) throw new UnsupportedOperationException(
+            "reading _metadata columns of a deletion-vector table is " +
+              "unsupported: compact the table to purge deletes first")
+          swap(r, t)
+        case _ => r
+      }
+    }
+  }
+
+  private def swap(r: DataSourceV2Relation, t: GraftSnapshotDir): LogicalPlan = {
+    val spark = SparkSession.active
+    val subtracted = Sinks.readDir(spark, t.snapshotTableRoot, t.snapshotVersionDir)
+      .queryExecution.analyzed
+    val out: Seq[NamedExpression] = r.output.map { a =>
+      val src = subtracted.output.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+        throw new IllegalStateException(
+          s"deletion-vector subtraction lost column ${a.name} of ${r.table.name()}"))
+      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    Project(out, subtracted)
+  }
+}

@@ -112,6 +112,10 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     * column), distinct from declining.
     */
   private def metaValues(dir: String, kinds: Seq[Kind]): Option[Seq[Any]] = {
+    // under a deletion vector the sidecar's row counts and bounds
+    // describe pre-delete files — decline (DvReadRule's subtracted scan
+    // answers instead)
+    if (graft.ops.Dv.exists(dir)) return None
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
     val live = graft.io.Fs.walkParquet(Paths.get(dir))

@@ -285,6 +285,24 @@ object ScanOps extends QueryModule {
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
+    // B135 merge-on-read DELETE end to end: orders under
+    // graft.dml.mode=mor, a SQL DELETE whose predicate touches rows in
+    // EVERY file (the COW worst case — a rewrite would move the whole
+    // table; here zero data bytes move, one small _dv sidecar commits),
+    // then an INSERT whose linked commit carries the vector. The read
+    // subtracts at scan time via DvReadRule; the oracle recomputes
+    // delete + insert from the raw fixture — hash-proving the
+    // subtraction row-exact. DvSpec pins the zero-rewrite inode claim.
+    "q_mor_delete" -> ((s, dir) => {
+      val cat = morCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  min(o_orderkey) AS min_key,
+           |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           |FROM $cat.ord_mor
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B134 partition evolution end to end: events CTAS'd UNPARTITIONED,
     // then `CALL system.repartition_table` re-lays the live version
     // Hive-partitioned by event_type (one OCC commit; history keeps its
@@ -476,6 +494,40 @@ object ScanOps extends QueryModule {
       s.sql(s"CALL $cat.system.clone(source => 'nat_src', target => 'nat_clone')")
       s.sql(s"INSERT INTO $cat.nat_clone VALUES (900, 'ZEALANDIA', 0)")
       s.sql(s"DELETE FROM $cat.nat_src WHERE n_nationkey >= 20")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_mor_delete: `ord_mor` = orders under
+    * `graft.dml.mode=mor` — v0 publish, v1 = merge-on-read SQL DELETE
+    * (row positions into `_dv`, all data files carried), v2 = INSERT
+    * (linked commit carrying the vector). Returns the catalog name;
+    * rebuilt on fixture regeneration (content-stamp equality).
+    */
+  def morCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Sinks, TableProps}
+    val wh = "/tmp/graft_morwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftmor_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/ord_mor"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      Sinks.publishVersioned(orders.repartition(4), tbl, None)
+      TableProps.update(tbl)(_ + ("graft.dml.mode" -> "mor"))
+      s.sql(s"DELETE FROM $cat.ord_mor WHERE o_custkey % 10 = 3")
+      s.sql(s"INSERT INTO $cat.ord_mor VALUES (90000001, 13, 'Z', 42.5)")
+      Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     cat
@@ -829,6 +881,16 @@ object ScanOps extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
+
+    "q_mor_delete" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_custkey % 10 <> 3
+        |  UNION ALL SELECT 90000001, 13, 'Z', 42.5)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_partition_evolution" ->
       """WITH t AS (

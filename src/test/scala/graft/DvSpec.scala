@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{Dv, Sinks, Stats, TableProps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B135 merge-on-read DELETE via deletion vectors ([[Sinks.deleteVector]],
+  * [[graft.plans.DvReadRule]], the `_dv` sidecar): deletes record row
+  * positions, data files never rewrite, every reader subtracts, and the
+  * raw-read paths that cannot subtract refuse loudly.
+  */
+class DvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft_dv").toString
+
+  private def dataFileKeys(dir: String): Set[Object] =
+    graft.io.Fs.walkParquet(Paths.get(dir)).map(f =>
+      Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+
+  test("MOR delete: rows vanish, zero data files rewrite, history keeps them") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 100).select($"id".as("k"), ($"id" % 10).as("g"))
+    Sinks.publishVersioned(df.repartition(4), tbl, None)
+    val v0Keys = dataFileKeys(Sinks.versionPath(tbl, 0))
+    val v = Sinks.deleteVector(spark, tbl, col("g") === 7)
+    assert(v == 1L)
+    // every data file of v1 IS a v0 file (hardlink carry, nothing rewritten)
+    assert(dataFileKeys(Sinks.versionPath(tbl, 1)).subsetOf(v0Keys))
+    assert(Dv.exists(Sinks.versionPath(tbl, 1)))
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 90 && cur.filter($"g" === 7).count() == 0)
+    // time travel to v0 still sees everything
+    assert(Sinks.readVersion(spark, tbl, 0).count() == 100)
+    // second delete merges vectors, still zero rewrites
+    Sinks.deleteVector(spark, tbl, col("k") < 5)
+    assert(dataFileKeys(Sinks.versionPath(tbl, 2)).subsetOf(v0Keys))
+    val cur2 = Sinks.readCurrent(spark, tbl)
+    assert(cur2.count() == 85)
+    assert(cur2.agg(min("k")).head().getLong(0) == 5L)
+  }
+
+  test("NULL condition keeps the row (SQL three-valued delete semantics)") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, null), (3L, 30L))
+      .toDF("k", "v")
+    Sinks.publishVersioned(df, tbl, None)
+    Sinks.deleteVector(spark, tbl, col("v") > 15)
+    val left = Sinks.readCurrent(spark, tbl).orderBy("k").collect()
+    assert(left.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "NULL > 15 is unknown — the row must survive")
+  }
+
+  test("SQL door: property-routed MOR DELETE, subtracted SELECT, time travel, counts") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graftdv", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdv.root", root)
+    import spark.implicits._
+    val df = spark.range(0, 60).select($"id".as("k"), ($"id" % 6).as("g"))
+    val tbl = s"$root/t"
+    Sinks.publishVersioned(df.repartition(3), tbl, None, statsCols = Seq("k"))
+    TableProps.update(tbl)(_ + ("graft.dml.mode" -> "mor"))
+    val keys0 = dataFileKeys(Sinks.versionPath(tbl, 0))
+    spark.sql("DELETE FROM graftdv.t WHERE g = 2")
+    assert(Dv.exists(Sinks.resolve(tbl)), "SQL DELETE must route merge-on-read")
+    assert(dataFileKeys(Sinks.resolve(tbl)).subsetOf(keys0))
+    // SQL read subtracts (DvReadRule)
+    assert(spark.sql("SELECT * FROM graftdv.t").count() == 50)
+    assert(spark.sql("SELECT * FROM graftdv.t WHERE g = 2").count() == 0)
+    // filters still push into the scan of the swapped plan
+    val q = spark.sql("SELECT k FROM graftdv.t WHERE k = 11")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(q.count() == 1)
+    // time travel: v0 full, under the ordinary scan
+    assert(spark.sql("SELECT * FROM graftdv.t VERSION AS OF 0").count() == 60)
+    // count(*): MetaCountRewrite declines under a DV; the subtracted
+    // plan answers and the value is post-delete
+    assert(spark.sql("SELECT count(*) AS n FROM graftdv.t").head().getLong(0) == 50)
+  }
+
+  test("appends carry the vector; deleted rows stay deleted next to new rows") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 40).select($"id".as("k"), ($"id" % 4).as("g"))
+    Sinks.publishVersioned(df, tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 1)
+    Sinks.appendVersioned(
+      spark.range(1000, 1010).select($"id".as("k"), lit(1L).as("g")),
+      tbl, Sinks.currentVersion(tbl))
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 40)
+    assert(cur.filter($"g" === 1 && $"k" < 1000).count() == 0,
+      "appending must not resurrect MOR-deleted rows")
+    assert(cur.filter($"k" >= 1000).count() == 10)
+  }
+
+  test("compaction purges the vector; COW DML becomes available again") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 50).select($"id".as("k"), ($"id" % 5).as("g"))
+    Sinks.publishVersioned(df.repartition(2), tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 0)
+    // COW refuses while the vector exists
+    val e = intercept[IllegalArgumentException](
+      Sinks.cowPublish(spark, tbl, Sinks.currentVersion(tbl).get,
+        Set("nope"), Sinks.readCurrent(spark, tbl).limit(0)))
+    assert(e.getMessage.contains("compact"))
+    // stats fast path refuses too
+    val e2 = intercept[IllegalArgumentException](
+      Stats.readWhere(spark, Sinks.resolve(tbl), "k", 0L, 10L))
+    assert(e2.getMessage.contains("deletion vector"))
+    Sinks.compactVersioned(spark, tbl, targetBytes = 64L * 1024 * 1024)
+    assert(!Dv.exists(Sinks.resolve(tbl)), "compaction is the purge")
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 40 && cur.filter($"g" === 0).count() == 0)
+  }
+
+  test("the MOR commit's change feed is exactly the newly deleted rows") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 30).select($"id".as("k"), ($"id" % 3).as("g"))
+    Sinks.publishVersioned(df, tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 2)
+    val feed = spark.read.parquet(s"${Sinks.versionPath(tbl, 1)}/_changes")
+    assert(feed.count() == 10)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // re-deleting the same predicate adds an EMPTY delta (no re-deletes)
+    Sinks.deleteVector(spark, tbl, col("g") === 2)
+    assert(spark.read.parquet(s"${Sinks.versionPath(tbl, 2)}/_changes").count() == 0)
+    // the snapshot diff agrees with the feed
+    val diff = Sinks.changesBetween(spark, tbl, 0L, 1L, Seq("k"))
+    assert(diff.filter($"_change_type" === "delete").count() == 10)
+  }
+
+  test("RESTORE carries the vector; partitioned layouts (encoded values) subtract exactly") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 24).select($"id".as("k"),
+      concat(lit("grp "), ($"id" % 3).cast("string")).as("part"))
+    TableProps.store(tbl, Map(TableProps.PartitionKey -> "part STRING"))
+    Sinks.publishVersioned(df, tbl, None)
+    Sinks.deleteVector(spark, tbl, col("k") % 2 === 0)
+    assert(Sinks.readCurrent(spark, tbl).count() == 12)
+    // the partition value contains a space — the stored key is the
+    // URI-encoded subpath, consistent between build and subtract
+    assert(Sinks.readCurrent(spark, tbl).filter($"k" % 2 === 0).count() == 0)
+    Sinks.publishVersioned(df.limit(5), tbl, Some(1L)) // unrelated v2
+    Sinks.restoreVersion(spark, tbl, 1L)
+    assert(Dv.exists(Sinks.resolve(tbl)), "restore must carry the vector")
+    assert(Sinks.readCurrent(spark, tbl).count() == 12)
+  }
+}
