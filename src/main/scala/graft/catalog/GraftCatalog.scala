@@ -235,10 +235,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     graft.ops.TableProps.partitionCols(tRoot).map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
+  /** A deletion-vector table is only readable through a session whose
+    * optimizer carries [[graft.plans.DvReadRule]] (the subtraction);
+    * serving the bare DSv2 scan to a rule-less session would silently
+    * return deleted rows — refuse instead. Detection walks the live
+    * optimizer's batches reflectively (rules injected via
+    * `SparkSessionExtensions` have no public registry), falling back to
+    * the `spark.sql.extensions` conf spelling.
+    */
+  private def requireDvRule(versionDir: String, ident: Identifier): Unit = {
+    if (!graft.ops.Dv.exists(versionDir)) return
+    val spark = SparkSession.active
+    val active =
+      try {
+        val m = classOf[org.apache.spark.sql.catalyst.rules.RuleExecutor[_]]
+          .getDeclaredMethod("batches")
+        m.setAccessible(true)
+        m.invoke(spark.sessionState.optimizer).asInstanceOf[Seq[_]].exists { b =>
+          val rm = b.getClass.getMethod("rules")
+          rm.invoke(b).asInstanceOf[Seq[AnyRef]]
+            .exists(_ eq (graft.plans.DvReadRule: AnyRef))
+        }
+      } catch { case _: Throwable =>
+        spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions")
+      }
+    if (!active) throw new IllegalStateException(
+      s"$catalogName.${ident.toString} carries a deletion vector and this " +
+        "session's optimizer lacks DvReadRule — build the session with " +
+        "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
+        "to purge deletes first)")
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRoot(ident)
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
+    requireDvRule(Sinks.versionPath(tr, v), ident)
     new WritableTable(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr, v)
   }
 
@@ -254,6 +286,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: version $v not present " +
           s"(have ${Sinks.listVersions(tr).mkString(", ")}) — vacuumed or never published")
+    requireDvRule(Sinks.versionPath(tr, v), ident)
     new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr,
       Sinks.versionPath(tr, v))
   }
@@ -274,6 +307,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: no version committed at or before " +
           s"timestamp $timestamp us (oldest retained: v${live.min})")
+    requireDvRule(Sinks.versionPath(tr, eligible.max), ident)
     new ReadOnlySnapshot(parquetDelegate(ident, tr, Sinks.versionPath(tr, eligible.max)),
       tr, Sinks.versionPath(tr, eligible.max))
   }
