@@ -251,6 +251,33 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     tRoot: String, baseVersion: Long) extends LeafRunnableCommand {
   import GraftDml._
   override def run(spark: SparkSession): Seq[Row] = {
+    // merge-on-read route (B136): same selection as DELETE — table
+    // property, or forced by an existing vector (COW would resurrect)
+    val morDir = Sinks.versionPath(tRoot, baseVersion)
+    val morMode = graft.ops.TableProps.load(tRoot)
+      .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
+      graft.ops.Dv.exists(morDir)
+    if (morMode) {
+      val exprs = condition.toSeq ++ assignments.map(_.value)
+      require(!exprs.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+        "merge-on-read UPDATE does not support subqueries; compact the " +
+          "table and use copy-on-write, or rewrite the statement")
+      def nameBound(e: Expression): Column = col0(e.transform {
+        case a: Attribute =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+      })
+      val assignMap = target.output.flatMap { attr =>
+        assignedValue(assignments, attr).map(v =>
+          attr.name -> nameBound(v).cast(attr.dataType))
+      }.toMap
+      val cond0 = condition.map(nameBound).getOrElse(lit(true))
+      // CHECK constraints gate the updated copies exactly as the COW
+      // path gates its rewrite — enforcement wraps the written frame
+      Sinks.updateVector(spark, tRoot, cond0, assignMap,
+        validate = GraftCheck.enforce(_, tRoot))
+      return Seq.empty
+    }
     val t = ofRows(spark, target)
     val cond = condition.map(col0).getOrElse(lit(true))
     val liveDir = Sinks.versionPath(tRoot, baseVersion)

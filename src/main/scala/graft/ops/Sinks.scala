@@ -1069,6 +1069,70 @@ object Sinks {
       dvSidecar = Some(merged))
   }
 
+  /** Merge-on-read UPDATE (B136): the DV composition of delete+insert —
+    * matched rows' OLD positions join the `_dv` vector (their files
+    * carried untouched by hardlink) while their UPDATED copies land as
+    * the commit's only new files. Commit cost is O(matched rows +
+    * existing vector): a predicate matching a handful of rows per file
+    * across a 100 TB table moves those rows, not the table. Readers
+    * need no new machinery — the same scan-time subtraction hides the
+    * old copies, and the new copies are ordinary data files (a
+    * partition-value-changing assignment just lands the copy in its new
+    * directory). The commit's `_changes` feed carries the full
+    * update_preimage/update_postimage pairs.
+    *
+    * `assignments` maps top-level column names to replacement
+    * expressions (evaluated against the matched rows); `cond` uses the
+    * same NAME-bound, NULL-keeps-row semantics as [[deleteVector]].
+    */
+  def updateVector(spark: SparkSession, root: String, cond: Column,
+      assignments: Map[String, Column],
+      validate: DataFrame => DataFrame = identity): Long = {
+    require(assignments.nonEmpty, "updateVector requires at least one assignment")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val dir = versionPath(root, cur)
+    require(Dv.safeDir(dir),
+      s"merge-on-read update requires a URI-transparent table path, got $dir" +
+        " — use copy-on-write DML for this table")
+    val base = readSchemaFor(spark, root, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some(fixed) => spark.read.schema(fixed).parquet(dir)
+    }
+    val cols = base.columns.toSeq
+    assignments.keys.foreach(k => require(
+      cols.exists(_.equalsIgnoreCase(k)),
+      s"assignment targets unknown column $k (have ${cols.mkString(", ")})"))
+    import org.apache.spark.sql.functions.{coalesce, lit, col => c}
+    val dvOld = Dv.vector(spark, dir)
+    val live = base
+      .select((cols.map(c) :+ c("_metadata")).toIndexedSeq: _*)
+      .withColumn("_dv_key", Dv.relKey(dir))
+      .withColumn("_dv_pos", c("_metadata.row_index"))
+      .drop("_metadata")
+      .join(dvOld.withColumnRenamed("file", "_dv_file")
+          .withColumnRenamed("row_index", "_dv_row"),
+        c("_dv_key") === c("_dv_file") && c("_dv_pos") === c("_dv_row"),
+        "left_anti")
+    val matched = live.filter(coalesce(cond, lit(false)))
+    val merged = dvOld.unionByName(
+      matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index")))
+    def toCols(df: DataFrame) = df.select(cols.map(c).toIndexedSeq: _*)
+    val updated = toCols(matched.select(cols.map { n =>
+      assignments.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(n) => v.as(n)
+      }.getOrElse(c(n))
+    }.toIndexedSeq: _*))
+    val feed = toCols(matched).withColumn("_change_type", lit("update_preimage"))
+      .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
+    // `validate` wraps the frame that is WRITTEN (CHECK-constraint
+    // enforcement from the catalog tier rides here) — a failing row
+    // aborts the staged write before any commit move
+    stageLinkedPublish(validate(updated), root, Some(cur), Nil,
+      emitFeed = false, batchTag = None, carry = _ => true,
+      changeFeedDf = Some(feed), dvSidecar = Some(merged))
+  }
+
   /** Partition evolution: re-lay the LIVE version under a new partition
     * spec (possibly none) as one ordinary OCC commit — the
     * `ALTER TABLE ... PARTITIONED BY` this layout can honor. Because

@@ -303,6 +303,18 @@ object ScanOps extends QueryModule {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // B136 merge-on-read UPDATE read-back: the rows the UPDATE touched
+    // (their OLD copies are vector-hidden; these are the commit's new
+    // files) — value-for-value vs the fixture recompute of the whole
+    // delete→insert→update chain.
+    "q_mor_update" -> ((s, dir) => {
+      val cat = morCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM $cat.ord_mor WHERE o_custkey > 1000000
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // B134 partition evolution end to end: events CTAS'd UNPARTITIONED,
     // then `CALL system.repartition_table` re-lays the live version
     // Hive-partitioned by event_type (one OCC commit; history keeps its
@@ -499,6 +511,25 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Shared CTE for the q_mor_delete / q_mor_update oracles: the whole
+    * MOR chain (DELETE custkey%10=3 → INSERT one row → UPDATE status-P
+    * rows) recomputed from the raw fixture.
+    */
+  private val morOracleCte: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_custkey % 10 <> 3
+      |  UNION ALL SELECT 90000001, 13, 'Z', 42.5),
+      |u AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'P' THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS o_custkey,
+      |    o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'P' THEN 100.5
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM t)
+      |""".stripMargin
+
   /** Per-sf-dir catalog for q_mor_delete: `ord_mor` = orders under
     * `graft.dml.mode=mor` — v0 publish, v1 = merge-on-read SQL DELETE
     * (row positions into `_dv`, all data files carried), v2 = INSERT
@@ -514,9 +545,10 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/ord_mor"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "orders")
+    // layout tag invalidates caches built before the UPDATE step landed
+    val stamp = Tables.srcStamp(dir, "orders") + ":mor-update"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
-      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
       Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
@@ -527,6 +559,11 @@ object ScanOps extends QueryModule {
       TableProps.update(tbl)(_ + ("graft.dml.mode" -> "mor"))
       s.sql(s"DELETE FROM $cat.ord_mor WHERE o_custkey % 10 = 3")
       s.sql(s"INSERT INTO $cat.ord_mor VALUES (90000001, 13, 'Z', 42.5)")
+      // B136 MOR UPDATE: old copies join the vector, updated copies are
+      // the commit's only new files
+      s.sql(s"""UPDATE $cat.ord_mor
+               |SET o_custkey = o_custkey + 1000000, o_totalprice = 100.5
+               |WHERE o_orderstatus = 'P'""".stripMargin)
       Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
@@ -883,14 +920,17 @@ object ScanOps extends QueryModule {
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
 
     "q_mor_delete" ->
-      """WITH t AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_custkey % 10 <> 3
-        |  UNION ALL SELECT 90000001, 13, 'Z', 42.5)
-        |SELECT o_orderstatus, count(*) AS n_orders,
-        |  min(o_orderkey) AS min_key,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      (morOracleCte +
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  min(o_orderkey) AS min_key,
+          |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    "q_mor_update" ->
+      (morOracleCte +
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM u WHERE o_custkey > 1000000
+          |ORDER BY o_orderkey""".stripMargin),
 
     "q_partition_evolution" ->
       """WITH t AS (

@@ -138,6 +138,61 @@ class DvSpec extends AnyFunSuite {
     assert(diff.filter($"_change_type" === "delete").count() == 10)
   }
 
+  test("MOR UPDATE: old copies vanish behind the vector, new copies land as the only new files") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 60).select($"id".as("k"), ($"id" % 6).as("g"),
+      lit(1.0).as("w"))
+    Sinks.publishVersioned(df.repartition(3), tbl, None)
+    val keys0 = dataFileKeys(Sinks.versionPath(tbl, 0))
+    Sinks.updateVector(spark, tbl, col("g") === 4,
+      Map("w" -> lit(9.5), "g" -> lit(40L)))
+    val v1 = Sinks.versionPath(tbl, 1)
+    // carried files are v0's; the only NEW files hold the updated copies
+    val newFiles = dataFileKeys(v1) -- keys0
+    assert(newFiles.nonEmpty && (dataFileKeys(v1) -- newFiles) == keys0)
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 60)
+    assert(cur.filter($"g" === 4).count() == 0)
+    assert(cur.filter($"g" === 40L && $"w" === 9.5).count() == 10)
+    // history: v0 untouched
+    assert(Sinks.readVersion(spark, tbl, 0).filter($"g" === 4).count() == 10)
+    // feed carries full pre/post pairs
+    val feed = spark.read.parquet(s"$v1/_changes")
+    assert(feed.filter($"_change_type" === "update_preimage").count() == 10)
+    assert(feed.filter($"_change_type" === "update_postimage" && $"g" === 40L).count() == 10)
+  }
+
+  test("SQL MOR UPDATE routes by property, subtracts on read, and CHECKs gate the copies") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graftdvu", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdvu.root", root)
+    import spark.implicits._
+    val tbl = s"$root/t"
+    Sinks.publishVersioned(
+      spark.range(0, 30).select($"id".as("k"), ($"id" % 3).as("g")),
+      tbl, None)
+    TableProps.update(tbl)(_ ++ Map(
+      "graft.dml.mode" -> "mor", "check.small" -> "g < 100"))
+    val keys0 = dataFileKeys(Sinks.versionPath(tbl, 0))
+    spark.sql("UPDATE graftdvu.t SET g = g + 10 WHERE g = 1")
+    assert(graft.ops.Dv.exists(Sinks.resolve(tbl)),
+      "SQL UPDATE must route merge-on-read")
+    assert(keys0.subsetOf(dataFileKeys(Sinks.resolve(tbl))))
+    assert(spark.sql("SELECT * FROM graftdvu.t WHERE g = 1").count() == 0)
+    assert(spark.sql("SELECT * FROM graftdvu.t WHERE g = 11").count() == 10)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdvu.t").head().getLong(0) == 30)
+    // a CHECK-violating assignment aborts before any commit
+    val vBefore = Sinks.currentVersion(tbl)
+    intercept[Exception](spark.sql("UPDATE graftdvu.t SET g = 500 WHERE g = 2"))
+    assert(Sinks.currentVersion(tbl) == vBefore,
+      "failed CHECK must leave no new version")
+    // a second MOR update stacks on the existing vector
+    spark.sql("UPDATE graftdvu.t SET g = 99 WHERE g = 11")
+    assert(spark.sql("SELECT * FROM graftdvu.t WHERE g = 99").count() == 10)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdvu.t").head().getLong(0) == 30)
+  }
+
   test("RESTORE carries the vector; partitioned layouts (encoded values) subtract exactly") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
