@@ -868,11 +868,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)
+      case "copy_into" => new GraftProcedures.CopyInto(resolve)
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
           s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
           s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone, " +
-          s"${GraftProcedures.Namespace}.repartition_table)")
+          s"${GraftProcedures.Namespace}.repartition_table, " +
+          s"${GraftProcedures.Namespace}.copy_into)")
     }
   }
 
@@ -880,7 +882,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"),
-        Identifier.of(namespace, "repartition_table"))
+        Identifier.of(namespace, "repartition_table"),
+        Identifier.of(namespace, "copy_into"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

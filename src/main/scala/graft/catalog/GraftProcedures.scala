@@ -193,6 +193,47 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.copy_into(table, source, format => 'parquet')` — B137
+    * idempotent batch file ingestion ([[graft.ops.Sinks.copyInto]]):
+    * every not-yet-ingested file under `source` lands as one commit,
+    * exactly once across re-runs/crashes/vacuums. The CALL form
+    * requires the table to exist (CREATE TABLE first); the Scala API
+    * also bootstraps absent tables.
+    */
+  final class CopyInto(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "copy_into"
+    override def description(): String =
+      "idempotently ingest new files from a directory as one commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("existing table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("source", StringType)
+        .comment("directory whose data files to ingest").build(),
+      ProcedureParameter.in("format", StringType).defaultValue("'parquet'")
+        .comment("file format: parquet, csv, json, orc").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val source = input.getUTF8String(1).toString
+      val format = input.getUTF8String(2).toString
+      val root = resolveRoot(table)
+      val (v, ingested) = graft.ops.Sinks.copyInto(
+        SparkSession.active, root, source, format)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v, ingested.size.toLong))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("files_ingested", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.clone(source, target, version => -1)` — B131 zero-copy
     * CLONE ([[graft.ops.Sinks.cloneTable]]): publish the source's live
     * (or as-of) version as v0 of a brand-new table, hardlink carry, no

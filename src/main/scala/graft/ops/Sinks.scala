@@ -692,7 +692,8 @@ object Sinks {
     */
   def appendVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, emitFeed: Boolean = false,
-      batchTag: Option[String] = None): Long = {
+      batchTag: Option[String] = None,
+      commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
     val spark = df.sparkSession
     // align to the live schema: same column set and order, or fail loudly
     val aligned = expected match {
@@ -723,7 +724,7 @@ object Sinks {
           df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       }
     stageLinkedPublish(aligned, root, expected, statsCols, emitFeed, batchTag,
-      carry = _ => true)
+      carry = _ => true, commitSidecars = commitSidecars)
   }
 
   /** Copy-on-write publish (file-granular DML): `rewritten` replaces the
@@ -770,7 +771,8 @@ object Sinks {
       batchTag: Option[String], carry: String => Boolean,
       skipDataWrite: Boolean = false,
       changeFeedDf: Option[DataFrame] = None,
-      dvSidecar: Option[DataFrame] = None): Long = {
+      dvSidecar: Option[DataFrame] = None,
+      commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
@@ -846,6 +848,14 @@ object Sinks {
       // the MOR delete — all data files carried, zero rewritten
       dvSidecar.foreach(_.coalesce(1).write.mode("overwrite")
         .parquet(s"$stage/${Dv.Sidecar}"))
+      // commit-scoped sidecars (B137's _copyin ingestion receipt):
+      // describe THIS commit, ride its atomic rename, and are NOT
+      // carried forward by later linked commits
+      commitSidecars.foreach { case (name, sdf) =>
+        require(name.startsWith("_"),
+          s"sidecar name must be _-prefixed (invisible to plain reads): $name")
+        sdf.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
+      }
       // carry-over: link the live version's data files (and its skipping
       // sidecar) into the stage, preserving dir-relative paths so the
       // sidecar's file keys stay valid. The source version is immutable
@@ -1240,6 +1250,98 @@ object Sinks {
     }
   }
 
+  /** COPY INTO sidecar/props names (B137): each ingesting commit stages
+    * a `_copyin` receipt (the source paths it ingested, atomic with the
+    * data); after the commit the receipt folds into `_PROPS` keys
+    * (durable past vacuum — [[compactVersioned]] folds evicted receipts
+    * the way it folds streaming batch stamps).
+    */
+  private[graft] val CopyinSidecar = "_copyin"
+  private[graft] def copyinPropKey(src: String): String =
+    "graft.copyin." + java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** COPY INTO (B137): idempotent batch file ingestion — load every
+    * not-yet-ingested file under `srcDir` into the table as ONE commit,
+    * exactly once across any number of re-runs, crashes, and vacuums
+    * (the Delta `COPY INTO` / Snowflake loading-metadata pattern, the
+    * batch door next to B119's streaming ingestion). File identity is
+    * the source PATH — the landing-zone convention: files are immutable
+    * once dropped; replacing content under the same name is not an
+    * ingestion trigger.
+    *
+    * Idempotence is two-tier, like the streaming batch stamps: the
+    * commit itself carries its receipt (`_copyin`, atomic with the
+    * data), and the receipt folds into `_PROPS` afterwards — a crash
+    * between the two leaves the receipt discoverable in the retained
+    * version, and vacuum folds evicted receipts before deleting. A
+    * re-run therefore skips everything either tier knows.
+    *
+    * First ingestion into an absent table creates it from the batch's
+    * schema; later batches must match the live schema (the append
+    * alignment guard — loud failure, no commit). Returns
+    * `(version, newly ingested paths)` — the current version unchanged
+    * when nothing new arrived.
+    */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): (Long, Seq[String]) = {
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"copyInto source $srcDir is not a directory")
+    val dataExt = format.toLowerCase match {
+      case "parquet" => Some(".parquet")
+      case _ => None
+    }
+    val candidates = Fs.listDir(src)
+      .filter(p => Files.isRegularFile(p))
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .filter(p => dataExt.forall(p.getFileName.toString.endsWith(_)))
+      .map(_.toString).sorted
+    val already = ingestedSources(spark, root)
+    val newFiles = candidates.filterNot(already)
+    if (newFiles.isEmpty)
+      return (currentVersion(root).getOrElse(-1L), Nil)
+    import spark.implicits._
+    val receipt = newFiles.toDF("src")
+    val df = spark.read.format(format).options(options).load(newFiles: _*)
+    val v = currentVersion(root) match {
+      case None =>
+        publishVersioned(df, root, None,
+          sidecars = Seq(CopyinSidecar -> receipt))
+      case cur @ Some(_) =>
+        appendVersioned(df, root, cur,
+          commitSidecars = Seq(CopyinSidecar -> receipt))
+    }
+    // durable fold; a crash before this line is healed by the receipt
+    TableProps.update(root)(p =>
+      p ++ newFiles.map(f => copyinPropKey(f) -> f))
+    (v, newFiles)
+  }
+
+  /** Every source path this table has ever ingested: the durable props
+    * fold ∪ the receipts still sitting in retained versions at or below
+    * current (orphans above current never became visible — their files
+    * really do need re-ingesting).
+    */
+  private def ingestedSources(spark: SparkSession, root: String): Set[String] = {
+    val fromProps = TableProps.load(root).collect {
+      case (k, v) if k.startsWith("graft.copyin.") => v
+    }.toSet
+    val dirs = currentVersion(root).toSeq.flatMap(c =>
+        listVersions(root).filter(_ <= c))
+      .map(v => Paths.get(versionPath(root, v), CopyinSidecar))
+      .filter(Files.isDirectory(_))
+      .filter(d => Fs.listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
+    val fromReceipts =
+      if (dirs.isEmpty) Set.empty[String]
+      else spark.read.parquet(dirs.map(_.toString): _*)
+        .select("src").collect().map(_.getString(0)).toSet
+    fromProps ++ fromReceipts
+  }
+
   /** Hardlink `src` as `dst`, copying where the filesystem refuses links
     * (cross-device, unsupported FS). Committed parquet files are
     * immutable, so sharing the inode is safe.
@@ -1425,6 +1527,19 @@ object Sinks {
         val prev = p.get(key).flatMap(_.toLongOption).getOrElse(-1L)
         if (id > prev) p + (key -> id.toString) else p
       }
+    }
+    // same durability contract for COPY INTO receipts (B137): an evicted
+    // version may hold the only `_copyin` receipt proving files were
+    // ingested (the writer crashed before its props fold) — fold before
+    // deleting, or a re-run would double-ingest those files
+    val copyinDirs = evictCandidates
+      .map(ev => Paths.get(versionPath(root, ev), CopyinSidecar))
+      .filter(Files.isDirectory(_))
+    if (copyinDirs.nonEmpty) {
+      val srcs = spark.read.parquet(copyinDirs.map(_.toString): _*)
+        .select("src").collect().map(_.getString(0)).toSeq
+      if (srcs.nonEmpty) TableProps.update(root)(p =>
+        p ++ srcs.map(f => copyinPropKey(f) -> f))
     }
     withCommitLock(root) {
       // the commit's own reconcile swallows failures (a durable commit

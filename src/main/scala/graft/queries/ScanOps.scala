@@ -285,6 +285,19 @@ object ScanOps extends QueryModule {
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
+    // B137 COPY INTO end to end: a landing directory gains two region
+    // files (ingested as one commit), then a third (ingested alone by
+    // the second CALL — the first two are receipt-deduped). The read
+    // proves exactly-once: every landing row appears exactly once no
+    // matter how many times the CALL re-ran during warehouse builds.
+    // The oracle recomputes both drops from the raw fixture.
+    "q_copy_into" -> ((s, dir) => {
+      val cat = copyIntoCatalog(s, dir)
+      s.sql(
+        s"""SELECT r_regionkey, r_name FROM $cat.region_land
+           |ORDER BY r_regionkey""".stripMargin)
+    }),
+
     // B135 merge-on-read DELETE end to end: orders under
     // graft.dml.mode=mor, a SQL DELETE whose predicate touches rows in
     // EVERY file (the COW worst case — a rewrite would move the whole
@@ -506,6 +519,53 @@ object ScanOps extends QueryModule {
       s.sql(s"CALL $cat.system.clone(source => 'nat_src', target => 'nat_clone')")
       s.sql(s"INSERT INTO $cat.nat_clone VALUES (900, 'ZEALANDIA', 0)")
       s.sql(s"DELETE FROM $cat.nat_src WHERE n_nationkey >= 20")
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_copy_into: a landing dir receives the
+    * region fixture as two files (drop 1, one commit) then a
+    * key-shifted third (drop 2); `CALL system.copy_into` runs after
+    * each drop AND once more redundantly — the receipts make the
+    * re-runs no-ops. Returns the catalog name; rebuilt on fixture
+    * regeneration (content-stamp equality).
+    */
+  def copyIntoCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_ciwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftci_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/region_land"
+    val land = s"$wh/landing"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "region")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Files.createDirectories(Paths.get(land))
+      val region = Tables.region(s, dir).select("r_regionkey", "r_name")
+      def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$wh/.mk_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        Files.move(graft.io.Fs.walkParquet(Paths.get(tmp)).head,
+          Paths.get(land, name))
+        graft.io.Fs.deleteRecursively(Paths.get(tmp))
+      }
+      s.sql(s"CREATE TABLE $cat.region_land (r_regionkey INT, r_name STRING) USING parquet")
+      drop("r_low.parquet", region.filter(col("r_regionkey") < 3))
+      drop("r_high.parquet", region.filter(col("r_regionkey") >= 3))
+      s.sql(s"CALL $cat.system.copy_into(table => 'region_land', source => '$land')")
+      drop("r_shift.parquet", region
+        .withColumn("r_regionkey", col("r_regionkey") + 100))
+      s.sql(s"CALL $cat.system.copy_into(table => 'region_land', source => '$land')")
+      // redundant re-run: receipts make it a no-op (version count pins it)
+      s.sql(s"CALL $cat.system.copy_into(table => 'region_land', source => '$land')")
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     cat
@@ -918,6 +978,13 @@ object ScanOps extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
+
+    "q_copy_into" ->
+      """SELECT r_regionkey, r_name FROM (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey + 100, r_name FROM region)
+        |ORDER BY r_regionkey""".stripMargin,
 
     "q_mor_delete" ->
       (morOracleCte +
