@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance stored procedures for [[GraftCatalog]] — the SQL `CALL`
@@ -47,16 +47,20 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128")
         .comment("target output file size, megabytes").build(),
       ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0")
-        .comment("versions below the new base to keep time-travelable").build())
+        .comment("versions below the new base to keep time-travelable").build(),
+      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0")
+        .comment("keep any version committed within this window " +
+          "(VACUUM RETAIN analog; -1 = count-based only)").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val targetMb = input.getInt(1)
       val retain = input.getInt(2)
+      val retainHours = input.getDouble(3)
       require(targetMb > 0, s"target_mb must be positive, got $targetMb")
       val root = resolveRoot(table)
       val v = graft.ops.Sinks.compactVersioned(SparkSession.active, root,
-        targetMb.toLong * 1024 * 1024, retain)
+        targetMb.toLong * 1024 * 1024, retain, retainHours)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(InternalRow(UTF8String.fromString(table), v))

@@ -1,0 +1,107 @@
+package graft.examples
+
+import graft.io.Tables
+import graft.ops.{Dv, Sinks, TableProps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The round-9 lakehouse surface composed into one runnable job — the
+  * month-two operational loop over a stored corpus:
+  *
+  *   1. COPY INTO         (landing-zone files ingested exactly once —
+  *                         the second call is a receipt-deduped no-op)
+  *   2. zero-copy CLONE   (a dev/staging fork of the table: hardlink
+  *                         carry, zero data bytes, fully independent)
+  *   3. MOR DELETE/UPDATE (deletion vectors: positions commit, data
+  *                         files don't rewrite; reads subtract at scan)
+  *   4. metadata count    (count(*) answered from the stats sidecar —
+  *                         on the un-vectored clone: a LocalRelation)
+  *   5. partition evolve  (the clone re-lays PARTITIONED BY status;
+  *                         its history keeps the old layout via _PSPEC)
+  *   6. compact + retain  (the purge: vectors materialize into files;
+  *                         time-window retention keeps recent versions)
+  *
+  * `sbt "runMain graft.examples.MorLakehousePipeline [sfDir]"`.
+  */
+object MorLakehousePipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rootDir = java.nio.file.Files.createTempDirectory("graft_mor")
+    graft.streaming.StreamOps.cleanOnExit(rootDir)
+    val landing = s"$rootDir/landing"
+    val tbl = s"$rootDir/orders"
+    val fork = s"$rootDir/orders_fork"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    // 1. land the fixture as two files and ingest them exactly once
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$landing/drop_even")
+    orders.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$landing/drop_odd")
+    // files land one directory deep in the write above — flatten them in
+    Seq("drop_even", "drop_odd").foreach { d =>
+      graft.io.Fs.walkParquet(java.nio.file.Paths.get(s"$landing/$d")).foreach(f =>
+        java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(landing, s"$d.parquet")))
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(s"$landing/$d"))
+    }
+    val (v0, ingested) = Sinks.copyInto(spark, tbl, landing)
+    val (_, rerun) = Sinks.copyInto(spark, tbl, landing)
+    println(s"[1] COPY INTO: v$v0 with ${ingested.size} files; " +
+      s"re-run ingested ${rerun.size} (receipt-deduped)")
+
+    // annotate the ingested version with footer stats (the post-commit
+    // door): skipping AND metadata-only counts now cover every file
+    graft.ops.Stats.annotate(spark, Sinks.resolve(tbl),
+      Seq("o_orderkey", "o_custkey"))
+
+    // 2. a zero-copy fork for the risky work
+    Sinks.cloneTable(spark, tbl, fork)
+    println(s"[2] CLONE: fork at v0 = main v${Sinks.currentVersion(tbl).get}, " +
+      "zero bytes moved")
+
+    // 3. merge-on-read surgery on the MAIN table: no data files rewrite
+    TableProps.update(tbl)(_ + ("graft.dml.mode" -> "mor"))
+    Sinks.deleteVector(spark, tbl, col("o_custkey") % 10 === 3)
+    Sinks.updateVector(spark, tbl, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> lit(0.0)))
+    val live = Sinks.readCurrent(spark, tbl)
+    println(s"[3] MOR: ${live.count()} rows live, vector=" +
+      Dv.exists(Sinks.resolve(tbl)) +
+      s", zeroed P-rows=${live.filter(col("o_totalprice") === 0.0).count()}")
+
+    // 4. metadata-only count on the (un-vectored) fork through SQL
+    spark.conf.set("spark.sql.catalog.morx", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.morx.root", rootDir.toString)
+    val cq = spark.sql("SELECT count(*) AS n FROM morx.orders_fork")
+    val metaOnly = cq.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    }.isDefined
+    println(s"[4] metadata count on the fork: ${cq.head().getLong(0)} rows, " +
+      s"LocalRelation=$metaOnly (zero files opened)")
+
+    // 5. the fork evolves its layout independently
+    Sinks.repartitionTable(spark, fork, Seq("o_orderstatus"))
+    println(s"[5] fork re-laid PARTITIONED BY (o_orderstatus): " +
+      s"versions=${Sinks.listVersions(fork).mkString(",")}")
+
+    // 6. purge the main table's vectors; keep a day of history
+    Sinks.compactVersioned(spark, tbl, retainVersions = 0, retainHours = 24.0)
+    println(s"[6] compacted: vector=${Dv.exists(Sinks.resolve(tbl))}, " +
+      s"versions=${Sinks.listVersions(tbl).mkString(",")} " +
+      "(in-window history retained)")
+
+    spark.stop()
+  }
+}

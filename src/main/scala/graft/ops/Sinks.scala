@@ -1468,10 +1468,22 @@ object Sinks {
     * pinning.
     */
   def compactVersioned(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = 0): Long = {
+      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = 0,
+      retainHours: Double = -1.0): Long = {
     require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
     val liveV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
+    // time-based retention (the Delta VACUUM RETAIN spelling): with
+    // retainHours >= 0, a version committed within the window is kept
+    // even past the count cutoff — TIMESTAMP AS OF resolves by the same
+    // commit instant, so the two guarantees line up: any timestamp in
+    // the window stays travelable. Both retention gates must pass to
+    // evict.
+    val cutoffMs: Option[Long] =
+      if (retainHours < 0) None
+      else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
+    def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
+      Files.getLastModifiedTime(Paths.get(versionPath(root, v))).toMillis >= cut)
     val live = versionPath(root, liveV)
     val nFiles = fileCount(Paths.get(live), targetBytes)
     // a compaction must not silently demote the table from skippable to
@@ -1511,6 +1523,7 @@ object Sinks {
     // immutable, so the two lock windows see the same candidates.)
     val evictCandidates =
       listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
+        .filterNot(withinWindow)
     val stamps = evictCandidates.flatMap { ev =>
       val f = Paths.get(versionPath(root, ev), BatchIdFile)
       if (!Files.exists(f)) None
@@ -1556,7 +1569,8 @@ object Sinks {
           false
         }
       val below = listVersions(root).filter(_ < liveV)
-      val evict = if (feedOk) below.sorted.dropRight(retainVersions).toSet
+      val evict = if (feedOk) below.sorted.dropRight(retainVersions)
+                    .filterNot(withinWindow).toSet
                   else Set.empty[Long]
       Fs.listDir(Paths.get(root)).foreach { p =>
         val name = p.getFileName.toString

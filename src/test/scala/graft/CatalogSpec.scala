@@ -509,6 +509,28 @@ class CatalogSpec extends AnyFunSuite {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("time-based retention: retain_hours keeps in-window versions past the count cutoff") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.cmph (k INT)")
+    try {
+      (1 to 2).foreach(i => spark.sql(s"INSERT INTO graft.cmph VALUES ($i)"))
+      // age v0 and v1 beyond a 24h window; v2 stays recent
+      Seq(0L, 1L).foreach(v => java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$wh/cmph/v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 48L * 3600 * 1000)))
+      spark.sql(
+        "CALL graft.system.compact(table => 'cmph', retain_versions => 0, " +
+          "retain_hours => 24.0)").collect()
+      // count cutoff alone would evict v0..v2; the window keeps v2
+      assert(Sinks.listVersions(s"$wh/cmph") == Seq(2L, 3L),
+        s"got ${Sinks.listVersions(s"$wh/cmph")}")
+      // TIMESTAMP-AS-OF alignment: the retained version stays travelable
+      assert(spark.sql("SELECT * FROM graft.cmph VERSION AS OF 2").count() == 2)
+    } finally spark.sql("DROP TABLE graft.cmph")
+  }
+
   test("CALL graft.system.compact rewrites the live version and vacuums history") {
     root
     val wh = spark.conf.get("spark.sql.catalog.graft.root")
