@@ -40,13 +40,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => AnnRewrite)
-    // deletion-vector subtraction for SQL reads of MOR-deleted tables —
-    // runs before MetaCountRewrite can see the relation, and before V2
-    // pushdown so filters still reach the file scan
-    ext.injectOptimizerRule(_ => graft.plans.DvReadRule)
     // metadata-only count(*): global unfiltered counts over Graft
-    // catalog tables answered from the _stats sidecar, never the data
+    // catalog tables answered from the _stats sidecar, never the data.
+    // Injected BEFORE DvReadRule: on a deletion-vector table it answers
+    // count(*) as sidecar rows minus vector cardinality; whatever it
+    // declines, the subtraction rule below then swaps and serves.
     ext.injectOptimizerRule(_ => graft.plans.MetaCountRewrite)
+    // deletion-vector subtraction for SQL reads of MOR-deleted tables —
+    // runs before V2 pushdown so filters still reach the file scan
+    ext.injectOptimizerRule(_ => graft.plans.DvReadRule)
     ext.injectPlannerStrategy(_ => GraftStrategy)
     // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
     // converted to versioned-commit commands at resolution time

@@ -112,12 +112,21 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     * column), distinct from declining.
     */
   private def metaValues(dir: String, kinds: Seq[Kind]): Option[Seq[Any]] = {
-    // under a deletion vector the sidecar's row counts and bounds
-    // describe pre-delete files — decline (DvReadRule's subtracted scan
-    // answers instead)
-    if (graft.ops.Dv.exists(dir)) return None
+    // under a deletion vector the sidecar describes PRE-delete files.
+    // count(*) stays answerable — vector entries are unique positions
+    // in live files (COW never reaches a DV version, carries preserve
+    // keys), so live rows = sidecar rows − vector cardinality, the
+    // Delta stats-minus-DV count. Per-column counts and bounds decline
+    // (which rows the vector hides is unknowable from metadata); the
+    // subtraction rule then serves those from the subtracted scan.
+    val dv = graft.ops.Dv.exists(dir)
+    if (dv && kinds.exists(_ != Star)) return None
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
+    val dvCount =
+      if (!dv) 0L
+      else SparkSession.active.read
+        .parquet(s"$dir/${graft.ops.Dv.Sidecar}").count()
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
@@ -135,7 +144,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         byFile(f).find(r => r.getString(1).equalsIgnoreCase(c) && r.getBoolean(4)))
       if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
-    val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum
+    val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum - dvCount
     val values: Seq[Option[Any]] = kinds.map {
       case Star => Some(total)
       case OfColumn(c) => covered(c).map(_.map(r => r.getLong(2) - r.getLong(3)).sum)

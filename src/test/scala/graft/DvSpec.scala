@@ -78,9 +78,21 @@ class DvSpec extends AnyFunSuite {
     assert(q.count() == 1)
     // time travel: v0 full, under the ordinary scan
     assert(spark.sql("SELECT * FROM graftdv.t VERSION AS OF 0").count() == 60)
-    // count(*): MetaCountRewrite declines under a DV; the subtracted
-    // plan answers and the value is post-delete
-    assert(spark.sql("SELECT count(*) AS n FROM graftdv.t").head().getLong(0) == 50)
+    // count(*): answered from METADATA even under the vector — sidecar
+    // rows minus vector cardinality (the Delta stats-minus-DV count);
+    // the plan collapses to a LocalRelation, zero files open
+    val cnt = spark.sql("SELECT count(*) AS n FROM graftdv.t")
+    assert(cnt.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    }.isDefined, s"\n${cnt.queryExecution.optimizedPlan}")
+    assert(cnt.head().getLong(0) == 50)
+    // per-column counts and bounds still decline (which rows the vector
+    // hides is unknowable from metadata) — served by the subtracted scan
+    val mn = spark.sql("SELECT min(k) AS m FROM graftdv.t")
+    assert(mn.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    }.isEmpty)
+    assert(mn.head().getLong(0) == 0L)
   }
 
   test("appends carry the vector; deleted rows stay deleted next to new rows") {
