@@ -364,6 +364,15 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     }
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // merge-on-read route (same selection as DELETE/UPDATE): matched
+    // update/delete rows' positions join the vector, updated copies and
+    // inserts are the commit's only new files — no file rewrites
+    val morDir = Sinks.versionPath(tRoot, baseVersion)
+    if (graft.ops.TableProps.load(tRoot)
+          .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
+        graft.ops.Dv.exists(morDir)) {
+      return runMor(spark, morDir)
+    }
     val t = ofRows(spark, target)
     val s = ofRows(spark, source)
 
@@ -515,6 +524,158 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       changeFeed = Some(feed))
     else Sinks.publishVersioned(result, tRoot, Some(baseVersion),
       changeFeed = Some(feed))
+    Seq.empty
+  }
+
+  /** Merge-on-read MERGE (B138): the same clause-dispatch semantics as
+    * the COW path, but no target file is ever rewritten — the join runs
+    * against the position-keyed live scan (existing vector subtracted),
+    * matched-update/delete and by-source rows' positions become vector
+    * entries, and updated copies + inserts land as the commit's only
+    * new data files, one atomic commit.
+    *
+    * Rebinding: the fresh scan's columns carry a reserved prefix so
+    * the statement's resolved TARGET attributes re-resolve by prefixed
+    * name while the captured source plan's attributes stay bound as-is
+    * — no name ambiguity regardless of shared column names. The SQL
+    * cardinality rule is enforced on the position pair (a natural
+    * unique row id). Subqueries in conditions/assignments are not
+    * re-bindable this way and refuse.
+    */
+  private def runMor(spark: SparkSession, liveDir: String): Seq[Row] = {
+    val allExprs: Seq[Expression] = Seq(mergeCondition) ++
+      (matchedActions ++ notMatchedActions ++ notMatchedBySourceActions).flatMap {
+        case u: UpdateAction => u.condition.toSeq ++ u.assignments.map(_.value)
+        case d: DeleteAction => d.condition.toSeq
+        case i: InsertAction => i.condition.toSeq ++ i.assignments.map(_.value)
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported action $other")
+      }
+    require(!allExprs.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+      "merge-on-read MERGE does not support subqueries; compact the table " +
+        "and use copy-on-write, or rewrite the statement")
+
+    val MT = "__graft_mt_"
+    val names = target.output.map(_.name)
+    val fresh = Sinks.liveWithPositions(spark, tRoot, liveDir)
+    val tdf = fresh.select(
+        (names.map(n => col(n).as(MT + n)) :+
+          col("_dv_key").as(MT + "dvk") :+ col("_dv_pos").as(MT + "dvp"))
+          .toIndexedSeq: _*)
+      .withColumn(TP, lit(true))
+    // pin the source: the join is evaluated for the cardinality check
+    // AND the tagged pin below — same reasoning as the COW path
+    val sdf = ofRows(spark, source).withColumn(SP, lit(true)).localCheckpoint()
+    require(sdf.columns.forall(!_.startsWith(MT)),
+      s"source columns may not use the reserved $MT prefix")
+
+    val tOutIds = target.output.map(_.exprId).toSet
+    def rebindT(e: Expression): Expression = e.transform {
+      case a: Attribute if tOutIds.contains(a.exprId) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(MT + a.name)
+    }
+    def rcol(e: Expression): Column = col0(rebindT(e))
+    def tcol(a: Attribute): Column = col(MT + a.name)
+    def rActionCond(a: MergeAction): Column = a match {
+      case u: UpdateAction => u.condition.map(rcol).getOrElse(lit(true))
+      case d: DeleteAction => d.condition.map(rcol).getOrElse(lit(true))
+      case i: InsertAction => i.condition.map(rcol).getOrElse(lit(true))
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported action $other")
+    }
+    def rDispatch(acts: Seq[(MergeAction, String)], default: String): Column =
+      acts.foldRight(lit(default): Column) { case ((a, tag), els) =>
+        val tg = a match { case _: DeleteAction => s"d$tag"; case _ => tag }
+        when(coalesce(rActionCond(a), lit(false)), lit(tg)).otherwise(els)
+      }
+
+    // inner join suffices for matched-only statements; inserts need the
+    // source-only side, by-source clauses the target-only side
+    val joinType =
+      if (notMatchedActions.nonEmpty) "full_outer"
+      else if (notMatchedBySourceActions.nonEmpty) "left_outer"
+      else "inner"
+    val joined = tdf.join(sdf, rcol(mergeCondition), joinType)
+
+    if (matchedActions.nonEmpty) {
+      val dup = joined
+        .filter(coalesce(col(TP), lit(false)) && coalesce(col(SP), lit(false)))
+        .groupBy(col(MT + "dvk"), col(MT + "dvp")).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "graft MERGE: a target row matched more than one source row — " +
+          "the SQL cardinality rule makes the update/delete ambiguous; " +
+          "deduplicate the source on the merge key first")
+    }
+
+    val matchedTagged = matchedActions.zipWithIndex.map { case (a, i) => (a, s"m$i") }
+    val insertTagged = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
+    val nmbsTagged = notMatchedBySourceActions.zipWithIndex.map { case (a, i) => (a, s"b$i") }
+
+    val tp = coalesce(col(TP), lit(false))
+    val sp = coalesce(col(SP), lit(false))
+    val op = when(tp && sp, rDispatch(matchedTagged, "keep"))
+      .when(sp && !tp, rDispatch(insertTagged, "drop"))
+      .otherwise(rDispatch(nmbsTagged, "keep"))
+    // one pinned execution: vector delta, new rows, and feed are
+    // projections of the SAME rows (the COW path's emitChanges design)
+    val tagged = joined.withColumn(OP, op).localCheckpoint()
+
+    // acted-on TARGET rows leave the live set through the vector
+    // ("drop" is unmatched-source and starts with 'd' — exclude it and
+    // anything without a target side, or null positions would pollute
+    // the vector and break the stats-minus-DV count)
+    val acted = tp && col(OP) =!= "drop" && col(OP) =!= "keep" &&
+      (col(OP).startsWith("d") || col(OP).startsWith("m") || col(OP).startsWith("b"))
+    val vectorDelta = tagged.filter(acted)
+      .select(col(MT + "dvk").as("file"), col(MT + "dvp").as("row_index"))
+
+    // the commit's new rows: updated copies + inserts
+    val newCols = target.output.map { attr =>
+      var c: Column = lit(null).cast(attr.dataType)
+      (matchedTagged ++ nmbsTagged).foreach {
+        case (u: UpdateAction, tag) =>
+          val v = assignedValue(u.assignments, attr)
+            .map(e => rcol(e).cast(attr.dataType)).getOrElse(tcol(attr))
+          c = when(col(OP) === tag, v).otherwise(c)
+        case _ => ()
+      }
+      insertTagged.foreach {
+        case (ins: InsertAction, tag) =>
+          val v = assignedValue(ins.assignments, attr)
+            .map(e => rcol(e).cast(attr.dataType))
+            .getOrElse(lit(null).cast(attr.dataType))
+          c = when(col(OP) === tag, v).otherwise(c)
+        case _ => ()
+      }
+      c.as(attr.name)
+    }
+    val isNew = col(OP).startsWith("i") ||
+      (col(OP) =!= "keep" &&
+        (col(OP).startsWith("m") || col(OP).startsWith("b")))
+    val newRows = GraftCheck.enforce(
+      tagged.filter(isNew).select(newCols: _*), tRoot)
+
+    // change feed from the same pinned rows (COW-path parity: inserts
+    // post image, deletes pre image, updates both unless no-op)
+    val preS = struct(names.map(n => col(MT + n).as(n)): _*)
+    val postS = struct(newCols: _*)
+    val emptyRow = slice(array(struct(lit("x").as("t"), preS.as("p"))), 1, 0)
+    val feedRows =
+      when(col(OP).startsWith("i"),
+        array(struct(lit("insert").as("t"), postS.as("p"))))
+      .when(col(OP) =!= "drop" && col(OP).startsWith("d"),
+        array(struct(lit("delete").as("t"), preS.as("p"))))
+      .when((col(OP).startsWith("m") || col(OP).startsWith("b")) && !(preS <=> postS),
+        array(struct(lit("update_preimage").as("t"), preS.as("p")),
+          struct(lit("update_postimage").as("t"), postS.as("p"))))
+      .otherwise(emptyRow)
+    val feed = tagged.select(explode(feedRows).as("_c"))
+      .select((names.map(n => col(s"_c.p.$n").as(n)) :+
+        col("_c.t").as("_change_type")).toIndexedSeq: _*)
+
+    Sinks.morPublish(spark, tRoot, baseVersion, newRows, vectorDelta, feed)
     Seq.empty
   }
 }

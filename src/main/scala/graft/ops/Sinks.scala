@@ -1041,42 +1041,64 @@ object Sinks {
     * is a fresh scan of the live version). NULL condition values keep
     * the row — the same three-valued semantics as SQL DELETE.
     */
-  def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
-    val cur = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"no published version under $root"))
-    val dir = versionPath(root, cur)
+  /** The live version's rows with their deletion-vector positions
+    * exposed (`_dv_key`, `_dv_pos`) and the existing vector already
+    * subtracted — the frame every merge-on-read writer filters.
+    */
+  private[graft] def liveWithPositions(spark: SparkSession, root: String,
+      dir: String): DataFrame = {
     require(Dv.safeDir(dir),
-      s"merge-on-read delete requires a URI-transparent table path, got $dir" +
+      s"merge-on-read DML requires a URI-transparent table path, got $dir" +
         " — use copy-on-write DML for this table")
     val base = readSchemaFor(spark, root, dir) match {
       case None => spark.read.parquet(dir)
       case Some(fixed) => spark.read.schema(fixed).parquet(dir)
     }
     val cols = base.columns.toSeq
-    val dvOld = Dv.vector(spark, dir)
-    val live = base
-      .select((cols.map(org.apache.spark.sql.functions.col) :+
-        org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.col
+    base
+      .select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*)
       .withColumn("_dv_key", Dv.relKey(dir))
-      .withColumn("_dv_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
       .drop("_metadata")
-      .join(dvOld.withColumnRenamed("file", "_dv_file")
+      .join(Dv.vector(spark, dir)
+          .withColumnRenamed("file", "_dv_file")
           .withColumnRenamed("row_index", "_dv_row"),
-        org.apache.spark.sql.functions.col("_dv_key") ===
-          org.apache.spark.sql.functions.col("_dv_file") &&
-          org.apache.spark.sql.functions.col("_dv_pos") ===
-            org.apache.spark.sql.functions.col("_dv_row"),
+        col("_dv_key") === col("_dv_file") &&
+          col("_dv_pos") === col("_dv_row"),
         "left_anti")
+  }
+
+  /** The merge-on-read commit every DV writer shares: merge
+    * `vectorDelta` (positions leaving the live set) into the existing
+    * vector, land `newRows` as the commit's only new data files, carry
+    * everything else by hardlink, and ride `feed` as the `_changes`
+    * sidecar — one atomic commit.
+    */
+  private[graft] def morPublish(spark: SparkSession, root: String,
+      expected: Long, newRows: DataFrame, vectorDelta: DataFrame,
+      feed: DataFrame, skipDataWrite: Boolean = false): Long = {
+    val dir = versionPath(root, expected)
+    val merged = Dv.vector(spark, dir).unionByName(vectorDelta)
+    stageLinkedPublish(newRows, root, Some(expected), Nil,
+      emitFeed = false, batchTag = None, carry = _ => true,
+      skipDataWrite = skipDataWrite, changeFeedDf = Some(feed),
+      dvSidecar = Some(merged))
+  }
+
+  def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val dir = versionPath(root, cur)
+    val live = liveWithPositions(spark, root, dir)
+    val cols = live.columns.filterNot(_.startsWith("_dv_")).toSeq
     import org.apache.spark.sql.functions.{coalesce, lit, col => c}
     val matched = live.filter(coalesce(cond, lit(false)))
-    val merged = dvOld.unionByName(
-      matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index")))
+    val delta = matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index"))
     val feed = matched.select(cols.map(c).toIndexedSeq: _*)
       .withColumn("_change_type", lit("delete"))
-    stageLinkedPublish(base.limit(0), root, Some(cur), Nil,
-      emitFeed = false, batchTag = None, carry = _ => true,
-      skipDataWrite = true, changeFeedDf = Some(feed),
-      dvSidecar = Some(merged))
+    morPublish(spark, root, cur, live.limit(0).select(cols.map(c).toIndexedSeq: _*),
+      delta, feed, skipDataWrite = true)
   }
 
   /** Merge-on-read UPDATE (B136): the DV composition of delete+insert —
@@ -1102,31 +1124,15 @@ object Sinks {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val dir = versionPath(root, cur)
-    require(Dv.safeDir(dir),
-      s"merge-on-read update requires a URI-transparent table path, got $dir" +
-        " — use copy-on-write DML for this table")
-    val base = readSchemaFor(spark, root, dir) match {
-      case None => spark.read.parquet(dir)
-      case Some(fixed) => spark.read.schema(fixed).parquet(dir)
-    }
-    val cols = base.columns.toSeq
+    val live = liveWithPositions(spark, root, dir)
+    val cols = live.columns.filterNot(_.startsWith("_dv_")).toSeq
     assignments.keys.foreach(k => require(
       cols.exists(_.equalsIgnoreCase(k)),
       s"assignment targets unknown column $k (have ${cols.mkString(", ")})"))
     import org.apache.spark.sql.functions.{coalesce, lit, col => c}
-    val dvOld = Dv.vector(spark, dir)
-    val live = base
-      .select((cols.map(c) :+ c("_metadata")).toIndexedSeq: _*)
-      .withColumn("_dv_key", Dv.relKey(dir))
-      .withColumn("_dv_pos", c("_metadata.row_index"))
-      .drop("_metadata")
-      .join(dvOld.withColumnRenamed("file", "_dv_file")
-          .withColumnRenamed("row_index", "_dv_row"),
-        c("_dv_key") === c("_dv_file") && c("_dv_pos") === c("_dv_row"),
-        "left_anti")
     val matched = live.filter(coalesce(cond, lit(false)))
-    val merged = dvOld.unionByName(
-      matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index")))
+    val delta =
+      matched.select(c("_dv_key").as("file"), c("_dv_pos").as("row_index"))
     def toCols(df: DataFrame) = df.select(cols.map(c).toIndexedSeq: _*)
     val updated = toCols(matched.select(cols.map { n =>
       assignments.collectFirst {
@@ -1138,9 +1144,7 @@ object Sinks {
     // `validate` wraps the frame that is WRITTEN (CHECK-constraint
     // enforcement from the catalog tier rides here) — a failing row
     // aborts the staged write before any commit move
-    stageLinkedPublish(validate(updated), root, Some(cur), Nil,
-      emitFeed = false, batchTag = None, carry = _ => true,
-      changeFeedDf = Some(feed), dvSidecar = Some(merged))
+    morPublish(spark, root, cur, validate(updated), delta, feed)
   }
 
   /** Partition evolution: re-lay the LIVE version under a new partition

@@ -328,6 +328,18 @@ object ScanOps extends QueryModule {
            |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // B138 merge-on-read MERGE read-back: the rows the MERGE touched
+    // (matched update re-landed as a new copy behind the vector, plus
+    // the not-matched insert) — value-for-value vs the fixture
+    // recompute of the whole delete→insert→update→merge chain.
+    "q_mor_merge" -> ((s, dir) => {
+      val cat = morCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM $cat.ord_mor WHERE o_orderkey >= 90000000
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // B134 partition evolution end to end: events CTAS'd UNPARTITIONED,
     // then `CALL system.repartition_table` re-lays the live version
     // Hive-partitioned by event_type (one OCC commit; history keeps its
@@ -587,7 +599,13 @@ object ScanOps extends QueryModule {
       |    o_orderstatus,
       |    CASE WHEN o_orderstatus = 'P' THEN 100.5
       |         ELSE o_totalprice END AS o_totalprice
-      |  FROM t)
+      |  FROM t),
+      |m AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey = 90000001 THEN 777.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM u
+      |  UNION ALL SELECT 90000002, 99, 'Z', 88.25)
       |""".stripMargin
 
   /** Per-sf-dir catalog for q_mor_delete: `ord_mor` = orders under
@@ -605,10 +623,10 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/ord_mor"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    // layout tag invalidates caches built before the UPDATE step landed
-    val stamp = Tables.srcStamp(dir, "orders") + ":mor-update"
+    // layout tag invalidates caches built before the MERGE step landed
+    val stamp = Tables.srcStamp(dir, "orders") + ":mor-merge"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
-      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L, 4L) &&
       Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
@@ -624,6 +642,17 @@ object ScanOps extends QueryModule {
       s.sql(s"""UPDATE $cat.ord_mor
                |SET o_custkey = o_custkey + 1000000, o_totalprice = 100.5
                |WHERE o_orderstatus = 'P'""".stripMargin)
+      // B138 MOR MERGE: matched update + not-matched insert, one vector
+      // commit (no file rewrites)
+      s.sql(
+        s"""MERGE INTO $cat.ord_mor t USING (
+           |  SELECT 90000001 AS mk, 777.0 AS np
+           |  UNION ALL SELECT 90000002, 88.25) s
+           |ON t.o_orderkey = s.mk
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+           |  VALUES (s.mk, 99, 'Z', s.np)""".stripMargin)
       Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
@@ -991,12 +1020,18 @@ object ScanOps extends QueryModule {
         """SELECT o_orderstatus, count(*) AS n_orders,
           |  min(o_orderkey) AS min_key,
           |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-          |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     "q_mor_update" ->
       (morOracleCte +
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-          |FROM u WHERE o_custkey > 1000000
+          |FROM m WHERE o_custkey > 1000000
+          |ORDER BY o_orderkey""".stripMargin),
+
+    "q_mor_merge" ->
+      (morOracleCte +
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM m WHERE o_orderkey >= 90000000
           |ORDER BY o_orderkey""".stripMargin),
 
     "q_partition_evolution" ->

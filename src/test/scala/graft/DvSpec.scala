@@ -205,6 +205,75 @@ class DvSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftdvu.t").head().getLong(0) == 30)
   }
 
+  test("MOR MERGE: update+delete+insert in one vector commit, value-identical to the COW path") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graftdvm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdvm.root", root)
+    import spark.implicits._
+    val base = spark.range(0, 30).select($"id".as("k"), ($"id" % 3).as("g"),
+      $"id".cast("double").as("w"))
+    // twin tables: same content, one merge-on-read, one copy-on-write
+    Sinks.publishVersioned(base.repartition(3), s"$root/morT", None)
+    Sinks.publishVersioned(base.repartition(3), s"$root/cowT", None)
+    TableProps.update(s"$root/morT")(_ + ("graft.dml.mode" -> "mor"))
+    Seq((1L, "u", 100.0), (4L, "u", 400.0), (2L, "d", 0.0), (5L, "d", 0.0),
+      (100L, "i", 500.0)).toDF("k", "op", "nw")
+      .createOrReplaceTempView("dv_merge_src")
+    val mergeSql = (tbl: String) =>
+      s"""MERGE INTO graftdvm.$tbl t USING dv_merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET w = s.nw
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, g, w) VALUES (s.k, 9, s.nw)""".stripMargin
+    val keys0 = dataFileKeys(Sinks.versionPath(s"$root/morT", 0))
+    spark.sql(mergeSql("morT"))
+    spark.sql(mergeSql("cowT"))
+    assert(Dv.exists(Sinks.resolve(s"$root/morT")), "MERGE must route merge-on-read")
+    // every original file carried untouched; new files = copies + inserts
+    assert(keys0.subsetOf(dataFileKeys(Sinks.resolve(s"$root/morT"))))
+    val mor = spark.sql("SELECT * FROM graftdvm.morT").orderBy("k", "w").collect()
+    val cow = spark.sql("SELECT * FROM graftdvm.cowT").orderBy("k", "w").collect()
+    assert(mor.toSeq == cow.toSeq,
+      s"MOR and COW MERGE diverged:\nmor=${mor.mkString(",")}\ncow=${cow.mkString(",")}")
+    assert(mor.length == 29)
+    // feed parity: insert, 2 deletes, 2 update pairs
+    val feed = spark.read.parquet(s"${Sinks.resolve(s"$root/morT")}/_changes")
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 1L, "delete" -> 2L,
+        "update_preimage" -> 2L, "update_postimage" -> 2L))
+    // metadata count still fires on the vectored table
+    val cnt = spark.sql("SELECT count(*) AS n FROM graftdvm.morT")
+    assert(cnt.head().getLong(0) == 29)
+  }
+
+  test("MOR MERGE: WHEN NOT MATCHED BY SOURCE and cardinality refusal") {
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.graftdvn", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdvn.root", root)
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 10).select($"id".as("k"), lit(0L).as("tag")),
+      s"$root/t", None)
+    TableProps.update(s"$root/t")(_ + ("graft.dml.mode" -> "mor"))
+    Seq(3L, 4L).toDF("k").createOrReplaceTempView("dv_nmbs_src")
+    spark.sql(
+      """MERGE INTO graftdvn.t t USING dv_nmbs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET tag = 1
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = -1""".stripMargin)
+    val out = spark.sql("SELECT * FROM graftdvn.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 1L && out(4L) == 1L)
+    assert((out.keySet -- Set(3L, 4L)).forall(out(_) == -1L))
+    assert(out.size == 10)
+    // a duplicated source key refuses with the SQL cardinality error
+    Seq(3L, 3L).toDF("k").createOrReplaceTempView("dv_dup_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graftdvn.t t USING dv_dup_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET tag = 2""".stripMargin))
+    assert(e.getMessage.contains("cardinality") ||
+      e.getMessage.contains("more than one"))
+  }
+
   test("RESTORE carries the vector; partitioned layouts (encoded values) subtract exactly") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
