@@ -223,9 +223,6 @@ object Bloom {
   def readWhereEq(spark: SparkSession, dir: String,
       colName: String, value: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    // this fast path opens surviving files RAW — under a deletion
-    // vector that would resurrect deleted rows; refuse, never degrade
-    Dv.requireNone(dir, "the bloom point-lookup read")
     val bloomKept = prunedFilesEq(spark, dir, colName, value)
     val kept =
       if (Files.isDirectory(Paths.get(dir, Stats.Sidecar)))
@@ -239,7 +236,18 @@ object Bloom {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       val rd = spark.read.option("basePath", dir)
-      readSchema.fold(rd)(rd.schema).parquet(kept: _*).filter(pred)
+      val raw = readSchema.fold(rd)(rd.schema).parquet(kept: _*)
+      // deletion-vector subtraction rides the point lookup too —
+      // membership pruning stays conservative (a surviving file whose
+      // matching row was MOR-deleted contributes nothing)
+      val subtracted =
+        if (!Dv.exists(dir)) raw
+        else {
+          val cols = raw.columns.toSeq
+          Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
+            dir, cols)
+        }
+      subtracted.filter(pred)
     }
   }
 

@@ -26,12 +26,17 @@ import org.apache.spark.sql.functions._
   * system.compact` IS the purge: the rewrite materializes survivors
   * and drops the sidecar.
   *
-  * Honest-refusal boundary (the Delta phasing — DVs shipped for DELETE
-  * first): file-granular COW UPDATE/MERGE and the stats/bloom
-  * pruned-read fast paths refuse on a DV-carrying version with a
-  * compact-to-purge hint, rather than silently resurrecting deleted
-  * rows ([[requireNone]]). Metadata-only counts decline (the sidecar
-  * row counts no longer equal live rows).
+  * Every reader subtracts: [[Sinks.readDir]], the catalog rule, and
+  * the stats/bloom pruned fast paths ([[subtract]] restricted to the
+  * kept files — pruning stays conservative, a kept file whose matching
+  * rows were MOR-deleted contributes nothing). SQL DELETE/UPDATE/MERGE
+  * all route merge-on-read on a vectored table, so the only remaining
+  * refusals are the inherently incompatible ones: a direct COW publish
+  * over a vector ([[requireNone]] — raw touched-file reads would
+  * resurrect rows), `_metadata` reads (the subtraction consumes them),
+  * and rule-less sessions (the catalog refuses to serve). Metadata-only
+  * `count(*)` stays exact as sidecar rows minus vector cardinality;
+  * per-column metadata aggregates decline to the subtracted scan.
   *
   * Key encoding: the stored key is the URI-ENCODED subpath exactly as
   * Spark's `_metadata.file_path` reports it after the version-dir

@@ -264,9 +264,6 @@ object Stats {
   def readWhere(spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    // this fast path opens surviving files RAW — under a deletion
-    // vector that would resurrect deleted rows; refuse, never degrade
-    Dv.requireNone(dir, "the stats-pruned read")
     val files = prunedFiles(spark, dir, colName, lo, hi)
     val pred = col(colName).between(lit(lo), lit(hi))
     if (files.isEmpty) {
@@ -276,7 +273,20 @@ object Stats {
       // basePath keeps partition-dir columns in scope when the surviving
       // files are addressed individually (no-op for flat layouts)
       val rd = spark.read.option("basePath", dir)
-      readSchema.fold(rd)(rd.schema).parquet(files: _*).filter(pred)
+      val raw = readSchema.fold(rd)(rd.schema).parquet(files: _*)
+      // a deletion vector subtracts here exactly as in the full read —
+      // stats pruning stays conservative (a kept file whose matching
+      // rows were all MOR-deleted just contributes nothing) and the
+      // keys are file_path-relative, valid for individually-addressed
+      // files too
+      val subtracted =
+        if (!Dv.exists(dir)) raw
+        else {
+          val cols = raw.columns.toSeq
+          Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
+            dir, cols)
+        }
+      subtracted.filter(pred)
     }
   }
 

@@ -111,21 +111,24 @@ class DvSpec extends AnyFunSuite {
     assert(cur.filter($"k" >= 1000).count() == 10)
   }
 
-  test("compaction purges the vector; COW DML becomes available again") {
+  test("compaction purges the vector; COW publish refuses; stats fast path subtracts") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
     val df = spark.range(0, 50).select($"id".as("k"), ($"id" % 5).as("g"))
-    Sinks.publishVersioned(df.repartition(2), tbl, None)
+    Sinks.publishVersioned(df.repartition(2), tbl, None, statsCols = Seq("k"))
     Sinks.deleteVector(spark, tbl, col("g") === 0)
-    // COW refuses while the vector exists
+    // a direct COW publish (raw touched-file reads) refuses while the
+    // vector exists — SQL DML routes MOR instead
     val e = intercept[IllegalArgumentException](
       Sinks.cowPublish(spark, tbl, Sinks.currentVersion(tbl).get,
         Set("nope"), Sinks.readCurrent(spark, tbl).limit(0)))
     assert(e.getMessage.contains("compact"))
-    // stats fast path refuses too
-    val e2 = intercept[IllegalArgumentException](
-      Stats.readWhere(spark, Sinks.resolve(tbl), "k", 0L, 10L))
-    assert(e2.getMessage.contains("deletion vector"))
+    // the stats-pruned fast path SUBTRACTS (no refusal, no resurrection)
+    val pruned = Stats.readWhere(spark, Sinks.resolve(tbl), "k", 0L, 10L)
+    assert(pruned.count() ==
+      df.filter($"k".between(0, 10) && $"g" =!= 0).count())
+    assert(pruned.filter($"g" === 0).count() == 0,
+      "pruned fast path must not resurrect MOR-deleted rows")
     Sinks.compactVersioned(spark, tbl, targetBytes = 64L * 1024 * 1024)
     assert(!Dv.exists(Sinks.resolve(tbl)), "compaction is the purge")
     val cur = Sinks.readCurrent(spark, tbl)
