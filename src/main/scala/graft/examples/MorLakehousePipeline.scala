@@ -80,6 +80,20 @@ object MorLakehousePipeline {
     println(s"[3] MOR: ${live.count()} rows live, vector=" +
       Dv.exists(Sinks.resolve(tbl)) +
       s", zeroed P-rows=${live.filter(col("o_totalprice") === 0.0).count()}")
+    // ... and a full SQL MERGE routes merge-on-read too (update + insert
+    // in one vector commit, still no file rewrites)
+    spark.conf.set("spark.sql.catalog.morm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.morm.root", rootDir.toString)
+    spark.sql(
+      """MERGE INTO morm.orders t USING (SELECT 1 AS mk, 9.99 AS np
+        |  UNION ALL SELECT -7, 1.25) s
+        |ON t.o_orderkey = s.mk
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+        |WHEN NOT MATCHED THEN INSERT
+        |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.mk, 0, 'Z', s.np)""".stripMargin)
+    println(s"[3b] MOR MERGE: ${Sinks.readCurrent(spark, tbl).count()} rows, " +
+      s"versions=${Sinks.listVersions(tbl).size}")
 
     // 4. metadata-only count on the (un-vectored) fork through SQL
     spark.conf.set("spark.sql.catalog.morx", "graft.catalog.GraftCatalog")

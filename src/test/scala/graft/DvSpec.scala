@@ -277,6 +277,28 @@ class DvSpec extends AnyFunSuite {
       e.getMessage.contains("more than one"))
   }
 
+  test("the exactly-once streaming sink composes with MOR: batches append past the vector") {
+    val dir = tmp()
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 20).select($"id".as("k"), ($"id" % 2).as("g")), tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 1)
+    // a streaming micro-batch lands as a linked append; the carry must
+    // bring the vector along so deleted rows stay deleted
+    val src = s"$dir/src"
+    Seq((1000L, 5L), (1001L, 5L)).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = graft.ops.TableStream.streamTo(
+      spark.readStream.schema("k LONG, g LONG").parquet(src), tbl, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 12, s"10 survivors + 2 streamed, got ${cur.count()}")
+    assert(cur.filter($"g" === 1).count() == 0,
+      "a streamed append must not resurrect MOR-deleted rows")
+    assert(cur.filter($"g" === 5).count() == 2)
+  }
+
   test("RESTORE carries the vector; partitioned layouts (encoded values) subtract exactly") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
