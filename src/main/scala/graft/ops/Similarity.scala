@@ -195,6 +195,30 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (B139 — the embedding-space analog
+    * of MinHash dedup, per the SemDeDup recipe: collapse groups of
+    * semantically near-identical documents to one survivor each):
+    * sign-LSH bucketed candidate pairs (never all-pairs), exact cosine
+    * rerank at `threshold`, connected components over the surviving
+    * edges, keep the minimum id per component. Returns one row per
+    * input vector: `(vec_id, cluster_id, is_survivor)` — training-set
+    * selection filters `is_survivor = 1`.
+    *
+    * Scale shape: candidates form only inside equal (band, code)
+    * buckets ([[signLshCandidates]]); components run the same
+    * iterative min-label propagation as the MinHash cluster path
+    * (join+agg per round, durable pins, no driver materialization).
+    */
+  def semanticDedup(corpus: DataFrame, bands: Int, bits: Int,
+      threshold: Double): DataFrame = {
+    val edges = cosineNearDupPairs(corpus, bands, bits, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.connectedComponents(
+        corpus.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
+  }
+
   /** Exact all-pairs variant — O(n²) BroadcastNestedLoopJoin by
     * construction, so strictly a TEST-SCALE ground-truth generator for
     * measuring [[cosineNearDupPairs]] recall (LlmSpec). Never ship this

@@ -119,6 +119,18 @@ object LlmOps extends QueryModule {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // B139 SemDeDup-style semantic dedup: near-duplicate groups in
+    // EMBEDDING space collapse to one survivor each — the same edges as
+    // q_embed_neardup (sign-LSH buckets + exact cosine ≥ 0.4), closed
+    // into components, minimum id survives. The oracle recomputes the
+    // pairs AND the transitive closure (recursive CTE), so the hash
+    // proves bucketing, rerank, and clustering end to end.
+    "q_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+          bands = 8, bits = 8, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // B61 per-label centroid vectors (the class-prototype computation
     // classifier-based quality filters train on): posexplode to
     // (label, dim, value), one keyed avg — the vector mean without ever
@@ -543,6 +555,42 @@ object LlmOps extends QueryModule {
         |  GROUP BY c.vec_a, c.vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM rr
         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE bd AS (
+        |  SELECT vec_id, g.b AS band,
+        |    string_agg(CASE WHEN embedding[g.b*8 + d.i] >= 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY d.i) AS code
+        |  FROM embeddings, generate_series(0,7) g(b), generate_series(1,8) d(i)
+        |  GROUP BY vec_id, g.b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+        |rr AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    round(sum(CAST(x.embedding[g.i] AS DOUBLE)*CAST(y.embedding[g.i] AS DOUBLE)) /
+        |      (sqrt(sum(CAST(x.embedding[g.i] AS DOUBLE)*CAST(x.embedding[g.i] AS DOUBLE))) *
+        |       sqrt(sum(CAST(y.embedding[g.i] AS DOUBLE)*CAST(y.embedding[g.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN embeddings x ON x.vec_id = c.vec_a
+        |  JOIN embeddings y ON y.vec_id = c.vec_b,
+        |  generate_series(1,64) g(i)
+        |  GROUP BY c.vec_a, c.vec_b),
+        |e0 AS (SELECT vec_a, vec_b FROM rr WHERE cos_sim >= 0.4),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM e0
+        |          UNION SELECT vec_b, vec_a FROM e0),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src)
+        |SELECT em.vec_id,
+        |  CAST(coalesce(least(c.min_reach, em.vec_id), em.vec_id) AS BIGINT) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(least(c.min_reach, em.vec_id), em.vec_id) = em.vec_id
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+        |FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
 
     "q_label_centroids" ->
       """SELECT label, CAST(g.i AS INTEGER) AS dim,

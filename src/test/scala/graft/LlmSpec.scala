@@ -493,4 +493,30 @@ class LlmSpec extends AnyFunSuite {
     assert(q == ((0, 0.0, 0.0, 0.0, 0.0)),
       s"empty doc must score all-zero (null would pass quality<x gates): $q")
   }
+
+  test("B139 semantic dedup: near-identical embedding groups collapse to the min-id survivor") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two tight groups (identical and sign-identical vectors share LSH
+    // buckets and cosine 1.0) plus two orthogonal-ish singletons
+    val v1 = Array.fill(64)(0.125f)
+    val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.17f else -0.05f)
+    val lone1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val lone2 = Array.tabulate(64)(i => if (i == 63) -1f else 0f)
+    val corpus = Seq(
+      (10L, v1), (11L, v1), (12L, v1),
+      (20L, v2), (21L, v2),
+      (30L, lone1), (40L, lone2)
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.semanticDedup(corpus,
+        bands = 8, bits = 8, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(10L) == ((10L, 1)) && out(11L) == ((10L, 0)) && out(12L) == ((10L, 0)),
+      s"group 1 must collapse to min id 10: $out")
+    assert(out(20L) == ((20L, 1)) && out(21L) == ((20L, 0)))
+    assert(out(30L) == ((30L, 1)) && out(40L) == ((40L, 1)),
+      "singletons survive as their own clusters")
+    // survivor count = number of components
+    assert(out.values.count(_._2 == 1) == 4)
+  }
 }
