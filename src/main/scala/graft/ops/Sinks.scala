@@ -182,16 +182,24 @@ object Sinks {
       throw new IllegalStateException(s"no published version under $root"))
     val live = versionPath(root, cur)
     val files = Fs.walkParquet(Paths.get(live))
+    // deletion-vector cardinality is the one number that is data (a
+    // small sidecar read); everything else stays directory metadata
+    val nDeleted =
+      if (!Dv.exists(live)) 0L
+      else spark.read.parquet(s"$live/${Dv.Sidecar}").count()
+    val nIngested = TableProps.load(root).count(_._1.startsWith("graft.copyin."))
     Seq((root, "parquet", cur, listVersions(root).size.toLong,
         files.size.toLong, files.map(Files.size).sum,
         TableProps.partitionCols(root).mkString(","),
         Stats.sidecarCols(spark, live).mkString(","),
         Bloom.sidecarCols(spark, live).mkString(","),
         Files.isDirectory(Paths.get(live, AnnIndex.CentroidsSidecar)),
-        Files.isDirectory(Paths.get(live, ChangesSidecar))))
+        Files.isDirectory(Paths.get(live, ChangesSidecar)),
+        nDeleted, nIngested.toLong))
       .toDF("location", "format", "version", "n_versions", "n_files",
         "size_bytes", "partition_cols", "stats_cols", "bloom_cols",
-        "is_ann_index", "has_change_feed")
+        "is_ann_index", "has_change_feed",
+        "n_deleted_positions", "n_ingested_files")
   }
 
   /** Time-travel read: the immutable contents of version `v`, unaffected

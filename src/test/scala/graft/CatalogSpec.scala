@@ -577,6 +577,14 @@ class CatalogSpec extends AnyFunSuite {
         """SELECT h.version FROM table_history('graft.dtl') h
           |JOIN table_detail('graft.dtl') d ON h.version = d.version""".stripMargin)
       assert(joined.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // round-9 observability: a MOR delete surfaces its vector
+      // cardinality; an un-vectored table reports zero
+      assert(d.getAs[Long]("n_deleted_positions") == 0L)
+      val wh = spark.conf.get("spark.sql.catalog.graft.root")
+      graft.ops.Sinks.deleteVector(spark, s"$wh/dtl",
+        org.apache.spark.sql.functions.col("k") === 1L)
+      val d2 = spark.sql("SELECT * FROM table_detail('graft.dtl')").head()
+      assert(d2.getAs[Long]("n_deleted_positions") == 1L)
     } finally spark.sql("DROP TABLE graft.dtl")
   }
 
