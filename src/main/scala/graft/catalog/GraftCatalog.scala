@@ -292,17 +292,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   /** `TIMESTAMP AS OF <ts>` (micros): the newest version committed at or
-    * before the timestamp, by version-directory mtime — the layout's
-    * commit time ([[Sinks.publishVersioned]] stamps the dir at the
-    * commit rename).
+    * before the timestamp, by the recorded commit instant
+    * ([[Sinks.commitInstantMs]] — the durable `_COMMIT_TS` marker the
+    * commit rename writes, dir mtime as the pre-marker fallback; the
+    * same reader time-based retention uses, so travelability and
+    * retention stay aligned).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val tr = tableRoot(ident)
     if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
     val live = Sinks.listVersions(tr)
     val eligible = live.filter(v =>
-      Files.getLastModifiedTime(Paths.get(Sinks.versionPath(tr, v))).toMillis * 1000L
-        <= timestamp)
+      Sinks.commitInstantMs(Sinks.versionPath(tr, v)) * 1000L <= timestamp)
     if (eligible.isEmpty)
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: no version committed at or before " +

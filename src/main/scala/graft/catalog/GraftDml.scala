@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.ops.Sinks
+import graft.ops.{Pin, Sinks}
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
@@ -376,7 +376,10 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val t = ofRows(spark, target)
     val s = ofRows(spark, source)
 
-    val needRid = matchedActions.nonEmpty
+    // multi-match detection is needed whenever matched pairs can reach
+    // the rewrite: matched clauses (ambiguity check) AND by-source-only
+    // merges (a multi-matched 'keep' row must not be duplicated)
+    val needRid = matchedActions.nonEmpty || notMatchedBySourceActions.nonEmpty
     // Copy-on-write (Delta's two-pass MERGE): pass 1 inner-joins target
     // and source to find the files holding matched target rows; pass 2
     // runs the real merge join against ONLY those files, and every
@@ -451,15 +454,6 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val joinType = if (notMatchedActions.nonEmpty) "full_outer" else "left_outer"
     val joined = tdf.join(sdf, col0(mergeCondition), joinType)
 
-    if (needRid) {
-      val dup = joined.filter(col(TP) && col(SP))
-        .groupBy(col(RID)).count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "graft MERGE: a target row matched more than one source row — " +
-          "the SQL cardinality rule makes the update/delete ambiguous; " +
-          "deduplicate the source on the merge key first")
-    }
-
     val matchedTagged = matchedActions.zipWithIndex.map { case (a, i) => (a, s"m$i") }
     val insertTagged = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
     val nmbsTagged = notMatchedBySourceActions.zipWithIndex.map { case (a, i) => (a, s"b$i") }
@@ -473,9 +467,56 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     // ONE pinned execution of the dispatched join; the published table
     // AND the change feed are projections of these identical rows
     // (Merge.applyTo's emitChanges design) — the dominant shuffle is not
-    // paid twice, and feed/data can never disagree
+    // paid twice, and feed/data can never disagree. localCheckpoint, not
+    // Pin.stable, deliberately: downstream column references here are
+    // exprId-bound (target and source legitimately share names, so
+    // by-name rebinding is ambiguous) and only a plan that preserves
+    // output attributes keeps them resolvable. The pinned frame is
+    // O(touched files ∪ source) — the same working set the COW rewrite
+    // materializes anyway; an executor loss costs a merge retry, never
+    // corruption (the commit has not happened). The by-name-rebindable
+    // MOR path below uses the durable Pin.stable.
     val tagged = joined.withColumn(OP, op).localCheckpoint()
-    val kept = tagged.filter(!(col(OP) === "drop" || col(OP).startsWith("d")))
+
+    // SQL cardinality rule + multi-match resolution, on the SAME pinned
+    // rows the publish reads. A target row matched by several source
+    // rows is ambiguous ONLY when more than one pair's dispatched op
+    // ACTS (update/delete) — pairs every matched clause dispatches to
+    // 'keep' modify nothing, and Delta/SQL error only when an
+    // update/delete actually applies. An allowed multi-match still must
+    // not duplicate the target row in the rewrite: the acting pair (if
+    // any) consumes the row, surplus 'keep' copies collapse to one.
+    val resolved = if (!needRid) tagged else {
+      val isPair = coalesce(col(TP), lit(false)) && coalesce(col(SP), lit(false))
+      val matchedPairs = tagged.filter(isPair)
+      val multi = matchedPairs.groupBy(col(RID))
+        .agg(count(lit(1)).as("__n"),
+          count(when(col(OP) =!= "keep", 1)).as("__na"))
+        .filter(col("__n") > 1)
+        .agg(count(lit(1)).as("dups"),
+          coalesce(max(col("__na")), lit(0L)).as("maxa"))
+        .collect()(0)
+      if (multi.getLong(1) > 1) throw new IllegalStateException(
+        "graft MERGE: a target row matched more than one source row — " +
+          "the SQL cardinality rule makes the update/delete ambiguous; " +
+          "deduplicate the source on the merge key first")
+      if (multi.getLong(0) == 0) tagged
+      else {
+        // rare path (multi-matches exist, at most one pair acts each):
+        // the acting pair outranks keeps; all-keep rows collapse to one
+        // copy. Re-pinned so data and feed read ONE stable resolution.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
+          .orderBy(when(col(OP) =!= "keep", lit(0)).otherwise(lit(1)))
+        val collapsed = matchedPairs
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        // localCheckpoint (same exprId-preservation constraint as the
+        // tagged pin); O(matched pairs ∪ tagged), rare path only
+        collapsed.unionByName(tagged.filter(!isPair)).localCheckpoint()
+      }
+    }
+
+    val kept = resolved.filter(!(col(OP) === "drop" || col(OP).startsWith("d")))
 
     val outCols = target.output.map { attr =>
       var c: Column = when(col(OP) === "keep", col0(attr))
@@ -517,7 +558,7 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
         array(struct(lit("update_preimage").as("t"), preS.as("p")),
           struct(lit("update_postimage").as("t"), postS.as("p"))))
       .otherwise(emptyRow)
-    val feed = tagged.select(explode(feedRows).as("_c"))
+    val feed = resolved.select(explode(feedRows).as("_c"))
       .select(names.map(n => col(s"_c.p.$n").as(n)) :+
         col("_c.t").as("_change_type"): _*)
     if (cow) Sinks.cowPublish(spark, tRoot, baseVersion, touchedRel, result,
@@ -569,11 +610,21 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val sdf = ofRows(spark, source).withColumn(SP, lit(true)).localCheckpoint()
     require(sdf.columns.forall(!_.startsWith(MT)),
       s"source columns may not use the reserved $MT prefix")
+    // the durable tagged pin below is a fresh parquet scan (new
+    // exprIds), so SOURCE attributes must also re-resolve by NAME —
+    // possible only when source names are unique (target names carry
+    // the prefix, so cross-side collisions cannot occur)
+    require(sdf.columns.map(_.toLowerCase).distinct.length == sdf.columns.length,
+      "merge-on-read MERGE requires unique source column names " +
+        s"(got ${sdf.columns.mkString(", ")}); alias the duplicates")
 
     val tOutIds = target.output.map(_.exprId).toSet
+    val sOutIds = source.output.map(_.exprId).toSet
     def rebindT(e: Expression): Expression = e.transform {
       case a: Attribute if tOutIds.contains(a.exprId) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(MT + a.name)
+      case a: Attribute if sOutIds.contains(a.exprId) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
     }
     def rcol(e: Expression): Column = col0(rebindT(e))
     def tcol(a: Attribute): Column = col(MT + a.name)
@@ -598,17 +649,6 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       else "inner"
     val joined = tdf.join(sdf, rcol(mergeCondition), joinType)
 
-    if (matchedActions.nonEmpty) {
-      val dup = joined
-        .filter(coalesce(col(TP), lit(false)) && coalesce(col(SP), lit(false)))
-        .groupBy(col(MT + "dvk"), col(MT + "dvp")).count()
-        .filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "graft MERGE: a target row matched more than one source row — " +
-          "the SQL cardinality rule makes the update/delete ambiguous; " +
-          "deduplicate the source on the merge key first")
-    }
-
     val matchedTagged = matchedActions.zipWithIndex.map { case (a, i) => (a, s"m$i") }
     val insertTagged = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
     val nmbsTagged = notMatchedBySourceActions.zipWithIndex.map { case (a, i) => (a, s"b$i") }
@@ -619,8 +659,31 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       .when(sp && !tp, rDispatch(insertTagged, "drop"))
       .otherwise(rDispatch(nmbsTagged, "keep"))
     // one pinned execution: vector delta, new rows, and feed are
-    // projections of the SAME rows (the COW path's emitChanges design)
-    val tagged = joined.withColumn(OP, op).localCheckpoint()
+    // projections of the SAME rows (the COW path's emitChanges design).
+    // Pin.stable, not localCheckpoint: the outer join is O(table), and
+    // non-replicated checkpoint blocks would make one executor loss
+    // fatal at 100 TB (round-9 verdict, B93's sibling). Safe here —
+    // unlike the COW path — because EVERY downstream reference resolves
+    // by name (target via the MT prefix, source via the uniqueness
+    // require above), so the pin's fresh exprIds don't matter.
+    val tagged = Pin.stable(joined.withColumn(OP, op))
+
+    if (matchedActions.nonEmpty) {
+      // SQL cardinality rule on the pinned rows, counted only over
+      // pairs whose dispatched op ACTS — a multi-matched pair every
+      // matched clause sends to 'keep' modifies nothing and is legal
+      // (it also contributes nothing downstream: vector delta, new
+      // rows, and feed all exclude 'keep', so no dedup is needed here).
+      val dup = tagged
+        .filter(coalesce(col(TP), lit(false)) && coalesce(col(SP), lit(false)) &&
+          col(OP) =!= "keep")
+        .groupBy(col(MT + "dvk"), col(MT + "dvp")).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "graft MERGE: a target row matched more than one source row — " +
+          "the SQL cardinality rule makes the update/delete ambiguous; " +
+          "deduplicate the source on the merge key first")
+    }
 
     // acted-on TARGET rows leave the live set through the vector
     // ("drop" is unmatched-source and starts with 'd' — exclude it and

@@ -75,11 +75,18 @@ object LocalFsCommit extends CommitProtocol {
     Files.move(stage, dest, StandardCopyOption.ATOMIC_MOVE)
     // stamp the COMMIT instant: rename preserves the staging-write
     // mtime, which can predate the commit by however long this writer
-    // waited on the lock — TIMESTAMP AS OF resolves by this mtime
-    // (GraftCatalog), so it must be the visibility time, not the write
-    // time
+    // waited on the lock — TIMESTAMP AS OF and time-based retention
+    // resolve by this instant, so it must be the visibility time, not
+    // the write time. The instant is recorded TWICE: a durable
+    // `_COMMIT_TS` marker (survives backup/copy/restore of the table
+    // tree, where mtimes are rewritten) and the dir mtime (the fallback
+    // for pre-marker versions). A crash between the move and the marker
+    // write leaves a committed dir resolving by mtime — same instant,
+    // weaker durability, never wrong ordering.
+    val now = System.currentTimeMillis()
+    Files.write(dest.resolve(Sinks.CommitTsFile), now.toString.getBytes("UTF-8"))
     Files.setLastModifiedTime(dest,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.attribute.FileTime.fromMillis(now))
   }
 
   override def flipPointer(root: String, v: Long): Unit = {

