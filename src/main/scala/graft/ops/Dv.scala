@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * (B114) scales with the FILES a predicate touches; a delete of 0.1%
   * of rows spread across every file still rewrites the whole table. A
   * deletion vector instead records the deleted row POSITIONS in a
-  * `_dv` sidecar — `(file, row_index)` keyed by the file's version-dir-
-  * relative path — and commits them with the data files carried
-  * untouched by hardlink: commit cost is O(matched rows + existing dv),
-  * zero data bytes rewritten.
+  * `_dv` sidecar — one roaring-bitmap row per touched file
+  * (`(file, bitmap)`, keyed by the file's version-dir-relative path;
+  * [[Roaring]]) — and commits them with the data files carried
+  * untouched by hardlink. Each MOR commit appends ONLY its own delta
+  * bitmaps (prior parts carried by hardlink, OR-merged at read time),
+  * so commit cost is O(matched rows), never the cumulative vector;
+  * past a part-count threshold the pile folds into one part
+  * ([[compactSidecar]]), the log-checkpoint analog. Zero data bytes
+  * rewritten either way.
   *
   * Readers subtract the vector at scan time: [[Sinks.readDir]] (the
   * single funnel every Scala read, snapshot diff, CDC read, and
@@ -68,13 +73,121 @@ object Dv {
   private[graft] def relKey(dir: String): Column =
     col("_metadata.file_path").substr(lit(s"file:$dir/".length + 1), lit(Int.MaxValue))
 
-  /** The vector itself: `(file, row_index)`, empty-typed when absent. */
-  def vector(spark: SparkSession, dir: String): DataFrame =
-    if (exists(dir)) spark.read.parquet(s"$dir/$Sidecar").select("file", "row_index")
+  /** The vector as positions — `(file, row_index)`, empty-typed when
+    * absent. Storage is the v2 per-file roaring-bitmap encoding
+    * ([[Roaring]]): one `(file, bitmap)` row per touched file per MOR
+    * commit, OR-merged here at read time (deletes are monotone within a
+    * lineage, so union is exact). The v1 row-per-position format is
+    * still readable (pre-upgrade sidecars in cached warehouses); the
+    * first MOR commit on such a table folds it to v2
+    * ([[compactSidecar]]). Decoding expands to positions because every
+    * consumer is the scan-time anti-join on `(file, row_index)` — the
+    * vector is metadata-scale next to the data it subtracts.
+    */
+  def vector(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (!exists(dir)) spark.emptyDataset[(String, Long)].toDF("file", "row_index")
     else {
-      import spark.implicits._
-      spark.emptyDataset[(String, Long)].toDF("file", "row_index")
+      val raw = spark.read.parquet(s"$dir/$Sidecar")
+      if (raw.columns.contains("row_index")) raw.select("file", "row_index")
+      else raw.select("file", "bitmap").as[(String, Array[Byte])]
+        .groupByKey(_._1)
+        .flatMapGroups((f: String, it: Iterator[(String, Array[Byte])]) =>
+          Roaring.positions(Roaring.unionAll(it.map(_._2))).map(p => (f, p)))
+        .toDF("file", "row_index")
     }
+  }
+
+  /** Encode a `(file, row_index)` position delta as one `(file, bitmap)`
+    * row per touched file — what a MOR commit appends to the sidecar.
+    * One shuffle keyed by file; memory per group is O(file rows / 8)
+    * worst case (the bitmap, not the position list — positions stream
+    * into the builder).
+    */
+  private[graft] def deltaBitmaps(delta: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    delta.select("file", "row_index").as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups((f: String, it: Iterator[(String, Long)]) =>
+        (f, Roaring.fromPositions(it.map(_._2))))
+      .toDF("file", "bitmap")
+  }
+
+  /** Exact deleted-row count — bitmap cardinalities summed after the
+    * per-file OR (never the sidecar ROW count, which is rows-per-commit
+    * in v2).
+    */
+  def cardinality(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    if (!exists(dir)) 0L
+    else {
+      val raw = spark.read.parquet(s"$dir/$Sidecar")
+      if (raw.columns.contains("row_index")) raw.count()
+      else {
+        val perFile = raw.select("file", "bitmap").as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups((_, it) => Roaring.cardinality(Roaring.unionAll(it.map(_._2))))
+        if (perFile.isEmpty) 0L else perFile.reduce(_ + _)
+      }
+    }
+  }
+
+  /** Fold a (possibly multi-part, possibly legacy-v1) `_dv` dir down to
+    * ONE v2 part: read whatever formats are present, OR per file,
+    * rewrite. Runs inside a writer-private STAGE dir only — the log-
+    * checkpoint move that bounds reader-side part counts (amortized
+    * O(1) per commit) and upgrades v1 sidecars on their first MOR
+    * commit.
+    */
+  /** True iff this sidecar part file is the v1 row-per-position format
+    * (driver-side footer read — metadata-scale).
+    */
+  private def isV1Part(spark: SparkSession, f: java.nio.file.Path): Boolean =
+    spark.read.parquet(f.toString).schema.fieldNames.contains("row_index")
+
+  private[graft] def compactSidecar(spark: SparkSession, stageDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dvDir = java.nio.file.Paths.get(stageDir, Sidecar)
+    // the dir may hold BOTH formats mid-upgrade (carried v1 parts + a
+    // staged v2 delta) — a single directory read would mis-infer; read
+    // each format's part group separately and union as positions
+    val parts = graft.io.Fs.listDir(dvDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val (v1, v2) = parts.partition(isV1Part(spark, _))
+    val fromV1 =
+      if (v1.isEmpty) spark.emptyDataset[(String, Long)].toDF("file", "row_index")
+      else spark.read.parquet(v1.map(_.toString): _*).select("file", "row_index")
+    val fromV2 =
+      if (v2.isEmpty) spark.emptyDataset[(String, Long)].toDF("file", "row_index")
+      else spark.read.parquet(v2.map(_.toString): _*)
+        .select("file", "bitmap").as[(String, Array[Byte])]
+        .groupByKey(_._1)
+        .flatMapGroups((f: String, it: Iterator[(String, Array[Byte])]) =>
+          Roaring.positions(Roaring.unionAll(it.map(_._2))).map(p => (f, p)))
+        .toDF("file", "row_index")
+    val folded = fromV1.unionByName(fromV2)
+      .select(col("file"), col("row_index")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups((f: String, it: Iterator[(String, Long)]) =>
+        (f, Roaring.fromPositions(it.map(_._2))))
+      .toDF("file", "bitmap")
+      .coalesce(1)
+    val tmp = java.nio.file.Paths.get(stageDir, s"$Sidecar.fold")
+    folded.write.parquet(tmp.toString)
+    graft.io.Fs.deleteRecursively(dvDir)
+    java.nio.file.Files.move(tmp, dvDir)
+  }
+
+  /** True iff `dir`'s sidecar contains any v1-format part (the upgrade
+    * trigger: the next MOR commit folds it to v2 wholesale, keeping
+    * every sidecar dir single-format).
+    */
+  private[graft] def hasLegacyParts(spark: SparkSession, dir: String): Boolean =
+    exists(dir) && graft.io.Fs.listDir(java.nio.file.Paths.get(dir, Sidecar))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .exists(isV1Part(spark, _))
 
   /** Subtract `dir`'s deletion vector from a raw frame of its files.
     * `raw` must carry the `_metadata` struct (select it from a file
@@ -83,8 +196,32 @@ object Dv {
     * Spark broadcasts it below the threshold, and the anti-join never
     * shuffles more than the scan already did.
     */
+  /** Loud guard shared by every subtraction-side path: a table whose
+    * schema uses the reserved working-column prefixes would have its
+    * data silently REPLACED by the synthetic key/position columns
+    * (`withColumn` overwrites same-named columns) — refuse up front,
+    * mirroring MERGE's source-prefix guard.
+    */
+  private[graft] def requireNoReserved(cols: Seq[String], what: String): Unit = {
+    val clash = cols.filter(c => c.startsWith("_dv_") || c.startsWith("__graft_"))
+    require(clash.isEmpty,
+      s"$what: column name(s) ${clash.mkString(", ")} use the reserved " +
+        "'_dv_'/'__graft_' prefixes, which merge-on-read machinery injects " +
+        "as working columns — rename them to use MOR DML on this table")
+  }
+
   private[graft] def subtract(raw: DataFrame, dir: String,
       output: Seq[String]): DataFrame = {
+    // fail LOUDLY, never subtract nothing: relKey strips a literal
+    // `file:$dir/` prefix, but `_metadata.file_path` is URI-encoded —
+    // under a dir that doesn't encode to itself every key mismatches
+    // and the anti-join would silently resurrect deleted rows
+    require(safeDir(dir),
+      s"cannot apply the deletion vector under $dir: the path is not " +
+        "URI-transparent, so stored vector keys cannot be matched " +
+        "against _metadata.file_path — move/clone the table to a path " +
+        "of [A-Za-z0-9/._-] or compact the source to purge deletes first")
+    requireNoReserved(raw.columns.toSeq, s"deletion-vector read of $dir")
     val spark = raw.sparkSession
     val dv = vector(spark, dir)
       .withColumnRenamed("file", "_dv_file")

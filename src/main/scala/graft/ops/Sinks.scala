@@ -155,6 +155,27 @@ object Sinks {
       else None
     }.sorted
 
+  /** The durable commit-instant marker inside every version dir
+    * ([[graft.ops.LocalFsCommit.publishVersionDir]] writes it at the
+    * commit rename). */
+  val CommitTsFile = "_COMMIT_TS"
+
+  /** A version's commit instant (millis): the durable `_COMMIT_TS`
+    * marker when present, else the dir mtime (pre-marker versions, or a
+    * crash between the commit rename and the marker write). EVERY
+    * commit-time consumer — TIMESTAMP AS OF, `history`, time-based
+    * retention — resolves through this one reader, so the guarantees
+    * stay aligned even after a backup/copy/restore rewrites mtimes.
+    */
+  def commitInstantMs(dir: String): Long = {
+    val marker = Paths.get(dir, CommitTsFile)
+    if (Files.exists(marker))
+      try new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+      catch { case _: NumberFormatException =>
+        Files.getLastModifiedTime(Paths.get(dir)).toMillis }
+    else Files.getLastModifiedTime(Paths.get(dir)).toMillis
+  }
+
   /** Table history (the DESCRIBE HISTORY analog): one row per retained
     * version with its commit instant ([[publishVersioned]] stamps the
     * version dir at the commit rename) and whether it is current.
@@ -164,8 +185,7 @@ object Sinks {
     val cur = currentVersion(root)
     listVersions(root).map { v =>
       (v,
-        new java.sql.Timestamp(
-          Files.getLastModifiedTime(Paths.get(versionPath(root, v))).toMillis),
+        new java.sql.Timestamp(commitInstantMs(versionPath(root, v))),
         cur.contains(v))
     }.toDF("version", "committed_at", "is_current")
   }
@@ -184,10 +204,12 @@ object Sinks {
     val files = Fs.walkParquet(Paths.get(live))
     // deletion-vector cardinality is the one number that is data (a
     // small sidecar read); everything else stays directory metadata
-    val nDeleted =
-      if (!Dv.exists(live)) 0L
-      else spark.read.parquet(s"$live/${Dv.Sidecar}").count()
-    val nIngested = TableProps.load(root).count(_._1.startsWith("graft.copyin."))
+    val nDeleted = Dv.cardinality(spark, live)
+    // props fold ∪ retained receipts — the same union COPY INTO's
+    // idempotence check trusts, so an ingestion whose receipt hasn't
+    // been folded yet (writer crashed before the props update) still
+    // counts; the props fold alone would under-report that window
+    val nIngested = ingestedSources(spark, root).size
     Seq((root, "parquet", cur, listVersions(root).size.toLong,
         files.size.toLong, files.map(Files.size).sum,
         TableProps.partitionCols(root).mkString(","),
@@ -779,12 +801,12 @@ object Sinks {
       batchTag: Option[String], carry: String => Boolean,
       skipDataWrite: Boolean = false,
       changeFeedDf: Option[DataFrame] = None,
-      dvSidecar: Option[DataFrame] = None,
+      dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
-    require(!(emitFeed && dvSidecar.isDefined),
+    require(!(emitFeed && dvDelta.isDefined),
       "a deletion-vector commit stages no new data files to feed from")
     Files.createDirectories(Paths.get(root))
     val spark = aligned.sparkSession
@@ -851,10 +873,11 @@ object Sinks {
       }
       batchTag.foreach(t =>
         Files.write(stage.resolve(BatchIdFile), t.getBytes("UTF-8")))
-      // B135: a caller-supplied deletion vector REPLACES the sidecar
-      // wholesale (it already merged the prior entries); its commit is
-      // the MOR delete — all data files carried, zero rewritten
-      dvSidecar.foreach(_.coalesce(1).write.mode("overwrite")
+      // B135: a MOR commit stages ONLY its own per-file bitmap delta as
+      // a new sidecar part; the prior vector parts are carried by
+      // hardlink below and OR-merged at read time — commit bytes are
+      // O(this commit's matched rows), never the cumulative vector
+      dvDelta.foreach(_.coalesce(1).write.mode("overwrite")
         .parquet(s"$stage/${Dv.Sidecar}"))
       // commit-scoped sidecars (B137's _copyin ingestion receipt):
       // describe THIS commit, ride its atomic rename, and are NOT
@@ -920,22 +943,32 @@ object Sinks {
             Bloom.compactSidecar(spark, stage.toString)
         }
         // an existing deletion vector describes carried files by
-        // relative key, so it rides every linked commit (appends,
-        // streaming batches) verbatim — unless this commit is itself a
-        // MOR delete, whose merged vector already replaced it above.
-        // (COW rewrites never reach here on a DV version: cowPublish
-        // refuses with the compact-to-purge hint.)
-        if (dvSidecar.isEmpty && Files.isDirectory(live.resolve(Dv.Sidecar))) {
+        // relative key, so it rides EVERY linked commit — appends,
+        // streaming batches, AND MOR commits (whose own delta part was
+        // already staged above; vector parts OR-merge at read time, so
+        // delta + carried parts compose exactly). (COW rewrites never
+        // reach here on a DV version: cowPublish refuses with the
+        // compact-to-purge hint.) Past the checkpoint threshold — or
+        // when any carried part is the legacy row-per-position format —
+        // a MOR commit folds the whole pile into one fresh v2 part:
+        // the log-checkpoint analog, amortized O(1) per commit, and
+        // sidecar dirs stay single-format.
+        if (Files.isDirectory(live.resolve(Dv.Sidecar))) {
+          val prevDvFiles = Fs.listDir(live.resolve(Dv.Sidecar))
+            .filter(_.getFileName.toString.endsWith(".parquet"))
           val dstDv = stage.resolve(Dv.Sidecar)
           Files.createDirectories(dstDv)
-          Fs.listDir(live.resolve(Dv.Sidecar))
-            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-              val dst = dstDv.resolve(f.getFileName)
-              if (Files.exists(dst))
-                throw new IllegalStateException(
-                  s"append dv sidecar carry-over collision on ${f.getFileName}")
-              linkOrCopy(f, dst)
-            }
+          prevDvFiles.foreach { f =>
+            val dst = dstDv.resolve(f.getFileName)
+            if (Files.exists(dst))
+              throw new IllegalStateException(
+                s"append dv sidecar carry-over collision on ${f.getFileName}")
+            linkOrCopy(f, dst)
+          }
+          if (dvDelta.isDefined &&
+              (prevDvFiles.size >= StatsCheckpointEvery ||
+                Dv.hasLegacyParts(spark, versionPath(root, v))))
+            Dv.compactSidecar(spark, stage.toString)
         }
         // the ANN quantizer describes the BUCKETING SCHEME, not any file
         // set — a linked commit preserves the bucket column as data, so
@@ -1063,6 +1096,7 @@ object Sinks {
       case Some(fixed) => spark.read.schema(fixed).parquet(dir)
     }
     val cols = base.columns.toSeq
+    Dv.requireNoReserved(cols, s"merge-on-read DML on $root")
     import org.apache.spark.sql.functions.col
     base
       .select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*)
@@ -1086,12 +1120,15 @@ object Sinks {
   private[graft] def morPublish(spark: SparkSession, root: String,
       expected: Long, newRows: DataFrame, vectorDelta: DataFrame,
       feed: DataFrame, skipDataWrite: Boolean = false): Long = {
-    val dir = versionPath(root, expected)
-    val merged = Dv.vector(spark, dir).unionByName(vectorDelta)
+    // O(delta) vector commit: encode ONLY this commit's positions as
+    // per-file roaring bitmaps ([[Dv.deltaBitmaps]]); the existing
+    // vector parts are carried by hardlink and OR-merged at read time —
+    // under heavy delete churn each commit writes O(matched) sidecar
+    // bytes, never the cumulative vector (round-9 verdict item 1)
     stageLinkedPublish(newRows, root, Some(expected), Nil,
       emitFeed = false, batchTag = None, carry = _ => true,
       skipDataWrite = skipDataWrite, changeFeedDf = Some(feed),
-      dvSidecar = Some(merged))
+      dvDelta = Some(Dv.deltaBitmaps(vectorDelta)))
   }
 
   def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
@@ -1245,6 +1282,18 @@ object Sinks {
           s"${listVersions(srcRoot).mkString(", ")}) — it may have been vacuumed")
     require(currentVersion(dstRoot).isEmpty,
       s"clone target $dstRoot already holds a published table")
+    // a deletion-vector sidecar stores file keys relative to the VERSION
+    // DIR as `_metadata.file_path` reports them (URI-encoded); cloned
+    // into a non-URI-transparent target every key would mismatch and the
+    // subtraction silently resurrect deleted rows — refuse up front
+    // (the read side also fails loudly now, but the clone should never
+    // commit an unreadable table)
+    if (Dv.exists(src.toString))
+      require(Dv.safeDir(dstRoot),
+        s"cannot clone a deletion-vector-carrying version into $dstRoot: " +
+          "the target path is not URI-transparent, so the carried vector " +
+          "keys could not be matched at read time — clone to a path of " +
+          "[A-Za-z0-9/._-], or CALL system.compact on the source first")
     Files.createDirectories(Paths.get(dstRoot))
     // table-level metadata first (partition spec must be in place before
     // any read of the committed clone pins partition types); writer
@@ -1488,14 +1537,16 @@ object Sinks {
     // time-based retention (the Delta VACUUM RETAIN spelling): with
     // retainHours >= 0, a version committed within the window is kept
     // even past the count cutoff — TIMESTAMP AS OF resolves by the same
-    // commit instant, so the two guarantees line up: any timestamp in
-    // the window stays travelable. Both retention gates must pass to
-    // evict.
+    // commit instant ([[commitInstantMs]], the shared reader: durable
+    // `_COMMIT_TS` marker, mtime fallback), so the two guarantees line
+    // up — any timestamp in the window stays travelable, including
+    // after a backup/copy/restore rewrites dir mtimes. Both retention
+    // gates must pass to evict.
     val cutoffMs: Option[Long] =
       if (retainHours < 0) None
       else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
     def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
-      Files.getLastModifiedTime(Paths.get(versionPath(root, v))).toMillis >= cut)
+      commitInstantMs(versionPath(root, v)) >= cut)
     val live = versionPath(root, liveV)
     val nFiles = fileCount(Paths.get(live), targetBytes)
     // a compaction must not silently demote the table from skippable to

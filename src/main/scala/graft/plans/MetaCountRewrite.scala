@@ -125,8 +125,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     if (!Files.isDirectory(sidecar)) return None
     val dvCount =
       if (!dv) 0L
-      else SparkSession.active.read
-        .parquet(s"$dir/${graft.ops.Dv.Sidecar}").count()
+      else graft.ops.Dv.cardinality(SparkSession.active, dir)
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None

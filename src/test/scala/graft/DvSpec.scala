@@ -316,4 +316,85 @@ class DvSpec extends AnyFunSuite {
     assert(Dv.exists(Sinks.resolve(tbl)), "restore must carry the vector")
     assert(Sinks.readCurrent(spark, tbl).count() == 12)
   }
+
+  private def dvPartKeys(versionDir: String): Map[String, Object] =
+    graft.io.Fs.listDir(Paths.get(versionDir, Dv.Sidecar))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.getFileName.toString -> Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      .toMap
+
+  test("delete churn: per-commit sidecar bytes stay O(matched), parts fold at the threshold") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 2000).select($"id".as("k"), ($"id" % 40).as("g"))
+    Sinks.publishVersioned(df.repartition(4), tbl, None)
+    val dataKeys = dataFileKeys(Sinks.versionPath(tbl, 0))
+    val rounds = 40
+    var maxNewBytes = 0L
+    var maxParts = 0
+    (0 until rounds).foreach { i =>
+      val v = Sinks.deleteVector(spark, tbl, col("g") === i)
+      val dir = Sinks.versionPath(tbl, v)
+      // zero data rewrite, every commit
+      assert(dataFileKeys(dir).subsetOf(dataKeys))
+      val parts = dvPartKeys(dir)
+      val prevParts: Set[Object] =
+        if (v == 1) Set.empty
+        else dvPartKeys(Sinks.versionPath(tbl, v - 1)).values.toSet
+      // commit bytes = parts NOT hardlink-shared with the previous
+      // version's sidecar — must be O(this commit's 50 matched rows),
+      // never the cumulative vector
+      val newBytes = graft.io.Fs.listDir(Paths.get(dir, Dv.Sidecar))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(f => !prevParts.contains(Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()))
+        .map(Files.size).sum
+      maxNewBytes = math.max(maxNewBytes, newBytes)
+      maxParts = math.max(maxParts, parts.size)
+    }
+    // each delta is ~50 positions over 4 files; a cumulative rewrite
+    // would grow linearly to ~2000 positions. The fold commit rewrites
+    // the pile once (still small); nothing should approach data scale.
+    assert(maxNewBytes < 64 * 1024, s"per-commit dv bytes grew to $maxNewBytes")
+    // the checkpoint fold keeps reader-side part counts bounded
+    assert(maxParts <= Sinks.StatsCheckpointEvery + 1,
+      s"dv parts grew unbounded: $maxParts")
+    val finalV = Sinks.currentVersion(tbl).get
+    assert(maxParts > 2, "expected the pile to actually accumulate between folds")
+    // correctness after 40 vector commits
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 0L || rounds < 40) // all 40 groups deleted
+    assert(Dv.cardinality(spark, Sinks.versionPath(tbl, finalV)) == 2000L)
+    // history: an intermediate version still subtracts exactly
+    assert(Sinks.readVersion(spark, tbl, 20).count() == 2000 - 20 * 50)
+  }
+
+  test("legacy v1 (file,row_index) sidecars read exactly and fold to v2 on the next MOR commit") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val df = spark.range(0, 100).select($"id".as("k"), ($"id" % 10).as("g"))
+    Sinks.publishVersioned(df.repartition(2), tbl, None)
+    // hand-craft a v1-format vector: delete g==3 by positions, written
+    // as row-per-position parquet exactly as pre-upgrade commits did
+    val dir = Sinks.versionPath(tbl, 0)
+    val legacy = spark.read.parquet(dir)
+      .select(col("g"), col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("row_index"))
+      .filter(col("g") === 3)
+      .select(expr(s"substring(fp, ${s"file:$dir/".length + 1})").as("file"),
+        col("row_index"))
+    legacy.coalesce(1).write.parquet(s"$dir/${Dv.Sidecar}")
+    // reads subtract the legacy vector
+    assert(Sinks.readCurrent(spark, tbl).count() == 90)
+    assert(Dv.cardinality(spark, dir) == 10)
+    // the next MOR commit folds to v2: single part, bitmap schema,
+    // both the old and the new deletions apply
+    Sinks.deleteVector(spark, tbl, col("g") === 5)
+    val v1dir = Sinks.versionPath(tbl, 1)
+    val schema = spark.read.parquet(s"$v1dir/${Dv.Sidecar}").schema.fieldNames.toSet
+    assert(schema == Set("file", "bitmap"), s"expected v2 fold, got $schema")
+    assert(Sinks.readCurrent(spark, tbl).count() == 80)
+    assert(Dv.cardinality(spark, v1dir) == 20)
+  }
 }

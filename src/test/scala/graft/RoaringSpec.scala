@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Roaring
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deletion-vector bitmap codec ([[graft.ops.Roaring]]): round-trip,
+  * container promotion at the array/bitset boundary, union semantics,
+  * and size bounds (the whole point of the encoding).
+  */
+class RoaringSpec extends AnyFunSuite {
+
+  test("round-trip: arbitrary positions, duplicates folded, sorted out") {
+    val pos = Array(5L, 1L, 70000L, 5L, 65535L, 65536L, 0L, 1L << 40)
+    val bytes = Roaring.fromPositions(pos)
+    assert(Roaring.positions(bytes).toSeq ==
+      pos.distinct.sorted.toSeq)
+    assert(Roaring.cardinality(bytes) == pos.distinct.length)
+  }
+
+  test("empty bitmap") {
+    val bytes = Roaring.fromPositions(Array.empty[Long])
+    assert(Roaring.cardinality(bytes) == 0)
+    assert(Roaring.positions(bytes).isEmpty)
+  }
+
+  test("array->bitset promotion at 4096 and dense containers stay 8KiB-bounded") {
+    // 5000 entries in one 65536-container crosses the promotion line
+    val pos = (0L until 5000L).map(_ * 13 % 65536).distinct.toArray
+    val bytes = Roaring.fromPositions(pos)
+    assert(Roaring.positions(bytes).toSeq == pos.sorted.toSeq)
+    // a fully-dense container: 65536 positions, must serialize ~8KiB
+    val dense = Roaring.fromPositions((0L until 65536L).toArray)
+    assert(Roaring.cardinality(dense) == 65536)
+    assert(dense.length < 9000, s"dense container blew up: ${dense.length} bytes")
+    // the same set as v1-style (file,row_index) parquet rows would be
+    // ~0.5MB; the bitmap is ~100x smaller — the encoding's reason to exist
+  }
+
+  test("union: disjoint, overlapping, array+bitset mixes") {
+    val a = Roaring.fromPositions(Array(1L, 2L, 100000L))
+    val b = Roaring.fromPositions(Array(2L, 3L, 200000L))
+    assert(Roaring.positions(Roaring.union(a, b)).toSeq ==
+      Seq(1L, 2L, 3L, 100000L, 200000L))
+    // array ∪ array crossing the promotion threshold
+    val lowHalf = Roaring.fromPositions((0L until 3000L).toArray)
+    val highHalf = Roaring.fromPositions((2000L until 6000L).toArray)
+    val u = Roaring.union(lowHalf, highHalf)
+    assert(Roaring.cardinality(u) == 6000)
+    assert(Roaring.positions(u).toSeq == (0L until 6000L).toSeq)
+    // bitset ∪ array
+    val dense = Roaring.fromPositions((0L until 30000L).map(_ * 2).toArray)
+    val sparse = Roaring.fromPositions(Array(1L, 3L, 59999L))
+    assert(Roaring.cardinality(Roaring.union(dense, sparse)) == 30003)
+    // unionAll over many chunks == one build
+    val chunks = (0 until 10).map(i =>
+      Roaring.fromPositions((i * 100L until (i + 1) * 100L).toArray))
+    val all = Roaring.unionAll(chunks.iterator)
+    assert(Roaring.positions(all).toSeq == (0L until 1000L).toSeq)
+  }
+
+  test("sparse deltas stay tiny: 10 scattered rows in a billion-row space") {
+    val pos = (0 until 10).map(i => i * 100000000L).toArray
+    val bytes = Roaring.fromPositions(pos)
+    assert(Roaring.positions(bytes).toSeq == pos.toSeq)
+    assert(bytes.length < 400, s"sparse bitmap too large: ${bytes.length}")
+  }
+}

@@ -373,4 +373,75 @@ class TableStreamSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(s"SELECT * FROM read_stream('$bare')"))
     assert(e.getMessage.contains("enableStreamFeed"))
   }
+
+  test("streaming feed across a MOR DELETE/UPDATE/MERGE chain: checkpoint resume reconstructs the final state") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = tmp("morfeed")
+    val (bronze, silver, cp) = (base + "/b", base + "/s", base + "/cp")
+    spark.conf.set("spark.sql.catalog.graftmf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftmf.root", base)
+    Sinks.enableStreamFeed(bronze)
+    Sinks.appendVersioned((1L to 8L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      bronze, None, emitFeed = true)
+    TableProps.update(bronze)(_ + ("graft.dml.mode" -> "mor"))
+
+    // the consumer: last-write-wins per key across the batch's commits,
+    // applied to silver as a keyed merge — the standard CDC replica
+    def consume(): Unit = {
+      val q = TableStream.streamFeed(spark, bronze)
+        .filter(col("_change_type") =!= "update_preimage")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val delta = Merge.latestPerKey(
+                batch.select(col("k"), col("v"), col("_change_type"),
+                  col("_commit_version")),
+                Seq("k"), Seq("_commit_version"))
+              .withColumn("op",
+                when(col("_change_type") === "delete", lit("delete"))
+                  .otherwise(lit("upsert")))
+              .drop("_change_type", "_commit_version")
+            if (Sinks.currentVersion(silver).isEmpty)
+              Sinks.publishVersioned(
+                delta.filter(col("op") =!= "delete").drop("op"), silver, None)
+            else Merge.applyTo(spark, silver, delta, Seq("k"))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // leg 1: MOR DELETE feeds delete rows; the consumer applies them
+    Sinks.deleteVector(spark, bronze, col("k").isin(2L, 3L))
+    consume()
+    assert(Sinks.readCurrent(spark, silver).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq(1L, 4L, 5L, 6L, 7L, 8L).map(k => (k, k * 1.0)))
+
+    // leg 2: MOR UPDATE and MOR MERGE land while the consumer is DOWN;
+    // the restarted query resumes from the checkpoint and ships only
+    // the new commits' rows
+    Sinks.updateVector(spark, bronze, col("k") === 4L,
+      Map("v" -> lit(44.0)))
+    Seq((5L, "u", 55.0), (6L, "d", 0.0), (9L, "i", 99.0)).toDF("k", "op", "nv")
+      .createOrReplaceTempView("morfeed_src")
+    spark.sql(
+      """MERGE INTO graftmf.b t USING morfeed_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET v = s.nv
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val silverVBefore = Sinks.currentVersion(silver).get
+    consume()
+    val want = Sinks.readCurrent(spark, bronze).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    val got = Sinks.readCurrent(spark, silver).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"replica diverged: got=$got want=$want")
+    assert(got == Seq((1L, 1.0), (4L, 44.0), (5L, 55.0), (7L, 7.0),
+      (8L, 8.0), (9L, 99.0)))
+    // resume really was incremental: silver advanced, it did not rebuild
+    assert(Sinks.currentVersion(silver).get > silverVBefore)
+    assert(Sinks.readVersion(spark, silver, silverVBefore).count() == 6,
+      "the pre-restart replica state must still be the leg-1 result")
+  }
 }
