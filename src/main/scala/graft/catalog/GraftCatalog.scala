@@ -219,14 +219,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * makes Spark resolve partition values with the DECLARED types.
     */
   private def parquetDelegate(ident: Identifier, tRoot: String,
-      path: String): ParquetTable =
+      path: String): ParquetTable = {
+    val spark = SparkSession.active
+    // under a column mapping the declared (analysis-time) schema speaks
+    // LOGICAL names; the physical scan this delegate would run is never
+    // executed — DvReadRule swaps the relation for the translating read
+    // funnel (requireReadRule refuses rule-less sessions up front)
+    val declared = graft.ops.ColMap.load(path) match {
+      case m if m.isEmpty => Sinks.readSchemaFor(spark, tRoot, path)
+      case m =>
+        val phys = Sinks.readSchemaFor(spark, tRoot, path)
+          .getOrElse(spark.read.parquet(path).schema)
+        val physToLogical = m.map { case (l, p) => p.toLowerCase -> l }
+        Some(org.apache.spark.sql.types.StructType(phys.map(f =>
+          f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
+    }
     ParquetTable(
       name = s"$catalogName.${ident.toString}",
-      sparkSession = SparkSession.active,
+      sparkSession = spark,
       options = CaseInsensitiveStringMap.empty(),
       paths = Seq(path),
-      userSpecifiedSchema = Sinks.readSchemaFor(SparkSession.active, tRoot, path),
+      userSpecifiedSchema = declared,
       fallbackFileFormat = classOf[ParquetFileFormat])
+  }
 
   /** The table's declared partition transforms (identity columns), for
     * DESCRIBE/SHOW surfaces and Spark's write-distribution planning.
@@ -244,7 +259,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * the `spark.sql.extensions` conf spelling.
     */
   private def requireDvRule(versionDir: String, ident: Identifier): Unit = {
-    if (!graft.ops.Dv.exists(versionDir)) return
+    // same gate for column-mapped versions: the bare DSv2 scan would
+    // read LOGICAL names against PHYSICAL files (all-null columns)
+    if (!graft.ops.Dv.exists(versionDir) &&
+        !graft.ops.ColMap.exists(versionDir)) return
     val spark = SparkSession.active
     val active =
       try {
@@ -260,10 +278,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions")
       }
     if (!active) throw new IllegalStateException(
-      s"$catalogName.${ident.toString} carries a deletion vector and this " +
-        "session's optimizer lacks DvReadRule — build the session with " +
-        "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
-        "to purge deletes first)")
+      s"$catalogName.${ident.toString} carries a deletion vector or column " +
+        "mapping and this session's optimizer lacks DvReadRule — build the " +
+        "session with spark.sql.extensions=graft.GraftExtensions (or " +
+        "compact the table to purge deletes / materialize renames first)")
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -649,11 +667,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         k -> newText
     }
 
+    // METADATA-ONLY fast path (Delta-style column mapping): a pure
+    // rename of non-partition columns commits a hardlinked version with
+    // an updated `_COLMAP` marker — zero data bytes move, O(1) instead
+    // of O(table). Drops and partition-column renames still rewrite
+    // (a dropped column must leave the files; a partition name is a
+    // directory component).
+    if (dropSet.isEmpty &&
+        !renameMap.keys.exists(f => pcols.exists(_.equalsIgnoreCase(f)))) {
+      val oldMap = graft.ops.ColMap.load(liveDir) // logical -> physical
+      def physOf(l: String): String = oldMap.collectFirst {
+        case (ol, p) if ol.equalsIgnoreCase(l) => p
+      }.getOrElse(l)
+      val newMapping = cols.map(l => renameMap.getOrElse(l, l) -> physOf(l)).toMap
+      val newProps0 = oldProps.filterNot(_._1.startsWith(GraftCheck.Prefix)) ++
+        rewrittenChecks
+      TableProps.store(tr, newProps0)
+      try Sinks.publishColumnMapping(spark, tr, v, newMapping)
+      catch { case e: Throwable =>
+        TableProps.store(tr, oldProps) // metadata must not outrun the data
+        throw e
+      }
+      return loadTable(ident)
+    }
+
     // skipping sidecars: dropped columns leave the indexed set; renamed
     // ones are re-annotated under the new name (the publish below
     // rewrites every data file, so fresh footer/filter passes are exact)
     def mapped(sidecarCols: Seq[String]): Seq[String] =
-      sidecarCols.flatMap(evolve)
+      sidecarCols.map(graft.ops.ColMap.toLogicalName(liveDir, _)).flatMap(evolve)
     val statsCols = mapped(graft.ops.Stats.sidecarCols(spark, liveDir))
     val bloomCols = mapped(graft.ops.Bloom.sidecarCols(spark, liveDir))
 
@@ -730,9 +772,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val oldProps = TableProps.load(tr)
     newPartProp.foreach(p => TableProps.store(tr, oldProps - TableProps.PartitionKey + p))
     try
+      // sidecar columns are physical; the rewrite lands logical-named
+      // files (and drops any column mapping), so translate for re-annotation
       Sinks.publishVersioned(widened, tr, Some(v),
-        statsCols = graft.ops.Stats.sidecarCols(spark, liveDir),
-        bloomCols = graft.ops.Bloom.sidecarCols(spark, liveDir))
+        statsCols = graft.ops.Stats.sidecarCols(spark, liveDir)
+          .map(graft.ops.ColMap.toLogicalName(liveDir, _)),
+        bloomCols = graft.ops.Bloom.sidecarCols(spark, liveDir)
+          .map(graft.ops.ColMap.toLogicalName(liveDir, _)))
     catch { case e: Throwable =>
       newPartProp.foreach(_ => TableProps.store(tr, oldProps))
       throw e

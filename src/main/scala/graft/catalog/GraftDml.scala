@@ -201,7 +201,11 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
     val morDir = Sinks.versionPath(tRoot, baseVersion)
     val morMode = graft.ops.TableProps.load(tRoot)
       .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
-      graft.ops.Dv.exists(morDir)
+      graft.ops.Dv.exists(morDir) ||
+      // a column-mapped version also forces merge-on-read: the COW
+      // pruned-file scan cannot express the physical->logical
+      // translation, while the MOR live scan does (liveWithPositions)
+      graft.ops.ColMap.exists(morDir)
     if (morMode) {
       // re-bind the resolved condition by NAME onto the fresh scan the
       // MOR door filters (subqueries are not re-bindable this way —
@@ -256,7 +260,11 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     val morDir = Sinks.versionPath(tRoot, baseVersion)
     val morMode = graft.ops.TableProps.load(tRoot)
       .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
-      graft.ops.Dv.exists(morDir)
+      graft.ops.Dv.exists(morDir) ||
+      // a column-mapped version also forces merge-on-read: the COW
+      // pruned-file scan cannot express the physical->logical
+      // translation, while the MOR live scan does (liveWithPositions)
+      graft.ops.ColMap.exists(morDir)
     if (morMode) {
       val exprs = condition.toSeq ++ assignments.map(_.value)
       require(!exprs.exists(_.exists(
@@ -370,7 +378,10 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val morDir = Sinks.versionPath(tRoot, baseVersion)
     if (graft.ops.TableProps.load(tRoot)
           .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
-        graft.ops.Dv.exists(morDir)) {
+        graft.ops.Dv.exists(morDir) ||
+        // column-mapped versions force MOR too (same reasoning as the
+        // DELETE/UPDATE routes: the COW pruned scan can't translate)
+        graft.ops.ColMap.exists(morDir)) {
       return runMor(spark, morDir)
     }
     val t = ofRows(spark, target)

@@ -69,7 +69,8 @@ object AnnIndex {
   }
 
   private def publish(spark: SparkSession, assigned: DataFrame,
-      cents: DataFrame, root: String, extraCols: Seq[String] = Nil): Long = {
+      cents: DataFrame, root: String, extraCols: Seq[String] = Nil,
+      extraSidecars: Seq[(String, DataFrame)] = Nil): Long = {
     TableProps.update(root) { m =>
       m + (TableProps.PartitionKey -> "bucket BIGINT")
     }
@@ -84,7 +85,7 @@ object AnnIndex {
     // required quantizer CANNOT exist — [[search]]'s loud-failure path
     // remains only for pre-round-9 indexes
     Sinks.publishVersioned(rows, root, Sinks.currentVersion(root),
-      sidecars = Seq(CentroidsSidecar -> cents))
+      sidecars = (CentroidsSidecar -> cents) +: extraSidecars)
   }
 
   /** As [[buildFixed]], with SQ8 in-bucket compression (round-9 verdict
@@ -109,6 +110,90 @@ object AnnIndex {
         // [-127,127] codes fit a signed byte exactly
         .withColumn("qcodes", transform(col("_q.codes"), c => c.cast("byte"))),
       cents, root, extraCols = Seq("qscale", "qcodes"))
+  }
+
+  /** As [[buildFixed]], with TRUE product-quantization codes (round-9
+    * verdict item 4; [[Pq]]): each row additionally stores its M-byte
+    * PQ code (`pqcodes: array<tinyint>`, one byte per subspace — 32×
+    * smaller than the float column at M=8 over 64 dims, a further 4×
+    * under SQ8), and the per-subspace codebooks ride the commit as the
+    * `_pq` sidecar next to the coarse quantizer. [[searchPq]] scores
+    * stage 1 entirely on the codes (column-pruned scan + the codegen'd
+    * ADC gather) and exact-reranks a shortlist from the floats, so the
+    * answer stays identical to [[search]] — q_ann_pq_codebook shares
+    * the flat oracle.
+    */
+  def buildFixedPq(spark: SparkSession, corpus: DataFrame, root: String,
+      assignCol: String = "label", m: Int = 8, k: Int = 16,
+      iters: Int = 10, sampleN: Int = 16384): Long = {
+    val cents = Similarity.meanByCluster(corpus, assignCol).localCheckpoint()
+    val withUnit = corpus.withColumn("_unit", Pq.unit(col("embedding")))
+      .filter(col("_unit").isNotNull)
+    // bounded deterministic sample for codebook training (see [[Pq]])
+    val samples = withUnit.orderBy("vec_id").limit(sampleN)
+      .select("_unit").collect().map(_.getSeq[Double](0).toArray)
+    val books = Pq.train(samples, m, k, iters)
+    publish(spark,
+      withUnit.withColumn("bucket", col(assignCol).cast("long"))
+        .withColumn("pqcodes", Pq.encodeCol(col("_unit"), books)),
+      cents, root, extraCols = Seq("pqcodes"),
+      extraSidecars = Seq(Pq.Sidecar -> Pq.toFrame(spark, books)))
+  }
+
+  /** The PQ approx pass (stage 1 of [[searchPq]]), exposed for the
+    * spec's ReadSchema assert: the scan must read `pqcodes`, never the
+    * float `embedding`. Scoring is the codegen'd ADC gather over a
+    * per-query LUT attached to the (broadcast) probed-query rows.
+    */
+  private[graft] def pqShortlist(spark: SparkSession, root: String,
+      queries: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ExprBridge
+    val cents = centroids(spark, root)
+    val books = Pq.fromFrame(pqBooks(spark, root))
+    val codes = Sinks.readCurrent(spark, root)
+      .withColumnRenamed("bucket", "label")
+      .select(col("label"), col("vec_id"), col("pqcodes"))
+    val probed = Similarity.probeBuckets(cents, queries, nprobe)
+      .withColumn("lut", Pq.lutCol(Pq.unit(col("qvec")), books))
+    Similarity.topKPerQuery(
+      codes.join(broadcast(probed), Seq("label"))
+        .select(col("query_id"), col("vec_id"),
+          ExprBridge.column(graft.functions.PqAdc(
+            ExprBridge.expr(col("pqcodes")),
+            ExprBridge.expr(col("lut")))).as("cos_sim")),
+      shortlist)
+  }
+
+  /** Two-stage PQ search against a [[buildFixedPq]] index: ADC-rank a
+    * shortlist per query on the M-byte codes, then EXACT-rerank those
+    * candidates from the float vectors — value-identical to [[search]]
+    * with a shortlist comfortably above k (PQ cosine error at M=8/K=16
+    * is larger than SQ8's, hence the deeper 16k default shortlist;
+    * AnnIndexSpec pins equality and the stage-1 recall floor).
+    */
+  def searchPq(spark: SparkSession, root: String, queries: DataFrame,
+      nprobe: Int, k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else math.max(16 * k, 128)
+    val short = pqShortlist(spark, root, queries, nprobe, sl)
+      .select(col("query_id"), col("vec_id"))
+      .join(queries, "query_id")
+    val full = Sinks.readCurrent(spark, root)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.topKPerQuery(
+      full.join(broadcast(short), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")),
+      k)
+  }
+
+  /** The persisted PQ codebooks of the LIVE index version. */
+  def pqBooks(spark: SparkSession, root: String): DataFrame = {
+    val live = Sinks.resolve(root)
+    val p = s"$live/${Pq.Sidecar}"
+    require(Files.isDirectory(Paths.get(p)),
+      s"no ${Pq.Sidecar} under $live — not a PQ index; build with " +
+        "AnnIndex.buildFixedPq")
+    spark.read.parquet(p)
   }
 
   /** The SQ8 approx pass (stage 1 of [[searchSq8]]), exposed so the spec

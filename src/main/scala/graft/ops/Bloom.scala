@@ -199,8 +199,9 @@ object Bloom {
     val all = graft.io.Fs.walkParquet(Paths.get(dir)).map(_.toString).sorted
     if (!Files.isDirectory(Paths.get(dir, Sidecar))) return all
     import spark.implicits._
+    // sidecar speaks PHYSICAL names; accept a logical one (idempotent)
     val side = spark.read.parquet(s"$dir/$Sidecar")
-      .filter(col("cname") === colName)
+      .filter(col("cname") === ColMap.toPhysicalName(dir, colName))
     val annotated = side.select("file").as[String].collect().toSet
     val probe = value.toString
     val hits = side.select("file", "bloom").as[(String, Array[Byte])]
@@ -223,15 +224,18 @@ object Bloom {
   def readWhereEq(spark: SparkSession, dir: String,
       colName: String, value: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val bloomKept = prunedFilesEq(spark, dir, colName, value)
+    // sidecars and files speak PHYSICAL names under a column mapping;
+    // the caller's name is LOGICAL (identity when unmapped)
+    val physCol = ColMap.toPhysicalName(dir, colName)
+    val bloomKept = prunedFilesEq(spark, dir, physCol, value)
     val kept =
       if (Files.isDirectory(Paths.get(dir, Stats.Sidecar)))
         bloomKept.toSet
-          .intersect(Stats.prunedFiles(spark, dir, colName, value, value).toSet)
+          .intersect(Stats.prunedFiles(spark, dir, physCol, value, value).toSet)
           .toSeq.sorted
       else bloomKept
-    val pred = col(colName) === lit(value)
-    if (kept.isEmpty) {
+    val pred = col(physCol) === lit(value)
+    val res = if (kept.isEmpty) {
       val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -249,6 +253,7 @@ object Bloom {
         }
       subtracted.filter(pred)
     }
+    ColMap.toLogical(res, dir)
   }
 
   /** [[readWhereEq]] over the LIVE version of a [[Sinks]] versioned

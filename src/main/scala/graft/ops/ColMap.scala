@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Per-version column NAME MAPPING — the Delta-style column-mapping
+  * indirection that makes `ALTER TABLE … RENAME COLUMN` a METADATA
+  * commit (SURVEY §2B B127 upgrade; round-9 verdict item 2). Without
+  * it a rename must rewrite every data file, O(table); with it the
+  * rename commit hardlinks every data file and records the new LOGICAL
+  * name against the unchanged PHYSICAL name (the name stored in the
+  * parquet footers) in a tiny `_COLMAP` marker inside the version dir.
+  *
+  * Invariants that keep the two namespaces from ever mixing:
+  *
+  *  - Data files and the `_stats`/`_bloom` skipping sidecars always
+  *    speak PHYSICAL names. Linked commits (appends, COW DML, MOR
+  *    commits) translate their new rows logical→physical before the
+  *    write ([[Sinks]]'s staged-publish path) and carry the marker
+  *    forward, so every file of a version shares one physical schema.
+  *  - Everything user-facing speaks LOGICAL names: [[Sinks.readDir]]
+  *    (the single read funnel) aliases physical→logical right after
+  *    the scan, and the SQL route swaps through the same funnel
+  *    ([[graft.plans.DvReadRule]]); CHECK constraints and the change
+  *    feed are stored in logical names.
+  *  - Full rewrites (compaction, plain publishes, ALTERs that rewrite
+  *    anyway) write logical names and DROP the marker: physical
+  *    converges back to logical, exactly like compaction purging a
+  *    deletion vector.
+  *  - Old versions keep their own markers (or none), so time travel
+  *    reads every version under the names it had when committed.
+  *
+  * Partition columns are NOT mappable here — their physical name is a
+  * directory component, so renaming one stays a rewrite (documented in
+  * [[graft.catalog.GraftCatalog]]'s evolveSchema).
+  */
+object ColMap {
+
+  /** Marker file inside a version dir: java-Properties lines of
+    * `logical=physical`, only for columns whose names differ.
+    */
+  val MarkerFile = "_COLMAP"
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, MarkerFile))
+
+  /** logical -> physical; empty when the version is unmapped. */
+  def load(dir: String): Map[String, String] = {
+    val p = Paths.get(dir, MarkerFile)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+    }
+  }
+
+  /** Write the marker into a STAGED version dir (identity entries
+    * dropped; an all-identity map writes nothing, so a chain of renames
+    * that lands back on the physical names converges to unmapped).
+    */
+  def write(stageDir: Path, map: Map[String, String]): Unit = {
+    val effective = map.filterNot { case (l, p) => l == p }
+    if (effective.isEmpty) return
+    val props = new java.util.Properties()
+    effective.foreach { case (l, p) => props.setProperty(l, p) }
+    Files.createDirectories(stageDir)
+    val out = Files.newOutputStream(stageDir.resolve(MarkerFile))
+    try props.store(out, "graft column mapping: logical=physical")
+    finally out.close()
+  }
+
+  /** Carry the marker from a live version into a staged linked commit. */
+  def carry(liveDir: Path, stageDir: Path): Unit = {
+    val src = liveDir.resolve(MarkerFile)
+    if (Files.exists(src)) {
+      Files.createDirectories(stageDir)
+      Files.copy(src, stageDir.resolve(MarkerFile))
+    }
+  }
+
+  /** The physical name of logical column `name` under `dir`'s mapping
+    * (case-insensitive lookup, identity when unmapped).
+    */
+  def toPhysicalName(dir: String, name: String): String = {
+    val m = load(dir)
+    m.collectFirst { case (l, p) if l.equalsIgnoreCase(name) => p }.getOrElse(name)
+  }
+
+  /** The logical name of physical column `name` under `dir`'s mapping. */
+  def toLogicalName(dir: String, name: String): String = {
+    val m = load(dir)
+    m.collectFirst { case (l, p) if p.equalsIgnoreCase(name) => l }.getOrElse(name)
+  }
+
+  /** Alias a frame read from `dir`'s PHYSICAL files to LOGICAL names.
+    * Non-mapped columns (including injected ones like `_change_type`)
+    * pass through untouched.
+    */
+  def toLogical(df: DataFrame, dir: String): DataFrame = {
+    val m = load(dir)
+    if (m.isEmpty) df
+    else {
+      val physToLogical = m.map { case (l, p) => p.toLowerCase -> l }
+      df.select(df.columns.toIndexedSeq.map(c =>
+        physToLogical.get(c.toLowerCase) match {
+          case Some(l) => col(s"`$c`").as(l)
+          case None => col(s"`$c`")
+        }): _*)
+    }
+  }
+
+  /** Rename a LOGICAL-named frame to `dir`'s PHYSICAL names before a
+    * linked write, so new data files share the carried files' footer
+    * schema. Columns outside the mapping pass through.
+    */
+  def toPhysical(df: DataFrame, dir: String): DataFrame = {
+    val m = load(dir)
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      m.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => col(s"`$c`").as(p) }
+        .getOrElse(col(s"`$c`"))): _*)
+  }
+}

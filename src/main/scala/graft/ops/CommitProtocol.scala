@@ -64,8 +64,34 @@ object LocalFsCommit extends CommitProtocol {
 
   override def readPointer(root: String): Option[Long] = {
     val p = Paths.get(root, Pointer)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
-    else None
+    if (!Files.exists(p)) return None
+    val content = new String(Files.readAllBytes(p), "UTF-8").trim
+    // multi-table transaction indirection ([[Txn]]): the pointer names
+    // BOTH versions plus the transaction's commit marker — the marker's
+    // existence (one atomic file creation, shared by every table in the
+    // transaction) decides which version this table is at. Readers of
+    // every participant therefore flip together; a crash mid-cleanup is
+    // harmless (the conditional form resolves correctly forever, and
+    // the next plain flip normalizes it).
+    if (content.startsWith("txn ")) {
+      val parts = content.split(" ", 4)
+      val (marker, newV, oldV) = (parts(1), parts(2).toLong, parts(3).toLong)
+      if (Files.exists(Paths.get(marker))) Some(newV)
+      else if (oldV < 0) None
+      else Some(oldV)
+    } else Some(content.toLong)
+  }
+
+  /** Phase-2a write for [[Txn]]: park this table's pointer in the
+    * conditional form (resolving to `oldV` until `marker` exists, `newV`
+    * after). Atomic like every pointer write.
+    */
+  private[graft] def writeTxnPointer(root: String, marker: java.nio.file.Path,
+      newV: Long, oldV: Option[Long]): Unit = {
+    val tmp = Paths.get(root, s"$Pointer.tmp")
+    Files.write(tmp, s"txn $marker $newV ${oldV.getOrElse(-1L)}".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(root, Pointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def versionExists(root: String, v: Long): Boolean =

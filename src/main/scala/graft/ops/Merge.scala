@@ -191,7 +191,10 @@ object Merge {
       statsCols: Seq[String], rules: Seq[Expect.Rule] = Nil): Long = {
     val baseVersion = Sinks.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    val base = spark.read.parquet(Sinks.versionPath(root, baseVersion))
+    // through the read funnel, not a raw parquet read: the base may
+    // carry a deletion vector or a column mapping, and the merge must
+    // see the subtracted rows under their logical names
+    val base = Sinks.readVersion(spark, root, baseVersion)
     // Expectations gate the DELTA (the rows this merge would apply):
     // violating delta rows are quarantined into the new version's
     // sidecar instead of touching the table, and both land in the SAME

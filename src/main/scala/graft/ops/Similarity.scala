@@ -78,8 +78,12 @@ object Similarity {
     * assignment pass viable over 100 TB.
     */
   def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    // sort_array (by label, the struct's first field) pins the scan
+    // order of the ties-keep-first argmax below — assignment becomes
+    // deterministic under exact cosine ties and mirrors the SQL
+    // spelling `ORDER BY sim DESC, label` (q_ann_ivf's oracle)
     val centsArr = centroids
-      .agg(collect_list(struct(col("label"), col("centroid"))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("label"), col("centroid")))).as("cents"))
     corpus.crossJoin(broadcast(centsArr))
       .withColumn("cluster",
         aggregate(col("cents"),
@@ -100,7 +104,25 @@ object Similarity {
     * compound across iterations. Clusters that lose every member simply
     * drop out (k shrinks) — acceptable for a coarse quantizer.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroids(corpus, k, iters, roundDp = -1)
+
+  /** As [[kmeansCentroids]]; with `roundDp >= 0` each iteration's mean
+    * centroids are rounded to that many decimals. This pins the whole
+    * learned path bit-deterministic ACROSS ENGINES: `avg` sums in
+    * partition-arrival order (association drift ~1e-16 run to run),
+    * which rounding at 1e-6 granularity absorbs — so a fixed-iteration
+    * run can be mirrored exactly by an unrolled-Lloyd SQL oracle
+    * (q_ann_ivf's DuckDB twin). Cosine ranking behavior is unchanged
+    * beyond the quantization (cosine is scale-invariant and the
+    * rounding error is far below any real cluster margin).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      roundDp: Int): DataFrame = {
+    def maybeRound(c: DataFrame): DataFrame =
+      if (roundDp < 0) c
+      else c.select(col("label"),
+        transform(col("centroid"), x => round(x, roundDp)).as("centroid"))
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("label"),
         Vec.asDouble(col("embedding")).as("centroid"))
@@ -110,9 +132,9 @@ object Similarity {
       // (zero-norm/null embeddings) — excluding them keeps a phantom
       // zero-vector "cluster" from materializing and persisting as a
       // probe-able bucket across iterations
-      cents = meanByCluster(
+      cents = maybeRound(meanByCluster(
         assignClusters(corpus, cents).filter(col("cluster") >= 0),
-        "cluster").localCheckpoint()
+        "cluster")).localCheckpoint()
     cents
   }
 

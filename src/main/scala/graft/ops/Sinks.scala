@@ -90,14 +90,18 @@ object Sinks {
     // read, snapshot diff, CDC read, replica bootstrap, and compaction
     // flows through, so deleted rows can never resurface from any of
     // them (SQL reads take the same subtraction via DvReadRule)
-    if (!Dv.exists(p)) base
-    else {
-      val cols = base.columns.toSeq
-      Dv.subtract(
-        base.select((cols.map(org.apache.spark.sql.functions.col) :+
-          org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*),
-        p, cols)
-    }
+    val subtracted =
+      if (!Dv.exists(p)) base
+      else {
+        val cols = base.columns.toSeq
+        Dv.subtract(
+          base.select((cols.map(org.apache.spark.sql.functions.col) :+
+            org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*),
+          p, cols)
+      }
+    // metadata-only renames: the files speak PHYSICAL names, the caller
+    // gets LOGICAL ones ([[ColMap]]); unmapped versions pass through
+    ColMap.toLogical(subtracted, p)
   }
 
   /** Version-local partition spec stamp: the partition-column DDL of the
@@ -213,8 +217,11 @@ object Sinks {
     Seq((root, "parquet", cur, listVersions(root).size.toLong,
         files.size.toLong, files.map(Files.size).sum,
         TableProps.partitionCols(root).mkString(","),
-        Stats.sidecarCols(spark, live).mkString(","),
-        Bloom.sidecarCols(spark, live).mkString(","),
+        // sidecars speak physical names; DESCRIBE DETAIL speaks logical
+        Stats.sidecarCols(spark, live)
+          .map(ColMap.toLogicalName(live, _)).mkString(","),
+        Bloom.sidecarCols(spark, live)
+          .map(ColMap.toLogicalName(live, _)).mkString(","),
         Files.isDirectory(Paths.get(live, AnnIndex.CentroidsSidecar)),
         Files.isDirectory(Paths.get(live, ChangesSidecar)),
         nDeleted, nIngested.toLong))
@@ -777,6 +784,16 @@ object Sinks {
     // Refuse with the purge hint (the Delta phasing: DV tables gate
     // row-rewriting DML until the vector is compacted away).
     Dv.requireNone(versionPath(root, expected), "copy-on-write DML")
+    // same class of hazard for a column-mapped version: the rewrite's
+    // new files would carry LOGICAL footer names next to carried
+    // PHYSICAL-named files — a mixed-schema version no reader can
+    // serve. DML routes merge-on-read on mapped tables; this is the
+    // backstop for direct callers.
+    require(!ColMap.exists(versionPath(root, expected)),
+      "copy-on-write DML cannot run on a column-mapped version " +
+        s"(${versionPath(root, expected)}/${ColMap.MarkerFile}): DML " +
+        "routes merge-on-read automatically, or compact the table to " +
+        "materialize the renames first")
     // a no-op statement (predicate matched nothing) still commits a
     // version — but writing its empty frame would land a zero-row file
     // alongside every carried one; skip the write (the empty check is a
@@ -813,15 +830,25 @@ object Sinks {
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       val pcols = TableProps.partitionCols(root)
+      // metadata-only renames ([[ColMap]]): new rows arrive under
+      // LOGICAL names but must land in the carried files' PHYSICAL
+      // footer schema; the marker travels with the commit so readers
+      // keep translating. Caller-named stats columns (logical) follow
+      // the same translation; inherited sidecar columns are already
+      // physical. Written FIRST so the emitFeed readback below sees it.
+      val baseMapDir = expected.map(v => versionPath(root, v)).filter(ColMap.exists)
+      val toWrite = baseMapDir.fold(aligned)(d => ColMap.toPhysical(aligned, d))
       if (skipDataWrite) Files.createDirectories(stage)
-      else if (pcols.isEmpty) aligned.write.mode("overwrite").parquet(stage.toString)
-      else aligned.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      else if (pcols.isEmpty) toWrite.write.mode("overwrite").parquet(stage.toString)
+      else toWrite.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      baseMapDir.foreach(d => ColMap.carry(Paths.get(d), stage))
       // an append must not silently demote the table from skippable to
       // full-scan (the same guarantee compaction gives): when the caller
       // names no stats columns, inherit the live sidecar's — so a SQL
       // INSERT or a streaming batch keeps the skipping tier intact
       val effStats =
-        if (statsCols.nonEmpty) statsCols
+        if (statsCols.nonEmpty)
+          baseMapDir.fold(statsCols)(d => statsCols.map(ColMap.toPhysicalName(d, _)))
         else expected.toSeq.flatMap(v =>
           Stats.sidecarCols(spark, versionPath(root, v)))
       // each append adds one sidecar file (the delta's); past the
@@ -970,30 +997,57 @@ object Sinks {
                 Dv.hasLegacyParts(spark, versionPath(root, v))))
             Dv.compactSidecar(spark, stage.toString)
         }
-        // the ANN quantizer describes the BUCKETING SCHEME, not any file
-        // set — a linked commit preserves the bucket column as data, so
-        // the quantizer stays exactly valid and must ride along (without
-        // it, one append would brick AnnIndex.search on the new version)
-        if (Files.isDirectory(live.resolve(AnnIndex.CentroidsSidecar))) {
-          val dstC = stage.resolve(AnnIndex.CentroidsSidecar)
-          Files.createDirectories(dstC)
-          Fs.listDir(live.resolve(AnnIndex.CentroidsSidecar))
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .foreach(f => linkOrCopy(f, dstC.resolve(f.getFileName)))
+        // the ANN quantizer and PQ codebooks describe the BUCKETING /
+        // ENCODING SCHEME, not any file set — a linked commit preserves
+        // the bucket and code columns as data, so both stay exactly
+        // valid and must ride along (without them, one append would
+        // brick AnnIndex.search/searchPq on the new version)
+        Seq(AnnIndex.CentroidsSidecar, Pq.Sidecar).foreach { sc =>
+          if (Files.isDirectory(live.resolve(sc))) {
+            val dstC = stage.resolve(sc)
+            Files.createDirectories(dstC)
+            Fs.listDir(live.resolve(sc))
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach(f => linkOrCopy(f, dstC.resolve(f.getFileName)))
+          }
         }
       }
       // an empty append creating an empty table still needs a
-      // footer-bearing file or the version loses its schema
+      // footer-bearing file or the version loses its schema (PHYSICAL
+      // names, like every data file of the version)
       if (!hasParquetFile(stage)) {
         spark.createDataFrame(
             spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-            aligned.schema)
+            toWrite.schema)
           .write.mode("overwrite").parquet(stage.toString)
       }
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
       if (checkpointStats) Stats.annotate(spark, stage.toString, effStats)
       commitStaged(root, stage, expected)
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** Metadata-only RENAME COLUMN commit ([[ColMap]]): hardlink the live
+    * version wholesale, REPLACE its column-mapping marker with
+    * `mapping` (logical → physical, identity entries dropped), and
+    * commit through the OCC protocol. Zero data bytes move — the
+    * O(table) rewrite the pre-mapping rename paid is gone; time travel
+    * still reads each older version under its own names because the
+    * marker is per-version. Callers (the catalog's ALTER) validate the
+    * mapping against the live schema first.
+    */
+  def publishColumnMapping(spark: SparkSession, root: String,
+      expected: Long, mapping: Map[String, String]): Long = {
+    val src = Paths.get(versionPath(root, expected))
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      stageSnapshotLinks(src, stage)
+      Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
+      ColMap.write(stage, mapping)
+      commitStaged(root, stage, Some(expected))
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
@@ -1053,8 +1107,10 @@ object Sinks {
       Files.createDirectories(stage)
       Files.copy(pspec, stage.resolve(PartitionSpecFile))
     }
+    // the column-mapping marker travels with the files it translates
+    ColMap.carry(src, stage)
     Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar,
-        Dv.Sidecar).foreach { sc =>
+        Pq.Sidecar, Dv.Sidecar).foreach { sc =>
       val srcSc = src.resolve(sc)
       if (Files.isDirectory(srcSc)) {
         val dstSc = stage.resolve(sc)
@@ -1095,11 +1151,19 @@ object Sinks {
       case None => spark.read.parquet(dir)
       case Some(fixed) => spark.read.schema(fixed).parquet(dir)
     }
-    val cols = base.columns.toSeq
-    Dv.requireNoReserved(cols, s"merge-on-read DML on $root")
     import org.apache.spark.sql.functions.col
+    // metadata-only renames: callers (and their conditions/assignments)
+    // speak LOGICAL names; the scan's columns are PHYSICAL — alias in
+    // the same projection that captures `_metadata` (a later select
+    // would lose the metadata struct)
+    val colmap = ColMap.load(dir)
+    val physToLogical = colmap.map { case (l, p) => p.toLowerCase -> l }
+    val cols = base.columns.toSeq.map(c => physToLogical.getOrElse(c.toLowerCase, c))
+    Dv.requireNoReserved(cols, s"merge-on-read DML on $root")
     base
-      .select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*)
+      .select((base.columns.toIndexedSeq.map(c =>
+        col(s"`$c`").as(physToLogical.getOrElse(c.toLowerCase, c))) :+
+        col("_metadata")): _*)
       .withColumn("_dv_key", Dv.relKey(dir))
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .drop("_metadata")
@@ -1472,7 +1536,7 @@ object Sinks {
     reconcileFeedLocked(root)
   }
 
-  private def reconcileFeedLocked(root: String): Unit = {
+  private[graft] def reconcileFeedLocked(root: String): Unit = {
     val feed = Paths.get(root, FeedDir)
     if (!Files.isDirectory(feed)) return
     val wmFile = feed.resolve(FeedWatermark)
@@ -1558,7 +1622,11 @@ object Sinks {
     // single-column pruning exact; a multi-dimensional (Z-order) layout
     // that must survive compaction should be re-laid with its own key
     // and republished instead.
+    // sidecar columns are PHYSICAL; the rewrite below reads LOGICAL
+    // (through the funnel) and re-lands logical-named files, converging
+    // a renamed table back to unmapped — so translate for the recluster
     val statsCols = Stats.sidecarCols(spark, live)
+      .map(ColMap.toLogicalName(live, _))
     val base = readDir(spark, root, live)
     val pcols = TableProps.partitionCols(root)
     val rewritten =

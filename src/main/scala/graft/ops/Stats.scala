@@ -215,7 +215,10 @@ object Stats {
     // contract as a missing per-file stats row, never an error
     if (!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dir, Sidecar))) return all
-    val side = sidecar(spark, dir).filter(col("col") === colName)
+    // the sidecar speaks PHYSICAL names; accept a logical name under a
+    // column mapping (idempotent — a physical name maps to itself)
+    val physName = ColMap.toPhysicalName(dir, colName)
+    val side = sidecar(spark, dir).filter(col("col") === physName)
       .collect().map { r =>
         r.getAs[String]("file") -> r
       }.toMap
@@ -264,9 +267,13 @@ object Stats {
   def readWhere(spark: SparkSession, dir: String,
       colName: String, lo: Any, hi: Any,
       readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val files = prunedFiles(spark, dir, colName, lo, hi)
-    val pred = col(colName).between(lit(lo), lit(hi))
-    if (files.isEmpty) {
+    // under a column mapping the caller's name is LOGICAL while the
+    // sidecar and files speak PHYSICAL — translate for the prune and
+    // the predicate, alias the result back (identity when unmapped)
+    val physCol = ColMap.toPhysicalName(dir, colName)
+    val files = prunedFiles(spark, dir, physCol, lo, hi)
+    val pred = col(physCol).between(lit(lo), lit(hi))
+    val res = if (files.isEmpty) {
       val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
@@ -288,6 +295,7 @@ object Stats {
         }
       subtracted.filter(pred)
     }
+    ColMap.toLogical(res, dir)
   }
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table

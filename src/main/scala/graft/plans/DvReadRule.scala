@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.catalog.GraftSnapshotDir
-import graft.ops.{Dv, Sinks}
+import graft.ops.{ColMap, Dv, Sinks}
 
 /** SQL-side deletion-vector subtraction (B135): when a Graft catalog
   * relation's resolved version dir carries a `_dv` sidecar, swap the
@@ -38,11 +38,14 @@ object DvReadRule extends Rule[LogicalPlan] {
         .flatten.toSet
     plan.transformUp {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftSnapshotDir if Dv.exists(t.snapshotVersionDir) =>
+        // column-mapped versions swap through the same funnel: the bare
+        // scan would read LOGICAL names against PHYSICAL files
+        case t: GraftSnapshotDir
+            if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
-            "reading _metadata columns of a deletion-vector table is " +
-              "unsupported: compact the table to purge deletes first")
+            "reading _metadata columns of a deletion-vector or column-mapped " +
+              "table is unsupported: compact the table first")
           swap(r, t)
         case _ => r
       }

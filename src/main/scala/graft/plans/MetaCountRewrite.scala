@@ -137,10 +137,12 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       .collect()
     val byFile = rows.groupBy(_.getString(0))
     if (!live.forall(byFile.contains)) return None
-    // every live file's trusted entry for column `c`, or None (decline)
+    // every live file's trusted entry for column `c`, or None (decline);
+    // the sidecar speaks PHYSICAL names, the aggregate LOGICAL ones
     def covered(c: String): Option[Seq[org.apache.spark.sql.Row]] = {
+      val phys = graft.ops.ColMap.toPhysicalName(dir, c)
       val per = live.toSeq.map(f =>
-        byFile(f).find(r => r.getString(1).equalsIgnoreCase(c) && r.getBoolean(4)))
+        byFile(f).find(r => r.getString(1).equalsIgnoreCase(phys) && r.getBoolean(4)))
       if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
     val total = live.toSeq.map(f => byFile(f).head.getLong(2)).sum - dvCount

@@ -162,7 +162,10 @@ object LlmOps extends QueryModule {
     // LlmSpec measures recall vs brute force.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+      // roundDp=6 pins the learned quantizer engine-deterministic, so
+      // this path is HASH-matched against an unrolled-Lloyd DuckDB
+      // oracle (round-10: q_ann_ivf leaves the rows-only list)
+      val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 3, roundDp = 6)
       // bucket the corpus by the LEARNED assignment (at scale this is the
       // partition key the index is written with)
       val bucketed = Similarity.assignClusters(emb, centroids)
@@ -318,6 +321,23 @@ object LlmOps extends QueryModule {
           col("rnk").cast("int").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
+
+    // B125 + TRUE product quantization (round-10): stage 1 ranks a
+    // shortlist entirely on M-byte PQ codes via the codegen'd ADC
+    // gather (a per-query LUT over the persisted `_pq` codebooks — at
+    // M=8 over 64 dims the probe reads 32x fewer code bytes than
+    // floats), stage 2 exact-reranks the shortlist. Shares the flat
+    // search's oracle: the re-rank makes the compression invisible in
+    // the answer, and the hash match proves it.
+    "q_ann_pq_codebook" -> ((s, dir) => {
+      val root = annPqTable(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.ops.AnnIndex.searchPq(s, root, qs, nprobe = 2, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
   )
 
   /** Cached persisted IVF index over the embeddings fixture (B125):
@@ -369,6 +389,28 @@ object LlmOps extends QueryModule {
       if (!fresh) {
         graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
         AnnIndex.buildFixedSq8(s, Tables.embeddings(s, dir), root)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** As [[annSq8Table]] but with true PQ codebooks ([[q_ann_pq_codebook]]). */
+  private def annPqTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{AnnIndex, Pq, Sinks}
+      val root = "/tmp/graft_annpq_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/emb"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "embeddings")
+      val fresh = Files.isDirectory(Paths.get(root)) &&
+        Sinks.listVersions(root) == Seq(0L) &&
+        Files.isDirectory(Paths.get(Sinks.versionPath(root, 0L) + "/" +
+          Pq.Sidecar)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
+        AnnIndex.buildFixedPq(s, Tables.embeddings(s, dir), root)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -497,7 +539,83 @@ object LlmOps extends QueryModule {
     // SQ8 + exact re-rank must land on the identical top-k: one oracle,
     // three serving paths.
     "q_ann_pq" -> annIvfFixedSql,
+    "q_ann_pq_codebook" -> annIvfFixedSql,
+    // round-10: the LEARNED path leaves the rows-only list — the 6dp
+    // centroid rounding makes fixed-iteration Lloyd engine-exact, so
+    // the whole learn->bucket->probe->rank chain hash-matches DuckDB.
+    "q_ann_ivf" -> annIvfLearnedSql,
   ) ++ oraclesTail
+
+  /** Unrolled-Lloyd DuckDB twin of q_ann_ivf (round-10): the learned
+    * spherical k-means is replayed iteration by iteration as CTE pairs
+    * (aN = ties-to-lowest-label argmax-cosine assignment, cN = per-dim
+    * means rounded to 6dp — the same rounding [[graft.ops.Similarity
+    * .kmeansCentroids]] applies, which is what makes `avg`'s summation-
+    * order drift invisible across engines), then the probe + in-bucket
+    * ranking of the fixed-quantizer oracle runs against the learned
+    * centroids and learned bucket assignment.
+    */
+  private lazy val annIvfLearnedSql: String = {
+    val (k, iters, d) = (8, 3, 64)
+    def argmaxAssign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT e.vec_id, c.label,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        sum(c.v * CAST(e.embedding[c.dim] AS DOUBLE)) /
+         |          (sqrt(sum(c.v * c.v)) *
+         |           sqrt(sum(CAST(e.embedding[c.dim] AS DOUBLE) *
+         |                    CAST(e.embedding[c.dim] AS DOUBLE)))) DESC,
+         |        c.label) AS p
+         |    FROM embeddings e, $cents c
+         |    GROUP BY e.vec_id, c.label) WHERE p = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      argmaxAssign(s"a$it", s"c${it - 1}") + s""",
+         |c$it AS (
+         |  SELECT a.label, g.i AS dim,
+         |    round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS v
+         |  FROM a$it a JOIN embeddings e USING (vec_id),
+         |    generate_series(1, $d) g(i)
+         |  GROUP BY a.label, g.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS label, g.i AS dim,
+       |    CAST(embedding[g.i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, $d) g(i) WHERE vec_id < $k),
+       |$iterCtes,
+       |${argmaxAssign("bucket", s"c$iters")},
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 5),
+       |csims AS (
+       |  SELECT q.query_id, c.label,
+       |    round(sum(c.v * CAST(q.qe[c.dim] AS DOUBLE)) /
+       |      (sqrt(sum(c.v * c.v)) *
+       |       sqrt(sum(CAST(q.qe[c.dim] AS DOUBLE) * CAST(q.qe[c.dim] AS DOUBLE)))), 6) AS c_sim
+       |  FROM c$iters c, q
+       |  GROUP BY q.query_id, c.label),
+       |sel AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, label) AS p
+       |    FROM csims) WHERE p <= 2),
+       |scored AS (
+       |  SELECT s.query_id, e.vec_id,
+       |    round(sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(q.qe[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)))), 6) AS cos_sim
+       |  FROM sel s
+       |  JOIN bucket b ON b.label = s.label
+       |  JOIN embeddings e ON e.vec_id = b.vec_id
+       |  JOIN q ON q.query_id = s.query_id,
+       |  generate_series(1, $d) g(i)
+       |  GROUP BY s.query_id, e.vec_id)
+       |SELECT query_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   private lazy val annIvfFixedSql: String =
       """WITH cents AS (

@@ -124,6 +124,51 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.size == 50)
   }
 
+  test("PQ index: ADC shortlist + exact rerank equals the flat search; recall floor beats chance") {
+    val root = tmp("annidxpq")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixedPq(spark, emb, root)
+    val live = Sinks.readCurrent(spark, root)
+    assert(live.columns.contains("pqcodes"))
+    assert(live.schema("pqcodes").dataType.simpleString == "array<tinyint>",
+      "PQ codes must be 1-byte elements")
+    // M=8 codes per 64-dim row: 8 bytes vs 256 float bytes — 32x
+    assert(live.select(org.apache.spark.sql.functions.size(col("pqcodes")))
+      .head().getInt(0) == 8)
+    // the `_pq` codebook sidecar rode the atomic commit
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Sinks.versionPath(root, 0L), graft.ops.Pq.Sidecar)))
+    val got = AnnIndex.searchPq(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val flat = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == flat, "rerank must make PQ compression invisible in the answer")
+    assert(got.size == 50)
+    // stage-1 quality floor: the ADC shortlist at depth 40 must recall
+    // most of the exact top-10 (codes alone, before any rerank)
+    val shortIds = AnnIndex.pqShortlist(spark, root, queries5, nprobe = 2, shortlist = 40)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = flat.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactIds.count(shortIds.contains).toDouble / exactIds.size
+    assert(recall >= 0.8, f"PQ stage-1 recall@40 too low: $recall%.2f")
+  }
+
+  test("PQ shortlist pass scans codes, not floats, and keeps dynamic bucket pruning") {
+    val root = tmp("annidxpqio")
+    AnnIndex.buildFixedPq(spark, Tables.embeddings(spark, sf001), root)
+    val plan = AnnIndex.pqShortlist(spark, root, queries5, nprobe = 2, shortlist = 80)
+      .queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains(root)).toSeq
+    assert(idxScans.nonEmpty, s"no index scan found in:\n$plan")
+    assert(!idxScans.exists(_.contains("embedding")),
+      s"PQ shortlist scan reads the float embeddings:\n${idxScans.mkString("\n")}")
+    assert(idxScans.exists(_.contains("pqcodes")),
+      s"PQ shortlist scan lost the code column:\n${idxScans.mkString("\n")}")
+    assert(plan.contains("dynamicpruning"), s"PQ probe lost DPP:\n$plan")
+  }
+
   test("SQ8 shortlist pass scans codes, not floats (column pruning = the IO cut)") {
     val root = tmp("annidxsq8io")
     AnnIndex.buildFixedSq8(spark, Tables.embeddings(spark, sf001), root)

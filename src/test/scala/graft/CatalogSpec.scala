@@ -968,11 +968,22 @@ class CatalogSpec extends AnyFunSuite {
 
   // ---- round-9 schema evolution: RENAME / DROP COLUMN ----
 
-  test("RENAME COLUMN rewrites the data; old versions keep their schema") {
+  test("RENAME COLUMN is metadata-only: zero data files rewritten, old versions keep their schema") {
     root
     spark.sql("CREATE TABLE graft.se1 AS SELECT id AS k, id * 2 AS v FROM range(10)")
     try {
+      val preKeys = graft.io.Fs.walkParquet(Paths.get(Sinks.resolve(s"$root/se1")))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
       spark.sql("ALTER TABLE graft.se1 RENAME COLUMN v TO val")
+      // the rename commit carried every data file by hardlink — the
+      // Delta column-mapping contract: O(1) metadata, not O(table)
+      val postKeys = graft.io.Fs.walkParquet(Paths.get(Sinks.resolve(s"$root/se1")))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      assert(postKeys == preKeys,
+        "RENAME COLUMN must not rewrite any data file (column mapping)")
+      assert(graft.ops.ColMap.load(Sinks.resolve(s"$root/se1")) == Map("val" -> "v"))
       assert(spark.table("graft.se1").columns.toSeq == Seq("k", "val"))
       assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 90L)
       // the pre-evolution version still reads under its ORIGINAL schema
@@ -984,9 +995,29 @@ class CatalogSpec extends AnyFunSuite {
         .getMessage.contains("already exists"))
       intercept[Exception](
         spark.sql("ALTER TABLE graft.se1 RENAME COLUMN nope TO x"))
-      // writes through the evolved schema land normally
+      // writes through the evolved schema land normally (the append
+      // translates its new rows to the carried files' physical names)
       spark.sql("INSERT INTO graft.se1 VALUES (100, 200)")
       assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 290L)
+      // a second rename composes through to the ORIGINAL physical name
+      spark.sql("ALTER TABLE graft.se1 RENAME COLUMN val TO value")
+      assert(graft.ops.ColMap.load(Sinks.resolve(s"$root/se1")) == Map("value" -> "v"))
+      assert(spark.sql("SELECT sum(value) AS s FROM graft.se1").head().getLong(0) == 290L)
+      // renaming BACK to the physical name converges to an unmapped table
+      spark.sql("ALTER TABLE graft.se1 RENAME COLUMN value TO v")
+      assert(!graft.ops.ColMap.exists(Sinks.resolve(s"$root/se1")))
+      // DML on a mapped version routes merge-on-read and sees logical names
+      spark.sql("ALTER TABLE graft.se1 RENAME COLUMN v TO val")
+      spark.sql("UPDATE graft.se1 SET val = 0 WHERE k = 100")
+      spark.sql("DELETE FROM graft.se1 WHERE k = 9")
+      assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 72L)
+      // compaction materializes the renames: files speak the logical
+      // name afterwards and the marker is gone
+      spark.sql("CALL graft.system.compact(table => 'se1')")
+      val live = Sinks.resolve(s"$root/se1")
+      assert(!graft.ops.ColMap.exists(live))
+      assert(spark.read.parquet(live).columns.toSeq.sorted == Seq("k", "val"))
+      assert(spark.sql("SELECT sum(val) AS s FROM graft.se1").head().getLong(0) == 72L)
     } finally spark.sql("DROP TABLE graft.se1")
   }
 
@@ -1023,10 +1054,14 @@ class CatalogSpec extends AnyFunSuite {
     try {
       spark.sql("ALTER TABLE graft.se3 RENAME COLUMN k TO key")
       val live = Sinks.resolve(tr)
-      assert(Stats.sidecarCols(spark, live) == Seq("grp", "key"),
-        "stats sidecar must be re-keyed under the renamed column")
-      assert(Bloom.sidecarCols(spark, live) == Seq("key"),
-        "bloom sidecar must be re-keyed under the renamed column")
+      // metadata-only rename: the sidecars keep PHYSICAL keys and every
+      // probe translates through the column mapping — never stale-keyed
+      assert(Stats.sidecarCols(spark, live)
+        .map(graft.ops.ColMap.toLogicalName(live, _)) == Seq("grp", "key"),
+        "stats sidecar must serve the renamed column through the mapping")
+      assert(Bloom.sidecarCols(spark, live)
+        .map(graft.ops.ColMap.toLogicalName(live, _)) == Seq("key"),
+        "bloom sidecar must serve the renamed column through the mapping")
       // pruning still PRUNES on the new name (range-clustered on key)...
       val keptFiles = Stats.prunedFiles(spark, live, "key", 10L, 20L)
       val allFiles = graft.io.Fs.walkParquet(Paths.get(live))

@@ -96,4 +96,93 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(graft.ops.Stats.sidecarCols(spark, Sinks.resolve(root)) == Seq("k"))
     assert(Sinks.changeFeed(spark, root, 0L, v).get.count() == 1)
   }
+
+  // ---- multi-table transactions (Txn) ----
+
+  import graft.ops.{Txn, TxnWrite}
+
+  private def withFailpoint[T](f: String => Unit)(body: => T): T = {
+    Txn.failpoint = f
+    try body finally Txn.failpoint = _ => ()
+  }
+
+  test("multi-table transaction: bronze+silver commit atomically; stale OCC aborts both") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txn").toString
+    val (bronze, silver) = (s"$base/bronze", s"$base/silver")
+    // create both in ONE transaction
+    val created = Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"), None),
+      TxnWrite(silver, Seq((1L, 10.0)).toDF("k", "total"), None, statsCols = Seq("k"))))
+    assert(created == Map(bronze -> 0L, silver -> 0L))
+    assert(Sinks.readCurrent(spark, bronze).count() == 2)
+    assert(graft.ops.Stats.sidecarCols(spark, Sinks.resolve(silver)) == Seq("k"))
+    // evolve both consistently
+    Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amt"), Some(0L)),
+      TxnWrite(silver, Seq((1L, 60.0)).toDF("k", "total"), Some(0L))))
+    assert(Sinks.currentVersion(bronze).contains(1L) &&
+      Sinks.currentVersion(silver).contains(1L))
+    // one stale expectation aborts the WHOLE transaction, nothing moves
+    intercept[java.util.ConcurrentModificationException](Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((9L, 9.0)).toDF("k", "amt"), Some(1L)),
+      TxnWrite(silver, Seq((9L, 9.0)).toDF("k", "total"), Some(0L))))) // stale
+    assert(Sinks.currentVersion(bronze).contains(1L) &&
+      Sinks.currentVersion(silver).contains(1L))
+    assert(stageDebris(bronze).isEmpty && stageDebris(silver).isEmpty)
+  }
+
+  test("txn kill between pointer parks: every table still reads its PRE-transaction version") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txnk").toString
+    val (bronze, silver) = (s"$base/a_bronze", s"$base/b_silver")
+    Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((1L, "x")).toDF("k", "v"), None),
+      TxnWrite(silver, Seq((1L, "X")).toDF("k", "v"), None)))
+    // bronze sorts first, so its pointer parks first — kill right after
+    val e = intercept[RuntimeException](withFailpoint(
+      s => if (s == s"conditional:$bronze") throw new RuntimeException("killed @park")) {
+      Txn.publishAll(Seq(
+        TxnWrite(bronze, Seq((2L, "y")).toDF("k", "v"), Some(0L)),
+        TxnWrite(silver, Seq((2L, "Y")).toDF("k", "v"), Some(0L))))
+    })
+    assert(e.getMessage.contains("killed"))
+    // NO mixed state: both resolve the old version (bronze's pointer is
+    // parked conditional, but the marker never landed)
+    assert(Sinks.currentVersion(bronze).contains(0L), "bronze flipped early")
+    assert(Sinks.currentVersion(silver).contains(0L))
+    assert(Sinks.readCurrent(spark, bronze).orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "x")))
+    // a retry against the SAME expected versions wins cleanly
+    val retried = Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((2L, "y")).toDF("k", "v"), Some(0L)),
+      TxnWrite(silver, Seq((2L, "Y")).toDF("k", "v"), Some(0L))))
+    assert(Sinks.readCurrent(spark, bronze).count() == 1 &&
+      Sinks.readCurrent(spark, bronze).head().getString(1) == "y")
+    assert(Sinks.currentVersion(bronze) == Some(retried(bronze)))
+  }
+
+  test("txn kill right after the marker: every table already reads its NEW version") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txnm").toString
+    val (bronze, silver) = (s"$base/a", s"$base/b")
+    Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((1L, "x")).toDF("k", "v"), None),
+      TxnWrite(silver, Seq((1L, "X")).toDF("k", "v"), None)))
+    intercept[RuntimeException](withFailpoint(
+      s => if (s == "marker") throw new RuntimeException("killed @marker")) {
+      Txn.publishAll(Seq(
+        TxnWrite(bronze, Seq((2L, "y")).toDF("k", "v"), Some(0L)),
+        TxnWrite(silver, Seq((2L, "Y")).toDF("k", "v"), Some(0L))))
+    })
+    // the marker IS the commit point: both tables flip together even
+    // though no pointer was normalized
+    assert(Sinks.currentVersion(bronze).contains(1L), "marker did not commit bronze")
+    assert(Sinks.currentVersion(silver).contains(1L), "marker did not commit silver")
+    assert(Sinks.readCurrent(spark, silver).head().getString(1) == "Y")
+    // an ordinary later commit normalizes the parked pointer in passing
+    Sinks.publishVersioned(Seq((3L, "z")).toDF("k", "v"), bronze, Some(1L))
+    assert(Sinks.currentVersion(bronze).contains(2L))
+    assert(Sinks.readCurrent(spark, bronze).head().getString(1) == "z")
+  }
 }

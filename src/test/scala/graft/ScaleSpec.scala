@@ -662,6 +662,7 @@ class ScaleSpec extends AnyFunSuite {
       "q_ann_ivf_fixed", // same probe shape as q_ann_ivf: queries x broadcast centroid table
       "q_ann_index", // persisted-index serving of the same probe shape (B125)
       "q_ann_pq", // B130 SQ8 serving: same queries x broadcast-centroid probe shape
+      "q_ann_pq_codebook", // B143 PQ serving: same queries x broadcast-centroid probe shape
       "q_ann_rewrite", // rule-expanded brute force = q_cosine_topk's corpus x broadcast-query scan
       "q_edit_distance", "q_date_spine", "q_part_pairs",
       "q_join_range", // B22: the non-equi band join IS the operator
