@@ -916,12 +916,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)
       case "copy_into" => new GraftProcedures.CopyInto(resolve)
+      case "vacuum_orphans" => new GraftProcedures.VacuumOrphans(resolve)
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
           s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
           s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone, " +
           s"${GraftProcedures.Namespace}.repartition_table, " +
-          s"${GraftProcedures.Namespace}.copy_into)")
+          s"${GraftProcedures.Namespace}.copy_into, " +
+          s"${GraftProcedures.Namespace}.vacuum_orphans)")
     }
   }
 

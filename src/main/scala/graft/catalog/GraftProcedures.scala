@@ -72,6 +72,46 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.vacuum_orphans(table, older_than_hours => 24.0)` — remove
+    * crash debris retention vacuum never touches: dead `.stage-*` dirs
+    * and never-flipped version dirs above the live pointer (see
+    * [[graft.ops.Sinks.vacuumOrphans]] for the safety reasoning and
+    * the in-flight-writer trade the age window encodes).
+    */
+  final class VacuumOrphans(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum_orphans"
+    override def description(): String =
+      "remove aged crash debris: dead staging dirs and never-flipped " +
+        "orphan version dirs above the live pointer"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("older_than_hours", DoubleType).defaultValue("24.0")
+        .comment("only debris older than this window is removed").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val hours = input.getDouble(1)
+      require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
+      val root = resolveRoot(table)
+      val (nStages, nOrphans) = graft.ops.Sinks.vacuumOrphans(root,
+        (hours * 3600 * 1000).toLong)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table),
+            nStages.toLong, nOrphans.toLong))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("n_stage_dirs_removed", LongType, nullable = false),
+          StructField("n_orphan_versions_removed", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.bloom_index(table, columns)` — build the B123 `_bloom`
     * point-lookup sidecar over the LIVE version's data files (one
     * distributed pass; see [[graft.ops.Bloom.annotate]]). Layout-only

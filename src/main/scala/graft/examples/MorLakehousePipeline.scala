@@ -116,6 +116,39 @@ object MorLakehousePipeline {
       s"versions=${Sinks.listVersions(tbl).mkString(",")} " +
       "(in-window history retained)")
 
+    // 7. metadata-only RENAME on the fork (round-10 column mapping):
+    // every data file carried by hardlink, logical name changes, DML
+    // keeps working (routed merge-on-read on the mapped version)
+    val preRename = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.resolve(fork))).size
+    spark.sql("ALTER TABLE morx.orders_fork RENAME COLUMN o_totalprice TO total_price")
+    spark.sql("UPDATE morx.orders_fork SET total_price = 1.0 WHERE o_orderkey = 2")
+    println(s"[7] RENAME COLUMN metadata-only: mapped=" +
+      graft.ops.ColMap.exists(Sinks.resolve(fork)) +
+      s", files carried=$preRename, sum(total_price)=" +
+      spark.sql("SELECT round(sum(total_price),2) FROM morx.orders_fork").head().get(0))
+
+    // 8. bronze+silver in ONE multi-table transaction (round-10): the
+    // derived rollup can never be observed against a base it wasn't
+    // computed from — both tables flip on one atomic marker
+    val bronze = s"$rootDir/tx_bronze"
+    val silver = s"$rootDir/tx_silver"
+    val b0 = Sinks.readCurrent(spark, tbl)
+    val s0 = b0.groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val committed = graft.ops.Txn.publishAll(Seq(
+      graft.ops.TxnWrite(bronze, b0, None),
+      graft.ops.TxnWrite(silver, s0, None)))
+    println(s"[8] multi-table txn: bronze v${committed(bronze)} + " +
+      s"silver v${committed(silver)} committed atomically " +
+      s"(${Sinks.readCurrent(spark, silver).count()} rollup rows)")
+
+    // 9. operator hygiene: vacuum aged crash debris (none here — the
+    // point is the zero, proving live state is never touched)
+    val (nStages, nOrphans) = Sinks.vacuumOrphans(tbl, olderThanMs = 0L)
+    println(s"[9] vacuum_orphans: $nStages stage dirs, $nOrphans orphan " +
+      s"versions removed; table intact=${Sinks.readCurrent(spark, tbl).count() > 0}")
+
     spark.stop()
   }
 }

@@ -1053,6 +1053,40 @@ object Sinks {
     }
   }
 
+  /** Operator hygiene: remove CRASH DEBRIS that retention-based vacuum
+    * never touches — `.stage-*` dirs of writers that died before their
+    * commit, and version dirs ABOVE the live pointer (a crash between
+    * the version-dir rename and the pointer flip, or a multi-table
+    * transaction killed before its marker). Both are invisible to every
+    * reader and harmless, but they accumulate bytes forever on a busy
+    * table. Only entries older than `olderThanMs` go (default 24 h —
+    * the standard VACUUM trade: an IN-FLIGHT writer staging longer than
+    * the window loses its not-yet-committed stage and fails cleanly at
+    * commit, never corrupts); runs under the commit lock, so no commit
+    * is concurrently promoting an above-current dir. `_txn-*` markers
+    * are deliberately kept: a marker may be referenced by conditional
+    * pointers of OTHER tables, which this table-scoped pass cannot see.
+    * Returns (stage dirs removed, orphan versions removed).
+    */
+  def vacuumOrphans(root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = withCommitLock(root) {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false }
+    val entries = Fs.listDir(Paths.get(root))
+    val stages = entries.filter(p =>
+      p.getFileName.toString.startsWith(".stage-") && oldEnough(p))
+    val cur = currentVersion(root)
+    val orphans = entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) &&
+        cur.forall(_ < n.drop(1).toLong) && oldEnough(p)
+    }
+    (stages ++ orphans).foreach(Fs.deleteRecursively)
+    (stages.size, orphans.size)
+  }
+
   /** RESTORE: republish the immutable contents of `v` as a NEW version
     * (linked, no data movement) and flip the pointer — the administrative
     * rewind (`RESTORE TABLE ... TO VERSION AS OF`). History is preserved:

@@ -76,6 +76,33 @@ object Curation extends QueryModule {
 
     // Normalization pass: lowercase, strip non-alphanumerics, collapse
     // runs of whitespace, trim — pure codegen'd regex chain, shuffle-free.
+    // PII scrubbing (Dolma/RedPajama-style redaction pass): the fixture
+    // text is deterministically AUGMENTED with synthetic PII (an email,
+    // an IP, a card number derived from doc_id — both engines build the
+    // identical string) so the redaction genuinely fires, then emails /
+    // IPs / cards are counted and replaced with typed tokens. The
+    // scrubbed text is surfaced as md5 so the oracle hash proves the
+    // byte-exact replacement, not just the counts. Pure codegen'd
+    // per-row regex — no UDF, no shuffle.
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.ops.Pii
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.2."), (col("doc_id") % 200).cast("string"),
+        lit(".7 card 4111-1111-1111-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("aug")).as("n_emails"),
+          Pii.ipCount(col("aug")).as("n_ips"),
+          Pii.cardCount(col("aug")).as("n_cards"),
+          md5(Pii.scrub(col("aug"))).as("scrub_md5"),
+          (length(col("aug")) - length(Pii.scrub(col("aug"))))
+            .cast("long").as("n_chars_removed"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_normalize" -> ((s, dir) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -434,6 +461,29 @@ object Curation extends QueryModule {
         |    CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      ("""WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |    '.7 card 4111-1111-1111-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.EmailRe + """')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.Ipv4Re + """')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.CardRe + """')) AS BIGINT) AS n_cards,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '""" + graft.ops.Pii.EmailRe + """', '<EMAIL>', 'g'),
+        |    '""" + graft.ops.Pii.Ipv4Re + """', '<IP>', 'g'),
+        |    '""" + graft.ops.Pii.CardRe + """', '<CARD>', 'g')) AS scrub_md5,
+        |  CAST(length(aug) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '""" + graft.ops.Pii.EmailRe + """', '<EMAIL>', 'g'),
+        |      '""" + graft.ops.Pii.Ipv4Re + """', '<IP>', 'g'),
+        |      '""" + graft.ops.Pii.CardRe + """', '<CARD>', 'g')) AS BIGINT) AS n_chars_removed
+        |FROM aug ORDER BY doc_id""").stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

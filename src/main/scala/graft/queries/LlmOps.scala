@@ -164,8 +164,13 @@ object LlmOps extends QueryModule {
       val emb = Tables.embeddings(s, dir)
       // roundDp=6 pins the learned quantizer engine-deterministic, so
       // this path is HASH-matched against an unrolled-Lloyd DuckDB
-      // oracle (round-10: q_ann_ivf leaves the rows-only list)
-      val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 3, roundDp = 6)
+      // oracle (round-10: q_ann_ivf leaves the rows-only list). The
+      // learned centroids are memoized under the fixture content stamp
+      // — Lloyd runs once per fixture generation, not per query run
+      // (the same Pin.cachedStable idiom as the LSH signatures)
+      val centroids = graft.ops.Pin.cachedStable(s,
+        Tables.srcStamp(dir, "embeddings") + "|kmeans:8:3:6")(
+        Similarity.kmeansCentroids(emb, k = 8, iters = 3, roundDp = 6))
       // bucket the corpus by the LEARNED assignment (at scale this is the
       // partition key the index is written with)
       val bucketed = Similarity.assignClusters(emb, centroids)

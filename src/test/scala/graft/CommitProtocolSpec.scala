@@ -97,6 +97,42 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(Sinks.changeFeed(spark, root, 0L, v).get.count() == 1)
   }
 
+  test("vacuum_orphans removes aged crash debris, keeps fresh debris and all live state") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_vo").toString
+    spark.conf.set("spark.sql.catalog.graftvo", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftvo.root", base)
+    val root = s"$base/t"
+    Sinks.publishVersioned(Seq((1L, "a")).toDF("k", "v"), root, None)
+    // debris class 1: a crash between version-dir rename and pointer
+    // flip leaves an orphan ABOVE the live pointer
+    intercept[RuntimeException](withProtocol(new FailAt(root, "flip")) {
+      Sinks.publishVersioned(Seq((2L, "b")).toDF("k", "v"), root, Some(0L))
+    })
+    // debris class 2: a writer that died mid-staging
+    val deadStage = Paths.get(s"$root/.stage-dead-1")
+    Files.createDirectories(deadStage)
+    Files.write(deadStage.resolve("part-dead.parquet"), Array[Byte](1, 2))
+    assert(Files.exists(Paths.get(Sinks.versionPath(root, 1L))), "expected an orphan v1")
+    // fresh debris is KEPT (the in-flight-writer window)
+    val kept = spark.sql(
+      "CALL graftvo.system.vacuum_orphans(table => 't')").collect()(0)
+    assert(kept.getLong(1) == 0 && kept.getLong(2) == 0,
+      s"fresh debris must survive the default window: $kept")
+    // aged debris goes (older_than_hours => 0 ages everything out)
+    val gone = spark.sql(
+      "CALL graftvo.system.vacuum_orphans(table => 't', older_than_hours => 0.0)")
+      .collect()(0)
+    assert(gone.getLong(1) == 1 && gone.getLong(2) == 1, s"got $gone")
+    assert(!Files.exists(deadStage) &&
+      !Files.exists(Paths.get(Sinks.versionPath(root, 1L))))
+    // live state untouched; the next commit allocates cleanly
+    assert(Sinks.readCurrent(spark, root).count() == 1)
+    val v = Sinks.publishVersioned(Seq((2L, "b")).toDF("k", "v"), root, Some(0L))
+    assert(Sinks.currentVersion(root).contains(v))
+    assert(Sinks.readCurrent(spark, root).count() == 1)
+  }
+
   // ---- multi-table transactions (Txn) ----
 
   import graft.ops.{Txn, TxnWrite}
