@@ -298,6 +298,54 @@ object Stress {
       System.err.println(s"[stress] dml leg failed: $e")
       Seq("dml_cow_delete" -> (-1L, -1.0))
     }
+    // MOR delete-churn leg (B140): 20 sequential deletion-vector
+    // commits against the factor×600k-row lineitem — each commit must
+    // stay O(this commit's matched rows): per-commit NEW sidecar bytes
+    // (inode-diff vs the previous version) must not grow with the
+    // cumulative vector, and total wall time must stay flat-ish across
+    // the sequence. The row reported is the MAX per-commit new bytes.
+    val morChurnTimes = try {
+      import graft.ops.{Dv, Sinks}
+      val root = s"$out/mor_churn"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val li = spark.read.parquet(Tables.path(out, "lineitem"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(16)
+      Sinks.publishVersioned(li, root, None)
+      def dvPartInodes(v: Long): Set[Object] = {
+        val d = java.nio.file.Paths.get(Sinks.versionPath(root, v), Dv.Sidecar)
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty
+        else graft.io.Fs.listDir(d)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => java.nio.file.Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      }
+      var maxNewBytes = 0L
+      val (_, tChurn) = timed {
+        (0 until 20).foreach { i =>
+          val v = Sinks.deleteVector(spark, root,
+            pmod(col("l_orderkey"), lit(100)) === i)
+          val prev = dvPartInodes(v - 1)
+          val newBytes = {
+            val d = java.nio.file.Paths.get(Sinks.versionPath(root, v), Dv.Sidecar)
+            graft.io.Fs.listDir(d)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .filter(f => !prev.contains(java.nio.file.Files.readAttributes(f,
+                classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()))
+              .map(java.nio.file.Files.size).sum
+          }
+          maxNewBytes = math.max(maxNewBytes, newBytes)
+        }
+        0L
+      }
+      val finalCard = Dv.cardinality(spark, Sinks.resolve(root))
+      System.err.println(s"[stress] mor_churn: 20 commits in $tChurn s, " +
+        s"max per-commit dv bytes=$maxNewBytes, final cardinality=$finalCard")
+      Seq("mor_churn_20" -> (maxNewBytes, tChurn))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] mor churn leg failed: $e")
+      Seq("mor_churn_20" -> (-1L, -1.0))
+    }
     // Bloom point-lookup leg (B123): the factor×150k-row orders table
     // HASH-laid on o_orderkey (range stats useless for a point probe) with
     // a _bloom sidecar — the membership prune vs the full scan for one
@@ -334,7 +382,7 @@ object Stress {
       Seq("bloom_lookup" -> (-1L, -1.0))
     }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
-      appendTimes ++ dmlTimes ++ bloomTimes
+      appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

@@ -820,6 +820,28 @@ object Sinks {
       changeFeedDf: Option[DataFrame] = None,
       dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
+    val stage = stageLinkedNoCommit(aligned, root, expected, statsCols,
+      emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
+      commitSidecars)
+    try commitStaged(root, stage, expected)
+    catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** The staging half of [[stageLinkedPublish]], WITHOUT the commit —
+    * for callers that coordinate the commit themselves ([[Txn]]'s
+    * multi-table linked appends). Returns the fully-staged dir (data +
+    * carried files + sidecars); the caller owns committing it through
+    * the protocol or deleting it on failure.
+    */
+  private[graft] def stageLinkedNoCommit(aligned: DataFrame, root: String,
+      expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
+      batchTag: Option[String], carry: String => Boolean,
+      skipDataWrite: Boolean = false,
+      changeFeedDf: Option[DataFrame] = None,
+      dvDelta: Option[DataFrame] = None,
+      commitSidecars: Seq[(String, DataFrame)] = Nil): Path = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
@@ -1024,7 +1046,7 @@ object Sinks {
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
       if (checkpointStats) Stats.annotate(spark, stage.toString, effStats)
-      commitStaged(root, stage, expected)
+      stage
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }

@@ -7,11 +7,18 @@ import org.apache.spark.sql.DataFrame
 
 /** One table write inside a multi-table transaction: publish `df` as
   * `root`'s next version, expecting the table to still be at `expected`
-  * (None = creating it). Full-publish semantics, the [[Sinks
-  * .publishVersioned]] shape.
+  * (None = creating it). Full-publish semantics by default (the
+  * [[Sinks.publishVersioned]] shape); with `linked = true` the write is
+  * an O(delta) APPEND — new rows staged, the expected version's files
+  * carried by hardlink, stats/bloom/colmap sidecars inherited, and
+  * (with `emitFeed`) the insert feed emitted — the
+  * [[Sinks.appendVersioned]] shape, so an incremental medallion hop
+  * (bronze append + silver refresh) commits atomically without
+  * rewriting either table.
   */
 case class TxnWrite(root: String, df: DataFrame,
-    expected: Option[Long], statsCols: Seq[String] = Nil)
+    expected: Option[Long], statsCols: Seq[String] = Nil,
+    linked: Boolean = false, emitFeed: Boolean = false)
 
 /** Multi-table TRANSACTIONS on the commit-protocol seam (round-9
   * verdict item 3): publish N tables so that readers observe either ALL
@@ -66,14 +73,21 @@ object Txn {
     // held only for the metadata moves
     val staged = ordered.map { w =>
       Files.createDirectories(Paths.get(w.root))
-      val stage = Paths.get(
-        s"${w.root}/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      val pcols = TableProps.partitionCols(w.root)
-      if (pcols.isEmpty) w.df.write.mode("overwrite").parquet(stage.toString)
-      else w.df.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
-      if (w.statsCols.nonEmpty)
-        Stats.annotate(w.df.sparkSession, stage.toString, w.statsCols)
-      stage
+      if (w.linked) {
+        require(w.expected.isDefined,
+          s"${w.root}: a linked append needs an existing base version")
+        Sinks.stageLinkedNoCommit(w.df, w.root, w.expected, w.statsCols,
+          emitFeed = w.emitFeed, batchTag = None, carry = _ => true)
+      } else {
+        val stage = Paths.get(
+          s"${w.root}/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        val pcols = TableProps.partitionCols(w.root)
+        if (pcols.isEmpty) w.df.write.mode("overwrite").parquet(stage.toString)
+        else w.df.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+        if (w.statsCols.nonEmpty)
+          Stats.annotate(w.df.sparkSession, stage.toString, w.statsCols)
+        stage
+      }
     }
     try {
       failpoint("staged")

@@ -166,6 +166,21 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(bronze).contains(1L) &&
       Sinks.currentVersion(silver).contains(1L))
     assert(stageDebris(bronze).isEmpty && stageDebris(silver).isEmpty)
+    // the incremental medallion hop: bronze LINKED APPEND (O(delta) —
+    // v1's files carried by hardlink) + silver refresh, one atomic flip
+    val v1Keys = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(bronze, 1L)))
+      .map(f => Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    Txn.publishAll(Seq(
+      TxnWrite(bronze, Seq((4L, 40.0)).toDF("k", "amt"), Some(1L), linked = true),
+      TxnWrite(silver, Seq((1L, 100.0)).toDF("k", "total"), Some(1L))))
+    assert(Sinks.readCurrent(spark, bronze).count() == 4)
+    val v2Keys = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(bronze, 2L)))
+      .map(f => Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    assert(v1Keys.subsetOf(v2Keys),
+      "linked txn append must carry the base version's files by hardlink")
+    assert(Sinks.readCurrent(spark, silver).head().getDouble(1) == 100.0)
   }
 
   test("txn kill between pointer parks: every table still reads its PRE-transaction version") {
