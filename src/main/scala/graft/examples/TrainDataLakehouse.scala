@@ -1,0 +1,122 @@
+package graft.examples
+
+import graft.io.Tables
+import graft.ops.{AnnIndex, Corpus, Dedup, Pii, Sinks, TableProps, Txn, TxnWrite}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The round-10 training-data loop composed into one runnable job —
+  * what a 100 TB curation pipeline does per refresh, expressed on the
+  * versioned table tier so every stage is atomic, time-travelable, and
+  * O(its own delta):
+  *
+  *   1. ingest          (raw docs + a derived per-language rollup land
+  *                       in ONE multi-table transaction — readers can
+  *                       never see the corpus without its stats)
+  *   2. PII scrub       (typed-token redaction, codegen'd regex)
+  *   3. dedup via MOR   (exact-dup losers DELETED by deletion vector —
+  *                       positions commit, no data file rewrites)
+  *   4. decontaminate   (benchmark 8-gram hits dropped the same way)
+  *   5. ANN index       (bucket-partitioned IVF + PQ codes; two-stage
+  *                       code-ranked search equals the flat answer)
+  *   6. pack + publish  (greedy sequence packing into shards, appended
+  *                       O(delta) with the corpus rollup in one txn)
+  *
+  * `sbt "runMain graft.examples.TrainDataLakehouse [sfDir]"`.
+  */
+object TrainDataLakehouse {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rootDir = java.nio.file.Files.createTempDirectory("graft_tdl")
+    graft.streaming.StreamOps.cleanOnExit(rootDir)
+    val corpus = s"$rootDir/corpus"
+    val stats = s"$rootDir/corpus_stats"
+    val shards = s"$rootDir/shards"
+
+    // 1. corpus + rollup committed ATOMICALLY: no reader can observe a
+    // corpus version whose stats table wasn't computed from it
+    val docs = Tables.documents(spark, sfDir)
+    val rollup = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val v = Txn.publishAll(Seq(
+      TxnWrite(corpus, docs, None),
+      TxnWrite(stats, rollup, None)))
+    println(s"[1] txn ingest: corpus v${v(corpus)} + stats v${v(stats)} " +
+      s"(${Sinks.readCurrent(spark, corpus).count()} docs, " +
+      s"${Sinks.readCurrent(spark, stats).count()} languages, one commit)")
+
+    // 2. PII scrub lands as an ordinary versioned rewrite (the text
+    // changes, so this stage IS O(corpus) — the only one that must be)
+    val scrubbed = Sinks.readCurrent(spark, corpus)
+      .withColumn("text", Pii.scrub(col("text")))
+    Sinks.publishVersioned(scrubbed, corpus, Some(v(corpus)))
+    println(s"[2] PII scrub: v${Sinks.currentVersion(corpus).get} " +
+      "(emails/IPs/cards replaced with typed tokens)")
+
+    // 3. exact-dup losers leave through a DELETION VECTOR: positions
+    // commit, every data file carries by hardlink
+    TableProps.update(corpus)(_ + ("graft.dml.mode" -> "mor"))
+    val losers = Dedup.exactDupStats(Sinks.readCurrent(spark, corpus))
+      .filter(col("n_docs") > 1)
+    val loserIds = Sinks.readCurrent(spark, corpus)
+      .withColumn("digest", md5(col("text")))
+      .join(losers.select(col("digest"), col("survivor_id")), "digest")
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Sinks.deleteVector(spark, corpus, col("doc_id").isin(loserIds.toSeq: _*))
+    println(s"[3] MOR dedup: ${loserIds.size} exact-dup losers vectored out, " +
+      s"${Sinks.readCurrent(spark, corpus).count()} docs live, zero files rewritten")
+
+    // 4. decontamination: docs sharing an 8-gram with the "benchmark"
+    // set (a deterministic slice stands in) leave the same O(delta) way
+    val bench = Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val contaminated = Corpus.ngramContamination(
+        Sinks.readCurrent(spark, corpus), bench, "doc_id", "text", n = 8)
+      .filter(col("n_hit") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (contaminated.nonEmpty)
+      Sinks.deleteVector(spark, corpus, col("doc_id").isin(contaminated.toSeq: _*))
+    println(s"[4] decontaminated: ${contaminated.size} docs vectored out " +
+      s"(8-gram overlap with the benchmark slice)")
+
+    // 5. ANN serving tier: IVF + PQ codes as a versioned table; the
+    // two-stage code-ranked search must equal the flat search exactly
+    val annRoot = s"$rootDir/ann"
+    AnnIndex.buildFixedPq(spark, Tables.embeddings(spark, sfDir), annRoot)
+    val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val pq = AnnIndex.searchPq(spark, annRoot, qs, nprobe = 2, k = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val flat = AnnIndex.search(spark, annRoot, qs, nprobe = 2, k = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    println(s"[5] ANN: PQ two-stage == flat search: ${pq == flat} " +
+      s"(${pq.size} results; codes are 8 bytes/row vs 256 float bytes)")
+
+    // 6. greedy sequence packing into training shards, committed with
+    // the refreshed rollup in ONE transaction again — shards and stats
+    // stay mutually consistent forever
+    val live = Sinks.readCurrent(spark, corpus)
+    val packed = Corpus.packSequences(
+      live.select(col("doc_id"), col("lang"), col("text")),
+      budget = 2048, streamCol = "lang", orderCol = "doc_id", textCol = "text")
+    val rollup2 = live.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val v2 = Txn.publishAll(Seq(
+      TxnWrite(shards, packed, None),
+      TxnWrite(stats, rollup2, Some(v(stats)))))
+    println(s"[6] txn publish: ${Sinks.readCurrent(spark, shards).count()} packed " +
+      s"sequences (shards v${v2(shards)}) + refreshed stats (v${v2(stats)}), one commit")
+
+    spark.stop()
+  }
+}

@@ -57,14 +57,20 @@ object Dedup {
     * and only those candidates pay the exact set intersection. The md5
     * signature variant keeps every step reproducible in the SQL oracle.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val cands = minhashCandidatesMd5(docs, n, bands, rowsPerBand)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      sigCacheKey: Option[String] = None): DataFrame = {
+    val cands = minhashCandidatesMd5(docs, n, bands, rowsPerBand, sigCacheKey)
     // materialize the shingle table once — it feeds BOTH join sides, and
     // without the barrier the full tokenize/slice/concat subtree would
     // run twice over the corpus (same hazard the signature checkpoint in
-    // minhashCandidates documents)
-    val sh = Pin.stable(Par.spread(docs.filter(col("text").isNotNull))
-      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("s")))
+    // minhashCandidates documents); fixture-backed callers memoize it
+    // under the content stamp exactly like the signatures
+    val shPlan = Par.spread(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("s"))
+    val sh = sigCacheKey match {
+      case None => Pin.stable(shPlan)
+      case Some(k) => Pin.cachedStable(docs.sparkSession, s"$k|shingles:$n")(shPlan)
+    }
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
@@ -249,10 +255,10 @@ object Dedup {
     * so the survivor rule (`doc_id == cluster_id`) is deterministic.
     */
   def dupClusters(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
-      minJaccard: Double = 0.2): DataFrame =
+      minJaccard: Double = 0.2, sigCacheKey: Option[String] = None): DataFrame =
     connectedComponents(
       docs.select(col("doc_id")),
-      ngramJaccardPairs(docs, n, bands, rowsPerBand)
+      ngramJaccardPairs(docs, n, bands, rowsPerBand, sigCacheKey)
         .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b")))
 

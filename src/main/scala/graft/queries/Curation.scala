@@ -28,7 +28,8 @@ object Curation extends QueryModule {
     // min-doc_id survivor per cluster. Emits every doc with its cluster
     // and survivor flag (the projection a dedup-keep pass filters on).
     "q_dup_clusters" -> ((s, dir) => {
-      Dedup.dupClusters(Tables.documents(s, dir), N, Bands, RowsPerBand)
+      Dedup.dupClusters(Tables.documents(s, dir), N, Bands, RowsPerBand,
+          sigCacheKey = Some(Tables.srcStamp(dir, "documents")))
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
         .orderBy("doc_id")
@@ -155,7 +156,8 @@ object Curation extends QueryModule {
     // which unrolls the identical three iterations in SQL.
     "q_pagerank" -> ((s, dir) => {
       val cands = Dedup.minhashCandidatesMd5(
-        Tables.documents(s, dir), N, Bands, RowsPerBand)
+        Tables.documents(s, dir), N, Bands, RowsPerBand,
+        sigCacheKey = Some(Tables.srcStamp(dir, "documents")))
       val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cands.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.ops.Graph.pagerank(edges, iters = 3)

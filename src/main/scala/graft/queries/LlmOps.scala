@@ -34,7 +34,8 @@ object LlmOps extends QueryModule {
     // pairs — the scale-safe candidate→verify dedup pipeline end-to-end.
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
-          bands = 4, rowsPerBand = 4)
+          bands = 4, rowsPerBand = 4,
+          sigCacheKey = Some(Tables.srcStamp(dir, "documents")))
         .orderBy("doc_a", "doc_b")
     }),
 
