@@ -146,8 +146,10 @@ private[graft] object GraftProcedures {
       val spark = SparkSession.active
       val live = graft.ops.Sinks.resolve(root)
       // unknown columns fail HERE with a clear message, not as a
-      // mid-job analysis error from the annotate scan
-      val schema = spark.read.parquet(live).schema.fieldNames.toSet
+      // mid-job analysis error from the annotate scan; through the read
+      // funnel so users name LOGICAL columns on a mapped table
+      val schema = graft.ops.Sinks.readCurrent(spark, root)
+        .schema.fieldNames.toSet
       val missing = cols.filterNot(schema)
       require(missing.isEmpty,
         s"column(s) not in $table: ${missing.mkString(", ")}")

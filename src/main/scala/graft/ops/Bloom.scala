@@ -92,10 +92,13 @@ object Bloom {
     * (file, column) group that is entirely null simply has no row —
     * which the probe keeps conservatively.
     */
-  def annotate(spark: SparkSession, dir: String, cols: Seq[String],
+  def annotate(spark: SparkSession, dir: String, cols0: Seq[String],
       fpp: Double = 0.01, expectedItems: Long = 100000L): Unit = {
-    require(cols.nonEmpty, "annotate requires at least one column")
+    require(cols0.nonEmpty, "annotate requires at least one column")
     import spark.implicits._
+    // file contents speak PHYSICAL names; accept logical ones under a
+    // column mapping (idempotent when unmapped)
+    val cols = cols0.map(ColMap.toPhysicalName(dir, _))
     // Partition columns are DIRECTORY metadata, not file contents: their
     // values here would come from directory-name type INFERENCE, whose
     // string form can differ from the declared type ('00123' inferred as

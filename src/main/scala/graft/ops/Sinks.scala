@@ -190,8 +190,9 @@ object Sinks {
     listVersions(root).map { v =>
       (v,
         new java.sql.Timestamp(commitInstantMs(versionPath(root, v))),
+        opOf(versionPath(root, v)),
         cur.contains(v))
-    }.toDF("version", "committed_at", "is_current")
+    }.toDF("version", "committed_at", "operation", "is_current")
   }
 
   /** One-row operational summary of the LIVE version — the DESCRIBE
@@ -533,7 +534,8 @@ object Sinks {
       statsCols: Seq[String] = Nil, changeFeed: Option[DataFrame] = None,
       quarantine: Option[DataFrame] = None,
       bloomCols: Seq[String] = Nil,
-      sidecars: Seq[(String, DataFrame)] = Nil): Long = {
+      sidecars: Seq[(String, DataFrame)] = Nil,
+      opTag: String = "publish"): Long = {
     Files.createDirectories(Paths.get(root))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     // Any failure before the stage→v<N> rename (a failed write, a lost
@@ -591,10 +593,27 @@ object Sinks {
           s"sidecar name must be _-prefixed (invisible to plain reads): $name")
         sdf.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
       }
+      stampOp(stage, opTag)
       commitStaged(root, stage, expected)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
+  }
+
+  /** Per-version operation marker (`_OP`) — what DESCRIBE HISTORY's
+    * `operation` column reads; written into the stage so it rides the
+    * atomic commit. Pre-marker versions surface as "write".
+    */
+  private[graft] val OpFile = "_OP"
+  private[graft] def stampOp(stage: Path, op: String): Unit = {
+    Files.createDirectories(stage)
+    Files.write(stage.resolve(OpFile), op.getBytes("UTF-8"))
+    ()
+  }
+  private[graft] def opOf(dir: String): String = {
+    val f = Paths.get(dir, OpFile)
+    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim
+    else "write"
   }
 
   /** The commit half every versioned writer shares: check the table is
@@ -730,7 +749,8 @@ object Sinks {
   def appendVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, emitFeed: Boolean = false,
       batchTag: Option[String] = None,
-      commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
+      commitSidecars: Seq[(String, DataFrame)] = Nil,
+      opTag: String = "append"): Long = {
     val spark = df.sparkSession
     // align to the live schema: same column set and order, or fail loudly
     val aligned = expected match {
@@ -761,7 +781,7 @@ object Sinks {
           df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       }
     stageLinkedPublish(aligned, root, expected, statsCols, emitFeed, batchTag,
-      carry = _ => true, commitSidecars = commitSidecars)
+      carry = _ => true, commitSidecars = commitSidecars, opTag = opTag)
   }
 
   /** Copy-on-write publish (file-granular DML): `rewritten` replaces the
@@ -805,7 +825,7 @@ object Sinks {
     stageLinkedPublish(rewritten, root, Some(expected), Nil,
       emitFeed = false, batchTag = None,
       carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite,
-      changeFeedDf = changeFeed)
+      changeFeedDf = changeFeed, opTag = "cow-dml")
   }
 
   /** The shared linked-publish core: write `df` as the staged delta,
@@ -819,10 +839,11 @@ object Sinks {
       skipDataWrite: Boolean = false,
       changeFeedDf: Option[DataFrame] = None,
       dvDelta: Option[DataFrame] = None,
-      commitSidecars: Seq[(String, DataFrame)] = Nil): Long = {
+      commitSidecars: Seq[(String, DataFrame)] = Nil,
+      opTag: String = "append"): Long = {
     val stage = stageLinkedNoCommit(aligned, root, expected, statsCols,
       emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
-      commitSidecars)
+      commitSidecars, opTag)
     try commitStaged(root, stage, expected)
     catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -841,7 +862,8 @@ object Sinks {
       skipDataWrite: Boolean = false,
       changeFeedDf: Option[DataFrame] = None,
       dvDelta: Option[DataFrame] = None,
-      commitSidecars: Seq[(String, DataFrame)] = Nil): Path = {
+      commitSidecars: Seq[(String, DataFrame)] = Nil,
+      opTag: String = "append"): Path = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
@@ -1046,6 +1068,7 @@ object Sinks {
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
       if (checkpointStats) Stats.annotate(spark, stage.toString, effStats)
+      stampOp(stage, opTag)
       stage
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1069,6 +1092,7 @@ object Sinks {
       stageSnapshotLinks(src, stage)
       Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
       ColMap.write(stage, mapping)
+      stampOp(stage, "rename-column")
       commitStaged(root, stage, Some(expected))
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1131,6 +1155,7 @@ object Sinks {
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       stageSnapshotLinks(src, stage)
+      stampOp(stage, "restore")
       commitStaged(root, stage, Some(cur))
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1248,7 +1273,7 @@ object Sinks {
     stageLinkedPublish(newRows, root, Some(expected), Nil,
       emitFeed = false, batchTag = None, carry = _ => true,
       skipDataWrite = skipDataWrite, changeFeedDf = Some(feed),
-      dvDelta = Some(Dv.deltaBitmaps(vectorDelta)))
+      dvDelta = Some(Dv.deltaBitmaps(vectorDelta)), opTag = "mor-dml")
   }
 
   def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
@@ -1425,6 +1450,7 @@ object Sinks {
     val stage = Paths.get(s"$dstRoot/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       stageSnapshotLinks(src, stage)
+      stampOp(stage, "clone")
       commitStaged(dstRoot, stage, None)
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1491,10 +1517,10 @@ object Sinks {
     val v = currentVersion(root) match {
       case None =>
         publishVersioned(df, root, None,
-          sidecars = Seq(CopyinSidecar -> receipt))
+          sidecars = Seq(CopyinSidecar -> receipt), opTag = "copy-into")
       case cur @ Some(_) =>
         appendVersioned(df, root, cur,
-          commitSidecars = Seq(CopyinSidecar -> receipt))
+          commitSidecars = Seq(CopyinSidecar -> receipt), opTag = "copy-into")
     }
     // durable fold; a crash before this line is healed by the receipt
     TableProps.update(root)(p =>
@@ -1700,7 +1726,8 @@ object Sinks {
         base.repartitionByRange(nFiles, statsCols.map(col): _*)
           .sortWithinPartitions(statsCols.map(col): _*)
       }
-    val v = publishVersioned(rewritten, root, Some(liveV), statsCols)
+    val v = publishVersioned(rewritten, root, Some(liveV), statsCols,
+      opTag = "compact")
     // a vacuumed version may hold the only _BATCHID stamp proving a
     // streaming batch committed (the writer crashed before its durable
     // high-water mark landed): fold every evicted stamp into _PROPS

@@ -77,7 +77,9 @@ object Stats {
     // executors must not re-derive it from a path they didn't list)
     val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(p => (p.toString, relKey(dir, p.toString))).sorted
-    val colSet = cols
+    // footers speak PHYSICAL names; callers may pass logical ones
+    // under a column mapping (idempotent when unmapped)
+    val colSet = cols.map(ColMap.toPhysicalName(dir, _))
     // the session's effective Hadoop conf must travel to the executors
     // (s3a credentials, fs.<scheme>.impl, defaultFS live there — a bare
     // `new Configuration()` only sees classpath defaults); Configuration

@@ -117,6 +117,7 @@ object Txn {
             Files.write(pspec,
               TableProps.load(w.root).getOrElse(TableProps.PartitionKey, "")
                 .getBytes("UTF-8"))
+          Sinks.stampOp(stage, "txn") // overrides a linked stage's tag
           Sinks.commitProtocol.publishVersionDir(
             stage, Paths.get(Sinks.versionPath(w.root, next)))
           next

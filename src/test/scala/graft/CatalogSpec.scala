@@ -211,8 +211,9 @@ class CatalogSpec extends AnyFunSuite {
     val h = Sinks.history(spark, s"$root/t1")
       .orderBy("version").collect()
     assert(h.map(_.getLong(0)).toSeq == Sinks.listVersions(s"$root/t1"))
-    assert(h.count(_.getBoolean(2)) == 1, "exactly one current version")
+    assert(h.count(_.getBoolean(3)) == 1, "exactly one current version")
     assert(h.map(_.getTimestamp(1)).forall(_ != null))
+    assert(h.map(_.getString(2)).forall(_.nonEmpty), "operation column present")
   }
 
   test("reserved layout names and unhonorable clauses are rejected, not reinterpreted") {
@@ -629,12 +630,14 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.blx")
   }
 
-  test("table_history TVF lists retained versions with the current flag") {
+  test("table_history TVF lists retained versions with operation and current flag") {
     root
     val h = spark.sql("SELECT * FROM table_history('graft.t1') ORDER BY version")
       .collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L))
-    assert(h.map(r => r.getBoolean(2)).toSeq == Seq(false, true))
+    assert(h.map(r => r.getString(2)).toSeq == Seq("publish", "publish"),
+      "operation column must carry the per-commit op marker")
+    assert(h.map(r => r.getBoolean(3)).toSeq == Seq(false, true))
     // composes with SQL around it — the time-travel join everyone writes:
     // count rows at every retained version
     val counts = spark.sql(
@@ -1072,6 +1075,17 @@ class CatalogSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum("key")).head().getLong(0)
       assert(got == (10L to 20L).sum)
       assert(Bloom.readCurrentWhereEq(spark, tr, "key", 500L).count() == 1)
+      // an append naming the LOGICAL column for stats lands physical-
+      // keyed sidecar rows (the linked-commit translation), and the
+      // logical-name probe keeps pruning across old + new files
+      Sinks.appendVersioned(
+        spark.range(2000, 2100).selectExpr(
+          "id AS key", "CAST(id % 50 AS LONG) AS grp", "id * 7 AS extra"),
+        tr, Sinks.currentVersion(tr), statsCols = Seq("key"))
+      assert(Stats.readCurrentWhere(spark, tr, "key", 2000L, 2010L).count() == 11)
+      // CALL bloom_index accepts the logical name on a mapped table
+      spark.sql("CALL graft.system.bloom_index(table => 'se3', columns => 'key')")
+      assert(Bloom.readCurrentWhereEq(spark, tr, "key", 2050L).count() == 1)
       // dropping an indexed column removes it from the sidecars
       spark.sql("ALTER TABLE graft.se3 DROP COLUMN grp")
       val live2 = Sinks.resolve(tr)

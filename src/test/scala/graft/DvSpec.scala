@@ -42,6 +42,10 @@ class DvSpec extends AnyFunSuite {
     val cur2 = Sinks.readCurrent(spark, tbl)
     assert(cur2.count() == 85)
     assert(cur2.agg(min("k")).head().getLong(0) == 5L)
+    // DESCRIBE HISTORY's operation column tells the story
+    assert(Sinks.history(spark, tbl).orderBy("version")
+      .select("operation").collect().map(_.getString(0)).toSeq ==
+      Seq("publish", "mor-dml", "mor-dml"))
   }
 
   test("NULL condition keeps the row (SQL three-valued delete semantics)") {
