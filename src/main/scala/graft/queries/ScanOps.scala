@@ -98,6 +98,18 @@ object ScanOps extends QueryModule {
     // = the r_regionkey<3 subset published as v1). The oracle rebuilds
     // the same union from the raw fixture, hash-proving version
     // resolution AND pointer resolution end to end.
+    // DESCRIBE HISTORY with per-commit OPERATION metadata (round-10):
+    // a deterministic publish -> append -> COW-delete chain read back
+    // through the table_history TVF — version numbers, the _OP markers
+    // each commit stamped, and the current flag are all fixed by
+    // construction, so the result hash-matches a VALUES oracle.
+    "q_table_history" -> ((s, dir) => {
+      val root = opHistoryWarehouse(s, dir)
+      graft.ops.Sinks.history(s, root)
+        .select(col("version"), col("operation"), col("is_current"))
+        .orderBy("version")
+    }),
+
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
       // catalog name is PER SF DIR: Spark instantiates a catalog once per
@@ -462,6 +474,38 @@ object ScanOps extends QueryModule {
     }
     root
   }
+
+  /** Deterministic operation chain for q_table_history: v0 full publish
+    * ("publish"), v1 linked append ("append"), v2 SQL COW DELETE
+    * ("cow-dml"). The stamp includes a format tag so caches built
+    * before the `_OP` marker existed invalidate.
+    */
+  private def opHistoryWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val wh = "/tmp/graft_ophist_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = wh + "/nat"
+      val stampFile = Paths.get(tbl, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + ":op1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        val n = Tables.nation(s, dir)
+          .select("n_nationkey", "n_name", "n_regionkey")
+        Sinks.publishVersioned(n.filter(col("n_nationkey") < 20), tbl, None)
+        Sinks.appendVersioned(n.filter(col("n_nationkey") >= 20), tbl, Some(0L))
+        val cat = "graftoph_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+        s.sql(s"DELETE FROM $cat.nat WHERE n_nationkey = 0")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      tbl
+    }
 
   /** Versioned table for q_table_changes: `nations` v0 = the fixture,
     * v1 = keys <20 kept (regionkey+1 for keys <5) plus one inserted row.
@@ -979,6 +1023,16 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // the chain is fixed by construction (publish -> append -> COW
+    // delete), so the history is a constant — what the hash proves is
+    // that every commit path stamped the operation it claims
+    "q_table_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        | is_current
+        |FROM (VALUES (0, 'publish', false), (1, 'append', false),
+        |             (2, 'cow-dml', true)) AS t(version, operation, is_current)
+        |ORDER BY version""".stripMargin,
 
     "q_table_changes" -> tableChangesOracle,
     "q_table_changes_sql" -> tableChangesOracle,
