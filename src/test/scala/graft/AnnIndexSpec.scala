@@ -188,6 +188,30 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"), s"SQ8 probe lost DPP:\n$plan")
   }
 
+  test("STAGE-2 rerank scans only probed buckets — DPP fires on the float scan (SQ8 + PQ)") {
+    // the round-10 weak flag: a rerank joined on vec_id alone reads the
+    // float column of EVERY bucket dir. The probed-bucket semi-join must
+    // put a dynamicpruning partition filter on the scan that reads
+    // `embedding` — in BOTH two-stage paths.
+    val rootS = tmp("annidxsq8st2")
+    val rootP = tmp("annidxpqst2")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixedSq8(spark, emb, rootS)
+    AnnIndex.buildFixedPq(spark, emb, rootP)
+    for ((root, df) <- Seq(
+        rootS -> AnnIndex.searchSq8(spark, rootS, queries5, nprobe = 2, k = 10),
+        rootP -> AnnIndex.searchPq(spark, rootP, queries5, nprobe = 2, k = 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val floatScans = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains(root) &&
+          l.contains("embedding")).toSeq
+      assert(floatScans.nonEmpty, s"no rerank float scan of $root found in:\n$plan")
+      assert(floatScans.forall(_.contains("dynamicpruning")),
+        s"stage-2 rerank scan of $root reads ALL buckets (no DPP):\n" +
+          floatScans.mkString("\n"))
+    }
+  }
+
   test("append grows the index at O(delta): quantizer rides, new vectors are findable") {
     val root = tmp("annidxgrow")
     val emb = Tables.embeddings(spark, sf001)
