@@ -64,22 +64,41 @@ object LocalFsCommit extends CommitProtocol {
 
   override def readPointer(root: String): Option[Long] = {
     val p = Paths.get(root, Pointer)
-    if (!Files.exists(p)) return None
-    val content = new String(Files.readAllBytes(p), "UTF-8").trim
+    def readOnce(): Option[String] =
+      if (!Files.exists(p)) None
+      else Some(new String(Files.readAllBytes(p), "UTF-8").trim)
     // multi-table transaction indirection ([[Txn]]): the pointer names
     // BOTH versions plus the transaction's commit marker — the marker's
     // existence (one atomic file creation, shared by every table in the
-    // transaction) decides which version this table is at. Readers of
-    // every participant therefore flip together; a crash mid-cleanup is
-    // harmless (the conditional form resolves correctly forever, and
+    // transaction) decides which table version this resolves to. Readers
+    // of every participant therefore flip together; a crash mid-cleanup
+    // is harmless (the conditional form resolves correctly forever, and
     // the next plain flip normalizes it).
-    if (content.startsWith("txn ")) {
-      val parts = content.split(" ", 4)
-      val (marker, newV, oldV) = (parts(1), parts(2).toLong, parts(3).toLong)
-      if (Files.exists(Paths.get(marker))) Some(newV)
-      else if (oldV < 0) None
-      else Some(oldV)
-    } else Some(content.toLong)
+    @annotation.tailrec
+    def resolve(content: Option[String]): Option[Long] = content match {
+      case None => None
+      case Some(c) if c.startsWith("txn ") =>
+        val parts = c.split(" ", 4)
+        val (marker, newV, oldV) = (parts(1), parts(2).toLong, parts(3).toLong)
+        if (Files.exists(Paths.get(marker))) Some(newV)
+        else {
+          // marker absent: either genuinely pre-commit, OR cleanup
+          // already flipped this pointer plain and THEN deleted the
+          // marker between our content read and the existence check
+          // (the TOCTOU that would mis-resolve oldV post-commit — and
+          // across a transaction's tables break all-or-nothing). The
+          // two states are distinguishable by RE-READING the pointer:
+          // cleanup rewrites it plain before dropping the marker, and a
+          // later transaction would park it with a DIFFERENT marker
+          // path — so an UNCHANGED conditional read truly means
+          // pre-commit, and a changed one carries the fresh truth.
+          val again = readOnce()
+          if (again == content) { if (oldV < 0) None else Some(oldV) }
+          else resolve(again)
+        }
+      case Some(c) => Some(c.toLong)
+    }
+    resolve(readOnce())
   }
 
   /** Phase-2a write for [[Txn]]: park this table's pointer in the

@@ -73,12 +73,39 @@ object Pin {
     * node-local scratch, exactly as durable as the fixture caching
     * idiom it mirrors (queries/ScanOps.partitionedEventsCopy).
     */
+  /** User-owned 0700 root for [[cachedStable]] copies. The old flat
+    * `/tmp/graft_pin_cache_<md5>` layout was PREDICTABLE and
+    * world-writable-parented: another local user could pre-create or
+    * poison an entry, and the lost-race catch below would silently
+    * adopt the foreign copy as "a concurrent builder won". Entries now
+    * live under a per-user directory created 0700 and VERIFIED owned by
+    * the current user before anything is trusted or written.
+    */
+  private lazy val cacheRoot: java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    val user = System.getProperty("user.name", "unknown")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+      s"graft_pin_cache_$user")
+    if (!Files.isDirectory(dir)) {
+      try Files.createDirectory(dir, PosixFilePermissions.asFileAttribute(
+        PosixFilePermissions.fromString("rwx------")))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    val owner = Files.getOwner(dir).getName
+    require(owner == user,
+      s"pin cache root $dir is owned by '$owner', not '$user' — a foreign " +
+        "pre-created cache cannot be trusted; remove it or point " +
+        "java.io.tmpdir at a private scratch dir")
+    dir
+  }
+
   def cachedStable(spark: org.apache.spark.sql.SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val out = "/tmp/graft_pin_cache_" +
+    val out = cacheRoot.resolve("pin_" +
       java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+        .map("%02x".format(_)).mkString).toString
     val marker = Paths.get(out, "_GRAFT_STAMP")
     def fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8").trim == key

@@ -35,7 +35,7 @@ object Roaring {
     * `bits == null`, else `bits` is a 1024-long (8 KiB) bitset and
     * `low` is ignored. `card` is the container cardinality either way.
     */
-  private final class Container(var low: Array[Short], var bits: Array[Long], var card: Int)
+  private[ops] final class Container(var low: Array[Short], var bits: Array[Long], var card: Int)
 
   private def newBitset(): Array[Long] = new Array[Long](1024)
 
@@ -118,7 +118,7 @@ object Roaring {
   def fromPositions(positions: Array[Long]): Array[Byte] =
     fromPositions(positions.iterator)
 
-  private def readContainers(bytes: Array[Byte]): java.util.TreeMap[Long, Container] = {
+  private[ops] def readContainers(bytes: Array[Byte]): java.util.TreeMap[Long, Container] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "not a graft roaring bitmap (bad magic)")
     val ver = in.readByte()
@@ -220,6 +220,33 @@ object Roaring {
     total
   }
 
+  /** Membership test without position expansion: container lookup by
+    * key, then a bitset probe or binary search in the sorted array —
+    * O(log) per call, the per-row cost of the scan-time [[RoaringLookup]]
+    * probe.
+    */
+  private[ops] def containsIn(
+      containers: java.util.TreeMap[Long, Container], pos: Long): Boolean = {
+    if (pos < 0) return false
+    val c = containers.get(pos >>> 16)
+    if (c == null) false
+    else {
+      val v = (pos & 0xFFFF).toInt
+      if (c.bits != null) (c.bits(v >>> 6) & (1L << (v & 63))) != 0L
+      else {
+        var lo = 0; var hi = c.card - 1; var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val mv = c.low(mid) & 0xFFFF
+          if (mv == v) found = true
+          else if (mv < v) lo = mid + 1
+          else hi = mid - 1
+        }
+        found
+      }
+    }
+  }
+
   /** All positions, ascending. */
   def positions(bytes: Array[Byte]): Iterator[Long] = {
     import scala.jdk.CollectionConverters._
@@ -231,5 +258,38 @@ object Roaring {
           .map(v => (key << 16) | v)
       else (0 until c.card).iterator.map(i => (key << 16) | (c.low(i) & 0xFFFF).toLong)
     }
+  }
+}
+
+/** Read-side probe over a whole deletion vector: (file key → OR-merged
+  * bitmap) entries, shipped once per stage inside the plan's reference
+  * objects and lazily parsed per JVM — the zero-join spelling of
+  * vector subtraction ([[graft.functions.DvProbe]] calls [[contains]]
+  * from generated code, so the membership test stays inside
+  * whole-stage codegen). Top-level class (not nested in [[Roaring]])
+  * because generated Java must name the type.
+  *
+  * Keys are pre-hashed as [[UTF8String]] so the per-row lookup does no
+  * string conversion; parsing is eager within the lazy init (the vector
+  * is metadata-scale — compressed bitmaps, never positions).
+  */
+final class RoaringLookup(entries: Array[(String, Array[Byte])])
+  extends Serializable {
+
+  @transient private lazy val parsed = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.util.TreeMap[Long, Roaring.Container]](entries.length * 2 + 1)
+    entries.foreach { case (f, b) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+        Roaring.readContainers(b))
+    }
+    m
+  }
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  def contains(file: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+    val cs = parsed.get(file)
+    cs != null && Roaring.containsIn(cs, pos)
   }
 }

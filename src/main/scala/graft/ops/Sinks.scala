@@ -751,37 +751,44 @@ object Sinks {
       batchTag: Option[String] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
       opTag: String = "append"): Long = {
-    val spark = df.sparkSession
-    // align to the live schema: same column set and order, or fail loudly
-    val aligned = expected match {
-        case None => df
-        // an expected version whose dir is gone (never existed, or
-        // vacuumed) cannot be aligned against — skip straight to the
-        // commit check, which reports it as the CME it is
-        case Some(v) if !Files.exists(Paths.get(versionPath(root, v))) => df
-        case Some(v) =>
-          val live = readDir(spark, root, versionPath(root, v)).schema
-          val missing = live.fieldNames.filterNot(df.columns.contains)
-          val extra = df.columns.filterNot(live.fieldNames.contains)
-          require(missing.isEmpty && extra.isEmpty,
-            s"append schema mismatch vs v$v (missing: ${missing.mkString(", ")}; " +
-              s"extra: ${extra.mkString(", ")}) — appends are not schema " +
-              "evolution, use Merge.applyTo")
-          // TYPES must match too: a type-drifted file committed next to
-          // the carried files is corruption readers discover later, far
-          // from the cause (simpleString comparison: structural type,
-          // nullability ignored)
-          val retyped = live.filter(f =>
-            df.schema(f.name).dataType.simpleString != f.dataType.simpleString)
-          require(retyped.isEmpty,
-            s"append type mismatch vs v$v: " +
-              retyped.map(f => s"${f.name} is ${f.dataType.simpleString} but the " +
-                s"append carries ${df.schema(f.name).dataType.simpleString}")
-                .mkString("; ") + " — cast before appending")
-          df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      }
-    stageLinkedPublish(aligned, root, expected, statsCols, emitFeed, batchTag,
+    stageLinkedPublish(alignToLive(df, root, expected), root, expected,
+      statsCols, emitFeed, batchTag,
       carry = _ => true, commitSidecars = commitSidecars, opTag = opTag)
+  }
+
+  /** Align an append frame to the live schema: same column set and
+    * order, or fail loudly — shared by [[appendVersioned]] and the
+    * linked writes of a multi-table transaction ([[Txn.publishAll]]),
+    * so a TxnWrite whose column order drifts cannot commit a
+    * mixed-schema version that single-table appends would have refused.
+    */
+  private[graft] def alignToLive(df: DataFrame, root: String,
+      expected: Option[Long]): DataFrame = expected match {
+    case None => df
+    // an expected version whose dir is gone (never existed, or
+    // vacuumed) cannot be aligned against — skip straight to the
+    // commit check, which reports it as the CME it is
+    case Some(v) if !Files.exists(Paths.get(versionPath(root, v))) => df
+    case Some(v) =>
+      val live = readDir(df.sparkSession, root, versionPath(root, v)).schema
+      val missing = live.fieldNames.filterNot(df.columns.contains)
+      val extra = df.columns.filterNot(live.fieldNames.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"append schema mismatch vs v$v (missing: ${missing.mkString(", ")}; " +
+          s"extra: ${extra.mkString(", ")}) — appends are not schema " +
+          "evolution, use Merge.applyTo")
+      // TYPES must match too: a type-drifted file committed next to
+      // the carried files is corruption readers discover later, far
+      // from the cause (simpleString comparison: structural type,
+      // nullability ignored)
+      val retyped = live.filter(f =>
+        df.schema(f.name).dataType.simpleString != f.dataType.simpleString)
+      require(retyped.isEmpty,
+        s"append type mismatch vs v$v: " +
+          retyped.map(f => s"${f.name} is ${f.dataType.simpleString} but the " +
+            s"append carries ${df.schema(f.name).dataType.simpleString}")
+            .mkString("; ") + " — cast before appending")
+      df.select(live.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
   }
 
   /** Copy-on-write publish (file-granular DML): `rewritten` replaces the
@@ -1085,14 +1092,16 @@ object Sinks {
     * mapping against the live schema first.
     */
   def publishColumnMapping(spark: SparkSession, root: String,
-      expected: Long, mapping: Map[String, String]): Long = {
+      expected: Long, mapping: Map[String, String],
+      dropped: Set[String] = Set.empty,
+      opTag: String = "rename-column"): Long = {
     val src = Paths.get(versionPath(root, expected))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       stageSnapshotLinks(src, stage)
       Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
-      ColMap.write(stage, mapping)
-      stampOp(stage, "rename-column")
+      ColMap.write(stage, mapping, dropped)
+      stampOp(stage, opTag)
       commitStaged(root, stage, Some(expected))
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1248,12 +1257,9 @@ object Sinks {
       .withColumn("_dv_key", Dv.relKey(dir))
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .drop("_metadata")
-      .join(Dv.vector(spark, dir)
-          .withColumnRenamed("file", "_dv_file")
-          .withColumnRenamed("row_index", "_dv_row"),
-        col("_dv_key") === col("_dv_file") &&
-          col("_dv_pos") === col("_dv_row"),
-        "left_anti")
+      // join-free existing-vector subtraction, same probe as the read
+      // side (Dv.subtract) — the writer's scan stays Exchange-free too
+      .filter(!Dv.probe(spark, dir, col("_dv_key"), col("_dv_pos")))
   }
 
   /** The merge-on-read commit every DV writer shares: merge

@@ -68,6 +68,13 @@ object Txn {
     require(writes.nonEmpty, "empty transaction")
     require(writes.map(_.root).distinct.size == writes.size,
       "duplicate table roots in one transaction")
+    // the conditional pointer encodes `txn <marker> <newV> <oldV>`
+    // space-separated — a root (hence marker path) containing
+    // whitespace would mis-parse on EVERY later read of the table;
+    // refuse up front rather than corrupt the pointer
+    writes.foreach(w => require(!w.root.exists(_.isWhitespace),
+      s"transaction table root contains whitespace: '${w.root}' — " +
+        "conditional pointers encode the marker path space-separated"))
     val ordered = writes.sortBy(_.root)
     // stage all data OUTSIDE the locks — the expensive part; locks are
     // held only for the metadata moves
@@ -76,14 +83,30 @@ object Txn {
       if (w.linked) {
         require(w.expected.isDefined,
           s"${w.root}: a linked append needs an existing base version")
-        Sinks.stageLinkedNoCommit(w.df, w.root, w.expected, w.statsCols,
-          emitFeed = w.emitFeed, batchTag = None, carry = _ => true)
+        // same align-or-fail contract as a single-table append: a
+        // TxnWrite whose column set/order drifts from the live schema
+        // must fail loudly here, not commit a mixed-schema version
+        // readers mis-infer from one arbitrary footer
+        Sinks.stageLinkedNoCommit(
+          Sinks.alignToLive(w.df, w.root, w.expected), w.root, w.expected,
+          w.statsCols, emitFeed = w.emitFeed, batchTag = None, carry = _ => true)
       } else {
         val stage = Paths.get(
           s"${w.root}/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
         val pcols = TableProps.partitionCols(w.root)
         if (pcols.isEmpty) w.df.write.mode("overwrite").parquet(stage.toString)
         else w.df.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+        // an empty frame (or an empty partitioned result) can write no
+        // footer-bearing part file, losing the table schema for every
+        // later read — land a zero-row file with the frame's schema,
+        // mirroring publishVersioned's fallback
+        if (!Sinks.hasParquetFile(stage)) {
+          val spark = w.df.sparkSession
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+              w.df.schema)
+            .write.mode("overwrite").parquet(stage.toString)
+        }
         if (w.statsCols.nonEmpty)
           Stats.annotate(w.df.sparkSession, stage.toString, w.statsCols)
         stage
@@ -124,9 +147,11 @@ object Txn {
         }
         failpoint("published")
         // the transaction marker lives in the first (sorted) root; its
-        // CREATION is the single commit point
+        // CREATION is the single commit point. ABSOLUTE path: the
+        // pointer stores it as written, and other processes (a reader
+        // with a different cwd) must resolve the same file
         val marker = Paths.get(ordered.head.root,
-          s"_txn-${java.util.UUID.randomUUID()}")
+          s"_txn-${java.util.UUID.randomUUID()}").toAbsolutePath
         ordered.lazyZip(olds).lazyZip(news).foreach { (w, old, nv) =>
           LocalFsCommit.writeTxnPointer(w.root, marker, nv, old)
           failpoint(s"conditional:${w.root}")

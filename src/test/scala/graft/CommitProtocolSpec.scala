@@ -236,4 +236,43 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(bronze).contains(2L))
     assert(Sinks.readCurrent(spark, bronze).head().getString(1) == "z")
   }
+
+  test("linked TxnWrite aligns to the live schema like a single-table append") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txnalign").toString
+    val tbl = s"$base/t"
+    Sinks.publishVersioned(Seq((1L, "a")).toDF("k", "v"), tbl, None)
+    // column ORDER drift must be realigned, not committed as-is (a
+    // mixed-schema version readers infer from one arbitrary footer)
+    Txn.publishAll(Seq(
+      TxnWrite(tbl, Seq(("b", 2L)).toDF("v", "k"), Some(0L), linked = true)))
+    val rows = Sinks.readCurrent(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+    // column SET drift must fail loudly, nothing staged or committed
+    intercept[IllegalArgumentException](Txn.publishAll(Seq(
+      TxnWrite(tbl, Seq((3L, "c", true)).toDF("k", "v", "extra"),
+        Some(1L), linked = true))))
+    assert(Sinks.currentVersion(tbl).contains(1L))
+  }
+
+  test("txn publish of an empty frame keeps the schema readable (zero-row footer lands)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txnempty").toString
+    val tbl = s"$base/t"
+    Txn.publishAll(Seq(
+      TxnWrite(tbl, Seq((1L, "a")).toDF("k", "v").filter("k < 0"), None)))
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.count() == 0)
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("a table root containing whitespace is refused before anything stages") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txnws").toString
+    val err = intercept[IllegalArgumentException](Txn.publishAll(Seq(
+      TxnWrite(s"$base/bad name", Seq((1L, "a")).toDF("k", "v"), None))))
+    assert(err.getMessage.contains("whitespace"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/bad name")))
+  }
 }

@@ -374,6 +374,37 @@ class DvSpec extends AnyFunSuite {
     assert(Sinks.readVersion(spark, tbl, 20).count() == 2000 - 20 * 50)
   }
 
+  test("subtraction is join-free: no Exchange, no join — even with auto-broadcast disabled") {
+    // the round-10 verdict's finding #2: the old anti-join silently fell
+    // to a full sort-merge shuffle of the scan once the expanded vector
+    // outgrew autoBroadcastJoinThreshold. The bitmap-probe filter adds
+    // NO join and NO Exchange at ANY threshold — assert under the
+    // adversarial setting (auto-broadcast off entirely).
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 200).select($"id".as("k"), ($"id" % 10).as("g"))
+        .repartition(4), tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 3)
+    val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Sinks.readCurrent(spark, tbl)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DV subtraction added an Exchange to the scan:\n$plan")
+      assert(!plan.toLowerCase.contains("join"),
+        s"DV subtraction still joins:\n$plan")
+      assert(plan.contains("dv_probe"),
+        s"expected the codegen'd dv_probe filter in:\n$plan")
+      // and it still subtracts correctly under that plan
+      assert(df.count() == 180 && df.filter($"g" === 3).count() == 0)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("legacy v1 (file,row_index) sidecars read exactly and fold to v2 on the next MOR commit") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._

@@ -64,4 +64,23 @@ class RoaringSpec extends AnyFunSuite {
     assert(Roaring.positions(bytes).toSeq == pos.toSeq)
     assert(bytes.length < 400, s"sparse bitmap too large: ${bytes.length}")
   }
+
+  test("lookup probe: membership matches positions exactly over array AND bitset containers") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // file A: sparse array containers; file B: a dense promoted bitset
+    val a = (0 until 100).map(i => i * 977L).toArray
+    val b = (0L until 6000L).toArray // > 4096 → bitset container
+    val lk = new graft.ops.RoaringLookup(Array(
+      "A" -> Roaring.fromPositions(a), "B" -> Roaring.fromPositions(b)))
+    val ua = UTF8String.fromString("A"); val ub = UTF8String.fromString("B")
+    assert(a.forall(lk.contains(ua, _)))
+    assert(b.forall(lk.contains(ub, _)))
+    // misses: off-by-one neighbors, wrong file, unknown file, negatives
+    assert(!a.exists(p => lk.contains(ua, p + 1) && !a.contains(p + 1)))
+    assert(!lk.contains(ua, 6001L) || a.contains(6001L))
+    assert(!lk.contains(ub, 6000L))
+    assert(!lk.contains(UTF8String.fromString("C"), 0L))
+    assert(!lk.contains(ua, -1L))
+    assert(lk.contains(ub, 5999L) && !lk.contains(ub, 600000L))
+  }
 }
