@@ -225,15 +225,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // LOGICAL names; the physical scan this delegate would run is never
     // executed — DvReadRule swaps the relation for the translating read
     // funnel (requireReadRule refuses rule-less sessions up front)
-    val declared = graft.ops.ColMap.load(path) match {
-      case m if m.isEmpty => Sinks.readSchemaFor(spark, tRoot, path)
-      case m =>
+    val mapping = graft.ops.ColMap.load(path)
+    val gone = graft.ops.ColMap.dropped(path).map(_.toLowerCase)
+    val declared =
+      if (mapping.isEmpty && gone.isEmpty) Sinks.readSchemaFor(spark, tRoot, path)
+      else {
         val phys = Sinks.readSchemaFor(spark, tRoot, path)
           .getOrElse(spark.read.parquet(path).schema)
-        val physToLogical = m.map { case (l, p) => p.toLowerCase -> l }
-        Some(org.apache.spark.sql.types.StructType(phys.map(f =>
-          f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
-    }
+        val physToLogical = mapping.map { case (l, p) => p.toLowerCase -> l }
+        Some(org.apache.spark.sql.types.StructType(phys
+          .filterNot(f => gone.contains(f.name.toLowerCase)) // DROP tombstones
+          .map(f =>
+            f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
+      }
     ParquetTable(
       name = s"$catalogName.${ident.toString}",
       sparkSession = spark,
@@ -471,27 +475,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     *  - ADD COLUMNS publishes a NEW version with the column(s)
     *    null-backfilled (additive, the same evolution a Merge.upsert
     *    delta carrying them performs).
-    *  - RENAME COLUMN / DROP COLUMN publish a NEW version with the data
-    *    REWRITTEN to the evolved schema, and migrate every sidecar the
-    *    engine keys by column name in the same operation: `_stats` and
-    *    `_bloom` are re-annotated under the new names (dropped columns
-    *    leave the index set; never stale-keyed), the partition spec in
-    *    `_PROPS` follows renames (dropping a partition column is
-    *    rejected), and CHECK constraints have their expressions
-    *    rewritten through renames — a constraint that still references a
-    *    dropped column fails the ALTER (drop the constraint first),
-    *    never silently breaks later writes. Old versions stay readable
-    *    under their original schema (time travel is unaffected); the
-    *    change-data chain intentionally breaks at the boundary
-    *    (no `_changes` is emitted — a schema change is not a row delta),
-    *    so incremental consumers resync, same contract as RESTORE.
-    *
-    *    Scale note: this layout stores no column-mapping indirection
-    *    (names in footers ARE the schema), so rename/drop is an O(table)
-    *    rewrite through the ordinary OCC commit. A 100 TB deployment
-    *    that renames frequently would add Delta-style column IDs; the
-    *    honest rewrite keeps every reader (plain parquet included)
-    *    correct without one.
+    *  - RENAME COLUMN / DROP COLUMN of non-partition columns are
+    *    METADATA-ONLY commits via [[graft.ops.ColMap]] column mapping:
+    *    the new version hardlinks every data file and records the new
+    *    logical binding (rename) or a physical-name tombstone (drop) in
+    *    the `_COLMAP` marker — zero data bytes move at any table size,
+    *    the Delta column-mapping behavior. Dropped columns shed their
+    *    `_stats`/`_bloom` entries through the sidecar-column funnel
+    *    (never stale-keyed, never re-annotated onto new files); a
+    *    compaction later purges the tombstoned bytes for real. Only a
+    *    PARTITION-column rename still rewrites (its physical name is a
+    *    directory component; dropping a partition column is rejected),
+    *    migrating every column-keyed sidecar in the same operation.
+    *    CHECK constraints have their expressions rewritten through
+    *    renames — a constraint that still references a dropped column
+    *    fails the ALTER (drop the constraint first), never silently
+    *    breaks later writes. Old versions stay readable under their
+    *    original schema (time travel is unaffected); the change-data
+    *    chain intentionally breaks at the boundary (no `_changes` is
+    *    emitted — a schema change is not a row delta), so incremental
+    *    consumers resync, same contract as RESTORE.
     *
     *  - ALTER COLUMN … TYPE performs WIDENING-only retypes (see
     *    [[widenTypes]]); lossy retypes and repositioning fail loudly.
@@ -667,23 +670,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         k -> newText
     }
 
-    // METADATA-ONLY fast path (Delta-style column mapping): a pure
-    // rename of non-partition columns commits a hardlinked version with
+    // METADATA-ONLY fast path (Delta-style column mapping): renames AND
+    // drops of non-partition columns commit a hardlinked version with
     // an updated `_COLMAP` marker — zero data bytes move, O(1) instead
-    // of O(table). Drops and partition-column renames still rewrite
-    // (a dropped column must leave the files; a partition name is a
-    // directory component).
-    if (dropSet.isEmpty &&
-        !renameMap.keys.exists(f => pcols.exists(_.equalsIgnoreCase(f)))) {
+    // of O(table). A rename binds the unchanged physical name to its
+    // new logical name; a DROP tombstones the physical name (bound to
+    // no logical name — the read funnel discards it and the sidecar
+    // inheritance sheds it), and compaction later purges the bytes for
+    // real. Only a PARTITION-column rename still rewrites (the physical
+    // name is a directory component).
+    if (!renameMap.keys.exists(f => pcols.exists(_.equalsIgnoreCase(f)))) {
       val oldMap = graft.ops.ColMap.load(liveDir) // logical -> physical
       def physOf(l: String): String = oldMap.collectFirst {
         case (ol, p) if ol.equalsIgnoreCase(l) => p
       }.getOrElse(l)
-      val newMapping = cols.map(l => renameMap.getOrElse(l, l) -> physOf(l)).toMap
+      val newMapping = cols.filterNot(dropSet)
+        .map(l => renameMap.getOrElse(l, l) -> physOf(l)).toMap
+      val newDropped = graft.ops.ColMap.dropped(liveDir) ++ dropSet.map(physOf)
       val newProps0 = oldProps.filterNot(_._1.startsWith(GraftCheck.Prefix)) ++
         rewrittenChecks
       TableProps.store(tr, newProps0)
-      try Sinks.publishColumnMapping(spark, tr, v, newMapping)
+      try Sinks.publishColumnMapping(spark, tr, v, newMapping, newDropped,
+        opTag = if (dropSet.nonEmpty) "drop-column" else "rename-column")
       catch { case e: Throwable =>
         TableProps.store(tr, oldProps) // metadata must not outrun the data
         throw e
@@ -917,12 +925,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)
       case "copy_into" => new GraftProcedures.CopyInto(resolve)
       case "vacuum_orphans" => new GraftProcedures.VacuumOrphans(resolve)
+      case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
+        tbl => {
+          val parts = tbl.split("\\.").toSeq
+          Sinks.currentVersion(
+            tableRoot(Identifier.of(parts.init.toArray, parts.last))).isDefined
+        })
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
           s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
           s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone, " +
           s"${GraftProcedures.Namespace}.repartition_table, " +
           s"${GraftProcedures.Namespace}.copy_into, " +
+          s"${GraftProcedures.Namespace}.txn_publish, " +
           s"${GraftProcedures.Namespace}.vacuum_orphans)")
     }
   }
@@ -932,7 +947,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"),
         Identifier.of(namespace, "repartition_table"),
-        Identifier.of(namespace, "copy_into"))
+        Identifier.of(namespace, "copy_into"),
+        Identifier.of(namespace, "txn_publish"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -280,6 +280,93 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.txn_publish(tables, sqls, modes => '')` — the SQL door to
+    * multi-table TRANSACTIONS (B142, [[graft.ops.Txn.publishAll]]):
+    * commit N tables so readers observe ALL the new versions or NONE —
+    * the bronze→silver consistency story, reachable from pure SQL:
+    *
+    * {{{
+    *   CALL graft.system.txn_publish(
+    *     tables => 'bronze,silver',
+    *     sqls   => 'SELECT * FROM staging_raw
+    *                ;; SELECT k, sum(amt) AS total FROM graft.bronze GROUP BY k',
+    *     modes  => 'append,publish')
+    * }}}
+    *
+    * `tables` is comma-separated; `sqls` carries one SELECT per table,
+    * separated by `;;` (a bare `;` stays usable inside the statements);
+    * `modes` gives each write's shape — `publish` (full new version,
+    * default) or `append` (O(delta) linked append; the table must
+    * exist). Each target that exists is OCC-expected at its LIVE
+    * version as of this call (a concurrent commit aborts the whole
+    * transaction with nothing visible — recompute and re-CALL);
+    * a target that doesn't exist yet is created, in the parent
+    * namespace which must. The statements are ordinary Spark SQL and
+    * may read OTHER graft tables (the medallion hop reads bronze while
+    * writing silver — statement-level snapshot isolation comes from the
+    * resolved plans, same as every reader). Returns one `(table,
+    * version)` row per write. All-or-nothing is the commit-marker
+    * protocol of [[graft.ops.Txn]] — the crash matrix the
+    * CommitProtocolSpec pins applies to this door verbatim.
+    */
+  final class TxnPublish(resolveRoot: String => String,
+      resolveNewRoot: String => String,
+      tableExists: String => Boolean)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "txn_publish"
+    override def description(): String =
+      "commit SELECT results into N tables atomically (all-or-nothing)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tables", StringType)
+        .comment("comma-separated table names in this catalog").build(),
+      ProcedureParameter.in("sqls", StringType)
+        .comment("one SELECT per table, separated by ';;'").build(),
+      ProcedureParameter.in("modes", StringType).defaultValue("''")
+        .comment("per-table 'publish' (default) or 'append', comma-separated").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val tables = input.getUTF8String(0).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val sqls = input.getUTF8String(1).toString.split(";;").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val modesRaw = input.getUTF8String(2).toString.trim
+      val modes =
+        if (modesRaw.isEmpty) Seq.fill(tables.size)("publish")
+        else modesRaw.split(",").map(_.trim.toLowerCase).toSeq
+      require(tables.nonEmpty, "txn_publish: no tables given")
+      require(sqls.size == tables.size,
+        s"txn_publish: ${tables.size} tables but ${sqls.size} statements " +
+          "(separate statements with ';;')")
+      require(modes.size == tables.size,
+        s"txn_publish: ${tables.size} tables but ${modes.size} modes")
+      modes.foreach(m => require(m == "publish" || m == "append",
+        s"txn_publish: unknown mode '$m' (publish|append)"))
+      val writes = tables.lazyZip(sqls).lazyZip(modes).map { (t, sql, mode) =>
+        val exists = tableExists(t)
+        require(mode == "publish" || exists,
+          s"txn_publish: append mode requires existing table $t")
+        val root = if (exists) resolveRoot(t) else resolveNewRoot(t)
+        val expected = if (exists) graft.ops.Sinks.currentVersion(root) else None
+        graft.ops.TxnWrite(root, spark.sql(sql), expected,
+          linked = mode == "append", emitFeed = mode == "append")
+      }.toSeq
+      val committed = graft.ops.Txn.publishAll(writes)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          writes.map(w => InternalRow(
+            UTF8String.fromString(tables(writes.indexOf(w))),
+            committed(w.root))).toArray
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.clone(source, target, version => -1)` — B131 zero-copy
     * CLONE ([[graft.ops.Sinks.cloneTable]]): publish the source's live
     * (or as-of) version as v0 of a brand-new table, hardlink carry, no

@@ -161,8 +161,12 @@ object Bloom {
     if (!Files.isDirectory(Paths.get(dir, Sidecar))) Nil
     else {
       import spark.implicits._
+      // tombstoned (metadata-dropped) columns leave the indexed set —
+      // same shedding contract as Stats.sidecarCols
+      val gone = ColMap.dropped(dir).map(_.toLowerCase)
       spark.read.parquet(s"$dir/$Sidecar")
-        .select("cname").distinct().as[String].collect().toSeq.sorted
+        .select("cname").distinct().as[String].collect().toSeq
+        .filterNot(c => gone.contains(c.toLowerCase)).sorted
     }
 
   /** Rewrite `dir`'s bloom sidecar to ONE file holding only rows whose

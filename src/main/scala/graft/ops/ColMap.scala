@@ -39,15 +39,23 @@ import org.apache.spark.sql.functions.col
 object ColMap {
 
   /** Marker file inside a version dir: java-Properties lines of
-    * `logical=physical`, only for columns whose names differ.
+    * `logical=physical`, only for columns whose names differ — plus
+    * DROP tombstones as `__graft_dropped.<n>=<physical>` entries
+    * (a physical column present in the files but bound to NO logical
+    * name; [[toLogical]] discards it at the read funnel, which is what
+    * makes `ALTER TABLE … DROP COLUMN` a metadata-only hardlink commit
+    * like RENAME — the Delta column-mapping drop). Compaction and any
+    * full rewrite purge tombstoned bytes for real (they write the
+    * logical schema fresh and drop the marker).
     */
   val MarkerFile = "_COLMAP"
+
+  private val DroppedKeyPrefix = "__graft_dropped."
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, MarkerFile))
 
-  /** logical -> physical; empty when the version is unmapped. */
-  def load(dir: String): Map[String, String] = {
+  private def loadRaw(dir: String): Map[String, String] = {
     val p = Paths.get(dir, MarkerFile)
     if (!Files.exists(p)) Map.empty
     else {
@@ -59,15 +67,33 @@ object ColMap {
     }
   }
 
-  /** Write the marker into a STAGED version dir (identity entries
-    * dropped; an all-identity map writes nothing, so a chain of renames
-    * that lands back on the physical names converges to unmapped).
+  /** logical -> physical; empty when the version is unmapped. DROP
+    * tombstones are NOT logical names and never appear here — use
+    * [[dropped]].
     */
-  def write(stageDir: Path, map: Map[String, String]): Unit = {
+  def load(dir: String): Map[String, String] =
+    loadRaw(dir).filterNot(_._1.startsWith(DroppedKeyPrefix))
+
+  /** PHYSICAL names of columns dropped metadata-only under `dir`:
+    * present in the data files, bound to no logical name, discarded by
+    * [[toLogical]] and excluded from sidecar-column inheritance.
+    */
+  def dropped(dir: String): Set[String] =
+    loadRaw(dir).collect { case (k, p) if k.startsWith(DroppedKeyPrefix) => p }.toSet
+
+  /** Write the marker into a STAGED version dir (identity rename
+    * entries dropped; an all-identity map with no tombstones writes
+    * nothing, so a chain of renames that lands back on the physical
+    * names converges to unmapped).
+    */
+  def write(stageDir: Path, map: Map[String, String],
+      droppedPhys: Set[String] = Set.empty): Unit = {
     val effective = map.filterNot { case (l, p) => l == p }
-    if (effective.isEmpty) return
+    if (effective.isEmpty && droppedPhys.isEmpty) return
     val props = new java.util.Properties()
     effective.foreach { case (l, p) => props.setProperty(l, p) }
+    droppedPhys.toSeq.sorted.zipWithIndex.foreach { case (p, i) =>
+      props.setProperty(s"$DroppedKeyPrefix$i", p) }
     Files.createDirectories(stageDir)
     val out = Files.newOutputStream(stageDir.resolve(MarkerFile))
     try props.store(out, "graft column mapping: logical=physical")
@@ -97,20 +123,25 @@ object ColMap {
     m.collectFirst { case (l, p) if p.equalsIgnoreCase(name) => l }.getOrElse(name)
   }
 
-  /** Alias a frame read from `dir`'s PHYSICAL files to LOGICAL names.
-    * Non-mapped columns (including injected ones like `_change_type`)
-    * pass through untouched.
+  /** Alias a frame read from `dir`'s PHYSICAL files to LOGICAL names,
+    * DISCARDING tombstoned (metadata-dropped) physical columns — the
+    * projection Catalyst prunes from the scan, so a dropped column's
+    * bytes are never read. Non-mapped columns (including injected ones
+    * like `_change_type`) pass through untouched.
     */
   def toLogical(df: DataFrame, dir: String): DataFrame = {
     val m = load(dir)
-    if (m.isEmpty) df
+    val gone = dropped(dir).map(_.toLowerCase)
+    if (m.isEmpty && gone.isEmpty) df
     else {
       val physToLogical = m.map { case (l, p) => p.toLowerCase -> l }
-      df.select(df.columns.toIndexedSeq.map(c =>
-        physToLogical.get(c.toLowerCase) match {
-          case Some(l) => col(s"`$c`").as(l)
-          case None => col(s"`$c`")
-        }): _*)
+      df.select(df.columns.toIndexedSeq
+        .filterNot(c => gone.contains(c.toLowerCase))
+        .map(c =>
+          physToLogical.get(c.toLowerCase) match {
+            case Some(l) => col(s"`$c`").as(l)
+            case None => col(s"`$c`")
+          }): _*)
     }
   }
 

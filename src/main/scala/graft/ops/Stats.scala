@@ -194,10 +194,17 @@ object Stats {
     * by compaction, appends, and INSERT OVERWRITE.
     */
   def sidecarCols(spark: SparkSession, dir: String): Seq[String] =
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, Sidecar)))
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, Sidecar))) {
+      // a metadata-dropped column sheds its stats entries everywhere at
+      // once: carried rows keyed by a tombstoned physical are inert (no
+      // predicate can name the column) and must not propagate into the
+      // re-annotation set of appends/rewrites — the new files don't
+      // carry the column at all
+      val gone = ColMap.dropped(dir).map(_.toLowerCase)
       sidecar(spark, dir).select("col").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-    else Nil
+        .collect().map(_.getString(0)).toSeq
+        .filterNot(c => gone.contains(c.toLowerCase)).sorted
+    } else Nil
 
   /** Files of `dir` that MIGHT contain a row with `colName` in
     * `[lo, hi]` (inclusive), per the sidecar. Conservative by

@@ -118,14 +118,29 @@ object TableStream {
         regexp_extract(col("_metadata.file_name"), "^v(\\d+)-", 1).cast("long"))
   }
 
-  /** Feed row schema: borrowed from the feed's own files when any exist
-    * (exact), else the current table schema + `_change_type`.
+  /** Feed row schema: borrowed from the NEWEST commit's feed file when
+    * any exist (feed rows speak the logical names of their commit time,
+    * so the newest file carries the LIVE logical names — a consumer
+    * resuming after a metadata-only RENAME landed mid-stream picks up
+    * the new name, TableStreamSpec pins the leg), else the current
+    * table schema + `_change_type`. One fixed schema per stream start —
+    * a REPLAY-FROM-SCRATCH (fresh checkpoint) across a rename boundary
+    * would read pre-rename feed files under the new name and surface
+    * nulls for the renamed column; bootstrap such a replica from a
+    * CLONE + resume instead (the same boundary contract Delta CDF
+    * declares across column-mapping changes).
     */
   private def feedSchema(spark: SparkSession, root: String): StructType = {
     val feedPath = Paths.get(root, Sinks.FeedDir)
-    val hasFiles = graft.io.Fs.listDir(feedPath)
-      .exists(_.getFileName.toString.endsWith(".parquet"))
-    if (hasFiles) spark.read.parquet(feedPath.toString).schema
+    val files = graft.io.Fs.listDir(feedPath)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    if (files.nonEmpty) {
+      val ver = "^v(\\d+)-".r
+      val newest = files.maxBy(f =>
+        ver.findFirstMatchIn(f.getFileName.toString)
+          .map(_.group(1).toLong).getOrElse(-1L))
+      spark.read.parquet(newest.toString).schema
+    }
     else Sinks.currentVersion(root) match {
       case Some(_) => Sinks.readCurrent(spark, root).schema.add("_change_type", StringType)
       case None => throw new IllegalStateException(

@@ -238,9 +238,13 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Embedding int8 quantization round-trip: rows-only oracle (code
-    // rounding at half-ulp boundaries is not engine-portable); LlmSpec
-    // bounds the round-trip cosine at > 0.999.
+    // Embedding int8 quantization round-trip, hash-oracled (round-10
+    // verdict item 6): the encode/decode chain is deterministic double
+    // arithmetic — scale = max|x|/127, codes = round(x/scale), dequant =
+    // code*scale — and both engines round doubles half-away-from-zero,
+    // so the DuckDB mirror reproduces it exactly; the 6-dp rounding on
+    // both outputs absorbs summation-order drift in the cosine. LlmSpec
+    // additionally bounds the round-trip cosine at > 0.999.
     "q_quantize_roundtrip" -> ((s, dir) => {
       val q = Vec.quantizeInt8(col("embedding"))
       Tables.embeddings(s, dir)
@@ -423,6 +427,29 @@ object LlmOps extends QueryModule {
     }
 
   val oracles: Map[String, String] = Map(
+    // deterministic double chain mirrored exactly; 6-dp rounding on both
+    // outputs absorbs cosine summation-order drift (see the query note)
+    "q_quantize_roundtrip" ->
+      """WITH sc AS (
+        |  SELECT vec_id, emb,
+        |    CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |rt AS (
+        |  SELECT vec_id, scale, emb,
+        |    list_transform(emb, x -> round(x / scale) * scale) AS deq
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  round(sum(emb[g.i] * deq[g.i]) /
+        |    (sqrt(sum(emb[g.i] * emb[g.i])) * sqrt(sum(deq[g.i] * deq[g.i]))),
+        |    6) AS rt_cosine
+        |FROM rt, generate_series(1, 64) g(i)
+        |GROUP BY vec_id, scale
+        |ORDER BY vec_id""".stripMargin,
+
     "q_exact_dedup" ->
       """SELECT count(*) AS n_distinct_texts,
         | CAST(sum(n_docs) AS BIGINT) AS n_docs,

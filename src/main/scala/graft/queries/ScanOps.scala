@@ -98,15 +98,24 @@ object ScanOps extends QueryModule {
     // = the r_regionkey<3 subset published as v1). The oracle rebuilds
     // the same union from the raw fixture, hash-proving version
     // resolution AND pointer resolution end to end.
-    // DESCRIBE HISTORY with per-commit OPERATION metadata (round-10):
-    // a deterministic publish -> append -> COW-delete chain read back
-    // through the table_history TVF — version numbers, the _OP markers
-    // each commit stamped, and the current flag are all fixed by
-    // construction, so the result hash-matches a VALUES oracle.
+    // DESCRIBE HISTORY with per-commit OPERATION metadata (round-10),
+    // DERIVED against the fixture (round-11): each retained version's
+    // row count is read back VIA TIME TRAVEL and joined to the history
+    // row, and the oracle recomputes those counts from the raw nation
+    // fixture — so the hash proves the publish -> append -> COW-delete
+    // chain actually landed the data each operation claims (v0 = the
+    // <20 subset, v1 = the full fixture, v2 = minus the deleted key),
+    // not merely that the `_OP` stamps were written.
     "q_table_history" -> ((s, dir) => {
       val root = opHistoryWarehouse(s, dir)
+      import s.implicits._
+      val counts = graft.ops.Sinks.listVersions(root)
+        .map(v => (v, graft.ops.Sinks.readVersion(s, root, v).count()))
+        .toDF("version", "n_rows")
       graft.ops.Sinks.history(s, root)
         .select(col("version"), col("operation"), col("is_current"))
+        .join(counts, "version")
+        .select(col("version"), col("operation"), col("is_current"), col("n_rows"))
         .orderBy("version")
     }),
 
@@ -1024,14 +1033,23 @@ object ScanOps extends QueryModule {
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
 
-    // the chain is fixed by construction (publish -> append -> COW
-    // delete), so the history is a constant — what the hash proves is
-    // that every commit path stamped the operation it claims
+    // operations are fixed by construction (publish -> append -> COW
+    // delete); the per-version row counts are RECOMPUTED from the raw
+    // nation fixture, so the hash proves each commit landed the data
+    // its operation claims — read back through time travel on the
+    // Spark side
     "q_table_history" ->
-      """SELECT CAST(version AS BIGINT) AS version, operation,
-        | is_current
-        |FROM (VALUES (0, 'publish', false), (1, 'append', false),
-        |             (2, 'cow-dml', true)) AS t(version, operation, is_current)
+      """WITH ops AS (
+        |  SELECT * FROM (VALUES (0, 'publish', false), (1, 'append', false),
+        |                        (2, 'cow-dml', true))
+        |    AS t(version, operation, is_current)),
+        |cnts AS (
+        |  SELECT 0 AS version, count(*) AS n_rows FROM nation WHERE n_nationkey < 20
+        |  UNION ALL SELECT 1, count(*) FROM nation
+        |  UNION ALL SELECT 2, count(*) FROM nation WHERE n_nationkey <> 0)
+        |SELECT CAST(o.version AS BIGINT) AS version, o.operation, o.is_current,
+        |  CAST(c.n_rows AS BIGINT) AS n_rows
+        |FROM ops o JOIN cnts c USING (version)
         |ORDER BY version""".stripMargin,
 
     "q_table_changes" -> tableChangesOracle,

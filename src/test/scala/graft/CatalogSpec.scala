@@ -969,6 +969,79 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cowp")
   }
 
+  test("CALL txn_publish: bronze+silver commit atomically from pure SQL; crash legs hold") {
+    root
+    import graft.ops.Txn
+    spark.sql("CREATE TABLE graft.txn_src AS SELECT id AS k, id * 10 AS amt FROM range(5)")
+    try {
+      // create both tables in ONE transaction: an append-shaped bronze
+      // copy and a silver aggregate OF THE SAME statement set
+      val out = spark.sql(
+        """CALL graft.system.txn_publish(
+          |  tables => 'txn_bronze,txn_silver',
+          |  sqls => 'SELECT k, amt FROM graft.txn_src
+          |           ;; SELECT count(*) AS n, sum(amt) AS total FROM graft.txn_src')
+          |""".stripMargin).collect()
+      assert(out.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("txn_bronze", 0L), ("txn_silver", 0L)))
+      assert(spark.sql("SELECT count(*) FROM graft.txn_bronze").head().getLong(0) == 5L)
+      assert(spark.sql("SELECT total FROM graft.txn_silver").head().getLong(0) == 100L)
+      // the medallion hop: append to bronze + recompute silver, one commit
+      spark.sql("INSERT INTO graft.txn_src VALUES (99, 1000)")
+      spark.sql(
+        """CALL graft.system.txn_publish(
+          |  tables => 'txn_bronze,txn_silver',
+          |  sqls => 'SELECT k, amt FROM graft.txn_src WHERE k = 99
+          |           ;; SELECT count(*) AS n, sum(amt) AS total FROM graft.txn_bronze',
+          |  modes => 'append,publish')""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM graft.txn_bronze").head().getLong(0) == 6L)
+      // silver recomputed FROM THE PRE-COMMIT bronze (statement-level
+      // snapshot isolation: the SELECT resolved before the flip)
+      assert(spark.sql("SELECT n FROM graft.txn_silver").head().getLong(0) == 5L)
+      // crash matrix through the SQL door: kill between the conditional
+      // pointer parks — NOTHING moves (both tables still read their
+      // pre-transaction versions)
+      val bronzeV = graft.ops.Sinks.currentVersion(s"$root/txn_bronze").get
+      val silverV = graft.ops.Sinks.currentVersion(s"$root/txn_silver").get
+      Txn.failpoint = step =>
+        if (step.startsWith("conditional:") && step.contains("txn_silver"))
+          throw new RuntimeException(s"kill@$step")
+      try intercept[RuntimeException](spark.sql(
+        """CALL graft.system.txn_publish(
+          |  tables => 'txn_bronze,txn_silver',
+          |  sqls => 'SELECT k, amt FROM graft.txn_src
+          |           ;; SELECT 1 AS n, 2 AS total')""".stripMargin))
+      finally Txn.failpoint = _ => ()
+      assert(graft.ops.Sinks.currentVersion(s"$root/txn_bronze").contains(bronzeV))
+      assert(graft.ops.Sinks.currentVersion(s"$root/txn_silver").contains(silverV))
+      assert(spark.sql("SELECT count(*) FROM graft.txn_bronze").head().getLong(0) == 6L)
+      // kill right AFTER the marker — both tables already read their new
+      // versions (the marker creation IS the commit point)
+      Txn.failpoint = step =>
+        if (step == "marker") throw new RuntimeException("kill@marker")
+      try intercept[RuntimeException](spark.sql(
+        """CALL graft.system.txn_publish(
+          |  tables => 'txn_bronze,txn_silver',
+          |  sqls => 'SELECT CAST(7 AS BIGINT) AS k, CAST(70 AS BIGINT) AS amt
+          |           ;; SELECT CAST(1 AS BIGINT) AS n, CAST(70 AS BIGINT) AS total')""".stripMargin))
+      finally Txn.failpoint = _ => ()
+      assert(spark.sql("SELECT count(*) FROM graft.txn_bronze").head().getLong(0) == 1L)
+      assert(spark.sql("SELECT total FROM graft.txn_silver").head().getLong(0) == 70L)
+      // malformed calls refuse before anything stages
+      assert(intercept[Exception](spark.sql(
+        "CALL graft.system.txn_publish(tables => 'txn_bronze', sqls => 'SELECT 1 ;; SELECT 2')"))
+        .getMessage.contains("1 tables but 2 statements"))
+      assert(intercept[Exception](spark.sql(
+        """CALL graft.system.txn_publish(tables => 'nope_new',
+          |  sqls => 'SELECT 1 AS x', modes => 'append')""".stripMargin))
+        .getMessage.contains("append mode requires existing table"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.txn_src")
+      spark.sql("DROP TABLE IF EXISTS graft.txn_bronze")
+      spark.sql("DROP TABLE IF EXISTS graft.txn_silver")
+    }
+  }
+
   // ---- round-9 schema evolution: RENAME / DROP COLUMN ----
 
   test("RENAME COLUMN is metadata-only: zero data files rewritten, old versions keep their schema") {
@@ -1024,23 +1097,66 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.se1")
   }
 
-  test("DROP COLUMN removes data + schema; the last data column refuses") {
+  test("DROP COLUMN is metadata-only: tombstoned + hardlinked; compaction purges; last column refuses") {
     root
     spark.sql(
       "CREATE TABLE graft.se2 AS SELECT id AS k, id * 2 AS v, id * 3 AS w FROM range(10)")
     try {
+      val preKeys = graft.io.Fs.walkParquet(Paths.get(Sinks.resolve(s"$root/se2")))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
       spark.sql("ALTER TABLE graft.se2 DROP COLUMN w")
-      assert(spark.table("graft.se2").columns.toSeq == Seq("k", "v"))
-      // the dropped column is gone from the FILES, not just the schema
-      // (plain parquet readers of the live dir must agree)
+      // the drop commit carried every data file by hardlink (inode
+      // identity) — O(1) metadata like RENAME, the Delta column-mapping
+      // drop; the bytes stay until compaction purges them
       val live = Sinks.resolve(s"$root/se2")
-      assert(!spark.read.parquet(live).columns.contains("w"))
-      spark.sql("ALTER TABLE graft.se2 DROP COLUMN v")
-      val e = intercept[Exception](spark.sql("ALTER TABLE graft.se2 DROP COLUMN k"))
-      assert(e.getMessage.contains("no non-partition column"))
+      val postKeys = graft.io.Fs.walkParquet(Paths.get(live))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      assert(postKeys == preKeys,
+        "DROP COLUMN must not rewrite any data file (column-mapping tombstone)")
+      assert(graft.ops.ColMap.dropped(live) == Set("w"))
+      assert(spark.table("graft.se2").columns.toSeq == Seq("k", "v"))
+      assert(!spark.sql("SELECT * FROM graft.se2").columns.contains("w"))
+      // and the scan PRUNES the tombstoned column (never reads its bytes)
+      val scanSchemas = spark.sql("SELECT * FROM graft.se2")
+        .queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("ReadSchema")).toSeq
+      assert(scanSchemas.nonEmpty && !scanSchemas.exists(_.contains("w")),
+        s"dropped column still read:\n${scanSchemas.mkString("\n")}")
+      // DESCRIBE HISTORY names the operation
+      assert(Sinks.history(spark, s"$root/se2").orderBy("version")
+        .select("operation").collect().map(_.getString(0)).last == "drop-column")
+      // appends through the evolved schema land normally (new files
+      // simply lack the tombstoned physical column)
+      spark.sql("INSERT INTO graft.se2 VALUES (100, 200)")
+      assert(spark.sql("SELECT sum(v) AS s FROM graft.se2").head().getLong(0) == 290L)
+      assert(graft.ops.ColMap.dropped(Sinks.resolve(s"$root/se2")) == Set("w"),
+        "the tombstone must carry through linked commits")
+      // a rename AFTER the drop preserves the tombstone
+      spark.sql("ALTER TABLE graft.se2 RENAME COLUMN v TO val")
+      val live2 = Sinks.resolve(s"$root/se2")
+      assert(graft.ops.ColMap.dropped(live2) == Set("w"))
+      assert(graft.ops.ColMap.load(live2) == Map("val" -> "v"))
+      // re-adding the dropped name rewrites fresh (null-backfilled) and
+      // purges the tombstone — no footer collision possible
+      spark.sql("ALTER TABLE graft.se2 ADD COLUMNS (w STRING)")
+      val live3 = Sinks.resolve(s"$root/se2")
+      assert(!graft.ops.ColMap.exists(live3))
+      assert(spark.sql("SELECT count(w) AS n FROM graft.se2").head().getLong(0) == 0L)
+      spark.sql("ALTER TABLE graft.se2 DROP COLUMN w")
       // time travel to the pre-drop version still sees all three columns
       assert(spark.sql("SELECT * FROM graft.se2 VERSION AS OF 1")
         .columns.toSeq == Seq("k", "v", "w"))
+      // compaction purges tombstoned bytes for real: files speak the
+      // logical schema afterwards, the marker is gone
+      spark.sql("CALL graft.system.compact(table => 'se2')")
+      val live4 = Sinks.resolve(s"$root/se2")
+      assert(!graft.ops.ColMap.exists(live4))
+      assert(spark.read.parquet(live4).columns.toSeq.sorted == Seq("k", "val"))
+      spark.sql("ALTER TABLE graft.se2 DROP COLUMN val")
+      val e = intercept[Exception](spark.sql("ALTER TABLE graft.se2 DROP COLUMN k"))
+      assert(e.getMessage.contains("no non-partition column"))
     } finally spark.sql("DROP TABLE graft.se2")
   }
 
@@ -1086,11 +1202,17 @@ class CatalogSpec extends AnyFunSuite {
       // CALL bloom_index accepts the logical name on a mapped table
       spark.sql("CALL graft.system.bloom_index(table => 'se3', columns => 'key')")
       assert(Bloom.readCurrentWhereEq(spark, tr, "key", 2050L).count() == 1)
-      // dropping an indexed column removes it from the sidecars
+      // dropping an indexed column sheds it from the sidecar-column set
+      // (metadata drop: the sidecar keeps PHYSICAL keys for the surviving
+      // columns, and the tombstoned one leaves the served set entirely)
       spark.sql("ALTER TABLE graft.se3 DROP COLUMN grp")
       val live2 = Sinks.resolve(tr)
-      assert(Stats.sidecarCols(spark, live2) == Seq("key"))
-      assert(Bloom.sidecarCols(spark, live2) == Seq("key"))
+      assert(Stats.sidecarCols(spark, live2)
+        .map(graft.ops.ColMap.toLogicalName(live2, _)) == Seq("key"))
+      assert(Bloom.sidecarCols(spark, live2)
+        .map(graft.ops.ColMap.toLogicalName(live2, _)) == Seq("key"))
+      // and pruning on the surviving column still serves through the map
+      assert(Stats.readCurrentWhere(spark, tr, "key", 2000L, 2010L).count() == 11)
     } finally spark.sql("DROP TABLE graft.se3")
   }
 

@@ -374,6 +374,44 @@ class TableStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("enableStreamFeed"))
   }
 
+  test("metadata-only RENAME lands mid-stream: the resumed read_stream consumer continues under the new name") {
+    import spark.implicits._
+    val base = tmp("renstream")
+    val (bronze, silver, cp) = (base + "/b", base + "/s", base + "/cp")
+    spark.conf.set("spark.sql.catalog.graftrn", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftrn.root", base)
+    Sinks.enableStreamFeed(bronze)
+    Sinks.appendVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      bronze, None, emitFeed = true)
+    // batch 1 consumes under the ORIGINAL name
+    val q1 = TableStream.streamTo(spark.sql(
+      s"SELECT k, v FROM read_stream('$bronze') WHERE _change_type = 'insert'"),
+      silver, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    // B141 rename lands BETWEEN micro-batches — metadata-only (hardlink
+    // commit, column mapping), on producer and replica alike
+    spark.sql("ALTER TABLE graftrn.b RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graftrn.s RENAME COLUMN v TO val")
+    assert(graft.ops.ColMap.load(Sinks.resolve(bronze)) == Map("val" -> "v"),
+      "the mid-stream rename must be a column-mapping commit")
+    // a post-rename append speaks the NEW logical name; its feed rows
+    // must too (the feed stores logical names)
+    Sinks.appendVersioned(Seq((3L, "c")).toDF("k", "val"),
+      bronze, Sinks.currentVersion(bronze), emitFeed = true)
+    // the RESUMED consumer (same checkpoint) redeploys under the new
+    // name and ships exactly the delta — state reconstructs seamlessly
+    val q2 = TableStream.streamTo(spark.sql(
+      s"SELECT k, val FROM read_stream('$bronze') WHERE _change_type = 'insert'"),
+      silver, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.sql("SELECT k, val FROM graftrn.s ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the replica's files were never rewritten by the rename: its
+    // new-name reads serve through the mapping
+    assert(graft.ops.ColMap.load(Sinks.resolve(silver)) == Map("val" -> "v"))
+  }
+
   test("streaming feed across a MOR DELETE/UPDATE/MERGE chain: checkpoint resume reconstructs the final state") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Row}
