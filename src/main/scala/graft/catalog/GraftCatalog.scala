@@ -472,9 +472,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** `ALTER TABLE ... ADD COLUMNS | RENAME COLUMN | DROP COLUMN`: the
     * DDL spellings of schema evolution under this layout.
     *
-    *  - ADD COLUMNS publishes a NEW version with the column(s)
-    *    null-backfilled (additive, the same evolution a Merge.upsert
-    *    delta carrying them performs).
+    *  - ADD COLUMNS is a METADATA-ONLY hardlink commit (Delta
+    *    behavior): the column-mapping marker records (name, type) and
+    *    the read schema synthesizes the column — NULL from pre-ADD
+    *    files, real values from files written after. Falls back to the
+    *    null-backfilled rewrite only when the name collides with a
+    *    physical name still in (or tombstoned out of) the footers.
     *  - RENAME COLUMN / DROP COLUMN of non-partition columns are
     *    METADATA-ONLY commits via [[graft.ops.ColMap]] column mapping:
     *    the new version hardlinks every data file and records the new
@@ -564,9 +567,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
-    val widened = adds.foldLeft(Sinks.readVersion(spark, tr, v)) { (df, a) =>
-      require(!df.columns.contains(a.fieldNames()(0)),
-        s"column ${a.fieldNames()(0)} already exists")
+    val cur = Sinks.readVersion(spark, tr, v)
+    adds.foreach(a => require(!cur.columns.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
+      s"column ${a.fieldNames()(0)} already exists"))
+    // METADATA-ONLY fast path (Delta behavior): record (name, type) in
+    // the column-mapping marker and hardlink every data file — parquet
+    // serves NULL for the new column from every pre-ADD file, real
+    // values from files written after. Falls back to the null-backfill
+    // rewrite only when the new name collides with a PHYSICAL name
+    // still living in (or tombstoned out of) the footers — mapping it
+    // would silently alias old bytes into the new column.
+    val liveDir = Sinks.versionPath(tr, v)
+    val physNames = spark.read.parquet(liveDir).schema.fieldNames
+      .map(_.toLowerCase).toSet ++
+      graft.ops.ColMap.dropped(liveDir).map(_.toLowerCase)
+    if (!adds.exists(a => physNames(a.fieldNames()(0).toLowerCase))) {
+      Sinks.publishColumnMapping(spark, tr, v,
+        graft.ops.ColMap.load(liveDir), graft.ops.ColMap.dropped(liveDir),
+        opTag = "add-column",
+        added = graft.ops.ColMap.added(liveDir) ++ adds.map(a =>
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames()(0), a.dataType(), nullable = true)))
+      return loadTable(ident)
+    }
+    val widened = adds.foldLeft(cur) { (df, a) =>
       df.withColumn(a.fieldNames()(0),
         org.apache.spark.sql.functions.lit(null).cast(a.dataType()))
     }
@@ -687,11 +711,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val newMapping = cols.filterNot(dropSet)
         .map(l => renameMap.getOrElse(l, l) -> physOf(l)).toMap
       val newDropped = graft.ops.ColMap.dropped(liveDir) ++ dropSet.map(physOf)
+      // a dropped column that was itself a metadata-only ADD sheds its
+      // ADD record too (post-ADD files may carry real bytes for it —
+      // the tombstone above keeps those hidden); surviving ADD records
+      // carry forward so the synthesized schema outlives renames/drops
+      val dropPhysLower = dropSet.map(l => physOf(l).toLowerCase)
+      val newAdded = graft.ops.ColMap.added(liveDir)
+        .filterNot(f => dropPhysLower(f.name.toLowerCase))
       val newProps0 = oldProps.filterNot(_._1.startsWith(GraftCheck.Prefix)) ++
         rewrittenChecks
       TableProps.store(tr, newProps0)
       try Sinks.publishColumnMapping(spark, tr, v, newMapping, newDropped,
-        opTag = if (dropSet.nonEmpty) "drop-column" else "rename-column")
+        opTag = if (dropSet.nonEmpty) "drop-column" else "rename-column",
+        added = newAdded)
       catch { case e: Throwable =>
         TableProps.store(tr, oldProps) // metadata must not outrun the data
         throw e

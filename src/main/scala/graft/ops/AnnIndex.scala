@@ -216,7 +216,26 @@ object AnnIndex {
     require(Files.isDirectory(Paths.get(p)),
       s"no ${Pq.Sidecar} under $live — not a PQ index; build with " +
         "AnnIndex.buildFixedPq")
-    spark.read.parquet(p)
+    sidecarFrame(spark, p)
+  }
+
+  /** Session-scoped memo of a sidecar read keyed by its VERSION-DIR
+    * path: version dirs are immutable once committed (a rebuild or
+    * append resolves to a NEW dir and misses), so the file listing +
+    * footer inference `spark.read.parquet` performs per call is pure
+    * waste in the probe-many serving pattern — each two-stage search
+    * read the quantizer twice (shortlist + rerank probe) and the PQ
+    * path the codebooks besides, all driver-side latency per query.
+    * Existence is still re-checked by every caller before the memo, so
+    * a hand-damaged index keeps failing loudly. Bounded: cleared
+    * wholesale past 256 entries (each entry is a tiny lazy frame).
+    */
+  private val sidecars =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sidecarFrame(spark: SparkSession, path: String): DataFrame = {
+    if (sidecars.size > 256) sidecars.clear()
+    sidecars.computeIfAbsent(s"${System.identityHashCode(spark)}|$path",
+      _ => spark.read.parquet(path))
   }
 
   /** The SQ8 approx pass (stage 1 of [[searchSq8]]), exposed so the spec
@@ -311,7 +330,7 @@ object AnnIndex {
     require(Files.isDirectory(Paths.get(p)),
       s"no $CentroidsSidecar under $live — index incomplete (crash between " +
         "commit and quantizer write?); rebuild with AnnIndex.buildFixed/buildLearned")
-    spark.read.parquet(p)
+    sidecarFrame(spark, p)
   }
 
   /** Top-k cosine search against the live persisted index: probe the

@@ -52,6 +52,8 @@ object ColMap {
 
   private val DroppedKeyPrefix = "__graft_dropped."
 
+  private val AddedKeyPrefix = "__graft_added."
+
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, MarkerFile))
 
@@ -68,11 +70,12 @@ object ColMap {
   }
 
   /** logical -> physical; empty when the version is unmapped. DROP
-    * tombstones are NOT logical names and never appear here — use
-    * [[dropped]].
+    * tombstones and ADD records are NOT logical mappings and never
+    * appear here — use [[dropped]] / [[added]].
     */
   def load(dir: String): Map[String, String] =
-    loadRaw(dir).filterNot(_._1.startsWith(DroppedKeyPrefix))
+    loadRaw(dir).filterNot(e => e._1.startsWith(DroppedKeyPrefix) ||
+      e._1.startsWith(AddedKeyPrefix))
 
   /** PHYSICAL names of columns dropped metadata-only under `dir`:
     * present in the data files, bound to no logical name, discarded by
@@ -81,19 +84,36 @@ object ColMap {
   def dropped(dir: String): Set[String] =
     loadRaw(dir).collect { case (k, p) if k.startsWith(DroppedKeyPrefix) => p }.toSet
 
+  /** Columns ADDED metadata-only under `dir` (name + type, insertion
+    * order): absent from (some or all) data files; [[Sinks.readSchemaFor]]
+    * appends them to the read schema, so parquet serves NULL for files
+    * that predate the ADD and real values from files written after —
+    * the Delta metadata-only ADD COLUMN. Stored as `name TYPE` DDL.
+    */
+  def added(dir: String): Seq[org.apache.spark.sql.types.StructField] =
+    loadRaw(dir).collect {
+      case (k, ddl) if k.startsWith(AddedKeyPrefix) =>
+        (k.stripPrefix(AddedKeyPrefix).toInt,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.head)
+    }.toSeq.sortBy(_._1).map(_._2)
+
   /** Write the marker into a STAGED version dir (identity rename
     * entries dropped; an all-identity map with no tombstones writes
     * nothing, so a chain of renames that lands back on the physical
     * names converges to unmapped).
     */
   def write(stageDir: Path, map: Map[String, String],
-      droppedPhys: Set[String] = Set.empty): Unit = {
+      droppedPhys: Set[String] = Set.empty,
+      addedCols: Seq[org.apache.spark.sql.types.StructField] = Nil): Unit = {
     val effective = map.filterNot { case (l, p) => l == p }
-    if (effective.isEmpty && droppedPhys.isEmpty) return
+    if (effective.isEmpty && droppedPhys.isEmpty && addedCols.isEmpty) return
     val props = new java.util.Properties()
     effective.foreach { case (l, p) => props.setProperty(l, p) }
     droppedPhys.toSeq.sorted.zipWithIndex.foreach { case (p, i) =>
       props.setProperty(s"$DroppedKeyPrefix$i", p) }
+    addedCols.zipWithIndex.foreach { case (f, i) =>
+      props.setProperty(s"$AddedKeyPrefix$i",
+        org.apache.spark.sql.types.StructType(Seq(f)).toDDL) }
     Files.createDirectories(stageDir)
     val out = Files.newOutputStream(stageDir.resolve(MarkerFile))
     try props.store(out, "graft column mapping: logical=physical")

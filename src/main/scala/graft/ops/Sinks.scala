@@ -134,14 +134,28 @@ object Sinks {
     * when the version is unpartitioned (let the reader infer as usual).
     */
   private[graft] def readSchemaFor(spark: SparkSession, root: String,
-      p: String): Option[org.apache.spark.sql.types.StructType] =
-    partitionSchemaFor(root, p).map { declared =>
+      p: String): Option[org.apache.spark.sql.types.StructType] = {
+    val pinned = partitionSchemaFor(root, p).map { declared =>
       val inferred = spark.read.parquet(p).schema
       org.apache.spark.sql.types.StructType(inferred.map { f =>
         declared.find(_.name.equalsIgnoreCase(f.name))
           .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
       })
     }
+    // metadata-only ADD COLUMN ([[ColMap.added]]): append the added
+    // fields to the read schema so parquet serves NULL from files that
+    // predate the ADD and real values from files written after. A field
+    // already present in the footers (a post-ADD linked commit wrote
+    // it, or inference picked a new file) is not appended twice.
+    val added = ColMap.added(p)
+    if (added.isEmpty) pinned
+    else {
+      val base = pinned.getOrElse(spark.read.parquet(p).schema)
+      val have = base.fieldNames.map(_.toLowerCase).toSet
+      Some(added.foldLeft(base)((s, f) =>
+        if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true))))
+    }
+  }
 
   /** Snapshot versions present under `root`, ascending — the time-travel
     * inventory. Every listed version directory holds complete, immutable
@@ -1094,13 +1108,14 @@ object Sinks {
   def publishColumnMapping(spark: SparkSession, root: String,
       expected: Long, mapping: Map[String, String],
       dropped: Set[String] = Set.empty,
-      opTag: String = "rename-column"): Long = {
+      opTag: String = "rename-column",
+      added: Seq[org.apache.spark.sql.types.StructField] = Nil): Long = {
     val src = Paths.get(versionPath(root, expected))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       stageSnapshotLinks(src, stage)
       Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
-      ColMap.write(stage, mapping, dropped)
+      ColMap.write(stage, mapping, dropped, added)
       stampOp(stage, opTag)
       commitStaged(root, stage, Some(expected))
     } catch {

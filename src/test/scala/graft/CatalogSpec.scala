@@ -1160,6 +1160,58 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.se2")
   }
 
+  test("ADD COLUMNS is metadata-only: hardlinked, null from old files, values from new") {
+    root
+    spark.sql("CREATE TABLE graft.se5 AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    try {
+      val preKeys = graft.io.Fs.walkParquet(Paths.get(Sinks.resolve(s"$root/se5")))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      spark.sql("ALTER TABLE graft.se5 ADD COLUMNS (tag STRING, score DOUBLE)")
+      val live = Sinks.resolve(s"$root/se5")
+      val postKeys = graft.io.Fs.walkParquet(Paths.get(live))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      assert(postKeys == preKeys,
+        "metadata ADD COLUMNS must not rewrite any data file")
+      assert(graft.ops.ColMap.added(live).map(f =>
+        (f.name, f.dataType.simpleString)) == Seq("tag" -> "string", "score" -> "double"))
+      // pre-ADD files serve NULL for the new columns
+      assert(spark.table("graft.se5").columns.toSeq == Seq("k", "v", "tag", "score"))
+      assert(spark.sql("SELECT count(tag) AS n FROM graft.se5").head().getLong(0) == 0L)
+      // a post-ADD INSERT lands real values next to the nulls
+      spark.sql("INSERT INTO graft.se5 VALUES (100, 200, 'x', 1.5)")
+      assert(spark.sql(
+        "SELECT tag, score FROM graft.se5 WHERE k = 100").collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq == Seq(("x", 1.5)))
+      assert(spark.sql("SELECT count(tag) AS n FROM graft.se5").head().getLong(0) == 1L)
+      // the ADD records survive a later metadata rename...
+      spark.sql("ALTER TABLE graft.se5 RENAME COLUMN tag TO label")
+      assert(spark.sql("SELECT count(label) AS n FROM graft.se5").head().getLong(0) == 1L)
+      // ...and dropping the (renamed) added column removes its record
+      // while tombstoning the post-ADD bytes
+      spark.sql("ALTER TABLE graft.se5 DROP COLUMN label")
+      val live2 = Sinks.resolve(s"$root/se5")
+      assert(graft.ops.ColMap.added(live2).map(_.name) == Seq("score"))
+      assert(!spark.table("graft.se5").columns.contains("label"))
+      // DESCRIBE HISTORY names the operation
+      assert(Sinks.history(spark, s"$root/se5").orderBy("version")
+        .select("operation").collect().map(_.getString(0))
+        .contains("add-column"))
+      // re-ADDing a name that collides with tombstoned bytes falls back
+      // to the honest rewrite (no footer aliasing possible)
+      spark.sql("ALTER TABLE graft.se5 ADD COLUMNS (tag STRING)")
+      val live3 = Sinks.resolve(s"$root/se5")
+      assert(spark.sql("SELECT count(tag) AS n FROM graft.se5").head().getLong(0) == 0L)
+      // compaction materializes the synthesized column into real files
+      spark.sql("CALL graft.system.compact(table => 'se5')")
+      val live4 = Sinks.resolve(s"$root/se5")
+      assert(!graft.ops.ColMap.exists(live4))
+      assert(spark.read.parquet(live4).columns.contains("score"))
+      assert(spark.sql("SELECT sum(v) AS s FROM graft.se5").head().getLong(0) == 290L)
+    } finally spark.sql("DROP TABLE graft.se5")
+  }
+
   test("schema evolution migrates the skipping sidecars — never stale-keyed") {
     root
     import org.apache.spark.sql.functions.col
