@@ -957,6 +957,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)
       case "copy_into" => new GraftProcedures.CopyInto(resolve)
       case "vacuum_orphans" => new GraftProcedures.VacuumOrphans(resolve)
+      case "ann_split" => new GraftProcedures.AnnSplit(resolve)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq
@@ -980,7 +981,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"),
         Identifier.of(namespace, "repartition_table"),
         Identifier.of(namespace, "copy_into"),
-        Identifier.of(namespace, "txn_publish"))
+        Identifier.of(namespace, "txn_publish"),
+        Identifier.of(namespace, "ann_split"))
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -280,6 +280,44 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.ann_split(table, factor => 2.0)` — IVF index maintenance
+    * from SQL ([[graft.ops.AnnIndex.splitBuckets]]): split buckets
+    * holding more than `factor` × the mean row count, O(hot buckets)
+    * per commit. Returns `(table, version, n_buckets)`.
+    */
+  final class AnnSplit(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "ann_split"
+    override def description(): String =
+      "split oversized IVF index buckets in place (O(hot buckets))"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("ANN index table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("factor", DoubleType).defaultValue("2.0")
+        .comment("split any bucket larger than factor x the mean").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val factor = input.getDouble(1)
+      val root = resolveRoot(table)
+      val spark = SparkSession.active
+      val v = graft.ops.AnnIndex.splitBuckets(spark, root, factor)
+      val n = graft.ops.Sinks.readCurrent(spark, root)
+        .select("bucket").distinct().count()
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v, n))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("n_buckets", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.txn_publish(tables, sqls, modes => '')` — the SQL door to
     * multi-table TRANSACTIONS (B142, [[graft.ops.Txn.publishAll]]):
     * commit N tables so readers observe ALL the new versions or NONE —

@@ -281,6 +281,73 @@ object AnnIndex {
       k)
   }
 
+  /** Index maintenance: split OVERSIZED buckets in place, at
+    * O(hot buckets) — never O(index). Streaming ingestion and skewed
+    * corpora concentrate rows in a few coarse cells over time, and a
+    * hot bucket is pure probe-cost poison: every query whose ranking
+    * touches it scans its whole directory. Any bucket holding more
+    * than `factor` × the mean row count is re-quantized with k=2
+    * spherical k-means over ITS rows only (fixed `iters`, `roundDp`
+    * centroid rounding — the deterministic Lloyd's of
+    * [[Similarity.kmeansCentroids]]); one half keeps the bucket id,
+    * the other takes a fresh id above the current max, and the
+    * quantizer sidecar swaps the split centroid for the two halves'
+    * actual means — all in ONE linked commit: untouched bucket dirs
+    * carry by hardlink, only split buckets' rows rewrite, and data +
+    * new quantizer become visible atomically (the same contract as the
+    * build). Code columns (`qcodes`/`pqcodes`) are bucket-independent
+    * and carry as data, so SQ8/PQ indexes split without re-encoding.
+    * Returns the committed version, or the CURRENT version untouched
+    * when no bucket exceeds the threshold (no empty commit).
+    */
+  def splitBuckets(spark: SparkSession, root: String, factor: Double = 2.0,
+      iters: Int = 5, roundDp: Int = 6): Long = {
+    require(factor > 1.0, s"split factor must be > 1, got $factor")
+    val expected = Sinks.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    val dir = Sinks.versionPath(root, expected)
+    Dv.requireNone(dir, "ANN bucket split")
+    val cur = Sinks.readCurrent(spark, root)
+    // bucket histogram — metadata-scale (one row per bucket)
+    val sizes = cur.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val mean = sizes.map(_._2).sum.toDouble / math.max(sizes.size, 1)
+    val hot = sizes.collect { case (b, n) if n > factor * mean && n >= 2 => b }
+    if (hot.isEmpty) return expected
+    var nextId = sizes.map(_._1).max + 1
+    val cents = centroids(spark, root)
+    // per hot bucket: 2-means over its rows (partition pruning makes
+    // each pass scan ONE bucket dir), relabel the halves, mean vectors
+    val (rewrites, replacements) = hot.map { b =>
+      val rows = cur.filter(col("bucket") === b)
+      val two = Similarity.kmeansCentroids(
+        rows.select(col("vec_id"), col("embedding")), 2, iters, roundDp)
+      val freshId = nextId; nextId += 1
+      val assigned = Similarity.assignClusters(rows.drop("bucket"), two)
+        .withColumn("bucket",
+          when(col("cluster") === 0, lit(b)).otherwise(lit(freshId)))
+        .drop("cluster")
+      val halves = Similarity.meanByCluster(
+        assigned.withColumnRenamed("bucket", "label"), "label")
+      (assigned, halves)
+    }.unzip
+    val rewritten = rewrites.reduce(_ unionByName _)
+    val hotSet = hot.toSet
+    val newCents = cents.filter(!col("label").isin(hot: _*))
+      .unionByName(replacements.reduce(_ unionByName _))
+      .localCheckpoint() // tiny; pin before the commit swaps the sidecar
+    Sinks.stageLinkedPublish(
+      Sinks.alignToLive(rewritten, root, Some(expected)), root, Some(expected),
+      statsCols = Nil, emitFeed = false, batchTag = None,
+      carry = rel => {
+        val dirName = rel.takeWhile(_ != '/')
+        !(dirName.startsWith("bucket=") &&
+          dirName.stripPrefix("bucket=").toLongOption.exists(hotSet))
+      },
+      opTag = "rebucket",
+      replaceSidecars = Seq(CentroidsSidecar -> newCents))
+  }
+
   /** Append new vectors to the live index at O(delta): assign against
     * the PERSISTED quantizer — old and new rows must agree on the
     * bucketing scheme, so the stored centroids are authoritative, never

@@ -105,6 +105,43 @@ object Corpus {
         floor((col("cum") - 1) / budget).as("seq_last"))
   }
 
+  /** Sliding-window document chunking (the RAG / long-context prep
+    * pass): split each document into fixed-size character windows of
+    * `chunkChars` advancing by `stride`, so consecutive chunks overlap
+    * by `chunkChars - stride` characters and the final window carries
+    * the (possibly shorter) tail. Returns one row per chunk:
+    * `(idCol, chunk_no, chunk_start, chunk_text, n_chars)`; empty
+    * documents yield no chunks. Chunk count per doc =
+    * `1 + ceil((len - chunkChars) / stride)` once the text outgrows one
+    * window.
+    *
+    * Scale shape: a single codegen'd `sequence`→`transform`→`posexplode`
+    * per row — no shuffle, no UDF, no driver participation; output rows
+    * scale with corpus chars / stride, embarrassingly parallel at any
+    * corpus size. Character windows by design (deterministic and
+    * oracle-able); token-aligned chunking = pre-tokenize and chunk the
+    * token array with the same expression shape.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, stride: Int): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    require(stride >= 1 && stride <= chunkChars,
+      s"stride must be in [1, chunkChars], got $stride")
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkChars, lit(1))
+      .otherwise(ceil((len - lit(chunkChars)).cast("double") / stride)
+        .cast("int") + 1)
+    docs.filter(len > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => col(textCol).substr(i * stride + 1, lit(chunkChars)))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_no"),
+        (col("pos") * stride).cast("long").as("chunk_start"),
+        col("col").as("chunk_text"),
+        length(col("col")).cast("long").as("n_chars"))
+  }
+
   /** Per-domain resampling plan for a target mixture: each domain's
     * sampling rate to hit `targetShare * budgetTokens` tokens from it
     * (capped at 1.0 — this layer never upsamples; epoch repetition is the

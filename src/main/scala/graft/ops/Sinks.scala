@@ -854,17 +854,18 @@ object Sinks {
     * maintain the skipping sidecar, optionally emit the insert feed and
     * the streaming batch stamp, and commit through the OCC protocol.
     */
-  private def stageLinkedPublish(aligned: DataFrame, root: String,
+  private[graft] def stageLinkedPublish(aligned: DataFrame, root: String,
       expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
       batchTag: Option[String], carry: String => Boolean,
       skipDataWrite: Boolean = false,
       changeFeedDf: Option[DataFrame] = None,
       dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
-      opTag: String = "append"): Long = {
+      opTag: String = "append",
+      replaceSidecars: Seq[(String, DataFrame)] = Nil): Long = {
     val stage = stageLinkedNoCommit(aligned, root, expected, statsCols,
       emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
-      commitSidecars, opTag)
+      commitSidecars, opTag, replaceSidecars)
     try commitStaged(root, stage, expected)
     catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -884,7 +885,8 @@ object Sinks {
       changeFeedDf: Option[DataFrame] = None,
       dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
-      opTag: String = "append"): Path = {
+      opTag: String = "append",
+      replaceSidecars: Seq[(String, DataFrame)] = Nil): Path = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
@@ -1076,6 +1078,16 @@ object Sinks {
               .foreach(f => linkOrCopy(f, dstC.resolve(f.getFileName)))
           }
         }
+      }
+      // a commit that CHANGES a carried scheme sidecar (an IVF bucket
+      // split swapping the quantizer) replaces it wholesale inside the
+      // same staged dir — data and new scheme become visible in one
+      // atomic rename, exactly like the build-time contract
+      replaceSidecars.foreach { case (name, sdf) =>
+        require(name.startsWith("_"),
+          s"sidecar name must be _-prefixed (invisible to plain reads): $name")
+        Fs.deleteRecursively(stage.resolve(name))
+        sdf.coalesce(1).write.mode("overwrite").parquet(stage.resolve(name).toString)
       }
       // an empty append creating an empty table still needs a
       // footer-bearing file or the version loses its schema (PHYSICAL

@@ -35,6 +35,18 @@ object TrainPrepOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window document chunking (the RAG / long-context prep
+    // pass): 200-char windows advancing by 100 (50% overlap), tail
+    // window shorter — one codegen'd sequence/transform/posexplode per
+    // row, no shuffle. The oracle recomputes the identical windows via
+    // generate_series + substring, hash-proving window arithmetic,
+    // boundaries, and tail handling.
+    "q_doc_chunks" -> ((s, dir) => {
+      graft.ops.Corpus.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkChars = 200, stride = 100)
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // B133 corpus-global line dedup (the C4/RefinedWeb pass): any
     // 10+-char line occurring more than once across the corpus survives
     // only at its first (doc_id, position); shorter lines bypass.
@@ -193,6 +205,21 @@ object TrainPrepOps extends QueryModule {
         |  CAST(len(string_split(l.text, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM lined l LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L
+        |           FROM documents WHERE length(text) > 0),
+        |n AS (SELECT doc_id, text,
+        |        CASE WHEN L <= 200 THEN 1
+        |             ELSE CAST(ceil((L - 200) / 100.0) AS INT) + 1 END AS nc
+        |      FROM d),
+        |e AS (SELECT doc_id, text,
+        |        unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+        |  CAST(i * 100 AS BIGINT) AS chunk_start,
+        |  substring(text, i * 100 + 1, 200) AS chunk_text,
+        |  CAST(length(substring(text, i * 100 + 1, 200)) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_seq_packing" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -212,6 +212,64 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("splitBuckets: hot buckets split at O(split), quantizer swaps atomically, cold buckets carry by inode") {
+    import java.nio.file.{Files, Paths}
+    val root = tmp("annidxsplit")
+    val emb = Tables.embeddings(spark, sf001)
+    // skew the assignment: ~80% of rows pile into bucket 0
+    val skewed = emb.withColumn("label",
+      when(col("vec_id") % 10 < 8, lit(0L)).otherwise(col("label")))
+    AnnIndex.buildFixed(spark, skewed, root)
+    val preCents = AnnIndex.centroids(spark, root).count()
+    val preSizes = Sinks.readCurrent(spark, root).groupBy("bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val coldKeys = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(root, 0L)))
+      .filter(f => !f.toString.contains("bucket=0/"))
+      .map(f => Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    val v1 = AnnIndex.splitBuckets(spark, root, factor = 2.0)
+    assert(v1 == 1L)
+    // cold bucket dirs carried by hardlink — the O(split) contract
+    val postCold = graft.io.Fs.walkParquet(Paths.get(Sinks.versionPath(root, 1L)))
+      .filter(f => !f.toString.contains("bucket=0/"))
+      .map(f => Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    assert(coldKeys.subsetOf(postCold),
+      "untouched bucket files must carry by inode")
+    // the quantizer swapped WITH the data: one more centroid per split,
+    // rows conserved, the hot bucket genuinely smaller
+    val postSizes = Sinks.readCurrent(spark, root).groupBy("bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(postSizes.values.sum == preSizes.values.sum, "rows must be conserved")
+    assert(postSizes.size == preSizes.size + 1, "one split adds one bucket")
+    assert(postSizes(0L) < preSizes(0L), "the hot bucket must shrink")
+    assert(AnnIndex.centroids(spark, root).count() == preCents + 1)
+    assert(Sinks.history(spark, root).orderBy("version")
+      .select("operation").collect().map(_.getString(0)).last == "rebucket")
+    // every vector is still findable: with an exhaustive probe the
+    // table+quantizer pair must be self-consistent (rank-1 self-hit
+    // always); at nprobe=3 the split quantizer keeps a recall floor
+    // (ANN recall near half-boundaries is legitimately approximate)
+    val self = Sinks.readCurrent(spark, root).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val nBuckets = postSizes.size
+    val exhaustive = AnnIndex.search(spark, root, self, nprobe = nBuckets, k = 1)
+      .filter(col("rnk") === 1).collect()
+    assert(exhaustive.nonEmpty &&
+      exhaustive.forall(r => r.getLong(0) == r.getLong(1)),
+      "each vector must find itself at rank 1 under an exhaustive probe")
+    val probed = AnnIndex.search(spark, root, self, nprobe = 3, k = 1)
+      .filter(col("rnk") === 1).collect()
+    val selfHits = probed.count(r => r.getLong(0) == r.getLong(1))
+    assert(selfHits.toDouble / probed.length >= 0.8,
+      s"nprobe=3 self-recall too low after split: $selfHits/${probed.length}")
+    // time travel: the pre-split index still serves under ITS quantizer
+    assert(Sinks.readVersion(spark, root, 0L).count() == preSizes.values.sum)
+    // a balanced index is a no-op: no empty commit, version unchanged
+    val v2 = AnnIndex.splitBuckets(spark, root, factor = 1000.0)
+    assert(v2 == 1L && Sinks.currentVersion(root).contains(1L))
+  }
+
   test("append grows the index at O(delta): quantizer rides, new vectors are findable") {
     val root = tmp("annidxgrow")
     val emb = Tables.embeddings(spark, sf001)

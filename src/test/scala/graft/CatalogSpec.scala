@@ -969,6 +969,20 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cowp")
   }
 
+  test("CALL ann_split: IVF maintenance from SQL splits the hot bucket") {
+    root
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val emb = graft.io.Tables.embeddings(spark, TestSpark.sf001)
+      .withColumn("label", when(col("vec_id") % 10 < 8, lit(0L)).otherwise(col("label")))
+    graft.ops.AnnIndex.buildFixed(spark, emb, s"$root/annidx")
+    val out = spark.sql(
+      "CALL graft.system.ann_split(table => 'annidx', factor => 2.0)").head()
+    assert(out.getString(0) == "annidx" && out.getLong(1) == 1L)
+    assert(out.getLong(2) == emb.select("label").distinct().count() + 1,
+      "one split must add one bucket")
+    spark.sql("DROP TABLE graft.annidx")
+  }
+
   test("CALL txn_publish: bronze+silver commit atomically from pure SQL; crash legs hold") {
     root
     import graft.ops.Txn

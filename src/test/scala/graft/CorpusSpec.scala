@@ -205,4 +205,41 @@ class CorpusSpec extends AnyFunSuite {
     val so = graft.ops.Corpus.dedupLines(short, "doc_id", "text").orderBy("doc_id").collect()
     assert(so.forall(r => r.getString(1) == "a b\nc d" && r.getLong(3) == 0))
   }
+
+  test("chunking: windows, overlap, tails, exact multiples, empty docs, no-overlap stride") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),      // len 10: one short window
+      (2L, "a" * 25),          // len 25 @ chunk 10 stride 5: 4 windows, tail len 10
+      (3L, "b" * 20),          // len 20: exact multiple -> 3 windows, tail len 10
+      (4L, ""),                // empty -> no rows
+      (5L, "c" * 11)           // len 11: 2 windows, tail len 6
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.chunk(docs, "doc_id", "text", 10, 5)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(!out.exists(_._1 == 4L), "empty docs must yield no chunks")
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq("abcdefghij"))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 4 && d2.map(_._3).toSeq == Seq(0L, 5L, 10L, 15L))
+    assert(d2.forall(_._4.length == 10))
+    // consecutive windows overlap by chunk - stride characters
+    assert(d2(0)._4.drop(5) == d2(1)._4.take(5))
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 3 && d3.last._4.length == 10)
+    val d5 = out.filter(_._1 == 5L)
+    assert(d5.length == 2 && d5.last._4 == "c" * 6)
+    // full coverage: every char of every doc appears in some window
+    assert(d5.map(t => (t._3, t._3 + t._4.length)).foldLeft(0L) {
+      case (cov, (s, e)) => assert(s <= cov); math.max(cov, e) } == 11L)
+    // stride == chunk: disjoint windows tile the text exactly
+    val tiled = graft.ops.Corpus.chunk(docs.filter($"doc_id" === 2L),
+      "doc_id", "text", 10, 10).orderBy("chunk_no").collect()
+    assert(tiled.map(_.getString(3)).mkString == "a" * 25)
+    // invalid strides refuse
+    intercept[IllegalArgumentException](
+      graft.ops.Corpus.chunk(docs, "doc_id", "text", 10, 11))
+    intercept[IllegalArgumentException](
+      graft.ops.Corpus.chunk(docs, "doc_id", "text", 10, 0))
+  }
 }
