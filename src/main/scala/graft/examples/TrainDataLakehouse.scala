@@ -62,31 +62,40 @@ object TrainDataLakehouse {
     println(s"[2] PII scrub: v${Sinks.currentVersion(corpus).get} " +
       "(emails/IPs/cards replaced with typed tokens)")
 
-    // 3. exact-dup losers leave through a DELETION VECTOR: positions
-    // commit, every data file carries by hardlink
+    // 3. exact-dup losers leave through a DELETION VECTOR via MOR MERGE:
+    // the loser set stays a DATAFRAME end to end (no driver-side id
+    // collection — at 100 TB the loser list is itself corpus-scale),
+    // positions commit, every data file carries by hardlink
     TableProps.update(corpus)(_ + ("graft.dml.mode" -> "mor"))
+    spark.conf.set("spark.sql.catalog.tdl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tdl.root", rootDir.toString)
     val losers = Dedup.exactDupStats(Sinks.readCurrent(spark, corpus))
       .filter(col("n_docs") > 1)
-    val loserIds = Sinks.readCurrent(spark, corpus)
+    Sinks.readCurrent(spark, corpus)
       .withColumn("digest", md5(col("text")))
       .join(losers.select(col("digest"), col("survivor_id")), "digest")
       .filter(col("doc_id") =!= col("survivor_id"))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    Sinks.deleteVector(spark, corpus, col("doc_id").isin(loserIds.toSeq: _*))
-    println(s"[3] MOR dedup: ${loserIds.size} exact-dup losers vectored out, " +
+      .select("doc_id").createOrReplaceTempView("tdl_losers")
+    spark.sql(
+      """MERGE INTO tdl.corpus t USING tdl_losers s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    println(s"[3] MOR dedup: exact-dup losers vectored out by MERGE, " +
       s"${Sinks.readCurrent(spark, corpus).count()} docs live, zero files rewritten")
 
     // 4. decontamination: docs sharing an 8-gram with the "benchmark"
-    // set (a deterministic slice stands in) leave the same O(delta) way
+    // set (a deterministic slice stands in) leave the same O(delta),
+    // fully-distributed way
     val bench = Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
       .select(col("doc_id"), col("text"))
-    val contaminated = Corpus.ngramContamination(
+    Corpus.ngramContamination(
         Sinks.readCurrent(spark, corpus), bench, "doc_id", "text", n = 8)
       .filter(col("n_hit") > 0)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    if (contaminated.nonEmpty)
-      Sinks.deleteVector(spark, corpus, col("doc_id").isin(contaminated.toSeq: _*))
-    println(s"[4] decontaminated: ${contaminated.size} docs vectored out " +
+      .select("doc_id").createOrReplaceTempView("tdl_contaminated")
+    val nCont = spark.table("tdl_contaminated").count()
+    if (nCont > 0) spark.sql(
+      """MERGE INTO tdl.corpus t USING tdl_contaminated s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    println(s"[4] decontaminated: $nCont docs vectored out " +
       s"(8-gram overlap with the benchmark slice)")
 
     // 5. ANN serving tier: IVF + PQ codes as a versioned table; the
@@ -101,6 +110,14 @@ object TrainDataLakehouse {
       .orderBy("query_id", "rnk").collect().toSeq
     println(s"[5] ANN: PQ two-stage == flat search: ${pq == flat} " +
       s"(${pq.size} results; codes are 8 bytes/row vs 256 float bytes)")
+
+    // 5b. RAG-style chunking: the surviving corpus split into
+    // overlapping character windows (the frame a chunk-embedding pass
+    // would consume) — one codegen'd expression, no shuffle
+    val chunks = Corpus.chunk(Sinks.readCurrent(spark, corpus),
+      "doc_id", "text", chunkChars = 2048, stride = 1024)
+    println(s"[5b] chunking: ${chunks.count()} overlapping 2k-char windows " +
+      "staged for embedding")
 
     // 6. greedy sequence packing into training shards, committed with
     // the refreshed rollup in ONE transaction again — shards and stats

@@ -223,12 +223,50 @@ object Dv {
     * a full sort-merge shuffle once the expanded vector outgrew the
     * broadcast threshold).
     */
-  private[graft] def probe(spark: SparkSession, dir: String,
+  private def probe(entries: Array[(String, Array[Byte])],
       key: Column, pos: Column): Column = {
     import org.apache.spark.sql.graft.ExprBridge
     ExprBridge.column(graft.functions.DvProbe(
       ExprBridge.expr(key), ExprBridge.expr(pos),
-      new RoaringLookup(bitmapEntries(spark, dir))))
+      new RoaringLookup(entries)))
+  }
+
+  /** Probe-size budget (bytes of COMPRESSED bitmaps) above which
+    * subtraction falls back from the plan-embedded probe to a
+    * distributed anti-join. The probe ships the whole vector with the
+    * stage's task binary and parses it per JVM — the right trade while
+    * the vector is metadata-scale (typical churn: KBs–MBs even against
+    * TBs of data), the wrong one for a pathological vector (say half a
+    * trillion-row table deleted: ~8 GB of bitset containers). Past the
+    * budget the positions expand distributed and the anti-join's
+    * shuffle — the thing the probe exists to avoid — becomes the
+    * honest cost of metadata that big; compaction remains the cure.
+    * Conf `graft.dv.maxProbeBytes` overrides (DvSpec pins the
+    * fallback leg by setting it to 0).
+    */
+  private val DefaultMaxProbeBytes = 256L * 1024 * 1024
+
+  private def maxProbeBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dv.maxProbeBytes").map(_.toLong)
+      .getOrElse(DefaultMaxProbeBytes)
+
+  /** Subtract `dir`'s vector from `df` keyed by (`keyCol`, `posCol`) —
+    * probe-filter under the byte budget (zero joins), distributed
+    * anti-join past it. Shared by the read funnel ([[subtract]]) and
+    * the MOR writer's live scan ([[Sinks.liveWithPositions]]).
+    */
+  private[graft] def subtractByKey(df: DataFrame, dir: String,
+      keyCol: Column, posCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val entries = bitmapEntries(spark, dir)
+    if (entries.map(_._2.length.toLong).sum <= maxProbeBytes(spark))
+      df.filter(!probe(entries, keyCol, posCol))
+    else
+      df.join(vector(spark, dir)
+          .withColumnRenamed("file", "__graft_dv_file")
+          .withColumnRenamed("row_index", "__graft_dv_row"),
+        keyCol === col("__graft_dv_file") && posCol === col("__graft_dv_row"),
+        "left_anti")
   }
 
   /** Subtract `dir`'s deletion vector from a raw frame of its files.
@@ -262,9 +300,7 @@ object Dv {
         "against _metadata.file_path — move/clone the table to a path " +
         "of [A-Za-z0-9/._-] or compact the source to purge deletes first")
     requireNoReserved(raw.columns.toSeq, s"deletion-vector read of $dir")
-    val spark = raw.sparkSession
-    raw
-      .filter(!probe(spark, dir, relKey(dir), col("_metadata.row_index")))
+    subtractByKey(raw, dir, relKey(dir), col("_metadata.row_index"))
       .select(output.map(col).toIndexedSeq: _*)
   }
 

@@ -1277,16 +1277,17 @@ object Sinks {
     val physToLogical = colmap.map { case (l, p) => p.toLowerCase -> l }
     val cols = base.columns.toSeq.map(c => physToLogical.getOrElse(c.toLowerCase, c))
     Dv.requireNoReserved(cols, s"merge-on-read DML on $root")
-    base
+    val positioned = base
       .select((base.columns.toIndexedSeq.map(c =>
         col(s"`$c`").as(physToLogical.getOrElse(c.toLowerCase, c))) :+
         col("_metadata")): _*)
       .withColumn("_dv_key", Dv.relKey(dir))
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .drop("_metadata")
-      // join-free existing-vector subtraction, same probe as the read
-      // side (Dv.subtract) — the writer's scan stays Exchange-free too
-      .filter(!Dv.probe(spark, dir, col("_dv_key"), col("_dv_pos")))
+    // join-free existing-vector subtraction, same path as the read side
+    // (Dv.subtract) — the writer's scan stays Exchange-free too, with
+    // the same oversized-vector anti-join fallback
+    Dv.subtractByKey(positioned, dir, col("_dv_key"), col("_dv_pos"))
   }
 
   /** The merge-on-read commit every DV writer shares: merge

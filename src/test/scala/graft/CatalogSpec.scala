@@ -1199,6 +1199,13 @@ class CatalogSpec extends AnyFunSuite {
         "SELECT tag, score FROM graft.se5 WHERE k = 100").collect().map(r =>
         (r.getString(0), r.getDouble(1))).toSeq == Seq(("x", 1.5)))
       assert(spark.sql("SELECT count(tag) AS n FROM graft.se5").head().getLong(0) == 1L)
+      // MOR DML on the synthesized column: the update copy materializes
+      // a real value where the carried files never had the column
+      spark.sql("UPDATE graft.se5 SET score = 9.9 WHERE k = 3")
+      assert(spark.sql("SELECT score FROM graft.se5 WHERE k = 3")
+        .head().getDouble(0) == 9.9)
+      assert(spark.sql("SELECT count(score) AS n FROM graft.se5")
+        .head().getLong(0) == 2L)
       // the ADD records survive a later metadata rename...
       spark.sql("ALTER TABLE graft.se5 RENAME COLUMN tag TO label")
       assert(spark.sql("SELECT count(label) AS n FROM graft.se5").head().getLong(0) == 1L)

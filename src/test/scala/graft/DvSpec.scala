@@ -405,6 +405,28 @@ class DvSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized-vector fallback: past the probe byte budget, subtraction routes a distributed anti-join — values identical") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 200).select($"id".as("k"), ($"id" % 10).as("g"))
+        .repartition(4), tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 3)
+    spark.conf.set("graft.dv.maxProbeBytes", "0")
+    try {
+      val df = Sinks.readCurrent(spark, tbl)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("dv_probe"),
+        s"budget 0 must route the anti-join, not the probe:\n$plan")
+      assert(plan.toLowerCase.contains("leftanti"),
+        s"expected the distributed anti-join fallback in:\n$plan")
+      assert(df.count() == 180 && df.filter($"g" === 3).count() == 0)
+      // the MOR writer takes the same fallback and still deletes exactly
+      Sinks.deleteVector(spark, tbl, col("k") === 0L)
+      assert(Sinks.readCurrent(spark, tbl).count() == 179)
+    } finally spark.conf.unset("graft.dv.maxProbeBytes")
+  }
+
   test("legacy v1 (file,row_index) sidecars read exactly and fold to v2 on the next MOR commit") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
