@@ -65,6 +65,37 @@ class RoaringSpec extends AnyFunSuite {
     assert(bytes.length < 400, s"sparse bitmap too large: ${bytes.length}")
   }
 
+  test("property: round-trip, cardinality, union, and probe agree with a reference Set for arbitrary position sets") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    // positions clustered near container boundaries AND scattered wide —
+    // the shapes that exercise array/bitset promotion and key splits
+    val posGen: Gen[Long] = Gen.oneOf(
+      Gen.choose(0L, 300L),                      // dense low container
+      Gen.choose(65530L, 65545L),                // straddles a key boundary
+      Gen.choose(0L, 1L << 40),                  // scattered wide
+      Gen.choose(0L, 70000L))                    // promotion-range density
+    val setGen: Gen[List[Long]] = Gen.listOf(posGen)
+    val prop = forAll(setGen, setGen) { (a: List[Long], b: List[Long]) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val (ba, bb) = (Roaring.fromPositions(a.toArray), Roaring.fromPositions(b.toArray))
+      val u = Roaring.union(ba, bb)
+      val lk = new graft.ops.RoaringLookup(Array("f" -> u))
+      val uf = org.apache.spark.unsafe.types.UTF8String.fromString("f")
+      val su = sa ++ sb
+      Prop.all(
+        Prop(Roaring.positions(ba).toSeq == sa.toSeq.sorted) :| "round-trip",
+        Prop(Roaring.cardinality(u) == su.size.toLong) :| "union cardinality",
+        Prop(Roaring.positions(u).toSeq == su.toSeq.sorted) :| "union positions",
+        Prop(su.forall(p => lk.contains(uf, p))) :| "probe hits",
+        Prop(su.forall(p => !lk.contains(uf, p + 1) || su.contains(p + 1)))
+          :| "probe misses neighbors")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lookup probe: membership matches positions exactly over array AND bitset containers") {
     import org.apache.spark.unsafe.types.UTF8String
     // file A: sparse array containers; file B: a dense promoted bitset
