@@ -105,6 +105,54 @@ object Corpus {
         floor((col("cum") - 1) / budget).as("seq_last"))
   }
 
+  /** Exact-substring span dedup (the ExactSubstr pass of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): any `n`-token span whose exact text occurs 2+ times ACROSS
+    * THE CORPUS is removed from every document it appears in (the
+    * published tool's semantics — all copies go; the doc-level and
+    * line-level passes keep survivors, this one cuts repeated
+    * boilerplate wherever it hides inside otherwise-unique documents).
+    * Documents shorter than `n` tokens bypass. Returns one row per
+    * input document: `(idCol, text_dedup, n_tokens, n_tokens_dropped)`
+    * — tokens are whitespace words, re-joined single-spaced (the same
+    * normalization both engines compute, so the result is oracle-able).
+    *
+    * Scale shape: gram digests are the ONLY join key (16-byte md5 of
+    * the span text — never span text itself); the duplicate election is
+    * an algebraic count on the digest (map-side combine absorbs hot
+    * boilerplate), matched start positions fold back per document as a
+    * small array, and coverage is a codegen'd `exists` per token — no
+    * token×span join, no window over corpus-scale rows, two shuffles
+    * total (digest, then document key).
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val grams = toks.filter(size(col("t")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
+      .select(col(idCol), col("pos").as("p"), col("col").as("digest"))
+    val dup = grams.groupBy("digest")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val matched = grams.join(dup.select("digest"), "digest")
+      .groupBy(col(idCol)).agg(collect_list(col("p")).as("starts"))
+    toks.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol), col("t"),
+        filter(zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
+            (w, i) => struct(w.as("w"), i.as("i"))),
+          s => !exists(col("starts"),
+            p => p <= s.getField("i") && s.getField("i") < p + n)).as("kept"))
+      .select(col(idCol),
+        array_join(transform(col("kept"), s => s.getField("w")), " ")
+          .as("text_dedup"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_dropped"))
+  }
+
   /** Sliding-window document chunking (the RAG / long-context prep
     * pass): split each document into fixed-size character windows of
     * `chunkChars` advancing by `stride`, so consecutive chunks overlap
@@ -140,6 +188,67 @@ object Corpus {
         (col("pos") * stride).cast("long").as("chunk_start"),
         col("col").as("chunk_text"),
         length(col("col")).cast("long").as("n_chars"))
+  }
+
+  /** Corpus-wide adjacent-symbol pair frequencies — the counting step a
+    * BPE tokenizer trainer iterates (Sennrich et al., ACL 2016: the
+    * highest-count pair becomes the next merge). Pairs are adjacent
+    * CHARACTER bigrams within whitespace words, weighted by word
+    * frequency. Returns `(pair, pair_count)`.
+    *
+    * Scale shape — the reason this is two cheap shuffles and not a
+    * corpus explosion: the corpus first aggregates to its VOCABULARY
+    * (`word → count`, map-side combine absorbs the Zipf head), and only
+    * the distinct-word frame — O(vocab), millions of rows at 100 TB,
+    * not trillions — explodes into character pairs. The driver never
+    * participates; iterating trainers re-call with the previous round's
+    * merges applied upstream (the expression shape is merge-agnostic:
+    * it pairs whatever symbols whitespace splitting yields).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    vocab
+      .select(col("n"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("pair_count"))
+  }
+
+  /** Deterministic epoch shuffle + shard assignment (the training-order
+    * pass every data loader needs): each document's shuffle key is
+    * `md5(seed # id)` — content-stable (the same corpus and seed always
+    * produce the same order; a new seed reshuffles for the next epoch;
+    * no RNG, no partition-order sensitivity) — its shard is the key's
+    * first 8 hex chars mod `shards`, and its position within the shard
+    * is the dense rank of the key. Returns one row per document:
+    * `(idCol, shard, seq_in_shard, shuffle_key)`.
+    *
+    * Scale shape: ONE hash shuffle keyed by the shard column, then a
+    * per-shard sort + row_number — each window partition is exactly one
+    * shard, so the per-task working set is corpus/`shards`. Callers size
+    * `shards` so a shard is a few GB (which is also what training shard
+    * FILES want to be): at 100 TB that's tens of thousands of shards,
+    * each a task-sized unit. Writing follows the same key:
+    * `repartition(col("shard")).sortWithinPartitions("seq_in_shard")`
+    * streams each shard file in final order with no further shuffle.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, seed: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed), lit("#"), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("shuffle_key"), col(idCol))
+    docs.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % shards).cast("int"))
+      .withColumn("seq_in_shard", row_number().over(w).cast("long") - 1)
+      .select(col(idCol), col("shard"), col("seq_in_shard"),
+        col("shuffle_key"))
   }
 
   /** Per-domain resampling plan for a target mixture: each domain's

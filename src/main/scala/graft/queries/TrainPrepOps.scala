@@ -47,6 +47,16 @@ object TrainPrepOps extends QueryModule {
         .orderBy("doc_id", "chunk_no")
     }),
 
+    // Exact-substring span dedup (Lee et al.'s ExactSubstr): every
+    // 20-token span occurring 2+ times corpus-wide leaves every doc it
+    // appears in. The oracle recomputes the same digests, election,
+    // coverage test, and single-spaced reassembly in DuckDB SQL.
+    "q_span_dedup" -> ((s, dir) => {
+      graft.ops.Corpus.dedupSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 20)
+        .orderBy("doc_id")
+    }),
+
     // B133 corpus-global line dedup (the C4/RefinedWeb pass): any
     // 10+-char line occurring more than once across the corpus survives
     // only at its first (doc_id, position); shorter lines bypass.
@@ -157,6 +167,40 @@ object TrainPrepOps extends QueryModule {
           (max(col("seq_last")) + 1).as("n_seqs"))
         .orderBy("lang")
     }),
+
+    // B150 BPE pair counting (the tokenizer-training inner step): the
+    // 40 highest-frequency adjacent character pairs across the corpus,
+    // weighted by word frequency — the corpus aggregates to its
+    // vocabulary FIRST, so only O(vocab) rows explode into pairs.
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.ops.Corpus.bpePairCounts(Tables.documents(s, dir), "text")
+        .orderBy(col("pair_count").desc, col("pair")).limit(40)
+    }),
+
+    // B148 deterministic epoch shuffle + shard assignment: the training
+    // data-loader order for epoch "epoch0" over 8 shards — shard and
+    // in-shard position derive from md5(seed#id) alone, so the oracle
+    // recomputes the identical permutation.
+    "q_corpus_shards" -> ((s, dir) => {
+      graft.ops.Corpus.shuffleShards(Tables.documents(s, dir), "doc_id",
+          seed = "epoch0", shards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // B147 DSIR importance resampling (Xie et al. 2023): English docs
+    // play the trusted target corpus; every non-English doc is scored by
+    // the hashed-unigram+bigram log importance ratio (1024 buckets, add-1
+    // smoothing) and the top 50 are selected. The oracle recomputes the
+    // hashing, both smoothed distributions, the per-doc sum, and the
+    // rank-based selection in DuckDB SQL — the whole chain hash-proven.
+    "q_dsir_select" -> ((s, dir) => {
+      val w = graft.ops.Dsir.weights(Tables.documents(s, dir), "doc_id",
+        "text", isTarget = col("lang") === "en", buckets = 1024)
+      graft.ops.Dsir.selectTopK(w, "doc_id", k = 50)
+        .select(col("doc_id"), col("is_target"), col("n_grams"),
+          col("dsir_logratio_micro"), col("sel_rank"), col("selected"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +249,98 @@ object TrainPrepOps extends QueryModule {
         |  CAST(len(string_split(l.text, chr(10))) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM lined l LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(t[i:i+19], ' ')) AS digest
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 19)) AS i
+        |        FROM toks WHERE len(t) >= 20)),
+        |dup AS (SELECT digest FROM grams GROUP BY digest HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, list(p) AS starts
+        |      FROM grams JOIN dup USING (digest) GROUP BY doc_id),
+        |tok2 AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |         FROM toks),
+        |kept AS (
+        |  SELECT k.doc_id, k.i, k.t[k.i] AS w
+        |  FROM tok2 k LEFT JOIN m ON k.doc_id = m.doc_id
+        |  WHERE len(list_filter(coalesce(m.starts, []),
+        |          p -> p <= k.i - 1 AND k.i - 1 < p + 20)) = 0),
+        |agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text_dedup,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(a.text_dedup, '') AS text_dedup,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_dropped
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH v AS (SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, i, 2) AS pair, n
+        |  FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM v))
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 40""".stripMargin,
+
+    "q_corpus_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |        md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |      FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |    CAST(CAST(concat('0x', substr(shuffle_key, 1, 8)) AS BIGINT) % 8
+        |      AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS seq_in_shard,
+        |  shuffle_key
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS is_target,
+        |            string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, is_target, unnest(t) AS g FROM d),
+        |bi AS (SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS g
+        |       FROM (SELECT doc_id, is_target, t,
+        |               unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM d WHERE len(t) >= 2)),
+        |grams AS (SELECT doc_id, is_target,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |counts AS (SELECT bucket,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+        |  FROM grams GROUP BY bucket),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM counts),
+        |lr AS (SELECT bucket,
+        |    CAST(round(round(
+        |        ln(((tc + 1.0) / (tt + 1024)) / ((rc + 1.0) / (rt + 1024))),
+        |      6) * 1000000, 0) AS BIGINT) AS lr_micro
+        |  FROM counts, tot),
+        |sc AS (SELECT doc_id, count(*) AS n_grams,
+        |    sum(lr_micro) AS dsir_logratio_micro
+        |  FROM grams JOIN lr USING (bucket) GROUP BY doc_id),
+        |w AS (SELECT d2.doc_id, d2.is_target,
+        |    coalesce(sc.n_grams, 0) AS n_grams,
+        |    coalesce(sc.dsir_logratio_micro, 0) AS dsir_logratio_micro
+        |  FROM (SELECT doc_id, (lang = 'en') AS is_target FROM documents) d2
+        |  LEFT JOIN sc ON d2.doc_id = sc.doc_id),
+        |r AS (SELECT *, CASE WHEN is_target THEN 0
+        |    ELSE rank() OVER (PARTITION BY is_target
+        |                      ORDER BY dsir_logratio_micro DESC, doc_id) END
+        |    AS sel_rank FROM w)
+        |SELECT doc_id, is_target, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(dsir_logratio_micro AS BIGINT) AS dsir_logratio_micro,
+        |  CAST(sel_rank AS BIGINT) AS sel_rank,
+        |  (NOT is_target AND sel_rank <= 50) AS selected
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS L

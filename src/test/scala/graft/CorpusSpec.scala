@@ -206,6 +206,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(so.forall(r => r.getString(1) == "a b\nc d" && r.getLong(3) == 0))
   }
 
+  test("span dedup: duplicated n-token spans leave EVERY doc; within-doc repeats count; short docs bypass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares 'the quick brown' with 2
+      (2L, "the quick brown dog sits low"),
+      (3L, "entirely unique words live here fine"),
+      (4L, "spam spam spam spam"),              // within-doc repeated 'spam spam spam'
+      (5L, "too short")                         // < n tokens, bypasses
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the shared leading 3-gram is cut from BOTH docs (no survivor —
+    // the ExactSubstr semantics), the unique tails stay
+    assert(out(0) == (1L, "fox jumps high", 6L, 3L))
+    assert(out(1) == (2L, "dog sits low", 6L, 3L))
+    assert(out(2) == (3L, "entirely unique words live here fine", 6L, 0L))
+    // 'spam spam spam' occurs twice WITHIN doc 4 (positions 0 and 1) —
+    // the spans overlap-cover all four tokens, everything goes
+    assert(out(3) == (4L, "", 4L, 4L))
+    assert(out(4) == (5L, "too short", 2L, 0L))
+  }
+
+  test("BPE pair counts: word-frequency weighting, single-char words bypass, multibyte chars pair by character") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower"),   // low x2 + lower x1
+      (2L, "low a 日本語")      // low x1 more; 'a' bypasses; CJK pairs
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.bpePairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'lo'/'ow' come from low (n=3) AND lower (n=1)
+    assert(m("lo") == 4L && m("ow") == 4L)
+    assert(m("we") == 1L && m("er") == 1L)
+    assert(m("日本") == 1L && m("本語") == 1L)
+    assert(!m.contains("a "))
+  }
+
+  test("shuffle shards: deterministic per seed, reshuffles across seeds, dense per-shard sequences") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = graft.ops.Corpus.shuffleShards(docs, "doc_id", "epoch0", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val b = graft.ops.Corpus.shuffleShards(docs, "doc_id", "epoch0", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val c = graft.ops.Corpus.shuffleShards(docs, "doc_id", "epoch1", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b), "same seed must reproduce the identical permutation")
+    assert(!a.sameElements(c), "a new seed must reshuffle")
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 4))
+    // within each shard the positions are exactly 0..n-1
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+  }
+
   test("chunking: windows, overlap, tails, exact multiples, empty docs, no-overlap stride") {
     import spark.implicits._
     val docs = Seq(
