@@ -296,14 +296,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new WritableTable(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr, v)
   }
 
-  /** `VERSION AS OF <v>`. */
+  /** `VERSION AS OF <v>` — a number travels to that version; any other
+    * string resolves as a named tag ([[Sinks.tagVersion]] — all-digit
+    * tag names are rejected at creation, so the namespaces can't
+    * collide).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val tr = tableRoot(ident)
     if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName: version must be a number, got '$version'")
-    }
+    val v = version.toLongOption
+      .orElse(Sinks.resolveTag(tr, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$catalogName.${ident.toString}: '$version' is neither a version " +
+          s"number nor a tag (have tags ${Sinks.listTags(tr).keys.toSeq.sorted
+            .mkString(", ")})"))
     if (!Sinks.listVersions(tr).contains(v))
       throw new IllegalArgumentException(
         s"$catalogName.${ident.toString}: version $v not present " +
@@ -952,6 +958,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ident.name() match {
       case "compact" => new GraftProcedures.Compact(resolve)
       case "restore" => new GraftProcedures.Restore(resolve)
+      case "tag" => new GraftProcedures.Tag(resolve)
+      case "drop_tag" => new GraftProcedures.DropTag(resolve)
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)

@@ -168,6 +168,83 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.tag(table, name, version => -1)` — create or move a named
+    * snapshot tag ([[graft.ops.Sinks.tagVersion]]): metadata-only,
+    * resolves in `VERSION AS OF '<name>'`, and pins its version against
+    * compaction's retention vacuum until dropped (the Iceberg tag
+    * analog). `version => -1` (the default) tags the live version.
+    */
+  final class Tag(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a retained version under a name for VERSION AS OF '<name>' " +
+        "and against retention vacuum"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name ([A-Za-z0-9._-]+, not all digits)").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("retained version to pin; -1 = the live version").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val root = resolveRoot(table)
+      val v = input.getLong(2) match {
+        case -1L => graft.ops.Sinks.currentVersion(root).get
+        case v0  => v0
+      }
+      graft.ops.Sinks.tagVersion(root, tag, v)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table),
+            UTF8String.fromString(tag), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.drop_tag(table, name)` — drop a snapshot tag; the pinned
+    * version returns to normal retention at the next compaction.
+    * Idempotent.
+    */
+  final class DropTag(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "drop a snapshot tag (releases its version back to retention)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name to drop").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      graft.ops.Sinks.dropTag(resolveRoot(table), tag)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table),
+            UTF8String.fromString(tag)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("tag", StringType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   /** `system.restore(table, version)` — rewind the table to a retained
     * snapshot by republishing it as a NEW version
     * ([[graft.ops.Sinks.restoreVersion]]: hardlinked, O(metadata), an

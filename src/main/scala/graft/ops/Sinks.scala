@@ -173,6 +173,67 @@ object Sinks {
       else None
     }.sorted
 
+  // ---------------------------------------------------------------- tags
+
+  /** Named snapshot tags (the Iceberg tag / Delta named-ref analog):
+    * `<root>/_tags/<name>` holds the pinned version number. Tags are
+    * metadata-only (a few bytes, atomic tmp→rename write), resolve in
+    * `VERSION AS OF '<name>'` ([[graft.catalog.GraftCatalog]]), and PIN
+    * their version against compaction's retention vacuum — an eval
+    * snapshot or a release stays readable at any retention setting
+    * until its tag is dropped. Tag names must not be all-digits (they
+    * would shadow numeric version literals in `VERSION AS OF`).
+    */
+  private val TagsDir = "_tags"
+
+  private def tagName(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"tag name must not be all digits (shadows numeric time travel): '$name'")
+    name
+  }
+
+  /** Create or move a tag to `version` (must be a retained version).
+    * Atomic: readers see the old pin or the new one, never a torn file.
+    */
+  def tagVersion(root: String, name: String, version: Long): Unit = {
+    require(listVersions(root).contains(version),
+      s"tag '$name': version $version not present under $root " +
+        s"(have ${listVersions(root).mkString(", ")})")
+    val dir = Paths.get(root, TagsDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".${tagName(name)}.tmp${ProcessHandle.current().pid()}")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop a tag; idempotent (a missing tag is not an error — the caller
+    * wanted it gone and it is). Dropping releases the version back to
+    * normal retention at the next compaction.
+    */
+  def dropTag(root: String, name: String): Unit =
+    Files.deleteIfExists(Paths.get(root, TagsDir, tagName(name)))
+
+  /** All tags under `root`: name → pinned version. */
+  def listTags(root: String): Map[String, Long] = {
+    val dir = Paths.get(root, TagsDir)
+    if (!Files.isDirectory(dir)) Map.empty
+    else Fs.listDir(dir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".")) None // in-flight tmp writes
+      else (try new String(Files.readAllBytes(p), "UTF-8").trim.toLongOption
+            catch { case _: java.io.IOException => None })
+        .map(n -> _)
+    }.toMap
+  }
+
+  /** Resolve a tag to its pinned version, if present. */
+  def resolveTag(root: String, name: String): Option[Long] =
+    listTags(root).get(name)
+
   /** The durable commit-instant marker inside every version dir
     * ([[graft.ops.LocalFsCommit.publishVersionDir]] writes it at the
     * commit rename). */
@@ -1769,9 +1830,16 @@ object Sinks {
     // batch. (Outside the commit lock — TableProps.update takes it, and
     // the file lock is not reentrant; the evict set below liveV is
     // immutable, so the two lock windows see the same candidates.)
+    // tagged versions are pinned: a tag is an explicit promise the
+    // snapshot stays readable (eval sets, releases) — it beats every
+    // retention knob until dropped. Snapshot the tag set once; the
+    // same set gates both the stamp-folding candidates here and the
+    // eviction under the lock below (a tag added between the two only
+    // ever WIDENS what is kept).
+    val taggedPinned = listTags(root).values.toSet
     val evictCandidates =
       listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
-        .filterNot(withinWindow)
+        .filterNot(withinWindow).filterNot(taggedPinned)
     val stamps = evictCandidates.flatMap { ev =>
       val f = Paths.get(versionPath(root, ev), BatchIdFile)
       if (!Files.exists(f)) None
@@ -1818,7 +1886,8 @@ object Sinks {
         }
       val below = listVersions(root).filter(_ < liveV)
       val evict = if (feedOk) below.sorted.dropRight(retainVersions)
-                    .filterNot(withinWindow).toSet
+                    .filterNot(withinWindow)
+                    .filterNot(listTags(root).values.toSet).toSet
                   else Set.empty[Long]
       Fs.listDir(Paths.get(root)).foreach { p =>
         val name = p.getFileName.toString

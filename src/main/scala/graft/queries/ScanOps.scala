@@ -119,6 +119,26 @@ object ScanOps extends QueryModule {
         .orderBy("version")
     }),
 
+    // B149 snapshot tags through SQL: the warehouse tags v0 'baseline'
+    // and then COMPACTS with zero retention — without the tag the full
+    // fixture snapshot would be vacuumed, so the `VERSION AS OF
+    // 'baseline'` leg hash-matching the raw fixture proves BOTH tag
+    // resolution and tag-pinned retention; the 'cur' leg proves the
+    // compaction rewrite preserved the live subset.
+    "q_catalog_tag" -> ((s, dir) => {
+      val wh = tagWarehouse(s, dir)
+      val cat = "grafttag_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT 'baseline' AS src, r_regionkey, r_name
+           |FROM $cat.regions VERSION AS OF 'baseline'
+           |UNION ALL
+           |SELECT 'cur' AS src, r_regionkey, r_name
+           |FROM $cat.regions
+           |ORDER BY src, r_regionkey""".stripMargin)
+    }),
+
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
       // catalog name is PER SF DIR: Spark instantiates a catalog once per
@@ -483,6 +503,38 @@ object ScanOps extends QueryModule {
     }
     root
   }
+
+  /** Warehouse for q_catalog_tag: v0 = the full region fixture TAGGED
+    * 'baseline', v1 = the r_regionkey<3 subset, then a zero-retention
+    * compaction — which vacuums every untagged version below the base
+    * but must keep v0 alive for the tag. Cached per sf dir by content
+    * stamp like [[catalogWarehouse]].
+    */
+  private def tagWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_tagwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = root + "/regions"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = "tag1:" + Tables.srcStamp(dir, "region")
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Sinks.resolveTag(tbl, "baseline").contains(0L) &&
+        Sinks.listVersions(tbl).headOption.contains(0L) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Sinks.publishVersioned(Tables.region(s, dir), tbl, None)
+        Sinks.publishVersioned(
+          Tables.region(s, dir).filter(col("r_regionkey") < 3), tbl, Some(0L))
+        Sinks.tagVersion(tbl, "baseline", 0L)
+        // zero retention: only the tag keeps v0 readable
+        Sinks.compactVersioned(s, tbl, retainVersions = 0)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
 
   /** Deterministic operation chain for q_table_history: v0 full publish
     * ("publish"), v1 linked append ("append"), v2 SQL COW DELETE
@@ -1025,6 +1077,13 @@ object ScanOps extends QueryModule {
     "q_csv_scan" -> aggSql,
     "q_orc_scan" -> aggSql,
     "q_xml_scan" -> aggSql,
+
+    "q_catalog_tag" ->
+      """SELECT 'baseline' AS src, r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT 'cur' AS src, r_regionkey, r_name FROM region
+        |WHERE r_regionkey < 3
+        |ORDER BY src, r_regionkey""".stripMargin,
 
     "q_catalog_timetravel" ->
       """SELECT 'v0' AS src, r_regionkey, r_name FROM region

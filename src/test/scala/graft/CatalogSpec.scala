@@ -564,6 +564,60 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cmp")
   }
 
+  test("B149 snapshot tags: VERSION AS OF '<tag>' resolves, tags pin against vacuum, drop releases") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.tags (k INT, v DOUBLE)")
+    try {
+      val tr = s"$wh/tags"
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO graft.tags VALUES ($i, $i.5)"))
+      // tag v1 explicitly and the live version by default
+      val t1 = spark.sql(
+        "CALL graft.system.tag(table => 'tags', name => 'first-insert', version => 1)")
+        .collect()
+      assert(t1.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("first-insert", 1L)))
+      val t2 = spark.sql(
+        "CALL graft.system.tag(table => 'tags', name => 'release')").collect()
+      assert(t2.head.getLong(2) == 3L)
+      // tag resolution in VERSION AS OF; numeric travel unaffected
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.tags VERSION AS OF 'first-insert'")
+        .head().getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM graft.tags VERSION AS OF 2")
+        .head().getLong(0) == 2L)
+      // unknown tags and all-digit / bad-char tag names fail loudly
+      intercept[Exception](spark.sql(
+        "SELECT * FROM graft.tags VERSION AS OF 'nope'"))
+      intercept[Exception](spark.sql(
+        "CALL graft.system.tag(table => 'tags', name => '7')"))
+      intercept[Exception](spark.sql(
+        "CALL graft.system.tag(table => 'tags', name => 'a/b')"))
+      // tagging a vacuumed/absent version refuses
+      intercept[Exception](spark.sql(
+        "CALL graft.system.tag(table => 'tags', name => 'ghost', version => 99)"))
+      // retention: retain_versions=0 would keep only the compaction base
+      // and its rewrite — the tagged v1 must survive, untagged v0/v2 go
+      spark.sql("CALL graft.system.compact(table => 'tags', retain_versions => 0)")
+      assert(Sinks.listVersions(tr) == Seq(1L, 3L, 4L),
+        s"tagged v1 must be pinned, got ${Sinks.listVersions(tr)}")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.tags VERSION AS OF 'first-insert'")
+        .head().getLong(0) == 1L)
+      // moving a tag re-pins (create-or-move semantics)
+      spark.sql("CALL graft.system.tag(table => 'tags', name => 'release', version => 4)")
+      assert(Sinks.resolveTag(tr, "release").contains(4L))
+      // drop releases the pin: the next compaction vacuums v1
+      spark.sql("CALL graft.system.drop_tag(table => 'tags', name => 'first-insert')")
+      spark.sql("CALL graft.system.compact(table => 'tags', retain_versions => 0)")
+      assert(!Sinks.listVersions(tr).contains(1L),
+        "dropped tag must release its version to retention")
+      // live reads were never disturbed
+      assert(spark.sql("SELECT count(*) FROM graft.tags").head().getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE graft.tags")
+  }
+
   test("table_detail TVF: one-row operational summary incl. acceleration metadata") {
     root
     val d0 = spark.sql("SELECT * FROM table_detail('graft.t1')").head()
