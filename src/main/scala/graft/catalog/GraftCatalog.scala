@@ -960,6 +960,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "restore" => new GraftProcedures.Restore(resolve)
       case "tag" => new GraftProcedures.Tag(resolve)
       case "drop_tag" => new GraftProcedures.DropTag(resolve)
+      case "branch" => new GraftProcedures.Branch(resolve, resolveNew)
+      case "merge_branch" => new GraftProcedures.MergeBranch(resolve)
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)

@@ -488,6 +488,82 @@ private[graft] object GraftProcedures {
     * data movement. `resolveNewRoot` applies the CREATE-side identifier
     * guards (target must not exist, parent namespace must).
     */
+  /** `system.branch(table, name)` — write-audit-publish branching
+    * ([[graft.ops.Sinks.branchTable]]): zero-copy-branch the live
+    * snapshot into table `<table>__<name>`, write and audit there,
+    * then `system.merge_branch` fast-forwards the base — or just DROP
+    * the branch table to abandon. The branch is an ordinary catalog
+    * table (all DML/expectations work on it).
+    */
+  final class Branch(resolveRoot: String => String,
+      resolveNewRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "branch the live snapshot into <table>__<name> for write-audit-publish"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("existing table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name ([A-Za-z0-9_]+); branch table is <table>__<name>").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val branch = input.getUTF8String(1).toString
+      require(branch.nonEmpty && branch.forall(c => c.isLetterOrDigit || c == '_'),
+        s"branch name must be [A-Za-z0-9_]+, got '$branch'")
+      val branchTable = s"${table}__$branch"
+      val srcRoot = resolveRoot(table)
+      val dstRoot = resolveNewRoot(branchTable)
+      graft.ops.Sinks.branchTable(SparkSession.active, srcRoot, dstRoot)
+      val baseV = graft.ops.Sinks.currentVersion(srcRoot).get
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table),
+            UTF8String.fromString(branchTable), baseV))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("branch_table", StringType, nullable = false),
+          StructField("base_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.merge_branch(table)` — fast-forward a branch's base to the
+    * branch's live snapshot ([[graft.ops.Sinks.mergeBranch]]): one OCC
+    * hardlink-adoption commit, refused if the base advanced past the
+    * branch point. The branch table is left in place (DROP it when
+    * done — it refuses a second merge by the same staleness rule).
+    */
+  final class MergeBranch(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "merge_branch"
+    override def description(): String =
+      "fast-forward the branch's base table to the branch's live snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("branch table name created by system.branch").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val branchTable = input.getUTF8String(0).toString
+      val v = graft.ops.Sinks.mergeBranch(SparkSession.active,
+        resolveRoot(branchTable))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(branchTable), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("branch_table", StringType, nullable = false),
+          StructField("base_new_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   final class Clone(resolveRoot: String => String,
       resolveNewRoot: String => String)
       extends UnboundProcedure with BoundProcedure {

@@ -54,13 +54,22 @@ object TrainDataLakehouse {
       s"(${Sinks.readCurrent(spark, corpus).count()} docs, " +
       s"${Sinks.readCurrent(spark, stats).count()} languages, one commit)")
 
-    // 2. PII scrub lands as an ordinary versioned rewrite (the text
-    // changes, so this stage IS O(corpus) — the only one that must be)
-    val scrubbed = Sinks.readCurrent(spark, corpus)
+    // 2. PII scrub through WRITE-AUDIT-PUBLISH: the O(corpus) rewrite
+    // commits to a BRANCH table, an audit checks it there, and only the
+    // fast-forward merge (hardlink adoption, one OCC commit) exposes it
+    // to base readers — a failed audit would just DROP the branch
+    val scrubBr = s"$rootDir/corpus__scrub"
+    Sinks.branchTable(spark, corpus, scrubBr)
+    val scrubbed = Sinks.readCurrent(spark, scrubBr)
       .withColumn("text", Pii.scrub(col("text")))
-    Sinks.publishVersioned(scrubbed, corpus, Some(v(corpus)))
-    println(s"[2] PII scrub: v${Sinks.currentVersion(corpus).get} " +
-      "(emails/IPs/cards replaced with typed tokens)")
+    Sinks.publishVersioned(scrubbed, scrubBr, Some(0L))
+    val leaked = Sinks.readCurrent(spark, scrubBr)
+      .filter(col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+      .count()
+    require(leaked == 0, s"audit failed on the branch: $leaked raw emails")
+    Sinks.mergeBranch(spark, scrubBr)
+    println(s"[2] WAP PII scrub: audited on corpus__scrub, fast-forwarded " +
+      s"to v${Sinks.currentVersion(corpus).get} (0 raw emails survive)")
 
     // 3. exact-dup losers leave through a DELETION VECTOR via MOR MERGE:
     // the loser set stays a DATAFRAME end to end (no driver-side id
@@ -98,6 +107,20 @@ object TrainDataLakehouse {
     println(s"[4] decontaminated: $nCont docs vectored out " +
       s"(8-gram overlap with the benchmark slice)")
 
+    // 4b. corpus-quality signals over the survivors: ExactSubstr span
+    // coverage (how much repeated boilerplate hides inside unique docs)
+    // and DSIR target-likeness selection (English docs play the trusted
+    // target; the top raw docs by importance ratio would be kept)
+    val live4 = Sinks.readCurrent(spark, corpus)
+    val spanDropped = Corpus.dedupSpans(live4, "doc_id", "text", n = 30)
+      .agg(sum("n_tokens_dropped")).head().getLong(0)
+    val dsirSel = graft.ops.Dsir.selectTopK(
+        graft.ops.Dsir.weights(live4, "doc_id", "text",
+          col("lang") === "en", buckets = 1024), "doc_id", k = 100)
+      .filter(col("selected")).count()
+    println(s"[4b] quality: $spanDropped tokens sit in 30-token spans " +
+      s"duplicated corpus-wide; DSIR selects $dsirSel target-like raw docs")
+
     // 5. ANN serving tier: IVF + PQ codes as a versioned table; the
     // two-stage code-ranked search must equal the flat search exactly
     val annRoot = s"$rootDir/ann"
@@ -133,6 +156,18 @@ object TrainDataLakehouse {
       TxnWrite(stats, rollup2, Some(v(stats)))))
     println(s"[6] txn publish: ${Sinks.readCurrent(spark, shards).count()} packed " +
       s"sequences (shards v${v2(shards)}) + refreshed stats (v${v2(stats)}), one commit")
+
+    // 7. training order for epoch 0: deterministic shuffle + shard
+    // assignment (a new seed reshuffles the next epoch with zero table
+    // rewrites), and the published snapshot gets a NAMED TAG pinned
+    // against any retention policy — the reproducibility anchor an eval
+    // harness resolves with VERSION AS OF 'release_epoch0'
+    val order = Corpus.shuffleShards(
+      Sinks.readCurrent(spark, shards), "doc_id", seed = "epoch0", shards = 8)
+    Sinks.tagVersion(shards, "release_epoch0", Sinks.currentVersion(shards).get)
+    println(s"[7] epoch0: ${order.count()} rows ordered across 8 loader " +
+      s"shards; shards v${Sinks.currentVersion(shards).get} tagged " +
+      "'release_epoch0' (vacuum-proof)")
 
     spark.stop()
   }

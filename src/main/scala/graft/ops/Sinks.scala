@@ -1511,6 +1511,78 @@ object Sinks {
     * independently — every writer path copies-on-write, so neither can
     * ever observe the other's subsequent commits.
     */
+  /** Write-audit-publish branching (the Iceberg branch / WAP recipe on
+    * this table tier): [[branchTable]] zero-copy-clones the base's live
+    * snapshot into a BRANCH table and records `(base root, base
+    * version)` in the branch's properties; writers then commit to the
+    * branch freely (every writer path applies — DML, appends,
+    * expectations audits) while base readers never see a byte; and
+    * [[mergeBranch]] FAST-FORWARDS the base to the branch's live
+    * snapshot — hardlink adoption of the branch's version dir as one
+    * ordinary OCC commit, O(metadata) at any table size.
+    *
+    * The fast-forward is only legal while the base still sits at the
+    * recorded branch point: if the base advanced, the merge REFUSES
+    * (the branch is stale — re-branch from the new base and replay;
+    * the same rule Iceberg's fast-forward call enforces). A merged
+    * branch refuses a second merge for the same reason. Table-level
+    * properties stay per-table (the branch carries a copy from branch
+    * time; merge moves DATA and its descriptive sidecars — stats,
+    * bloom, ANN, DV, column mapping, partition spec — not props), and
+    * the base's next feed reconcile diffs the adopted snapshot like
+    * any commit.
+    */
+  def branchTable(spark: SparkSession, srcRoot: String,
+      branchRoot: String): Long = {
+    val baseV = currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no published version under $srcRoot"))
+    val v = cloneTable(spark, srcRoot, branchRoot, asOf = Some(baseV))
+    TableProps.update(branchRoot)(_ +
+      ("graft.branch.of" -> srcRoot) +
+      ("graft.branch.base" -> baseV.toString))
+    v
+  }
+
+  /** Fast-forward the branch's base table to the branch's live
+    * snapshot; returns the base's new version. See [[branchTable]].
+    */
+  def mergeBranch(spark: SparkSession, branchRoot: String): Long = {
+    val props = TableProps.load(branchRoot)
+    val baseRoot = props.getOrElse("graft.branch.of",
+      throw new IllegalStateException(
+        s"$branchRoot is not a branch (no graft.branch.of property) — " +
+          "create it with branchTable / CALL graft.system.branch"))
+    val branchBase = props.get("graft.branch.base").flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"$branchRoot: graft.branch.base property missing or unparsable"))
+    val baseCur = currentVersion(baseRoot).getOrElse(
+      throw new IllegalStateException(
+        s"branch base $baseRoot no longer holds a published table"))
+    require(baseCur == branchBase,
+      s"fast-forward refused: $baseRoot advanced to v$baseCur since the " +
+        s"branch point v$branchBase — re-branch from the current base " +
+        "and replay the branch's changes")
+    val branchV = currentVersion(branchRoot).getOrElse(
+      throw new IllegalStateException(s"no published version under $branchRoot"))
+    val src = Paths.get(versionPath(branchRoot, branchV))
+    // a DV-carrying branch snapshot keeps its row-index keys only under
+    // a URI-transparent base path — same refusal as clone
+    if (Dv.exists(src.toString))
+      require(Dv.safeDir(baseRoot),
+        s"cannot fast-forward a deletion-vector-carrying branch into " +
+          s"$baseRoot: the path is not URI-transparent — compact the " +
+          "branch first")
+    val stage = Paths.get(
+      s"$baseRoot/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      stageSnapshotLinks(src, stage)
+      stampOp(stage, "merge-branch")
+      commitStaged(baseRoot, stage, Some(baseCur))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
   def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
       asOf: Option[Long] = None): Long = {
     val srcV = asOf.getOrElse(currentVersion(srcRoot).getOrElse(

@@ -139,6 +139,26 @@ object ScanOps extends QueryModule {
            |ORDER BY src, r_regionkey""".stripMargin)
     }),
 
+    // B151 WAP through SQL-visible state: the warehouse branches the
+    // full-fixture base, publishes the r_regionkey<3 subset ON THE
+    // BRANCH, and fast-forward-merges — so the base's current version
+    // hash-matching the subset proves the merge adopted the audited
+    // branch snapshot, and the `VERSION AS OF 0` leg proves the
+    // pre-merge base survived as history.
+    "q_catalog_branch" -> ((s, dir) => {
+      val wh = branchWarehouse(s, dir)
+      val cat = "graftbr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT 'pre' AS src, r_regionkey, r_name
+           |FROM $cat.regions VERSION AS OF 0
+           |UNION ALL
+           |SELECT 'merged' AS src, r_regionkey, r_name
+           |FROM $cat.regions
+           |ORDER BY src, r_regionkey""".stripMargin)
+    }),
+
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
       // catalog name is PER SF DIR: Spark instantiates a catalog once per
@@ -531,6 +551,36 @@ object ScanOps extends QueryModule {
         Sinks.tagVersion(tbl, "baseline", 0L)
         // zero retention: only the tag keeps v0 readable
         Sinks.compactVersioned(s, tbl, retainVersions = 0)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_catalog_branch: base v0 = the full region fixture,
+    * a branch takes the r_regionkey<3 subset as its own commit, and a
+    * fast-forward merge adopts it as base v1. Cached per sf dir by
+    * content stamp.
+    */
+  private def branchWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_brwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = root + "/regions"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = "br1:" + Tables.srcStamp(dir, "region")
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Sinks.listVersions(tbl) == Seq(0L, 1L) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Sinks.publishVersioned(Tables.region(s, dir), tbl, None)
+        val br = root + "/regions__audit"
+        Sinks.branchTable(s, tbl, br)
+        Sinks.publishVersioned(
+          Tables.region(s, dir).filter(col("r_regionkey") < 3), br, Some(0L))
+        Sinks.mergeBranch(s, br)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1077,6 +1127,13 @@ object ScanOps extends QueryModule {
     "q_csv_scan" -> aggSql,
     "q_orc_scan" -> aggSql,
     "q_xml_scan" -> aggSql,
+
+    "q_catalog_branch" ->
+      """SELECT 'merged' AS src, r_regionkey, r_name FROM region
+        |WHERE r_regionkey < 3
+        |UNION ALL
+        |SELECT 'pre' AS src, r_regionkey, r_name FROM region
+        |ORDER BY src, r_regionkey""".stripMargin,
 
     "q_catalog_tag" ->
       """SELECT 'baseline' AS src, r_regionkey, r_name FROM region

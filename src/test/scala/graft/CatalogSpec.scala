@@ -618,6 +618,55 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.tags")
   }
 
+  test("B151 WAP branches: branch writes stay invisible, fast-forward is hardlink adoption, stale merges refuse") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.wap (k INT, v DOUBLE)")
+    try {
+      spark.sql("INSERT INTO graft.wap VALUES (1, 1.5), (2, 2.5)")
+      val br = spark.sql(
+        "CALL graft.system.branch(table => 'wap', name => 'audit')").collect()
+      assert(br.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("wap__audit", 1L)))
+      // write-audit happens on the branch; the base never sees a byte
+      spark.sql("INSERT INTO graft.wap__audit VALUES (3, 3.5)")
+      assert(spark.sql("SELECT count(*) FROM graft.wap").head().getLong(0) == 2L)
+      assert(spark.sql("SELECT count(*) FROM graft.wap__audit").head().getLong(0) == 3L)
+      // publish: fast-forward the base to the audited snapshot
+      val m = spark.sql(
+        "CALL graft.system.merge_branch(table => 'wap__audit')").collect()
+      assert(m.head.getLong(1) == 2L)
+      assert(spark.sql("SELECT sum(k) FROM graft.wap").head().getLong(0) == 6L)
+      // the adoption carried files by inode, not by copy
+      def inodes(dir: String): Set[Any] =
+        graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+          .map(java.nio.file.Files.getAttribute(_, "unix:ino")).toSet
+      val branchLive = Sinks.versionPath(s"$wh/wap__audit",
+        Sinks.currentVersion(s"$wh/wap__audit").get)
+      assert(inodes(Sinks.versionPath(s"$wh/wap", 2L)).subsetOf(inodes(branchLive)),
+        "fast-forward must adopt the branch's data files by hardlink")
+      // a merged branch is stale (base moved past its branch point)
+      intercept[Exception](spark.sql(
+        "CALL graft.system.merge_branch(table => 'wap__audit')"))
+      // a branch whose base advanced independently refuses too
+      spark.sql("CALL graft.system.branch(table => 'wap', name => 'late')")
+      spark.sql("INSERT INTO graft.wap VALUES (9, 9.5)")
+      intercept[Exception](spark.sql(
+        "CALL graft.system.merge_branch(table => 'wap__late')"))
+      // merging a non-branch refuses; bad branch names refuse
+      intercept[Exception](spark.sql(
+        "CALL graft.system.merge_branch(table => 'wap')"))
+      intercept[Exception](spark.sql(
+        "CALL graft.system.branch(table => 'wap', name => 'a-b')"))
+      // abandoning a branch is just DROP TABLE; the base is untouched
+      spark.sql("DROP TABLE graft.wap__late")
+      assert(spark.sql("SELECT count(*) FROM graft.wap").head().getLong(0) == 4L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.wap__audit")
+      spark.sql("DROP TABLE IF EXISTS graft.wap")
+    }
+  }
+
   test("table_detail TVF: one-row operational summary incl. acceleration metadata") {
     root
     val d0 = spark.sql("SELECT * FROM table_detail('graft.t1')").head()
