@@ -220,6 +220,37 @@ object Bloom {
     }
   }
 
+  /** Files of `dir` that MIGHT contain a row with `colName` equal to
+    * ANY of `values` — the batch-probe generalization of
+    * [[prunedFilesEq]] (an index probe carries one bucket per probe row
+    * per band, not one literal). The value set broadcasts to executors
+    * with the filter bytes; a file survives iff some value might be in
+    * it. Conservative exactly like the single-value probe: files
+    * without a filter row are kept.
+    */
+  def prunedFilesEqAny(spark: SparkSession, dir: String,
+      colName: String, values: Seq[String]): Seq[String] = {
+    require(values.forall(_ != null), "equality probe needs non-null values")
+    val all = graft.io.Fs.walkParquet(Paths.get(dir)).map(_.toString).sorted
+    if (values.isEmpty) return Nil
+    if (!Files.isDirectory(Paths.get(dir, Sidecar))) return all
+    import spark.implicits._
+    val side = spark.read.parquet(s"$dir/$Sidecar")
+      .filter(col("cname") === ColMap.toPhysicalName(dir, colName))
+    val annotated = side.select("file").as[String].collect().toSet
+    val probes = values.toArray
+    val hits = side.select("file", "bloom").as[(String, Array[Byte])]
+      .filter { t =>
+        val bf = BloomFilter.readFrom(t._2)
+        probes.exists(bf.mightContainString)
+      }
+      .map(_._1).collect().toSet
+    all.filter { f =>
+      val k = relKey(dir, f)
+      !annotated.contains(k) || hits.contains(k)
+    }
+  }
+
   /** Bloom-pruned point lookup: open only the files whose filter admits
     * `colName = value`, intersected with the B109 min/max prune when a
     * `_stats` sidecar exists (equality is the range [v, v] — the two

@@ -70,6 +70,19 @@ object LlmOps extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // B152 persisted near-dup index: candidates of the doc_id%10==0
+    // probe batch against the indexed corpus (built on %10∉{0,5}, with
+    // %10==5 APPENDED O(delta) — the oracled result covers build,
+    // incremental append, and the bloom-pruned broadcast probe; the
+    // oracle recomputes the same md5 signature/band chain over the
+    // corpus split in DuckDB).
+    "q_neardup_index" -> ((s, dir) => {
+      val root = neardupIndexTable(s, dir)
+      graft.ops.NearDupIndex.candidates(s,
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), root)
+        .orderBy("probe_id", "match_id")
+    }),
+
     // B60 SimHash bit-signatures — rows-only check (LlmSpec covers
     // hamming locality).
     "q_simhash" -> ((s, dir) => {
@@ -356,6 +369,34 @@ object LlmOps extends QueryModule {
     * the fixture changes; the `_centroids` sidecar doubles as the
     * completion marker (it lands after the data commit).
     */
+  /** Persisted near-dup index fixture for q_neardup_index (B152): built
+    * over doc_id % 10 ∉ {0, 5}, then doc_id % 10 = 5 APPENDED (so the
+    * oracled probe exercises the incremental path too); doc_id % 10 = 0
+    * stays out as the probe batch. Cached per sf dir by content stamp.
+    */
+  private def neardupIndexTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{NearDupIndex, Sinks}
+      val root = "/tmp/graft_ndidx_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/nd"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = "nd1:" + Tables.srcStamp(dir, "documents")
+      val fresh = Files.isDirectory(Paths.get(root)) &&
+        Sinks.listVersions(root) == Seq(0L, 1L) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root).getParent)
+        val docs = Tables.documents(s, dir)
+        NearDupIndex.build(s,
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), root)
+        NearDupIndex.append(s, docs.filter(col("doc_id") % 10 === 5), root)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
   private def annIndexTable(s: org.apache.spark.sql.SparkSession, dir: String): String =
     this.synchronized {
       import java.nio.file.{Files, Paths}
@@ -521,6 +562,24 @@ object LlmOps extends QueryModule {
         |FROM bd a JOIN bd b
         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_neardup_index" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+        |bd AS (
+        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM mh GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
+        |FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+        |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |ORDER BY probe_id, match_id""".stripMargin,
 
     "q_simhash_md5" ->
       """WITH toks AS (

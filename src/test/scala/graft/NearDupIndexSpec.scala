@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Bloom, NearDupIndex, Sinks}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B152 persisted near-dup index: build → O(delta) append → broadcast
+  * probe, with bucket-bloom file pruning that never changes the answer.
+  */
+class NearDupIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_nd_$tag").toString + "/idx"
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "an entirely different document about spark execution plans"),
+    (3L, "numbers and letters mixed seven eight nine ten eleven twelve")
+  )
+
+  test("probe finds a planted near-dup of an indexed doc; unrelated text matches nothing") {
+    val root = freshRoot("probe")
+    NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // = doc 1
+      (101L, "completely novel sentence sharing no shingles whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = NearDupIndex.candidates(spark, batch, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)), s"planted dup must match, got $got")
+    assert(!got.exists(_._1 == 101L), s"novel doc must not match, got $got")
+  }
+
+  test("append is O(delta) — existing index files carry by inode — and appended docs are probe-visible") {
+    val root = freshRoot("append")
+    NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root)
+    def inodes(v: Long): Set[Any] =
+      graft.io.Fs.walkParquet(java.nio.file.Paths.get(Sinks.versionPath(root, v)))
+        .map(java.nio.file.Files.getAttribute(_, "unix:ino")).toSet
+    val before = inodes(0L)
+    NearDupIndex.append(spark,
+      Seq((4L, "fresh appended document with its very own words inside")).toDF("doc_id", "text"),
+      root)
+    assert(before.subsetOf(inodes(1L)), "append must hardlink existing files")
+    val got = NearDupIndex.candidates(spark,
+        Seq((200L, "fresh appended document with its very own words inside"))
+          .toDF("doc_id", "text"), root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((200L, 4L)), s"appended doc must be probe-visible, got $got")
+  }
+
+  test("a doc probing under its own indexed id never self-matches") {
+    val root = freshRoot("selfid")
+    NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root)
+    val got = NearDupIndex.candidates(spark,
+        corpus.take(1).toDF("doc_id", "text"), root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.contains((1L, 1L)), s"self-pair must be excluded, got ${got.toSeq}")
+  }
+
+  test("bucket-bloom pruning opens a file subset and the pruned probe equals the full-scan join") {
+    val root = freshRoot("bloom")
+    // many distinct docs so the v0 write lands several files
+    val many = (0L until 64L)
+      .map(i => (i, s"document number $i speaks about topic_$i and topic_${i + 1} only"))
+    NearDupIndex.build(spark,
+      many.toDF("doc_id", "text").repartition(8), root)
+    val batch = Seq((500L, "document number 7 speaks about topic_7 and topic_8 only"))
+      .toDF("doc_id", "text")
+    val dir = Sinks.versionPath(root, 0L)
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir)).size
+    assert(all > 1, "fixture must span multiple files for pruning to mean anything")
+    // the probe's own bucket values prune files (conservative, never empty of the true match)
+    val got = NearDupIndex.candidates(spark, batch, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((500L -> 7L)).map(t => (t._1, t._2)),
+      s"pruned probe must equal exact candidates, got $got")
+    // and the multi-value bloom API itself prunes to a strict subset here
+    val probed = Bloom.prunedFilesEqAny(spark, dir, "bucket",
+      Seq("definitely-not-a-real-bucket-value"))
+    assert(probed.size < all, "an impossible bucket must prune at least one file")
+  }
+
+  test("probing a table that is not a near-dup index fails loudly") {
+    val root = freshRoot("notidx")
+    Sinks.publishVersioned(corpus.toDF("doc_id", "text"), root, None)
+    val e = intercept[IllegalStateException](
+      NearDupIndex.candidates(spark, corpus.toDF("doc_id", "text"), root))
+    assert(e.getMessage.contains("not a near-dup index"))
+  }
+}
