@@ -98,11 +98,16 @@ object NearDupIndex {
   def candidates(spark: SparkSession, batch: DataFrame,
       root: String): DataFrame = {
     val (n, bands, rowsPerBand) = params(root)
-    // evaluated twice (bucket collect + join side) — deliberately NOT
-    // pinned: the batch is delta-scale and the signature expression is
-    // deterministic, so recomputing beats a durable write per probe
+    // consumed twice (bucket collect + join side) and the signature
+    // expression is the probe's dominant cost (numPerm md5 per shingle)
+    // — localCheckpoint, not Pin.stable: the frame is O(batch × bands)
+    // rows by the delta-batch contract, so executor-local caching is
+    // the right durability trade (a lost executor recomputes a probe,
+    // never corpus-scale work), and a durable parquet write per probe
+    // would be pure overhead on the serving path
     val qb = banded(batch, n, bands, rowsPerBand)
       .withColumnRenamed("doc_id", "probe_id")
+      .localCheckpoint()
     // file-level pruning: the probe's bucket set is O(batch × bands)
     // strings — collect it (bounded by the delta-batch contract, capped
     // below) and keep only index files whose bucket bloom admits one.
