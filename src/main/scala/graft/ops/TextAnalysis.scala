@@ -97,6 +97,31 @@ object TextAnalysis {
     * digit runs, and hex identifiers — the cheap pre-training scrub.
     * Pure regexp_replace chain: codegen'd, shuffle-free, oracle-portable.
     */
+  /** HTML/markup stripping — the C4-style extraction cleanup a crawl
+    * corpus runs before any text analysis: drop `<script>`/`<style>`
+    * blocks wholesale (their text is code, not prose), remove every
+    * remaining tag, decode the six ubiquitous character entities
+    * (`&amp; &lt; &gt; &quot; &#39; &nbsp;`), and collapse the
+    * whitespace the removed markup leaves behind. Pure codegen'd `regexp_replace` chain — no
+    * UDF, no parser, engine-portable (every step reproduces in DuckDB's
+    * `regexp_replace(…, 'g')` — RE2, so no backreferences anywhere in
+    * the patterns), which also states the honest contract: this is
+    * corpus CLEANUP, not an HTML5 parser (malformed nesting degrades to
+    * extra whitespace, never to an error).
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (e, r)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def redact(docs: DataFrame): DataFrame =
     // order matters: hex ids must be scrubbed BEFORE digit runs, or a
     // 6+-digit prefix inside a hex id gets eaten by <NUM> and the

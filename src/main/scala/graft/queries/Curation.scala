@@ -117,6 +117,29 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B155 HTML stripping (the C4 extraction cleanup): each doc's text
+    // is wrapped in deterministic markup — script/style blocks, nested
+    // tags, entity-encoded spaces — and stripped back; the oracle builds
+    // the SAME markup in SQL and strips it with its own RE2 regex chain,
+    // so the hash proves the two engines' regex semantics agree on the
+    // full strip pipeline (block removal, tag removal, entity decode,
+    // whitespace collapse).
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">body{margin:0}</style>" +
+          "</head><body><h1 class=\"t\">"),
+        col("lang"),
+        lit("</h1>\n<p>"),
+        regexp_replace(col("text"), " ", "&nbsp;"),
+        lit("</p><script>var x = 1 < 2;</script></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.stripHtml(html).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-hashed train/val/test split — the assignment
     // must be a pure function of content (not rand()) so re-runs,
     // retries, and incremental appends land every doc in the same split.
@@ -498,6 +521,29 @@ object Curation extends QueryModule {
         |    ' +', ' ', 'g')) AS norm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><style type="text/css">body{margin:0}</style>' ||
+        |    '</head><body><h1 class="t">' || lang || '</h1>' || chr(10) ||
+        |    '<p>' || replace(text, ' ', '&nbsp;') ||
+        |    '</p><script>var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' ') AS t
+        |  FROM s3),
+        |c AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4)
+        |SELECT doc_id, clean, CAST(length(clean) AS INTEGER) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_train_test_split" ->
       """SELECT CASE WHEN substr(md5(text),1,1) < 'c' THEN 'train'

@@ -167,6 +167,28 @@ object EventOps extends QueryModule {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // B154 incremental SCD2 maintenance (APPLY CHANGES): the dimension
+    // is built from events BEFORE 2024-01-08, the later events apply as
+    // a change batch — and the oracle is the FULL-history recompute
+    // (identical SQL to q_scd2_intervals), so the hash match proves
+    // incremental apply ≡ rebuilding from scratch: closed currents,
+    // intermediate versions, new currents, untouched keys, all of it.
+    "q_scd2_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val cut = lit("2024-01-08").cast("timestamp")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = ev.filter(col("ts") < cut)
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .drop("ts")
+      graft.ops.Scd.applyChanges(dim, ev.filter(col("ts") >= cut),
+          "user_id", "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // Time-decayed engagement score: recent events count more, with a
     // 7-day exponential half-life-ish decay anchored at the corpus max
     // timestamp. The anchor is a 1-row broadcast (no window over the
@@ -345,6 +367,18 @@ object EventOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // deliberately the SAME SQL as q_scd2_intervals: the Spark side does
+    // split-build + incremental apply, the oracle rebuilds history from
+    // everything — hash equality IS the incremental-correctness proof
+    "q_scd2_apply" ->
+      """SELECT user_id, event_id,
+        | CAST(ts AS TIMESTAMP) AS valid_from,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_scd2_intervals" ->
       """SELECT user_id, event_id,

@@ -114,6 +114,23 @@ object Joins extends QueryModule {
         .orderBy("band")
     }),
 
+    // B153 BINNED range join — the scale-safe spelling of B22 when both
+    // sides are large: 100 overlapping price bands × all orders meet in
+    // an EQUI-join on a 2000-wide bin id with the exact [lo,hi) check as
+    // a residual; the oracle runs the naive theta-join, so the hash
+    // match proves bin quantization changes nothing.
+    "q_range_binned" -> ((s, dir) => {
+      val bands = s.range(0, 100).select(col("id").as("band"),
+        (col("id") * 1500.0).as("lo"), (col("id") * 1500.0 + 4000.0).as("hi"))
+      graft.ops.RangeJoin.binnedPointJoin(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          "o_totalprice", bands, "lo", "hi", binWidth = 2000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy("band")
+    }),
+
     // B23 cross join.
     "q_cross_join" -> ((s, dir) => {
       val statuses = Tables.orders(s, dir)
@@ -256,6 +273,15 @@ object Joins extends QueryModule {
         |FROM part
         |JOIN (VALUES ('budget',0.0,1000.0),('mid',1000.0,1500.0),('premium',1500.0,1e9)) bands(band,lo,hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_range_binned" ->
+      """WITH b AS (SELECT CAST(i AS BIGINT) AS band, i * 1500.0 AS lo,
+        |             i * 1500.0 + 4000.0 AS hi
+        |           FROM generate_series(0, 99) t(i))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "q_cross_join" ->

@@ -494,6 +494,29 @@ class LlmSpec extends AnyFunSuite {
       s"empty doc must score all-zero (null would pass quality<x gates): $q")
   }
 
+  test("B155 HTML strip: blocks go wholesale, tags drop, entities decode, whitespace collapses, malformed degrades") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) alert('x');</script>keep"),
+      (3L, "<STYLE media=\"all\">p{color:red}</STYLE>text"),
+      (4L, "a&amp;b &lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b"),
+      (5L, "multi\n\n  space\t\tcollapse"),
+      (6L, "<div><p>unclosed nesting <span>ok"), // malformed: degrade, don't throw
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val got = cases
+      .select(col("doc_id"), TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "keep", s"script body must vanish entirely: '${got(2L)}'")
+    assert(got(3L) == "text", s"style body must vanish (case-insensitive): '${got(3L)}'")
+    assert(got(4L) == "a&b <tag> \"q\" it's a b")
+    assert(got(5L) == "multi space collapse")
+    assert(got(6L) == "unclosed nesting ok")
+    assert(got(7L) == "")
+  }
+
   test("B139 semantic dedup: near-identical embedding groups collapse to the min-id survivor") {
     val spark2 = spark
     import spark2.implicits._

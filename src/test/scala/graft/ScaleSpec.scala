@@ -27,6 +27,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("B153 binned range join equals the naive theta-join, handles boundaries, and plans equi") {
+    import spark.implicits._
+    // intervals of mixed width, incl. negative values, bin-boundary
+    // endpoints, an interval narrower than the bin, and an empty one
+    val ivals = Seq(
+      (1, -50.0, 25.0), (2, 0.0, 10.0), (3, 10.0, 10.0) /* empty */,
+      (4, 9.5, 10.5), (5, 100.0, 1000.0), (6, 999.0, 1001.0)
+    ).toDF("ival_id", "lo", "hi")
+    val pts = Seq(
+      (10, -50.0) /* = lo: in */, (11, 25.0) /* = hi: out */,
+      (12, 9.5), (13, 10.0), (14, 999.5), (15, 0.0), (16, 2000.0)
+    ).toDF("pt_id", "x")
+    val binned = graft.ops.RangeJoin.binnedPointJoin(
+        pts, "x", ivals, "lo", "hi", binWidth = 10.0)
+      .select("pt_id", "ival_id")
+    val naive = pts.join(ivals, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pt_id", "ival_id")
+    assert(binned.collect().toSet == naive.collect().toSet)
+    assert(binned.collect().length == binned.distinct().collect().length,
+      "no pair may be produced twice (each pair meets in the point's one bin)")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned range join must plan as an equi join, got:\n$plan")
+  }
+
   test("salted join equals plain join under a hot key") {
     import spark.implicits._
     val big = (Seq.fill(5000)(1L) ++ (2L to 100L)).map(k => (k, k * 2)).toDF("key", "payload")
