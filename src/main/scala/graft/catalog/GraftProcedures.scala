@@ -195,7 +195,9 @@ private[graft] object GraftProcedures {
       val tag = input.getUTF8String(1).toString
       val root = resolveRoot(table)
       val v = input.getLong(2) match {
-        case -1L => graft.ops.Sinks.currentVersion(root).get
+        case -1L => graft.ops.Sinks.currentVersion(root).getOrElse(
+          throw new IllegalStateException(
+            s"tag '$tag': no published version under $table to pin"))
         case v0  => v0
       }
       graft.ops.Sinks.tagVersion(root, tag, v)
@@ -517,8 +519,7 @@ private[graft] object GraftProcedures {
       val branchTable = s"${table}__$branch"
       val srcRoot = resolveRoot(table)
       val dstRoot = resolveNewRoot(branchTable)
-      graft.ops.Sinks.branchTable(SparkSession.active, srcRoot, dstRoot)
-      val baseV = graft.ops.Sinks.currentVersion(srcRoot).get
+      val baseV = graft.ops.Sinks.branchTable(SparkSession.active, srcRoot, dstRoot)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(InternalRow(UTF8String.fromString(table),

@@ -203,21 +203,7 @@ object Bloom {
   def prunedFilesEq(spark: SparkSession, dir: String,
       colName: String, value: Any): Seq[String] = {
     require(value != null, "equality probe needs a non-null value (c = NULL matches nothing)")
-    val all = graft.io.Fs.walkParquet(Paths.get(dir)).map(_.toString).sorted
-    if (!Files.isDirectory(Paths.get(dir, Sidecar))) return all
-    import spark.implicits._
-    // sidecar speaks PHYSICAL names; accept a logical one (idempotent)
-    val side = spark.read.parquet(s"$dir/$Sidecar")
-      .filter(col("cname") === ColMap.toPhysicalName(dir, colName))
-    val annotated = side.select("file").as[String].collect().toSet
-    val probe = value.toString
-    val hits = side.select("file", "bloom").as[(String, Array[Byte])]
-      .filter(t => BloomFilter.readFrom(t._2).mightContainString(probe))
-      .map(_._1).collect().toSet
-    all.filter { f =>
-      val k = relKey(dir, f)
-      !annotated.contains(k) || hits.contains(k)
-    }
+    prunedFilesEqAny(spark, dir, colName, Seq(value.toString))
   }
 
   /** Files of `dir` that MIGHT contain a row with `colName` equal to
@@ -231,8 +217,8 @@ object Bloom {
   def prunedFilesEqAny(spark: SparkSession, dir: String,
       colName: String, values: Seq[String]): Seq[String] = {
     require(values.forall(_ != null), "equality probe needs non-null values")
-    val all = graft.io.Fs.walkParquet(Paths.get(dir)).map(_.toString).sorted
     if (values.isEmpty) return Nil
+    val all = graft.io.Fs.walkParquet(Paths.get(dir)).map(_.toString).sorted
     if (!Files.isDirectory(Paths.get(dir, Sidecar))) return all
     import spark.implicits._
     val side = spark.read.parquet(s"$dir/$Sidecar")

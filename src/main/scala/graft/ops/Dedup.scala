@@ -165,11 +165,7 @@ object Dedup {
     val sigs = pinSigs(sigCacheKey, s"md5:$n:$numPerm",
       Par.spread(docs.filter(col("text").isNotNull))
         .select(col("doc_id"), minhashSignatureMd5(col("text"), n, numPerm).as("sig")))
-    val banded = sigs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandedBuckets(sigs, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))
@@ -178,6 +174,22 @@ object Dedup {
         && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Band a `(doc_id, sig)` signature frame into `(doc_id, band,
+    * bucket)` rows — the ONE banding projection every md5-LSH surface
+    * shares ([[minhashCandidatesMd5]] and the persisted
+    * [[NearDupIndex]]): the bucket key is the comma-joined band slice,
+    * so buckets produced here are byte-compatible across surfaces and
+    * with the DuckDB oracle's `string_agg(v, ',' ORDER BY i)` recompute.
+    * Any change here changes ALL of them together — which is the point.
+    */
+  private[ops] def bandedBuckets(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
   /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
     * of signature) bucket. bands*rowsPerBand must equal numPerm.

@@ -37,18 +37,23 @@ object NearDupIndex {
   /** Banded signature rows for `docs`: `(doc_id, band, bucket)`.
     * Null-text docs are excluded — their bucket would be one all-null
     * clique (the same hazard note as [[Dedup.minhashCandidatesMd5]]).
+    * Documents shorter than the shingle width follow the md5 signature
+    * family's convention (whole-text shingle → identical short docs DO
+    * collide); the DuckDB oracle's `generate_series` recompute instead
+    * drops them — the same declared divergence every md5-LSH surface
+    * carries, latent because the fixtures have no sub-shingle docs.
     */
   private def banded(docs: DataFrame, n: Int, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        Dedup.minhashSignatureMd5(col("text"), n, numPerm).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    // the banding projection is SHARED with the ad-hoc candidate path
+    // (Dedup.bandedBuckets) so index buckets stay byte-compatible with
+    // every other md5-LSH surface by construction
+    Dedup.bandedBuckets(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          Dedup.minhashSignatureMd5(col("text"), n, numPerm).as("sig")),
+      bands, rowsPerBand)
   }
 
   private def params(root: String): (Int, Int, Int) = {

@@ -197,18 +197,23 @@ object Sinks {
 
   /** Create or move a tag to `version` (must be a retained version).
     * Atomic: readers see the old pin or the new one, never a torn file.
+    * Runs under the commit lock so it serializes with compaction's
+    * vacuum: either the tag lands before the vacuum reads the tag set
+    * (version pinned) or the version was already evicted and the
+    * existence check here fails loudly — a tag can never dangle.
     */
-  def tagVersion(root: String, name: String, version: Long): Unit = {
-    require(listVersions(root).contains(version),
-      s"tag '$name': version $version not present under $root " +
-        s"(have ${listVersions(root).mkString(", ")})")
-    val dir = Paths.get(root, TagsDir)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${tagName(name)}.tmp${ProcessHandle.current().pid()}")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def tagVersion(root: String, name: String, version: Long): Unit =
+    withCommitLock(root) {
+      require(listVersions(root).contains(version),
+        s"tag '$name': version $version not present under $root " +
+          s"(have ${listVersions(root).mkString(", ")})")
+      val dir = Paths.get(root, TagsDir)
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s".${tagName(name)}.tmp${ProcessHandle.current().pid()}")
+      Files.write(tmp, version.toString.getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Drop a tag; idempotent (a missing tag is not an error — the caller
     * wanted it gone and it is). Dropping releases the version back to
@@ -1536,11 +1541,14 @@ object Sinks {
       branchRoot: String): Long = {
     val baseV = currentVersion(srcRoot).getOrElse(
       throw new IllegalStateException(s"no published version under $srcRoot"))
-    val v = cloneTable(spark, srcRoot, branchRoot, asOf = Some(baseV))
+    cloneTable(spark, srcRoot, branchRoot, asOf = Some(baseV))
     TableProps.update(branchRoot)(_ +
       ("graft.branch.of" -> srcRoot) +
       ("graft.branch.base" -> baseV.toString))
-    v
+    // returns the RECORDED branch point (what mergeBranch will check
+    // against), not a re-read of the base — a concurrent base commit
+    // must not make the report disagree with the recorded pin
+    baseV
   }
 
   /** Fast-forward the branch's base table to the branch's live
@@ -1904,10 +1912,12 @@ object Sinks {
     // immutable, so the two lock windows see the same candidates.)
     // tagged versions are pinned: a tag is an explicit promise the
     // snapshot stays readable (eval sets, releases) — it beats every
-    // retention knob until dropped. Snapshot the tag set once; the
-    // same set gates both the stamp-folding candidates here and the
-    // eviction under the lock below (a tag added between the two only
-    // ever WIDENS what is kept).
+    // retention knob until dropped. Snapshot the tag set once: the
+    // locked eviction below excludes BOTH this snapshot and a fresh
+    // read, so the evict set stays a subset of the stamp-folded
+    // candidates even if a tag is dropped mid-compaction (the dropped
+    // tag's version then survives until the NEXT pass — the safe
+    // direction), while tags added since are honored by the fresh read.
     val taggedPinned = listTags(root).values.toSet
     val evictCandidates =
       listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
@@ -1957,8 +1967,15 @@ object Sinks {
           false
         }
       val below = listVersions(root).filter(_ < liveV)
+      // protect the UNION of the pre-fold tag snapshot and the tags
+      // visible now under the lock: the snapshot keeps the evict set a
+      // subset of the folded candidates (a version whose _BATCHID /
+      // _copyin metadata was never folded can never be deleted), and
+      // the fresh read honors tags created since (tagVersion also runs
+      // under this lock, so the two cannot interleave mid-write)
       val evict = if (feedOk) below.sorted.dropRight(retainVersions)
                     .filterNot(withinWindow)
+                    .filterNot(taggedPinned)
                     .filterNot(listTags(root).values.toSet).toSet
                   else Set.empty[Long]
       Fs.listDir(Paths.get(root)).foreach { p =>

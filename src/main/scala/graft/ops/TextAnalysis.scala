@@ -115,8 +115,11 @@ object TextAnalysis {
     val noBlocks = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST (the standard order): '&amp;lt;' is a page
+    // DISPLAYING the literal text '&lt;' and must strip to exactly
+    // that — decoding &amp; first would double-decode it to '<'
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (acc, (e, r)) =>
         regexp_replace(acc, java.util.regex.Pattern.quote(e), r) }
     trim(regexp_replace(ent, "\\s+", " "))

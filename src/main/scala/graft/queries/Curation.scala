@@ -537,8 +537,8 @@ object Curation extends QueryModule {
         |  FROM s2),
         |s4 AS (SELECT doc_id,
         |    replace(replace(replace(replace(replace(replace(t,
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&nbsp;', ' ') AS t
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
         |  FROM s3),
         |c AS (SELECT doc_id,
         |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4)

@@ -501,6 +501,7 @@ class LlmSpec extends AnyFunSuite {
       (2L, "<script>if (a < b) alert('x');</script>keep"),
       (3L, "<STYLE media=\"all\">p{color:red}</STYLE>text"),
       (4L, "a&amp;b &lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b"),
+      (8L, "escaped: &amp;lt;b&amp;gt; stays literal"),
       (5L, "multi\n\n  space\t\tcollapse"),
       (6L, "<div><p>unclosed nesting <span>ok"), // malformed: degrade, don't throw
       (7L, "")
@@ -512,6 +513,8 @@ class LlmSpec extends AnyFunSuite {
     assert(got(2L) == "keep", s"script body must vanish entirely: '${got(2L)}'")
     assert(got(3L) == "text", s"style body must vanish (case-insensitive): '${got(3L)}'")
     assert(got(4L) == "a&b <tag> \"q\" it's a b")
+    assert(got(8L) == "escaped: &lt;b&gt; stays literal",
+      s"&amp; must decode LAST (no double-decode): '${got(8L)}'")
     assert(got(5L) == "multi space collapse")
     assert(got(6L) == "unclosed nesting ok")
     assert(got(7L) == "")
