@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_detail"),
       new ExpressionInfo(graft.catalog.TableDetailTvf.getClass.getName, "table_detail"),
       (exprs: Seq[Expression]) => graft.catalog.TableDetailTvf.plan(exprs)))
+    // per-file inventory of the live version (Iceberg .files analog)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_files"),
+      new ExpressionInfo(graft.catalog.TableFilesTvf.getClass.getName, "table_files"),
+      (exprs: Seq[Expression]) => graft.catalog.TableFilesTvf.plan(exprs)))
     // the streaming table tier's SQL door: a table's change feed as a
     // streaming relation (read_stream / STREAM(tbl) analog)
     ext.injectTableFunction((

@@ -104,6 +104,22 @@ object TableDetailTvf {
   }
 }
 
+/** `table_files('tbl')` — per-file inventory of the live version (the
+  * Iceberg `.files` metadata-table analog): relative path, on-disk
+  * bytes, footer row count, straight from [[Sinks.files]]. Same
+  * table-argument contract as the other TVFs; metadata-only (footers,
+  * never data pages).
+  */
+object TableFilesTvf {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "table_files(table)")
+    val spark = SparkSession.active
+    val root = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs.head, "table"))
+    Sinks.files(spark, root).queryExecution.analyzed
+  }
+}
+
 /** `read_stream('tbl')` — the SQL door for the STREAMING table tier
   * (Delta's `read_stream` / `STREAM(tbl)` analog): the table's change
   * feed as a streaming relation, so the exactly-once tier

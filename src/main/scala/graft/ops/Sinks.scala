@@ -275,6 +275,18 @@ object Sinks {
     }.toDF("version", "committed_at", "operation", "is_current")
   }
 
+  /** Per-file inventory of the LIVE version — the `.files`
+    * metadata-table analog: one row per data file with its relative
+    * path, on-disk bytes, and footer row count
+    * ([[Stats.fileInventory]] — footers only, no data pages). The
+    * small-file / row-spread diagnostic `CALL system.compact` acts on.
+    */
+  def files(spark: SparkSession, root: String): DataFrame = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    Stats.fileInventory(spark, versionPath(root, cur))
+  }
+
   /** One-row operational summary of the LIVE version — the DESCRIBE
     * DETAIL analog: file/byte footprint, retained-version count, and
     * which acceleration metadata this table carries (partition spec,

@@ -99,6 +99,42 @@ object Stats {
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")
   }
 
+  /** Per-file operational inventory of a version dir — relative path,
+    * on-disk bytes, footer row count: the `.files` metadata-table
+    * answer to "is this table small-file-bound, how are rows spread".
+    * Metadata-only: the filesystem walk lists, the executors read
+    * FOOTERS (no data pages) with the same shipped-conf recipe as
+    * [[annotate]]. O(files), never O(rows).
+    */
+  def fileInventory(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+      .map(p => (p.toString, relKey(dir, p.toString),
+        java.nio.file.Files.size(p))).sortBy(_._2)
+    val confKV = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toVector
+    }
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32).max(1))
+      .mapPartitions { it =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKV.foreach { case (k, v) => conf.set(k, v) }
+        it.map { case (f, key, bytes) =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+          try (key, bytes,
+            reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+          finally reader.close()
+        }
+      }
+      .toDF("file", "size_bytes", "n_rows")
+  }
+
   /** Sidecar key of `file` under version dir `dir`: the dir-relative
     * path. Files always come from a walk of `dir` itself, so plain
     * prefix-stripping is exact (no symlink/normalization drift).

@@ -667,6 +667,26 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("table_files TVF: per-file inventory sums to the table's rows and tracks compaction") {
+    root
+    spark.sql("CREATE TABLE graft.tf (k INT, v DOUBLE)")
+    try {
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO graft.tf VALUES ($i, $i.5), (${i * 10}, $i.25)"))
+      val before = spark.sql("SELECT * FROM table_files('graft.tf')").collect()
+      assert(before.length >= 3, "three inserts land at least three files")
+      assert(before.map(_.getAs[Long]("n_rows")).sum == 6L,
+        "footer row counts must sum to the table's rows")
+      assert(before.forall(_.getAs[Long]("size_bytes") > 0L))
+      assert(before.map(_.getAs[String]("file")).distinct.length == before.length)
+      // compaction collapses the inventory without touching the rows
+      spark.sql("CALL graft.system.compact(table => 'tf')")
+      val after = spark.sql("SELECT * FROM table_files('graft.tf')").collect()
+      assert(after.length < before.length, "compaction must shrink the file count")
+      assert(after.map(_.getAs[Long]("n_rows")).sum == 6L)
+    } finally spark.sql("DROP TABLE graft.tf")
+  }
+
   test("table_detail TVF: one-row operational summary incl. acceleration metadata") {
     root
     val d0 = spark.sql("SELECT * FROM table_detail('graft.t1')").head()

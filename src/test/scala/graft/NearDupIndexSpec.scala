@@ -83,6 +83,21 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(probed.size < all, "an impossible bucket must prune at least one file")
   }
 
+  test("the probe plans as a broadcast hash join — the index side never shuffles") {
+    val root = freshRoot("plan")
+    NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root)
+    // a probe matching an indexed doc, so the pruned scan is non-empty
+    // (a no-hit probe folds to an empty LocalTableScan — pruning at its
+    // best — which would make this plan assert vacuous)
+    val plan = NearDupIndex.candidates(spark,
+        Seq((300L, corpus.head._2)).toDF("doc_id", "text"), root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe must broadcast the batch side, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"probe must stay equi:\n$plan")
+  }
+
   test("probing a table that is not a near-dup index fails loudly") {
     val root = freshRoot("notidx")
     Sinks.publishVersioned(corpus.toDF("doc_id", "text"), root, None)
