@@ -76,6 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_detail"),
       new ExpressionInfo(graft.catalog.TableDetailTvf.getClass.getName, "table_detail"),
       (exprs: Seq[Expression]) => graft.catalog.TableDetailTvf.plan(exprs)))
+    // persisted near-dup index probe (B152's SQL door)
+    ext.injectTableFunction((
+      FunctionIdentifier("neardup_candidates"),
+      new ExpressionInfo(graft.catalog.NearDupCandidatesTvf.getClass.getName,
+        "neardup_candidates"),
+      (exprs: Seq[Expression]) => graft.catalog.NearDupCandidatesTvf.plan(exprs)))
     // per-file inventory of the live version (Iceberg .files analog)
     ext.injectTableFunction((
       FunctionIdentifier("table_files"),

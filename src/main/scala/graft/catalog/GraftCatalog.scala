@@ -962,6 +962,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "drop_tag" => new GraftProcedures.DropTag(resolve)
       case "branch" => new GraftProcedures.Branch(resolve, resolveNew)
       case "merge_branch" => new GraftProcedures.MergeBranch(resolve)
+      case "neardup_build" => new GraftProcedures.NearDupBuild(resolve, resolveNew)
+      case "neardup_append" => new GraftProcedures.NearDupAppend(resolve)
       case "bloom_index" => new GraftProcedures.BloomIndex(resolve)
       case "clone" => new GraftProcedures.Clone(resolve, resolveNew)
       case "repartition_table" => new GraftProcedures.RepartitionTable(resolve)

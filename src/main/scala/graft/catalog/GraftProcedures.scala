@@ -565,6 +565,88 @@ private[graft] object GraftProcedures {
     }
   }
 
+  /** `system.neardup_build(table, index, n => 3, bands => 4,
+    * rows_per_band => 4)` — build the persisted near-dup index
+    * ([[graft.ops.NearDupIndex.build]]) over a catalog table's
+    * `(doc_id, text)` columns into a NEW index table. The SQL door to
+    * B152's build path; `neardup_append` grows it O(delta) and the
+    * `neardup_candidates` TVF probes it.
+    */
+  final class NearDupBuild(resolveRoot: String => String,
+      resolveNewRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "neardup_build"
+    override def description(): String =
+      "build a persisted MinHash-LSH near-dup index over a table's (doc_id, text)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("source docs table with doc_id and text columns").build(),
+      ProcedureParameter.in("index", StringType)
+        .comment("new index table name; must not exist").build(),
+      ProcedureParameter.in("n", IntegerType).defaultValue("3")
+        .comment("shingle width in tokens").build(),
+      ProcedureParameter.in("bands", IntegerType).defaultValue("4")
+        .comment("LSH bands").build(),
+      ProcedureParameter.in("rows_per_band", IntegerType).defaultValue("4")
+        .comment("signature rows per band").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val index = input.getUTF8String(1).toString
+      val spark = SparkSession.active
+      val v = graft.ops.NearDupIndex.build(spark,
+        graft.ops.Sinks.readCurrent(spark, resolveRoot(table)),
+        resolveNewRoot(index),
+        n = input.getInt(2), bands = input.getInt(3),
+        rowsPerBand = input.getInt(4))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(index), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.neardup_append(index, table)` — append a batch table's
+    * banded rows to the index O(delta)
+    * ([[graft.ops.NearDupIndex.append]]).
+    */
+  final class NearDupAppend(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "neardup_append"
+    override def description(): String =
+      "append a docs table's rows to a near-dup index O(delta)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index", StringType)
+        .comment("index table created by neardup_build").build(),
+      ProcedureParameter.in("table", StringType)
+        .comment("docs table with the batch to index").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val index = input.getUTF8String(0).toString
+      val table = input.getUTF8String(1).toString
+      val spark = SparkSession.active
+      val v = graft.ops.NearDupIndex.append(spark,
+        graft.ops.Sinks.readCurrent(spark, resolveRoot(table)),
+        resolveRoot(index))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(index), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
   final class Clone(resolveRoot: String => String,
       resolveNewRoot: String => String)
       extends UnboundProcedure with BoundProcedure {

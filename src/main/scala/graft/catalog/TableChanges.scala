@@ -120,6 +120,27 @@ object TableFilesTvf {
   }
 }
 
+/** `neardup_candidates('index_tbl', 'batch_tbl')` — LSH candidate
+  * pairs of a batch table against a persisted near-dup index
+  * ([[graft.ops.NearDupIndex.candidates]]): `(probe_id, match_id)`.
+  * The SQL door to B152's probe path; composes with the surrounding
+  * query (join back to texts for an exact-Jaccard rerank, aggregate
+  * per probe, feed a MERGE's loser set).
+  */
+object NearDupCandidatesTvf {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "neardup_candidates(index, batch)")
+    val spark = SparkSession.active
+    val indexRoot = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs.head, "index"))
+    val batchRoot = TableChangesTvf.resolveRoot(spark,
+      TableChangesTvf.stringArg(exprs(1), "batch"))
+    graft.ops.NearDupIndex.candidates(spark,
+        Sinks.readCurrent(spark, batchRoot), indexRoot)
+      .queryExecution.analyzed
+  }
+}
+
 /** `read_stream('tbl')` — the SQL door for the STREAMING table tier
   * (Delta's `read_stream` / `STREAM(tbl)` analog): the table's change
   * feed as a streaming relation, so the exactly-once tier

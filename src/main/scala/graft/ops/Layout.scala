@@ -40,6 +40,29 @@ object Layout {
   def zorder2(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** N-dimensional Z-value: interleave `bits` low bits of each of k
+    * normalized dimensions — z bit `j*k + i` is bit `j` of `cols(i)`,
+    * so the top interleaved bits alternate across ALL dimensions and a
+    * range partitioning on z bounds every dimension per file (the
+    * OPTIMIZE ZORDER layout for k > 2). Built as a plain bitwise
+    * expression tree (k·bits OR-terms — codegen'd, no UDF; layout jobs
+    * run it once per compaction, not per query). Inputs must already
+    * sit on the `bits`-bit grid ([[normalize]]); k·bits ≤ 63 keeps the
+    * z-value in a signed long. [[zorder2]] remains the full-width
+    * 32-bit two-dimension fast path.
+    */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zorderN needs >= 2 dimensions, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"k*bits must fit a signed long: k=${cols.size}, bits=$bits")
+    val k = cols.size
+    cols.zipWithIndex.map { case (c, i) =>
+      (0 until bits).map { j =>
+        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + i)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Linear rescale of `c` from `[lo, hi]` onto the `bits`-bit integer
     * grid `[0, 2^bits-1]`, clamped. Interleaving RAW columns is a Z-order
     * trap: the dimension with more significant bits owns every top

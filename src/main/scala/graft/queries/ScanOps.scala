@@ -216,6 +216,21 @@ object ScanOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // B157 N-dimensional Z-order (k=3): custkey / order-day / price on
+    // a shared 8-bit grid, bit j of dim i landing at z bit j*3+i — the
+    // OPTIMIZE ZORDER key for >2 clustering dimensions. Pure bit
+    // arithmetic, recomputed term-by-term in the oracle.
+    "q_zorder3" -> ((s, dir) => {
+      val a = col("o_custkey").bitwiseAND(lit(255L))
+      val b = datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+        .cast("long").bitwiseAND(lit(255L))
+      val c = floor(col("o_totalprice")).cast("long").bitwiseAND(lit(255L))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zorderN(Seq(a, b, c), bits = 8).as("z3"))
+        .orderBy("o_orderkey")
+    }),
+
     // File-level data skipping (B109): orders, Z-order-clustered on
     // (custkey, order-day) and published through the versioned commit
     // with footer min/max stats, read back through Stats.readCurrentWhere
@@ -1329,6 +1344,23 @@ object ScanOps extends QueryModule {
         | round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // bit-for-bit recompute of the k=3 interleave: z bit j*3+i = bit j
+    // of dimension i; disjoint bit positions make SUM equal to OR
+    "q_zorder3" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    CAST(o_custkey AS BIGINT) & 255 AS x0,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) & 255 AS x1,
+        |    CAST(floor(o_totalprice) AS BIGINT) & 255 AS x2
+        |  FROM orders),
+        |e AS (SELECT o_orderkey,
+        |    SUM((((x0 >> j) & 1) << (j * 3)) +
+        |        (((x1 >> j) & 1) << (j * 3 + 1)) +
+        |        (((x2 >> j) & 1) << (j * 3 + 2))) AS z3
+        |  FROM d, generate_series(0, 7) g(j) GROUP BY o_orderkey)
+        |SELECT o_orderkey, CAST(z3 AS BIGINT) AS z3
+        |FROM e ORDER BY o_orderkey""".stripMargin,
 
     // The same 5-stage Morton spread, one CTE per parallel-prefix step.
     "q_zorder" ->

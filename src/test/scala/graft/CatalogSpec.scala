@@ -667,6 +667,50 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("B152 SQL door: neardup_build/append + neardup_candidates run the incremental dedup flow from SQL") {
+    root
+    spark.sql("CREATE TABLE graft.nd_docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE graft.nd_batch (doc_id BIGINT, text STRING)")
+    try {
+      spark.sql(
+        """INSERT INTO graft.nd_docs VALUES
+          |(1, 'the quick brown fox jumps over the lazy dog tonight'),
+          |(2, 'an entirely different document about spark plans today')""".stripMargin)
+      val b = spark.sql(
+        "CALL graft.system.neardup_build(table => 'nd_docs', index => 'nd_idx')")
+        .collect()
+      assert(b.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("nd_idx", 0L)))
+      // append a third doc through the SQL door (O(delta))
+      spark.sql("DELETE FROM graft.nd_docs WHERE doc_id = 2")
+      spark.sql(
+        """INSERT INTO graft.nd_batch VALUES
+          |(3, 'numbers and letters mixed seven eight nine ten eleven')""".stripMargin)
+      val a = spark.sql(
+        "CALL graft.system.neardup_append(index => 'nd_idx', table => 'nd_batch')")
+        .collect()
+      assert(a.head.getLong(1) == 1L)
+      // probe: a batch near-duplicating docs 1 and 3 matches both via the TVF,
+      // composing with ordinary SQL around it
+      spark.sql("CREATE TABLE graft.nd_probe (doc_id BIGINT, text STRING)")
+      spark.sql(
+        """INSERT INTO graft.nd_probe VALUES
+          |(100, 'the quick brown fox jumps over the lazy dog tonight'),
+          |(101, 'numbers and letters mixed seven eight nine ten eleven'),
+          |(102, 'completely novel words sharing no shingles with anything')""".stripMargin)
+      val got = spark.sql(
+        """SELECT probe_id, match_id
+          |FROM neardup_candidates('graft.nd_idx', 'graft.nd_probe')
+          |ORDER BY probe_id, match_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 1L)) && got.contains((101L, 3L)),
+        s"SQL probe must find both planted dups, got $got")
+      assert(!got.exists(_._1 == 102L), s"novel doc must not match, got $got")
+    } finally {
+      Seq("nd_probe", "nd_batch", "nd_idx", "nd_docs").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft.$t"))
+    }
+  }
+
   test("table_files TVF: per-file inventory sums to the table's rows and tracks compaction") {
     root
     spark.sql("CREATE TABLE graft.tf (k INT, v DOUBLE)")

@@ -27,6 +27,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("B157 zorderN is injective on its grid and its top octant interleaves every dimension") {
+    import spark.implicits._
+    val grid = for { a <- 0 to 3; b <- 0 to 3; c <- 0 to 3 }
+      yield (a.toLong, b.toLong, c.toLong)
+    val out = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.ops.Layout.zorderN(Seq(col("a"), col("b"), col("c")), bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._4).distinct.length == 64, "z must be injective on the 4x4x4 grid")
+    // top octant (z >> 3) must combine the TOP bit of all three dims —
+    // the property a raw (un-normalized) interleave loses
+    out.foreach { case (a, b, c, z) =>
+      val expect = ((a >> 1) & 1) | (((b >> 1) & 1) << 1) | (((c >> 1) & 1) << 2)
+      assert((z >> 3) == expect, s"octant of ($a,$b,$c) was ${z >> 3}, want $expect")
+    }
+    // refusals: <2 dims, z overflow past 63 bits
+    intercept[IllegalArgumentException](
+      graft.ops.Layout.zorderN(Seq(col("a")), bits = 2))
+    intercept[IllegalArgumentException](
+      graft.ops.Layout.zorderN(Seq(col("a"), col("b"), col("c")), bits = 22))
+  }
+
   test("B153 binned range join equals the naive theta-join, handles boundaries, and plans equi") {
     import spark.implicits._
     // intervals of mixed width, incl. negative values, bin-boundary
