@@ -83,6 +83,45 @@ object LlmOps extends QueryModule {
         .orderBy("probe_id", "match_id")
     }),
 
+    // B158 the INCREMENTAL ingest flagship — the operating mode a
+    // 100 TB corpus actually lives in (continuous crawl batches, never
+    // batch rebuilds): the %10==0 batch arrives against the standing
+    // indexed corpus and flows through (1) near-dup rejection via the
+    // persisted index probe, (2) a token-count quality gate, (3) DSIR
+    // corpus-likeness ranking (the standing corpus IS the target
+    // distribution — "does the new data look like what we curated"),
+    // (4) top-k acceptance. Every stage is an already-oracled operator;
+    // the composite hash proves the whole admission decision.
+    "q_incr_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = neardupIndexTable(s, dir)
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val dups = graft.ops.NearDupIndex.candidates(s, batch, root)
+        .groupBy(col("probe_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dup_matches"))
+      val toks = batch.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = graft.ops.Dsir.weights(docs, "doc_id", "text",
+        isTarget = col("doc_id") % 10 =!= 0, buckets = 1024)
+      val base = toks
+        .join(dups, Seq("doc_id"), "left")
+        .join(w.select(col("doc_id"), col("dsir_logratio_micro")), Seq("doc_id"))
+        .withColumn("n_dup_matches", coalesce(col("n_dup_matches"), lit(0L)))
+      val ranked = base
+        .filter(col("n_dup_matches") === 0 && col("n_tokens") >= 50)
+        .withColumn("sel_rank", rank().over(
+          Window.orderBy(col("dsir_logratio_micro").desc, col("doc_id")))
+          .cast("long"))
+      base.join(ranked.select("doc_id", "sel_rank"), Seq("doc_id"), "left")
+        .withColumn("sel_rank", coalesce(col("sel_rank"), lit(0L)))
+        .withColumn("accepted",
+          (col("sel_rank") >= 1L && col("sel_rank") <= 25L).cast("boolean"))
+        .select("doc_id", "n_dup_matches", "n_tokens",
+          "dsir_logratio_micro", "sel_rank", "accepted")
+        .orderBy("doc_id")
+    }),
+
     // B60 SimHash bit-signatures — rows-only check (LlmSpec covers
     // hamming locality).
     "q_simhash" -> ((s, dir) => {
@@ -562,6 +601,68 @@ object LlmOps extends QueryModule {
         |FROM bd a JOIN bd b
         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the incremental-admission composite: near-dup chain + token gate
+    // + DSIR chain + rank, all recomputed from the raw fixture
+    "q_incr_ingest" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text,' '))-2),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sg
+        |  FROM documents),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(sg || '#' || CAST(g.i AS VARCHAR))) AS v
+        |  FROM ex, generate_series(1,16) g(i) GROUP BY doc_id, g.i),
+        |bd AS (
+        |  SELECT doc_id, (i-1)//4 AS band, string_agg(v, ',' ORDER BY i) AS bucket
+        |  FROM mh GROUP BY doc_id, band),
+        |dups AS (
+        |  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_dup_matches
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY a.doc_id),
+        |d AS (SELECT doc_id, (doc_id % 10 <> 0) AS is_target,
+        |        string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, is_target, unnest(t) AS g FROM d),
+        |bi AS (SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS g
+        |       FROM (SELECT doc_id, is_target, t,
+        |               unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM d WHERE len(t) >= 2)),
+        |grams AS (SELECT doc_id, is_target,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |counts AS (SELECT bucket,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+        |  FROM grams GROUP BY bucket),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM counts),
+        |lr AS (SELECT bucket,
+        |    CAST(round(round(
+        |        ln(((tc + 1.0) / (tt + 1024)) / ((rc + 1.0) / (rt + 1024))),
+        |      6) * 1000000, 0) AS BIGINT) AS lr_micro
+        |  FROM counts, tot),
+        |wts AS (SELECT doc_id, sum(lr_micro) AS dsir_logratio_micro
+        |  FROM grams JOIN lr USING (bucket) GROUP BY doc_id),
+        |base AS (
+        |  SELECT d2.doc_id,
+        |    coalesce(dp.n_dup_matches, 0) AS n_dup_matches,
+        |    len(string_split(d2.text, ' ')) AS n_tokens,
+        |    coalesce(w.dsir_logratio_micro, 0) AS dsir_logratio_micro
+        |  FROM documents d2
+        |  LEFT JOIN dups dp ON d2.doc_id = dp.doc_id
+        |  LEFT JOIN wts w ON d2.doc_id = w.doc_id
+        |  WHERE d2.doc_id % 10 = 0),
+        |r AS (SELECT doc_id,
+        |    rank() OVER (ORDER BY dsir_logratio_micro DESC, doc_id) AS sel_rank
+        |  FROM base WHERE n_dup_matches = 0 AND n_tokens >= 50)
+        |SELECT b.doc_id, CAST(b.n_dup_matches AS BIGINT) AS n_dup_matches,
+        |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(b.dsir_logratio_micro AS BIGINT) AS dsir_logratio_micro,
+        |  CAST(coalesce(r.sel_rank, 0) AS BIGINT) AS sel_rank,
+        |  (coalesce(r.sel_rank, 0) BETWEEN 1 AND 25) AS accepted
+        |FROM base b LEFT JOIN r ON b.doc_id = r.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_neardup_index" ->
       """WITH ex AS (

@@ -718,6 +718,7 @@ class ScaleSpec extends AnyFunSuite {
       "q_pagerank", "q_important_parts", "q_top_supplier",
       "q_lm_score", // 1-row anchors (lm_score: broadcast vocab-size scalar)
       "q_dsir_select", // 1-row anchor (broadcast gram-count totals scalar)
+      "q_incr_ingest", // same DSIR 1-row totals anchor inside the composite
       "q_trainprep_pipeline") // 1-row anchors (vocab size + median NLL)
     val skip = Set("q_streaming_pipeline", "q_streaming_sessions",
       "q_streaming_join", "q_streaming_merge")
