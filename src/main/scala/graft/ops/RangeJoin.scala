@@ -34,15 +34,30 @@ object RangeJoin {
   /** Inner-join `points` rows to every `intervals` row whose
     * `[loCol, hiCol)` contains `pointCol`. Column sets must be disjoint
     * (standard join hygiene — rename before calling).
+    *
+    * Open-ended sentinel intervals (the `hi = 1e9` idiom broadcast
+    * theta-joins tolerate) are a TRAP here: one such interval explodes
+    * `span / binWidth` bin rows. The per-interval bin count is guarded
+    * by `maxBinsPerInterval` (a runtime `raise_error`, since bounds are
+    * data) — cap sentinel bounds at the data's real maximum, or widen
+    * `binWidth`, before binning.
     */
   def binnedPointJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val nBins = floor(col(hiCol) / binWidth).cast("long") -
+      floor(col(loCol) / binWidth).cast("long") + 1L
     val ibin = intervals.filter(col(loCol) < col(hiCol))
       .withColumn("__gf_bin", explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+        when(nBins > maxBinsPerInterval, raise_error(concat(
+            lit("binnedPointJoin: an interval spans "), nBins.cast("string"),
+            lit(s" bins (> $maxBinsPerInterval) — an open-ended sentinel " +
+              "bound? cap it at the data's max or widen binWidth"))))
+          .otherwise(floor(col(hiCol) / binWidth).cast("long")))))
     val pbin = points.withColumn("__gf_pbin",
       floor(col(pointCol) / binWidth).cast("long"))
     pbin.join(ibin, col("__gf_pbin") === col("__gf_bin") &&

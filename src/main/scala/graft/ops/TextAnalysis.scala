@@ -93,10 +93,6 @@ object TextAnalysis {
       langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
   }
 
-  /** Regex scrubbing pass (PII-shaped): redact email-like tokens, long
-    * digit runs, and hex identifiers — the cheap pre-training scrub.
-    * Pure regexp_replace chain: codegen'd, shuffle-free, oracle-portable.
-    */
   /** HTML/markup stripping — the C4-style extraction cleanup a crawl
     * corpus runs before any text analysis: drop `<script>`/`<style>`
     * blocks wholesale (their text is code, not prose), remove every
@@ -122,9 +118,16 @@ object TextAnalysis {
       "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (acc, (e, r)) =>
         regexp_replace(acc, java.util.regex.Pattern.quote(e), r) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java's \s includes U+000B,
+    // RE2's does not — the one place the two engines' shorthand classes
+    // disagree, so the oracle would silently diverge on a vertical tab
+    trim(regexp_replace(ent, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
+  /** Regex scrubbing pass (PII-shaped): redact email-like tokens, long
+    * digit runs, and hex identifiers — the cheap pre-training scrub.
+    * Pure regexp_replace chain: codegen'd, shuffle-free, oracle-portable.
+    */
   def redact(docs: DataFrame): DataFrame =
     // order matters: hex ids must be scrubbed BEFORE digit runs, or a
     // 6+-digit prefix inside a hex id gets eaten by <NUM> and the

@@ -541,7 +541,8 @@ object Curation extends QueryModule {
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
         |  FROM s3),
         |c AS (SELECT doc_id,
-        |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4)
+        |    trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |  FROM s4)
         |SELECT doc_id, clean, CAST(length(clean) AS INTEGER) AS n_chars_clean
         |FROM c ORDER BY doc_id""".stripMargin,
 

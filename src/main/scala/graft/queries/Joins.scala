@@ -126,8 +126,12 @@ object Joins extends QueryModule {
           Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
           "o_totalprice", bands, "lo", "hi", binWidth = 2000.0)
         .groupBy("band")
+        // exact integer cents, not a rounded float sum — the oracled-
+        // output rule (a rounded double sum can land on a half-ulp
+        // boundary where the engines' round modes disagree)
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("sum_price"))
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
         .orderBy("band")
     }),
 
@@ -280,7 +284,8 @@ object Joins extends QueryModule {
         |             i * 1500.0 + 4000.0 AS hi
         |           FROM generate_series(0, 99) t(i))
         |SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS sum_price
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
         |FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 

@@ -104,6 +104,12 @@ object LlmOps extends QueryModule {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       val w = graft.ops.Dsir.weights(docs, "doc_id", "text",
         isTarget = col("doc_id") % 10 =!= 0, buckets = 1024)
+      // base is consumed twice (final join + ranking input) and stays
+      // LAZY on purpose: Catalyst dedups the repeated subtree via
+      // exchange reuse within the one job, while an eager
+      // localCheckpoint here re-materializes the probe + DSIR chains at
+      // every query CONSTRUCTION — measured 1.0 s → 7.9 s at sf0.1
+      // (8× worse) when tried
       val base = toks
         .join(dups, Seq("doc_id"), "left")
         .join(w.select(col("doc_id"), col("dsir_logratio_micro")), Seq("doc_id"))

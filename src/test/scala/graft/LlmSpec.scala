@@ -503,6 +503,7 @@ class LlmSpec extends AnyFunSuite {
       (4L, "a&amp;b &lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b"),
       (8L, "escaped: &amp;lt;b&amp;gt; stays literal"),
       (5L, "multi\n\n  space\t\tcollapse"),
+      (9L, "vertical\u000Btab collapses"), // Java \s has U+000B, RE2 doesn't — class is explicit
       (6L, "<div><p>unclosed nesting <span>ok"), // malformed: degrade, don't throw
       (7L, "")
     ).toDF("doc_id", "text")
@@ -516,6 +517,7 @@ class LlmSpec extends AnyFunSuite {
     assert(got(8L) == "escaped: &lt;b&gt; stays literal",
       s"&amp; must decode LAST (no double-decode): '${got(8L)}'")
     assert(got(5L) == "multi space collapse")
+    assert(got(9L) == "vertical tab collapses")
     assert(got(6L) == "unclosed nesting ok")
     assert(got(7L) == "")
   }

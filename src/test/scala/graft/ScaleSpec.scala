@@ -73,6 +73,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"binned range join must plan as an equi join, got:\n$plan")
+    // the open-ended-sentinel trap fails loudly instead of exploding
+    // span/binWidth bin rows (the q_join_range hi=1e9 idiom must not
+    // be carried into the binned spelling blindly)
+    val sentinel = Seq((9, 0.0, 1.0e9)).toDF("ival_id", "lo", "hi")
+    val e = intercept[Exception](
+      graft.ops.RangeJoin.binnedPointJoin(pts, "x", sentinel, "lo", "hi",
+        binWidth = 10.0).count())
+    assert(e.getMessage.contains("binnedPointJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("binnedPointJoin")),
+      s"expected the bin-count guard, got: $e")
   }
 
   test("salted join equals plain join under a hot key") {
