@@ -93,6 +93,33 @@ object NearDupIndex {
       Sinks.currentVersion(root))
   }
 
+  /** Banded rows for `docs` under `root`'s RECORDED parameters — the
+    * index-side frame an ingest loop appends in the same transaction
+    * as the corpus ([[graft.streaming.IngestLoop]]): reading the
+    * params from the table props makes parameter drift impossible.
+    */
+  def bandedFor(spark: SparkSession, docs: DataFrame, root: String): DataFrame = {
+    val (n, bands, rowsPerBand) = params(root)
+    banded(docs, n, bands, rowsPerBand)
+  }
+
+  /** Doc ids of `batch` ALREADY present in the index — the identity
+    * probe (`(band, bucket, doc_id)` triple-equality, so an id only
+    * counts when its own signatures are the indexed ones) a retried
+    * ingest batch uses to recognize itself. Same broadcast shape as
+    * [[candidates]]; the index side never shuffles.
+    */
+  def containsIds(spark: SparkSession, batch: DataFrame,
+      root: String): DataFrame = {
+    val qb = bandedFor(spark, batch, root)
+      .withColumnRenamed("doc_id", "probe_id")
+    val idx = Sinks.readCurrent(spark, root)
+    idx.join(broadcast(qb),
+        idx("band") === qb("band") && idx("bucket") === qb("bucket") &&
+          idx("doc_id") === qb("probe_id"))
+      .select(col("probe_id").as("doc_id")).distinct()
+  }
+
   /** LSH candidate pairs between a probe batch and the INDEXED corpus:
     * `(probe_id, match_id)` distinct, self-matches (same id) excluded —
     * so a batch already appended to the index can be probed without
