@@ -32,8 +32,12 @@ object IngestLoop {
 
   /** The admission decision for one batch: drop docs the index already
     * holds under their own id (retry/replay), drop near-dups of any
-    * INDEXED doc, gate on a minimum whitespace-token count. Returns the
-    * accepted subset of `batch` (schema unchanged).
+    * INDEXED doc, drop INTRA-batch near-dups (a batch containing two
+    * copies must admit one — the index can't catch what isn't indexed
+    * yet; survivor = the doc with no smaller-id LSH collision in the
+    * batch, under the index's own signature parameters), gate on a
+    * minimum whitespace-token count. Returns the accepted subset of
+    * `batch` (schema unchanged).
     */
   def admit(batch: DataFrame, indexRoot: String, minTokens: Int): DataFrame = {
     val spark = batch.sparkSession
@@ -42,7 +46,18 @@ object IngestLoop {
       "left_anti")
     val nearDups = NearDupIndex.candidates(spark, fresh, indexRoot)
       .select(col("probe_id").as("doc_id")).distinct()
-    fresh.join(nearDups, Seq("doc_id"), "left_anti")
+    val vsIndex = fresh.join(nearDups, Seq("doc_id"), "left_anti")
+    // intra-batch: self-join the batch's banded rows (same params as
+    // the index via bandedFor) and drop every doc with a smaller-id
+    // collision — batch-scale work, the batch side of both frames
+    val banded = NearDupIndex.bandedFor(spark, vsIndex, indexRoot)
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("keep"))
+    val r = banded.select(col("band").as("band_r"),
+      col("bucket").as("bucket_r"), col("doc_id").as("drop"))
+    val losers = l.join(r, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r") && col("keep") < col("drop"))
+      .select(col("drop").as("doc_id")).distinct()
+    vsIndex.join(losers, Seq("doc_id"), "left_anti")
       .filter(size(split(col("text"), " ")) >= minTokens)
   }
 

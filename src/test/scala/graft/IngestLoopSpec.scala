@@ -63,6 +63,19 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(indexIds == corpusIds)
   }
 
+  test("intra-batch near-dups collapse to the smallest id — the index can't catch the not-yet-indexed") {
+    val (corpus, idx) = bootstrap("intra")
+    val b = Seq(
+      (40L, "twin documents arriving together in one single micro batch"),
+      (41L, "twin documents arriving together in one single micro batch"),
+      (42L, "while a genuinely different sentence sails through unharmed")
+    ).toDF("doc_id", "text")
+    assert(IngestLoop.sink(corpus, idx, minTokens = 5)(b, 1L) == 2)
+    val ids = Sinks.readCurrent(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 40L, 42L), s"got $ids")
+  }
+
   test("a real writeStream foreachBatch drives the loop end to end") {
     val (corpus, idx) = bootstrap("stream")
     val in = MemoryStream[(Long, String)](spark)
