@@ -317,11 +317,15 @@ object Sinks {
           .map(ColMap.toLogicalName(live, _)).mkString(","),
         Files.isDirectory(Paths.get(live, AnnIndex.CentroidsSidecar)),
         Files.isDirectory(Paths.get(live, ChangesSidecar)),
-        nDeleted, nIngested.toLong))
+        nDeleted, nIngested.toLong,
+        // snapshot tags (B149) are retention pins an operator must SEE
+        // before reasoning about vacuum behavior
+        listTags(root).toSeq.sorted.map { case (n, v) => s"$n=v$v" }
+          .mkString(",")))
       .toDF("location", "format", "version", "n_versions", "n_files",
         "size_bytes", "partition_cols", "stats_cols", "bloom_cols",
         "is_ann_index", "has_change_feed",
-        "n_deleted_positions", "n_ingested_files")
+        "n_deleted_positions", "n_ingested_files", "tags")
   }
 
   /** Time-travel read: the immutable contents of version `v`, unaffected

@@ -608,6 +608,9 @@ class CatalogSpec extends AnyFunSuite {
       // moving a tag re-pins (create-or-move semantics)
       spark.sql("CALL graft.system.tag(table => 'tags', name => 'release', version => 4)")
       assert(Sinks.resolveTag(tr, "release").contains(4L))
+      // table_detail surfaces the pins an operator must see
+      assert(spark.sql("SELECT tags FROM table_detail('graft.tags')")
+        .head().getString(0) == "first-insert=v1,release=v4")
       // drop releases the pin: the next compaction vacuums v1
       spark.sql("CALL graft.system.drop_tag(table => 'tags', name => 'first-insert')")
       spark.sql("CALL graft.system.compact(table => 'tags', retain_versions => 0)")
