@@ -381,8 +381,65 @@ object Stress {
       System.err.println(s"[stress] bloom leg failed: $e")
       Seq("bloom_lookup" -> (-1L, -1.0))
     }
+    // Dedup-tier 100× leg (round-11 verdict item 6): the persisted
+    // near-dup index is THE operator whose economics matter at corpus
+    // scale, so measure the claim directly — build on the sf0.1 corpus
+    // (~8k docs), then 10 cycles of [probe a FIXED 2k batch, append 80k
+    // NOVEL docs]. The index grows ~100× underneath while the probe's
+    // work should stay O(batch) thanks to the bloom file pruning +
+    // broadcast join: per-cycle probe wall-time is the measurement, and
+    // probe_last/probe_first is the flatness ratio the 100 TB claim
+    // rides on. Appended docs are unique synthetic text (novel shingles)
+    // — replicated REAL text would stack identical signatures into
+    // ever-hotter buckets and grow the probe's OUTPUT, which would
+    // measure join fan-out, not scan cost.
+    val dedup100Times = try {
+      import graft.ops.NearDupIndex
+      val root = s"$out/neardup_100x"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val docsBase = spark.read.parquet(Tables.path(src, "documents"))
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val nBase = docsBase.count()
+      val (_, tBuild) = timed { NearDupIndex.build(spark, docsBase, root); 0L }
+      def synth(fromId: Long, n: Long, salt: String) =
+        spark.range(fromId, fromId + n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(30)),
+              j => md5(concat(col("id"), lit(salt), j)))).as("text"))
+      // fixed probe batch: 1k near-dups of the ORIGINAL corpus + 1k
+      // novel docs — constant input, constant expected output
+      val probeBatch = docsBase.limit(1000)
+        .select((col("doc_id") + lit(90L * Stride)).as("doc_id"), col("text"))
+        .unionAll(synth(2_000_000_000L, 1000, "probe"))
+        .localCheckpoint()
+      val cycles = (1 to 10).map { i =>
+        val (nCand, tProbe) = timed(
+          NearDupIndex.candidates(spark, probeBatch, root).count())
+        val (_, tAppend) = timed {
+          NearDupIndex.append(spark,
+            synth(3_000_000_000L + i * 1_000_000L, 80000, s"c$i"), root); 0L
+        }
+        System.err.println(f"[stress] neardup100x cycle $i: probe=$tProbe%.3f s " +
+          f"($nCand cands), append(80k)=$tAppend%.3f s")
+        (tProbe, tAppend, nCand)
+      }
+      val flat = cycles.last._1 / cycles.head._1
+      val nFinal = graft.ops.Sinks.readCurrent(spark, root)
+        .select("doc_id").distinct().count()
+      System.err.println(f"[stress] neardup100x: $nBase -> $nFinal docs " +
+        f"(${nFinal.toDouble / nBase}%.0fx), build=$tBuild%.2f s, " +
+        f"probe first=${cycles.head._1}%.3f last=${cycles.last._1}%.3f " +
+        f"(ratio $flat%.2f)")
+      Seq("neardup100x_build" -> (nBase, tBuild),
+        "neardup100x_probe_first" -> (cycles.head._3, cycles.head._1),
+        "neardup100x_probe_last" -> (cycles.last._3, cycles.last._1),
+        "neardup100x_append_max" -> (nFinal, cycles.map(_._2).max))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] neardup100x leg failed: $e")
+      Seq("neardup100x_probe_last" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
-      appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes
+      appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++ dedup100Times
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

@@ -576,6 +576,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val cur = Sinks.readVersion(spark, tr, v)
     adds.foreach(a => require(!cur.columns.exists(_.equalsIgnoreCase(a.fieldNames()(0))),
       s"column ${a.fieldNames()(0)} already exists"))
+    adds.foreach(a => graft.ops.ColMap.requireValidLogical(a.fieldNames()(0)))
     // METADATA-ONLY fast path (Delta behavior): record (name, type) in
     // the column-mapping marker and hardlink every data file — parquet
     // serves NULL for the new column from every pre-ADD file, real
@@ -640,6 +641,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"$catalogName: no such column ${r.fieldNames()(0)}"))
       val to = r.newName()
       require(to.nonEmpty, s"$catalogName: empty rename target for $from")
+      // reserved _COLMAP marker prefixes would be misclassified as
+      // tombstone/add records on every later read — fail the ALTER here
+      graft.ops.ColMap.requireValidLogical(to)
       require(!cols.exists(c => c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(from)),
         s"$catalogName: column $to already exists")
       from -> to
@@ -970,6 +974,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "copy_into" => new GraftProcedures.CopyInto(resolve)
       case "vacuum_orphans" => new GraftProcedures.VacuumOrphans(resolve)
       case "ann_split" => new GraftProcedures.AnnSplit(resolve)
+      case "zorder" => new GraftProcedures.Zorder(resolve)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq
@@ -978,23 +983,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         })
       case other => throw new RuntimeException(
         s"$catalogName: unknown procedure $other (available: " +
-          s"${GraftProcedures.Namespace}.compact, ${GraftProcedures.Namespace}.restore, " +
-          s"${GraftProcedures.Namespace}.bloom_index, ${GraftProcedures.Namespace}.clone, " +
-          s"${GraftProcedures.Namespace}.repartition_table, " +
-          s"${GraftProcedures.Namespace}.copy_into, " +
-          s"${GraftProcedures.Namespace}.txn_publish, " +
-          s"${GraftProcedures.Namespace}.vacuum_orphans)")
+          GraftProcedures.Names
+            .map(n => s"${GraftProcedures.Namespace}.$n").mkString(", ") + ")")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq(GraftProcedures.Namespace))
-      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "bloom_index"), Identifier.of(namespace, "clone"),
-        Identifier.of(namespace, "repartition_table"),
-        Identifier.of(namespace, "copy_into"),
-        Identifier.of(namespace, "txn_publish"),
-        Identifier.of(namespace, "ann_split"))
+      GraftProcedures.Names.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -28,6 +28,18 @@ private[graft] object GraftProcedures {
 
   val Namespace = "system"
 
+  /** Every procedure [[GraftCatalog.loadProcedure]] serves — the ONE
+    * list `SHOW PROCEDURES` (listProcedures) and the unknown-procedure
+    * error hint derive from, so neither can under-report what the
+    * loader actually dispatches (round-11 advisor finding). CatalogSpec
+    * pins the loader ⊆/⊇ relationship by loading every name.
+    */
+  val Names: Seq[String] = Seq(
+    "compact", "restore", "tag", "drop_tag", "branch", "merge_branch",
+    "neardup_build", "neardup_append", "bloom_index", "clone",
+    "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
+    "txn_publish", "zorder")
+
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
     * validated table root — supplied by the catalog so every identifier
@@ -162,6 +174,57 @@ private[graft] object GraftProcedures {
         override def readSchema(): StructType = StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("version", LongType, nullable = false),
+          StructField("columns", StringType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.zorder(table, columns, bits => 16, target_mb => 128)` —
+    * the layout-clustering SQL door ([[graft.ops.Sinks.zorderTable]]):
+    * rewrite the live version clustered by the Z-order interleave of
+    * the named dimensions and re-annotate stats over them in the SAME
+    * commit, so predicates on any clustered dimension file-prune right
+    * after the CALL. DV purge / column-mapping convergence follow the
+    * compaction contract (the rewrite IS the materialization).
+    */
+  final class Zorder(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite the live version Z-order-clustered by the given columns " +
+        "and re-annotate file-skipping stats over them in the same commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated z-order dimensions (>= 2, non-partition, " +
+          "numeric/date/timestamp)").build(),
+      ProcedureParameter.in("bits", IntegerType).defaultValue("16")
+        .comment("grid bits per dimension (clamped so k*bits <= 63)").build(),
+      ProcedureParameter.in("target_mb", IntegerType).defaultValue("128")
+        .comment("target output file size, megabytes").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val bits = input.getInt(2)
+      val targetMb = input.getInt(3)
+      require(bits > 0, s"bits must be positive, got $bits")
+      require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+      val root = resolveRoot(table)
+      val v = graft.ops.Sinks.zorderTable(SparkSession.active, root, cols,
+        bits, targetMb.toLong * 1024 * 1024)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v,
+            UTF8String.fromString(cols.mkString(","))))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false),
           StructField("columns", StringType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()

@@ -229,12 +229,17 @@ object AnnIndex {
     * Existence is still re-checked by every caller before the memo, so
     * a hand-damaged index keeps failing loudly. Bounded: cleared
     * wholesale past 256 entries (each entry is a tiny lazy frame).
+    * Keyed by `spark.sessionUUID` — stable for a session's lifetime and
+    * never reused, unlike an identity hash, which a NEW session can
+    * collide on after the old one is GC'd and thereby receive a cached
+    * frame bound to the dead session (round-11 advisor finding).
     */
   private val sidecars =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def sidecarFrame(spark: SparkSession, path: String): DataFrame = {
     if (sidecars.size > 256) sidecars.clear()
-    sidecars.computeIfAbsent(s"${System.identityHashCode(spark)}|$path",
+    sidecars.computeIfAbsent(
+      s"${org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark)}|$path",
       _ => spark.read.parquet(path))
   }
 
@@ -316,24 +321,51 @@ object AnnIndex {
     if (hot.isEmpty) return expected
     var nextId = sizes.map(_._1).max + 1
     val cents = centroids(spark, root)
+    // 2-means seeds come from EACH BUCKET'S OWN rows — its min and max
+    // vec_id, one metadata-scale aggregate over the hot buckets only.
+    // (Global vec_id < 2 seeding is wrong here: a hot bucket rarely
+    // holds ids 0/1, so the split would find 0-1 seeds and either keep
+    // every row or relabel the whole bucket — no progress, and every
+    // later CALL would rewrite the same hot bucket again.)
+    val seedsByBucket = cur.filter(col("bucket").isin(hot: _*))
+      .groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // per hot bucket: 2-means over its rows (partition pruning makes
-    // each pass scan ONE bucket dir), relabel the halves, mean vectors
-    val (rewrites, replacements) = hot.map { b =>
-      val rows = cur.filter(col("bucket") === b)
-      val two = Similarity.kmeansCentroids(
-        rows.select(col("vec_id"), col("embedding")), 2, iters, roundDp)
-      val freshId = nextId; nextId += 1
-      val assigned = Similarity.assignClusters(rows.drop("bucket"), two)
-        .withColumn("bucket",
-          when(col("cluster") === 0, lit(b)).otherwise(lit(freshId)))
-        .drop("cluster")
-      val halves = Similarity.meanByCluster(
-        assigned.withColumnRenamed("bucket", "label"), "label")
-      (assigned, halves)
-    }.unzip
+    // each pass scan ONE bucket dir), relabel the halves, mean vectors.
+    // A bucket whose 2-means collapses to one centroid (all-identical
+    // vectors, or one seed after dedup) CANNOT split — carry it
+    // untouched instead of rewriting it to no effect every call.
+    val splits = hot.flatMap { b =>
+      val (lo, hi) = seedsByBucket(b)
+      if (lo == hi) None // a single distinct vec_id can never split
+      else {
+        val rows = cur.filter(col("bucket") === b)
+        val two = Similarity.kmeansCentroidsSeeded(
+          rows.select(col("vec_id"), col("embedding")), Seq(lo, hi),
+          iters, roundDp)
+        // tiny frame (<= 2 rows): a collapsed clustering means no split
+        if (two.count() < 2) None
+        else {
+          val freshId = nextId; nextId += 1
+          val assigned = Similarity.assignClusters(rows.drop("bucket"), two)
+            .withColumn("bucket",
+              when(col("cluster") === 0, lit(b)).otherwise(lit(freshId)))
+            .drop("cluster")
+          val halves = Similarity.meanByCluster(
+            assigned.withColumnRenamed("bucket", "label"), "label")
+          Some((b, assigned, halves))
+        }
+      }
+    }
+    if (splits.isEmpty) return expected
+    val rewrites = splits.map(_._2)
+    val replacements = splits.map(_._3)
     val rewritten = rewrites.reduce(_ unionByName _)
-    val hotSet = hot.toSet
-    val newCents = cents.filter(!col("label").isin(hot: _*))
+    val hotSet = splits.map(_._1).toSet
+    // only SPLIT buckets swap their centroid; a skipped hot bucket
+    // (unsplittable) keeps its original quantizer entry
+    val newCents = cents.filter(!col("label").isin(hotSet.toSeq: _*))
       .unionByName(replacements.reduce(_ unionByName _))
       .localCheckpoint() // tiny; pin before the commit swaps the sidecar
     Sinks.stageLinkedPublish(

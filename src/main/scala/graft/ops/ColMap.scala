@@ -54,6 +54,19 @@ object ColMap {
 
   private val AddedKeyPrefix = "__graft_added."
 
+  /** Reject logical column names that collide with the marker's
+    * reserved key prefixes: a rename/add to such a name would write a
+    * marker line that [[load]]/[[dropped]]/[[added]] misclassify —
+    * silently hiding the column (or inventing a tombstone) on every
+    * later read. Enforced in [[write]] (so no staged commit can land
+    * one) and callable by the catalog's ALTER paths for an early, loud
+    * statement-level failure.
+    */
+  def requireValidLogical(name: String): Unit =
+    require(!name.startsWith(DroppedKeyPrefix) && !name.startsWith(AddedKeyPrefix),
+      s"column name '$name' collides with the reserved $MarkerFile marker " +
+        s"prefixes ($DroppedKeyPrefix*, $AddedKeyPrefix*) — choose another name")
+
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, MarkerFile))
 
@@ -105,6 +118,8 @@ object ColMap {
   def write(stageDir: Path, map: Map[String, String],
       droppedPhys: Set[String] = Set.empty,
       addedCols: Seq[org.apache.spark.sql.types.StructField] = Nil): Unit = {
+    map.keys.foreach(requireValidLogical)
+    addedCols.foreach(f => requireValidLogical(f.name))
     val effective = map.filterNot { case (l, p) => l == p }
     if (effective.isEmpty && droppedPhys.isEmpty && addedCols.isEmpty) return
     val props = new java.util.Properties()

@@ -67,6 +67,16 @@ object NearDupIndex {
 
   /** Build the index over an initial corpus and publish it as v0 with a
     * bucket bloom sidecar. Returns the committed version.
+    *
+    * Atomic from every reader's perspective (round-11 verdict item 2):
+    * the parameter props land BEFORE any version exists (a table with
+    * props but no version is not yet an index — probes fail loudly
+    * with "no published index", and re-running build simply overwrites
+    * the props and proceeds), and the data + `_bloom` sidecar become
+    * visible in ONE staged commit rename ([[Sinks.publishVersioned]]'s
+    * `bloomCols`). No crash point leaves an index that throws on every
+    * probe or silently full-scans — CommitProtocolSpec kills the build
+    * at each step and asserts exactly that.
     */
   def build(spark: SparkSession, docs: DataFrame, root: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Long = {
@@ -74,13 +84,12 @@ object NearDupIndex {
       s"invalid parameters n=$n bands=$bands rowsPerBand=$rowsPerBand")
     require(Sinks.currentVersion(root).isEmpty,
       s"near-dup index already exists at $root — use append")
-    val v = Sinks.publishVersioned(banded(docs, n, bands, rowsPerBand),
-      root, None)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     TableProps.update(root)(_ +
       (KeyN -> n.toString) + (KeyBands -> bands.toString) +
       (KeyRows -> rowsPerBand.toString))
-    Bloom.annotate(spark, Sinks.versionPath(root, v), Seq("bucket"))
-    v
+    Sinks.publishVersioned(banded(docs, n, bands, rowsPerBand),
+      root, None, bloomCols = Seq("bucket"))
   }
 
   /** Append a new batch's banded rows under the index's own parameters

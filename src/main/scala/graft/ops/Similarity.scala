@@ -118,15 +118,43 @@ object Similarity {
     * rounding error is far below any real cluster margin).
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      roundDp: Int): DataFrame =
+    lloyds(corpus,
+      corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long").as("label"),
+          Vec.asDouble(col("embedding")).as("centroid")),
+      iters, roundDp)
+
+  /** As [[kmeansCentroids]], but seeded from EXPLICIT row ids of
+    * `corpus` (labels 0..k-1 in `seedIds` order) instead of the global
+    * `vec_id < k` convention. This is what a PER-GROUP clustering pass
+    * (an IVF bucket split) needs: a hot bucket usually does not contain
+    * the global ids 0..k-1, so the global seeding would come up with
+    * fewer than k seeds and the "split" could never produce two halves
+    * (round-11 advisor finding, high).
+    */
+  private[graft] def kmeansCentroidsSeeded(corpus: DataFrame,
+      seedIds: Seq[Long], iters: Int, roundDp: Int): DataFrame = {
+    require(seedIds.nonEmpty && seedIds.distinct.size == seedIds.size,
+      s"seed ids must be non-empty and distinct, got $seedIds")
+    val labelOf = seedIds.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (id, i)) =>
+        when(col("vec_id") === id, lit(i.toLong)).otherwise(acc)
+      }
+    lloyds(corpus,
+      corpus.filter(col("vec_id").isin(seedIds: _*))
+        .select(labelOf.as("label"), Vec.asDouble(col("embedding")).as("centroid")),
+      iters, roundDp)
+  }
+
+  /** The shared Lloyd's loop behind both seeding conventions. */
+  private def lloyds(corpus: DataFrame, seeds: DataFrame, iters: Int,
       roundDp: Int): DataFrame = {
     def maybeRound(c: DataFrame): DataFrame =
       if (roundDp < 0) c
       else c.select(col("label"),
         transform(col("centroid"), x => round(x, roundDp)).as("centroid"))
-    var cents = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("label"),
-        Vec.asDouble(col("embedding")).as("centroid"))
-      .localCheckpoint()
+    var cents = seeds.localCheckpoint()
     for (_ <- 1 to iters)
       // cluster -1 is the sentinel for rows where every cosine was null
       // (zero-norm/null embeddings) — excluding them keeps a phantom

@@ -791,6 +791,147 @@ object Sinks {
   // and vacuum keep working (the filesystem refcounts shared inodes, so
   // deleting an old version dir never invalidates a newer one).
 
+  // ---------- concurrent-writer auto-rebase (round-12) ----------
+  //
+  // OCC alone makes the LOSER of every commit race redo its work: two
+  // independent blind appenders — the common multi-writer shape on a
+  // shared corpus table — could never both succeed. Delta rebases the
+  // provably-safe cases automatically; so does this tier. A linked
+  // commit that loses the race re-stages against the table's NEW live
+  // version and retries, iff the interleaved commits provably COMMUTE
+  // with it (final state = a serial schedule): blind appends commute
+  // with everything that keeps the table's write contract fixed, and a
+  // merge-on-read DV commit commutes when the files its vector touches
+  // are still live and untouched by any DV added since. Anything else
+  // (COW rewrites that re-derive rows they read, schema/constraint/
+  // layout changes, quantizer swaps) keeps today's honest CME.
+
+  /** Recovery contract of a linked commit whose base advanced. */
+  private[graft] sealed trait RebasePolicy
+  /** Never rebase — the commit read state a concurrent writer may have
+    * changed; the caller must recompute (today's CME contract).
+    */
+  private[graft] case object NoRebase extends RebasePolicy
+  /** A blind linked APPEND: serial-equivalent to running either side of
+    * any commuting concurrent commit. `realign` re-checks the append
+    * frame against the new base (the [[Sinks.alignToLive]] guard) so a
+    * schema drift the gate missed still fails loudly.
+    */
+  private[graft] final case class AppendRebase(realign: Option[Long] => DataFrame)
+      extends RebasePolicy
+  /** A merge-on-read DV commit (DELETE/UPDATE/MERGE): rebase-safe iff
+    * `touched()` — the version-relative file keys its vector references
+    * — are all still live in the new current AND disjoint from every DV
+    * part added since (file-granular disjointness, the Delta rule).
+    */
+  private[graft] final case class MorRebase(touched: () => Set[String])
+      extends RebasePolicy
+
+  /** Bound on CME→re-stage rounds. Each retry costs O(delta) bytes +
+    * O(live files) hardlinks — metadata-scale — so the bound is
+    * generous (N writers racing one table resolve in ≤ N rounds for
+    * the last loser; Delta's analogous commit-attempt bound is in the
+    * millions). It exists only to turn a pathological livelock into a
+    * loud CME instead of an unbounded spin.
+    */
+  private[graft] val MaxRebaseAttempts = 100
+
+  /** Table properties whose concurrent movement does NOT invalidate a
+    * rebase: streaming high-water marks and COPY INTO receipts are the
+    * bookkeeping OF concurrent appends — exactly the traffic rebase
+    * exists for. Everything else (CHECK constraints `check.*`, the
+    * partition spec, index parameters) is part of the write contract
+    * the staged delta was validated under: if it moved, refuse.
+    */
+  private def semanticProps(p: Map[String, String]): Map[String, String] =
+    p.filterNot { case (k, _) =>
+      k.startsWith("graft.stream.lastBatch.") || k.startsWith("graft.copyin.")
+    }
+
+  private def relParquetKeys(dir: Path): Set[String] =
+    Fs.walkParquet(dir).map(f => dir.relativize(f).toString).toSet
+
+  /** True iff version dirs `a` and `b` hold the SAME files (names +
+    * filesystem identity — carried hardlinks share inodes) under
+    * sidecar `name`, or both lack it. A scheme sidecar (ANN quantizer,
+    * PQ codebooks) that changed between the rebase endpoints means the
+    * staged rows were derived under a scheme the table no longer has.
+    */
+  private def sameSidecar(a: Path, b: Path, name: String): Boolean = {
+    def inventory(d: Path): Option[Set[(String, Any)]] = {
+      val sc = d.resolve(name)
+      if (!Files.isDirectory(sc)) None
+      else Some(Fs.listDir(sc).filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val key = Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+          (f.getFileName.toString, if (key != null) key else Files.size(f))
+        }.toSet)
+    }
+    inventory(a) == inventory(b)
+  }
+
+  /** DV part filenames under a version dir (empty when no vector). */
+  private def dvPartNames(dir: Path): Set[String] = {
+    val sc = dir.resolve(Dv.Sidecar)
+    if (!Files.isDirectory(sc)) Set.empty
+    else Fs.listDir(sc).map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** The provably-safe gate: may a commit staged against `expected` be
+    * re-staged against `newCur` under `policy`? Refuses (false → the
+    * caller rethrows the CME) whenever it cannot PROVE commutativity.
+    */
+  private def rebaseSafe(spark: SparkSession, root: String,
+      expected: Option[Long], newCur: Option[Long], policy: RebasePolicy,
+      propsAtStage: Map[String, String]): Boolean = policy match {
+    case NoRebase => false
+    case _ => (expected, newCur) match {
+      case (Some(oldV), Some(newV)) if newV != oldV =>
+        val oldDir = Paths.get(versionPath(root, oldV))
+        val newDir = Paths.get(versionPath(root, newV))
+        if (!Files.isDirectory(oldDir) || !Files.isDirectory(newDir)) false
+        // the write contract must not have moved: constraints, partition
+        // spec (table-level AND version-local), column mapping, scheme
+        // sidecars. Each is a metadata-scale comparison.
+        else if (semanticProps(propsAtStage) != semanticProps(TableProps.load(root))) false
+        else if (partitionSchemaFor(root, oldDir.toString).map(_.toDDL) !=
+                 partitionSchemaFor(root, newDir.toString).map(_.toDDL)) false
+        else if (!(ColMap.load(oldDir.toString) == ColMap.load(newDir.toString) &&
+                   ColMap.dropped(oldDir.toString) == ColMap.dropped(newDir.toString) &&
+                   ColMap.added(oldDir.toString) == ColMap.added(newDir.toString))) false
+        else if (!Seq(AnnIndex.CentroidsSidecar, Pq.Sidecar)
+                   .forall(sameSidecar(oldDir, newDir, _))) false
+        // logical read schema unchanged (names + types; a concurrent
+        // widening retype rewrote the footers under types our staged
+        // files do not carry)
+        else if (readDir(spark, root, oldDir.toString).schema
+                   .map(f => (f.name, f.dataType.simpleString)) !=
+                 readDir(spark, root, newDir.toString).schema
+                   .map(f => (f.name, f.dataType.simpleString))) false
+        else policy match {
+          case MorRebase(touchedThunk) =>
+            val touched = touchedThunk()
+            // every file our vector references must still be live …
+            touched.subsetOf(relParquetKeys(newDir)) && {
+              // … and untouched by any DV part added since (a folded
+              // checkpoint part shows up as "added" and conservatively
+              // refuses — the safe direction)
+              val addedParts = dvPartNames(newDir) -- dvPartNames(oldDir)
+              addedParts.isEmpty || {
+                val keys = spark.read.parquet(
+                    addedParts.toSeq.map(p => newDir.resolve(Dv.Sidecar).resolve(p).toString): _*)
+                  .select("file").distinct().collect().map(_.getString(0)).toSet
+                keys.intersect(touched).isEmpty
+              }
+            }
+          case _ => true
+        }
+      case _ => false // creation races and drops don't rebase
+    }
+  }
+
   /** Marker file a streaming writer stamps into versions it commits
     * ([[graft.ops.TableStream.streamTo]] restart dedupe). Content:
     * `<writer-tag>:<batch-id>`.
@@ -841,15 +982,26 @@ object Sinks {
     *
     * `batchTag`: provenance marker for streaming writers (see
     * [[BatchIdFile]]).
+    *
+    * `rebase` (default true): a lost commit race auto-rebases — the
+    * append re-stages against the moved table and commits, O(delta),
+    * when [[rebaseSafe]] proves the interleaved commits commute (blind
+    * appends always do; the gate refuses on any contract change). A
+    * caller whose PRE-STAGE reads make the append non-blind (COPY
+    * INTO's receipt dedupe) passes false and keeps the honest CME.
     */
   def appendVersioned(df: DataFrame, root: String, expected: Option[Long],
       statsCols: Seq[String] = Nil, emitFeed: Boolean = false,
       batchTag: Option[String] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
-      opTag: String = "append"): Long = {
+      opTag: String = "append",
+      rebase: Boolean = true): Long = {
     stageLinkedPublish(alignToLive(df, root, expected), root, expected,
       statsCols, emitFeed, batchTag,
-      carry = _ => true, commitSidecars = commitSidecars, opTag = opTag)
+      carry = _ => true, commitSidecars = commitSidecars, opTag = opTag,
+      rebase =
+        if (rebase) AppendRebase(exp => alignToLive(df, root, exp))
+        else NoRebase)
   }
 
   /** Align an append frame to the live schema: same column set and
@@ -935,6 +1087,13 @@ object Sinks {
     * carry the live files `carry` admits (by version-dir-relative path),
     * maintain the skipping sidecar, optionally emit the insert feed and
     * the streaming batch stamp, and commit through the OCC protocol.
+    *
+    * With a non-trivial `rebase` policy, a lost commit race re-stages
+    * against the table's new live version and retries instead of
+    * surfacing the CME — but ONLY when [[rebaseSafe]] can prove the
+    * interleaved commits commute with this one (see the auto-rebase
+    * block above). The re-stage is O(delta) + hardlinks, the same cost
+    * as the first attempt; `MaxRebaseAttempts` bounds the spin.
     */
   private[graft] def stageLinkedPublish(aligned: DataFrame, root: String,
       expected: Option[Long], statsCols: Seq[String], emitFeed: Boolean,
@@ -944,14 +1103,45 @@ object Sinks {
       dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
       opTag: String = "append",
-      replaceSidecars: Seq[(String, DataFrame)] = Nil): Long = {
-    val stage = stageLinkedNoCommit(aligned, root, expected, statsCols,
-      emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
-      commitSidecars, opTag, replaceSidecars)
-    try commitStaged(root, stage, expected)
-    catch {
-      case e: Throwable => Fs.deleteRecursively(stage); throw e
+      replaceSidecars: Seq[(String, DataFrame)] = Nil,
+      rebase: RebasePolicy = NoRebase): Long = {
+    def stageFor(frame: DataFrame, exp: Option[Long]): Path =
+      stageLinkedNoCommit(frame, root, exp, statsCols,
+        emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
+        commitSidecars, opTag, replaceSidecars)
+    val propsAtStage = TableProps.load(root)
+    var exp = expected
+    var stage = stageFor(aligned, exp)
+    var attempts = 0
+    while (true) {
+      try return commitStaged(root, stage, exp)
+      catch {
+        case cme: java.util.ConcurrentModificationException =>
+          Fs.deleteRecursively(stage)
+          attempts += 1
+          val newCur = currentVersion(root)
+          if (attempts >= MaxRebaseAttempts ||
+              !rebaseSafe(aligned.sparkSession, root, exp, newCur, rebase,
+                propsAtStage))
+            throw cme
+          exp = newCur
+          // a failed re-stage (a drift the gate could not see — the
+          // realign guard refusing, a vacuumed base) reports as the CME
+          // it is; the staging error rides along as suppressed detail
+          stage =
+            try {
+              val frame = rebase match {
+                case AppendRebase(realign) => realign(exp)
+                case _ => aligned
+              }
+              stageFor(frame, exp)
+            } catch {
+              case e: Throwable => cme.addSuppressed(e); throw cme
+            }
+        case e: Throwable => Fs.deleteRecursively(stage); throw e
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The staging half of [[stageLinkedPublish]], WITHOUT the commit —
@@ -1389,7 +1579,13 @@ object Sinks {
     stageLinkedPublish(newRows, root, Some(expected), Nil,
       emitFeed = false, batchTag = None, carry = _ => true,
       skipDataWrite = skipDataWrite, changeFeedDf = Some(feed),
-      dvDelta = Some(Dv.deltaBitmaps(vectorDelta)), opTag = "mor-dml")
+      dvDelta = Some(Dv.deltaBitmaps(vectorDelta)), opTag = "mor-dml",
+      // auto-rebase on file-granular disjointness: the touched-key set
+      // is O(files the predicate matched), computed ONLY on the rebase
+      // path (never on the happy path)
+      rebase = MorRebase(() =>
+        vectorDelta.select(org.apache.spark.sql.functions.col("file"))
+          .distinct().collect().map(_.getString(0)).toSet))
   }
 
   def deleteVector(spark: SparkSession, root: String, cond: Column): Long = {
@@ -1507,6 +1703,84 @@ object Sinks {
     } catch {
       case e: Throwable => TableProps.store(root, oldProps); throw e
     }
+  }
+
+  /** Multi-dimensional layout clustering — the `OPTIMIZE ... ZORDER BY`
+    * analog, and the SQL door's target (`CALL graft.system.zorder`):
+    * rewrite the LIVE version range-partitioned + sorted by the
+    * [[Layout.zorderN]] interleave of the named dimensions, each
+    * normalized onto a common `bits`-bit grid from its own min/max
+    * (one tiny aggregate — interleaving raw domains would let the
+    * wider dimension own every significant bit, see
+    * [[Layout.normalize]]). Stats are re-annotated IN THE SAME COMMIT
+    * over the union of the existing sidecar columns and the z-order
+    * dimensions (the compaction contract: a layout job must never
+    * demote the table from skippable to full-scan), so predicates on
+    * ANY clustered dimension file-prune immediately after the CALL.
+    *
+    * Reads through the single funnel and rewrites fresh, so — exactly
+    * like [[compactVersioned]] — a deletion vector is purged and a
+    * column-mapped table converges back to unmapped (no refusal
+    * needed; the rewrite IS the materialization). Partitioned tables
+    * keep their Hive layout: partition columns lead the range
+    * partitioning so each task writes whole partition values, and they
+    * cannot themselves be z-order dimensions (directories already
+    * prune them). `bits` is clamped so k·bits fits a signed long.
+    * One ordinary OCC commit; returns the new version.
+    */
+  def zorderTable(spark: SparkSession, root: String, zcols: Seq[String],
+      bits: Int = 16, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{col, lit, min => smin, max => smax}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    require(zcols.size >= 2,
+      s"z-order needs >= 2 dimensions, got ${zcols.mkString(", ")} — for a " +
+        "single column use compact (range-clusters by the stats columns)")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val live = versionPath(root, cur)
+    val df = readCurrent(spark, root)
+    val schema = df.schema
+    val canonical = zcols.map(c => schema.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"z-order column $c is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")))
+    require(canonical.map(_.name).distinct.size == canonical.size,
+      s"duplicate z-order column in ${zcols.mkString(", ")}")
+    val pcols = TableProps.partitionCols(root)
+    canonical.foreach(f => require(!pcols.exists(_.equalsIgnoreCase(f.name)),
+      s"${f.name} is a partition column — directories already prune it; " +
+        "z-order the non-partition dimensions"))
+    // each dimension must map onto the integer grid: numerics directly,
+    // date/timestamp via their epoch spelling
+    def asNum(f: org.apache.spark.sql.types.StructField): Column = f.dataType match {
+      case DateType => org.apache.spark.sql.functions.unix_date(col(f.name)).cast("double")
+      case TimestampType => org.apache.spark.sql.functions.unix_micros(col(f.name)).cast("double")
+      case _: NumericType => col(f.name).cast("double")
+      case dt => throw new IllegalArgumentException(
+        s"z-order column ${f.name} has unclusterable type ${dt.simpleString} " +
+          "(numeric, date, or timestamp required)")
+    }
+    val effBits = math.min(bits, 63 / canonical.size)
+    require(effBits >= 1, s"too many dimensions for one z-value: ${canonical.size}")
+    // one metadata-scale aggregate for the normalization bounds
+    val boundCols = canonical.flatMap(f => Seq(smin(asNum(f)), smax(asNum(f))))
+    val bounds = df.agg(boundCols.head, boundCols.tail: _*).head()
+    val nFiles = math.max(fileCount(Paths.get(live), targetBytes), 1)
+    val allBounded = canonical.indices.forall(i =>
+      !bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1))
+    val laid =
+      if (!allBounded) df.repartition(nFiles) // empty table / all-null dim
+      else {
+        val z = Layout.zorderN(canonical.zipWithIndex.map { case (f, i) =>
+          Layout.normalize(asNum(f), lit(bounds.getDouble(2 * i)),
+            lit(bounds.getDouble(2 * i + 1)), effBits)
+        }, effBits)
+        val keys = pcols.map(col) :+ z
+        df.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    val sc = (Stats.sidecarCols(spark, live).map(ColMap.toLogicalName(live, _))
+      ++ canonical.map(_.name)).distinct.filterNot(c => pcols.exists(_.equalsIgnoreCase(c)))
+    publishVersioned(laid, root, Some(cur), statsCols = sc, opTag = "zorder")
   }
 
   /** Zero-copy CLONE: publish the source table's live version (or `asOf`
@@ -1710,8 +1984,13 @@ object Sinks {
         publishVersioned(df, root, None,
           sidecars = Seq(CopyinSidecar -> receipt), opTag = "copy-into")
       case cur @ Some(_) =>
+        // rebase = false: the receipt dedupe (`ingestedSources`) read
+        // BEFORE staging — a concurrent COPY INTO of the same source
+        // must surface as a CME so the retry re-reads the receipts,
+        // never double-ingests
         appendVersioned(df, root, cur,
-          commitSidecars = Seq(CopyinSidecar -> receipt), opTag = "copy-into")
+          commitSidecars = Seq(CopyinSidecar -> receipt), opTag = "copy-into",
+          rebase = false)
     }
     // durable fold; a crash before this line is healed by the receipt
     TableProps.update(root)(p =>

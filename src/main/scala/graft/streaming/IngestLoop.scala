@@ -30,19 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object IngestLoop {
 
-  /** The admission decision for one batch: drop docs the index already
-    * holds under their own id (retry/replay), drop near-dups of any
-    * INDEXED doc, drop INTRA-batch near-dups (a batch containing two
-    * copies must admit one — the index can't catch what isn't indexed
-    * yet; survivor = the doc with no smaller-id LSH collision in the
-    * batch, under the index's own signature parameters), gate on a
-    * minimum whitespace-token count. Returns the accepted subset of
-    * `batch` (schema unchanged).
+  /** The admission decision for one batch: gate on a minimum
+    * whitespace-token count FIRST (an inadmissible doc must not vote in
+    * the dup elections below), then drop docs the index already holds
+    * under their own id (retry/replay), drop near-dups of any INDEXED
+    * doc, and drop INTRA-batch near-dups (a batch containing two copies
+    * must admit one — the index can't catch what isn't indexed yet;
+    * survivor = the GATED doc with no smaller-id LSH collision in the
+    * batch, under the index's own signature parameters). Returns the
+    * accepted subset of `batch` (schema unchanged).
     */
   def admit(batch: DataFrame, indexRoot: String, minTokens: Int): DataFrame = {
     val spark = batch.sparkSession
-    val fresh = batch.join(
-      NearDupIndex.containsIds(spark, batch, indexRoot), Seq("doc_id"),
+    // token gate FIRST: a below-threshold doc must not participate in
+    // the intra-batch loser election (a short smaller-id near-dup would
+    // eliminate its admissible copy and the batch would admit neither —
+    // round-11 advisor finding), and gating before the probes also
+    // skips signature work for docs that could never be admitted
+    val gated = batch.filter(size(split(col("text"), " ")) >= minTokens)
+    val fresh = gated.join(
+      NearDupIndex.containsIds(spark, gated, indexRoot), Seq("doc_id"),
       "left_anti")
     val nearDups = NearDupIndex.candidates(spark, fresh, indexRoot)
       .select(col("probe_id").as("doc_id")).distinct()
@@ -58,7 +65,6 @@ object IngestLoop {
         col("bucket") === col("bucket_r") && col("keep") < col("drop"))
       .select(col("drop").as("doc_id")).distinct()
     vsIndex.join(losers, Seq("doc_id"), "left_anti")
-      .filter(size(split(col("text"), " ")) >= minTokens)
   }
 
   /** `foreachBatch` handler: admit, then commit corpus + index

@@ -23,4 +23,11 @@ object ExprBridge {
   /** An aggregate function as a Complete-mode aggregate Column. */
   def aggColumn(f: AggregateFunction): Column =
     ExpressionUtils.column(f.toAggregateExpression())
+
+  /** The session's stable unique id (`sessionUUID` is sql-private in
+    * Spark 4.x): never reused across sessions in a JVM, unlike an
+    * identity hash — the safe memo key for per-session caches.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

@@ -800,6 +800,88 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.blx")
   }
 
+  test("CALL graft.system.zorder clusters the live version; predicates on EITHER dimension file-prune") {
+    root
+    val wh = spark.conf.get("spark.sql.catalog.graft.root")
+    spark.sql("CREATE TABLE graft.zx (a BIGINT, b BIGINT, payload STRING)")
+    try {
+      // anti-clustered input: a ascending, b descending, round-robin
+      // spread — a single-column layout could never prune both; the
+      // payload is incompressible so the rewrite spans several 1 MB files
+      spark.range(0, 100000)
+        .selectExpr("id AS a", "(99999 - id) AS b",
+          "concat(md5(cast(id AS string)), md5(cast(id * 31 + 7 AS string))) AS payload")
+        .repartition(8)
+        .createOrReplaceTempView("zx_src")
+      spark.sql("INSERT INTO graft.zx SELECT * FROM zx_src")
+      val res = spark.sql(
+        "CALL graft.system.zorder(table => 'zx', columns => 'a,b', target_mb => 1)")
+        .collect()
+      assert(res.map(r => (r.getString(0), r.getString(2))).toSeq ==
+        Seq(("zx", "a,b")))
+      val live = Sinks.resolve(s"$wh/zx")
+      val all = graft.io.Fs.walkParquet(Paths.get(live)).size
+      assert(all > 1, s"fixture must span several files, got $all")
+      // the stats sidecar landed in the SAME commit and both dimensions
+      // file-prune a narrow range
+      for (c <- Seq("a", "b")) {
+        val kept = graft.ops.Stats.prunedFiles(spark, live, c, 100L, 200L).size
+        assert(kept < all, s"dimension $c does not prune: $kept of $all")
+        // pruned read ≡ full read, value for value
+        val pruned = graft.ops.Stats.readCurrentWhere(spark, s"$wh/zx", c, 100L, 200L)
+          .selectExpr("a", "b").orderBy("a").collect().toSeq
+        val full = spark.sql(s"SELECT a, b FROM graft.zx WHERE $c BETWEEN 100 AND 200")
+          .orderBy("a").collect().toSeq
+        assert(pruned == full && pruned.size == 101)
+      }
+      assert(Sinks.opOf(live) == "zorder")
+      // refusals fail the CALL loudly: unknown column, partition column,
+      // single dimension
+      assert(intercept[Exception](spark.sql(
+        "CALL graft.system.zorder(table => 'zx', columns => 'nope,a')"))
+        .getMessage.contains("nope"))
+      assert(intercept[Exception](spark.sql(
+        "CALL graft.system.zorder(table => 'zx', columns => 'a')"))
+        .getMessage.contains(">= 2"))
+    } finally spark.sql("DROP TABLE graft.zx")
+  }
+
+  test("SHOW PROCEDURES, the unknown-procedure hint, and the loader serve ONE name list") {
+    root
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    // every listed name loads (the round-11 advisor found six served
+    // procedures the listing omitted)
+    graft.catalog.GraftProcedures.Names.foreach { n =>
+      cat.loadProcedure(Identifier.of(Array("system"), n))
+    }
+    val listed = cat.listProcedures(Array("system")).map(_.name()).toSet
+    assert(listed == graft.catalog.GraftProcedures.Names.toSet)
+    // the unknown-procedure hint names everything the loader serves
+    val e = intercept[RuntimeException](
+      cat.loadProcedure(Identifier.of(Array("system"), "nope")))
+    graft.catalog.GraftProcedures.Names.foreach(n =>
+      assert(e.getMessage.contains(s"system.$n"), s"hint omits $n"))
+  }
+
+  test("ALTER RENAME/ADD to a reserved _COLMAP marker prefix fails loudly, never hides a column") {
+    root
+    spark.sql("CREATE TABLE graft.rsv (a BIGINT, b BIGINT)")
+    try {
+      spark.sql("INSERT INTO graft.rsv VALUES (1, 2)")
+      val e1 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.rsv RENAME COLUMN b TO `__graft_dropped.b`"))
+      assert(e1.getMessage.contains("reserved"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.rsv ADD COLUMNS (`__graft_added.c` BIGINT)"))
+      assert(e2.getMessage.contains("reserved"), e2.getMessage)
+      // the table is untouched and fully readable
+      assert(spark.sql("SELECT * FROM graft.rsv").columns.toSeq == Seq("a", "b"))
+      assert(spark.sql("SELECT * FROM graft.rsv").count() == 1)
+    } finally spark.sql("DROP TABLE graft.rsv")
+  }
+
   test("table_history TVF lists retained versions with operation and current flag") {
     root
     val h = spark.sql("SELECT * FROM table_history('graft.t1') ORDER BY version")

@@ -76,6 +76,32 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 40L, 42L), s"got $ids")
   }
 
+  test("token gate runs BEFORE the intra-batch election — a short smaller-id near-dup cannot veto its admissible copy") {
+    // round-11 advisor: gating after the election let an inadmissible
+    // smaller-id doc eliminate its above-threshold twin, admitting
+    // NEITHER copy — contradicting the one-of-two-copies contract
+    val (corpus, idx) = bootstrap("gatefirst")
+    val b = Seq(
+      // 31 = 30 plus one word: verified md5-LSH band collision under the
+      // index defaults (n=3, 4x4). 30 sits below the 11-token gate, 31 at
+      // it — pre-fix, 30 (smaller id) would eliminate 31 in the election
+      // and the batch admitted NEITHER copy
+      (30L, "twin documents arriving together in one single micro batch today"),
+      (31L, "twin documents arriving together in one single micro batch today now")
+    ).toDF("doc_id", "text")
+    // fixture self-check: the pair really is an intra-batch LSH collision
+    val banded = NearDupIndex.bandedFor(spark, b, idx)
+    val l = banded.toDF("id_a", "band", "bucket")
+    val r = banded.toDF("id_b", "band", "bucket")
+    assert(l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") === 30L && col("id_b") === 31L).count() > 0,
+      "fixture drift: docs 30/31 no longer collide in any LSH band")
+    assert(IngestLoop.sink(corpus, idx, minTokens = 11)(b, 1L) == 1)
+    val ids = Sinks.readCurrent(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 31L), s"got $ids")
+  }
+
   test("a real writeStream foreachBatch drives the loop end to end") {
     val (corpus, idx) = bootstrap("stream")
     val in = MemoryStream[(Long, String)](spark)

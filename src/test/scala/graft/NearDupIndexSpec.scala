@@ -98,6 +98,61 @@ class NearDupIndexSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), s"probe must stay equi:\n$plan")
   }
 
+  test("build is atomic: bloom rides the staged commit, and no kill point leaves a probe-broken or silently-degraded index") {
+    import java.nio.file.{Files, Path, Paths}
+    import graft.ops.{CommitProtocol, LocalFsCommit}
+    // happy path: the bucket bloom sidecar is INSIDE v0 — data and
+    // skipping metadata became visible in one rename (round-11 verdict
+    // item 2: the old three-step build could crash between them)
+    val happy = freshRoot("atomic")
+    NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), happy)
+    assert(Files.isDirectory(Paths.get(Sinks.versionPath(happy, 0L), Bloom.Sidecar)),
+      "bloom sidecar must land in the same commit as the data")
+    // kill matrix: fail each commit move; the index must be either
+    // fully absent (loud probe failure + clean rebuild) — never data
+    // without bloom, never a flipped pointer
+    for (step <- Seq("publish", "flip")) {
+      val root = freshRoot(s"kill$step")
+      val failing = new CommitProtocol {
+        def readPointer(r: String) = LocalFsCommit.readPointer(r)
+        def versionExists(r: String, v: Long) = LocalFsCommit.versionExists(r, v)
+        def publishVersionDir(s: Path, d: Path): Unit = {
+          if (step == "publish" && d.toString.startsWith(root))
+            throw new RuntimeException("kill@publish")
+          LocalFsCommit.publishVersionDir(s, d)
+        }
+        def flipPointer(r: String, v: Long): Unit = {
+          if (step == "flip" && r.startsWith(root))
+            throw new RuntimeException("kill@flip")
+          LocalFsCommit.flipPointer(r, v)
+        }
+        def withCommitLock[T](r: String)(b: => T) = LocalFsCommit.withCommitLock(r)(b)
+      }
+      Sinks.commitProtocol = failing
+      try intercept[RuntimeException](
+        NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root))
+      finally Sinks.commitProtocol = LocalFsCommit
+      assert(Sinks.currentVersion(root).isEmpty, s"kill@$step flipped the pointer")
+      // any orphaned version dir still carries its bloom (same-commit)
+      Sinks.listVersions(root).foreach { v =>
+        assert(Files.isDirectory(Paths.get(Sinks.versionPath(root, v), Bloom.Sidecar)),
+          s"kill@$step left v$v without its bloom sidecar")
+      }
+      // probes fail LOUDLY (no published index), never silently degrade
+      val probe = Seq((9L, "anything at all")).toDF("doc_id", "text")
+      val e = intercept[IllegalStateException](
+        NearDupIndex.candidates(spark, probe, root))
+      assert(e.getMessage.contains("no published"), e.getMessage)
+      // re-running build repairs fully: props overwrite, version commits
+      NearDupIndex.build(spark, corpus.toDF("doc_id", "text"), root)
+      assert(NearDupIndex.candidates(spark,
+        Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+          .toDF("doc_id", "text"), root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .contains((100L, 1L)))
+    }
+  }
+
   test("probing a table that is not a near-dup index fails loudly") {
     val root = freshRoot("notidx")
     Sinks.publishVersioned(corpus.toDF("doc_id", "text"), root, None)
