@@ -54,6 +54,7 @@ object SparkEntry {
     "q_mor_update", "q_mor_merge", "q_copy_into", "q_ann_pq_codebook",
     "q_ann_ivf", "q_doc_chunks", "q_span_dedup", "q_dsir_select",
     "q_corpus_shards", "q_bpe_pairs", "q_neardup_index",
-    "q_range_binned", "q_scd2_apply", "q_incr_ingest")
+    "q_range_binned", "q_scd2_apply", "q_incr_ingest",
+    "q_partition_evolution_meta")
     .filter(queries.contains)
 }

@@ -264,9 +264,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   private def requireDvRule(versionDir: String, ident: Identifier): Unit = {
     // same gate for column-mapped versions: the bare DSv2 scan would
-    // read LOGICAL names against PHYSICAL files (all-null columns)
+    // read LOGICAL names against PHYSICAL files (all-null columns).
+    // And for mixed-layout versions (metadata-only partition
+    // evolution): the bare scan sees only the current-layout files and
+    // would silently drop every `_layout<k>/` leg row
     if (!graft.ops.Dv.exists(versionDir) &&
-        !graft.ops.ColMap.exists(versionDir)) return
+        !graft.ops.ColMap.exists(versionDir) &&
+        !Sinks.hasLayoutLegs(versionDir)) return
     val spark = SparkSession.active
     val active =
       try {
@@ -282,10 +286,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions")
       }
     if (!active) throw new IllegalStateException(
-      s"$catalogName.${ident.toString} carries a deletion vector or column " +
-        "mapping and this session's optimizer lacks DvReadRule — build the " +
-        "session with spark.sql.extensions=graft.GraftExtensions (or " +
-        "compact the table to purge deletes / materialize renames first)")
+      s"$catalogName.${ident.toString} carries a deletion vector, column " +
+        "mapping, or mixed partition layout and this session's optimizer " +
+        "lacks DvReadRule — build the session with " +
+        "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
+        "to purge deletes / materialize renames and layout legs first)")
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -204,8 +204,13 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
       graft.ops.Dv.exists(morDir) ||
       // a column-mapped version also forces merge-on-read: the COW
       // pruned-file scan cannot express the physical->logical
-      // translation, while the MOR live scan does (liveWithPositions)
-      graft.ops.ColMap.exists(morDir)
+      // translation, while the MOR live scan does (liveWithPositions).
+      // A mixed-layout version (metadata-only partition evolution)
+      // forces it for the same reason: the pruned explicit-file scan
+      // cannot serve files whose partition directories disagree, while
+      // the MOR live scan unions the legs
+      graft.ops.ColMap.exists(morDir) ||
+      graft.ops.Sinks.hasLayoutLegs(morDir)
     if (morMode) {
       // re-bind the resolved condition by NAME onto the fresh scan the
       // MOR door filters (subqueries are not re-bindable this way —
@@ -263,8 +268,13 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
       graft.ops.Dv.exists(morDir) ||
       // a column-mapped version also forces merge-on-read: the COW
       // pruned-file scan cannot express the physical->logical
-      // translation, while the MOR live scan does (liveWithPositions)
-      graft.ops.ColMap.exists(morDir)
+      // translation, while the MOR live scan does (liveWithPositions).
+      // A mixed-layout version (metadata-only partition evolution)
+      // forces it for the same reason: the pruned explicit-file scan
+      // cannot serve files whose partition directories disagree, while
+      // the MOR live scan unions the legs
+      graft.ops.ColMap.exists(morDir) ||
+      graft.ops.Sinks.hasLayoutLegs(morDir)
     if (morMode) {
       val exprs = condition.toSeq ++ assignments.map(_.value)
       require(!exprs.exists(_.exists(
@@ -380,8 +390,11 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
           .get("graft.dml.mode").exists(_.equalsIgnoreCase("mor")) ||
         graft.ops.Dv.exists(morDir) ||
         // column-mapped versions force MOR too (same reasoning as the
-        // DELETE/UPDATE routes: the COW pruned scan can't translate)
-        graft.ops.ColMap.exists(morDir)) {
+        // DELETE/UPDATE routes: the COW pruned scan can't translate),
+        // and so do mixed-layout versions (the pruned scan can't union
+        // disagreeing partition layouts)
+        graft.ops.ColMap.exists(morDir) ||
+        graft.ops.Sinks.hasLayoutLegs(morDir)) {
       return runMor(spark, morDir)
     }
     val t = ofRows(spark, target)

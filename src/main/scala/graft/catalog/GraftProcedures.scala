@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance stored procedures for [[GraftCatalog]] — the SQL `CALL`
@@ -362,14 +362,20 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("table", StringType)
         .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
       ProcedureParameter.in("partition_by", StringType)
-        .comment("comma-separated partition columns, '' to unpartition").build())
+        .comment("comma-separated partition columns, '' to unpartition").build(),
+      ProcedureParameter.in("metadata_only", BooleanType).defaultValue("false")
+        .comment("true: record the new spec for future writes only " +
+          "(Iceberg-style, zero data movement); false: rewrite the live " +
+          "version under the new spec").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val cols = input.getUTF8String(1).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val metadataOnly = input.getBoolean(2)
       val root = resolveRoot(table)
-      val v = graft.ops.Sinks.repartitionTable(SparkSession.active, root, cols)
+      val v = graft.ops.Sinks.repartitionTable(SparkSession.active, root, cols,
+        metadataOnly)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(InternalRow(UTF8String.fromString(table), v))

@@ -25,13 +25,30 @@ object Fs {
     finally s.close()
   }
 
+  /** Reserved name of a legacy-layout leg directory inside a version
+    * dir (`_layout<k>` — metadata-only partition evolution,
+    * [[graft.ops.Sinks.repartitionTable]] with `metadataOnly`). The
+    * underscore keeps legs INVISIBLE to a plain Spark directory read
+    * (the top-level scan must only see the current layout), but the
+    * versioned layout's own walkers must still see their data files —
+    * a leg's files are table data, not sidecar metadata.
+    */
+  def isLayoutLeg(name: String): Boolean =
+    name.startsWith("_layout") && name.length > "_layout".length &&
+      name.drop("_layout".length).forall(_.isDigit)
+
   /** Every `*.parquet` DATA file under `dir`, recursively — partition
-    * subdirectories (`col=val/`) included, the layout's own `_`/`.`
-    * prefixed sidecars (`_stats`, `_changes`, `_quarantine`, staging)
-    * excluded, exactly matching what a Spark read of the directory sees.
+    * subdirectories (`col=val/`) included, legacy-layout legs
+    * (`_layout<k>/`, see [[isLayoutLeg]]) included, the layout's own
+    * `_`/`.` prefixed sidecars (`_stats`, `_changes`, `_quarantine`,
+    * staging) excluded. NOTE: this is what the versioned layout's OWN
+    * machinery (sidecar keys, carries, inventories) considers the
+    * version's data; a plain Spark read of the directory sees only the
+    * top-level (current-layout) subset because legs are `_`-hidden.
     */
   def walkParquet(dir: Path): Seq[Path] = {
-    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def hidden(name: String) =
+      (name.startsWith("_") || name.startsWith(".")) && !isLayoutLeg(name)
     def walk(p: Path): Seq[Path] =
       listDir(p).flatMap { c =>
         val name = c.getFileName.toString

@@ -106,11 +106,21 @@ object Bloom {
     // declared-string value matches — a silent wrong answer. Partition
     // pruning already handles those columns exactly; bloom indexes only
     // columns physically present in the files.
-    val physicalSchema = {
-      val files = graft.io.Fs.walkParquet(Paths.get(dir))
-      require(files.nonEmpty, s"no parquet data files under $dir")
-      spark.read.parquet(files.head.toString).schema
-    }
+    val legged = graft.ops.Sinks.hasLayoutLegs(dir)
+    val physicalSchema =
+      // a mixed-layout version reads through the pinned union, whose
+      // partition-directory columns carry DECLARED types (the per-leg
+      // `_PSPEC` stamps) — so every union column is exactly typed and
+      // indexable, including columns that are directories in one leg
+      // and file contents in another
+      if (legged) org.apache.spark.sql.types.StructType(
+        graft.ops.Sinks.scanVersion(spark, dir, dir).schema
+          .filterNot(_.name == "_metadata"))
+      else {
+        val files = graft.io.Fs.walkParquet(Paths.get(dir))
+        require(files.nonEmpty, s"no parquet data files under $dir")
+        spark.read.parquet(files.head.toString).schema
+      }
     val physical = physicalSchema.fieldNames.toSet
     val nonPhysical = cols.filterNot(physical)
     require(nonPhysical.isEmpty,
@@ -135,7 +145,10 @@ object Bloom {
       s"bloom index supports string and integral columns only (probe-time " +
         s"canonicalization must match the build's CAST AS STRING); got " +
         badTypes.mkString(", ") + " — use B109 range stats for those types")
-    val base = spark.read.parquet(dir).withColumn("_gf_uri", input_file_name())
+    val base =
+      if (legged) graft.ops.Sinks.scanVersion(spark, dir, dir)
+        .withColumn("_gf_uri", col("_metadata.file_path")).drop("_metadata")
+      else spark.read.parquet(dir).withColumn("_gf_uri", input_file_name())
     val pairs = cols.map(c => struct(lit(c).as("c"), col(c).cast("string").as("v")))
     val exploded = base
       .select(col("_gf_uri"), explode(array(pairs: _*)).as("p"))
@@ -262,6 +275,16 @@ object Bloom {
     val res = if (kept.isEmpty) {
       val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else if (graft.ops.Sinks.hasLayoutLegs(dir)) {
+      // mixed-layout version: group surviving files per layout root
+      // (their partition-directory columns differ), union, subtract —
+      // the same recipe as Stats.readWhere's mixed branch
+      val raw = graft.ops.Sinks.readFilesMixed(spark, dir, kept)
+      val cols = raw.columns.toSeq.filterNot(_ == "_metadata")
+      val subtracted =
+        if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
+        else Dv.subtract(raw, dir, cols)
+      subtracted.filter(pred)
     } else {
       val rd = spark.read.option("basePath", dir)
       val raw = readSchema.fold(rd)(rd.schema).parquet(kept: _*)

@@ -81,6 +81,19 @@ object Sinks {
     * exactly as before.
     */
   private[graft] def readDir(spark: SparkSession, root: String, p: String): DataFrame = {
+    if (hasLayoutLegs(p)) {
+      // mixed-layout version (metadata-only partition evolution): the
+      // legs union under their own specs; the vector keys are version-
+      // dir-relative (`_layout<k>/…` for leg rows), so one subtraction
+      // over the union stays exact
+      val base = scanVersion(spark, root, p)
+      val cols = base.columns.filterNot(_ == "_metadata").toSeq
+      val subtracted =
+        if (!Dv.exists(p))
+          base.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        else Dv.subtract(base, p, cols)
+      return ColMap.toLogical(subtracted, p)
+    }
     val base = readSchemaFor(spark, root, p) match {
       case None => spark.read.parquet(p)
       case Some(fixed) => spark.read.schema(fixed).parquet(p)
@@ -102,6 +115,137 @@ object Sinks {
     // metadata-only renames: the files speak PHYSICAL names, the caller
     // gets LOGICAL ones ([[ColMap]]); unmapped versions pass through
     ColMap.toLogical(subtracted, p)
+  }
+
+  // -------------------- mixed-layout versions (metadata-only evolution)
+
+  /** Reserved prefix of legacy-layout leg directories inside a version
+    * dir — see [[graft.io.Fs.isLayoutLeg]]. A metadata-only partition
+    * evolution ([[repartitionTable]] with `metadataOnly = true`) moves
+    * the then-current files (by hardlink — inode-preserving, zero data
+    * movement) under `_layout<k>/`, each leg keeping its own `_PSPEC`
+    * stamp; files written after the evolution land at the top level
+    * under the new spec. Readers union the legs; compaction (and any
+    * COW rewrite) materializes them away.
+    */
+  private[graft] val LayoutDirPrefix = "_layout"
+
+  /** Legacy-layout leg dirs under version dir `p`, ascending by index
+    * (creation order — leg 0 is the oldest layout, so its column order
+    * is the canonical pre-evolution table order the union preserves).
+    */
+  private[graft] def layoutLegs(p: String): Seq[Path] = {
+    val d = Paths.get(p)
+    if (!Files.isDirectory(d)) Nil
+    else Fs.listDir(d)
+      .filter(c => Files.isDirectory(c) && Fs.isLayoutLeg(c.getFileName.toString))
+      .sortBy(_.getFileName.toString.drop(LayoutDirPrefix.length).toLong)
+  }
+
+  private[graft] def hasLayoutLegs(p: String): Boolean = layoutLegs(p).nonEmpty
+
+  /** True iff any CURRENT-layout (top-level, Spark-visible) data file
+    * exists under version dir `p` — right after a metadata-only
+    * evolution there are none (everything moved into the new leg).
+    */
+  private[graft] def topLevelParquetExists(p: String): Boolean = {
+    val d = Paths.get(p)
+    Fs.walkParquet(d).exists(f =>
+      !Fs.isLayoutLeg(d.relativize(f).getName(0).toString))
+  }
+
+  /** The partition spec of one scan root inside version dir `p`: a
+    * leg's own `_PSPEC` stamp (always written by the evolution commit),
+    * or — for the top level — the version's spec via
+    * [[partitionSchemaFor]].
+    */
+  private def scanDirSpec(root: String, p: String,
+      scanDir: String): Option[org.apache.spark.sql.types.StructType] =
+    if (scanDir == p) partitionSchemaFor(root, p)
+    else {
+      val f = Paths.get(scanDir, PartitionSpecFile)
+      require(Files.exists(f),
+        s"layout leg $scanDir lacks its $PartitionSpecFile stamp — the " +
+          "version dir is corrupt (evolution commits always stamp legs)")
+      val ddl = new String(Files.readAllBytes(f), "UTF-8").trim
+      if (ddl.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+
+  /** Read schema of one scan root inside version dir `p`: partition
+    * types pinned from the scan root's own spec, metadata-ADDED columns
+    * (version-level, [[ColMap.added]]) appended — the per-leg analog of
+    * [[readSchemaFor]].
+    */
+  private def legReadSchema(spark: SparkSession, root: String, p: String,
+      scanDir: String): org.apache.spark.sql.types.StructType = {
+    val inferred = spark.read.parquet(scanDir).schema
+    val pinned = scanDirSpec(root, p, scanDir) match {
+      case None => inferred
+      case Some(declared) =>
+        org.apache.spark.sql.types.StructType(inferred.map { f =>
+          declared.find(_.name.equalsIgnoreCase(f.name))
+            .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
+        })
+    }
+    val added = ColMap.added(p)
+    val have = pinned.fieldNames.map(_.toLowerCase).toSet
+    added.foldLeft(pinned)((s, f) =>
+      if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true)))
+  }
+
+  /** Every data file of version dir `p` as ONE physical-named frame
+    * carrying the `_metadata` struct as a regular last column — the
+    * shared scan base of [[readDir]] and [[liveWithPositions]] for
+    * mixed-layout versions. Each leg reads under its own partition
+    * spec; `unionByName` aligns the differing column orders (a leg's
+    * partition columns are directories there, data columns elsewhere)
+    * with leg 0's order winning. Legs emptied by churn are skipped.
+    */
+  private[graft] def scanVersion(spark: SparkSession, root: String,
+      p: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def one(scanDir: String): DataFrame = {
+      val df = spark.read.schema(legReadSchema(spark, root, p, scanDir))
+        .parquet(scanDir)
+      df.select((df.columns.map(c => col(s"`$c`")) :+ col("_metadata"))
+        .toIndexedSeq: _*)
+    }
+    val legs = layoutLegs(p).filter(l => Fs.walkParquet(l).nonEmpty)
+    val tops = if (topLevelParquetExists(p)) Seq(p) else Nil
+    val frames = legs.map(_.toString) ++ tops
+    require(frames.nonEmpty, s"no data files under version dir $p")
+    frames.map(one).reduce(_ unionByName _)
+  }
+
+  /** Individually-addressed files of mixed-layout version dir `p` as one
+    * physical-named frame with `_metadata` — the stats/bloom pruned-read
+    * analog of [[scanVersion]]. Files are grouped by their owning scan
+    * root (a `_layout<k>/` leg or the top level), each group read with
+    * its root as `basePath` (partition-directory columns stay in scope)
+    * under the root's own pinned schema, then unioned by name. Mixed
+    * versions always carry their own `_PSPEC` stamps, so no table root
+    * is needed to resolve specs (`p` doubles as the fallback argument,
+    * which is never consulted).
+    */
+  private[graft] def readFilesMixed(spark: SparkSession, p: String,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = Paths.get(p)
+    val groups = files.groupBy { f =>
+      val head = base.relativize(Paths.get(f)).getName(0).toString
+      if (Fs.isLayoutLeg(head)) base.resolve(head).toString else p
+    }
+    // leg order first (canonical column order = oldest leg's), top last
+    val ordered = (layoutLegs(p).map(_.toString) :+ p).filter(groups.contains)
+    val frames = ordered.map { scanRoot =>
+      val df = spark.read.option("basePath", scanRoot)
+        .schema(legReadSchema(spark, p, p, scanRoot))
+        .parquet(groups(scanRoot): _*)
+      df.select((df.columns.map(c => col(s"`$c`")) :+ col("_metadata"))
+        .toIndexedSeq: _*)
+    }
+    frames.reduce(_ unionByName _)
   }
 
   /** Version-local partition spec stamp: the partition-column DDL of the
@@ -135,6 +279,21 @@ object Sinks {
     */
   private[graft] def readSchemaFor(spark: SparkSession, root: String,
       p: String): Option[org.apache.spark.sql.types.StructType] = {
+    // mixed-layout version: the canonical schema is leg 0's (the
+    // pre-evolution table order [[scanVersion]]'s union preserves),
+    // extended by any column only later legs / the top level carry
+    // (none in practice — evolution never changes the column set)
+    val legs0 = layoutLegs(p).filter(l => Fs.walkParquet(l).nonEmpty)
+    if (legs0.nonEmpty) {
+      val all = legs0.map(_.toString) ++
+        (if (topLevelParquetExists(p)) Seq(p) else Nil)
+      val schemas = all.map(legReadSchema(spark, root, p, _))
+      val merged = schemas.tail.foldLeft(schemas.head) { (acc, s) =>
+        s.foldLeft(acc)((a, f) =>
+          if (a.fieldNames.exists(_.equalsIgnoreCase(f.name))) a else a.add(f))
+      }
+      return Some(merged)
+    }
     val pinned = partitionSchemaFor(root, p).map { declared =>
       val inferred = spark.read.parquet(p).schema
       org.apache.spark.sql.types.StructType(inferred.map { f =>
@@ -1069,6 +1228,14 @@ object Sinks {
         s"(${versionPath(root, expected)}/${ColMap.MarkerFile}): DML " +
         "routes merge-on-read automatically, or compact the table to " +
         "materialize the renames first")
+    // same backstop for mixed-layout versions: the caller's pruned
+    // explicit-file scan cannot serve files whose partition directories
+    // disagree — DML routes merge-on-read, compaction materializes
+    require(!hasLayoutLegs(versionPath(root, expected)),
+      "copy-on-write DML cannot run on a mixed-layout version " +
+        s"(${versionPath(root, expected)} has _layout legs): DML routes " +
+        "merge-on-read automatically, or compact the table to " +
+        "materialize the partition evolution first")
     // a no-op statement (predicate matched nothing) still commits a
     // version — but writing its empty frame would land a zero-row file
     // alongside every carried one; skip the write (the empty check is a
@@ -1273,6 +1440,9 @@ object Sinks {
             linkOrCopy(f, dst)
           }
         }
+        // mixed-layout versions: each carried leg needs its spec stamp
+        // or the new version can't read the leg under its own layout
+        carryLayoutStamps(live, stage)
         // carry the prior sidecar files under their ORIGINAL names (UUID
         // part-file names never collide, and a carried-of-carried file
         // keeps a stable name — names must not compound across appends
@@ -1481,12 +1651,29 @@ object Sinks {
     * likewise left behind — the commit writes its own (linking them
     * would let the new commit's stamp writes reach the SOURCE's inode).
     */
+  /** Copy each `_layout<k>/_PSPEC` leg stamp of `src` into `stage` —
+    * the leg spec is what makes a carried mixed-layout version readable
+    * (data files travel through the parquet walk; the stamps must ride
+    * along). No-op for flat versions.
+    */
+  private def carryLayoutStamps(src: Path, stage: Path): Unit =
+    layoutLegs(src.toString).foreach { l =>
+      val stamp = l.resolve(PartitionSpecFile)
+      if (Files.exists(stamp)) {
+        val dst = stage.resolve(l.getFileName)
+        Files.createDirectories(dst)
+        val dstStamp = dst.resolve(PartitionSpecFile)
+        if (!Files.exists(dstStamp)) Files.copy(stamp, dstStamp)
+      }
+    }
+
   private def stageSnapshotLinks(src: Path, stage: Path): Unit = {
     Fs.walkParquet(src).foreach { f =>
       val dst = stage.resolve(src.relativize(f))
       Files.createDirectories(dst.getParent)
       linkOrCopy(f, dst)
     }
+    carryLayoutStamps(src, stage)
     // the snapshot's own partition-spec stamp describes ITS layout and
     // must travel (copied, not linked — the commit may rewrite it);
     // commitStaged then syncs the table-level spec back to it, so a
@@ -1536,21 +1723,23 @@ object Sinks {
     require(Dv.safeDir(dir),
       s"merge-on-read DML requires a URI-transparent table path, got $dir" +
         " — use copy-on-write DML for this table")
-    val base = readSchemaFor(spark, root, dir) match {
-      case None => spark.read.parquet(dir)
-      case Some(fixed) => spark.read.schema(fixed).parquet(dir)
-    }
+    // the shared scan base: one frame over every layout leg (legs union
+    // under their own specs after a metadata-only evolution; flat
+    // versions read exactly as before) with `_metadata` as its last
+    // column — so DV keys stay version-dir-relative in both shapes
+    val base = scanVersion(spark, root, dir)
     import org.apache.spark.sql.functions.col
     // metadata-only renames: callers (and their conditions/assignments)
     // speak LOGICAL names; the scan's columns are PHYSICAL — alias in
-    // the same projection that captures `_metadata` (a later select
+    // the same projection that keeps `_metadata` (a later select
     // would lose the metadata struct)
     val colmap = ColMap.load(dir)
     val physToLogical = colmap.map { case (l, p) => p.toLowerCase -> l }
-    val cols = base.columns.toSeq.map(c => physToLogical.getOrElse(c.toLowerCase, c))
+    val dataCols = base.columns.toIndexedSeq.filterNot(_ == "_metadata")
+    val cols = dataCols.map(c => physToLogical.getOrElse(c.toLowerCase, c))
     Dv.requireNoReserved(cols, s"merge-on-read DML on $root")
     val positioned = base
-      .select((base.columns.toIndexedSeq.map(c =>
+      .select((dataCols.map(c =>
         col(s"`$c`").as(physToLogical.getOrElse(c.toLowerCase, c))) :+
         col("_metadata")): _*)
       .withColumn("_dv_key", Dv.relKey(dir))
@@ -1669,7 +1858,7 @@ object Sinks {
     * compaction). Returns the new version.
     */
   def repartitionTable(spark: SparkSession, root: String,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String], metadataOnly: Boolean = false): Long = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val df = readCurrent(spark, root)
@@ -1683,6 +1872,8 @@ object Sinks {
       s"duplicate partition column in ${partitionBy.mkString(", ")}")
     require(canonical.size < schema.size,
       "at least one non-partition column is required")
+    if (metadataOnly)
+      return evolveSpecMetadataOnly(spark, root, cur, canonical)
     val oldProps = TableProps.load(root)
     // metadata moves first (the evolveSchema pattern) and rolls back on
     // failure, so no failure mode leaves the spec pointing at a layout
@@ -1702,6 +1893,135 @@ object Sinks {
       publishVersioned(reordered, root, Some(cur), statsCols = sc)
     } catch {
       case e: Throwable => TableProps.store(root, oldProps); throw e
+    }
+  }
+
+  /** Metadata-only partition evolution (the Iceberg spec-append form of
+    * B134): record the NEW spec for FUTURE writes and move ZERO data
+    * bytes. The live version's current-layout files are hardlinked
+    * (same inode) under a new `_layout<k>/` leg that keeps the OLD spec
+    * as its own `_PSPEC` stamp; the commit's top-level `_PSPEC` records
+    * the new spec, which [[commitStaged]] syncs to the table level so
+    * every later append lays its files out under it. Readers union the
+    * legs ([[scanVersion]]) — partition pruning keeps firing on EACH
+    * layout's own directory columns — and compaction (or any COW
+    * rewrite) materializes the whole table under the current spec,
+    * dissolving the legs: the rewrite form stays the compaction path.
+    *
+    * Sidecar file keys are version-dir-relative, so the keys of the
+    * files that move are REWRITTEN with the `_layout<k>/` prefix in the
+    * same commit — stats skipping, bloom point-skipping, and the
+    * deletion vector stay exact across the evolution (metadata-scale
+    * rewrites, never a data scan). Scheme sidecars (ANN quantizer, PQ
+    * codebooks) carry verbatim: they describe no file set.
+    *
+    * Refused under a column-mapping RENAME (the spec would record
+    * names future footers don't carry under the same spelling the legs
+    * use) — materialize with the rewrite form first. DROP tombstones
+    * and metadata-ADDED columns compose fine and pass through.
+    */
+  private def evolveSpecMetadataOnly(spark: SparkSession, root: String,
+      cur: Long, canonical: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val live = Paths.get(versionPath(root, cur))
+    require(ColMap.load(live.toString).isEmpty,
+      s"metadata-only partition evolution of $root is unsupported under a " +
+        "column-mapping RENAME — compact or use the rewrite form " +
+        "(metadataOnly = false) to materialize the mapping first")
+    val oldDdl = partitionSchemaFor(root, live.toString).map(_.toDDL).getOrElse("")
+    val newDdl =
+      if (canonical.isEmpty) ""
+      else org.apache.spark.sql.types.StructType(canonical).toDDL
+    require(!oldDdl.equalsIgnoreCase(newDdl),
+      s"$root is already partitioned by " +
+        (if (oldDdl.isEmpty) "(nothing)" else oldDdl) + " — evolution is a no-op")
+    val legIdx = layoutLegs(live.toString)
+      .map(_.getFileName.toString.drop(LayoutDirPrefix.length).toLong)
+    val nextLeg = legIdx.lastOption.fold(0L)(_ + 1)
+    val legName = s"$LayoutDirPrefix$nextLeg"
+    // no current-layout files (back-to-back evolutions with no append
+    // between): nothing moves, no leg is born — only the spec changes
+    val moveTop = topLevelParquetExists(live.toString)
+    val stage = Paths.get(
+      s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      Files.createDirectories(stage)
+      // data: hardlinks only — existing legs keep their relative paths,
+      // current-layout files move under the new leg (same inodes)
+      Fs.walkParquet(live).foreach { f =>
+        val rel = live.relativize(f)
+        val dstRel =
+          if (Fs.isLayoutLeg(rel.getName(0).toString)) rel
+          else Paths.get(legName).resolve(rel)
+        val dst = stage.resolve(dstRel)
+        Files.createDirectories(dst.getParent)
+        linkOrCopy(f, dst)
+      }
+      // every leg keeps its own spec stamp; the new leg inherits the
+      // OLD top-level spec (the layout its files actually have)
+      layoutLegs(live.toString).foreach { l =>
+        val dst = stage.resolve(l.getFileName)
+        Files.createDirectories(dst)
+        Files.copy(l.resolve(PartitionSpecFile), dst.resolve(PartitionSpecFile))
+      }
+      if (moveTop) {
+        val legDir = stage.resolve(legName)
+        Files.createDirectories(legDir)
+        Files.write(legDir.resolve(PartitionSpecFile), oldDdl.getBytes("UTF-8"))
+      }
+      // keyed sidecars: prefix the moved files' keys (rows already
+      // leg-prefixed describe files that did not move); when nothing
+      // moved, carry the parts verbatim by hardlink
+      val legKeyed = col("file").rlike(s"^$LayoutDirPrefix[0-9]+/")
+      def rewriteKeys(name: String): Unit = {
+        val src = live.resolve(name)
+        if (!Files.isDirectory(src)) return
+        if (!moveTop) {
+          val dst = stage.resolve(name)
+          Files.createDirectories(dst)
+          Fs.listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => linkOrCopy(f, dst.resolve(f.getFileName)))
+        } else {
+          spark.read.parquet(src.toString)
+            .withColumn("file", when(legKeyed, col("file"))
+              .otherwise(concat(lit(legName + "/"), col("file"))))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(stage.resolve(name).toString)
+        }
+      }
+      rewriteKeys(Stats.Sidecar)
+      rewriteKeys(Bloom.Sidecar)
+      if (Dv.exists(live.toString)) {
+        if (!moveTop) rewriteKeys(Dv.Sidecar)
+        else {
+          // positions read handles both storage formats; re-encode the
+          // re-keyed vector as one fresh v2 part (also the fold point)
+          val re = Dv.vector(spark, live.toString)
+            .withColumn("file", when(legKeyed, col("file"))
+              .otherwise(concat(lit(legName + "/"), col("file"))))
+          Dv.deltaBitmaps(re).coalesce(1).write.mode("overwrite")
+            .parquet(stage.resolve(Dv.Sidecar).toString)
+        }
+      }
+      // scheme sidecars and the non-RENAME column-mapping markers
+      // (DROP tombstones / metadata ADDs) describe no file set — verbatim
+      ColMap.carry(live, stage)
+      Seq(AnnIndex.CentroidsSidecar, Pq.Sidecar).foreach { sc =>
+        val srcSc = live.resolve(sc)
+        if (Files.isDirectory(srcSc)) {
+          val dstSc = stage.resolve(sc)
+          Files.createDirectories(dstSc)
+          Fs.listDir(srcSc).filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => linkOrCopy(f, dstSc.resolve(f.getFileName)))
+        }
+      }
+      // the NEW spec rides the commit; commitStaged syncs the table
+      // level to it under the lock, so the next writer lays out by it
+      Files.write(stage.resolve(PartitionSpecFile), newDdl.getBytes("UTF-8"))
+      stampOp(stage, "evolve-partition-spec")
+      commitStaged(root, stage, Some(cur))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
   }
 

@@ -321,6 +321,17 @@ object Stats {
     val res = if (files.isEmpty) {
       val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else if (Sinks.hasLayoutLegs(dir)) {
+      // mixed-layout version (metadata-only partition evolution): the
+      // surviving files span layouts whose partition-directory columns
+      // differ — group per layout root, union, then subtract/filter
+      // exactly as below (keys stay version-dir-relative)
+      val raw = Sinks.readFilesMixed(spark, dir, files)
+      val cols = raw.columns.toSeq.filterNot(_ == "_metadata")
+      val subtracted =
+        if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
+        else Dv.subtract(raw, dir, cols)
+      subtracted.filter(pred)
     } else {
       // basePath keeps partition-dir columns in scope when the surviving
       // files are addressed individually (no-op for flat layouts)

@@ -39,13 +39,18 @@ object DvReadRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case r: DataSourceV2Relation => r.table match {
         // column-mapped versions swap through the same funnel: the bare
-        // scan would read LOGICAL names against PHYSICAL files
+        // scan would read LOGICAL names against PHYSICAL files. So do
+        // mixed-layout versions (metadata-only partition evolution):
+        // the bare scan sees only the top-level (current-layout) files
+        // — the `_layout<k>/` legs are `_`-hidden — and would silently
+        // drop every pre-evolution row
         case t: GraftSnapshotDir
-            if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) =>
+            if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
+              Sinks.hasLayoutLegs(t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
-            "reading _metadata columns of a deletion-vector or column-mapped " +
-              "table is unsupported: compact the table first")
+            "reading _metadata columns of a deletion-vector, column-mapped, " +
+              "or mixed-layout table is unsupported: compact the table first")
           swap(r, t)
         case _ => r
       }

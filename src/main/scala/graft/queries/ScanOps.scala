@@ -435,6 +435,28 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // B160 METADATA-ONLY partition evolution (Iceberg spec-append form)
+    // end to end through the SQL door: events_pem CTAS'd unpartitioned,
+    // `CALL system.repartition_table(metadata_only => true)` records the
+    // event_type spec with ZERO data movement (the old files hardlink
+    // under a `_layout0/` leg keeping their own `_PSPEC`), then an
+    // INSERT lands Hive-partitioned under the NEW spec — so the final
+    // read unions two layouts of one version: directory pruning fires on
+    // the new files, the leg serves event_type from file contents. The
+    // oracle recomputes from the raw fixture + the inserted row,
+    // hash-proving the mixed-layout read value-lossless.
+    "q_partition_evolution_meta" -> ((s, dir) => {
+      val cat = partitionEvolutionMetaCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value,
+           |  min(event_id) AS min_event, max(event_id) AS max_event
+           |FROM $cat.events_pem
+           |WHERE event_type IN ('view', 'click')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B131 zero-copy CLONE end to end through the SQL door: nation
     // CTAS'd as nat_src, `CALL system.clone` publishes its live version
     // as v0 of nat_clone (hardlink carry — no data bytes move), then the
@@ -863,6 +885,41 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog for q_partition_evolution_meta: `events_pem`
+    * CTAS'd UNPARTITIONED (v0 empty + v1 data), evolved to
+    * `PARTITIONED BY (event_type)` METADATA-ONLY (v2 — zero data
+    * movement, the v1 files hardlink under `_layout0/`), then one
+    * INSERT laid out under the new spec (v3 — the mixed-layout
+    * version the query reads). Rebuilt on fixture regeneration.
+    */
+  def partitionEvolutionMetaCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_pemwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftpem_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/events_pem"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "events")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.events(s, dir).select("event_id", "user_id", "value", "event_type")
+        .createOrReplaceTempView("graft_events_pem_src")
+      s.sql(s"CREATE TABLE $cat.events_pem USING parquet AS SELECT * FROM graft_events_pem_src")
+      s.sql(s"CALL $cat.system.repartition_table(table => 'events_pem', " +
+        "partition_by => 'event_type', metadata_only => true)")
+      s.sql(s"INSERT INTO $cat.events_pem VALUES (9000001, 888888, 2.25, 'view')")
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   /** Per-sf-dir catalog for q_meta_count: `ord_meta` = orders published
     * with footer stats (v0), appended to with stats (v1), then COW-
     * DELETEd through SQL DML (v2) — the `_stats` sidecar follows every
@@ -1245,6 +1302,17 @@ object ScanOps extends QueryModule {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(value), 4) AS sum_value
         |FROM t WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_partition_evolution_meta" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  UNION ALL SELECT 9000001, 888888, 'view', 2.25)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM t WHERE event_type IN ('view', 'click')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_clone" ->

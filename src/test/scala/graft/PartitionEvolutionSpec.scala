@@ -106,6 +106,238 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(all > 1 && kept < all, s"kept $kept of $all")
   }
 
+  // ------------------------------------------------------------------
+  // metadata-only evolution (Iceberg spec-append form): zero data
+  // movement, mixed-layout reads, per-layout pruning, MOR, compaction
+  // ------------------------------------------------------------------
+
+  private def fileKeys(dir: java.nio.file.Path): Map[String, Any] =
+    graft.io.Fs.walkParquet(dir).map { f =>
+      f.getFileName.toString -> java.nio.file.Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    }.toMap
+
+  test("metadata-only evolve: zero data movement (inode-asserted), spec recorded for future writes") {
+    val (tbl, _) = mk("m1")
+    val v0 = Paths.get(Sinks.versionPath(tbl, 0))
+    val before = fileKeys(v0)
+    val v = Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    assert(v == 1L)
+    val v1 = Paths.get(Sinks.versionPath(tbl, 1))
+    // every data file is the SAME inode, now under _layout0/ — nothing
+    // was rewritten, nothing remains at the top level
+    val after = fileKeys(v1)
+    assert(after == before, "evolution must hardlink, not rewrite")
+    assert(graft.io.Fs.walkParquet(v1).forall(f =>
+      v1.relativize(f).getName(0).toString == "_layout0"))
+    // the leg keeps the OLD spec; the version and table speak the NEW one
+    assert(new String(java.nio.file.Files.readAllBytes(
+      v1.resolve("_layout0").resolve("_PSPEC")), "UTF-8").trim.isEmpty)
+    assert(TableProps.partitionCols(tbl) == Seq("grp"))
+    // values identical through the funnel
+    assert(Sinks.readCurrent(spark, tbl).orderBy("k").collect().toSeq ==
+      Sinks.readVersion(spark, tbl, 0).orderBy("k").collect().toSeq)
+  }
+
+  test("mixed-layout reads: appends land under the new spec; pruning fires on BOTH layouts") {
+    import spark.implicits._
+    val (tbl, _) = mk("m2")
+    // start unpartitioned, evolve to grp-partitioning metadata-only,
+    // then append — new files get grp= dirs, old files stay flat in the leg
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val extra = (40L until 80L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(1L))
+    val v2 = Paths.get(Sinks.versionPath(tbl, 2))
+    assert(graft.io.Fs.listDir(v2).exists(_.getFileName.toString.startsWith("grp=")),
+      "append after evolution must lay out under the NEW spec")
+    assert(java.nio.file.Files.isDirectory(v2.resolve("_layout0")),
+      "the carried leg must survive the append")
+    // whole-table read = old rows ∪ new rows, exactly
+    val all = Sinks.readCurrent(spark, tbl)
+    assert(all.count() == 80 && all.select("k").distinct().count() == 80)
+    // SQL partition pruning on the NEW layout's column
+    val q = spark.sql("SELECT k FROM graftpe.m2 WHERE grp = '2'")
+    assert(q.count() == 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      plan.take(3000))
+    // the legacy leg has no grp= dirs, but its rows still qualify —
+    // 10 from the leg (flat files) + 10 from the new layout's grp=2 dir
+    val legRows = spark.sql(
+      "SELECT count(*) FROM graftpe.m2 WHERE grp = '2' AND k < 40")
+      .collect().head.getLong(0)
+    assert(legRows == 10)
+  }
+
+  test("old-partition-column pruning keeps firing on the leg after evolving AWAY from it") {
+    import spark.implicits._
+    val (tbl, _) = mk("m3")
+    // rewrite-partition by grp first (Hive dirs), THEN metadata-evolve to code
+    Sinks.repartitionTable(spark, tbl, Seq("grp"))
+    Sinks.repartitionTable(spark, tbl, Seq("code"), metadataOnly = true)
+    val extra = (40L until 60L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(2L))
+    // grp is a DIRECTORY in the leg, a data column on top; code the reverse
+    val byOld = spark.sql("SELECT k FROM graftpe.m3 WHERE grp = '1'")
+    val byNew = spark.sql("SELECT k FROM graftpe.m3 WHERE code = '00003'")
+    assert(byOld.count() == 15) // 10 leg + 5 appended
+    assert(byNew.count() ==
+      (0L until 60L).count(i => i % 7 == 3).toLong)
+    val planOld = byOld.queryExecution.executedPlan.toString
+    assert(planOld.contains("PartitionFilters") && planOld.contains("grp"),
+      "leg-side partition pruning lost: " + planOld.take(3000))
+    val planNew = byNew.queryExecution.executedPlan.toString
+    assert(planNew.contains("PartitionFilters") && planNew.contains("code"),
+      "top-side partition pruning lost: " + planNew.take(3000))
+    // exact metadata count still answers on the mixed-layout table
+    assert(spark.sql("SELECT count(*) FROM graftpe.m3").collect()
+      .head.getLong(0) == 60)
+  }
+
+  test("stats skipping survives the evolution: rewritten keys prune, pruned read stays exact") {
+    import spark.implicits._
+    // k-clustered files (disjoint ranges) so the sidecar CAN prune;
+    // the evolution moves them by hardlink and must keep it pruning
+    val df = spark.range(0, 40)
+      .select($"id".as("k"), ($"id" % 4).cast("string").as("grp"),
+        format_string("%05d", $"id" % 7).as("code"))
+    val tbl = s"$root/m4"
+    Sinks.publishVersioned(df.repartitionByRange(4, $"k"), tbl, None,
+      statsCols = Seq("k"))
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val dir = Sinks.resolve(tbl)
+    val allFiles = graft.io.Fs.walkParquet(Paths.get(dir)).size
+    val kept = Stats.prunedFiles(spark, dir, "k", 0L, 1L).size
+    assert(allFiles > 1 && kept < allFiles,
+      s"rewritten stats keys must keep pruning: kept $kept of $allFiles")
+    val got = Stats.readCurrentWhere(spark, tbl, "k", 5L, 9L)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == (5L to 9L).toSeq)
+  }
+
+  test("MOR delete on a mixed-layout table: leg-prefixed vector keys, exact subtraction") {
+    import spark.implicits._
+    val (tbl, _) = mk("m5")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val extra = (40L until 50L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(1L))
+    // rows matched in BOTH layouts (k<40 lives in the leg, k>=40 on top)
+    Sinks.deleteVector(spark, tbl, col("k") % 10 === 0)
+    val left = Sinks.readCurrent(spark, tbl).select("k").as[Long].collect().toSet
+    assert(left == (0L until 50L).filter(_ % 10 != 0).toSet)
+    val keys = graft.ops.Dv.vector(spark, Sinks.resolve(tbl))
+      .select("file").distinct().collect().map(_.getString(0))
+    assert(keys.exists(_.startsWith("_layout0/")),
+      s"leg rows must be keyed under their leg: ${keys.mkString(", ")}")
+    assert(keys.exists(!_.startsWith("_layout0/")),
+      "top-layout rows must be keyed at the top")
+  }
+
+  test("SQL DML on a mixed-layout table routes merge-on-read and stays exact") {
+    import spark.implicits._
+    val (tbl, _) = mk("m12")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val extra = (40L until 48L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(1L))
+    // DELETE touches rows in both layouts; the COW pruned-file scan
+    // cannot serve a mixed layout, so the route must be merge-on-read
+    spark.sql("DELETE FROM graftpe.m12 WHERE k % 8 = 1")
+    assert(graft.ops.Dv.exists(Sinks.resolve(tbl)),
+      "mixed-layout DELETE must route merge-on-read")
+    val ks = spark.sql("SELECT k FROM graftpe.m12").as[Long].collect().toSet
+    assert(ks == (0L until 48L).filter(_ % 8 != 1).toSet)
+    // UPDATE crosses layouts too (new copies land under the NEW spec)
+    spark.sql("UPDATE graftpe.m12 SET code = 'XXXXX' WHERE k % 8 = 2")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftpe.m12 WHERE code = 'XXXXX'")
+      .collect().head.getLong(0) == 6)
+    assert(spark.sql("SELECT count(*) FROM graftpe.m12")
+      .collect().head.getLong(0) == 42)
+  }
+
+  test("compaction materializes the legs away under the current spec") {
+    import spark.implicits._
+    val (tbl, _) = mk("m6")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val extra = (40L until 50L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(1L))
+    val v = Sinks.compactVersioned(spark, tbl)
+    val dir = Paths.get(Sinks.versionPath(tbl, v))
+    assert(!graft.io.Fs.listDir(dir).exists(d =>
+      graft.io.Fs.isLayoutLeg(d.getFileName.toString)),
+      "compaction must dissolve the layout legs")
+    assert(graft.io.Fs.listDir(dir).exists(_.getFileName.toString.startsWith("grp=")),
+      "the rewrite lays out under the CURRENT spec")
+    assert(Sinks.readCurrent(spark, tbl).count() == 50)
+  }
+
+  test("time travel and RESTORE across a metadata-only evolution") {
+    val (tbl, _) = mk("m7")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    // v0 (flat) still reads under its own layout
+    assert(spark.sql("SELECT k FROM graftpe.m7 VERSION AS OF 0").count() == 40)
+    // restore to pre-evolution: spec follows the data back
+    Sinks.restoreVersion(spark, tbl, 0L)
+    assert(TableProps.partitionCols(tbl).isEmpty)
+    assert(Sinks.readCurrent(spark, tbl).count() == 40)
+  }
+
+  test("back-to-back evolutions without appends do not mint empty legs") {
+    val (tbl, _) = mk("m8")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    Sinks.repartitionTable(spark, tbl, Seq("code"), metadataOnly = true)
+    val live = Paths.get(Sinks.resolve(tbl))
+    val legs = graft.io.Fs.listDir(live)
+      .filter(d => graft.io.Fs.isLayoutLeg(d.getFileName.toString))
+      .map(_.getFileName.toString)
+    assert(legs == Seq("_layout0"), s"got legs ${legs.mkString(", ")}")
+    assert(TableProps.partitionCols(tbl) == Seq("code"))
+    assert(Sinks.readCurrent(spark, tbl).count() == 40)
+  }
+
+  test("metadata-only refusals: same spec, unknown column, column-mapping rename") {
+    val (tbl, _) = mk("m9")
+    intercept[IllegalArgumentException](
+      Sinks.repartitionTable(spark, tbl, Nil, metadataOnly = true)) // already unpartitioned
+    intercept[IllegalArgumentException](
+      Sinks.repartitionTable(spark, tbl, Seq("nope"), metadataOnly = true))
+    Sinks.publishColumnMapping(spark, tbl, 0L, Map("code2" -> "code"))
+    intercept[IllegalArgumentException](
+      Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true))
+  }
+
+  test("CALL system.repartition_table(metadata_only => true)") {
+    val (tbl, _) = mk("m10")
+    val row = spark.sql(
+      "CALL graftpe.system.repartition_table(table => 'm10', " +
+        "partition_by => 'grp', metadata_only => true)").collect().head
+    assert(row.getString(0) == "m10" && row.getLong(1) == 1L)
+    assert(java.nio.file.Files.isDirectory(
+      Paths.get(Sinks.versionPath(tbl, 1), "_layout0")))
+    assert(spark.sql("SELECT count(*) FROM graftpe.m10 WHERE grp = '3'")
+      .collect().head.getLong(0) == 10)
+  }
+
+  test("CLONE carries the legs and their spec stamps") {
+    import spark.implicits._
+    val (tbl, _) = mk("m11")
+    Sinks.repartitionTable(spark, tbl, Seq("grp"), metadataOnly = true)
+    val extra = (40L until 44L).map(i =>
+      (i, (i % 4).toString, f"${i % 7}%05d")).toDF("k", "grp", "code")
+    Sinks.appendVersioned(extra, tbl, Some(1L))
+    val dst = s"$root/m11_clone"
+    Sinks.cloneTable(spark, tbl, dst)
+    assert(Sinks.readCurrent(spark, dst).count() == 44)
+    assert(java.nio.file.Files.exists(
+      Paths.get(Sinks.resolve(dst), "_layout0", "_PSPEC")),
+      "the clone must carry the leg spec stamp")
+  }
+
   test("CALL system.repartition_table + refusals") {
     val (tbl, _) = mk("t6")
     val row = spark.sql(
