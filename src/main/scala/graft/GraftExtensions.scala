@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletion-vector subtraction for SQL reads of MOR-deleted tables —
     // runs before V2 pushdown so filters still reach the file scan
     ext.injectOptimizerRule(_ => graft.plans.DvReadRule)
+    // hidden partitioning (B161): predicates on a transform's SOURCE
+    // column gain the implied predicate on the derived `_tp_*`
+    // directory column, so FileSourceStrategy partition-prunes a spec
+    // the user never sees. Fixed-point: fires after pushdown has moved
+    // the filter down to the scan (whose output still carries the
+    // derived columns — the funnel's drop is a Project above it).
+    ext.injectOptimizerRule(_ => graft.plans.HiddenPartitionRule)
     ext.injectPlannerStrategy(_ => GraftStrategy)
     // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
     // converted to versioned-commit commands at resolution time

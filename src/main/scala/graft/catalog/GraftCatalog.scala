@@ -121,7 +121,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     override def snapshotVersionDir: String = versionDir
     override def snapshotTableRoot: String = tRoot0
     override def name(): String = delegate.name
-    override def schema(): StructType = delegate.schema
+    // hidden partitioning (B161): the file-level delegate re-discovers
+    // the derived `_tp_*` directory columns and appends them to its
+    // schema — the TABLE's logical schema must not carry them (readers
+    // hide, writers re-derive)
+    override def schema(): StructType = StructType(delegate.schema
+      .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined))
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -227,7 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // funnel (requireReadRule refuses rule-less sessions up front)
     val mapping = graft.ops.ColMap.load(path)
     val gone = graft.ops.ColMap.dropped(path).map(_.toLowerCase)
-    val declared =
+    val declared0 =
       if (mapping.isEmpty && gone.isEmpty) Sinks.readSchemaFor(spark, tRoot, path)
       else {
         val phys = Sinks.readSchemaFor(spark, tRoot, path)
@@ -238,6 +243,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .map(f =>
             f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
       }
+    // hidden partitioning (B161): derived `_tp_*` directory columns are
+    // not part of the table's logical schema — the read funnel drops
+    // them and the writers re-derive them (the rule-presence gate keeps
+    // the bare scan from ever running on such a table)
+    val declared = declared0.map(s => org.apache.spark.sql.types.StructType(
+      s.filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)))
     ParquetTable(
       name = s"$catalogName.${ident.toString}",
       sparkSession = spark,
@@ -250,9 +261,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** The table's declared partition transforms (identity columns), for
     * DESCRIBE/SHOW surfaces and Spark's write-distribution planning.
     */
-  private def partitionTransforms(tRoot: String): Array[Transform] =
-    graft.ops.TableProps.partitionCols(tRoot).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  private def partitionTransforms(tRoot: String): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    graft.ops.TableProps.partitionCols(tRoot).map { c =>
+      graft.ops.Transforms.parse(c) match {
+        case Some(t: graft.ops.Transforms.Day) => Expressions.days(t.src)
+        case Some(t: graft.ops.Transforms.Month) => Expressions.months(t.src)
+        case Some(t: graft.ops.Transforms.Year) => Expressions.years(t.src)
+        case Some(t: graft.ops.Transforms.Bucket) => Expressions.bucket(t.n, t.src)
+        case Some(t: graft.ops.Transforms.Truncate) =>
+          Expressions.apply("truncate",
+            Expressions.literal(t.n), Expressions.column(t.src))
+        case None => Expressions.identity(c)
+      }
+    }.toArray
+  }
 
   /** A deletion-vector table is only readable through a session whose
     * optimizer carries [[graft.plans.DvReadRule]] (the subtraction);
@@ -270,7 +293,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // would silently drop every `_layout<k>/` leg row
     if (!graft.ops.Dv.exists(versionDir) &&
         !graft.ops.ColMap.exists(versionDir) &&
-        !Sinks.hasLayoutLegs(versionDir)) return
+        !Sinks.hasLayoutLegs(versionDir) &&
+        !Sinks.hasHiddenPartitioning(tableRoot(ident), versionDir)) return
     val spark = SparkSession.active
     val active =
       try {
@@ -287,8 +311,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
     if (!active) throw new IllegalStateException(
       s"$catalogName.${ident.toString} carries a deletion vector, column " +
-        "mapping, or mixed partition layout and this session's optimizer " +
-        "lacks DvReadRule — build the session with " +
+        "mapping, mixed partition layout, or hidden partitioning and this " +
+        "session's optimizer lacks DvReadRule — build the session with " +
         "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
         "to purge deletes / materialize renames and layout legs first)")
   }
@@ -354,36 +378,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col, …): identity transforms on top-level columns
-    // only — Hive-style directory partitioning inside each version dir.
-    // Bucketing/expression transforms are a different layout (see
-    // Layout.bucketedTable for co-located joins) and fail loudly.
-    val partCols: Seq[String] = partitions.toSeq.map { t =>
+    // PARTITIONED BY (col, …): identity columns give Hive-style
+    // directory partitioning inside each version dir. Transform
+    // partitioning — days/months/years(ts), bucket(n, col),
+    // truncate(n, col) — is HIDDEN partitioning (B161): the table
+    // partitions by a derived `_tp_*` column writers materialize,
+    // readers hide, and HiddenPartitionRule prunes by. Anything else
+    // fails loudly. (Hash-bucketed CO-LOCATION for joins is a different
+    // layout — Layout.bucketedTable.)
+    def oneRef(t: Transform): String = {
       val refs = t.references()
-      if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"$catalogName: only PARTITIONED BY (column, …) identity partitioning " +
-            s"is supported; got $t")
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"$catalogName: partition transform $t must reference exactly " +
+          "one top-level column")
       val c = refs(0).fieldNames()(0)
       schema.find(_.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
         s"$catalogName: partition column $c is not in the table schema")).name
     }
+    def intArg(t: Transform): Int = {
+      val lits = t.arguments().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value()
+      }
+      lits.collectFirst {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$catalogName: partition transform $t needs an integer argument"))
+    }
+    val partEntries: Seq[(String, Option[graft.ops.Transforms.T])] =
+      partitions.toSeq.map { t =>
+        val hidden: Option[graft.ops.Transforms.T] = t.name().toLowerCase match {
+          case "identity" => None
+          case "days" | "day" => Some(graft.ops.Transforms.Day(oneRef(t)))
+          case "months" | "month" => Some(graft.ops.Transforms.Month(oneRef(t)))
+          case "years" | "year" => Some(graft.ops.Transforms.Year(oneRef(t)))
+          case "bucket" => Some(graft.ops.Transforms.Bucket(intArg(t), oneRef(t)))
+          case "truncate" => Some(graft.ops.Transforms.Truncate(intArg(t), oneRef(t)))
+          case other => throw new UnsupportedOperationException(
+            s"$catalogName: unsupported partition transform '$other' " +
+              s"($t) — supported: identity columns, days/months/years, " +
+              "bucket(n, col), truncate(n, col)")
+        }
+        hidden.foreach { h =>
+          val srcType = schema.find(_.name.equalsIgnoreCase(h.src)).get.dataType
+          h.check(srcType).foreach(msg => throw new IllegalArgumentException(
+            s"$catalogName: partition transform ${h.spec}: $msg"))
+        }
+        (hidden.fold(oneRef(t))(_.colName), hidden)
+      }
+    val partCols: Seq[String] = partEntries.map(_._1)
+    val identityCols = partEntries.collect { case (n, None) => n }
     require(partCols.distinct == partCols,
       s"$catalogName: duplicate partition column in ${partCols.mkString(", ")}")
-    require(partCols.size < schema.size,
+    require(identityCols.size < schema.size,
       s"$catalogName: at least one non-partition column is required " +
         "(a table of only partition columns has no data files to carry the schema)")
-    // Hive convention, enforced rather than silently reordered: partition
-    // columns LAST, in PARTITIONED BY order. Reordering here would break
+    graft.ops.Transforms.requireNoReservedData(
+      schema.fieldNames.toSeq, partCols, s"$catalogName CREATE TABLE")
+    // Hive convention, enforced rather than silently reordered: IDENTITY
+    // partition columns LAST, in PARTITIONED BY order (derived transform
+    // columns are not in the logical schema). Reordering here would break
     // CTAS (Spark writes the query output BY POSITION against the schema
     // this method returns) and partitioned reads reconstruct dir columns
     // after file columns anyway — requiring the declaration to match
     // keeps every version's column order identical
-    require(partCols.isEmpty ||
-        schema.fields.takeRight(partCols.size).map(_.name).toSeq == partCols,
+    require(identityCols.isEmpty ||
+        schema.fields.takeRight(identityCols.size).map(_.name).toSeq == identityCols,
       s"$catalogName: partition columns must be the LAST table columns, in " +
         s"PARTITIONED BY order — declare (or CTAS-select) " +
-        s"(${(schema.fieldNames.filterNot(partCols.contains) ++ partCols).mkString(", ")})")
+        s"(${(schema.fieldNames.filterNot(identityCols.contains) ++ identityCols).mkString(", ")})")
     // fail loudly on clauses this layout cannot honor rather than
     // silently reinterpreting them; benign metadata (comment, owner)
     // passes through ignored
@@ -439,7 +502,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val partProp =
       if (partCols.isEmpty) Map.empty[String, String]
       else Map(graft.ops.TableProps.PartitionKey ->
-        StructType(partCols.map(c => schema(c))).toDDL)
+        StructType(partEntries.map {
+          case (n, None) => schema(n)
+          case (n, Some(h)) => org.apache.spark.sql.types.StructField(n,
+            h.dataType(schema.find(_.name.equalsIgnoreCase(h.src)).get.dataType))
+        }).toDDL)
     if (checks.nonEmpty || partProp.nonEmpty)
       graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp)
     loadTable(ident)
@@ -817,27 +884,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "and float→double preserve every stored value exactly")
       c -> u.newDataType()
     }.toMap
-    val widened = cur.select(cur.columns.toIndexedSeq.map(c =>
-      typeMap.get(c).fold(col(s"`$c`"))(t => col(s"`$c`").cast(t).as(c))): _*)
-    // a widened partition column updates the declared spec so readers
-    // pin the new type; the rewrite below re-lays the directories
-    val newPartProp = TableProps.partitionSchema(tr).map(st =>
-      TableProps.PartitionKey -> StructType(st.map(f =>
-        typeMap.get(f.name).fold(f)(t => f.copy(dataType = t)))).toDDL)
-    val oldProps = TableProps.load(tr)
-    newPartProp.foreach(p => TableProps.store(tr, oldProps - TableProps.PartitionKey + p))
-    try
-      // sidecar columns are physical; the rewrite lands logical-named
-      // files (and drops any column mapping), so translate for re-annotation
-      Sinks.publishVersioned(widened, tr, Some(v),
-        statsCols = graft.ops.Stats.sidecarCols(spark, liveDir)
-          .map(graft.ops.ColMap.toLogicalName(liveDir, _)),
-        bloomCols = graft.ops.Bloom.sidecarCols(spark, liveDir)
-          .map(graft.ops.ColMap.toLogicalName(liveDir, _)))
-    catch { case e: Throwable =>
-      newPartProp.foreach(_ => TableProps.store(tr, oldProps))
-      throw e
+    // METADATA-ONLY (B162, the Delta type-widening behavior): record
+    // PHYSICAL name → wide type in the column-mapping marker and
+    // hardlink every data file — readers pin the wide type and the
+    // parquet reader upcasts narrow footers per file; writes land wide
+    // from here on; compaction materializes. Zero data bytes move — the
+    // O(table) rewrite the pre-marker ALTER paid is gone. (Stats stay
+    // exact: integer-family footer bounds already normalize into the
+    // sidecar's long domain, float-family into double.)
+    val physWiden = typeMap.map { case (c, t) =>
+      graft.ops.ColMap.toPhysicalName(liveDir, c) -> t
     }
+    Sinks.publishTypeWidening(spark, tr, v, physWiden)
     loadTable(ident)
   }
 

@@ -362,7 +362,9 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("table", StringType)
         .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
       ProcedureParameter.in("partition_by", StringType)
-        .comment("comma-separated partition columns, '' to unpartition").build(),
+        .comment("comma-separated partition columns and/or hidden " +
+          "transforms (day(c), month(c), year(c), bucket(n, c), " +
+          "truncate(n, c)); '' to unpartition").build(),
       ProcedureParameter.in("metadata_only", BooleanType).defaultValue("false")
         .comment("true: record the new spec for future writes only " +
           "(Iceberg-style, zero data movement); false: rewrite the live " +

@@ -47,8 +47,13 @@ object Fs {
     * top-level (current-layout) subset because legs are `_`-hidden.
     */
   def walkParquet(dir: Path): Seq[Path] = {
+    // Spark's own hidden-path rule (HadoopFSUtils): `.`-prefixed always
+    // hidden; `_`-prefixed hidden UNLESS the name contains `=` — a
+    // partition directory of a `_`-named column (hidden partitioning's
+    // `_tp_ts__day=2024-01-01`) is DATA, not metadata
     def hidden(name: String) =
-      (name.startsWith("_") || name.startsWith(".")) && !isLayoutLeg(name)
+      name.startsWith(".") ||
+        (name.startsWith("_") && !name.contains("=") && !isLayoutLeg(name))
     def walk(p: Path): Seq[Path] =
       listDir(p).flatMap { c =>
         val name = c.getFileName.toString

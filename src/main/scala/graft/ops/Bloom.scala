@@ -300,7 +300,8 @@ object Bloom {
         }
       subtracted.filter(pred)
     }
-    ColMap.toLogical(res, dir)
+    // hidden partitioning: derived directory columns stay scan-side
+    Transforms.dropHidden(ColMap.toLogical(res, dir))
   }
 
   /** [[readWhereEq]] over the LIVE version of a [[Sinks]] versioned

@@ -54,6 +54,8 @@ object ColMap {
 
   private val AddedKeyPrefix = "__graft_added."
 
+  private val WidenedKeyPrefix = "__graft_widened."
+
   /** Reject logical column names that collide with the marker's
     * reserved key prefixes: a rename/add to such a name would write a
     * marker line that [[load]]/[[dropped]]/[[added]] misclassify —
@@ -63,9 +65,11 @@ object ColMap {
     * statement-level failure.
     */
   def requireValidLogical(name: String): Unit =
-    require(!name.startsWith(DroppedKeyPrefix) && !name.startsWith(AddedKeyPrefix),
+    require(!name.startsWith(DroppedKeyPrefix) && !name.startsWith(AddedKeyPrefix) &&
+        !name.startsWith(WidenedKeyPrefix),
       s"column name '$name' collides with the reserved $MarkerFile marker " +
-        s"prefixes ($DroppedKeyPrefix*, $AddedKeyPrefix*) — choose another name")
+        s"prefixes ($DroppedKeyPrefix*, $AddedKeyPrefix*, $WidenedKeyPrefix*) " +
+        "— choose another name")
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, MarkerFile))
@@ -88,7 +92,7 @@ object ColMap {
     */
   def load(dir: String): Map[String, String] =
     loadRaw(dir).filterNot(e => e._1.startsWith(DroppedKeyPrefix) ||
-      e._1.startsWith(AddedKeyPrefix))
+      e._1.startsWith(AddedKeyPrefix) || e._1.startsWith(WidenedKeyPrefix))
 
   /** PHYSICAL names of columns dropped metadata-only under `dir`:
     * present in the data files, bound to no logical name, discarded by
@@ -110,18 +114,49 @@ object ColMap {
           org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.head)
     }.toSeq.sortBy(_._1).map(_._2)
 
+  /** Columns WIDENED metadata-only under `dir` (B162): PHYSICAL name →
+    * declared wide type. Files written before the widen keep their
+    * narrow footers; [[Sinks.readSchemaFor]] pins the wide type and the
+    * parquet reader upcasts per file (byte→short→int→long,
+    * float→double — every stored value preserved exactly). Files
+    * written after carry the wide type physically. Compaction (any
+    * full rewrite) materializes and sheds the entry.
+    */
+  def widened(dir: String): Map[String, org.apache.spark.sql.types.DataType] =
+    loadRaw(dir).collect {
+      case (k, ddl) if k.startsWith(WidenedKeyPrefix) =>
+        val f = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.head
+        f.name -> f.dataType
+    }
+
+  /** Apply `dir`'s widen overrides to a read schema (case-insensitive
+    * on physical names; identity when none).
+    */
+  def applyWidened(dir: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val w = widened(dir)
+    if (w.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.map { f =>
+      w.collectFirst { case (n, t) if n.equalsIgnoreCase(f.name) => t }
+        .fold(f)(t => f.copy(dataType = t))
+    })
+  }
+
   /** Write the marker into a STAGED version dir (identity rename
-    * entries dropped; an all-identity map with no tombstones writes
-    * nothing, so a chain of renames that lands back on the physical
-    * names converges to unmapped).
+    * entries dropped; an all-identity map with no tombstones, adds, or
+    * widens writes nothing, so a chain of renames that lands back on
+    * the physical names converges to unmapped).
     */
   def write(stageDir: Path, map: Map[String, String],
       droppedPhys: Set[String] = Set.empty,
-      addedCols: Seq[org.apache.spark.sql.types.StructField] = Nil): Unit = {
+      addedCols: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      widenedCols: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Unit = {
     map.keys.foreach(requireValidLogical)
     addedCols.foreach(f => requireValidLogical(f.name))
+    widenedCols.keys.foreach(requireValidLogical)
     val effective = map.filterNot { case (l, p) => l == p }
-    if (effective.isEmpty && droppedPhys.isEmpty && addedCols.isEmpty) return
+    if (effective.isEmpty && droppedPhys.isEmpty && addedCols.isEmpty &&
+      widenedCols.isEmpty) return
     val props = new java.util.Properties()
     effective.foreach { case (l, p) => props.setProperty(l, p) }
     droppedPhys.toSeq.sorted.zipWithIndex.foreach { case (p, i) =>
@@ -129,6 +164,10 @@ object ColMap {
     addedCols.zipWithIndex.foreach { case (f, i) =>
       props.setProperty(s"$AddedKeyPrefix$i",
         org.apache.spark.sql.types.StructType(Seq(f)).toDDL) }
+    widenedCols.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, t), i) =>
+      props.setProperty(s"$WidenedKeyPrefix$i",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(n, t))).toDDL) }
     Files.createDirectories(stageDir)
     val out = Files.newOutputStream(stageDir.resolve(MarkerFile))
     try props.store(out, "graft column mapping: logical=physical")

@@ -98,19 +98,28 @@ object Sinks {
       case None => spark.read.parquet(p)
       case Some(fixed) => spark.read.schema(fixed).parquet(p)
     }
+    // hidden partitioning (B161): derived `_tp_*` directory columns are
+    // write-side machinery — the caller sees the source columns only.
+    // The drop lands as a Project ABOVE the scan, so a pushed-down
+    // filter still reaches the scan with the derived attributes in
+    // scope — which is where HiddenPartitionRule injects the directory
+    // predicate. (`_metadata` is captured in the SAME projection as the
+    // data columns below, before any drop, so the DV path keeps it.)
+    val dataCols = base.columns.toSeq
+      .filterNot(c => Transforms.parse(c).isDefined)
     // a version carrying a deletion vector (B135 merge-on-read DELETE)
     // subtracts it at scan time — this is the single funnel every Scala
     // read, snapshot diff, CDC read, replica bootstrap, and compaction
     // flows through, so deleted rows can never resurface from any of
     // them (SQL reads take the same subtraction via DvReadRule)
     val subtracted =
-      if (!Dv.exists(p)) base
+      if (!Dv.exists(p))
+        base.select(dataCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       else {
-        val cols = base.columns.toSeq
         Dv.subtract(
-          base.select((cols.map(org.apache.spark.sql.functions.col) :+
+          base.select((dataCols.map(org.apache.spark.sql.functions.col) :+
             org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*),
-          p, cols)
+          p, dataCols)
       }
     // metadata-only renames: the files speak PHYSICAL names, the caller
     // gets LOGICAL ones ([[ColMap]]); unmapped versions pass through
@@ -143,6 +152,16 @@ object Sinks {
   }
 
   private[graft] def hasLayoutLegs(p: String): Boolean = layoutLegs(p).nonEmpty
+
+  /** True iff version dir `p` was committed under a HIDDEN (transform)
+    * partition spec — its directory columns are derived `_tp_*` names
+    * ([[Transforms]]). Such versions must read through the funnel (the
+    * bare scan would surface the derived columns), exactly like DV /
+    * column-mapped / mixed-layout versions.
+    */
+  private[graft] def hasHiddenPartitioning(root: String, p: String): Boolean =
+    partitionSchemaFor(root, p).exists(
+      _.fieldNames.exists(n => Transforms.parse(n).isDefined))
 
   /** True iff any CURRENT-layout (top-level, Spark-visible) data file
     * exists under version dir `p` — right after a metadata-only
@@ -190,8 +209,10 @@ object Sinks {
     }
     val added = ColMap.added(p)
     val have = pinned.fieldNames.map(_.toLowerCase).toSet
-    added.foldLeft(pinned)((s, f) =>
+    val withAdded = added.foldLeft(pinned)((s, f) =>
       if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true)))
+    // widen overrides are VERSION-level and apply to every leg alike
+    ColMap.applyWidened(p, withAdded)
   }
 
   /** Every data file of version dir `p` as ONE physical-named frame
@@ -208,7 +229,11 @@ object Sinks {
     def one(scanDir: String): DataFrame = {
       val df = spark.read.schema(legReadSchema(spark, root, p, scanDir))
         .parquet(scanDir)
-      df.select((df.columns.map(c => col(s"`$c`")) :+ col("_metadata"))
+      // hidden partitioning: a leg's derived `_tp_*` directory columns
+      // never surface (and legs under DIFFERENT hidden specs would
+      // break the unionByName below if they did)
+      val cols = df.columns.filterNot(c => Transforms.parse(c).isDefined)
+      df.select((cols.map(c => col(s"`$c`")) :+ col("_metadata"))
         .toIndexedSeq: _*)
     }
     val legs = layoutLegs(p).filter(l => Fs.walkParquet(l).nonEmpty)
@@ -242,7 +267,10 @@ object Sinks {
       val df = spark.read.option("basePath", scanRoot)
         .schema(legReadSchema(spark, p, p, scanRoot))
         .parquet(groups(scanRoot): _*)
-      df.select((df.columns.map(c => col(s"`$c`")) :+ col("_metadata"))
+      // same hiding as scanVersion: derived directory columns stay
+      // scan-side
+      val cols = df.columns.filterNot(c => Transforms.parse(c).isDefined)
+      df.select((cols.map(c => col(s"`$c`")) :+ col("_metadata"))
         .toIndexedSeq: _*)
     }
     frames.reduce(_ unionByName _)
@@ -307,13 +335,20 @@ object Sinks {
     // already present in the footers (a post-ADD linked commit wrote
     // it, or inference picked a new file) is not appended twice.
     val added = ColMap.added(p)
-    if (added.isEmpty) pinned
-    else {
-      val base = pinned.getOrElse(spark.read.parquet(p).schema)
-      val have = base.fieldNames.map(_.toLowerCase).toSet
-      Some(added.foldLeft(base)((s, f) =>
-        if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true))))
-    }
+    val withAdded =
+      if (added.isEmpty) pinned
+      else {
+        val base = pinned.getOrElse(spark.read.parquet(p).schema)
+        val have = base.fieldNames.map(_.toLowerCase).toSet
+        Some(added.foldLeft(base)((s, f) =>
+          if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true))))
+      }
+    // metadata-only type widening ([[ColMap.widened]], B162): pin the
+    // declared WIDE type — the parquet reader upcasts narrow footers
+    // per file, files written after the widen are wide already
+    if (ColMap.widened(p).isEmpty) withAdded
+    else Some(ColMap.applyWidened(p,
+      withAdded.getOrElse(spark.read.parquet(p).schema)))
   }
 
   /** Snapshot versions present under `root`, ascending — the time-travel
@@ -468,7 +503,10 @@ object Sinks {
     val nIngested = ingestedSources(spark, root).size
     Seq((root, "parquet", cur, listVersions(root).size.toLong,
         files.size.toLong, files.map(Files.size).sum,
-        TableProps.partitionCols(root).mkString(","),
+        // hidden transforms surface in their human spelling (`day(ts)`),
+        // identity columns as themselves
+        TableProps.partitionCols(root)
+          .map(c => Transforms.parse(c).fold(c)(_.spec)).mkString(","),
         // sidecars speak physical names; DESCRIBE DETAIL speaks logical
         Stats.sidecarCols(spark, live)
           .map(ColMap.toLogicalName(live, _)).mkString(","),
@@ -803,9 +841,16 @@ object Sinks {
       // ALTER, compaction) lays the version out Hive-partitioned without
       // call-site cooperation, so partition pruning survives any writer
       val pcols = TableProps.partitionCols(root)
-      if (pcols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
+      // hidden partitioning (B161): derive (or RE-derive) the transform
+      // columns from their sources so the directory value can never go
+      // stale; refuse data columns squatting on the reserved namespace
+      // (readers hide everything shaped like a derived column)
+      Transforms.requireNoReservedData(df.columns.toSeq, pcols,
+        s"publish to $root")
+      val toStage = Transforms.derive(df, pcols)
+      if (pcols.isEmpty) toStage.write.mode("overwrite").parquet(stage.toString)
       else {
-        df.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+        toStage.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
         // an empty result under partitionBy writes no footer-bearing
         // file (no partition dirs exist), which would lose the schema —
         // land an empty FLAT file instead (partition cols in the file,
@@ -1343,7 +1388,14 @@ object Sinks {
       // the same translation; inherited sidecar columns are already
       // physical. Written FIRST so the emitFeed readback below sees it.
       val baseMapDir = expected.map(v => versionPath(root, v)).filter(ColMap.exists)
-      val toWrite = baseMapDir.fold(aligned)(d => ColMap.toPhysical(aligned, d))
+      val toWrite0 = baseMapDir.fold(aligned)(d => ColMap.toPhysical(aligned, d))
+      // hidden partitioning (B161): re-derive the transform columns on
+      // every linked commit too (a MOR UPDATE moving the source value
+      // must move the row's directory; an appended frame never carries
+      // them — the read funnel hides them)
+      Transforms.requireNoReservedData(toWrite0.columns.toSeq, pcols,
+        s"linked publish to $root")
+      val toWrite = Transforms.derive(toWrite0, pcols)
       if (skipDataWrite) Files.createDirectories(stage)
       else if (pcols.isEmpty) toWrite.write.mode("overwrite").parquet(stage.toString)
       else toWrite.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
@@ -1563,14 +1615,76 @@ object Sinks {
       expected: Long, mapping: Map[String, String],
       dropped: Set[String] = Set.empty,
       opTag: String = "rename-column",
-      added: Seq[org.apache.spark.sql.types.StructField] = Nil): Long = {
+      added: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      widened: Option[Map[String, org.apache.spark.sql.types.DataType]] = None): Long = {
     val src = Paths.get(versionPath(root, expected))
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       stageSnapshotLinks(src, stage)
       Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
-      ColMap.write(stage, mapping, dropped, added)
+      // widen entries (B162) survive every marker rewrite unless the
+      // caller replaces them explicitly — a RENAME/ADD must never
+      // silently re-narrow a widened column
+      ColMap.write(stage, mapping, dropped, added,
+        widened.getOrElse(ColMap.widened(src.toString)))
       stampOp(stage, opTag)
+      commitStaged(root, stage, Some(expected))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
+  /** Metadata-only ALTER COLUMN TYPE widening commit (B162): hardlink
+    * the live version and record `widenTo` (PHYSICAL name → wide type)
+    * in the column-mapping marker — zero data bytes move. Readers pin
+    * the wide type ([[readSchemaFor]]) and the parquet reader upcasts
+    * narrow footers per file; writers land wide files from here on;
+    * compaction materializes. A widened PARTITION column re-stamps the
+    * staged `_PSPEC` (and thereby the table-level spec) so directory
+    * values parse under the wide type. Callers validate the widening
+    * matrix; this refuses only the structurally unsound case — widening
+    * the SOURCE of a hidden bucket/truncate transform, whose derived
+    * values are type-sensitive (`hash(5) != hash(5L)`): old directories
+    * would stop matching the rule's injected predicate.
+    */
+  def publishTypeWidening(spark: SparkSession, root: String, expected: Long,
+      widenTo: Map[String, org.apache.spark.sql.types.DataType]): Long = {
+    val src = Paths.get(versionPath(root, expected))
+    val pcols = TableProps.partitionCols(root)
+    pcols.flatMap(Transforms.parse).foreach { t =>
+      require(!widenTo.keys.exists(_.equalsIgnoreCase(t.src)) ||
+          t.isInstanceOf[Transforms.Day] || t.isInstanceOf[Transforms.Month] ||
+          t.isInstanceOf[Transforms.Year],
+        s"cannot widen ${t.src}: it is the source of hidden transform " +
+          s"${t.spec}, whose derived values are type-sensitive — old " +
+          "directories would no longer match pruned reads; compact first")
+    }
+    val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      stageSnapshotLinks(src, stage)
+      Files.deleteIfExists(stage.resolve(ColMap.MarkerFile))
+      // an ADDED column has no physical bytes to upcast — retype its
+      // ADD record instead of minting a widen entry
+      val addedNames = ColMap.added(src.toString).map(_.name.toLowerCase).toSet
+      val (addWiden, physWiden) =
+        widenTo.partition(e => addedNames(e._1.toLowerCase))
+      val newAdded = ColMap.added(src.toString).map(f =>
+        addWiden.collectFirst { case (n, t) if n.equalsIgnoreCase(f.name) => t }
+          .fold(f)(t => f.copy(dataType = t)))
+      ColMap.write(stage, ColMap.load(src.toString),
+        ColMap.dropped(src.toString), newAdded,
+        ColMap.widened(src.toString) ++ physWiden)
+      // a widened identity partition column re-pins the spec DDL
+      val spec = partitionSchemaFor(root, src.toString)
+      if (spec.exists(_.fieldNames.exists(n =>
+          widenTo.keys.exists(_.equalsIgnoreCase(n))))) {
+        val widenedSpec = org.apache.spark.sql.types.StructType(spec.get.map(f =>
+          widenTo.collectFirst { case (n, t) if n.equalsIgnoreCase(f.name) => t }
+            .fold(f)(t => f.copy(dataType = t))))
+        Files.write(stage.resolve(PartitionSpecFile),
+          widenedSpec.toDDL.getBytes("UTF-8"))
+      }
+      stampOp(stage, "widen-type")
       commitStaged(root, stage, Some(expected))
     } catch {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
@@ -1863,14 +1977,32 @@ object Sinks {
       throw new IllegalStateException(s"no published version under $root"))
     val df = readCurrent(spark, root)
     val schema = df.schema
-    val canonical = partitionBy.map(c =>
-      schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $c is not in the table schema " +
-            s"(${schema.fieldNames.mkString(", ")})")))
+    // a spec entry is a plain column (identity) or a HIDDEN transform
+    // (`day(ts)`, `bucket(16, id)`, `truncate(4, code)` — B161): the
+    // transform contributes a DERIVED field the writers materialize and
+    // the readers hide
+    val canonical = partitionBy.map { c =>
+      Transforms.parseSpec(c) match {
+        case Some(t) =>
+          val srcF = schema.find(_.name.equalsIgnoreCase(t.src)).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition transform ${t.spec}: source column ${t.src} is " +
+                s"not in the table schema (${schema.fieldNames.mkString(", ")})"))
+          t.check(srcF.dataType).foreach(msg =>
+            throw new IllegalArgumentException(s"partition transform ${t.spec}: $msg"))
+          org.apache.spark.sql.types.StructField(t.colName, t.dataType(srcF.dataType))
+        case None =>
+          schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column $c is not in the table schema " +
+                s"(${schema.fieldNames.mkString(", ")})"))
+      }
+    }
     require(canonical.map(_.name).distinct.size == canonical.size,
       s"duplicate partition column in ${partitionBy.mkString(", ")}")
-    require(canonical.size < schema.size,
+    val identityNames = canonical.map(_.name)
+      .filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(identityNames.size < schema.size,
       "at least one non-partition column is required")
     if (metadataOnly)
       return evolveSpecMetadataOnly(spark, root, cur, canonical)
@@ -1883,13 +2015,14 @@ object Sinks {
       else m + (TableProps.PartitionKey ->
         org.apache.spark.sql.types.StructType(canonical).toDDL))
     try {
-      // Hive convention: partition columns LAST, in spec order
-      val pnames = canonical.map(_.name)
+      // Hive convention: IDENTITY partition columns LAST, in spec order
+      // (derived transform columns aren't in the logical schema — the
+      // publish below materializes them from their sources)
       val reordered = df.select(
-        (schema.fieldNames.filterNot(pnames.contains) ++ pnames)
+        (schema.fieldNames.filterNot(identityNames.contains) ++ identityNames)
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val sc = Stats.sidecarCols(spark, versionPath(root, cur))
-        .filterNot(pnames.contains)
+        .filterNot(canonical.map(_.name).contains)
       publishVersioned(reordered, root, Some(cur), statsCols = sc)
     } catch {
       case e: Throwable => TableProps.store(root, oldProps); throw e

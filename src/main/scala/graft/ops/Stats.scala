@@ -351,7 +351,8 @@ object Stats {
         }
       subtracted.filter(pred)
     }
-    ColMap.toLogical(res, dir)
+    // hidden partitioning: derived directory columns stay scan-side
+    Transforms.dropHidden(ColMap.toLogical(res, dir))
   }
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table

@@ -46,11 +46,13 @@ object DvReadRule extends Rule[LogicalPlan] {
         // drop every pre-evolution row
         case t: GraftSnapshotDir
             if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
-              Sinks.hasLayoutLegs(t.snapshotVersionDir) =>
+              Sinks.hasLayoutLegs(t.snapshotVersionDir) ||
+              Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
             "reading _metadata columns of a deletion-vector, column-mapped, " +
-              "or mixed-layout table is unsupported: compact the table first")
+              "mixed-layout, or hidden-partitioned table is unsupported: " +
+              "compact the table first")
           swap(r, t)
         case _ => r
       }

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+import graft.ops.Transforms
+
+/** Hidden-partitioning predicate injection (B161): when a filter over a
+  * scan that carries derived partition columns (`_tp_<src>__<tag>`,
+  * [[Transforms]]) constrains the SOURCE column with literals, conjoin
+  * the IMPLIED constraint on the derived directory column — so the user
+  * queries raw `ts` and FileSourceStrategy partition-prunes
+  * `_tp_ts__day=…` directories. This is the Iceberg hidden-partitioning
+  * contract re-expressed as a Catalyst rule.
+  *
+  * Soundness: every injected conjunct is IMPLIED by an existing
+  * top-level conjunct through the transform's monotonicity (day/month/
+  * year/truncate map ranges to ranges; bucket maps equality to
+  * equality), so the filter's row set is unchanged — the derived
+  * predicate only narrows which FILES the scan opens. Rows where the
+  * source is NULL already fail the original conjunct, so the injected
+  * conjunct (also NULL there) removes nothing new.
+  *
+  * Runs in the operator-optimization fixed point: predicate pushdown
+  * first moves the user filter down to the scan (whose output still
+  * carries the derived columns — [[graft.ops.Sinks.readDir]] drops them
+  * in a Project ABOVE); this rule then augments it; the injected
+  * mapping expressions are literal-only and constant-fold before
+  * planning. Idempotent: a filter already referencing a derived column
+  * is left alone.
+  */
+object HiddenPartitionRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val hidden = child.output.flatMap(a => Transforms.parse(a.name).map(a -> _))
+      if (hidden.isEmpty ||
+          cond.references.exists(a => Transforms.parse(a.name).isDefined)) f
+      else {
+        val conjuncts = splitAnd(cond)
+        val extra = hidden.flatMap { case (hAttr, t) =>
+          child.output.find(_.name.equalsIgnoreCase(t.src)).toSeq.flatMap { src =>
+            conjuncts.flatMap(c => rewrite(c, src, hAttr, t))
+          }
+        }
+        if (extra.isEmpty) f
+        else Filter(extra.foldLeft(cond)(And(_, _)), child)
+      }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** The derived-column image of a source literal under transform `t`,
+    * as a literal-only expression (constant-folds before planning), or
+    * None when the literal's type can't be mapped faithfully.
+    */
+  private def image(t: Transforms.T, lit: Literal,
+      srcType: DataType): Option[Expression] = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    t match {
+      case _: Transforms.Day => lit.dataType match {
+        case TimestampType | DateType => Some(Cast(lit, DateType, tz))
+        case _ => None
+      }
+      case _: Transforms.Month => lit.dataType match {
+        case TimestampType | DateType =>
+          Some(TruncDate(Cast(lit, DateType, tz), Literal("month")))
+        case _ => None
+      }
+      case _: Transforms.Year => lit.dataType match {
+        case TimestampType | DateType =>
+          Some(TruncDate(Cast(lit, DateType, tz), Literal("year")))
+        case _ => None
+      }
+      case b: Transforms.Bucket =>
+        // the hash is type-sensitive: only map a literal of EXACTLY the
+        // source type (comparison coercion has already cast it)
+        if (lit.dataType == srcType)
+          Some(Pmod(new Murmur3Hash(Seq(lit)), Literal(b.n)))
+        else None
+      case tr: Transforms.Truncate => srcType match {
+        case StringType if lit.dataType == StringType =>
+          Some(Substring(lit, Literal(1), Literal(tr.n)))
+        case it @ (ByteType | ShortType | IntegerType | LongType)
+            if lit.dataType == srcType =>
+          Some(Subtract(lit, Pmod(lit, Cast(Literal(tr.n), it))))
+        case _ => None
+      }
+    }
+  }
+
+  /** Monotone transforms map source ranges to derived ranges; bucket
+    * and truncate-equality map equality to equality. Strict bounds
+    * relax to inclusive on the derived side (two source values in one
+    * day/bucket share a directory — the image bound must keep it).
+    */
+  private def rewrite(c: Expression, src: Attribute, h: Attribute,
+      t: Transforms.T): Option[Expression] = {
+    val monotone = t match {
+      case _: Transforms.Bucket => false
+      case _ => true
+    }
+    def img(l: Literal) = image(t, l, src.dataType)
+    c match {
+      case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(src) =>
+        img(l).map(EqualTo(h, _))
+      case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(src) =>
+        img(l).map(EqualTo(h, _))
+      case EqualNullSafe(a: Attribute, l: Literal)
+          if a.semanticEquals(src) && l.value != null =>
+        img(l).map(EqualTo(h, _))
+      case EqualNullSafe(l: Literal, a: Attribute)
+          if a.semanticEquals(src) && l.value != null =>
+        img(l).map(EqualTo(h, _))
+      case In(a: Attribute, list) if a.semanticEquals(src) &&
+          list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val images = list.map(l => img(l.asInstanceOf[Literal]))
+        if (images.forall(_.isDefined)) Some(In(h, images.map(_.get)))
+        else None
+      case GreaterThan(a: Attribute, l: Literal)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(GreaterThanOrEqual(h, _))
+      case GreaterThanOrEqual(a: Attribute, l: Literal)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(GreaterThanOrEqual(h, _))
+      case LessThan(a: Attribute, l: Literal)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(LessThanOrEqual(h, _))
+      case LessThanOrEqual(a: Attribute, l: Literal)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(LessThanOrEqual(h, _))
+      // literal-on-the-left spellings flip the bound
+      case GreaterThan(l: Literal, a: Attribute)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(LessThanOrEqual(h, _))
+      case GreaterThanOrEqual(l: Literal, a: Attribute)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(LessThanOrEqual(h, _))
+      case LessThan(l: Literal, a: Attribute)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(GreaterThanOrEqual(h, _))
+      case LessThanOrEqual(l: Literal, a: Attribute)
+          if monotone && a.semanticEquals(src) =>
+        img(l).map(GreaterThanOrEqual(h, _))
+      case _ => None
+    }
+  }
+}

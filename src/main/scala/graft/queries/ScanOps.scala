@@ -457,6 +457,44 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // B161 HIDDEN partitioning end to end through the SQL door:
+    // events_hp CTAS'd `PARTITIONED BY (days(ts), bucket(8, user_id))`
+    // — the table partitions by derived `_tp_*` columns the user never
+    // sees (writers materialize them, readers hide them), an INSERT
+    // lands through the same derivation, and the final read filters on
+    // RAW ts — HiddenPartitionRule injects the `_tp_ts__day` directory
+    // predicate so the scan partition-prunes a spec that is invisible
+    // in the schema (HiddenPartitionSpec plan-asserts the pruning).
+    // The oracle recomputes from the raw fixture + the inserted row.
+    "q_hidden_partitioning" -> ((s, dir) => {
+      val cat = hiddenPartitionCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value
+           |FROM $cat.events_hp
+           |WHERE ts >= timestamp'2024-01-08 00:00:00'
+           |  AND ts < timestamp'2024-01-15 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // B162 METADATA-ONLY type widening end to end through the SQL door:
+    // ord_w CTAS'd with an INT key column, `ALTER TABLE ... ALTER COLUMN
+    // cust TYPE BIGINT` records the widening in the column-mapping
+    // marker with every data file hardlinked (zero movement — WidenSpec
+    // inode-asserts), then an INSERT lands a value beyond int range.
+    // The final aggregate reads MIXED footers (int32 files upcast per
+    // file, the new file natively wide); the oracle recomputes from the
+    // raw fixture with an explicit CAST.
+    "q_type_widening" -> ((s, dir) => {
+      val cat = typeWideningCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(cust) AS BIGINT) AS sum_cust, max(cust) AS max_cust
+           |FROM $cat.ord_w
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B131 zero-copy CLONE end to end through the SQL door: nation
     // CTAS'd as nat_src, `CALL system.clone` publishes its live version
     // as v0 of nat_clone (hardlink carry — no data bytes move), then the
@@ -920,6 +958,73 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog for q_hidden_partitioning: `events_hp` CTAS'd
+    * `PARTITIONED BY (days(ts), bucket(8, user_id))` — B161 hidden
+    * transform partitioning — then one INSERT through the derivation.
+    * Rebuilt on fixture regeneration (content-stamp equality).
+    */
+  def hiddenPartitionCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_hpwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "grafthpq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/events_hp"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "events")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .createOrReplaceTempView("graft_events_hp_src")
+      s.sql(s"CREATE TABLE $cat.events_hp USING parquet " +
+        "PARTITIONED BY (days(ts), bucket(8, user_id)) " +
+        "AS SELECT * FROM graft_events_hp_src")
+      s.sql(s"INSERT INTO $cat.events_hp VALUES " +
+        "(9000002, timestamp'2024-01-09 12:00:00', 777777, 'click', 3.5)")
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
+  /** Per-sf-dir catalog for q_type_widening: `ord_w` CTAS'd with an INT
+    * cust column, widened to BIGINT metadata-only (B162), then one
+    * INSERT beyond int range. Rebuilt on fixture regeneration.
+    */
+  def typeWideningCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val wh = "/tmp/graft_twwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftw_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/ord_w"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders")
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.orders(s, dir)
+        .selectExpr("CAST(o_custkey AS INT) AS cust", "o_orderstatus")
+        .createOrReplaceTempView("graft_ord_w_src")
+      s.sql(s"CREATE TABLE $cat.ord_w USING parquet AS SELECT * FROM graft_ord_w_src")
+      s.sql(s"ALTER TABLE $cat.ord_w ALTER COLUMN cust TYPE BIGINT")
+      s.sql(s"INSERT INTO $cat.ord_w VALUES (9999999999, 'Z')")
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   /** Per-sf-dir catalog for q_meta_count: `ord_meta` = orders published
     * with footer stats (v0), appended to with stats (v1), then COW-
     * DELETEd through SQL DML (v2) — the `_stats` sidecar follows every
@@ -1314,6 +1419,27 @@ object ScanOps extends QueryModule {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM t WHERE event_type IN ('view', 'click')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hidden_partitioning" ->
+      """WITH t AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value FROM events
+        |  UNION ALL SELECT 9000002, TIMESTAMP '2024-01-09 12:00:00',
+        |    777777, 'click', 3.5)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM t WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_type_widening" ->
+      """WITH t AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust, o_orderstatus FROM orders
+        |  UNION ALL SELECT 9999999999, 'Z')
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(cust) AS BIGINT) AS sum_cust, max(cust) AS max_cust
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_clone" ->
       """SELECT 'src' AS side, n_nationkey, n_name, n_regionkey
