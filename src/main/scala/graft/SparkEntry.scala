@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ann_ivf", "q_doc_chunks", "q_span_dedup", "q_dsir_select",
     "q_corpus_shards", "q_bpe_pairs", "q_neardup_index",
     "q_range_binned", "q_scd2_apply", "q_incr_ingest",
-    "q_partition_evolution_meta", "q_hidden_partitioning", "q_type_widening")
+    "q_partition_evolution_meta", "q_hidden_partitioning", "q_type_widening",
+    "q_cluster_sample")
     .filter(queries.contains)
 }

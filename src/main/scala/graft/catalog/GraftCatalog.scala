@@ -507,8 +507,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           case (n, Some(h)) => org.apache.spark.sql.types.StructField(n,
             h.dataType(schema.find(_.name.equalsIgnoreCase(h.src)).get.dataType))
         }).toDDL)
-    if (checks.nonEmpty || partProp.nonEmpty)
-      graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp)
+    // behavior-bearing graft.* switches declared at CREATE persist
+    // (optimized writes); everything else non-check stays benign
+    // metadata and is ignored as before
+    val behaviorProps = Option(properties.get(graft.ops.TableProps.DistributeKey))
+      .map(v => graft.ops.TableProps.DistributeKey -> v).toMap
+    if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty)
+      graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp ++ behaviorProps)
     loadTable(ident)
   }
 
@@ -737,6 +742,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val pcols = TableProps.partitionCols(tr)
     dropSet.foreach(c => require(!pcols.exists(_.equalsIgnoreCase(c)),
       s"$catalogName: cannot drop partition column $c"))
+    // hidden partitioning (B161): the derivation needs its source on
+    // every future write — dropping it would brick the table's writers
+    pcols.flatMap(graft.ops.Transforms.parse).foreach(t =>
+      dropSet.foreach(c => require(!t.src.equalsIgnoreCase(c),
+        s"$catalogName: cannot drop $c — it is the source of hidden " +
+          s"partition transform ${t.spec}; repartition the table first")))
     require(cols.filterNot(dropSet).exists(c => !pcols.exists(_.equalsIgnoreCase(c))),
       s"$catalogName: dropping ${dropSet.mkString(", ")} would leave no " +
         "non-partition column")

@@ -847,7 +847,7 @@ object Sinks {
       // (readers hide everything shaped like a derived column)
       Transforms.requireNoReservedData(df.columns.toSeq, pcols,
         s"publish to $root")
-      val toStage = Transforms.derive(df, pcols)
+      val toStage = distributeForWrite(Transforms.derive(df, pcols), root, pcols)
       if (pcols.isEmpty) toStage.write.mode("overwrite").parquet(stage.toString)
       else {
         toStage.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
@@ -899,6 +899,19 @@ object Sinks {
       case e: Throwable => Fs.deleteRecursively(stage); throw e
     }
   }
+
+  /** Optimized write ([[TableProps.DistributeKey]]): cluster the staged
+    * frame by its partition columns so each partition value lands from
+    * ONE task — one file per value per commit instead of
+    * (tasks × values). No-op for unpartitioned tables or tables that
+    * did not opt in. Runs AFTER transform derivation so hidden specs
+    * distribute by the derived directory value.
+    */
+  private def distributeForWrite(df: DataFrame, root: String,
+      pcols: Seq[String]): DataFrame =
+    if (pcols.isEmpty || !TableProps.distributeWrites(root)) df
+    else df.repartition(pcols.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`")).toIndexedSeq: _*)
 
   /** Per-version operation marker (`_OP`) — what DESCRIBE HISTORY's
     * `operation` column reads; written into the stage so it rides the
@@ -1395,7 +1408,8 @@ object Sinks {
       // them — the read funnel hides them)
       Transforms.requireNoReservedData(toWrite0.columns.toSeq, pcols,
         s"linked publish to $root")
-      val toWrite = Transforms.derive(toWrite0, pcols)
+      val toWrite =
+        distributeForWrite(Transforms.derive(toWrite0, pcols), root, pcols)
       if (skipDataWrite) Files.createDirectories(stage)
       else if (pcols.isEmpty) toWrite.write.mode("overwrite").parquet(stage.toString)
       else toWrite.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)

@@ -25,6 +25,22 @@ private[graft] object TableProps {
     */
   val PartitionKey = "graft.partition"
 
+  /** Optimized-write switch (`'graft.write.distribute' = 'true'`): a
+    * partitioned write repartitions by the partition columns first, so
+    * each partition value is written by ONE task — one file per value
+    * per commit instead of (tasks × values). The Delta optimized-write
+    * analog; at 100 TB the (tasks × values) small-file explosion is the
+    * difference between a listable table and a dead one. Opt-in: the
+    * extra shuffle costs one pass, and a table with few, HOT partition
+    * values would serialize on single tasks — the trade is the
+    * operator's to make per table.
+    */
+  val DistributeKey = "graft.write.distribute"
+
+  /** True iff `root` opted into distributed partitioned writes. */
+  def distributeWrites(root: String): Boolean =
+    load(root).get(DistributeKey).exists(_.equalsIgnoreCase("true"))
+
   private def propsPath(root: String) = Paths.get(root, "_PROPS")
 
   def load(root: String): Map[String, String] = {

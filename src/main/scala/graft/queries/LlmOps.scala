@@ -207,6 +207,43 @@ object LlmOps extends QueryModule {
         .orderBy("label", "dim")
     }),
 
+    // B163 cluster-balanced (diversity) sampling — the pretraining-mix
+    // move that keeps a sampled corpus from collapsing onto its densest
+    // semantic region: assign every vector to its nearest of k
+    // deterministic centroids (per-label dimension means, 6dp — the
+    // q_label_centroids quantities, so the "clustering" is
+    // engine-recomputable), then take the first n per cluster — equal
+    // representation per semantic region regardless of region size.
+    // Scale: centroids are k tiny rows (broadcast); the corpus is
+    // scanned ONCE against all k (a broadcast nested loop over a
+    // constant k, not a shuffle join); argmax and per-cluster rank are
+    // two windows keyed by the natural keys. The oracle recomputes the
+    // whole chain — centroid means, dot products, argmax with the
+    // label tie-break, per-cluster rank — in DuckDB.
+    "q_cluster_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x("c")).as("cvec"))
+        .withColumnRenamed("label", "cluster")
+      val dots = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"),
+          round(Vec.dot(col("embedding"), col("cvec")), 6).as("sim"))
+      val assigned = dots.withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cluster"))))
+        .filter(col("rk") === 1)
+      assigned.withColumn("sk", row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+        .filter(col("sk") <= 20)
+        .select(col("cluster"), col("vec_id"), col("sim"))
+        .orderBy("cluster", "vec_id")
+    }),
+
     // B61 vector norms (embeddings are L2-normalized — the oracle doubles
     // as a data-quality assertion).
     "q_embed_norms" -> ((s, dir) => {
@@ -918,6 +955,28 @@ object LlmOps extends QueryModule {
         | round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) g(i)
         |GROUP BY label, g.i ORDER BY label, dim""".stripMargin,
+
+    "q_cluster_sample" ->
+      """WITH cent AS (
+        |  SELECT label, g.i AS dim,
+        |    round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, generate_series(1, 64) g(i) GROUP BY label, g.i),
+        |dots AS (
+        |  SELECT e.vec_id, c.label AS cluster,
+        |    round(sum(CAST(e.embedding[c.dim] AS DOUBLE) * c.c), 6) AS sim
+        |  FROM embeddings e JOIN cent c ON true
+        |  GROUP BY e.vec_id, c.label),
+        |assign AS (
+        |  SELECT vec_id, cluster, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cluster) AS rk
+        |  FROM dots),
+        |sample AS (
+        |  SELECT cluster, vec_id, sim,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS sk
+        |  FROM assign WHERE rk = 1)
+        |SELECT cluster, vec_id, sim FROM sample WHERE sk <= 20
+        |ORDER BY cluster, vec_id""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id,

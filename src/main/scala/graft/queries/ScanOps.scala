@@ -1014,7 +1014,7 @@ object ScanOps extends QueryModule {
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(wh))
       Tables.orders(s, dir)
-        .selectExpr("CAST(o_custkey AS INT) AS cust", "o_orderstatus")
+        .selectExpr("CAST(o_custkey % 1000000 AS INT) AS cust", "o_orderstatus")
         .createOrReplaceTempView("graft_ord_w_src")
       s.sql(s"CREATE TABLE $cat.ord_w USING parquet AS SELECT * FROM graft_ord_w_src")
       s.sql(s"ALTER TABLE $cat.ord_w ALTER COLUMN cust TYPE BIGINT")
@@ -1435,7 +1435,7 @@ object ScanOps extends QueryModule {
 
     "q_type_widening" ->
       """WITH t AS (
-        |  SELECT CAST(o_custkey AS BIGINT) AS cust, o_orderstatus FROM orders
+        |  SELECT CAST(o_custkey % 1000000 AS BIGINT) AS cust, o_orderstatus FROM orders
         |  UNION ALL SELECT 9999999999, 'Z')
         |SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(cust) AS BIGINT) AS sum_cust, max(cust) AS max_cust

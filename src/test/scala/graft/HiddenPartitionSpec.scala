@@ -181,6 +181,18 @@ class HiddenPartitionSpec extends AnyFunSuite {
       Sinks.repartitionTable(spark, tbl, Seq("day(nope)"))) // no source
   }
 
+  test("DROP COLUMN of a transform source is refused (writers would brick)") {
+    mk("h10")
+    Sinks.repartitionTable(spark, s"$root/h10", Seq("day(ts)"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE grafthp.h10 DROP COLUMN ts"))
+    assert(e.getMessage.contains("day(ts)"), e.getMessage)
+    // the table still reads and writes
+    spark.sql("INSERT INTO grafthp.h10 VALUES " +
+      "(700, timestamp'2024-03-04 01:00:00', 1, 'C0', 0.0)")
+    assert(spark.table("grafthp.h10").count() == 201)
+  }
+
   test("compaction keeps the hidden spec and re-lays by it") {
     import spark.implicits._
     val tbl = mk("h8")

@@ -338,6 +338,49 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       "the clone must carry the leg spec stamp")
   }
 
+  test("optimized writes: graft.write.distribute lands ONE file per partition value") {
+    import spark.implicits._
+    def mkDistributed(name: String, distribute: Boolean): String = {
+      val tbl = s"$root/$name"
+      TableProps.update(tbl) { _ =>
+        Map(TableProps.PartitionKey -> "grp STRING") ++
+          (if (distribute) Map(TableProps.DistributeKey -> "true") else Map.empty)
+      }
+      val df = spark.range(0, 80)
+        .select($"id".as("k"), ($"id" % 4).cast("string").as("grp"))
+      // 8 input partitions, each holding every grp value — the
+      // (tasks x values) worst case the switch exists for
+      Sinks.publishVersioned(df.repartition(8), tbl, None)
+      tbl
+    }
+    def filesPerDir(tbl: String): Seq[Int] =
+      graft.io.Fs.listDir(Paths.get(Sinks.resolve(tbl)))
+        .filter(_.getFileName.toString.startsWith("grp="))
+        .map(d => graft.io.Fs.walkParquet(d).size)
+    val plain = mkDistributed("d1", distribute = false)
+    assert(filesPerDir(plain).forall(_ > 1),
+      s"control: the worst case must actually produce many files, got ${filesPerDir(plain)}")
+    val opt = mkDistributed("d2", distribute = true)
+    assert(filesPerDir(opt) == Seq(1, 1, 1, 1),
+      s"distributed write must land one file per value, got ${filesPerDir(opt)}")
+    // appends distribute too, and values stay identical
+    val extra = spark.range(80, 160)
+      .select($"id".as("k"), ($"id" % 4).cast("string").as("grp"))
+    Sinks.appendVersioned(extra.repartition(8), opt, Sinks.currentVersion(opt))
+    assert(filesPerDir(opt) == Seq(2, 2, 2, 2),
+      s"each append adds exactly one file per value, got ${filesPerDir(opt)}")
+    assert(Sinks.readCurrent(spark, opt).count() == 160)
+    // SQL door: declared at CREATE, honored by INSERT
+    spark.conf.set("spark.sql.catalog.graftpe.root", root)
+    spark.sql("CREATE TABLE graftpe.d3 (k BIGINT, grp STRING) USING parquet " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.write.distribute' = 'true')")
+    spark.range(0, 80).select($"id".as("k"), ($"id" % 4).cast("string").as("grp"))
+      .repartition(8).createOrReplaceTempView("pe_d3_src")
+    spark.sql("INSERT INTO graftpe.d3 SELECT * FROM pe_d3_src")
+    assert(filesPerDir(s"$root/d3") == Seq(1, 1, 1, 1),
+      s"got ${filesPerDir(s"$root/d3")}")
+  }
+
   test("CALL system.repartition_table + refusals") {
     val (tbl, _) = mk("t6")
     val row = spark.sql(
