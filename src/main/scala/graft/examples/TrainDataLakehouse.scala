@@ -54,6 +54,19 @@ object TrainDataLakehouse {
       s"(${Sinks.readCurrent(spark, corpus).count()} docs, " +
       s"${Sinks.readCurrent(spark, stats).count()} languages, one commit)")
 
+    // 1b. HIDDEN layout, recorded without touching a byte: the corpus
+    // evolves to bucket(8, doc_id) METADATA-ONLY (the v1 files hardlink
+    // under a _layout0/ leg; future writes land bucketed) and opts into
+    // optimized writes (one file per bucket per commit). Point lookups
+    // on the raw doc_id now directory-prune a spec no query mentions.
+    Sinks.repartitionTable(spark, corpus, Seq("bucket(8, doc_id)"),
+      metadataOnly = true)
+    graft.ops.TableProps.update(corpus)(
+      _ + (graft.ops.TableProps.DistributeKey -> "true"))
+    println(s"[1b] hidden layout: bucket(8, doc_id) recorded metadata-only " +
+      s"(v${Sinks.currentVersion(corpus).get}, zero bytes moved), " +
+      "optimized writes on")
+
     // 2. PII scrub through WRITE-AUDIT-PUBLISH: the O(corpus) rewrite
     // commits to a BRANCH table, an audit checks it there, and only the
     // fast-forward merge (hardlink adoption, one OCC commit) exposes it

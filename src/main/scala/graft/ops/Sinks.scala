@@ -2140,9 +2140,15 @@ object Sinks {
       rewriteKeys(Bloom.Sidecar)
       if (Dv.exists(live.toString)) {
         if (!moveTop) rewriteKeys(Dv.Sidecar)
-        else {
-          // positions read handles both storage formats; re-encode the
-          // re-keyed vector as one fresh v2 part (also the fold point)
+        else if (!Dv.hasLegacyParts(spark, live.toString)) {
+          // pure v2 parts: rewrite only the KEY column, never expand
+          // the bitmaps — O(vector rows), not O(deleted positions).
+          // Multiple rows per re-keyed file stay valid (reads OR-merge)
+          rewriteKeys(Dv.Sidecar)
+        } else {
+          // mixed/legacy v1 parts can't be read as one frame — expand
+          // through the format-tolerant positions read and re-encode as
+          // one fresh v2 part (also the fold point)
           val re = Dv.vector(spark, live.toString)
             .withColumn("file", when(legKeyed, col("file"))
               .otherwise(concat(lit(legName + "/"), col("file"))))

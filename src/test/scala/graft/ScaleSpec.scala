@@ -729,7 +729,8 @@ class ScaleSpec extends AnyFunSuite {
       "q_lm_score", // 1-row anchors (lm_score: broadcast vocab-size scalar)
       "q_dsir_select", // 1-row anchor (broadcast gram-count totals scalar)
       "q_incr_ingest", // same DSIR 1-row totals anchor inside the composite
-      "q_trainprep_pipeline") // 1-row anchors (vocab size + median NLL)
+      "q_trainprep_pipeline", // 1-row anchors (vocab size + median NLL)
+      "q_cluster_sample") // corpus x broadcast k-row centroid table (B163 — one linear pass against a constant k)
     val skip = Set("q_streaming_pipeline", "q_streaming_sessions",
       "q_streaming_join", "q_streaming_merge")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted

@@ -412,6 +412,35 @@ class TableStreamSpec extends AnyFunSuite {
     assert(graft.ops.ColMap.load(Sinks.resolve(silver)) == Map("val" -> "v"))
   }
 
+  test("metadata-only partition evolution lands mid-stream: the resumed consumer continues across the no-feed commit") {
+    import spark.implicits._
+    val base = tmp("pestream")
+    val (bronze, silver, cp) = (base + "/b", base + "/s", base + "/cp")
+    Sinks.enableStreamFeed(bronze)
+    Sinks.appendVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "grp"),
+      bronze, None, emitFeed = true)
+    val q1 = TableStream.streamTo(spark.sql(
+      s"SELECT k, grp FROM read_stream('$bronze') WHERE _change_type = 'insert'"),
+      silver, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    // B160 evolution lands BETWEEN micro-batches: a hardlink commit
+    // with NO _changes sidecar — the feed chain must walk across it
+    Sinks.repartitionTable(spark, bronze, Seq("grp"), metadataOnly = true)
+    assert(Sinks.hasLayoutLegs(Sinks.resolve(bronze)),
+      "the mid-stream evolution must be the metadata-only form")
+    // a post-evolution append lands under the NEW spec; its feed rows
+    // flow to the resumed consumer exactly once
+    Sinks.appendVersioned(Seq((3L, "c")).toDF("k", "grp"),
+      bronze, Sinks.currentVersion(bronze), emitFeed = true)
+    val q2 = TableStream.streamTo(spark.sql(
+      s"SELECT k, grp FROM read_stream('$bronze') WHERE _change_type = 'insert'"),
+      silver, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Sinks.readCurrent(spark, silver).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming feed across a MOR DELETE/UPDATE/MERGE chain: checkpoint resume reconstructs the final state") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Row}
