@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // count(*) as sidecar rows minus vector cardinality; whatever it
     // declines, the subtraction rule below then swaps and serves.
     ext.injectOptimizerRule(_ => graft.plans.MetaCountRewrite)
+    // SQL-side _stats file skipping (B164): a filter with literal
+    // bounds on a sidecar-covered column opens only the surviving
+    // files. BEFORE DvReadRule — a pruned swap already carries the
+    // subtraction; an unpruned relation falls through to it.
+    ext.injectOptimizerRule(_ => graft.plans.StatsSkipRule)
     // deletion-vector subtraction for SQL reads of MOR-deleted tables —
     // runs before V2 pushdown so filters still reach the file scan
     ext.injectOptimizerRule(_ => graft.plans.DvReadRule)

@@ -596,24 +596,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val tr = tableRoot(ident)
       if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
       val spark = SparkSession.active
+      // behavior-bearing graft.* switches (DML routing, optimized
+      // writes) SET/UNSET like any table property — everything else
+      // non-check stays refused (a typo'd property must fail loudly,
+      // not silently record dead metadata)
+      val behaviorKeys = Set("graft.dml.mode", TableProps.DistributeKey)
+      def isBehavior(k: String) = behaviorKeys.contains(k.toLowerCase)
       // load-validate-store as ONE step under the table's commit lock:
       // concurrent ALTERs serialize (neither loses the other's
       // constraint) and validation scans a state no writer can commit
       // past until the constraint is stored
       GraftCheck.update(tr)(_ ++ propChanges.foldLeft(Map.empty[String, String]) {
+        case (acc, s: TableChange.SetProperty) if isBehavior(s.property()) =>
+          acc + (s.property().toLowerCase -> s.value())
         case (acc, s: TableChange.SetProperty) =>
           require(s.property().startsWith(GraftCheck.Prefix),
-            s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties are " +
-              s"supported (CHECK constraints); got ${s.property()}")
+            s"$catalogName: only '${GraftCheck.Prefix}<name>' (CHECK " +
+              s"constraints) and ${behaviorKeys.mkString("/")} table " +
+              s"properties are supported; got ${s.property()}")
           GraftCheck.validateNew(spark, tr,
             s.property().stripPrefix(GraftCheck.Prefix), s.value())
           acc + (s.property() -> s.value())
         case (acc, r: TableChange.RemoveProperty) =>
-          require(r.property().startsWith(GraftCheck.Prefix),
-            s"$catalogName: only '${GraftCheck.Prefix}<name>' table properties can " +
+          require(r.property().startsWith(GraftCheck.Prefix) ||
+              isBehavior(r.property()),
+            s"$catalogName: only '${GraftCheck.Prefix}<name>' and " +
+              s"${behaviorKeys.mkString("/")} table properties can " +
               s"be unset; got ${r.property()}")
           acc  // removals applied below; fold collects sets only
-      } -- propChanges.collect { case r: TableChange.RemoveProperty => r.property() })
+      } -- propChanges.collect {
+        case r: TableChange.RemoveProperty =>
+          if (isBehavior(r.property())) r.property().toLowerCase else r.property()
+      })
       if (otherChanges.isEmpty) return loadTable(ident)
     }
     val renames = otherChanges.collect { case r: TableChange.RenameColumn => r }

@@ -252,7 +252,17 @@ object Stats {
     * number, strings take strings.
     */
   def prunedFiles(spark: SparkSession, dir: String,
-      colName: String, lo: Any, hi: Any): Seq[String] = {
+      colName: String, lo: Any, hi: Any): Seq[String] =
+    prunedFilesBounds(spark, dir, colName, Some(lo), Some(hi))
+
+  /** [[prunedFiles]] with OPTIONAL bounds — the one-sided ranges SQL
+    * predicates produce (`k >= 10` alone still prunes every file whose
+    * max is below 10). At least one bound must be present; an all-null
+    * file prunes under any bound (a range predicate never matches null).
+    */
+  def prunedFilesBounds(spark: SparkSession, dir: String,
+      colName: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
+    require(lo.isDefined || hi.isDefined, "at least one bound is required")
     val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(_.toString).sorted
     // no sidecar at all (a version published without statsCols, e.g. a
@@ -274,15 +284,14 @@ object Stats {
           if (!r.getAs[Boolean]("has_stats")) true
           else if (r.getAs[Long]("nulls") == r.getAs[Long]("rows")) false // all null
           else if (!r.isNullAt(r.fieldIndex("lo_l"))) {
-            val (ql, qh) = (toLong(lo), toLong(hi))
-            r.getAs[Long]("hi_l") >= ql && r.getAs[Long]("lo_l") <= qh
+            lo.forall(q => r.getAs[Long]("hi_l") >= toLong(q)) &&
+              hi.forall(q => r.getAs[Long]("lo_l") <= toLong(q))
           } else if (!r.isNullAt(r.fieldIndex("lo_d"))) {
-            val (ql, qh) = (toDouble(lo), toDouble(hi))
-            r.getAs[Double]("hi_d") >= ql && r.getAs[Double]("lo_d") <= qh
+            lo.forall(q => r.getAs[Double]("hi_d") >= toDouble(q)) &&
+              hi.forall(q => r.getAs[Double]("lo_d") <= toDouble(q))
           } else if (!r.isNullAt(r.fieldIndex("lo_s"))) {
-            val (ql, qh) = (lo.toString, hi.toString)
-            utf8Compare(r.getAs[String]("hi_s"), ql) >= 0 &&
-              utf8Compare(r.getAs[String]("lo_s"), qh) <= 0
+            lo.forall(q => utf8Compare(r.getAs[String]("hi_s"), q.toString) >= 0) &&
+              hi.forall(q => utf8Compare(r.getAs[String]("lo_s"), q.toString) <= 0)
           } else true // has_stats with no domain should be unreachable; keep
       }
     }
@@ -318,20 +327,34 @@ object Stats {
     val physCol = ColMap.toPhysicalName(dir, colName)
     val files = prunedFiles(spark, dir, physCol, lo, hi)
     val pred = col(physCol).between(lit(lo), lit(hi))
-    val res = if (files.isEmpty) {
+    Transforms.dropHidden(ColMap.toLogical(
+      readFiles(spark, dir, files, readSchema).filter(pred), dir))
+  }
+
+  /** The surviving files of version dir `dir` as one frame — the shared
+    * explicit-file read half of [[readWhere]] and the SQL-side
+    * [[graft.plans.StatsSkipRule]]: deletion-vector subtraction applies
+    * exactly as in the full read, mixed-layout versions group per leg.
+    * PHYSICAL names, hidden columns still present — callers translate
+    * ([[ColMap.toLogical]] / [[Transforms.dropHidden]]).
+    */
+  private[graft] def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String],
+      readSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    if (files.isEmpty) {
       val schema = readSchema.getOrElse(spark.read.parquet(dir).schema)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (Sinks.hasLayoutLegs(dir)) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    if (Sinks.hasLayoutLegs(dir)) {
       // mixed-layout version (metadata-only partition evolution): the
       // surviving files span layouts whose partition-directory columns
-      // differ — group per layout root, union, then subtract/filter
-      // exactly as below (keys stay version-dir-relative)
+      // differ — group per layout root, union, then subtract exactly
+      // as below (keys stay version-dir-relative)
       val raw = Sinks.readFilesMixed(spark, dir, files)
       val cols = raw.columns.toSeq.filterNot(_ == "_metadata")
-      val subtracted =
-        if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
-        else Dv.subtract(raw, dir, cols)
-      subtracted.filter(pred)
+      if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
+      else Dv.subtract(raw, dir, cols)
     } else {
       // basePath keeps partition-dir columns in scope when the surviving
       // files are addressed individually (no-op for flat layouts)
@@ -342,17 +365,13 @@ object Stats {
       // rows were all MOR-deleted just contributes nothing) and the
       // keys are file_path-relative, valid for individually-addressed
       // files too
-      val subtracted =
-        if (!Dv.exists(dir)) raw
-        else {
-          val cols = raw.columns.toSeq
-          Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
-            dir, cols)
-        }
-      subtracted.filter(pred)
+      if (!Dv.exists(dir)) raw
+      else {
+        val cols = raw.columns.toSeq
+        Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
+          dir, cols)
+      }
     }
-    // hidden partitioning: derived directory columns stay scan-side
-    Transforms.dropHidden(ColMap.toLogical(res, dir))
   }
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table

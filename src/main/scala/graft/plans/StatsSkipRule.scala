@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+
+import graft.catalog.GraftSnapshotDir
+import graft.ops.{ColMap, Sinks, Stats, Transforms}
+
+/** SQL-side file skipping (B164): a filter over a Graft catalog
+  * relation whose version dir carries a `_stats` sidecar opens ONLY the
+  * files whose footer range can satisfy the filter's literal bounds —
+  * the same per-file min/max pruning [[Stats.readCurrentWhere]] gives
+  * the Scala door, now serving `spark.sql` reads. At 100 TB partition
+  * pruning skips directories but the planner still opens every file in
+  * the surviving partitions; this rule closes the same gap for the SQL
+  * door that B109 closed for the library door.
+  *
+  * Fires when a top-level conjunct compares a sidecar-covered column to
+  * a literal (`=`, `<`, `<=`, `>`, `>=`, `IN`; `BETWEEN` arrives
+  * desugared). Each usable conjunct prunes independently and the file
+  * sets INTERSECT — exactly the conservative per-file contract of
+  * [[Stats.prunedFilesBounds]]: a file survives unless its recorded
+  * range provably excludes every satisfying value, so keeping the
+  * ORIGINAL filter above the swapped scan preserves exact results by
+  * construction. When nothing prunes, the plan is left untouched (a
+  * DV/mapped/mixed table then still swaps through [[DvReadRule]]).
+  *
+  * The swapped scan reads through [[Stats.readFiles]] — deletion
+  * vectors subtract, mixed layouts union per leg, column mapping
+  * translates, hidden partition columns drop — so the rule composes
+  * with every other table-format tier. Registered BEFORE [[DvReadRule]]
+  * (a pruned swap already contains the subtraction; an unpruned
+  * relation falls through to it).
+  *
+  * Planning-time cost: one sidecar read per pruning conjunct
+  * (metadata-scale, the same class of read [[MetaCountRewrite]] does)
+  * and a driver file listing — paid once per query, never per row.
+  */
+object StatsSkipRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    lazy val referenced: Set[Long] =
+      plan.collect { case p => p.expressions.flatMap(_.references.map(_.exprId.id)) }
+        .flatten.toSet
+    plan.transformUp {
+      case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
+        case t: GraftSnapshotDir
+            if java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(t.snapshotVersionDir, Stats.Sidecar)) &&
+              !r.metadataOutput.exists(a => referenced.contains(a.exprId.id)) =>
+          trySwap(f, cond, r, t).getOrElse(f)
+        case _ => f
+      }
+    }
+  }
+
+  /** Sidecar-comparable literal value, or None for types whose stored
+    * domain the sidecar cannot compare exactly. Internal Catalyst
+    * values: dates are days (Int), timestamps micros (Long) — both the
+    * integer domain the footer stats normalize into.
+    */
+  private def boundValue(l: Literal): Option[Any] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType if l.value != null => Some(l.value)
+    case FloatType | DoubleType if l.value != null => Some(l.value)
+    case StringType if l.value != null => Some(l.value.toString)
+    case _ => None
+  }
+
+  private sealed trait Bound
+  private final case class Lo(v: Any) extends Bound
+  private final case class Hi(v: Any) extends Bound
+  private final case class Point(v: Any) extends Bound
+  private final case class Points(vs: Seq[Any]) extends Bound
+
+  /** (column attribute, bound) of one conjunct, when usable. Strict
+    * bounds relax to inclusive — pruning keeps any overlapping file, so
+    * the relaxation only keeps more.
+    */
+  private def boundOf(c: Expression): Option[(Attribute, Bound)] = c match {
+    case EqualTo(a: Attribute, l: Literal) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Point(v))
+    case EqualTo(l: Literal, a: Attribute) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Point(v))
+    case GreaterThan(a: Attribute, l: Literal) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Lo(v))
+    case GreaterThanOrEqual(a: Attribute, l: Literal) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Lo(v))
+    case LessThan(a: Attribute, l: Literal) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Hi(v))
+    case LessThanOrEqual(a: Attribute, l: Literal) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Hi(v))
+    case GreaterThan(l: Literal, a: Attribute) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Hi(v))
+    case GreaterThanOrEqual(l: Literal, a: Attribute) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Hi(v))
+    case LessThan(l: Literal, a: Attribute) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Lo(v))
+    case LessThanOrEqual(l: Literal, a: Attribute) if l.dataType == a.dataType =>
+      boundValue(l).map(v => a -> Lo(v))
+    case In(a: Attribute, list) if list.nonEmpty &&
+        list.forall(e => e.isInstanceOf[Literal] &&
+          e.dataType == a.dataType) =>
+      val vs = list.flatMap(e => boundValue(e.asInstanceOf[Literal]))
+      if (vs.size == list.size) Some(a -> Points(vs)) else None
+    case _ => None
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, rr) => splitAnd(l) ++ splitAnd(rr)
+    case other => Seq(other)
+  }
+
+  private def trySwap(f: Filter, cond: Expression, r: DataSourceV2Relation,
+      t: GraftSnapshotDir): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val dir = t.snapshotVersionDir
+    val covered = Stats.sidecarCols(spark, dir).map(_.toLowerCase).toSet
+    val usable = splitAnd(cond).flatMap(boundOf).filter { case (a, _) =>
+      covered(ColMap.toPhysicalName(dir, a.name).toLowerCase)
+    }
+    if (usable.isEmpty) return None
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+      .map(_.toString).toSet
+    val kept = usable.foldLeft(all) { case (acc, (a, b)) =>
+      val phys = ColMap.toPhysicalName(dir, a.name)
+      val files = b match {
+        case Lo(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), None)
+        case Hi(v) => Stats.prunedFilesBounds(spark, dir, phys, None, Some(v))
+        case Point(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))
+        case Points(vs) => vs.flatMap(v =>
+          Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))).distinct
+      }
+      acc.intersect(files.toSet)
+    }
+    // nothing pruned: leave the plan for the ordinary scan (and, on
+    // DV/mapped/mixed tables, for DvReadRule's swap)
+    if (kept.size == all.size) return None
+    val readSchema = Sinks.readSchemaFor(spark, t.snapshotTableRoot, dir)
+    val pruned = Transforms.dropHidden(ColMap.toLogical(
+      Stats.readFiles(spark, dir, kept.toSeq.sorted, readSchema), dir))
+    val analyzed = pruned.queryExecution.analyzed
+    val out: Seq[NamedExpression] = r.output.map { a =>
+      val src = analyzed.output.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+        return None) // a column the pruned funnel cannot serve: decline
+      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    Some(Filter(cond, Project(out, analyzed)))
+  }
+}

@@ -361,6 +361,24 @@ object ScanOps extends QueryModule {
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
+    // B164 SQL-side file skipping end to end: the same ord_meta table
+    // (stats sidecar + delta append + COW DELETE), read through
+    // spark.sql with a range predicate on a covered column —
+    // StatsSkipRule swaps the scan for the pruned file list
+    // (SkippingSpec asserts the opened-file count); the oracle
+    // recomputes the whole table state + the range from the raw
+    // fixture, so the hash proves the pruned read exact.
+    "q_stats_skipping_sql" -> ((s, dir) => {
+      val cat = metaCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM $cat.ord_meta
+           |WHERE o_orderkey BETWEEN 1000 AND 5000
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B137 COPY INTO end to end: a landing directory gains two region
     // files (ingested as one commit), then a third (ingested alone by
     // the second CALL — the first two are receipt-deduped). The read
@@ -1372,6 +1390,16 @@ object ScanOps extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
+
+    "q_stats_skipping_sql" ->
+      """WITH t AS (SELECT * FROM orders
+        |           UNION ALL SELECT * FROM orders WHERE o_orderkey < 100)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199
+        |  AND o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_copy_into" ->
       """SELECT r_regionkey, r_name FROM (

@@ -47,6 +47,77 @@ class SkippingSpec extends AnyFunSuite {
       Seq("k", "payload"))
   }
 
+  // ---------------- B164: the SQL door (StatsSkipRule) ----------------
+
+  private def mkCatalogTable(name: String): (String, String) = {
+    import spark.implicits._
+    val wh = tmp("skipsql")
+    val cat = "graftsk_" + name
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/$name"
+    // 4 k-clustered files with disjoint ranges, stats on k and s
+    val df = (0L until 1000L).map(i => (i, f"s$i%04d", i.toDouble))
+      .toDF("k", "s", "v")
+    Sinks.publishVersioned(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      tbl, None, statsCols = Seq("k", "s"))
+    (cat, tbl)
+  }
+
+  test("SQL filters on stats-covered columns open only the surviving files") {
+    val (cat, tbl) = mkCatalogTable("t1")
+    val allFiles = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.resolve(tbl))).size
+    assert(allFiles == 4)
+    // two-sided range inside one quarter: ONE file opened
+    val q = spark.sql(s"SELECT k, v FROM $cat.t1 WHERE k BETWEEN 100 AND 120")
+    assert(q.inputFiles.length == 1, s"opened ${q.inputFiles.length} of $allFiles")
+    assert(q.count() == 21)
+    // one-sided bound prunes too (k >= 900 -> last quarter only)
+    val q1 = spark.sql(s"SELECT count(*) FROM $cat.t1 WHERE k >= 900")
+    assert(q1.collect().head.getLong(0) == 100)
+    val q1f = spark.sql(s"SELECT k FROM $cat.t1 WHERE k >= 900")
+    assert(q1f.inputFiles.length == 1, s"got ${q1f.inputFiles.length}")
+    // string-domain equality (IN) prunes on the second covered column
+    val q2 = spark.sql(s"SELECT k FROM $cat.t1 WHERE s IN ('s0042', 's0043')")
+    assert(q2.inputFiles.length == 1 && q2.count() == 2)
+    // conjuncts INTERSECT: contradictory ranges open zero files
+    val q3 = spark.sql(s"SELECT k FROM $cat.t1 WHERE k >= 900 AND k <= 100")
+    assert(q3.inputFiles.isEmpty && q3.count() == 0)
+    // an uncovered column's filter leaves the plan untouched: the bare
+    // DSv2 scan survives (inputFiles is empty for those — assert the
+    // plan shape, not the file list)
+    val q4 = spark.sql(s"SELECT k FROM $cat.t1 WHERE v < 10.0")
+    assert(q4.queryExecution.executedPlan.toString.contains("BatchScan"),
+      q4.queryExecution.executedPlan.toString.take(1500))
+    assert(q4.count() == 10)
+  }
+
+  test("SQL skipping composes with a deletion vector: pruned AND subtracted") {
+    val (cat, tbl) = mkCatalogTable("t2")
+    spark.sql(s"ALTER TABLE $cat.t2 SET TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql(s"DELETE FROM $cat.t2 WHERE k % 2 = 0")
+    val q = spark.sql(s"SELECT k FROM $cat.t2 WHERE k BETWEEN 100 AND 120 ORDER BY k")
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      (100L to 120L).filter(_ % 2 == 1))
+    assert(q.inputFiles.length <= 2, // the one data file (+ nothing else)
+      s"got ${q.inputFiles.mkString(", ")}")
+  }
+
+  test("SQL skipping stays exact on an appended table (delta sidecar rows)") {
+    import spark.implicits._
+    val (cat, tbl) = mkCatalogTable("t3")
+    Sinks.appendVersioned(
+      Seq((2000L, "s2000", 1.0)).toDF("k", "s", "v"), tbl,
+      Sinks.currentVersion(tbl))
+    val q = spark.sql(s"SELECT k FROM $cat.t3 WHERE k >= 1500")
+    assert(q.count() == 1 && q.inputFiles.length == 1)
+    // the old range still prunes to its quarter among 5 files
+    val q2 = spark.sql(s"SELECT k FROM $cat.t3 WHERE k BETWEEN 100 AND 120")
+    assert(q2.count() == 21 && q2.inputFiles.length == 1)
+  }
+
   test("missing or unusable stats degrade to keep-the-file, never to a wrong answer") {
     import spark.implicits._
     val dir = tmp("skipcons") + "/t"
