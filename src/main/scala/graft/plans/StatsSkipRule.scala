@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
 
 import graft.catalog.GraftSnapshotDir
-import graft.ops.{ColMap, Sinks, Stats, Transforms}
+import graft.ops.{Bloom, ColMap, Sinks, Stats, Transforms}
 
 /** SQL-side file skipping (B164): a filter over a Graft catalog
   * relation whose version dir carries a `_stats` sidecar opens ONLY the
@@ -49,8 +49,10 @@ object StatsSkipRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
         case t: GraftSnapshotDir
-            if java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get(t.snapshotVersionDir, Stats.Sidecar)) &&
+            if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(t.snapshotVersionDir, Stats.Sidecar)) ||
+              java.nio.file.Files.isDirectory(
+                java.nio.file.Paths.get(t.snapshotVersionDir, Bloom.Sidecar))) &&
               !r.metadataOutput.exists(a => referenced.contains(a.exprId.id)) =>
           trySwap(f, cond, r, t).getOrElse(f)
         case _ => f
@@ -119,23 +121,49 @@ object StatsSkipRule extends Rule[LogicalPlan] {
       t: GraftSnapshotDir): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val dir = t.snapshotVersionDir
-    val covered = Stats.sidecarCols(spark, dir).map(_.toLowerCase).toSet
-    val usable = splitAnd(cond).flatMap(boundOf).filter { case (a, _) =>
-      covered(ColMap.toPhysicalName(dir, a.name).toLowerCase)
+    val statsCovered =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, Stats.Sidecar)))
+        Stats.sidecarCols(spark, dir).map(_.toLowerCase).toSet
+      else Set.empty[String]
+    // point predicates additionally probe the bloom sidecar (B123's
+    // membership skipping, now serving the SQL door too); values
+    // canonicalize exactly like the Scala probe (`toString` against the
+    // build's CAST AS STRING — the build restricts indexable types so
+    // the two spellings agree)
+    val bloomCovered = Bloom.sidecarCols(spark, dir).map(_.toLowerCase).toSet
+    def pointy(b: Bound) = b match {
+      case Point(_) | Points(_) => true
+      case _ => false
+    }
+    val usable = splitAnd(cond).flatMap(boundOf).filter { case (a, b) =>
+      val phys = ColMap.toPhysicalName(dir, a.name).toLowerCase
+      statsCovered(phys) || (bloomCovered(phys) && pointy(b))
     }
     if (usable.isEmpty) return None
     val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(_.toString).toSet
     val kept = usable.foldLeft(all) { case (acc, (a, b)) =>
       val phys = ColMap.toPhysicalName(dir, a.name)
-      val files = b match {
-        case Lo(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), None)
-        case Hi(v) => Stats.prunedFilesBounds(spark, dir, phys, None, Some(v))
-        case Point(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))
-        case Points(vs) => vs.flatMap(v =>
-          Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))).distinct
-      }
-      acc.intersect(files.toSet)
+      val fromStats =
+        if (!statsCovered(phys.toLowerCase)) all
+        else (b match {
+          case Lo(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), None)
+          case Hi(v) => Stats.prunedFilesBounds(spark, dir, phys, None, Some(v))
+          case Point(v) => Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))
+          case Points(vs) => vs.flatMap(v =>
+            Stats.prunedFilesBounds(spark, dir, phys, Some(v), Some(v))).distinct
+        }).toSet
+      val fromBloom =
+        if (!bloomCovered(phys.toLowerCase)) all
+        else b match {
+          case Point(v) =>
+            Bloom.prunedFilesEqAny(spark, dir, phys, Seq(v.toString)).toSet
+          case Points(vs) =>
+            Bloom.prunedFilesEqAny(spark, dir, phys, vs.map(_.toString)).toSet
+          case _ => all
+        }
+      acc.intersect(fromStats).intersect(fromBloom)
     }
     // nothing pruned: leave the plan for the ordinary scan (and, on
     // DV/mapped/mixed tables, for DvReadRule's swap)

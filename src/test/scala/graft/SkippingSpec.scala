@@ -118,6 +118,28 @@ class SkippingSpec extends AnyFunSuite {
     assert(q2.count() == 21 && q2.inputFiles.length == 1)
   }
 
+  test("SQL point predicates consult the bloom sidecar (membership skipping serves spark.sql)") {
+    import spark.implicits._
+    val wh = tmp("skipbloom")
+    val cat = "graftsk_bl"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    // ids scattered round-robin (range stats could not prune them) and
+    // NO _stats sidecar — only the bloom membership filter can skip
+    val df = (0L until 1000L).map(i => (f"id$i%04d", i)).toDF("sid", "n")
+    Sinks.publishVersioned(df.repartition(4), tbl, None,
+      bloomCols = Seq("sid"))
+    val q = spark.sql(s"SELECT n FROM $cat.t WHERE sid = 'id0742'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(742L))
+    assert(q.inputFiles.nonEmpty && q.inputFiles.length < 4,
+      s"bloom must skip non-containing files: opened ${q.inputFiles.length} of 4")
+    // IN-lists probe all values; a missing value keeps results exact
+    val q2 = spark.sql(
+      s"SELECT n FROM $cat.t WHERE sid IN ('id0001', 'id0002', 'nope') ORDER BY n")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("missing or unusable stats degrade to keep-the-file, never to a wrong answer") {
     import spark.implicits._
     val dir = tmp("skipcons") + "/t"
