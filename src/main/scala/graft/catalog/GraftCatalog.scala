@@ -1063,6 +1063,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "vacuum_orphans" => new GraftProcedures.VacuumOrphans(resolve)
       case "ann_split" => new GraftProcedures.AnnSplit(resolve)
       case "zorder" => new GraftProcedures.Zorder(resolve)
+      case "annotate_stats" => new GraftProcedures.AnnotateStats(resolve)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq

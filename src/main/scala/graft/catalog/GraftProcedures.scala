@@ -38,7 +38,7 @@ private[graft] object GraftProcedures {
     "compact", "restore", "tag", "drop_tag", "branch", "merge_branch",
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
-    "txn_publish", "zorder")
+    "txn_publish", "zorder", "annotate_stats")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -166,6 +166,56 @@ private[graft] object GraftProcedures {
       require(missing.isEmpty,
         s"column(s) not in $table: ${missing.mkString(", ")}")
       graft.ops.Bloom.annotate(spark, live, cols, expectedItems = items)
+      val v = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v,
+            UTF8String.fromString(cols.mkString(","))))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("columns", StringType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.annotate_stats(table, columns)` — build (or rebuild) the
+    * `_stats` footer-statistics sidecar on the LIVE version, the same
+    * in-place annotation contract as `bloom_index`: sidecars are
+    * `_`-hidden metadata next to immutable data files, and later linked
+    * commits carry and extend them at O(delta). The door that lights up
+    * B109/B164 skipping on a table that was published without
+    * `statsCols` — one footer pass, never a data scan.
+    */
+  final class AnnotateStats(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "annotate_stats"
+    override def description(): String =
+      "build the per-file min/max _stats sidecar for range file skipping"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated column names to collect stats for").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "columns must name at least one column")
+      val root = resolveRoot(table)
+      val spark = SparkSession.active
+      val live = graft.ops.Sinks.resolve(root)
+      // unknown columns fail HERE, logically named (mapped tables too)
+      val schema = graft.ops.Sinks.readCurrent(spark, root)
+        .schema.fieldNames.toSet
+      val missing = cols.filterNot(schema)
+      require(missing.isEmpty,
+        s"column(s) not in $table: ${missing.mkString(", ")}")
+      graft.ops.Stats.annotate(spark, live, cols)
       val v = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =

@@ -118,6 +118,33 @@ class SkippingSpec extends AnyFunSuite {
     assert(q2.count() == 21 && q2.inputFiles.length == 1)
   }
 
+  test("CALL system.annotate_stats lights up SQL skipping on a stats-less table") {
+    import spark.implicits._
+    val wh = tmp("skipann")
+    val cat = "graftsk_an"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    Sinks.publishVersioned(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), tbl, None)
+    // no sidecar: the bare scan serves the filter
+    val before = spark.sql(s"SELECT k FROM $cat.t WHERE k BETWEEN 100 AND 120")
+    assert(before.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(before.count() == 21)
+    val row = spark.sql(
+      s"CALL $cat.system.annotate_stats(table => 't', columns => 'k')")
+      .collect().head
+    assert(row.getString(0) == "t" && row.getString(2) == "k")
+    // the SAME SQL now opens one file
+    val after = spark.sql(s"SELECT k FROM $cat.t WHERE k BETWEEN 100 AND 120")
+    assert(after.inputFiles.length == 1,
+      s"got ${after.inputFiles.length}")
+    assert(after.count() == 21)
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.annotate_stats(table => 't', columns => 'nope')"))
+  }
+
   test("SQL point predicates consult the bloom sidecar (membership skipping serves spark.sql)") {
     import spark.implicits._
     val wh = tmp("skipbloom")
