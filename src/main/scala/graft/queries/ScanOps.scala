@@ -1024,7 +1024,9 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/ord_w"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "orders")
+    // recipe tag: the scale-proof modulo changed the fixture contents,
+    // so caches built from the pre-modulo recipe must not pass freshness
+    val stamp = Tables.srcStamp(dir, "orders") + ":cust-mod"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L, 2L, 3L) &&
       Files.exists(stampFile) &&
