@@ -62,12 +62,17 @@ object StatsSkipRule extends Rule[LogicalPlan] {
 
   /** Sidecar-comparable literal value, or None for types whose stored
     * domain the sidecar cannot compare exactly. Internal Catalyst
-    * values: dates are days (Int), timestamps micros (Long) — both the
-    * integer domain the footer stats normalize into.
+    * values: dates are days (Int) — parquet DATE is ALWAYS days, so the
+    * domains agree. TIMESTAMP declines: the footer stats record the
+    * file's RAW int64 in ITS unit (millis-written files exist — the
+    * fixture's own `timestamp[ms]`) while the literal is micros, and a
+    * 1000× unit mismatch would prune files that match — a silent wrong
+    * answer, not a slow one. (The Scala door refuses the same bounds:
+    * `Stats.toLong` rejects non-integral values.)
     */
   private def boundValue(l: Literal): Option[Any] = l.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType if l.value != null => Some(l.value)
+    case ByteType | ShortType | IntegerType | LongType | DateType
+        if l.value != null => Some(l.value)
     case FloatType | DoubleType if l.value != null => Some(l.value)
     case StringType if l.value != null => Some(l.value.toString)
     case _ => None

@@ -118,6 +118,31 @@ class SkippingSpec extends AnyFunSuite {
     assert(q2.count() == 21 && q2.inputFiles.length == 1)
   }
 
+  test("timestamp bounds DECLINE SQL skipping (footer unit is the file's, not micros)") {
+    import spark.implicits._
+    val wh = tmp("skipts")
+    val cat = "graftsk_ts"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    val df = spark.range(0, 100).select($"id".as("k"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, CAST(id AS INT),0,0)").as("ts"))
+    Sinks.publishVersioned(df.repartitionByRange(4, col("k")), tbl, None,
+      statsCols = Seq("k", "ts"))
+    // a ts range would be unit-ambiguous against raw footer int64 —
+    // the rule must keep the bare scan and the answer exact
+    val q = spark.sql(s"SELECT k FROM $cat.t " +
+      "WHERE ts >= timestamp'2024-01-03 00:00:00'")
+    assert(q.queryExecution.executedPlan.toString.contains("BatchScan"),
+      q.queryExecution.executedPlan.toString.take(1200))
+    assert(q.count() == 100 - 48)
+    // the integral column on the same table still prunes
+    // (range-partitioner boundaries are sampled, so the quartile edges
+    // are approximate — assert pruning, not an exact file count)
+    val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE k < 25")
+    assert(q2.inputFiles.length < 4 && q2.count() == 25)
+  }
+
   test("CALL system.annotate_stats lights up SQL skipping on a stats-less table") {
     import spark.implicits._
     val wh = tmp("skipann")
