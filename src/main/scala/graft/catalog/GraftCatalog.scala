@@ -265,6 +265,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     import org.apache.spark.sql.connector.expressions.Expressions
     graft.ops.TableProps.partitionCols(tRoot).map { c =>
       graft.ops.Transforms.parse(c) match {
+        case Some(t: graft.ops.Transforms.Hour) => Expressions.hours(t.src)
         case Some(t: graft.ops.Transforms.Day) => Expressions.days(t.src)
         case Some(t: graft.ops.Transforms.Month) => Expressions.months(t.src)
         case Some(t: graft.ops.Transforms.Year) => Expressions.years(t.src)
@@ -409,6 +410,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitions.toSeq.map { t =>
         val hidden: Option[graft.ops.Transforms.T] = t.name().toLowerCase match {
           case "identity" => None
+          case "hours" | "hour" => Some(graft.ops.Transforms.Hour(oneRef(t)))
           case "days" | "day" => Some(graft.ops.Transforms.Day(oneRef(t)))
           case "months" | "month" => Some(graft.ops.Transforms.Month(oneRef(t)))
           case "years" | "year" => Some(graft.ops.Transforms.Year(oneRef(t)))
@@ -416,8 +418,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           case "truncate" => Some(graft.ops.Transforms.Truncate(intArg(t), oneRef(t)))
           case other => throw new UnsupportedOperationException(
             s"$catalogName: unsupported partition transform '$other' " +
-              s"($t) — supported: identity columns, days/months/years, " +
-              "bucket(n, col), truncate(n, col)")
+              s"($t) — supported: identity columns, hours/days/months/" +
+              "years, bucket(n, col), truncate(n, col)")
         }
         hidden.foreach { h =>
           val srcType = schema.find(_.name.equalsIgnoreCase(h.src)).get.dataType
@@ -488,6 +490,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val checks = properties.asScala.filter(_._1.startsWith(GraftCheck.Prefix))
     checks.foreach { case (k, v) =>
       GraftCheck.validateAgainst(empty, k.stripPrefix(GraftCheck.Prefix), v) }
+    // typo'd graft.* properties fail BEFORE anything publishes (same
+    // no-orphan rule as a malformed CHECK), matching ALTER's contract
+    properties.asScala.keys.foreach(k => require(
+      !k.toLowerCase.startsWith("graft.") ||
+        graft.ops.TableProps.behaviorKeys.contains(k.toLowerCase),
+      s"$catalogName: unsupported graft.* table property $k — supported: " +
+        graft.ops.TableProps.behaviorKeys.toSeq.sorted.mkString(", ")))
     // a lost CREATE race must surface as the exception Spark's
     // IF NOT EXISTS handling understands, not a raw OCC conflict
     try Sinks.publishVersioned(empty, tr, None)
@@ -507,11 +516,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           case (n, Some(h)) => org.apache.spark.sql.types.StructField(n,
             h.dataType(schema.find(_.name.equalsIgnoreCase(h.src)).get.dataType))
         }).toDDL)
-    // behavior-bearing graft.* switches declared at CREATE persist
-    // (optimized writes); everything else non-check stays benign
-    // metadata and is ignored as before
-    val behaviorProps = Option(properties.get(graft.ops.TableProps.DistributeKey))
-      .map(v => graft.ops.TableProps.DistributeKey -> v).toMap
+    // behavior-bearing graft.* switches declared at CREATE persist —
+    // the SAME key set ALTER TABLE SET accepts (round-12 advisor
+    // finding: a table declared 'graft.dml.mode'='mor' at CREATE
+    // silently ran copy-on-write). Any OTHER graft.* key fails loudly,
+    // matching ALTER's typo'd-property contract.
+    val behaviorProps = properties.asScala.collect {
+      case (k, v) if graft.ops.TableProps.behaviorKeys.contains(k.toLowerCase) =>
+        k.toLowerCase -> v
+    }.toMap
     if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty)
       graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp ++ behaviorProps)
     loadTable(ident)
@@ -600,7 +613,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // writes) SET/UNSET like any table property — everything else
       // non-check stays refused (a typo'd property must fail loudly,
       // not silently record dead metadata)
-      val behaviorKeys = Set("graft.dml.mode", TableProps.DistributeKey)
+      val behaviorKeys = TableProps.behaviorKeys
       def isBehavior(k: String) = behaviorKeys.contains(k.toLowerCase)
       // load-validate-store as ONE step under the table's commit lock:
       // concurrent ALTERs serialize (neither loses the other's

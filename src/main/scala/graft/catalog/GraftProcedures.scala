@@ -413,7 +413,7 @@ private[graft] object GraftProcedures {
         .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
       ProcedureParameter.in("partition_by", StringType)
         .comment("comma-separated partition columns and/or hidden " +
-          "transforms (day(c), month(c), year(c), bucket(n, c), " +
+          "transforms (hour(c), day(c), month(c), year(c), bucket(n, c), " +
           "truncate(n, c)); '' to unpartition").build(),
       ProcedureParameter.in("metadata_only", BooleanType).defaultValue("false")
         .comment("true: record the new spec for future writes only " +
@@ -422,8 +422,11 @@ private[graft] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
-      val cols = input.getUTF8String(1).toString
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // paren-aware split: 'bucket(8, id)' / 'truncate(4, code)' carry a
+      // comma INSIDE the transform (round-12 advisor finding — a naive
+      // split made every parameterized transform unreachable from SQL)
+      val cols = graft.ops.Transforms.splitSpecList(
+        input.getUTF8String(1).toString)
       val metadataOnly = input.getBoolean(2)
       val root = resolveRoot(table)
       val v = graft.ops.Sinks.repartitionTable(SparkSession.active, root, cols,

@@ -1668,7 +1668,7 @@ object Sinks {
     pcols.flatMap(Transforms.parse).foreach { t =>
       require(!widenTo.keys.exists(_.equalsIgnoreCase(t.src)) ||
           t.isInstanceOf[Transforms.Day] || t.isInstanceOf[Transforms.Month] ||
-          t.isInstanceOf[Transforms.Year],
+          t.isInstanceOf[Transforms.Year] || t.isInstanceOf[Transforms.Hour],
         s"cannot widen ${t.src}: it is the source of hidden transform " +
           s"${t.spec}, whose derived values are type-sensitive — old " +
           "directories would no longer match pruned reads; compact first")

@@ -25,6 +25,25 @@ private[graft] object TableProps {
     */
   val PartitionKey = "graft.partition"
 
+  /** Auto-collected skipping statistics (`'graft.stats.columns' =
+    * 'c1,c2'`): EVERY commit through either staging funnel — SQL
+    * INSERT/CTAS/DML, library publishes and appends, the streaming
+    * sink — annotates the `_stats` footer sidecar for these columns
+    * without call-site cooperation, the Delta/Iceberg
+    * collect-stats-inside-the-commit behavior. Without it a table is
+    * only skippable while callers remember to pass `statsCols` (or
+    * retrofit with `CALL system.annotate_stats`); with it the sidecar
+    * can never go stale. Columns are comma-separated LOGICAL names; a
+    * named column missing from a footer degrades to `has_stats=false`
+    * (kept-always), never an error.
+    */
+  val StatsKey = "graft.stats.columns"
+
+  /** The declared auto-stats columns of `root` (empty = none). */
+  def statsColumns(root: String): Seq[String] =
+    load(root).get(StatsKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** Optimized-write switch (`'graft.write.distribute' = 'true'`): a
     * partitioned write repartitions by the partition columns first, so
     * each partition value is written by ONE task — one file per value
@@ -36,6 +55,20 @@ private[graft] object TableProps {
     * operator's to make per table.
     */
   val DistributeKey = "graft.write.distribute"
+
+  /** DML routing switch (`'graft.dml.mode' = 'mor'`): route
+    * UPDATE/DELETE/MERGE merge-on-read (deletion vectors) instead of
+    * copy-on-write file rewrites ([[graft.catalog.GraftDml]]).
+    */
+  val DmlModeKey = "graft.dml.mode"
+
+  /** Behavior-bearing `graft.*` table properties — the ONE list both
+    * CREATE TABLE (persist at declaration) and ALTER TABLE SET/UNSET
+    * (mutate later) accept, so a property one door honors can never be
+    * silently dropped by the other (round-12 advisor finding: a table
+    * declared MOR at CREATE ran copy-on-write without warning).
+    */
+  def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey)
 
   /** True iff `root` opted into distributed partitioned writes. */
   def distributeWrites(root: String): Boolean =

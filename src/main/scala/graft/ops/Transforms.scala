@@ -24,12 +24,45 @@ import org.apache.spark.sql.types._
   *
   * Derivation expressions and predicate rewrites MUST agree exactly —
   * both live here so the agreement is structural:
-  *   day/month/year → `to_date`/`trunc` (DATE-typed directories)
+  *   day/month/year → UTC calendar date from epoch micros
+  *                    (DATE-typed directories; see below)
+  *   hour(ts)       → hours since epoch (INT directories, the Iceberg
+  *                    encoding — epoch math, timezone-free by nature)
   *   bucket(n)      → `pmod(hash(col), n)` (Murmur3, Spark's `hash`)
   *   truncate(n)    → strings: `substring(col, 1, n)`;
   *                    integrals: `col - pmod(col, n)` (floors negatives)
+  *
+  * TIMEZONE CONTRACT (round-13): temporal derivations are pinned to
+  * UTC, the Iceberg rule. A timestamp's day is computed from its epoch
+  * micros (`date_from_unix_date(floor(unix_micros/µs-per-day))`), NEVER
+  * through the session timezone — the pre-round-13 `to_date` spelling
+  * evaluated under the WRITER's zone while the rule's injected image
+  * evaluated under the READER's, so a table written under UTC and read
+  * under another zone could silently prune the boundary-day directory
+  * holding matching rows. Epoch math makes writer and reader agree by
+  * construction whatever either session's `spark.sql.session.timeZone`
+  * says (HiddenPartitionSpec flips the zone between write and read and
+  * asserts both pruning and results). Existing directories are
+  * unchanged: under the UTC sessions every prior version was written
+  * in, `to_date` and the epoch-day formula produce identical values.
   */
 object Transforms {
+
+  private[graft] val MicrosPerDay = 86400000000L
+  private[graft] val MicrosPerHour = 3600000000L
+
+  /** UTC calendar day of a temporal column, timezone-free: epoch-day
+    * floor-division on the instant's micros. The rule's literal image
+    * ([[graft.plans.HiddenPartitionRule]]) mirrors the same IEEE double
+    * `floor(us / µs-per-day)` in JVM arithmetic, so derive and image
+    * agree bit-for-bit at every boundary. DATE sources pass through
+    * (already a calendar day, no zone involved).
+    */
+  private def utcDay(c: Column, st: DataType): Column = st match {
+    case DateType => c.cast(DateType)
+    case _ => date_from_unix_date(
+      floor(unix_micros(c) / lit(MicrosPerDay)).cast(IntegerType))
+  }
 
   /** Reserved derived-column prefix. Data columns must never use it —
     * readers hide everything under it ([[requireNoReservedData]]).
@@ -53,7 +86,7 @@ object Transforms {
   final case class Day(src: String) extends T {
     val colName = s"$Prefix${src}__day"
     def dataType(st: DataType) = DateType
-    def derive(c: Column, st: DataType) = to_date(c)
+    def derive(c: Column, st: DataType) = utcDay(c, st)
     def spec = s"day($src)"
     def check(st: DataType) = st match {
       case TimestampType | DateType => None
@@ -64,7 +97,9 @@ object Transforms {
   final case class Month(src: String) extends T {
     val colName = s"$Prefix${src}__month"
     def dataType(st: DataType) = DateType
-    def derive(c: Column, st: DataType) = trunc(to_date(c), "month")
+    // trunc is pure DATE arithmetic (proleptic-Gregorian month floor),
+    // zone-free once the day is pinned to UTC
+    def derive(c: Column, st: DataType) = trunc(utcDay(c, st), "month")
     def spec = s"month($src)"
     def check(st: DataType) = st match {
       case TimestampType | DateType => None
@@ -75,11 +110,29 @@ object Transforms {
   final case class Year(src: String) extends T {
     val colName = s"$Prefix${src}__year"
     def dataType(st: DataType) = DateType
-    def derive(c: Column, st: DataType) = trunc(to_date(c), "year")
+    def derive(c: Column, st: DataType) = trunc(utcDay(c, st), "year")
     def spec = s"year($src)"
     def check(st: DataType) = st match {
       case TimestampType | DateType => None
       case o => Some(s"year() needs a timestamp/date source, got ${o.simpleString}")
+    }
+  }
+
+  /** `hour(ts)` — hours since epoch (Iceberg's encoding): INT
+    * directories, epoch floor-division, timezone-free by construction.
+    * TIMESTAMP sources only (an hour of a DATE is not meaningful; a
+    * TIMESTAMP_NTZ column should be cast to TIMESTAMP by the caller,
+    * declaring which instant its wall-clock means).
+    */
+  final case class Hour(src: String) extends T {
+    val colName = s"$Prefix${src}__hour"
+    def dataType(st: DataType) = IntegerType
+    def derive(c: Column, st: DataType) =
+      floor(unix_micros(c) / lit(MicrosPerHour)).cast(IntegerType)
+    def spec = s"hour($src)"
+    def check(st: DataType) = st match {
+      case TimestampType => None
+      case o => Some(s"hour() needs a timestamp source, got ${o.simpleString}")
     }
   }
 
@@ -112,8 +165,23 @@ object Transforms {
     }
   }
 
+  /** Tag parameter as a positive Int, or None. TOTAL by design: parse
+    * runs inside [[graft.plans.HiddenPartitionRule]] on every Filter
+    * attribute of every session plan — including non-Graft frames the
+    * reserved-prefix guard never saw — so a column merely SHAPED like a
+    * derived name (`_tp_x__b0`, `_tp_x__b99999999999`) must fall back
+    * to "not a transform", never crash an unrelated query's
+    * optimization (round-12 advisor finding).
+    */
+  private def posInt(s: String): Option[Int] =
+    if (s.nonEmpty && s.length <= 9 && s.forall(_.isDigit)) {
+      val n = s.toInt
+      if (n >= 1) Some(n) else None
+    } else None
+
   /** Parse a derived COLUMN NAME back to its transform, or None for a
-    * plain (identity) partition column.
+    * plain (identity) partition column — total: malformed tags return
+    * None (see [[posInt]]).
     */
   def parse(name: String): Option[T] = {
     if (!name.startsWith(Prefix)) return None
@@ -125,14 +193,14 @@ object Transforms {
       case "day" => Some(Day(src))
       case "month" => Some(Month(src))
       case "year" => Some(Year(src))
-      case t if t.startsWith("b") && t.drop(1).nonEmpty && t.drop(1).forall(_.isDigit) =>
-        Some(Bucket(t.drop(1).toInt, src))
-      case t if t.startsWith("t") && t.drop(1).nonEmpty && t.drop(1).forall(_.isDigit) =>
-        Some(Truncate(t.drop(1).toInt, src))
+      case "hour" => Some(Hour(src))
+      case t if t.startsWith("b") => posInt(t.drop(1)).map(Bucket(_, src))
+      case t if t.startsWith("t") => posInt(t.drop(1)).map(Truncate(_, src))
       case _ => None
     }
   }
 
+  private val HourSpec = """(?i)^\s*hour\s*\(\s*([^\s(),]+)\s*\)\s*$""".r
   private val DaySpec = """(?i)^\s*day\s*\(\s*([^\s(),]+)\s*\)\s*$""".r
   private val MonthSpec = """(?i)^\s*month\s*\(\s*([^\s(),]+)\s*\)\s*$""".r
   private val YearSpec = """(?i)^\s*year\s*\(\s*([^\s(),]+)\s*\)\s*$""".r
@@ -145,16 +213,49 @@ object Transforms {
     * loudly rather than silently becoming an identity column.
     */
   def parseSpec(s: String): Option[T] = s match {
+    case HourSpec(c) => Some(Hour(c))
     case DaySpec(c) => Some(Day(c))
     case MonthSpec(c) => Some(Month(c))
     case YearSpec(c) => Some(Year(c))
-    case BucketSpec(n, c) => Some(Bucket(n.toInt, c))
-    case TruncSpec(n, c) => Some(Truncate(n.toInt, c))
+    // DDL-door parameters fail LOUDLY on out-of-range values (the spec
+    // is user input), unlike column-name parse which must stay total
+    case BucketSpec(n, c) => Some(Bucket(posInt(n).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucket count out of range in 'bucket($n, $c)'")), c))
+    case TruncSpec(n, c) => Some(Truncate(posInt(n).getOrElse(
+      throw new IllegalArgumentException(
+        s"truncate width out of range in 'truncate($n, $c)'")), c))
     case other =>
       require(!other.contains("("),
         s"unsupported partition transform '$other' — supported: " +
-          "day(col), month(col), year(col), bucket(n, col), truncate(n, col)")
+          "hour(col), day(col), month(col), year(col), bucket(n, col), " +
+          "truncate(n, col)")
       None
+  }
+
+  /** Split a comma-separated partition-spec LIST on commas OUTSIDE
+    * parentheses, so `'bucket(8, id), day(ts)'` tokenizes to
+    * `bucket(8, id)` and `day(ts)` — the SQL CALL door's parameter
+    * format (round-12 advisor finding: a naive split fragmented every
+    * parameterized transform into unparseable halves). Unbalanced
+    * parens fail loudly.
+    */
+  def splitSpecList(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' =>
+        depth -= 1
+        require(depth >= 0, s"unbalanced ')' in partition spec list: $s")
+        cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    require(depth == 0, s"unbalanced '(' in partition spec list: $s")
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Derive (or RE-derive — staleness is impossible by construction)

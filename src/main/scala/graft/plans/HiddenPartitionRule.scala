@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 import graft.ops.Transforms
@@ -56,28 +55,47 @@ object HiddenPartitionRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** UTC epoch-day of a temporal literal — the EXACT JVM mirror of
+    * [[Transforms]]' write-side `date_from_unix_date(floor(unix_micros
+    * / µs-per-day))` (same IEEE double divide + floor the codegen'd
+    * derivation runs, so writer directories and reader images agree
+    * bit-for-bit at every boundary, in every session timezone). A DATE
+    * literal is already an epoch-day Int.
+    */
+  private def utcDays(lit: Literal): Int = lit.dataType match {
+    case DateType => lit.value.asInstanceOf[Int]
+    case _ => // TimestampType: internal value is epoch micros (Long)
+      math.floor(lit.value.asInstanceOf[Long].toDouble /
+        Transforms.MicrosPerDay.toDouble).toLong.toInt
+  }
+
+  private def dateLit(days: Int): Literal = Literal(days, DateType)
+
   /** The derived-column image of a source literal under transform `t`,
-    * as a literal-only expression (constant-folds before planning), or
-    * None when the literal's type can't be mapped faithfully.
+    * as a FOLDED literal (day/month/year/hour — computed here in UTC
+    * epoch math, independent of either session's timezone; round-12
+    * advisor finding: the previous session-zone Cast could disagree
+    * with the writer's directories) or a literal-only expression that
+    * constant-folds before planning (bucket/truncate). None when the
+    * literal's type can't be mapped faithfully.
     */
   private def image(t: Transforms.T, lit: Literal,
       srcType: DataType): Option[Expression] = {
-    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    def temporal = lit.dataType == TimestampType || lit.dataType == DateType
     t match {
-      case _: Transforms.Day => lit.dataType match {
-        case TimestampType | DateType => Some(Cast(lit, DateType, tz))
-        case _ => None
-      }
-      case _: Transforms.Month => lit.dataType match {
-        case TimestampType | DateType =>
-          Some(TruncDate(Cast(lit, DateType, tz), Literal("month")))
-        case _ => None
-      }
-      case _: Transforms.Year => lit.dataType match {
-        case TimestampType | DateType =>
-          Some(TruncDate(Cast(lit, DateType, tz), Literal("year")))
-        case _ => None
-      }
+      case _: Transforms.Day if temporal && lit.value != null =>
+        Some(dateLit(utcDays(lit)))
+      case _: Transforms.Month if temporal && lit.value != null =>
+        Some(dateLit(java.time.LocalDate.ofEpochDay(utcDays(lit).toLong)
+          .withDayOfMonth(1).toEpochDay.toInt))
+      case _: Transforms.Year if temporal && lit.value != null =>
+        Some(dateLit(java.time.LocalDate.ofEpochDay(utcDays(lit).toLong)
+          .withDayOfYear(1).toEpochDay.toInt))
+      case _: Transforms.Hour
+          if lit.dataType == TimestampType && lit.value != null =>
+        // mirror of floor(unix_micros / µs-per-hour) cast int
+        Some(Literal(math.floor(lit.value.asInstanceOf[Long].toDouble /
+          Transforms.MicrosPerHour.toDouble).toLong.toInt, IntegerType))
       case b: Transforms.Bucket =>
         // the hash is type-sensitive: only map a literal of EXACTLY the
         // source type (comparison coercion has already cast it)
@@ -92,6 +110,7 @@ object HiddenPartitionRule extends Rule[LogicalPlan] {
           Some(Subtract(lit, Pmod(lit, Cast(Literal(tr.n), it))))
         case _ => None
       }
+      case _ => None
     }
   }
 

@@ -241,6 +241,26 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE graft.ns4 CASCADE")
   }
 
+  test("behavior TBLPROPERTIES persist at CREATE; typo'd graft.* fails with no table") {
+    root
+    // graft.dml.mode declared at CREATE must route DML merge-on-read
+    // (round-12 advisor finding: only ALTER honored it)
+    spark.sql("CREATE TABLE graft.bprops (k BIGINT, v STRING) USING parquet " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql("INSERT INTO graft.bprops VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM graft.bprops WHERE k = 2")
+    assert(graft.ops.Dv.exists(Sinks.resolve(s"$root/bprops")),
+      "a table declared MOR at CREATE must delete via deletion vector")
+    assert(spark.table("graft.bprops").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    // a typo'd graft.* property fails the CREATE and leaves NO table
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bprops2 (k BIGINT) USING parquet " +
+        "TBLPROPERTIES ('graft.dml.moed' = 'mor')"))
+    assert(e.getMessage.contains("graft.dml.moed"), e.getMessage)
+    assert(!spark.catalog.tableExists("graft.bprops2"))
+  }
+
   test("CREATE / DROP NAMESPACE manage warehouse directories") {
     root
     spark.sql("CREATE NAMESPACE graft.ns2")

@@ -176,9 +176,94 @@ class HiddenPartitionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sinks.repartitionTable(spark, tbl, Seq("day(code)"))) // wrong type
     intercept[IllegalArgumentException](
-      Sinks.repartitionTable(spark, tbl, Seq("hour(ts)"))) // unsupported
+      Sinks.repartitionTable(spark, tbl, Seq("week(ts)"))) // unsupported
+    intercept[IllegalArgumentException](
+      Sinks.repartitionTable(spark, tbl, Seq("hour(code)"))) // wrong type
     intercept[IllegalArgumentException](
       Sinks.repartitionTable(spark, tbl, Seq("day(nope)"))) // no source
+  }
+
+  test("derived-name parse is TOTAL: malformed shapes are identity, not a crash") {
+    import spark.implicits._
+    // zero / overflowing tag parameters must parse to None …
+    assert(Transforms.parse("_tp_x__b0").isEmpty)
+    assert(Transforms.parse("_tp_x__t0").isEmpty)
+    assert(Transforms.parse("_tp_x__b99999999999").isEmpty)
+    assert(Transforms.parse("_tp_x__w3").isEmpty)
+    assert(Transforms.parse("_tp_x__b8").contains(Transforms.Bucket(8, "x")))
+    assert(Transforms.parse("_tp_ts__hour").contains(Transforms.Hour("ts")))
+    // … and a NON-Graft frame carrying such a column name must not
+    // crash the optimizer (HiddenPartitionRule parses every Filter
+    // child's attributes session-wide, round-12 advisor finding)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("a", "_tp_x__b0")
+      .filter($"a" > 0)
+    assert(df.count() == 2)
+    val df2 = Seq((1L, "a")).toDF("a", "_tp_x__b99999999999").filter($"a" > 0)
+    assert(df2.count() == 1)
+  }
+
+  test("hour(ts): epoch-hour dirs, hidden schema, range pruning, SQL CALL door") {
+    val tbl = mk("h11")
+    // the SQL door with a PARAMETERIZED transform in the same list — the
+    // comma inside bucket(4, user_id) must survive the split
+    spark.sql("CALL grafthp.system.repartition_table(table => 'h11', " +
+      "partition_by => 'hour(ts), bucket(4, user_id)')")
+    assert(TableProps.partitionCols(tbl) == Seq("_tp_ts__hour", "_tp_user_id__b4"))
+    assert(graft.io.Fs.listDir(Paths.get(Sinks.resolve(tbl)))
+      .exists(_.getFileName.toString.startsWith("_tp_ts__hour=")))
+    val cur = Sinks.readCurrent(spark, tbl)
+    assert(cur.columns.toSeq == Seq("k", "ts", "user_id", "code", "value"))
+    assert(cur.count() == 200)
+    // range filter on raw ts prunes epoch-hour directories
+    val q = spark.sql(
+      "SELECT k FROM grafthp.h11 WHERE ts >= timestamp'2024-03-05 00:00:00' " +
+        "AND ts < timestamp'2024-03-08 00:00:00'")
+    assert(q.count() == 30)
+    val plan = planOf(q)
+    assert(plan.contains("PartitionFilters") && plan.contains("_tp_ts__hour"),
+      plan.take(3000))
+    // bucket equality composes through the same paren-aware CALL spec
+    val q2 = spark.sql("SELECT k FROM grafthp.h11 WHERE user_id = 7")
+    assert(q2.count() == (0L until 200L).count(_ % 50 == 7))
+    assert(planOf(q2).contains("_tp_user_id__b4"))
+  }
+
+  test("day(ts) written under UTC reads correctly (and pruned) from another timezone") {
+    import spark.implicits._
+    // rows late in the UTC day (21:00Z), one per day — in any zone east
+    // of UTC their wall-clock date differs from their UTC directory
+    val df = spark.range(0, 20).select(
+      $"id".as("k"),
+      expr("timestamp'2024-03-01 21:00:00' + " +
+        "make_interval(0, 0, 0, CAST(id AS INT), 0, 0, 0)").as("ts"))
+    val tbl = s"$root/h12"
+    Sinks.publishVersioned(df, tbl, None)
+    Sinks.repartitionTable(spark, tbl, Seq("day(ts)"))
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // Tokyo 2024-03-06 05:00 = 2024-03-05T20:00Z: the only matching
+      // row (2024-03-05T21:00Z, k=4) lives in UTC directory 2024-03-05
+      // — a session-zone image (wall date 03-06) would prune it away
+      val q = spark.sql(
+        "SELECT k FROM grafthp.h12 WHERE " +
+          "ts >= timestamp'2024-03-06 05:00:00' AND " +
+          "ts < timestamp'2024-03-07 05:00:00'")
+      assert(q.as[Long].collect().toSet == Set(4L),
+        "UTC-pinned day images must keep the boundary-day directory")
+      val plan = planOf(q)
+      assert(plan.contains("PartitionFilters") && plan.contains("_tp_ts__day"),
+        plan.take(3000))
+      // writes from the flipped session derive the SAME UTC directories
+      Sinks.appendVersioned(
+        Seq((100L, java.time.Instant.parse("2024-03-25T23:30:00Z")))
+          .toDF("k", "ts").withColumn("ts", $"ts".cast("timestamp")),
+        tbl, Sinks.currentVersion(tbl))
+      val live = Paths.get(Sinks.resolve(tbl))
+      assert(graft.io.Fs.listDir(live)
+        .exists(_.getFileName.toString == "_tp_ts__day=2024-03-25"),
+        "derivation must be UTC-pinned regardless of the writer session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
   test("DROP COLUMN of a transform source is refused (writers would brick)") {
