@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (Spark's legacy default) carries NO footer statistics or
+      // logical annotation — timestamp columns would be unprunable and
+      // unskippable; MICROS is the modern annotated int64 (Delta pins the
+      // same). See ops/Stats.scala timestamp-domain notes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (Spark's legacy default) carries NO footer statistics or
+      // logical annotation — timestamp columns would be unprunable and
+      // unskippable; MICROS is the modern annotated int64 (Delta pins the
+      // same). See ops/Stats.scala timestamp-domain notes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,9 +27,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val res = fn(spark, sfDir)
+        // dump TIMESTAMP columns as NTZ: the session writes annotated
+        // int64 micros (TIMESTAMP_MICROS, isAdjustedToUTC=true), which
+        // DuckDB types TIMESTAMPTZ and the oracle's plain TIMESTAMP
+        // would type-mismatch. Under the pinned UTC session the NTZ
+        // cast is value-identical (same wall-clock micros the oracle
+        // computes) — a dump representation choice, not a semantic one.
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val dump = res.select(res.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            col(s"`${f.name}`").cast(TimestampNTZType).as(f.name)
+          else col(s"`${f.name}`")
+        }.toIndexedSeq: _*)
+        dump.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -497,6 +497,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         graft.ops.TableProps.behaviorKeys.contains(k.toLowerCase),
       s"$catalogName: unsupported graft.* table property $k — supported: " +
         graft.ops.TableProps.behaviorKeys.toSeq.sorted.mkString(", ")))
+    // declared auto-stats columns must exist (a typo'd name would
+    // silently never prune — fail the CREATE, leave no table)
+    properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.StatsKey) => v
+    }.foreach { v =>
+      val missing = v.split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"$catalogName: ${graft.ops.TableProps.StatsKey} names column(s) " +
+          s"not in the table schema: ${missing.mkString(", ")}")
+    }
     // a lost CREATE race must surface as the exception Spark's
     // IF NOT EXISTS handling understands, not a raw OCC conflict
     try Sinks.publishVersioned(empty, tr, None)

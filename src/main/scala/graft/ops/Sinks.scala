@@ -864,7 +864,15 @@ object Sinks {
             .write.mode("overwrite").parquet(stage.toString)
         }
       }
-      if (statsCols.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, statsCols)
+      // explicit statsCols win; otherwise the table's DECLARED
+      // auto-stats columns ('graft.stats.columns') annotate every
+      // snapshot publish too — CTAS/OVERWRITE through the SQL door
+      // never leaves a declared-skippable table un-annotated
+      val effStats =
+        if (statsCols.nonEmpty) statsCols
+        else TableProps.statsColumns(root)
+          .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      if (effStats.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, effStats)
       // B123: build the point-lookup sidecar in staging so data and
       // bloom index land in ONE atomic commit (the post-commit
       // Bloom.annotate path stays available for existing tables)
@@ -1416,13 +1424,19 @@ object Sinks {
       baseMapDir.foreach(d => ColMap.carry(Paths.get(d), stage))
       // an append must not silently demote the table from skippable to
       // full-scan (the same guarantee compaction gives): when the caller
-      // names no stats columns, inherit the live sidecar's — so a SQL
-      // INSERT or a streaming batch keeps the skipping tier intact
+      // names no stats columns, inherit the live sidecar's UNION the
+      // table's DECLARED auto-stats columns ('graft.stats.columns',
+      // round-13) — so a SQL INSERT, DML commit, or streaming batch
+      // keeps the skipping tier intact with zero call-site cooperation,
+      // the Delta/Iceberg collect-stats-inside-every-commit behavior
+      val declaredStats = TableProps.statsColumns(root).map(c =>
+        baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val effStats =
         if (statsCols.nonEmpty)
           baseMapDir.fold(statsCols)(d => statsCols.map(ColMap.toPhysicalName(d, _)))
-        else expected.toSeq.flatMap(v =>
-          Stats.sidecarCols(spark, versionPath(root, v)))
+        else (expected.toSeq.flatMap(v =>
+          Stats.sidecarCols(spark, versionPath(root, v))) ++ declaredStats)
+          .distinct
       // each append adds one sidecar file (the delta's); past the
       // checkpoint threshold, re-footer the WHOLE staged table into one
       // fresh sidecar instead of carrying the pile forward — the
@@ -1434,11 +1448,7 @@ object Sinks {
         .getOrElse(Nil)
       val checkpointStats = effStats.nonEmpty &&
         prevStatsFiles.size >= StatsCheckpointEvery
-      // new-file-only stats: the walk runs BEFORE carry-over, so annotate
-      // reads only the delta's footers
       val hasNew = hasParquetFile(stage)
-      if (effStats.nonEmpty && hasNew && !checkpointStats)
-        Stats.annotate(spark, stage.toString, effStats)
       // bloom sidecar inheritance (B123): filters describe IMMUTABLE
       // files by relative key, so a linked commit keeps the index at
       // O(delta) — build filters for only the staged delta here (the
@@ -1605,6 +1615,29 @@ object Sinks {
             spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
             toWrite.schema)
           .write.mode("overwrite").parquet(stage.toString)
+      }
+      // stats maintenance, non-checkpoint path (runs AFTER carry-over so
+      // the full staged file set is visible): annotate every staged file
+      // missing sidecar coverage for any stats column — the fresh delta
+      // (the commit's O(delta) cost, as before) PLUS any carried file an
+      // earlier version never covered (one footer read each, ONCE — a
+      // 'graft.stats.columns' declared after data therefore retrofits on
+      // the very next commit, and the empty schema-anchor file of a
+      // CTAS'd table gets a rows=0 entry that prunes it outright).
+      // Afterwards every row rides the carry and commits stay O(delta).
+      if (effStats.nonEmpty && !checkpointStats) {
+        val colSet = effStats.map(_.toLowerCase).toSet // physical names
+        val covered: Map[String, Set[String]] =
+          if (Files.isDirectory(stage.resolve(Stats.Sidecar)))
+            Stats.sidecar(spark, stage.toString).select("file", "col")
+              .collect().groupBy(_.getString(0))
+              .map { case (f, rs) => f -> rs.map(_.getString(1).toLowerCase).toSet }
+          else Map.empty
+        val missing = Fs.walkParquet(stage)
+          .map(p => (p.toString, stage.relativize(p).toString))
+          .filter { case (_, key) => !colSet.subsetOf(covered.getOrElse(key, Set.empty)) }
+        Stats.annotatePairs(spark, stage.toString, missing, effStats,
+          append = true)
       }
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
@@ -2649,9 +2682,12 @@ object Sinks {
     // and republished instead.
     // sidecar columns are PHYSICAL; the rewrite below reads LOGICAL
     // (through the funnel) and re-lands logical-named files, converging
-    // a renamed table back to unmapped — so translate for the recluster
-    val statsCols = Stats.sidecarCols(spark, live)
-      .map(ColMap.toLogicalName(live, _))
+    // a renamed table back to unmapped — so translate for the recluster.
+    // Declared auto-stats columns ('graft.stats.columns') join the set:
+    // compaction is the retrofit pass for a property declared after data
+    val statsCols = (Stats.sidecarCols(spark, live)
+      .map(ColMap.toLogicalName(live, _)) ++ TableProps.statsColumns(root))
+      .distinct
     val base = readDir(spark, root, live)
     val pcols = TableProps.partitionCols(root)
     val rewritten =

@@ -4,9 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One column's min/max/null summary for one parquet file, normalized to
-  * three comparison domains (integer-family → `lo_l/hi_l`, float-family →
-  * `lo_d/hi_d`, string → `lo_s/hi_s`; exactly one pair is populated when
-  * `has_stats`). `rows`/`nulls` let an all-null file be skipped outright.
+  * four comparison domains (integer-family → `lo_l/hi_l`, float-family →
+  * `lo_d/hi_d`, string → `lo_s/hi_s`, timestamp → `lo_t/hi_t`; exactly
+  * one pair is populated when `has_stats`). `rows`/`nulls` let an
+  * all-null file be skipped outright.
+  *
+  * TIMESTAMP domain (round-13): `lo_t/hi_t` are epoch MICROS whatever
+  * int64 unit the footer physically stores (ms-written files exist —
+  * the fixture's own `timestamp[ms]` era; ns-written files too). The
+  * annotator sees each file's `LogicalTypeAnnotation` unit and
+  * normalizes AT WRITE TIME — ms scales up exactly, ns floors the min
+  * and ceils the max (conservative: the recorded range can only widen)
+  * — so the read side never guesses a unit. `t_adj` records the
+  * footer's `isAdjustedToUTC`: true = the micros are an instant
+  * (Spark's TIMESTAMP), false = a wall-clock reading (TIMESTAMP_NTZ);
+  * a bound of the other flavor only compares when the session zone is
+  * UTC (where the two coincide) and otherwise keeps the file.
+  *
   * `file` is the path RELATIVE to the version directory (= the basename
   * for flat layouts, `col=val/part-….parquet` for partitioned ones): the
   * sidecar is written in the publish staging directory and must stay
@@ -18,7 +32,9 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     has_stats: Boolean,
     lo_l: Option[Long], hi_l: Option[Long],
     lo_d: Option[Double], hi_d: Option[Double],
-    lo_s: Option[String], hi_s: Option[String])
+    lo_s: Option[String], hi_s: Option[String],
+    lo_t: Option[Long] = None, hi_t: Option[Long] = None,
+    t_adj: Option[Boolean] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -60,6 +76,50 @@ object Stats {
   private[graft] val utf8Ordering: Ordering[String] =
     (a: String, b: String) => utf8Compare(a, b)
 
+  /** A timestamp bound, unit-normalized: epoch micros plus whether they
+    * are an INSTANT (adjusted-to-UTC, Spark TIMESTAMP) or a WALL-CLOCK
+    * reading (TIMESTAMP_NTZ). Public callers pass `java.time.Instant` /
+    * `java.sql.Timestamp` / `java.time.LocalDateTime` and get converted
+    * ([[Stats.normalizeBound]]); the SQL rule passes this directly from
+    * the literal's internal micros.
+    */
+  private[graft] final case class TsVal(us: Long, instant: Boolean)
+
+  /** Raw footer int64 (min, max) → epoch micros, or None when the
+    * conversion cannot be exact-or-wider (ms multiply overflow). ns
+    * floors the min and ceils the max — conservative widening.
+    */
+  private def tsBoundsToMicros(lo: Long, hi: Long,
+      unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit)
+      : Option[(Long, Long)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit._
+    unit match {
+      case MICROS => Some((lo, hi))
+      case MILLIS =>
+        try Some((Math.multiplyExact(lo, 1000L), Math.multiplyExact(hi, 1000L)))
+        catch { case _: ArithmeticException => None }
+      case NANOS => Some((Math.floorDiv(lo, 1000L), -Math.floorDiv(-hi, 1000L)))
+      case _ => None
+    }
+  }
+
+  /** Epoch micros of public timestamp bound spellings; identity for
+    * everything else. An Instant / java.sql.Timestamp is an instant
+    * (`instant = true`); a LocalDateTime is a wall-clock reading
+    * (NTZ semantics, `instant = false`).
+    */
+  private[graft] def normalizeBound(v: Any): Any = v match {
+    case i: java.time.Instant =>
+      TsVal(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong), instant = true)
+    case t: java.sql.Timestamp => normalizeBound(t.toInstant)
+    case l: java.time.LocalDateTime =>
+      TsVal(Math.addExact(Math.multiplyExact(
+        l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        (l.getNano / 1000).toLong), instant = false)
+    case other => other
+  }
+
   /** Collect footer stats for `cols` over every `*.parquet` file in `dir`
     * and write the `_stats` sidecar. Footer reads are distributed across
     * executors; each emits one [[FileColStat]] row per (file, column).
@@ -70,13 +130,29 @@ object Stats {
     */
   def annotate(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
-    import spark.implicits._
     // recursive: a partitioned version nests its files under col=val/
     // dirs; sidecars are _-prefixed and excluded by the walk. Each file
     // travels with its dir-relative sidecar key (computed driver-side —
     // executors must not re-derive it from a path they didn't list)
     val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(p => (p.toString, relKey(dir, p.toString))).sorted
+    annotatePairs(spark, dir, files, cols, append = false)
+  }
+
+  /** The shared footer pass of [[annotate]], over an EXPLICIT file list
+    * — the linked-commit staging funnel uses it with `append = true` to
+    * add sidecar rows for ONLY the files missing coverage (the staged
+    * delta plus any carried file an earlier version never annotated),
+    * so declaring `graft.stats.columns` retrofits old files on the very
+    * next commit at one footer read each while staying O(delta)
+    * afterwards. Pairs are (absolute path, dir-relative sidecar key).
+    */
+  private[graft] def annotatePairs(spark: SparkSession, dir: String,
+      files: Seq[(String, String)], cols: Seq[String],
+      append: Boolean): Unit = {
+    require(cols.nonEmpty, "annotate requires at least one column")
+    import spark.implicits._
+    if (files.isEmpty) return
     // footers speak PHYSICAL names; callers may pass logical ones
     // under a column mapping (idempotent when unmapped)
     val colSet = cols.map(ColMap.toPhysicalName(dir, _))
@@ -96,7 +172,8 @@ object Stats {
         confKV.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (f, key) => footerStats(f, key, colSet, conf) }
       }
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/$Sidecar")
+    stats.coalesce(1).write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$dir/$Sidecar")
   }
 
   /** Per-file operational inventory of a version dir — relative path,
@@ -183,8 +260,28 @@ object Stats {
                   case s: IntStatistics => s.getMax.toLong
                   case s: LongStatistics => s.getMax
                 }
-                FileColStat(name, c, rows, nulls, has_stats = true,
-                  Some(los.min), Some(his.max), None, None, None, None)
+                chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation =>
+                    // normalize the RAW int64 to epoch micros HERE, where
+                    // the unit is known (the round-12 gap: raw-unit bounds
+                    // forced the read side to decline every timestamp
+                    // literal). Floor the min / ceil the max where the
+                    // conversion loses precision (ns) and refuse where it
+                    // can overflow (ms near Long range) — the recorded
+                    // range only ever widens, never excludes a value.
+                    val conv = tsBoundsToMicros(los.min, his.max, ts.getUnit)
+                    conv.fold(FileColStat(name, c, rows, nulls,
+                      has_stats = false,
+                      None, None, None, None, None, None)) { case (lo, hi) =>
+                      FileColStat(name, c, rows, nulls, has_stats = true,
+                        None, None, None, None, None, None,
+                        Some(lo), Some(hi), Some(ts.isAdjustedToUTC))
+                    }
+                  case _ =>
+                    FileColStat(name, c, rows, nulls, has_stats = true,
+                      Some(los.min), Some(his.max), None, None, None, None)
+                }
               case _: FloatStatistics | _: DoubleStatistics =>
                 val los = withVals.map {
                   case s: FloatStatistics => s.getMin.toDouble
@@ -220,9 +317,16 @@ object Stats {
     } finally reader.close()
   }
 
-  /** The sidecar as a DataFrame (for inspection and specs). */
+  /** The sidecar as a DataFrame (for inspection and specs).
+    * `mergeSchema`: linked commits CARRY prior sidecar part files
+    * verbatim, so after the round-13 timestamp-domain columns a dir can
+    * legitimately mix pre- and post-upgrade parts — merged, old rows
+    * read `lo_t` as null (kept-always for timestamp bounds, exactly the
+    * conservative contract). The dir is ≤ [[Sinks.StatsCheckpointEvery]]
+    * files, so the extra footer reads stay metadata-scale.
+    */
   def sidecar(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/$Sidecar")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/$Sidecar")
 
   /** Distinct columns recorded in version dir `dir`'s sidecar (sorted),
     * or Nil when it has none — what a rewrite/append must re-annotate so
@@ -263,6 +367,8 @@ object Stats {
   def prunedFilesBounds(spark: SparkSession, dir: String,
       colName: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
     require(lo.isDefined || hi.isDefined, "at least one bound is required")
+    val loN = lo.map(normalizeBound)
+    val hiN = hi.map(normalizeBound)
     val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(_.toString).sorted
     // no sidecar at all (a version published without statsCols, e.g. a
@@ -277,21 +383,44 @@ object Stats {
       .collect().map { r =>
         r.getAs[String]("file") -> r
       }.toMap
+    // NTZ stats vs instant bounds (or vice versa) only coincide when
+    // the session renders instants in UTC; elsewhere keep the file
+    val sessionUtc = java.time.ZoneId
+      .of(spark.sessionState.conf.sessionLocalTimeZone).normalized() ==
+      java.time.ZoneOffset.UTC
+    def notNull(r: org.apache.spark.sql.Row, f: String): Boolean = {
+      val i = r.schema.fieldNames.indexOf(f) // pre-round-13 sidecars lack lo_t
+      i >= 0 && !r.isNullAt(i)
+    }
     all.filter { f =>
       side.get(f.stripPrefix(dir).stripPrefix("/")) match {
         case None => true // no stats row → cannot prune
         case Some(r) =>
           if (!r.getAs[Boolean]("has_stats")) true
           else if (r.getAs[Long]("nulls") == r.getAs[Long]("rows")) false // all null
-          else if (!r.isNullAt(r.fieldIndex("lo_l"))) {
-            lo.forall(q => r.getAs[Long]("hi_l") >= toLong(q)) &&
-              hi.forall(q => r.getAs[Long]("lo_l") <= toLong(q))
-          } else if (!r.isNullAt(r.fieldIndex("lo_d"))) {
-            lo.forall(q => r.getAs[Double]("hi_d") >= toDouble(q)) &&
-              hi.forall(q => r.getAs[Double]("lo_d") <= toDouble(q))
-          } else if (!r.isNullAt(r.fieldIndex("lo_s"))) {
-            lo.forall(q => utf8Compare(r.getAs[String]("hi_s"), q.toString) >= 0) &&
-              hi.forall(q => utf8Compare(r.getAs[String]("lo_s"), q.toString) <= 0)
+          else if (notNull(r, "lo_t")) {
+            val adj = r.getAs[Boolean]("t_adj")
+            def usable(q: Any) = q match {
+              case TsVal(_, instant) => instant == adj || sessionUtc
+              case _ => false // non-timestamp bound vs timestamp stats: keep
+            }
+            if (!(loN.forall(usable) && hiN.forall(usable))) true
+            else loN.forall(q => r.getAs[Long]("hi_t") >= q.asInstanceOf[TsVal].us) &&
+              hiN.forall(q => r.getAs[Long]("lo_t") <= q.asInstanceOf[TsVal].us)
+          } else if (notNull(r, "lo_l")) {
+            // a timestamp bound against a raw-int64 (pre-round-13)
+            // sidecar row has no common domain — keep, never guess
+            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            else loN.forall(q => r.getAs[Long]("hi_l") >= toLong(q)) &&
+              hiN.forall(q => r.getAs[Long]("lo_l") <= toLong(q))
+          } else if (notNull(r, "lo_d")) {
+            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            else loN.forall(q => r.getAs[Double]("hi_d") >= toDouble(q)) &&
+              hiN.forall(q => r.getAs[Double]("lo_d") <= toDouble(q))
+          } else if (notNull(r, "lo_s")) {
+            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            else loN.forall(q => utf8Compare(r.getAs[String]("hi_s"), q.toString) >= 0) &&
+              hiN.forall(q => utf8Compare(r.getAs[String]("lo_s"), q.toString) <= 0)
           } else true // has_stats with no domain should be unreachable; keep
       }
     }

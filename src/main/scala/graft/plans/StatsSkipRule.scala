@@ -63,18 +63,26 @@ object StatsSkipRule extends Rule[LogicalPlan] {
   /** Sidecar-comparable literal value, or None for types whose stored
     * domain the sidecar cannot compare exactly. Internal Catalyst
     * values: dates are days (Int) — parquet DATE is ALWAYS days, so the
-    * domains agree. TIMESTAMP declines: the footer stats record the
-    * file's RAW int64 in ITS unit (millis-written files exist — the
-    * fixture's own `timestamp[ms]`) while the literal is micros, and a
-    * 1000× unit mismatch would prune files that match — a silent wrong
-    * answer, not a slow one. (The Scala door refuses the same bounds:
-    * `Stats.toLong` rejects non-integral values.)
+    * domains agree. TIMESTAMP literals (internal: epoch micros) compare
+    * against the sidecar's `lo_t/hi_t` micros — the round-13 upgrade:
+    * `Stats.annotate` now normalizes each footer's raw int64 to micros
+    * AT WRITE TIME (the annotator sees the file's unit; ms-written
+    * files exist), so the read side never guesses a unit. The
+    * instant/wall-clock flavor rides along ([[graft.ops.Stats]] TsVal)
+    * and [[Stats.prunedFilesBounds]] keeps any file whose footer flavor
+    * can't be compared under the session zone. Time-range predicates on
+    * event tables are THE dominant 100 TB scan filter — this is the
+    * highest-leverage conjunct the rule serves.
     */
   private def boundValue(l: Literal): Option[Any] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType | DateType
         if l.value != null => Some(l.value)
     case FloatType | DoubleType if l.value != null => Some(l.value)
     case StringType if l.value != null => Some(l.value.toString)
+    case TimestampType if l.value != null =>
+      Some(Stats.TsVal(l.value.asInstanceOf[Long], instant = true))
+    case TimestampNTZType if l.value != null =>
+      Some(Stats.TsVal(l.value.asInstanceOf[Long], instant = false))
     case _ => None
   }
 

@@ -379,6 +379,29 @@ object ScanOps extends QueryModule {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // B165 timestamp file skipping through the SQL door (round-13): the
+    // events table published ts-clustered with auto-declared stats
+    // ('graft.stats.columns' — the sidecar exists because the TABLE
+    // says so, no caller passed statsCols), then read via spark.sql
+    // with a time-range predicate — THE dominant scan filter on a
+    // 100 TB event table. StatsSkipRule compares the literal's micros
+    // against the annotate-time-normalized footer bounds (ms/µs/ns
+    // files all comparable; SkippingSpec pins the per-unit legs and
+    // opened-file counts). The oracle recomputes from the raw fixture,
+    // hash-proving pruned time-range reads exact.
+    "q_stats_skipping_ts" -> ((s, dir) => {
+      val cat = tsSkipCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value,
+           |  min(event_id) AS min_eid, max(event_id) AS max_eid
+           |FROM $cat.events_ts
+           |WHERE ts >= timestamp'2024-01-10 00:00:00'
+           |  AND ts < timestamp'2024-01-13 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B137 COPY INTO end to end: a landing directory gains two region
     // files (ingested as one commit), then a third (ingested alone by
     // the second CALL — the first two are receipt-deduped). The read
@@ -1081,6 +1104,49 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog whose `events_ts` table exercises B165 timestamp
+    * file skipping end to end through the AUTO-STATS door: CTAS declares
+    * 'graft.stats.columns' = 'ts,event_id' and nothing ever calls
+    * annotate — the sidecar exists because every commit (the CTAS
+    * insert, then a small linked append) collects it by declaration.
+    * The data is ts-range-clustered first so a time window prunes files.
+    */
+  def tsSkipCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Sinks, Stats}
+    val wh = "/tmp/graft_tswh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftts_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/events_ts"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "events") + ":auto-ts-stats"
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.isDirectory(Paths.get(
+        Sinks.versionPath(tbl, 2L) + "/" + Stats.Sidecar)) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.events(s, dir)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .createOrReplaceTempView("graft_ts_src")
+      s.sql(
+        s"""CREATE TABLE $cat.events_ts USING parquet
+           |TBLPROPERTIES ('graft.stats.columns' = 'ts,event_id')
+           |AS SELECT * FROM graft_ts_src""".stripMargin)
+      // a linked commit (no statsCols passed anywhere) must keep the
+      // declared sidecar fresh — its delta rows also prune
+      s.sql(s"INSERT INTO $cat.events_ts " +
+        "SELECT event_id + 10000000, ts + INTERVAL 365 DAYS, user_id, " +
+        s"event_type, value, props FROM $cat.events_ts WHERE event_id < 50")
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   /** Per-sf-dir catalog whose `cust` table has lived a full schema-
     * evolution life: CTAS from the customer fixture with a CHECK
     * constraint on c_name (v0 empty + v1 data), RENAME COLUMN
@@ -1402,6 +1468,19 @@ object ScanOps extends QueryModule {
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199
         |  AND o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the +365d appended rows live outside the queried window, so the
+    // raw fixture alone reconstructs it; CAST(ts AS TIMESTAMP) is
+    // layout-independent (µs-native and legacy-ns fixtures both)
+    "q_stats_skipping_ts" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_copy_into" ->
       """SELECT r_regionkey, r_name FROM (

@@ -118,29 +118,212 @@ class SkippingSpec extends AnyFunSuite {
     assert(q2.count() == 21 && q2.inputFiles.length == 1)
   }
 
-  test("timestamp bounds DECLINE SQL skipping (footer unit is the file's, not micros)") {
+  test("timestamp bounds PRUNE through the SQL door (stats micros-normalized at annotate)") {
     import spark.implicits._
     val wh = tmp("skipts")
     val cat = "graftsk_ts"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/t"
+    // 100 hourly rows, ts-clustered so each of 4 files holds ~25 hours
     val df = spark.range(0, 100).select($"id".as("k"),
       expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, CAST(id AS INT),0,0)").as("ts"))
-    Sinks.publishVersioned(df.repartitionByRange(4, col("k")), tbl, None,
-      statsCols = Seq("k", "ts"))
-    // a ts range would be unit-ambiguous against raw footer int64 —
-    // the rule must keep the bare scan and the answer exact
+    Sinks.publishVersioned(df.repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts"), tbl, None, statsCols = Seq("k", "ts"))
+    // the round-12 gap, closed: a ts range now opens only overlapping
+    // files (time-range predicates are THE dominant 100 TB scan filter)
     val q = spark.sql(s"SELECT k FROM $cat.t " +
-      "WHERE ts >= timestamp'2024-01-03 00:00:00'")
-    assert(q.queryExecution.executedPlan.toString.contains("BatchScan"),
-      q.queryExecution.executedPlan.toString.take(1200))
-    assert(q.count() == 100 - 48)
-    // the integral column on the same table still prunes
-    // (range-partitioner boundaries are sampled, so the quartile edges
-    // are approximate — assert pruning, not an exact file count)
-    val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE k < 25")
-    assert(q2.inputFiles.length < 4 && q2.count() == 25)
+      "WHERE ts >= timestamp'2024-01-04 20:00:00'") // last ~9 hours
+    assert(q.count() == 100 - 92)
+    assert(q.inputFiles.length < 4 && q.inputFiles.nonEmpty,
+      s"expected a pruned ts read, opened ${q.inputFiles.length} of 4")
+    // two-sided window inside one file's span
+    val q2 = spark.sql(s"SELECT k FROM $cat.t " +
+      "WHERE ts BETWEEN timestamp'2024-01-01 03:00:00' " +
+      "AND timestamp'2024-01-01 06:00:00'")
+    assert(q2.count() == 4 && q2.inputFiles.length == 1,
+      s"got ${q2.inputFiles.length} files")
+    // out-of-domain window opens zero files, still answers exactly
+    val q3 = spark.sql(s"SELECT k FROM $cat.t " +
+      "WHERE ts > timestamp'2030-01-01 00:00:00'")
+    assert(q3.inputFiles.isEmpty && q3.count() == 0)
+  }
+
+  test("ms- and ns-unit footers normalize to micros at annotate time (unit never guessed)") {
+    import spark.implicits._
+    // ---- ms-written files (the fixture's own timestamp[ms] era) ----
+    val msDir = tmp("skipms") + "/t"
+    val out0 = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      spark.range(0, 96).select($"id".as("k"),
+        expr("timestamp'2024-02-01 00:00:00' + make_interval(0,0,0,0, CAST(id AS INT),0,0)").as("ts"))
+        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(msDir)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", out0)
+    Stats.annotate(spark, msDir, Seq("ts"))
+    val sc = Stats.sidecar(spark, msDir).filter(col("col") === "ts").collect()
+    assert(sc.forall(r => !r.isNullAt(r.fieldIndex("lo_t")) &&
+      r.isNullAt(r.fieldIndex("lo_l"))), "ms stats must land micros-normalized")
+    // one day in = hours [24, 48): exactly the files holding that span
+    val lo = java.time.Instant.parse("2024-02-02T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-02-02T23:00:00Z")
+    val kept = Stats.prunedFilesBounds(spark, msDir, "ts", Some(lo), Some(hi))
+    assert(kept.size < 4 && kept.nonEmpty, s"ms prune kept ${kept.size} of 4")
+    val pruned = Stats.readWhere(spark, msDir, "ts", lo, hi)
+    val full = spark.read.parquet(msDir)
+      .filter(col("ts").between(lit(lo), lit(hi)))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() == 24)
+
+    // ---- ns-written files (parquet-mr direct; Spark can't write ns) ----
+    val nsDir = java.nio.file.Paths.get(tmp("skipns"), "t")
+    java.nio.file.Files.createDirectories(nsDir)
+    locally {
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val schema = Types.buildMessage()
+        .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+        .required(PrimitiveTypeName.INT64).named("k")
+        .named("t")
+      val fac = new SimpleGroupFactory(schema)
+      val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      // two files: hours [0,48) and [48,96), ns-precision (+1ns so a
+      // floor/ceil mistake at the µs seam would misprune)
+      for ((fname, range) <- Seq(("a.parquet", 0 until 48),
+          ("b.parquet", 48 until 96))) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        GroupWriteSupport.setSchema(schema, conf)
+        val w = ExampleParquetWriter
+          .builder(new org.apache.hadoop.fs.Path(s"$nsDir/$fname"))
+          .withConf(conf).build()
+        try range.foreach { h =>
+          w.write(fac.newGroup()
+            .append("ts", base + h * 3600L * 1000000000L + 1L)
+            .append("k", h.toLong))
+        } finally w.close()
+      }
+    }
+    Stats.annotate(spark, nsDir.toString, Seq("ts"))
+    val nsSc = Stats.sidecar(spark, nsDir.toString)
+      .filter(col("col") === "ts").collect()
+    assert(nsSc.length == 2 && nsSc.forall(r =>
+      !r.isNullAt(r.fieldIndex("lo_t")) && r.getAs[Boolean]("t_adj")))
+    // a window inside file b's span keeps ONLY b; the +1ns offsets must
+    // not push a boundary row out of its recorded (floored/ceiled) range
+    val nsKept = Stats.prunedFilesBounds(spark, nsDir.toString, "ts",
+      Some(java.time.Instant.parse("2024-03-03T05:00:00Z")),
+      Some(java.time.Instant.parse("2024-03-03T07:00:00Z")))
+    assert(nsKept.size == 1 && nsKept.head.endsWith("b.parquet"), nsKept)
+    // the file's own min instant (floored micros) still keeps the file
+    val edgeKept = Stats.prunedFilesBounds(spark, nsDir.toString, "ts",
+      None, Some(java.time.Instant.parse("2024-03-01T00:00:00Z")))
+    assert(edgeKept.size == 1 && edgeKept.head.endsWith("a.parquet"),
+      s"ceil(max)/floor(min) must keep the boundary file: $edgeKept")
+  }
+
+  test("NTZ footers prune NTZ bounds; instant-vs-NTZ only under a UTC session") {
+    import spark.implicits._
+    val dir = tmp("skipntz") + "/t"
+    spark.range(0, 96).select($"id".as("k"),
+      expr("cast(timestamp'2024-04-01 00:00:00' + " +
+        "make_interval(0,0,0,0, CAST(id AS INT),0,0) as timestamp_ntz)").as("ts"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("ts"))
+    val rows = Stats.sidecar(spark, dir).filter(col("col") === "ts").collect()
+    assert(rows.forall(r => !r.getAs[Boolean]("t_adj")),
+      "NTZ files must record isAdjustedToUTC=false")
+    // NTZ bound (LocalDateTime): prunes in any session zone
+    val lo = java.time.LocalDateTime.parse("2024-04-04T20:00:00")
+    assert(Stats.prunedFilesBounds(spark, dir, "ts", Some(lo), None).size < 4)
+    // instant bound vs NTZ stats: comparable under UTC (they coincide) …
+    val iBound = java.time.Instant.parse("2024-04-04T20:00:00Z")
+    assert(Stats.prunedFilesBounds(spark, dir, "ts", Some(iBound), None).size < 4)
+    // … but NOT under another zone — conservative keep-everything
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(Stats.prunedFilesBounds(spark, dir, "ts",
+        Some(iBound), None).size == 4,
+        "a flavor-mismatched bound outside UTC must not prune")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("'graft.stats.columns' auto-collects on every commit — no manual annotate ever") {
+    import spark.implicits._
+    val wh = tmp("skipauto")
+    val cat = "graftsk_auto"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    // CTAS with the property: the very first data commit is annotated
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("skip_auto_src")
+    spark.sql(s"CREATE TABLE $cat.t USING parquet " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'k') " +
+      "AS SELECT * FROM skip_auto_src")
+    val q = spark.sql(s"SELECT k FROM $cat.t WHERE k BETWEEN 100 AND 120")
+    assert(q.inputFiles.length == 1,
+      s"CTAS with the property must prune immediately, opened ${q.inputFiles.length}")
+    assert(q.count() == 21)
+    // INSERT (linked commit, no statsCols anywhere): delta annotated too
+    // (the two VALUES rows may land as one or two part files — the
+    // pruned read must open ONLY delta files, none of the 4 originals)
+    spark.sql(s"INSERT INTO $cat.t VALUES (5000, 'x'), (5001, 'y')")
+    val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE k >= 4000")
+    assert(q2.count() == 2 && q2.inputFiles.length <= 2 && q2.inputFiles.nonEmpty,
+      s"the appended delta must carry its own stats (${q2.inputFiles.length} files)")
+    // SQL DML commits keep the sidecar live as well
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 110")
+    val q3 = spark.sql(s"SELECT k FROM $cat.t WHERE k BETWEEN 100 AND 120")
+    assert(q3.count() == 20 && q3.inputFiles.length <= 2,
+      s"post-DML reads must stay pruned (${q3.inputFiles.length} files)")
+    // a typo'd stats column fails the CREATE with no table left behind
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t2 (k BIGINT) USING parquet " +
+        "TBLPROPERTIES ('graft.stats.columns' = 'nope')"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    assert(!spark.catalog.tableExists(s"$cat.t2"))
+  }
+
+  test("ALTER SET 'graft.stats.columns' retrofits via the next commit / compaction") {
+    import spark.implicits._
+    val wh = tmp("skipretro")
+    val cat = "graftsk_retro"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    Sinks.publishVersioned(
+      (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      tbl, None) // NO stats at publish
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('graft.stats.columns' = 'k')")
+    // compaction is the retrofit pass: re-clusters by the declared
+    // column and annotates the whole rewritten version (tiny target so
+    // the rewrite yields several files — something left to prune)
+    Sinks.compactVersioned(spark, tbl, targetBytes = 2048)
+    val nFiles = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.resolve(tbl))).size
+    assert(nFiles > 1, s"retrofit compaction produced $nFiles file(s)")
+    val q = spark.sql(s"SELECT k FROM $cat.t WHERE k BETWEEN 100 AND 120")
+    assert(q.count() == 21)
+    assert(q.inputFiles.length < nFiles && q.inputFiles.nonEmpty,
+      s"compaction under the declared property must re-annotate " +
+        s"(${q.inputFiles.length} of $nFiles files)")
+    // and a plain append AFTER the retrofit also self-annotates
+    import spark.implicits._
+    Sinks.appendVersioned(Seq((9000L, "z")).toDF("k", "payload"), tbl,
+      Sinks.currentVersion(tbl))
+    val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE k >= 8000")
+    assert(q2.count() == 1 && q2.inputFiles.length == 1,
+      s"got ${q2.inputFiles.length}")
   }
 
   test("CALL system.annotate_stats lights up SQL skipping on a stats-less table") {
