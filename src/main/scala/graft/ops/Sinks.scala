@@ -1051,6 +1051,21 @@ object Sinks {
     */
   private[graft] final case class MorRebase(touched: () => Set[String])
       extends RebasePolicy
+  /** A copy-on-write DML commit (round-13): rebase-safe under the SAME
+    * file-granular disjointness gate as [[MorRebase]] — every touched
+    * file still live in the new current and untouched by any DV added
+    * since. Sound because every COW rewrite is snapshot-pinned (the
+    * touched-file scan reads explicit immutable paths of the base
+    * version; MERGE checkpoints its source), so the rebased commit's
+    * state equals the serial schedule [this COW at its base, then the
+    * interleaved commits]: the carry set (new current minus touched)
+    * IS old-files-minus-touched plus everything the interleaved
+    * commits added. An interleaved commit that rewrote, vacuumed, or
+    * DV'd a touched file fails the subset/disjointness check and keeps
+    * the honest CME.
+    */
+  private[graft] final case class CowRebase(touched: Set[String])
+      extends RebasePolicy
 
   /** Bound on CME→re-stage rounds. Each retry costs O(delta) bytes +
     * O(live files) hardlinks — metadata-scale — so the bound is
@@ -1136,8 +1151,12 @@ object Sinks {
                  readDir(spark, root, newDir.toString).schema
                    .map(f => (f.name, f.dataType.simpleString))) false
         else policy match {
-          case MorRebase(touchedThunk) =>
-            val touched = touchedThunk()
+          case MorRebase(_) | CowRebase(_) =>
+            val touched = policy match {
+              case MorRebase(thunk) => thunk()
+              case CowRebase(t) => t
+              case _ => Set.empty[String]
+            }
             // every file our vector references must still be live …
             touched.subsetOf(relParquetKeys(newDir)) && {
               // … and untouched by any DV part added since (a folded
@@ -1313,7 +1332,11 @@ object Sinks {
     stageLinkedPublish(rewritten, root, Some(expected), Nil,
       emitFeed = false, batchTag = None,
       carry = rel => !touchedRel.contains(rel), skipDataWrite = skipWrite,
-      changeFeedDf = changeFeed, opTag = "cow-dml")
+      changeFeedDf = changeFeed, opTag = "cow-dml",
+      // round-13: a lost race re-stages under file-granular
+      // disjointness instead of aborting (see CowRebase) — COW-vs-
+      // append and disjoint COW-vs-COW both commit; overlap refuses
+      rebase = CowRebase(touchedRel))
   }
 
   /** The shared linked-publish core: write `df` as the staged delta,

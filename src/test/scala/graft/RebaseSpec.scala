@@ -113,6 +113,64 @@ class RebaseSpec extends AnyFunSuite {
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir3)))
   }
 
+  /** Drive a copy-on-write delete against an EXPLICIT base version —
+    * the snapshot-pinned shape GraftDml builds: touched = files holding
+    * matching rows, rewritten = their surviving rows, everything else
+    * carried. A stale base exercises CowRebase.
+    */
+  private def staleCowDelete(root: String, baseV: Long,
+      pred: org.apache.spark.sql.Column): Long = {
+    val dir = Sinks.versionPath(root, baseV)
+    val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
+      .map(_.toString)
+    val withFile = spark.read.parquet(all: _*)
+      .withColumn("_f", input_file_name())
+    val touchedAbs = withFile.filter(pred).select("_f").distinct()
+      .collect().map(r =>
+        java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString).toSeq
+    val touchedRel = touchedAbs
+      .map(_.stripPrefix(dir.stripSuffix("/") + "/")).toSet
+    val kept = spark.read.parquet(touchedAbs: _*)
+      .filter(!coalesce(pred, lit(false)))
+      .select(col("id"), col("v"))
+    Sinks.cowPublish(spark, root, baseV, touchedRel, kept)
+  }
+
+  test("a COW DELETE racing a blind append rebases (disjoint files); state = serial") {
+    val root = tmp("cowapp")
+    Sinks.publishVersioned(rows(1L, 2L, 3L, 4L).repartition(1), root, None)
+    // the append wins the race; the COW staged against v0 rebases on top
+    assert(Sinks.appendVersioned(rows(5L).repartition(1), root, Some(0L)) == 1L)
+    assert(staleCowDelete(root, 0L, col("id") === 2L) == 2L)
+    val got = Sinks.readCurrent(spark, root).select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 5L), s"append + COW delete must both apply, got $got")
+    assert(Sinks.listVersions(root) == Seq(0L, 1L, 2L))
+  }
+
+  test("two COW DELETEs on DISJOINT files both commit; overlapping COW keeps the CME") {
+    val root = tmp("cowcow")
+    // file A: ids 1-2; file B: ids 3-4
+    Sinks.publishVersioned(rows(1L, 2L).repartition(1), root, None)
+    Sinks.appendVersioned(rows(3L, 4L).repartition(1), root, Some(0L))
+    // COW on file A commits at v2; a stale COW on file B (based v1) rebases
+    assert(staleCowDelete(root, 1L, col("id") === 1L) == 2L)
+    assert(staleCowDelete(root, 1L, col("id") === 3L) == 3L)
+    val got = Sinks.readCurrent(spark, root).select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L), s"both disjoint COWs must apply, got $got")
+    // OVERLAP: a stale COW touching file A — already rewritten at v2, its
+    // key no longer live — must keep the honest CME
+    val e = intercept[ConcurrentModificationException](
+      staleCowDelete(root, 1L, col("id") === 2L))
+    assert(e.getMessage.contains("recompute"), e.getMessage)
+    // and a COW racing a MOR DELETE on the SAME file refuses too (the
+    // DV part added since references its touched file)
+    val root2 = tmp("cowmor")
+    Sinks.publishVersioned(rows(1L, 2L).repartition(1), root2, None)
+    assert(Sinks.deleteVector(spark, root2, col("id") === 1L) == 1L)
+    intercept[ConcurrentModificationException](
+      staleCowDelete(root2, 0L, col("id") === 2L))
+  }
+
   test("rebase refuses when the write contract moved: partition evolution, retyped column") {
     // a concurrent partition evolution: the stale delta was laid out
     // under the old spec — the version-local _PSPEC comparison refuses
