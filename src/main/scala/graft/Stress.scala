@@ -443,8 +443,76 @@ object Stress {
       System.err.println(s"[stress] neardup100x leg failed: $e")
       Seq("neardup100x_probe_last" -> (-1L, -1.0))
     }
+    // Multi-writer contention leg (round-13): 6 genuinely concurrent
+    // appender threads (10 commits each) + 1 merge-on-read deleter
+    // (10 DV commits) hammering ONE table, every commit basing on a
+    // just-read current version — the blind-append/disjoint-MOR traffic
+    // auto-rebase exists for. Asserts ZERO lost commits (every commit
+    // lands, version count proves it) and a serial-equivalent final
+    // state (deletes target seeded negative ids, appends write disjoint
+    // positives, so the exact final set is order-independent); reports
+    // the rebase-retry count and worst per-commit latency — the
+    // economics of optimistic concurrency under real contention.
+    val multiWriterTimes = try {
+      import graft.ops.Sinks
+      val root = s"$out/multi_writer"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val seed = (-10L to 0L).toSeq
+      Sinks.publishVersioned(
+        spark.createDataFrame(seed.map(Tuple1(_))).toDF("id")
+          .withColumn("v", col("id") * 10).repartition(1), root, None)
+      val nApp = 6; val perApp = 10; val nDel = 10
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val worstMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val rebase0 = Sinks.rebaseRetries.get()
+      def track[T](f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        val ms = (System.nanoTime() - t0) / 1000000
+        worstMs.getAndUpdate(m => math.max(m, ms)); r
+      }
+      val (_, tWall) = timed {
+        val appenders = (1 to nApp).map { i =>
+          new Thread(() => {
+            try (0 until perApp).foreach { j =>
+              val one = spark.createDataFrame(
+                  Seq(Tuple1(i * 1000L + j))).toDF("id")
+                .withColumn("v", col("id") * 10)
+              track(Sinks.appendVersioned(one, root, Sinks.currentVersion(root)))
+            } catch { case t: Throwable => errors.add(t) }
+          })
+        }
+        val deleter = new Thread(() => {
+          try (1 to nDel).foreach { r =>
+            track(Sinks.deleteVector(spark, root, col("id") === lit(-r.toLong)))
+          } catch { case t: Throwable => errors.add(t) }
+        })
+        (appenders :+ deleter).foreach(_.start())
+        (appenders :+ deleter).foreach(_.join())
+        0L
+      }
+      require(errors.isEmpty, s"multi-writer lost commits: ${errors.peek()}")
+      val nCommits = Sinks.listVersions(root).size - 1
+      require(nCommits == nApp * perApp + nDel,
+        s"expected ${nApp * perApp + nDel} commits, found $nCommits versions")
+      val got = Sinks.readCurrent(spark, root)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = (for (i <- 1 to nApp; j <- 0 until perApp)
+        yield i * 1000L + j).toSet + 0L
+      require(got == want,
+        s"serial-equivalent state violated: missing ${want -- got}, extra ${got -- want}")
+      val rebases = Sinks.rebaseRetries.get() - rebase0
+      System.err.println(s"[stress] multi_writer: ${nApp * perApp + nDel} commits " +
+        s"from ${nApp + 1} threads in $tWall s, $rebases rebases, " +
+        s"worst commit ${worstMs.get()} ms, zero lost")
+      Seq("multi_writer_commits" -> ((nApp * perApp + nDel).toLong, tWall),
+        "multi_writer_rebases" -> (rebases, worstMs.get() / 1000.0))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] multi-writer leg failed: $e")
+      Seq("multi_writer_commits" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
-      appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++ dedup100Times
+      appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++
+      dedup100Times ++ multiWriterTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

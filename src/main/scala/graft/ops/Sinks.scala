@@ -1076,6 +1076,14 @@ object Sinks {
     */
   private[graft] val MaxRebaseAttempts = 100
 
+  /** Process-lifetime count of commit-race rebase retries (every
+    * re-stage after a lost OCC race, across all tables) — observability
+    * for multi-writer deployments: a climbing rate on one table says
+    * its writers contend enough to consider coarser batching. The
+    * stress harness reports it per run.
+    */
+  val rebaseRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Table properties whose concurrent movement does NOT invalidate a
     * rebase: streaming high-water marks and COPY INTO receipts are the
     * bookkeeping OF concurrent appends — exactly the traffic rebase
@@ -1380,6 +1388,7 @@ object Sinks {
               !rebaseSafe(aligned.sparkSession, root, exp, newCur, rebase,
                 propsAtStage))
             throw cme
+          rebaseRetries.incrementAndGet()
           exp = newCur
           // a failed re-stage (a drift the gate could not see — the
           // realign guard refusing, a vacuumed base) reports as the CME
