@@ -1,0 +1,276 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.io.Fs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Operator hygiene and layout maintenance: orphan vacuum,
+  * compaction with retention, and target-size file planning.
+  *
+  * One seam of [[Sinks]] (round-13 split of a 2.9k-line object:
+  * pure member motion, zero behavior change — `Sinks.<member>`
+  * call sites are untouched because the object mixes this in).
+  */
+private[graft] trait SinksMaintenance { this: Sinks.type =>
+
+  /** Operator hygiene: remove CRASH DEBRIS that retention-based vacuum
+    * never touches — `.stage-*` dirs of writers that died before their
+    * commit, and version dirs ABOVE the live pointer (a crash between
+    * the version-dir rename and the pointer flip, or a multi-table
+    * transaction killed before its marker). Both are invisible to every
+    * reader and harmless, but they accumulate bytes forever on a busy
+    * table. Only entries older than `olderThanMs` go (default 24 h —
+    * the standard VACUUM trade: an IN-FLIGHT writer staging longer than
+    * the window loses its not-yet-committed stage and fails cleanly at
+    * commit, never corrupts); runs under the commit lock, so no commit
+    * is concurrently promoting an above-current dir. `_txn-*` markers
+    * are deliberately kept: a marker may be referenced by conditional
+    * pointers of OTHER tables, which this table-scoped pass cannot see.
+    * Returns (stage dirs removed, orphan versions removed).
+    */
+  def vacuumOrphans(root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = withCommitLock(root) {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false }
+    val entries = Fs.listDir(Paths.get(root))
+    val stages = entries.filter(p =>
+      p.getFileName.toString.startsWith(".stage-") && oldEnough(p))
+    val cur = currentVersion(root)
+    val orphans = entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) &&
+        cur.forall(_ < n.drop(1).toLong) && oldEnough(p)
+    }
+    (stages ++ orphans).foreach(Fs.deleteRecursively)
+    (stages.size, orphans.size)
+  }
+
+
+  /** Compaction over the versioned layout: rewrite the live version into
+    * ceil(bytes / targetBytes) files as a NEW version and flip the
+    * pointer — readers see no window where the table is absent. The
+    * vacuum keeps the newest `retainVersions` snapshots BELOW the
+    * compaction base (the time-travel retention window) plus the base
+    * itself (readers that resolved just before the flip) and everything
+    * at or after it; deletion runs under the commit lock — so a
+    * concurrent writer that commits v+1 between our flip and the vacuum
+    * can never lose its committed directory. Orphaned `.stage-*` dirs
+    * from crashed publishes are also removed, but only when the owning
+    * pid (encoded in the dir name) is no longer alive — a live writer's
+    * in-flight staging dir is untouchable. Production table formats age
+    * all of these out by retention time instead; `retainVersions` is the
+    * snapshot-count spelling of the same policy for [[readVersion]]
+    * pinning.
+    */
+  def compactVersioned(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = 0,
+      retainHours: Double = -1.0): Long = {
+    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
+    val liveV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    // time-based retention (the Delta VACUUM RETAIN spelling): with
+    // retainHours >= 0, a version committed within the window is kept
+    // even past the count cutoff — TIMESTAMP AS OF resolves by the same
+    // commit instant ([[commitInstantMs]], the shared reader: durable
+    // `_COMMIT_TS` marker, mtime fallback), so the two guarantees line
+    // up — any timestamp in the window stays travelable, including
+    // after a backup/copy/restore rewrites dir mtimes. Both retention
+    // gates must pass to evict.
+    val cutoffMs: Option[Long] =
+      if (retainHours < 0) None
+      else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
+    def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
+      commitInstantMs(versionPath(root, v)) >= cut)
+    val live = versionPath(root, liveV)
+    val nFiles = fileCount(Paths.get(live), targetBytes)
+    // a compaction must not silently demote the table from skippable to
+    // full-scan: carry the live version's stats columns into the rewrite
+    // AND re-cluster by them — a round-robin repartition would spread
+    // every key range across every output file, leaving the re-annotated
+    // stats formally present but useless (each file's min/max ≈ the
+    // global extent). Range-partitioning on the stats columns keeps
+    // single-column pruning exact; a multi-dimensional (Z-order) layout
+    // that must survive compaction should be re-laid with its own key
+    // and republished instead.
+    // sidecar columns are PHYSICAL; the rewrite below reads LOGICAL
+    // (through the funnel) and re-lands logical-named files, converging
+    // a renamed table back to unmapped — so translate for the recluster.
+    // Declared auto-stats columns ('graft.stats.columns') join the set:
+    // compaction is the retrofit pass for a property declared after data
+    val statsCols = (Stats.sidecarCols(spark, live)
+      .map(ColMap.toLogicalName(live, _)) ++ TableProps.statsColumns(root))
+      .distinct
+    val base = readDir(spark, root, live)
+    val pcols = TableProps.partitionCols(root)
+    val rewritten =
+      if (statsCols.isEmpty && pcols.nonEmpty) {
+        // partitioned table: cluster the rewrite BY the partition columns
+        // so each task holds whole partition values — a round-robin
+        // repartition would make every task write a sliver into every
+        // partition dir, multiplying small files instead of merging them
+        import org.apache.spark.sql.functions.col
+        base.repartition(nFiles, pcols.map(col): _*)
+      }
+      else if (statsCols.isEmpty) base.repartition(nFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        base.repartitionByRange(nFiles, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
+      }
+    val v = publishVersioned(rewritten, root, Some(liveV), statsCols,
+      opTag = "compact")
+    // a vacuumed version may hold the only _BATCHID stamp proving a
+    // streaming batch committed (the writer crashed before its durable
+    // high-water mark landed): fold every evicted stamp into _PROPS
+    // BEFORE any deletion, or a restarted stream would re-append the
+    // batch. (Outside the commit lock — TableProps.update takes it, and
+    // the file lock is not reentrant; the evict set below liveV is
+    // immutable, so the two lock windows see the same candidates.)
+    // tagged versions are pinned: a tag is an explicit promise the
+    // snapshot stays readable (eval sets, releases) — it beats every
+    // retention knob until dropped. Snapshot the tag set once: the
+    // locked eviction below excludes BOTH this snapshot and a fresh
+    // read, so the evict set stays a subset of the stamp-folded
+    // candidates even if a tag is dropped mid-compaction (the dropped
+    // tag's version then survives until the NEXT pass — the safe
+    // direction), while tags added since are honored by the fresh read.
+    val taggedPinned = listTags(root).values.toSet
+    val evictCandidates =
+      listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
+        .filterNot(withinWindow).filterNot(taggedPinned)
+    val stamps = evictCandidates.flatMap { ev =>
+      val f = Paths.get(versionPath(root, ev), BatchIdFile)
+      if (!Files.exists(f)) None
+      else {
+        val s = new String(Files.readAllBytes(f), "UTF-8").trim
+        val i = s.lastIndexOf(':')
+        if (i <= 0) None
+        else s.drop(i + 1).toLongOption.map(id => (s.take(i), id))
+      }
+    }
+    if (stamps.nonEmpty) TableProps.update(root) { props =>
+      stamps.foldLeft(props) { case (p, (tag, id)) =>
+        val key = TableStream.lastBatchKey(tag)
+        val prev = p.get(key).flatMap(_.toLongOption).getOrElse(-1L)
+        if (id > prev) p + (key -> id.toString) else p
+      }
+    }
+    // same durability contract for COPY INTO receipts (B137): an evicted
+    // version may hold the only `_copyin` receipt proving files were
+    // ingested (the writer crashed before its props fold) — fold before
+    // deleting, or a re-run would double-ingest those files
+    val copyinDirs = evictCandidates
+      .map(ev => Paths.get(versionPath(root, ev), CopyinSidecar))
+      .filter(Files.isDirectory(_))
+    if (copyinDirs.nonEmpty) {
+      val srcs = spark.read.parquet(copyinDirs.map(_.toString): _*)
+        .select("src").collect().map(_.getString(0)).toSeq
+      if (srcs.nonEmpty) TableProps.update(root)(p =>
+        p ++ srcs.map(f => copyinPropKey(f) -> f))
+    }
+    withCommitLock(root) {
+      // the commit's own reconcile swallows failures (a durable commit
+      // must not report as failed) — but VACUUM is the step that makes
+      // an unlinked `_changes` unrecoverable, so it re-verifies the
+      // feed first and skips version eviction when the reconcile cannot
+      // complete (stage debris cleanup is still safe: it holds no feed
+      // data). The next compaction retries the eviction.
+      val feedOk =
+        try { reconcileFeedLocked(root); true }
+        catch { case e: Exception =>
+          System.err.println(s"[graft] feed reconcile before vacuum of $root " +
+            s"failed — retaining all versions this pass: $e")
+          false
+        }
+      val below = listVersions(root).filter(_ < liveV)
+      // protect the UNION of the pre-fold tag snapshot and the tags
+      // visible now under the lock: the snapshot keeps the evict set a
+      // subset of the folded candidates (a version whose _BATCHID /
+      // _copyin metadata was never folded can never be deleted), and
+      // the fresh read honors tags created since (tagVersion also runs
+      // under this lock, so the two cannot interleave mid-write)
+      val evict = if (feedOk) below.sorted.dropRight(retainVersions)
+                    .filterNot(withinWindow)
+                    .filterNot(taggedPinned)
+                    .filterNot(listTags(root).values.toSet).toSet
+                  else Set.empty[Long]
+      Fs.listDir(Paths.get(root)).foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
+            && evict(name.drop(1).toLong))
+          Fs.deleteRecursively(p)
+        else if (name.startsWith(".stage-") && stageOwnerDead(name))
+          Fs.deleteRecursively(p)
+      }
+    }
+    v
+  }
+
+  /** True iff a `.stage-<pid>-<nano>` dir's owning process is provably
+    * gone (crashed publish debris). Unparseable names or live pids are
+    * conservatively kept.
+    */
+  private def stageOwnerDead(name: String): Boolean =
+    name.stripPrefix(".stage-").takeWhile(_.isDigit).toLongOption.exists { pid =>
+      pid != ProcessHandle.current().pid() && !ProcessHandle.of(pid).isPresent
+    }
+
+  /** Small-file compaction of a FLAT parquet directory, in place.
+    * Streaming sinks and fine-grained backfills accrete thousands of tiny
+    * files; at 100 TB the resulting scan-planning and open() overhead
+    * dominates reads, so periodic compaction is table maintenance, not an
+    * optimization. Sizing comes from the files' on-disk footprint (no
+    * extra scan of the data).
+    *
+    * Durability contract: the rewrite lands in `<path>.compact_tmp`, then
+    * the live dir is swapped via two POSIX renames. A crash between the
+    * renames is recoverable — the previous data survives intact in
+    * `<path>.compact_old`, and the next `compact` call restores it before
+    * doing anything else. For a no-gap swap (concurrent readers), use the
+    * versioned layout ([[publishVersioned]]/[[compactVersioned]]) — a
+    * directory rename cannot be made atomic for readers, least of all on
+    * object stores.
+    *
+    * Partitioned (nested-directory) datasets are rejected: a flat rewrite
+    * would silently drop the partitioning (and the top-level byte count
+    * would be 0). Compact partitioned tables per-partition or via the
+    * versioned layout.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = Paths.get(path)
+    val bak = Paths.get(path + ".compact_old")
+    // crash recovery: a previous run that died between the two renames
+    // left the data in .compact_old and no live dir — restore first. A
+    // backup ALONGSIDE a live dir is debris from a crash after the swap
+    // completed but before cleanup — drop it, or the rename below would
+    // fail forever on the existing target.
+    if (!Files.exists(dir) && Files.exists(bak))
+      Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(dir) && Files.exists(bak))
+      Fs.deleteRecursively(bak)
+    val entries = Fs.listDir(dir)
+    val nested = entries.filter(p => Files.isDirectory(p))
+    require(nested.isEmpty,
+      s"compact() requires a flat parquet directory; $path contains " +
+        s"subdirectories (${nested.take(3).map(_.getFileName).mkString(", ")}…) — " +
+        "use compactVersioned or per-partition compaction for partitioned tables")
+    val nFiles = fileCount(dir, targetBytes)
+    val tmp = path + ".compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    Fs.deleteRecursively(bak)
+  }
+
+  /** ceil(total parquet bytes / target), from file metadata only. */
+  private[ops] def fileCount(dir: Path, targetBytes: Long): Int = {
+    // recursive: partitioned versions nest data files under col=val/ dirs
+    val totalBytes = Fs.walkParquet(dir).map(Files.size).sum
+    math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+  }
+}

@@ -477,7 +477,7 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.m2")
   }
 
-  test("DML loses cleanly to a concurrent publish (statement-level OCC)") {
+  test("stale DML vs a concurrent publish: disjoint COW rebases, never clobbers") {
     root
     spark.sql("CREATE TABLE graft.m3 (k INT)")
     try {
@@ -485,19 +485,20 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("DELETE FROM graft.m3 WHERE k = 1")  // eager; table now {2}
       // resolve a second DELETE against the current version but do NOT
       // run it yet (spark.sql runs commands eagerly, so capture the
-      // analyzed plan instead), publish a competing INSERT, then run:
-      // the delete's base version is stale, so its commit must fail —
-      // not clobber the insert
+      // analyzed plan instead), publish a competing INSERT, then run.
+      // Pre-round-13 the stale delete kept the honest CME; CowRebase
+      // now re-stages it (its touched file is untouched by the blind
+      // insert) — BOTH effects must land, the insert never clobbered.
       val stale = spark.sessionState.analyzer.execute(
         spark.sessionState.sqlParser.parsePlan("DELETE FROM graft.m3 WHERE k = 2"))
       spark.sql("INSERT INTO graft.m3 VALUES (3)")
-      val e = intercept[Exception] {
-        org.apache.spark.sql.GraftSqlShims.ofRows(spark, stale).collect()
-      }
-      assert(e.getMessage.contains("recompute against the new current"),
-        s"wrong error: ${e.getMessage}")
-      // the stale delete did not destroy the concurrent insert
-      assert(spark.sql("SELECT * FROM graft.m3").count() == 2)  // k=2, k=3 (k=1 deleted eagerly above)
+      org.apache.spark.sql.GraftSqlShims.ofRows(spark, stale).collect()
+      val got = spark.sql("SELECT k FROM graft.m3").collect()
+        .map(_.getInt(0)).toSet
+      assert(got == Set(3),
+        s"serial-equivalent state expected (k=1,2 deleted, k=3 kept), got $got")
+      // every commit is real history: create + 2 inserts + 2 deletes
+      assert(Sinks.listVersions(s"$root/m3") == Seq(0L, 1L, 2L, 3L, 4L))
     } finally spark.sql("DROP TABLE graft.m3")
   }
 
