@@ -1088,6 +1088,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "ann_split" => new GraftProcedures.AnnSplit(resolve)
       case "zorder" => new GraftProcedures.Zorder(resolve)
       case "annotate_stats" => new GraftProcedures.AnnotateStats(resolve)
+      case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq

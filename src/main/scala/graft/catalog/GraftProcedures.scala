@@ -38,7 +38,7 @@ private[graft] object GraftProcedures {
     "compact", "restore", "tag", "drop_tag", "branch", "merge_branch",
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
-    "txn_publish", "zorder", "annotate_stats")
+    "txn_publish", "zorder", "annotate_stats", "expire_versions")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -225,6 +225,54 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("version", LongType, nullable = false),
           StructField("columns", StringType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.expire_versions(table, retain_versions => 2,
+    * retain_hours => -1.0)` — snapshot expiration WITHOUT a rewrite
+    * ([[graft.ops.Sinks.expireVersions]], the Delta VACUUM / Iceberg
+    * expire_snapshots spelling): unlink retired version dirs keeping
+    * the live version, the newest `retain_versions` below it, the
+    * time window, and every tagged version — pure metadata, an
+    * operator never pays an O(table) rewrite just to expire history
+    * (that coupling was `compact`'s). Streaming-batch stamps and COPY
+    * INTO receipts fold into `_PROPS` before any deletion.
+    */
+  final class ExpireVersions(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire_versions"
+    override def description(): String =
+      "unlink retired snapshots past the retention window (no rewrite; " +
+        "tags and the live version always survive)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("2")
+        .comment("versions below the live one to keep time-travelable").build(),
+      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0")
+        .comment("keep any version committed within this window " +
+          "(-1 = count-based only)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val retain = input.getInt(1)
+      val retainHours = input.getDouble(2)
+      val root = resolveRoot(table)
+      val evicted = graft.ops.Sinks.expireVersions(
+        SparkSession.active, root, retain, retainHours)
+      val live = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table),
+            evicted.size.toLong, live))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("n_expired", LongType, nullable = false),
+          StructField("live_version", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

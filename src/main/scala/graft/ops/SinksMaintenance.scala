@@ -122,24 +122,52 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       }
     val v = publishVersioned(rewritten, root, Some(liveV), statsCols,
       opTag = "compact")
-    // a vacuumed version may hold the only _BATCHID stamp proving a
-    // streaming batch committed (the writer crashed before its durable
-    // high-water mark landed): fold every evicted stamp into _PROPS
-    // BEFORE any deletion, or a restarted stream would re-append the
-    // batch. (Outside the commit lock — TableProps.update takes it, and
-    // the file lock is not reentrant; the evict set below liveV is
-    // immutable, so the two lock windows see the same candidates.)
-    // tagged versions are pinned: a tag is an explicit promise the
-    // snapshot stays readable (eval sets, releases) — it beats every
-    // retention knob until dropped. Snapshot the tag set once: the
-    // locked eviction below excludes BOTH this snapshot and a fresh
-    // read, so the evict set stays a subset of the stamp-folded
-    // candidates even if a tag is dropped mid-compaction (the dropped
-    // tag's version then survives until the NEXT pass — the safe
-    // direction), while tags added since are honored by the fresh read.
+    // retention vacuum: keep the pre-compaction base (readers that
+    // resolved just before the flip) plus `retainVersions` below it —
+    // as a below-the-CURRENT count that is retainVersions + 1
+    expireVersions(spark, root, retainVersions + 1, retainHours)
+    v
+  }
+
+  /** Snapshot expiration WITHOUT a rewrite (round-13; the Delta VACUUM /
+    * Iceberg expire_snapshots spelling): unlink retired version
+    * directories, keeping the live version, the newest `retainVersions`
+    * below it, every version committed within `retainHours`, and every
+    * tagged version — a pure metadata operation. Before [[expireVersions]]
+    * existed, retention was only reachable THROUGH [[compactVersioned]],
+    * which couples history expiry to an O(table) rewrite; an operator
+    * expiring history on a 100 TB table must not pay that. Returns the
+    * evicted version numbers.
+    *
+    * Durability contracts identical to the compaction-coupled path (the
+    * logic moved here verbatim): a vacuumed version may hold the only
+    * `_BATCHID` stamp proving a streaming batch committed, or the only
+    * `_copyin` receipt proving files were ingested — both fold into
+    * `_PROPS` BEFORE any deletion (outside the commit lock, which is
+    * not reentrant; the candidate set below the live version is
+    * immutable, so the two lock windows see the same candidates).
+    * Tagged versions are pinned: the evict set excludes BOTH a pre-fold
+    * tag snapshot (a version whose metadata was never folded can never
+    * be deleted) and a fresh read under the lock (tags created since
+    * are honored; tagVersion runs under the same lock). The streaming
+    * feed is re-verified first and eviction is SKIPPED when the
+    * reconcile cannot complete — vacuum is the step that would make an
+    * unlinked `_changes` unrecoverable. Aged crash debris (dead
+    * `.stage-*` dirs) is swept in the same pass.
+    */
+  def expireVersions(spark: SparkSession, root: String,
+      retainVersions: Int = 0, retainHours: Double = -1.0): Seq[Long] = {
+    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val cutoffMs: Option[Long] =
+      if (retainHours < 0) None
+      else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
+    def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
+      commitInstantMs(versionPath(root, v)) >= cut)
     val taggedPinned = listTags(root).values.toSet
     val evictCandidates =
-      listVersions(root).filter(_ < liveV).sorted.dropRight(retainVersions)
+      listVersions(root).filter(_ < cur).sorted.dropRight(retainVersions)
         .filterNot(withinWindow).filterNot(taggedPinned)
     val stamps = evictCandidates.flatMap { ev =>
       val f = Paths.get(versionPath(root, ev), BatchIdFile)
@@ -158,10 +186,6 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
         if (id > prev) p + (key -> id.toString) else p
       }
     }
-    // same durability contract for COPY INTO receipts (B137): an evicted
-    // version may hold the only `_copyin` receipt proving files were
-    // ingested (the writer crashed before its props fold) — fold before
-    // deleting, or a re-run would double-ingest those files
     val copyinDirs = evictCandidates
       .map(ev => Paths.get(versionPath(root, ev), CopyinSidecar))
       .filter(Files.isDirectory(_))
@@ -171,13 +195,8 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       if (srcs.nonEmpty) TableProps.update(root)(p =>
         p ++ srcs.map(f => copyinPropKey(f) -> f))
     }
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[Long]
     withCommitLock(root) {
-      // the commit's own reconcile swallows failures (a durable commit
-      // must not report as failed) — but VACUUM is the step that makes
-      // an unlinked `_changes` unrecoverable, so it re-verifies the
-      // feed first and skips version eviction when the reconcile cannot
-      // complete (stage debris cleanup is still safe: it holds no feed
-      // data). The next compaction retries the eviction.
       val feedOk =
         try { reconcileFeedLocked(root); true }
         catch { case e: Exception =>
@@ -185,28 +204,31 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
             s"failed — retaining all versions this pass: $e")
           false
         }
-      val below = listVersions(root).filter(_ < liveV)
-      // protect the UNION of the pre-fold tag snapshot and the tags
-      // visible now under the lock: the snapshot keeps the evict set a
-      // subset of the folded candidates (a version whose _BATCHID /
-      // _copyin metadata was never folded can never be deleted), and
-      // the fresh read honors tags created since (tagVersion also runs
-      // under this lock, so the two cannot interleave mid-write)
+      // the live pointer may have MOVED since the pre-fold candidate
+      // pass (a concurrent commit) — re-resolving under the lock keeps
+      // "never touch the current version" exact, while intersecting
+      // with the folded candidates keeps every deleted version's
+      // durability metadata folded
+      val curNow = currentVersion(root).getOrElse(cur)
+      val below = listVersions(root).filter(_ < math.min(cur, curNow))
       val evict = if (feedOk) below.sorted.dropRight(retainVersions)
                     .filterNot(withinWindow)
                     .filterNot(taggedPinned)
-                    .filterNot(listTags(root).values.toSet).toSet
+                    .filterNot(listTags(root).values.toSet)
+                    .toSet.intersect(evictCandidates.toSet)
                   else Set.empty[Long]
       Fs.listDir(Paths.get(root)).foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
-            && evict(name.drop(1).toLong))
+            && evict(name.drop(1).toLong)) {
           Fs.deleteRecursively(p)
+          evicted += name.drop(1).toLong
+        }
         else if (name.startsWith(".stage-") && stageOwnerDead(name))
           Fs.deleteRecursively(p)
       }
     }
-    v
+    evicted.toSeq.sorted
   }
 
   /** True iff a `.stage-<pid>-<nano>` dir's owning process is provably

@@ -519,6 +519,25 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // B166 hour-grain hidden partitioning end to end: events_hph CTAS'd
+    // `PARTITIONED BY (hours(ts))` — epoch-hour INT directories derived
+    // by UTC-pinned floor division — an INSERT through the derivation,
+    // then a SUB-DAY window on raw ts: HiddenPartitionRule maps the
+    // bounds through the same epoch math, so the scan prunes to the
+    // window's hours (HiddenPartitionSpec plan-asserts). The oracle
+    // recomputes from the raw fixture + the inserted row.
+    "q_hidden_hour" -> ((s, dir) => {
+      val cat = hiddenPartitionCatalog(s, dir)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 4) AS sum_value
+           |FROM $cat.events_hph
+           |WHERE ts >= timestamp'2024-01-09 06:00:00'
+           |  AND ts < timestamp'2024-01-09 18:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // B162 METADATA-ONLY type widening end to end through the SQL door:
     // ord_w CTAS'd with an INT key column, `ALTER TABLE ... ALTER COLUMN
     // cust TYPE BIGINT` records the widening in the column-mapping
@@ -1012,10 +1031,14 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/events_hp"
+    val tblH = s"$wh/events_hph"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "events")
+    // recipe tag: round-13 adds the hour-partitioned sibling table
+    val stamp = Tables.srcStamp(dir, "events") + ":hour"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
+      Files.isDirectory(Paths.get(tblH)) &&
+      Sinks.listVersions(tblH) == Seq(0L, 1L, 2L) &&
       Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
     if (!fresh) {
@@ -1028,6 +1051,22 @@ object ScanOps extends QueryModule {
         "AS SELECT * FROM graft_events_hp_src")
       s.sql(s"INSERT INTO $cat.events_hp VALUES " +
         "(9000002, timestamp'2024-01-09 12:00:00', 777777, 'click', 3.5)")
+      // the B166 hour-grain sibling: one epoch-hour INT directory per
+      // hour (Iceberg's hour(ts) encoding), same CTAS + INSERT shape,
+      // over a 3-day slice (72 hour dirs — hour grain on a month of
+      // events would be 720 near-empty dirs at fixture scale; real
+      // deployments pick the grain to match volume). Hour dirs × N
+      // write tasks would still small-file-explode — exactly what the
+      // B163b optimized-write switch exists for: ONE file per hour
+      // value per commit.
+      s.sql(s"CREATE TABLE $cat.events_hph USING parquet " +
+        "PARTITIONED BY (hours(ts)) " +
+        "TBLPROPERTIES ('graft.write.distribute' = 'true') " +
+        "AS SELECT * FROM graft_events_hp_src " +
+        "WHERE ts >= timestamp'2024-01-08 00:00:00' " +
+        "AND ts < timestamp'2024-01-11 00:00:00'")
+      s.sql(s"INSERT INTO $cat.events_hph VALUES " +
+        "(9000003, timestamp'2024-01-09 12:30:00', 777778, 'view', 1.25)")
       Files.createDirectories(Paths.get(wh))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
@@ -1540,6 +1579,19 @@ object ScanOps extends QueryModule {
         |  round(sum(value), 4) AS sum_value
         |FROM t WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hidden_hour" ->
+      """WITH t AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value FROM events
+        |  UNION ALL SELECT 9000003, TIMESTAMP '2024-01-09 12:30:00',
+        |    777778, 'view', 1.25)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM t WHERE ts >= TIMESTAMP '2024-01-09 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-09 18:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_type_widening" ->

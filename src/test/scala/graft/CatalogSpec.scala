@@ -559,6 +559,39 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft.cmph")
   }
 
+  test("CALL expire_versions: retention without a rewrite; tags and live survive") {
+    root
+    spark.sql("CREATE TABLE graft.exp1 (k BIGINT) USING parquet")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.exp1 VALUES ($i)"))
+    val tr = s"$root/exp1"
+    assert(Sinks.listVersions(tr) == Seq(0L, 1L, 2L, 3L, 4L))
+    // pin v1 with a tag; expire keeping 1 below live
+    spark.sql("CALL graft.system.tag(table => 'exp1', name => 'keep1', version => 1)")
+    val liveFiles = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.versionPath(tr, 4L)))
+      .map(f => java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    val row = spark.sql("CALL graft.system.expire_versions(" +
+      "table => 'exp1', retain_versions => 1)").collect().head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 4L, row.toString)
+    // v0 and v2 expired; v1 (tagged), v3 (retained), v4 (live) survive
+    assert(Sinks.listVersions(tr) == Seq(1L, 3L, 4L))
+    // NO rewrite happened: the live version's files are the same inodes
+    val after = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.versionPath(tr, 4L)))
+      .map(f => java.nio.file.Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    assert(after == liveFiles, "expire_versions must move zero data bytes")
+    // the tagged snapshot still time-travels; an expired one fails loudly
+    assert(spark.sql("SELECT count(*) FROM graft.exp1 VERSION AS OF 'keep1'")
+      .collect().head.getLong(0) == 1)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.exp1 VERSION AS OF 2").collect())
+    // current read unaffected
+    assert(spark.table("graft.exp1").count() == 4)
+    spark.sql("DROP TABLE graft.exp1")
+  }
+
   test("CALL graft.system.compact rewrites the live version and vacuums history") {
     root
     val wh = spark.conf.get("spark.sql.catalog.graft.root")
