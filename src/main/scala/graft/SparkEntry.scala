@@ -56,6 +56,7 @@ object SparkEntry {
     "q_corpus_shards", "q_bpe_pairs", "q_neardup_index",
     "q_range_binned", "q_scd2_apply", "q_incr_ingest",
     "q_partition_evolution_meta", "q_hidden_partitioning", "q_type_widening",
-    "q_cluster_sample", "q_stats_skipping_sql", "q_stats_skipping_ts")
+    "q_cluster_sample", "q_stats_skipping_sql", "q_stats_skipping_ts",
+    "q_stats_skipping_dec")
     .filter(queries.contains)
 }

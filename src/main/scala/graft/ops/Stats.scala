@@ -34,7 +34,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     lo_d: Option[Double], hi_d: Option[Double],
     lo_s: Option[String], hi_s: Option[String],
     lo_t: Option[Long] = None, hi_t: Option[Long] = None,
-    t_adj: Option[Boolean] = None)
+    t_adj: Option[Boolean] = None,
+    dec_scale: Option[Int] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -117,8 +118,22 @@ object Stats {
       TsVal(Math.addExact(Math.multiplyExact(
         l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
         (l.getNano / 1000).toLong), instant = false)
+    case d: BigDecimal => d.bigDecimal
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
     case other => other
   }
+
+  /** A decimal bound rescaled to a file's stored scale and unscaled to
+    * the comparable long — rounding FLOOR for a lower bound, CEILING
+    * for an upper (the converted bound only widens what it keeps).
+    * None when the unscaled value exceeds Long (keep the file).
+    */
+  private def decUnscaled(d: java.math.BigDecimal, scale: Int,
+      roundUp: Boolean): Option[Long] =
+    try Some(d.setScale(scale,
+      if (roundUp) java.math.RoundingMode.CEILING
+      else java.math.RoundingMode.FLOOR).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
 
   /** Collect footer stats for `cols` over every `*.parquet` file in `dir`
     * and write the `_stats` sidecar. Footer reads are distributed across
@@ -278,6 +293,29 @@ object Stats {
                         None, None, None, None, None, None,
                         Some(lo), Some(hi), Some(ts.isAdjustedToUTC))
                     }
+                  case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation =>
+                    // int-backed DECIMAL (precision ≤ 18): the raw int is
+                    // the UNSCALED value. It must NOT land in the plain
+                    // integer domain — a numeric bound compared against
+                    // unscaled ints prunes wrongly (100.00 is stored as
+                    // 10000) — so it carries its scale and only decimal
+                    // bounds unscaled to the SAME scale ever compare.
+                    FileColStat(name, c, rows, nulls, has_stats = true,
+                      Some(los.min), Some(his.max), None, None, None, None,
+                      None, None, None, Some(dec.getScale))
+                  case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .IntLogicalTypeAnnotation if !i.isSigned =>
+                    // UNSIGNED ints order differently than the signed
+                    // longs the stats API returns — refuse to prune
+                    FileColStat(name, c, rows, nulls, has_stats = false,
+                      None, None, None, None, None, None)
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeLogicalTypeAnnotation =>
+                    // TIME's unit varies per file like timestamps, and no
+                    // Spark literal maps onto it — refuse to prune
+                    FileColStat(name, c, rows, nulls, has_stats = false,
+                      None, None, None, None, None, None)
                   case _ =>
                     FileColStat(name, c, rows, nulls, has_stats = true,
                       Some(los.min), Some(his.max), None, None, None, None)
@@ -299,14 +337,32 @@ object Stats {
                 else FileColStat(name, c, rows, nulls, has_stats = true,
                   None, None, Some(los.min), Some(his.max), None, None)
               case _: BinaryStatistics =>
-                val los = withVals.map(_.asInstanceOf[BinaryStatistics]
-                  .genericGetMin.toStringUsingUTF8)
-                val his = withVals.map(_.asInstanceOf[BinaryStatistics]
-                  .genericGetMax.toStringUsingUTF8)
-                // merge row-group bounds in parquet's own (UTF-8) order
-                FileColStat(name, c, rows, nulls, has_stats = true,
-                  None, None, None, None,
-                  Some(los.min(utf8Ordering)), Some(his.max(utf8Ordering)))
+                // only STRING-annotated binaries read back as text: a
+                // binary-backed DECIMAL / UUID / raw-bytes column decoded
+                // via toStringUsingUTF8 yields garbage whose order has
+                // nothing to do with any bound a caller could pass —
+                // record has_stats=false for those (keep-always)
+                val stringy = chunks.head.getPrimitiveType
+                  .getLogicalTypeAnnotation match {
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .StringLogicalTypeAnnotation => true
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .EnumLogicalTypeAnnotation => true
+                  case _ => false
+                }
+                if (!stringy)
+                  FileColStat(name, c, rows, nulls, has_stats = false,
+                    None, None, None, None, None, None)
+                else {
+                  val los = withVals.map(_.asInstanceOf[BinaryStatistics]
+                    .genericGetMin.toStringUsingUTF8)
+                  val his = withVals.map(_.asInstanceOf[BinaryStatistics]
+                    .genericGetMax.toStringUsingUTF8)
+                  // merge row-group bounds in parquet's own (UTF-8) order
+                  FileColStat(name, c, rows, nulls, has_stats = true,
+                    None, None, None, None,
+                    Some(los.min(utf8Ordering)), Some(his.max(utf8Ordering)))
+                }
               case _ =>
                 FileColStat(name, c, rows, nulls, has_stats = false,
                   None, None, None, None, None, None)
@@ -407,18 +463,36 @@ object Stats {
             if (!(loN.forall(usable) && hiN.forall(usable))) true
             else loN.forall(q => r.getAs[Long]("hi_t") >= q.asInstanceOf[TsVal].us) &&
               hiN.forall(q => r.getAs[Long]("lo_t") <= q.asInstanceOf[TsVal].us)
+          } else if (notNull(r, "dec_scale")) {
+            // int-backed DECIMAL: lo_l/hi_l hold UNSCALED values at the
+            // recorded scale — only a decimal bound rescaled to the SAME
+            // scale compares; any other bound flavor keeps the file
+            val scale = r.getAs[Int]("dec_scale")
+            def cmp(q: Any, up: Boolean): Option[Long] = q match {
+              case d: java.math.BigDecimal => decUnscaled(d, scale, up)
+              case _ => None
+            }
+            loN.forall(q => cmp(q, up = false)
+              .forall(u => r.getAs[Long]("hi_l") >= u)) &&
+              hiN.forall(q => cmp(q, up = true)
+                .forall(u => r.getAs[Long]("lo_l") <= u))
           } else if (notNull(r, "lo_l")) {
-            // a timestamp bound against a raw-int64 (pre-round-13)
-            // sidecar row has no common domain — keep, never guess
-            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            // a timestamp/decimal bound against a plain-int64 sidecar
+            // row has no common domain — keep, never guess
+            if ((loN ++ hiN).exists(q => q.isInstanceOf[TsVal] ||
+                q.isInstanceOf[java.math.BigDecimal])) true
             else loN.forall(q => r.getAs[Long]("hi_l") >= toLong(q)) &&
               hiN.forall(q => r.getAs[Long]("lo_l") <= toLong(q))
           } else if (notNull(r, "lo_d")) {
-            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            // a BigDecimal bound down-converted to double could round
+            // across a file edge — keep rather than guess
+            if ((loN ++ hiN).exists(q => q.isInstanceOf[TsVal] ||
+                q.isInstanceOf[java.math.BigDecimal])) true
             else loN.forall(q => r.getAs[Double]("hi_d") >= toDouble(q)) &&
               hiN.forall(q => r.getAs[Double]("lo_d") <= toDouble(q))
           } else if (notNull(r, "lo_s")) {
-            if ((loN ++ hiN).exists(_.isInstanceOf[TsVal])) true
+            if ((loN ++ hiN).exists(q => q.isInstanceOf[TsVal] ||
+                q.isInstanceOf[java.math.BigDecimal])) true
             else loN.forall(q => utf8Compare(r.getAs[String]("hi_s"), q.toString) >= 0) &&
               hiN.forall(q => utf8Compare(r.getAs[String]("lo_s"), q.toString) <= 0)
           } else true // has_stats with no domain should be unreachable; keep

@@ -83,6 +83,14 @@ object StatsSkipRule extends Rule[LogicalPlan] {
       Some(Stats.TsVal(l.value.asInstanceOf[Long], instant = true))
     case TimestampNTZType if l.value != null =>
       Some(Stats.TsVal(l.value.asInstanceOf[Long], instant = false))
+    // DECIMAL (round-13): the sidecar stores int-backed decimals as
+    // (unscaled, scale) — the bound travels as exact BigDecimal and
+    // [[Stats.prunedFilesBounds]] rescales it to each FILE's recorded
+    // scale (floor/ceil per side), so precision drift between literal
+    // and column can only widen the kept set
+    case _: DecimalType if l.value != null =>
+      Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal)
     case _ => None
   }
 

@@ -402,6 +402,27 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // Decimal file skipping end to end (round-13, B165 sibling): orders
+    // re-landed with an exact DECIMAL(14,2) price (derived from integer
+    // cents — both engines construct the identical value), price-range-
+    // clustered, stats DECLARED via 'graft.stats.columns'. The sidecar
+    // stores (unscaled, scale); the rule rescales the literal bound per
+    // file, so the money-band scan — the other classic warehouse filter
+    // — opens only overlapping files (SkippingSpec pins the counts and
+    // the flavor-mismatch keeps). Aggregates exit as integer cents, so
+    // the hash is decimal-representation-independent.
+    "q_stats_skipping_dec" -> ((s, dir) => {
+      val cat = decSkipCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(price) * 100 AS BIGINT) AS cents,
+           |  CAST(min(price) * 100 AS BIGINT) AS min_cents,
+           |  CAST(max(price) * 100 AS BIGINT) AS max_cents
+           |FROM $cat.ord_dec
+           |WHERE price BETWEEN 50000.00 AND 100000.00
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B137 COPY INTO end to end: a landing directory gains two region
     // files (ingested as one commit), then a third (ingested alone by
     // the second CALL — the first two are receipt-deduped). The read
@@ -1186,6 +1207,45 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog for q_stats_skipping_dec: orders with an exact
+    * DECIMAL(14,2) price (integer cents / 100.0, the construction both
+    * engines compute identically), price-range-clustered, stats via the
+    * declared-columns property — no caller ever passes statsCols.
+    */
+  def decSkipCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Sinks, Stats}
+    val wh = "/tmp/graft_decwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftdec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/ord_dec"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders") + ":dec-stats"
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L, 1L) &&
+      Files.isDirectory(Paths.get(
+        Sinks.versionPath(tbl, 1L) + "/" + Stats.Sidecar)) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0 " +
+            "AS DECIMAL(14,2))").as("price"))
+        .repartitionByRange(8, col("price")).sortWithinPartitions("price")
+        .createOrReplaceTempView("graft_dec_src")
+      s.sql(
+        s"""CREATE TABLE $cat.ord_dec USING parquet
+           |TBLPROPERTIES ('graft.stats.columns' = 'price')
+           |AS SELECT * FROM graft_dec_src""".stripMargin)
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   /** Per-sf-dir catalog whose `cust` table has lived a full schema-
     * evolution life: CTAS from the customer fixture with a CHECK
     * constraint on c_name (v0 empty + v1 data), RENAME COLUMN
@@ -1520,6 +1580,17 @@ object ScanOps extends QueryModule {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_skipping_dec" ->
+      """WITH t AS (SELECT o_orderstatus,
+        |  CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0
+        |    AS DECIMAL(14,2)) AS price FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(price) * 100 AS BIGINT) AS cents,
+        |  CAST(min(price) * 100 AS BIGINT) AS min_cents,
+        |  CAST(max(price) * 100 AS BIGINT) AS max_cents
+        |FROM t WHERE price BETWEEN 50000.00 AND 100000.00
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_copy_into" ->
       """SELECT r_regionkey, r_name FROM (

@@ -255,6 +255,51 @@ class SkippingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("decimal stats carry their scale: decimal bounds prune, numeric bounds never lie") {
+    import spark.implicits._
+    val wh = tmp("skipdec")
+    val cat = "graftsk_dec"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/t"
+    // price = k + 0.25, DECIMAL(12,2), k-clustered into 4 disjoint files
+    val df = spark.range(0, 1000).select($"id".as("k"),
+      (($"id" + lit(0.25)).cast("decimal(12,2)")).as("price"))
+    Sinks.publishVersioned(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      tbl, None, statsCols = Seq("k", "price"))
+    val side = Stats.sidecar(spark, Sinks.resolve(tbl))
+      .filter(col("col") === "price").collect()
+    assert(side.nonEmpty && side.forall(r =>
+      !r.isNullAt(r.fieldIndex("dec_scale")) && r.getAs[Int]("dec_scale") == 2),
+      "int-backed decimals must record (unscaled, scale), got " +
+        side.map(_.toString).mkString("; "))
+    // a decimal range through the SQL door opens only overlapping files
+    val q = spark.sql(s"SELECT k FROM $cat.t " +
+      "WHERE price BETWEEN 100.00 AND 120.50")
+    assert(q.count() == 21 && q.inputFiles.length == 1,
+      s"decimal prune opened ${q.inputFiles.length} of 4")
+    // out-of-domain decimal range opens zero files, answers exactly
+    val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE price > 99999.99")
+    assert(q2.inputFiles.isEmpty && q2.count() == 0)
+    // the Scala door with an exact BigDecimal bound prunes identically
+    val kept = Stats.prunedFilesBounds(spark, Sinks.resolve(tbl), "price",
+      Some(new java.math.BigDecimal("100.00")),
+      Some(new java.math.BigDecimal("120.50")))
+    assert(kept.size == 1, s"got ${kept.size}")
+    // a LONG bound against the decimal domain must KEEP (pre-round-13
+    // the unscaled ints sat in the plain integer domain and 100L vs
+    // 10000-unscaled pruned a file that matches — the silent wrong
+    // answer this domain exists to prevent)
+    val keptLong = Stats.prunedFilesBounds(spark, Sinks.resolve(tbl), "price",
+      Some(100L), Some(120L))
+    assert(keptLong.size == 4, s"flavor-mismatched bound must not prune: ${keptLong.size}")
+    // readWhere with decimal bounds stays result-identical to the filter
+    val pruned = Stats.readWhere(spark, Sinks.resolve(tbl), "price",
+      new java.math.BigDecimal("100.00"), new java.math.BigDecimal("120.50"))
+    assert(pruned.count() == 21)
+  }
+
   test("'graft.stats.columns' auto-collects on every commit — no manual annotate ever") {
     import spark.implicits._
     val wh = tmp("skipauto")
