@@ -189,6 +189,91 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("UTC-pinned day/hour derivation is the UTC calendar, in EVERY session zone") {
+    import graft.ops.{Sinks, TableProps, Transforms}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random instants across ±60 years plus exact day/hour boundaries
+    // ±1 µs (the rounding seams a zone-dependent derivation gets wrong)
+    val base = (1 to 300).map(_ =>
+      (rnd.nextLong() % (60L * 365 * 86400)) * 1000000L + rnd.nextInt(1000000))
+    val seams = (-3 to 3).flatMap(d => Seq(-1L, 0L, 1L).map(e =>
+      d * Transforms.MicrosPerDay + e))
+    val micros = (base ++ seams).distinct
+    val df = micros.toDF("us").select($"us", timestamp_micros($"us").as("ts"))
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "Asia/Tokyo", "America/Los_Angeles", "Pacific/Kiritimati")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val rows = Transforms.derive(df, Seq("_tp_ts__day", "_tp_ts__hour"))
+          .select($"us", $"_tp_ts__day".cast("string"), $"_tp_ts__hour")
+          .collect()
+        rows.foreach { r =>
+          val us = r.getLong(0)
+          val truthDay = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          assert(r.getString(1) == truthDay.toString,
+            s"day($us) under $tz derived ${r.getString(1)}, UTC truth $truthDay")
+          val truthHour = Math.floorDiv(us, Transforms.MicrosPerHour)
+          assert(r.getInt(2) == truthHour,
+            s"hour($us) under $tz derived ${r.getInt(2)}, truth $truthHour")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("Transforms.parse is total and inverts colName for every transform") {
+    import graft.ops.Transforms
+    // totality: arbitrary (printable) names never throw
+    for (_ <- 1 to 2000) {
+      val n = new String(Array.fill(1 + rnd.nextInt(24))(
+        (32 + rnd.nextInt(95)).toChar))
+      Transforms.parse(n) // must not throw, whatever the shape
+      Transforms.parse("_tp_" + n)
+    }
+    // round-trip: parse(t.colName) == t
+    val srcs = Seq("ts", "user_id", "a_b", "x__y")
+    val all: Seq[Transforms.T] = srcs.flatMap(s => Seq(
+      Transforms.Day(s), Transforms.Month(s), Transforms.Year(s),
+      Transforms.Hour(s), Transforms.Bucket(1 + rnd.nextInt(1 << 20), s),
+      Transforms.Truncate(1 + rnd.nextInt(1000), s)))
+    all.foreach(t => assert(Transforms.parse(t.colName).contains(t),
+      s"parse(${t.colName}) != $t"))
+  }
+
+  test("decimal bound rescaling only widens: pruning never drops a matching file") {
+    import graft.ops.{Sinks, Stats}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one file per 100-unit band at scale 3; random decimal bounds at
+    // scales 0..6 — every file holding a value inside [lo, hi] must be
+    // kept whatever the bound's scale (floor/ceil rescaling law)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decprop") + "/t"
+    (0L until 1000L).map(i => (i, BigDecimal(i) / 8))
+      .toDF("k", "price")
+      .select($"k", $"price".cast("decimal(12,3)").as("price"))
+      .repartitionByRange(5, col("price")).sortWithinPartitions("price")
+      .write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("price"))
+    val full = spark.read.parquet(dir)
+    for (_ <- 1 to 60) {
+      val scale = rnd.nextInt(7)
+      val a = BigDecimal(rnd.nextInt(130000), scale) - 10
+      val b = a + BigDecimal(rnd.nextInt(40000), scale)
+      val kept = Stats.prunedFilesBounds(spark, dir, "price",
+        Some(a.bigDecimal), Some(b.bigDecimal))
+      val matchRows = full.filter(col("price") >= lit(a.bigDecimal) &&
+        col("price") <= lit(b.bigDecimal))
+      val needed = matchRows.withColumn("f", input_file_name())
+        .select("f").distinct().collect()
+        .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0))).toString)
+      val keptSet = kept.toSet
+      needed.foreach(f => assert(keptSet.contains(f),
+        s"bound [$a,$b] (scale $scale) pruned file $f that holds matches"))
+    }
+  }
+
   test("Dedup.hamming: zero on self, symmetric, bounded by signature length") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions._
