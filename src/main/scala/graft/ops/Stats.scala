@@ -35,7 +35,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     lo_s: Option[String], hi_s: Option[String],
     lo_t: Option[Long] = None, hi_t: Option[Long] = None,
     t_adj: Option[Boolean] = None,
-    dec_scale: Option[Int] = None)
+    dec_scale: Option[Int] = None,
+    t_exact: Option[Boolean] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -286,12 +287,18 @@ object Stats {
                     // can overflow (ms near Long range) — the recorded
                     // range only ever widens, never excludes a value.
                     val conv = tsBoundsToMicros(los.min, his.max, ts.getUnit)
+                    // t_exact: ms/µs conversions are value-exact (min/max
+                    // can be ANSWERED from them, not just pruned on); the
+                    // ns floor/ceil is widened-only (prune yes, answer no)
+                    val exact = ts.getUnit !=
+                      org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
                     conv.fold(FileColStat(name, c, rows, nulls,
                       has_stats = false,
                       None, None, None, None, None, None)) { case (lo, hi) =>
                       FileColStat(name, c, rows, nulls, has_stats = true,
                         None, None, None, None, None, None,
-                        Some(lo), Some(hi), Some(ts.isAdjustedToUTC))
+                        Some(lo), Some(hi), Some(ts.isAdjustedToUTC),
+                        None, Some(exact))
                     }
                   case dec: org.apache.parquet.schema.LogicalTypeAnnotation
                       .DecimalLogicalTypeAnnotation =>

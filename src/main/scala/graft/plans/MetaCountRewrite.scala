@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Metadata-only `count(*)` / `count(col)` over Graft catalog tables —
   * the Delta "answer counts from the transaction log" optimization,
@@ -80,14 +80,20 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
 
   /** min/max are metadata-answerable only for types whose footer bounds
     * are EXACT: integral and IEEE-float physical values (dates ride as
-    * int32 days). Strings decline — parquet writers may truncate binary
-    * min/max (fine for pruning, wrong as an answer); NaN-poisoned float
-    * files already carry `has_stats = false` and decline per-file.
+    * int32 days), and — round-13 — timestamps whose sidecar rows carry
+    * value-exact micros (`t_exact`: ms/µs units; ns floor/ceil is
+    * widened-only and declines per file). `SELECT max(ts) FROM events`
+    * is THE freshness probe on a 100 TB event table — a KB metadata
+    * read instead of a full scan. Strings decline — parquet writers may
+    * truncate binary min/max (fine for pruning, wrong as an answer);
+    * NaN-poisoned float files already carry `has_stats = false` and
+    * decline per-file.
     */
   private def boundable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case FloatType | DoubleType => true
     case org.apache.spark.sql.types.DateType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -130,10 +136,18 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
     // the sidecar is metadata-scale (one row per file×column); the
-    // nested read contains no aggregate, so the rule cannot re-enter
-    val rows = SparkSession.active.read.parquet(sidecar.toString)
-      .select("file", "col", "rows", "nulls", "has_stats",
-        "lo_l", "hi_l", "lo_d", "hi_d")
+    // nested read contains no aggregate, so the rule cannot re-enter.
+    // mergeSchema: a dir can mix pre- and post-round-13 parts; the
+    // timestamp columns are selected only when present (old sidecars
+    // then decline timestamp bounds, never mis-answer them)
+    val raw = SparkSession.active.read.option("mergeSchema", "true")
+      .parquet(sidecar.toString)
+    val hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact")
+    val baseCols = Seq("file", "col", "rows", "nulls", "has_stats",
+      "lo_l", "hi_l", "lo_d", "hi_d")
+    val rows = raw
+      .select((if (hasTs) baseCols ++ Seq("lo_t", "hi_t", "t_adj", "t_exact")
+        else baseCols).map(org.apache.spark.sql.functions.col): _*)
       .collect()
     val byFile = rows.groupBy(_.getString(0))
     if (!live.forall(byFile.contains)) return None
@@ -149,7 +163,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val values: Seq[Option[Any]] = kinds.map {
       case Star => Some(total)
       case OfColumn(c) => covered(c).map(_.map(r => r.getLong(2) - r.getLong(3)).sum)
-      case BoundOf(c, dt, isMin) => covered(c).map { rs =>
+      case BoundOf(c, dt, isMin) => covered(c).flatMap { rs =>
         // files whose bounds are absent hold only nulls for this column
         // (bounds ignore nulls); all files all-null => the answer IS null
         def longs(i: Int) = rs.filter(!_.isNullAt(i)).map(_.getLong(i))
@@ -157,22 +171,39 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         dt match {
           case FloatType | DoubleType =>
             val vs = if (isMin) dbls(7) else dbls(8)
-            if (vs.isEmpty) null
+            if (vs.isEmpty) Some(null)
             else {
               val v = if (isMin) vs.min else vs.max
-              if (dt == FloatType) v.toFloat else v
+              Some(if (dt == FloatType) v.toFloat else v)
+            }
+          case TimestampType | TimestampNTZType =>
+            if (!hasTs) None // pre-upgrade sidecar: decline, never guess
+            else {
+              // every value-bearing row must be VALUE-exact micros of the
+              // right flavor (adjusted for TIMESTAMP, wall-clock for NTZ);
+              // a ns-floored or flavor-mismatched file declines the whole
+              // answer — pruning-grade bounds are not answering-grade
+              val wantAdj = dt == TimestampType
+              val bearing = rs.filter(!_.isNullAt(9))
+              if (bearing.exists(r => r.isNullAt(12) || !r.getBoolean(12) ||
+                  r.isNullAt(11) || r.getBoolean(11) != wantAdj)) None
+              else if (bearing.isEmpty) Some(null)
+              else {
+                val vs = bearing.map(r => if (isMin) r.getLong(9) else r.getLong(10))
+                Some(if (isMin) vs.min else vs.max) // internal micros Long
+              }
             }
           case _ =>
             val vs = if (isMin) longs(5) else longs(6)
-            if (vs.isEmpty) null
+            if (vs.isEmpty) Some(null)
             else {
               val v = if (isMin) vs.min else vs.max
-              dt match {
+              Some(dt match {
                 case LongType => v
                 case ByteType => v.toByte
                 case ShortType => v.toShort
                 case _ => v.toInt // IntegerType, DateType (int32 days)
-              }
+              })
             }
         }
       }

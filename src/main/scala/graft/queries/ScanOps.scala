@@ -402,6 +402,21 @@ object ScanOps extends QueryModule {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // Metadata-only freshness probe (round-13): the single most common
+    // operational query on a 100 TB event table — `min(ts)/max(ts)` —
+    // answered from the _stats sidecar's value-exact micros (µs/ms
+    // units only; ns floor/ceil declines) with ZERO data files opened
+    // (MetaCountSpec plan-asserts LocalRelation). Same events_ts table
+    // as q_stats_skipping_ts, so the sidecar it reads was auto-collected
+    // by declaration across a CTAS and an INSERT; the oracle recomputes
+    // count/min/max from the raw fixture + the shifted insert rows.
+    "q_meta_count_ts" -> ((s, dir) => {
+      val cat = tsSkipCatalog(s, dir)
+      s.sql(
+        s"""SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+           |FROM $cat.events_ts""".stripMargin)
+    }),
+
     // Decimal file skipping end to end (round-13, B165 sibling): orders
     // re-landed with an exact DECIMAL(14,2) price (derived from integer
     // cents — both engines construct the identical value), price-range-
@@ -1580,6 +1595,13 @@ object ScanOps extends QueryModule {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_meta_count_ts" ->
+      """WITH t AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  UNION ALL SELECT CAST(ts AS TIMESTAMP) + INTERVAL 365 DAY
+        |    FROM events WHERE event_id < 50)
+        |SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM t""".stripMargin,
 
     "q_stats_skipping_dec" ->
       """WITH t AS (SELECT o_orderstatus,

@@ -125,6 +125,39 @@ class MetaCountSpec extends AnyFunSuite {
     assert(sq.collect().head.getString(0) == "a")
   }
 
+  test("min/max of TIMESTAMP collapse to metadata (µs exact); NTZ flavor guards") {
+    import spark.implicits._
+    root
+    val df = spark.range(0, 500).select($"id".as("k"),
+      expr("timestamp'2024-05-01 00:00:00' + " +
+        "make_interval(0,0,0,0, CAST(id AS INT),0,0)").as("ts"))
+    Sinks.publishVersioned(df.repartition(4), s"$root/tsmeta", None,
+      statsCols = Seq("ts"))
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(ts) AS lo, max(ts) AS hi FROM graftmeta.tsmeta")
+    assert(isMetaOnly(q),
+      s"freshness probe must be metadata-only, got\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 500)
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-05-01 00:00:00"))
+    assert(r.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-05-21 19:00:00"))
+    // values equal the scan's own answer (the ground truth)
+    val scan = Sinks.readCurrent(spark, s"$root/tsmeta")
+      .agg(min("ts"), max("ts")).head()
+    assert(r.getTimestamp(1) == scan.getTimestamp(0) &&
+      r.getTimestamp(2) == scan.getTimestamp(1))
+    // an NTZ column answers under its own flavor too
+    Sinks.publishVersioned(
+      df.select($"k", $"ts".cast("timestamp_ntz").as("ts")).repartition(2),
+      s"$root/tsmeta_ntz", None, statsCols = Seq("ts"))
+    val qn = spark.sql(
+      "SELECT min(ts) AS lo, max(ts) AS hi FROM graftmeta.tsmeta_ntz")
+    assert(isMetaOnly(qn), qn.queryExecution.optimizedPlan.toString)
+    val rn = qn.collect().head
+    assert(rn.get(0).toString.startsWith("2024-05-01T00:00") &&
+      rn.get(1).toString.startsWith("2024-05-21T19:00"), rn.toString)
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
