@@ -1195,7 +1195,7 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/events_ts"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "events") + ":auto-ts-stats"
+    val stamp = Tables.srcStamp(dir, "events") + ":auto-ts-stats:v2"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
       Files.isDirectory(Paths.get(
