@@ -62,9 +62,13 @@ object MorLakehousePipeline {
       s"re-run ingested ${rerun.size} (receipt-deduped)")
 
     // annotate the ingested version with footer stats (the post-commit
-    // door): skipping AND metadata-only counts now cover every file
+    // retrofit door), then DECLARE the columns (round-13): every later
+    // commit — DML, MERGE, compaction — re-collects them by itself, so
+    // the sidecar can never go stale again
     graft.ops.Stats.annotate(spark, Sinks.resolve(tbl),
       Seq("o_orderkey", "o_custkey"))
+    TableProps.update(tbl)(_ +
+      (TableProps.StatsKey -> "o_orderkey,o_custkey"))
 
     // 2. a zero-copy fork for the risky work
     Sinks.cloneTable(spark, tbl, fork)
@@ -148,6 +152,13 @@ object MorLakehousePipeline {
     val (nStages, nOrphans) = Sinks.vacuumOrphans(tbl, olderThanMs = 0L)
     println(s"[9] vacuum_orphans: $nStages stage dirs, $nOrphans orphan " +
       s"versions removed; table intact=${Sinks.readCurrent(spark, tbl).count() > 0}")
+
+    // 10. retention WITHOUT a rewrite (round-13): history on the fork
+    // expires as pure metadata — compaction is for layout, not expiry
+    val expired = Sinks.expireVersions(spark, fork, retainVersions = 1)
+    println(s"[10] expire_versions on the fork: ${expired.size} snapshots " +
+      s"unlinked (${expired.mkString(",")}), live + 1 retained, " +
+      s"rows=${Sinks.readCurrent(spark, fork).count()}")
 
     spark.stop()
   }
