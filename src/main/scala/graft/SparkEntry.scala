@@ -39,7 +39,9 @@ object SparkEntry {
     * streamed-table reads — each new surface measured under the
     * driver's bench too. Round 9 adds the metadata-only count (the
     * sub-scan-time floor), the corpus line dedup, and the
-    * evolve-then-read partitioned table.
+    * evolve-then-read partitioned table. Round 13 adds the timestamp-
+    * and decimal-pruned SQL reads and the metadata-only freshness probe
+    * (min/max ts with zero files opened).
     */
   def benchQueries: Seq[String] = Seq(
     "q_pricing_summary", "q_join_agg", "q_window_topk",
