@@ -497,16 +497,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         graft.ops.TableProps.behaviorKeys.contains(k.toLowerCase),
       s"$catalogName: unsupported graft.* table property $k — supported: " +
         graft.ops.TableProps.behaviorKeys.toSeq.sorted.mkString(", ")))
-    // declared auto-stats columns must exist (a typo'd name would
-    // silently never prune — fail the CREATE, leave no table)
+    // declared auto-stats / auto-bloom / clustering columns must exist
+    // (a typo'd name would silently never prune or never cluster — fail
+    // the CREATE, leave no table)
+    Seq(graft.ops.TableProps.StatsKey, graft.ops.TableProps.BloomKey,
+        graft.ops.TableProps.ClusterKey).foreach { key =>
+      properties.asScala.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v
+      }.foreach { v =>
+        val missing = v.split(",").map(_.trim).filter(_.nonEmpty)
+          .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"$catalogName: $key names column(s) " +
+            s"not in the table schema: ${missing.mkString(", ")}")
+      }
+    }
+    // bloom columns must be bloom-indexable NOW (string/integral —
+    // Bloom.annotate's build/probe canonicalization contract); failing
+    // at the first commit instead would leave a live table whose
+    // declaration can never be honored
     properties.asScala.collectFirst {
-      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.StatsKey) => v
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.BloomKey) => v
     }.foreach { v =>
-      val missing = v.split(",").map(_.trim).filter(_.nonEmpty)
-        .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty,
-        s"$catalogName: ${graft.ops.TableProps.StatsKey} names column(s) " +
-          s"not in the table schema: ${missing.mkString(", ")}")
+      import org.apache.spark.sql.types._
+      val bad = v.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+          f.dataType match {
+            case StringType | ByteType | ShortType | IntegerType | LongType => None
+            case other => Some(s"$c: ${other.simpleString}")
+          })
+      }
+      require(bad.isEmpty,
+        s"$catalogName: ${graft.ops.TableProps.BloomKey} supports string and " +
+          s"integral columns only; got ${bad.mkString(", ")} — use " +
+          s"${graft.ops.TableProps.StatsKey} range stats for those types")
+      // partition columns are directory metadata, not file contents —
+      // Bloom.annotate refuses them at every commit, so refuse the
+      // declaration here instead of failing the table's first INSERT
+      val partitioned = v.split(",").map(_.trim).filter(_.nonEmpty)
+        .filter(c => identityCols.exists(_.equalsIgnoreCase(c)))
+      require(partitioned.isEmpty,
+        s"$catalogName: ${graft.ops.TableProps.BloomKey} cannot index " +
+          s"partition column(s) ${partitioned.mkString(", ")} — partition " +
+          "pruning already serves them exactly")
+    }
+    // retention policy values must parse (a malformed number would
+    // silently disable the policy on every later maintenance run)
+    properties.asScala.foreach {
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.RetainVersionsKey) =>
+        require(v.trim.toIntOption.exists(_ >= 0),
+          s"$catalogName: ${graft.ops.TableProps.RetainVersionsKey} must be a " +
+            s"non-negative integer, got '$v'")
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.RetainHoursKey) =>
+        require(v.trim.toDoubleOption.exists(_ >= 0),
+          s"$catalogName: ${graft.ops.TableProps.RetainHoursKey} must be a " +
+            s"non-negative number, got '$v'")
+      case _ =>
     }
     // a lost CREATE race must surface as the exception Spark's
     // IF NOT EXISTS handling understands, not a raw OCC conflict
@@ -632,6 +678,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // past until the constraint is stored
       GraftCheck.update(tr)(_ ++ propChanges.foldLeft(Map.empty[String, String]) {
         case (acc, s: TableChange.SetProperty) if isBehavior(s.property()) =>
+          // the same fail-loud validation CREATE applies: named columns
+          // must exist (against the CURRENT logical schema), bloom
+          // columns must be indexable, retention values must parse —
+          // an ALTER is the retrofit door and must not record a
+          // declaration later maintenance can never honor
+          validateBehaviorProp(spark, tr, s.property().toLowerCase, s.value())
           acc + (s.property().toLowerCase -> s.value())
         case (acc, s: TableChange.SetProperty) =>
           require(s.property().startsWith(GraftCheck.Prefix),
@@ -718,6 +770,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     Sinks.publishVersioned(widened, tr, Some(v))
     loadTable(ident)
+  }
+
+  /** ALTER-time validation of a behavior-bearing `graft.*` property
+    * against the table's CURRENT logical schema — the same contract
+    * CREATE applies to a declared property (fail loudly, never record a
+    * declaration maintenance can't honor). Boolean/enum switches
+    * (`graft.dml.mode`, `graft.write.distribute`) pass through: their
+    * consumers validate per use.
+    */
+  private def validateBehaviorProp(spark: SparkSession, tr: String,
+      key: String, value: String): Unit = {
+    import graft.ops.TableProps._
+    def namedCols = value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    lazy val schema = Sinks.readCurrent(spark, tr).schema
+    key match {
+      case StatsKey | BloomKey | ClusterKey =>
+        val missing = namedCols.filterNot(c =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"$catalogName: $key names column(s) not in the table: " +
+            missing.mkString(", "))
+        if (key == BloomKey) {
+          import org.apache.spark.sql.types._
+          val bad = namedCols.flatMap(c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+              f.dataType match {
+                case StringType | ByteType | ShortType | IntegerType | LongType => None
+                case other => Some(s"$c: ${other.simpleString}")
+              }))
+          require(bad.isEmpty,
+            s"$catalogName: $BloomKey supports string and integral columns " +
+              s"only; got ${bad.mkString(", ")} — use $StatsKey range stats " +
+              "for those types")
+        }
+      case RetainVersionsKey =>
+        require(value.trim.toIntOption.exists(_ >= 0),
+          s"$catalogName: $RetainVersionsKey must be a non-negative integer, " +
+            s"got '$value'")
+      case RetainHoursKey =>
+        require(value.trim.toDoubleOption.exists(_ >= 0),
+          s"$catalogName: $RetainHoursKey must be a non-negative number, " +
+            s"got '$value'")
+      case _ =>
+    }
   }
 
   /** RENAME COLUMN / DROP COLUMN (see [[alterTable]] for the contract):

@@ -58,11 +58,13 @@ private[graft] object GraftProcedures {
         .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
       ProcedureParameter.in("target_mb", IntegerType).defaultValue("128")
         .comment("target output file size, megabytes").build(),
-      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("0")
-        .comment("versions below the new base to keep time-travelable").build(),
-      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0")
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("-1")
+        .comment("versions below the new base to keep time-travelable " +
+          "(-1 = the table's declared graft.retain.versions, else 0)").build(),
+      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-2.0")
         .comment("keep any version committed within this window " +
-          "(VACUUM RETAIN analog; -1 = count-based only)").build())
+          "(VACUUM RETAIN analog; -1 = count-based only; -2 = the " +
+          "table's declared graft.retain.hours, else count-based)").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -70,6 +72,7 @@ private[graft] object GraftProcedures {
       val retain = input.getInt(2)
       val retainHours = input.getDouble(3)
       require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+      require(retain >= -1, s"retain_versions must be >= -1, got $retain")
       val root = resolveRoot(table)
       val v = graft.ops.Sinks.compactVersioned(SparkSession.active, root,
         targetMb.toLong * 1024 * 1024, retain, retainHours)
@@ -129,8 +132,11 @@ private[graft] object GraftProcedures {
     * distributed pass; see [[graft.ops.Bloom.annotate]]). Layout-only
     * like compact: the sidecar is advisory metadata — readers that know
     * it prune, everyone else scans — so no OCC version bump is needed;
-    * the files it describes are immutable, and the next publish simply
-    * starts a new version without it (rebuild after major rewrites).
+    * the files it describes are immutable. Linked commits inherit and
+    * extend it at O(delta), and compaction rebuilds it over the
+    * rewritten files (round-14); declare `graft.bloom.columns` instead
+    * to make EVERY commit annotate with no CALL at all — this door
+    * remains the one-shot retrofit for an undeclared table.
     */
   final class BloomIndex(resolveRoot: String => String)
       extends UnboundProcedure with BoundProcedure {
@@ -251,17 +257,28 @@ private[graft] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
-      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("2")
-        .comment("versions below the live one to keep time-travelable").build(),
-      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1.0")
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("-1")
+        .comment("versions below the live one to keep time-travelable " +
+          "(-1 = the table's declared graft.retain.versions, else 2)").build(),
+      ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-2.0")
         .comment("keep any version committed within this window " +
-          "(-1 = count-based only)").build())
+          "(-1 = count-based only; -2 = the table's declared " +
+          "graft.retain.hours, else count-based)").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
-      val retain = input.getInt(1)
-      val retainHours = input.getDouble(2)
       val root = resolveRoot(table)
+      // the sentinel default resolves the DECLARED policy here (not in
+      // the library, whose own no-policy fallback is 0): this door's
+      // historical no-argument behavior keeps 2 versions, and a table
+      // that declares graft.retain.* overrides that — while an explicit
+      // argument overrides the declaration
+      val (polV, polH) = graft.ops.TableProps.retainPolicy(root)
+      val retain =
+        if (input.getInt(1) >= 0) input.getInt(1) else polV.getOrElse(2)
+      val retainHours =
+        if (input.getDouble(2) >= -1.0) input.getDouble(2)
+        else polH.getOrElse(-1.0)
       val evicted = graft.ops.Sinks.expireVersions(
         SparkSession.active, root, retain, retainHours)
       val live = graft.ops.Sinks.currentVersion(root).getOrElse(0L)

@@ -664,16 +664,27 @@ object Sinks
       // explicit statsCols win; otherwise the table's DECLARED
       // auto-stats columns ('graft.stats.columns') annotate every
       // snapshot publish too — CTAS/OVERWRITE through the SQL door
-      // never leaves a declared-skippable table un-annotated
+      // never leaves a declared-skippable table un-annotated. Declared
+      // CLUSTER columns ('graft.cluster.columns', round-14) always join
+      // the set: clustering exists to make min/max pruning effective,
+      // so a clustered table's stats must cover its clustering key.
       val effStats =
-        if (statsCols.nonEmpty) statsCols
-        else TableProps.statsColumns(root)
-          .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+        ((if (statsCols.nonEmpty) statsCols
+          else TableProps.statsColumns(root)) ++ TableProps.clusterColumns(root))
+          .distinct.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
       if (effStats.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, effStats)
       // B123: build the point-lookup sidecar in staging so data and
       // bloom index land in ONE atomic commit (the post-commit
-      // Bloom.annotate path stays available for existing tables)
-      if (bloomCols.nonEmpty) Bloom.annotate(df.sparkSession, stage.toString, bloomCols)
+      // Bloom.annotate path stays available for existing tables).
+      // Declared auto-bloom columns ('graft.bloom.columns', round-14)
+      // annotate every snapshot publish with zero call-site cooperation
+      // — a compaction or CTAS can no longer silently demote a declared
+      // point-skippable table to full scans.
+      val effBloom =
+        if (bloomCols.nonEmpty) bloomCols
+        else TableProps.bloomColumns(root)
+          .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      if (effBloom.nonEmpty) Bloom.annotate(df.sparkSession, stage.toString, effBloom)
       changeFeed.foreach { ch =>
         require(ch.columns.contains("_change_type"),
           "changeFeed must carry a _change_type column")
@@ -1091,7 +1102,8 @@ object Sinks
       // round-13) — so a SQL INSERT, DML commit, or streaming batch
       // keeps the skipping tier intact with zero call-site cooperation,
       // the Delta/Iceberg collect-stats-inside-every-commit behavior
-      val declaredStats = TableProps.statsColumns(root).map(c =>
+      val declaredStats = (TableProps.statsColumns(root) ++
+          TableProps.clusterColumns(root)).distinct.map(c =>
         baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val effStats =
         if (statsCols.nonEmpty)
@@ -1116,9 +1128,16 @@ object Sinks
       // O(delta) — build filters for only the staged delta here (the
       // stage holds nothing else yet), carry the prior sidecar files
       // verbatim below; rows keyed by files the carry filter drops (COW
-      // rewrites) go stale and are ignored by the probe's file walk
-      val bloomInherit = expected.toSeq.flatMap(v =>
-        Bloom.sidecarCols(spark, versionPath(root, v)))
+      // rewrites) go stale and are ignored by the probe's file walk.
+      // DECLARED auto-bloom columns ('graft.bloom.columns', round-14)
+      // union in: a declaration made after data exists lights up on the
+      // very next commit (delta files only — compaction retrofits the
+      // rest), and an empty inherited sidecar can't shed the property.
+      val declaredBloom = TableProps.bloomColumns(root)
+        .filter(c => aligned.columns.exists(_.equalsIgnoreCase(c)))
+        .map(c => baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
+      val bloomInherit = (expected.toSeq.flatMap(v =>
+        Bloom.sidecarCols(spark, versionPath(root, v))) ++ declaredBloom).distinct
       if (bloomInherit.nonEmpty && hasNew)
         Bloom.annotate(spark, stage.toString, bloomInherit)
       if (emitFeed) {

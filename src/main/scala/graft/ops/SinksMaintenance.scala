@@ -66,24 +66,19 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     * pinning.
     */
   def compactVersioned(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = 0,
-      retainHours: Double = -1.0): Long = {
-    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
+      targetBytes: Long = 128L * 1024 * 1024, retainVersions: Int = -1,
+      retainHours: Double = -2.0): Long = {
+    // declared per-table retention policy (round-14,
+    // 'graft.retain.versions' / 'graft.retain.hours'): the SENTINEL
+    // defaults (-1 / -2.0) resolve from _PROPS so a no-argument
+    // maintenance call honors the table's own declaration; an explicit
+    // argument — including retainHours = -1 for "count-based only" —
+    // always wins over the policy.
+    val (polV, polH) = TableProps.retainPolicy(root)
+    val effRetain = if (retainVersions >= 0) retainVersions else polV.getOrElse(0)
+    val effHours = if (retainHours >= -1.0) retainHours else polH.getOrElse(-1.0)
     val liveV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    // time-based retention (the Delta VACUUM RETAIN spelling): with
-    // retainHours >= 0, a version committed within the window is kept
-    // even past the count cutoff — TIMESTAMP AS OF resolves by the same
-    // commit instant ([[commitInstantMs]], the shared reader: durable
-    // `_COMMIT_TS` marker, mtime fallback), so the two guarantees line
-    // up — any timestamp in the window stays travelable, including
-    // after a backup/copy/restore rewrites dir mtimes. Both retention
-    // gates must pass to evict.
-    val cutoffMs: Option[Long] =
-      if (retainHours < 0) None
-      else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
-    def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
-      commitInstantMs(versionPath(root, v)) >= cut)
     val live = versionPath(root, liveV)
     val nFiles = fileCount(Paths.get(live), targetBytes)
     // a compaction must not silently demote the table from skippable to
@@ -101,12 +96,21 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     // Declared auto-stats columns ('graft.stats.columns') join the set:
     // compaction is the retrofit pass for a property declared after data
     val statsCols = (Stats.sidecarCols(spark, live)
-      .map(ColMap.toLogicalName(live, _)) ++ TableProps.statsColumns(root))
+      .map(ColMap.toLogicalName(live, _)) ++ TableProps.statsColumns(root) ++
+      TableProps.clusterColumns(root))
       .distinct
     val base = readDir(spark, root, live)
     val pcols = TableProps.partitionCols(root)
+    // DECLARED clustering ('graft.cluster.columns', round-14) owns the
+    // rewrite's layout when present: compaction RE-CLUSTERS by the
+    // declared key — range + sort for one column, normalized Z-order
+    // for several — instead of by whatever columns happen to carry
+    // stats, so a Z-ordered table keeps its multi-dimensional locality
+    // through every maintenance pass with no per-call arguments.
+    val clusterCols = TableProps.clusterColumns(root)
     val rewritten =
-      if (statsCols.isEmpty && pcols.nonEmpty) {
+      if (clusterCols.nonEmpty) clusterFrame(base, clusterCols, pcols, nFiles)
+      else if (statsCols.isEmpty && pcols.nonEmpty) {
         // partitioned table: cluster the rewrite BY the partition columns
         // so each task holds whole partition values — a round-robin
         // repartition would make every task write a sliver into every
@@ -120,13 +124,81 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
         base.repartitionByRange(nFiles, statsCols.map(col): _*)
           .sortWithinPartitions(statsCols.map(col): _*)
       }
+    // a compaction must not silently demote the table from
+    // point-skippable to full-scan either (round-14; before this, the
+    // rewrite DROPPED the `_bloom` sidecar and point lookups silently
+    // degraded until an operator remembered CALL system.bloom_index):
+    // rebuild the filters over the rewritten files inside the SAME
+    // staged commit — the declared columns, plus whatever the live
+    // sidecar already indexed (a manually-CALLed index survives too).
+    val bloomCols = (Bloom.sidecarCols(spark, live)
+      .map(ColMap.toLogicalName(live, _)) ++ TableProps.bloomColumns(root))
+      .distinct
     val v = publishVersioned(rewritten, root, Some(liveV), statsCols,
-      opTag = "compact")
+      bloomCols = bloomCols, opTag = "compact")
     // retention vacuum: keep the pre-compaction base (readers that
     // resolved just before the flip) plus `retainVersions` below it —
     // as a below-the-CURRENT count that is retainVersions + 1
-    expireVersions(spark, root, retainVersions + 1, retainHours)
+    // (resolved values: expireVersions must not re-apply the policy on
+    // top of the already-adjusted count)
+    expireVersions(spark, root, effRetain + 1, effHours)
     v
+  }
+
+  /** The declared-clustering layout of a compaction rewrite (round-14,
+    * `graft.cluster.columns`): one column — or any non-numeric
+    * dimension — range-clusters hierarchically (exact pruning on the
+    * leading column, locality within ranges for the rest); two or more
+    * numeric/date/timestamp dimensions take the normalized Z-order
+    * interleave ([[Layout.zorderN]] over [[Layout.normalize]]d grids —
+    * the same recipe as [[zorderTable]], whose normalization rationale
+    * applies verbatim: raw interleaving degenerates to a single-column
+    * sort). Bounds come from one tiny min/max aggregate; an empty or
+    * all-null dimension degrades to a plain repartition.
+    */
+  private[ops] def clusterFrame(base: DataFrame, clusterCols: Seq[String],
+      pcols: Seq[String], nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, min => smin, max => smax}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    val schema = base.schema
+    val canonical = clusterCols.map(c => schema.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cluster column $c is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")))
+    def gridable(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType match {
+        case DateType | TimestampType => true
+        case _: NumericType => true
+        case _ => false
+      }
+    val dims = canonical.map(f => col(f.name))
+    if (canonical.size == 1 || !canonical.forall(gridable)) {
+      val keys = pcols.map(col) ++ dims
+      base.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+    } else {
+      def asNum(f: org.apache.spark.sql.types.StructField): Column =
+        f.dataType match {
+          case DateType =>
+            org.apache.spark.sql.functions.unix_date(col(f.name)).cast("double")
+          case TimestampType =>
+            org.apache.spark.sql.functions.unix_micros(col(f.name)).cast("double")
+          case _ => col(f.name).cast("double")
+        }
+      val effBits = math.min(16, 63 / canonical.size)
+      val boundCols = canonical.flatMap(f => Seq(smin(asNum(f)), smax(asNum(f))))
+      val bounds = base.agg(boundCols.head, boundCols.tail: _*).head()
+      val allBounded = canonical.indices.forall(i =>
+        !bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1))
+      if (!allBounded) base.repartition(nFiles) // empty table / all-null dim
+      else {
+        val z = Layout.zorderN(canonical.zipWithIndex.map { case (f, i) =>
+          Layout.normalize(asNum(f), lit(bounds.getDouble(2 * i)),
+            lit(bounds.getDouble(2 * i + 1)), effBits)
+        }, effBits)
+        val keys = pcols.map(col) :+ z
+        base.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    }
   }
 
   /** Snapshot expiration WITHOUT a rewrite (round-13; the Delta VACUUM /
@@ -156,18 +228,29 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     * `.stage-*` dirs) is swept in the same pass.
     */
   def expireVersions(spark: SparkSession, root: String,
-      retainVersions: Int = 0, retainHours: Double = -1.0): Seq[Long] = {
-    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
+      retainVersions: Int = -1, retainHours: Double = -2.0): Seq[Long] = {
+    // sentinel args resolve from the declared per-table retention
+    // policy (round-14) exactly as in [[compactVersioned]]; time-based
+    // retention keeps any version committed within the window even past
+    // the count cutoff — TIMESTAMP AS OF resolves by the same commit
+    // instant ([[commitInstantMs]]: durable `_COMMIT_TS` marker, mtime
+    // fallback), so any timestamp in the window stays travelable,
+    // including after a backup/copy/restore rewrites dir mtimes.
+    val (polV, polH) = TableProps.retainPolicy(root)
+    val effRetain =
+      if (retainVersions >= 0) retainVersions else polV.getOrElse(0)
+    val effHours =
+      if (retainHours >= -1.0) retainHours else polH.getOrElse(-1.0)
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val cutoffMs: Option[Long] =
-      if (retainHours < 0) None
-      else Some(System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong)
+      if (effHours < 0) None
+      else Some(System.currentTimeMillis() - (effHours * 3600 * 1000).toLong)
     def withinWindow(v: Long): Boolean = cutoffMs.exists(cut =>
       commitInstantMs(versionPath(root, v)) >= cut)
     val taggedPinned = listTags(root).values.toSet
     val evictCandidates =
-      listVersions(root).filter(_ < cur).sorted.dropRight(retainVersions)
+      listVersions(root).filter(_ < cur).sorted.dropRight(effRetain)
         .filterNot(withinWindow).filterNot(taggedPinned)
     val stamps = evictCandidates.flatMap { ev =>
       val f = Paths.get(versionPath(root, ev), BatchIdFile)
@@ -211,7 +294,7 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       // durability metadata folded
       val curNow = currentVersion(root).getOrElse(cur)
       val below = listVersions(root).filter(_ < math.min(cur, curNow))
-      val evict = if (feedOk) below.sorted.dropRight(retainVersions)
+      val evict = if (feedOk) below.sorted.dropRight(effRetain)
                     .filterNot(withinWindow)
                     .filterNot(taggedPinned)
                     .filterNot(listTags(root).values.toSet)

@@ -44,6 +44,62 @@ private[graft] object TableProps {
     load(root).get(StatsKey).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** Declarative point-lookup index (`'graft.bloom.columns' = 'c1,c2'`):
+    * the B123 `_bloom` sidecar becomes a maintained property of the
+    * table instead of a one-shot `CALL system.bloom_index` artifact —
+    * EVERY commit through either staging funnel annotates the staged
+    * delta's files, and compaction REBUILDS the sidecar over the
+    * rewritten files instead of dropping it (pre-round-14, any full
+    * rewrite silently demoted point lookups to full scans until an
+    * operator remembered the CALL). Columns are comma-separated LOGICAL
+    * names, restricted to the bloom-indexable domain (string/integral —
+    * [[Bloom.annotate]]'s canonicalization contract), validated at
+    * CREATE/ALTER so a typo or an unindexable type fails loudly.
+    */
+  val BloomKey = "graft.bloom.columns"
+
+  /** The declared auto-bloom columns of `root` (empty = none). */
+  def bloomColumns(root: String): Seq[String] =
+    load(root).get(BloomKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Declarative clustering key (`'graft.cluster.columns' = 'c1,c2'`):
+    * `CALL system.compact` re-clusters the rewrite by THESE columns —
+    * range-partitioned + sorted for one column, normalized Z-order
+    * ([[Layout.zorderN]]) for several — instead of by whatever columns
+    * happen to carry stats. Makes layout a retained property of the
+    * table: maintenance can run from a scheduler with no per-call
+    * arguments and never flatten a Z-ordered table back to insertion
+    * order. Cluster columns are implicitly stats-annotated on every
+    * commit (clustering exists to make min/max pruning effective;
+    * stats that don't cover the clustering key would waste the layout).
+    */
+  val ClusterKey = "graft.cluster.columns"
+
+  /** The declared clustering columns of `root` (empty = none). */
+  def clusterColumns(root: String): Seq[String] =
+    load(root).get(ClusterKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Retention policy (`'graft.retain.versions' = '3'` /
+    * `'graft.retain.hours' = '168'`): the table declares its own
+    * time-travel window, and `CALL system.expire_versions(t)` /
+    * `CALL system.compact(t)` with no retention arguments honor it —
+    * per-table policy instead of per-call arguments, so a fleet-wide
+    * maintenance job needs no table-specific configuration. Explicit
+    * CALL arguments still override (the operator's hand wins over the
+    * declaration); tagged versions stay pinned regardless.
+    */
+  val RetainVersionsKey = "graft.retain.versions"
+  val RetainHoursKey = "graft.retain.hours"
+
+  /** Declared retention: (versions, hours), each None when unset. */
+  def retainPolicy(root: String): (Option[Int], Option[Double]) = {
+    val p = load(root)
+    (p.get(RetainVersionsKey).flatMap(_.trim.toIntOption),
+      p.get(RetainHoursKey).flatMap(_.trim.toDoubleOption))
+  }
+
   /** Optimized-write switch (`'graft.write.distribute' = 'true'`): a
     * partitioned write repartitions by the partition columns first, so
     * each partition value is written by ONE task — one file per value
@@ -68,7 +124,8 @@ private[graft] object TableProps {
     * silently dropped by the other (round-12 advisor finding: a table
     * declared MOR at CREATE ran copy-on-write without warning).
     */
-  def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey)
+  def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey,
+    BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey)
 
   /** True iff `root` opted into distributed partitioned writes. */
   def distributeWrites(root: String): Boolean =

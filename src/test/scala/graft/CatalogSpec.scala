@@ -592,6 +592,92 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.exp1")
   }
 
+  test("declared retention policy: no-arg CALL honors graft.retain.versions; explicit args override; tags pinned (round-14)") {
+    root
+    spark.sql("CREATE TABLE graft.rpol (k BIGINT) USING parquet " +
+      "TBLPROPERTIES ('graft.retain.versions' = '1')")
+    try {
+      (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.rpol VALUES ($i)"))
+      val tr = s"$root/rpol"
+      assert(Sinks.listVersions(tr) == Seq(0L, 1L, 2L, 3L, 4L))
+      spark.sql("CALL graft.system.tag(table => 'rpol', name => 'pin', version => 1)")
+      // NO retention arguments: the declared policy (keep 1 below live)
+      // governs — the door's no-policy fallback would have kept 2
+      spark.sql("CALL graft.system.expire_versions(table => 'rpol')").collect()
+      assert(Sinks.listVersions(tr) == Seq(1L, 3L, 4L),
+        s"policy keep-1 + tag pin expected [1,3,4], got ${Sinks.listVersions(tr)}")
+      // an EXPLICIT argument overrides the declaration
+      (5 to 6).foreach(i => spark.sql(s"INSERT INTO graft.rpol VALUES ($i)"))
+      assert(Sinks.listVersions(tr) == Seq(1L, 3L, 4L, 5L, 6L))
+      spark.sql("CALL graft.system.expire_versions(" +
+        "table => 'rpol', retain_versions => 0)").collect()
+      // keep-0 explicit: only the tagged v1 and the live v6 survive
+      assert(Sinks.listVersions(tr) == Seq(1L, 6L),
+        s"explicit keep-0 expected [1,6], got ${Sinks.listVersions(tr)}")
+      assert(spark.sql("SELECT count(*) FROM graft.rpol VERSION AS OF 'pin'")
+        .head().getLong(0) == 1)
+    } finally spark.sql("DROP TABLE graft.rpol")
+    // a malformed policy value fails the CREATE and leaves no table
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft.rpol2 (k BIGINT) USING parquet " +
+        "TBLPROPERTIES ('graft.retain.versions' = 'soon')"))
+    assert(e.getMessage.contains("graft.retain.versions"), e.getMessage)
+    assert(!spark.catalog.tableExists("graft.rpol2"))
+  }
+
+  test("declared bloom/cluster columns validate at CREATE and ALTER; INSERT annotates by declaration (round-14)") {
+    root
+    // typo'd column: fail the CREATE, leave no table (the StatsKey contract)
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bc1 (k BIGINT, u STRING) USING parquet " +
+        "TBLPROPERTIES ('graft.bloom.columns' = 'usr')"))
+    assert(e1.getMessage.contains("usr"), e1.getMessage)
+    assert(!spark.catalog.tableExists("graft.bc1"))
+    // unindexable type: bloom canonicalization covers string/integral only
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bc1 (k BIGINT, d DOUBLE) USING parquet " +
+        "TBLPROPERTIES ('graft.bloom.columns' = 'd')"))
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // partition column: directory pruning owns it; annotate would fail
+    // every later commit, so the declaration is refused up front
+    val e3 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bc1 (k BIGINT, p STRING) USING parquet " +
+        "PARTITIONED BY (p) TBLPROPERTIES ('graft.bloom.columns' = 'p')"))
+    assert(e3.getMessage.contains("partition"), e3.getMessage)
+    // cluster-column typo fails identically
+    val e4 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bc1 (k BIGINT) USING parquet " +
+        "TBLPROPERTIES ('graft.cluster.columns' = 'kk')"))
+    assert(e4.getMessage.contains("kk"), e4.getMessage)
+    assert(!spark.catalog.tableExists("graft.bc1"))
+    // a valid declaration: plain SQL INSERTs annotate with no call-site
+    // cooperation — the property alone builds the index
+    spark.sql("CREATE TABLE graft.bc2 (k BIGINT, u STRING) USING parquet " +
+      "TBLPROPERTIES ('graft.bloom.columns' = 'u', " +
+      "'graft.cluster.columns' = 'k')")
+    try {
+      spark.sql("INSERT INTO graft.bc2 VALUES (1, 'ua'), (2, 'ub'), (3, 'uc')")
+      val live = Sinks.resolve(s"$root/bc2")
+      assert(graft.ops.Bloom.sidecarCols(spark, live) == Seq("u"),
+        "declared bloom column must annotate on a plain INSERT")
+      // cluster columns implicitly carry stats on every commit
+      assert(graft.ops.Stats.sidecarCols(spark, live).contains("k"))
+      // ALTER SET validates like CREATE: a typo'd column fails loudly
+      val e5 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.bc2 SET TBLPROPERTIES " +
+          "('graft.bloom.columns' = 'nope')"))
+      assert(e5.getMessage.contains("nope"), e5.getMessage)
+      val e6 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.bc2 SET TBLPROPERTIES " +
+          "('graft.retain.hours' = '-5')"))
+      assert(e6.getMessage.contains("graft.retain.hours"), e6.getMessage)
+      // a valid ALTER retarget is accepted and persisted
+      spark.sql("ALTER TABLE graft.bc2 SET TBLPROPERTIES " +
+        "('graft.cluster.columns' = 'k', 'graft.retain.versions' = '2')")
+      assert(graft.ops.TableProps.retainPolicy(s"$root/bc2")._1.contains(2))
+    } finally spark.sql("DROP TABLE graft.bc2")
+  }
+
   test("CALL graft.system.compact rewrites the live version and vacuums history") {
     root
     val wh = spark.conf.get("spark.sql.catalog.graft.root")

@@ -677,7 +677,7 @@ class SkippingSpec extends AnyFunSuite {
     }
   }
 
-  test("compaction drops the advisory _bloom sidecar; lookups degrade to full scan, stay exact") {
+  test("compaction REBUILDS the _bloom sidecar over the rewritten files (round-14)") {
     import spark.implicits._
     val root = tmp("bloomcomp") + "/t"
     val df = (0L until 3000L).map(i => (i, s"d$i")).toDF("k", "payload")
@@ -686,19 +686,112 @@ class SkippingSpec extends AnyFunSuite {
     graft.ops.Bloom.annotate(spark, Sinks.resolve(root), Seq("k"),
       expectedItems = 500L)
     assert(graft.ops.Bloom.prunedFilesEq(spark, Sinks.resolve(root), "k", 777L).size < 8)
-    // compact to one file: the new version has no _bloom (the sidecar
-    // describes files that no longer exist — carrying it would be a lie)
-    graft.ops.Sinks.compactVersioned(spark, root)
+    // pre-round-14 the rewrite DROPPED the sidecar (its rows describe
+    // files that no longer exist) and point lookups silently degraded
+    // until an operator re-ran CALL system.bloom_index; now compaction
+    // re-annotates the live sidecar's columns over the rewritten files
+    // inside the SAME staged commit — no manual step, no stale rows
+    graft.ops.Sinks.compactVersioned(spark, root, targetBytes = 64L * 1024)
     val live = Sinks.resolve(root)
-    assert(!java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(live, graft.ops.Bloom.Sidecar)))
-    // conservative contract: every (now fewer) file kept, result exact
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(live, graft.ops.Bloom.Sidecar)),
+      "compaction must rebuild the bloom sidecar, not drop it")
+    // every rewritten file is freshly annotated (no stale carried keys)
     val all = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live))
-    assert(graft.ops.Bloom.prunedFilesEq(spark, live, "k", 777L).size == all.size)
+      .map(_.toString.stripPrefix(live).stripPrefix("/")).toSet
+    val annotated = spark.read
+      .parquet(s"$live/${graft.ops.Bloom.Sidecar}")
+      .select("file").distinct().as[String].collect().toSet
+    assert(annotated == all, s"sidecar keys $annotated != live files $all")
+    // lookups stay exact and the index stays live
     assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
-    // re-annotating the compacted layout restores pruning
-    graft.ops.Bloom.annotate(spark, live, Seq("k"), expectedItems = 5000L)
-    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L).count() == 1)
+  }
+
+  test("declared graft.bloom.columns: every commit annotates, compaction keeps pruning (round-14)") {
+    import spark.implicits._
+    val root = tmp("bloomdecl") + "/t"
+    // declare BEFORE any data — the property drives every later commit
+    graft.ops.TableProps.update(root)(_ +
+      (graft.ops.TableProps.BloomKey -> "user"))
+    val v0 = (0L until 2000L).map(i => (i, s"u${i % 701}"))
+      .toDF("k", "user").repartition(4, col("k"))
+    // NO bloomCols argument anywhere: the declaration alone must build it
+    Sinks.publishVersioned(v0, root, None)
+    val live0 = Sinks.resolve(root)
+    assert(graft.ops.Bloom.sidecarCols(spark, live0) == Seq("user"),
+      "declared bloom column not annotated by a plain publish")
+    // append: delta files annotated, carried rows kept
+    val delta = (9000L until 9400L).map(i => (i, s"w$i"))
+      .toDF("k", "user").repartition(2, col("k"))
+    Sinks.appendVersioned(delta, root, Some(Sinks.currentVersion(root).get))
+    val live1 = Sinks.resolve(root)
+    val all1 = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live1)).size
+    assert(graft.ops.Bloom.prunedFilesEq(spark, live1, "user", "w9123").size < all1,
+      "appended key must prune via the delta's declared-bloom rows")
+    // compaction: prunes IMMEDIATELY after, with no manual CALL
+    graft.ops.Sinks.compactVersioned(spark, root, targetBytes = 8L * 1024)
+    val live2 = Sinks.resolve(root)
+    val all2 = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live2)).size
+    assert(all2 > 1, s"fixture must stay multi-file to show pruning, got $all2")
+    val kept = graft.ops.Bloom.prunedFilesEq(spark, live2, "user", "u123")
+    assert(kept.size < all2,
+      s"declared bloom must prune right after compaction: kept ${kept.size} of $all2")
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "user", "w9123")
+      .count() == 1)
+  }
+
+  test("declared graft.cluster.columns: compaction re-clusters so range stats prune (round-14)") {
+    import spark.implicits._
+    val root = tmp("clustdecl") + "/t"
+    graft.ops.TableProps.update(root)(_ +
+      (graft.ops.TableProps.ClusterKey -> "k"))
+    // publish UNCLUSTERED (hash-scattered): every file spans the domain
+    val df = (0L until 4000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartition(8, col("payload"))
+    Sinks.publishVersioned(df, root, None)
+    val live0 = Sinks.resolve(root)
+    // cluster columns are implicitly stats-annotated on every commit…
+    assert(Stats.sidecarCols(spark, live0) == Seq("k"))
+    // …but the scattered layout prunes nothing for a narrow range
+    assert(Stats.prunedFiles(spark, live0, "k", 100L, 120L).size == 8)
+    // maintenance with NO per-call layout arguments re-clusters by the
+    // declared key; the same narrow range now opens a fraction
+    graft.ops.Sinks.compactVersioned(spark, root, targetBytes = 24L * 1024)
+    val live1 = Sinks.resolve(root)
+    val n = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live1)).size
+    assert(n > 1, s"fixture must stay multi-file, got $n")
+    val kept = Stats.prunedFiles(spark, live1, "k", 100L, 120L)
+    assert(kept.size < n,
+      s"declared clustering must make range stats prune: kept ${kept.size} of $n")
+    // results stay exact through the re-laid table
+    assert(Sinks.readCurrent(spark, root).filter(col("k").between(100L, 120L))
+      .count() == 21)
+  }
+
+  test("declared 2-D graft.cluster.columns: compaction Z-orders, both dimensions prune (round-14)") {
+    import spark.implicits._
+    val root = tmp("clustz") + "/t"
+    graft.ops.TableProps.update(root)(_ +
+      (graft.ops.TableProps.ClusterKey -> "x,y"))
+    // two independent uniform dimensions, insertion-ordered by neither
+    val df = (0L until 8000L).map(i => ((i * 7919L) % 1000L, (i * 104729L) % 1000L, i))
+      .toDF("x", "y", "payload").repartition(8, col("payload"))
+    Sinks.publishVersioned(df, root, None)
+    graft.ops.Sinks.compactVersioned(spark, root, targetBytes = 24L * 1024)
+    val live = Sinks.resolve(root)
+    val n = graft.io.Fs.walkParquet(java.nio.file.Paths.get(live)).size
+    assert(n >= 4, s"need a multi-file layout to show 2-D pruning, got $n")
+    // a narrow slice on EITHER dimension must skip files — the Z-order
+    // property a single-column sort cannot give
+    val keptX = Stats.prunedFiles(spark, live, "x", 0L, 99L)
+    val keptY = Stats.prunedFiles(spark, live, "y", 0L, 99L)
+    assert(keptX.size < n, s"x-slice kept ${keptX.size} of $n")
+    assert(keptY.size < n, s"y-slice kept ${keptY.size} of $n")
+    // exactness through the interleaved layout
+    val got = Sinks.readCurrent(spark, root)
+      .filter(col("x") < 100L && col("y") < 100L).count()
+    val want = df.filter(col("x") < 100L && col("y") < 100L).count()
+    assert(got == want)
   }
 
   test("append inherits the bloom sidecar at O(delta): old and new keys both prune") {
