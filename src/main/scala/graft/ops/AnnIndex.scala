@@ -157,10 +157,13 @@ object AnnIndex {
       .withColumn("lut", Pq.lutCol(Pq.unit(col("qvec")), books))
     Similarity.topKPerQuery(
       codes.join(broadcast(probed), Seq("label"))
-        .select(col("query_id"), col("vec_id"),
+        .select(col("label"), col("query_id"), col("vec_id"),
           ExprBridge.column(graft.functions.PqAdc(
             ExprBridge.expr(col("pqcodes")),
-            ExprBridge.expr(col("lut")))).as("cos_sim")),
+            ExprBridge.expr(col("lut")))).as("cos_sim"))
+        .observe(obsName("pq.stage1"),
+          count(lit(1)).as("candidates"),
+          approx_count_distinct(col("label")).as("probed_buckets")),
       shortlist)
   }
 
@@ -176,12 +179,14 @@ object AnnIndex {
     val sl = if (shortlist > 0) shortlist else math.max(16 * k, 128)
     val short = pqShortlist(spark, root, queries, nprobe, sl)
       .select(col("query_id"), col("vec_id"))
+      .observe(obsName("pq.shortlist"), count(lit(1)).as("shortlist_rows"))
       .join(queries, "query_id")
     Similarity.topKPerQuery(
       rerankScan(spark, root, queries, nprobe)
         .join(broadcast(short), Seq("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")),
+          graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim"))
+        .observe(obsName("pq.rerank"), count(lit(1)).as("rerank_candidates")),
       k)
   }
 
@@ -257,8 +262,11 @@ object AnnIndex {
     val probed = Similarity.probeBuckets(cents, queries, nprobe)
     Similarity.topKPerQuery(
       codes.join(broadcast(probed), Seq("label"))
-        .select(col("query_id"), col("vec_id"),
-          graft.functions.Vec.cosine6Native(col("qcodes"), col("qvec")).as("cos_sim")),
+        .select(col("label"), col("query_id"), col("vec_id"),
+          graft.functions.Vec.cosine6Native(col("qcodes"), col("qvec")).as("cos_sim"))
+        .observe(obsName("sq8.stage1"),
+          count(lit(1)).as("candidates"),
+          approx_count_distinct(col("label")).as("probed_buckets")),
       shortlist)
   }
 
@@ -277,12 +285,14 @@ object AnnIndex {
     val sl = if (shortlist > 0) shortlist else math.max(8 * k, 64)
     val short = sq8Shortlist(spark, root, queries, nprobe, sl)
       .select(col("query_id"), col("vec_id"))
+      .observe(obsName("sq8.shortlist"), count(lit(1)).as("shortlist_rows"))
       .join(queries, "query_id") // re-attach qvec (queries are broadcast-small)
     Similarity.topKPerQuery(
       rerankScan(spark, root, queries, nprobe)
         .join(broadcast(short), Seq("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim")),
+          graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim"))
+        .observe(obsName("sq8.rerank"), count(lit(1)).as("rerank_candidates")),
       k)
   }
 
@@ -432,6 +442,34 @@ object AnnIndex {
     sidecarFrame(spark, p)
   }
 
+  /** Search observability (round-14): every `search*` attaches an
+    * `observe()` metrics node — the Spark-native channel a 100 TB
+    * operator already harvests (QueryExecutionListener / streaming
+    * progress) — reporting the probe's actual IO shape per executed
+    * query: `candidates` (in-bucket rows scored — the bytes the probe
+    * really read after dynamic partition pruning), `probed_buckets`
+    * (approx-distinct buckets opened; over n_buckets total it is the
+    * probed fraction), and for the two-stage paths `shortlist_rows` /
+    * `rerank_candidates` (stage-2 exact-scoring volume). Metric names
+    * are uniqued per call (`graft.ann.search#<n>`) because Spark
+    * refuses duplicate observation names inside one query — a plan
+    * composing two searches must not fail; read them back via
+    * `df.queryExecution.observedMetrics` keyed by prefix. The nodes sit
+    * ABOVE the bucket join, so scan-side pruning (DPP, column pruning)
+    * is untouched — AnnIndexSpec's plan asserts still hold.
+    */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def obsName(op: String): String = s"graft.ann.$op#${obsId.incrementAndGet()}"
+
+  /** The observed metrics of an executed search, keyed by metric-name
+    * PREFIX (`graft.ann.search`, `graft.ann.sq8`, `graft.ann.pq`) —
+    * collect() the frame first; metrics exist only after execution.
+    */
+  def observedMetrics(df: DataFrame, prefix: String): Seq[org.apache.spark.sql.Row] =
+    df.queryExecution.observedMetrics.collect {
+      case (name, row) if name == prefix || name.startsWith(prefix + "#") => row
+    }.toSeq
+
   /** Top-k cosine search against the live persisted index: probe the
     * `nprobe` nearest buckets per query (ranked over the broadcast
     * centroid sidecar), exact cosine inside probed buckets only, with
@@ -443,6 +481,13 @@ object AnnIndex {
     val cents = centroids(spark, root)
     val corpus = Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
-    Similarity.ivfTopK(corpus, cents, queries, nprobe, k)
+    val probed = Similarity.probeBuckets(cents, queries, nprobe)
+    val scored = corpus.join(broadcast(probed), Seq("label"))
+      .select(col("label"), col("query_id"), col("vec_id"),
+        graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim"))
+      .observe(obsName("search"),
+        count(lit(1)).as("candidates"),
+        approx_count_distinct(col("label")).as("probed_buckets"))
+    Similarity.topKPerQuery(scored, k)
   }
 }

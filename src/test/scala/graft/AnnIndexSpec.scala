@@ -52,6 +52,57 @@ class AnnIndexSpec extends AnyFunSuite {
       s"probe scan lost dynamic partition pruning:\n$plan")
   }
 
+  test("search emits IO observability metrics; composing two searches in one plan still runs (round-14)") {
+    val root = tmp("annobs")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixed(spark, emb, root)
+    val nBuckets = emb.select("label").distinct().count()
+    val res = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+    res.collect() // metrics exist only after execution
+    val m = AnnIndex.observedMetrics(res, "graft.ann.search")
+    assert(m.size == 1, s"expected one search metrics row, got ${m.size}")
+    val candidates = m.head.getAs[Long]("candidates")
+    val probedBuckets = m.head.getAs[Long]("probed_buckets")
+    // candidates = rows actually scored inside probed buckets: more than
+    // the 50 returned, far less than 5 queries × the whole corpus
+    assert(candidates > 50 && candidates < 5L * emb.count(),
+      s"candidates=$candidates")
+    // 5 queries × nprobe=2 probes cover at most 10 buckets, at least 2
+    assert(probedBuckets >= 2 && probedBuckets <= math.min(10, nBuckets),
+      s"probed_buckets=$probedBuckets of $nBuckets")
+    // unique observation names: a plan composing two searches must not
+    // collide (Spark refuses duplicate observed-metric names per query)
+    val both = AnnIndex.search(spark, root, queries5, nprobe = 2, k = 10)
+      .unionByName(AnnIndex.search(spark, root, queries5, nprobe = 1, k = 10))
+    // collect() (not count()) — metrics live on THIS dataset's own
+    // QueryExecution; count() would execute a derived plan
+    assert(both.collect().length == 100)
+    assert(AnnIndex.observedMetrics(both, "graft.ann.search").size == 2)
+  }
+
+  test("two-stage searches report shortlist and rerank volumes (round-14)") {
+    val root = tmp("annobs2")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixedSq8(spark, emb, root)
+    val res = AnnIndex.searchSq8(spark, root, queries5, nprobe = 2, k = 10)
+    res.collect()
+    val sl = AnnIndex.observedMetrics(res, "graft.ann.sq8.shortlist")
+    val rr = AnnIndex.observedMetrics(res, "graft.ann.sq8.rerank")
+    val s1 = AnnIndex.observedMetrics(res, "graft.ann.sq8.stage1")
+    assert(sl.size == 1 && rr.size == 1 && s1.size == 1)
+    val shortlistRows = sl.head.getAs[Long]("shortlist_rows")
+    val rerankCandidates = rr.head.getAs[Long]("rerank_candidates")
+    // shortlist depth default = max(8k, 64) = 80 per query, capped by
+    // what the probed buckets hold; stage 2 exact-scores each shortlist
+    // candidate at most once per query
+    assert(shortlistRows > 0 && shortlistRows <= 5L * 80,
+      s"shortlist_rows=$shortlistRows")
+    assert(rerankCandidates >= 50 && rerankCandidates <= shortlistRows,
+      s"rerank_candidates=$rerankCandidates vs shortlist $shortlistRows")
+    // the stage-1 code scan scored more rows than the shortlist kept
+    assert(s1.head.getAs[Long]("candidates") >= shortlistRows)
+  }
+
   test("missing _centroids sidecar fails loudly with a rebuild hint, not wrong probes") {
     // the sidecar now rides the staged commit, so this state can only be
     // reached by hand-damaging the directory (or a pre-round-9 index) —
