@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * a bound of the other flavor only compares when the session zone is
   * UTC (where the two coincide) and otherwise keeps the file.
   *
+  * STRING domain (round-14): parquet writers may drop binary min/max
+  * outright (the 4 KB stats cap) or truncate them — truncation keeps
+  * bounds pruning-valid but ANSWERING-invalid, so footer-sourced string
+  * bounds could never serve metadata-only min/max. The annotator
+  * therefore runs one column-pruned O(annotated files) data pass for
+  * string columns and records EXACT per-file bounds with
+  * `s_exact = true` (plus exact null counts, so `count(col)` stays
+  * trustworthy on files whose footer stats were suppressed). Bounds
+  * longer than [[Stats.MaxExactString]] fall back to the footer row —
+  * a sidecar must stay metadata-sized. Spark's string min/max compares
+  * UTF8String bytes unsigned, the same UTF-8 order as parquet and
+  * [[Stats.utf8Compare]], so exact and footer bounds share one domain.
+  *
   * `file` is the path RELATIVE to the version directory (= the basename
   * for flat layouts, `col=val/part-….parquet` for partitioned ones): the
   * sidecar is written in the publish staging directory and must stay
@@ -36,7 +49,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     lo_t: Option[Long] = None, hi_t: Option[Long] = None,
     t_adj: Option[Boolean] = None,
     dec_scale: Option[Int] = None,
-    t_exact: Option[Boolean] = None)
+    t_exact: Option[Boolean] = None,
+    s_exact: Option[Boolean] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -188,8 +202,95 @@ object Stats {
         confKV.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (f, key) => footerStats(f, key, colSet, conf) }
       }
-    stats.coalesce(1).write.mode(if (append) "append" else "overwrite")
+    val upgraded = exactStringPass(spark, files, colSet, stats)
+    upgraded.coalesce(1).write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/$Sidecar")
+  }
+
+  /** Exact string bounds stay answering-grade only while they stay
+    * metadata-sized; a bound longer than this falls back to the footer
+    * row (pruning-grade or keep-always) rather than bloat the sidecar.
+    */
+  private[graft] val MaxExactString = 4096
+
+  /** Round-14 upgrade of the footer pass for STRING columns: compute
+    * per-file exact min/max and non-null counts from the DATA (one
+    * column-pruned scan of exactly the files being annotated — O(delta)
+    * in the linked funnels, one column read for a CALL retrofit) and
+    * replace those columns' footer rows. Footer binary stats may be
+    * truncated (answering-invalid) or dropped entirely (the 4 KB cap);
+    * this pass makes string columns both reliably pruneable and
+    * metadata-answerable (`s_exact` — [[graft.plans.MetaCountRewrite]]'s
+    * trust bit, the string analog of `t_exact`). Non-string columns and
+    * files whose bounds exceed [[MaxExactString]] pass through
+    * untouched.
+    */
+  private def exactStringPass(spark: SparkSession,
+      files: Seq[(String, String)], colSet: Seq[String],
+      stats: org.apache.spark.sql.Dataset[FileColStat])
+      : org.apache.spark.sql.Dataset[FileColStat] = {
+    import spark.implicits._
+    // string columns among the requested set, across ALL listed files
+    // (a retrofit batch can mix schema eras; mergeSchema reads footers
+    // only). Missing-in-some-file columns read as null there and simply
+    // contribute no exact row for that file.
+    val schema =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_._1): _*).schema
+      catch { case _: Exception => return stats }
+    val stringCols = colSet.filter(c => schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+    if (stringCols.isEmpty) return stats
+    // (uri → sidecar key) travels as a broadcast-joined frame, never a
+    // driver map in a closure; input_file_name() is URL-encoded, decode
+    // exactly like the bloom build does
+    val keysDf = files.toDF("abs", "file")
+    val exact = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_._1): _*)
+      .select(col("*"), input_file_name().as("_gf_uri"))
+      .select(col("_gf_uri"), explode(array(stringCols.map(c =>
+        struct(lit(c).as("c"), col(c).as("v"))): _*)).as("p"))
+      .select(col("_gf_uri"), col("p.c").as("c"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+      .as[(String, String, String)]
+      .map { case (uri, c, v) =>
+        val abs =
+          try java.nio.file.Paths.get(new java.net.URI(uri)).toString
+          catch { case _: Exception => uri }
+        (abs, c, v)
+      }
+      .toDF("abs", "c", "v")
+      .groupBy("abs", "c")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("nn"))
+      .join(broadcast(keysDf), Seq("abs"))
+      .select(col("file"), col("c"), col("lo"), col("hi"), col("nn"))
+      .as[(String, String, String, String, Long)]
+      .collect()
+      .map { case (f, c, lo, hi, nn) => (f, c) -> ((lo, hi, nn)) }
+      .toMap
+    // the exact map is metadata-scale (≤ files × string cols rows, the
+    // same order as the sidecar itself); merge driver-side onto the
+    // footer rows — stats is files × cols rows, also metadata-scale
+    val merged = stats.collect().map { r =>
+      if (!stringCols.exists(_.equalsIgnoreCase(r.col))) r
+      else exact.get((r.file, r.col)) match {
+        case Some((lo, hi, nn))
+            if lo.length <= MaxExactString && hi.length <= MaxExactString =>
+          r.copy(has_stats = true, nulls = r.rows - nn,
+            lo_s = Some(lo), hi_s = Some(hi), s_exact = Some(true))
+        case Some(_) => r // oversized bound: keep the footer row
+        case None =>
+          // no non-null value in this file: all-null is exactly
+          // representable (prunes under any bound, min/max answer NULL)
+          if (r.has_stats || r.rows == 0)
+            r.copy(has_stats = true, nulls = r.rows,
+              lo_s = None, hi_s = None, s_exact = Some(true))
+          else r // footer unusable AND unverifiable: keep-always
+      }
+    }
+    spark.createDataset(merged.toIndexedSeq)
   }
 
   /** Per-file operational inventory of a version dir — relative path,

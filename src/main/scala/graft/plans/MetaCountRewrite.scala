@@ -84,16 +84,21 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     * value-exact micros (`t_exact`: ms/µs units; ns floor/ceil is
     * widened-only and declines per file). `SELECT max(ts) FROM events`
     * is THE freshness probe on a 100 TB event table — a KB metadata
-    * read instead of a full scan. Strings decline — parquet writers may
-    * truncate binary min/max (fine for pruning, wrong as an answer);
-    * NaN-poisoned float files already carry `has_stats = false` and
-    * decline per-file.
+    * read instead of a full scan. Strings (round-14) answer only from
+    * `s_exact` rows — bounds the annotator computed from the DATA at
+    * commit time; footer binaries may be truncated (fine for pruning,
+    * wrong as an answer) and decline per-row. NaN-poisoned float files
+    * already carry `has_stats = false` and decline per-file.
     */
   private def boundable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case FloatType | DoubleType => true
     case org.apache.spark.sql.types.DateType => true
     case TimestampType | TimestampNTZType => true
+    // round-14: strings answer when every value-bearing row carries
+    // `s_exact` — bounds computed from the data at commit time, not the
+    // truncatable footer binaries (which remain pruning-grade only)
+    case org.apache.spark.sql.types.StringType => true
     case _ => false
   }
 
@@ -143,11 +148,24 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val raw = SparkSession.active.read.option("mergeSchema", "true")
       .parquet(sidecar.toString)
     val hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact")
-    val baseCols = Seq("file", "col", "rows", "nulls", "has_stats",
-      "lo_l", "hi_l", "lo_d", "hi_d")
+    val hasS = raw.columns.contains("s_exact")
+    // pad absent era columns with typed nulls so row indices stay fixed
+    // across sidecar generations (hasTs/hasS still gate the DECLINE
+    // decision — an all-null padded column must never read as "all-null
+    // data", only as "this sidecar cannot answer")
+    import org.apache.spark.sql.functions.{col => c, lit}
+    def opt(name: String, dt: DataType) =
+      if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
     val rows = raw
-      .select((if (hasTs) baseCols ++ Seq("lo_t", "hi_t", "t_adj", "t_exact")
-        else baseCols).map(org.apache.spark.sql.functions.col): _*)
+      .select(
+        c("file"), c("col"), c("rows"), c("nulls"), c("has_stats"),
+        c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
+        opt("lo_t", LongType), opt("hi_t", LongType),
+        opt("t_adj", org.apache.spark.sql.types.BooleanType),
+        opt("t_exact", org.apache.spark.sql.types.BooleanType),
+        opt("lo_s", org.apache.spark.sql.types.StringType),
+        opt("hi_s", org.apache.spark.sql.types.StringType),
+        opt("s_exact", org.apache.spark.sql.types.BooleanType))
       .collect()
     val byFile = rows.groupBy(_.getString(0))
     if (!live.forall(byFile.contains)) return None
@@ -175,6 +193,26 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
             else {
               val v = if (isMin) vs.min else vs.max
               Some(if (dt == FloatType) v.toFloat else v)
+            }
+          case org.apache.spark.sql.types.StringType =>
+            if (!hasS) None // pre-round-14 sidecar: decline, never guess
+            else {
+              // every VALUE-BEARING row must be data-exact (`s_exact`):
+              // footer binary bounds may be truncated — pruning-grade,
+              // not answering-grade. Boundless covered rows are all-null
+              // files (bounds ignore nulls); all files all-null => NULL.
+              val bearing = rs.filter(!_.isNullAt(13))
+              if (bearing.exists(r => r.isNullAt(15) || !r.getBoolean(15))) None
+              else if (bearing.isEmpty) Some(null)
+              else {
+                val vs = bearing.map(r =>
+                  if (isMin) r.getString(13) else r.getString(14))
+                val v =
+                  if (isMin) vs.min(graft.ops.Stats.utf8Ordering)
+                  else vs.max(graft.ops.Stats.utf8Ordering)
+                // LocalRelation rows carry INTERNAL values
+                Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+              }
             }
           case TimestampType | TimestampNTZType =>
             if (!hasTs) None // pre-upgrade sidecar: decline, never guess

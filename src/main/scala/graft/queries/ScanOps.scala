@@ -354,10 +354,16 @@ object ScanOps extends QueryModule {
     // The oracle recomputes the same counts from the raw fixture.
     "q_meta_count" -> ((s, dir) => {
       val cat = metaCatalog(s, dir)
+      // min/max over o_clerk (string, round-14): answered from the
+      // DATA-exact `s_exact` sidecar bounds the annotator computed at
+      // commit time — footer binary stats are truncatable and never
+      // trusted as answers (MetaCountSpec pins the decline on era
+      // sidecars without the bit)
       s.sql(
         s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
@@ -1160,7 +1166,7 @@ object ScanOps extends QueryModule {
     val tbl = s"$wh/ord_meta"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
     // the layout tag invalidates caches built before statsCols changed
-    val stamp = Tables.srcStamp(dir, "orders") + ":price-stats"
+    val stamp = Tables.srcStamp(dir, "orders") + ":str-stats2"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L, 1L, 2L) &&
       Files.exists(stampFile) &&
@@ -1168,7 +1174,7 @@ object ScanOps extends QueryModule {
     if (!fresh) {
       graft.io.Fs.deleteRecursively(Paths.get(wh))
       val orders = Tables.orders(s, dir)
-      val sc = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val sc = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       Sinks.publishVersioned(orders, tbl, None, statsCols = sc)
       Sinks.appendVersioned(orders.filter(col("o_orderkey") < 100), tbl,
         Some(0L), statsCols = sc)
@@ -1570,7 +1576,8 @@ object ScanOps extends QueryModule {
         |           UNION ALL SELECT * FROM orders WHERE o_orderkey < 100)
         |SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
 
     "q_stats_skipping_sql" ->

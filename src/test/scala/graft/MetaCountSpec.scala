@@ -118,11 +118,55 @@ class MetaCountSpec extends AnyFunSuite {
     assert(r.getDouble(2) == -3.25 && r.getDouble(3) == 7.0)
     assert(r.isNullAt(4), "min/max over an all-null column is NULL, not a decline")
     assert(r.getLong(5) == 3L)
-    // strings decline (parquet writers may truncate binary bounds) but
-    // the scan still answers correctly
-    val sq = spark.sql("SELECT min(s) AS a FROM graftmeta.mm")
-    assert(!isMetaOnly(sq))
-    assert(sq.collect().head.getString(0) == "a")
+    // strings answer too (round-14): the annotator computed exact
+    // bounds from the data at commit time (`s_exact`), so the footer
+    // truncation hazard never reaches the answer path
+    val sq = spark.sql("SELECT min(s) AS a, max(s) AS b FROM graftmeta.mm")
+    assert(isMetaOnly(sq), s"\n${sq.queryExecution.optimizedPlan}")
+    val sr = sq.collect().head
+    assert(sr.getString(0) == "a" && sr.getString(1) == "c")
+  }
+
+  test("string min/max: exact commit-time bounds answer where footers cannot; pre-round-14 sidecars decline (round-14)") {
+    root
+    import spark.implicits._
+    // a long-string column: parquet drops binary min/max past the 4 KB
+    // stats cap, so the FOOTER alone can neither prune nor answer — the
+    // exact data pass must carry the whole column
+    val long = (0 until 40).map(i => (i.toLong, f"k$i%03d" + ("x" * 3000)))
+      .toDF("k", "doc")
+    val tbl = s"$root/sbig"
+    Sinks.publishVersioned(long.repartition(4), tbl, None,
+      statsCols = Seq("doc"))
+    val q = spark.sql(
+      "SELECT min(doc) AS lo, max(doc) AS hi, count(doc) AS n FROM graftmeta.sbig")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getString(0).startsWith("k000") && r.getString(1).startsWith("k039"))
+    assert(r.getLong(2) == 40)
+    // ground truth from the scan
+    val scan = Sinks.readCurrent(spark, tbl).agg(min("doc"), max("doc")).head()
+    assert(r.getString(0) == scan.getString(0) && r.getString(1) == scan.getString(1))
+    // a pre-round-14 sidecar (no s_exact column) must DECLINE the string
+    // answer — footer bounds may be truncated — while count(*) still fires
+    val side = s"${Sinks.resolve(tbl)}/${graft.ops.Stats.Sidecar}"
+    val stripped = spark.read.parquet(side).drop("s_exact")
+      .collect()
+    val schema = spark.read.parquet(side).drop("s_exact").schema
+    val tmpSide = side + ".old"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stripped.toIndexedSeq, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpSide)
+    graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(side))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpSide),
+      java.nio.file.Paths.get(side))
+    spark.catalog.clearCache()
+    val q2 = spark.sql("SELECT min(doc) AS lo FROM graftmeta.sbig")
+    assert(!isMetaOnly(q2),
+      "an era sidecar without s_exact must decline, never guess")
+    assert(q2.collect().head.getString(0) == scan.getString(0))
+    val q3 = spark.sql("SELECT count(*) AS n FROM graftmeta.sbig")
+    assert(isMetaOnly(q3) && q3.collect().head.getLong(0) == 40)
   }
 
   test("min/max of TIMESTAMP collapse to metadata (µs exact); NTZ flavor guards") {

@@ -47,6 +47,53 @@ class SkippingSpec extends AnyFunSuite {
       Seq("k", "payload"))
   }
 
+  test("exact string bounds: long-string columns prune even where footers drop stats (round-14)") {
+    import spark.implicits._
+    val dir = tmp("skipstr") + "/t"
+    // each value is ~3 KB, so parquet's 4 KB stats cap drops the binary
+    // min/max from the footers — pre-round-14 this column was keep-always
+    (0 until 400).map(i => (f"k$i%03d" + ("y" * 3000), i.toLong))
+      .toDF("doc", "i")
+      .repartitionByRange(4, col("doc")).sortWithinPartitions("doc")
+      .write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("doc"))
+    // the sidecar carries DATA-exact bounds (s_exact) for every file
+    val side = Stats.sidecar(spark, dir)
+    assert(side.filter(col("s_exact") === true).count() == 4,
+      side.collect().mkString("\n"))
+    assert(side.filter(col("lo_s").isNull).count() == 0)
+    // a narrow prefix range opens one file of four
+    val kept = Stats.prunedFiles(spark, dir, "doc", "k100", "k110zzz")
+    assert(kept.size == 1, s"kept ${kept.size} of 4")
+    // result identity through the pruned read
+    val got = Stats.readWhere(spark, dir, "doc", "k100", "k110zzz")
+    val full = spark.read.parquet(dir)
+      .filter(col("doc").between("k100", "k110zzz"))
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+    assert(got.count() == 11)
+  }
+
+  test("exact string pass records exact null counts; all-null and null-mixed files stay correct (round-14)") {
+    import spark.implicits._
+    val dir = tmp("skipstrn") + "/t"
+    Seq[(java.lang.Long, String)]((1L, "aa"), (2L, null), (3L, "bb"),
+      (4L, null), (5L, null))
+      .toDF("k", "s").coalesce(1).write.parquet(dir)
+    Stats.annotate(spark, dir, Seq("s"))
+    val row = Stats.sidecar(spark, dir).filter(col("col") === "s").head()
+    assert(row.getAs[Long]("rows") == 5 && row.getAs[Long]("nulls") == 3)
+    assert(row.getAs[String]("lo_s") == "aa" && row.getAs[String]("hi_s") == "bb")
+    assert(row.getAs[Boolean]("s_exact"))
+    // an all-null string file is representable and prunes under any bound
+    val dir2 = tmp("skipstrn2") + "/t"
+    Seq[(java.lang.Long, String)]((1L, null), (2L, null))
+      .toDF("k", "s").coalesce(1).write.parquet(dir2)
+    Stats.annotate(spark, dir2, Seq("s"))
+    val row2 = Stats.sidecar(spark, dir2).filter(col("col") === "s").head()
+    assert(row2.getAs[Long]("nulls") == 2 && row2.getAs[Boolean]("has_stats"))
+    assert(Stats.prunedFiles(spark, dir2, "s", "a", "z").isEmpty)
+  }
+
   // ---------------- B164: the SQL door (StatsSkipRule) ----------------
 
   private def mkCatalogTable(name: String): (String, String) = {
