@@ -50,7 +50,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rewrite(agg).getOrElse(agg)
+      rewrite(agg).orElse(rewriteFiltered(agg)).getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
@@ -76,6 +76,385 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
       snapshotOf(pr.child)
     case _ => None
+  }
+
+  /** The snapshot RELATION under attribute-only projections (the
+    * filtered path needs its output attributes and table handle, not
+    * just the dir).
+    */
+  private def relationOf(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, graft.catalog.GraftSnapshotDir)] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.catalog.GraftSnapshotDir => Some((r, t))
+      case _ => None
+    }
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(pr.child)
+    case _ => None
+  }
+
+  // ------------- filtered counts (round-14, verdict item 3) -------------
+  //
+  // `count(*) WHERE <pred>` normally scans every surviving file just to
+  // count rows metadata already pins down. The Delta metadata+boundary
+  // trick: classify each live file against the predicate —
+  //   NONE     every row provably fails   → contributes 0, never opened
+  //   ALL      every row provably passes  → contributes its sidecar row
+  //                                         count, never opened
+  //   BOUNDARY anything unprovable        → scanned with the exact
+  //                                         predicate
+  // and rewrite the aggregate to `count(*) + <interior>` over a scan of
+  // ONLY the boundary files. Classification sources:
+  //   - identity PARTITION columns: the directory value is every row's
+  //     value, so a file is ALL or NONE outright (pure directory
+  //     arithmetic — a partition-only predicate never opens a file);
+  //   - sidecar-covered columns: [min,max]⊆bound with zero nulls → ALL
+  //     (widened bounds only shrink the ALL set — conservative), no
+  //     overlap or all-null → NONE.
+  // Strictness is honored exactly (c > 5 is NOT c >= 5 here — the
+  // relaxation that is safe for keep-set pruning would over-count an
+  // interior file whose min is the open endpoint). Files with deletion-
+  // vector entries are forced BOUNDARY so the scan-side subtraction
+  // applies. Declines (unanalyzable conjunct, no metadata win) leave the
+  // plan for StatsSkipRule's keep-set swap.
+
+  private sealed trait Tri
+  private case object AllRows extends Tri
+  private case object NoRows extends Tri
+  private case object SomeRows extends Tri
+
+  private sealed trait Cmp
+  private case object CGe extends Cmp
+  private case object CGt extends Cmp
+  private case object CLe extends Cmp
+  private case object CLt extends Cmp
+  private case object CEq extends Cmp
+  private final case class Conj(colName: String, cmp: Cmp, vs: Seq[Any])
+
+  /** Literal → comparison-domain value (internal Catalyst values; same
+    * domains as [[graft.ops.Stats.prunedFilesBounds]]). None = the
+    * filtered path cannot reason about this type.
+    */
+  private def litValue(l: Literal): Option[Any] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType
+        if l.value != null => Some(l.value)
+    case org.apache.spark.sql.types.DateType if l.value != null => Some(l.value)
+    case FloatType | DoubleType if l.value != null => Some(l.value)
+    case org.apache.spark.sql.types.StringType if l.value != null =>
+      Some(l.value.toString)
+    case TimestampType if l.value != null =>
+      Some(graft.ops.Stats.TsVal(l.value.asInstanceOf[Long], instant = true))
+    case TimestampNTZType if l.value != null =>
+      Some(graft.ops.Stats.TsVal(l.value.asInstanceOf[Long], instant = false))
+    case _ => None
+  }
+
+  private def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** One conjunct as (column, strict-aware comparison, values), or None
+    * when the shape/type is outside the analyzable fragment.
+    */
+  private def conjOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Conj] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def mk(a: Attribute, c: Cmp, l: Literal): Option[Conj] =
+      if (l.dataType != a.dataType) None
+      else litValue(l).map(v => Conj(a.name, c, Seq(v)))
+    e match {
+      case EqualTo(a: Attribute, l: Literal) => mk(a, CEq, l)
+      case EqualTo(l: Literal, a: Attribute) => mk(a, CEq, l)
+      case GreaterThan(a: Attribute, l: Literal) => mk(a, CGt, l)
+      case GreaterThan(l: Literal, a: Attribute) => mk(a, CLt, l)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => mk(a, CGe, l)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => mk(a, CLe, l)
+      case LessThan(a: Attribute, l: Literal) => mk(a, CLt, l)
+      case LessThan(l: Literal, a: Attribute) => mk(a, CGt, l)
+      case LessThanOrEqual(a: Attribute, l: Literal) => mk(a, CLe, l)
+      case LessThanOrEqual(l: Literal, a: Attribute) => mk(a, CGe, l)
+      case In(a: Attribute, list) if list.nonEmpty &&
+          list.forall(x => x.isInstanceOf[Literal] && x.dataType == a.dataType) =>
+        val vs = list.flatMap(x => litValue(x.asInstanceOf[Literal]))
+        if (vs.size == list.size) Some(Conj(a.name, CEq, vs)) else None
+      case _ => None
+    }
+  }
+
+  /** Exact scalar comparison in the shared domains; None = domains
+    * incomparable (caller degrades to BOUNDARY).
+    */
+  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number)
+        if !x.isInstanceOf[java.math.BigDecimal] &&
+          !y.isInstanceOf[java.math.BigDecimal] =>
+      val xd = x.doubleValue(); val yd = y.doubleValue()
+      // longs above 2^53 lose precision as doubles — compare exactly
+      (a, b) match {
+        case (xl: Byte, _) => cmpLong(xl.toLong, b)
+        case (xl: Short, _) => cmpLong(xl.toLong, b)
+        case (xl: Int, _) => cmpLong(xl.toLong, b)
+        case (xl: Long, _) => cmpLong(xl, b)
+        case _ => Some(java.lang.Double.compare(xd, yd))
+      }
+    case (x: String, y: String) => Some(graft.ops.Stats.utf8Compare(x, y))
+    case _ => None
+  }
+  private def cmpLong(x: Long, b: Any): Option[Int] = b match {
+    case y: Byte => Some(java.lang.Long.compare(x, y.toLong))
+    case y: Short => Some(java.lang.Long.compare(x, y.toLong))
+    case y: Int => Some(java.lang.Long.compare(x, y.toLong))
+    case y: Long => Some(java.lang.Long.compare(x, y))
+    case y: Number => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+    case _ => None
+  }
+
+  /** Classify one file against one conjunct given the file's value
+    * RANGE `[lo, hi]` (possibly widened — widening only shrinks the
+    * ALL verdict and the NoRows verdict, both conservative) and its
+    * null count. `exactPoint` = lo==hi is the exact value of every row
+    * (a partition directory), letting CEq decide ALL.
+    */
+  private def classifyRange(c: Conj, lo: Any, hi: Any, nulls: Long,
+      exactPoint: Boolean): Tri = {
+    def cmp(a: Any, b: Any): Option[Int] = cmpValues(a, b)
+    val v = c.vs.head
+    c.cmp match {
+      case CEq =>
+        // NONE: every candidate value misses the range entirely
+        val allMiss = c.vs.forall(x =>
+          (cmp(x, lo), cmp(x, hi)) match {
+            case (Some(cl), Some(ch)) => cl < 0 || ch > 0
+            case _ => false
+          })
+        if (allMiss) NoRows
+        else if (exactPoint && nulls == 0 &&
+            c.vs.exists(x => cmp(x, lo).contains(0))) AllRows
+        else SomeRows
+      case CGe => (cmp(lo, v), cmp(hi, v)) match {
+        case (Some(cl), _) if cl >= 0 && nulls == 0 => AllRows
+        case (_, Some(ch)) if ch < 0 => NoRows
+        case _ => SomeRows
+      }
+      case CGt => (cmp(lo, v), cmp(hi, v)) match {
+        case (Some(cl), _) if cl > 0 && nulls == 0 => AllRows
+        case (_, Some(ch)) if ch <= 0 => NoRows
+        case _ => SomeRows
+      }
+      case CLe => (cmp(hi, v), cmp(lo, v)) match {
+        case (Some(ch), _) if ch <= 0 && nulls == 0 => AllRows
+        case (_, Some(cl)) if cl > 0 => NoRows
+        case _ => SomeRows
+      }
+      case CLt => (cmp(hi, v), cmp(lo, v)) match {
+        case (Some(ch), _) if ch < 0 && nulls == 0 => AllRows
+        case (_, Some(cl)) if cl >= 0 => NoRows
+        case _ => SomeRows
+      }
+    }
+  }
+
+  /** Identity-partition value of `file` (a version-dir-relative key)
+    * for partition column `colName`, decoded and typed per the
+    * version's declared partition spec. Returns None when the value is
+    * not derivable (unpartitioned layout, mixed-layout leg, transform
+    * column, undecodable segment); Some(None) is a NULL partition
+    * (`__HIVE_DEFAULT_PARTITION__`).
+    */
+  private def partitionValue(file: String, colName: String,
+      partSchema: org.apache.spark.sql.types.StructType): Option[Option[Any]] = {
+    val field = partSchema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(return None)
+    val seg = file.split('/').dropRight(1).collectFirst {
+      case s if s.contains('=') &&
+          s.substring(0, s.indexOf('=')).equalsIgnoreCase(colName) =>
+        s.substring(s.indexOf('=') + 1)
+    }.getOrElse(return None)
+    val raw =
+      try unescapePath(seg)
+      catch { case _: Exception => return None }
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return Some(None)
+    field.dataType match {
+      case org.apache.spark.sql.types.StringType => Some(Some(raw))
+      case ByteType | ShortType | IntegerType | LongType =>
+        raw.toLongOption.map(v => Some(v))
+      case org.apache.spark.sql.types.DateType =>
+        try Some(Some(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+        catch { case _: Exception => None }
+      case _ => None // other partition types: boundary-scan the file
+    }
+  }
+
+  /** Hive path unescaping (%xx sequences, the escapePathName inverse). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The filtered metadata count: see the block comment above. */
+  private def rewriteFiltered(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val f = stripProjects(agg.child) match {
+      case flt: Filter => flt
+      case _ => return None
+    }
+    val (rel, t) = relationOf(f.child).getOrElse(return None)
+    val dir = t.snapshotVersionDir
+    // every aggregate expression must be a plain star count (count(col)
+    // under a filter would need per-file per-column null knowledge of
+    // only-the-matching rows — unknowable from metadata)
+    val starOk = agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!starOk || agg.aggregateExpressions.isEmpty) return None
+    val conjs = {
+      val cs = splitAnd(f.condition).map(conjOf)
+      if (cs.exists(_.isEmpty)) return None
+      cs.flatten
+    }
+    if (conjs.isEmpty) return None
+    val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
+    if (!Files.isDirectory(sidecar)) return None
+    val spark = SparkSession.active
+    val live = graft.io.Fs.walkParquet(Paths.get(dir))
+      .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
+    if (live.isEmpty) return None
+    val raw = spark.read.option("mergeSchema", "true").parquet(sidecar.toString)
+    import org.apache.spark.sql.functions.{col => c, lit}
+    def opt(name: String, dt: DataType) =
+      if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
+    val srows = raw.select(
+        c("file"), c("col"), c("rows"), c("nulls"), c("has_stats"),
+        c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
+        opt("lo_t", LongType), opt("hi_t", LongType),
+        opt("t_adj", org.apache.spark.sql.types.BooleanType),
+        opt("lo_s", org.apache.spark.sql.types.StringType),
+        opt("hi_s", org.apache.spark.sql.types.StringType),
+        opt("dec_scale", IntegerType))
+      .collect()
+    val byFileCol = srows.map(r => (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
+    val byFile = srows.groupBy(_.getString(0))
+    // row counts must cover every live file or interior sums are unprovable
+    if (!live.forall(byFile.contains)) return None
+    val partSchema = graft.ops.Sinks.partitionSchemaFor(t.snapshotTableRoot, dir)
+    val sessionUtc = java.time.ZoneId
+      .of(spark.sessionState.conf.sessionLocalTimeZone).normalized() ==
+      java.time.ZoneOffset.UTC
+    // deletion-vector files must be SCANNED (the metadata row count is
+    // pre-delete); hidden rows are per-file, so only those files demote
+    val dvFiles: Set[String] =
+      if (!graft.ops.Dv.exists(dir)) Set.empty
+      else graft.ops.Dv.bitmapEntries(spark, dir).map(_._1).toSet
+    def classifyFile(file: String): Tri = {
+      val per = conjs.map { cj =>
+        val phys = graft.ops.ColMap.toPhysicalName(dir, cj.colName)
+        // identity partition column: the directory value IS every row's
+        // value — exact, null-aware, never widened
+        val fromPart = partSchema.flatMap(ps =>
+          partitionValue(file, phys, ps)) match {
+          case Some(None) => Some(NoRows) // NULL partition never matches
+          case Some(Some(v)) =>
+            Some(classifyRange(cj, v, v, nulls = 0, exactPoint = true))
+          case None => None
+        }
+        fromPart.getOrElse {
+          byFileCol.get((file, phys.toLowerCase)) match {
+            case None => SomeRows
+            case Some(r) =>
+              if (!r.getBoolean(4)) SomeRows // has_stats=false: keep-always
+              else if (r.getLong(3) == r.getLong(2)) NoRows // all-null file
+              else if (!r.isNullAt(14)) SomeRows // decimal domain: scan
+              else if (!r.isNullAt(9)) {
+                // timestamp domain with flavor guard (widened-safe)
+                val adj = r.getBoolean(11)
+                val usable = cj.vs.forall {
+                  case graft.ops.Stats.TsVal(_, instant) =>
+                    instant == adj || sessionUtc
+                  case _ => false
+                }
+                if (!usable) SomeRows
+                else {
+                  val us = cj.vs.map(_.asInstanceOf[graft.ops.Stats.TsVal].us)
+                  classifyRange(cj.copy(vs = us.map(_.asInstanceOf[Any])),
+                    r.getLong(9), r.getLong(10), r.getLong(3), exactPoint = false)
+                }
+              }
+              else if (!r.isNullAt(5))
+                classifyRange(cj, r.getLong(5), r.getLong(6), r.getLong(3),
+                  exactPoint = false)
+              else if (!r.isNullAt(7))
+                classifyRange(cj, r.getDouble(7), r.getDouble(8), r.getLong(3),
+                  exactPoint = false)
+              else if (!r.isNullAt(12))
+                classifyRange(cj, r.getString(12), r.getString(13), r.getLong(3),
+                  exactPoint = false)
+              else SomeRows
+          }
+        }
+      }
+      if (per.contains(NoRows)) NoRows
+      else if (per.forall(_ == AllRows)) AllRows
+      else SomeRows
+    }
+    val classes = live.toSeq.map(fl => fl -> classifyFile(fl))
+    val interiorFiles = classes.collect {
+      case (fl, AllRows) if !dvFiles(fl) => fl }
+    val boundary = (classes.collect { case (fl, SomeRows) => fl } ++
+      classes.collect { case (fl, AllRows) if dvFiles(fl) => fl }).sorted
+    // no metadata win: nothing provably ALL and nothing provably NONE →
+    // leave the plan for StatsSkipRule's keep-set swap
+    if (interiorFiles.isEmpty && boundary.size == live.size) return None
+    val interior = interiorFiles.map(fl => byFile(fl).head.getLong(2)).sum
+    if (boundary.isEmpty) {
+      // pure metadata answer (partition-only predicates land here: every
+      // file is ALL or NONE by directory arithmetic alone)
+      return Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+        Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => interior)))))
+    }
+    // hybrid: scan ONLY the boundary files under the exact predicate and
+    // add the interior constant inside the aggregate
+    val readSchema = graft.ops.Sinks.readSchemaFor(spark, t.snapshotTableRoot, dir)
+    val prunedDf = graft.ops.Transforms.dropHidden(graft.ops.ColMap.toLogical(
+      graft.ops.Stats.readFiles(spark, dir,
+        boundary.map(k => s"$dir/$k"), readSchema), dir))
+    val analyzed = prunedDf.queryExecution.analyzed
+    val out: Seq[NamedExpression] = rel.output.map { a =>
+      val src = analyzed.output.find(_.name.equalsIgnoreCase(a.name))
+        .getOrElse(return None)
+      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, name) =>
+        Alias(Add(ae, Literal(interior, LongType)), name)(exprId = al.exprId,
+          qualifier = al.qualifier)
+      case other => return None // unreachable (starOk gate)
+    }
+    Some(Aggregate(Nil, newAggs,
+      Filter(f.condition, Project(out, analyzed))))
+  }
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(pr.child)
+    case other => other
   }
 
   /** min/max are metadata-answerable only for types whose footer bounds

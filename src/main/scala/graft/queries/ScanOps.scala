@@ -367,6 +367,28 @@ object ScanOps extends QueryModule {
            |FROM $cat.ord_meta""".stripMargin)
     }),
 
+    // Filtered metadata counts (round-14, B132 extension): count(*)
+    // under a predicate classifies every file from metadata — identity
+    // partition directories decide ALL/NONE outright (directory
+    // arithmetic, zero files opened for a partition-only predicate),
+    // sidecar ranges prove interior files (counted from metadata) and
+    // disjoint files (skipped), and only BOUNDARY files scan with the
+    // exact predicate — the Delta metadata+boundary trick. The three
+    // scalar subqueries exercise the three shapes: partition-only,
+    // partition+range hybrid, range-only. MetaCountSpec plan-asserts
+    // each shape; the oracle recomputes all three from the raw fixture.
+    "q_meta_count_filtered" -> ((s, dir) => {
+      val cat = filteredMetaCatalog(s, dir)
+      s.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'O') AS n_status,
+           |  (SELECT count(*) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'F' AND o_orderkey < 30000) AS n_mixed,
+           |  (SELECT count(*) FROM $cat.ord_part
+           |   WHERE o_orderkey >= 30000) AS n_range""".stripMargin)
+    }),
+
     // B164 SQL-side file skipping end to end: the same ord_meta table
     // (stats sidecar + delta append + COW DELETE), read through
     // spark.sql with a range predicate on a covered column —
@@ -1185,6 +1207,42 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir catalog for q_meta_count_filtered: `ord_part` = orders
+    * Hive-partitioned by `o_orderstatus` (directory arithmetic decides
+    * partition conjuncts) and range-clustered by `o_orderkey` within
+    * partitions (sidecar ranges prove interior/disjoint files), stats
+    * on the key columns — the layout a filtered metadata count needs to
+    * show all three classification shapes.
+    */
+  def filteredMetaCatalog(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.{Sinks, TableProps}
+    val wh = "/tmp/graft_fmcwh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val cat = "graftfmc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+    val tbl = s"$wh/ord_part"
+    val stampFile = Paths.get(wh, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders") + ":part-meta"
+    val fresh = Files.isDirectory(Paths.get(tbl)) &&
+      Sinks.listVersions(tbl) == Seq(0L) &&
+      Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.io.Fs.deleteRecursively(Paths.get(wh))
+      TableProps.update(tbl)(_ +
+        (TableProps.PartitionKey -> "o_orderstatus STRING"))
+      val orders = Tables.orders(s, dir)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      Sinks.publishVersioned(orders, tbl, None,
+        statsCols = Seq("o_orderkey", "o_custkey"))
+      Files.createDirectories(Paths.get(wh))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    cat
+  }
+
   /** Per-sf-dir catalog whose `events_ts` table exercises B165 timestamp
     * file skipping end to end through the AUTO-STATS door: CTAS declares
     * 'graft.stats.columns' = 'ts,event_id' and nothing ever calls
@@ -1579,6 +1637,13 @@ object ScanOps extends QueryModule {
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
         |FROM t WHERE o_custkey NOT BETWEEN 100 AND 199""".stripMargin,
+
+    "q_meta_count_filtered" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS n_status,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderstatus = 'F' AND o_orderkey < 30000) AS n_mixed,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey >= 30000) AS n_range""".stripMargin,
 
     "q_stats_skipping_sql" ->
       """WITH t AS (SELECT * FROM orders

@@ -202,6 +202,91 @@ class MetaCountSpec extends AnyFunSuite {
       rn.get(1).toString.startsWith("2024-05-21T19:00"), rn.toString)
   }
 
+  test("filtered count: partition-only predicates answer from directory arithmetic (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fpart"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    val df = (0 until 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("k", "cat")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k"))
+    // equality on the partition column: every file is ALL or NONE by its
+    // directory value alone — zero files opened
+    val q = spark.sql("SELECT count(*) AS n FROM graftmeta.fpart WHERE cat = 'a'")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().head.getLong(0) == 100)
+    // IN over two partitions
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM graftmeta.fpart WHERE cat IN ('a', 'b')")
+    assert(isMetaOnly(q2), s"\n${q2.queryExecution.optimizedPlan}")
+    assert(q2.collect().head.getLong(0) == 200)
+    // partition conjunct AND an always-true stats conjunct: still pure
+    // metadata (both classify every file ALL/NONE)
+    val q3 = spark.sql(
+      "SELECT count(*) AS n FROM graftmeta.fpart WHERE cat = 'b' AND k >= 0")
+    assert(isMetaOnly(q3), s"\n${q3.queryExecution.optimizedPlan}")
+    assert(q3.collect().head.getLong(0) == 100)
+    // an unanalyzable conjunct declines wholesale — correct via the scan
+    val q4 = spark.sql(
+      "SELECT count(*) AS n FROM graftmeta.fpart WHERE cat LIKE 'a%'")
+    assert(!isMetaOnly(q4))
+    assert(q4.collect().head.getLong(0) == 100)
+  }
+
+  test("filtered count: interior files count from metadata, only boundary files scan, strictness exact (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fmix"
+    // 4 files with disjoint k ranges [0,249][250,499][500,749][750,999]
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k"))
+    // [250,499] is interior (metadata), [500,749] is boundary (scanned),
+    // the other two are disjoint (never opened)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graftmeta.fmix WHERE k >= 250 AND k < 600")
+    assert(!isMetaOnly(q)) // a (single-file) scan exists
+    assert(q.collect().head.getLong(0) == 350)
+    assert(q.inputFiles.length == 1,
+      s"only the boundary file must open, got ${q.inputFiles.mkString(", ")}")
+    // strict endpoints classify exactly: k > 249 AND k <= 499 makes file
+    // [250,499] provably ALL and every other file provably NONE —
+    // answered with zero files opened (the relaxed-to-inclusive keep-set
+    // semantics of pruning would have been WRONG here)
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM graftmeta.fmix WHERE k > 249 AND k <= 499")
+    assert(isMetaOnly(q2), s"\n${q2.queryExecution.optimizedPlan}")
+    assert(q2.collect().head.getLong(0) == 250)
+    // open endpoint ON a file minimum: [250,499] must NOT be interior
+    val q3 = spark.sql("SELECT count(*) AS n FROM graftmeta.fmix WHERE k > 250")
+    assert(!isMetaOnly(q3))
+    assert(q3.collect().head.getLong(0) == 749)
+    assert(q3.inputFiles.length == 1)
+  }
+
+  test("filtered count: deletion-vector files are forced into the boundary scan (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fdv"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.DmlModeKey -> "mor"))
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "payload")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k"))
+    // MOR delete touches BOTH files' vectors
+    spark.sql("DELETE FROM graftmeta.fdv WHERE k = 10 OR k = 700")
+    assert(graft.ops.Dv.exists(Sinks.resolve(tbl)), "fixture must be MOR")
+    // file [0,499] classifies ALL but carries a vector → boundary scan
+    // (its metadata row count is pre-delete); file [500,999] is NONE —
+    // a delete only removes rows, so provably-zero stays zero
+    val q = spark.sql("SELECT count(*) AS n FROM graftmeta.fdv WHERE k < 500")
+    assert(!isMetaOnly(q))
+    assert(q.collect().head.getLong(0) == 499)
+    val q2 = spark.sql("SELECT count(*) AS n FROM graftmeta.fdv WHERE k >= 500")
+    assert(q2.collect().head.getLong(0) == 499)
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
