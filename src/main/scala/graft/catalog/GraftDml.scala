@@ -210,7 +210,10 @@ case class GraftDeleteCommand(target: DataSourceV2Relation, condition: Expressio
       // cannot serve files whose partition directories disagree, while
       // the MOR live scan unions the legs
       graft.ops.ColMap.exists(morDir) ||
-      graft.ops.Sinks.hasLayoutLegs(morDir)
+      graft.ops.Sinks.hasLayoutLegs(morDir) ||
+      // pending equality deletes force merge-on-read too (round-14):
+      // the COW raw-file rewrite would resurrect tombstoned rows
+      graft.ops.EqDel.maintained(morDir)
     if (morMode) {
       // re-bind the resolved condition by NAME onto the fresh scan the
       // MOR door filters (subqueries are not re-bindable this way —
@@ -274,7 +277,10 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
       // cannot serve files whose partition directories disagree, while
       // the MOR live scan unions the legs
       graft.ops.ColMap.exists(morDir) ||
-      graft.ops.Sinks.hasLayoutLegs(morDir)
+      graft.ops.Sinks.hasLayoutLegs(morDir) ||
+      // pending equality deletes force merge-on-read too (round-14):
+      // the COW raw-file rewrite would resurrect tombstoned rows
+      graft.ops.EqDel.maintained(morDir)
     if (morMode) {
       val exprs = condition.toSeq ++ assignments.map(_.value)
       require(!exprs.exists(_.exists(
@@ -394,7 +400,8 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
         // and so do mixed-layout versions (the pruned scan can't union
         // disagreeing partition layouts)
         graft.ops.ColMap.exists(morDir) ||
-        graft.ops.Sinks.hasLayoutLegs(morDir)) {
+        graft.ops.Sinks.hasLayoutLegs(morDir) ||
+        graft.ops.EqDel.maintained(morDir)) {
       return runMor(spark, morDir)
     }
     val t = ofRows(spark, target)

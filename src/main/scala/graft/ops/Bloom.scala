@@ -281,22 +281,27 @@ object Bloom {
       // the same recipe as Stats.readWhere's mixed branch
       val raw = graft.ops.Sinks.readFilesMixed(spark, dir, kept)
       val cols = raw.columns.toSeq.filterNot(_ == "_metadata")
+      val eq = if (!EqDel.exists(dir)) raw else EqDel.subtract(raw, dir)
       val subtracted =
-        if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
-        else Dv.subtract(raw, dir, cols)
+        if (!Dv.exists(dir)) eq.select(cols.map(col).toIndexedSeq: _*)
+        else Dv.subtract(eq, dir, cols)
       subtracted.filter(pred)
     } else {
       val rd = spark.read.option("basePath", dir)
       val raw = readSchema.fold(rd)(rd.schema).parquet(kept: _*)
-      // deletion-vector subtraction rides the point lookup too —
-      // membership pruning stays conservative (a surviving file whose
-      // matching row was MOR-deleted contributes nothing)
+      // equality-delete and deletion-vector subtraction ride the point
+      // lookup too — membership pruning stays conservative (a surviving
+      // file whose matching row was hidden contributes nothing)
       val subtracted =
-        if (!Dv.exists(dir)) raw
+        if (!Dv.exists(dir) && !EqDel.exists(dir)) raw
         else {
           val cols = raw.columns.toSeq
-          Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
-            dir, cols)
+          val withMeta =
+            raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*)
+          val eq =
+            if (!EqDel.exists(dir)) withMeta else EqDel.subtract(withMeta, dir)
+          if (!Dv.exists(dir)) eq.select(cols.map(col).toIndexedSeq: _*)
+          else Dv.subtract(eq, dir, cols)
         }
       subtracted.filter(pred)
     }

@@ -90,10 +90,13 @@ object Sinks
       // over the union stays exact
       val base = scanVersion(spark, root, p)
       val cols = base.columns.filterNot(_ == "_metadata").toSeq
+      // equality deletes apply FIRST (they need `_metadata.file_path`
+      // for the file-sequence scope; the DV stage consumes the struct)
+      val eqApplied = if (!EqDel.exists(p)) base else EqDel.subtract(base, p)
       val subtracted =
         if (!Dv.exists(p))
-          base.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-        else Dv.subtract(base, p, cols)
+          eqApplied.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        else Dv.subtract(eqApplied, p, cols)
       return ColMap.toLogical(subtracted, p)
     }
     val base = readSchemaFor(spark, root, p) match {
@@ -114,14 +117,23 @@ object Sinks
     // read, snapshot diff, CDC read, replica bootstrap, and compaction
     // flows through, so deleted rows can never resurface from any of
     // them (SQL reads take the same subtraction via DvReadRule)
+    // pending equality deletes (round-14) subtract before the deletion
+    // vector: both need `_metadata`, and the DV stage consumes it. The
+    // `_metadata` projection is built ONLY when a subtraction will run —
+    // touching the struct at all materializes `row_index` into every
+    // scan (CatalogSpec's column-pruning assert catches it)
     val subtracted =
-      if (!Dv.exists(p))
+      if (!Dv.exists(p) && !EqDel.exists(p))
         base.select(dataCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       else {
-        Dv.subtract(
-          base.select((dataCols.map(org.apache.spark.sql.functions.col) :+
-            org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*),
-          p, dataCols)
+        val withMeta = base.select(
+          (dataCols.map(org.apache.spark.sql.functions.col) :+
+            org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
+        val eqApplied =
+          if (!EqDel.exists(p)) withMeta else EqDel.subtract(withMeta, p)
+        if (!Dv.exists(p))
+          eqApplied.select(dataCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        else Dv.subtract(eqApplied, p, dataCols)
       }
     // metadata-only renames: the files speak PHYSICAL names, the caller
     // gets LOGICAL ones ([[ColMap]]); unmapped versions pass through
@@ -888,13 +900,15 @@ object Sinks
       batchTag: Option[String] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
       opTag: String = "append",
-      rebase: Boolean = true): Long = {
+      rebase: Boolean = true,
+      eqDelete: Option[DataFrame] = None): Long = {
     stageLinkedPublish(alignToLive(df, root, expected), root, expected,
       statsCols, emitFeed, batchTag,
       carry = _ => true, commitSidecars = commitSidecars, opTag = opTag,
       rebase =
         if (rebase) AppendRebase(exp => alignToLive(df, root, exp))
-        else NoRebase)
+        else NoRebase,
+      eqDelete = eqDelete)
   }
 
   /** Align an append frame to the live schema: same column set and
@@ -952,6 +966,9 @@ object Sinks
     // Refuse with the purge hint (the Delta phasing: DV tables gate
     // row-rewriting DML until the vector is compacted away).
     Dv.requireNone(versionPath(root, expected), "copy-on-write DML")
+    // same hazard under pending equality deletes: a raw rewrite would
+    // resurrect tombstoned rows into fresh-seq files — compact first
+    EqDel.requireNone(versionPath(root, expected), "copy-on-write DML")
     // same class of hazard for a column-mapped version: the rewrite's
     // new files would carry LOGICAL footer names next to carried
     // PHYSICAL-named files — a mixed-schema version no reader can
@@ -1009,11 +1026,12 @@ object Sinks
       commitSidecars: Seq[(String, DataFrame)] = Nil,
       opTag: String = "append",
       replaceSidecars: Seq[(String, DataFrame)] = Nil,
-      rebase: RebasePolicy = NoRebase): Long = {
+      rebase: RebasePolicy = NoRebase,
+      eqDelete: Option[DataFrame] = None): Long = {
     def stageFor(frame: DataFrame, exp: Option[Long]): Path =
       stageLinkedNoCommit(frame, root, exp, statsCols,
         emitFeed, batchTag, carry, skipDataWrite, changeFeedDf, dvDelta,
-        commitSidecars, opTag, replaceSidecars)
+        commitSidecars, opTag, replaceSidecars, eqDelete)
     val propsAtStage = TableProps.load(root)
     var exp = expected
     var stage = stageFor(aligned, exp)
@@ -1064,12 +1082,16 @@ object Sinks
       dvDelta: Option[DataFrame] = None,
       commitSidecars: Seq[(String, DataFrame)] = Nil,
       opTag: String = "append",
-      replaceSidecars: Seq[(String, DataFrame)] = Nil): Path = {
+      replaceSidecars: Seq[(String, DataFrame)] = Nil,
+      eqDelete: Option[DataFrame] = None): Path = {
     require(!(emitFeed && changeFeedDf.isDefined),
       "emitFeed derives the insert feed from the staged files; a caller " +
         "supplying its own feed must not also request it")
     require(!(emitFeed && dvDelta.isDefined),
       "a deletion-vector commit stages no new data files to feed from")
+    require(!(emitFeed && eqDelete.isDefined),
+      "an equality-delete upsert's delta is not insert-only; it cannot " +
+        "emit the insert feed")
     Files.createDirectories(Paths.get(root))
     val spark = aligned.sparkSession
     val stage = Paths.get(s"$root/.stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -1140,6 +1162,30 @@ object Sinks
         Bloom.sidecarCols(spark, versionPath(root, v))) ++ declaredBloom).distinct
       if (bloomInherit.nonEmpty && hasNew)
         Bloom.annotate(spark, stage.toString, bloomInherit)
+      // equality deletes (round-14, B170): this commit's tombstones land
+      // as a fresh `_eqdel` part with seq = base + 1 (strictly above
+      // every committed tombstone of the lineage — OCC kills any stage
+      // whose base moved), and — whenever the lineage is under eq-delete
+      // maintenance — EVERY newly staged data file is seq-stamped into
+      // `_eqseq`, so pending tombstones can be scoped to strictly-older
+      // files (a plain append's rows must never be killed by an earlier
+      // upsert's tombstone). Null-keyed tombstone rows are inert (the
+      // reader's anti-join never matches null keys) and pass through.
+      // Prior parts of both sidecars carry by hardlink below.
+      val eqSeq = expected.getOrElse(-1L) + 1
+      eqDelete.foreach { kdf =>
+        kdf.withColumn("__gf_seq", org.apache.spark.sql.functions.lit(eqSeq))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/${EqDel.Sidecar}")
+      }
+      val underEqDel = eqDelete.isDefined || expected.exists(v =>
+        EqDel.maintained(versionPath(root, v)))
+      if (underEqDel && hasNew) {
+        import spark.implicits._
+        Fs.walkParquet(stage).map(p => (stage.relativize(p).toString, eqSeq))
+          .toDF("file", "seq").coalesce(1)
+          .write.mode("append").parquet(s"$stage/${EqDel.SeqSidecar}")
+      }
       if (emitFeed) {
         import org.apache.spark.sql.functions.lit
         // read back the staged delta (file listing happens here, before
@@ -1262,6 +1308,29 @@ object Sinks
               (prevDvFiles.size >= StatsCheckpointEvery ||
                 Dv.hasLegacyParts(spark, versionPath(root, v))))
             Dv.compactSidecar(spark, stage.toString)
+        }
+        // equality-delete sidecars ride every linked commit: tombstones
+        // stay pending until compaction folds them into files, and file
+        // sequence stamps describe carried files by relative key — both
+        // exactly valid in the new version. Past the checkpoint
+        // threshold the pile folds (max-seq per key / live-keys only) —
+        // metadata-scale, the same amortized-O(1) contract as _stats.
+        Seq(EqDel.Sidecar, EqDel.SeqSidecar).foreach { sc =>
+          if (Files.isDirectory(live.resolve(sc))) {
+            val prev = Fs.listDir(live.resolve(sc))
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+            val dst = stage.resolve(sc)
+            Files.createDirectories(dst)
+            prev.foreach { f =>
+              val d = dst.resolve(f.getFileName)
+              if (Files.exists(d))
+                throw new IllegalStateException(
+                  s"append $sc sidecar carry-over collision on ${f.getFileName}")
+              linkOrCopy(f, d)
+            }
+            if (prev.size >= StatsCheckpointEvery)
+              EqDel.compactSidecar(spark, stage.toString, sc)
+          }
         }
         // the ANN quantizer and PQ codebooks describe the BUCKETING /
         // ENCODING SCHEME, not any file set — a linked commit preserves
@@ -1405,7 +1474,7 @@ object Sinks
     // the column-mapping marker travels with the files it translates
     ColMap.carry(src, stage)
     Seq(Stats.Sidecar, Bloom.Sidecar, AnnIndex.CentroidsSidecar,
-        Pq.Sidecar, Dv.Sidecar).foreach { sc =>
+        Pq.Sidecar, Dv.Sidecar, EqDel.Sidecar, EqDel.SeqSidecar).foreach { sc =>
       val srcSc = src.resolve(sc)
       if (Files.isDirectory(srcSc)) {
         val dstSc = stage.resolve(sc)

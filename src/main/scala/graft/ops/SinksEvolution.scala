@@ -277,6 +277,9 @@ private[graft] trait SinksEvolution { this: Sinks.type =>
       }
       rewriteKeys(Stats.Sidecar)
       rewriteKeys(Bloom.Sidecar)
+      // file-sequence stamps re-key with the moved files (round-14);
+      // the tombstones themselves carry no file keys — verbatim below
+      rewriteKeys(EqDel.SeqSidecar)
       if (Dv.exists(live.toString)) {
         if (!moveTop) rewriteKeys(Dv.Sidecar)
         else if (!Dv.hasLegacyParts(spark, live.toString)) {
@@ -298,7 +301,7 @@ private[graft] trait SinksEvolution { this: Sinks.type =>
       // scheme sidecars and the non-RENAME column-mapping markers
       // (DROP tombstones / metadata ADDs) describe no file set — verbatim
       ColMap.carry(live, stage)
-      Seq(AnnIndex.CentroidsSidecar, Pq.Sidecar).foreach { sc =>
+      Seq(AnnIndex.CentroidsSidecar, Pq.Sidecar, EqDel.Sidecar).foreach { sc =>
         val srcSc = live.resolve(sc)
         if (Files.isDirectory(srcSc)) {
           val dstSc = stage.resolve(sc)

@@ -62,10 +62,16 @@ private[graft] trait SinksMor { this: Sinks.type =>
       .withColumn("_dv_key", Dv.relKey(dir))
       .withColumn("_dv_pos", col("_metadata.row_index"))
       .drop("_metadata")
+    // pending equality deletes hide rows from the WRITER's scan too —
+    // a MOR UPDATE matching a tombstoned row must not resurrect an
+    // updated copy of it (round-14)
+    val eqApplied =
+      if (!EqDel.exists(dir)) positioned
+      else EqDel.subtractByKey(positioned, dir, col("_dv_key"))
     // join-free existing-vector subtraction, same path as the read side
     // (Dv.subtract) — the writer's scan stays Exchange-free too, with
     // the same oversized-vector anti-join fallback
-    Dv.subtractByKey(positioned, dir, col("_dv_key"), col("_dv_pos"))
+    Dv.subtractByKey(eqApplied, dir, col("_dv_key"), col("_dv_pos"))
   }
 
   /** The merge-on-read commit every DV writer shares: merge

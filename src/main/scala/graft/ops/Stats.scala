@@ -664,23 +664,29 @@ object Stats {
       // as below (keys stay version-dir-relative)
       val raw = Sinks.readFilesMixed(spark, dir, files)
       val cols = raw.columns.toSeq.filterNot(_ == "_metadata")
-      if (!Dv.exists(dir)) raw.select(cols.map(col).toIndexedSeq: _*)
-      else Dv.subtract(raw, dir, cols)
+      // pending equality deletes hide rows from pruned reads too
+      // (round-14) — they apply before the DV stage consumes _metadata
+      val eq = if (!EqDel.exists(dir)) raw else EqDel.subtract(raw, dir)
+      if (!Dv.exists(dir)) eq.select(cols.map(col).toIndexedSeq: _*)
+      else Dv.subtract(eq, dir, cols)
     } else {
       // basePath keeps partition-dir columns in scope when the surviving
       // files are addressed individually (no-op for flat layouts)
       val rd = spark.read.option("basePath", dir)
       val raw = readSchema.fold(rd)(rd.schema).parquet(files: _*)
-      // a deletion vector subtracts here exactly as in the full read —
-      // stats pruning stays conservative (a kept file whose matching
-      // rows were all MOR-deleted just contributes nothing) and the
-      // keys are file_path-relative, valid for individually-addressed
-      // files too
-      if (!Dv.exists(dir)) raw
+      // equality deletes and the deletion vector subtract here exactly
+      // as in the full read — pruning stays conservative (a kept file
+      // whose matching rows were all hidden just contributes nothing)
+      // and the keys are file_path-relative, valid for individually-
+      // addressed files too
+      if (!Dv.exists(dir) && !EqDel.exists(dir)) raw
       else {
         val cols = raw.columns.toSeq
-        Dv.subtract(raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*),
-          dir, cols)
+        val withMeta = raw.select((cols.map(col) :+ col("_metadata")).toIndexedSeq: _*)
+        val eq =
+          if (!EqDel.exists(dir)) withMeta else EqDel.subtract(withMeta, dir)
+        if (!Dv.exists(dir)) eq.select(cols.map(col).toIndexedSeq: _*)
+        else Dv.subtract(eq, dir, cols)
       }
     }
   }

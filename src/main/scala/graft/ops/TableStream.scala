@@ -58,7 +58,25 @@ object TableStream {
     */
   def streamTo(stream: DataFrame, root: String, checkpoint: String,
       statsCols: Seq[String] = Nil, emitFeed: Boolean = true,
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    foreachBatchSink(stream, root, checkpoint) { (batch, batchTag) =>
+      // transform runs INSIDE the retry loop: a per-batch enrichment
+      // that reads table state (e.g. the ANN quantizer sidecar) must
+      // recompute against the current version after a CME re-base
+      Sinks.appendVersioned(transform(batch), root,
+        Sinks.currentVersion(root),
+        statsCols, emitFeed = emitFeed, batchTag = Some(batchTag))
+      ()
+    }
+
+  /** The exactly-once foreachBatch shell [[streamTo]] and
+    * [[EqDel.upsertStreamTo]] share: per-batch dedupe via the
+    * `_BATCHID` stamp + durable high-water mark, empty-replay skip,
+    * and CME retry around `commit`, which receives the batch frame and
+    * the batch tag to stamp into its commit.
+    */
+  private[graft] def foreachBatchSink(stream: DataFrame, root: String,
+      checkpoint: String)(commit: (DataFrame, String) => Unit): StreamingQuery = {
     val tag = writerTag(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -73,13 +91,7 @@ object TableStream {
             var done = false
             while (!done) {
               try {
-                // transform runs INSIDE the retry loop: a per-batch
-                // enrichment that reads table state (e.g. the ANN
-                // quantizer sidecar) must recompute against the current
-                // version after a CME re-base
-                Sinks.appendVersioned(transform(batch.toDF()), root,
-                  Sinks.currentVersion(root),
-                  statsCols, emitFeed = emitFeed, batchTag = Some(s"$tag:$id"))
+                commit(batch.toDF(), s"$tag:$id")
                 done = true
               } catch {
                 case _: java.util.ConcurrentModificationException if attempts < 5 =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.catalog.GraftSnapshotDir
-import graft.ops.{ColMap, Dv, Sinks}
+import graft.ops.{ColMap, Dv, EqDel, Sinks}
 
 /** SQL-side deletion-vector subtraction (B135): when a Graft catalog
   * relation's resolved version dir carries a `_dv` sidecar, swap the
@@ -44,15 +44,18 @@ object DvReadRule extends Rule[LogicalPlan] {
         // the bare scan sees only the top-level (current-layout) files
         // — the `_layout<k>/` legs are `_`-hidden — and would silently
         // drop every pre-evolution row
+        // pending equality deletes (round-14) swap through the same
+        // funnel: the bare scan would surface tombstoned rows
         case t: GraftSnapshotDir
             if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
+              EqDel.exists(t.snapshotVersionDir) ||
               Sinks.hasLayoutLegs(t.snapshotVersionDir) ||
               Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
-            "reading _metadata columns of a deletion-vector, column-mapped, " +
-              "mixed-layout, or hidden-partitioned table is unsupported: " +
-              "compact the table first")
+            "reading _metadata columns of a deletion-vector, equality-delete, " +
+              "column-mapped, mixed-layout, or hidden-partitioned table is " +
+              "unsupported: compact the table first")
           swap(r, t)
         case _ => r
       }

@@ -333,6 +333,9 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     if (conjs.isEmpty) return None
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
+    // equality deletes hide rows by KEY across files — no per-file
+    // arithmetic recovers the hidden count; decline (round-14)
+    if (graft.ops.EqDel.exists(dir)) return None
     val spark = SparkSession.active
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
@@ -509,6 +512,10 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // Delta stats-minus-DV count. Per-column counts and bounds decline
     // (which rows the vector hides is unknowable from metadata); the
     // subtraction rule then serves those from the subtracted scan.
+    // pending equality deletes hide an unknowable-from-metadata row set
+    // (tombstones scope by key, not by position count) — decline; the
+    // funnel-swapped scan serves the exact answer (round-14)
+    if (graft.ops.EqDel.exists(dir)) return None
     val dv = graft.ops.Dv.exists(dir)
     if (dv && kinds.exists(_ != Star)) return None
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)

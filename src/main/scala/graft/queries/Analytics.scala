@@ -247,6 +247,57 @@ object Analytics extends QueryModule {
       Sinks.readCurrent(s, root).orderBy("c_custkey")
     }),
 
+    // Equality-delete streaming upsert (round-14, B170): the SAME CDC
+    // stream as q_streaming_merge, applied WITHOUT a per-batch MERGE
+    // join — each micro-batch commits BLIND (new data files + key
+    // tombstones in the `_eqdel` sidecar, O(batch), no table read) and
+    // the READ reconciles: a row is hidden iff a later-sequence
+    // tombstone carries its key. The final state is hash-identical to
+    // the full-merge recompute (the oracle), which is exactly the
+    // eq-delete contract: writers go blind, readers (and compaction)
+    // pay the reconciliation. Within-batch multi-op keys collapse via
+    // latestPerKey first — the same O(batch) window, no table access.
+    "q_streaming_upsert" -> ((s, dir) => {
+      import graft.ops.{EqDel, Merge, Sinks}
+      val rootDir = java.nio.file.Files.createTempDirectory("graft_qsu")
+      graft.streaming.StreamOps.cleanOnExit(rootDir)
+      val root = rootDir.toString + "/t"
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      Sinks.publishVersioned(base, root)
+      val cdc = s.readStream
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("Customer#Merged"), col("o_custkey").cast("string")).as("c_name"),
+          round(col("o_totalprice"), 2).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"),
+          when(col("o_orderstatus") === "F", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("o_orderdate").as("seq"), col("o_orderkey").as("seq2"))
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_qsu_ck")
+      graft.streaming.StreamOps.cleanOnExit(ckptDir)
+      val q = cdc.writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val delta = Merge.latestPerKey(batch, Seq("c_custkey"), Seq("seq", "seq2"))
+              .drop("seq", "seq2")
+            val ups = delta.filter(col("op") =!= "delete").drop("op")
+            val dels = delta.filter(col("op") === "delete").select("c_custkey")
+            EqDel.upsertBatch(s, ups, root, Seq("c_custkey"),
+              extraDeletes = Some(dels))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      Sinks.readCurrent(s, root).orderBy("c_custkey")
+    }),
+
     // B33 exact percentiles (interpolated): quartiles + p95 of extended
     // price per return flag — Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition.
@@ -457,6 +508,33 @@ object Analytics extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_streaming_merge" ->
+      """WITH last AS (
+        |  SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+        |    SELECT o_custkey, o_totalprice, o_orderstatus,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |delta AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'Customer#Merged' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    round(o_totalprice, 2) AS c_acctbal,
+        |    'MERGED' AS c_mktsegment,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM last),
+        |base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
+        |SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_name ELSE b.c_name END AS c_name,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        | CASE WHEN d.op IS NOT NULL THEN d.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM base b FULL JOIN delta d ON b.c_custkey = d.c_custkey
+        |WHERE d.op IS NULL OR d.op <> 'delete'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // identical semantics to q_streaming_merge by construction — the
+    // eq-delete read-side reconciliation must land on the same state a
+    // serial MERGE produces
+    "q_streaming_upsert" ->
       """WITH last AS (
         |  SELECT o_custkey, o_totalprice, o_orderstatus FROM (
         |    SELECT o_custkey, o_totalprice, o_orderstatus,
