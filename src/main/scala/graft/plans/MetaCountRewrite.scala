@@ -340,19 +340,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
-    val raw = spark.read.option("mergeSchema", "true").parquet(sidecar.toString)
-    import org.apache.spark.sql.functions.{col => c, lit}
-    def opt(name: String, dt: DataType) =
-      if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
-    val srows = raw.select(
-        c("file"), c("col"), c("rows"), c("nulls"), c("has_stats"),
-        c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
-        opt("lo_t", LongType), opt("hi_t", LongType),
-        opt("t_adj", org.apache.spark.sql.types.BooleanType),
-        opt("lo_s", org.apache.spark.sql.types.StringType),
-        opt("hi_s", org.apache.spark.sql.types.StringType),
-        opt("dec_scale", IntegerType))
-      .collect()
+    val srows = answeringRows(dir)._1
     val byFileCol = srows.map(r => (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
     val byFile = srows.groupBy(_.getString(0))
     // row counts must cover every live file or interior sums are unprovable
@@ -384,7 +372,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
             case Some(r) =>
               if (!r.getBoolean(4)) SomeRows // has_stats=false: keep-always
               else if (r.getLong(3) == r.getLong(2)) NoRows // all-null file
-              else if (!r.isNullAt(14)) SomeRows // decimal domain: scan
+              else if (!r.isNullAt(16)) SomeRows // decimal domain: scan
               else if (!r.isNullAt(9)) {
                 // timestamp domain with flavor guard (widened-safe)
                 val adj = r.getBoolean(11)
@@ -406,8 +394,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
               else if (!r.isNullAt(7))
                 classifyRange(cj, r.getDouble(7), r.getDouble(8), r.getLong(3),
                   exactPoint = false)
-              else if (!r.isNullAt(12))
-                classifyRange(cj, r.getString(12), r.getString(13), r.getLong(3),
+              else if (!r.isNullAt(13))
+                classifyRange(cj, r.getString(13), r.getString(14), r.getLong(3),
                   exactPoint = false)
               else SomeRows
           }
@@ -499,6 +487,56 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Session-scoped memo of the collected ANSWERING-domain sidecar rows
+    * per version dir (round-14; the round-13 verdict's efficiency note:
+    * every qualifying aggregate re-read the sidecar at plan time).
+    * Version dirs are immutable once committed, so the memo key only
+    * needs the dir — but the sidecar's mtime + part count join it so a
+    * deliberately-rewritten sidecar (era simulations, manual repair)
+    * misses rather than serving stale rows. Bounded: cleared wholesale
+    * past 256 entries, each an O(files × cols) row array.
+    */
+  private val sidecarMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row], (Boolean, Boolean))]()
+
+  /** The `_stats` rows of `dir` projected onto the FIXED 16-column
+    * answering layout (absent era columns padded with typed nulls so
+    * row indices stay stable; the returned (hasTs, hasS) flags still
+    * gate the DECLINE decision — an all-null padded column must never
+    * read as "all-null data", only as "this sidecar cannot answer").
+    */
+  private[graft] def answeringRows(dir: String)
+      : (Array[org.apache.spark.sql.Row], (Boolean, Boolean)) = {
+    val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
+    val parts = graft.io.Fs.listDir(sidecar)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val stamp = parts.size + ":" +
+      (if (parts.isEmpty) "0"
+       else parts.map(p => Files.getLastModifiedTime(p).toMillis).max.toString)
+    val key = s"${org.apache.spark.sql.graft.ExprBridge.sessionUUID(SparkSession.active)}|$dir|$stamp"
+    if (sidecarMemo.size > 256) sidecarMemo.clear()
+    sidecarMemo.computeIfAbsent(key, _ => {
+      val raw = SparkSession.active.read.option("mergeSchema", "true")
+        .parquet(sidecar.toString)
+      val hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact")
+      val hasS = raw.columns.contains("s_exact")
+      import org.apache.spark.sql.functions.{col => c, lit}
+      def opt(name: String, dt: DataType) =
+        if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
+      (raw.select(
+        c("file"), c("col"), c("rows"), c("nulls"), c("has_stats"),
+        c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
+        opt("lo_t", LongType), opt("hi_t", LongType),
+        opt("t_adj", org.apache.spark.sql.types.BooleanType),
+        opt("t_exact", org.apache.spark.sql.types.BooleanType),
+        opt("lo_s", org.apache.spark.sql.types.StringType),
+        opt("hi_s", org.apache.spark.sql.types.StringType),
+        opt("s_exact", org.apache.spark.sql.types.BooleanType),
+        opt("dec_scale", IntegerType))
+        .collect(), (hasTs, hasS))
+    })
+  }
+
   /** Answer each requested aggregate from the sidecar, or None when any
     * live file is uncovered (exactness cannot be proven). `Some(null)`
     * inside the result is a real SQL NULL (min/max over an all-null
@@ -531,28 +569,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // mergeSchema: a dir can mix pre- and post-round-13 parts; the
     // timestamp columns are selected only when present (old sidecars
     // then decline timestamp bounds, never mis-answer them)
-    val raw = SparkSession.active.read.option("mergeSchema", "true")
-      .parquet(sidecar.toString)
-    val hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact")
-    val hasS = raw.columns.contains("s_exact")
-    // pad absent era columns with typed nulls so row indices stay fixed
-    // across sidecar generations (hasTs/hasS still gate the DECLINE
-    // decision — an all-null padded column must never read as "all-null
-    // data", only as "this sidecar cannot answer")
-    import org.apache.spark.sql.functions.{col => c, lit}
-    def opt(name: String, dt: DataType) =
-      if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
-    val rows = raw
-      .select(
-        c("file"), c("col"), c("rows"), c("nulls"), c("has_stats"),
-        c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
-        opt("lo_t", LongType), opt("hi_t", LongType),
-        opt("t_adj", org.apache.spark.sql.types.BooleanType),
-        opt("t_exact", org.apache.spark.sql.types.BooleanType),
-        opt("lo_s", org.apache.spark.sql.types.StringType),
-        opt("hi_s", org.apache.spark.sql.types.StringType),
-        opt("s_exact", org.apache.spark.sql.types.BooleanType))
-      .collect()
+    val (rows, flags) = answeringRows(dir)
+    val (hasTs, hasS) = flags
     val byFile = rows.groupBy(_.getString(0))
     if (!live.forall(byFile.contains)) return None
     // every live file's trusted entry for column `c`, or None (decline);

@@ -44,6 +44,13 @@ class EqDelSpec extends AnyFunSuite {
     val live = Sinks.resolve(root)
     assert(EqDel.exists(live))
     assert(EqDel.pending(spark, live).count() == 9)
+    // scale shape: the reconciliation is broadcast-sided — the data
+    // scan never shuffles for a metadata-scale tombstone set (both the
+    // seq attach and the key anti-join plan as broadcast joins)
+    val plan = Sinks.readCurrent(spark, root).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"eq-delete reconciliation must broadcast, got:\n$plan")
     // exactly one row per key survives everywhere
     assert(Sinks.readCurrent(spark, root).groupBy("k").count()
       .filter(col("count") > 1).count() == 0)
