@@ -212,15 +212,23 @@ object EqDel {
     * [[upsertBatch]] commit — the bronze→silver CDC loop without the
     * per-batch MERGE join. Rows whose `opCol` (when given) equals
     * 'delete' tombstone their key without replacing it; every other
-    * row upserts. Batch-id dedupe, restart behavior, and CME retry are
-    * [[TableStream.streamTo]]'s, verbatim (the same `_BATCHID` stamp +
-    * durable high-water-mark contract).
+    * row upserts. `dedupeBy` (ordering columns, when given) collapses a
+    * multi-op batch to its LAST row per key first —
+    * [[Merge.latestPerKey]], still O(batch), still zero table reads —
+    * and the ordering columns are dropped from what lands (they
+    * sequence the CDC, they are not payload). Batch-id dedupe, restart
+    * behavior, and CME retry are [[TableStream.streamTo]]'s, verbatim
+    * (the same `_BATCHID` stamp + durable high-water-mark contract).
     */
   def upsertStreamTo(stream: DataFrame, root: String, checkpoint: String,
-      keys: Seq[String], opCol: Option[String] = None): StreamingQuery =
+      keys: Seq[String], opCol: Option[String] = None,
+      dedupeBy: Seq[String] = Nil): StreamingQuery =
     TableStream.foreachBatchSink(stream, root, checkpoint) {
-      (batch, batchTag) =>
-        val spark = batch.sparkSession
+      (batch0, batchTag) =>
+        val spark = batch0.sparkSession
+        val batch =
+          if (dedupeBy.isEmpty) batch0
+          else Merge.latestPerKey(batch0, keys, dedupeBy).drop(dedupeBy: _*)
         opCol match {
           case None =>
             upsertBatch(spark, batch, root, keys, batchTag = Some(batchTag))

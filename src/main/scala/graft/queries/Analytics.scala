@@ -279,22 +279,13 @@ object Analytics extends QueryModule {
           col("o_orderdate").as("seq"), col("o_orderkey").as("seq2"))
       val ckptDir = java.nio.file.Files.createTempDirectory("graft_qsu_ck")
       graft.streaming.StreamOps.cleanOnExit(ckptDir)
-      val q = cdc.writeStream
-        .option("checkpointLocation", ckptDir.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val delta = Merge.latestPerKey(batch, Seq("c_custkey"), Seq("seq", "seq2"))
-              .drop("seq", "seq2")
-            val ups = delta.filter(col("op") =!= "delete").drop("op")
-            val dels = delta.filter(col("op") === "delete").select("c_custkey")
-            EqDel.upsertBatch(s, ups, root, Seq("c_custkey"),
-              extraDeletes = Some(dels))
-          }
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      // THE door, end to end: op-column routing + within-batch ordering
+      // collapse are upsertStreamTo's own (exactly what a CDC consumer
+      // deploys), not harness-side plumbing
+      val q = EqDel.upsertStreamTo(cdc, root, ckptDir.toString,
+        keys = Seq("c_custkey"), opCol = Some("op"),
+        dedupeBy = Seq("seq", "seq2"))
+      q.processAllAvailable(); q.stop()
       Sinks.readCurrent(s, root).orderBy("c_custkey")
     }),
 
