@@ -510,9 +510,77 @@ object Stress {
       System.err.println(s"[stress] multi-writer leg failed: $e")
       Seq("multi_writer_commits" -> (-1L, -1.0))
     }
+    // equality-delete churn (round-14): concurrent BLIND upserters (no
+    // table read per commit) racing a plain appender — the streaming-CDC
+    // multi-writer shape. Each upserter owns a disjoint key range and
+    // re-upserts it `rounds` times; within a thread commits are ordered,
+    // so the final value per key is provably the last round. Invariants:
+    // zero lost commits, exactly one live row per key (the seq-scoped
+    // reconciliation), appended keys untouched by tombstones, and the
+    // fold (compaction) preserves the exact state while shedding the
+    // sidecars.
+    val eqdelTimes = try {
+      import graft.ops.{EqDel, Sinks}
+      val root = s"$out/eq_upsert"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      Sinks.publishVersioned(
+        spark.range(0, 1000).toDF("id").withColumn("v", lit(0L))
+          .repartition(2), root, None)
+      val nUps = 4; val rounds = 8; val nAppend = 20
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val (_, tWall) = timed {
+        val upserters = (0 until nUps).map { i =>
+          new Thread(() => {
+            try (1 to rounds).foreach { r =>
+              val mine = spark.range(i * 100L, i * 100L + 50L).toDF("id")
+                .withColumn("v", lit(r.toLong))
+              EqDel.upsertBatch(spark, mine, root, Seq("id"))
+            } catch { case t: Throwable => errors.add(t) }
+          })
+        }
+        val appender = new Thread(() => {
+          try (0 until nAppend).foreach { j =>
+            Sinks.appendVersioned(
+              spark.createDataFrame(Seq((10000L + j, -1L))).toDF("id", "v"),
+              root, Sinks.currentVersion(root))
+          } catch { case t: Throwable => errors.add(t) }
+        })
+        (upserters :+ appender).foreach(_.start())
+        (upserters :+ appender).foreach(_.join())
+        0L
+      }
+      require(errors.isEmpty, s"eq-upsert churn lost commits: ${errors.peek()}")
+      val nCommits = Sinks.listVersions(root).size - 1
+      require(nCommits == nUps * rounds + nAppend,
+        s"expected ${nUps * rounds + nAppend} commits, found $nCommits")
+      val got = Sinks.readCurrent(spark, root)
+        .groupBy("id").agg(count(lit(1)).as("n"), max("v").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      require(got.size == 1000 + nAppend, s"row-count drift: ${got.size}")
+      require(got.forall(_._2._1 == 1L), "duplicate live rows for a key")
+      (0 until nUps).foreach { i =>
+        (i * 100L until i * 100L + 50L).foreach { k =>
+          require(got(k)._2 == rounds.toLong,
+            s"key $k final value ${got(k)._2} != last round $rounds")
+        }
+      }
+      (0 until nAppend).foreach(j =>
+        require(got(10000L + j)._2 == -1L, s"appended key ${10000 + j} lost"))
+      // the fold: compaction sheds the sidecars, state identical
+      val (_, tFold) = timed { Sinks.compactVersioned(spark, root); 0L }
+      require(!EqDel.exists(Sinks.resolve(root)), "fold left tombstones")
+      require(Sinks.readCurrent(spark, root).count() == 1000L + nAppend)
+      System.err.println(s"[stress] eq_upsert: ${nUps * rounds + nAppend} blind " +
+        s"commits from ${nUps + 1} threads in $tWall s, fold $tFold s, zero lost")
+      Seq("eq_upsert_commits" -> ((nUps * rounds + nAppend).toLong, tWall),
+        "eq_upsert_fold" -> ((1000L + nAppend), tFold))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] eq-upsert leg failed: $e")
+      Seq("eq_upsert_commits" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
       appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++
-      dedup100Times ++ multiWriterTimes
+      dedup100Times ++ multiWriterTimes ++ eqdelTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
