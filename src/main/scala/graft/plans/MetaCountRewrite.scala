@@ -104,7 +104,10 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   //   BOUNDARY anything unprovable        → scanned with the exact
   //                                         predicate
   // and rewrite the aggregate to `count(*) + <interior>` over a scan of
-  // ONLY the boundary files. Classification sources:
+  // ONLY the boundary files (count(col) rides too: an ALL file's
+  // matching rows are ALL its rows, so its contribution is the sidecar's
+  // rows − nulls(col); files without a trusted entry demote to the
+  // boundary). Classification sources:
   //   - identity PARTITION columns: the directory value is every row's
   //     value, so a file is ALL or NONE outright (pure directory
   //     arithmetic — a partition-only predicate never opens a file);
@@ -312,19 +315,24 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     }
     val (rel, t) = relationOf(f.child).getOrElse(return None)
     val dir = t.snapshotVersionDir
-    // every aggregate expression must be a plain star count (count(col)
-    // under a filter would need per-file per-column null knowledge of
-    // only-the-matching rows — unknowable from metadata)
-    val starOk = agg.aggregateExpressions.forall {
+    // every aggregate expression must be count(*) or count(col) — the
+    // two filtered forms metadata can serve: in an ALL-classified file
+    // EVERY row satisfies the predicate, so count(col) over its
+    // matching rows is exactly rows − nulls(col) from the file's
+    // trusted sidecar entry (files without one demote to the boundary
+    // scan below). min/max under a filter stay scan-served.
+    val fkinds: Seq[Kind] = agg.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) => l.value != null
-          case _ => false
+          case Count(Seq(l: Literal)) if l.value != null => Star
+          case Count(Seq(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference)) => OfColumn(a.name)
+          case _ => return None
         }
-      case _ => false
+      case _ => return None
     }
-    if (!starOk || agg.aggregateExpressions.isEmpty) return None
+    if (fkinds.isEmpty) return None
     val conjs = {
       val cs = splitAnd(f.condition).map(conjOf)
       if (cs.exists(_.isEmpty)) return None
@@ -406,19 +414,35 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       else SomeRows
     }
     val classes = live.toSeq.map(fl => fl -> classifyFile(fl))
+    // count(col) needs a trusted per-file entry for that column — an
+    // ALL file lacking one cannot contribute from metadata and demotes
+    // to the boundary scan instead of declining the whole rewrite
+    val countedCols = fkinds.collect { case OfColumn(n) =>
+      graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
+    def countable(fl: String): Boolean = countedCols.forall(c =>
+      byFileCol.get((fl, c)).exists(_.getBoolean(4)))
     val interiorFiles = classes.collect {
-      case (fl, AllRows) if !dvFiles(fl) => fl }
+      case (fl, AllRows) if !dvFiles(fl) && countable(fl) => fl }
     val boundary = (classes.collect { case (fl, SomeRows) => fl } ++
-      classes.collect { case (fl, AllRows) if dvFiles(fl) => fl }).sorted
+      classes.collect {
+        case (fl, AllRows) if dvFiles(fl) || !countable(fl) => fl }).sorted
     // no metadata win: nothing provably ALL and nothing provably NONE →
     // leave the plan for StatsSkipRule's keep-set swap
     if (interiorFiles.isEmpty && boundary.size == live.size) return None
-    val interior = interiorFiles.map(fl => byFile(fl).head.getLong(2)).sum
+    def interiorOf(k: Kind): Long = k match {
+      case Star => interiorFiles.map(fl => byFile(fl).head.getLong(2)).sum
+      case OfColumn(n) =>
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        interiorFiles.map { fl =>
+          val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
+        }.sum
+      case _ => 0L // unreachable (fkinds gate)
+    }
     if (boundary.isEmpty) {
       // pure metadata answer (partition-only predicates land here: every
       // file is ALL or NONE by directory arithmetic alone)
       return Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
-        Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => interior)))))
+        Seq(InternalRow.fromSeq(fkinds.map(interiorOf)))))
     }
     // hybrid: scan ONLY the boundary files under the exact predicate and
     // add the interior constant inside the aggregate
@@ -432,11 +456,11 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         .getOrElse(return None)
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }
-    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case al @ Alias(ae: AggregateExpression, name) =>
-        Alias(Add(ae, Literal(interior, LongType)), name)(exprId = al.exprId,
-          qualifier = al.qualifier)
-      case other => return None // unreachable (starOk gate)
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.zip(fkinds).map {
+      case (al @ Alias(ae: AggregateExpression, name), k) =>
+        Alias(Add(ae, Literal(interiorOf(k), LongType)), name)(
+          exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None // unreachable (fkinds gate)
     }
     Some(Aggregate(Nil, newAggs,
       Filter(f.condition, Project(out, analyzed))))

@@ -265,6 +265,37 @@ class MetaCountSpec extends AnyFunSuite {
     assert(q3.inputFiles.length == 1)
   }
 
+  test("filtered count(col): ALL files contribute rows minus nulls from metadata; uncovered columns demote (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fnul"
+    // 4 disjoint k-range files; s is null on multiples of 5
+    val df = (0L until 1000L).map(i =>
+        (i, if (i % 5 == 0) null else s"s$i", s"p$i"))
+      .toDF("k", "s", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "s"))
+    // [250,500) is exactly one file: pure metadata, count(s) = 250 − 50
+    val q = spark.sql("SELECT count(s) AS n, count(*) AS m " +
+      "FROM graftmeta.fnul WHERE k >= 250 AND k < 500")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 200 && r.getLong(1) == 250)
+    // hybrid: one interior + one boundary file, both counts exact
+    val q2 = spark.sql("SELECT count(s) AS n, count(*) AS m " +
+      "FROM graftmeta.fnul WHERE k >= 250 AND k < 600")
+    assert(!isMetaOnly(q2))
+    assert(q2.inputFiles.length == 1)
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 280 && r2.getLong(1) == 350)
+    // a column WITHOUT trusted stats demotes its interior files to the
+    // scan — still correct, never guessed
+    val q3 = spark.sql("SELECT count(payload) AS n " +
+      "FROM graftmeta.fnul WHERE k >= 250 AND k < 500")
+    assert(!isMetaOnly(q3))
+    assert(q3.collect().head.getLong(0) == 250)
+  }
+
   test("filtered count: deletion-vector files are forced into the boundary scan (round-14)") {
     root
     import spark.implicits._
