@@ -315,12 +315,13 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     }
     val (rel, t) = relationOf(f.child).getOrElse(return None)
     val dir = t.snapshotVersionDir
-    // every aggregate expression must be count(*) or count(col) — the
-    // two filtered forms metadata can serve: in an ALL-classified file
-    // EVERY row satisfies the predicate, so count(col) over its
-    // matching rows is exactly rows − nulls(col) from the file's
-    // trusted sidecar entry (files without one demote to the boundary
-    // scan below). min/max under a filter stay scan-served.
+    // every aggregate expression must be count(*), count(col), or
+    // min/max(col) of an answerable type — the filtered forms metadata
+    // can serve: in an ALL-classified file EVERY row satisfies the
+    // predicate, so count(col) over its matching rows is exactly
+    // rows − nulls(col), and min/max over them are the file's own
+    // (value-exact) bounds. Files without the needed trusted/exact
+    // entry demote to the boundary scan below.
     val fkinds: Seq[Kind] = agg.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -328,6 +329,12 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           case Count(Seq(l: Literal)) if l.value != null => Star
           case Count(Seq(a: org.apache.spark.sql.catalyst.expressions
               .AttributeReference)) => OfColumn(a.name)
+          case Min(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference) if boundable(a.dataType) =>
+            BoundOf(a.name, a.dataType, isMin = true)
+          case Max(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference) if boundable(a.dataType) =>
+            BoundOf(a.name, a.dataType, isMin = false)
           case _ => return None
         }
       case _ => return None
@@ -348,7 +355,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
-    val srows = answeringRows(dir)._1
+    val (srows, (fHasTs, fHasS)) = answeringRows(dir)
     val byFileCol = srows.map(r => (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
     val byFile = srows.groupBy(_.getString(0))
     // row counts must cover every live file or interior sums are unprovable
@@ -414,18 +421,44 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       else SomeRows
     }
     val classes = live.toSeq.map(fl => fl -> classifyFile(fl))
-    // count(col) needs a trusted per-file entry for that column — an
-    // ALL file lacking one cannot contribute from metadata and demotes
-    // to the boundary scan instead of declining the whole rewrite
+    // count(col) needs a trusted per-file entry for that column, and
+    // min/max(col) a VALUE-EXACT one (the same per-domain trust rules
+    // as the unfiltered path) — an ALL file lacking them cannot
+    // contribute from metadata and demotes to the boundary scan instead
+    // of declining the whole rewrite
     val countedCols = fkinds.collect { case OfColumn(n) =>
       graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
-    def countable(fl: String): Boolean = countedCols.forall(c =>
-      byFileCol.get((fl, c)).exists(_.getBoolean(4)))
+    def exactFor(fl: String, k: Kind): Boolean = k match {
+      case BoundOf(n, dt, _) =>
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        byFileCol.get((fl, c)).exists { r =>
+          if (!r.getBoolean(4)) false
+          else dt match {
+            case ByteType | ShortType | IntegerType | LongType |
+                org.apache.spark.sql.types.DateType =>
+              r.isNullAt(16) // decimal-backed ints are unscaled: demote
+            case FloatType | DoubleType => true // NaN files are has_stats=false
+            case TimestampType | TimestampNTZType =>
+              fHasTs && (r.isNullAt(9) || // all-null: contributes nothing
+                (!r.isNullAt(12) && r.getBoolean(12) &&
+                  !r.isNullAt(11) &&
+                  r.getBoolean(11) == (dt == TimestampType)))
+            case org.apache.spark.sql.types.StringType =>
+              fHasS && (r.isNullAt(13) ||
+                (!r.isNullAt(15) && r.getBoolean(15)))
+            case _ => false
+          }
+        }
+      case _ => true
+    }
+    def metadataServed(fl: String): Boolean =
+      countedCols.forall(c => byFileCol.get((fl, c)).exists(_.getBoolean(4))) &&
+        fkinds.forall(exactFor(fl, _))
     val interiorFiles = classes.collect {
-      case (fl, AllRows) if !dvFiles(fl) && countable(fl) => fl }
+      case (fl, AllRows) if !dvFiles(fl) && metadataServed(fl) => fl }
     val boundary = (classes.collect { case (fl, SomeRows) => fl } ++
       classes.collect {
-        case (fl, AllRows) if dvFiles(fl) || !countable(fl) => fl }).sorted
+        case (fl, AllRows) if dvFiles(fl) || !metadataServed(fl) => fl }).sorted
     // no metadata win: nothing provably ALL and nothing provably NONE →
     // leave the plan for StatsSkipRule's keep-set swap
     if (interiorFiles.isEmpty && boundary.size == live.size) return None
@@ -436,13 +469,64 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         interiorFiles.map { fl =>
           val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
         }.sum
-      case _ => 0L // unreachable (fkinds gate)
+      case _ => 0L // unreachable (bounds go through interiorBound)
+    }
+    // the interior min/max as an INTERNAL Catalyst value, or None when
+    // every interior file is all-null for the column (the bound then
+    // comes from the boundary scan alone — or is NULL outright)
+    def interiorBound(k: Kind): Option[Any] = k match {
+      case BoundOf(n, dt, isMin) =>
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        def pick(lo: Int, hi: Int) = if (isMin) lo else hi
+        dt match {
+          case FloatType | DoubleType =>
+            val i = pick(7, 8)
+            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
+              .filter(!_.isNullAt(i)).map(_.getDouble(i))
+            if (vs.isEmpty) None
+            else {
+              val v = if (isMin) vs.min else vs.max
+              Some(if (dt == FloatType) v.toFloat else v)
+            }
+          case TimestampType | TimestampNTZType =>
+            val i = pick(9, 10)
+            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
+              .filter(!_.isNullAt(i)).map(_.getLong(i))
+            if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
+          case org.apache.spark.sql.types.StringType =>
+            val i = pick(13, 14)
+            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
+              .filter(!_.isNullAt(i)).map(_.getString(i))
+            if (vs.isEmpty) None
+            else Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (isMin) vs.min(graft.ops.Stats.utf8Ordering)
+              else vs.max(graft.ops.Stats.utf8Ordering)))
+          case _ => // integer family + date (int32 days ride lo_l/hi_l)
+            val i = pick(5, 6)
+            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
+              .filter(!_.isNullAt(i)).map(_.getLong(i))
+            if (vs.isEmpty) None
+            else {
+              val v = if (isMin) vs.min else vs.max
+              Some(dt match {
+                case LongType => v
+                case ByteType => v.toByte
+                case ShortType => v.toShort
+                case _ => v.toInt // IntegerType, DateType
+              })
+            }
+        }
+      case _ => None
     }
     if (boundary.isEmpty) {
       // pure metadata answer (partition-only predicates land here: every
       // file is ALL or NONE by directory arithmetic alone)
+      val values: Seq[Any] = fkinds.map {
+        case b: BoundOf => interiorBound(b).orNull
+        case k => interiorOf(k)
+      }
       return Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
-        Seq(InternalRow.fromSeq(fkinds.map(interiorOf)))))
+        Seq(InternalRow.fromSeq(values))))
     }
     // hybrid: scan ONLY the boundary files under the exact predicate and
     // add the interior constant inside the aggregate
@@ -457,6 +541,21 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.zip(fkinds).map {
+      case (al @ Alias(ae: AggregateExpression, name), b @ BoundOf(_, dt, isMin)) =>
+        // union-min/max semantics: Least/Greatest skip nulls (an empty
+        // boundary result must not erase the interior bound, and an
+        // all-null interior contributes nothing)
+        val combined = interiorBound(b) match {
+          case None => ae: org.apache.spark.sql.catalyst.expressions.Expression
+          case Some(v) =>
+            if (isMin)
+              org.apache.spark.sql.catalyst.expressions.Least(
+                Seq(ae, Literal(v, dt)))
+            else
+              org.apache.spark.sql.catalyst.expressions.Greatest(
+                Seq(ae, Literal(v, dt)))
+        }
+        Alias(combined, name)(exprId = al.exprId, qualifier = al.qualifier)
       case (al @ Alias(ae: AggregateExpression, name), k) =>
         Alias(Add(ae, Literal(interiorOf(k), LongType)), name)(
           exprId = al.exprId, qualifier = al.qualifier)

@@ -386,7 +386,11 @@ object ScanOps extends QueryModule {
            |  (SELECT count(*) FROM $cat.ord_part
            |   WHERE o_orderstatus = 'F' AND o_orderkey < 30000) AS n_mixed,
            |  (SELECT count(*) FROM $cat.ord_part
-           |   WHERE o_orderkey >= 30000) AS n_range""".stripMargin)
+           |   WHERE o_orderkey >= 30000) AS n_range,
+           |  (SELECT max(o_orderkey) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'O') AS max_o,
+           |  (SELECT count(o_custkey) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'P') AS n_cust_p""".stripMargin)
     }),
 
     // B164 SQL-side file skipping end to end: the same ord_meta table
@@ -1643,7 +1647,10 @@ object ScanOps extends QueryModule {
         |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS n_status,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderstatus = 'F' AND o_orderkey < 30000) AS n_mixed,
-        |  (SELECT count(*) FROM orders WHERE o_orderkey >= 30000) AS n_range""".stripMargin,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey >= 30000) AS n_range,
+        |  (SELECT max(o_orderkey) FROM orders WHERE o_orderstatus = 'O') AS max_o,
+        |  (SELECT count(o_custkey) FROM orders
+        |   WHERE o_orderstatus = 'P') AS n_cust_p""".stripMargin,
 
     "q_stats_skipping_sql" ->
       """WITH t AS (SELECT * FROM orders

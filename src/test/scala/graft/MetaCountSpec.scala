@@ -296,6 +296,48 @@ class MetaCountSpec extends AnyFunSuite {
     assert(q3.collect().head.getLong(0) == 250)
   }
 
+  test("filtered min/max: per-segment freshness probes answer from metadata; hybrids combine exactly (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fmm"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    val df = spark.range(0, 600).select(
+      $"id".as("k"),
+      expr("CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+        "ELSE 'c' END").as("cat"),
+      expr("timestamp'2024-06-01 00:00:00' + " +
+        "make_interval(0,0,0,0, CAST(id % 48 AS INT), CAST(id AS INT), 0)").as("ts"),
+      expr("CAST(NULL AS DOUBLE)").as("allnull"))
+    Sinks.publishVersioned(df.repartition(2), tbl, None,
+      statsCols = Seq("k", "ts", "allnull"))
+    // partition-only predicate + min/max: THE per-segment freshness
+    // probe — zero files opened
+    val q = spark.sql("SELECT count(*) AS n, min(ts) AS lo, max(ts) AS hi, " +
+      "min(k) AS klo, max(k) AS khi, max(allnull) AS an " +
+      "FROM graftmeta.fmm WHERE cat = 'a'")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val want = Sinks.readCurrent(spark, tbl).filter(col("cat") === "a")
+      .agg(count(lit(1)), min("ts"), max("ts"), min("k"), max("k")).head()
+    val r = q.collect().head
+    assert(r.getLong(0) == want.getLong(0))
+    assert(r.getTimestamp(1) == want.getTimestamp(1) &&
+      r.getTimestamp(2) == want.getTimestamp(2))
+    assert(r.getLong(3) == want.getLong(3) && r.getLong(4) == want.getLong(4))
+    assert(r.isNullAt(5), "min/max over an all-null column is NULL, not a decline")
+    // hybrid: interior + boundary bounds combine via Least/Greatest
+    val tbl2 = s"$root/fmm2"
+    val df2 = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df2, tbl2, None, statsCols = Seq("k"))
+    val q2 = spark.sql("SELECT min(k) AS lo, max(k) AS hi, count(*) AS n " +
+      "FROM graftmeta.fmm2 WHERE k >= 100 AND k < 600")
+    assert(!isMetaOnly(q2)) // one boundary file scans
+    assert(q2.inputFiles.length == 2, q2.inputFiles.mkString(", "))
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 100 && r2.getLong(1) == 599 && r2.getLong(2) == 500)
+  }
+
   test("filtered count: deletion-vector files are forced into the boundary scan (round-14)") {
     root
     import spark.implicits._
