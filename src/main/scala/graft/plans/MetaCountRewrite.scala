@@ -51,6 +51,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       rewrite(agg).orElse(rewriteFiltered(agg)).getOrElse(agg)
+    case agg: Aggregate => rewriteGrouped(agg).getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
@@ -305,6 +306,65 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     sb.toString
   }
 
+  /** Per-file classification of one file against every conjunct —
+    * shared by the filtered ([[rewriteFiltered]]) and grouped
+    * ([[rewriteGrouped]]) paths.
+    */
+  private def classifyAgainst(file: String, conjs: Seq[Conj], dir: String,
+      byFileCol: Map[(String, String), org.apache.spark.sql.Row],
+      partSchema: Option[org.apache.spark.sql.types.StructType],
+      sessionUtc: Boolean): Tri = {
+    val per = conjs.map { cj =>
+      val phys = graft.ops.ColMap.toPhysicalName(dir, cj.colName)
+      // identity partition column: the directory value IS every row's
+      // value — exact, null-aware, never widened
+      val fromPart = partSchema.flatMap(ps =>
+        partitionValue(file, phys, ps)) match {
+        case Some(None) => Some(NoRows) // NULL partition never matches
+        case Some(Some(v)) =>
+          Some(classifyRange(cj, v, v, nulls = 0, exactPoint = true))
+        case None => None
+      }
+      fromPart.getOrElse {
+        byFileCol.get((file, phys.toLowerCase)) match {
+          case None => SomeRows
+          case Some(r) =>
+            if (!r.getBoolean(4)) SomeRows // has_stats=false: keep-always
+            else if (r.getLong(3) == r.getLong(2)) NoRows // all-null file
+            else if (!r.isNullAt(16)) SomeRows // decimal domain: scan
+            else if (!r.isNullAt(9)) {
+              // timestamp domain with flavor guard (widened-safe)
+              val adj = r.getBoolean(11)
+              val usable = cj.vs.forall {
+                case graft.ops.Stats.TsVal(_, instant) =>
+                  instant == adj || sessionUtc
+                case _ => false
+              }
+              if (!usable) SomeRows
+              else {
+                val us = cj.vs.map(_.asInstanceOf[graft.ops.Stats.TsVal].us)
+                classifyRange(cj.copy(vs = us.map(_.asInstanceOf[Any])),
+                  r.getLong(9), r.getLong(10), r.getLong(3), exactPoint = false)
+              }
+            }
+            else if (!r.isNullAt(5))
+              classifyRange(cj, r.getLong(5), r.getLong(6), r.getLong(3),
+                exactPoint = false)
+            else if (!r.isNullAt(7))
+              classifyRange(cj, r.getDouble(7), r.getDouble(8), r.getLong(3),
+                exactPoint = false)
+            else if (!r.isNullAt(13))
+              classifyRange(cj, r.getString(13), r.getString(14), r.getLong(3),
+                exactPoint = false)
+            else SomeRows
+        }
+      }
+    }
+    if (per.contains(NoRows)) NoRows
+    else if (per.forall(_ == AllRows)) AllRows
+    else SomeRows
+  }
+
   /** The filtered metadata count: see the block comment above. */
   private def rewriteFiltered(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Add, Attribute}
@@ -369,57 +429,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val dvFiles: Set[String] =
       if (!graft.ops.Dv.exists(dir)) Set.empty
       else graft.ops.Dv.bitmapEntries(spark, dir).map(_._1).toSet
-    def classifyFile(file: String): Tri = {
-      val per = conjs.map { cj =>
-        val phys = graft.ops.ColMap.toPhysicalName(dir, cj.colName)
-        // identity partition column: the directory value IS every row's
-        // value — exact, null-aware, never widened
-        val fromPart = partSchema.flatMap(ps =>
-          partitionValue(file, phys, ps)) match {
-          case Some(None) => Some(NoRows) // NULL partition never matches
-          case Some(Some(v)) =>
-            Some(classifyRange(cj, v, v, nulls = 0, exactPoint = true))
-          case None => None
-        }
-        fromPart.getOrElse {
-          byFileCol.get((file, phys.toLowerCase)) match {
-            case None => SomeRows
-            case Some(r) =>
-              if (!r.getBoolean(4)) SomeRows // has_stats=false: keep-always
-              else if (r.getLong(3) == r.getLong(2)) NoRows // all-null file
-              else if (!r.isNullAt(16)) SomeRows // decimal domain: scan
-              else if (!r.isNullAt(9)) {
-                // timestamp domain with flavor guard (widened-safe)
-                val adj = r.getBoolean(11)
-                val usable = cj.vs.forall {
-                  case graft.ops.Stats.TsVal(_, instant) =>
-                    instant == adj || sessionUtc
-                  case _ => false
-                }
-                if (!usable) SomeRows
-                else {
-                  val us = cj.vs.map(_.asInstanceOf[graft.ops.Stats.TsVal].us)
-                  classifyRange(cj.copy(vs = us.map(_.asInstanceOf[Any])),
-                    r.getLong(9), r.getLong(10), r.getLong(3), exactPoint = false)
-                }
-              }
-              else if (!r.isNullAt(5))
-                classifyRange(cj, r.getLong(5), r.getLong(6), r.getLong(3),
-                  exactPoint = false)
-              else if (!r.isNullAt(7))
-                classifyRange(cj, r.getDouble(7), r.getDouble(8), r.getLong(3),
-                  exactPoint = false)
-              else if (!r.isNullAt(13))
-                classifyRange(cj, r.getString(13), r.getString(14), r.getLong(3),
-                  exactPoint = false)
-              else SomeRows
-          }
-        }
-      }
-      if (per.contains(NoRows)) NoRows
-      else if (per.forall(_ == AllRows)) AllRows
-      else SomeRows
-    }
+    def classifyFile(file: String): Tri =
+      classifyAgainst(file, conjs, dir, byFileCol, partSchema, sessionUtc)
     val classes = live.toSeq.map(fl => fl -> classifyFile(fl))
     // count(col) needs a trusted per-file entry for that column, and
     // min/max(col) a VALUE-EXACT one (the same per-domain trust rules
@@ -569,6 +580,141 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
       stripProjects(pr.child)
     case other => other
+  }
+
+  /** Typed internal Catalyst value of a parsed partition value (which
+    * [[partitionValue]] yields as String / Long / Int-days).
+    */
+  private def internalOf(dt: DataType, v: Any): Any = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+    case ByteType => v.asInstanceOf[Long].toByte
+    case ShortType => v.asInstanceOf[Long].toShort
+    case IntegerType => v.asInstanceOf[Long].toInt
+    case LongType => v.asInstanceOf[Long]
+    case org.apache.spark.sql.types.DateType => v // already Int days
+    case _ => v
+  }
+
+  /** Grouped metadata counts (round-14): `GROUP BY <identity partition
+    * column(s)>` with count(*)/count(col) aggregates — the "partitions
+    * overview" probe (`SELECT dt, count(*) … GROUP BY dt`) — answered
+    * from directory arithmetic + sidecar row counts, ZERO files opened.
+    * An optional WHERE classifies per file exactly like the global
+    * filtered path; any BOUNDARY file declines the whole rewrite (a
+    * grouped hybrid would need per-group scan unions — StatsSkipRule
+    * still prunes the declined scan). Groups whose files all classify
+    * NONE vanish, exactly like the scan's GROUP BY; zero-row schema
+    * anchors contribute nothing and never fabricate a group. DV and
+    * eq-delete versions decline (hidden rows are per-position/per-key,
+    * not per-directory).
+    */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val (cond, relPlan) = stripProjects(agg.child) match {
+      case f: Filter => (Some(f.condition), f.child)
+      case other => (None, other)
+    }
+    val (_, t) = relationOf(relPlan).getOrElse(return None)
+    val dir = t.snapshotVersionDir
+    // outputs: grouping attributes (bare or re-aliased) or plain counts
+    val outKinds: Seq[Either[Int, Kind]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None else Left(i)
+      case Alias(a: AttributeReference, _) =>
+        val i = groupAttrs.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None else Left(i)
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => Right(Star)
+          case Count(Seq(a: AttributeReference)) => Right(OfColumn(a.name))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // a bare SELECT DISTINCT keeps its scan (nothing to answer)
+    if (!outKinds.exists(_.isRight)) return None
+    val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
+    if (!Files.isDirectory(sidecar)) return None
+    if (graft.ops.EqDel.exists(dir) || graft.ops.Dv.exists(dir)) return None
+    val partSchema = graft.ops.Sinks
+      .partitionSchemaFor(t.snapshotTableRoot, dir).getOrElse(return None)
+    // every grouping column must be an IDENTITY partition column (a
+    // transform's source values are not recoverable from directories)
+    groupAttrs.foreach { a =>
+      val phys = graft.ops.ColMap.toPhysicalName(dir, a.name)
+      val ok = partSchema.fields.exists(f => f.name.equalsIgnoreCase(phys) &&
+        graft.ops.Transforms.parse(f.name).isEmpty)
+      if (!ok) return None
+    }
+    val conjs = cond match {
+      case None => Nil
+      case Some(c) =>
+        val cs = splitAnd(c).map(conjOf)
+        if (cs.exists(_.isEmpty)) return None
+        cs.flatten
+    }
+    val spark = SparkSession.active
+    val live = graft.io.Fs.walkParquet(Paths.get(dir))
+      .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
+    if (live.isEmpty) return None
+    val (srows, _) = answeringRows(dir)
+    val byFileCol = srows.map(r =>
+      (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
+    val byFile = srows.groupBy(_.getString(0))
+    if (!live.forall(byFile.contains)) return None
+    val sessionUtc = java.time.ZoneId
+      .of(spark.sessionState.conf.sessionLocalTimeZone).normalized() ==
+      java.time.ZoneOffset.UTC
+    // classify; any boundary file → the scan serves it better
+    val kept = live.toSeq
+      .filter(fl => byFile(fl).head.getLong(2) > 0) // schema anchors: no rows
+      .flatMap { fl =>
+        val cls =
+          if (conjs.isEmpty) AllRows
+          else classifyAgainst(fl, conjs, dir, byFileCol, Some(partSchema),
+            sessionUtc)
+        cls match {
+          case SomeRows => return None
+          case NoRows => None
+          case AllRows => Some(fl)
+        }
+      }
+    val counted = outKinds.collect { case Right(OfColumn(n)) =>
+      graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
+    if (!kept.forall(fl => counted.forall(c =>
+      byFileCol.get((fl, c)).exists(_.getBoolean(4))))) return None
+    // group files by their (typed, internal) partition-value tuples;
+    // an undeciphable directory (mixed-layout leg) declines
+    val grouped: Map[Seq[Any], Seq[String]] = kept.groupBy { fl =>
+      groupAttrs.map { a =>
+        val phys = graft.ops.ColMap.toPhysicalName(dir, a.name)
+        partitionValue(fl, phys, partSchema) match {
+          case None => return None
+          case Some(opt) => opt.map(internalOf(a.dataType, _)).orNull
+        }
+      }
+    }
+    val rows: Seq[InternalRow] = grouped.toSeq.map { case (gvals, files) =>
+      InternalRow.fromSeq(outKinds.map {
+        case Left(i) => gvals(i)
+        case Right(Star) => files.map(fl => byFile(fl).head.getLong(2)).sum
+        case Right(OfColumn(n)) =>
+          val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+          files.map { fl =>
+            val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
+          }.sum
+        case Right(_) => return None
+      })
+    }
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
   }
 
   /** min/max are metadata-answerable only for types whose footer bounds

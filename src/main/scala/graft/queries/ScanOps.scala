@@ -393,6 +393,22 @@ object ScanOps extends QueryModule {
            |   WHERE o_orderstatus = 'P') AS n_cust_p""".stripMargin)
     }),
 
+    // Grouped metadata counts (round-14, B171 extension): the
+    // partitions-overview probe — GROUP BY an identity partition column
+    // with plain counts collapses to a LocalRelation built from
+    // directory arithmetic + sidecar row counts, ZERO files opened
+    // (MetaCountSpec plan-asserts it). On a 100 TB table this is the
+    // operational "how big is each segment" query, normally a full
+    // scan. The oracle recomputes the grouping from the raw fixture.
+    "q_meta_count_grouped" -> ((s, dir) => {
+      val cat = filteredMetaCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  count(o_custkey) AS n_cust
+           |FROM $cat.ord_part
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B164 SQL-side file skipping end to end: the same ord_meta table
     // (stats sidecar + delta append + COW DELETE), read through
     // spark.sql with a range predicate on a covered column —
@@ -1651,6 +1667,12 @@ object ScanOps extends QueryModule {
         |  (SELECT max(o_orderkey) FROM orders WHERE o_orderstatus = 'O') AS max_o,
         |  (SELECT count(o_custkey) FROM orders
         |   WHERE o_orderstatus = 'P') AS n_cust_p""".stripMargin,
+
+    "q_meta_count_grouped" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(o_custkey) AS n_cust
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_stats_skipping_sql" ->
       """WITH t AS (SELECT * FROM orders

@@ -360,6 +360,49 @@ class MetaCountSpec extends AnyFunSuite {
     assert(q2.collect().head.getLong(0) == 499)
   }
 
+  test("grouped metadata counts: GROUP BY partition column answers from directories (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fgrp"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    // 300 rows over a/b/c plus 30 NULL-partition rows; s null on %5
+    val df = (0 until 330).map { i =>
+      val cat = if (i >= 300) null else Seq("a", "b", "c")(i % 3)
+      (i.toLong, cat, if (i % 5 == 0) null else s"s$i")
+    }.toDF("k", "cat", "s")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "s"))
+    // the partitions-overview probe: zero files opened
+    val q = spark.sql(
+      "SELECT cat, count(*) AS n, count(s) AS ns FROM graftmeta.fgrp GROUP BY cat")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val got = q.collect().map(r =>
+      Option(r.getString(0)).getOrElse("NULL") ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Sinks.readCurrent(spark, tbl)
+      .groupBy("cat").agg(count(lit(1)), count(col("s"))).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.keySet == Set("a", "b", "c", "NULL"))
+    // an ALL/NONE-classifiable predicate composes: NONE groups vanish
+    val q2 = spark.sql("SELECT cat, count(*) AS n FROM graftmeta.fgrp " +
+      "WHERE cat IN ('a', 'b') GROUP BY cat")
+    assert(isMetaOnly(q2), s"\n${q2.queryExecution.optimizedPlan}")
+    assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 100, "b" -> 100))
+    // a boundary-producing predicate declines — the scan still answers
+    val q3 = spark.sql("SELECT cat, count(*) AS n FROM graftmeta.fgrp " +
+      "WHERE k < 150 GROUP BY cat")
+    assert(!isMetaOnly(q3))
+    assert(q3.collect().map(_.getLong(1)).sum == 150)
+    // grouping by a NON-partition column declines (values live in files)
+    val q4 = spark.sql(
+      "SELECT s, count(*) AS n FROM graftmeta.fgrp GROUP BY s")
+    assert(!isMetaOnly(q4))
+    assert(q4.collect().map(_.getLong(1)).sum == 330)
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
