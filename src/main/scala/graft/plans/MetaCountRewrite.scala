@@ -639,8 +639,9 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    // a bare SELECT DISTINCT keeps its scan (nothing to answer)
-    if (!outKinds.exists(_.isRight)) return None
+    // a bare SELECT DISTINCT <partition cols> answers too — it is SHOW
+    // PARTITIONS: the distinct directory values among files holding at
+    // least one (classified-in) row, zero files opened
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
     if (graft.ops.EqDel.exists(dir) || graft.ops.Dv.exists(dir)) return None

@@ -401,6 +401,11 @@ class MetaCountSpec extends AnyFunSuite {
       "SELECT s, count(*) AS n FROM graftmeta.fgrp GROUP BY s")
     assert(!isMetaOnly(q4))
     assert(q4.collect().map(_.getLong(1)).sum == 330)
+    // SELECT DISTINCT <partition col> is SHOW PARTITIONS — zero files
+    val q5 = spark.sql("SELECT DISTINCT cat FROM graftmeta.fgrp")
+    assert(isMetaOnly(q5), s"\n${q5.queryExecution.optimizedPlan}")
+    assert(q5.collect().map(r => Option(r.getString(0)).getOrElse("NULL"))
+      .toSet == Set("a", "b", "c", "NULL"))
   }
 
   test("time-travel snapshots answer from their own version's sidecar") {
