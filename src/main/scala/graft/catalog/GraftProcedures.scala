@@ -38,7 +38,8 @@ private[graft] object GraftProcedures {
     "compact", "restore", "tag", "drop_tag", "branch", "merge_branch",
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
-    "txn_publish", "zorder", "annotate_stats", "expire_versions")
+    "txn_publish", "zorder", "annotate_stats", "expire_versions",
+    "eq_upsert")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -290,6 +291,62 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.eq_upsert(table, source, keys, op_col => '', dedupe_by
+    * => '')` — the B170 blind-upsert SQL door: apply one CDC batch (a
+    * registered view / temp view named by `source`) to `table` as an
+    * equality-delete commit — new data files + key tombstones, O(batch),
+    * NO table read ([[graft.ops.EqDel.applyCdc]]). Rows whose `op_col`
+    * equals 'delete' tombstone without replacing; `dedupe_by` ordering
+    * columns collapse a multi-op batch to its last row per key first
+    * (and are dropped from what lands). Readers reconcile at scan time;
+    * `CALL system.compact` folds the tombstones into files.
+    */
+  final class EqUpsert(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "eq_upsert"
+    override def description(): String =
+      "apply a CDC batch as a blind equality-delete upsert commit " +
+        "(O(batch), no table read; readers reconcile, compaction folds)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("source", StringType)
+        .comment("view / temp view holding the CDC batch").build(),
+      ProcedureParameter.in("keys", StringType)
+        .comment("comma-separated upsert key columns").build(),
+      ProcedureParameter.in("op_col", StringType).defaultValue("''")
+        .comment("optional column whose 'delete' rows tombstone without " +
+          "replacing").build(),
+      ProcedureParameter.in("dedupe_by", StringType).defaultValue("''")
+        .comment("optional ordering columns: collapse the batch to its " +
+          "last row per key first").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val source = input.getUTF8String(1).toString
+      def csv(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val keys = csv(2)
+      require(keys.nonEmpty, "keys must name at least one column")
+      val opCol = csv(3).headOption
+      val dedupeBy = csv(4)
+      val root = resolveRoot(table)
+      val spark = SparkSession.active
+      val batch = spark.table(source)
+      val v = graft.ops.EqDel.applyCdc(batch, root, keys, opCol, dedupeBy)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

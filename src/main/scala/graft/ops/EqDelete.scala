@@ -224,23 +224,35 @@ object EqDel {
       keys: Seq[String], opCol: Option[String] = None,
       dedupeBy: Seq[String] = Nil): StreamingQuery =
     TableStream.foreachBatchSink(stream, root, checkpoint) {
-      (batch0, batchTag) =>
-        val spark = batch0.sparkSession
-        val batch =
-          if (dedupeBy.isEmpty) batch0
-          else Merge.latestPerKey(batch0, keys, dedupeBy).drop(dedupeBy: _*)
-        opCol match {
-          case None =>
-            upsertBatch(spark, batch, root, keys, batchTag = Some(batchTag))
-          case Some(oc) =>
-            require(batch.columns.exists(_.equalsIgnoreCase(oc)),
-              s"op column $oc not in the stream (${batch.columns.mkString(", ")})")
-            val ups = batch.filter(not(col(oc) <=> lit("delete"))).drop(oc)
-            val dels = batch.filter(col(oc) <=> lit("delete"))
-              .select(keys.map(col): _*)
-            upsertBatch(spark, ups, root, keys, extraDeletes = Some(dels),
-              batchTag = Some(batchTag))
-        }
+      (batch, batchTag) =>
+        applyCdc(batch, root, keys, opCol, dedupeBy, Some(batchTag))
         ()
     }
+
+  /** One CDC batch, routed: optional `dedupeBy` ordering collapse,
+    * optional `opCol` delete/upsert split, then ONE blind
+    * [[upsertBatch]] commit. Shared by the streaming sink and the
+    * `CALL graft.system.eq_upsert` SQL door. Returns the committed
+    * version.
+    */
+  def applyCdc(batch0: DataFrame, root: String, keys: Seq[String],
+      opCol: Option[String] = None, dedupeBy: Seq[String] = Nil,
+      batchTag: Option[String] = None): Long = {
+    val spark = batch0.sparkSession
+    val batch =
+      if (dedupeBy.isEmpty) batch0
+      else Merge.latestPerKey(batch0, keys, dedupeBy).drop(dedupeBy: _*)
+    opCol match {
+      case None =>
+        upsertBatch(spark, batch, root, keys, batchTag = batchTag)
+      case Some(oc) =>
+        require(batch.columns.exists(_.equalsIgnoreCase(oc)),
+          s"op column $oc not in the batch (${batch.columns.mkString(", ")})")
+        val ups = batch.filter(not(col(oc) <=> lit("delete"))).drop(oc)
+        val dels = batch.filter(col(oc) <=> lit("delete"))
+          .select(keys.map(col): _*)
+        upsertBatch(spark, ups, root, keys, extraDeletes = Some(dels),
+          batchTag = batchTag)
+    }
+  }
 }

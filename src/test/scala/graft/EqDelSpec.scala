@@ -123,6 +123,30 @@ class EqDelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compact"), e.getMessage)
   }
 
+  test("CALL graft.system.eq_upsert: the SQL door applies a CDC view as one blind commit (round-14)") {
+    import spark.implicits._
+    val root = tmp("eqdcall")
+    val tbl = s"$root/t"
+    spark.conf.set("spark.sql.catalog.grafteqc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grafteqc.root", root)
+    Sinks.publishVersioned(
+      (0L until 50L).map(i => (i, s"a$i")).toDF("k", "v"), tbl, None)
+    // CDC batch with multi-op keys (seq orders them) and a delete
+    Seq((1L, "stale", "upsert", 1L), (1L, "fresh", "upsert", 2L),
+      (2L, null: String, "delete", 1L), (100L, "new", "upsert", 1L))
+      .toDF("k", "v", "op", "seq").createOrReplaceTempView("cdc_batch")
+    val row = spark.sql("CALL grafteqc.system.eq_upsert(table => 't', " +
+      "source => 'cdc_batch', keys => 'k', op_col => 'op', " +
+      "dedupe_by => 'seq')").collect().head
+    assert(row.getString(0) == "t" && row.getLong(1) == 1L)
+    val got = state(tbl).toMap
+    assert(got(1L) == "fresh" && !got.contains(2L) && got(100L) == "new")
+    assert(got.size == 50, s"${got.size}")
+    // it really was the blind door: tombstones pend, op tag stamped
+    assert(EqDel.exists(Sinks.resolve(tbl)))
+    assert(graft.ops.Sinks.opOf(Sinks.versionPath(tbl, 1L)) == "eq-upsert")
+  }
+
   test("compaction folds tombstones into files: sidecars gone, state identical, metadata counts return") {
     import spark.implicits._
     val root = tmp("eqdcomp") + "/t"
