@@ -507,9 +507,14 @@ object Sinks
       throw new IllegalStateException(s"no published version under $root"))
     val live = versionPath(root, cur)
     val files = Fs.walkParquet(Paths.get(live))
-    // deletion-vector cardinality is the one number that is data (a
-    // small sidecar read); everything else stays directory metadata
+    // deletion-vector cardinality and the pending-tombstone count are
+    // the two numbers that are data (small sidecar reads); everything
+    // else stays directory metadata. Pending tombstones (B170) are THE
+    // operational signal to schedule a compaction: every reader pays
+    // the reconciliation anti-join until they fold.
     val nDeleted = Dv.cardinality(spark, live)
+    val nTombstones =
+      if (!EqDel.exists(live)) 0L else EqDel.pending(spark, live).count()
     // props fold ∪ retained receipts — the same union COPY INTO's
     // idempotence check trusts, so an ingestion whose receipt hasn't
     // been folded yet (writer crashed before the props update) still
@@ -528,7 +533,7 @@ object Sinks
           .map(ColMap.toLogicalName(live, _)).mkString(","),
         Files.isDirectory(Paths.get(live, AnnIndex.CentroidsSidecar)),
         Files.isDirectory(Paths.get(live, ChangesSidecar)),
-        nDeleted, nIngested.toLong,
+        nDeleted, nTombstones, nIngested.toLong,
         // snapshot tags (B149) are retention pins an operator must SEE
         // before reasoning about vacuum behavior
         listTags(root).toSeq.sorted.map { case (n, v) => s"$n=v$v" }
@@ -536,7 +541,8 @@ object Sinks
       .toDF("location", "format", "version", "n_versions", "n_files",
         "size_bytes", "partition_cols", "stats_cols", "bloom_cols",
         "is_ann_index", "has_change_feed",
-        "n_deleted_positions", "n_ingested_files", "tags")
+        "n_deleted_positions", "n_pending_tombstones", "n_ingested_files",
+        "tags")
   }
 
   /** Time-travel read: the immutable contents of version `v`, unaffected

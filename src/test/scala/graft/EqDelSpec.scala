@@ -145,6 +145,9 @@ class EqDelSpec extends AnyFunSuite {
     // it really was the blind door: tombstones pend, op tag stamped
     assert(EqDel.exists(Sinks.resolve(tbl)))
     assert(graft.ops.Sinks.opOf(Sinks.versionPath(tbl, 1L)) == "eq-upsert")
+    // DESCRIBE DETAIL surfaces the compaction signal
+    assert(spark.sql("SELECT n_pending_tombstones FROM table_detail('grafteqc.t')")
+      .head().getLong(0) == 3L)
   }
 
   test("compaction folds tombstones into files: sidecars gone, state identical, metadata counts return") {
