@@ -150,6 +150,34 @@ class EqDelSpec extends AnyFunSuite {
       .head().getLong(0) == 3L)
   }
 
+  test("bloom point lookups apply pending tombstones; declared bloom keeps annotating upsert commits") {
+    import spark.implicits._
+    val root = tmp("eqdbloom") + "/t"
+    graft.ops.TableProps.update(root)(_ +
+      (graft.ops.TableProps.BloomKey -> "k"))
+    Sinks.publishVersioned(
+      (0L until 2000L).map(i => (i, s"a$i")).toDF("k", "v")
+        .repartition(4, col("k")), root, None)
+    EqDel.upsertBatch(spark,
+      Seq((777L, "fresh777"), (9999L, "new9999")).toDF("k", "v"),
+      root, Seq("k"))
+    val live = Sinks.resolve(root)
+    // the upsert's delta files were bloom-annotated by declaration
+    assert(graft.ops.Bloom.sidecarCols(spark, live) == Seq("k"))
+    // a point lookup of the REPLACED key returns only the fresh row —
+    // the bloom fast path must apply the tombstones too (the old copy's
+    // file still passes the membership filter)
+    val got = graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 777L)
+      .collect()
+    assert(got.length == 1 && got.head.getString(1) == "fresh777",
+      got.mkString(", "))
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 9999L)
+      .count() == 1)
+    // an untouched key reads exactly one row through the same path
+    assert(graft.ops.Bloom.readCurrentWhereEq(spark, root, "k", 123L)
+      .count() == 1)
+  }
+
   test("compaction folds tombstones into files: sidecars gone, state identical, metadata counts return") {
     import spark.implicits._
     val root = tmp("eqdcomp") + "/t"
