@@ -65,17 +65,31 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-2.0")
         .comment("keep any version committed within this window " +
           "(VACUUM RETAIN analog; -1 = count-based only; -2 = the " +
-          "table's declared graft.retain.hours, else count-based)").build())
+          "table's declared graft.retain.hours, else count-based)").build(),
+      ProcedureParameter.in("where", StringType).defaultValue("''")
+        .comment("round-14 scoped rewrite: compact ONLY the files whose " +
+          "identity-partition values satisfy this predicate (others " +
+          "carry by hardlink); no retention vacuum runs in scoped mode")
+        .build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val targetMb = input.getInt(1)
       val retain = input.getInt(2)
       val retainHours = input.getDouble(3)
+      val whereArg = input.getUTF8String(4).toString
       require(targetMb > 0, s"target_mb must be positive, got $targetMb")
       require(retain >= -1, s"retain_versions must be >= -1, got $retain")
       val root = resolveRoot(table)
-      val v = graft.ops.Sinks.compactVersioned(SparkSession.active, root,
+      val v = if (whereArg.trim.nonEmpty) {
+        // scoped mode owns no retention: refusing a retention request
+        // beats silently ignoring it
+        require(retain == -1 && retainHours == -2.0,
+          "compact(where => …) is a scoped rewrite and runs no retention " +
+            "vacuum — call system.expire_versions for retention")
+        graft.ops.Sinks.compactVersionedWhere(SparkSession.active, root,
+          whereArg, targetMb.toLong * 1024 * 1024)
+      } else graft.ops.Sinks.compactVersioned(SparkSession.active, root,
         targetMb.toLong * 1024 * 1024, retain, retainHours)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =

@@ -145,6 +145,126 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     v
   }
 
+  /** Predicate-scoped compaction (round-14, B175): rewrite ONLY the
+    * files whose identity-partition directory values satisfy `where` —
+    * a SQL boolean over the table's partition columns — into
+    * target-size, re-clustered files; every other live file carries by
+    * hardlink. At 100 TB compaction is never all-at-once: the
+    * operational shape is "compact yesterday's partition after the late
+    * data settles", and a full rewrite would pay O(table) to fix
+    * O(partition) small files.
+    *
+    * Matching is driver-side directory arithmetic (metadata-scale): each
+    * file's partition values parse from its directory path and evaluate
+    * through Spark's own expression engine over a tiny typed frame —
+    * arbitrary predicates (IN, BETWEEN, ranges …) over partition columns
+    * work; referencing any non-partition (or transform-derived) column
+    * fails loudly before anything is staged. A file whose layout lacks a
+    * referenced directory value (a pre-evolution `_layout` leg keeping
+    * the value in file data, an undecodable segment) conservatively
+    * CARRIES; a leg file whose own path does carry the value rewrites —
+    * landing under the current layout, materializing its evolution.
+    *
+    * Composition: the rewrite reads its files through the reconciling
+    * funnel ([[Stats.readFiles]]), so deletion vectors and pending
+    * equality-delete tombstones are MATERIALIZED into the rewritten
+    * partitions (their stale sidecar rows, keyed by replaced files, are
+    * inert); carried files keep subtracting exactly as before — under
+    * eq-delete maintenance the staged files are seq-stamped above every
+    * pending tombstone, so reconciled rows are not re-killed. Stats and
+    * bloom sidecars re-annotate the staged delta by inheritance
+    * (declared + existing columns, [[stageLinkedNoCommit]]); declared
+    * clustering re-clusters the rewritten rows. No retention vacuum
+    * runs — scoped maintenance must not expire history as a side
+    * effect (`CALL system.expire_versions` owns that).
+    */
+  def compactVersionedWhere(spark: SparkSession, root: String, where: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    require(where.trim.nonEmpty,
+      "compactVersionedWhere requires a predicate; use compactVersioned " +
+        "for a whole-table rewrite")
+    val liveV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val live = versionPath(root, liveV)
+    val partSchema = partitionSchemaFor(root, live).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is unpartitioned: a scoped compaction selects whole " +
+          "partitions — use compactVersioned"))
+    // the predicate may reference IDENTITY partition columns only: a
+    // data column's values are not in any directory, and a transform's
+    // SOURCE values are not recoverable from its derived directories
+    val refs = spark.sessionState.sqlParser.parseExpression(where).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.distinct
+    require(refs.nonEmpty, s"predicate '$where' references no column")
+    refs.foreach { r =>
+      val ok = partSchema.fields.exists(f => f.name.equalsIgnoreCase(r) &&
+        Transforms.parse(f.name).isEmpty)
+      require(ok,
+        "scoped compaction predicates may reference identity partition " +
+          s"columns only (${partSchema.fieldNames.mkString(", ")}); got: $r")
+    }
+    val liveP = Paths.get(live)
+    val rels = Fs.walkParquet(liveP).map(p => liveP.relativize(p).toString)
+    def rawOf(rel: String, c: String): Option[String] =
+      rel.split('/').dropRight(1).collectFirst {
+        case s if s.contains('=') &&
+            s.substring(0, s.indexOf('=')).equalsIgnoreCase(c) =>
+          s.substring(s.indexOf('=') + 1)
+      }
+    val pcolNames = partSchema.fieldNames.toSeq
+    val rows = rels.map { rel =>
+      org.apache.spark.sql.Row.fromSeq(rel +: pcolNames.map { c =>
+        rawOf(rel, c).map { raw =>
+          try graft.plans.MetaCountRewrite.unescapePath(raw)
+          catch { case _: Exception => null }
+        }.filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull
+      })
+    }
+    val rawSchema = StructType(
+      StructField("__gf_file", StringType, nullable = false) +:
+        pcolNames.map(c => StructField(c, StringType, nullable = true)))
+    val tuples = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rawSchema)
+    // declared types via Spark's own cast (a failed cast reads null and
+    // the file conservatively carries — maintenance scope, never data)
+    val typed = partSchema.fields.foldLeft(tuples)((d, f) =>
+      d.withColumn(f.name, col(s"`${f.name}`").cast(f.dataType)))
+    val matching = typed.filter(expr(where))
+      .select("__gf_file").collect().map(_.getString(0)).toSet
+    if (matching.isEmpty) return liveV // nothing selected: no-op commit-free
+    val matchBytes = rels.filter(matching).map(r =>
+      Files.size(liveP.resolve(r))).sum
+    val nFiles = math.max(1,
+      math.ceil(matchBytes.toDouble / targetBytes).toInt)
+    val readSchema = readSchemaFor(spark, root, live)
+    val aligned = Transforms.dropHidden(ColMap.toLogical(
+      Stats.readFiles(spark, live,
+        matching.toSeq.sorted.map(k => s"$live/$k"), readSchema), live))
+    // same layout selection as the full rewrite: declared clustering
+    // wins; else range-cluster by the stats columns; else cluster by
+    // the partition columns so each value lands from one task
+    val pcols = TableProps.partitionCols(root)
+    val clusterCols = TableProps.clusterColumns(root)
+    val statsLayoutCols = (Stats.sidecarCols(spark, live)
+      .map(ColMap.toLogicalName(live, _)) ++ TableProps.statsColumns(root) ++
+      clusterCols).distinct
+      .filter(c => aligned.columns.exists(_.equalsIgnoreCase(c)))
+    val rewritten =
+      if (clusterCols.nonEmpty) clusterFrame(aligned, clusterCols, pcols, nFiles)
+      else if (statsLayoutCols.isEmpty && pcols.nonEmpty)
+        aligned.repartition(nFiles, pcols.map(col): _*)
+      else if (statsLayoutCols.isEmpty) aligned.repartition(nFiles)
+      else aligned.repartitionByRange(nFiles, statsLayoutCols.map(col): _*)
+        .sortWithinPartitions(statsLayoutCols.map(col): _*)
+    stageLinkedPublish(rewritten, root, Some(liveV), Nil,
+      emitFeed = false, batchTag = None,
+      carry = rel => !matching(rel), opTag = "compact-where")
+  }
+
   /** The declared-clustering layout of a compaction rewrite (round-14,
     * `graft.cluster.columns`): one column — or any non-numeric
     * dimension — range-clusters hierarchically (exact pruning on the

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * UTF8String bytes unsigned, the same UTF-8 order as parquet and
   * [[Stats.utf8Compare]], so exact and footer bounds share one domain.
   *
+  * SUM domain (round-14): `sum_l` is the file's EXACT sum over an
+  * integer-family column (computed from the data as DECIMAL(38,0),
+  * recorded only when it fits the scan's own LongType result domain) —
+  * parquet footers carry no sums, so this is what lets
+  * `sum(col)`/`avg(col)` answer from metadata
+  * ([[graft.plans.MetaCountRewrite]]). Absent on a value-bearing file =
+  * unknowable (era sidecar or over-wide sum); the serve side declines.
+  *
   * `file` is the path RELATIVE to the version directory (= the basename
   * for flat layouts, `col=val/part-….parquet` for partitioned ones): the
   * sidecar is written in the publish staging directory and must stay
@@ -50,7 +58,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     t_adj: Option[Boolean] = None,
     dec_scale: Option[Int] = None,
     t_exact: Option[Boolean] = None,
-    s_exact: Option[Boolean] = None)
+    s_exact: Option[Boolean] = None,
+    sum_l: Option[Long] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -202,7 +211,7 @@ object Stats {
         confKV.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (f, key) => footerStats(f, key, colSet, conf) }
       }
-    val upgraded = exactStringPass(spark, files, colSet, stats)
+    val upgraded = exactDataPass(spark, files, colSet, stats)
     upgraded.coalesce(1).write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/$Sidecar")
   }
@@ -213,84 +222,139 @@ object Stats {
     */
   private[graft] val MaxExactString = 4096
 
-  /** Round-14 upgrade of the footer pass for STRING columns: compute
-    * per-file exact min/max and non-null counts from the DATA (one
-    * column-pruned scan of exactly the files being annotated — O(delta)
-    * in the linked funnels, one column read for a CALL retrofit) and
-    * replace those columns' footer rows. Footer binary stats may be
-    * truncated (answering-invalid) or dropped entirely (the 4 KB cap);
-    * this pass makes string columns both reliably pruneable and
-    * metadata-answerable (`s_exact` — [[graft.plans.MetaCountRewrite]]'s
-    * trust bit, the string analog of `t_exact`). Non-string columns and
-    * files whose bounds exceed [[MaxExactString]] pass through
-    * untouched.
+  /** Round-14 upgrade of the footer pass — ONE column-pruned scan of
+    * exactly the files being annotated (O(delta) in the linked funnels,
+    * one column read for a CALL retrofit) computes what footers cannot
+    * provide:
+    *
+    *  - STRING columns: per-file exact min/max and non-null counts,
+    *    replacing the footer rows. Footer binary stats may be truncated
+    *    (answering-invalid) or dropped entirely (the 4 KB cap); the data
+    *    pass makes string columns both reliably pruneable and
+    *    metadata-answerable (`s_exact` —
+    *    [[graft.plans.MetaCountRewrite]]'s trust bit, the string analog
+    *    of `t_exact`). Bounds exceeding [[MaxExactString]] keep the
+    *    footer row (a sidecar must stay metadata-sized).
+    *  - INTEGER-family columns (round-14 `sum_l`): the per-file exact
+    *    SUM, computed as DECIMAL(38,0) so it is exact regardless of
+    *    magnitude, recorded when it fits in a Long (else absent — the
+    *    serve side declines rather than guess). Parquet footers carry no
+    *    sums at all; this is what lets `sum(col)` / `avg(col)` answer
+    *    from metadata. A file the pass verifies as all-null becomes
+    *    exactly representable (`has_stats` with no bounds) even when the
+    *    footer suppressed its stats.
+    *
+    * Columns of other types and files the pass cannot improve pass
+    * through untouched. The per-file aggregate is grouped on the file
+    * URI — one shuffle of ≤ files × cols rows, metadata-scale.
     */
-  private def exactStringPass(spark: SparkSession,
+  private def exactDataPass(spark: SparkSession,
       files: Seq[(String, String)], colSet: Seq[String],
       stats: org.apache.spark.sql.Dataset[FileColStat])
       : org.apache.spark.sql.Dataset[FileColStat] = {
-    import spark.implicits._
-    // string columns among the requested set, across ALL listed files
-    // (a retrofit batch can mix schema eras; mergeSchema reads footers
-    // only). Missing-in-some-file columns read as null there and simply
-    // contribute no exact row for that file.
+    import org.apache.spark.sql.types._
+    // requested columns present across ALL listed files (a retrofit
+    // batch can mix schema eras; mergeSchema reads footers only).
+    // Missing-in-some-file columns read as null there and simply
+    // contribute no exact value for that file.
     val schema =
       try spark.read.option("mergeSchema", "true")
         .parquet(files.map(_._1): _*).schema
       catch { case _: Exception => return stats }
-    val stringCols = colSet.filter(c => schema.fields.exists(f =>
-      f.name.equalsIgnoreCase(c) &&
-        f.dataType == org.apache.spark.sql.types.StringType))
-    if (stringCols.isEmpty) return stats
-    // (uri → sidecar key) travels as a broadcast-joined frame, never a
-    // driver map in a closure; input_file_name() is URL-encoded, decode
-    // exactly like the bloom build does
-    val keysDf = files.toDF("abs", "file")
-    val exact = spark.read.option("mergeSchema", "true")
+    def canonical(c: String): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+    val stringCols = colSet.flatMap(c => canonical(c).collect {
+      case f if f.dataType == StringType => (c, f.name) })
+    val intCols = colSet.flatMap(c => canonical(c).collect {
+      case f if f.dataType == ByteType || f.dataType == ShortType ||
+        f.dataType == IntegerType || f.dataType == LongType => (c, f.name) })
+    if (stringCols.isEmpty && intCols.isEmpty) return stats
+    // one flat per-file aggregate (aliases are positional — column
+    // names never leak into identifiers); column pruning keeps the
+    // read to exactly the annotated columns
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      stringCols.zipWithIndex.flatMap { case ((_, f), i) =>
+        Seq(min(col(f)).as(s"_gf_slo_$i"), max(col(f)).as(s"_gf_shi_$i"),
+          count(col(f)).as(s"_gf_snn_$i")) } ++
+      intCols.zipWithIndex.flatMap { case ((_, f), i) =>
+        Seq(sum(col(f).cast(DecimalType(38, 0))).as(s"_gf_isum_$i"),
+          count(col(f)).as(s"_gf_inn_$i")) }
+    val perFile = spark.read.option("mergeSchema", "true")
       .parquet(files.map(_._1): _*)
-      .select(col("*"), input_file_name().as("_gf_uri"))
-      .select(col("_gf_uri"), explode(array(stringCols.map(c =>
-        struct(lit(c).as("c"), col(c).as("v"))): _*)).as("p"))
-      .select(col("_gf_uri"), col("p.c").as("c"), col("p.v").as("v"))
-      .filter(col("v").isNotNull)
-      .as[(String, String, String)]
-      .map { case (uri, c, v) =>
-        val abs =
-          try java.nio.file.Paths.get(new java.net.URI(uri)).toString
-          catch { case _: Exception => uri }
-        (abs, c, v)
-      }
-      .toDF("abs", "c", "v")
-      .groupBy("abs", "c")
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-        count(lit(1)).as("nn"))
-      .join(broadcast(keysDf), Seq("abs"))
-      .select(col("file"), col("c"), col("lo"), col("hi"), col("nn"))
-      .as[(String, String, String, String, Long)]
-      .collect()
-      .map { case (f, c, lo, hi, nn) => (f, c) -> ((lo, hi, nn)) }
-      .toMap
-    // the exact map is metadata-scale (≤ files × string cols rows, the
-    // same order as the sidecar itself); merge driver-side onto the
-    // footer rows — stats is files × cols rows, also metadata-scale
-    val merged = stats.collect().map { r =>
-      if (!stringCols.exists(_.equalsIgnoreCase(r.col))) r
-      else exact.get((r.file, r.col)) match {
-        case Some((lo, hi, nn))
-            if lo.length <= MaxExactString && hi.length <= MaxExactString =>
-          r.copy(has_stats = true, nulls = r.rows - nn,
-            lo_s = Some(lo), hi_s = Some(hi), s_exact = Some(true))
-        case Some(_) => r // oversized bound: keep the footer row
-        case None =>
-          // no non-null value in this file: all-null is exactly
-          // representable (prunes under any bound, min/max answer NULL)
-          if (r.has_stats || r.rows == 0)
-            r.copy(has_stats = true, nulls = r.rows,
-              lo_s = None, hi_s = None, s_exact = Some(true))
-          else r // footer unusable AND unverifiable: keep-always
+      .groupBy(input_file_name().as("_gf_uri"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // metadata-scale: one row per annotated file
+    // input_file_name() is URL-encoded; decode to the absolute path and
+    // map onto the dir-relative sidecar key (files is a driver Seq —
+    // the batch being annotated — so the lookup map is metadata-scale)
+    val keyOf = files.toMap
+    def decode(uri: String): String =
+      try java.nio.file.Paths.get(new java.net.URI(uri)).toString
+      catch { case _: Exception => uri }
+    // (sidecar key, requested col) -> per-file exact values
+    val sVals = scala.collection.mutable.Map
+      .empty[(String, String), (String, String, Long)]
+    val iVals = scala.collection.mutable.Map
+      .empty[(String, String), (java.math.BigDecimal, Long)]
+    perFile.foreach { row =>
+      keyOf.get(decode(row.getString(0))).foreach { key =>
+        stringCols.zipWithIndex.foreach { case ((c, _), i) =>
+          val nn = row.getAs[Long](s"_gf_snn_$i")
+          sVals((key, c.toLowerCase)) =
+            (row.getAs[String](s"_gf_slo_$i"), row.getAs[String](s"_gf_shi_$i"), nn)
+        }
+        intCols.zipWithIndex.foreach { case ((c, _), i) =>
+          iVals((key, c.toLowerCase)) =
+            (row.getAs[java.math.BigDecimal](s"_gf_isum_$i"),
+              row.getAs[Long](s"_gf_inn_$i"))
+        }
       }
     }
-    spark.createDataset(merged.toIndexedSeq)
+    // merge driver-side onto the footer rows — stats is files × cols
+    // rows, also metadata-scale
+    val merged = stats.collect().map { r =>
+      val key = (r.file, r.col.toLowerCase)
+      val afterS =
+        if (!stringCols.exists(_._1.equalsIgnoreCase(r.col))) r
+        else sVals.get(key) match {
+          case Some((lo, hi, nn)) if nn > 0 &&
+              lo.length <= MaxExactString && hi.length <= MaxExactString =>
+            r.copy(has_stats = true, nulls = r.rows - nn,
+              lo_s = Some(lo), hi_s = Some(hi), s_exact = Some(true))
+          case Some((_, _, nn)) if nn > 0 => r // oversized bound: keep footer
+          case _ =>
+            // no non-null value in this file (or no row at all): all-null
+            // is exactly representable (prunes under any bound, min/max
+            // answer NULL)
+            if (r.has_stats || r.rows == 0)
+              r.copy(has_stats = true, nulls = r.rows,
+                lo_s = None, hi_s = None, s_exact = Some(true))
+            else r // footer unusable AND unverifiable: keep-always
+        }
+      if (!intCols.exists(_._1.equalsIgnoreCase(r.col))) afterS
+      else iVals.get(key) match {
+        case Some((sumDec, nn)) if nn > 0 =>
+          // exact per-file sum when it fits in the scan's own result
+          // domain (sum over the integer family is LongType); a wider
+          // sum is recorded absent and the serve side declines. The
+          // exact non-null count also firms up the null count of files
+          // whose footer suppressed stats (bounds stay absent — an
+          // unverified range must never prune).
+          val sumL =
+            if (sumDec == null) None // decimal overflow: unknowable
+            else try Some(sumDec.longValueExact())
+            catch { case _: ArithmeticException => None }
+          afterS.copy(nulls = afterS.rows - nn, sum_l = sumL)
+        case Some(_) =>
+          // verified all-null: exactly representable even when the
+          // footer suppressed the column's stats entirely
+          afterS.copy(has_stats = true, nulls = afterS.rows,
+            lo_l = None, hi_l = None, sum_l = None)
+        case None => afterS // zero-row file: nothing to verify
+      }
+    }
+    spark.createDataset(merged.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.product[FileColStat])
   }
 
   /** Per-file operational inventory of a version dir — relative path,

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -47,6 +47,25 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   private final case class OfColumn(name: String) extends Kind
   private final case class BoundOf(name: String, dt: DataType, isMin: Boolean)
     extends Kind
+  // round-14 `sum_l` serves: `sum(col)` over the integer family (the
+  // scan's result domain is LongType; the per-file sums are data-exact
+  // and combine with overflow-checked addition — an overflowing total
+  // declines to the scan, which then wraps or errors per its own eval
+  // mode), and `avg(col)` when double accumulation is provably lossless
+  // (see [[avgOver]]'s gates)
+  private final case class SumOf(name: String) extends Kind
+  private final case class AvgOf(name: String) extends Kind
+
+  /** Which answering domains this sidecar's schema era carries (absent
+    * columns must decline, never read as "all-null data").
+    */
+  private[graft] final case class SideFlags(hasTs: Boolean, hasS: Boolean,
+    hasSum: Boolean)
+
+  private def intFamily(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
@@ -292,8 +311,11 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Hive path unescaping (%xx sequences, the escapePathName inverse). */
-  private def unescapePath(s: String): String = {
+  /** Hive path unescaping (%xx sequences, the escapePathName inverse).
+    * Shared with [[graft.ops.Sinks.compactVersionedWhere]]'s directory
+    * arithmetic (round-14).
+    */
+  private[graft] def unescapePath(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -395,6 +417,16 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           case Max(a: org.apache.spark.sql.catalyst.expressions
               .AttributeReference) if boundable(a.dataType) =>
             BoundOf(a.name, a.dataType, isMin = false)
+          // round-14: filtered sums — an ALL file's matching rows are
+          // ALL its rows, so it contributes its data-exact per-file sum;
+          // filtered avg serves only when the whole answer is metadata
+          // (no boundary — an Average cannot be combined externally)
+          case Sum(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference, _) if intFamily(a.dataType) =>
+            SumOf(a.name)
+          case Average(a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference, _) if intFamily(a.dataType) =>
+            AvgOf(a.name)
           case _ => return None
         }
       case _ => return None
@@ -415,7 +447,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
-    val (srows, (fHasTs, fHasS)) = answeringRows(dir)
+    val (srows, flags) = answeringRows(dir)
+    val SideFlags(fHasTs, fHasS, fHasSum) = flags
     val byFileCol = srows.map(r => (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
     val byFile = srows.groupBy(_.getString(0))
     // row counts must cover every live file or interior sums are unprovable
@@ -439,29 +472,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // of declining the whole rewrite
     val countedCols = fkinds.collect { case OfColumn(n) =>
       graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
-    def exactFor(fl: String, k: Kind): Boolean = k match {
-      case BoundOf(n, dt, _) =>
-        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
-        byFileCol.get((fl, c)).exists { r =>
-          if (!r.getBoolean(4)) false
-          else dt match {
-            case ByteType | ShortType | IntegerType | LongType |
-                org.apache.spark.sql.types.DateType =>
-              r.isNullAt(16) // decimal-backed ints are unscaled: demote
-            case FloatType | DoubleType => true // NaN files are has_stats=false
-            case TimestampType | TimestampNTZType =>
-              fHasTs && (r.isNullAt(9) || // all-null: contributes nothing
-                (!r.isNullAt(12) && r.getBoolean(12) &&
-                  !r.isNullAt(11) &&
-                  r.getBoolean(11) == (dt == TimestampType)))
-            case org.apache.spark.sql.types.StringType =>
-              fHasS && (r.isNullAt(13) ||
-                (!r.isNullAt(15) && r.getBoolean(15)))
-            case _ => false
-          }
-        }
-      case _ => true
-    }
+    def exactFor(fl: String, k: Kind): Boolean =
+      exactKindFor(fl, k, dir, byFileCol, flags)
     def metadataServed(fl: String): Boolean =
       countedCols.forall(c => byFileCol.get((fl, c)).exists(_.getBoolean(4))) &&
         fkinds.forall(exactFor(fl, _))
@@ -486,47 +498,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // every interior file is all-null for the column (the bound then
     // comes from the boundary scan alone — or is NULL outright)
     def interiorBound(k: Kind): Option[Any] = k match {
-      case BoundOf(n, dt, isMin) =>
-        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
-        def pick(lo: Int, hi: Int) = if (isMin) lo else hi
-        dt match {
-          case FloatType | DoubleType =>
-            val i = pick(7, 8)
-            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
-              .filter(!_.isNullAt(i)).map(_.getDouble(i))
-            if (vs.isEmpty) None
-            else {
-              val v = if (isMin) vs.min else vs.max
-              Some(if (dt == FloatType) v.toFloat else v)
-            }
-          case TimestampType | TimestampNTZType =>
-            val i = pick(9, 10)
-            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
-              .filter(!_.isNullAt(i)).map(_.getLong(i))
-            if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
-          case org.apache.spark.sql.types.StringType =>
-            val i = pick(13, 14)
-            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
-              .filter(!_.isNullAt(i)).map(_.getString(i))
-            if (vs.isEmpty) None
-            else Some(org.apache.spark.unsafe.types.UTF8String.fromString(
-              if (isMin) vs.min(graft.ops.Stats.utf8Ordering)
-              else vs.max(graft.ops.Stats.utf8Ordering)))
-          case _ => // integer family + date (int32 days ride lo_l/hi_l)
-            val i = pick(5, 6)
-            val vs = interiorFiles.map(fl => byFileCol((fl, c)))
-              .filter(!_.isNullAt(i)).map(_.getLong(i))
-            if (vs.isEmpty) None
-            else {
-              val v = if (isMin) vs.min else vs.max
-              Some(dt match {
-                case LongType => v
-                case ByteType => v.toByte
-                case ShortType => v.toShort
-                case _ => v.toInt // IntegerType, DateType
-              })
-            }
-        }
+      case b: BoundOf => boundOver(interiorFiles, b, dir, byFileCol)
       case _ => None
     }
     if (boundary.isEmpty) {
@@ -534,11 +506,29 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       // file is ALL or NONE by directory arithmetic alone)
       val values: Seq[Any] = fkinds.map {
         case b: BoundOf => interiorBound(b).orNull
+        case SumOf(n) =>
+          sumOver(interiorFiles,
+            graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+            byFileCol, flags) match {
+            case None => return None // overflowing total: the scan decides
+            case Some(o) => o.map(Long.box).orNull
+          }
+        case AvgOf(n) =>
+          avgOver(interiorFiles,
+            graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+            byFileCol, flags) match {
+            case None => return None // sign/magnitude gate failed
+            case Some(o) => o.map(Double.box).orNull
+          }
         case k => interiorOf(k)
       }
       return Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
         Seq(InternalRow.fromSeq(values))))
     }
+    // an Average cannot be combined with a boundary scan's partial (its
+    // sum/count internals are not exposed to the rewrite) — decline the
+    // hybrid; StatsSkipRule still prunes the fallback scan
+    if (fkinds.exists(_.isInstanceOf[AvgOf])) return None
     // hybrid: scan ONLY the boundary files under the exact predicate and
     // add the interior constant inside the aggregate
     val readSchema = graft.ops.Sinks.readSchemaFor(spark, t.snapshotTableRoot, dir)
@@ -565,6 +555,21 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
             else
               org.apache.spark.sql.catalyst.expressions.Greatest(
                 Seq(ae, Literal(v, dt)))
+        }
+        Alias(combined, name)(exprId = al.exprId, qualifier = al.qualifier)
+      case (al @ Alias(ae: AggregateExpression, name), SumOf(n)) =>
+        // the boundary sum is NULL on an empty/all-null boundary — it
+        // must not erase a real interior sum (coalesce to 0 before the
+        // Add); an interior with no non-null input adds nothing and the
+        // boundary's own NULL-ness passes through untouched
+        val combined = sumOver(interiorFiles,
+          graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+          byFileCol, flags) match {
+          case None => return None // overflowing interior: scan decides
+          case Some(None) => ae: org.apache.spark.sql.catalyst.expressions.Expression
+          case Some(Some(v)) =>
+            Add(org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(ae, Literal(0L, LongType))), Literal(v, LongType))
         }
         Alias(combined, name)(exprId = al.exprId, qualifier = al.qualifier)
       case (al @ Alias(ae: AggregateExpression, name), k) =>
@@ -596,10 +601,12 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     case _ => v
   }
 
-  /** Grouped metadata counts (round-14): `GROUP BY <identity partition
-    * column(s)>` with count(*)/count(col) aggregates — the "partitions
-    * overview" probe (`SELECT dt, count(*) … GROUP BY dt`) — answered
-    * from directory arithmetic + sidecar row counts, ZERO files opened.
+  /** Grouped metadata aggregates (round-14): `GROUP BY <identity
+    * partition column(s)>` with count(*)/count(col) — and, under the
+    * same per-file trust rules as the global paths, min/max/sum/avg —
+    * the "partitions overview" probe (`SELECT dt, count(*), sum(qty) …
+    * GROUP BY dt`) answered from directory arithmetic + sidecar rows,
+    * ZERO files opened.
     * An optional WHERE classifies per file exactly like the global
     * filtered path; any BOUNDARY file declines the whole rewrite (a
     * grouped hybrid would need per-group scan unions — StatsSkipRule
@@ -635,6 +642,17 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Count(Seq(l: Literal)) if l.value != null => Right(Star)
           case Count(Seq(a: AttributeReference)) => Right(OfColumn(a.name))
+          // round-14: per-group min/max/sum/avg ride the same per-file
+          // trust rules as the global paths — any non-exact kept file
+          // declines the whole rewrite (grouped hybrids don't exist)
+          case Min(a: AttributeReference) if boundable(a.dataType) =>
+            Right(BoundOf(a.name, a.dataType, isMin = true))
+          case Max(a: AttributeReference) if boundable(a.dataType) =>
+            Right(BoundOf(a.name, a.dataType, isMin = false))
+          case Sum(a: AttributeReference, _) if intFamily(a.dataType) =>
+            Right(SumOf(a.name))
+          case Average(a: AttributeReference, _) if intFamily(a.dataType) =>
+            Right(AvgOf(a.name))
           case _ => return None
         }
       case _ => return None
@@ -666,7 +684,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val live = graft.io.Fs.walkParquet(Paths.get(dir))
       .map(_.toString.stripPrefix(dir).stripPrefix("/")).toSet
     if (live.isEmpty) return None
-    val (srows, _) = answeringRows(dir)
+    val (srows, gflags) = answeringRows(dir)
     val byFileCol = srows.map(r =>
       (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
     val byFile = srows.groupBy(_.getString(0))
@@ -692,6 +710,12 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
     if (!kept.forall(fl => counted.forall(c =>
       byFileCol.get((fl, c)).exists(_.getBoolean(4))))) return None
+    // every kept file must be answering-grade for every aggregate kind
+    // (value-exact bounds / recorded sums); one stale file declines
+    if (!kept.forall(fl => outKinds.forall {
+      case Right(k) => exactKindFor(fl, k, dir, byFileCol, gflags)
+      case Left(_) => true
+    })) return None
     // group files by their (typed, internal) partition-value tuples;
     // an undeciphable directory (mixed-layout leg) declines
     val grouped: Map[Seq[Any], Seq[String]] = kept.groupBy { fl =>
@@ -712,6 +736,20 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           files.map { fl =>
             val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
           }.sum
+        case Right(b: BoundOf) =>
+          boundOver(files, b, dir, byFileCol).orNull
+        case Right(SumOf(n)) =>
+          sumOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+            byFileCol, gflags) match {
+            case None => return None // overflowing group total: scan decides
+            case Some(o) => o.map(Long.box).orNull
+          }
+        case Right(AvgOf(n)) =>
+          avgOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+            byFileCol, gflags) match {
+            case None => return None // sign/magnitude gate failed
+            case Some(o) => o.map(Double.box).orNull
+          }
         case Right(_) => return None
       })
     }
@@ -752,10 +790,198 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           Some(BoundOf(a.name, a.dataType, isMin = true))
         case Max(a: AttributeReference) if boundable(a.dataType) =>
           Some(BoundOf(a.name, a.dataType, isMin = false))
+        // round-14 sums: any eval mode serves — the metadata answer is
+        // only produced when NO overflow occurs anywhere, where legacy,
+        // ANSI, and TRY sums all agree
+        case Sum(a: AttributeReference, _) if intFamily(a.dataType) =>
+          Some(SumOf(a.name))
+        case Average(a: AttributeReference, _) if intFamily(a.dataType) =>
+          Some(AvgOf(a.name))
         case _ => None
       }
     case _ => None
   }
+
+  /** Exact `sum(col)` over `files` from the `sum_l` sidecar domain.
+    * None = decline (an era sidecar, a value-bearing file without a
+    * recorded sum, or a Long-overflowing total — the scan then wraps or
+    * errors per its own eval mode); Some(None) = the SQL NULL of a sum
+    * with no non-null input; Some(Some(v)) = the answer. `physLower` is
+    * the lowercased physical column name.
+    */
+  private def sumOver(files: Seq[String], physLower: String,
+      byFileCol: Map[(String, String), org.apache.spark.sql.Row],
+      flags: SideFlags): Option[Option[Long]] = {
+    if (!flags.hasSum) return None
+    var acc = 0L
+    var any = false
+    files.foreach { fl =>
+      byFileCol.get((fl, physLower)) match {
+        case None => return None // uncovered file: unknowable
+        case Some(r) =>
+          if (r.getLong(2) == 0L) () // zero-row file contributes nothing
+          else if (!r.isNullAt(17)) {
+            try acc = Math.addExact(acc, r.getLong(17))
+            catch { case _: ArithmeticException => return None }
+            any = true
+          }
+          else if (r.getBoolean(4) && r.getLong(3) == r.getLong(2)) ()
+          // ^ verified all-null: contributes nothing
+          else return None // value-bearing without a recorded sum
+      }
+    }
+    Some(if (any) Some(acc) else None)
+  }
+
+  /** Whether ONE file's sidecar entry is answering-grade for `k` — the
+    * per-domain trust rules (value-exact bounds, recorded sums, verified
+    * all-null). A non-qualifying file demotes to the boundary scan in
+    * the filtered path and declines the grouped rewrite wholesale.
+    * Shared by [[rewriteFiltered]] and [[rewriteGrouped]] (round-14).
+    */
+  private def exactKindFor(fl: String, k: Kind, dir: String,
+      byFileCol: Map[(String, String), org.apache.spark.sql.Row],
+      flags: SideFlags): Boolean = k match {
+    case BoundOf(n, dt, _) =>
+      val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+      byFileCol.get((fl, c)).exists { r =>
+        if (!r.getBoolean(4)) false
+        else dt match {
+          case ByteType | ShortType | IntegerType | LongType |
+              org.apache.spark.sql.types.DateType =>
+            r.isNullAt(16) // decimal-backed ints are unscaled: demote
+          case FloatType | DoubleType => true // NaN files are has_stats=false
+          case TimestampType | TimestampNTZType =>
+            flags.hasTs && (r.isNullAt(9) || // all-null: contributes nothing
+              (!r.isNullAt(12) && r.getBoolean(12) &&
+                !r.isNullAt(11) &&
+                r.getBoolean(11) == (dt == TimestampType)))
+          case org.apache.spark.sql.types.StringType =>
+            flags.hasS && (r.isNullAt(13) ||
+              (!r.isNullAt(15) && r.getBoolean(15)))
+          case _ => false
+        }
+      }
+    // an ALL file contributes its data-exact sum — qualify when the
+    // sum is recorded, the file is verified all-null, or it is empty
+    case SumOf(n) =>
+      flags.hasSum && {
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        byFileCol.get((fl, c)).exists { r =>
+          r.getLong(2) == 0L || !r.isNullAt(17) ||
+            (r.getBoolean(4) && r.getLong(3) == r.getLong(2))
+        }
+      }
+    // avg additionally needs the sign-gate bounds on value-bearing
+    // files ([[avgOver]]); pure-sign/magnitude failures surface there
+    case AvgOf(n) =>
+      flags.hasSum && {
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        byFileCol.get((fl, c)).exists { r =>
+          r.getLong(2) == 0L ||
+            (!r.isNullAt(17) && r.getBoolean(4) && !r.isNullAt(5) &&
+              r.isNullAt(16)) ||
+            (r.getBoolean(4) && r.getLong(3) == r.getLong(2))
+        }
+      }
+    case _ => true
+  }
+
+  /** The min/max over `files` of one value-exact column as an INTERNAL
+    * Catalyst value, or None when every file is all-null for it (the
+    * caller then answers NULL, or lets a boundary scan decide). Callers
+    * must have gated every file's exactness first ([[exactKindFor]]) —
+    * this helper only combines. Shared by the filtered path's interior
+    * bound and the grouped path's per-group bounds (round-14).
+    */
+  private def boundOver(files: Seq[String], k: BoundOf, dir: String,
+      byFileCol: Map[(String, String), org.apache.spark.sql.Row])
+      : Option[Any] = {
+    val BoundOf(n, dt, isMin) = k
+    val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+    def pick(lo: Int, hi: Int) = if (isMin) lo else hi
+    dt match {
+      case FloatType | DoubleType =>
+        val i = pick(7, 8)
+        val vs = files.map(fl => byFileCol((fl, c)))
+          .filter(!_.isNullAt(i)).map(_.getDouble(i))
+        if (vs.isEmpty) None
+        else {
+          val v = if (isMin) vs.min else vs.max
+          Some(if (dt == FloatType) v.toFloat else v)
+        }
+      case TimestampType | TimestampNTZType =>
+        val i = pick(9, 10)
+        val vs = files.map(fl => byFileCol((fl, c)))
+          .filter(!_.isNullAt(i)).map(_.getLong(i))
+        if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
+      case org.apache.spark.sql.types.StringType =>
+        val i = pick(13, 14)
+        val vs = files.map(fl => byFileCol((fl, c)))
+          .filter(!_.isNullAt(i)).map(_.getString(i))
+        if (vs.isEmpty) None
+        else Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (isMin) vs.min(graft.ops.Stats.utf8Ordering)
+          else vs.max(graft.ops.Stats.utf8Ordering)))
+      case _ => // integer family + date (int32 days ride lo_l/hi_l)
+        val i = pick(5, 6)
+        val vs = files.map(fl => byFileCol((fl, c)))
+          .filter(!_.isNullAt(i)).map(_.getLong(i))
+        if (vs.isEmpty) None
+        else {
+          val v = if (isMin) vs.min else vs.max
+          Some(dt match {
+            case LongType => v
+            case ByteType => v.toByte
+            case ShortType => v.toShort
+            case _ => v.toInt // IntegerType, DateType
+          })
+        }
+    }
+  }
+
+  /** `avg(col)` over `files` from metadata, served ONLY when the scan's
+    * own double accumulation is provably lossless in any partial-merge
+    * order (Spark averages the integer family through a DoubleType
+    * sum):
+    *  - every value shares one sign (footer bounds: global lo >= 0 or
+    *    global hi <= 0) — so every intermediate partial sum is a
+    *    monotone prefix bounded by the total;
+    *  - |total| <= 2^53 — so every bounded intermediate (and every
+    *    individual value) is an exactly-representable integer double.
+    * Under those two gates the scan's result is total/count to the last
+    * bit, independent of partitioning. Everything else declines — a
+    * metadata answer must never differ from the scan's, even in the
+    * last ulp. Null counts of sum-bearing files are data-exact (the
+    * same pass that recorded the sums), so the divisor is trustworthy.
+    */
+  private def avgOver(files: Seq[String], physLower: String,
+      byFileCol: Map[(String, String), org.apache.spark.sql.Row],
+      flags: SideFlags): Option[Option[Double]] =
+    sumOver(files, physLower, byFileCol, flags).flatMap {
+      case None => Some(None) // no non-null input: avg IS NULL
+      case Some(total) =>
+        var n = 0L
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        files.foreach { fl =>
+          val r = byFileCol((fl, physLower)) // present: sumOver covered it
+          if (!r.isNullAt(17)) {
+            // value-bearing file: needs exact footer bounds for the
+            // sign gate (and must not be a decimal-backed unscaled row)
+            if (!r.getBoolean(4) || r.isNullAt(5) || !r.isNullAt(16))
+              return None
+            lo = math.min(lo, r.getLong(5))
+            hi = math.max(hi, r.getLong(6))
+            n += r.getLong(2) - r.getLong(3)
+          }
+        }
+        val sameSign = lo >= 0L || hi <= 0L
+        // spelled as two comparisons: math.abs(Long.MinValue) overflows
+        val smallEnough = total <= (1L << 53) && total >= -(1L << 53)
+        if (!sameSign || !smallEnough || n == 0L) None
+        else Some(Some(total.toDouble / n))
+    }
 
   /** Session-scoped memo of the collected ANSWERING-domain sidecar rows
     * per version dir (round-14; the round-13 verdict's efficiency note:
@@ -767,16 +993,16 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     * past 256 entries, each an O(files × cols) row array.
     */
   private val sidecarMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[org.apache.spark.sql.Row], (Boolean, Boolean))]()
+    String, (Array[org.apache.spark.sql.Row], SideFlags)]()
 
-  /** The `_stats` rows of `dir` projected onto the FIXED 16-column
-    * answering layout (absent era columns padded with typed nulls so
-    * row indices stay stable; the returned (hasTs, hasS) flags still
-    * gate the DECLINE decision — an all-null padded column must never
-    * read as "all-null data", only as "this sidecar cannot answer").
+  /** The `_stats` rows of `dir` projected onto the FIXED answering
+    * layout (absent era columns padded with typed nulls so row indices
+    * stay stable; the returned [[SideFlags]] still gate the DECLINE
+    * decision — an all-null padded column must never read as "all-null
+    * data", only as "this sidecar cannot answer").
     */
   private[graft] def answeringRows(dir: String)
-      : (Array[org.apache.spark.sql.Row], (Boolean, Boolean)) = {
+      : (Array[org.apache.spark.sql.Row], SideFlags) = {
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     val parts = graft.io.Fs.listDir(sidecar)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -788,8 +1014,10 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     sidecarMemo.computeIfAbsent(key, _ => {
       val raw = SparkSession.active.read.option("mergeSchema", "true")
         .parquet(sidecar.toString)
-      val hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact")
-      val hasS = raw.columns.contains("s_exact")
+      val flags = SideFlags(
+        hasTs = raw.columns.contains("lo_t") && raw.columns.contains("t_exact"),
+        hasS = raw.columns.contains("s_exact"),
+        hasSum = raw.columns.contains("sum_l"))
       import org.apache.spark.sql.functions.{col => c, lit}
       def opt(name: String, dt: DataType) =
         if (raw.columns.contains(name)) c(name) else lit(null).cast(dt).as(name)
@@ -802,8 +1030,9 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
         opt("lo_s", org.apache.spark.sql.types.StringType),
         opt("hi_s", org.apache.spark.sql.types.StringType),
         opt("s_exact", org.apache.spark.sql.types.BooleanType),
-        opt("dec_scale", IntegerType))
-        .collect(), (hasTs, hasS))
+        opt("dec_scale", IntegerType),
+        opt("sum_l", LongType))
+        .collect(), flags)
     })
   }
 
@@ -840,8 +1069,10 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // timestamp columns are selected only when present (old sidecars
     // then decline timestamp bounds, never mis-answer them)
     val (rows, flags) = answeringRows(dir)
-    val (hasTs, hasS) = flags
+    val SideFlags(hasTs, hasS, _) = flags
     val byFile = rows.groupBy(_.getString(0))
+    val byFileCol = rows.map(r =>
+      (r.getString(0), r.getString(1).toLowerCase) -> r).toMap
     if (!live.forall(byFile.contains)) return None
     // every live file's trusted entry for column `c`, or None (decline);
     // the sidecar speaks PHYSICAL names, the aggregate LOGICAL ones
@@ -855,6 +1086,14 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val values: Seq[Option[Any]] = kinds.map {
       case Star => Some(total)
       case OfColumn(c) => covered(c).map(_.map(r => r.getLong(2) - r.getLong(3)).sum)
+      // round-14: sum/avg from the data-exact per-file sums (None =
+      // decline; an inner null is the real SQL NULL of an empty input)
+      case SumOf(c) =>
+        sumOver(live.toSeq, graft.ops.ColMap.toPhysicalName(dir, c).toLowerCase,
+          byFileCol, flags).map(_.map(Long.box).orNull)
+      case AvgOf(c) =>
+        avgOver(live.toSeq, graft.ops.ColMap.toPhysicalName(dir, c).toLowerCase,
+          byFileCol, flags).map(_.map(Double.box).orNull)
       case BoundOf(c, dt, isMin) => covered(c).flatMap { rs =>
         // files whose bounds are absent hold only nulls for this column
         // (bounds ignore nulls); all files all-null => the answer IS null

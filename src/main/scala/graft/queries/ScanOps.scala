@@ -409,6 +409,31 @@ object ScanOps extends QueryModule {
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // Metadata-served SUM/AVG (round-14, B174): parquet footers carry no
+    // sums, so the stats annotator records each file's DATA-exact sum
+    // for declared integer columns (`sum_l`) — and sum(col) collapses to
+    // a LocalRelation (global), to directory arithmetic under a
+    // partition-only predicate (the per-segment revenue probe), or to
+    // interior-sums + boundary-scan under a range (the hybrid). avg(col)
+    // serves only where double accumulation is provably lossless
+    // (same-sign values, |total| <= 2^53) — anything else declines to
+    // the scan, so the metadata answer can never differ in the last
+    // ulp. MetaCountSpec plan-asserts each shape; the oracle recomputes
+    // all five from the raw fixture.
+    "q_meta_sum" -> ((s, dir) => {
+      val cat = filteredMetaCatalog(s, dir)
+      s.sql(
+        s"""SELECT
+           |  (SELECT sum(o_orderkey) FROM $cat.ord_part) AS sum_key,
+           |  (SELECT avg(o_orderkey) FROM $cat.ord_part) AS avg_key,
+           |  (SELECT sum(o_orderkey) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'O') AS sum_o,
+           |  (SELECT avg(o_orderkey) FROM $cat.ord_part
+           |   WHERE o_orderstatus = 'O') AS avg_o,
+           |  (SELECT sum(o_orderkey) FROM $cat.ord_part
+           |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin)
+    }),
+
     // B164 SQL-side file skipping end to end: the same ord_meta table
     // (stats sidecar + delta append + COW DELETE), read through
     // spark.sql with a range predicate on a covered column —
@@ -1243,7 +1268,9 @@ object ScanOps extends QueryModule {
     s.conf.set(s"spark.sql.catalog.$cat.root", wh)
     val tbl = s"$wh/ord_part"
     val stampFile = Paths.get(wh, "_SRCSTAMP")
-    val stamp = Tables.srcStamp(dir, "orders") + ":part-meta"
+    // :sum tag — the round-14 sum domain needs a sidecar rebuilt with
+    // `sum_l`; a cached pre-sum fixture would decline q_meta_sum
+    val stamp = Tables.srcStamp(dir, "orders") + ":part-meta:sum"
     val fresh = Files.isDirectory(Paths.get(tbl)) &&
       Sinks.listVersions(tbl) == Seq(0L) &&
       Files.exists(stampFile) &&
@@ -1673,6 +1700,20 @@ object ScanOps extends QueryModule {
         |  count(o_custkey) AS n_cust
         |FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB sums integers into HUGEINT — cast back to the BIGINT the
+    // Spark scan (and therefore the metadata answer) speaks; avg is an
+    // exact-integer-total / count double division in both engines
+    "q_meta_sum" ->
+      """SELECT
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS sum_key,
+        |  (SELECT avg(o_orderkey) FROM orders) AS avg_key,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderstatus = 'O') AS sum_o,
+        |  (SELECT avg(o_orderkey) FROM orders
+        |   WHERE o_orderstatus = 'O') AS avg_o,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin,
 
     "q_stats_skipping_sql" ->
       """WITH t AS (SELECT * FROM orders

@@ -408,6 +408,148 @@ class MetaCountSpec extends AnyFunSuite {
       .toSet == Set("a", "b", "c", "NULL"))
   }
 
+  test("sum/avg collapse to metadata for integer columns and stay exact (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/msum"
+    // 4 range files; v (int) nulls on %5; one all-null column
+    val df = (0L until 1000L).map(i =>
+        (i, if (i % 5 == 0) null else Integer.valueOf((i % 7).toInt),
+          null: java.lang.Long))
+      .toDF("k", "v", "allnull")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "v", "allnull"))
+    val q = spark.sql(
+      "SELECT sum(k) AS sk, avg(k) AS ak, sum(v) AS sv, avg(v) AS av, " +
+        "sum(allnull) AS sn, avg(allnull) AS an, count(*) AS n " +
+        "FROM graftmeta.msum")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val want = Sinks.readCurrent(spark, tbl)
+      .agg(sum("k"), avg("k"), sum("v"), avg("v"), count(lit(1))).head()
+    val r = q.collect().head
+    assert(r.getLong(0) == want.getLong(0))
+    assert(r.getDouble(1) == want.getDouble(1), "avg must match the scan to the bit")
+    assert(r.getLong(2) == want.getLong(2))
+    assert(r.getDouble(3) == want.getDouble(3))
+    assert(r.isNullAt(4) && r.isNullAt(5),
+      "sum/avg over an all-null column are NULL, not a decline")
+    assert(r.getLong(6) == 1000L)
+    // the metadata answer follows a linked append too
+    Sinks.appendVersioned(
+      Seq((2000L, Integer.valueOf(3), null: java.lang.Long))
+        .toDF("k", "v", "allnull"),
+      tbl, Some(0L), statsCols = Seq("k", "v", "allnull"))
+    val q2 = spark.sql("SELECT sum(k) AS sk, sum(v) AS sv FROM graftmeta.msum")
+    assert(isMetaOnly(q2), s"\n${q2.queryExecution.optimizedPlan}")
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == want.getLong(0) + 2000L &&
+      r2.getLong(1) == want.getLong(2) + 3L)
+  }
+
+  test("sum/avg decline where exactness cannot be proven (round-14)") {
+    root
+    import spark.implicits._
+    // mixed-sign values: SUM still serves (exact addition has no sign
+    // gate) but AVG declines — double accumulation order could round
+    val tbl = s"$root/msign"
+    val df = (0L until 400L).map(i => (i, i - 200L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "v"))
+    val qs = spark.sql("SELECT sum(v) AS s FROM graftmeta.msign")
+    assert(isMetaOnly(qs), s"\n${qs.queryExecution.optimizedPlan}")
+    assert(qs.collect().head.getLong(0) == (0L until 400L).map(_ - 200L).sum)
+    val qa = spark.sql("SELECT avg(v) AS a FROM graftmeta.msign")
+    assert(!isMetaOnly(qa), "mixed-sign avg must decline to the scan")
+    assert(qa.collect().head.getDouble(0) ==
+      Sinks.readCurrent(spark, tbl).agg(avg("v")).head().getDouble(0))
+    // a double column never serves sums (accumulation order visible)
+    val tbl2 = s"$root/mdbl"
+    Sinks.publishVersioned(
+      (0 until 100).map(i => (i.toLong, i * 0.1)).toDF("k", "d"),
+      tbl2, None, statsCols = Seq("k", "d"))
+    val qd = spark.sql("SELECT sum(d) AS s FROM graftmeta.mdbl")
+    assert(!isMetaOnly(qd))
+    // an era sidecar (no sum_l column) declines sums; count(*) still fires
+    val side = s"${Sinks.resolve(tbl)}/${graft.ops.Stats.Sidecar}"
+    val stripped = spark.read.parquet(side).drop("sum_l").collect()
+    val schema = spark.read.parquet(side).drop("sum_l").schema
+    val tmpSide = side + ".old"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stripped.toIndexedSeq, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpSide)
+    graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(side))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpSide),
+      java.nio.file.Paths.get(side))
+    spark.catalog.clearCache()
+    val q2 = spark.sql("SELECT sum(v) AS s FROM graftmeta.msign")
+    assert(!isMetaOnly(q2), "an era sidecar without sum_l must decline, never guess")
+    assert(q2.collect().head.getLong(0) == (0L until 400L).map(_ - 200L).sum)
+    val q3 = spark.sql("SELECT count(*) AS n FROM graftmeta.msign")
+    assert(isMetaOnly(q3) && q3.collect().head.getLong(0) == 400L)
+  }
+
+  test("filtered sums: partition-only pure metadata, hybrids add interior sums (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/fsum"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    val df = (0L until 600L).map(i =>
+        (i, Seq("a", "b", "c")((i % 3).toInt), null: java.lang.Long))
+      .toDF("k", "cat", "allnull")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "allnull"))
+    // partition-only: the per-segment revenue probe — zero files opened
+    val q = spark.sql("SELECT sum(k) AS s, avg(k) AS a, sum(allnull) AS sn " +
+      "FROM graftmeta.fsum WHERE cat = 'a'")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val want = Sinks.readCurrent(spark, tbl).filter(col("cat") === "a")
+      .agg(sum("k"), avg("k")).head()
+    val r = q.collect().head
+    assert(r.getLong(0) == want.getLong(0))
+    assert(r.getDouble(1) == want.getDouble(1))
+    assert(r.isNullAt(2), "all-null interior sum is NULL, not a decline")
+    // hybrid: interior sums ride the boundary scan's aggregate
+    val tbl2 = s"$root/fsum2"
+    val df2 = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df2, tbl2, None, statsCols = Seq("k"))
+    val q2 = spark.sql("SELECT sum(k) AS s, count(*) AS n " +
+      "FROM graftmeta.fsum2 WHERE k >= 100 AND k < 600")
+    assert(!isMetaOnly(q2)) // boundary files scan
+    assert(q2.inputFiles.length == 2, q2.inputFiles.mkString(", "))
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == (100L until 600L).sum && r2.getLong(1) == 500L)
+    // a hybrid avg declines — Average cannot combine with a boundary
+    val q3 = spark.sql("SELECT avg(k) AS a " +
+      "FROM graftmeta.fsum2 WHERE k >= 100 AND k < 600")
+    assert(!isMetaOnly(q3))
+    assert(q3.collect().head.getDouble(0) == (100L until 600L).sum.toDouble / 500)
+  }
+
+  test("grouped sums and bounds: GROUP BY partition column serves min/max/sum/avg (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/gsum"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    val df = (0 until 330).map { i =>
+      val cat = if (i >= 300) null else Seq("a", "b", "c")(i % 3)
+      (i.toLong, cat, if (i % 5 == 0) null else java.lang.Long.valueOf(i * 2L))
+    }.toDF("k", "cat", "v")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "v"))
+    val q = spark.sql(
+      "SELECT cat, count(*) AS n, sum(v) AS sv, avg(v) AS av, " +
+        "min(k) AS lo, max(k) AS hi FROM graftmeta.gsum GROUP BY cat")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val got = q.collect().map(r => Option(r.getString(0)).getOrElse("NULL") ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val want = Sinks.readCurrent(spark, tbl).groupBy("cat")
+      .agg(count(lit(1)), sum("v"), avg("v"), min("k"), max("k")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
