@@ -60,6 +60,7 @@ object SparkEntry {
     "q_partition_evolution_meta", "q_hidden_partitioning", "q_type_widening",
     "q_cluster_sample", "q_stats_skipping_sql", "q_stats_skipping_ts",
     "q_stats_skipping_dec", "q_meta_count_ts", "q_meta_count_filtered",
-    "q_streaming_upsert", "q_meta_count_grouped", "q_meta_sum")
+    "q_streaming_upsert", "q_meta_count_grouped", "q_meta_sum",
+    "q_meta_grouped_range")
     .filter(queries.contains)
 }

@@ -627,7 +627,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       case f: Filter => (Some(f.condition), f.child)
       case other => (None, other)
     }
-    val (_, t) = relationOf(relPlan).getOrElse(return None)
+    val (rel, t) = relationOf(relPlan).getOrElse(return None)
     val dir = t.snapshotVersionDir
     // outputs: grouping attributes (bare or re-aliased) or plain counts
     val outKinds: Seq[Either[Int, Kind]] = agg.aggregateExpressions.map {
@@ -692,68 +692,184 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     val sessionUtc = java.time.ZoneId
       .of(spark.sessionState.conf.sessionLocalTimeZone).normalized() ==
       java.time.ZoneOffset.UTC
-    // classify; any boundary file → the scan serves it better
-    val kept = live.toSeq
+    // duplicate group outputs (SELECT cat, cat AS c2 …) would duplicate
+    // exprIds through the hybrid's inner aggregate — decline, rare shape
+    val leftIdx = outKinds.collect { case Left(i) => i }
+    if (leftIdx.distinct.size != leftIdx.size) return None
+    val counted = outKinds.collect { case Right(OfColumn(n)) =>
+      graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
+    // classify every live data file. An AllRows file that is not
+    // answering-grade for every kind — or whose partition tuple cannot
+    // be decoded (a mixed-layout leg) — DEMOTES to the boundary scan
+    // (round-14 hybrid) instead of declining the whole rewrite.
+    def fileServed(fl: String): Boolean =
+      counted.forall(c => byFileCol.get((fl, c)).exists(_.getBoolean(4))) &&
+        outKinds.forall {
+          case Right(k) => exactKindFor(fl, k, dir, byFileCol, gflags)
+          case Left(_) => true
+        }
+    def tupleOf(fl: String): Option[Seq[Any]] = {
+      val vals = groupAttrs.map { a =>
+        val phys = graft.ops.ColMap.toPhysicalName(dir, a.name)
+        partitionValue(fl, phys, partSchema)
+          .map(opt => opt.map(internalOf(a.dataType, _)).orNull)
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+    }
+    val interior = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], String)]
+    val boundaryB = scala.collection.mutable.ArrayBuffer.empty[String]
+    live.toSeq.sorted
       .filter(fl => byFile(fl).head.getLong(2) > 0) // schema anchors: no rows
-      .flatMap { fl =>
+      .foreach { fl =>
         val cls =
           if (conjs.isEmpty) AllRows
           else classifyAgainst(fl, conjs, dir, byFileCol, Some(partSchema),
             sessionUtc)
         cls match {
-          case SomeRows => return None
-          case NoRows => None
-          case AllRows => Some(fl)
+          case NoRows => ()
+          case SomeRows => boundaryB += fl
+          case AllRows =>
+            if (!fileServed(fl)) boundaryB += fl
+            else tupleOf(fl) match {
+              case Some(tp) => interior += ((tp, fl))
+              case None => boundaryB += fl
+            }
         }
       }
-    val counted = outKinds.collect { case Right(OfColumn(n)) =>
-      graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase }.distinct
-    if (!kept.forall(fl => counted.forall(c =>
-      byFileCol.get((fl, c)).exists(_.getBoolean(4))))) return None
-    // every kept file must be answering-grade for every aggregate kind
-    // (value-exact bounds / recorded sums); one stale file declines
-    if (!kept.forall(fl => outKinds.forall {
-      case Right(k) => exactKindFor(fl, k, dir, byFileCol, gflags)
-      case Left(_) => true
-    })) return None
-    // group files by their (typed, internal) partition-value tuples;
-    // an undeciphable directory (mixed-layout leg) declines
-    val grouped: Map[Seq[Any], Seq[String]] = kept.groupBy { fl =>
-      groupAttrs.map { a =>
-        val phys = graft.ops.ColMap.toPhysicalName(dir, a.name)
-        partitionValue(fl, phys, partSchema) match {
-          case None => return None
-          case Some(opt) => opt.map(internalOf(a.dataType, _)).orNull
+    val grouped: Map[Seq[Any], Seq[String]] =
+      interior.toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // a group's interior PARTIAL — the same shape the boundary scan's
+    // partial aggregate emits, so the two merge in one outer aggregate:
+    // counts/sums merge by Sum, bounds by Min/Max. None = decline.
+    def partialOf(kind: Kind, files: Seq[String]): Option[Any] = kind match {
+      case Star => Some(files.map(fl => byFile(fl).head.getLong(2)).sum)
+      case OfColumn(n) =>
+        val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
+        Some(files.map { fl =>
+          val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
+        }.sum)
+      case b: BoundOf => Some(boundOver(files, b, dir, byFileCol).orNull)
+      case SumOf(n) =>
+        sumOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+          byFileCol, gflags) match {
+          case None => None // overflowing group total: the scan decides
+          case Some(o) => Some(o.map(Long.box).orNull)
         }
-      }
+      case AvgOf(n) => // pure path only (the hybrid declines avg first)
+        avgOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
+          byFileCol, gflags) match {
+          case None => None
+          case Some(o) => Some(o.map(Double.box).orNull)
+        }
     }
-    val rows: Seq[InternalRow] = grouped.toSeq.map { case (gvals, files) =>
+    if (boundaryB.isEmpty) {
+      // pure metadata answer: every file is ALL or NONE
+      val rows: Seq[InternalRow] = grouped.toSeq.map { case (gvals, files) =>
+        InternalRow.fromSeq(outKinds.map {
+          case Left(i) => gvals(i)
+          case Right(k) => partialOf(k, files) match {
+            case None => return None
+            case Some(v) => v
+          }
+        })
+      }
+      return Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
+    }
+    // ---- grouped HYBRID (round-14): boundary files scan and partially
+    // aggregate under the exact predicate; interior groups inject their
+    // metadata partials as a LocalRelation leg of a Union; one outer
+    // aggregate merges (Sum of count/sum partials, Min/Max of bound
+    // partials). Interior-only groups survive via the union even when
+    // the scan emits nothing for them — the shape a scan-side constant
+    // injection could not express. avg cannot merge: decline.
+    if (outKinds.exists {
+      case Right(_: AvgOf) => true
+      case _ => false
+    }) return None
+    // nothing provably interior: plain pruning already serves this best
+    if (grouped.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val readSchema = graft.ops.Sinks.readSchemaFor(spark, t.snapshotTableRoot, dir)
+    val prunedDf = graft.ops.Transforms.dropHidden(graft.ops.ColMap.toLogical(
+      graft.ops.Stats.readFiles(spark, dir,
+        boundaryB.toSeq.sorted.map(k => s"$dir/$k"), readSchema), dir))
+    val analyzed = prunedDf.queryExecution.analyzed
+    val out: Seq[NamedExpression] = rel.output.map { a =>
+      val src = analyzed.output.find(_.name.equalsIgnoreCase(a.name))
+        .getOrElse(return None)
+      Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val scanChild: LogicalPlan = cond match {
+      case Some(c) => Filter(c, Project(out, analyzed))
+      case None => Project(out, analyzed)
+    }
+    def findAttr(n: String): Option[Attribute] =
+      rel.output.find(_.name.equalsIgnoreCase(n))
+    val innerOut: Seq[NamedExpression] = outKinds.map {
+      case Left(i) => groupAttrs(i)
+      case Right(k) =>
+        val fn: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction = k match {
+          case Star => Count(Seq(Literal(1)))
+          case OfColumn(n) => Count(Seq(findAttr(n).getOrElse(return None)))
+          case SumOf(n) => Sum(findAttr(n).getOrElse(return None))
+          case BoundOf(n, _, isMin) =>
+            val a = findAttr(n).getOrElse(return None)
+            if (isMin) Min(a) else Max(a)
+          case _ => return None
+        }
+        Alias(fn.toAggregateExpression(), "_gf_partial")()
+    }
+    val innerAgg = Aggregate(groupAttrs, innerOut, scanChild)
+    val localAttrs: Seq[Attribute] = innerOut.map(ne =>
+      AttributeReference(ne.name, ne.dataType, nullable = true)())
+    val localRows: Seq[InternalRow] = grouped.toSeq.map { case (gvals, files) =>
       InternalRow.fromSeq(outKinds.map {
         case Left(i) => gvals(i)
-        case Right(Star) => files.map(fl => byFile(fl).head.getLong(2)).sum
-        case Right(OfColumn(n)) =>
-          val c = graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase
-          files.map { fl =>
-            val r = byFileCol((fl, c)); r.getLong(2) - r.getLong(3)
-          }.sum
-        case Right(b: BoundOf) =>
-          boundOver(files, b, dir, byFileCol).orNull
-        case Right(SumOf(n)) =>
-          sumOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
-            byFileCol, gflags) match {
-            case None => return None // overflowing group total: scan decides
-            case Some(o) => o.map(Long.box).orNull
-          }
-        case Right(AvgOf(n)) =>
-          avgOver(files, graft.ops.ColMap.toPhysicalName(dir, n).toLowerCase,
-            byFileCol, gflags) match {
-            case None => return None // sign/magnitude gate failed
-            case Some(o) => o.map(Double.box).orNull
-          }
-        case Right(_) => return None
+        case Right(k) => partialOf(k, files) match {
+          case None => return None
+          case Some(v) => v
+        }
       })
     }
-    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
+    val union = Union(Seq(innerAgg, LocalRelation(localAttrs, localRows)))
+    val unionOut = union.output
+    val finalGrouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      outKinds.zipWithIndex.collect { case (Left(_), pos) => unionOut(pos) }
+    val finalAggs: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(outKinds).zipWithIndex.map {
+        case ((orig, Left(_)), pos) => orig match {
+          case a: AttributeReference if unionOut(pos).exprId == a.exprId =>
+            unionOut(pos)
+          case a: AttributeReference =>
+            Alias(unionOut(pos), a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          case al @ Alias(_, name) =>
+            Alias(unionOut(pos), name)(exprId = al.exprId,
+              qualifier = al.qualifier)
+          case _ => return None
+        }
+        case ((al @ Alias(_, name), Right(k)), pos) =>
+          val merged: org.apache.spark.sql.catalyst.expressions.Expression =
+            k match {
+              case BoundOf(_, _, isMin) =>
+                val af = if (isMin) Min(unionOut(pos)) else Max(unionOut(pos))
+                af.toAggregateExpression()
+              case _ =>
+                // count/sum partials merge by Sum; counts pin non-null
+                val s = Sum(unionOut(pos)).toAggregateExpression()
+                k match {
+                  case Star | _: OfColumn =>
+                    org.apache.spark.sql.catalyst.expressions.Coalesce(
+                      Seq(s, Literal(0L, LongType)))
+                  case _ => s
+                }
+            }
+          Alias(merged, name)(exprId = al.exprId, qualifier = al.qualifier)
+        case _ => return None
+      }
+    Some(Aggregate(finalGrouping, finalAggs, union))
   }
 
   /** min/max are metadata-answerable only for types whose footer bounds

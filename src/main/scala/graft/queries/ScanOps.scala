@@ -434,6 +434,26 @@ object ScanOps extends QueryModule {
            |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin)
     }),
 
+    // Grouped HYBRID metadata aggregates (round-14, B171/B174
+    // completion): GROUP BY a partition column UNDER a range predicate —
+    // THE dashboard query ("per-segment counts for the last window") —
+    // no longer declines to a full scan: interior files inject
+    // per-group metadata partials through a Union leg while only
+    // boundary files scan, one outer aggregate merging the two
+    // (MetaCountSpec pins the file subset and the interior-only-group
+    // survival). The oracle recomputes the grouping from the raw
+    // fixture.
+    "q_meta_grouped_range" -> ((s, dir) => {
+      val cat = filteredMetaCatalog(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  count(o_custkey) AS n_cust, sum(o_orderkey) AS sum_key,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM $cat.ord_part
+           |WHERE o_orderkey >= 100 AND o_orderkey < 30000
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // B164 SQL-side file skipping end to end: the same ord_meta table
     // (stats sidecar + delta append + COW DELETE), read through
     // spark.sql with a range predicate on a covered column —
@@ -1714,6 +1734,15 @@ object ScanOps extends QueryModule {
         |   WHERE o_orderstatus = 'O') AS avg_o,
         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
         |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin,
+
+    "q_meta_grouped_range" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(o_custkey) AS n_cust,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey >= 100 AND o_orderkey < 30000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_stats_skipping_sql" ->
       """WITH t AS (SELECT * FROM orders

@@ -187,6 +187,31 @@ object TrainPrepOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // B176 BPE TRAINING (round-14; extends B150's pair counting into
+    // the full tokenizer-training loop): 6 greedy merges learned
+    // word-level — the corpus is scanned once for the weighted vocab,
+    // every iteration runs on the vocab table (pair aggregation +
+    // 1-row top collect + string-replace merge application), never the
+    // corpus. Training itself is hash-ORACLED: merge application is a
+    // space-padded replace whose left-to-right semantics Spark and
+    // DuckDB share, so the unrolled DuckDB recomputation reproduces the
+    // identical merge sequence, weights included.
+    "q_bpe_train" -> ((s, dir) => {
+      val (merges, _) = graft.ops.Bpe.train(Tables.documents(s, dir), "text", 6)
+      merges.orderBy("rank")
+    }),
+
+    // The word-level ENCODER the learned merges induce: the final vocab
+    // symbol sequences (every merge applied, in rank order) for the 15
+    // most frequent words — what a corpus encode joins against. Same
+    // oracle chain as q_bpe_train, read at the final vocab instead of
+    // the merge table.
+    "q_bpe_encode" -> ((s, dir) => {
+      val (_, vocab) = graft.ops.Bpe.train(Tables.documents(s, dir), "text", 6)
+      vocab.select(col("w"), col("n"), col("sym"))
+        .orderBy(col("n").desc, col("w")).limit(15)
+    }),
+
     // B147 DSIR importance resampling (Xie et al. 2023): English docs
     // play the trusted target corpus; every non-English doc is scored by
     // the hashed-unigram+bigram log importance ratio (1024 buckets, add-1
@@ -203,7 +228,42 @@ object TrainPrepOps extends QueryModule {
     }),
   )
 
+  /** The unrolled-DuckDB BPE training chain (q_bpe_train /
+    * q_bpe_encode): v0 = the symbolized word-frequency vocab; each
+    * iteration i picks the (count DESC, pair ASC)-pinned top adjacent
+    * pair and applies it via the space-padded replace — the exact
+    * algorithm the Spark side runs, so the merge sequence is
+    * byte-identical (see [[graft.ops.Bpe]]'s determinism note).
+    */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+      |    trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w>' AS sym
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w)""".stripMargin
+    for (i <- 1 to k) sb ++= s""",
+      |p$i AS (SELECT list_extract(a, j) || ' ' || list_extract(a, j + 1) AS pair, n
+      |  FROM (SELECT string_split(sym, ' ') AS a, n,
+      |          unnest(generate_series(1, len(string_split(sym, ' ')) - 1)) AS j
+      |        FROM v${i - 1})),
+      |m$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p$i
+      |        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      |v$i AS (SELECT w, n, trim(replace(' ' || sym || ' ',
+      |          ' ' || (SELECT pair FROM m$i) || ' ',
+      |          ' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ')) AS sym
+      |        FROM v${i - 1})""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> (bpeCtes(6) + "\n" + (1 to 6).map(i =>
+      s"SELECT $i AS rank, pair, replace(pair, ' ', '') AS merged, " +
+        s"cnt AS weight FROM m$i").mkString("\nUNION ALL ") +
+      "\nORDER BY rank"),
+
+    "q_bpe_encode" -> (bpeCtes(6) +
+      "\nSELECT w, n, sym FROM v6 ORDER BY n DESC, w LIMIT 15"),
+
     "q_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),

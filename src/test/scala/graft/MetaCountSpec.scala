@@ -391,11 +391,14 @@ class MetaCountSpec extends AnyFunSuite {
     assert(isMetaOnly(q2), s"\n${q2.queryExecution.optimizedPlan}")
     assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("a" -> 100, "b" -> 100))
-    // a boundary-producing predicate declines — the scan still answers
+    // a boundary-producing predicate goes HYBRID (round-14): interior
+    // groups inject metadata partials, only boundary files scan
     val q3 = spark.sql("SELECT cat, count(*) AS n FROM graftmeta.fgrp " +
       "WHERE k < 150 GROUP BY cat")
-    assert(!isMetaOnly(q3))
     assert(q3.collect().map(_.getLong(1)).sum == 150)
+    assert(q3.inputFiles.length <
+      graft.io.Fs.walkParquet(java.nio.file.Paths.get(Sinks.resolve(tbl))).size,
+      "the grouped hybrid must scan only boundary files")
     // grouping by a NON-partition column declines (values live in files)
     val q4 = spark.sql(
       "SELECT s, count(*) AS n FROM graftmeta.fgrp GROUP BY s")
@@ -548,6 +551,53 @@ class MetaCountSpec extends AnyFunSuite {
       .map(r => Option(r.getString(0)).getOrElse("NULL") ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
     assert(got == want, s"got $got want $want")
+  }
+
+  test("grouped hybrid: boundary files scan per group, interior groups inject partials, interior-only groups survive (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/ghyb"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    // a/b span k 0..599; c exists only below 300 — so under the range
+    // below, c is INTERIOR-ONLY (the scan leg emits no c rows at all)
+    val df = ((0L until 600L).flatMap(k => Seq((k, "a"), (k, "b"))) ++
+      (0L until 300L).map(k => (k, "c")))
+      .map { case (k, cat) => (k, cat, if (k % 5 == 0) null else s"s$k") }
+      .toDF("k", "cat", "s")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k", "s"))
+    val q = spark.sql(
+      "SELECT cat, count(*) AS n, count(s) AS ns, sum(k) AS sk, " +
+        "min(k) AS lo, max(k) AS hi FROM graftmeta.ghyb " +
+        "WHERE k >= 100 AND k < 560 GROUP BY cat")
+    val want = Sinks.readCurrent(spark, tbl)
+      .filter(col("k") >= 100 && col("k") < 560)
+      .groupBy("cat").agg(count(lit(1)), count(col("s")), sum("k"),
+        min("k"), max("k")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains("c"),
+      "an interior-only group must survive the hybrid via the union leg")
+    // only BOUNDARY files open: the metadata partials carry the rest
+    val total = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.resolve(tbl))).size
+    assert(q.inputFiles.nonEmpty && q.inputFiles.length < total,
+      s"hybrid must scan a strict file subset, got ${q.inputFiles.length}/$total")
+    // the same shape with avg declines (partials cannot merge) — and
+    // still answers exactly from the scan
+    val qa = spark.sql("SELECT cat, avg(k) AS a FROM graftmeta.ghyb " +
+      "WHERE k >= 100 AND k < 560 GROUP BY cat")
+    val wantA = Sinks.readCurrent(spark, tbl)
+      .filter(col("k") >= 100 && col("k") < 560)
+      .groupBy("cat").agg(avg("k")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(qa.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == wantA)
   }
 
   test("time-travel snapshots answer from their own version's sidecar") {
