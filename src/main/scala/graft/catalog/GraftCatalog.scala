@@ -1186,6 +1186,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "annotate_stats" => new GraftProcedures.AnnotateStats(resolve)
       case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
       case "eq_upsert" => new GraftProcedures.EqUpsert(resolve)
+      case "eq_checkpoint" => new GraftProcedures.EqCheckpoint(resolve)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq

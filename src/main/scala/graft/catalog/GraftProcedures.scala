@@ -39,7 +39,7 @@ private[graft] object GraftProcedures {
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
     "txn_publish", "zorder", "annotate_stats", "expire_versions",
-    "eq_upsert")
+    "eq_upsert", "eq_checkpoint")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -305,6 +305,45 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.eq_checkpoint(table)` — fold the equality-delete sidecars
+    * as an O(metadata) commit ([[graft.ops.Sinks.eqCheckpoint]]): one
+    * part each, dead tombstones swept, maintenance exited when nothing
+    * remains pending. No data file is read or written.
+    */
+  final class EqCheckpoint(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "eq_checkpoint"
+    override def description(): String =
+      "fold the equality-delete sidecars (dead tombstones swept) as an " +
+        "O(metadata) commit — no data rewrite"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val root = resolveRoot(table)
+      val spark = SparkSession.active
+      val v = graft.ops.Sinks.eqCheckpoint(spark, root)
+      val live = graft.ops.Sinks.versionPath(root, v)
+      val pending =
+        if (graft.ops.EqDel.exists(live))
+          graft.ops.EqDel.pending(spark, live).count()
+        else 0L
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), v, pending))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false),
+          StructField("pending_tombstones", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

@@ -147,30 +147,65 @@ object EqDel {
   /** Fold a multi-part sidecar pile inside a writer-private STAGE dir
     * down to one part — the log-checkpoint move bounding reader-side
     * part counts (amortized O(1) per commit, metadata-scale bytes).
-    * `_eqdel`: one row per key at its MAX seq (a later tombstone's
-    * scope strictly contains an earlier one's). `_eqseq`: live file
-    * keys only, max seq each (COW-replaced keys are dead weight).
+    * `_eqseq`: live file keys only, max seq each (COW-replaced keys are
+    * dead weight). `_eqdel`: one row per key at its MAX seq (a later
+    * tombstone's scope strictly contains an earlier one's), MINUS the
+    * DEAD tombstones (round-14 sweep): a tombstone only hides rows in
+    * files with a strictly OLDER sequence, so once every live file's
+    * seq is at or above it — e.g. after a scoped compaction rewrote
+    * (and re-stamped) everything it could have applied to — it can
+    * never hide anything again and is dropped. When the sweep empties
+    * the pile entirely, BOTH sidecars are removed: the table exits
+    * eq-delete maintenance (future carried files are then unstamped =
+    * seq −1, correctly older than any future tombstone).
+    *
+    * Fold `_eqseq` BEFORE `_eqdel` — the sweep reads the staged seq
+    * pile to compute the live floor.
     */
   private[graft] def compactSidecar(spark: SparkSession, stageDir: String,
       which: String): Unit = {
     val scDir = Paths.get(stageDir, which)
     if (!Files.isDirectory(scDir)) return
+    import spark.implicits._
     val raw = spark.read.parquet(scDir.toString)
-    val folded =
-      if (which == SeqSidecar) {
-        import spark.implicits._
-        val liveKeys = graft.io.Fs.walkParquet(Paths.get(stageDir))
-          .map(p => Paths.get(stageDir).relativize(p).toString).toDF("file")
-        raw.join(liveKeys, Seq("file"), "left_semi")
+    val liveFiles = graft.io.Fs.walkParquet(Paths.get(stageDir))
+      .map(p => Paths.get(stageDir).relativize(p).toString)
+    if (which == SeqSidecar) {
+      val liveKeys = liveFiles.toDF("file")
+      val folded = raw.join(liveKeys, Seq("file"), "left_semi")
+        .groupBy("file").agg(max("seq").as("seq"))
+      val tmp = Paths.get(stageDir, s"$which.fold")
+      folded.coalesce(1).write.parquet(tmp.toString)
+      graft.io.Fs.deleteRecursively(scDir)
+      Files.move(tmp, scDir)
+      ()
+    } else {
+      // the live seq floor: files without a stamp are seq −1; an empty
+      // table hides nothing, so every tombstone is dead
+      val seqDir = Paths.get(stageDir, SeqSidecar)
+      val stamps: Map[String, Long] =
+        if (!Files.isDirectory(seqDir)) Map.empty
+        else spark.read.parquet(seqDir.toString)
           .groupBy("file").agg(max("seq").as("seq"))
+          .as[(String, Long)].collect().toMap
+      val minLive =
+        if (liveFiles.isEmpty) Long.MaxValue
+        else liveFiles.map(f => stamps.getOrElse(f, -1L)).min
+      val keys = raw.columns.filterNot(_ == SeqCol).toSeq
+      val folded = raw.groupBy(keys.map(col): _*).agg(max(SeqCol).as(SeqCol))
+        .filter(col(SeqCol) > lit(minLive))
+      if (folded.isEmpty) {
+        // nothing pending: exit eq-delete maintenance entirely
+        graft.io.Fs.deleteRecursively(scDir)
+        if (Files.isDirectory(seqDir)) graft.io.Fs.deleteRecursively(seqDir)
       } else {
-        val keys = raw.columns.filterNot(_ == SeqCol).toSeq
-        raw.groupBy(keys.map(col): _*).agg(max(SeqCol).as(SeqCol))
+        val tmp = Paths.get(stageDir, s"$which.fold")
+        folded.coalesce(1).write.parquet(tmp.toString)
+        graft.io.Fs.deleteRecursively(scDir)
+        Files.move(tmp, scDir)
       }
-    val tmp = Paths.get(stageDir, s"$which.fold")
-    folded.coalesce(1).write.parquet(tmp.toString)
-    graft.io.Fs.deleteRecursively(scDir)
-    Files.move(tmp, scDir)
+      ()
+    }
   }
 
   /** Refuse an operation that raw-reads files under pending equality

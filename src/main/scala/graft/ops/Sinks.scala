@@ -1321,7 +1321,9 @@ object Sinks
         // exactly valid in the new version. Past the checkpoint
         // threshold the pile folds (max-seq per key / live-keys only) —
         // metadata-scale, the same amortized-O(1) contract as _stats.
-        Seq(EqDel.Sidecar, EqDel.SeqSidecar).foreach { sc =>
+        // SeqSidecar first: the _eqdel fold's dead-tombstone sweep
+        // (round-14) reads the staged seq pile for the live floor
+        Seq(EqDel.SeqSidecar, EqDel.Sidecar).foreach { sc =>
           if (Files.isDirectory(live.resolve(sc))) {
             val prev = Fs.listDir(live.resolve(sc))
               .filter(_.getFileName.toString.endsWith(".parquet"))

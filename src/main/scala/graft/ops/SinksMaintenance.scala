@@ -265,6 +265,35 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       carry = rel => !matching(rel), opTag = "compact-where")
   }
 
+  /** Fold the equality-delete sidecars NOW, as an O(metadata) commit
+    * (round-14): carry every live data file by hardlink, fold `_eqseq`
+    * to live-file max-seqs and `_eqdel` to max-seq-per-key MINUS the
+    * dead tombstones ([[EqDel.compactSidecar]]'s sweep), and commit.
+    * No data file is read or written — this is how an operator sheds
+    * reader-side anti-join debt after a bulk upsert burst without
+    * waiting for the part-count checkpoint or paying a compaction
+    * rewrite. After a scoped compaction has re-stamped every file a
+    * tombstone could apply to, this commit EXITS eq-delete maintenance
+    * entirely (both sidecars removed). Returns the new version.
+    */
+  def eqCheckpoint(spark: SparkSession, root: String): Long = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    require(EqDel.maintained(versionPath(root, v)),
+      s"$root is not under equality-delete maintenance — nothing to fold")
+    val empty = readCurrent(spark, root).limit(0)
+    val stage = stageLinkedNoCommit(empty, root, Some(v), Nil,
+      emitFeed = false, batchTag = None, carry = _ => true,
+      skipDataWrite = true, opTag = "eq-checkpoint")
+    try {
+      EqDel.compactSidecar(spark, stage.toString, EqDel.SeqSidecar)
+      EqDel.compactSidecar(spark, stage.toString, EqDel.Sidecar)
+      commitStaged(root, stage, Some(v))
+    } catch {
+      case e: Throwable => Fs.deleteRecursively(stage); throw e
+    }
+  }
+
   /** The declared-clustering layout of a compaction rewrite (round-14,
     * `graft.cluster.columns`): one column — or any non-numeric
     * dimension — range-clusters hierarchically (exact pruning on the

@@ -220,6 +220,73 @@ class EqDelSpec extends AnyFunSuite {
     assert(state(root).size == 200) // every upserted key already existed
   }
 
+  test("dead-tombstone sweep: the fold drops tombstones no live file can match; a full sweep exits maintenance (round-14)") {
+    import spark.implicits._
+    // synthetic stage: data files all stamped at seq 5; tombstones at
+    // 3 (dead: no file older), 5 (dead: scoping is strict), 7 (live)
+    val stage = tmp("eqdsweep")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val files = graft.io.Fs.walkParquet(Paths.get(stage))
+      .map(p => Paths.get(stage).relativize(p).toString)
+    assert(files.nonEmpty)
+    files.map((_, 5L)).toDF("file", "seq")
+      .coalesce(1).write.parquet(s"$stage/${EqDel.SeqSidecar}")
+    Seq((1L, 3L), (2L, 5L), (3L, 7L)).toDF("k", "__gf_seq")
+      .coalesce(1).write.parquet(s"$stage/${EqDel.Sidecar}")
+    EqDel.compactSidecar(spark, stage, EqDel.SeqSidecar)
+    EqDel.compactSidecar(spark, stage, EqDel.Sidecar)
+    val left = spark.read.parquet(s"$stage/${EqDel.Sidecar}")
+      .select("k").as[Long].collect().toSet
+    assert(left == Set(3L),
+      s"tombstones at or below the live seq floor must drop, got $left")
+    // rewrite the pile to dead-only and fold again: the table must exit
+    // eq-delete maintenance entirely (both sidecars removed)
+    graft.io.Fs.deleteRecursively(Paths.get(s"$stage/${EqDel.Sidecar}"))
+    Seq((9L, 4L)).toDF("k", "__gf_seq")
+      .coalesce(1).write.parquet(s"$stage/${EqDel.Sidecar}")
+    EqDel.compactSidecar(spark, stage, EqDel.Sidecar)
+    assert(!EqDel.maintained(stage),
+      "a fully-swept table must shed both sidecars and exit maintenance")
+  }
+
+  test("CALL system.eq_checkpoint: O(metadata) fold commit — one part, state identical, exits maintenance after a full rewrite (round-14)") {
+    import spark.implicits._
+    val wh = tmp("eqdchk")
+    val root = s"$wh/t"
+    TableProps.update(root)(_ + (TableProps.PartitionKey -> "cat STRING"))
+    Sinks.publishVersioned(
+      (0L until 100L).map(i => (i, Seq("a", "b")((i % 2).toInt), s"v$i"))
+        .toDF("k", "cat", "payload"), root, None)
+    (1 to 5).foreach { n =>
+      EqDel.upsertBatch(spark,
+        Seq((n.toLong, Seq("a", "b")(n % 2), s"gen$n")).toDF("k", "cat", "payload"),
+        root, Seq("k"))
+    }
+    spark.conf.set("spark.sql.catalog.geqc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.geqc.root", wh)
+    val before = Sinks.readCurrent(spark, root).collect().toSet
+    val r = spark.sql("CALL geqc.system.eq_checkpoint(table => 't')")
+      .collect().head
+    val live = Sinks.resolve(root)
+    // folded to one part each; five pending tombstones survive (the
+    // base file is unstamped, so nothing is dead yet); data identical
+    assert(r.getLong(2) == 5L, s"pending = ${r.getLong(2)}")
+    assert(graft.io.Fs.listDir(Paths.get(live, EqDel.Sidecar))
+      .count(_.getFileName.toString.endsWith(".parquet")) == 1)
+    assert(Sinks.readCurrent(spark, root).collect().toSet == before)
+    // a scoped compaction over EVERY partition re-stamps every file the
+    // tombstones could apply to — the next checkpoint exits maintenance
+    Sinks.compactVersionedWhere(spark, root, "cat IN ('a', 'b')")
+    assert(EqDel.maintained(Sinks.resolve(root)), "tombstones carry until folded")
+    val r2 = spark.sql("CALL geqc.system.eq_checkpoint(table => 't')")
+      .collect().head
+    assert(r2.getLong(2) == 0L)
+    assert(!EqDel.maintained(Sinks.resolve(root)),
+      "a fully-rewritten table must exit eq-delete maintenance")
+    assert(Sinks.readCurrent(spark, root).collect().toSet == before)
+  }
+
   test("upsertStreamTo: exactly-once across restart, op-column deletes, final state = serial merge") {
     import spark.implicits._
     val root = tmp("eqdstream") + "/t"
