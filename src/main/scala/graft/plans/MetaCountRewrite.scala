@@ -55,6 +55,9 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   // (see [[avgOver]]'s gates)
   private final case class SumOf(name: String) extends Kind
   private final case class AvgOf(name: String) extends Kind
+  // count(DISTINCT <identity partition column>) — the "how many
+  // segments" probe, answered from directory arithmetic alone
+  private final case class DistinctPart(name: String) extends Kind
 
   /** Which answering domains this sidecar's schema era carries (absent
     * columns must decline, never read as "all-null data").
@@ -75,12 +78,13 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
-      dir <- snapshotOf(agg.child)
+      relT <- relationOf(agg.child)
       kinds <- agg.aggregateExpressions.foldRight(
           Option(List.empty[Kind]))((ne, acc) =>
         acc.flatMap(t => kindOf(ne).map(_ :: t)))
       if kinds.nonEmpty
-      values <- metaValues(dir, kinds)
+      values <- metaValues(relT._2.snapshotVersionDir, kinds,
+        Some(relT._2.snapshotTableRoot))
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow.fromSeq(values)))
 
@@ -897,6 +901,17 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
   }
 
   private def kindOf(ne: NamedExpression): Option[Kind] = ne match {
+    // count(DISTINCT col): only ever answerable for identity PARTITION
+    // columns (the directory value is every row's value, so the
+    // distinct set is the set of value-bearing directories) — the
+    // partition-column check happens in metaValues where the dir is
+    // known; any other distinct declines there
+    case Alias(ae: AggregateExpression, _)
+        if ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) => Some(DistinctPart(a.name))
+        case _ => None
+      }
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
@@ -1157,7 +1172,8 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     * inside the result is a real SQL NULL (min/max over an all-null
     * column), distinct from declining.
     */
-  private def metaValues(dir: String, kinds: Seq[Kind]): Option[Seq[Any]] = {
+  private def metaValues(dir: String, kinds: Seq[Kind],
+      rootOpt: Option[String] = None): Option[Seq[Any]] = {
     // under a deletion vector the sidecar describes PRE-delete files.
     // count(*) stays answerable — vector entries are unique positions
     // in live files (COW never reaches a DV version, carries preserve
@@ -1204,6 +1220,29 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       case OfColumn(c) => covered(c).map(_.map(r => r.getLong(2) - r.getLong(3)).sum)
       // round-14: sum/avg from the data-exact per-file sums (None =
       // decline; an inner null is the real SQL NULL of an empty input)
+      case DistinctPart(c) =>
+        // the distinct non-null values among IDENTITY partition
+        // directories holding at least one row — nulls are excluded
+        // exactly as count(DISTINCT) excludes them; any undecodable
+        // file (mixed-layout leg) declines. DVs decline above: a
+        // vector could have emptied a directory's last rows.
+        rootOpt.flatMap { root =>
+          graft.ops.Sinks.partitionSchemaFor(root, dir).flatMap { ps =>
+            val phys = graft.ops.ColMap.toPhysicalName(dir, c)
+            val identity = ps.fields.exists(f =>
+              f.name.equalsIgnoreCase(phys) &&
+                graft.ops.Transforms.parse(f.name).isEmpty)
+            if (!identity) None
+            else {
+              val per = live.toSeq
+                .filter(f => byFile(f).head.getLong(2) > 0)
+                .map(f => partitionValue(f, phys, ps))
+              if (per.exists(_.isEmpty)) None
+              else Some(per.flatten.collect { case Some(v) => v }
+                .distinct.size.toLong)
+            }
+          }
+        }
       case SumOf(c) =>
         sumOver(live.toSeq, graft.ops.ColMap.toPhysicalName(dir, c).toLowerCase,
           byFileCol, flags).map(_.map(Long.box).orNull)

@@ -431,7 +431,9 @@ object ScanOps extends QueryModule {
            |  (SELECT avg(o_orderkey) FROM $cat.ord_part
            |   WHERE o_orderstatus = 'O') AS avg_o,
            |  (SELECT sum(o_orderkey) FROM $cat.ord_part
-           |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin)
+           |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid,
+           |  (SELECT count(DISTINCT o_orderstatus) FROM $cat.ord_part)
+           |    AS n_status""".stripMargin)
     }),
 
     // Grouped HYBRID metadata aggregates (round-14, B171/B174
@@ -1733,7 +1735,8 @@ object ScanOps extends QueryModule {
         |  (SELECT avg(o_orderkey) FROM orders
         |   WHERE o_orderstatus = 'O') AS avg_o,
         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
-        |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid""".stripMargin,
+        |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid,
+        |  (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_status""".stripMargin,
 
     "q_meta_grouped_range" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -553,6 +553,30 @@ class MetaCountSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("count(DISTINCT partition col) answers from directories; non-partition distinct declines (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/dpart"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING"))
+    // three values + a NULL partition; count(DISTINCT) excludes NULL
+    val df = (0 until 120).map { i =>
+      val cat = if (i >= 90) null else Seq("a", "b", "c")(i % 3)
+      (i.toLong, cat)
+    }.toDF("k", "cat")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k"))
+    val q = spark.sql(
+      "SELECT count(DISTINCT cat) AS n, count(*) AS m FROM graftmeta.dpart")
+    assert(isMetaOnly(q), s"\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 120L)
+    // a non-partition column's distinct count declines — values live in
+    // files, not directories — and the scan still answers
+    val q2 = spark.sql("SELECT count(DISTINCT k) AS n FROM graftmeta.dpart")
+    assert(!isMetaOnly(q2))
+    assert(q2.collect().head.getLong(0) == 120L)
+  }
+
   test("grouped hybrid: boundary files scan per group, interior groups inject partials, interior-only groups survive (round-14)") {
     root
     import spark.implicits._
