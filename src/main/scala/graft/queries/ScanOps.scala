@@ -436,6 +436,26 @@ object ScanOps extends QueryModule {
            |    AS n_status""".stripMargin)
     }),
 
+    // Avro container scan (round-14, closes B3's documented gap): the
+    // spark-avro connector is absent from this classpath, but avro-core
+    // ships with Spark itself — AvroIO writes one container per
+    // partition and reads them back via a one-header driver schema read
+    // plus executor-side record streams. The oracle aggregates the
+    // PARQUET original, so the hash proves the whole write→read avro
+    // roundtrip lossless — longs, strings, doubles, AND the timestamp
+    // column (timestamp-micros logical type).
+    "q_avro_scan" -> ((s, dir) => {
+      val path = avroFixture(s, dir)
+      graft.sources.AvroIO.read(s, path)
+        .groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long").as("cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          min("o_orderdate").as("min_date"), max("o_orderdate").as("max_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Grouped HYBRID metadata aggregates (round-14, B171/B174
     // completion): GROUP BY a partition column UNDER a range predicate —
     // THE dashboard query ("per-segment counts for the last window") —
@@ -1238,6 +1258,24 @@ object ScanOps extends QueryModule {
     cat
   }
 
+  /** Per-sf-dir avro copy of orders (round-14, B3 closure): written
+    * once through [[graft.sources.AvroIO.write]], content-stamped like
+    * every other fixture cache.
+    */
+  def avroFixture(s: SparkSession, dir: String): String = this.synchronized {
+    import java.nio.file.{Files, Paths}
+    val path = "/tmp/graft_avro_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stampFile = Paths.get(path, "_SRCSTAMP")
+    val stamp = Tables.srcStamp(dir, "orders") + ":avro1"
+    val fresh = Files.isDirectory(Paths.get(path)) && Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+    if (!fresh) {
+      graft.sources.AvroIO.write(Tables.orders(s, dir).repartition(4), path)
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    path
+  }
+
   /** Per-sf-dir catalog for q_meta_count: `ord_meta` = orders published
     * with footer stats (v0), appended to with stats (v1), then COW-
     * DELETEd through SQL DML (v2) — the `_stats` sidecar follows every
@@ -1737,6 +1775,15 @@ object ScanOps extends QueryModule {
         |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
         |   WHERE o_orderkey >= 100 AND o_orderkey < 30000) AS sum_mid,
         |  (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_status""".stripMargin,
+
+    // the oracle reads the PARQUET original — a hash match proves the
+    // avro write→read roundtrip lossless, timestamps included
+    "q_avro_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_meta_grouped_range" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
