@@ -401,6 +401,7 @@ private[graft] trait SinksReplication { this: Sinks.type =>
     require(Files.isDirectory(src), s"copyInto source $srcDir is not a directory")
     val dataExt = format.toLowerCase match {
       case "parquet" => Some(".parquet")
+      case "avro" => Some(".avro") // round-14: avro-core container read
       case _ => None
     }
     val candidates = Fs.listDir(src)
@@ -417,7 +418,12 @@ private[graft] trait SinksReplication { this: Sinks.type =>
       return (currentVersion(root).getOrElse(-1L), Nil)
     import spark.implicits._
     val receipt = newFiles.toDF("src")
-    val df = spark.read.format(format).options(options).load(newFiles: _*)
+    // avro routes through AvroIO (the spark-avro connector is absent —
+    // see sources/AvroIO); everything else through Spark's own readers
+    val df =
+      if (format.equalsIgnoreCase("avro"))
+        graft.sources.AvroIO.readFiles(spark, newFiles)
+      else spark.read.format(format).options(options).load(newFiles: _*)
     val v = currentVersion(root) match {
       case None =>
         publishVersioned(df, root, None,

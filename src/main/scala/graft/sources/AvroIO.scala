@@ -173,6 +173,15 @@ object AvroIO {
       .filter(_.getFileName.toString.endsWith(".avro"))
       .map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
+    readFiles(spark, files)
+  }
+
+  /** [[read]] over an EXPLICIT file list — the COPY INTO ingestion
+    * shape, where the receipt dedupe decides which landing-zone files
+    * are new before anything is opened.
+    */
+  def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "readFiles requires at least one file")
     val header = new DataFileReader[GenericRecord](
       new java.io.File(files.head), new GenericDatumReader[GenericRecord]())
     val avSchema = try header.getSchema finally header.close()

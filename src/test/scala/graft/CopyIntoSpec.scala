@@ -45,6 +45,34 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(Sinks.readCurrent(spark, tbl).count() == 35)
   }
 
+  test("avro landing zone ingests through AvroIO with the same exactly-once receipts (round-14)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_copyin_avro").toString
+    val src = s"$dir/landing"
+    val root = s"$dir/t"
+    // batch 1: two avro containers
+    graft.sources.AvroIO.write(
+      (0L until 50L).map(i => (i, s"row$i")).toDF("k", "s").repartition(2), src)
+    val (v1, in1) = Sinks.copyInto(spark, root, src, format = "avro")
+    assert(in1.size == 2)
+    assert(Sinks.readCurrent(spark, root).count() == 50)
+    // idempotent re-run
+    val (v2, in2) = Sinks.copyInto(spark, root, src, format = "avro")
+    assert(v2 == v1 && in2.isEmpty)
+    // a NEW container lands: only the delta ingests
+    val extra = s"$dir/extra"
+    graft.sources.AvroIO.write(
+      (100L until 120L).map(i => (i, s"row$i")).toDF("k", "s").coalesce(1), extra)
+    val part = graft.io.Fs.listDir(Paths.get(extra))
+      .find(_.getFileName.toString.endsWith(".avro")).get
+    Files.move(part, Paths.get(src, "late.avro"))
+    val (_, in3) = Sinks.copyInto(spark, root, src, format = "avro")
+    assert(in3.size == 1)
+    assert(Sinks.readCurrent(spark, root).count() == 70)
+    assert(Sinks.readCurrent(spark, root).agg(sum("k")).head().getLong(0) ==
+      (0L until 50L).sum + (100L until 120L).sum)
+  }
+
   test("crash between commit and props fold does not double-ingest; vacuum folds receipts") {
     val dir = Files.createTempDirectory("graft_copyin").toString
     val src = s"$dir/landing"; Files.createDirectories(Paths.get(src))
