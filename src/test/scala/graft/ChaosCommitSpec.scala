@@ -111,6 +111,45 @@ class ChaosCommitSpec extends AnyFunSuite {
     assert(Sinks.readCurrent(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("eq-upsert and eq_checkpoint hold the matrix through the chaos binding (round-14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.EqDel
+    val root = Files.createTempDirectory("graft_chaos_eq").toString + "/t"
+    Sinks.publishVersioned(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), root, None)
+    // FailBefore at flip: the blind upsert aborts cleanly — pointer
+    // unchanged, NO tombstones visible (data + tombstones are one
+    // atomic staged commit, so neither can land alone)
+    val chaos = new ChaosCommit(LocalFsCommit, root,
+      Map(("flip", 1) -> FailBefore))
+    intercept[ChaosFault](withProtocol(chaos) {
+      EqDel.upsertBatch(spark, Seq((1L, "upd")).toDF("k", "v"), root, Seq("k"))
+    })
+    assert(Sinks.currentVersion(root).contains(0L))
+    assert(!EqDel.exists(Sinks.resolve(root)),
+      "an aborted upsert must leave no tombstones behind")
+    assert(Sinks.readCurrent(spark, root)
+      .filter(col("k") === 1L).head().getString(1) == "v1")
+    // a healthy retry applies exactly once
+    EqDel.upsertBatch(spark, Seq((1L, "upd")).toDF("k", "v"), root, Seq("k"))
+    val got = Sinks.readCurrent(spark, root).filter(col("k") === 1L).collect()
+    assert(got.length == 1 && got(0).getString(1) == "upd")
+    // ApplyThenFail at flip on eq_checkpoint: the fold IS committed —
+    // the caller sees failure, the truth is a folded new version with
+    // byte-identical state (the documented ambiguous-response contract)
+    val before = Sinks.readCurrent(spark, root).collect().toSet
+    val vBefore = Sinks.currentVersion(root).get
+    val chaos2 = new ChaosCommit(LocalFsCommit, root,
+      Map(("flip", 1) -> ApplyThenFail))
+    intercept[ChaosFault](withProtocol(chaos2) {
+      Sinks.eqCheckpoint(spark, root)
+    })
+    assert(Sinks.currentVersion(root).exists(_ > vBefore),
+      "the applied-then-lost flip must be visible")
+    assert(Sinks.readCurrent(spark, root).collect().toSet == before)
+  }
+
   test("multi-table txn through the chaos binding: a publish fault aborts BOTH tables; healthy retry commits both") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_chaos5").toString
