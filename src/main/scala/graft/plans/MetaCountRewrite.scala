@@ -666,7 +666,11 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     // least one (classified-in) row, zero files opened
     val sidecar = Paths.get(dir, graft.ops.Stats.Sidecar)
     if (!Files.isDirectory(sidecar)) return None
-    if (graft.ops.EqDel.exists(dir) || graft.ops.Dv.exists(dir)) return None
+    // eq-deletes hide rows by KEY across files — no per-file
+    // arithmetic recovers them; decline. Deletion-vector files, by
+    // contrast, hide known positions per FILE: they demote to the
+    // boundary scan below (round-14 hybrid), clean files stay metadata.
+    if (graft.ops.EqDel.exists(dir)) return None
     val partSchema = graft.ops.Sinks
       .partitionSchemaFor(t.snapshotTableRoot, dir).getOrElse(return None)
     // every grouping column must be an IDENTITY partition column (a
@@ -720,6 +724,12 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
       }
       if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
     }
+    // deletion-vector files force into the boundary scan (their
+    // metadata row counts are pre-delete, and a NoRows verdict stays
+    // NoRows — a delete only removes rows)
+    val dvFiles: Set[String] =
+      if (!graft.ops.Dv.exists(dir)) Set.empty
+      else graft.ops.Dv.bitmapEntries(spark, dir).map(_._1).toSet
     val interior = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], String)]
     val boundaryB = scala.collection.mutable.ArrayBuffer.empty[String]
     live.toSeq.sorted
@@ -733,7 +743,7 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
           case NoRows => ()
           case SomeRows => boundaryB += fl
           case AllRows =>
-            if (!fileServed(fl)) boundaryB += fl
+            if (dvFiles(fl) || !fileServed(fl)) boundaryB += fl
             else tupleOf(fl) match {
               case Some(tp) => interior += ((tp, fl))
               case None => boundaryB += fl

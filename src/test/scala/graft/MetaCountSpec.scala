@@ -624,6 +624,33 @@ class MetaCountSpec extends AnyFunSuite {
     assert(qa.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == wantA)
   }
 
+  test("grouped hybrid: deletion-vector files demote to the boundary, clean files stay metadata (round-14)") {
+    root
+    import spark.implicits._
+    val tbl = s"$root/gdv"
+    graft.ops.TableProps.update(tbl)(_ +
+      (graft.ops.TableProps.PartitionKey -> "cat STRING") +
+      (graft.ops.TableProps.DmlModeKey -> "mor"))
+    val df = (0L until 300L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("k", "cat")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Sinks.publishVersioned(df, tbl, None, statsCols = Seq("k"))
+    spark.sql("DELETE FROM graftmeta.gdv WHERE k = 7") // k=7 is in cat=b
+    assert(graft.ops.Dv.exists(Sinks.resolve(tbl)))
+    val q = spark.sql("SELECT cat, count(*) AS n, sum(k) AS sk " +
+      "FROM graftmeta.gdv GROUP BY cat")
+    val want = Sinks.readCurrent(spark, tbl).groupBy("cat")
+      .agg(count(lit(1)), sum("k")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(q.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap == want)
+    // only the vectored file scans; the clean files serve from metadata
+    val total = graft.io.Fs.walkParquet(
+      java.nio.file.Paths.get(Sinks.resolve(tbl))).size
+    assert(q.inputFiles.nonEmpty && q.inputFiles.length < total,
+      s"only DV files must scan, got ${q.inputFiles.length}/$total")
+  }
+
   test("time-travel snapshots answer from their own version's sidecar") {
     root
     val nation = graft.io.Tables.nation(spark, sf001)
