@@ -1187,6 +1187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
       case "eq_upsert" => new GraftProcedures.EqUpsert(resolve)
       case "eq_checkpoint" => new GraftProcedures.EqCheckpoint(resolve)
+      case "bpe_train" => new GraftProcedures.BpeTrain(resolve, resolveNew)
       case "txn_publish" => new GraftProcedures.TxnPublish(resolve, resolveNew,
         tbl => {
           val parts = tbl.split("\\.").toSeq

@@ -39,7 +39,7 @@ private[graft] object GraftProcedures {
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
     "txn_publish", "zorder", "annotate_stats", "expire_versions",
-    "eq_upsert", "eq_checkpoint")
+    "eq_upsert", "eq_checkpoint", "bpe_train")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -305,6 +305,60 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.bpe_train(source, text_col, n_merges, target)` — train a
+    * BPE merge table over a corpus column ([[graft.ops.Bpe.train]]:
+    * word-level, every iteration vocab-scale, merge application
+    * engine-portable) and PUBLISH it as a new catalog table
+    * (rank, pair, merged, weight) — the artifact a tokenizer ships,
+    * version-controlled like any other table.
+    */
+  final class BpeTrain(resolveRoot: String => String,
+      resolveNew: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "bpe_train"
+    override def description(): String =
+      "train a word-level BPE merge table over a corpus column and " +
+        "publish it as a new catalog table (rank, pair, merged, weight)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("corpus table in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("text_col", StringType)
+        .comment("text column to train on").build(),
+      ProcedureParameter.in("n_merges", IntegerType)
+        .comment("number of greedy merges to learn").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("NEW table name for the merge table").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val source = input.getUTF8String(0).toString
+      val textCol = input.getUTF8String(1).toString
+      val nMerges = input.getInt(2)
+      val target = input.getUTF8String(3).toString
+      require(nMerges >= 1, s"n_merges must be positive, got $nMerges")
+      val spark = SparkSession.active
+      val srcRoot = resolveRoot(source)
+      val dstRoot = resolveNew(target)
+      val docs = graft.ops.Sinks.readCurrent(spark, srcRoot)
+      require(docs.columns.exists(_.equalsIgnoreCase(textCol)),
+        s"text column $textCol not in $source (${docs.columns.mkString(", ")})")
+      val (merges, _) = graft.ops.Bpe.train(docs, textCol, nMerges)
+      val learned = merges.count()
+      val v = graft.ops.Sinks.publishVersioned(merges.orderBy("rank"),
+        dstRoot, None, opTag = "bpe-train")
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(target), v, learned))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("n_merges", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

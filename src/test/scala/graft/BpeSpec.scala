@@ -74,6 +74,27 @@ class BpeSpec extends AnyFunSuite {
       .split(" ").toSeq == Seq("low", "lower", "newest"))
   }
 
+  test("CALL system.bpe_train publishes the merge table as a catalog table (round-14)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bpe_call").toString
+    spark.conf.set("spark.sql.catalog.gbpe", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbpe.root", wh)
+    graft.ops.Sinks.publishVersioned(docs, s"$wh/corpus", None)
+    val r = spark.sql("CALL gbpe.system.bpe_train(source => 'corpus', " +
+      "text_col => 'text', n_merges => 4, target => 'merges')")
+      .collect().head
+    assert(r.getLong(2) == 4L)
+    val got = spark.sql("SELECT rank, pair, merged, weight FROM gbpe.merges " +
+      "ORDER BY rank").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e s", "es", 9L), (2, "es t", "est", 9L),
+      (3, "est </w>", "est</w>", 9L), (4, "l o", "lo", 7L)))
+    // the published artifact is a normal versioned table: time travel,
+    // DESCRIBE HISTORY op tag, the whole surface
+    assert(graft.ops.Sinks.opOf(graft.ops.Sinks.resolve(s"$wh/merges")) ==
+      "bpe-train")
+  }
+
   test("the fixture-corpus oracle twin agrees at sf0.001 (the q_bpe_train chain)") {
     // same entry the harness runs, small sf: merges must be internally
     // consistent (each merged = pair minus space, ranks dense) and the
