@@ -552,6 +552,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(v.trim.toDoubleOption.exists(_ >= 0),
           s"$catalogName: ${graft.ops.TableProps.RetainHoursKey} must be a " +
             s"non-negative number, got '$v'")
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.ClusterWriteKey) =>
+        require(Seq("true", "false").contains(v.trim.toLowerCase),
+          s"$catalogName: ${graft.ops.TableProps.ClusterWriteKey} must be " +
+            s"'true' or 'false', got '$v'")
       case _ =>
     }
     // a lost CREATE race must surface as the exception Spark's
@@ -811,6 +815,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case RetainHoursKey =>
         require(value.trim.toDoubleOption.exists(_ >= 0),
           s"$catalogName: $RetainHoursKey must be a non-negative number, " +
+            s"got '$value'")
+      case ClusterWriteKey =>
+        require(Seq("true", "false").contains(value.trim.toLowerCase),
+          s"$catalogName: $ClusterWriteKey must be 'true' or 'false', " +
             s"got '$value'")
       case _ =>
     }

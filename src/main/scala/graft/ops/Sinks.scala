@@ -742,10 +742,24 @@ object Sinks
     * distribute by the derived directory value.
     */
   private def distributeForWrite(df: DataFrame, root: String,
-      pcols: Seq[String]): DataFrame =
-    if (pcols.isEmpty || !TableProps.distributeWrites(root)) df
-    else df.repartition(pcols.map(c =>
-      org.apache.spark.sql.functions.col(s"`$c`")).toIndexedSeq: _*)
+      pcols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // write-time clustering (round-14, 'graft.cluster.write'): the
+    // staged delta range-clusters by (partition cols ++ the declared
+    // clustering key) so every commit lands range-skippable files
+    // without waiting for compaction. No explicit partition count —
+    // AQE coalesces a small delta's range shuffle into few files.
+    val ckeys =
+      if (!TableProps.clusterWrites(root)) Nil
+      else TableProps.clusterColumns(root)
+        .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    if (ckeys.nonEmpty) {
+      val keys = (pcols ++ ckeys).map(c => col(s"`$c`")).toIndexedSeq
+      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    }
+    else if (pcols.isEmpty || !TableProps.distributeWrites(root)) df
+    else df.repartition(pcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+  }
 
   /** Per-version operation marker (`_OP`) — what DESCRIBE HISTORY's
     * `operation` column reads; written into the stage so it rides the

@@ -112,6 +112,24 @@ private[graft] object TableProps {
     */
   val DistributeKey = "graft.write.distribute"
 
+  /** Write-time clustering switch (`'graft.cluster.write' = 'true'`,
+    * round-14): every commit's STAGED DELTA range-clusters by
+    * (partition columns ++ the declared clustering key) before it
+    * lands, so the files written BETWEEN compactions are range-
+    * skippable from the moment they commit — without it, a day of
+    * appends scans until the next maintenance pass. Opt-in (one delta
+    * shuffle per commit); inert without 'graft.cluster.columns'; the
+    * explicit partition count is omitted so AQE coalesces small deltas
+    * into few files instead of shuffle.partitions slivers. Compaction
+    * remains the true re-lay (multi-dimensional Z-order for several
+    * cluster columns) — write-time clustering covers the gap.
+    */
+  val ClusterWriteKey = "graft.cluster.write"
+
+  /** True iff `root` opted into write-time clustering. */
+  def clusterWrites(root: String): Boolean =
+    load(root).get(ClusterWriteKey).exists(_.equalsIgnoreCase("true"))
+
   /** DML routing switch (`'graft.dml.mode' = 'mor'`): route
     * UPDATE/DELETE/MERGE merge-on-read (deletion vectors) instead of
     * copy-on-write file rewrites ([[graft.catalog.GraftDml]]).
@@ -125,7 +143,7 @@ private[graft] object TableProps {
     * declared MOR at CREATE ran copy-on-write without warning).
     */
   def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey,
-    BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey)
+    BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey, ClusterWriteKey)
 
   /** True iff `root` opted into distributed partitioned writes. */
   def distributeWrites(root: String): Boolean =

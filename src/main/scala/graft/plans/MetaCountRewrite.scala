@@ -88,20 +88,6 @@ object MetaCountRewrite extends Rule[LogicalPlan] {
     } yield LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow.fromSeq(values)))
 
-  /** The immutable version dir under `p`, when `p` is a Graft snapshot
-    * relation possibly wrapped in attribute-only projections. Anything
-    * else — a Filter, a computed projection, a join — disqualifies.
-    */
-  private def snapshotOf(p: LogicalPlan): Option[String] = p match {
-    case r: DataSourceV2Relation => r.table match {
-      case t: graft.catalog.GraftSnapshotDir => Some(t.snapshotVersionDir)
-      case _ => None
-    }
-    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      snapshotOf(pr.child)
-    case _ => None
-  }
-
   /** The snapshot RELATION under attribute-only projections (the
     * filtered path needs its output attributes and table handle, not
     * just the dir).

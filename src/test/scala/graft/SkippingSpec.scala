@@ -923,4 +923,51 @@ class SkippingSpec extends AnyFunSuite {
     assert(viaBoth.collect().toSeq == full.collect().toSeq)
     assert(viaBoth.count() == 1)
   }
+  test("write-time clustering ('graft.cluster.write'): every commit lands range-skippable before any compaction (round-14)") {
+    import spark.implicits._
+    import graft.ops.{Sinks, Stats, TableProps}
+    val root = tmp("graft_cwrite") + "/t"
+    TableProps.update(root)(_ +
+      (TableProps.ClusterKey -> "k") + (TableProps.ClusterWriteKey -> "true"))
+    // AQE off for the leg: a KB-scale delta would coalesce to one file
+    // and make the subset assertion vacuous; production deltas are
+    // file-sized and split on their own
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scattered(seed: Long) = (0L until 4000L)
+        .map(i => ((i * 2654435761L + seed) % 4000L, s"p$i"))
+        .toDF("k", "payload").repartition(8) // deliberately unclustered
+      Sinks.publishVersioned(scattered(0L), root, None)
+      val v0 = Sinks.resolve(root)
+      val total0 = graft.io.Fs.walkParquet(java.nio.file.Paths.get(v0)).size
+      assert(total0 >= 2, s"fixture must land several files, got $total0")
+      val pruned0 = Stats.prunedFiles(spark, v0, "k", 0L, 99L)
+      assert(pruned0.size < total0,
+        s"a write-clustered commit must range-prune, got ${pruned0.size}/$total0")
+      // a linked APPEND's delta clusters at write too
+      Sinks.appendVersioned(scattered(7L), root, Some(0L))
+      val v1 = Sinks.resolve(root)
+      val total1 = graft.io.Fs.walkParquet(java.nio.file.Paths.get(v1)).size
+      val pruned1 = Stats.prunedFiles(spark, v1, "k", 0L, 99L)
+      assert(pruned1.size < total1,
+        s"an appended delta must range-prune, got ${pruned1.size}/$total1")
+      // pruned reads stay exact
+      val want = Sinks.readCurrent(spark, root)
+        .filter(col("k").between(0, 99)).collect().toSet
+      assert(Stats.readCurrentWhere(spark, root, "k", 0L, 99L)
+        .collect().toSet == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the switch validates like every behavior property: a non-boolean
+    // fails the CREATE loudly, leaving no table
+    val wh = tmp("graft_cwrite_cat")
+    spark.conf.set("spark.sql.catalog.gcw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcw.root", wh)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcw.bad (k BIGINT) TBLPROPERTIES(" +
+        "'graft.cluster.columns' = 'k', 'graft.cluster.write' = 'yes')")
+    }
+    assert(e.getMessage.contains("must be 'true' or 'false'"), e.getMessage)
+  }
+
 }
