@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
     // converted to versioned-commit commands at resolution time
     ext.injectResolutionRule(_ => graft.catalog.GraftDmlRule)
+    // persistent views (B178): view DDL over Graft catalogs intercepted
+    // at the parser seam (Spark 4.1 has no native v2-view routing), view
+    // READS inlined at resolution time — after ResolveRelations in each
+    // iteration, so tables and temp views keep precedence
+    ext.injectParser((session, delegate) =>
+      new graft.catalog.GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(session => graft.catalog.GraftViewRule(session))
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

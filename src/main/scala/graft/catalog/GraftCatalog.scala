@@ -6,7 +6,7 @@ import java.util
 import graft.ops.{Sinks, TableProps}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -56,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the insert change feed; CDC upserts belong on
   * [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -100,7 +101,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def isNamespaceDir(p: java.nio.file.Path): Boolean =
     Files.isDirectory(p) &&
       Sinks.currentVersion(p.toString).isEmpty &&
-      !Files.exists(p.resolve("_LOCK"))
+      !Files.exists(p.resolve("_LOCK")) &&
+      !GraftViews.isView(p.toString)
 
   /** `<root>/<namespace...>/<name>`, with path-traversal components and
     * layout-reserved names rejected (identifiers come from SQL text).
@@ -460,6 +462,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val tr = tableRoot(ident)
     if (Sinks.currentVersion(tr).isDefined)
       throw new TableAlreadyExistsException(ident)
+    // the table/view namespaces are one namespace (SQL standard): a
+    // CREATE TABLE over an existing view must fail loudly, not bury the
+    // view's marker under version directories
+    if (GraftViews.isView(tr))
+      throw new IllegalStateException(
+        s"$catalogName.${ident.toString} already exists as a VIEW " +
+          "(DROP VIEW first)")
     // an existing NAMESPACE must not be silently converted into a table
     // (its child tables would become invisible and a later DROP TABLE
     // would take their data with it)
@@ -610,6 +619,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val to = tableRoot(newIdent)
     if (Sinks.currentVersion(to).isDefined)
       throw new TableAlreadyExistsException(newIdent)
+    if (GraftViews.isView(to))
+      throw new IllegalStateException(
+        s"$catalogName.${newIdent.toString} already exists as a VIEW")
     // the destination parent must be the root or a real NAMESPACE — a
     // table directory also passes a bare isDirectory check, and a table
     // renamed inside another table becomes invisible collateral of that
@@ -1081,6 +1093,124 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             .toArray
         } finally names.close()
     }
+  }
+
+  // ---- views (B178): the DSv2 ViewCatalog surface over GraftViews
+  // storage. Spark 4.1's SQL layer does not route view DDL/reads here
+  // yet — GraftSqlParser + GraftViewRule bridge — but the interface is
+  // implemented fully so the native path works the day Spark wires it. ----
+
+  /** View storage root — same pathing (and identifier validation) as the
+    * same-named table would get; `_VIEW` vs `_CURRENT` keeps the two
+    * disjoint.
+    */
+  private[catalog] def viewRootFor(ident: Identifier): String = tableRoot(ident)
+
+  /** The stored definition when `ident` names a view (never throws on
+    * illegal identifiers — probes answer "absent").
+    */
+  private[catalog] def viewDefFor(ident: Identifier): Option[(String, GraftViews.ViewDef)] = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    if (!parts.forall(validPart)) None
+    else {
+      val r = tableRoot(ident)
+      GraftViews.load(r).map(d => (r, d))
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    nsPath(namespace.toSeq) match {
+      case None => Array.empty
+      case Some(dir) if !Files.isDirectory(dir) => Array.empty
+      case Some(dir) =>
+        val names = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          names.iterator().asScala
+            .filter(p => GraftViews.isView(p.toString))
+            .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+            .toArray
+        } finally names.close()
+    }
+
+  override def viewExists(ident: Identifier): Boolean = viewDefFor(ident).isDefined
+
+  override def loadView(ident: Identifier): View = {
+    val (_, d) = viewDefFor(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    new View {
+      override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+      override def query(): String = d.sql
+      override def currentCatalog(): String = d.ctxCatalog
+      override def currentNamespace(): Array[String] = d.ctxNamespace.toArray
+      override def schema(): StructType = d.cols
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = d.cols.fieldNames
+      override def columnComments(): Array[String] =
+        d.colComments.map(_.orNull).toArray
+      override def properties(): util.Map[String, String] = {
+        val m = new util.HashMap[String, String]()
+        d.properties.foreach { case (k, v) => m.put(k, v) }
+        d.comment.foreach(m.put(ViewCatalog.PROP_COMMENT, _))
+        m
+      }
+    }
+  }
+
+  /** The native-API half of CREATE VIEW: stores exactly what `info`
+    * carries (the SQL door, [[GraftViews.create]], is the validating
+    * path — it analyzes the body, refuses temp references and cycles,
+    * and pins the output schema; this door trusts its caller the way
+    * every ViewCatalog implementation does).
+    */
+  override def createView(info: ViewInfo): View = {
+    val root = viewRootFor(info.ident)
+    if (Sinks.currentVersion(root).isDefined)
+      throw new TableAlreadyExistsException(info.ident)
+    if (GraftViews.isView(root))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    import scala.jdk.CollectionConverters._
+    val props = info.properties.asScala.toMap
+    GraftViews.store(root, GraftViews.ViewDef(
+      info.sql,
+      info.schema,
+      info.schema.indices.map(i =>
+        info.columnComments.lift(i).filter(_ != null)),
+      evolve = false,
+      props.get(ViewCatalog.PROP_COMMENT),
+      info.currentCatalog,
+      info.currentNamespace.toSeq,
+      props -- ViewCatalog.RESERVED_PROPERTIES.asScala,
+      System.currentTimeMillis()))
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val (root, d) = viewDefFor(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(d.properties) {
+      case (m, s: ViewChange.SetProperty) => m + (s.property() -> s.value())
+      case (m, r: ViewChange.RemoveProperty) => m - r.property()
+      case (m, _) => m
+    }
+    GraftViews.store(root, d.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewDefFor(ident) match {
+      case Some((root, _)) => GraftViews.drop(root); true
+      case None => false
+    }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (from, _) = viewDefFor(oldIdent).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    val to = viewRootFor(newIdent)
+    if (Sinks.currentVersion(to).isDefined || GraftViews.isView(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   // ---- namespaces: directories under root that are not themselves

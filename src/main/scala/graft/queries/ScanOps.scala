@@ -159,6 +159,28 @@ object ScanOps extends QueryModule {
            |ORDER BY src, r_regionkey""".stripMargin)
     }),
 
+    // B178 persistent views: the warehouse holds nations + regions; the
+    // query creates a view, NESTS a second view over it (filter on the
+    // aggregate), and reads a join of the nested view with the base
+    // table — so a hash match proves creation, storage, read-time
+    // inlining, nesting, and optimizer composition (the whole plan is
+    // one aggregate+join, as if written inline). CREATE OR REPLACE keeps
+    // the query idempotent across harness reruns.
+    "q_view" -> ((s, dir) => {
+      val wh = viewWarehouse(s, dir)
+      val cat = "graftvw_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"""CREATE OR REPLACE VIEW $cat.v_top AS
+        SELECT n_regionkey, count(*) AS cnt FROM $cat.nations GROUP BY n_regionkey""")
+      s.sql(s"""CREATE OR REPLACE VIEW $cat.v_big AS
+        SELECT * FROM $cat.v_top WHERE cnt >= 5""")
+      s.sql(
+        s"""SELECT r.r_name AS region, v.cnt
+           |FROM $cat.v_big v JOIN $cat.regions r ON v.n_regionkey = r.r_regionkey
+           |ORDER BY region""".stripMargin)
+    }),
+
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
       // catalog name is PER SF DIR: Spark instantiates a catalog once per
@@ -809,6 +831,31 @@ object ScanOps extends QueryModule {
     }
     root
   }
+
+  /** Warehouse for q_view (B178): plain single-version publishes of the
+    * nation + region fixtures — the interesting state (the views) is
+    * (re)created BY the query through the SQL door. Cached per sf dir by
+    * content stamp like [[catalogWarehouse]].
+    */
+  private def viewWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_view_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|" + Tables.srcStamp(dir, "region")
+      val fresh = Files.isDirectory(Paths.get(root + "/nations")) &&
+        Files.isDirectory(Paths.get(root + "/regions")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
+        Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
 
   /** Warehouse for q_catalog_tag: v0 = the full region fixture TAGGED
     * 'baseline', v1 = the r_regionkey<3 subset, then a zero-retention
@@ -1689,6 +1736,15 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // the nested-view read recomputed inline: aggregate -> filter -> join
+    "q_view" ->
+      """SELECT r.r_name AS region, v.cnt
+        |FROM (SELECT n_regionkey, count(*) AS cnt FROM nation
+        |      GROUP BY n_regionkey) v
+        |JOIN region r ON v.n_regionkey = r.r_regionkey
+        |WHERE v.cnt >= 5
+        |ORDER BY region""".stripMargin,
 
     "q_catalog_timetravel" ->
       """SELECT 'v0' AS src, r_regionkey, r_name FROM region
