@@ -1323,6 +1323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "zorder" => new GraftProcedures.Zorder(resolve)
       case "annotate_stats" => new GraftProcedures.AnnotateStats(resolve)
       case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
+      case "purge" => new GraftProcedures.Purge(resolve)
       case "eq_upsert" => new GraftProcedures.EqUpsert(resolve)
       case "eq_checkpoint" => new GraftProcedures.EqCheckpoint(resolve)
       case "bpe_train" => new GraftProcedures.BpeTrain(resolve, resolveNew)

@@ -39,7 +39,7 @@ private[graft] object GraftProcedures {
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
     "txn_publish", "zorder", "annotate_stats", "expire_versions",
-    "eq_upsert", "eq_checkpoint", "bpe_train")
+    "eq_upsert", "eq_checkpoint", "bpe_train", "purge")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -304,6 +304,49 @@ private[graft] object GraftProcedures {
         override def readSchema(): StructType = StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
+          StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.purge(table, where => '<pred>')` — right-to-erasure
+    * ([[graft.ops.Sinks.purgeWhere]]): physically remove matching rows
+    * from the live version AND all history (touched files rewritten
+    * from reconciled content, clean files carried, every older version
+    * unlinked, no change feed emitted), then PROVE it with a raw scan
+    * before returning. Refuses while tags pin history or equality
+    * deletes are pending (their tombstones carry keys); zero-copy
+    * clones/branches are separate roots — purge them explicitly.
+    */
+  final class Purge(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "purge"
+    override def description(): String =
+      "physically erase matching rows from the live version AND all " +
+        "history, verified by a raw scan (GDPR right-to-erasure)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("where", StringType)
+        .comment("predicate selecting the rows to erase").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val where = input.getUTF8String(1).toString
+      val (purged, rewritten, expired, live) =
+        graft.ops.Sinks.purgeWhere(SparkSession.active, resolveRoot(table), where)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(table), purged,
+            rewritten.toLong, expired.toLong, live))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("rows_purged", LongType, nullable = false),
+          StructField("files_rewritten", LongType, nullable = false),
+          StructField("versions_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()

@@ -463,6 +463,146 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     evicted.toSeq.sorted
   }
 
+  /** Right-to-erasure purge (B179, the GDPR/CCPA operation): physically
+    * remove every row matching `where` from the table — the LIVE version
+    * AND all history — and PROVE it before returning.
+    *
+    * This is the one operation where MOR conveniences invert into
+    * hazards: a deletion vector hides rows but keeps their bytes; a
+    * retained version keeps last month's copy; a `_changes` sidecar
+    * carries row payloads. So purge is three steps plus a proof:
+    *
+    *  1. Touched-file pass over the live version's RAW file contents
+    *     (deliberately NOT the reconciling funnel: a row already
+    *     MOR-deleted still has bytes in its file and must force the
+    *     rewrite). Files with any matching byte are rewritten from their
+    *     RECONCILED content (their DVs materialize away) minus the
+    *     matching rows; every clean file carries by hardlink with its DV
+    *     subtraction intact — O(affected files), the Delta
+    *     `REORG … APPLY (PURGE)` shape, with no change feed emitted (a
+    *     purge must not re-publish the purged payload; the CDF chain
+    *     breaks here exactly as it does at RESTORE).
+    *  2. History expiry: every version below the purged live is
+    *     unlinked ([[expireVersions]] with zero retention — the
+    *     per-table retention policy is deliberately NOT honored; purge
+    *     is the legal override). Snapshot tags would pin copies, so
+    *     purge REFUSES while any tag exists rather than silently
+    *     keeping data.
+    *  3. Staging-debris sweep rides the expiry (a crashed writer's
+    *     stage dir could hold matching rows).
+    *  4. Verification: one raw scan over every remaining data file under
+    *     the live version asserting ZERO matching rows, plus the
+    *     history-is-gone check — the method fails loudly rather than
+    *     report a purge it cannot prove. (Run without concurrent
+    *     writers: a commit racing the expiry fails this proof loudly —
+    *     never silently.)
+    *
+    * Refusals (each with its remedy): snapshot tags (drop them first);
+    * pending equality deletes (tombstones carry KEYS, which may be the
+    * identifier being erased — `CALL system.compact` folds them away);
+    * column-mapped or mixed-layout versions (compact first, same as
+    * COW DML). Zero-copy CLONEs and WAP branches are SEPARATE table
+    * roots hardlinking the same inodes — purge this table's clones
+    * explicitly, exactly as with Delta shallow clones.
+    *
+    * Returns (rowsPurged, filesRewritten, versionsExpired, liveVersion).
+    */
+  def purgeWhere(spark: SparkSession, root: String, where: String): (Long, Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, not, coalesce}
+    require(where.trim.nonEmpty, "purge requires a predicate")
+    val tags = listTags(root)
+    require(tags.isEmpty,
+      s"purge cannot run while snapshot tags pin history (${tags.keys.mkString(", ")}) " +
+        "— drop them first (CALL system.drop_tag)")
+    val liveV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val live = versionPath(root, liveV)
+    EqDel.requireNone(live, "purge")
+    require(!ColMap.exists(live),
+      "purge cannot run on a column-mapped version — CALL system.compact " +
+        "first to materialize the renames")
+    require(!hasLayoutLegs(live),
+      "purge cannot run on a mixed-layout version — CALL system.compact " +
+        "first to materialize the partition evolution")
+    val pred = expr(where)
+    def decode(uri: String): String =
+      try Paths.get(new java.net.URI(uri)).toString
+      catch { case _: Exception => uri }
+    def relOf(path: String): String = {
+      val marker = live.stripSuffix("/") + "/"
+      val i = path.indexOf(marker)
+      require(i >= 0, s"purge: file $path is not under $live")
+      path.substring(i + marker.length)
+    }
+    // RAW read of every data file (sidecars excluded by the walk),
+    // explicit-file with basePath so partition-directory columns
+    // reconstruct even next to the flat schema-anchor file, deletion
+    // vectors deliberately NOT applied — a hidden row's bytes still
+    // force the rewrite. The declared read schema pins partition types.
+    def rawLive(dir: String): DataFrame = {
+      val fs = Fs.walkParquet(Paths.get(dir)).map(_.toString)
+      if (fs.isEmpty)
+        return readCurrent(spark, root).limit(0)
+      val rd = spark.read.option("basePath", dir)
+      Transforms.dropHidden(
+        readSchemaFor(spark, root, dir).fold(rd)(rd.schema).parquet(fs: _*))
+    }
+    val touchedAbs = rawLive(live).filter(pred).select(input_file_name())
+      .distinct().collect().map(r => decode(r.getString(0))).toSeq
+    val touched = touchedAbs.map(relOf).toSet
+    var purgedRows = 0L
+    if (touched.nonEmpty) {
+      val readSchema = readSchemaFor(spark, root, live)
+      // reconciled content of ONLY the touched files (their DVs
+      // materialize away here), minus the matching rows — DELETE
+      // semantics: NULL-evaluating rows survive
+      val reconciled = Transforms.dropHidden(
+        Stats.readFiles(spark, live, touchedAbs.sorted, readSchema))
+      val survivors = reconciled.filter(not(coalesce(pred, lit(false))))
+      // counted BEFORE the commit (the pre-purge reconciled state is
+      // still readable) — O(touched files), the honest number a privacy
+      // audit wants; note a row hidden by a DV counts as already deleted
+      purgedRows = reconciled.filter(coalesce(pred, lit(false))).count()
+      // layout selection mirrors the scoped compaction: declared
+      // clustering wins, else stats columns, else partition columns
+      val pcols = TableProps.partitionCols(root)
+      val clusterCols = TableProps.clusterColumns(root)
+      val statsLayoutCols = (Stats.sidecarCols(spark, live) ++
+        TableProps.statsColumns(root) ++ clusterCols).distinct
+        .filter(c => survivors.columns.exists(_.equalsIgnoreCase(c)))
+      val nFiles = math.max(1, touched.size / 2)
+      val rewritten =
+        if (clusterCols.nonEmpty) clusterFrame(survivors, clusterCols, pcols, nFiles)
+        else if (statsLayoutCols.isEmpty && pcols.nonEmpty)
+          survivors.repartition(nFiles, pcols.map(col): _*)
+        else if (statsLayoutCols.isEmpty) survivors.repartition(nFiles)
+        else survivors.repartitionByRange(nFiles, statsLayoutCols.map(col): _*)
+          .sortWithinPartitions(statsLayoutCols.map(col): _*)
+      stageLinkedPublish(rewritten, root, Some(liveV), Nil,
+        emitFeed = false, batchTag = None,
+        carry = rel => !touched(rel), opTag = "purge")
+    }
+    // history expiry ALWAYS runs — old versions may hold matching rows
+    // even when the live version is already clean (deleted last week,
+    // retained since). Zero retention, policy deliberately bypassed.
+    val expired = expireVersions(spark, root,
+      retainVersions = 0, retainHours = -1.0)
+    // ---- the proof ----
+    val newV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"purge: table vanished under $root"))
+    val leftover = listVersions(root).filterNot(_ == newV)
+    require(leftover.isEmpty,
+      s"purge verification failed: versions ${leftover.mkString(", ")} still " +
+        s"present under $root (concurrent writer? tag added mid-purge?) — " +
+        "re-run purge")
+    val remaining = rawLive(versionPath(root, newV))
+      .filter(pred).count()
+    require(remaining == 0,
+      s"purge verification failed: $remaining matching row(s) remain in " +
+        s"v$newV of $root (concurrent writer?) — re-run purge")
+    (purgedRows, touched.size, expired.size, newV)
+  }
+
   /** True iff a `.stage-<pid>-<nano>` dir's owning process is provably
     * gone (crashed publish debris). Unparseable names or live pids are
     * conservatively kept.

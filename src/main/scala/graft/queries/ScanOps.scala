@@ -181,6 +181,25 @@ object ScanOps extends QueryModule {
            |ORDER BY region""".stripMargin)
     }),
 
+    // B179 right-to-erasure purge through the CALL door: the warehouse
+    // holds nations with a MOR-deleted tail (history + a deletion
+    // vector), the query purges a key stripe and reads the final state —
+    // the oracle recomputes survivors from the raw fixture, so a hash
+    // match proves the purge removed exactly the matching rows and
+    // nothing else, with the DV subtraction still exact on carried
+    // files. Idempotent across reruns (a re-purge is a verified no-op).
+    "q_purge" -> ((s, dir) => {
+      val wh = purgeWarehouse(s, dir)
+      val cat = "graftpu_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CALL $cat.system.purge('nations', " +
+        "where => 'n_nationkey % 7 = 3')").collect()
+      s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey FROM $cat.nations
+           |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     "q_catalog_timetravel" -> ((s, dir) => {
       val wh = catalogWarehouse(s, dir)
       // catalog name is PER SF DIR: Spark instantiates a catalog once per
@@ -852,6 +871,33 @@ object ScanOps extends QueryModule {
         graft.io.Fs.deleteRecursively(Paths.get(root))
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_purge (B179): nations v0 = the fixture, v1 = a MOR
+    * delete of the n_nationkey >= 20 tail (history that still holds the
+    * rows, plus a deletion vector whose carried subtraction the purge
+    * must preserve). The purge itself runs IN the query. Rebuilt per
+    * content stamp; a post-purge cached warehouse re-purges as a
+    * verified no-op, so the result is deterministic across reruns.
+    */
+  private def purgeWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_purge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = root + "/nations"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation")
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Sinks.publishVersioned(Tables.nation(s, dir), tbl, None)
+        Sinks.deleteVector(s, tbl, col("n_nationkey") >= 20)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1736,6 +1782,13 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // survivors of (MOR delete of the >=20 tail) + (purge of the %7==3
+    // stripe), recomputed from the raw fixture
+    "q_purge" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 20 AND n_nationkey % 7 <> 3
+        |ORDER BY n_nationkey""".stripMargin,
 
     // the nested-view read recomputed inline: aggregate -> filter -> join
     "q_view" ->
