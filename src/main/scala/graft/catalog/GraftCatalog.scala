@@ -510,7 +510,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // (a typo'd name would silently never prune or never cluster — fail
     // the CREATE, leave no table)
     Seq(graft.ops.TableProps.StatsKey, graft.ops.TableProps.BloomKey,
-        graft.ops.TableProps.ClusterKey).foreach { key =>
+        graft.ops.TableProps.ClusterKey, graft.ops.TableProps.NdvKey).foreach { key =>
       properties.asScala.collectFirst {
         case (k, v) if k.equalsIgnoreCase(key) => v
       }.foreach { v =>
@@ -549,6 +549,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"$catalogName: ${graft.ops.TableProps.BloomKey} cannot index " +
           s"partition column(s) ${partitioned.mkString(", ")} — partition " +
           "pruning already serves them exactly")
+    }
+    // NDV columns must be sketchable NOW (string/binary/integral — the
+    // annotator's hll_sketch_agg domain); same fail-at-CREATE contract
+    properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(graft.ops.TableProps.NdvKey) => v
+    }.foreach { v =>
+      import org.apache.spark.sql.types._
+      val bad = v.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+          f.dataType match {
+            case StringType | BinaryType | ByteType | ShortType |
+                 IntegerType | LongType => None
+            case other => Some(s"$c: ${other.simpleString}")
+          })
+      }
+      require(bad.isEmpty,
+        s"$catalogName: ${graft.ops.TableProps.NdvKey} supports string, " +
+          s"binary and integral columns only; got ${bad.mkString(", ")}")
     }
     // retention policy values must parse (a malformed number would
     // silently disable the policy on every later maintenance run)
@@ -801,12 +819,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     def namedCols = value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     lazy val schema = Sinks.readCurrent(spark, tr).schema
     key match {
-      case StatsKey | BloomKey | ClusterKey =>
+      case StatsKey | BloomKey | ClusterKey | NdvKey =>
         val missing = namedCols.filterNot(c =>
           schema.fieldNames.exists(_.equalsIgnoreCase(c)))
         require(missing.isEmpty,
           s"$catalogName: $key names column(s) not in the table: " +
             missing.mkString(", "))
+        if (key == NdvKey) {
+          import org.apache.spark.sql.types._
+          val bad = namedCols.flatMap(c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+              f.dataType match {
+                case StringType | BinaryType | ByteType | ShortType |
+                     IntegerType | LongType => None
+                case other => Some(s"$c: ${other.simpleString}")
+              }))
+          require(bad.isEmpty,
+            s"$catalogName: $NdvKey supports string, binary and integral " +
+              s"columns only; got ${bad.mkString(", ")}")
+        }
         if (key == BloomKey) {
           import org.apache.spark.sql.types._
           val bad = namedCols.flatMap(c =>
@@ -1324,6 +1355,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "annotate_stats" => new GraftProcedures.AnnotateStats(resolve)
       case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
       case "purge" => new GraftProcedures.Purge(resolve)
+      case "ndv" => new GraftProcedures.Ndv(resolve)
       case "eq_upsert" => new GraftProcedures.EqUpsert(resolve)
       case "eq_checkpoint" => new GraftProcedures.EqCheckpoint(resolve)
       case "bpe_train" => new GraftProcedures.BpeTrain(resolve, resolveNew)

@@ -39,7 +39,7 @@ private[graft] object GraftProcedures {
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
     "txn_publish", "zorder", "annotate_stats", "expire_versions",
-    "eq_upsert", "eq_checkpoint", "bpe_train", "purge")
+    "eq_upsert", "eq_checkpoint", "bpe_train", "purge", "ndv")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -236,7 +236,11 @@ private[graft] object GraftProcedures {
       val missing = cols.filterNot(schema)
       require(missing.isEmpty,
         s"column(s) not in $table: ${missing.mkString(", ")}")
-      graft.ops.Stats.annotate(spark, live, cols)
+      // declared NDV columns retrofit their sketches through this CALL
+      // (the documented remedy when 'graft.ndv.columns' lands after data)
+      val ndvCols = graft.ops.TableProps.ndvColumns(root)
+        .filter(c => cols.exists(_.equalsIgnoreCase(c)))
+      graft.ops.Stats.annotate(spark, live, cols, ndvCols)
       val v = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
@@ -305,6 +309,49 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.ndv(table, columns => 'a,b')` — metadata-served distinct
+    * counts ([[graft.ops.Stats.ndv]]): merge the per-file HLL sketches
+    * `'graft.ndv.columns'` maintains into one estimate per column, zero
+    * data files opened; exactly the full scan's `hll_sketch_agg`
+    * number (register merge). Defaults to every declared NDV column.
+    */
+  final class Ndv(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "ndv"
+    override def description(): String =
+      "metadata-served distinct-count estimates from the per-file HLL " +
+        "sketches 'graft.ndv.columns' maintains (zero data files opened)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog ('tbl' or 'ns.tbl')").build(),
+      ProcedureParameter.in("columns", StringType).defaultValue("''")
+        .comment("comma-separated columns (default: every declared " +
+          "'graft.ndv.columns' column)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val root = resolveRoot(table)
+      val asked = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val cols =
+        if (asked.nonEmpty) asked else graft.ops.TableProps.ndvColumns(root)
+      require(cols.nonEmpty,
+        s"$table declares no 'graft.ndv.columns' — pass columns => 'a,b'")
+      val ests = graft.ops.Stats.ndv(SparkSession.active, root, cols)
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          ests.map { case (c, n) =>
+            InternalRow(UTF8String.fromString(c), n) }.toArray
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("ndv", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

@@ -686,11 +686,17 @@ object Sinks
       // CLUSTER columns ('graft.cluster.columns', round-14) always join
       // the set: clustering exists to make min/max pruning effective,
       // so a clustered table's stats must cover its clustering key.
+      // declared NDV columns ('graft.ndv.columns', B180) join the stats
+      // set AND mark themselves for the per-file HLL sketch
+      val effNdv = TableProps.ndvColumns(root)
+        .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
       val effStats =
         ((if (statsCols.nonEmpty) statsCols
-          else TableProps.statsColumns(root)) ++ TableProps.clusterColumns(root))
+          else TableProps.statsColumns(root)) ++ TableProps.clusterColumns(root)
+          ++ effNdv)
           .distinct.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
-      if (effStats.nonEmpty) Stats.annotate(df.sparkSession, stage.toString, effStats)
+      if (effStats.nonEmpty)
+        Stats.annotate(df.sparkSession, stage.toString, effStats, effNdv)
       // B123: build the point-lookup sidecar in staging so data and
       // bloom index land in ONE atomic commit (the post-commit
       // Bloom.annotate path stays available for existing tables).
@@ -1144,12 +1150,15 @@ object Sinks
       // round-13) — so a SQL INSERT, DML commit, or streaming batch
       // keeps the skipping tier intact with zero call-site cooperation,
       // the Delta/Iceberg collect-stats-inside-every-commit behavior
+      val effNdv = TableProps.ndvColumns(root).map(c =>
+        baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val declaredStats = (TableProps.statsColumns(root) ++
-          TableProps.clusterColumns(root)).distinct.map(c =>
+          TableProps.clusterColumns(root) ++ effNdv).distinct.map(c =>
         baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val effStats =
         if (statsCols.nonEmpty)
-          baseMapDir.fold(statsCols)(d => statsCols.map(ColMap.toPhysicalName(d, _)))
+          (baseMapDir.fold(statsCols)(d =>
+            statsCols.map(ColMap.toPhysicalName(d, _))) ++ effNdv).distinct
         else (expected.toSeq.flatMap(v =>
           Stats.sidecarCols(spark, versionPath(root, v))) ++ declaredStats)
           .distinct
@@ -1409,11 +1418,12 @@ object Sinks
           .map(p => (p.toString, stage.relativize(p).toString))
           .filter { case (_, key) => !colSet.subsetOf(covered.getOrElse(key, Set.empty)) }
         Stats.annotatePairs(spark, stage.toString, missing, effStats,
-          append = true)
+          append = true, ndvCols = effNdv)
       }
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
-      if (checkpointStats) Stats.annotate(spark, stage.toString, effStats)
+      if (checkpointStats)
+        Stats.annotate(spark, stage.toString, effStats, effNdv)
       stampOp(stage, opTag)
       stage
     } catch {

@@ -59,7 +59,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     dec_scale: Option[Int] = None,
     t_exact: Option[Boolean] = None,
     s_exact: Option[Boolean] = None,
-    sum_l: Option[Long] = None)
+    sum_l: Option[Long] = None,
+    hll: Option[Array[Byte]] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -167,7 +168,8 @@ object Stats {
     * `has_stats = false` and never pruned — missing stats degrade to a
     * full scan, not a wrong answer.
     */
-  def annotate(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+  def annotate(spark: SparkSession, dir: String, cols: Seq[String],
+      ndvCols: Seq[String] = Nil): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     // recursive: a partitioned version nests its files under col=val/
     // dirs; sidecars are _-prefixed and excluded by the walk. Each file
@@ -175,7 +177,7 @@ object Stats {
     // executors must not re-derive it from a path they didn't list)
     val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(p => (p.toString, relKey(dir, p.toString))).sorted
-    annotatePairs(spark, dir, files, cols, append = false)
+    annotatePairs(spark, dir, files, cols, append = false, ndvCols = ndvCols)
   }
 
   /** The shared footer pass of [[annotate]], over an EXPLICIT file list
@@ -188,7 +190,7 @@ object Stats {
     */
   private[graft] def annotatePairs(spark: SparkSession, dir: String,
       files: Seq[(String, String)], cols: Seq[String],
-      append: Boolean): Unit = {
+      append: Boolean, ndvCols: Seq[String] = Nil): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     import spark.implicits._
     if (files.isEmpty) return
@@ -211,7 +213,9 @@ object Stats {
         confKV.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (f, key) => footerStats(f, key, colSet, conf) }
       }
-    val upgraded = exactDataPass(spark, files, colSet, stats)
+    val ndvSet = ndvCols.map(ColMap.toPhysicalName(dir, _))
+      .filter(n => colSet.exists(_.equalsIgnoreCase(n)))
+    val upgraded = exactDataPass(spark, files, colSet, stats, ndvSet)
     upgraded.coalesce(1).write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/$Sidecar")
   }
@@ -250,7 +254,8 @@ object Stats {
     */
   private def exactDataPass(spark: SparkSession,
       files: Seq[(String, String)], colSet: Seq[String],
-      stats: org.apache.spark.sql.Dataset[FileColStat])
+      stats: org.apache.spark.sql.Dataset[FileColStat],
+      ndvCols: Seq[String] = Nil)
       : org.apache.spark.sql.Dataset[FileColStat] = {
     import org.apache.spark.sql.types._
     // requested columns present across ALL listed files (a retrofit
@@ -268,7 +273,21 @@ object Stats {
     val intCols = colSet.flatMap(c => canonical(c).collect {
       case f if f.dataType == ByteType || f.dataType == ShortType ||
         f.dataType == IntegerType || f.dataType == LongType => (c, f.name) })
-    if (stringCols.isEmpty && intCols.isEmpty) return stats
+    // NDV sketch columns (round-14 'graft.ndv.columns'): per-file
+    // Datasketches HLL over the sketchable domain. Integer-family casts
+    // to LONG (injective — the sketch describes the same value set and
+    // one cast spelling keeps per-file and whole-scan sketches
+    // hash-identical); string/binary sketch as-is; other types record
+    // no sketch and the serve side declines.
+    val ndvSel: Seq[(String, org.apache.spark.sql.Column)] =
+      ndvCols.flatMap(c => canonical(c).collect {
+        case f if f.dataType == StringType || f.dataType == BinaryType =>
+          (c, col(f.name))
+        case f if f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType =>
+          (c, col(f.name).cast(LongType))
+      })
+    if (stringCols.isEmpty && intCols.isEmpty && ndvSel.isEmpty) return stats
     // one flat per-file aggregate (aliases are positional — column
     // names never leak into identifiers); column pruning keeps the
     // read to exactly the annotated columns
@@ -278,7 +297,9 @@ object Stats {
           count(col(f)).as(s"_gf_snn_$i")) } ++
       intCols.zipWithIndex.flatMap { case ((_, f), i) =>
         Seq(sum(col(f).cast(DecimalType(38, 0))).as(s"_gf_isum_$i"),
-          count(col(f)).as(s"_gf_inn_$i")) }
+          count(col(f)).as(s"_gf_inn_$i")) } ++
+      ndvSel.zipWithIndex.map { case ((_, e), i) =>
+        hll_sketch_agg(e).as(s"_gf_hll_$i") }
     val perFile = spark.read.option("mergeSchema", "true")
       .parquet(files.map(_._1): _*)
       .groupBy(input_file_name().as("_gf_uri"))
@@ -296,6 +317,8 @@ object Stats {
       .empty[(String, String), (String, String, Long)]
     val iVals = scala.collection.mutable.Map
       .empty[(String, String), (java.math.BigDecimal, Long)]
+    val hVals = scala.collection.mutable.Map
+      .empty[(String, String), Array[Byte]]
     perFile.foreach { row =>
       keyOf.get(decode(row.getString(0))).foreach { key =>
         stringCols.zipWithIndex.foreach { case ((c, _), i) =>
@@ -307,6 +330,10 @@ object Stats {
           iVals((key, c.toLowerCase)) =
             (row.getAs[java.math.BigDecimal](s"_gf_isum_$i"),
               row.getAs[Long](s"_gf_inn_$i"))
+        }
+        ndvSel.zipWithIndex.foreach { case ((c, _), i) =>
+          val sk = row.getAs[Array[Byte]](s"_gf_hll_$i")
+          if (sk != null) hVals((key, c.toLowerCase)) = sk
         }
       }
     }
@@ -331,6 +358,7 @@ object Stats {
                 lo_s = None, hi_s = None, s_exact = Some(true))
             else r // footer unusable AND unverifiable: keep-always
         }
+      val afterI =
       if (!intCols.exists(_._1.equalsIgnoreCase(r.col))) afterS
       else iVals.get(key) match {
         case Some((sumDec, nn)) if nn > 0 =>
@@ -352,6 +380,11 @@ object Stats {
             lo_l = None, hi_l = None, sum_l = None)
         case None => afterS // zero-row file: nothing to verify
       }
+      // NDV sketch rides the row when computed; an all-null or zero-row
+      // file keeps None (its sketch would be empty — the serve side
+      // treats rows == nulls as satisfied without one)
+      if (!ndvSel.exists(_._1.equalsIgnoreCase(r.col))) afterI
+      else afterI.copy(hll = hVals.get(key))
     }
     spark.createDataset(merged.toIndexedSeq)(
       org.apache.spark.sql.Encoders.product[FileColStat])
@@ -752,6 +785,71 @@ object Stats {
         if (!Dv.exists(dir)) eq.select(cols.map(col).toIndexedSeq: _*)
         else Dv.subtract(eq, dir, cols)
       }
+    }
+  }
+
+  /** Metadata-served distinct counts (B180): merge the per-file HLL
+    * sketches the annotator records for `'graft.ndv.columns'` into one
+    * estimate per column — ZERO data files opened. The estimate is
+    * EXACTLY the number a full scan's `hll_sketch_estimate(
+    * hll_sketch_agg(col))` returns (integer-family cast to LONG):
+    * HLL registers merge by max, so the union of per-file sketches IS
+    * the sketch of the union — no approximation is added by serving
+    * from metadata, and duplicate sidecar rows are harmless (union is
+    * idempotent). NdvSpec pins the equality.
+    *
+    * Declines loudly (never estimates wrong): deletion vectors or
+    * pending equality deletes hide rows a sketch already absorbed
+    * (compact first); a value-bearing live file without a sketch means
+    * the column was declared after that file was annotated
+    * (`CALL system.annotate_stats` retrofits). At 100 TB this is the
+    * difference between a dashboard's cardinality tile being free and
+    * being a full-column shuffle.
+    */
+  def ndv(spark: SparkSession, root: String,
+      cols: Seq[String]): Seq[(String, Long)] = {
+    import java.nio.file.{Files, Paths}
+    require(cols.nonEmpty, "ndv requires at least one column")
+    val live = Sinks.resolve(root)
+    require(!Dv.exists(live),
+      s"ndv declines: $root carries deletion vectors (sketches describe " +
+        "pre-delete rows) — CALL system.compact first")
+    require(!EqDel.exists(live),
+      s"ndv declines: $root has pending equality deletes — " +
+        "CALL system.compact first")
+    require(Files.isDirectory(Paths.get(live, Sidecar)),
+      s"no _stats sidecar under $live — declare 'graft.ndv.columns' and " +
+        "commit, or CALL system.annotate_stats")
+    val side = sidecar(spark, live)
+    require(side.columns.contains("hll"),
+      "the _stats sidecar predates NDV sketches — CALL " +
+        "system.annotate_stats to retrofit")
+    val liveRels = graft.io.Fs.walkParquet(Paths.get(live))
+      .map(p => relKey(live, p.toString)).toSet
+    import spark.implicits._
+    cols.map { c =>
+      val phys = ColMap.toPhysicalName(live, c)
+      val rows = side.filter(lower(col("col")) === phys.toLowerCase)
+        .select("file", "rows", "nulls", "hll").collect()
+      val byFile = rows.map(r => r.getString(0) -> r).toMap
+      liveRels.foreach { rel =>
+        val r = byFile.getOrElse(rel, throw new IllegalStateException(
+          s"ndv($c): live file $rel has no sidecar row — " +
+            "CALL system.annotate_stats to retrofit"))
+        if (r.getLong(1) > r.getLong(2) && r.isNullAt(3))
+          throw new IllegalStateException(
+            s"ndv($c): live file $rel carries no sketch (annotated before " +
+              "'graft.ndv.columns' was declared?) — CALL " +
+              "system.annotate_stats to retrofit")
+      }
+      val sketches = liveRels.toSeq.sorted.flatMap(rel =>
+        byFile.get(rel).filterNot(_.isNullAt(3)).map(_.getAs[Array[Byte]](3)))
+      val est =
+        if (sketches.isEmpty) 0L // every live file empty or all-null
+        else sketches.toDF("hll")
+          .agg(hll_sketch_estimate(hll_union_agg(col("hll"))))
+          .head.getLong(0)
+      (c, est)
     }
   }
 

@@ -90,6 +90,23 @@ private[graft] object TableProps {
     * CALL arguments still override (the operator's hand wins over the
     * declaration); tagged versions stay pinned regardless.
     */
+  /** Declarative NDV sketches (`'graft.ndv.columns' = 'c1,c2'`): every
+    * commit's stats annotation ALSO records a per-file Datasketches HLL
+    * sketch of each declared column, and [[Stats.ndv]] / `CALL
+    * system.ndv` merge them into a distinct-count estimate at metadata
+    * scale — exactly the number a full scan's `hll_sketch_agg` returns
+    * (register merge is the same operation). Opt-in because the sketch
+    * rides the per-commit exact data pass (one column-pruned read of
+    * the delta). Sketchable domain: string, binary, integer family;
+    * validated at CREATE/ALTER.
+    */
+  val NdvKey = "graft.ndv.columns"
+
+  /** The declared NDV-sketch columns of `root` (empty = none). */
+  def ndvColumns(root: String): Seq[String] =
+    load(root).get(NdvKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   val RetainVersionsKey = "graft.retain.versions"
   val RetainHoursKey = "graft.retain.hours"
 
@@ -142,7 +159,7 @@ private[graft] object TableProps {
     * silently dropped by the other (round-12 advisor finding: a table
     * declared MOR at CREATE ran copy-on-write without warning).
     */
-  def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey,
+  def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey, NdvKey,
     BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey, ClusterWriteKey)
 
   /** True iff `root` opted into distributed partitioned writes. */

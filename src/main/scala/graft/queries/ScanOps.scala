@@ -181,6 +181,22 @@ object ScanOps extends QueryModule {
            |ORDER BY region""".stripMargin)
     }),
 
+    // B180 metadata-served NDV through the CALL door: the warehouse
+    // declares 'graft.ndv.columns' so publish annotates per-file HLL
+    // sketches; the query merges them WITHOUT opening a data file. At
+    // the fixture's cardinalities (25 names, 5 region keys) the sketch
+    // is still in its exact coupon mode, so the estimate IS the exact
+    // distinct count and DuckDB's count(DISTINCT) hash-matches — the
+    // q_freq_types trick applied to sketch serving.
+    "q_ndv" -> ((s, dir) => {
+      val wh = ndvWarehouse(s, dir)
+      val cat = "graftndvq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CALL $cat.system.ndv('nations')")
+        .orderBy("column")
+    }),
+
     // B179 right-to-erasure purge through the CALL door: the warehouse
     // holds nations with a MOR-deleted tail (history + a deletion
     // vector), the query purges a key stripe and reads the final state —
@@ -871,6 +887,33 @@ object ScanOps extends QueryModule {
         graft.io.Fs.deleteRecursively(Paths.get(root))
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_ndv (B180): nations published with declared
+    * `graft.ndv.columns`, so the commit annotates per-file HLL sketches
+    * the query then merges at metadata scale. Multi-file layout so the
+    * union is real. Cached per sf dir by content stamp.
+    */
+  private def ndvWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{Sinks, TableProps}
+      val root = "/tmp/graft_ndv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = root + "/nations"
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|ndv1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        TableProps.store(tbl,
+          Map(TableProps.NdvKey -> "n_name,n_regionkey"))
+        Sinks.publishVersioned(
+          Tables.nation(s, dir).repartition(4), tbl, None)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1782,6 +1825,15 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // exact distinct counts — the sketch serves in coupon (exact) mode
+    // at these cardinalities, so count(DISTINCT) is the right oracle
+    "q_ndv" ->
+      """SELECT 'n_name' AS "column", count(DISTINCT n_name) AS ndv FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey' AS "column", count(DISTINCT n_regionkey) AS ndv
+        |FROM nation
+        |ORDER BY "column"""".stripMargin,
 
     // survivors of (MOR delete of the >=20 tail) + (purge of the %7==3
     // stripe), recomputed from the raw fixture
