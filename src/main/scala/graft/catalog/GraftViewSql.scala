@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, ShowViews}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, ShowCreateTable, ShowViews}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -50,6 +50,18 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case _ => None
   }
 
+  private def tovParts(child: LogicalPlan): Option[Seq[String]] = child match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(t.multipartIdentifier)
+    case _ => identParts(child)
+  }
+
+  private def viewExists(catName: String, ident: Identifier): Boolean =
+    try GraftSqlShims.catalogByName(spark, catName) match {
+      case g: GraftCatalog => g.viewExists(ident)
+      case _ => false
+    } catch { case _: Exception => false }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case cv: CreateView =>
@@ -82,6 +94,32 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
               case None => av
             }
           case _ => av
+        }
+
+      // DESCRIBE / SHOW CREATE TABLE on a view: the native paths resolve
+      // through loadTable and can only report "not found" — intercept
+      // when the identifier names an EXISTING Graft view (tables and
+      // temp views fall through untouched)
+      case dr: DescribeRelation =>
+        tovParts(dr.relation) match {
+          case Some(parts) if !GraftSqlShims.isTempView(spark, parts) =>
+            graftIdent(parts) match {
+              case Some((cat, ident)) if viewExists(cat, ident) =>
+                GraftDescribeViewCommand(cat, ident, dr.isExtended, dr.output)
+              case _ => dr
+            }
+          case _ => dr
+        }
+
+      case sct: ShowCreateTable =>
+        tovParts(sct.child) match {
+          case Some(parts) if !GraftSqlShims.isTempView(spark, parts) =>
+            graftIdent(parts) match {
+              case Some((cat, ident)) if viewExists(cat, ident) =>
+                GraftShowCreateViewCommand(cat, ident, sct.output)
+              case _ => sct
+            }
+          case _ => sct
         }
 
       case sv: ShowViews =>
@@ -174,6 +212,47 @@ case class GraftAlterViewAsCommand(catName: String, ident: Identifier,
     GraftViews.create(spark, cat, catName, ident, newSql, Nil, old.comment,
       old.properties, allowExisting = false, replace = true, evolve = old.evolve)
     Nil
+  }
+}
+
+case class GraftDescribeViewCommand(catName: String, ident: Identifier,
+    isExtended: Boolean, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.catalog(spark, catName)
+    val d = GraftViews.load(cat.viewRootFor(ident)).getOrElse(
+      throw new NoSuchViewException(ident))
+    val cols = d.cols.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      Row(f.name, f.dataType.simpleString, d.colComments.lift(i).flatten.orNull)
+    }
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("View Text", d.sql, ""),
+      Row("View Catalog and Namespace",
+        (d.ctxCatalog +: d.ctxNamespace).mkString("."), ""),
+      Row("View Schema Mode", if (d.evolve) "EVOLUTION" else "COMPENSATION", ""),
+      Row("Created",
+        java.time.Instant.ofEpochMilli(d.createdMs).toString, "")) ++
+      d.comment.map(c => Row("Comment", c, "")).toSeq
+  }
+}
+
+case class GraftShowCreateViewCommand(catName: String, ident: Identifier,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.catalog(spark, catName)
+    val d = GraftViews.load(cat.viewRootFor(ident)).getOrElse(
+      throw new NoSuchViewException(ident))
+    val colList = d.cols.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val cmt = d.colComments.lift(i).flatten
+        .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+      s"  ${f.name}$cmt"
+    }.mkString(",\n")
+    val name = (Seq(catName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
+    val cmt = d.comment.map(c => s"\nCOMMENT '${c.replace("'", "''")}'").getOrElse("")
+    Seq(Row(s"CREATE VIEW $name (\n$colList)$cmt AS\n${d.sql}"))
   }
 }
 

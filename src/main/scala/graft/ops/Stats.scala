@@ -218,6 +218,10 @@ object Stats {
     val upgraded = exactDataPass(spark, files, colSet, stats, ndvSet)
     upgraded.coalesce(1).write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/$Sidecar")
+    // an in-place retrofit of an already-memoized version dir must not
+    // leave the pruning memo on the older (more conservative) rows
+    val canon = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    boundsMemo.keySet.removeIf(_._1 == canon)
   }
 
   /** Exact string bounds stay answering-grade only while they stay
@@ -625,6 +629,9 @@ object Stats {
     * max is below 10). At least one bound must be present; an all-null
     * file prunes under any bound (a range predicate never matches null).
     */
+  private val boundsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, org.apache.spark.sql.Row]]()
+
   def prunedFilesBounds(spark: SparkSession, dir: String,
       colName: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
     require(lo.isDefined || hi.isDefined, "at least one bound is required")
@@ -640,10 +647,21 @@ object Stats {
     // the sidecar speaks PHYSICAL names; accept a logical name under a
     // column mapping (idempotent — a physical name maps to itself)
     val physName = ColMap.toPhysicalName(dir, colName)
-    val side = sidecar(spark, dir).filter(col("col") === physName)
-      .collect().map { r =>
-        r.getAs[String]("file") -> r
-      }.toMap
+    // Session-scoped memo (round-14, the MetaCountRewrite treatment):
+    // version dirs are immutable, so the per-(dir, column) collected
+    // rows never change except through an in-place retrofit
+    // ([[annotatePairs]] invalidates). Without this every pruning
+    // conjunct of every SQL query paid one sidecar collect at PLAN
+    // time — metadata-scale but latency-visible on dashboards that
+    // fire the same pruned probe repeatedly.
+    val memoKey = (java.nio.file.Paths.get(dir).toAbsolutePath
+      .normalize.toString, physName)
+    if (boundsMemo.size > 256) boundsMemo.clear()
+    val side = boundsMemo.computeIfAbsent(memoKey, _ =>
+      sidecar(spark, dir).filter(col("col") === physName)
+        .collect().map { r =>
+          r.getAs[String]("file") -> r
+        }.toMap)
     // NTZ stats vs instant bounds (or vice versa) only coincide when
     // the session renders instants in UTC; elsewhere keep the file
     val sessionUtc = java.time.ZoneId

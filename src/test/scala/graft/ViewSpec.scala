@@ -237,6 +237,24 @@ class ViewSpec extends AnyFunSuite {
     assert(!nss.contains("view1"))
   }
 
+  test("DESCRIBE and SHOW CREATE TABLE serve views") {
+    root
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_desc (key COMMENT 'pk', nm) AS " +
+      s"SELECT r_regionkey, r_name FROM $cat.base")
+    val d = spark.sql(s"DESCRIBE $cat.v_desc").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("key", "nm"))
+    assert(d.head.getString(2) == "pk")
+    val ext = spark.sql(s"DESCRIBE EXTENDED $cat.v_desc").collect()
+      .map(_.getString(0))
+    assert(ext.contains("View Text") && ext.contains("View Catalog and Namespace"))
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.v_desc").collect().head.getString(0)
+    assert(ddl.startsWith(s"CREATE VIEW $cat.v_desc") &&
+      ddl.contains("COMMENT 'pk'") && ddl.contains("SELECT r_regionkey"), ddl)
+    // DESCRIBE of a TABLE still reaches the native v2 path
+    assert(spark.sql(s"DESCRIBE $cat.base").collect()
+      .exists(_.getString(0) == "r_name"))
+  }
+
   test("streaming read of a view is refused with direction") {
     root
     spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.v_s AS SELECT * FROM $cat.base")
