@@ -760,8 +760,13 @@ object Sinks
       else TableProps.clusterColumns(root)
         .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
     if (ckeys.nonEmpty) {
-      val keys = (pcols ++ ckeys).map(c => col(s"`$c`")).toIndexedSeq
-      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      // multi-column keys Z-order at write time too (round-14 upgrade:
+      // before this, only compaction's re-lay was multi-dimensional and
+      // commits between compactions were prunable on the leading column
+      // only). clusterFrame's grid normalization costs one min/max agg
+      // over the DELTA — the opt-in property's price; nFiles = None
+      // leaves the partition count to AQE exactly as before.
+      clusterFrame(df, ckeys, pcols, None)
     }
     else if (pcols.isEmpty || !TableProps.distributeWrites(root)) df
     else df.repartition(pcols.map(c => col(s"`$c`")).toIndexedSeq: _*)

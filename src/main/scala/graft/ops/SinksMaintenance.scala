@@ -109,7 +109,7 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     // through every maintenance pass with no per-call arguments.
     val clusterCols = TableProps.clusterColumns(root)
     val rewritten =
-      if (clusterCols.nonEmpty) clusterFrame(base, clusterCols, pcols, nFiles)
+      if (clusterCols.nonEmpty) clusterFrame(base, clusterCols, pcols, Some(nFiles))
       else if (statsCols.isEmpty && pcols.nonEmpty) {
         // partitioned table: cluster the rewrite BY the partition columns
         // so each task holds whole partition values — a round-robin
@@ -254,7 +254,7 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       clusterCols).distinct
       .filter(c => aligned.columns.exists(_.equalsIgnoreCase(c)))
     val rewritten =
-      if (clusterCols.nonEmpty) clusterFrame(aligned, clusterCols, pcols, nFiles)
+      if (clusterCols.nonEmpty) clusterFrame(aligned, clusterCols, pcols, Some(nFiles))
       else if (statsLayoutCols.isEmpty && pcols.nonEmpty)
         aligned.repartition(nFiles, pcols.map(col): _*)
       else if (statsLayoutCols.isEmpty) aligned.repartition(nFiles)
@@ -305,8 +305,12 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     * sort). Bounds come from one tiny min/max aggregate; an empty or
     * all-null dimension degrades to a plain repartition.
     */
+  /** `nFiles = None` leaves the shuffle's partition count to AQE (the
+    * write-time spelling: a small delta coalesces into few files with
+    * no explicit sizing); compaction passes its computed target count.
+    */
   private[ops] def clusterFrame(base: DataFrame, clusterCols: Seq[String],
-      pcols: Seq[String], nFiles: Int): DataFrame = {
+      pcols: Seq[String], nFiles: Option[Int]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, min => smin, max => smax}
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     val schema = base.schema
@@ -321,9 +325,14 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
         case _ => false
       }
     val dims = canonical.map(f => col(f.name))
+    def ranged(keys: Seq[Column]): DataFrame = nFiles match {
+      case Some(n) => base.repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      case None => base.repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+    }
     if (canonical.size == 1 || !canonical.forall(gridable)) {
-      val keys = pcols.map(col) ++ dims
-      base.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+      ranged(pcols.map(col) ++ dims)
     } else {
       def asNum(f: org.apache.spark.sql.types.StructField): Column =
         f.dataType match {
@@ -338,14 +347,13 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       val bounds = base.agg(boundCols.head, boundCols.tail: _*).head()
       val allBounded = canonical.indices.forall(i =>
         !bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1))
-      if (!allBounded) base.repartition(nFiles) // empty table / all-null dim
+      if (!allBounded) nFiles.fold(base)(base.repartition(_)) // empty / all-null dim
       else {
         val z = Layout.zorderN(canonical.zipWithIndex.map { case (f, i) =>
           Layout.normalize(asNum(f), lit(bounds.getDouble(2 * i)),
             lit(bounds.getDouble(2 * i + 1)), effBits)
         }, effBits)
-        val keys = pcols.map(col) :+ z
-        base.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+        ranged(pcols.map(col) :+ z)
       }
     }
   }
@@ -572,7 +580,7 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
         .filter(c => survivors.columns.exists(_.equalsIgnoreCase(c)))
       val nFiles = math.max(1, touched.size / 2)
       val rewritten =
-        if (clusterCols.nonEmpty) clusterFrame(survivors, clusterCols, pcols, nFiles)
+        if (clusterCols.nonEmpty) clusterFrame(survivors, clusterCols, pcols, Some(nFiles))
         else if (statsLayoutCols.isEmpty && pcols.nonEmpty)
           survivors.repartition(nFiles, pcols.map(col): _*)
         else if (statsLayoutCols.isEmpty) survivors.repartition(nFiles)

@@ -923,6 +923,42 @@ class SkippingSpec extends AnyFunSuite {
     assert(viaBoth.collect().toSeq == full.collect().toSeq)
     assert(viaBoth.count() == 1)
   }
+  test("write-time clustering Z-orders multi-column keys: BOTH dimensions prune from the first commit (round-14)") {
+    import spark.implicits._
+    import graft.ops.{Sinks, Stats, TableProps}
+    val root = tmp("graft_cwrite2d") + "/t"
+    TableProps.update(root)(_ +
+      (TableProps.ClusterKey -> "x,y") + (TableProps.ClusterWriteKey -> "true") +
+      (TableProps.StatsKey -> "x,y"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // x and y deliberately independent, insertion order scattered in
+      // both — a leading-column range layout could never prune y
+      val df = (0L until 8000L)
+        .map(i => ((i * 2654435761L) % 2000L, (i * 40503L + 17L) % 2000L, s"p$i"))
+        .toDF("x", "y", "payload").repartition(8)
+      Sinks.publishVersioned(df, root, None)
+      val v0 = Sinks.resolve(root)
+      val total = graft.io.Fs.walkParquet(java.nio.file.Paths.get(v0)).size
+      assert(total >= 4, s"fixture must land several files, got $total")
+      val prunedX = Stats.prunedFiles(spark, v0, "x", 0L, 99L)
+      val prunedY = Stats.prunedFiles(spark, v0, "y", 0L, 99L)
+      assert(prunedX.size < total && prunedY.size < total,
+        s"write-time Z-order must prune BOTH dims: x ${prunedX.size}/$total, " +
+          s"y ${prunedY.size}/$total")
+      // pruned reads stay exact on both dimensions
+      val wantX = Sinks.readCurrent(spark, root)
+        .filter(col("x").between(0, 99)).collect().toSet
+      assert(Stats.readCurrentWhere(spark, root, "x", 0L, 99L)
+        .collect().toSet == wantX)
+      val wantY = Sinks.readCurrent(spark, root)
+        .filter(col("y").between(0, 99)).collect().toSet
+      assert(Stats.readCurrentWhere(spark, root, "y", 0L, 99L)
+        .collect().toSet == wantY)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("write-time clustering ('graft.cluster.write'): every commit lands range-skippable before any compaction (round-14)") {
     import spark.implicits._
     import graft.ops.{Sinks, Stats, TableProps}
