@@ -80,6 +80,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim.withCast(exprs.head, exprs(1))))
+    // The engine's text/similarity Column builders as SQL scalar
+    // functions (round-14): the same codegen'd expression trees the
+    // library queries compose, reachable from pure SQL — no UDF, no
+    // serialization boundary, pushdown-transparent. Each builder speaks
+    // Columns; the Expression bridge is GraftSqlShims.expression.
+    locally {
+      import org.apache.spark.sql.GraftSqlShims.{column => c, expression => e}
+      def scalar(name: String, min: Int, max: Int)(
+          f: Seq[Expression] => org.apache.spark.sql.Column): Unit =
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(graft.ops.Pii.getClass.getName, name),
+          (exprs: Seq[Expression]) => {
+            require(exprs.length >= min && exprs.length <= max,
+              s"$name expects $min" +
+                (if (max != min) s"..$max" else "") +
+                s" argument(s), got ${exprs.length}")
+            e(f(exprs))
+          }))
+      def intLit(x: Expression, what: String): Int = x match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+      scalar("graft_scrub", 1, 1)(x => graft.ops.Pii.scrub(c(x.head)))
+      scalar("graft_email_count", 1, 1)(x => graft.ops.Pii.emailCount(c(x.head)))
+      scalar("graft_ip_count", 1, 1)(x => graft.ops.Pii.ipCount(c(x.head)))
+      scalar("graft_card_count", 1, 1)(x => graft.ops.Pii.cardCount(c(x.head)))
+      scalar("graft_strip_html", 1, 1)(x =>
+        graft.ops.TextAnalysis.stripHtml(c(x.head)))
+      scalar("graft_simhash", 1, 1)(x => graft.ops.Dedup.simhashBits(c(x.head)))
+      scalar("graft_minhash", 3, 3)(x => graft.ops.Dedup.minhashSignature(
+        c(x.head), intLit(x(1), "graft_minhash ngram n"),
+        intLit(x(2), "graft_minhash num_perm")))
+      scalar("graft_minhash_sim", 2, 2)(x =>
+        graft.ops.Dedup.minhashEstimate(c(x.head), c(x(1))))
+      scalar("graft_jaccard", 2, 2)(x =>
+        graft.ops.Dedup.jaccard(c(x.head), c(x(1))))
+    }
     // change-data-feed read as a SQL table function (Delta's table_changes)
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),

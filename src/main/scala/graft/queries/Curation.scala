@@ -104,6 +104,29 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // The SAME redaction pass through the round-14 SQL function door
+    // (graft_scrub / graft_*_count registered by GraftExtensions): a
+    // hash match against q_pii_scrub's oracle proves the SQL functions
+    // are byte-identical to the Column builders they wrap.
+    "q_sql_textfns" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sqlfns")
+      s.sql(
+        """WITH aug AS (
+          |  SELECT doc_id, concat(text, ' contact user',
+          |    CAST(doc_id AS STRING), '@example.com from 10.2.',
+          |    CAST(doc_id % 200 AS STRING), '.7 card 4111-1111-1111-',
+          |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS aug
+          |  FROM docs_sqlfns)
+          |SELECT doc_id,
+          |  graft_email_count(aug) AS n_emails,
+          |  graft_ip_count(aug) AS n_ips,
+          |  graft_card_count(aug) AS n_cards,
+          |  md5(graft_scrub(aug)) AS scrub_md5,
+          |  CAST(length(aug) - length(graft_scrub(aug)) AS BIGINT)
+          |    AS n_chars_removed
+          |FROM aug ORDER BY doc_id""".stripMargin)
+    }),
+
     "q_text_normalize" -> ((s, dir) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -488,6 +511,30 @@ object Curation extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
+      ("""WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |    '.7 card 4111-1111-1111-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.EmailRe + """')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.Ipv4Re + """')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '""" + graft.ops.Pii.CardRe + """')) AS BIGINT) AS n_cards,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '""" + graft.ops.Pii.EmailRe + """', '<EMAIL>', 'g'),
+        |    '""" + graft.ops.Pii.Ipv4Re + """', '<IP>', 'g'),
+        |    '""" + graft.ops.Pii.CardRe + """', '<CARD>', 'g')) AS scrub_md5,
+        |  CAST(length(aug) - length(
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '""" + graft.ops.Pii.EmailRe + """', '<EMAIL>', 'g'),
+        |      '""" + graft.ops.Pii.Ipv4Re + """', '<IP>', 'g'),
+        |      '""" + graft.ops.Pii.CardRe + """', '<CARD>', 'g')) AS BIGINT) AS n_chars_removed
+        |FROM aug ORDER BY doc_id""").stripMargin,
+
+    // byte-identical recompute — the SQL-door twin shares the oracle
+    "q_sql_textfns" ->
       ("""WITH aug AS (
         |  SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||

@@ -15,6 +15,19 @@ import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier}
 object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** The reverse bridge: a Column's resolved-or-unresolved Catalyst
+    * expression — what lets the engine's Column-builder functions
+    * register as SQL functions (`SparkSessionExtensions.injectFunction`
+    * hands Expressions, the builders speak Columns).
+    */
+  def expression(c: Column): Expression =
+    // via the ACTIVE session's converter (not ExpressionUtils, whose
+    // lazy ColumnNodeExpression wrapper would reach codegen unresolved
+    // when returned from an injected function builder): functions-API
+    // nodes lower to catalyst UnresolvedFunction here and the analyzer
+    // resolves them like any hand-written expression
+    SparkSession.active.asInstanceOf[classic.SparkSession].expression(c)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

@@ -80,4 +80,43 @@ class ExtensionsSpec extends AnyFunSuite {
         template.orderBy("query_id", "rnk").collect().toSeq)
     }
   }
+
+  test("engine text/similarity functions serve SQL == Column API (round-14)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "mail me at bob@example.com or 10.0.0.1 <b>now</b>"),
+      ("b", "cards 1234-5678-9012-3456 and plain text"),
+      ("c", "the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    docs.createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_scrub(text) AS s, graft_email_count(text) AS e,
+        |       graft_ip_count(text) AS i, graft_card_count(text) AS c,
+        |       graft_strip_html(text) AS h, graft_simhash(text) AS sh,
+        |       graft_minhash(text, 3, 16) AS mh
+        |FROM fn_docs ORDER BY id""".stripMargin).collect()
+    val viaApi = docs.select($"id",
+        graft.ops.Pii.scrub($"text").as("s"),
+        graft.ops.Pii.emailCount($"text").as("e"),
+        graft.ops.Pii.ipCount($"text").as("i"),
+        graft.ops.Pii.cardCount($"text").as("c"),
+        graft.ops.TextAnalysis.stripHtml($"text").as("h"),
+        graft.ops.Dedup.simhashBits($"text").as("sh"),
+        graft.ops.Dedup.minhashSignature($"text", 3, 16).as("mh"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toString).sameElements(viaApi.map(_.toString)))
+    assert(viaSql.head.getString(1).contains("<EMAIL>") &&
+      viaSql.head.getString(1).contains("<IP>"))
+    // pairwise estimators compose in SQL too
+    val sim = spark.sql(
+      """SELECT graft_minhash_sim(graft_minhash(a.text, 3, 64),
+        |                         graft_minhash(b.text, 3, 64)) AS est
+        |FROM fn_docs a JOIN fn_docs b ON a.id = 'a' AND b.id = 'a'
+        |LIMIT 1""".stripMargin).collect().head.getDouble(0)
+    assert(sim == 1.0, s"self-similarity must be 1.0, got $sim")
+    // non-literal minhash params refused loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_minhash(text, length(text), 16) FROM fn_docs").collect())
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
 }
