@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, ShowCreateTable, ShowViews}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowCreateTable, ShowViews, UnsetViewProperties}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -94,6 +94,41 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
               case None => av
             }
           case _ => av
+        }
+
+      // ALTER VIEW … SET/UNSET TBLPROPERTIES and ALTER VIEW … RENAME TO:
+      // route to the ViewCatalog surface when the target is a Graft view
+      case sp: SetViewProperties =>
+        identParts(sp.child) match {
+          case Some(parts) if !GraftSqlShims.isTempView(spark, parts) =>
+            graftIdent(parts) match {
+              case Some((cat, ident)) =>
+                GraftAlterViewPropsCommand(cat, ident, sp.properties, Nil)
+              case None => sp
+            }
+          case _ => sp
+        }
+
+      case up: UnsetViewProperties =>
+        identParts(up.child) match {
+          case Some(parts) if !GraftSqlShims.isTempView(spark, parts) =>
+            graftIdent(parts) match {
+              case Some((cat, ident)) =>
+                GraftAlterViewPropsCommand(cat, ident, Map.empty, up.propertyKeys)
+              case None => up
+            }
+          case _ => up
+        }
+
+      case rt: RenameTable if rt.isView =>
+        tovParts(rt.child) match {
+          case Some(parts) if !GraftSqlShims.isTempView(spark, parts) =>
+            graftIdent(parts) match {
+              case Some((cat, ident)) if viewExists(cat, ident) =>
+                GraftRenameViewCommand(cat, ident, rt.newName)
+              case _ => rt
+            }
+          case _ => rt
         }
 
       // DESCRIBE / SHOW CREATE TABLE on a view: the native paths resolve
@@ -211,6 +246,34 @@ case class GraftAlterViewAsCommand(catName: String, ident: Identifier,
     // SQL-standard ALTER VIEW AS contract
     GraftViews.create(spark, cat, catName, ident, newSql, Nil, old.comment,
       old.properties, allowExisting = false, replace = true, evolve = old.evolve)
+    Nil
+  }
+}
+
+case class GraftAlterViewPropsCommand(catName: String, ident: Identifier,
+    set: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val cat = GraftViewSql.catalog(spark, catName)
+    if (!cat.viewExists(ident)) throw new NoSuchViewException(ident)
+    val changes = set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+      unset.map(ViewChange.removeProperty)
+    cat.alterView(ident, changes: _*)
+    Nil
+  }
+}
+
+case class GraftRenameViewCommand(catName: String, ident: Identifier,
+    newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViewSql.catalog(spark, catName)
+    // the new name resolves WITHIN the same catalog (Spark's RENAME
+    // contract); a multipart new name must stay in this catalog
+    val target =
+      if (newName.length > 1 && newName.head.equalsIgnoreCase(catName))
+        Identifier.of(newName.tail.init.toArray, newName.last)
+      else Identifier.of(newName.init.toArray, newName.last)
+    cat.renameView(ident, target)
     Nil
   }
 }

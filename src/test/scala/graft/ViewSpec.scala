@@ -255,6 +255,22 @@ class ViewSpec extends AnyFunSuite {
       .exists(_.getString(0) == "r_name"))
   }
 
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES and RENAME TO") {
+    root
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v_props AS SELECT 1 AS one")
+    spark.sql(s"ALTER VIEW $cat.v_props SET TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    val g = org.apache.spark.sql.GraftSqlShims.catalogByName(spark, cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def props = g.loadView(Identifier.of(Array.empty, "v_props")).properties()
+    assert(props.get("team") == "data" && props.get("tier") == "gold")
+    spark.sql(s"ALTER VIEW $cat.v_props UNSET TBLPROPERTIES ('tier')")
+    assert(props.get("team") == "data" && props.get("tier") == null)
+    spark.sql(s"ALTER VIEW $cat.v_props RENAME TO v_props2")
+    assert(spark.sql(s"SELECT one FROM $cat.v_props2").collect().head.getInt(0) == 1)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.v_props").collect())
+    spark.sql(s"DROP VIEW $cat.v_props2")
+  }
+
   test("streaming read of a view is refused with direction") {
     root
     spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.v_s AS SELECT * FROM $cat.base")
