@@ -118,6 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.Dedup.minhashEstimate(c(x.head), c(x(1))))
       scalar("graft_jaccard", 2, 2)(x =>
         graft.ops.Dedup.jaccard(c(x.head), c(x(1))))
+      scalar("graft_quality", 1, 1)(x => graft.ops.TextAnalysis.quality(c(x.head)))
+      scalar("graft_langid", 1, 1)(x => graft.ops.TextAnalysis.langId(c(x.head)))
+      scalar("graft_token_count", 1, 1)(x =>
+        graft.ops.TextAnalysis.tokenCount(c(x.head)))
     }
     // change-data-feed read as a SQL table function (Delta's table_changes)
     ext.injectTableFunction((

@@ -37,6 +37,42 @@ object TextAnalysis {
   private[ops] def toks(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
+  /** Whitespace token count as a scalar — the SQL-function spelling. */
+  def tokenCount(text: Column): Column = size(toks(text))
+
+  /** The composite quality score as a SCALAR over any text column —
+    * exactly the expression [[qualityScore]] lands in its `quality`
+    * column (one definition, two doors). Empty/blank text scores 0.0,
+    * never null (a null would slip `quality < t` curation gates).
+    */
+  def quality(text: Column): Column = {
+    val t = toks(text)
+    val nTokens = size(t)
+    val punct = regexp_count(text, lit("[^a-z0-9 ]")).cast("double")
+    val stopHits = size(filter(t, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    round(when(nTokens === 0, lit(0.0)).otherwise(
+      least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
+        + (lit(1.0) - least(punct / length(text), lit(1.0))) * 0.3
+        + least(stopHits.cast("double") / nTokens * 5.0, lit(1.0)) * 0.2),
+      6)
+  }
+
+  /** Heuristic language ID as a SCALAR — the same marker-intersection
+    * argmax (with the same precedence tie-break) [[languageId]] lands
+    * in `predicted_lang`, with the per-language scores inlined instead
+    * of temp columns (ExtensionsSpec pins the two doors equal).
+    */
+  def langId(text: Column): Column = {
+    val dt = array_distinct(toks(text))
+    val scores: Map[String, Column] = langMarkers.map { case (l, markers) =>
+      l -> size(array_intersect(dt, array(markers.map(lit): _*)))
+    }.toMap
+    val best = greatest(langMarkers.map { case (l, _) => scores(l) }: _*)
+    langMarkers.reverse.foldLeft(lit("und")) { case (elseCol, (l, _)) =>
+      when(best > 0 && scores(l) === best, lit(l)).otherwise(elseCol)
+    }
+  }
+
   /** Whitespace + BPE-ish token counting and shape stats per document. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
@@ -65,11 +101,7 @@ object TextAnalysis {
         .otherwise(stopHits.cast("double") / nTokens), 6).as("stop_ratio"),
       round(when(nTokens === 0, lit(0.0))
         .otherwise(length(col("text")).cast("double") / nTokens), 4).as("avg_token_len"),
-      round(when(nTokens === 0, lit(0.0)).otherwise(
-        least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
-          + (lit(1.0) - least(punct / length(col("text")), lit(1.0))) * 0.3
-          + least(stopHits.cast("double") / nTokens * 5.0, lit(1.0)) * 0.2),
-        6).as("quality"))
+      quality(col("text")).as("quality"))
   }
 
   /** Heuristic language ID: score = |tokens ∩ markers(lang)|, predict the

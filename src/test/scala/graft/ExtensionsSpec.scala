@@ -114,6 +114,26 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM fn_docs a JOIN fn_docs b ON a.id = 'a' AND b.id = 'a'
         |LIMIT 1""".stripMargin).collect().head.getDouble(0)
     assert(sim == 1.0, s"self-similarity must be 1.0, got $sim")
+    // quality / language-id / token-count scalars agree with the
+    // DataFrame builders they share expressions with
+    val docs2 = Seq(("d1", "the quick brown fox and the lazy dog", "en"),
+      ("d2", "der schnelle braune fuchs und der hund", "de"),
+      ("d3", "", "en")).toDF("doc_id", "text", "lang")
+    docs2.createOrReplaceTempView("fn_docs2")
+    val sqlQ = spark.sql(
+      """SELECT doc_id, graft_quality(text) AS q, graft_langid(text) AS l,
+        |       graft_token_count(text) AS n
+        |FROM fn_docs2 ORDER BY doc_id""".stripMargin).collect()
+    val apiQ = graft.ops.TextAnalysis.qualityScore(docs2)
+      .select("doc_id", "quality").orderBy("doc_id").collect()
+    val apiL = graft.ops.TextAnalysis.languageId(docs2)
+      .select("doc_id", "predicted_lang").orderBy("doc_id").collect()
+    sqlQ.zip(apiQ.zip(apiL)).foreach { case (s0, (q, l)) =>
+      assert(s0.getDouble(1) == q.getDouble(1), s"quality ${s0.getString(0)}")
+      assert(s0.getString(2) == l.getString(1), s"langid ${s0.getString(0)}")
+    }
+    assert(sqlQ.map(_.getString(2)).toSeq == Seq("en", "de", "und"))
+
     // non-literal minhash params refused loudly
     val e = intercept[Exception](spark.sql(
       "SELECT graft_minhash(text, length(text), 16) FROM fn_docs").collect())
