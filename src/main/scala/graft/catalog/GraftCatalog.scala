@@ -6,7 +6,7 @@ import java.util
 import graft.ops.{Sinks, TableProps}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -164,7 +164,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private final class WritableTable(delegate: ParquetTable, tRoot: String,
       baseVersion: Long)
       extends SnapshotTable(delegate, tRoot, Sinks.versionPath(tRoot, baseVersion))
-      with SupportsWrite with GraftWritableTable {
+      with SupportsWrite with TruncatableTable with GraftWritableTable {
+    /** `TRUNCATE TABLE` — an EMPTY new version through the same OCC
+      * commit (this statement's analysis-time base is the
+      * precondition): the data vanishes from the live pointer while
+      * every pre-truncate version stays time-travelable, exactly the
+      * versioned-layout spelling of Delta's truncate-as-delete-all.
+      * Sidecars deliberately do not carry (there is nothing to
+      * describe); RESTORE undoes it.
+      */
+    override def truncateTable(): Boolean = {
+      val spark = SparkSession.active
+      val empty = Sinks.readVersion(spark, tRoot, baseVersion).limit(0)
+      Sinks.publishVersioned(empty, tRoot, Some(baseVersion), opTag = "truncate")
+      true
+    }
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
     override def partitioning(): Array[Transform] = partitionTransforms(tRoot)

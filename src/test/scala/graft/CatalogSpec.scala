@@ -1757,4 +1757,22 @@ class CatalogSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE graft.se5 RENAME COLUMN part TO _part"))
     } finally spark.sql("DROP TABLE graft.se5")
   }
+
+  test("TRUNCATE TABLE: empty live version, history keeps the rows, RESTORE undoes (round-14)") {
+    root
+    spark.sql("CREATE TABLE graft.t_trunc AS SELECT id AS k FROM range(0, 50)")
+    spark.sql("TRUNCATE TABLE graft.t_trunc")
+    assert(spark.sql("SELECT count(*) FROM graft.t_trunc").collect().head.getLong(0) == 0)
+    // schema survives the truncate (an INSERT lands against it)
+    spark.sql("INSERT INTO graft.t_trunc SELECT id AS k FROM range(100, 110)")
+    assert(spark.sql("SELECT count(*) FROM graft.t_trunc").collect().head.getLong(0) == 10)
+    // pre-truncate state stays time-travelable; history names the op
+    assert(spark.sql("SELECT count(*) FROM graft.t_trunc VERSION AS OF 1")
+      .collect().head.getLong(0) == 50) // v0 = CTAS schema anchor, v1 = data
+    val ops = spark.sql(s"SELECT operation FROM table_history('$root/t_trunc')")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.contains("truncate"), ops.toString)
+    spark.sql("CALL graft.system.restore('t_trunc', version => 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.t_trunc").collect().head.getLong(0) == 50)
+  }
 }
