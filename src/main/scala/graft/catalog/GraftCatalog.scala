@@ -1370,6 +1370,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "expire_versions" => new GraftProcedures.ExpireVersions(resolve)
       case "purge" => new GraftProcedures.Purge(resolve)
       case "ndv" => new GraftProcedures.Ndv(resolve)
+      case "mview_create" => new GraftProcedures.MviewCreate(resolve, resolveNew)
+      case "mview_refresh" => new GraftProcedures.MviewRefresh(resolve)
       case "eq_upsert" => new GraftProcedures.EqUpsert(resolve)
       case "eq_checkpoint" => new GraftProcedures.EqCheckpoint(resolve)
       case "bpe_train" => new GraftProcedures.BpeTrain(resolve, resolveNew)

@@ -39,7 +39,8 @@ private[graft] object GraftProcedures {
     "neardup_build", "neardup_append", "bloom_index", "clone",
     "repartition_table", "copy_into", "vacuum_orphans", "ann_split",
     "txn_publish", "zorder", "annotate_stats", "expire_versions",
-    "eq_upsert", "eq_checkpoint", "bpe_train", "purge", "ndv")
+    "eq_upsert", "eq_checkpoint", "bpe_train", "purge", "ndv",
+    "mview_create", "mview_refresh")
 
   /** `system.compact(table, target_mb => 128, retain_versions => 0)`.
     * `resolveRoot` maps a (possibly `ns.`-qualified) table name to its
@@ -309,6 +310,107 @@ private[graft] object GraftProcedures {
           StructField("table", StringType, nullable = false),
           StructField("n_expired", LongType, nullable = false),
           StructField("live_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.mview_create(source, target, dims, sum_cols, keys)` — the
+    * SQL door to B111's incrementally-maintained materialized views:
+    * materialize `GROUP BY dims` (n_rows + sum_/nn_ per sum column)
+    * over the source's CURRENT version into a NEW catalog table, and
+    * STORE the definition (dims, sum columns, source, row-identity
+    * keys) in the MV's `_PROPS` — so refresh needs only the target
+    * name. The MV is a normal versioned table: query, time travel,
+    * retention all apply.
+    */
+  final class MviewCreate(resolveRoot: String => String,
+      resolveNew: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "mview_create"
+    override def description(): String =
+      "materialize a GROUP BY view of a table into a new catalog table " +
+        "and store its definition for O(delta) refresh"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("source table in this catalog").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("NEW table name for the materialized view").build(),
+      ProcedureParameter.in("dims", StringType)
+        .comment("comma-separated GROUP BY columns").build(),
+      ProcedureParameter.in("keys", StringType)
+        .comment("the SOURCE table's row-identity columns (drives the " +
+          "change-feed refresh)").build(),
+      ProcedureParameter.in("sum_cols", StringType).defaultValue("''")
+        .comment("comma-separated columns to maintain sums for").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def list(i: Int) = input.getUTF8String(i).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val source = input.getUTF8String(0).toString
+      val target = input.getUTF8String(1).toString
+      val (dims, keys, sums) = (list(2), list(3), list(4))
+      require(dims.nonEmpty, "dims must name at least one column")
+      require(keys.nonEmpty, "keys must name the source row identity")
+      val srcRoot = resolveRoot(source)
+      val mvRoot = resolveNew(target)
+      val v = graft.ops.Mview.create(SparkSession.active, srcRoot, mvRoot,
+        dims, sums)
+      graft.ops.TableProps.update(mvRoot)(_ +
+        ("graft.mview.source" -> srcRoot) +
+        ("graft.mview.dims" -> dims.mkString(",")) +
+        ("graft.mview.sums" -> sums.mkString(",")) +
+        ("graft.mview.keys" -> keys.mkString(",")))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(target), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("mv_version", LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
+
+  /** `system.mview_refresh(target)` — advance the MV to its source's
+    * current version via the stored definition: O(changed rows) through
+    * the change feed when the bookkeeping allows, full recompute
+    * fallback otherwise (never a wrong answer).
+    */
+  final class MviewRefresh(resolveRoot: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "mview_refresh"
+    override def description(): String =
+      "advance a materialized view to its source's current version " +
+        "(O(delta) via the change feed; full recompute fallback)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("target", StringType)
+        .comment("the materialized-view table (created by mview_create)")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val target = input.getUTF8String(0).toString
+      val mvRoot = resolveRoot(target)
+      val props = graft.ops.TableProps.load(mvRoot)
+      def need(k: String) = props.getOrElse(s"graft.mview.$k",
+        throw new IllegalArgumentException(
+          s"$target carries no stored materialized-view definition " +
+            s"(graft.mview.$k) — was it created by CALL system.mview_create?"))
+      def listOf(k: String) = need(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.ops.Mview.refresh(SparkSession.active, need("source"),
+        mvRoot, listOf("keys"), listOf("dims"),
+        props.get("graft.mview.sums").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(UTF8String.fromString(target), v))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("mv_version", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

@@ -181,6 +181,24 @@ object ScanOps extends QueryModule {
            |ORDER BY region""".stripMargin)
     }),
 
+    // B111's materialized views through the round-14 CALL doors: the
+    // warehouse CREATEs the MV with a STORED definition, appends a
+    // delta, and refreshes BY TARGET NAME ONLY (the stored definition
+    // drives the O(delta) change-feed path); the query re-issues the
+    // refresh (a verified no-op when current) and reads the MV. The
+    // oracle recomputes the aggregate over fixture+delta, so the hash
+    // proves create + stored-definition refresh end to end.
+    "q_mview_sql" -> ((s, dir) => {
+      val wh = mviewSqlWarehouse(s, dir)
+      val cat = "graftmv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CALL $cat.system.mview_refresh('nation_by_region')").collect()
+      s.sql(
+        s"""SELECT n_regionkey, n_rows, sum_n_nationkey
+           |FROM $cat.nation_by_region ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // B180 metadata-served NDV through the CALL door: the warehouse
     // declares 'graft.ndv.columns' so publish annotates per-file HLL
     // sketches; the query merges them WITHOUT opening a data file. At
@@ -887,6 +905,40 @@ object ScanOps extends QueryModule {
         graft.io.Fs.deleteRecursively(Paths.get(root))
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_mview_sql: `nation` published, the MV created via
+    * CALL mview_create (definition stored in its _PROPS), a duplicate
+    * of the n_nationkey<5 rows appended, and ONE refresh applied — all
+    * inside the stamped build so query reruns are idempotent (their
+    * refresh is a no-op).
+    */
+  private def mviewSqlWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_mvsql_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|mv1"
+      val fresh = Files.isDirectory(Paths.get(root + "/nation_by_region")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        val cat = "graftmvb_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val nat = Tables.nation(s, dir)
+        Sinks.publishVersioned(nat, root + "/nation_src", None)
+        s.sql(s"CALL $cat.system.mview_create('nation_src', 'nation_by_region', " +
+          "dims => 'n_regionkey', keys => 'n_nationkey', " +
+          "sum_cols => 'n_nationkey')").collect()
+        Sinks.appendVersioned(nat.filter(col("n_nationkey") < 5),
+          root + "/nation_src", Some(0L), emitFeed = true)
+        s.sql(s"CALL $cat.system.mview_refresh('nation_by_region')").collect()
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1825,6 +1877,16 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // the MV recomputed from fixture + the duplicated <5 stripe
+    "q_mview_sql" ->
+      """WITH src AS (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT * FROM nation WHERE n_nationkey < 5)
+        |SELECT n_regionkey, count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS sum_n_nationkey
+        |FROM src GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     // exact distinct counts — the sketch serves in coupon (exact) mode
     // at these cardinalities, so count(DISTINCT) is the right oracle

@@ -133,4 +133,36 @@ class MviewSpec extends AnyFunSuite {
     val want = Mview.full(Sinks.readCurrent(spark, src), Seq("grp"), Seq("v"))
     assert(same(Mview.readCurrent(spark, mv), want))
   }
+
+  test("CALL mview_create / mview_refresh: stored definition drives O(delta) refresh (round-14)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mvcall").toString
+    val cat = "graftmvc"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.sales AS " +
+      "SELECT id AS sale_id, id % 5 AS region, id * 10 AS amount FROM range(0, 200)")
+    val r = spark.sql(s"CALL $cat.system.mview_create('sales', 'sales_by_region', " +
+      "dims => 'region', sum_cols => 'amount', keys => 'sale_id')").collect().head
+    assert(r.getString(0) == "sales_by_region")
+    // the MV is a normal catalog table
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sales_by_region")
+      .collect().head.getLong(0) == 5)
+    // change the source: insert + delete, then refresh by TARGET NAME ONLY
+    spark.sql(s"INSERT INTO $cat.sales " +
+      "SELECT id AS sale_id, id % 5 AS region, id * 10 AS amount FROM range(200, 260)")
+    spark.sql(s"DELETE FROM $cat.sales WHERE sale_id < 20")
+    spark.sql(s"CALL $cat.system.mview_refresh('sales_by_region')")
+    val got = spark.sql(
+      s"SELECT region, n_rows, sum_amount FROM $cat.sales_by_region ORDER BY region")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val want = spark.sql(
+      s"""SELECT region, count(*) AS n, sum(amount) AS s FROM $cat.sales
+         |GROUP BY region ORDER BY region""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == want, s"$got vs $want")
+    // refresh on a table without a stored definition fails with direction
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.mview_refresh('sales')"))
+    assert(e.getMessage.contains("mview_create"), e.getMessage)
+  }
 }
