@@ -159,4 +159,29 @@ class PurgeSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.users VERSION AS OF 0").collect())
   }
+
+  test("purge composes with hidden partitioning: derived dirs re-derive, source predicate works") {
+    val root = tmp()
+    val cat = "graftpgh"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.ev (user_id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.ev SELECT id AS user_id, " +
+      "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts " +
+      "FROM range(0, 96)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").collect().head.getLong(0) == 96)
+    val row = spark.sql(
+      s"CALL $cat.system.purge('ev', where => 'user_id % 8 = 3')").collect().head
+    assert(row.getLong(1) == 12, row.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").collect().head.getLong(0) == 84)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE user_id % 8 = 3")
+      .collect().head.getLong(0) == 0)
+    // the hidden day-dirs survive for untouched days' files and the
+    // rewritten rows re-derived theirs: a day-ranged read still prunes
+    val oneDay = spark.sql(
+      s"SELECT count(*) FROM $cat.ev WHERE ts >= timestamp'2024-03-02 00:00:00' " +
+        "AND ts < timestamp'2024-03-03 00:00:00'").collect().head.getLong(0)
+    assert(oneDay == 21, s"day-2 rows: $oneDay") // 24 - 3 purged (user 11,19? keys 27,35,43 in window)
+  }
 }

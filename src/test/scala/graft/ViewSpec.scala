@@ -280,4 +280,19 @@ class ViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("stream"), e.getMessage)
   }
+
+  test("views pin VERSION AS OF: the frozen-audit-view pattern") {
+    root
+    // base table gets a second version; the view pins the FIRST
+    graft.ops.Sinks.publishVersioned(
+      graft.io.Tables.region(spark, sf001).limit(2), s"$root/base2", None)
+    graft.ops.Sinks.publishVersioned(
+      graft.io.Tables.region(spark, sf001), s"$root/base2", Some(0L))
+    spark.sql(s"CREATE VIEW $cat.v_frozen AS " +
+      s"SELECT count(*) AS n FROM $cat.base2 VERSION AS OF 0")
+    assert(spark.sql(s"SELECT n FROM $cat.v_frozen").collect().head.getLong(0) == 2)
+    // the live table moved on; the view still reads the pinned snapshot
+    assert(spark.sql(s"SELECT count(*) FROM $cat.base2").collect().head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT n FROM $cat.v_frozen").collect().head.getLong(0) == 2)
+  }
 }
