@@ -578,9 +578,41 @@ object Stress {
       System.err.println(s"[stress] eq-upsert leg failed: $e")
       Seq("eq_upsert_commits" -> (-1L, -1.0))
     }
+    // Governance leg (round-14): metadata NDV + right-to-erasure at the
+    // sweep's volume. NDV must EQUAL the full scan's estimate (register
+    // merge — checked here at factor×150k rows, not just at spec size);
+    // the purge then MOR-deletes 5%, erases a key stripe, and PROVES
+    // erasure with the raw scan — that proof is the dominant cost and
+    // the honest price of the guarantee.
+    val govTimes = try {
+      import graft.ops.{Sinks, Stats, TableProps}
+      val c = spark.read.parquet(Tables.path(out, "customer")).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val root = s"$out/gov_customer"
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      TableProps.store(root, Map(
+        TableProps.NdvKey -> "c_custkey,c_mktsegment",
+        TableProps.StatsKey -> "c_custkey"))
+      Sinks.publishVersioned(
+        c.repartitionByRange(32, col("c_custkey")), root, None)
+      val (served, tNdv) = timed(Stats.ndv(spark, root, Seq("c_custkey")).head._2)
+      val scanN = Sinks.readCurrent(spark, root)
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(cast(c_custkey AS bigint)))"))
+        .head.getLong(0)
+      require(served == scanN, s"stress ndv: served $served != scan $scanN")
+      Sinks.deleteVector(spark, root, pmod(col("c_custkey"), lit(20)) === 0)
+      val (purged, tPurge) = timed(
+        Sinks.purgeWhere(spark, root, "c_custkey % 50 = 1")._1)
+      System.err.println(s"[stress] gov: ndv=$served ($tNdv s), " +
+        s"purged=$purged rows ($tPurge s, raw-scan verified)")
+      Seq("gov_ndv" -> (served, tNdv), "gov_purge" -> (purged, tPurge))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] governance leg failed: $e")
+      Seq("gov_ndv" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
       appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++
-      dedup100Times ++ multiWriterTimes ++ eqdelTimes
+      dedup100Times ++ multiWriterTimes ++ eqdelTimes ++ govTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }
