@@ -181,6 +181,25 @@ object ScanOps extends QueryModule {
            |ORDER BY region""".stripMargin)
     }),
 
+    // B182 TRUNCATE TABLE through the native v2 path: each run
+    // truncates the scratch table (an empty OCC-committed version),
+    // re-inserts a fixed stripe, expires the accumulated history, and
+    // reads the result — deterministic across reruns BECAUSE truncate
+    // resets the state first. The oracle recomputes the stripe from
+    // the raw fixture, so the hash proves truncate + insert + read.
+    "q_truncate" -> ((s, dir) => {
+      val wh = truncateWarehouse(s, dir)
+      val cat = "grafttr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"TRUNCATE TABLE $cat.scratch")
+      s.sql(s"INSERT INTO $cat.scratch SELECT n_nationkey, n_name FROM " +
+        s"$cat.nations WHERE n_nationkey < 10")
+      s.sql(s"CALL $cat.system.expire_versions('scratch', retain_versions => 1)")
+        .collect()
+      s.sql(s"SELECT n_nationkey, n_name FROM $cat.scratch ORDER BY n_nationkey")
+    }),
+
     // B111's materialized views through the round-14 CALL doors: the
     // warehouse CREATEs the MV with a STORED definition, appends a
     // delta, and refreshes BY TARGET NAME ONLY (the stored definition
@@ -905,6 +924,31 @@ object ScanOps extends QueryModule {
         graft.io.Fs.deleteRecursively(Paths.get(root))
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_truncate (B182): `nations` (the read source) and
+    * `scratch` (the table every run truncates and refills). Cached per
+    * sf dir by content stamp.
+    */
+  private def truncateWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_trunc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|tr1"
+      val fresh = Files.isDirectory(Paths.get(root + "/scratch")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        val nat = Tables.nation(s, dir)
+        Sinks.publishVersioned(nat, root + "/nations", None)
+        Sinks.publishVersioned(
+          nat.select(col("n_nationkey"), col("n_name")), root + "/scratch", None)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1877,6 +1921,11 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // the post-truncate re-insert stripe, from the raw fixture
+    "q_truncate" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey < 10 ORDER BY n_nationkey""".stripMargin,
 
     // the MV recomputed from fixture + the duplicated <5 stripe
     "q_mview_sql" ->
