@@ -62,6 +62,7 @@ object SparkEntry {
     "q_stats_skipping_dec", "q_meta_count_ts", "q_meta_count_filtered",
     "q_streaming_upsert", "q_meta_count_grouped", "q_meta_sum",
     "q_meta_grouped_range", "q_bpe_train", "q_avro_scan",
-    "q_view", "q_purge", "q_ndv", "q_mview_sql", "q_sql_textfns")
+    "q_view", "q_purge", "q_ndv", "q_mview_sql", "q_sql_textfns",
+    "q_truncate", "q_format_read")
     .filter(queries.contains)
 }

@@ -240,39 +240,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * makes Spark resolve partition values with the DECLARED types.
     */
   private def parquetDelegate(ident: Identifier, tRoot: String,
-      path: String): ParquetTable = {
-    val spark = SparkSession.active
-    // under a column mapping the declared (analysis-time) schema speaks
-    // LOGICAL names; the physical scan this delegate would run is never
-    // executed — DvReadRule swaps the relation for the translating read
-    // funnel (requireReadRule refuses rule-less sessions up front)
-    val mapping = graft.ops.ColMap.load(path)
-    val gone = graft.ops.ColMap.dropped(path).map(_.toLowerCase)
-    val declared0 =
-      if (mapping.isEmpty && gone.isEmpty) Sinks.readSchemaFor(spark, tRoot, path)
-      else {
-        val phys = Sinks.readSchemaFor(spark, tRoot, path)
-          .getOrElse(spark.read.parquet(path).schema)
-        val physToLogical = mapping.map { case (l, p) => p.toLowerCase -> l }
-        Some(org.apache.spark.sql.types.StructType(phys
-          .filterNot(f => gone.contains(f.name.toLowerCase)) // DROP tombstones
-          .map(f =>
-            f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
-      }
-    // hidden partitioning (B161): derived `_tp_*` directory columns are
-    // not part of the table's logical schema — the read funnel drops
-    // them and the writers re-derive them (the rule-presence gate keeps
-    // the bare scan from ever running on such a table)
-    val declared = declared0.map(s => org.apache.spark.sql.types.StructType(
-      s.filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)))
-    ParquetTable(
-      name = s"$catalogName.${ident.toString}",
-      sparkSession = spark,
-      options = CaseInsensitiveStringMap.empty(),
-      paths = Seq(path),
-      userSpecifiedSchema = declared,
-      fallbackFileFormat = classOf[ParquetFileFormat])
-  }
+      path: String): ParquetTable =
+    GraftTables.delegate(s"$catalogName.${ident.toString}", tRoot, path)
 
   /** The table's declared partition transforms (identity columns), for
     * DESCRIBE/SHOW surfaces and Spark's write-distribution planning.
@@ -302,37 +271,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * `SparkSessionExtensions` have no public registry), falling back to
     * the `spark.sql.extensions` conf spelling.
     */
-  private def requireDvRule(versionDir: String, ident: Identifier): Unit = {
-    // same gate for column-mapped versions: the bare DSv2 scan would
-    // read LOGICAL names against PHYSICAL files (all-null columns).
-    // And for mixed-layout versions (metadata-only partition
-    // evolution): the bare scan sees only the current-layout files and
-    // would silently drop every `_layout<k>/` leg row
-    if (!graft.ops.Dv.exists(versionDir) &&
-        !graft.ops.ColMap.exists(versionDir) &&
-        !Sinks.hasLayoutLegs(versionDir) &&
-        !Sinks.hasHiddenPartitioning(tableRoot(ident), versionDir)) return
-    val spark = SparkSession.active
-    val active =
-      try {
-        val m = classOf[org.apache.spark.sql.catalyst.rules.RuleExecutor[_]]
-          .getDeclaredMethod("batches")
-        m.setAccessible(true)
-        m.invoke(spark.sessionState.optimizer).asInstanceOf[Seq[_]].exists { b =>
-          val rm = b.getClass.getMethod("rules")
-          rm.invoke(b).asInstanceOf[Seq[AnyRef]]
-            .exists(_ eq (graft.plans.DvReadRule: AnyRef))
-        }
-      } catch { case _: Throwable =>
-        spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions")
-      }
-    if (!active) throw new IllegalStateException(
-      s"$catalogName.${ident.toString} carries a deletion vector, column " +
-        "mapping, mixed partition layout, or hidden partitioning and this " +
-        "session's optimizer lacks DvReadRule — build the session with " +
-        "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
-        "to purge deletes / materialize renames and layout legs first)")
-  }
+  private def requireDvRule(versionDir: String, ident: Identifier): Unit =
+    GraftTables.requireReadRule(versionDir, tableRoot(ident),
+      s"$catalogName.${ident.toString}")
 
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRoot(ident)
@@ -1424,5 +1365,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       graft.io.Fs.deleteRecursively(p)
       true
     }
+  }
+}
+
+/** The catalog-independent halves of table construction — shared by
+  * [[GraftCatalog]] and the path-based `spark.read.format("graft")`
+  * provider ([[GraftDataSource]]): the schema-pinned parquet delegate
+  * over one version dir, and the rule-presence gate refusing a bare
+  * scan wherever it would be WRONG rather than slow.
+  */
+private[catalog] object GraftTables {
+
+  /** Refuse rule-less sessions for any version whose bare DSv2 scan
+    * would return wrong rows: deletion vectors / equality deletes
+    * (deleted rows resurface), column mapping (logical names against
+    * physical files read all-null), mixed layouts (leg rows silently
+    * dropped), hidden partitioning (derived columns leak). Round-14
+    * also closed the equality-delete hole here — the rule handled
+    * them, but the rule-less refusal didn't list them.
+    */
+  private[catalog] def requireReadRule(versionDir: String, tRoot: String,
+      what: String): Unit = {
+    if (!graft.ops.Dv.exists(versionDir) &&
+        !graft.ops.EqDel.exists(versionDir) &&
+        !graft.ops.ColMap.exists(versionDir) &&
+        !Sinks.hasLayoutLegs(versionDir) &&
+        !Sinks.hasHiddenPartitioning(tRoot, versionDir)) return
+    val spark = SparkSession.active
+    val active =
+      try {
+        val m = classOf[org.apache.spark.sql.catalyst.rules.RuleExecutor[_]]
+          .getDeclaredMethod("batches")
+        m.setAccessible(true)
+        m.invoke(spark.sessionState.optimizer).asInstanceOf[Seq[_]].exists { b =>
+          val rm = b.getClass.getMethod("rules")
+          rm.invoke(b).asInstanceOf[Seq[AnyRef]]
+            .exists(_ eq (graft.plans.DvReadRule: AnyRef))
+        }
+      } catch { case _: Throwable =>
+        spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions")
+      }
+    if (!active) throw new IllegalStateException(
+      s"$what carries a deletion vector, equality deletes, column " +
+        "mapping, mixed partition layout, or hidden partitioning and this " +
+        "session's optimizer lacks DvReadRule — build the session with " +
+        "spark.sql.extensions=graft.GraftExtensions (or compact the table " +
+        "to purge deletes / materialize renames and layout legs first)")
+  }
+
+  /** V2 parquet delegate over one version dir. For a PARTITIONED table
+    * the full read schema is pinned ([[Sinks.readSchemaFor]]) so
+    * partition-directory type inference can never rewrite a declared
+    * STRING partition column into a date/int; a column mapping
+    * translates physical footer names to logical; hidden-transform
+    * columns drop from the logical schema.
+    */
+  private[catalog] def delegate(name: String, tRoot: String,
+      path: String): ParquetTable = {
+    val spark = SparkSession.active
+    val mapping = graft.ops.ColMap.load(path)
+    val gone = graft.ops.ColMap.dropped(path).map(_.toLowerCase)
+    val declared0 =
+      if (mapping.isEmpty && gone.isEmpty) Sinks.readSchemaFor(spark, tRoot, path)
+      else {
+        val phys = Sinks.readSchemaFor(spark, tRoot, path)
+          .getOrElse(spark.read.parquet(path).schema)
+        val physToLogical = mapping.map { case (l, p) => p.toLowerCase -> l }
+        Some(org.apache.spark.sql.types.StructType(phys
+          .filterNot(f => gone.contains(f.name.toLowerCase)) // DROP tombstones
+          .map(f =>
+            f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
+      }
+    val declared = declared0.map(s => org.apache.spark.sql.types.StructType(
+      s.filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)))
+    ParquetTable(
+      name = name,
+      sparkSession = spark,
+      options = CaseInsensitiveStringMap.empty(),
+      paths = Seq(path),
+      userSpecifiedSchema = declared,
+      fallbackFileFormat = classOf[ParquetFileFormat])
   }
 }

@@ -1,0 +1,93 @@
+package graft.catalog
+
+import java.util
+
+import graft.ops.Sinks
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The path-based read door (B184): `spark.read.format("graft")` over a
+  * versioned table ROOT — no catalog registration needed, which is how
+  * ad-hoc tooling, notebooks pointed at someone else's warehouse, and
+  * cross-workspace jobs read a table they don't own:
+  *
+  * {{{
+  *   spark.read.format("graft").load("/warehouse/events")          // live
+  *   spark.read.format("graft").option("versionAsOf", 2).load(p)   // pin
+  *   spark.read.format("graft").option("tag", "baseline").load(p)  // tag
+  * }}}
+  *
+  * The provider resolves the version AT LOAD TIME (snapshot isolation —
+  * the returned table is pinned to one immutable version dir, exactly
+  * like the catalog's `loadTable`), serves the same schema-pinned
+  * parquet delegate the catalog serves ([[GraftTables.delegate]]), and
+  * implements [[GraftSnapshotDir]] — so the optimizer tier composes
+  * unchanged: deletion-vector/equality-delete subtraction, column
+  * mapping, layout legs, hidden partitioning, stats skipping, and
+  * metadata-only counts all fire on format-read tables too. Sessions
+  * WITHOUT the extensions are refused for any table whose bare scan
+  * would be wrong ([[GraftTables.requireReadRule]]) rather than served
+  * resurrected rows. Read-only: writes go through the catalog or the
+  * library's commit funnels (`save()` fails for lack of write
+  * capability, never corrupts a version dir).
+  */
+class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def resolve(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "format(\"graft\") requires .load(<table root>)"))
+    val vOpt = Option(options.get("versionAsOf")).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"versionAsOf must be a version number, got '$v'"))
+    }.orElse(Option(options.get("tag")).map { t =>
+      Sinks.listTags(root).getOrElse(t, throw new IllegalArgumentException(
+        s"no tag '$t' on $root (tags: ${Sinks.listTags(root).keys.mkString(", ")})"))
+    })
+    val v = vOpt.getOrElse(Sinks.currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no published version under $root")))
+    val dir = Sinks.versionPath(root, v)
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"version v$v does not exist under $root (expired? " +
+        s"available: ${Sinks.listVersions(root).mkString(", ")})")
+    (root, dir)
+  }
+
+  private def snapshot(options: CaseInsensitiveStringMap): Table = {
+    val (root, dir) = resolve(options)
+    GraftTables.requireReadRule(dir, root, s"graft path table $root")
+    val delegate = GraftTables.delegate(s"graft.`$root`", root, dir)
+    new Table with SupportsRead with GraftSnapshotDir {
+      override def snapshotVersionDir: String = dir
+      override def snapshotTableRoot: String = root
+      override def name(): String = delegate.name
+      override def schema(): StructType = StructType(delegate.schema
+        .map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      override def partitioning(): Array[Transform] = delegate.partitioning()
+      override def properties(): util.Map[String, String] = delegate.properties()
+      override def capabilities(): util.Set[TableCapability] = {
+        val caps = new util.HashSet[TableCapability]()
+        caps.add(TableCapability.BATCH_READ)
+        caps
+      }
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        delegate.newScanBuilder(options)
+    }
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    snapshot(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    snapshot(new CaseInsensitiveStringMap(properties))
+}

@@ -181,6 +181,20 @@ object ScanOps extends QueryModule {
            |ORDER BY region""".stripMargin)
     }),
 
+    // B184 the path-based read door: spark.read.format("graft") with
+    // versionAsOf against the time-travel warehouse — same state, same
+    // oracle shape as q_catalog_timetravel, but through the FORMAT
+    // surface (no catalog registration), so a hash match proves the
+    // provider resolves versions and serves the identical snapshot.
+    "q_format_read" -> ((s, dir) => {
+      val tbl = catalogWarehouse(s, dir) + "/regions"
+      val v0 = s.read.format("graft").option("versionAsOf", 0).load(tbl)
+      val cur = s.read.format("graft").load(tbl)
+      v0.select(lit("v0").as("src"), col("r_regionkey"), col("r_name"))
+        .unionAll(cur.select(lit("cur").as("src"), col("r_regionkey"), col("r_name")))
+        .orderBy("src", "r_regionkey")
+    }),
+
     // B182 TRUNCATE TABLE through the native v2 path: each run
     // truncates the scratch table (an empty OCC-committed version),
     // re-inserts a fixed stripe, expires the accumulated history, and
@@ -1917,6 +1931,15 @@ object ScanOps extends QueryModule {
 
     "q_catalog_tag" ->
       """SELECT 'baseline' AS src, r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT 'cur' AS src, r_regionkey, r_name FROM region
+        |WHERE r_regionkey < 3
+        |ORDER BY src, r_regionkey""".stripMargin,
+
+    // same recompute as q_catalog_timetravel — the format door serves
+    // the identical snapshots
+    "q_format_read" ->
+      """SELECT 'v0' AS src, r_regionkey, r_name FROM region
         |UNION ALL
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3

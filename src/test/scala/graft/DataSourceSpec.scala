@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.read.format("graft")` (B184): the path-based read door — no
+  * catalog registration, snapshot-pinned at load, composing with the
+  * whole optimizer tier because the returned table is a
+  * GraftSnapshotDir like any catalog snapshot.
+  */
+class DataSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft_fmt").toString
+
+  test("live read == readCurrent; versionAsOf and tag pin snapshots") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    val v0 = spark.range(0, 40).select($"id".as("k"))
+    Sinks.publishVersioned(v0, tbl, None)
+    Sinks.tagVersion(tbl, "first", 0L)
+    Sinks.publishVersioned(v0.filter($"k" < 10), tbl, Some(0L))
+    assert(spark.read.format("graft").load(tbl).count() == 10)
+    assert(spark.read.format("graft").option("versionAsOf", 0).load(tbl)
+      .count() == 40)
+    assert(spark.read.format("graft").option("tag", "first").load(tbl)
+      .count() == 40)
+    // snapshot isolation: a frame loaded BEFORE a new commit keeps its pin
+    val pinned = spark.read.format("graft").load(tbl)
+    Sinks.publishVersioned(v0.limit(3), tbl, Some(1L))
+    assert(pinned.count() == 10 &&
+      spark.read.format("graft").load(tbl).count() == 3)
+  }
+
+  test("deletion vectors subtract through the format read; filters push down") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 100).select($"id".as("k"), ($"id" % 10).as("g")), tbl, None)
+    Sinks.deleteVector(spark, tbl, col("g") === 7)
+    val df = spark.read.format("graft").load(tbl)
+    assert(df.count() == 90 && df.filter($"g" === 7).count() == 0)
+    // pushdown reaches the parquet scan on a clean table
+    val clean = s"${tmp()}/c"
+    Sinks.publishVersioned(spark.range(0, 50).select($"id".as("k")), clean, None)
+    val plan = spark.read.format("graft").load(clean)
+      .filter($"k" === 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,7)"), plan)
+  }
+
+  test("refusals: bad tag, expired version, missing table; writes rejected") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(spark.range(5).select($"id".as("k")), tbl, None)
+    val e = intercept[Exception](
+      spark.read.format("graft").option("tag", "nope").load(tbl).count())
+    assert(e.getMessage.contains("no tag"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.read.format("graft").option("versionAsOf", 9).load(tbl).count())
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    intercept[Exception](
+      spark.read.format("graft").load(s"${tmp()}/absent").count())
+    // read-only: a write through the format must fail, not corrupt
+    val e3 = intercept[Exception](
+      spark.range(3).write.format("graft").mode("append").save(tbl))
+    assert(Sinks.listVersions(tbl) == Seq(0L), e3.getMessage)
+  }
+
+  test("partitioned tables keep declared partition types through the format") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    graft.ops.TableProps.store(tbl,
+      Map(graft.ops.TableProps.PartitionKey -> "part STRING"))
+    Sinks.publishVersioned(
+      spark.range(0, 24).select($"id".as("k"),
+        concat(lit("0"), ($"id" % 3).cast("string")).as("part")), tbl, None)
+    val df = spark.read.format("graft").load(tbl)
+    // a STRING partition value of "00" must not infer into an int
+    assert(df.schema("part").dataType.typeName == "string")
+    assert(df.filter($"part" === "00").count() == 8)
+  }
+}
