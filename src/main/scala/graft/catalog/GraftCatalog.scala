@@ -275,8 +275,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftTables.requireReadRule(versionDir, tableRoot(ident),
       s"$catalogName.${ident.toString}")
 
+  /** Identifier guards refuse reserved/traversal segments loudly on the
+    * WRITE paths; on the READ path an illegal identifier is simply "no
+    * such table" — throwing the require here would abort analysis
+    * before later resolution (a `graft.`/path``-style direct query)
+    * gets its chance.
+    */
+  private def tableRootForRead(ident: Identifier): String =
+    try tableRoot(ident)
+    catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+
   override def loadTable(ident: Identifier): Table = {
-    val tr = tableRoot(ident)
+    val tr = tableRootForRead(ident)
     val v = Sinks.currentVersion(tr)
       .getOrElse(throw new NoSuchTableException(ident))
     requireDvRule(Sinks.versionPath(tr, v), ident)
@@ -289,7 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * collide).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val tr = tableRoot(ident)
+    val tr = tableRootForRead(ident)
     if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
     val v = version.toLongOption
       .orElse(Sinks.resolveTag(tr, version))
@@ -314,7 +324,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * retention stay aligned).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val tr = tableRoot(ident)
+    val tr = tableRootForRead(ident)
     if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
     val live = Sinks.listVersions(tr)
     val eligible = live.filter(v =>

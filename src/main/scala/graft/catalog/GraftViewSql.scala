@@ -184,7 +184,16 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           } catch { case _: Exception => sv }
         }
 
-      case other => other
+      case other =>
+        // Delta-style direct path query: SELECT ... FROM graft.`/root`
+        // substitutes at PARSE time — the analyzer's own direct-query
+        // fallback throws before any extended resolution rule runs, so
+        // this seam is the only place the form can be served
+        other.transform {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if GraftViews.directPathQuery(u).isDefined =>
+            GraftViews.directPathQuery(u).get
+        }
     }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

@@ -256,6 +256,36 @@ private[graft] object GraftViews {
     }
   }
 
+  /** Delta-style direct path query: `SELECT … FROM graft.`/table/root``
+    * resolves to the same pinned snapshot `spark.read.format("graft")`
+    * serves (B184). Fires only for the two-part shape whose head is the
+    * datasource name and whose tail looks like a path carrying a
+    * published version. Substituted at PARSE time ([[GraftSqlParser]]):
+    * the analyzer's own direct-query fallback throws before any
+    * extended resolution rule runs, so the parser seam is the only
+    * place this form can be served. (Corollary: a catalog literally
+    * named `graft` reports missing tables with the engine's
+    * direct-query error instead of not-found — the name collision is
+    * the price of the Delta-style spelling, and the error still names
+    * the identifier.)
+    */
+  private[catalog] def directPathQuery(
+      u: UnresolvedRelation): Option[LogicalPlan] = {
+    val parts = u.multipartIdentifier
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft") &&
+        parts(1).contains("/") &&
+        graft.ops.Sinks.currentVersion(parts(1)).isDefined) {
+      val provider = new GraftDataSource
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", parts(1))
+      val table = provider.getTable(null, Array.empty, opts)
+      Some(
+        org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          .create(table, None, None,
+            new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)))
+    } else None
+  }
+
   private val depth = new ThreadLocal[Integer] { override def initialValue: Integer = 0 }
 
   /** Inline one view read: parse the stored text, qualify with the stored

@@ -90,11 +90,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("schema"), e.getMessage)
   }
 
-  test("missing tables raise a not-found error, not a blank failure") {
+  test("missing tables raise a loud error naming the identifier") {
     root
+    // NOTE: this catalog is named `graft`, which since B184 is ALSO the
+    // datasource short name — Spark's resolution therefore reports a
+    // missing table here through its direct-query-on-files fallback
+    // (the error still names 'graft'); catalogs under any other name
+    // keep the plain TABLE_OR_VIEW_NOT_FOUND (pinned below)
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.absent").collect())
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
-      || e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+      || e.getMessage.toLowerCase.contains("not found")
+      || e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY"),
+      e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graftother_nf.absent").collect())
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e2.getMessage)
   }
 
   test("CTAS / INSERT / OVERWRITE publish new versions; pre-write states stay travelable") {

@@ -82,4 +82,19 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.schema("part").dataType.typeName == "string")
     assert(df.filter($"part" === "00").count() == 8)
   }
+
+  test("SQL direct path query: SELECT ... FROM graft.`/root` (Delta spelling)") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(
+      spark.range(0, 30).select($"id".as("k"), ($"id" % 3).as("g")), tbl, None)
+    val got = spark.sql(
+      s"SELECT g, count(*) AS n FROM graft.`$tbl` GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 10L), (1L, 10L), (2L, 10L)))
+    // deletion vectors subtract through the SQL path form too
+    Sinks.deleteVector(spark, tbl, col("g") === 1)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$tbl`")
+      .collect().head.getLong(0) == 20)
+  }
 }
