@@ -131,8 +131,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined))
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
+    // B185/B186: sidecar-exact plan statistics + key-grouped partition
+    // reporting ride every catalog read through the scan wrapper
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      GraftScans.wrap(delegate.newScanBuilder(options), tRoot0, versionDir)
     protected def readCaps(): util.HashSet[TableCapability] = {
       val caps = new util.HashSet[TableCapability](delegate.capabilities())
       caps.remove(TableCapability.BATCH_WRITE)
@@ -287,10 +289,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def loadTable(ident: Identifier): Table = {
     val tr = tableRootForRead(ident)
-    val v = Sinks.currentVersion(tr)
-      .getOrElse(throw new NoSuchTableException(ident))
-    requireDvRule(Sinks.versionPath(tr, v), ident)
-    new WritableTable(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr, v)
+    Sinks.currentVersion(tr) match {
+      case Some(v) =>
+        requireDvRule(Sinks.versionPath(tr, v), ident)
+        new WritableTable(parquetDelegate(ident, tr, Sinks.versionPath(tr, v)), tr, v)
+      case None =>
+        // B187 metadata tables: `db.tbl.history|files|partitions|tags|
+        // detail` — only when the full name is NOT a table (a real
+        // same-named table always wins) and the prefix IS one
+        metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
+  }
+
+  /** Resolve `ident` as `<table>.<metadata-suffix>` ([[GraftMetaTables]]),
+    * or None when the shape doesn't match a published parent table.
+    */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty || !GraftMetaTables.Names(ident.name().toLowerCase)) return None
+    val parent = Identifier.of(ns.dropRight(1), ns.last)
+    val tr =
+      try tableRoot(parent)
+      catch { case _: IllegalArgumentException => return None }
+    if (Sinks.currentVersion(tr).isEmpty) None
+    else Some(GraftMetaTables.table(
+      s"$catalogName.${ident.toString}", tr, ident.name().toLowerCase))
   }
 
   /** `VERSION AS OF <v>` — a number travels to that version; any other

@@ -78,7 +78,7 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         caps
       }
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        delegate.newScanBuilder(options)
+        GraftScans.wrap(delegate.newScanBuilder(options), root, dir)
     }
   }
 

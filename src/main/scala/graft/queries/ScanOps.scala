@@ -195,6 +195,46 @@ object ScanOps extends QueryModule {
         .orderBy("src", "r_regionkey")
     }),
 
+    // B186 storage-partitioned join: customers and suppliers both laid
+    // out as identity-partitioned catalog tables on their nation key;
+    // with v2 bucketing on, the scan wrapper reports key-grouped
+    // partitioning and the join runs WITHOUT an Exchange on either side
+    // (plan-asserted in ScanStatsSpec — here the hash match proves the
+    // shuffle-free plan computes the exact same aggregate DuckDB gets
+    // from the raw fixture). pushPartValues pads partition-set
+    // mismatches; the confs stay on for the session (they only affect
+    // identity-partitioned graft scans, where SPJ is result-identical).
+    "q_spj_join" -> ((s, dir) => {
+      val wh = spjWarehouse(s, dir)
+      val cat = "graftspj_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(
+        s"""SELECT c.c_nationkey AS nationkey, count(*) AS pairs,
+           |       sum(c.c_custkey + s.s_suppkey) AS keysum
+           |FROM $cat.cust_by_nation c
+           |JOIN $cat.supp_by_nation s ON c.c_nationkey = s.s_nationkey
+           |GROUP BY c.c_nationkey
+           |ORDER BY nationkey""".stripMargin)
+    }),
+
+    // B187 SQL metadata tables: the per-partition rollup of the
+    // nation-partitioned customer table read as an ordinary relation
+    // (`<table>.partitions`) — served from directory + footer metadata,
+    // zero data pages opened. The oracle recomputes the same rollup
+    // from the raw fixture, so a hash match proves the partition
+    // directory arithmetic AND the footer row counts are value-exact.
+    "q_meta_tables" -> ((s, dir) => {
+      val wh = spjWarehouse(s, dir)
+      val cat = "graftspj_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"SELECT c_nationkey, n_rows FROM $cat.cust_by_nation.`partitions` " +
+        "ORDER BY c_nationkey")
+    }),
+
     // B182 TRUNCATE TABLE through the native v2 path: each run
     // truncates the scratch table (an empty OCC-committed version),
     // re-inserts a fixed stripe, expires the accumulated history, and
@@ -938,6 +978,42 @@ object ScanOps extends QueryModule {
         graft.io.Fs.deleteRecursively(Paths.get(root))
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         Sinks.publishVersioned(Tables.region(s, dir), root + "/regions", None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_spj_join (B186): customer and supplier projected
+    * to (key, nationkey) and published identity-partitioned on the
+    * nation key — the co-partitioned layout the storage-partitioned
+    * join rides. Stats columns declared so the same tables also serve
+    * exact plan statistics (B185). Cached per sf dir by content stamp.
+    */
+  private def spjWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.{Sinks, TableProps}
+      val root = "/tmp/graft_spj_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|" + Tables.srcStamp(dir, "supplier")
+      val fresh = Files.isDirectory(Paths.get(root + "/cust_by_nation")) &&
+        Files.isDirectory(Paths.get(root + "/supp_by_nation")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        val cust = root + "/cust_by_nation"
+        TableProps.store(cust, Map(TableProps.PartitionKey -> "c_nationkey INT",
+          TableProps.StatsKey -> "c_custkey"))
+        Sinks.publishVersioned(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          cust, None)
+        val supp = root + "/supp_by_nation"
+        TableProps.store(supp, Map(TableProps.PartitionKey -> "s_nationkey INT",
+          TableProps.StatsKey -> "s_suppkey"))
+        Sinks.publishVersioned(
+          Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          supp, None)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1944,6 +2020,22 @@ object ScanOps extends QueryModule {
         |SELECT 'cur' AS src, r_regionkey, r_name FROM region
         |WHERE r_regionkey < 3
         |ORDER BY src, r_regionkey""".stripMargin,
+
+    // the co-partitioned join recomputed flat — a shuffle-free plan must
+    // produce byte-identical aggregates
+    "q_spj_join" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS pairs,
+        |       CAST(sum(c_custkey + s_suppkey) AS BIGINT) AS keysum
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    // partition rollup recomputed from raw rows; dir values are strings
+    "q_meta_tables" ->
+      """SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+        |       count(*) AS n_rows
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     // the post-truncate re-insert stripe, from the raw fixture
     "q_truncate" ->

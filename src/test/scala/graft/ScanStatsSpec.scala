@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.{Scan, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B185 (sidecar-exact plan statistics) + B186 (storage-partitioned
+  * joins): the catalog scan wrapper serves row counts, honest sizes, and
+  * column statistics from the `_stats` sidecar, and reports key-grouped
+  * partitioning on identity-partitioned tables so co-partitioned joins
+  * run with zero Exchange.
+  */
+class ScanStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var seq = 0
+  private def mkCat(): String = {
+    seq += 1
+    val cat = s"gscan$seq"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      Files.createTempDirectory("graft_scanstats").toString)
+    cat
+  }
+
+  private def scanOf(df: DataFrame): SupportsReportStatistics =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan
+    }.getOrElse(fail(s"no v2 scan in:\n${df.queryExecution.optimizedPlan}"))
+      .asInstanceOf[SupportsReportStatistics]
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("estimateStatistics serves EXACT rows from the sidecar, and partition pruning shrinks them") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 3000L).map(i => (i, s"p$i", s"r${i % 3}")).toDF("k", "payload", "region")
+      .createOrReplaceTempView("scanstats_src")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, payload STRING, region STRING) " +
+      "USING parquet PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM scanstats_src")
+    val full = scanOf(spark.table(s"$cat.t")).estimateStatistics()
+    assert(full.numRows.isPresent && full.numRows.getAsLong == 3000L,
+      s"exact rows expected, got ${full.numRows}")
+    // honest size: rows × schema width, NOT compressed parquet bytes —
+    // and unmoved by the compression-factor guess the delegate leans on
+    val width = 8L + (8L + 20L + 20L) // k + payload + region defaults
+    assert(full.sizeInBytes.getAsLong == 3000L * width,
+      s"size ${full.sizeInBytes.getAsLong} != 3000*$width")
+    val pruned = scanOf(spark.table(s"$cat.t").filter($"region" === "r1"))
+      .estimateStatistics()
+    assert(pruned.numRows.getAsLong == 1000L,
+      s"partition-pruned scan must report pruned rows, got ${pruned.numRows}")
+    // the escape hatch restores the delegate's own estimate
+    withConfs("spark.graft.scan.stats.enabled" -> "false") {
+      val off = scanOf(spark.table(s"$cat.t")).estimateStatistics()
+      assert(!off.numRows.isPresent || off.sizeInBytes.getAsLong != 3000L * width)
+    }
+  }
+
+  test("column statistics: null counts, bounds in the internal domain, sketch-served NDV") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, if (i % 10 == 0) None else Some(i % 97)))
+      .toDF("k", "v").createOrReplaceTempView("scanstats_cols")
+    spark.sql(s"CREATE TABLE $cat.t " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'k,v', 'graft.ndv.columns' = 'v') " +
+      "AS SELECT * FROM scanstats_cols")
+    val stats = scanOf(spark.table(s"$cat.t")).estimateStatistics()
+    val byName = stats.columnStats().entrySet().iterator()
+    var seen = Map.empty[String, org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    while (byName.hasNext) { val e = byName.next(); seen += e.getKey.describe() -> e.getValue }
+    val kStat = seen("k")
+    assert(kStat.nullCount.getAsLong == 0L)
+    assert(kStat.min.get == 0L && kStat.max.get == 1999L, s"${kStat.min}/${kStat.max}")
+    val vStat = seen("v")
+    assert(vStat.nullCount.getAsLong == 200L)
+    // HLL in coupon mode at 97 values: the estimate is exact
+    assert(vStat.distinctCount.getAsLong == 97L, s"${vStat.distinctCount}")
+    // under CBO the numbers reach the logical plan's attribute stats
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = spark.table(s"$cat.t").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(2000)), s"rowCount=${st.rowCount}")
+      val attr = st.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+      assert(attr("v").distinctCount.contains(BigInt(97)))
+      assert(attr("v").nullCount.contains(BigInt(200)))
+    }
+  }
+
+  test("honest size decides the broadcast: sidecar stats keep a small table broadcastable when file-byte guesses balloon") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"name$i")).toDF("k", "nm")
+      .createOrReplaceTempView("scanstats_dim")
+    (0L until 20000L).map(i => (i % 2000L, i)).toDF("k", "ord")
+      .createOrReplaceTempView("scanstats_fact")
+    spark.sql(s"CREATE TABLE $cat.dim TBLPROPERTIES ('graft.stats.columns' = 'k') " +
+      "AS SELECT * FROM scanstats_dim")
+    spark.sql(s"CREATE TABLE $cat.fact TBLPROPERTIES ('graft.stats.columns' = 'k') " +
+      "AS SELECT * FROM scanstats_fact")
+    // a pathological compression-factor guess (what a 10× compressed
+    // parquet file IS at 100 TB) balloons the delegate's estimate past
+    // the broadcast threshold; the sidecar's exact rows × width does not
+    def joinPlan(): String = {
+      val df = spark.table(s"$cat.fact").join(spark.table(s"$cat.dim"), "k")
+      df.queryExecution.executedPlan.toString
+    }
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.sources.fileCompressionFactor" -> "10000.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString) {
+      assert(joinPlan().contains("BroadcastHashJoin"),
+        s"exact stats must keep the dim broadcastable:\n${joinPlan()}")
+      withConfs("spark.graft.scan.stats.enabled" -> "false") {
+        assert(!joinPlan().contains("BroadcastHashJoin"),
+          "with stats off the ballooned guess must lose the broadcast " +
+            s"(the flip proves the wrapper decided it):\n${joinPlan()}")
+      }
+    }
+  }
+
+  test("SPJ: co-partitioned tables join with ZERO Exchange, results exact, off-switch restores the shuffle") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i * 2, s"r${i % 5}")).toDF("k", "a", "region")
+      .createOrReplaceTempView("spj_left")
+    (0L until 4000L).map(i => (i, i * 3, s"r${i % 4}")).toDF("k", "b", "region")
+      .createOrReplaceTempView("spj_right") // r4 missing on the right: pushPartValues pads
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.l SELECT * FROM spj_left")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.r SELECT * FROM spj_right")
+    val expected = spark.table("spj_left").as("l")
+      .join(spark.table("spj_right").as("r"), Seq("region"))
+      .groupBy("region").agg(count(lit(1)).as("n"), sum($"l.a" + $"r.b").as("s"))
+      .orderBy("region").collect().toSeq
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), Seq("region"))
+      val agg = joined.groupBy("region")
+        .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s"))
+      val got = agg.orderBy("region").collect().toSeq
+      assert(got == expected, "SPJ result must equal the shuffled recompute")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned join must not shuffle EITHER side:\n$plan")
+      // off-switch: same query shuffles again
+      withConfs("spark.graft.scan.spj.enabled" -> "false") {
+        val p2 = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), Seq("region"))
+          .queryExecution.executedPlan.toString
+        assert(p2.contains("Exchange"), s"spj off must restore the shuffle:\n$p2")
+      }
+    }
+  }
+
+  test("dynamic partition pruning reaches the v2 catalog scan: a filtered dim prunes the fact's partitions") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 8000L).map(i => (i, s"r${i % 8}")).toDF("k", "region")
+      .createOrReplaceTempView("dpp_fact_src")
+    spark.sql(s"CREATE TABLE $cat.fact (k BIGINT, region STRING) USING parquet " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM dpp_fact_src")
+    (0 until 8).map(i => (s"r$i", i)).toDF("region", "grp")
+      .createOrReplaceTempView("dpp_dim_src")
+    // the dim must survive as a SCAN with a selective filter (a local
+    // relation constant-folds its filter away and DPP sees no predicate)
+    spark.sql(s"CREATE TABLE $cat.dim AS SELECT * FROM dpp_dim_src")
+    val q = spark.table(s"$cat.fact")
+      .join(spark.table(s"$cat.dim").filter($"grp" < 2), "region")
+      .agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 2000L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"the v2 catalog scan must accept the runtime partition filter:\n$plan")
+  }
+
+  test("declines stay honest: sidecar-less versions and pushed aggregates fall back to the delegate") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 500L).map(i => (i, s"x$i")).toDF("k", "v")
+      .createOrReplaceTempView("scanstats_bare")
+    // no graft.stats.columns: no sidecar, no exact rows — the wrapper
+    // must fall back, never guess
+    spark.sql(s"CREATE TABLE $cat.bare AS SELECT * FROM scanstats_bare")
+    val bare = scanOf(spark.table(s"$cat.bare")).estimateStatistics()
+    assert(!bare.numRows.isPresent || bare.numRows.getAsLong != 500L ||
+      bare.columnStats().isEmpty,
+      "a sidecar-less table must not serve sidecar-grade statistics")
+    assert(bare.sizeInBytes.isPresent && bare.sizeInBytes.getAsLong > 0)
+  }
+}
