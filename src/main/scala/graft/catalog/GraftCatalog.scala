@@ -57,9 +57,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with ViewCatalog {
+    with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
+
+  /** FunctionCatalog (B189): exactly one function — `bucket`, the
+    * hidden-partition hash ([[GraftBucketFunction]]). Spark resolves it
+    * when translating a [[GraftScan]]'s reported `bucket(n, col)`
+    * partitioning into a TransformExpression for storage-partitioned
+    * join matching. Listed in the session namespace only.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   private var root: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -1423,7 +1438,10 @@ private[catalog] object GraftTables {
         !graft.ops.EqDel.exists(versionDir) &&
         !graft.ops.ColMap.exists(versionDir) &&
         !Sinks.hasLayoutLegs(versionDir) &&
-        !Sinks.hasHiddenPartitioning(tRoot, versionDir)) return
+        // pure-bucket hidden specs are bare-scan-correct (B189) — a
+        // rule-less session reads them complete and schema-hidden
+        (!Sinks.hasHiddenPartitioning(tRoot, versionDir) ||
+          Sinks.pureBucketHidden(tRoot, versionDir))) return
     val spark = SparkSession.active
     val active =
       try {

@@ -97,8 +97,59 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    inner.pushFilters(filters)
+
+  /** Hidden `bucket()` grids of this version's layout, keyed by source
+    * column — the write side derived `pmod(hash(src), n)` into a
+    * `_tp_*` directory, so an EQUALITY on the source implies a
+    * directory equality the file index can prune on (B189: the
+    * point-lookup path of a bucket-partitioned table; range transforms
+    * never reach this builder).
+    */
+  private lazy val bucketGrids: Map[String, graft.ops.Transforms.Bucket] =
+    inner.fileIndex.partitionSchema.fieldNames
+      .flatMap(graft.ops.Transforms.parse).collect {
+        case b: graft.ops.Transforms.Bucket => b.src.toLowerCase -> b
+      }.toMap
+
+  /** `src = lit` / `src IN (lits)` → the matching bucket-directory
+    * predicate. Conjoining is sound: a non-null value can only live in
+    * its own bucket, and a NULL never satisfies the equality anyway.
+    */
+  private def impliedBucket(e: Expression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+    def mk(a: AttributeReference, lits: Seq[Literal]): Option[Expression] =
+      bucketGrids.get(a.name.toLowerCase).flatMap { b =>
+        val vals = lits.collect { case Literal(v, dt) if v != null =>
+          graft.ops.Transforms.bucketValue(v, dt, b.n)
+        }.distinct
+        if (vals.isEmpty) None
+        else {
+          val tp = AttributeReference(b.colName, IntegerType, nullable = true)()
+          Some(if (vals.size == 1) EqualTo(tp, Literal(vals.head))
+          else In(tp, vals.map(Literal(_))))
+        }
+      }
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) => mk(a, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => mk(a, Seq(l))
+      case In(a: AttributeReference, ls) if ls.nonEmpty &&
+          ls.forall(_.isInstanceOf[Literal]) =>
+        mk(a, ls.asInstanceOf[Seq[Literal]])
+      case _ => None
+    }
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val implied =
+      if (bucketGrids.isEmpty) Nil else filters.flatMap(impliedBucket)
+    val leftover = inner.pushFilters(filters ++ implied)
+    // implied directory predicates reference the hidden `_tp_*`
+    // attribute — they are consumed as partition filters, but never let
+    // one leak back into the plan (its attribute is not in the output)
+    leftover.filterNot(_.references.exists(a =>
+      graft.ops.Transforms.parse(a.name).isDefined))
+  }
+
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
   override def pushAggregation(aggregation: Aggregation): Boolean =
     inner.pushAggregation(aggregation)
@@ -190,52 +241,91 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
         partitionFilters = delegate.partitionFilters ++ translated)
   }
 
-  /** SPJ eligibility: a plain identity Hive layout whose partition
-    * columns are ALL projected (their values must ride the output to be
-    * join keys) on a version with no reconciliation sidecars. Hidden
-    * `_tp_*` transform directories are excluded here — their source
-    * columns are what a query joins on, and the derived grid is not an
-    * identity of them (bucket SPJ needs a FunctionCatalog hash, the
-    * next rung of this ladder).
+  /** SPJ eligibility: a clean version (no reconciliation sidecars)
+    * whose layout columns are each either an IDENTITY partition column
+    * that is projected (its value must ride the output to be a join
+    * key) or a hidden `bucket()` grid whose SOURCE column is projected
+    * (B189: the source is the join key; the bucket number is the
+    * partition value, resolved through the catalog's `bucket` scalar
+    * function). Range transforms (day/…) never reach this scan — they
+    * swap to the funnel.
     */
-  private lazy val spjSchema: Option[StructType] = {
+  private lazy val spjKeys: Option[Seq[Either[(StructField, Int), graft.ops.Transforms.Bucket]]] = {
     val layout = delegate.fileIndex.partitionSchema
     val read = delegate.readPartitionSchema
-    val eligible = layout.nonEmpty &&
-      layout.fields.forall(f => graft.ops.Transforms.parse(f.name).isEmpty) &&
-      layout.fields.map(_.name).toSet == read.fieldNames.toSet &&
+    val readData = delegate.readDataSchema
+    val clean = layout.nonEmpty &&
       !Dv.exists(versionDir) && !EqDel.exists(versionDir) &&
       !ColMap.exists(versionDir) && !Sinks.hasLayoutLegs(versionDir)
-    if (eligible) Some(read) else None
+    if (!clean) None
+    else {
+      val keys = layout.fields.toSeq.map { f =>
+        graft.ops.Transforms.parse(f.name) match {
+          case None =>
+            val i = read.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+            if (i >= 0) Some(Left((f, i))) else None
+          case Some(b: graft.ops.Transforms.Bucket)
+              if readData.fieldNames.exists(_.equalsIgnoreCase(b.src)) =>
+            Some(Right(b))
+          case _ => None
+        }
+      }
+      if (keys.forall(_.isDefined)) Some(keys.flatten) else None
+    }
   }
 
-  /** One file group per partition value, each tagged with its key. The
-    * delegate's own splits are preserved; each value's files re-bin-pack
-    * under the same maxSplitBytes policy the flat plan used, so task
-    * sizing survives the regrouping.
+  /** The bucket number a file's path carries for grid `b` — the
+    * `_tp_<src>__b<n>=<int>` directory value. The derived column is
+    * hidden (never projected), so the path is where its value lives.
+    */
+  private def bucketOfPath(path: String, b: graft.ops.Transforms.Bucket): Option[Int] = {
+    val tag = "/" + b.colName + "="
+    val i = path.indexOf(tag)
+    if (i < 0) None
+    else {
+      val rest = path.substring(i + tag.length).takeWhile(_ != '/')
+      rest.toIntOption
+    }
+  }
+
+  /** One file group per partition-key tuple, each tagged with its key.
+    * Identity values ride the projected partition values; bucket values
+    * parse from the directory path. The delegate's own splits are
+    * preserved; each tuple's files re-bin-pack under the same
+    * maxSplitBytes policy the flat plan used, so task sizing survives
+    * the regrouping.
     */
   private def keyedPartitions: Option[(Array[InputPartition], Int)] =
-    spjSchema.flatMap { ps =>
+    spjKeys.flatMap { keys =>
       val flat = current.planInputPartitions().toSeq
         .flatMap(_.asInstanceOf[FilePartition].files)
       val spark = delegate.sparkSession
       val openCost = spark.sessionState.conf.filesOpenCostInBytes
       val maxSplit = FilePartition.maxSplitBytes(spark,
         flat.map(_.length + openCost).sum)
-      val groups = flat.groupBy { pf =>
-        ps.fields.indices.map(i => pf.partitionValues.get(i, ps.fields(i).dataType)).toVector
+      val maybe = flat.map { pf =>
+        val vals = keys.map {
+          case Left((f, i)) => Some(pf.partitionValues.get(i, f.dataType))
+          case Right(b) => bucketOfPath(pf.filePath.toString, b)
+        }
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toVector -> pf) else None
       }
-      if (groups.isEmpty) None
+      // any file whose bucket dir cannot be parsed (shouldn't exist on
+      // a clean version) disables SPJ wholesale — never mis-group
+      val grouped: Seq[(Vector[Any], Seq[PartitionedFile])] =
+        if (maybe.exists(_.isEmpty)) Nil
+        else maybe.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      if (grouped.isEmpty) None
       else {
         var idx = -1
-        val parts = groups.toSeq.sortBy(_._1.toString).flatMap { case (key, files) =>
+        val parts = grouped.sortBy(_._1.toString).flatMap { case (key, files) =>
           val keyRow: InternalRow = new GenericInternalRow(key.toArray[Any])
           FilePartition.getFilePartitions(spark, files, maxSplit).map { fp =>
             idx += 1
             new KeyedFilePartition(idx, fp.files, keyRow)
           }
         }.toArray[InputPartition]
-        Some((parts, groups.size))
+        Some((parts, grouped.size))
       }
     }
 
@@ -253,8 +343,12 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
   override def outputPartitioning(): Partitioning =
     (if (spjOn) keyedPartitions else None) match {
       case Some((_, nGroups)) =>
-        val keys = spjSchema.get.fields
-          .map(f => Expressions.identity(f.name): org.apache.spark.sql.connector.expressions.Expression)
+        val keys = spjKeys.get.map {
+          case Left((f, _)) =>
+            Expressions.identity(f.name): org.apache.spark.sql.connector.expressions.Expression
+          case Right(b) =>
+            Expressions.bucket(b.n, b.src): org.apache.spark.sql.connector.expressions.Expression
+        }.toArray
         new KeyGroupedPartitioning(keys, nGroups)
       case None => new UnknownPartitioning(0)
     }
@@ -335,7 +429,11 @@ private[graft] object CboStats {
       dir: String): Option[Statistics] = try {
     if (Dv.exists(dir) || EqDel.exists(dir) || ColMap.exists(dir) ||
         Sinks.hasLayoutLegs(dir) ||
-        Sinks.hasHiddenPartitioning(tRoot, dir)) return None
+        // pure-bucket hidden versions ride the v2 path (B189): their
+        // sidecar keys carry the `_tp_*=v/` dir prefix like any
+        // partitioned layout, so the stats serve unchanged
+        (Sinks.hasHiddenPartitioning(tRoot, dir) &&
+          !Sinks.pureBucketHidden(tRoot, dir))) return None
     if (!Files.isDirectory(Paths.get(dir, Stats.Sidecar))) return None
     val byFile = load(dir)
     // the delegate's own pushed partition filters select the files a

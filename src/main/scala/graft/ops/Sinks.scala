@@ -177,6 +177,24 @@ object Sinks
     partitionSchemaFor(root, p).exists(
       _.fieldNames.exists(n => Transforms.parse(n).isDefined))
 
+  /** A hidden spec whose EVERY derived column is a `bucket()` (identity
+    * columns may ride alongside). Such versions are the one hidden
+    * family the bare v2 scan serves CORRECTLY — the `_tp_*=v` dirs are
+    * partition directories ("=" exempts them from the underscore
+    * hiding), rows are complete, and the table object hides the derived
+    * columns from the schema — so [[graft.plans.DvReadRule]] does not
+    * swap them: they stay on the v2 path where the scan wrapper serves
+    * storage-partitioned joins (B189) and implied bucket-equality
+    * pruning. Range transforms (day/truncate/…) keep swapping — their
+    * pruning lives in HiddenPartitionRule on the funnel plan.
+    */
+  private[graft] def pureBucketHidden(root: String, p: String): Boolean =
+    partitionSchemaFor(root, p).exists { st =>
+      val parsed = st.fieldNames.toSeq.map(Transforms.parse)
+      parsed.exists(_.isDefined) &&
+        parsed.flatten.forall(_.isInstanceOf[Transforms.Bucket])
+    }
+
   /** True iff any CURRENT-layout (top-level, Spark-visible) data file
     * exists under version dir `p` — right after a metadata-only
     * evolution there are none (everything moved into the new leg).

@@ -282,6 +282,21 @@ object Transforms {
     if (h.isEmpty) df else df.drop(h: _*)
   }
 
+  /** The bucket number [[Bucket.derive]] assigns to CATALYST-internal
+    * value `v` — the driver-side twin of `pmod(hash(c), n)` (Murmur3,
+    * seed 42, the `hash()` SQL function's parameters). Shared by the
+    * scan wrapper's implied bucket-equality pushdown and the catalog's
+    * `bucket` [[org.apache.spark.sql.connector.catalog.functions
+    * .ScalarFunction]], so every spelling of "which bucket is value v
+    * in" is the one the writer used. A null value hashes to the seed,
+    * matching `hash(NULL)` exactly.
+    */
+  def bucketValue(v: Any, dt: DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(v, dt, 42L).toInt
+    ((h % n) + n) % n
+  }
+
   /** Refuse DATA columns in the reserved namespace: readers hide
     * everything matching the derived-name shape, so a user column named
     * like one would silently vanish from every read.

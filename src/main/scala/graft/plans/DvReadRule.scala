@@ -46,11 +46,17 @@ object DvReadRule extends Rule[LogicalPlan] {
         // drop every pre-evolution row
         // pending equality deletes (round-14) swap through the same
         // funnel: the bare scan would surface tombstoned rows
+        // pure-bucket hidden specs (round-14, B189) deliberately stay
+        // UN-swapped: the bare scan is row-complete (partition dirs
+        // with "=" escape the underscore hiding), the table hides the
+        // derived columns, and the v2 path is where storage-partitioned
+        // joins and the implied bucket-equality pushdown live
         case t: GraftSnapshotDir
             if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
               EqDel.exists(t.snapshotVersionDir) ||
               Sinks.hasLayoutLegs(t.snapshotVersionDir) ||
-              Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) =>
+              (Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) &&
+                !Sinks.pureBucketHidden(t.snapshotTableRoot, t.snapshotVersionDir)) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
             "reading _metadata columns of a deletion-vector, equality-delete, " +

@@ -220,6 +220,31 @@ object ScanOps extends QueryModule {
            |ORDER BY nationkey""".stripMargin)
     }),
 
+    // B189 bucket co-location: orders and lineitem land as PURE-bucket
+    // hidden-partitioned catalog tables on the order key (bucket(16)) —
+    // the HIGH-cardinality co-location identity dirs can't give. The
+    // pure-bucket family stays on the v2 scan where the wrapper reports
+    // bucket(n, key) KeyGroupedPartitioning (resolved through the
+    // catalog's bucket function), so the fact-fact join runs with ZERO
+    // Exchange (plan-asserted in BucketSpjSpec); the hash match proves
+    // the shuffle-free grouping is value-exact. Grouped modulo the
+    // order key so the result is a stable small table.
+    "q_spj_bucket" -> ((s, dir) => {
+      val wh = spjBucketWarehouse(s, dir)
+      val cat = "graftbkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(
+        s"""SELECT o.o_orderkey % 10 AS okey_mod, count(*) AS pairs,
+           |       sum(o.o_orderkey + l.l_linenumber) AS keysum
+           |FROM $cat.orders_bkt o
+           |JOIN $cat.lineitem_bkt l ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderkey % 10
+           |ORDER BY okey_mod""".stripMargin)
+    }),
+
     // B187 SQL metadata tables: the per-partition rollup of the
     // nation-partitioned customer table read as an ordinary relation
     // (`<table>.partitions`) — served from directory + footer metadata,
@@ -1014,6 +1039,43 @@ object ScanOps extends QueryModule {
         Sinks.publishVersioned(
           Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
           supp, None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_spj_bucket (B189): orders + lineitem projected to
+    * their join-relevant columns and CREATEd `PARTITIONED BY
+    * (bucket(16, <orderkey>))` through the catalog door — the
+    * co-bucketed high-cardinality layout. Cached per sf dir by content
+    * stamp.
+    */
+  private def spjBucketWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = "/tmp/graft_bktspj_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "orders") + "|" + Tables.srcStamp(dir, "lineitem")
+      val fresh = Files.isDirectory(Paths.get(root + "/orders_bkt")) &&
+        Files.isDirectory(Paths.get(root + "/lineitem_bkt")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftbktwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .createOrReplaceTempView("spj_bucket_orders_src")
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))
+          .createOrReplaceTempView("spj_bucket_lineitem_src")
+        s.sql(s"CREATE TABLE $cat.orders_bkt (o_orderkey BIGINT, o_custkey BIGINT) " +
+          "USING parquet PARTITIONED BY (bucket(16, o_orderkey))")
+        s.sql(s"INSERT INTO $cat.orders_bkt SELECT * FROM spj_bucket_orders_src")
+        s.sql(s"CREATE TABLE $cat.lineitem_bkt (l_orderkey BIGINT, l_linenumber INT) " +
+          "USING parquet PARTITIONED BY (bucket(16, l_orderkey))")
+        s.sql(s"INSERT INTO $cat.lineitem_bkt SELECT * FROM spj_bucket_lineitem_src")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2029,6 +2091,14 @@ object ScanOps extends QueryModule {
         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
         |GROUP BY c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    // the co-bucketed fact-fact join recomputed flat
+    "q_spj_bucket" ->
+      """SELECT o_orderkey % 10 AS okey_mod, count(*) AS pairs,
+        |       CAST(sum(o_orderkey + l_linenumber) AS BIGINT) AS keysum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey % 10
+        |ORDER BY okey_mod""".stripMargin,
 
     // partition rollup recomputed from raw rows; dir values are strings
     "q_meta_tables" ->

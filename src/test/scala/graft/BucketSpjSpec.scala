@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B189 bucket co-location: PURE-bucket hidden specs stay on the v2
+  * scan path (DvReadRule deliberately does not swap them — the bare
+  * scan is row-complete and the table hides the derived column), where
+  * the wrapper reports `bucket(n, col)` KeyGroupedPartitioning resolved
+  * through the catalog's `bucket` scalar function — so HIGH-CARDINALITY
+  * co-bucketed tables join with zero Exchange — and point lookups on
+  * the bucket source prune to one `_tp_*` directory via the implied
+  * directory-equality pushdown.
+  */
+class BucketSpjSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var seq = 0
+  private def mkCat(): String = {
+    seq += 1
+    val cat = s"gbkt$seq"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      Files.createTempDirectory("graft_bucketspj").toString)
+    cat
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("pure-bucket tables read COMPLETE and schema-hidden on the v2 path") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 5000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .createOrReplaceTempView("bkt_src")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, payload STRING) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM bkt_src")
+    val df = spark.table(s"$cat.t")
+    assert(df.columns.toSeq == Seq("k", "payload"), "the derived column must stay hidden")
+    assert(df.count() == 5000L, "every bucket directory must be read")
+    // the un-swapped read IS the v2 scan (no funnel Project/V1 relation)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"pure bucket must stay on the v2 path:\n$plan")
+    assert(df.agg(sum("k")).head.getLong(0) == (0L until 5000L).sum)
+  }
+
+  test("co-bucketed join: zero Exchange, exact results; mismatched bucket counts shuffle") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 20000L).map(i => (i % 5000L, i)).toDF("k", "a")
+      .createOrReplaceTempView("bkt_l_src")
+    (0L until 5000L).map(i => (i, i * 7)).toDF("k", "b")
+      .createOrReplaceTempView("bkt_r_src")
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.l SELECT * FROM bkt_l_src")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.r SELECT * FROM bkt_r_src")
+    spark.sql(s"CREATE TABLE $cat.r4 (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.r4 SELECT * FROM bkt_r_src")
+    val expected = spark.table("bkt_l_src")
+      .join(spark.table("bkt_r_src"), "k")
+      .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s"))
+      .head
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), "k")
+      val got = joined.agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+      assert(got == expected, s"SPJ result must equal the recompute: $got vs $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed high-cardinality join must not shuffle:\n$plan")
+      // 8 vs 4 buckets: NOT compatible — the shuffle must come back
+      // (and results stay exact)
+      val mismatched = spark.table(s"$cat.l").join(spark.table(s"$cat.r4"), "k")
+      val got4 = mismatched.agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+      assert(got4 == expected)
+      assert(mismatched.queryExecution.executedPlan.toString.contains("Exchange"),
+        "different bucket counts are not co-partitioned")
+    }
+  }
+
+  test("point lookup prunes to the value's bucket directory via the implied pushdown") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .createOrReplaceTempView("bkt_pt_src")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, payload STRING) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM bkt_pt_src")
+    val q = spark.table(s"$cat.t").filter(col("k") === 1234L)
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("p1234"))
+    val expect = graft.ops.Transforms.bucketValue(1234L,
+      org.apache.spark.sql.types.LongType, 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("_tp_k__b8"),
+      s"the implied bucket-directory predicate must reach PartitionFilters:\n$plan")
+    assert(plan.contains(s"= $expect)") || plan.contains(s"= $expect]"),
+      s"the pushed bucket must be $expect:\n$plan")
+    // IN lists prune to the union of their buckets; a NULL equality
+    // pushes nothing extra and returns nothing
+    val in = spark.table(s"$cat.t").filter(col("k").isin(7L, 9L))
+    assert(in.count() == 2)
+    assert(in.queryExecution.executedPlan.toString.contains("_tp_k__b8"))
+    assert(spark.table(s"$cat.t").filter(col("k") === lit(null).cast("bigint"))
+      .count() == 0)
+  }
+
+  test("reconciliation still wins: DV on a pure-bucket table swaps to the funnel; day+bucket always swaps") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+      .createOrReplaceTempView("bkt_dv_src")
+    spark.sql(s"CREATE TABLE $cat.d (k BIGINT, payload STRING) USING parquet " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $cat.d SELECT * FROM bkt_dv_src")
+    spark.sql(s"DELETE FROM $cat.d WHERE k < 100")
+    val df = spark.table(s"$cat.d")
+    assert(df.count() == 900L, "the vector must subtract through the funnel")
+    assert(!df.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
+      "a DV version must not ride the bare v2 scan")
+    // mixed range+bucket spec: the range half needs HiddenPartitionRule,
+    // so the whole table stays on the funnel
+    Seq((java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), 1L))
+      .toDF("ts", "k").createOrReplaceTempView("bkt_mix_src")
+    spark.sql(s"CREATE TABLE $cat.m (ts TIMESTAMP, k BIGINT) USING parquet " +
+      "PARTITIONED BY (days(ts), bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.m SELECT * FROM bkt_mix_src")
+    val m = spark.table(s"$cat.m")
+    assert(m.count() == 1L)
+    assert(!m.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
+      "a range transform must keep the funnel path")
+  }
+}

@@ -168,6 +168,19 @@ class ScanStatsSpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString
         assert(p2.contains("Exchange"), s"spj off must restore the shuffle:\n$p2")
       }
+      // the same key-grouped report serves AGGREGATES: a groupBy on the
+      // partition column clusters for free — no Exchange either
+      val aggQ = spark.table(s"$cat.l").groupBy("region")
+        .agg(sum(col("a")).as("s"))
+      val aggGot = aggQ.orderBy("region").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val aggWant = spark.table("spj_left").groupBy("region")
+        .agg(sum(col("a")).as("s")).orderBy("region").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(aggGot == aggWant)
+      val aggPlan = aggQ.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"groupBy on the partition key must not shuffle:\n$aggPlan")
     }
   }
 
