@@ -610,9 +610,82 @@ object Stress {
       System.err.println(s"[stress] governance leg failed: $e")
       Seq("gov_ndv" -> (-1L, -1.0))
     }
+    // Scan-tier leg (round-14, B185-B189): the three scan-wrapper
+    // claims PLAN-ASSERTED at the sweep's volume, not just spec size —
+    // sidecar statistics are row-exact on a factor×15k-row table, the
+    // co-bucketed factor×60k⋈factor×15k join really runs Exchange-free,
+    // and a star-schema probe really prunes partitions at runtime (DPP
+    // through the v2 scan).
+    val scanTierTimes = try {
+      import graft.ops.{Sinks, TableProps}
+      val cat = "gstress"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", s"$out/scan_tier")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(s"$out/scan_tier"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$out/scan_tier"))
+      // B185 exact stats at volume
+      val c = spark.read.parquet(Tables.path(out, "customer"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val croot = s"$out/scan_tier/cust"
+      TableProps.store(croot, Map(TableProps.StatsKey -> "c_custkey"))
+      Sinks.publishVersioned(c.repartitionByRange(32, col("c_custkey")), croot, None)
+      val (statsRows, tStats) = timed {
+        val rel = spark.table(s"$cat.cust").queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s.scan
+        }.get
+        rel.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics().numRows().getAsLong
+      }
+      val trueRows = c.count()
+      require(statsRows == trueRows,
+        s"stress scan-tier: reported $statsRows != $trueRows rows")
+      // B189 co-bucketed join Exchange-free at volume (the q_spj_bucket
+      // warehouse built above at this factor)
+      val bcat = "graftbkt_" + out.replaceAll("[^A-Za-z0-9]", "_")
+      val (spjPairs, tSpj) = timed {
+        val j = spark.table(s"$bcat.orders_bkt")
+          .join(spark.table(s"$bcat.lineitem_bkt"),
+            col("o_orderkey") === col("l_orderkey"))
+        val n = j.count()
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "stress scan-tier: co-bucketed join shuffled at volume")
+        n
+      }
+      // B188 DPP at volume: nation-partitioned customers probed by a
+      // two-nation dim — the runtime filter must reach the v2 scan
+      val proot = s"$out/scan_tier/cust_part"
+      TableProps.store(proot, Map(
+        TableProps.PartitionKey -> "c_nationkey INT"))
+      Sinks.publishVersioned(c, proot, None)
+      import spark.implicits._
+      spark.createDataset(Seq((1, 1), (2, 1))).toDF("c_nationkey", "grp")
+        .write.mode("overwrite").parquet(s"$out/scan_tier/dim")
+      val (dppRows, tDpp) = timed {
+        val q = spark.table(s"$cat.cust_part").join(
+          spark.read.parquet(s"$out/scan_tier/dim").filter(col("grp") === 1),
+          "c_nationkey")
+        val n = q.count()
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          "stress scan-tier: DPP did not reach the v2 scan at volume")
+        n
+      }
+      System.err.println(s"[stress] scan_tier: stats exact ($tStats s), " +
+        s"spj pairs=$spjPairs Exchange-free ($tSpj s), dpp rows=$dppRows ($tDpp s)")
+      Seq("scan_stats" -> (statsRows, tStats), "scan_spj" -> (spjPairs, tSpj),
+        "scan_dpp" -> (dppRows, tDpp))
+    } catch { case e: Throwable =>
+      System.err.println(s"[stress] scan-tier leg failed: $e")
+      Seq("scan_stats" -> (-1L, -1.0))
+    }
     val all = results ++ cdfTimes ++ mvTimes ++ skipTimes ++ partTimes ++
       appendTimes ++ dmlTimes ++ morChurnTimes ++ bloomTimes ++
-      dedup100Times ++ multiWriterTimes ++ eqdelTimes ++ govTimes
+      dedup100Times ++ multiWriterTimes ++ eqdelTimes ++ govTimes ++
+      scanTierTimes
     val qs = all.map { case (k, (_, t)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val rows = all.map { case (k, (n, _)) => s"\"" + k + "\":" + n }

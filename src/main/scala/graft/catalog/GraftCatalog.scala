@@ -68,6 +68,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * partitioning into a TransformExpression for storage-partitioned
     * join matching. Listed in the session namespace only.
     */
+  /** DEFAULT column values are supported (B190): Spark routes `DEFAULT`
+    * clauses in CREATE/ALTER to the catalog and fills INSERT literals
+    * from the schema metadata [[GraftDefaults]] injects.
+    */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** Native constraint DDL (B191): `CREATE TABLE (…, CONSTRAINT c CHECK
+    * (expr))` routes through the TableInfo door — CHECK constraints
+    * convert to the engine's `check.<name>` storage (the deprecated-door
+    * path below validates them against the empty frame and stores them,
+    * so enforcement, evolution-rewrite, and DESCRIBE behavior are
+    * IDENTICAL to the TBLPROPERTIES spelling). Non-CHECK constraint
+    * kinds (PK/FK/UNIQUE) and NOT ENFORCED checks are refused loudly —
+    * this engine stores nothing it does not enforce.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val cons = info.constraints()
+    if (cons.isEmpty)
+      return createTable(ident, info.schema(), info.partitions(), info.properties())
+    val checkProps = cons.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"$catalogName: CHECK constraint ${c.name()} NOT ENFORCED is not " +
+            "supported — this engine stores nothing it does not enforce")
+        (GraftCheck.Prefix + c.name()) -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only CHECK constraints are supported; got " +
+          s"${other.toDDL} — PRIMARY KEY/FOREIGN KEY/UNIQUE are " +
+          "informational in Spark and this engine stores nothing it " +
+          "does not enforce")
+    }
+    val props = new util.HashMap[String, String](info.properties())
+    checkProps.foreach { case (k, v) => props.put(k, v) }
+    createTable(ident, info.schema(), info.partitions(), props)
+  }
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
     else Array.empty
@@ -199,6 +239,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     override def tableRootPath: String = tRoot
     override def tableBaseVersion: Long = baseVersion
     override def partitioning(): Array[Transform] = partitionTransforms(tRoot)
+    // DEFAULT column values (B190): re-annotate the footer-derived
+    // schema with the stored CURRENT_DEFAULT metadata — what lets
+    // Spark's analyzer fill omitted columns and the DEFAULT keyword on
+    // every INSERT door. The writable table only: snapshots are reads
+    override def schema(): StructType =
+      GraftDefaults.inject(super.schema(), tRoot)
     // surface stored CHECK constraints through SHOW TBLPROPERTIES —
     // loaded once per table object (analysis calls properties() several
     // times per statement; the object already snapshots its version, so
@@ -209,6 +255,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       checkProps.foreach { case (k, v) => m.put(k, v) }
       m
     }
+    // B191: stored checks surface through the NATIVE constraint API too
+    // (DESCRIBE/SHOW CREATE and Spark's own write-side validation) —
+    // one store, every door. VALID: rows were validated when written or
+    // when the constraint was added
+    override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      checkProps.filter(_._1.startsWith(GraftCheck.Prefix))
+        .toSeq.sortBy(_._1).map { case (k, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(GraftCheck.Prefix))
+          .predicateSql(sql)
+          .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+            .Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
     override def capabilities(): util.Set[TableCapability] = {
       val caps = readCaps()
       caps.add(TableCapability.BATCH_WRITE)
@@ -588,6 +648,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"'true' or 'false', got '$v'")
       case _ =>
     }
+    // DEFAULT clauses (B190): validate every declared default through
+    // Spark's own analyzer BEFORE anything publishes — a bad default
+    // fails the CREATE and leaves no table
+    val columnDefaults = GraftDefaults.fromSchema(schema)
+    columnDefaults.foreach { case (cl, sql) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(cl)).get
+      GraftDefaults.validate(f.name, f.dataType, sql, "CREATE TABLE")
+    }
     // a lost CREATE race must surface as the exception Spark's
     // IF NOT EXISTS handling understands, not a raw OCC conflict
     try Sinks.publishVersioned(empty, tr, None)
@@ -616,8 +684,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case (k, v) if graft.ops.TableProps.behaviorKeys.contains(k.toLowerCase) =>
         k.toLowerCase -> v
     }.toMap
-    if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty)
-      graft.ops.TableProps.update(tr)(_ => checks.toMap ++ partProp ++ behaviorProps)
+    val defaultProps = columnDefaults.map { case (cl, sql) =>
+      (GraftDefaults.Prefix + cl) -> sql
+    }
+    if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty ||
+        defaultProps.nonEmpty)
+      graft.ops.TableProps.update(tr)(_ =>
+        checks.toMap ++ partProp ++ behaviorProps ++ defaultProps)
     loadTable(ident)
   }
 
@@ -743,6 +816,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       })
       if (otherChanges.isEmpty) return loadTable(ident)
     }
+    // Native ADD/DROP CONSTRAINT DDL (B191): the same storage, the same
+    // existing-data validation, the same enforcement as the check.*
+    // TBLPROPERTIES spelling — one constraint store, two SQL doors
+    val consAdds = otherChanges.collect { case a: TableChange.AddConstraint => a }
+    val consDrops = otherChanges.collect { case d: TableChange.DropConstraint => d }
+    if (consAdds.nonEmpty || consDrops.nonEmpty) {
+      require(consAdds.size + consDrops.size == otherChanges.size,
+        s"$catalogName: ADD/DROP CONSTRAINT cannot be combined with other " +
+          "changes in one ALTER")
+      val tr = tableRoot(ident)
+      if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
+      val spark = SparkSession.active
+      val checks = consAdds.map(_.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.enforced(),
+            s"$catalogName: CHECK constraint ${c.name()} NOT ENFORCED is " +
+              "not supported — this engine stores nothing it does not enforce")
+          c
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName: only CHECK constraints are supported; got ${other.toDDL}")
+      })
+      // load-validate-store under the commit lock, exactly like the
+      // property-door ALTER: existing rows are validated first
+      GraftCheck.update(tr) { props =>
+        checks.foreach(c =>
+          GraftCheck.validateNew(spark, tr, c.name(), c.predicateSql()))
+        val afterDrops = consDrops.foldLeft(props) { (p, d) =>
+          val key = p.keys.find(_.equalsIgnoreCase(GraftCheck.Prefix + d.name()))
+          if (key.isEmpty && !d.ifExists())
+            throw new IllegalArgumentException(
+              s"$catalogName: no constraint ${d.name()} on ${ident.toString} " +
+                s"(have: ${p.keys.filter(_.startsWith(GraftCheck.Prefix))
+                  .map(_.stripPrefix(GraftCheck.Prefix)).toSeq.sorted.mkString(", ")})")
+          key.fold(p)(p - _)
+        }
+        afterDrops ++ checks.map(c => (GraftCheck.Prefix + c.name()) -> c.predicateSql())
+      }
+      return loadTable(ident)
+    }
+    // ALTER COLUMN SET/DROP DEFAULT (B190): a metadata-only props write
+    // — affects FUTURE inserts only, never committed rows
+    val defChanges = otherChanges.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u
+    }
+    if (defChanges.nonEmpty) {
+      require(defChanges.size == otherChanges.size,
+        s"$catalogName: ALTER COLUMN SET/DROP DEFAULT cannot be combined " +
+          "with other column changes in one ALTER")
+      val tr = tableRoot(ident)
+      if (Sinks.currentVersion(tr).isEmpty) throw new NoSuchTableException(ident)
+      val cur = loadTable(ident).schema()
+      defChanges.foreach { u =>
+        require(u.fieldNames().length == 1,
+          s"$catalogName: only top-level columns take DEFAULTs")
+        val name = u.fieldNames()(0)
+        val f = cur.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catalogName: no column $name in ${ident.toString}"))
+        val sql = u.newDefaultValue()
+        if (sql != null && sql.nonEmpty)
+          GraftDefaults.validate(f.name, f.dataType, sql,
+            "ALTER TABLE ALTER COLUMN")
+      }
+      TableProps.update(tr) { props =>
+        defChanges.foldLeft(props) { (p, u) =>
+          val key = GraftDefaults.Prefix + u.fieldNames()(0).toLowerCase
+          val sql = u.newDefaultValue()
+          if (sql == null || sql.isEmpty) p - key else p + (key -> sql)
+        }
+      }
+      return loadTable(ident)
+    }
     val renames = otherChanges.collect { case r: TableChange.RenameColumn => r }
     val drops = otherChanges.collect { case d: TableChange.DeleteColumn => d }
     if (renames.nonEmpty || drops.nonEmpty) {
@@ -768,6 +913,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "satisfiable — existing rows are null-backfilled")
         require(a.position() == null,
           s"$catalogName: column positions (FIRST/AFTER) are not supported")
+        // ADD COLUMN … DEFAULT is refused on principle (B190): the
+        // metadata-only ADD synthesizes NULL for pre-existing rows; an
+        // existence default would make old rows read a value their
+        // files never carried. ADD first, then ALTER COLUMN SET DEFAULT
+        require(a.defaultValue() == null,
+          s"$catalogName: ADD COLUMNS ${a.fieldNames()(0)} DEFAULT is not " +
+            "supported — existing rows are null-backfilled; ADD the " +
+            "column, then ALTER COLUMN … SET DEFAULT for future inserts")
         a
       case other => throw new UnsupportedOperationException(
         s"$catalogName: only top-level ADD COLUMNS is supported " +
@@ -999,8 +1152,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val dropPhysLower = dropSet.map(l => physOf(l).toLowerCase)
       val newAdded = graft.ops.ColMap.added(liveDir)
         .filterNot(f => dropPhysLower(f.name.toLowerCase))
-      val newProps0 = oldProps.filterNot(_._1.startsWith(GraftCheck.Prefix)) ++
-        rewrittenChecks
+      // stored DEFAULTs follow the evolution too: renamed columns
+      // re-key (constants need no rewrite), dropped ones shed theirs
+      val newProps0 = GraftDefaults.migrate(
+        oldProps.filterNot(_._1.startsWith(GraftCheck.Prefix)) ++ rewrittenChecks,
+        renameMap, dropSet)
       TableProps.store(tr, newProps0)
       try Sinks.publishColumnMapping(spark, tr, v, newMapping, newDropped,
         opTag = if (dropSet.nonEmpty) "drop-column" else "rename-column",
@@ -1023,8 +1179,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val newPartProp = TableProps.partitionSchema(tr).map(st =>
       TableProps.PartitionKey -> StructType(st.map(f =>
         f.copy(name = renameMap.getOrElse(f.name, f.name)))).toDDL)
-    val newProps = oldProps.filterNot(p => p._1.startsWith(GraftCheck.Prefix) ||
-      p._1 == TableProps.PartitionKey) ++ rewrittenChecks ++ newPartProp
+    val newProps = GraftDefaults.migrate(
+      oldProps.filterNot(p => p._1.startsWith(GraftCheck.Prefix) ||
+        p._1 == TableProps.PartitionKey) ++ rewrittenChecks ++ newPartProp,
+      renameMap, dropSet)
 
     val evolved = cur.select(cur.columns.toIndexedSeq.flatMap(c =>
       evolve(c).map(n => col(s"`$c`").as(n))): _*)

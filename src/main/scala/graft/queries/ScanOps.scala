@@ -220,6 +220,25 @@ object ScanOps extends QueryModule {
            |ORDER BY nationkey""".stripMargin)
     }),
 
+    // B190 DEFAULT column values through the INSERT doors: each run
+    // truncates the scratch table (deterministic reruns, the q_truncate
+    // pattern), inserts a fixture stripe OMITTING the defaulted columns
+    // plus one VALUES row using the explicit DEFAULT keyword, and reads
+    // everything back — the hash match proves Spark's analyzer filled
+    // the stored defaults exactly as the oracle's literals.
+    "q_default_values" -> ((s, dir) => {
+      val wh = defaultsWarehouse(s, dir)
+      val cat = "graftdf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"TRUNCATE TABLE $cat.defs")
+      s.sql(s"INSERT INTO $cat.defs (n_nationkey, n_name) " +
+        s"SELECT n_nationkey, n_name FROM $cat.nations WHERE n_nationkey < 8")
+      s.sql(s"INSERT INTO $cat.defs VALUES (100, 'manual', DEFAULT, 7)")
+      s.sql(s"SELECT n_nationkey, n_name, src, score FROM $cat.defs " +
+        "ORDER BY n_nationkey")
+    }),
+
     // B189 bucket co-location: orders and lineitem land as PURE-bucket
     // hidden-partitioned catalog tables on the order key (bucket(16)) —
     // the HIGH-cardinality co-location identity dirs can't give. The
@@ -1039,6 +1058,35 @@ object ScanOps extends QueryModule {
         Sinks.publishVersioned(
           Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
           supp, None)
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_default_values (B190): `nations` (the read source)
+    * and `defs`, CREATEd through the catalog door with two DEFAULTed
+    * columns — the query truncates and refills it each run. Cached per
+    * sf dir by content stamp.
+    */
+  private def defaultsWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_defs_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|df1"
+      val fresh = Files.isDirectory(Paths.get(root + "/defs")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftdfwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
+        s.sql(s"CREATE TABLE $cat.defs (n_nationkey BIGINT, n_name STRING, " +
+          "src STRING DEFAULT 'fixture', score INT DEFAULT 40 + 2) USING parquet")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2091,6 +2139,15 @@ object ScanOps extends QueryModule {
         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
         |GROUP BY c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    // the default-filled stripe recomputed with literals
+    "q_default_values" ->
+      """SELECT n_nationkey, n_name, 'fixture' AS src,
+        |       CAST(42 AS INTEGER) AS score
+        |FROM nation WHERE n_nationkey < 8
+        |UNION ALL
+        |SELECT CAST(100 AS BIGINT), 'manual', 'fixture', CAST(7 AS INTEGER)
+        |ORDER BY n_nationkey""".stripMargin,
 
     // the co-bucketed fact-fact join recomputed flat
     "q_spj_bucket" ->

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B190 DEFAULT column values: declared at CREATE or via ALTER COLUMN
+  * SET/DROP DEFAULT, stored as original SQL in `_PROPS`, injected as
+  * CURRENT_DEFAULT schema metadata so Spark's analyzer fills omitted
+  * columns and the DEFAULT keyword on every INSERT door. ADD COLUMN
+  * DEFAULT is refused (old rows are null-backfilled by contract).
+  */
+class DefaultsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var seq = 0
+  private def mkCat(): String = {
+    seq += 1
+    val cat = s"gdef$seq"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      Files.createTempDirectory("graft_defaults").toString)
+    cat
+  }
+
+  test("CREATE-time defaults fill omitted columns and the DEFAULT keyword") {
+    val cat = mkCat()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, status STRING DEFAULT 'new', " +
+      "score INT DEFAULT 10 + 32) USING parquet")
+    spark.sql(s"INSERT INTO $cat.t (k) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 'done', DEFAULT)")
+    spark.sql(s"INSERT INTO $cat.t (k, score) VALUES (3, 7)")
+    val got = spark.sql(s"SELECT * FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "new", 42), (2L, "done", 42), (3L, "new", 7)))
+  }
+
+  test("ALTER COLUMN SET DEFAULT affects future inserts only; DROP DEFAULT reverts to NULL") {
+    val cat = mkCat()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.t (k) VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v SET DEFAULT 'filled'")
+    spark.sql(s"INSERT INTO $cat.t (k) VALUES (2)")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.t (k) VALUES (3)")
+    val got = spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, Some("filled")), (3L, None)),
+      s"pre-SET rows stay NULL, post-DROP rows revert: $got")
+    // DESCRIBE surfaces the stored default while it exists
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v SET DEFAULT 'x'")
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.t").collect().mkString("\n")
+    assert(spark.table(s"$cat.t").schema("v").metadata.contains("CURRENT_DEFAULT"),
+      s"schema must carry the default metadata:\n$desc")
+  }
+
+  test("bad defaults fail loudly: non-constant, unresolvable, ADD COLUMN DEFAULT") {
+    val cat = mkCat()
+    // CREATE with a column-referencing default: no table left behind
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad (k BIGINT, v BIGINT DEFAULT k + 1) USING parquet"))
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .exists(_.getString(1) == "bad"), s"CREATE must not orphan: $e1")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING parquet")
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t ALTER COLUMN v SET DEFAULT nonexistent_col"))
+    // refused on principle: old rows would read a value never committed
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t ADD COLUMNS (w STRING DEFAULT 'x')"))
+    assert(e3.getMessage.contains("SET DEFAULT"), e3.getMessage)
+    // the failed ALTERs left no default behind
+    spark.sql(s"INSERT INTO $cat.t (k) VALUES (1)")
+    assert(spark.sql(s"SELECT v FROM $cat.t").head.isNullAt(0))
+  }
+
+  test("defaults follow schema evolution: rename re-keys, drop sheds; partitioned + CHECK compose") {
+    val cat = mkCat()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, status STRING DEFAULT 'new', " +
+      "region STRING) USING parquet PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('check.pos' = 'k >= 0')")
+    spark.sql(s"INSERT INTO $cat.t (k, region) VALUES (1, 'r1')")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN status TO state")
+    spark.sql(s"INSERT INTO $cat.t (k, region) VALUES (2, 'r2')")
+    val got = spark.sql(s"SELECT k, state FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "new")),
+      s"the renamed column must keep its default: $got")
+    // CHECK still gates alongside the default
+    intercept[Exception](spark.sql(s"INSERT INTO $cat.t (k, region) VALUES (-5, 'r1')"))
+    // DROP COLUMN sheds the default with the column
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN state")
+    assert(!graft.ops.TableProps
+      .load(spark.conf.get(s"spark.sql.catalog.$cat.root") + "/t")
+      .keys.exists(_.startsWith("graft.default.")),
+      "a dropped column must shed its stored default")
+  }
+}
