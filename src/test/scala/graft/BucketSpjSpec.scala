@@ -121,6 +121,21 @@ class BucketSpjSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("the metadata surface follows: .partitions rolls up bucket dirs under their human spelling") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .createOrReplaceTempView("bkt_meta_src")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, payload STRING) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM bkt_meta_src")
+    val parts = spark.sql(s"SELECT * FROM $cat.t.`partitions`").collect()
+    assert(parts.length == 4, s"4 buckets expected, got ${parts.length}")
+    assert(parts.head.schema.fieldNames.head == "bucket(4, k)",
+      "the derived dir surfaces under its human spelling")
+    assert(parts.map(_.getAs[Long]("n_rows")).sum == 1000L)
+  }
+
   test("reconciliation still wins: DV on a pure-bucket table swaps to the funnel; day+bucket always swaps") {
     val cat = mkCat()
     import spark.implicits._

@@ -206,6 +206,32 @@ class ScanStatsSpec extends AnyFunSuite {
       s"the v2 catalog scan must accept the runtime partition filter:\n$plan")
   }
 
+  test("SPJ rides the path-based format door too: no catalog registration, still zero Exchange") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"r${i % 4}")).toDF("k", "region")
+      .createOrReplaceTempView("spj_fmt_src")
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT, region STRING) USING parquet " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM spj_fmt_src")
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT, region STRING) USING parquet " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.b SELECT k * 2, region FROM spj_fmt_src")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = spark.read.format("graft").load(s"$root/a")
+      val r = spark.read.format("graft").load(s"$root/b")
+      val j = l.join(r, "region")
+      assert(j.count() == 1000000L) // 500 × 500 per region × 4 regions
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"format-door co-partitioned join must not shuffle:\n$plan")
+    }
+  }
+
   test("declines stay honest: sidecar-less versions and pushed aggregates fall back to the delegate") {
     val cat = mkCat()
     import spark.implicits._
