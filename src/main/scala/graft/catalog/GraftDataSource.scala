@@ -19,6 +19,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft").load("/warehouse/events")          // live
   *   spark.read.format("graft").option("versionAsOf", 2).load(p)   // pin
   *   spark.read.format("graft").option("tag", "baseline").load(p)  // tag
+  *   spark.read.format("graft")
+  *     .option("timestampAsOf", "2026-08-01 00:00:00").load(p)     // instant
   * }}}
   *
   * The provider resolves the version AT LOAD TIME (snapshot isolation —
@@ -50,6 +52,21 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     }.orElse(Option(options.get("tag")).map { t =>
       Sinks.listTags(root).getOrElse(t, throw new IllegalArgumentException(
         s"no tag '$t' on $root (tags: ${Sinks.listTags(root).keys.mkString(", ")})"))
+    }).orElse(Option(options.get("timestampAsOf")).map { ts =>
+      // same contract as the catalog's TIMESTAMP AS OF: the newest
+      // version committed at or before the instant ('yyyy-MM-dd
+      // HH:mm:ss' or ISO-8601, read as UTC like the pinned session)
+      val cutoff = scala.util.Try(
+        java.time.LocalDateTime.parse(ts.trim.replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf must be 'yyyy-MM-dd HH:mm:ss' or ISO-8601, got '$ts'"))
+      val eligible = Sinks.listVersions(root).filter(v =>
+        Sinks.commitInstantMs(Sinks.versionPath(root, v)) <= cutoff)
+      if (eligible.isEmpty) throw new IllegalArgumentException(
+        s"no version of $root committed at or before $ts " +
+          s"(oldest retained: v${Sinks.listVersions(root).minOption.getOrElse(-1L)})")
+      eligible.max
     })
     val v = vOpt.getOrElse(Sinks.currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no published version under $root")))

@@ -35,6 +35,29 @@ class DataSourceSpec extends AnyFunSuite {
       spark.read.format("graft").load(tbl).count() == 3)
   }
 
+  test("timestampAsOf resolves the newest version at or before the instant (round-14)") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.publishVersioned(spark.range(0, 40).select($"id".as("k")), tbl, None)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    Sinks.publishVersioned(spark.range(0, 7).select($"id".as("k")), tbl, Some(0L))
+    val at = java.time.Instant.ofEpochMilli(betweenMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(spark.read.format("graft").option("timestampAsOf", at).load(tbl)
+      .count() == 40, "the instant between commits must resolve v0")
+    val now = java.time.Instant.now().atZone(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.toString
+    assert(spark.read.format("graft").option("timestampAsOf", now).load(tbl)
+      .count() == 7, "a current instant must resolve the live version")
+    // pre-history and malformed instants fail loudly
+    val e = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("timestampAsOf", "1999-01-01 00:00:00").load(tbl))
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("timestampAsOf", "not-a-time").load(tbl))
+  }
+
   test("deletion vectors subtract through the format read; filters push down") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._

@@ -206,6 +206,35 @@ class ScanStatsSpec extends AnyFunSuite {
       s"the v2 catalog scan must accept the runtime partition filter:\n$plan")
   }
 
+  test("SPJ with SUPERSET join keys: joining on (partition col, k) still needs no Exchange") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 3000L).map(i => (i, s"r${i % 4}", i * 2)).toDF("k", "region", "a")
+      .createOrReplaceTempView("spj_sup_src")
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.l SELECT k, a, region FROM spj_sup_src")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.r SELECT k, a * 3, region FROM spj_sup_src")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // clustering on region is a valid (coarser) clustering for join
+      // keys (region, k) — rows with equal (region, k) share a region
+      // group, so no redistribution is needed on either side (Spark
+      // accepts the subset clustering only when
+      // requireAllClusterKeysForCoPartition is off)
+      val j = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), Seq("region", "k"))
+      assert(j.count() == 3000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"superset join keys must ride the partition clustering:\n$plan")
+    }
+  }
+
   test("SPJ rides the path-based format door too: no catalog registration, still zero Exchange") {
     val cat = mkCat()
     import spark.implicits._
