@@ -121,6 +121,30 @@ class BucketSpjSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("mixed identity+bucket spec: the composite key still joins with zero Exchange") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 6000L).map(i => (i, s"r${i % 3}", i * 2)).toDF("k", "region", "a")
+      .createOrReplaceTempView("bkt_mixspj_src")
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region, bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.l SELECT k, a, region FROM bkt_mixspj_src")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT, region STRING) " +
+      "USING parquet PARTITIONED BY (region, bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.r SELECT k, a * 5, region FROM bkt_mixspj_src")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table(s"$cat.l")
+        .join(spark.table(s"$cat.r"), Seq("region", "k"))
+      assert(j.count() == 6000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"identity+bucket composite clustering must not shuffle:\n$plan")
+    }
+  }
+
   test("the metadata surface follows: .partitions rolls up bucket dirs under their human spelling") {
     val cat = mkCat()
     import spark.implicits._
