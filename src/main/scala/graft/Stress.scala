@@ -643,9 +643,13 @@ object Stress {
       require(statsRows == trueRows,
         s"stress scan-tier: reported $statsRows != $trueRows rows")
       // B189 co-bucketed join Exchange-free at volume (the q_spj_bucket
-      // warehouse built above at this factor)
+      // warehouse built above at this factor). Broadcast is disabled for
+      // the assertion — a stats-less side under the threshold would
+      // legitimately broadcast, and "no Exchange" means NO exchange
       val bcat = "graftbkt_" + out.replaceAll("[^A-Za-z0-9]", "_")
-      val (spjPairs, tSpj) = timed {
+      val savedBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (spjPairs, tSpj) = try timed {
         val j = spark.table(s"$bcat.orders_bkt")
           .join(spark.table(s"$bcat.lineitem_bkt"),
             col("o_orderkey") === col("l_orderkey"))
@@ -654,6 +658,9 @@ object Stress {
         require(!plan.contains("Exchange"),
           "stress scan-tier: co-bucketed join shuffled at volume")
         n
+      } finally savedBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
       // B188 DPP at volume: nation-partitioned customers probed by a
       // two-nation dim — the runtime filter must reach the v2 scan

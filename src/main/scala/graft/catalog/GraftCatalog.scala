@@ -183,7 +183,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // schema — the TABLE's logical schema must not carry them (readers
     // hide, writers re-derive)
     override def schema(): StructType = StructType(delegate.schema
-      .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined))
+      .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
+      // footer-echoed DEFAULT metadata never leaks (an INSERT writes its
+      // analyzed schema into the files it lands): the _PROPS store is
+      // the only truth, and a snapshot read of a since-DROPped default
+      // must not resurrect it. The writable table re-injects the live
+      // declarations on top ([[GraftDefaults.inject]])
+      .map(GraftDefaults.stripFieldDefaults))
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     // B185/B186: sidecar-exact plan statistics + key-grouped partition
@@ -242,9 +248,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // DEFAULT column values (B190): re-annotate the footer-derived
     // schema with the stored CURRENT_DEFAULT metadata — what lets
     // Spark's analyzer fill omitted columns and the DEFAULT keyword on
-    // every INSERT door. The writable table only: snapshots are reads
-    override def schema(): StructType =
+    // every INSERT door. The writable table only: snapshots are reads.
+    // Snapshotted once per table object (the checkProps discipline:
+    // analysis calls schema() several times per statement — a per-call
+    // _PROPS read would buy staleness-inconsistency AND I/O)
+    private lazy val injectedSchema: StructType =
       GraftDefaults.inject(super.schema(), tRoot)
+    override def schema(): StructType = injectedSchema
     // surface stored CHECK constraints through SHOW TBLPROPERTIES —
     // loaded once per table object (analysis calls properties() several
     // times per statement; the object already snapshots its version, so

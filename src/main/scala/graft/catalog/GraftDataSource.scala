@@ -54,13 +54,22 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         s"no tag '$t' on $root (tags: ${Sinks.listTags(root).keys.mkString(", ")})"))
     }).orElse(Option(options.get("timestampAsOf")).map { ts =>
       // same contract as the catalog's TIMESTAMP AS OF: the newest
-      // version committed at or before the instant ('yyyy-MM-dd
-      // HH:mm:ss' or ISO-8601, read as UTC like the pinned session)
+      // version committed at or before the instant. Accepted spellings
+      // match what SQL casts accept: date-only, 'yyyy-MM-dd HH:mm:ss',
+      // ISO-8601 local, and zone/offset-suffixed ISO-8601; zone-less
+      // forms read as UTC (the pinned session zone)
+      val raw = ts.trim.replace(" ", "T")
       val cutoff = scala.util.Try(
-        java.time.LocalDateTime.parse(ts.trim.replace(" ", "T"))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          java.time.OffsetDateTime.parse(raw).toInstant.toEpochMilli)
+        .orElse(scala.util.Try(
+          java.time.ZonedDateTime.parse(raw).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(java.time.LocalDateTime.parse(raw)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .orElse(scala.util.Try(java.time.LocalDate.parse(raw)
+          .atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
         .getOrElse(throw new IllegalArgumentException(
-          s"timestampAsOf must be 'yyyy-MM-dd HH:mm:ss' or ISO-8601, got '$ts'"))
+          s"timestampAsOf must be a date or timestamp ('yyyy-MM-dd', " +
+            s"'yyyy-MM-dd HH:mm:ss', ISO-8601 with optional zone), got '$ts'"))
       val eligible = Sinks.listVersions(root).filter(v =>
         Sinks.commitInstantMs(Sinks.versionPath(root, v)) <= cutoff)
       if (eligible.isEmpty) throw new IllegalArgumentException(

@@ -66,6 +66,18 @@ private[catalog] object GraftDefaults {
     ()
   }
 
+  /** Remove any footer-echoed default metadata from one field — the
+    * read-door hygiene every schema view applies before (optionally)
+    * re-injecting the `_PROPS` truth.
+    */
+  def stripFieldDefaults(f: StructField): StructField =
+    if (!f.metadata.contains(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY) &&
+        !f.metadata.contains(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)) f
+    else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+      .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+      .build())
+
   /** Re-annotate a footer-derived schema with the stored defaults —
     * what makes `INSERT INTO t (a) …` and `VALUES (…, DEFAULT)` resolve
     * through Spark's analyzer. The `_PROPS` store is the ONLY truth:

@@ -76,7 +76,7 @@ private[graft] object GraftScans {
     }
 
   private def flag(name: String): Boolean =
-    SparkSession.active.conf.get(name, "true") == "true"
+    SparkSession.active.conf.get(name, "true").trim.equalsIgnoreCase("true")
   def statsEnabled: Boolean = flag("spark.graft.scan.stats.enabled")
   def spjEnabled: Boolean = flag("spark.graft.scan.spj.enabled")
 }
@@ -293,11 +293,25 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     * parse from the directory path. The delegate's own splits are
     * preserved; each tuple's files re-bin-pack under the same
     * maxSplitBytes policy the flat plan used, so task sizing survives
-    * the regrouping.
+    * the regrouping. Memoized per delegate instance (outputPartitioning
+    * AND planInputPartitions both need it — the grouping must not run
+    * the file-listing pipeline twice per query); a runtime filter swaps
+    * `current`, which misses the memo and regroups the narrowed set.
     */
-  private def keyedPartitions: Option[(Array[InputPartition], Int)] =
+  @transient private var keyedMemo: (ParquetScan, Option[(Array[InputPartition], Int)]) = null
+  private def keyedPartitions: Option[(Array[InputPartition], Int)] = synchronized {
+    val snap = current
+    if (keyedMemo != null && (keyedMemo._1 eq snap)) keyedMemo._2
+    else {
+      val computed = keyedPartitionsOf(snap)
+      keyedMemo = (snap, computed)
+      computed
+    }
+  }
+
+  private def keyedPartitionsOf(snap: ParquetScan): Option[(Array[InputPartition], Int)] =
     spjKeys.flatMap { keys =>
-      val flat = current.planInputPartitions().toSeq
+      val flat = snap.planInputPartitions().toSeq
         .flatMap(_.asInstanceOf[FilePartition].files)
       val spark = delegate.sparkSession
       val openCost = spark.sessionState.conf.filesOpenCostInBytes

@@ -235,6 +235,11 @@ object ScanOps extends QueryModule {
       s.sql(s"INSERT INTO $cat.defs (n_nationkey, n_name) " +
         s"SELECT n_nationkey, n_name FROM $cat.nations WHERE n_nationkey < 8")
       s.sql(s"INSERT INTO $cat.defs VALUES (100, 'manual', DEFAULT, 7)")
+      // the warehouse is content-stamped and reused across runs — expire
+      // the truncate/insert churn so /tmp never accumulates versions
+      // (the q_truncate discipline)
+      s.sql(s"CALL $cat.system.expire_versions('defs', retain_versions => 1)")
+        .collect()
       s.sql(s"SELECT n_nationkey, n_name, src, score FROM $cat.defs " +
         "ORDER BY n_nationkey")
     }),

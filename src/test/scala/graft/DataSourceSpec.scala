@@ -50,6 +50,14 @@ class DataSourceSpec extends AnyFunSuite {
       .toLocalDateTime.toString
     assert(spark.read.format("graft").option("timestampAsOf", now).load(tbl)
       .count() == 7, "a current instant must resolve the live version")
+    // zone-suffixed ISO and date-only spellings parse like SQL casts do
+    val nowZ = java.time.Instant.now().toString // ...Z suffix
+    assert(spark.read.format("graft").option("timestampAsOf", nowZ).load(tbl)
+      .count() == 7)
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .plusDays(1).toString
+    assert(spark.read.format("graft").option("timestampAsOf", tomorrow).load(tbl)
+      .count() == 7)
     // pre-history and malformed instants fail loudly
     val e = intercept[IllegalArgumentException](spark.read.format("graft")
       .option("timestampAsOf", "1999-01-01 00:00:00").load(tbl))

@@ -52,6 +52,14 @@ class DefaultsSpec extends AnyFunSuite {
     val desc = spark.sql(s"DESCRIBE TABLE $cat.t").collect().mkString("\n")
     assert(spark.table(s"$cat.t").schema("v").metadata.contains("CURRENT_DEFAULT"),
       s"schema must carry the default metadata:\n$desc")
+    // snapshot doors never resurrect footer-echoed defaults: the insert
+    // at v2 wrote 'filled' metadata into its file, but the pinned read's
+    // schema follows the _PROPS truth of the READ door (stripped)
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v DROP DEFAULT")
+    val snap = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2")
+    assert(!snap.schema("v").metadata.contains("CURRENT_DEFAULT"),
+      "a time-travel schema must not echo a dropped default from footers")
+    assert(!spark.table(s"$cat.t").schema("v").metadata.contains("CURRENT_DEFAULT"))
   }
 
   test("bad defaults fail loudly: non-constant, unresolvable, ADD COLUMN DEFAULT") {
