@@ -57,16 +57,20 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       // version committed at or before the instant. Accepted spellings
       // match what SQL casts accept: date-only, 'yyyy-MM-dd HH:mm:ss',
       // ISO-8601 local, and zone/offset-suffixed ISO-8601; zone-less
-      // forms read as UTC (the pinned session zone)
+      // forms resolve through the SESSION zone — exactly how Spark
+      // derives the micros it hands the catalog's loadTable(ident, ts),
+      // so the two doors pin the same version for the same string
+      val zone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone)
       val raw = ts.trim.replace(" ", "T")
       val cutoff = scala.util.Try(
           java.time.OffsetDateTime.parse(raw).toInstant.toEpochMilli)
         .orElse(scala.util.Try(
           java.time.ZonedDateTime.parse(raw).toInstant.toEpochMilli))
         .orElse(scala.util.Try(java.time.LocalDateTime.parse(raw)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+          .atZone(zone).toInstant.toEpochMilli))
         .orElse(scala.util.Try(java.time.LocalDate.parse(raw)
-          .atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+          .atStartOfDay(zone).toInstant.toEpochMilli))
         .getOrElse(throw new IllegalArgumentException(
           s"timestampAsOf must be a date or timestamp ('yyyy-MM-dd', " +
             s"'yyyy-MM-dd HH:mm:ss', ISO-8601 with optional zone), got '$ts'"))
@@ -94,7 +98,13 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       override def snapshotVersionDir: String = dir
       override def snapshotTableRoot: String = root
       override def name(): String = delegate.name
+      // mirror the catalog door's SnapshotTable.schema(): the file-level
+      // delegate re-discovers hidden-transform `_tp_*` directory columns
+      // (B161/B189) and appends them — the logical schema must hide them
+      // on THIS door too, or `SELECT *` via format("graft") exposes
+      // internal machinery the catalog read of the same table hides
       override def schema(): StructType = StructType(delegate.schema
+        .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
         .map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
       override def partitioning(): Array[Transform] = delegate.partitioning()
       override def properties(): util.Map[String, String] = delegate.properties()

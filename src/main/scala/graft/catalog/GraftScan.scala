@@ -75,10 +75,15 @@ private[graft] object GraftScans {
       case other => other
     }
 
-  private def flag(name: String): Boolean =
-    SparkSession.active.conf.get(name, "true").trim.equalsIgnoreCase("true")
-  def statsEnabled: Boolean = flag("spark.graft.scan.stats.enabled")
-  def spjEnabled: Boolean = flag("spark.graft.scan.spj.enabled")
+  // resolved against the SESSION THAT BUILT THE SCAN (the delegate's),
+  // not SparkSession.active — in a multi-session application another
+  // session's flags must not flip this session's planning
+  private def flag(spark: SparkSession, name: String): Boolean =
+    spark.conf.get(name, "true").trim.equalsIgnoreCase("true")
+  def statsEnabled(spark: SparkSession): Boolean =
+    flag(spark, "spark.graft.scan.stats.enabled")
+  def spjEnabled(spark: SparkSession): Boolean =
+    flag(spark, "spark.graft.scan.spj.enabled")
 }
 
 /** Forwards every pushdown interface the parquet builder implements;
@@ -201,7 +206,8 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     current.createReaderFactory()
 
   override def estimateStatistics(): Statistics =
-    (if (GraftScans.statsEnabled) CboStats.statsFor(current, tRoot, versionDir)
+    (if (GraftScans.statsEnabled(delegate.sparkSession))
+       CboStats.statsFor(current, tRoot, versionDir)
      else None).getOrElse(current.estimateStatistics())
 
   /** Dynamic partition pruning for the v2 catalog read (B188): a join
@@ -347,7 +353,7 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     * conf — with SPJ off the plan (bin-packing included) is
     * byte-identical to the bare delegate's.
     */
-  private def spjOn: Boolean = GraftScans.spjEnabled &&
+  private def spjOn: Boolean = GraftScans.spjEnabled(delegate.sparkSession) &&
     delegate.sparkSession.sessionState.conf.v2BucketingEnabled
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -406,8 +412,7 @@ private[graft] object CboStats {
     */
   private val memo = new ConcurrentHashMap[String, Map[String, FileStats]]()
 
-  private def load(dir: String): Map[String, FileStats] = {
-    val spark = SparkSession.active
+  private def load(spark: SparkSession, dir: String): Map[String, FileStats] = {
     val sidecar = Paths.get(dir, Stats.Sidecar)
     val parts = graft.io.Fs.listDir(sidecar)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -449,7 +454,7 @@ private[graft] object CboStats {
         (Sinks.hasHiddenPartitioning(tRoot, dir) &&
           !Sinks.pureBucketHidden(tRoot, dir))) return None
     if (!Files.isDirectory(Paths.get(dir, Stats.Sidecar))) return None
-    val byFile = load(dir)
+    val byFile = load(scan.sparkSession, dir)
     // the delegate's own pushed partition filters select the files a
     // pruned scan actually reads — the reported rows follow the pruning
     val normDir = Paths.get(dir).toAbsolutePath.normalize.toString

@@ -114,6 +114,28 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.filter($"part" === "00").count() == 8)
   }
 
+  test("pure-bucket hidden specs stay schema-hidden through the format door too (round-15)") {
+    // the catalog door's SnapshotTable filters `_tp_*` derived columns;
+    // the format door must equally — SELECT * on both doors agrees
+    val root = tmp()
+    spark.conf.set("spark.sql.catalog.gfmtb", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfmtb.root", root)
+    import spark.implicits._
+    (0L until 200L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .createOrReplaceTempView("fmt_bkt_src")
+    spark.sql("CREATE TABLE gfmtb.t (k BIGINT, payload STRING) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gfmtb.t SELECT * FROM fmt_bkt_src")
+    val viaFormat = spark.read.format("graft").load(s"$root/t")
+    assert(viaFormat.columns.toSeq == Seq("k", "payload"),
+      s"format door must hide the derived bucket column, got ${viaFormat.columns.toSeq}")
+    assert(viaFormat.columns.toSeq == spark.table("gfmtb.t").columns.toSeq,
+      "both doors must serve the same logical schema")
+    assert(viaFormat.count() == 200L &&
+      viaFormat.agg(sum($"k")).head.getLong(0) == (0L until 200L).sum,
+      "hiding the column must not drop rows")
+  }
+
   test("SQL direct path query: SELECT ... FROM graft.`/root` (Delta spelling)") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
