@@ -156,10 +156,14 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   }
 
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
+  // reader-side MOR mode (round-15): a pushed aggregate's group rows
+  // would COUNT deleted rows — refuse the pushdown, the wrapper's
+  // per-file subtraction needs the raw rows
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    inner.pushAggregation(aggregation)
+    !MorSpj.readerSide(tRoot, versionDir) && inner.pushAggregation(aggregation)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    inner.supportCompletePushDown(aggregation)
+    !MorSpj.readerSide(tRoot, versionDir) &&
+      inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     inner.pushVariantExtractions(extractions)
@@ -167,7 +171,12 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   override def build(): Scan = {
     val scan = inner.build()
     if (scan.pushedAggregate.isDefined) scan
-    else GraftScan(scan, tRoot, versionDir)
+    else if (MorSpj.readerSide(tRoot, versionDir)) {
+      // SPJ under deletion vectors / equality deletes: keep the v2
+      // scan, inject the working columns, subtract inside the readers
+      val (augmented, injected) = MorSpj.augment(scan, versionDir)
+      GraftScan(augmented, tRoot, versionDir, injected, morReaderSide = true)
+    } else GraftScan(scan, tRoot, versionDir)
   }
 }
 
@@ -175,7 +184,8 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   * delegate's own (fileIndex, schemas, filters) identity.
   */
 private[graft] final case class GraftScan(delegate: ParquetScan,
-    tRoot: String, versionDir: String)
+    tRoot: String, versionDir: String,
+    injected: Seq[String] = Nil, morReaderSide: Boolean = false)
   extends Scan with Batch
   with SupportsReportStatistics
   with SupportsReportPartitioning
@@ -189,21 +199,41 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     */
   @transient private var current: ParquetScan = delegate
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // reader-side MOR mode (round-15): the delegate reads the injected
+  // working columns (row index, unprojected eq-delete keys); the plan
+  // above sees the requested columns only
+  override def readSchema(): StructType =
+    if (injected.isEmpty) delegate.readSchema()
+    else {
+      val hide = injected.map(_.toLowerCase).toSet
+      StructType(delegate.readSchema().filterNot(f => hide(f.name.toLowerCase)))
+    }
   override def description(): String = delegate.description()
-  override def getMetaData(): Map[String, String] = delegate.getMetaData()
+  override def getMetaData(): Map[String, String] =
+    if (!morReaderSide) delegate.getMetaData()
+    else delegate.getMetaData() + ("MorReaderSide" -> "true")
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    delegate.columnarSupportMode()
+    if (morReaderSide) Scan.ColumnarSupportMode.UNSUPPORTED
+    else delegate.columnarSupportMode()
   override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
   override def reportDriverMetrics() = delegate.reportDriverMetrics()
   override def toBatch: Batch = this
-  override def toMicroBatchStream(checkpointLocation: String) =
+  override def toMicroBatchStream(checkpointLocation: String) = {
+    requireNoMorStream()
     delegate.toMicroBatchStream(checkpointLocation)
-  override def toContinuousStream(checkpointLocation: String) =
+  }
+  override def toContinuousStream(checkpointLocation: String) = {
+    requireNoMorStream()
     delegate.toContinuousStream(checkpointLocation)
+  }
+  private def requireNoMorStream(): Unit =
+    if (morReaderSide) throw new UnsupportedOperationException(
+      "streaming a snapshot carrying deletion vectors / equality deletes " +
+        "is unsupported: stream the table feed (read_stream) or compact first")
 
   override def createReaderFactory(): PartitionReaderFactory =
-    current.createReaderFactory()
+    if (morReaderSide) MorSpj.factory(current, versionDir, injected)
+    else current.createReaderFactory()
 
   override def estimateStatistics(): Statistics =
     (if (GraftScans.statsEnabled(delegate.sparkSession))
@@ -259,9 +289,18 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
   private lazy val spjKeys: Option[Seq[Either[(StructField, Int), graft.ops.Transforms.Bucket]]] = {
     val layout = delegate.fileIndex.partitionSchema
     val read = delegate.readPartitionSchema
-    val readData = delegate.readDataSchema
+    // a bucket SOURCE column counts as projected only when the QUERY
+    // projects it — an injected MOR working column is hidden from the
+    // output, so a partitioning keyed on it could never resolve
+    val injectedLower = injected.map(_.toLowerCase).toSet
+    val readData = StructType(delegate.readDataSchema
+      .filterNot(f => injectedLower(f.name.toLowerCase)))
+    // round-15: reader-side MOR subtraction is per-file, so deletion
+    // vectors / equality deletes no longer disqualify SPJ — rows are
+    // filtered in place and never move between key groups
     val clean = layout.nonEmpty &&
-      !Dv.exists(versionDir) && !EqDel.exists(versionDir) &&
+      (morReaderSide ||
+        (!Dv.exists(versionDir) && !EqDel.exists(versionDir))) &&
       !ColMap.exists(versionDir) && !Sinks.hasLayoutLegs(versionDir)
     if (!clean) None
     else {

@@ -1,0 +1,357 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types._
+
+import graft.ops.{ColMap, Dv, EqDel, Roaring, Sinks, Transforms}
+
+/** Storage-partitioned joins UNDER merge-on-read sidecars (round-15,
+  * the r14 verdict's top item): before this, one MOR DELETE (deletion
+  * vector) or blind upsert (equality delete) on a co-partitioned /
+  * co-bucketed fact table disqualified SPJ wholesale — the relation
+  * swapped to the v1 reconciliation funnel and every subsequent
+  * fact-fact join paid the full shuffle until a compaction. But both
+  * reconciliations are PARTITION-LOCAL:
+  *
+  *  - a deletion vector subtracts rows by `(file, row position)` —
+  *    rows never move between partitions, so filtering each file's
+  *    rows in place preserves [[org.apache.spark.sql.connector.read
+  *    .partitioning.KeyGroupedPartitioning]] exactly;
+  *  - an equality delete hides a row iff some tombstone with a LATER
+  *    sequence than the row's file carries its key — again a per-row
+  *    predicate given the file's sequence stamp.
+  *
+  * So for versions whose ONLY sidecars are `_dv`/`_eqdel` (no column
+  * mapping, no layout legs) over an SPJ-capable layout (identity
+  * and/or hidden `bucket()` partition columns), [[graft.plans
+  * .DvReadRule]] leaves the v2 relation in place and the scan wrapper
+  * applies the subtraction INSIDE its readers:
+  *
+  *  1. [[GraftScanBuilder.build]] appends the parquet reader's
+  *     reserved row-index field (`ParquetFileFormat
+  *     .ROW_INDEX_TEMPORARY_COLUMN_NAME`) — and any eq-delete key
+  *     column the query didn't project — to the delegate's
+  *     `readDataSchema`. Both v2 reader paths (vectorized and
+  *     parquet-mr) populate that field with the row's FILE-ABSOLUTE
+  *     index, split- and row-group-skip-aware — the same machinery
+  *     that serves `_metadata.row_index` on the v1 path.
+  *  2. [[GraftScan.readSchema]] hides the injected fields again, so
+  *     the plan above sees the requested columns only.
+  *  3. [[MorSubtractReaderFactory]] wraps the delegate's reader
+  *     factory: per file it resolves the roaring-bitmap containers
+  *     and the file's sequence stamp, then filters rows by bitmap
+  *     probe / tombstone lookup and projects the injected fields
+  *     away. Zero joins, zero Exchanges — the file groups (and their
+  *     [[HasPartitionKey]] tags) pass through untouched.
+  *
+  * The decision is STRUCTURAL and memoized per immutable version dir
+  * ([[readerSide]]) so the rule and the builder can never disagree —
+  * a disagreement would double-subtract (harmless) or skip the
+  * subtraction (corruption), so both consult this one predicate.
+  * Non-SPJ layouts keep the v1 funnel: its vectorized probe filter is
+  * the better plan when there is no shuffle to save.
+  */
+private[graft] object MorSpj {
+
+  /** The parquet readers' reserved generated-row-index column name. */
+  private[graft] val RowIdxName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  // NULLABLE: the column is absent from the files (the reader's
+  // generator fills it), and the vectorized reader refuses a missing
+  // REQUIRED column before the generator is consulted
+  private[graft] val RowIdxField: StructField =
+    StructField(RowIdxName, LongType, nullable = true)
+
+  private val SeqCol = "__gf_seq"
+
+  /** Driver-collected probe budgets (compressed sidecar bytes, file-size
+    * proxy). Deliberately CONSTANT, not conf-driven: the predicate must
+    * be deterministic across the rule and the builder — a conf flip
+    * between the two would skip the subtraction entirely. Past the
+    * budget the funnel's distributed plan is the honest cost anyway.
+    */
+  private val MaxDvBytes = 256L * 1024 * 1024
+  private val MaxEqBytes = 64L * 1024 * 1024
+
+  /** Eq-delete key domains with exact internal-value equality (boxed
+    * equals == SQL equality). Float/double (-0.0 vs 0.0), binary
+    * (array equality) and nested types fall back to the funnel's join.
+    */
+  private def eqKeyType(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+        LongType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def sidecarBytes(dir: Path): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else graft.io.Fs.listDir(dir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+
+  // version dirs are immutable once published, so the structural verdict
+  // for one never changes — memo by (root, dir)
+  private val memo = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff version `dir` of table `root` takes the reader-side MOR
+    * subtraction path (v2 scan kept, SPJ preserved) instead of the v1
+    * funnel swap. MUST be the single source of truth for both
+    * [[graft.plans.DvReadRule]] and [[GraftScanBuilder]].
+    */
+  def readerSide(root: String, dir: String): Boolean = {
+    val key = s"$root|$dir"
+    val cached = memo.get(key)
+    if (cached != null) return cached.booleanValue
+    val v = try compute(root, dir)
+    catch { case scala.util.control.NonFatal(_) => false }
+    if (memo.size > 512) memo.clear()
+    memo.put(key, java.lang.Boolean.valueOf(v))
+    v
+  }
+
+  private def compute(root: String, dir: String): Boolean = {
+    val hasDv = Dv.exists(dir)
+    val hasEq = EqDel.exists(dir)
+    if (!hasDv && !hasEq) return false
+    if (ColMap.exists(dir) || Sinks.hasLayoutLegs(dir)) return false
+    // stored sidecar keys are URI-encoded file subpaths — the per-file
+    // prefix strip needs a URI-transparent dir (same contract as the
+    // funnel's relKey)
+    if (!Dv.safeDir(dir)) return false
+    // SPJ-capable layout: identity and/or bucket() partition columns
+    // only (a range transform rides the funnel + HiddenPartitionRule)
+    val spjCapable = Sinks.partitionSchemaFor(root, dir).exists { st =>
+      st.nonEmpty && st.fieldNames.forall(n => Transforms.parse(n) match {
+        case None => true
+        case Some(_: Transforms.Bucket) => true
+        case _ => false
+      })
+    }
+    if (!spjCapable) return false
+    if (hasDv && sidecarBytes(Paths.get(dir, Dv.Sidecar)) > MaxDvBytes)
+      return false
+    val spark = SparkSession.active
+    val tableSchema = Sinks.readSchemaFor(spark, root, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    // a user column shadowing the reserved generated-index name would
+    // make the injection ambiguous — vanishingly unlikely, cheap guard
+    if (hasDv && tableSchema.fieldNames.exists(_.equalsIgnoreCase(RowIdxName)))
+      return false
+    if (hasEq) {
+      if (sidecarBytes(Paths.get(dir, EqDel.Sidecar)) > MaxEqBytes ||
+          sidecarBytes(Paths.get(dir, EqDel.SeqSidecar)) > MaxDvBytes)
+        return false
+      val delSchema = spark.read.parquet(s"$dir/${EqDel.Sidecar}").schema
+      val keys = delSchema.filterNot(_.name == SeqCol)
+      if (keys.isEmpty) return false
+      // exact-type match against the table column: the reader-side
+      // lookup compares INTERNAL values with no implicit cast
+      keys.forall { k =>
+        eqKeyType(k.dataType) &&
+          tableSchema.find(_.name.equalsIgnoreCase(k.name))
+            .exists(_.dataType == k.dataType)
+      }
+    } else true
+  }
+
+  /** Append the working fields the reader-side subtraction needs to the
+    * delegate scan's `readDataSchema`: the reserved row-index field
+    * (when a deletion vector exists) and any eq-delete key column the
+    * query didn't project. Returns the augmented scan plus the injected
+    * field names (to hide again in [[GraftScan.readSchema]]).
+    */
+  private[graft] def augment(scan: ParquetScan, dir: String): (ParquetScan, Seq[String]) = {
+    val spark = scan.sparkSession
+    var data = scan.readDataSchema
+    val injected = Seq.newBuilder[String]
+    if (Dv.exists(dir)) {
+      data = data.add(RowIdxField)
+      injected += RowIdxName
+    }
+    if (EqDel.exists(dir)) {
+      val present = (data.fieldNames ++ scan.readPartitionSchema.fieldNames)
+        .map(_.toLowerCase).toSet
+      EqDel.keyColumns(spark, dir).foreach { k =>
+        if (!present(k.toLowerCase)) {
+          val f = scan.dataSchema.find(_.name.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalStateException(
+              s"equality-delete key column $k absent from $dir's data schema"))
+          data = data.add(f)
+          injected += f.name
+        }
+      }
+    }
+    (scan.copy(readDataSchema = data), injected.result())
+  }
+
+  /** Build the wrapping reader factory for the (already augmented)
+    * current scan. Driver-side: collects the metadata-scale sidecars
+    * (bitmaps, tombstone keys, file sequence stamps) under the
+    * [[readerSide]] byte budgets.
+    */
+  private[graft] def factory(current: ParquetScan, dir: String,
+      injected: Seq[String]): PartitionReaderFactory = {
+    val spark = current.sparkSession
+    val full = current.readSchema().fields
+    val injectedLower = injected.map(_.toLowerCase).toSet
+    val outputOrdinals = full.indices
+      .filter(i => !injectedLower(full(i).name.toLowerCase)).toArray
+    val rowIdxOrdinal = full.indexWhere(_.name == RowIdxName)
+    val dvEntries = Dv.bitmapEntries(spark, dir)
+    val eq: Option[MorEqPayload] =
+      if (!EqDel.exists(dir)) None
+      else {
+        import org.apache.spark.sql.functions.{col, max}
+        val dels = spark.read.parquet(s"$dir/${EqDel.Sidecar}")
+        val keys = dels.columns.filterNot(_ == SeqCol).toSeq
+        val keyOrdinals = keys.map(k =>
+          full.indexWhere(_.name.equalsIgnoreCase(k))).toArray
+        require(keyOrdinals.forall(_ >= 0),
+          s"eq-delete key columns ${keys.mkString(",")} not all present in " +
+            s"the augmented read schema of $dir")
+        val keyTypes = keyOrdinals.map(full(_).dataType)
+        val converters = keys.zip(keyTypes).map { case (_, dt) =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(dt)
+        }
+        val maxSeq: Map[Vector[Any], Long] = dels
+          .groupBy(keys.map(col): _*)
+          .agg(max(col(SeqCol)).as(SeqCol))
+          .collect()
+          .flatMap { r =>
+            val vals = keys.indices.map(i =>
+              if (r.isNullAt(i)) null else converters(i)(r.get(i)))
+            // null-keyed tombstones never match (writer contract: non-null)
+            if (vals.contains(null)) None
+            else Some(vals.toVector -> r.getLong(keys.length))
+          }.toMap
+        val seqDir = Paths.get(dir, EqDel.SeqSidecar)
+        val fileSeq: Map[String, Long] =
+          if (!Files.isDirectory(seqDir)) Map.empty
+          else spark.read.parquet(seqDir.toString)
+            .groupBy(col("file")).agg(max(col("seq")).as("seq"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Some(MorEqPayload(keyOrdinals, keyTypes, maxSeq, fileSeq))
+      }
+    new MorSubtractReaderFactory(current.createReaderFactory(),
+      s"$dir/", dvEntries, eq, full.map(_.dataType), full.map(_.nullable),
+      outputOrdinals, rowIdxOrdinal)
+  }
+}
+
+/** Eq-delete payload shipped to executors: key ordinals/types in the
+  * augmented full row, tombstone key tuples (internal values) at their
+  * max sequence, and the per-file sequence stamps (absent = −1, older
+  * than every tombstone).
+  */
+private[graft] final case class MorEqPayload(
+    keyOrdinals: Array[Int], keyTypes: Array[DataType],
+    maxSeq: Map[Vector[Any], Long], fileSeq: Map[String, Long])
+  extends Serializable
+
+/** Wraps the delegate's reader factory with per-file MOR subtraction.
+  * Creates one delegate reader per file chunk (so file identity is
+  * known without `_metadata`), resolves that file's bitmap containers
+  * and sequence stamp once, filters rows, and projects the injected
+  * working columns away. Row-based by construction ([[GraftScan
+  * .columnarSupportMode]] reports UNSUPPORTED in MOR mode) — the
+  * delegate still READS vectorized internally and serves batch-backed
+  * rows, so the scan keeps parquet's columnar decode.
+  */
+private[graft] final class MorSubtractReaderFactory(
+    inner: PartitionReaderFactory,
+    prefix: String,
+    dvEntries: Array[(String, Array[Byte])],
+    eqDel: Option[MorEqPayload],
+    fullTypes: Array[DataType],
+    fullNullable: Array[Boolean],
+    outputOrdinals: Array[Int],
+    rowIdxOrdinal: Int)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    new PartitionReader[InternalRow] {
+      private val files = fp.files
+      private lazy val dvByFile: java.util.HashMap[String, Array[Byte]] = {
+        val m = new java.util.HashMap[String, Array[Byte]](dvEntries.length * 2 + 1)
+        dvEntries.foreach { case (f, b) => m.put(f, b) }
+        m
+      }
+      private lazy val project: UnsafeProjection = UnsafeProjection.create(
+        outputOrdinals.toIndexedSeq.map(i =>
+          BoundReference(i, fullTypes(i), fullNullable(i))))
+
+      private var idx = 0
+      private var cur: PartitionReader[InternalRow] = null
+      private var curContainers: java.util.TreeMap[Long, Roaring.Container] = null
+      private var curFseq = -1L
+      private var ready: InternalRow = null
+
+      private def eqDeleted(r: InternalRow): Boolean = {
+        if (eqDel.isEmpty) return false
+        val p = eqDel.get
+        var i = 0
+        val n = p.keyOrdinals.length
+        val key = new Array[Any](n)
+        while (i < n) {
+          val ord = p.keyOrdinals(i)
+          if (r.isNullAt(ord)) return false // null keys never match
+          key(i) = r.get(ord, p.keyTypes(i))
+          i += 1
+        }
+        p.maxSeq.get(key.toVector).exists(_ > curFseq)
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (idx >= files.length) return false
+            val pf = files(idx); idx += 1
+            val path = pf.filePath.toString
+            // fail LOUDLY on a mismatch — silently skipping the lookup
+            // would resurrect deleted rows. SparkPath spells the scheme
+            // "file:///x"; `_metadata.file_path` (the stored-key side)
+            // spells it "file:/x" — locate the dir itself, not the
+            // scheme prefix (dir is URI-transparent per readerSide)
+            val i = path.indexOf(prefix)
+            require(i >= 0,
+              s"MOR reader: file $path outside version dir $prefix")
+            val rel = path.substring(i + prefix.length)
+            val bytes = if (dvEntries.isEmpty) null else dvByFile.get(rel)
+            curContainers =
+              if (bytes == null) null else Roaring.readContainers(bytes)
+            curFseq = eqDel.map(_.fileSeq.getOrElse(rel, -1L)).getOrElse(-1L)
+            cur = inner.createReader(FilePartition(0, Array(pf)))
+          } else if (cur.next()) {
+            val r = cur.get()
+            val dvDel = curContainers != null &&
+              Roaring.containsIn(curContainers, r.getLong(rowIdxOrdinal))
+            if (!dvDel && !eqDeleted(r)) {
+              ready = project(r)
+              return true
+            }
+          } else {
+            cur.close(); cur = null
+          }
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = ready
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+}

@@ -35,7 +35,7 @@ object Roaring {
     * `bits == null`, else `bits` is a 1024-long (8 KiB) bitset and
     * `low` is ignored. `card` is the container cardinality either way.
     */
-  private[ops] final class Container(var low: Array[Short], var bits: Array[Long], var card: Int)
+  private[graft] final class Container(var low: Array[Short], var bits: Array[Long], var card: Int)
 
   private def newBitset(): Array[Long] = new Array[Long](1024)
 
@@ -118,7 +118,7 @@ object Roaring {
   def fromPositions(positions: Array[Long]): Array[Byte] =
     fromPositions(positions.iterator)
 
-  private[ops] def readContainers(bytes: Array[Byte]): java.util.TreeMap[Long, Container] = {
+  private[graft] def readContainers(bytes: Array[Byte]): java.util.TreeMap[Long, Container] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "not a graft roaring bitmap (bad magic)")
     val ver = in.readByte()
@@ -225,7 +225,7 @@ object Roaring {
     * O(log) per call, the per-row cost of the scan-time [[RoaringLookup]]
     * probe.
     */
-  private[ops] def containsIn(
+  private[graft] def containsIn(
       containers: java.util.TreeMap[Long, Container], pos: Long): Boolean = {
     if (pos < 0) return false
     val c = containers.get(pos >>> 16)

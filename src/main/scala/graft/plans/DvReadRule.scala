@@ -51,12 +51,20 @@ object DvReadRule extends Rule[LogicalPlan] {
         // with "=" escape the underscore hiding), the table hides the
         // derived columns, and the v2 path is where storage-partitioned
         // joins and the implied bucket-equality pushdown live
+        // reader-side MOR subtraction (round-15): a DV/eq-delete-only
+        // version over an SPJ-capable layout stays UN-swapped — the
+        // scan wrapper subtracts per file inside its readers, keeping
+        // storage-partitioned joins shuffle-free. MorSpj.readerSide is
+        // the single structural predicate both this rule and the scan
+        // builder consult, so they can never disagree on who subtracts.
         case t: GraftSnapshotDir
-            if Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
+            if (Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
               EqDel.exists(t.snapshotVersionDir) ||
               Sinks.hasLayoutLegs(t.snapshotVersionDir) ||
               (Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) &&
-                !Sinks.pureBucketHidden(t.snapshotTableRoot, t.snapshotVersionDir)) =>
+                !Sinks.pureBucketHidden(t.snapshotTableRoot, t.snapshotVersionDir))) &&
+              !graft.catalog.MorSpj.readerSide(
+                t.snapshotTableRoot, t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))
           if (metaUsed) throw new UnsupportedOperationException(
             "reading _metadata columns of a deletion-vector, equality-delete, " +

@@ -269,6 +269,30 @@ object ScanOps extends QueryModule {
            |ORDER BY okey_mod""".stripMargin)
     }),
 
+    // Round-15 (B192): the co-bucketed fact-fact join AFTER a
+    // merge-on-read DELETE. The deletion vector used to swap the
+    // relation to the v1 funnel, re-introducing the full shuffle until
+    // a compaction; the reader-side subtraction (MorSpj) keeps the v2
+    // scan and its bucket(16) KeyGroupedPartitioning, so the join stays
+    // zero-Exchange (plan-asserted in MorSpjSpec) — and the hash match
+    // against the flat recompute proves the per-file bitmap probe is
+    // value-exact through the shuffle-free grouping.
+    "q_spj_mor" -> ((s, dir) => {
+      val wh = spjMorWarehouse(s, dir)
+      val cat = "graftsmor_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(
+        s"""SELECT o.o_orderkey % 10 AS okey_mod, count(*) AS pairs,
+           |       sum(o.o_orderkey + l.l_linenumber) AS keysum
+           |FROM $cat.orders_bkt o
+           |JOIN $cat.lineitem_bkt l ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderkey % 10
+           |ORDER BY okey_mod""".stripMargin)
+    }),
+
     // B187 SQL metadata tables: the per-partition rollup of the
     // nation-partitioned customer table read as an ordinary relation
     // (`<table>.partitions`) — served from directory + footer metadata,
@@ -1129,6 +1153,52 @@ object ScanOps extends QueryModule {
         s.sql(s"CREATE TABLE $cat.lineitem_bkt (l_orderkey BIGINT, l_linenumber INT) " +
           "USING parquet PARTITIONED BY (bucket(16, l_orderkey))")
         s.sql(s"INSERT INTO $cat.lineitem_bkt SELECT * FROM spj_bucket_lineitem_src")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_spj_mor (B192): the q_spj_bucket layout plus a
+    * merge-on-read DELETE on the orders side (`o_custkey % 7 = 3`, a
+    * NON-partition column — genuinely row-level). The build asserts the
+    * DELETE routed MOR and that the version qualifies for the
+    * reader-side subtraction path, so the query exercises exactly the
+    * SPJ-under-DV plan. Cached per sf dir by content stamp.
+    */
+  private def spjMorWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = "/tmp/graft_morspj_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "orders") + "|" +
+        Tables.srcStamp(dir, "lineitem") + "|mor1"
+      val fresh = Files.isDirectory(Paths.get(root + "/orders_bkt")) &&
+        Files.isDirectory(Paths.get(root + "/lineitem_bkt")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftmorwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .createOrReplaceTempView("spj_mor_orders_src")
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))
+          .createOrReplaceTempView("spj_mor_lineitem_src")
+        s.sql(s"CREATE TABLE $cat.orders_bkt (o_orderkey BIGINT, o_custkey BIGINT) " +
+          "USING parquet PARTITIONED BY (bucket(16, o_orderkey)) " +
+          "TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+        s.sql(s"INSERT INTO $cat.orders_bkt SELECT * FROM spj_mor_orders_src")
+        s.sql(s"CREATE TABLE $cat.lineitem_bkt (l_orderkey BIGINT, l_linenumber INT) " +
+          "USING parquet PARTITIONED BY (bucket(16, l_orderkey))")
+        s.sql(s"INSERT INTO $cat.lineitem_bkt SELECT * FROM spj_mor_lineitem_src")
+        s.sql(s"DELETE FROM $cat.orders_bkt WHERE o_custkey % 7 = 3")
+        val live = graft.ops.Sinks.resolve(root + "/orders_bkt")
+        require(graft.ops.Dv.exists(live),
+          "q_spj_mor warehouse: the DELETE must route merge-on-read")
+        require(graft.catalog.MorSpj.readerSide(root + "/orders_bkt", live),
+          "q_spj_mor warehouse: the version must take the reader-side SPJ path")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2159,6 +2229,17 @@ object ScanOps extends QueryModule {
       """SELECT o_orderkey % 10 AS okey_mod, count(*) AS pairs,
         |       CAST(sum(o_orderkey + l_linenumber) AS BIGINT) AS keysum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey % 10
+        |ORDER BY okey_mod""".stripMargin,
+
+    // the co-bucketed join after the MOR DELETE, recomputed flat with
+    // the delete predicate inverted — proves the reader-side deletion-
+    // vector subtraction is value-exact through the shuffle-free join
+    "q_spj_mor" ->
+      """SELECT o_orderkey % 10 AS okey_mod, count(*) AS pairs,
+        |       CAST(sum(o_orderkey + l_linenumber) AS BIGINT) AS keysum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey % 7 <> 3
         |GROUP BY o_orderkey % 10
         |ORDER BY okey_mod""".stripMargin,
 

@@ -160,7 +160,7 @@ class BucketSpjSpec extends AnyFunSuite {
     assert(parts.map(_.getAs[Long]("n_rows")).sum == 1000L)
   }
 
-  test("reconciliation still wins: DV on a pure-bucket table swaps to the funnel; day+bucket always swaps") {
+  test("DV on a pure-bucket table stays v2 (reader-side subtraction, round-15); day+bucket always swaps") {
     val cat = mkCat()
     import spark.implicits._
     (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
@@ -170,9 +170,12 @@ class BucketSpjSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.d SELECT * FROM bkt_dv_src")
     spark.sql(s"DELETE FROM $cat.d WHERE k < 100")
     val df = spark.table(s"$cat.d")
-    assert(df.count() == 900L, "the vector must subtract through the funnel")
-    assert(!df.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
-      "a DV version must not ride the bare v2 scan")
+    assert(df.count() == 900L, "the vector must subtract reader-side")
+    // round-15: the SPJ-capable layout keeps the v2 scan — the wrapper
+    // subtracts inside its readers (MorSpjSpec pins the zero-Exchange
+    // join and value-exactness)
+    assert(df.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
+      "a DV'd pure-bucket version must stay on the v2 scan path")
     // mixed range+bucket spec: the range half needs HiddenPartitionRule,
     // so the whole table stays on the funnel
     Seq((java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), 1L))

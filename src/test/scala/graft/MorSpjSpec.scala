@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Dv, EqDel, Sinks, TableProps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15: storage-partitioned joins survive merge-on-read sidecars.
+  * A MOR DELETE (deletion vector) or blind upsert (equality delete) on
+  * a co-bucketed / co-partitioned fact table used to swap the relation
+  * to the v1 funnel — re-introducing the full shuffle on every
+  * subsequent co-located join until a compaction. The subtraction is
+  * per-file, so the reader-side path (MorSpj) keeps the v2 scan, keeps
+  * KeyGroupedPartitioning, and filters inside the readers.
+  */
+class MorSpjSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var seq = 0
+  private def mkCat(): (String, String) = {
+    seq += 1
+    val cat = s"gmspj$seq"
+    val root = Files.createTempDirectory("graft_morspj").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def spjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  test("co-bucketed join stays zero-Exchange and value-exact after a MOR DELETE") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    (0L until 20000L).map(i => (i % 4000L, i)).toDF("k", "a")
+      .createOrReplaceTempView("mspj_l_src")
+    (0L until 4000L).map(i => (i, i * 7)).toDF("k", "b")
+      .createOrReplaceTempView("mspj_r_src")
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.l SELECT * FROM mspj_l_src")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.r SELECT * FROM mspj_r_src")
+    // merge-on-read DELETE on the LEFT fact: every k % 10 == 3 row dies
+    TableProps.update(s"$root/l")(_ + ("graft.dml.mode" -> "mor"))
+    spark.sql(s"DELETE FROM $cat.l WHERE k % 10 = 3")
+    assert(Dv.exists(Sinks.resolve(s"$root/l")), "DELETE must route MOR")
+    val expected = spark.table("mspj_l_src").filter($"k" % 10 =!= 3)
+      .join(spark.table("mspj_r_src"), "k")
+      .agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s")).head
+    withConfs(spjConfs: _*) {
+      val joined = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-located join must stay zero-Exchange after a MOR DELETE:\n$plan")
+      val got = joined.agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s")).head
+      assert(got == expected, s"got $got, expected $expected")
+    }
+    // and the plain read of the vectored side is exact too
+    assert(spark.table(s"$cat.l").count() ==
+      20000L - (0L until 20000L).count(i => (i % 4000L) % 10L == 3L))
+  }
+
+  test("identity-partitioned SPJ survives a MOR DELETE; point lookup exact") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    (0L until 9000L).map(i => (i, i % 30L)).toDF("x", "g")
+      .createOrReplaceTempView("mspj_i_src")
+    spark.sql(s"CREATE TABLE $cat.f (x BIGINT, g BIGINT) USING parquet " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.f SELECT * FROM mspj_i_src")
+    spark.sql(s"CREATE TABLE $cat.d (w BIGINT, g BIGINT) USING parquet " +
+      "PARTITIONED BY (g)")
+    (0L until 30L).map(i => (i * 100, i)).toDF("w", "g")
+      .createOrReplaceTempView("mspj_d_src")
+    spark.sql(s"INSERT INTO $cat.d SELECT * FROM mspj_d_src")
+    TableProps.update(s"$root/f")(_ + ("graft.dml.mode" -> "mor"))
+    spark.sql(s"DELETE FROM $cat.f WHERE x % 7 = 0")
+    assert(Dv.exists(Sinks.resolve(s"$root/f")))
+    val expected = spark.table("mspj_i_src").filter($"x" % 7 =!= 0)
+      .join(spark.table("mspj_d_src"), "g")
+      .agg(count(lit(1)).as("n"), sum($"x" + $"w").as("s")).head
+    withConfs(spjConfs: _*) {
+      val joined = spark.table(s"$cat.f").join(spark.table(s"$cat.d"), "g")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"identity SPJ must survive the deletion vector:\n$plan")
+      assert(joined.agg(count(lit(1)).as("n"), sum($"x" + $"w").as("s")).head
+        == expected)
+    }
+    // partition-pruned point read subtracts exactly
+    val one = spark.table(s"$cat.f").filter($"g" === 11L)
+    assert(one.count() ==
+      (0L until 9000L).count(i => i % 30L == 11L && i % 7L != 0L))
+  }
+
+  test("equality deletes ride the reader-side path on a bucket table") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.s (k BIGINT, v STRING) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 3000L).map(i => (i, s"v0_$i")).toDF("k", "v")
+      .createOrReplaceTempView("mspj_eq_src")
+    spark.sql(s"INSERT INTO $cat.s SELECT * FROM mspj_eq_src")
+    // two blind upsert batches: updates + inserts, then a re-update
+    EqDel.upsertBatch(spark,
+      Seq((10L, "v1_10"), (20L, "v1_20"), (5000L, "v1_5000")).toDF("k", "v"),
+      s"$root/s", Seq("k"))
+    EqDel.upsertBatch(spark,
+      Seq((10L, "v2_10"), (999L, "v2_999")).toDF("k", "v"),
+      s"$root/s", Seq("k"))
+    val live = Sinks.resolve(s"$root/s")
+    assert(EqDel.exists(live), "blind upserts must leave pending tombstones")
+    val got = spark.table(s"$cat.s").orderBy("k").as[(Long, String)].collect()
+    assert(got.length == 3001) // 3000 base + inserted k=5000 (999 updates)
+    val byK = got.toMap
+    assert(byK(10L) == "v2_10" && byK(20L) == "v1_20" &&
+      byK(999L) == "v2_999" && byK(5000L) == "v1_5000" && byK(0L) == "v0_0")
+    // the read stayed on the v2 scan (no funnel swap)
+    val plan = spark.table(s"$cat.s").queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"),
+      s"eq-delete bucket read must stay on the v2 path:\n$plan")
+    withConfs(spjConfs: _*) {
+      val joined = spark.table(s"$cat.s")
+        .join(spark.table(s"$cat.s").select($"k", $"v".as("v2")), "k")
+      val p2 = joined.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange"),
+        s"self-join under pending eq-deletes must stay zero-Exchange:\n$p2")
+      assert(joined.count() == 3001)
+    }
+  }
+
+  test("DV + eq-deletes together; unpartitioned tables keep the funnel") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, v STRING) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 2000L).map(i => (i, s"a$i")).toDF("k", "v")
+      .createOrReplaceTempView("mspj_m_src")
+    spark.sql(s"INSERT INTO $cat.m SELECT * FROM mspj_m_src")
+    EqDel.upsertBatch(spark,
+      Seq((7L, "UP7"), (8L, "UP8")).toDF("k", "v"), s"$root/m", Seq("k"))
+    spark.sql(s"DELETE FROM $cat.m WHERE k = 8 OR k = 100")
+    val live = Sinks.resolve(s"$root/m")
+    assert(Dv.exists(live) || EqDel.exists(live))
+    val rows = spark.table(s"$cat.m").as[(Long, String)].collect().toMap
+    assert(!rows.contains(100L), "DV delete must hide k=100")
+    assert(!rows.contains(8L), "delete must hide the upserted k=8")
+    assert(rows(7L) == "UP7" && rows(0L) == "a0" && rows.size == 1998)
+    // an UNPARTITIONED vectored table still funnels (no SPJ to win):
+    // the plan shows no BatchScan relation for it
+    val flat = s"$root/flat"
+    Sinks.publishVersioned((0L until 500L).map(i => (i, i)).toDF("k", "x"),
+      flat, None)
+    Sinks.deleteVector(spark, flat, col("k") < 10)
+    assert(!graft.catalog.MorSpj.readerSide(flat, Sinks.resolve(flat)),
+      "unpartitioned vectored tables must keep the funnel")
+    assert(spark.read.format("graft").load(flat).count() == 490)
+  }
+
+  test("aggregates and metadata counts stay exact in reader-side mode") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, x BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 5000L).map(i => (i, i * 3)).toDF("k", "x")
+      .createOrReplaceTempView("mspj_c_src")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM mspj_c_src")
+    TableProps.update(s"$root/c")(_ + ("graft.dml.mode" -> "mor"))
+    spark.sql(s"DELETE FROM $cat.c WHERE k >= 4500")
+    assert(graft.catalog.MorSpj.readerSide(s"$root/c", Sinks.resolve(s"$root/c")))
+    // count(*): whether served by MetaCountRewrite or the scan, exact
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.c").head.getLong(0) == 4500L)
+    // a grouped aggregate over the scan (aggregate pushdown refused in
+    // MOR mode — raw rows reach the subtraction)
+    val agg = spark.table(s"$cat.c").agg(sum($"x").as("s"), max($"k").as("m")).head
+    assert(agg.getLong(0) == (0L until 4500L).map(_ * 3).sum &&
+      agg.getLong(1) == 4499L)
+    // filter pushdown composes with the subtraction
+    assert(spark.table(s"$cat.c").filter($"k" between(4400, 4600)).count() == 100)
+  }
+}
