@@ -108,12 +108,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     createTable(ident, info.schema(), info.partitions(), props)
   }
 
+  // round-15 (B193): the range transforms join `bucket` — Spark
+  // resolves every transform a GraftScan reports in its
+  // KeyGroupedPartitioning through this FunctionCatalog
+  private val transformFunctions
+      : Map[String, org.apache.spark.sql.connector.catalog.functions.UnboundFunction] =
+    Map(
+      "bucket" -> GraftBucketFunction,
+      "days" -> GraftTemporalFunctions.Days,
+      "months" -> GraftTemporalFunctions.Months,
+      "years" -> GraftTemporalFunctions.Years,
+      "hours" -> GraftTemporalFunctions.Hours,
+      "truncate" -> GraftTruncateFunction)
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
+    if (namespace.isEmpty)
+      transformFunctions.keys.toArray.sorted
+        .map(n => Identifier.of(Array.empty[String], n))
     else Array.empty
+  private val TruncWidth = """truncate_(\d{1,9})""".r
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
-      GraftBucketFunction
+    if (ident.namespace().isEmpty) ident.name().toLowerCase match {
+      // width-in-the-name truncate: Spark's SPJ accepts only UNARY
+      // transforms, so the scan reports truncate(n, col) as
+      // truncate_<n>(col) and this door serves the matching function
+      case TruncWidth(n) if n.toInt >= 1 => new GraftTruncateWidthFunction(n.toInt)
+      case other => transformFunctions.getOrElse(other,
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    }
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   private var root: String = _
 
@@ -182,14 +204,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // the derived `_tp_*` directory columns and appends them to its
     // schema — the TABLE's logical schema must not carry them (readers
     // hide, writers re-derive)
-    override def schema(): StructType = StructType(delegate.schema
-      .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
-      // footer-echoed DEFAULT metadata never leaks (an INSERT writes its
-      // analyzed schema into the files it lands): the _PROPS store is
-      // the only truth, and a snapshot read of a since-DROPped default
-      // must not resurrect it. The writable table re-injects the live
-      // declarations on top ([[GraftDefaults.inject]])
-      .map(GraftDefaults.stripFieldDefaults))
+    override def schema(): StructType = GraftDefaults.injectExistence(
+      StructType(delegate.schema
+        .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
+        // footer-echoed DEFAULT metadata never leaks (an INSERT writes
+        // its analyzed schema into the files it lands): the _PROPS
+        // store is the only truth, and a snapshot read of a
+        // since-DROPped default must not resurrect it. The writable
+        // table re-injects the live declarations on top
+        // ([[GraftDefaults.inject]]); the EXISTENCE default of an
+        // `ADD COLUMN … DEFAULT` (round-15) re-injects from the
+        // version's own added-column marker — pre-ADD files backfill
+        // the ADD-time constant, not NULL
+        .map(GraftDefaults.stripFieldDefaults)), versionDir)
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     // B185/B186: sidecar-exact plan statistics + key-grouped partition
@@ -923,14 +950,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "satisfiable — existing rows are null-backfilled")
         require(a.position() == null,
           s"$catalogName: column positions (FIRST/AFTER) are not supported")
-        // ADD COLUMN … DEFAULT is refused on principle (B190): the
-        // metadata-only ADD synthesizes NULL for pre-existing rows; an
-        // existence default would make old rows read a value their
-        // files never carried. ADD first, then ALTER COLUMN SET DEFAULT
-        require(a.defaultValue() == null,
-          s"$catalogName: ADD COLUMNS ${a.fieldNames()(0)} DEFAULT is not " +
-            "supported — existing rows are null-backfilled; ADD the " +
-            "column, then ALTER COLUMN … SET DEFAULT for future inserts")
+        // ADD COLUMN … DEFAULT (round-15, lifting the B190 boundary):
+        // validated here, folded to the ADD-time constant below — the
+        // existence default pre-ADD files read, while _PROPS carries
+        // the CURRENT default for future inserts
+        if (a.defaultValue() != null)
+          GraftDefaults.validate(a.fieldNames()(0), a.dataType(),
+            a.defaultValue().getSql, "ALTER TABLE ADD COLUMNS")
         a
       case other => throw new UnsupportedOperationException(
         s"$catalogName: only top-level ADD COLUMNS is supported " +
@@ -952,21 +978,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // still living in (or tombstoned out of) the footers — mapping it
     // would silently alias old bytes into the new column.
     val liveDir = Sinks.versionPath(tr, v)
+    // a default's ADD-time folded constant (round-15): the existence
+    // value pre-ADD rows read; the original SQL becomes the CURRENT
+    // default future inserts fill. Fold ONCE here so the metadata-only
+    // and rewrite paths pin the identical instant
+    val folded: Map[String, org.apache.spark.sql.catalyst.expressions.Literal] =
+      adds.filter(_.defaultValue() != null).map { a =>
+        a.fieldNames()(0).toLowerCase -> GraftDefaults.foldForExistence(
+          a.fieldNames()(0), a.dataType(), a.defaultValue().getSql,
+          "ALTER TABLE ADD COLUMNS")
+      }.toMap
+    def recordCurrentDefaults(): Unit = adds.foreach { a =>
+      if (a.defaultValue() != null)
+        graft.ops.TableProps.update(tr)(_ +
+          ((GraftDefaults.Prefix + a.fieldNames()(0).toLowerCase) ->
+            a.defaultValue().getSql))
+    }
     val physNames = spark.read.parquet(liveDir).schema.fieldNames
       .map(_.toLowerCase).toSet ++
       graft.ops.ColMap.dropped(liveDir).map(_.toLowerCase)
     if (!adds.exists(a => physNames(a.fieldNames()(0).toLowerCase))) {
+      recordCurrentDefaults()
       Sinks.publishColumnMapping(spark, tr, v,
         graft.ops.ColMap.load(liveDir), graft.ops.ColMap.dropped(liveDir),
         opTag = "add-column",
-        added = graft.ops.ColMap.added(liveDir) ++ adds.map(a =>
+        added = graft.ops.ColMap.added(liveDir) ++ adds.map { a =>
+          val meta = folded.get(a.fieldNames()(0).toLowerCase) match {
+            case Some(lit) => new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .EXISTS_DEFAULT_COLUMN_METADATA_KEY, lit.sql).build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
           org.apache.spark.sql.types.StructField(
-            a.fieldNames()(0), a.dataType(), nullable = true)))
+            a.fieldNames()(0), a.dataType(), nullable = true, meta)
+        })
       return loadTable(ident)
     }
+    // physical-name collision: the null-backfill REWRITE path — with a
+    // default, backfill the folded constant instead (same semantics as
+    // the marker: pre-ADD rows read the ADD-time value)
+    recordCurrentDefaults()
     val widened = adds.foldLeft(cur) { (df, a) =>
-      df.withColumn(a.fieldNames()(0),
-        org.apache.spark.sql.functions.lit(null).cast(a.dataType()))
+      val fill = folded.get(a.fieldNames()(0).toLowerCase) match {
+        case Some(lit) => org.apache.spark.sql.graft.ExprBridge.column(lit)
+        case None => org.apache.spark.sql.functions.lit(null)
+      }
+      df.withColumn(a.fieldNames()(0), fill.cast(a.dataType()))
     }
     Sinks.publishVersioned(widened, tr, Some(v))
     loadTable(ident)
@@ -1605,11 +1662,13 @@ private[catalog] object GraftTables {
     if (!graft.ops.Dv.exists(versionDir) &&
         !graft.ops.EqDel.exists(versionDir) &&
         !graft.ops.ColMap.exists(versionDir) &&
-        !Sinks.hasLayoutLegs(versionDir) &&
-        // pure-bucket hidden specs are bare-scan-correct (B189) — a
-        // rule-less session reads them complete and schema-hidden
-        (!Sinks.hasHiddenPartitioning(tRoot, versionDir) ||
-          Sinks.pureBucketHidden(tRoot, versionDir))) return
+        !Sinks.hasLayoutLegs(versionDir)) return
+    // hidden-partitioned specs are bare-scan-correct on the v2 path
+    // (round-15: ALL transform grids — complete rows, schema-hidden,
+    // builder-implied pruning needs no session rule), and DV/eq-delete
+    // versions the scan wrapper subtracts READER-side need no rule
+    // either — the wrapper rides every door unconditionally
+    if (MorSpj.readerSide(tRoot, versionDir)) return
     val spark = SparkSession.active
     val active =
       try {

@@ -103,9 +103,11 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       // (B161/B189) and appends them — the logical schema must hide them
       // on THIS door too, or `SELECT *` via format("graft") exposes
       // internal machinery the catalog read of the same table hides
-      override def schema(): StructType = StructType(delegate.schema
-        .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
-        .map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      override def schema(): StructType =
+        GraftDefaults.injectExistence(StructType(delegate.schema
+          .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
+          .map(f => f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))),
+          dir)
       override def partitioning(): Array[Transform] = delegate.partitioning()
       override def properties(): util.Map[String, String] = delegate.properties()
       override def capabilities(): util.Set[TableCapability] = {

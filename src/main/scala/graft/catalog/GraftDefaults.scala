@@ -20,15 +20,20 @@ import graft.ops.TableProps
   * references, castable to the column type — run at CREATE/ALTER so a
   * bad default fails loudly with no table (or no change) left behind.
   *
-  * Deliberate boundary: `ADD COLUMN … DEFAULT` is REFUSED. The engine's
-  * metadata-only ADD synthesizes NULL for pre-existing rows; an
-  * existence default would make old rows read a value their files never
-  * carried, silently diverging from every version's committed content.
-  * The remedy is two steps (ADD COLUMN, then SET DEFAULT) whose
-  * semantics are exact: old rows NULL, future inserts defaulted. For
-  * the same reason only `CURRENT_DEFAULT` metadata is ever served —
-  * never `EXISTS_DEFAULT`, which file sources use to backfill missing
-  * columns on READ.
+  * `ADD COLUMN … DEFAULT` (round-15, lifting the r14 boundary):
+  * the one-statement form records an EXISTENCE default alongside the
+  * current default — the default expression FOLDED AT ADD TIME (the
+  * Iceberg initial-default semantic: `DEFAULT current_date()` pins the
+  * ADD date). It rides the version-local added-column marker
+  * ([[graft.ops.ColMap.added]]) as `EXISTS_DEFAULT` field metadata, so
+  * the parquet readers backfill the column for files that PREDATE the
+  * ADD (exactly the files lacking it — post-ADD inserts always
+  * materialize their values, explicit NULLs included) while time
+  * travel below the ADD commit serves each version's own schema with
+  * no column at all. The existence default is immutable by
+  * construction: a later SET/DROP DEFAULT changes only future inserts
+  * (`CURRENT_DEFAULT` in `_PROPS`), never what pre-ADD files read —
+  * their content was fixed when the ADD committed.
   */
 private[catalog] object GraftDefaults {
 
@@ -66,6 +71,45 @@ private[catalog] object GraftDefaults {
     ()
   }
 
+  /** Validate `sql` as a default for (`colName`: `dt`) and FOLD it to
+    * the ADD-time constant an existence default pins (round-15). The
+    * returned literal's `.sql` form round-trips through Spark's own
+    * existence-default machinery.
+    */
+  def foldForExistence(colName: String, dt: DataType, sql: String,
+      statementType: String): org.apache.spark.sql.catalyst.expressions.Literal = {
+    val f = StructField(colName, dt, nullable = true,
+      new MetadataBuilder()
+        .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+        .build())
+    val analyzed = ResolveDefaultColumns.analyze(f, statementType,
+      ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      analyzed.eval(null), analyzed.dataType)
+  }
+
+  /** Re-annotate a (footer-hygiene-stripped) schema with the EXISTENCE
+    * defaults the version's added-column marker carries — what makes
+    * pre-ADD files read the ADD-time constant instead of NULL. The
+    * marker is the only truth; footer echoes were stripped first.
+    */
+  def injectExistence(schema: StructType, versionDir: String): StructType = {
+    val ex = graft.ops.ColMap.added(versionDir).flatMap { f =>
+      if (f.metadata.contains(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+        Some(f.name.toLowerCase -> f.metadata.getString(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+      else None
+    }.toMap
+    if (ex.isEmpty) schema
+    else StructType(schema.map { f =>
+      ex.get(f.name.toLowerCase).fold(f)(sql =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+          .build()))
+    })
+  }
+
   /** Remove any footer-echoed default metadata from one field — the
     * read-door hygiene every schema view applies before (optionally)
     * re-injecting the `_PROPS` truth.
@@ -90,9 +134,12 @@ private[catalog] object GraftDefaults {
   def inject(schema: StructType, root: String): StructType = {
     val defaults = load(root)
     StructType(schema.map { f =>
+      // CURRENT only is re-derived here; an EXISTS_DEFAULT present on
+      // the input is MARKER-sourced (round-15 — the snapshot schema
+      // already stripped footer echoes and injected the marker truth),
+      // so it passes through untouched
       val cleaned = new MetadataBuilder().withMetadata(f.metadata)
         .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
-        .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
       defaults.get(f.name.toLowerCase) match {
         case Some(sql) => f.copy(metadata = cleaned.putString(
           ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql).build())

@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 
 /** The catalog's `bucket(n, col)` scalar function (B189): the
   * FunctionCatalog spelling of [[graft.ops.Transforms.Bucket]]'s
@@ -15,6 +15,158 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * ([[graft.ops.Transforms.bucketValue]], Murmur3 seed 42, the `hash()`
   * SQL function's parameters).
   */
+/** The catalog's range-transform scalar functions (B193, round-15):
+  * `days`/`months`/`years`/`hours`/`truncate` — the FunctionCatalog
+  * spellings of [[graft.ops.Transforms]]' write-side derivations, what
+  * lets Spark resolve the range transforms a [[GraftScan]] reports in
+  * its KeyGroupedPartitioning (storage-partitioned joins over hidden
+  * TEMPORAL grids — two day-partitioned event tables join with zero
+  * Exchange, the dominant stream-history shape at 100 TB). Each mirrors
+  * the writer's UTC epoch math EXACTLY (same IEEE double floor-divide),
+  * and each canonical name carries the source type so only same-domain
+  * sides co-partition.
+  */
+private[catalog] object GraftTemporalFunctions {
+  import graft.ops.Transforms.{MicrosPerDay, MicrosPerHour}
+
+  private def utcDay(v: Any, srcType: DataType): Int = srcType match {
+    case DateType => v.asInstanceOf[Int]
+    case _ => // TimestampType internal = epoch micros
+      math.floor(v.asInstanceOf[Long].toDouble / MicrosPerDay.toDouble)
+        .toLong.toInt
+  }
+
+  /** One UnboundFunction per temporal grid; `eval` maps the UTC epoch
+    * day (or raw micros for hours) to the directory value.
+    */
+  private[catalog] final class Temporal(fname: String,
+      dateOk: Boolean, result: DataType,
+      eval: (Any, DataType) => Int) extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(col): the engine's hidden-partition $fname value (UTC epoch math)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1,
+        s"$fname(col) takes exactly 1 argument, got ${inputType.length}")
+      val srcType = inputType.fields(0).dataType
+      require(srcType == TimestampType || (dateOk && srcType == DateType),
+        s"$fname() needs a timestamp${if (dateOk) "/date" else ""} source, " +
+          s"got ${srcType.catalogString}")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(srcType)
+        override def resultType(): DataType = result
+        override def name(): String = fname
+        override def canonicalName(): String =
+          s"graft.$fname(${srcType.catalogString})"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Integer =
+          if (input.isNullAt(0)) null
+          else eval(input.get(0, srcType), srcType)
+      }
+    }
+  }
+
+  val Days = new Temporal("days", dateOk = true, DateType,
+    (v, st) => utcDay(v, st))
+  val Months = new Temporal("months", dateOk = true, DateType,
+    (v, st) => java.time.LocalDate.ofEpochDay(utcDay(v, st).toLong)
+      .withDayOfMonth(1).toEpochDay.toInt)
+  val Years = new Temporal("years", dateOk = true, DateType,
+    (v, st) => java.time.LocalDate.ofEpochDay(utcDay(v, st).toLong)
+      .withDayOfYear(1).toEpochDay.toInt)
+  val Hours = new Temporal("hours", dateOk = false, IntegerType,
+    (v, _) => math.floor(v.asInstanceOf[Long].toDouble /
+      MicrosPerHour.toDouble).toLong.toInt)
+}
+
+/** `truncate_<n>(col)` — the WIDTH-IN-THE-NAME spelling of truncate
+  * used for storage-partitioned join matching: Spark's SPJ machinery
+  * (`KeyGroupedPartitioning.supportsExpressions`) accepts only
+  * SINGLE-argument transforms (bucket's literal is special-cased into
+  * `numBucketsOpt`), so a two-arg `truncate(n, col)` transform can
+  * never drive a shuffle-free join. Encoding the width in the function
+  * name makes the transform unary; the canonical name carries width +
+  * source type, so only same-width same-domain sides co-partition.
+  */
+private[catalog] final class GraftTruncateWidthFunction(n: Int)
+  extends UnboundFunction {
+  override def name(): String = s"truncate_$n"
+  override def description(): String =
+    s"truncate_$n(col): the engine's hidden-partition truncate($n, col) value"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"truncate_$n(col) takes exactly 1 argument, got ${inputType.length}")
+    val srcType = inputType.fields(0).dataType
+    require(srcType == StringType || srcType == ByteType ||
+      srcType == ShortType || srcType == IntegerType || srcType == LongType,
+      s"truncate_$n() needs a string/integral source, got ${srcType.catalogString}")
+    new ScalarFunction[Any] {
+      override def inputTypes(): Array[DataType] = Array(srcType)
+      override def resultType(): DataType = srcType
+      override def name(): String = s"truncate_$n"
+      override def canonicalName(): String =
+        s"graft.truncate_$n(${srcType.catalogString})"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Any = {
+        if (input.isNullAt(0)) return null
+        srcType match {
+          case StringType => input.getUTF8String(0).substringSQL(1, n)
+          case ByteType =>
+            val v = input.getByte(0); (v - (((v % n) + n) % n)).toByte
+          case ShortType =>
+            val v = input.getShort(0); (v - (((v % n) + n) % n)).toShort
+          case IntegerType =>
+            val v = input.getInt(0); v - (((v % n) + n) % n)
+          case LongType =>
+            val v = input.getLong(0); v - (((v % n) + n) % n)
+          case _ => null // unreachable: bind refused
+        }
+      }
+    }
+  }
+}
+
+/** `truncate(n, col)` — string prefix / integral width-floor, the
+  * [[graft.ops.Transforms.Truncate]] derivation.
+  */
+private[catalog] object GraftTruncateFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(n, col): the engine's hidden-partition truncate value"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate(n, col) takes exactly 2 arguments, got ${inputType.length}")
+    val srcType = inputType.fields(1).dataType
+    require(srcType == StringType || srcType == ByteType ||
+      srcType == ShortType || srcType == IntegerType || srcType == LongType,
+      s"truncate() needs a string/integral source, got ${srcType.catalogString}")
+    new ScalarFunction[Any] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+      override def resultType(): DataType = srcType
+      override def name(): String = "truncate"
+      override def canonicalName(): String =
+        s"graft.truncate(${srcType.catalogString})"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Any = {
+        if (input.isNullAt(1)) return null
+        val n = input.getInt(0)
+        srcType match {
+          case StringType => input.getUTF8String(1).substringSQL(1, n)
+          case ByteType =>
+            val v = input.getByte(1); (v - (((v % n) + n) % n)).toByte
+          case ShortType =>
+            val v = input.getShort(1); (v - (((v % n) + n) % n)).toShort
+          case IntegerType =>
+            val v = input.getInt(1); v - (((v % n) + n) % n)
+          case LongType =>
+            val v = input.getLong(1); v - (((v % n) + n) % n)
+          case _ => null // unreachable: bind refused
+        }
+      }
+    }
+  }
+}
+
 private[catalog] object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =

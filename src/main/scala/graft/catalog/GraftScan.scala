@@ -103,50 +103,32 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
 
-  /** Hidden `bucket()` grids of this version's layout, keyed by source
-    * column — the write side derived `pmod(hash(src), n)` into a
-    * `_tp_*` directory, so an EQUALITY on the source implies a
-    * directory equality the file index can prune on (B189: the
-    * point-lookup path of a bucket-partitioned table; range transforms
-    * never reach this builder).
+  /** Hidden transform grids of this version's layout (round-15: ALL
+    * transforms — bucket, day/month/year/hour, truncate). A predicate
+    * on the SOURCE column implies a directory predicate the file index
+    * can prune on: the v2-path twin of [[graft.plans
+    * .HiddenPartitionRule]], sharing its `rewrite` (one soundness
+    * argument, two doors). Every image is a folded literal, so the
+    * delegate translates it into its partition filters.
     */
-  private lazy val bucketGrids: Map[String, graft.ops.Transforms.Bucket] =
-    inner.fileIndex.partitionSchema.fieldNames
-      .flatMap(graft.ops.Transforms.parse).collect {
-        case b: graft.ops.Transforms.Bucket => b.src.toLowerCase -> b
-      }.toMap
+  private lazy val grids: Seq[graft.ops.Transforms.T] =
+    inner.fileIndex.partitionSchema.fieldNames.toSeq
+      .flatMap(graft.ops.Transforms.parse)
 
-  /** `src = lit` / `src IN (lits)` → the matching bucket-directory
-    * predicate. Conjoining is sound: a non-null value can only live in
-    * its own bucket, and a NULL never satisfies the equality anyway.
-    */
-  private def impliedBucket(e: Expression): Option[Expression] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
-    def mk(a: AttributeReference, lits: Seq[Literal]): Option[Expression] =
-      bucketGrids.get(a.name.toLowerCase).flatMap { b =>
-        val vals = lits.collect { case Literal(v, dt) if v != null =>
-          graft.ops.Transforms.bucketValue(v, dt, b.n)
-        }.distinct
-        if (vals.isEmpty) None
-        else {
-          val tp = AttributeReference(b.colName, IntegerType, nullable = true)()
-          Some(if (vals.size == 1) EqualTo(tp, Literal(vals.head))
-          else In(tp, vals.map(Literal(_))))
-        }
+  private def impliedGrid(e: Expression): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    grids.flatMap { t =>
+      e.references.find(_.name.equalsIgnoreCase(t.src)).flatMap { src =>
+        val h = AttributeReference(t.colName,
+          t.dataType(src.dataType), nullable = true)()
+        graft.plans.HiddenPartitionRule.rewrite(e, src, h, t)
       }
-    e match {
-      case EqualTo(a: AttributeReference, l: Literal) => mk(a, Seq(l))
-      case EqualTo(l: Literal, a: AttributeReference) => mk(a, Seq(l))
-      case In(a: AttributeReference, ls) if ls.nonEmpty &&
-          ls.forall(_.isInstanceOf[Literal]) =>
-        mk(a, ls.asInstanceOf[Seq[Literal]])
-      case _ => None
     }
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val implied =
-      if (bucketGrids.isEmpty) Nil else filters.flatMap(impliedBucket)
+      if (grids.isEmpty) Nil else filters.flatMap(impliedGrid)
     val leftover = inner.pushFilters(filters ++ implied)
     // implied directory predicates reference the hidden `_tp_*`
     // attribute — they are consumed as partition filters, but never let
@@ -277,16 +259,17 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
         partitionFilters = delegate.partitionFilters ++ translated)
   }
 
-  /** SPJ eligibility: a clean version (no reconciliation sidecars)
-    * whose layout columns are each either an IDENTITY partition column
-    * that is projected (its value must ride the output to be a join
-    * key) or a hidden `bucket()` grid whose SOURCE column is projected
-    * (B189: the source is the join key; the bucket number is the
-    * partition value, resolved through the catalog's `bucket` scalar
-    * function). Range transforms (day/…) never reach this scan — they
-    * swap to the funnel.
+  /** SPJ eligibility: a version whose layout columns are each either an
+    * IDENTITY partition column that is projected (its value must ride
+    * the output to be a join key) or a hidden TRANSFORM grid whose
+    * SOURCE column is projected (B189 bucket; B193 round-15 extends to
+    * day/month/year/hour/truncate — each resolved through the catalog's
+    * FunctionCatalog scalar functions, so two day-partitioned event
+    * tables join shuffle-free). Deletion vectors / equality deletes are
+    * fine in MOR reader-side mode (B192); column mapping and layout
+    * legs still disqualify.
     */
-  private lazy val spjKeys: Option[Seq[Either[(StructField, Int), graft.ops.Transforms.Bucket]]] = {
+  private lazy val spjKeys: Option[Seq[Either[(StructField, Int), (graft.ops.Transforms.T, DataType)]]] = {
     val layout = delegate.fileIndex.partitionSchema
     val read = delegate.readPartitionSchema
     // a bucket SOURCE column counts as projected only when the QUERY
@@ -309,28 +292,28 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
           case None =>
             val i = read.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
             if (i >= 0) Some(Left((f, i))) else None
-          case Some(b: graft.ops.Transforms.Bucket)
-              if readData.fieldNames.exists(_.equalsIgnoreCase(b.src)) =>
-            Some(Right(b))
-          case _ => None
+          case Some(t) =>
+            readData.fields.find(_.name.equalsIgnoreCase(t.src))
+              .map(src => Right((t, src.dataType)))
         }
       }
       if (keys.forall(_.isDefined)) Some(keys.flatten) else None
     }
   }
 
-  /** The bucket number a file's path carries for grid `b` — the
-    * `_tp_<src>__b<n>=<int>` directory value. The derived column is
-    * hidden (never projected), so the path is where its value lives.
+  /** The transform value a file's path carries for grid `t` — the
+    * `_tp_<src>__<tag>=<v>` directory value, parsed into the
+    * transform's internal result domain ([[graft.ops.Transforms
+    * .pathValue]]). The derived column is hidden (never projected), so
+    * the path is where its value lives.
     */
-  private def bucketOfPath(path: String, b: graft.ops.Transforms.Bucket): Option[Int] = {
-    val tag = "/" + b.colName + "="
+  private def gridValueOfPath(path: String, t: graft.ops.Transforms.T,
+      srcType: DataType): Option[Any] = {
+    val tag = "/" + t.colName + "="
     val i = path.indexOf(tag)
     if (i < 0) None
-    else {
-      val rest = path.substring(i + tag.length).takeWhile(_ != '/')
-      rest.toIntOption
-    }
+    else graft.ops.Transforms.pathValue(
+      path.substring(i + tag.length).takeWhile(_ != '/'), t, srcType)
   }
 
   /** One file group per partition-key tuple, each tagged with its key.
@@ -365,7 +348,7 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
       val maybe = flat.map { pf =>
         val vals = keys.map {
           case Left((f, i)) => Some(pf.partitionValues.get(i, f.dataType))
-          case Right(b) => bucketOfPath(pf.filePath.toString, b)
+          case Right((t, st)) => gridValueOfPath(pf.filePath.toString, t, st)
         }
         if (vals.forall(_.isDefined)) Some(vals.flatten.toVector -> pf) else None
       }
@@ -402,11 +385,19 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
   override def outputPartitioning(): Partitioning =
     (if (spjOn) keyedPartitions else None) match {
       case Some((_, nGroups)) =>
-        val keys = spjKeys.get.map {
-          case Left((f, _)) =>
-            Expressions.identity(f.name): org.apache.spark.sql.connector.expressions.Expression
-          case Right(b) =>
-            Expressions.bucket(b.n, b.src): org.apache.spark.sql.connector.expressions.Expression
+        import graft.ops.Transforms.{Bucket, Day, Hour, Month, Truncate, Year}
+        val keys = spjKeys.get.map[org.apache.spark.sql.connector.expressions.Expression] {
+          case Left((f, _)) => Expressions.identity(f.name)
+          case Right((b: Bucket, _)) => Expressions.bucket(b.n, b.src)
+          case Right((d: Day, _)) => Expressions.days(d.src)
+          case Right((m: Month, _)) => Expressions.months(m.src)
+          case Right((y: Year, _)) => Expressions.years(y.src)
+          case Right((h: Hour, _)) => Expressions.hours(h.src)
+          // width rides the NAME: Spark's SPJ accepts only unary
+          // transforms (bucket's literal is special-cased), so a
+          // two-arg truncate could never drive a shuffle-free join
+          case Right((t: Truncate, _)) => Expressions.apply(
+            s"truncate_${t.n}", Expressions.column(t.src))
         }.toArray
         new KeyGroupedPartitioning(keys, nGroups)
       case None => new UnknownPartitioning(0)
@@ -485,13 +476,11 @@ private[graft] object CboStats {
 
   def statsFor(scan: ParquetScan, tRoot: String,
       dir: String): Option[Statistics] = try {
+    // hidden-partitioned versions (bucket AND range grids, round-15)
+    // ride the v2 path: their sidecar keys carry the `_tp_*=v/` dir
+    // prefix like any partitioned layout, so the stats serve unchanged
     if (Dv.exists(dir) || EqDel.exists(dir) || ColMap.exists(dir) ||
-        Sinks.hasLayoutLegs(dir) ||
-        // pure-bucket hidden versions ride the v2 path (B189): their
-        // sidecar keys carry the `_tp_*=v/` dir prefix like any
-        // partitioned layout, so the stats serve unchanged
-        (Sinks.hasHiddenPartitioning(tRoot, dir) &&
-          !Sinks.pureBucketHidden(tRoot, dir))) return None
+        Sinks.hasLayoutLegs(dir)) return None
     if (!Files.isDirectory(Paths.get(dir, Stats.Sidecar))) return None
     val byFile = load(scan.sparkSession, dir)
     // the delegate's own pushed partition filters select the files a

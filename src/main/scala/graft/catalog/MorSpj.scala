@@ -128,15 +128,11 @@ private[graft] object MorSpj {
     // prefix strip needs a URI-transparent dir (same contract as the
     // funnel's relKey)
     if (!Dv.safeDir(dir)) return false
-    // SPJ-capable layout: identity and/or bucket() partition columns
-    // only (a range transform rides the funnel + HiddenPartitionRule)
-    val spjCapable = Sinks.partitionSchemaFor(root, dir).exists { st =>
-      st.nonEmpty && st.fieldNames.forall(n => Transforms.parse(n) match {
-        case None => true
-        case Some(_: Transforms.Bucket) => true
-        case _ => false
-      })
-    }
+    // SPJ-capable layout: any partitioned layout (identity and/or
+    // transform grids — round-15 serves range transforms on the v2
+    // path too). Unpartitioned tables keep the funnel: no shuffle to
+    // save, and its vectorized probe filter is the better plan.
+    val spjCapable = Sinks.partitionSchemaFor(root, dir).exists(_.nonEmpty)
     if (!spjCapable) return false
     if (hasDv && sidecarBytes(Paths.get(dir, Dv.Sidecar)) > MaxDvBytes)
       return false

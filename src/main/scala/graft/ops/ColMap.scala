@@ -109,9 +109,16 @@ object ColMap {
     */
   def added(dir: String): Seq[org.apache.spark.sql.types.StructField] =
     loadRaw(dir).collect {
-      case (k, ddl) if k.startsWith(AddedKeyPrefix) =>
-        (k.stripPrefix(AddedKeyPrefix).toInt,
-          org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.head)
+      case (k, ser) if k.startsWith(AddedKeyPrefix) =>
+        // round-15: fields carrying metadata (ADD COLUMN … DEFAULT's
+        // existence default) serialize as schema JSON; the legacy
+        // metadata-less form stays `name TYPE` DDL
+        val f =
+          if (ser.trim.startsWith("{"))
+            org.apache.spark.sql.types.DataType.fromJson(ser)
+              .asInstanceOf[org.apache.spark.sql.types.StructType].fields.head
+          else org.apache.spark.sql.types.StructType.fromDDL(ser).fields.head
+        (k.stripPrefix(AddedKeyPrefix).toInt, f)
     }.toSeq.sortBy(_._1).map(_._2)
 
   /** Columns WIDENED metadata-only under `dir` (B162): PHYSICAL name →
@@ -163,7 +170,9 @@ object ColMap {
       props.setProperty(s"$DroppedKeyPrefix$i", p) }
     addedCols.zipWithIndex.foreach { case (f, i) =>
       props.setProperty(s"$AddedKeyPrefix$i",
-        org.apache.spark.sql.types.StructType(Seq(f)).toDDL) }
+        if (f.metadata == org.apache.spark.sql.types.Metadata.empty)
+          org.apache.spark.sql.types.StructType(Seq(f)).toDDL
+        else org.apache.spark.sql.types.StructType(Seq(f)).json) }
     widenedCols.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((n, t), i) =>
       props.setProperty(s"$WidenedKeyPrefix$i",
         org.apache.spark.sql.types.StructType(Seq(

@@ -297,6 +297,33 @@ object Transforms {
     ((h % n) + n) % n
   }
 
+  /** Parse a derived-directory VALUE string (the `<v>` of
+    * `_tp_…=<v>/`) into the CATALYST-internal value of the transform's
+    * result type — what tags a file group with its partition key for
+    * storage-partitioned joins (round-15, B193). Spark renders DATE
+    * partition values as `yyyy-MM-dd`, integrals as decimal strings,
+    * strings Hive-escaped; a null-source directory
+    * (`__HIVE_DEFAULT_PARTITION__`) or any unparseable spelling returns
+    * None — the caller disables SPJ wholesale rather than mis-group.
+    */
+  private[graft] def pathValue(raw: String, t: T,
+      srcType: DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return None
+    val s = ExternalCatalogUtils.unescapePathName(raw)
+    t.dataType(srcType) match {
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toInt).toOption
+      case IntegerType => s.toIntOption
+      case LongType => s.toLongOption
+      case ShortType => s.toShortOption
+      case ByteType => s.toByteOption
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+  }
+
   /** Refuse DATA columns in the reserved namespace: readers hide
     * everything matching the derived-name shape, so a user column named
     * like one would silently vanish from every read.

@@ -46,11 +46,13 @@ object DvReadRule extends Rule[LogicalPlan] {
         // drop every pre-evolution row
         // pending equality deletes (round-14) swap through the same
         // funnel: the bare scan would surface tombstoned rows
-        // pure-bucket hidden specs (round-14, B189) deliberately stay
-        // UN-swapped: the bare scan is row-complete (partition dirs
-        // with "=" escape the underscore hiding), the table hides the
-        // derived columns, and the v2 path is where storage-partitioned
-        // joins and the implied bucket-equality pushdown live
+        // hidden-partitioned specs (round-14 pure-bucket; round-15 ALL
+        // transform grids) deliberately stay UN-swapped: the bare scan
+        // is row-complete (partition dirs with "=" escape the
+        // underscore hiding), the table hides the derived columns, and
+        // the v2 path is where storage-partitioned joins and the
+        // implied directory-predicate pushdown (the builder's twin of
+        // HiddenPartitionRule) live
         // reader-side MOR subtraction (round-15): a DV/eq-delete-only
         // version over an SPJ-capable layout stays UN-swapped — the
         // scan wrapper subtracts per file inside its readers, keeping
@@ -60,9 +62,7 @@ object DvReadRule extends Rule[LogicalPlan] {
         case t: GraftSnapshotDir
             if (Dv.exists(t.snapshotVersionDir) || ColMap.exists(t.snapshotVersionDir) ||
               EqDel.exists(t.snapshotVersionDir) ||
-              Sinks.hasLayoutLegs(t.snapshotVersionDir) ||
-              (Sinks.hasHiddenPartitioning(t.snapshotTableRoot, t.snapshotVersionDir) &&
-                !Sinks.pureBucketHidden(t.snapshotTableRoot, t.snapshotVersionDir))) &&
+              Sinks.hasLayoutLegs(t.snapshotVersionDir)) &&
               !graft.catalog.MorSpj.readerSide(
                 t.snapshotTableRoot, t.snapshotVersionDir) =>
           val metaUsed = r.metadataOutput.exists(a => referenced.contains(a.exprId.id))

@@ -98,28 +98,38 @@ object HiddenPartitionRule extends Rule[LogicalPlan] {
           Transforms.MicrosPerHour.toDouble).toLong.toInt, IntegerType))
       case b: Transforms.Bucket =>
         // the hash is type-sensitive: only map a literal of EXACTLY the
-        // source type (comparison coercion has already cast it)
+        // source type (comparison coercion has already cast it). Folded
+        // driver-side (round-15) so the image also pushes through the
+        // v2 scan builder, which can only translate literals
         if (lit.dataType == srcType)
-          Some(Pmod(new Murmur3Hash(Seq(lit)), Literal(b.n)))
+          Some(Literal(Transforms.bucketValue(lit.value, srcType, b.n),
+            IntegerType))
         else None
       case tr: Transforms.Truncate => srcType match {
         case StringType if lit.dataType == StringType =>
-          Some(Substring(lit, Literal(1), Literal(tr.n)))
+          Some(fold(Substring(lit, Literal(1), Literal(tr.n))))
         case it @ (ByteType | ShortType | IntegerType | LongType)
             if lit.dataType == srcType =>
-          Some(Subtract(lit, Pmod(lit, Cast(Literal(tr.n), it))))
+          Some(fold(Subtract(lit, Pmod(lit, Cast(Literal(tr.n), it)))))
         case _ => None
       }
       case _ => None
     }
   }
 
+  private def fold(e: Expression): Literal = Literal.create(e.eval(null), e.dataType)
+
   /** Monotone transforms map source ranges to derived ranges; bucket
     * and truncate-equality map equality to equality. Strict bounds
     * relax to inclusive on the derived side (two source values in one
     * day/bucket share a directory — the image bound must keep it).
+    * `private[graft]`: the v2 scan builder ([[graft.catalog
+    * .GraftScanBuilder]]) reuses the same rewrite for its implied
+    * directory-predicate pushdown (round-15) — one soundness argument,
+    * two doors. Every image is a folded literal, so both FileSource
+    * pruning and the v2 builder's predicate translation accept it.
     */
-  private def rewrite(c: Expression, src: Attribute, h: Attribute,
+  private[graft] def rewrite(c: Expression, src: Attribute, h: Attribute,
       t: Transforms.T): Option[Expression] = {
     val monotone = t match {
       case _: Transforms.Bucket => false

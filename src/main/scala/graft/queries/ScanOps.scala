@@ -244,6 +244,22 @@ object ScanOps extends QueryModule {
         "ORDER BY n_nationkey")
     }),
 
+    // Round-15: the one-statement ADD COLUMN ... DEFAULT (existence
+    // defaults). Pre-ADD files lack the column entirely; the parquet
+    // readers backfill them with the ADD-time folded constant carried
+    // by the version's added-column marker, while post-ADD inserts
+    // materialize the current default or their explicit value (NULL
+    // included). The hash match proves the backfill is value-exact on
+    // both row populations.
+    "q_add_default" -> ((s, dir) => {
+      val wh = defaultsWarehouse(s, dir)
+      val cat = "graftdf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"SELECT n_nationkey, n_name, grade FROM $cat.defs2 " +
+        "ORDER BY n_nationkey")
+    }),
+
     // B189 bucket co-location: orders and lineitem land as PURE-bucket
     // hidden-partitioned catalog tables on the order key (bucket(16)) —
     // the HIGH-cardinality co-location identity dirs can't give. The
@@ -291,6 +307,31 @@ object ScanOps extends QueryModule {
            |JOIN $cat.lineitem_bkt l ON o.o_orderkey = l.l_orderkey
            |GROUP BY o.o_orderkey % 10
            |ORDER BY okey_mod""".stripMargin)
+    }),
+
+    // Round-15 (B193): the co-DAY-partitioned event-event join — the
+    // dominant 100 TB stream-history shape. Both tables are hidden-
+    // partitioned `PARTITIONED BY (days(ts))`; the scan wrapper reports
+    // days(ts) KeyGroupedPartitioning resolved through the catalog's
+    // `days` ScalarFunction, so the exact-instant join runs with ZERO
+    // Exchange (plan-asserted in RangeSpjSpec) — the hash match against
+    // DuckDB's flat recompute proves the temporal grid grouping (DATE
+    // directory values parsed from the hidden `_tp_ts__day=` paths) is
+    // value-exact.
+    "q_spj_days" -> ((s, dir) => {
+      val wh = spjDaysWarehouse(s, dir)
+      val cat = "graftdspj_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(
+        s"""SELECT l.user_id % 7 AS grp, count(*) AS pairs,
+           |       sum(l.event_id + r.event_id) AS idsum
+           |FROM $cat.ev_l l
+           |JOIN $cat.ev_r r ON l.ts = r.ts
+           |GROUP BY l.user_id % 7
+           |ORDER BY grp""".stripMargin)
     }),
 
     // B187 SQL metadata tables: the per-partition rollup of the
@@ -1103,7 +1144,7 @@ object ScanOps extends QueryModule {
       import graft.ops.Sinks
       val root = "/tmp/graft_defs_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       val stampFile = Paths.get(root, "_SRCSTAMP")
-      val stamp = Tables.srcStamp(dir, "nation") + "|df1"
+      val stamp = Tables.srcStamp(dir, "nation") + "|df2"
       val fresh = Files.isDirectory(Paths.get(root + "/defs")) &&
         Files.exists(stampFile) &&
         new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
@@ -1116,6 +1157,18 @@ object ScanOps extends QueryModule {
         Sinks.publishVersioned(Tables.nation(s, dir), root + "/nations", None)
         s.sql(s"CREATE TABLE $cat.defs (n_nationkey BIGINT, n_name STRING, " +
           "src STRING DEFAULT 'fixture', score INT DEFAULT 40 + 2) USING parquet")
+        // defs2 (round-15, q_add_default): rows BEFORE the one-statement
+        // ADD COLUMN ... DEFAULT read the ADD-time existence constant,
+        // rows after fill the current default (or their explicit value)
+        s.sql(s"CREATE TABLE $cat.defs2 (n_nationkey BIGINT, n_name STRING) " +
+          "USING parquet")
+        s.sql(s"INSERT INTO $cat.defs2 SELECT n_nationkey, n_name FROM " +
+          s"$cat.nations WHERE n_nationkey < 5")
+        s.sql(s"ALTER TABLE $cat.defs2 ADD COLUMNS (grade STRING DEFAULT 'std')")
+        s.sql(s"INSERT INTO $cat.defs2 SELECT n_nationkey, n_name, 'post' " +
+          s"FROM $cat.nations WHERE n_nationkey >= 5 AND n_nationkey < 8")
+        s.sql(s"INSERT INTO $cat.defs2 (n_nationkey, n_name) VALUES (200, 'omitted')")
+        s.sql(s"INSERT INTO $cat.defs2 VALUES (201, 'nullrow', NULL)")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -1199,6 +1252,43 @@ object ScanOps extends QueryModule {
           "q_spj_mor warehouse: the DELETE must route merge-on-read")
         require(graft.catalog.MorSpj.readerSide(root + "/orders_bkt", live),
           "q_spj_mor warehouse: the version must take the reader-side SPJ path")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_spj_days (B193): events projected to two
+    * day-partitioned catalog tables (`PARTITIONED BY (days(ts))`) —
+    * the co-partitioned temporal-grid layout. Cached per sf dir by
+    * content stamp.
+    */
+  private def spjDaysWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = "/tmp/graft_dayspj_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "events") + "|days1"
+      val fresh = Files.isDirectory(Paths.get(root + "/ev_l")) &&
+        Files.isDirectory(Paths.get(root + "/ev_r")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftdspjwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val ev = Tables.events(s, dir)
+        ev.select(col("ts"), col("event_id"), col("user_id"))
+          .createOrReplaceTempView("spj_days_l_src")
+        ev.select(col("ts"), col("event_id"))
+          .createOrReplaceTempView("spj_days_r_src")
+        s.sql(s"CREATE TABLE $cat.ev_l (ts TIMESTAMP, event_id BIGINT, " +
+          "user_id BIGINT) USING parquet PARTITIONED BY (days(ts))")
+        s.sql(s"INSERT INTO $cat.ev_l SELECT * FROM spj_days_l_src")
+        s.sql(s"CREATE TABLE $cat.ev_r (ts TIMESTAMP, event_id BIGINT) " +
+          "USING parquet PARTITIONED BY (days(ts))")
+        s.sql(s"INSERT INTO $cat.ev_r SELECT * FROM spj_days_r_src")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2231,6 +2321,28 @@ object ScanOps extends QueryModule {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey % 10
         |ORDER BY okey_mod""".stripMargin,
+
+    // the ADD COLUMN DEFAULT populations recomputed from the fixture
+    "q_add_default" ->
+      """SELECT * FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         'std' AS grade FROM nation WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), n_name, 'post' FROM nation
+        |  WHERE n_nationkey >= 5 AND n_nationkey < 8
+        |  UNION ALL SELECT CAST(200 AS BIGINT), 'omitted', 'std'
+        |  UNION ALL SELECT CAST(201 AS BIGINT), 'nullrow', NULL
+        |) ORDER BY n_nationkey""".stripMargin,
+
+    // the co-day-partitioned event join recomputed flat — proves the
+    // temporal-grid SPJ grouping is value-exact
+    "q_spj_days" ->
+      """SELECT e1.user_id % 7 AS grp, count(*) AS pairs,
+        |       CAST(sum(e1.event_id + e2.event_id) AS BIGINT) AS idsum
+        |FROM events e1 JOIN events e2
+        |  ON CAST(e1.ts AS TIMESTAMP) = CAST(e2.ts AS TIMESTAMP)
+        |GROUP BY e1.user_id % 7
+        |ORDER BY grp""".stripMargin,
 
     // the co-bucketed join after the MOR DELETE, recomputed flat with
     // the delete predicate inverted — proves the reader-side deletion-

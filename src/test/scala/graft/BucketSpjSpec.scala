@@ -160,7 +160,7 @@ class BucketSpjSpec extends AnyFunSuite {
     assert(parts.map(_.getAs[Long]("n_rows")).sum == 1000L)
   }
 
-  test("DV on a pure-bucket table stays v2 (reader-side subtraction, round-15); day+bucket always swaps") {
+  test("DV on a pure-bucket table stays v2 (reader-side subtraction, round-15); day+bucket stays v2 too") {
     val cat = mkCat()
     import spark.implicits._
     (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
@@ -176,8 +176,9 @@ class BucketSpjSpec extends AnyFunSuite {
     // join and value-exactness)
     assert(df.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
       "a DV'd pure-bucket version must stay on the v2 scan path")
-    // mixed range+bucket spec: the range half needs HiddenPartitionRule,
-    // so the whole table stays on the funnel
+    // mixed range+bucket spec: round-15 serves range grids on the v2
+    // path too (builder-implied pruning, RangeSpjSpec), so the whole
+    // table stays v2 — no funnel swap left for hidden partitioning
     Seq((java.sql.Timestamp.valueOf("2026-01-02 03:04:05"), 1L))
       .toDF("ts", "k").createOrReplaceTempView("bkt_mix_src")
     spark.sql(s"CREATE TABLE $cat.m (ts TIMESTAMP, k BIGINT) USING parquet " +
@@ -185,7 +186,8 @@ class BucketSpjSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.m SELECT * FROM bkt_mix_src")
     val m = spark.table(s"$cat.m")
     assert(m.count() == 1L)
-    assert(!m.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
-      "a range transform must keep the funnel path")
+    assert(m.columns.toSeq == Seq("ts", "k"))
+    assert(m.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
+      "a day+bucket table must stay on the v2 scan path (round-15)")
   }
 }

@@ -72,13 +72,59 @@ class DefaultsSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING parquet")
     intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.t ALTER COLUMN v SET DEFAULT nonexistent_col"))
-    // refused on principle: old rows would read a value never committed
-    val e3 = intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.t ADD COLUMNS (w STRING DEFAULT 'x')"))
-    assert(e3.getMessage.contains("SET DEFAULT"), e3.getMessage)
+    // a bad ADD COLUMN DEFAULT fails loudly with neither column nor
+    // default left behind (round-15: the valid form is supported)
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t ADD COLUMNS (w STRING DEFAULT k + 1)"))
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("k", "v"))
     // the failed ALTERs left no default behind
     spark.sql(s"INSERT INTO $cat.t (k) VALUES (1)")
     assert(spark.sql(s"SELECT v FROM $cat.t").head.isNullAt(0))
+  }
+
+  test("ADD COLUMN DEFAULT (round-15): pre-ADD rows read the ADD-time constant") {
+    val cat = mkCat()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (score INT DEFAULT 10 + 32)")
+    // pre-ADD rows read the existence default, not NULL
+    val got = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 42), (2L, 42)),
+      s"pre-ADD rows must read the folded ADD-time default: $got")
+    // post-ADD inserts fill CURRENT; explicit NULL stays NULL
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (3, 'c')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (4, 'd', NULL)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (5, 'e', 7)")
+    val all = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    assert(all == Seq((1L, Some(42)), (2L, Some(42)), (3L, Some(42)),
+      (4L, None), (5L, Some(7))), s"got $all")
+    // a later DROP DEFAULT changes future inserts only — the existence
+    // default is immutable (the pre-ADD rows' content was fixed at ADD)
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN score DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (6, 'f')")
+    val after = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    assert(after.take(2) == Seq((1L, Some(42)), (2L, Some(42))),
+      s"pre-ADD rows keep the existence default after DROP DEFAULT: $after")
+    assert(after.last == ((6L, None)), s"post-DROP inserts are NULL: $after")
+    // time travel below the ADD serves each version's own schema
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq ==
+      Seq("k", "v"), "a pre-ADD version must not carry the column")
+    // the format door agrees with the catalog door
+    val viaFormat = spark.read.format("graft").load(s"$root/t")
+    assert(viaFormat.filter("k = 1").select("score").head.getInt(0) == 42,
+      "the path-based door must serve the existence default too")
+    // compaction materializes the defaulted values and sheds the marker
+    graft.ops.Sinks.compactVersioned(spark, s"$root/t")
+    val live = graft.ops.Sinks.resolve(s"$root/t")
+    assert(graft.ops.ColMap.added(live).isEmpty,
+      "compaction must shed the added-column marker")
+    val post = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    assert(post == after, s"compaction must preserve the values: $post vs $after")
   }
 
   test("defaults follow schema evolution: rename re-keys, drop sheds; partitioned + CHECK compose") {
