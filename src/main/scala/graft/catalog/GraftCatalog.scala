@@ -75,7 +75,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // identity columns (round-15): GENERATED ... AS IDENTITY routes
+      // the spec through the schema's IDENTITY_INFO_* metadata into
+      // the engine's _PROPS store ([[graft.ops.Identity]])
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Native constraint DDL (B191): `CREATE TABLE (…, CONSTRAINT c CHECK
     * (expr))` routes through the TableInfo door — CHECK constraints
@@ -88,9 +92,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    // identity columns (round-15): the spec rides info.columns()'s
+    // IdentityColumnSpec — info.schema()'s StructType conversion drops
+    // it — so re-encode it as the IDENTITY_INFO_* field metadata the
+    // schema door stores into _PROPS
+    val schemaWithIdentity = StructType(
+      info.schema().fields.zip(info.columns()).map { case (f, c) =>
+        Option(c.identityColumnSpec()).fold(f)(s =>
+          graft.ops.Identity.encodeField(f, s))
+      })
     val cons = info.constraints()
     if (cons.isEmpty)
-      return createTable(ident, info.schema(), info.partitions(), info.properties())
+      return createTable(ident, schemaWithIdentity, info.partitions(),
+        info.properties())
     val checkProps = cons.toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         require(c.enforced(),
@@ -105,7 +119,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val props = new util.HashMap[String, String](info.properties())
     checkProps.foreach { case (k, v) => props.put(k, v) }
-    createTable(ident, info.schema(), info.partitions(), props)
+    createTable(ident, schemaWithIdentity, info.partitions(), props)
   }
 
   // round-15 (B193): the range transforms join `bucket` — Spark
@@ -215,8 +229,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // ([[GraftDefaults.inject]]); the EXISTENCE default of an
         // `ADD COLUMN … DEFAULT` (round-15) re-injects from the
         // version's own added-column marker — pre-ADD files backfill
-        // the ADD-time constant, not NULL
-        .map(GraftDefaults.stripFieldDefaults)), versionDir)
+        // the ADD-time constant, not NULL. Identity metadata strips on
+        // the same footer-hygiene rule (the writable table re-injects)
+        .map(GraftDefaults.stripFieldDefaults)
+        .map(graft.ops.Identity.stripField)), versionDir)
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     // B185/B186: sidecar-exact plan statistics + key-grouped partition
@@ -279,8 +295,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // Snapshotted once per table object (the checkProps discipline:
     // analysis calls schema() several times per statement — a per-call
     // _PROPS read would buy staleness-inconsistency AND I/O)
-    private lazy val injectedSchema: StructType =
-      GraftDefaults.inject(super.schema(), tRoot)
+    private lazy val injectedSchema: StructType = graft.ops.Identity.inject(
+      GraftDefaults.inject(super.schema(), tRoot), tRoot)
     override def schema(): StructType = injectedSchema
     // surface stored CHECK constraints through SHOW TBLPROPERTIES —
     // loaded once per table object (analysis calls properties() several
@@ -324,8 +340,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 val spark = data.sparkSession
                 // CHECK constraints gate the incoming rows; existing rows
                 // were validated when written (or when the constraint was
-                // added), so append never re-scans them
-                val gated = GraftCheck.enforce(data, tRoot)
+                // added), so append never re-scans them. Identity columns
+                // (round-15) assign their reserved values FIRST so a
+                // CHECK naming the identity column sees real values.
+                val gated = GraftCheck.enforce(
+                  graft.ops.Identity.assign(data, tRoot), tRoot)
                 if (truncateFirst || overwrite) {
                   // a full rewrite — keep the skipping tier: re-annotate
                   // with the live sidecar's columns, like compaction does
@@ -587,9 +606,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       else isNamespaceDir(parent)
     if (!parentOk)
       throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
+    // identity columns (round-15): the spec rides _PROPS, never footers
+    // — strip the IDENTITY_INFO_* metadata (and force the assign-me
+    // nullability) before the v0 schema lands in files
+    val identitySpecs = graft.ops.Identity.fromSchema(schema)
+    identitySpecs.foreach { s =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(s.col)).get
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"$catalogName: identity column ${f.name} must be BIGINT or INT, " +
+          s"got ${f.dataType.simpleString}")
+      require(s.step != 0,
+        s"$catalogName: identity column ${f.name}: INCREMENT BY must be non-zero")
+      require(!partEntries.exists(_._1.equalsIgnoreCase(f.name)),
+        s"$catalogName: identity column ${f.name} cannot be a partition column")
+    }
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+      spark.sparkContext.parallelize(Seq.empty[Row], 1),
+      graft.ops.Identity.strip(schema))
     // CHECK constraints declared at CREATE time (TBLPROPERTIES
     // ('check.<name>' = '<expr>')): validate against the in-memory empty
     // frame BEFORE anything publishes — a malformed expression must fail
@@ -724,10 +759,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val defaultProps = columnDefaults.map { case (cl, sql) =>
       (GraftDefaults.Prefix + cl) -> sql
     }
+    val identityProps = identitySpecs.flatMap(s => Seq(
+      (graft.ops.Identity.Prefix + s.col) -> s.encoded,
+      (graft.ops.Identity.HwmPrefix + s.col) -> s.start.toString)).toMap
     if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty ||
-        defaultProps.nonEmpty)
+        defaultProps.nonEmpty || identityProps.nonEmpty)
       graft.ops.TableProps.update(tr)(_ =>
-        checks.toMap ++ partProp ++ behaviorProps ++ defaultProps)
+        checks.toMap ++ partProp ++ behaviorProps ++ defaultProps ++
+          identityProps)
     loadTable(ident)
   }
 

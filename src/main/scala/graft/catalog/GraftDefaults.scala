@@ -148,19 +148,26 @@ private[catalog] object GraftDefaults {
     })
   }
 
-  /** Migrate stored default keys through a RENAME/DROP COLUMN evolution:
-    * renamed columns re-key (the expression is a constant — no rewrite
-    * needed), dropped columns shed their default.
+  /** Migrate stored per-column declaration keys (defaults AND identity
+    * specs/high-water marks — round-15) through a RENAME/DROP COLUMN
+    * evolution: renamed columns re-key (constants and counters need no
+    * rewrite), dropped columns shed their declarations.
     */
   def migrate(props: Map[String, String], renameMap: Map[String, String],
       dropSet: Set[String]): Map[String, String] = {
     val renamesLower = renameMap.map { case (o, n) => o.toLowerCase -> n }
     val dropsLower = dropSet.map(_.toLowerCase)
-    props.filterNot(_._1.startsWith(Prefix)) ++ props.collect {
-      case (k, v) if k.startsWith(Prefix) &&
-          !dropsLower.contains(k.stripPrefix(Prefix)) =>
-        val colL = k.stripPrefix(Prefix)
-        (Prefix + renamesLower.getOrElse(colL, colL).toLowerCase) -> v
+    // longest prefix first: graft.identity. is a prefix of graft.identity.hwm.
+    val prefixes = Seq(graft.ops.Identity.HwmPrefix, Prefix,
+      graft.ops.Identity.Prefix)
+    props.flatMap { case (k, v) =>
+      prefixes.find(k.startsWith) match {
+        case None => Some(k -> v)
+        case Some(p) =>
+          val colL = k.stripPrefix(p)
+          if (dropsLower.contains(colL)) None
+          else Some((p + renamesLower.getOrElse(colL, colL).toLowerCase) -> v)
+      }
     }
   }
 }

@@ -103,18 +103,22 @@ private[graft] object GraftProcedures {
     }
   }
 
-  /** `system.vacuum_orphans(table, older_than_hours => 24.0)` — remove
-    * crash debris retention vacuum never touches: dead `.stage-*` dirs
-    * and never-flipped version dirs above the live pointer (see
-    * [[graft.ops.Sinks.vacuumOrphans]] for the safety reasoning and
-    * the in-flight-writer trade the age window encodes).
+  /** `system.vacuum_orphans(table, older_than_hours => 24.0)` — the
+    * standalone orphan-file GC (round-15 extends it to the full Delta
+    * VACUUM other half): dead `.stage-*` dirs, never-flipped version
+    * dirs above the live pointer, AND unreferenced foreign entries —
+    * anything the retained-version reference set (v* dirs + the
+    * metadata files) does not cover, past the grace window (see
+    * [[graft.ops.Sinks.vacuumOrphans]] for the safety reasoning,
+    * the in-flight-writer trade the age window encodes, and why
+    * inode-shared carries in other roots survive the unlink).
     */
   final class VacuumOrphans(resolveRoot: String => String)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum_orphans"
     override def description(): String =
-      "remove aged crash debris: dead staging dirs and never-flipped " +
-        "orphan version dirs above the live pointer"
+      "remove aged orphans: dead staging dirs, never-flipped version " +
+        "dirs above the live pointer, and unreferenced foreign entries"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -128,16 +132,17 @@ private[graft] object GraftProcedures {
       val hours = input.getDouble(1)
       require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
       val root = resolveRoot(table)
-      val (nStages, nOrphans) = graft.ops.Sinks.vacuumOrphans(root,
+      val (nStages, nOrphans, nForeign) = graft.ops.Sinks.vacuumOrphans(root,
         (hours * 3600 * 1000).toLong)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(InternalRow(UTF8String.fromString(table),
-            nStages.toLong, nOrphans.toLong))
+            nStages.toLong, nOrphans.toLong, nForeign.toLong))
         override def readSchema(): StructType = StructType(Seq(
           StructField("table", StringType, nullable = false),
           StructField("n_stage_dirs_removed", LongType, nullable = false),
-          StructField("n_orphan_versions_removed", LongType, nullable = false)))
+          StructField("n_orphan_versions_removed", LongType, nullable = false),
+          StructField("n_foreign_removed", LongType, nullable = false)))
       }
       java.util.Collections.singletonList(result).iterator()
     }

@@ -149,9 +149,10 @@ object MorLakehousePipeline {
 
     // 9. operator hygiene: vacuum aged crash debris (none here — the
     // point is the zero, proving live state is never touched)
-    val (nStages, nOrphans) = Sinks.vacuumOrphans(tbl, olderThanMs = 0L)
+    val (nStages, nOrphans, nForeign) = Sinks.vacuumOrphans(tbl, olderThanMs = 0L)
     println(s"[9] vacuum_orphans: $nStages stage dirs, $nOrphans orphan " +
-      s"versions removed; table intact=${Sinks.readCurrent(spark, tbl).count() > 0}")
+      s"versions, $nForeign foreign entries removed; " +
+      s"table intact=${Sinks.readCurrent(spark, tbl).count() > 0}")
 
     // 10. retention WITHOUT a rewrite (round-13): history on the fork
     // expires as pure metadata — compaction is for layout, not expiry

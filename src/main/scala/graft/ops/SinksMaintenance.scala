@@ -27,10 +27,25 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     * is concurrently promoting an above-current dir. `_txn-*` markers
     * are deliberately kept: a marker may be referenced by conditional
     * pointers of OTHER tables, which this table-scoped pass cannot see.
-    * Returns (stage dirs removed, orphan versions removed).
+    *
+    * Round-15 (the Delta VACUUM other half): the pass also diffs the
+    * REFERENCED set against the directory tree and unlinks what nothing
+    * references — FOREIGN top-level entries (a stray temp file, a
+    * half-written `_PROPS.tmp`, a directory some other tool dropped
+    * into the root) and aged tag-write tmps under `_tags/`. The
+    * referenced set falls out of the layout: every retained `v<N>` dir
+    * is self-contained (its data files AND sidecars — `_dv`, `_stats`,
+    * `_changes`, `_eqdel`/`_eqseq`, layout legs, markers — live inside
+    * it), so "referenced" is exactly {v* dirs, `_CURRENT`, `_PROPS`,
+    * `_LOCK`, `_tags`, live `.stage-*`, `_txn-*`}. Tagged versions are
+    * v* dirs and never candidates; removal is `unlink`, so an
+    * inode-shared carry (zero-copy CLONE, WAP branch, linked commit)
+    * in ANOTHER root keeps its bytes by POSIX link counting. Returns
+    * (stage dirs removed, orphan versions removed, foreign entries
+    * removed).
     */
   def vacuumOrphans(root: String,
-      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = withCommitLock(root) {
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int, Int) = withCommitLock(root) {
     val cutoff = System.currentTimeMillis() - olderThanMs
     def oldEnough(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
@@ -39,13 +54,29 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     val stages = entries.filter(p =>
       p.getFileName.toString.startsWith(".stage-") && oldEnough(p))
     val cur = currentVersion(root)
+    def isVersionDir(n: String): Boolean =
+      n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit)
     val orphans = entries.filter { p =>
       val n = p.getFileName.toString
-      n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) &&
-        cur.forall(_ < n.drop(1).toLong) && oldEnough(p)
+      isVersionDir(n) && cur.forall(_ < n.drop(1).toLong) && oldEnough(p)
     }
-    (stages ++ orphans).foreach(Fs.deleteRecursively)
-    (stages.size, orphans.size)
+    val foreign = entries.filter { p =>
+      val n = p.getFileName.toString
+      val referenced = isVersionDir(n) || n == "_CURRENT" || n == "_PROPS" ||
+        n == "_LOCK" || n == "_tags" || n.startsWith(".stage-") ||
+        n.startsWith("_txn-")
+      !referenced && oldEnough(p)
+    }
+    val tagTmps = {
+      val td = Paths.get(root, "_tags")
+      if (!Files.isDirectory(td)) Nil
+      else Fs.listDir(td).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") && n.contains(".tmp") && oldEnough(p)
+      }
+    }
+    (stages ++ orphans ++ foreign ++ tagTmps).foreach(Fs.deleteRecursively)
+    (stages.size, orphans.size, foreign.size + tagTmps.size)
   }
 
 

@@ -309,6 +309,20 @@ object ScanOps extends QueryModule {
            |ORDER BY okey_mod""".stripMargin)
     }),
 
+    // Round-15 (B195): identity columns — GENERATED BY DEFAULT AS
+    // IDENTITY (START WITH 10 INCREMENT BY 2). The warehouse build
+    // inserts three omitted-id rows (single-row commits — each reserves
+    // its value under the commit lock) interleaved with one explicit
+    // value; the hash match proves reservation arithmetic and the
+    // BY DEFAULT explicit-keep are value-exact.
+    "q_identity" -> ((s, dir) => {
+      val wh = identityWarehouse(s, dir)
+      val cat = "graftid_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"SELECT id, name FROM $cat.ids ORDER BY id")
+    }),
+
     // Round-15 (B193): the co-DAY-partitioned event-event join — the
     // dominant 100 TB stream-history shape. Both tables are hidden-
     // partitioned `PARTITIONED BY (days(ts))`; the scan wrapper reports
@@ -1252,6 +1266,38 @@ object ScanOps extends QueryModule {
           "q_spj_mor warehouse: the DELETE must route merge-on-read")
         require(graft.catalog.MorSpj.readerSide(root + "/orders_bkt", live),
           "q_spj_mor warehouse: the version must take the reader-side SPJ path")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_identity (B195): a table with a BY DEFAULT
+    * identity column, filled by deterministic single-row inserts (the
+    * row-to-id mapping of a multi-row batch depends on partition
+    * layout; one row per commit pins it). Cached once (content is
+    * fixture-independent).
+    */
+  private def identityWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = "/tmp/graft_ident_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = "id1"
+      val fresh = Files.isDirectory(Paths.get(root + "/ids")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftidwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE TABLE $cat.ids (id BIGINT GENERATED BY DEFAULT AS " +
+          "IDENTITY (START WITH 10 INCREMENT BY 2), name STRING) USING parquet")
+        s.sql(s"INSERT INTO $cat.ids (name) VALUES ('a')")
+        s.sql(s"INSERT INTO $cat.ids (name) VALUES ('b')")
+        s.sql(s"INSERT INTO $cat.ids VALUES (5, 'explicit')")
+        s.sql(s"INSERT INTO $cat.ids (name) VALUES ('c')")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2333,6 +2379,13 @@ object ScanOps extends QueryModule {
         |  UNION ALL SELECT CAST(200 AS BIGINT), 'omitted', 'std'
         |  UNION ALL SELECT CAST(201 AS BIGINT), 'nullrow', NULL
         |) ORDER BY n_nationkey""".stripMargin,
+
+    // the identity ladder recomputed literally
+    "q_identity" ->
+      """SELECT * FROM (VALUES (CAST(10 AS BIGINT), 'a'),
+        |  (CAST(12 AS BIGINT), 'b'), (CAST(5 AS BIGINT), 'explicit'),
+        |  (CAST(14 AS BIGINT), 'c')) AS t(id, name)
+        |ORDER BY id""".stripMargin,
 
     // the co-day-partitioned event join recomputed flat — proves the
     // temporal-grid SPJ grouping is value-exact

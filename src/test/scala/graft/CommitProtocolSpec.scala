@@ -131,6 +131,30 @@ class CommitProtocolSpec extends AnyFunSuite {
     val v = Sinks.publishVersioned(Seq((2L, "b")).toDF("k", "v"), root, Some(0L))
     assert(Sinks.currentVersion(root).contains(v))
     assert(Sinks.readCurrent(spark, root).count() == 1)
+    // debris class 3 (round-15): UNREFERENCED foreign entries — a stray
+    // file, a foreign directory, a half-written _PROPS.tmp, and a dead
+    // tag-write tmp. A tag pins its version through the sweep.
+    Sinks.tagVersion(root, "keepme", v)
+    Files.write(Paths.get(root, "somebody_elses.csv"), Array[Byte](1))
+    Files.createDirectories(Paths.get(root, "_temporary", "0"))
+    Files.write(Paths.get(root, "_PROPS.tmp"), Array[Byte](2))
+    Files.write(Paths.get(root, "_tags", ".dead.tmp99999"), Array[Byte](3))
+    val kept2 = spark.sql(
+      "CALL graftvo.system.vacuum_orphans(table => 't')").collect()(0)
+    assert(kept2.getLong(3) == 0, s"fresh foreign entries survive the window: $kept2")
+    val gone2 = spark.sql(
+      "CALL graftvo.system.vacuum_orphans(table => 't', older_than_hours => 0.0)")
+      .collect()(0)
+    assert(gone2.getLong(3) == 4, s"got $gone2")
+    assert(!Files.exists(Paths.get(root, "somebody_elses.csv")) &&
+      !Files.exists(Paths.get(root, "_temporary")) &&
+      !Files.exists(Paths.get(root, "_PROPS.tmp")) &&
+      !Files.exists(Paths.get(root, "_tags", ".dead.tmp99999")))
+    // referenced state all survives: pointer, props, tag, live version
+    assert(Sinks.listTags(root) == Map("keepme" -> v))
+    assert(Sinks.readCurrent(spark, root).count() == 1)
+    assert(spark.sql("SELECT count(*) FROM graftvo.t VERSION AS OF 'keepme'")
+      .head.getLong(0) == 1)
   }
 
   // ---- multi-table transactions (Txn) ----
