@@ -146,9 +146,33 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     !MorSpj.readerSide(tRoot, versionDir) &&
       inner.supportCompletePushDown(aggregation)
+  /** Variant-extraction pushdown, minus a vanilla-Spark sharp edge
+    * (round-15): the v2 parquet reader loses values when it
+    * reconstructs a WHOLE variant through a pushed `$`-path extraction
+    * (VariantType expectedDataType — e.g. an aggregate over
+    * `variant_get` makes Spark push the identity path; the summed
+    * result comes back NULL on the bare v2 scan too). Refuse every
+    * extraction of a column that wants an identity reconstruction —
+    * Spark then reads the original variant column and evaluates the
+    * paths itself, exact. Typed scalar paths push through untouched.
+    */
   override def pushVariantExtractions(
-      extractions: Array[VariantExtraction]): Array[Boolean] =
-    inner.pushVariantExtractions(extractions)
+      extractions: Array[VariantExtraction]): Array[Boolean] = {
+    val badCols = extractions
+      .filter(_.expectedDataType().isInstanceOf[org.apache.spark.sql.types.VariantType])
+      .map(_.columnName().toSeq).toSet
+    if (badCols.isEmpty) inner.pushVariantExtractions(extractions)
+    else {
+      val allow = extractions.map(e => !badCols(e.columnName().toSeq))
+      val innerRes = inner.pushVariantExtractions(
+        extractions.zip(allow).collect { case (e, true) => e })
+      var j = 0
+      extractions.indices.map { i =>
+        if (!allow(i)) false
+        else { val r = innerRes(j); j += 1; r }
+      }.toArray
+    }
+  }
 
   override def build(): Scan = {
     val scan = inner.build()

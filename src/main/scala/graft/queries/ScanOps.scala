@@ -323,6 +323,30 @@ object ScanOps extends QueryModule {
       s.sql(s"SELECT id, name FROM $cat.ids ORDER BY id")
     }),
 
+    // Round-15 (B197): VariantType for semi-structured event props.
+    // The warehouse ingests events.props (a JSON string) as a VARIANT
+    // column (`parse_json`) into a catalog table — Spark 4's binary
+    // variant encoding in parquet — and the query reads typed paths
+    // back with `variant_get`, which the scan builder can push down
+    // (SupportsPushDownVariantExtractions forwards to the parquet
+    // delegate). Upgrades B17's per-access get_json_object string
+    // parsing to typed, pushdown-friendly access. The hash match
+    // against DuckDB's json_extract twin proves the variant encode →
+    // store → typed-decode loop is value-exact.
+    "q_variant_props" -> ((s, dir) => {
+      val wh = variantWarehouse(s, dir)
+      val cat = "graftvar_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT user_id % 10 AS grp, count(*) AS n,
+           |       sum(variant_get(pv, '$$.k', 'bigint')) AS ksum,
+           |       max(variant_get(pv, '$$.k', 'bigint')) AS kmax
+           |FROM $cat.ev_var
+           |GROUP BY user_id % 10
+           |ORDER BY grp""".stripMargin)
+    }),
+
     // Round-15 (B193): the co-DAY-partitioned event-event join — the
     // dominant 100 TB stream-history shape. Both tables are hidden-
     // partitioned `PARTITIONED BY (days(ts))`; the scan wrapper reports
@@ -1298,6 +1322,31 @@ object ScanOps extends QueryModule {
         s.sql(s"INSERT INTO $cat.ids (name) VALUES ('b')")
         s.sql(s"INSERT INTO $cat.ids VALUES (5, 'explicit')")
         s.sql(s"INSERT INTO $cat.ids (name) VALUES ('c')")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_variant_props (B197): events with `props`
+    * ingested as a VARIANT column into a catalog table. Cached per sf
+    * dir by content stamp.
+    */
+  private def variantWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val root = "/tmp/graft_variant_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "events") + "|var1"
+      val fresh = Files.isDirectory(Paths.get(root + "/ev_var")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          expr("parse_json(props)").as("pv"))
+        Sinks.publishVersioned(ev, root + "/ev_var", None)
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2379,6 +2428,17 @@ object ScanOps extends QueryModule {
         |  UNION ALL SELECT CAST(200 AS BIGINT), 'omitted', 'std'
         |  UNION ALL SELECT CAST(201 AS BIGINT), 'nullrow', NULL
         |) ORDER BY n_nationkey""".stripMargin,
+
+    // variant typed-path access recomputed over the raw JSON strings
+    "q_variant_props" ->
+      """SELECT user_id % 10 AS grp, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS ksum,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS kmax
+        |FROM events
+        |GROUP BY user_id % 10
+        |ORDER BY grp""".stripMargin,
 
     // the identity ladder recomputed literally
     "q_identity" ->

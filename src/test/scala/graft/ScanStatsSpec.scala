@@ -275,4 +275,60 @@ class ScanStatsSpec extends AnyFunSuite {
       "a sidecar-less table must not serve sidecar-grade statistics")
     assert(bare.sizeInBytes.isPresent && bare.sizeInBytes.getAsLong > 0)
   }
+
+  test("CBO join reorder: exact stats put the selective dimension first (round-15)") {
+    val cat = mkCat()
+    import spark.implicits._
+    // a 3-table star written in the WORST order: fact ⋈ big-dim first,
+    // tiny-dim last. With exact row counts + NDV sketches served into
+    // the CBO, CostBasedJoinReorder must flip the tiny dim to the
+    // bottom join; with CBO off the written order stands.
+    (0L until 60000L).map(i => (i % 8000L, i % 40L, i)).toDF("ka", "kb", "m")
+      .createOrReplaceTempView("cbo_f_src")
+    (0L until 8000L).map(i => (i, i * 3)).toDF("ka", "va")
+      .createOrReplaceTempView("cbo_a_src")
+    (0L until 40L).map(i => (i, i * 7)).toDF("kb", "vb")
+      .createOrReplaceTempView("cbo_b_src")
+    for ((t, src, keys) <- Seq(("f", "cbo_f_src", "ka,kb"),
+        ("a", "cbo_a_src", "ka"), ("b", "cbo_b_src", "kb"))) {
+      val cols = spark.table(src).schema.toDDL
+      spark.sql(s"CREATE TABLE $cat.$t ($cols) USING parquet " +
+        s"TBLPROPERTIES ('graft.stats.columns' = '$keys', " +
+        s"'graft.ndv.columns' = '$keys')")
+      spark.sql(s"INSERT INTO $cat.$t SELECT * FROM $src")
+    }
+    val sql =
+      s"""SELECT count(*) AS n, sum(f.m + a.va + b.vb) AS s
+         |FROM $cat.f f
+         |JOIN $cat.a a ON f.ka = a.ka
+         |JOIN $cat.b b ON f.kb = b.kb""".stripMargin
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def bottomJoinSides(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val bottom = joins.find(j => j.collect { case x: Join => x }.size == 1)
+        .getOrElse(fail(s"no bottom join in:\n$plan"))
+      bottom.collectLeaves().collect {
+        case r: DataSourceV2ScanRelation => r.relation.table.name()
+      }.toSet
+    }
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val on = spark.sql(sql)
+      val sides = bottomJoinSides(on.queryExecution.optimizedPlan)
+      assert(sides.exists(_.endsWith(".b")) && !sides.exists(_.endsWith(".a")),
+        s"with exact stats the selective dim must join first, got $sides")
+      val row = on.head
+      assert(row.getLong(0) == 60000L)
+    }
+    withConfs("spark.sql.cbo.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val off = spark.sql(sql)
+      val sides = bottomJoinSides(off.queryExecution.optimizedPlan)
+      assert(sides.exists(_.endsWith(".a")) && !sides.exists(_.endsWith(".b")),
+        s"without CBO the written order stands, got $sides")
+      assert(off.head.getLong(0) == 60000L, "results agree either way")
+    }
+  }
 }
