@@ -217,10 +217,19 @@ object Analytics extends QueryModule {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"))
       Sinks.publishVersioned(base, root)
+      // stream a PRIVATE dir holding only a symlink to the orders
+      // fixture — the file stream source lists its path recursively for
+      // partition discovery, and a reused harness dir (the Stress
+      // output root) accumulates table layouts whose mixed directory
+      // structures fail that inference
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_qsu_src")
+      graft.streaming.StreamOps.cleanOnExit(srcDir)
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("orders.parquet"),
+        java.nio.file.Paths.get(graft.io.Tables.path(dir, "orders")))
       val cdc = s.readStream
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
           "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
-        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .parquet(srcDir.toString)
         .select(col("o_custkey").as("c_custkey"),
           concat(lit("Customer#Merged"), col("o_custkey").cast("string")).as("c_name"),
           round(col("o_totalprice"), 2).as("c_acctbal"),
@@ -266,10 +275,19 @@ object Analytics extends QueryModule {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"))
       Sinks.publishVersioned(base, root)
+      // stream a PRIVATE dir holding only a symlink to the orders
+      // fixture — the file stream source lists its path recursively for
+      // partition discovery, and a reused harness dir (the Stress
+      // output root) accumulates table layouts whose mixed directory
+      // structures fail that inference
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_qsu_src")
+      graft.streaming.StreamOps.cleanOnExit(srcDir)
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("orders.parquet"),
+        java.nio.file.Paths.get(graft.io.Tables.path(dir, "orders")))
       val cdc = s.readStream
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
           "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
-        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .parquet(srcDir.toString)
         .select(col("o_custkey").as("c_custkey"),
           concat(lit("Customer#Merged"), col("o_custkey").cast("string")).as("c_name"),
           round(col("o_totalprice"), 2).as("c_acctbal"),
