@@ -437,6 +437,22 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     // target can change, so the touched-file pass and the rewrite are
     // pure waste — select the unmatched source rows with ONE left-anti
     // join and publish them as a linked append (every data file carried)
+    // identity columns (round-15): MERGE does not GENERATE identity
+    // values — the landed rows and the change feed are projections of
+    // the same pinned frame, and generating after the pin would diverge
+    // them — so every INSERT action must assign each identity column
+    // explicitly. The INSERT door is the generating path.
+    val idSpecs = graft.ops.Identity.specs(tRoot)
+    if (idSpecs.nonEmpty) notMatchedActions.foreach {
+      case ins: InsertAction => idSpecs.foreach { spec =>
+        val attr = target.output.find(_.name.equalsIgnoreCase(spec.col))
+        require(attr.forall(a => assignedValue(ins.assignments, a).isDefined),
+          s"MERGE INSERT must assign identity column ${spec.col} explicitly " +
+            "(MERGE does not generate identity values; route generated " +
+            "inserts through INSERT INTO)")
+      }
+      case _ => ()
+    }
     if (cow && matchedActions.isEmpty) {
       val anti = sdf.join(t, col0(mergeCondition), "left_anti")
       val insertTagged0 = notMatchedActions.zipWithIndex.map { case (a, i) => (a, s"i$i") }
