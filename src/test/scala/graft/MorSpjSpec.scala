@@ -172,6 +172,57 @@ class MorSpjSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(flat).count() == 490)
   }
 
+  test("reader-side subtraction is exact on the parquet-mr (non-vectorized) path too") {
+    // the row-index generator has TWO homes — the vectorized reader and
+    // ParquetRowIndexUtil's record-reader wrapper; this pins the second
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.nv (k BIGINT, v BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 3000L).map(i => (i, i * 2)).toDF("k", "v")
+      .createOrReplaceTempView("mspj_nv_src")
+    spark.sql(s"INSERT INTO $cat.nv SELECT * FROM mspj_nv_src")
+    TableProps.update(s"$root/nv")(_ + ("graft.dml.mode" -> "mor"))
+    spark.sql(s"DELETE FROM $cat.nv WHERE k % 11 = 3")
+    assert(Dv.exists(Sinks.resolve(s"$root/nv")))
+    val expectN = (0L until 3000L).count(_ % 11 != 3)
+    withConfs("spark.sql.parquet.enableVectorizedReader" -> "false") {
+      assert(spark.table(s"$cat.nv").count() == expectN)
+      assert(spark.table(s"$cat.nv").agg(sum($"v")).head.getLong(0) ==
+        (0L until 3000L).filter(_ % 11 != 3).map(_ * 2).sum)
+    }
+    // and the vectorized path agrees
+    assert(spark.table(s"$cat.nv").count() == expectN)
+  }
+
+  test("dynamic partition pruning composes with reader-side subtraction") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    (0L until 12000L).map(i => (i, i % 40L)).toDF("x", "g")
+      .createOrReplaceTempView("mspj_dpp_f")
+    spark.sql(s"CREATE TABLE $cat.fact (x BIGINT, g BIGINT) USING parquet " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM mspj_dpp_f")
+    spark.sql(s"CREATE TABLE $cat.dim (w BIGINT, g BIGINT) USING parquet " +
+      "PARTITIONED BY (g)")
+    (0L until 40L).map(i => (i * 5, i)).toDF("w", "g")
+      .createOrReplaceTempView("mspj_dpp_d")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM mspj_dpp_d")
+    TableProps.update(s"$root/fact")(_ + ("graft.dml.mode" -> "mor"))
+    spark.sql(s"DELETE FROM $cat.fact WHERE x % 6 = 1")
+    assert(Dv.exists(Sinks.resolve(s"$root/fact")))
+    // a filtered dim feeds runtime partition filters into the fact's
+    // scan (the DPP path swaps `current`); the subtraction must follow
+    // the narrowed selection exactly
+    val joined = spark.table(s"$cat.fact")
+      .join(spark.table(s"$cat.dim").filter($"w" % 25 === 0), "g")
+    val expected = spark.table("mspj_dpp_f").filter($"x" % 6 =!= 1)
+      .join(spark.table("mspj_dpp_d").filter($"w" % 25 === 0), "g")
+      .agg(count(lit(1)).as("n"), sum($"x" + $"w").as("s")).head
+    assert(joined.agg(count(lit(1)).as("n"), sum($"x" + $"w").as("s")).head
+      == expected)
+  }
+
   test("aggregates and metadata counts stay exact in reader-side mode") {
     val (cat, root) = mkCat()
     import spark.implicits._
