@@ -175,7 +175,9 @@ private[catalog] object GraftBucketFunction extends UnboundFunction {
     require(inputType.length == 2,
       s"bucket(n, col) takes exactly 2 arguments, got ${inputType.length}")
     val srcType = inputType.fields(1).dataType
-    new ScalarFunction[Integer] {
+    new ScalarFunction[Integer]
+      with org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[Integer, Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
@@ -188,6 +190,41 @@ private[catalog] object GraftBucketFunction extends UnboundFunction {
         val v = input.get(1, srcType)
         graft.ops.Transforms.bucketValue(v, srcType, n)
       }
+      /** COMPATIBLE bucket counts SPJ without a shuffle (round-15, the
+        * Iceberg ReducibleFunction design): when the other side's count
+        * DIVIDES ours, this side's bucket values reduce to the coarser
+        * grid by `v % otherN` — sound for `pmod(hash, n)` because
+        * `pmod(h, kn) % n == pmod(h, n)` (the value is already
+        * non-negative and n divides kn). Only the same hash family over
+        * the SAME source domain reduces; everything else returns null
+        * and Spark falls back to the shuffle. Gated by Spark's
+        * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+        * .enabled`.
+        */
+      override def reducer(thisNumBuckets: Int,
+          otherFunction: org.apache.spark.sql.connector.catalog.functions
+            .ReducibleFunction[_, _],
+          otherNumBuckets: Int)
+          : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] = {
+        val sameFamily = otherFunction match {
+          case s: ScalarFunction[_] => s.canonicalName() == canonicalName()
+          case _ => false
+        }
+        if (!sameFamily || otherNumBuckets <= 0 ||
+            thisNumBuckets == otherNumBuckets ||
+            thisNumBuckets % otherNumBuckets != 0) null
+        else new GraftBucketReducer(otherNumBuckets)
+      }
     }
   }
+}
+
+/** Top-level + Serializable: the reducer ships inside the join's task
+  * closure (an anonymous inner class would drag the non-serializable
+  * bound function along).
+  */
+private[catalog] final class GraftBucketReducer(n: Int)
+  extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+  with Serializable {
+  override def reduce(v: Integer): Integer = v % n
 }

@@ -160,6 +160,39 @@ class BucketSpjSpec extends AnyFunSuite {
     assert(parts.map(_.getAs[Long]("n_rows")).sum == 1000L)
   }
 
+  test("COMPATIBLE bucket counts join shuffle-free via the reducer (round-15)") {
+    // bucket(8) fact ⋈ bucket(4) dim: the finer side's values reduce to
+    // the coarser grid (v % 4 == pmod(hash, 4)) under Spark's
+    // allowCompatibleTransforms — zero Exchange where the mismatch leg
+    // above (without the conf) correctly shuffles
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 16000L).map(i => (i % 4000L, i)).toDF("k", "a")
+      .createOrReplaceTempView("bkt_c8_src")
+    (0L until 4000L).map(i => (i, i * 11)).toDF("k", "b")
+      .createOrReplaceTempView("bkt_c4_src")
+    spark.sql(s"CREATE TABLE $cat.c8 (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.c8 SELECT * FROM bkt_c8_src")
+    spark.sql(s"CREATE TABLE $cat.c4 (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.c4 SELECT * FROM bkt_c4_src")
+    val expected = spark.table("bkt_c8_src").join(spark.table("bkt_c4_src"), "k")
+      .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.c8").join(spark.table(s"$cat.c4"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"compatible bucket counts must join with zero Exchange:\n$plan")
+      assert(joined.agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s"))
+        .head == expected)
+    }
+  }
+
   test("DV on a pure-bucket table stays v2 (reader-side subtraction, round-15); day+bucket stays v2 too") {
     val cat = mkCat()
     import spark.implicits._
