@@ -52,7 +52,9 @@ private[catalog] object GraftTemporalFunctions {
       require(srcType == TimestampType || (dateOk && srcType == DateType),
         s"$fname() needs a timestamp${if (dateOk) "/date" else ""} source, " +
           s"got ${srcType.catalogString}")
-      new ScalarFunction[Integer] {
+      new ScalarFunction[Integer]
+        with org.apache.spark.sql.connector.catalog.functions
+          .ReducibleFunction[Integer, Integer] {
         override def inputTypes(): Array[DataType] = Array(srcType)
         override def resultType(): DataType = result
         override def name(): String = fname
@@ -62,6 +64,28 @@ private[catalog] object GraftTemporalFunctions {
         override def produceResult(input: InternalRow): Integer =
           if (input.isNullAt(0)) null
           else eval(input.get(0, srcType), srcType)
+        /** A FINER temporal grid reduces to a coarser one over the SAME
+          * source domain (round-15): days→months, days→years,
+          * months→years — all DATE-valued grids whose coarser value is
+          * a pure function of the finer one (calendar floors in UTC).
+          * A day-partitioned event table joins a month-partitioned
+          * rollup shuffle-free under `allowCompatibleTransforms`.
+          */
+        override def reducer(other: org.apache.spark.sql.connector.catalog
+            .functions.ReducibleFunction[_, _])
+            : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] = {
+          val otherName = other match {
+            case s: ScalarFunction[_] => s.canonicalName()
+            case _ => ""
+          }
+          val dom = s"(${srcType.catalogString})"
+          (fname match {
+            case "days" if otherName == s"graft.months$dom" => GraftTemporalReducers.MonthFloor
+            case "days" if otherName == s"graft.years$dom" => GraftTemporalReducers.YearFloor
+            case "months" if otherName == s"graft.years$dom" => GraftTemporalReducers.YearFloor
+            case _ => null
+          }): org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+        }
       }
     }
   }
@@ -216,6 +240,27 @@ private[catalog] object GraftBucketFunction extends UnboundFunction {
         else new GraftBucketReducer(otherNumBuckets)
       }
     }
+  }
+}
+
+/** Calendar-floor reducers for the temporal grids — top-level and
+  * Serializable like [[GraftBucketReducer]] (they ship in task
+  * closures). Values are DATE ints (epoch days).
+  */
+private[catalog] object GraftTemporalReducers {
+  object MonthFloor
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+    with Serializable {
+    override def reduce(v: Integer): Integer =
+      java.time.LocalDate.ofEpochDay(v.longValue())
+        .withDayOfMonth(1).toEpochDay.toInt
+  }
+  object YearFloor
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+    with Serializable {
+    override def reduce(v: Integer): Integer =
+      java.time.LocalDate.ofEpochDay(v.longValue())
+        .withDayOfYear(1).toEpochDay.toInt
   }
 }
 

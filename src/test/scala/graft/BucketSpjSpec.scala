@@ -193,6 +193,39 @@ class BucketSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered distribution (skew mode) stays exact and Exchange-free") {
+    // Spark's skew-aware SPJ keeps the skewed side's splits separate and
+    // replicates the other side's groups instead of coalescing — the
+    // wrapper's HasPartitionKey groups must survive that regrouping
+    val cat = mkCat()
+    import spark.implicits._
+    // heavy skew: 80% of the fact rows share one key
+    (0L until 20000L).map(i => (if (i % 5 != 0) 7L else i % 2000L, i))
+      .toDF("k", "a").createOrReplaceTempView("bkt_sk_l")
+    (0L until 2000L).map(i => (i, i * 13)).toDF("k", "b")
+      .createOrReplaceTempView("bkt_sk_r")
+    spark.sql(s"CREATE TABLE $cat.sl (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.sl SELECT * FROM bkt_sk_l")
+    spark.sql(s"CREATE TABLE $cat.sr (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.sr SELECT * FROM bkt_sk_r")
+    val expected = spark.table("bkt_sk_l").join(spark.table("bkt_sk_r"), "k")
+      .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.sl").join(spark.table(s"$cat.sr"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"partially-clustered SPJ must stay zero-Exchange:\n$plan")
+      assert(joined.agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s"))
+        .head == expected)
+    }
+  }
+
   test("DV on a pure-bucket table stays v2 (reader-side subtraction, round-15); day+bucket stays v2 too") {
     val cat = mkCat()
     import spark.implicits._

@@ -145,6 +145,37 @@ class RangeSpjSpec extends AnyFunSuite {
     assert(qm.count() == 31)
   }
 
+  test("a day grid joins a month grid shuffle-free via the calendar-floor reducer") {
+    val (cat, _) = mkCat()
+    import spark.implicits._
+    // ~4 months of hours on the day side; a monthly rollup on the other
+    spark.range(0, 3000).select(
+      (to_timestamp(lit("2026-01-01 00:00:00")) +
+        col("id") * expr("INTERVAL 1 HOUR")).as("ts"), ($"id" * 3).as("a"))
+      .createOrReplaceTempView("rspj_dm_l")
+    spark.range(0, 3000, 2).select(
+      (to_timestamp(lit("2026-01-01 00:00:00")) +
+        col("id") * expr("INTERVAL 1 HOUR")).as("ts"), ($"id" * 7).as("b"))
+      .createOrReplaceTempView("rspj_dm_r")
+    spark.sql(s"CREATE TABLE $cat.dl (ts TIMESTAMP, a BIGINT) USING parquet " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.dl SELECT * FROM rspj_dm_l")
+    spark.sql(s"CREATE TABLE $cat.dr (ts TIMESTAMP, b BIGINT) USING parquet " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO $cat.dr SELECT * FROM rspj_dm_r")
+    val expected = spark.table("rspj_dm_l").join(spark.table("rspj_dm_r"), "ts")
+      .agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s")).head
+    withConfs((spjConfs :+
+      ("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true")): _*) {
+      val joined = spark.table(s"$cat.dl").join(spark.table(s"$cat.dr"), "ts")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"day ⋈ month must reduce to the coarser grid, zero Exchange:\n$plan")
+      assert(joined.agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s")).head
+        == expected)
+    }
+  }
+
   test("MOR DELETE on a day grid: reader-side subtraction, SPJ survives") {
     val (cat, root) = mkCat()
     import spark.implicits._
