@@ -323,6 +323,30 @@ object ScanOps extends QueryModule {
       s.sql(s"SELECT id, name FROM $cat.ids ORDER BY id")
     }),
 
+    // Round-15 (B193 ext.): CROSS-GRANULARITY temporal SPJ — the
+    // day-partitioned event table joins a MONTH-partitioned twin with
+    // zero Exchange: the day grid's partition values reduce to the
+    // month grid through the calendar-floor ReducibleFunction
+    // (plan-asserted in RangeSpjSpec), and the hash match proves the
+    // reduced grouping is value-exact.
+    "q_spj_grain" -> ((s, dir) => {
+      val wh = spjDaysWarehouse(s, dir)
+      val cat = "graftdspj_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      s.sql(
+        s"""SELECT l.user_id % 5 AS grp, count(*) AS pairs,
+           |       sum(l.event_id + m.eid2) AS idsum
+           |FROM $cat.ev_l l
+           |JOIN $cat.ev_m m ON l.ts = m.ts
+           |GROUP BY l.user_id % 5
+           |ORDER BY grp""".stripMargin)
+    }),
+
     // Round-15 (B197): VariantType for semi-structured event props.
     // The warehouse ingests events.props (a JSON string) as a VARIANT
     // column (`parse_json`) into a catalog table — Spark 4's binary
@@ -1362,9 +1386,10 @@ object ScanOps extends QueryModule {
       import java.nio.file.{Files, Paths}
       val root = "/tmp/graft_dayspj_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       val stampFile = Paths.get(root, "_SRCSTAMP")
-      val stamp = Tables.srcStamp(dir, "events") + "|days1"
+      val stamp = Tables.srcStamp(dir, "events") + "|days2"
       val fresh = Files.isDirectory(Paths.get(root + "/ev_l")) &&
         Files.isDirectory(Paths.get(root + "/ev_r")) &&
+        Files.isDirectory(Paths.get(root + "/ev_m")) &&
         Files.exists(stampFile) &&
         new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
       if (!fresh) {
@@ -1384,6 +1409,13 @@ object ScanOps extends QueryModule {
         s.sql(s"CREATE TABLE $cat.ev_r (ts TIMESTAMP, event_id BIGINT) " +
           "USING parquet PARTITIONED BY (days(ts))")
         s.sql(s"INSERT INTO $cat.ev_r SELECT * FROM spj_days_r_src")
+        // ev_m (q_spj_grain): the MONTH-partitioned twin for the
+        // cross-granularity reducer join
+        ev.select(col("ts"), (col("event_id") * 2).as("eid2"))
+          .createOrReplaceTempView("spj_days_m_src")
+        s.sql(s"CREATE TABLE $cat.ev_m (ts TIMESTAMP, eid2 BIGINT) " +
+          "USING parquet PARTITIONED BY (months(ts))")
+        s.sql(s"INSERT INTO $cat.ev_m SELECT * FROM spj_days_m_src")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2446,6 +2478,15 @@ object ScanOps extends QueryModule {
         |  (CAST(12 AS BIGINT), 'b'), (CAST(5 AS BIGINT), 'explicit'),
         |  (CAST(14 AS BIGINT), 'c')) AS t(id, name)
         |ORDER BY id""".stripMargin,
+
+    // the cross-granularity (day⋈month) join recomputed flat
+    "q_spj_grain" ->
+      """SELECT e1.user_id % 5 AS grp, count(*) AS pairs,
+        |       CAST(sum(e1.event_id + e2.event_id * 2) AS BIGINT) AS idsum
+        |FROM events e1 JOIN events e2
+        |  ON CAST(e1.ts AS TIMESTAMP) = CAST(e2.ts AS TIMESTAMP)
+        |GROUP BY e1.user_id % 5
+        |ORDER BY grp""".stripMargin,
 
     // the co-day-partitioned event join recomputed flat — proves the
     // temporal-grid SPJ grouping is value-exact
