@@ -176,6 +176,35 @@ class RangeSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("the FunctionCatalog serves every transform; unknowns refuse loudly") {
+    val (cat, _) = mkCat()
+    import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier}
+    val fc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[FunctionCatalog]
+    val names = fc.listFunctions(Array.empty).map(_.name()).toSet
+    assert(names == Set("bucket", "days", "months", "years", "hours", "truncate"),
+      s"got $names")
+    // every listed name loads; width-in-the-name truncate parses
+    names.foreach(n => fc.loadFunction(Identifier.of(Array.empty, n)))
+    val t4 = fc.loadFunction(Identifier.of(Array.empty, "truncate_4"))
+    assert(t4.name() == "truncate_4")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException](
+      fc.loadFunction(Identifier.of(Array.empty, "nope")))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException](
+      fc.loadFunction(Identifier.of(Array.empty, "truncate_0")))
+    // bound temporal functions mirror the writer's UTC epoch math
+    import org.apache.spark.sql.types._
+    val days = fc.loadFunction(Identifier.of(Array.empty, "days"))
+      .bind(StructType(Seq(StructField("ts", TimestampType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    // 2026-03-02T01:00:00Z in epoch micros -> epoch day of 2026-03-02
+    val micros = java.time.Instant.parse("2026-03-02T01:00:00Z")
+      .getEpochSecond * 1000000L
+    val expectDay = java.time.LocalDate.parse("2026-03-02").toEpochDay.toInt
+    assert(days.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(micros)) == expectDay)
+  }
+
   test("MOR DELETE on a day grid: reader-side subtraction, SPJ survives") {
     val (cat, root) = mkCat()
     import spark.implicits._
