@@ -82,7 +82,16 @@ object Bench {
       s"\"" + k + "\":" + warm.getOrElse(k, false) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, (t, _)) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm":$warmJson,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm":$warmJson,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r*.json keeps only a stdout tail, which blinds
+    // cross-round per-query diffing for the first ~60 queries — persist
+    // the full timing map to the repo root too (round-16 verdict item)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
     spark.stop()
   }
 }

@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE INTO) over GraftCatalog tables —
     // converted to versioned-commit commands at resolution time
     ext.injectResolutionRule(_ => graft.catalog.GraftDmlRule)
+    // hint batch (PRE-resolution): 'graft.schema.autoMerge' must flip
+    // the merge's evolution flag before star expansion consumes the
+    // evolution source schema (see GraftAutoMergeRule)
+    ext.injectHintResolutionRule(session =>
+      graft.catalog.GraftAutoMergeRule(session))
     // persistent views (B178): view DDL over Graft catalogs intercepted
     // at the parser seam (Spark 4.1 has no native v2-view routing), view
     // READS inlined at resolution time — after ResolveRelations in each

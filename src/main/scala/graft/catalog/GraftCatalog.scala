@@ -79,7 +79,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // identity columns (round-15): GENERATED ... AS IDENTITY routes
       // the spec through the schema's IDENTITY_INFO_* metadata into
       // the engine's _PROPS store ([[graft.ops.Identity]])
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // generated columns (round-16): GENERATED ALWAYS AS (expr) routes
+      // the expression through the schema's GENERATION_EXPRESSION
+      // metadata (Spark validates it at CREATE) into _PROPS
+      // ([[graft.ops.Generated]])
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Native constraint DDL (B191): `CREATE TABLE (…, CONSTRAINT c CHECK
     * (expr))` routes through the TableInfo door — CHECK constraints
@@ -95,11 +100,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // identity columns (round-15): the spec rides info.columns()'s
     // IdentityColumnSpec — info.schema()'s StructType conversion drops
     // it — so re-encode it as the IDENTITY_INFO_* field metadata the
-    // schema door stores into _PROPS
+    // schema door stores into _PROPS. Generated columns (round-16) ride
+    // info.columns()'s generationExpression the same way.
     val schemaWithIdentity = StructType(
       info.schema().fields.zip(info.columns()).map { case (f, c) =>
-        Option(c.identityColumnSpec()).fold(f)(s =>
+        val withId = Option(c.identityColumnSpec()).fold(f)(s =>
           graft.ops.Identity.encodeField(f, s))
+        Option(c.generationExpression()).fold(withId)(sql =>
+          withId.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(withId.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, sql).build()))
       })
     val cons = info.constraints()
     if (cons.isEmpty)
@@ -205,6 +216,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     (root +: parts).mkString("/")
   }
 
+  /** The on-disk root of `ident` — [[graft.catalog.GraftAutoMergeRule]]
+    * needs it pre-resolution (its flag-flip must run before the
+    * analyzer expands merge stars, when the target is still a bare
+    * multipart name).
+    */
+  private[graft] def tableRootFor(ident: Identifier): String = tableRoot(ident)
+
   /** Read half shared by both table flavors: delegate to the v2 parquet
     * scan over one resolved version directory.
     */
@@ -232,13 +250,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         // the ADD-time constant, not NULL. Identity metadata strips on
         // the same footer-hygiene rule (the writable table re-injects)
         .map(GraftDefaults.stripFieldDefaults)
-        .map(graft.ops.Identity.stripField)), versionDir)
+        .map(graft.ops.Identity.stripField)
+        .map(graft.ops.Generated.stripField)), versionDir)
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     // B185/B186: sidecar-exact plan statistics + key-grouped partition
-    // reporting ride every catalog read through the scan wrapper
+    // reporting ride every catalog read through the scan wrapper.
+    // Round-16: a reader-side COLUMN-MAPPED version scans through a
+    // PHYSICAL-name delegate (the builder translates, the scan wrapper
+    // aliases back) so the rename stays metadata-only on the v2 path
+    // — the table's user-facing schema() above stays logical.
+    private lazy val scanDelegate: ParquetTable =
+      if (graft.ops.ColMap.load(versionDir).nonEmpty &&
+          MorSpj.readerSide(tRoot0, versionDir))
+        GraftTables.delegate(delegate.name, tRoot0, versionDir,
+          physicalNames = true)
+      else delegate
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      GraftScans.wrap(delegate.newScanBuilder(options), tRoot0, versionDir)
+      GraftScans.wrap(scanDelegate.newScanBuilder(options), tRoot0, versionDir)
     protected def readCaps(): util.HashSet[TableCapability] = {
       val caps = new util.HashSet[TableCapability](delegate.capabilities())
       caps.remove(TableCapability.BATCH_WRITE)
@@ -295,8 +324,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // Snapshotted once per table object (the checkProps discipline:
     // analysis calls schema() several times per statement — a per-call
     // _PROPS read would buy staleness-inconsistency AND I/O)
-    private lazy val injectedSchema: StructType = graft.ops.Identity.inject(
-      GraftDefaults.inject(super.schema(), tRoot), tRoot)
+    private lazy val injectedSchema: StructType = graft.ops.Generated.inject(
+      graft.ops.Identity.inject(
+        GraftDefaults.inject(super.schema(), tRoot), tRoot), tRoot)
     override def schema(): StructType = injectedSchema
     // surface stored CHECK constraints through SHOW TBLPROPERTIES —
     // loaded once per table object (analysis calls properties() several
@@ -327,6 +357,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
+      // MERGE … WITH SCHEMA EVOLUTION (round-16): Spark's analyzer
+      // (ResolveMergeIntoSchemaEvolution) gates on this capability and
+      // routes the source-minus-target diff through alterTable — i.e.
+      // the same metadata-only ADD COLUMNS door ([[graft.ops.ColMap]]
+      // ADD records), with the same loud refusals for NOT NULL /
+      // positioned / nested adds and lossy retypes. Advertising the
+      // capability alone changes nothing: evolution still requires the
+      // explicit clause (or 'graft.schema.autoMerge', which
+      // [[GraftDmlRule]] folds into the clause).
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
       caps
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -343,8 +383,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
                 // added), so append never re-scans them. Identity columns
                 // (round-15) assign their reserved values FIRST so a
                 // CHECK naming the identity column sees real values.
+                // generated columns (round-16) derive AFTER identity
+                // assignment (an expression may reference the identity
+                // column) and BEFORE the CHECK gate (a CHECK may
+                // reference the generated column)
                 val gated = GraftCheck.enforce(
-                  graft.ops.Identity.assign(data, tRoot), tRoot)
+                  graft.ops.Generated.enforce(
+                    graft.ops.Identity.assign(data, tRoot), tRoot), tRoot)
                 if (truncateFirst || overwrite) {
                   // a full rewrite — keep the skipping tier: re-annotate
                   // with the live sidecar's columns, like compaction does
@@ -621,10 +666,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       require(!partEntries.exists(_._1.equalsIgnoreCase(f.name)),
         s"$catalogName: identity column ${f.name} cannot be a partition column")
     }
+    // generated columns (round-16): the expression rides the schema's
+    // GENERATION_EXPRESSION metadata (Spark's analyzer validated it —
+    // deterministic, references only non-generated columns). Same
+    // footer hygiene as identity: spec into _PROPS, metadata stripped.
+    val generatedSpecs = graft.ops.Generated.fromSchema(schema)
     val spark = SparkSession.active
+    generatedSpecs.foreach { s =>
+      // the refusal set must be computable on every later DML — a
+      // non-parsing expression fails the CREATE, not the first UPDATE
+      val srcs = graft.ops.Generated.sourceCols(spark, s)
+      val gens = generatedSpecs.map(_.col).toSet
+      require(srcs.intersect(gens).isEmpty,
+        s"$catalogName: generated column ${s.col} references another " +
+          "generated column — derivations must be row-local over stored " +
+          "columns")
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1),
-      graft.ops.Identity.strip(schema))
+      graft.ops.Generated.strip(graft.ops.Identity.strip(schema)))
     // CHECK constraints declared at CREATE time (TBLPROPERTIES
     // ('check.<name>' = '<expr>')): validate against the in-memory empty
     // frame BEFORE anything publishes — a malformed expression must fail
@@ -645,7 +705,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // (a typo'd name would silently never prune or never cluster — fail
     // the CREATE, leave no table)
     Seq(graft.ops.TableProps.StatsKey, graft.ops.TableProps.BloomKey,
-        graft.ops.TableProps.ClusterKey, graft.ops.TableProps.NdvKey).foreach { key =>
+        graft.ops.TableProps.ClusterKey, graft.ops.TableProps.NdvKey,
+        graft.ops.TableProps.HistogramKey).foreach { key =>
       properties.asScala.collectFirst {
         case (k, v) if k.equalsIgnoreCase(key) => v
       }.foreach { v =>
@@ -762,11 +823,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val identityProps = identitySpecs.flatMap(s => Seq(
       (graft.ops.Identity.Prefix + s.col) -> s.encoded,
       (graft.ops.Identity.HwmPrefix + s.col) -> s.start.toString)).toMap
+    val generatedProps = generatedSpecs.map(s =>
+      (graft.ops.Generated.Prefix + s.col) -> s.sql).toMap
     if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty ||
-        defaultProps.nonEmpty || identityProps.nonEmpty)
+        defaultProps.nonEmpty || identityProps.nonEmpty ||
+        generatedProps.nonEmpty)
       graft.ops.TableProps.update(tr)(_ =>
         checks.toMap ++ partProp ++ behaviorProps ++ defaultProps ++
-          identityProps)
+          identityProps ++ generatedProps)
     loadTable(ident)
   }
 
@@ -974,10 +1038,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val retypes = otherChanges.collect { case u: TableChange.UpdateColumnType => u }
     if (retypes.nonEmpty) {
-      require(retypes.size == otherChanges.size,
-        s"$catalogName: ALTER COLUMN TYPE cannot be combined with other " +
-          "column changes in one ALTER")
-      return widenTypes(ident, retypes)
+      val rest = otherChanges.filterNot(c =>
+        c.isInstanceOf[TableChange.UpdateColumnType])
+      // MERGE WITH SCHEMA EVOLUTION (round-16) hands retypes and adds in
+      // ONE alterTable call — apply sequentially (widen first, so a add
+      // that fails leaves a consistent widened table, never half of
+      // either). Any other combination stays refused.
+      require(rest.forall(_.isInstanceOf[TableChange.AddColumn]),
+        s"$catalogName: ALTER COLUMN TYPE combines only with ADD COLUMNS " +
+          "in one ALTER")
+      val widened = widenTypes(ident, retypes)
+      if (rest.isEmpty) return widened
+      return alterTable(ident, rest: _*)
     }
     val adds = otherChanges.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
@@ -1081,7 +1153,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     def namedCols = value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     lazy val schema = Sinks.readCurrent(spark, tr).schema
     key match {
-      case StatsKey | BloomKey | ClusterKey | NdvKey =>
+      case StatsKey | BloomKey | ClusterKey | NdvKey | HistogramKey =>
         val missing = namedCols.filterNot(c =>
           schema.fieldNames.exists(_.equalsIgnoreCase(c)))
         require(missing.isEmpty,
@@ -1113,6 +1185,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"only; got ${bad.mkString(", ")} — use $StatsKey range stats " +
               "for those types")
         }
+        if (key == HistogramKey) {
+          import org.apache.spark.sql.types._
+          val bad = namedCols.flatMap(c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+              f.dataType match {
+                case ByteType | ShortType | IntegerType | LongType |
+                     FloatType | DoubleType => None
+                case other => Some(s"$c: ${other.simpleString}")
+              }))
+          require(bad.isEmpty,
+            s"$catalogName: $HistogramKey supports the numeric family " +
+              s"only; got ${bad.mkString(", ")}")
+        }
       case RetainVersionsKey =>
         require(value.trim.toIntOption.exists(_ >= 0),
           s"$catalogName: $RetainVersionsKey must be a non-negative integer, " +
@@ -1121,10 +1206,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(value.trim.toDoubleOption.exists(_ >= 0),
           s"$catalogName: $RetainHoursKey must be a non-negative number, " +
             s"got '$value'")
-      case ClusterWriteKey =>
+      case ClusterWriteKey | AutoMergeKey =>
         require(Seq("true", "false").contains(value.trim.toLowerCase),
-          s"$catalogName: $ClusterWriteKey must be 'true' or 'false', " +
-            s"got '$value'")
+          s"$catalogName: $key must be 'true' or 'false', got '$value'")
       case _ =>
     }
   }
@@ -1186,6 +1270,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"$catalogName: a column cannot be both renamed and dropped")
     if (dropSet.isEmpty && renameMap.isEmpty) return loadTable(ident)
 
+    // generated columns (round-16): the stored SQL references columns
+    // by name — a rename/drop of the generated column or any source
+    // would strand the derivation (future inserts would derive from a
+    // column that no longer exists). Refuse loudly; DROP the generation
+    // (no door yet) or rewrite the table to evolve past it.
+    val genSpecs = graft.ops.Generated.specs(tr)
+    if (genSpecs.nonEmpty) {
+      val touched = renameMap.keySet ++ dropSet
+      genSpecs.foreach { s =>
+        require(!touched.exists(_.equalsIgnoreCase(s.col)),
+          s"$catalogName: cannot rename/drop ${s.col} — it is GENERATED " +
+            s"ALWAYS AS (${s.sql})")
+        val srcs = graft.ops.Generated.sourceCols(spark, s)
+        touched.foreach(c => require(!srcs.contains(c.toLowerCase),
+          s"$catalogName: cannot rename/drop $c — generated column " +
+            s"${s.col} = (${s.sql}) derives from it"))
+      }
+    }
     val pcols = TableProps.partitionCols(tr)
     dropSet.foreach(c => require(!pcols.exists(_.equalsIgnoreCase(c)),
       s"$catalogName: cannot drop partition column $c"))
@@ -1738,7 +1840,7 @@ private[catalog] object GraftTables {
     * columns drop from the logical schema.
     */
   private[catalog] def delegate(name: String, tRoot: String,
-      path: String): ParquetTable = {
+      path: String, physicalNames: Boolean = false): ParquetTable = {
     val spark = SparkSession.active
     val mapping = graft.ops.ColMap.load(path)
     val gone = graft.ops.ColMap.dropped(path).map(_.toLowerCase)
@@ -1751,7 +1853,13 @@ private[catalog] object GraftTables {
         Some(org.apache.spark.sql.types.StructType(phys
           .filterNot(f => gone.contains(f.name.toLowerCase)) // DROP tombstones
           .map(f =>
-            f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
+            // the SCAN delegate of a reader-side colmap version keeps
+            // PHYSICAL names (round-16 SPJ through column mapping): the
+            // builder translates pruning/filters logical→physical and
+            // the scan wrapper aliases its read schema back — so the
+            // footer names are what this delegate must resolve against
+            if (physicalNames) f
+            else f.copy(name = physToLogical.getOrElse(f.name.toLowerCase, f.name)))))
       }
     val declared = declared0.map(s => org.apache.spark.sql.types.StructType(
       s.filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)))

@@ -58,6 +58,58 @@ private[graft] trait GraftSnapshotDir {
   * multiple-match check. `WHEN NOT MATCHED BY SOURCE` disables the
   * touched-file optimization — those clauses can rewrite any target row.
   */
+/** `'graft.schema.autoMerge'` (round-16): a table-level opt-in that
+  * makes EVERY merge into the table behave as if it spelled
+  * `WITH SCHEMA EVOLUTION`. Injected in the HINT batch — the flip must
+  * land BEFORE the analyzer expands the merge's star actions, because
+  * Spark's ResolveMergeIntoSchemaEvolution derives the evolution
+  * source-schema from the still-unexpanded stars; an end-of-resolution
+  * flip would always arrive one iteration too late. The target is
+  * still a bare multipart name here, so opt-in resolves through the
+  * catalog manager by hand; any lookup failure means "not opted in"
+  * (the statement then fails or succeeds on its own merits).
+  */
+case class GraftAutoMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if !m.withSchemaEvolution && optedIn(m.targetTable) =>
+      m.copy(withSchemaEvolution = true)
+  }
+
+  private def optedIn(t: LogicalPlan): Boolean =
+    EliminateSubqueryAliases(t) match {
+      case u: UnresolvedRelation => rootFor(u.multipartIdentifier)
+        .exists(graft.ops.TableProps.autoMergeSchema)
+      case r: DataSourceV2Relation => r.table match {
+        case w: GraftWritableTable =>
+          graft.ops.TableProps.autoMergeSchema(w.tableRootPath)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def rootFor(parts: Seq[String]): Option[String] = try {
+    val cm = spark.sessionState.catalogManager
+    def catalogOf(name: String): Option[GraftCatalog] =
+      try cm.catalog(name) match {
+        case g: GraftCatalog => Some(g)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val qualified =
+      if (parts.length >= 2) catalogOf(parts.head).map(_ -> parts.tail)
+      else None
+    val resolved = qualified.orElse(cm.currentCatalog match {
+      case g: GraftCatalog => Some(g -> parts)
+      case _ => None
+    })
+    resolved.map { case (g, rest) =>
+      g.tableRootFor(org.apache.spark.sql.connector.catalog.Identifier
+        .of(rest.init.toArray, rest.last))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 object GraftDmlRule extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftWritableTable)] =
@@ -83,9 +135,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { case (r, w) =>
-        require(!m.withSchemaEvolution,
-          "graft MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-            "ALTER TABLE ... ADD COLUMNS first (additive evolution)")
+        // WITH SCHEMA EVOLUTION needs no handling here: by the time the
+        // merge is resolved, ResolveMergeIntoSchemaEvolution has already
+        // ADDed the source-only columns (metadata-only) and reloaded the
+        // relation — w.tableBaseVersion below IS the evolved version.
         GraftMergeCommand(r, m.sourceTable, m.mergeCondition, m.matchedActions,
           m.notMatchedActions, m.notMatchedBySourceActions,
           w.tableRootPath, w.tableBaseVersion): LogicalPlan
@@ -263,6 +316,12 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     tRoot: String, baseVersion: Long) extends LeafRunnableCommand {
   import GraftDml._
   override def run(spark: SparkSession): Seq[Row] = {
+    // generated columns (round-16): refuse assignments to the column or
+    // its sources on BOTH routes — a stale stored derivation is silent
+    // corruption; unrelated columns update freely
+    graft.ops.Generated.refuseAssignments(spark, tRoot,
+      assignments.flatMap(_.key.collectFirst { case a: Attribute => a.name }),
+      "graft UPDATE")
     // merge-on-read route (B136): same selection as DELETE — table
     // property, or forced by an existing vector (COW would resurrect)
     val morDir = Sinks.versionPath(tRoot, baseVersion)
@@ -388,6 +447,14 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     }
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // generated columns (round-16 boundary): MERGE publishes its output
+    // frames directly (no insert funnel), so a merged row would bypass
+    // the derivation/enforcement projection — refuse rather than store
+    // an unvalidated value. INSERT and UPDATE are the generated doors.
+    require(graft.ops.Generated.specs(tRoot).isEmpty,
+      "graft MERGE into a table with GENERATED ALWAYS AS (expr) columns " +
+        "is unsupported — route inserts through INSERT INTO (derives and " +
+        "enforces) and updates through UPDATE")
     // merge-on-read route (same selection as DELETE/UPDATE): matched
     // update/delete rows' positions join the vector, updated copies and
     // inserts are the commit's only new files — no file rewrites
@@ -442,14 +509,24 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     // the same pinned frame, and generating after the pin would diverge
     // them — so every INSERT action must assign each identity column
     // explicitly. The INSERT door is the generating path.
+    // GENERATED ALWAYS additionally refuses MERGE INSERT outright:
+    // accepting an explicit assignment here would bypass the
+    // explicit-value refusal the INSERT door enforces and risk
+    // collisions with the reservation counter.
     val idSpecs = graft.ops.Identity.specs(tRoot)
     if (idSpecs.nonEmpty) notMatchedActions.foreach {
       case ins: InsertAction => idSpecs.foreach { spec =>
         val attr = target.output.find(_.name.equalsIgnoreCase(spec.col))
-        require(attr.forall(a => assignedValue(ins.assignments, a).isDefined),
-          s"MERGE INSERT must assign identity column ${spec.col} explicitly " +
-            "(MERGE does not generate identity values; route generated " +
-            "inserts through INSERT INTO)")
+        if (attr.isDefined) {
+          require(spec.allowExplicit,
+            s"identity column ${spec.col} is GENERATED ALWAYS — MERGE " +
+              "INSERT cannot supply it (route generated inserts through " +
+              "INSERT INTO)")
+          require(assignedValue(ins.assignments, attr.get).isDefined,
+            s"MERGE INSERT must assign identity column ${spec.col} explicitly " +
+              "(MERGE does not generate identity values; route generated " +
+              "inserts through INSERT INTO)")
+        }
       }
       case _ => ()
     }

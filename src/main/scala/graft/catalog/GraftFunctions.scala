@@ -239,6 +239,19 @@ private[catalog] object GraftBucketFunction extends UnboundFunction {
             thisNumBuckets % otherNumBuckets != 0) null
         else new GraftBucketReducer(otherNumBuckets)
       }
+      /** Spark's TransformExpression.isCompatible/reducers call the
+        * 1-ARG reducer(other) on BOTH sides whenever either side's
+        * numBucketsOpt is empty — e.g. bucket(n, ts) joined against a
+        * days(ts) partitioning under allowCompatibleTransforms. The
+        * interface default throws UnsupportedOperationException, which
+        * would crash planning instead of falling back to the shuffle;
+        * bucket only ever reduces via the 3-arg count-carrying form,
+        * so the count-less form is always "no reduction".
+        */
+      override def reducer(otherFunction: org.apache.spark.sql.connector
+          .catalog.functions.ReducibleFunction[_, _])
+          : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+        null
     }
   }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportPartitioning, SupportsReportStatistics, VariantExtraction}
-import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics, Histogram}
+import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics, Histogram, HistogramBin}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
@@ -100,8 +100,42 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
   with SupportsPushDownAggregates
   with SupportsPushDownVariantExtractions {
 
+  /** Round-16 (SPJ through column mapping): for a reader-side colmap
+    * version the delegate speaks PHYSICAL footer names (the catalog
+    * hands it a physical-schema table), while the plan speaks LOGICAL
+    * names — this builder is the translation boundary. Pruning and
+    * filter pushdown rename logical→physical on the way in; leftover
+    * filters map back to the caller's original expressions; the scan
+    * wrapper re-aliases its read schema logical on the way out.
+    */
+  private lazy val l2p: Map[String, String] =
+    if (MorSpj.readerSide(tRoot, versionDir)) ColMap.load(versionDir)
+    else Map.empty
+
+  private def physName(logical: String): String =
+    l2p.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
+      .getOrElse(logical)
+
+  private def logName(physical: String): String =
+    l2p.collectFirst { case (l, p) if p.equalsIgnoreCase(physical) => l }
+      .getOrElse(physical)
+
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if l2p.exists(_._1.equalsIgnoreCase(a.name)) =>
+      a.withName(physName(a.name))
+  }
+
+  private def toLog(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if l2p.exists(_._2.equalsIgnoreCase(a.name)) =>
+      a.withName(logName(a.name))
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+    if (l2p.isEmpty) inner.pruneColumns(requiredSchema)
+    else inner.pruneColumns(StructType(
+      requiredSchema.map(f => f.copy(name = physName(f.name)))))
 
   /** Hidden transform grids of this version's layout (round-15: ALL
     * transforms — bucket, day/month/year/hour, truncate). A predicate
@@ -126,15 +160,69 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
     }
   }
 
+  /** Generated PARTITION columns (round-16): when the declared
+    * `GENERATED ALWAYS AS (expr)` of a partition column parses as an
+    * invertible zone-free [[graft.ops.Transforms]] shape, a predicate
+    * on the SOURCE column implies a directory predicate on the
+    * generated column — the [[impliedGrid]] pruning with a VISIBLE
+    * identity grid instead of a hidden `_tp_*` one. Shares
+    * HiddenPartitionRule.rewrite (one soundness argument); an implied
+    * predicate the delegate can't consume survives as a harmless
+    * post-scan filter (it is a logical consequence of the original).
+    */
+  private lazy val genPartSpecs: Seq[(StructField, graft.ops.Generated.Spec)] = {
+    val parts = inner.fileIndex.partitionSchema.fields
+    graft.ops.Generated.specs(tRoot).flatMap(s =>
+      parts.find(_.name.equalsIgnoreCase(s.col)).map(_ -> s))
+  }
+
+  private def impliedGen(e: Expression): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    if (genPartSpecs.isEmpty) return Nil
+    val spark = org.apache.spark.sql.SparkSession.active
+    genPartSpecs.flatMap { case (pf, s) =>
+      graft.ops.Generated.asTransform(spark, s, n =>
+        e.references.find(_.name.equalsIgnoreCase(n)).map(_.dataType))
+        .flatMap { t =>
+          e.references.find(_.name.equalsIgnoreCase(t.src)).flatMap { src =>
+            // belt: the shape's image type must be the grid's stored type
+            if (t.dataType(src.dataType) != pf.dataType) None
+            else {
+              val g = AttributeReference(pf.name, pf.dataType, nullable = true)()
+              graft.plans.HiddenPartitionRule.rewrite(e, src, g, t)
+            }
+          }
+        }
+    }
+  }
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // colmap translation first: grids and footers speak physical names
+    val backMap = new java.util.IdentityHashMap[Expression, Expression]()
+    val pushed = filters.map { f =>
+      val t = if (l2p.isEmpty) f else toPhys(f)
+      backMap.put(t, f)
+      t
+    }
+    val genImplied = pushed.flatMap(impliedGen)
     val implied =
-      if (grids.isEmpty) Nil else filters.flatMap(impliedGrid)
-    val leftover = inner.pushFilters(filters ++ implied)
+      (if (grids.isEmpty) Nil else pushed.flatMap(impliedGrid)) ++ genImplied
+    val leftover = inner.pushFilters(pushed ++ implied)
     // implied directory predicates reference the hidden `_tp_*`
-    // attribute — they are consumed as partition filters, but never let
-    // one leak back into the plan (its attribute is not in the output)
+    // attribute (grids) or a FRESH-exprId generated-column attribute
+    // (impliedGen) — they are consumed as partition filters, but never
+    // let one leak back into the plan (the attribute would not resolve
+    // against the relation's output). The fresh exprIds identify an
+    // implied-gen echo even if the delegate rebuilt the expression.
+    val genIds = genImplied.flatMap(_.references.toSeq.map(_.exprId)).toSet
     leftover.filterNot(_.references.exists(a =>
-      graft.ops.Transforms.parse(a.name).isDefined))
+      genIds.contains(a.exprId) ||
+        graft.ops.Transforms.parse(a.name).isDefined))
+      // post-scan residuals must speak the PLAN's (logical) names; the
+      // identity map covers the common pass-through, the structural
+      // rename covers a delegate that rebuilt the expression
+      .map(e => Option(backMap.get(e)).getOrElse(
+        if (l2p.isEmpty) e else toLog(e)))
   }
 
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
@@ -179,9 +267,12 @@ private[graft] final class GraftScanBuilder(inner: ParquetScanBuilder,
     if (scan.pushedAggregate.isDefined) scan
     else if (MorSpj.readerSide(tRoot, versionDir)) {
       // SPJ under deletion vectors / equality deletes: keep the v2
-      // scan, inject the working columns, subtract inside the readers
+      // scan, inject the working columns, subtract inside the readers.
+      // A pure rename/drop mapping needs no subtraction factory — the
+      // wrapper only re-aliases the read schema (morReaderSide=false)
       val (augmented, injected) = MorSpj.augment(scan, versionDir)
-      GraftScan(augmented, tRoot, versionDir, injected, morReaderSide = true)
+      GraftScan(augmented, tRoot, versionDir, injected,
+        morReaderSide = Dv.exists(versionDir) || EqDel.exists(versionDir))
     } else GraftScan(scan, tRoot, versionDir)
   }
 }
@@ -207,20 +298,38 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
 
   // reader-side MOR mode (round-15): the delegate reads the injected
   // working columns (row index, unprojected eq-delete keys); the plan
-  // above sees the requested columns only
-  override def readSchema(): StructType =
-    if (injected.isEmpty) delegate.readSchema()
-    else {
-      val hide = injected.map(_.toLowerCase).toSet
-      StructType(delegate.readSchema().filterNot(f => hide(f.name.toLowerCase)))
-    }
+  // above sees the requested columns only. Round-16: a reader-side
+  // colmap version's delegate reads PHYSICAL names — re-alias to the
+  // plan's logical names here (batches align positionally). Gated on
+  // the SAME readerSide predicate as the builder's l2p: a funnel-bound
+  // (non-readerSide) colmap version's delegate speaks LOGICAL names,
+  // and re-aliasing those through a chained-rename mapping (v→val then
+  // k→v) would mislabel columns.
+  private lazy val p2l: Map[String, String] =
+    if (!MorSpj.readerSide(tRoot, versionDir)) Map.empty
+    else ColMap.load(versionDir).map { case (l, p) => p.toLowerCase -> l }
+
+  override def readSchema(): StructType = {
+    val base =
+      if (injected.isEmpty) delegate.readSchema()
+      else {
+        val hide = injected.map(_.toLowerCase).toSet
+        StructType(delegate.readSchema().filterNot(f => hide(f.name.toLowerCase)))
+      }
+    if (p2l.isEmpty) base
+    else StructType(base.map(f =>
+      f.copy(name = p2l.getOrElse(f.name.toLowerCase, f.name))))
+  }
   override def description(): String = delegate.description()
   override def getMetaData(): Map[String, String] =
     if (!morReaderSide) delegate.getMetaData()
     else delegate.getMetaData() + ("MorReaderSide" -> "true")
+  // round-16: MOR reader-side mode keeps the delegate's columnar reads
+  // — [[MorSubtractReaderFactory]] filters INSIDE the ColumnarBatch via
+  // a selection mapping, so a DV'd/eq-deleted table no longer pays a
+  // table-wide columnar→row downgrade between compactions
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (morReaderSide) Scan.ColumnarSupportMode.UNSUPPORTED
-    else delegate.columnarSupportMode()
+    delegate.columnarSupportMode()
   override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
   override def reportDriverMetrics() = delegate.reportDriverMetrics()
   override def toBatch: Batch = this
@@ -233,9 +342,10 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     delegate.toContinuousStream(checkpointLocation)
   }
   private def requireNoMorStream(): Unit =
-    if (morReaderSide) throw new UnsupportedOperationException(
+    if (morReaderSide || p2l.nonEmpty) throw new UnsupportedOperationException(
       "streaming a snapshot carrying deletion vectors / equality deletes " +
-        "is unsupported: stream the table feed (read_stream) or compact first")
+        "or a column mapping is unsupported: stream the table feed " +
+        "(read_stream) or compact first")
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (morReaderSide) MorSpj.factory(current, versionDir, injected)
@@ -305,10 +415,15 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     // round-15: reader-side MOR subtraction is per-file, so deletion
     // vectors / equality deletes no longer disqualify SPJ — rows are
     // filtered in place and never move between key groups
+    // round-16: a column mapping no longer disqualifies — reader-side
+    // colmap versions scan physical names and re-alias (non-readerSide
+    // colmap versions never reach this wrapper; the funnel serves them)
+    val colmapOk = !ColMap.exists(versionDir) ||
+      MorSpj.readerSide(tRoot, versionDir)
     val clean = layout.nonEmpty &&
       (morReaderSide ||
         (!Dv.exists(versionDir) && !EqDel.exists(versionDir))) &&
-      !ColMap.exists(versionDir) && !Sinks.hasLayoutLegs(versionDir)
+      colmapOk && !Sinks.hasLayoutLegs(versionDir)
     if (!clean) None
     else {
       val keys = layout.fields.toSeq.map { f =>
@@ -410,18 +525,22 @@ private[graft] final case class GraftScan(delegate: ParquetScan,
     (if (spjOn) keyedPartitions else None) match {
       case Some((_, nGroups)) =>
         import graft.ops.Transforms.{Bucket, Day, Hour, Month, Truncate, Year}
+        // reported keys must resolve against the PLAN's output — under
+        // a column mapping the grid dir names carry physical sources,
+        // so alias each reported name back to logical (round-16)
+        def lg(n: String): String = p2l.getOrElse(n.toLowerCase, n)
         val keys = spjKeys.get.map[org.apache.spark.sql.connector.expressions.Expression] {
-          case Left((f, _)) => Expressions.identity(f.name)
-          case Right((b: Bucket, _)) => Expressions.bucket(b.n, b.src)
-          case Right((d: Day, _)) => Expressions.days(d.src)
-          case Right((m: Month, _)) => Expressions.months(m.src)
-          case Right((y: Year, _)) => Expressions.years(y.src)
-          case Right((h: Hour, _)) => Expressions.hours(h.src)
+          case Left((f, _)) => Expressions.identity(lg(f.name))
+          case Right((b: Bucket, _)) => Expressions.bucket(b.n, lg(b.src))
+          case Right((d: Day, _)) => Expressions.days(lg(d.src))
+          case Right((m: Month, _)) => Expressions.months(lg(m.src))
+          case Right((y: Year, _)) => Expressions.years(lg(y.src))
+          case Right((h: Hour, _)) => Expressions.hours(lg(h.src))
           // width rides the NAME: Spark's SPJ accepts only unary
           // transforms (bucket's literal is special-cased), so a
           // two-arg truncate could never drive a shuffle-free join
           case Right((t: Truncate, _)) => Expressions.apply(
-            s"truncate_${t.n}", Expressions.column(t.src))
+            s"truncate_${t.n}", Expressions.column(lg(t.src)))
         }.toArray
         new KeyGroupedPartitioning(keys, nGroups)
       case None => new UnknownPartitioning(0)
@@ -456,7 +575,8 @@ private[graft] object CboStats {
       loL: Option[Long], hiL: Option[Long],
       loD: Option[Double], hiD: Option[Double],
       loT: Option[Long], hiT: Option[Long],
-      decScale: Option[Int], hll: Option[Array[Byte]])
+      decScale: Option[Int], hll: Option[Array[Byte]],
+      hist: Option[Seq[Double]])
   private final case class FileStats(rows: Long, cols: Map[String, ColRow])
 
   /** Session-scoped memo per immutable version dir, stamped with the
@@ -483,7 +603,8 @@ private[graft] object CboStats {
       val rows = raw.select(c("file"), c("col"), c("rows"), c("nulls"),
         c("has_stats"), c("lo_l"), c("hi_l"), c("lo_d"), c("hi_d"),
         opt("lo_t", LongType), opt("hi_t", LongType),
-        opt("dec_scale", IntegerType), opt("hll", BinaryType)).collect()
+        opt("dec_scale", IntegerType), opt("hll", BinaryType),
+        opt("hist", ArrayType(DoubleType))).collect()
       def optAt[T](r: org.apache.spark.sql.Row, i: Int): Option[T] =
         if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
       rows.groupBy(_.getString(0)).map { case (file, rs) =>
@@ -492,7 +613,8 @@ private[graft] object CboStats {
             r.getBoolean(4), optAt[Long](r, 5), optAt[Long](r, 6),
             optAt[Double](r, 7), optAt[Double](r, 8),
             optAt[Long](r, 9), optAt[Long](r, 10),
-            optAt[Int](r, 11), optAt[Array[Byte]](r, 12))
+            optAt[Int](r, 11), optAt[Array[Byte]](r, 12),
+            optAt[scala.collection.Seq[Double]](r, 13).map(_.toSeq))
         }.toMap)
       }
     })
@@ -587,6 +709,7 @@ private[graft] object CboStats {
           .heapify(org.apache.datasketches.memory.Memory.wrap(c.hll.get))))
         OptionalLong.of(Math.round(u.getEstimate))
       } else OptionalLong.empty()
+    val hist: Optional[Histogram] = mergedHistogram(f, bearing, distinct)
     Some(new ColumnStatistics {
       override def distinctCount(): OptionalLong = distinct
       override def min(): Optional[Object] = minV
@@ -594,7 +717,83 @@ private[graft] object CboStats {
       override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
       override def avgLen(): OptionalLong = OptionalLong.empty()
       override def maxLen(): OptionalLong = OptionalLong.empty()
-      override def histogram(): Optional[Histogram] = Optional.empty()
+      override def histogram(): Optional[Histogram] = hist
+    })
+  }
+
+  /** Merge the per-file equi-height quantile boundaries (round-16
+    * `graft.histogram.columns`) into ONE table-level equi-height
+    * histogram. Each file's boundaries define a piecewise-linear CDF
+    * weighted by its non-null row count; the global CDF is their sum,
+    * inverted at the [[Stats.HistBins]]+1 target quantiles. Exactly the
+    * textbook sketch-merge for equi-height histograms — approximate,
+    * but the skew signal (a heavy value collapsing several bins to a
+    * point, served with ndv 1) survives the merge, which is what flips
+    * FilterEstimation from the rows/ndv uniform guess. Numeric family
+    * only (the annotator records nothing for other types); declines
+    * (empty) unless EVERY value-bearing file carries boundaries.
+    */
+  private def mergedHistogram(f: StructField, bearing: Seq[ColRow],
+      distinct: OptionalLong): Optional[Histogram] = {
+    val numeric = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType => true
+      case _ => false
+    }
+    if (!numeric || bearing.isEmpty || !bearing.forall(_.hist.isDefined))
+      return Optional.empty()
+    val parts = bearing.map(c => (c.hist.get, (c.rows - c.nulls).toDouble))
+      .filter { case (bs, w) => bs.size >= 2 && w > 0 }
+    if (parts.isEmpty) return Optional.empty()
+    val totalW = parts.map(_._2).sum
+    // weighted CDF count at x: piecewise-linear inside each file's
+    // boundary list, step on repeated boundaries (heavy values)
+    def countAt(x: Double): Double = parts.map { case (bs, w) =>
+      val n = bs.size - 1
+      if (x < bs.head) 0.0
+      else if (x >= bs.last) w
+      else {
+        var i = 0
+        // the HIGHEST segment whose lower boundary is <= x — repeated
+        // boundaries (a value plateau) then contribute their full mass
+        while (i + 1 < n && bs(i + 1) <= x) i += 1
+        val (lo, hi) = (bs(i), bs(i + 1))
+        val frac = if (hi <= lo) 1.0 else (x - lo) / (hi - lo)
+        w * (i + math.min(1.0, math.max(0.0, frac))) / n
+      }
+    }.sum
+    val candidates = parts.flatMap(_._1).distinct.sorted.toIndexedSeq
+    val counts = candidates.map(countAt)
+    val nBins = graft.ops.Stats.HistBins
+    // invert: boundary j at target count j * totalW / nBins, linear
+    // interpolation between bracketing candidates
+    val bounds = (0 to nBins).map { j =>
+      val target = totalW * j / nBins
+      if (target <= counts.head) candidates.head
+      else if (target >= counts.last) candidates.last
+      else {
+        val k = counts.lastIndexWhere(_ <= target)
+        val (c0, c1) = (counts(k), counts(math.min(k + 1, counts.size - 1)))
+        val (x0, x1) = (candidates(k), candidates(math.min(k + 1, candidates.size - 1)))
+        if (c1 <= c0) x0 else x0 + (x1 - x0) * (target - c0) / (c1 - c0)
+      }
+    }
+    val totalNdv = if (distinct.isPresent) distinct.getAsLong else 0L
+    val spreadBins = (0 until nBins).count(j => bounds(j + 1) > bounds(j))
+    val binNdv = (j: Int) =>
+      if (bounds(j + 1) <= bounds(j)) 1L // point bin: one heavy value
+      else if (totalNdv > 0L) math.max(1L, totalNdv / math.max(spreadBins, 1))
+      else math.max(1L, (totalW / nBins).toLong)
+    val binArr: Array[HistogramBin] = (0 until nBins).map { j =>
+      new HistogramBin {
+        override def lo(): Double = bounds(j)
+        override def hi(): Double = bounds(j + 1)
+        override def ndv(): Long = binNdv(j)
+      }: HistogramBin
+    }.toArray
+    Optional.of(new Histogram {
+      override def height(): Double = totalW / nBins
+      override def bins(): Array[HistogramBin] = binArr
     })
   }
 }

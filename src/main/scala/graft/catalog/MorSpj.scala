@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 import graft.ops.{ColMap, Dv, EqDel, Roaring, Sinks, Transforms}
 
@@ -122,12 +123,27 @@ private[graft] object MorSpj {
   private def compute(root: String, dir: String): Boolean = {
     val hasDv = Dv.exists(dir)
     val hasEq = EqDel.exists(dir)
-    if (!hasDv && !hasEq) return false
-    if (ColMap.exists(dir) || Sinks.hasLayoutLegs(dir)) return false
+    val hasMap = ColMap.exists(dir)
+    if (!hasDv && !hasEq && !hasMap) return false
+    if (Sinks.hasLayoutLegs(dir)) return false
+    // Round-16 (SPJ through column mapping): RENAME/DROP markers are
+    // pure per-file NAME aliasing — the scan builder prunes/pushes in
+    // physical names and the scan re-aliases its read schema to
+    // logical, partition-locally, so a rename no longer drops a
+    // co-located join back to the full shuffle until compaction.
+    // Metadata-only ADDs and WIDENs stay on the funnel (they change
+    // the value/type surface, not just names), and eq-deletes under a
+    // mapping stay on the funnel too (the tombstone sidecar speaks
+    // physical names against the funnel's reconstructed rows).
+    if (hasMap) {
+      if (ColMap.added(dir).nonEmpty || ColMap.widened(dir).nonEmpty)
+        return false
+      if (hasEq) return false
+    }
     // stored sidecar keys are URI-encoded file subpaths — the per-file
     // prefix strip needs a URI-transparent dir (same contract as the
     // funnel's relKey)
-    if (!Dv.safeDir(dir)) return false
+    if ((hasDv || hasEq) && !Dv.safeDir(dir)) return false
     // SPJ-capable layout: any partitioned layout (identity and/or
     // transform grids — round-15 serves range transforms on the v2
     // path too). Unpartitioned tables keep the funnel: no shuffle to
@@ -136,6 +152,7 @@ private[graft] object MorSpj {
     if (!spjCapable) return false
     if (hasDv && sidecarBytes(Paths.get(dir, Dv.Sidecar)) > MaxDvBytes)
       return false
+    if (!hasDv && !hasEq) return true // pure rename/drop mapping
     val spark = SparkSession.active
     val tableSchema = Sinks.readSchemaFor(spark, root, dir)
       .getOrElse(spark.read.parquet(dir).schema)
@@ -150,6 +167,14 @@ private[graft] object MorSpj {
       val delSchema = spark.read.parquet(s"$dir/${EqDel.Sidecar}").schema
       val keys = delSchema.filterNot(_.name == SeqCol)
       if (keys.isEmpty) return false
+      // a key that IS a partition column lives in directory values, not
+      // in the data files — [[augment]] can only source unprojected keys
+      // from the scan's dataSchema, so such versions take the funnel
+      // (whose join sees the reconstructed full row) instead of failing
+      // at scan build
+      val partCols = Sinks.partitionSchemaFor(root, dir)
+        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      if (keys.exists(k => partCols(k.name.toLowerCase))) return false
       // exact-type match against the table column: the reader-side
       // lookup compares INTERNAL values with no implicit cast
       keys.forall { k =>
@@ -190,37 +215,52 @@ private[graft] object MorSpj {
     (scan.copy(readDataSchema = data), injected.result())
   }
 
-  /** Build the wrapping reader factory for the (already augmented)
-    * current scan. Driver-side: collects the metadata-scale sidecars
-    * (bitmaps, tombstone keys, file sequence stamps) under the
-    * [[readerSide]] byte budgets.
+  /** Schema-independent cached half of the subtraction payload: decoded
+    * bitmap entries, tombstone key tuples by key NAME, file sequence
+    * stamps. Key ordinals/types re-resolve per query projection.
     */
-  private[graft] def factory(current: ParquetScan, dir: String,
-      injected: Seq[String]): PartitionReaderFactory = {
-    val spark = current.sparkSession
-    val full = current.readSchema().fields
-    val injectedLower = injected.map(_.toLowerCase).toSet
-    val outputOrdinals = full.indices
-      .filter(i => !injectedLower(full(i).name.toLowerCase)).toArray
-    val rowIdxOrdinal = full.indexWhere(_.name == RowIdxName)
+  private final case class SideCache(dv: Array[(String, Array[Byte])],
+      eqKeys: Seq[String], maxSeq: Map[Vector[Any], Long],
+      fileSeq: Map[String, Long])
+
+  // round-16: the sidecar collection costs 1-3 driver jobs; on a hot
+  // table that fixed cost used to recur on EVERY query. Version dirs
+  // are immutable once published, so the payload memoizes per
+  // (session, dir) — stamped with the sidecar part counts + mtimes so
+  // a repaired/retrofitted sidecar misses instead of serving stale
+  // tombstones (the CboStats discipline). Small cap: budgets allow a
+  // 256 MB bitmap payload, so keep few entries rather than many.
+  private val sideMemo = new ConcurrentHashMap[String, SideCache]()
+
+  private def sideStamp(dir: String): String =
+    Seq(Dv.Sidecar, EqDel.Sidecar, EqDel.SeqSidecar).map { s =>
+      val d = Paths.get(dir, s)
+      if (!Files.isDirectory(d)) "-"
+      else {
+        val parts = graft.io.Fs.listDir(d)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        s"${parts.size}:${if (parts.isEmpty) 0L
+          else parts.map(p => Files.getLastModifiedTime(p).toMillis).max}"
+      }
+    }.mkString(",")
+
+  private def sidecars(spark: SparkSession, dir: String): SideCache = {
+    val key = s"${org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark)}|" +
+      s"$dir|${sideStamp(dir)}"
+    val hit = sideMemo.get(key)
+    if (hit != null) return hit
     val dvEntries = Dv.bitmapEntries(spark, dir)
-    val eq: Option[MorEqPayload] =
-      if (!EqDel.exists(dir)) None
+    val (eqKeys, maxSeq, fileSeq) =
+      if (!EqDel.exists(dir)) (Nil, Map.empty[Vector[Any], Long], Map.empty[String, Long])
       else {
         import org.apache.spark.sql.functions.{col, max}
         val dels = spark.read.parquet(s"$dir/${EqDel.Sidecar}")
         val keys = dels.columns.filterNot(_ == SeqCol).toSeq
-        val keyOrdinals = keys.map(k =>
-          full.indexWhere(_.name.equalsIgnoreCase(k))).toArray
-        require(keyOrdinals.forall(_ >= 0),
-          s"eq-delete key columns ${keys.mkString(",")} not all present in " +
-            s"the augmented read schema of $dir")
-        val keyTypes = keyOrdinals.map(full(_).dataType)
-        val converters = keys.zip(keyTypes).map { case (_, dt) =>
+        val converters = dels.schema.filter(f => keys.contains(f.name)).map { f =>
           org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .createToCatalystConverter(dt)
+            .createToCatalystConverter(f.dataType)
         }
-        val maxSeq: Map[Vector[Any], Long] = dels
+        val ms: Map[Vector[Any], Long] = dels
           .groupBy(keys.map(col): _*)
           .agg(max(col(SeqCol)).as(SeqCol))
           .collect()
@@ -232,15 +272,46 @@ private[graft] object MorSpj {
             else Some(vals.toVector -> r.getLong(keys.length))
           }.toMap
         val seqDir = Paths.get(dir, EqDel.SeqSidecar)
-        val fileSeq: Map[String, Long] =
+        val fs: Map[String, Long] =
           if (!Files.isDirectory(seqDir)) Map.empty
           else spark.read.parquet(seqDir.toString)
             .groupBy(col("file")).agg(max(col("seq")).as("seq"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        Some(MorEqPayload(keyOrdinals, keyTypes, maxSeq, fileSeq))
+        (keys, ms, fs)
+      }
+    val computed = SideCache(dvEntries, eqKeys, maxSeq, fileSeq)
+    if (sideMemo.size > 8) sideMemo.clear()
+    sideMemo.put(key, computed)
+    computed
+  }
+
+  /** Build the wrapping reader factory for the (already augmented)
+    * current scan. Driver-side: collects the metadata-scale sidecars
+    * (bitmaps, tombstone keys, file sequence stamps) under the
+    * [[readerSide]] byte budgets — memoized per immutable version dir.
+    */
+  private[graft] def factory(current: ParquetScan, dir: String,
+      injected: Seq[String]): PartitionReaderFactory = {
+    val spark = current.sparkSession
+    val full = current.readSchema().fields
+    val injectedLower = injected.map(_.toLowerCase).toSet
+    val outputOrdinals = full.indices
+      .filter(i => !injectedLower(full(i).name.toLowerCase)).toArray
+    val rowIdxOrdinal = full.indexWhere(_.name == RowIdxName)
+    val side = sidecars(spark, dir)
+    val eq: Option[MorEqPayload] =
+      if (!EqDel.exists(dir)) None
+      else {
+        val keyOrdinals = side.eqKeys.map(k =>
+          full.indexWhere(_.name.equalsIgnoreCase(k))).toArray
+        require(keyOrdinals.forall(_ >= 0),
+          s"eq-delete key columns ${side.eqKeys.mkString(",")} not all " +
+            s"present in the augmented read schema of $dir")
+        val keyTypes = keyOrdinals.map(full(_).dataType)
+        Some(MorEqPayload(keyOrdinals, keyTypes, side.maxSeq, side.fileSeq))
       }
     new MorSubtractReaderFactory(current.createReaderFactory(),
-      s"$dir/", dvEntries, eq, full.map(_.dataType), full.map(_.nullable),
+      s"$dir/", side.dv, eq, full.map(_.dataType), full.map(_.nullable),
       outputOrdinals, rowIdxOrdinal)
   }
 }
@@ -259,10 +330,19 @@ private[graft] final case class MorEqPayload(
   * Creates one delegate reader per file chunk (so file identity is
   * known without `_metadata`), resolves that file's bitmap containers
   * and sequence stamp once, filters rows, and projects the injected
-  * working columns away. Row-based by construction ([[GraftScan
-  * .columnarSupportMode]] reports UNSUPPORTED in MOR mode) — the
-  * delegate still READS vectorized internally and serves batch-backed
-  * rows, so the scan keeps parquet's columnar decode.
+  * working columns away.
+  *
+  * Round-16: the wrapper keeps the delegate's COLUMNAR reads. When the
+  * delegate serves ColumnarBatches (the vectorized parquet path), each
+  * batch is filtered by a selection MAPPING — an `Int` array of the
+  * surviving positions — and the output batch re-exposes the projected
+  * columns through [[MorFilterVector]]s that redirect every accessor
+  * via that mapping (the Iceberg/Delta DV-reader design: filter inside
+  * the batch, zero row materialization). A batch with no hits passes
+  * the delegate's own vectors through untouched (minus the injected
+  * working columns), so a mostly-clean table pays ~an int-array scan
+  * per batch, not a columnar→row downgrade. The parquet-mr path keeps
+  * the row-at-a-time subtraction below.
   */
 private[graft] final class MorSubtractReaderFactory(
     inner: PartitionReaderFactory,
@@ -275,17 +355,58 @@ private[graft] final class MorSubtractReaderFactory(
     rowIdxOrdinal: Int)
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  private lazy val dvByFile: java.util.HashMap[String, Array[Byte]] = {
+    val m = new java.util.HashMap[String, Array[Byte]](dvEntries.length * 2 + 1)
+    dvEntries.foreach { case (f, b) => m.put(f, b) }
+    m
+  }
+
+  /** Per-file subtraction state: the file's decoded bitmap containers
+    * (null = no DV) and its eq-delete sequence stamp.
+    */
+  private def fileState(pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : (java.util.TreeMap[Long, Roaring.Container], Long) = {
+    val path = pf.filePath.toString
+    // fail LOUDLY on a mismatch — silently skipping the lookup would
+    // resurrect deleted rows. SparkPath spells the scheme "file:///x";
+    // `_metadata.file_path` (the stored-key side) spells it "file:/x"
+    // — locate the dir itself, not the scheme prefix (dir is
+    // URI-transparent per readerSide)
+    val i = path.indexOf(prefix)
+    require(i >= 0, s"MOR reader: file $path outside version dir $prefix")
+    val rel = path.substring(i + prefix.length)
+    val bytes = if (dvEntries.isEmpty) null else dvByFile.get(rel)
+    val containers = if (bytes == null) null else Roaring.readContainers(bytes)
+    val fseq = eqDel.map(_.fileSeq.getOrElse(rel, -1L)).getOrElse(-1L)
+    (containers, fseq)
+  }
+
+  /** True iff a live tombstone (sequence AFTER the row's file stamp)
+    * carries this row's key. `r` may be any InternalRow view — the row
+    * path's batch-backed row or the columnar path's ColumnarBatchRow.
+    */
+  private def eqDeleted(r: InternalRow, curFseq: Long): Boolean = {
+    if (eqDel.isEmpty) return false
+    val p = eqDel.get
+    var i = 0
+    val n = p.keyOrdinals.length
+    val key = new Array[Any](n)
+    while (i < n) {
+      val ord = p.keyOrdinals(i)
+      if (r.isNullAt(ord)) return false // null keys never match
+      key(i) = r.get(ord, p.keyTypes(i))
+      i += 1
+    }
+    p.maxSeq.get(key.toVector).exists(_ > curFseq)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
     new PartitionReader[InternalRow] {
       private val files = fp.files
-      private lazy val dvByFile: java.util.HashMap[String, Array[Byte]] = {
-        val m = new java.util.HashMap[String, Array[Byte]](dvEntries.length * 2 + 1)
-        dvEntries.foreach { case (f, b) => m.put(f, b) }
-        m
-      }
       private lazy val project: UnsafeProjection = UnsafeProjection.create(
         outputOrdinals.toIndexedSeq.map(i =>
           BoundReference(i, fullTypes(i), fullNullable(i))))
@@ -296,46 +417,20 @@ private[graft] final class MorSubtractReaderFactory(
       private var curFseq = -1L
       private var ready: InternalRow = null
 
-      private def eqDeleted(r: InternalRow): Boolean = {
-        if (eqDel.isEmpty) return false
-        val p = eqDel.get
-        var i = 0
-        val n = p.keyOrdinals.length
-        val key = new Array[Any](n)
-        while (i < n) {
-          val ord = p.keyOrdinals(i)
-          if (r.isNullAt(ord)) return false // null keys never match
-          key(i) = r.get(ord, p.keyTypes(i))
-          i += 1
-        }
-        p.maxSeq.get(key.toVector).exists(_ > curFseq)
-      }
-
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
             if (idx >= files.length) return false
             val pf = files(idx); idx += 1
-            val path = pf.filePath.toString
-            // fail LOUDLY on a mismatch — silently skipping the lookup
-            // would resurrect deleted rows. SparkPath spells the scheme
-            // "file:///x"; `_metadata.file_path` (the stored-key side)
-            // spells it "file:/x" — locate the dir itself, not the
-            // scheme prefix (dir is URI-transparent per readerSide)
-            val i = path.indexOf(prefix)
-            require(i >= 0,
-              s"MOR reader: file $path outside version dir $prefix")
-            val rel = path.substring(i + prefix.length)
-            val bytes = if (dvEntries.isEmpty) null else dvByFile.get(rel)
-            curContainers =
-              if (bytes == null) null else Roaring.readContainers(bytes)
-            curFseq = eqDel.map(_.fileSeq.getOrElse(rel, -1L)).getOrElse(-1L)
+            val st = fileState(pf)
+            curContainers = st._1
+            curFseq = st._2
             cur = inner.createReader(FilePartition(0, Array(pf)))
           } else if (cur.next()) {
             val r = cur.get()
             val dvDel = curContainers != null &&
               Roaring.containsIn(curContainers, r.getLong(rowIdxOrdinal))
-            if (!dvDel && !eqDeleted(r)) {
+            if (!dvDel && !eqDeleted(r, curFseq)) {
               ready = project(r)
               return true
             }
@@ -350,4 +445,111 @@ private[graft] final class MorSubtractReaderFactory(
       override def close(): Unit = if (cur != null) { cur.close(); cur = null }
     }
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    new PartitionReader[ColumnarBatch] {
+      private val files = fp.files
+      private var idx = 0
+      private var cur: PartitionReader[ColumnarBatch] = null
+      private var curContainers: java.util.TreeMap[Long, Roaring.Container] = null
+      private var curFseq = -1L
+      private var ready: ColumnarBatch = null
+      // mapping scratch, grown to the largest batch seen
+      private var mapping: Array[Int] = new Array[Int](0)
+
+      /** Filter one delegate batch. Returns null when every row died. */
+      private def subtract(batch: ColumnarBatch): ColumnarBatch = {
+        val n = batch.numRows()
+        val dvVec = if (curContainers == null) null else batch.column(rowIdxOrdinal)
+        if (mapping.length < n) mapping = new Array[Int](n)
+        var live = 0
+        var r = 0
+        val checkEq = eqDel.isDefined
+        while (r < n) {
+          val dvDel = dvVec != null &&
+            Roaring.containsIn(curContainers, dvVec.getLong(r))
+          if (!dvDel && !(checkEq && eqDeleted(batch.getRow(r), curFseq))) {
+            mapping(live) = r
+            live += 1
+          }
+          r += 1
+        }
+        if (live == 0) return null
+        val cols: Array[ColumnVector] =
+          if (live == n) outputOrdinals.map(batch.column)
+          else {
+            val m = java.util.Arrays.copyOf(mapping, live)
+            outputOrdinals.map(i => new MorFilterVector(batch.column(i), m)
+              : ColumnVector)
+          }
+        new ColumnarBatch(cols, live)
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (idx >= files.length) return false
+            val pf = files(idx); idx += 1
+            val st = fileState(pf)
+            curContainers = st._1
+            curFseq = st._2
+            cur = inner.createColumnarReader(FilePartition(0, Array(pf)))
+          } else if (cur.next()) {
+            val out = subtract(cur.get())
+            if (out != null) { ready = out; return true }
+          } else {
+            cur.close(); cur = null
+          }
+        }
+        false // unreachable
+      }
+
+      override def get(): ColumnarBatch = ready
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+}
+
+/** A [[ColumnVector]] view that redirects every accessor through a
+  * selection mapping (`mapping(i)` = the delegate position of output
+  * row `i`). Struct children wrap recursively with the SAME mapping
+  * (a ColumnarRow reads fields via `getChild(f).get*(rowId)`);
+  * array/map payloads need no wrapping because `getArray`/`getMap`
+  * return the DELEGATE's offsets into the delegate's own child
+  * vectors. The delegate's lifecycle stays with the delegate reader —
+  * `close()` is a no-op so the shared underlying buffers are never
+  * double-freed.
+  */
+private[graft] final class MorFilterVector(
+    delegate: ColumnVector, mapping: Array[Int])
+  extends ColumnVector(delegate.dataType()) {
+
+  override def close(): Unit = ()
+  // over-approximation is SAFE (consumers only fast-path when false),
+  // and exact counting would cost a full scan per accessor call
+  override def hasNull: Boolean = delegate.hasNull
+  override def numNulls: Int = delegate.numNulls
+  override def isNullAt(rowId: Int): Boolean = delegate.isNullAt(mapping(rowId))
+  override def getBoolean(rowId: Int): Boolean = delegate.getBoolean(mapping(rowId))
+  override def getByte(rowId: Int): Byte = delegate.getByte(mapping(rowId))
+  override def getShort(rowId: Int): Short = delegate.getShort(mapping(rowId))
+  override def getInt(rowId: Int): Int = delegate.getInt(mapping(rowId))
+  override def getLong(rowId: Int): Long = delegate.getLong(mapping(rowId))
+  override def getFloat(rowId: Int): Float = delegate.getFloat(mapping(rowId))
+  override def getDouble(rowId: Int): Double = delegate.getDouble(mapping(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    delegate.getArray(mapping(rowId))
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    delegate.getMap(mapping(rowId))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    delegate.getDecimal(mapping(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    delegate.getUTF8String(mapping(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = delegate.getBinary(mapping(rowId))
+  override def getInterval(rowId: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    delegate.getInterval(mapping(rowId))
+  override def getChild(ordinal: Int): ColumnVector =
+    new MorFilterVector(delegate.getChild(ordinal), mapping)
 }

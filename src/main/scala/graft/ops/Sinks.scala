@@ -708,13 +708,18 @@ object Sinks
       // set AND mark themselves for the per-file HLL sketch
       val effNdv = TableProps.ndvColumns(root)
         .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      // declared histogram columns (round-16) join the stats set and
+      // mark themselves for the per-file equi-height quantile pass
+      val effHist = TableProps.histogramColumns(root)
+        .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
       val effStats =
         ((if (statsCols.nonEmpty) statsCols
           else TableProps.statsColumns(root)) ++ TableProps.clusterColumns(root)
-          ++ effNdv)
+          ++ effNdv ++ effHist)
           .distinct.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
       if (effStats.nonEmpty)
-        Stats.annotate(df.sparkSession, stage.toString, effStats, effNdv)
+        Stats.annotate(df.sparkSession, stage.toString, effStats, effNdv,
+          histCols = effHist)
       // B123: build the point-lookup sidecar in staging so data and
       // bloom index land in ONE atomic commit (the post-commit
       // Bloom.annotate path stays available for existing tables).
@@ -1175,13 +1180,16 @@ object Sinks
       // the Delta/Iceberg collect-stats-inside-every-commit behavior
       val effNdv = TableProps.ndvColumns(root).map(c =>
         baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
+      val effHist = TableProps.histogramColumns(root).map(c =>
+        baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val declaredStats = (TableProps.statsColumns(root) ++
-          TableProps.clusterColumns(root) ++ effNdv).distinct.map(c =>
+          TableProps.clusterColumns(root) ++ effNdv ++ effHist).distinct.map(c =>
         baseMapDir.fold(c)(d => ColMap.toPhysicalName(d, c)))
       val effStats =
         if (statsCols.nonEmpty)
           (baseMapDir.fold(statsCols)(d =>
-            statsCols.map(ColMap.toPhysicalName(d, _))) ++ effNdv).distinct
+            statsCols.map(ColMap.toPhysicalName(d, _))) ++ effNdv ++ effHist)
+            .distinct
         else (expected.toSeq.flatMap(v =>
           Stats.sidecarCols(spark, versionPath(root, v))) ++ declaredStats)
           .distinct
@@ -1441,12 +1449,13 @@ object Sinks
           .map(p => (p.toString, stage.relativize(p).toString))
           .filter { case (_, key) => !colSet.subsetOf(covered.getOrElse(key, Set.empty)) }
         Stats.annotatePairs(spark, stage.toString, missing, effStats,
-          append = true, ndvCols = effNdv)
+          append = true, ndvCols = effNdv, histCols = effHist)
       }
       // sidecar checkpoint: one fresh footer pass over the whole staged
       // table (carried + new files — metadata-scale) replaces the pile
       if (checkpointStats)
-        Stats.annotate(spark, stage.toString, effStats, effNdv)
+        Stats.annotate(spark, stage.toString, effStats, effNdv,
+          histCols = effHist)
       stampOp(stage, opTag)
       stage
     } catch {

@@ -62,9 +62,15 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
     }
     val foreign = entries.filter { p =>
       val n = p.getFileName.toString
+      // the streaming CDC feed dir is a LIVE root-level artifact (its
+      // name is not underscore-prefixed): sweeping it would erase the
+      // whole change feed + _RECONCILED watermark of any feed-enabled
+      // table idle past the age window — the retention vacuum in this
+      // file reconciles the feed before evicting versions for exactly
+      // that reason, so the orphan pass must never treat it as foreign.
       val referenced = isVersionDir(n) || n == "_CURRENT" || n == "_PROPS" ||
         n == "_LOCK" || n == "_tags" || n.startsWith(".stage-") ||
-        n.startsWith("_txn-")
+        n.startsWith("_txn-") || n == FeedDir
       !referenced && oldEnough(p)
     }
     val tagTmps = {

@@ -60,7 +60,8 @@ case class FileColStat(file: String, col: String, rows: Long, nulls: Long,
     t_exact: Option[Boolean] = None,
     s_exact: Option[Boolean] = None,
     sum_l: Option[Long] = None,
-    hll: Option[Array[Byte]] = None)
+    hll: Option[Array[Byte]] = None,
+    hist: Option[Seq[Double]] = None)
 
 /** File-level data skipping over parquet tables (the Delta/Iceberg
   * "file statistics" capability): per-file min/max collected from parquet
@@ -169,7 +170,7 @@ object Stats {
     * full scan, not a wrong answer.
     */
   def annotate(spark: SparkSession, dir: String, cols: Seq[String],
-      ndvCols: Seq[String] = Nil): Unit = {
+      ndvCols: Seq[String] = Nil, histCols: Seq[String] = Nil): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     // recursive: a partitioned version nests its files under col=val/
     // dirs; sidecars are _-prefixed and excluded by the walk. Each file
@@ -177,7 +178,8 @@ object Stats {
     // executors must not re-derive it from a path they didn't list)
     val files = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir))
       .map(p => (p.toString, relKey(dir, p.toString))).sorted
-    annotatePairs(spark, dir, files, cols, append = false, ndvCols = ndvCols)
+    annotatePairs(spark, dir, files, cols, append = false, ndvCols = ndvCols,
+      histCols = histCols)
   }
 
   /** The shared footer pass of [[annotate]], over an EXPLICIT file list
@@ -190,7 +192,8 @@ object Stats {
     */
   private[graft] def annotatePairs(spark: SparkSession, dir: String,
       files: Seq[(String, String)], cols: Seq[String],
-      append: Boolean, ndvCols: Seq[String] = Nil): Unit = {
+      append: Boolean, ndvCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Unit = {
     require(cols.nonEmpty, "annotate requires at least one column")
     import spark.implicits._
     if (files.isEmpty) return
@@ -215,7 +218,9 @@ object Stats {
       }
     val ndvSet = ndvCols.map(ColMap.toPhysicalName(dir, _))
       .filter(n => colSet.exists(_.equalsIgnoreCase(n)))
-    val upgraded = exactDataPass(spark, files, colSet, stats, ndvSet)
+    val histSet = histCols.map(ColMap.toPhysicalName(dir, _))
+      .filter(n => colSet.exists(_.equalsIgnoreCase(n)))
+    val upgraded = exactDataPass(spark, files, colSet, stats, ndvSet, histSet)
     upgraded.coalesce(1).write.mode(if (append) "append" else "overwrite")
       .parquet(s"$dir/$Sidecar")
     // an in-place retrofit of an already-memoized version dir must not
@@ -229,6 +234,14 @@ object Stats {
     * row (pruning-grade or keep-always) rather than bloat the sidecar.
     */
   private[graft] val MaxExactString = 4096
+
+  /** Equi-height histogram bin count (round-16 `graft.histogram.columns`)
+    * — shared by the annotate pass (bins+1 quantile boundaries per file)
+    * and [[graft.catalog.CboStats]]'s merge. 32 matches catalyst's
+    * ANALYZE default magnitude: enough buckets to see skew, still
+    * metadata-sized (33 doubles per file × column).
+    */
+  private[graft] val HistBins = 32
 
   /** Round-14 upgrade of the footer pass — ONE column-pruned scan of
     * exactly the files being annotated (O(delta) in the linked funnels,
@@ -259,7 +272,7 @@ object Stats {
   private def exactDataPass(spark: SparkSession,
       files: Seq[(String, String)], colSet: Seq[String],
       stats: org.apache.spark.sql.Dataset[FileColStat],
-      ndvCols: Seq[String] = Nil)
+      ndvCols: Seq[String] = Nil, histCols: Seq[String] = Nil)
       : org.apache.spark.sql.Dataset[FileColStat] = {
     import org.apache.spark.sql.types._
     // requested columns present across ALL listed files (a retrofit
@@ -291,7 +304,19 @@ object Stats {
             f.dataType == IntegerType || f.dataType == LongType =>
           (c, col(f.name).cast(LongType))
       })
-    if (stringCols.isEmpty && intCols.isEmpty && ndvSel.isEmpty) return stats
+    // CBO histogram columns (round-16 'graft.histogram.columns'):
+    // per-file equi-height quantile boundaries ([[HistBins]]+1 values)
+    // over the numeric family, in the DOUBLE of the catalyst-internal
+    // value — the domain FilterEstimation's histogram math runs in.
+    val histSel: Seq[(String, org.apache.spark.sql.Column)] =
+      histCols.flatMap(c => canonical(c).collect {
+        case f if f.dataType == ByteType || f.dataType == ShortType ||
+            f.dataType == IntegerType || f.dataType == LongType ||
+            f.dataType == FloatType || f.dataType == DoubleType =>
+          (c, col(f.name).cast(DoubleType))
+      })
+    if (stringCols.isEmpty && intCols.isEmpty && ndvSel.isEmpty &&
+      histSel.isEmpty) return stats
     // one flat per-file aggregate (aliases are positional — column
     // names never leak into identifiers); column pruning keeps the
     // read to exactly the annotated columns
@@ -303,7 +328,11 @@ object Stats {
         Seq(sum(col(f).cast(DecimalType(38, 0))).as(s"_gf_isum_$i"),
           count(col(f)).as(s"_gf_inn_$i")) } ++
       ndvSel.zipWithIndex.map { case ((_, e), i) =>
-        hll_sketch_agg(e).as(s"_gf_hll_$i") }
+        hll_sketch_agg(e).as(s"_gf_hll_$i") } ++
+      histSel.zipWithIndex.map { case ((_, e), i) =>
+        percentile_approx(e,
+          lit((0 to HistBins).map(_.toDouble / HistBins).toArray),
+          lit(10000)).as(s"_gf_hist_$i") }
     val perFile = spark.read.option("mergeSchema", "true")
       .parquet(files.map(_._1): _*)
       .groupBy(input_file_name().as("_gf_uri"))
@@ -323,6 +352,8 @@ object Stats {
       .empty[(String, String), (java.math.BigDecimal, Long)]
     val hVals = scala.collection.mutable.Map
       .empty[(String, String), Array[Byte]]
+    val qVals = scala.collection.mutable.Map
+      .empty[(String, String), Seq[Double]]
     perFile.foreach { row =>
       keyOf.get(decode(row.getString(0))).foreach { key =>
         stringCols.zipWithIndex.foreach { case ((c, _), i) =>
@@ -338,6 +369,10 @@ object Stats {
         ndvSel.zipWithIndex.foreach { case ((c, _), i) =>
           val sk = row.getAs[Array[Byte]](s"_gf_hll_$i")
           if (sk != null) hVals((key, c.toLowerCase)) = sk
+        }
+        histSel.zipWithIndex.foreach { case ((c, _), i) =>
+          val qs = row.getAs[scala.collection.Seq[Double]](s"_gf_hist_$i")
+          if (qs != null && qs.nonEmpty) qVals((key, c.toLowerCase)) = qs.toSeq
         }
       }
     }
@@ -387,11 +422,33 @@ object Stats {
       // NDV sketch rides the row when computed; an all-null or zero-row
       // file keeps None (its sketch would be empty — the serve side
       // treats rows == nulls as satisfied without one)
-      if (!ndvSel.exists(_._1.equalsIgnoreCase(r.col))) afterI
-      else afterI.copy(hll = hVals.get(key))
+      val afterN =
+        if (!ndvSel.exists(_._1.equalsIgnoreCase(r.col))) afterI
+        else afterI.copy(hll = hVals.get(key))
+      // histogram boundaries ride the same way (all-null files keep
+      // None — they contribute no value mass to the merge)
+      if (!histSel.exists(_._1.equalsIgnoreCase(r.col))) afterN
+      else afterN.copy(hist = qVals.get(key))
     }
     spark.createDataset(merged.toIndexedSeq)(
       org.apache.spark.sql.Encoders.product[FileColStat])
+  }
+
+  /** The largest sidecar-recorded row count among `abs` (absolute file
+    * paths under `dir`) — [[graft.plans.StatsSkipRule]]'s "did the
+    * prune skip any real rows" gate. A file without a sidecar row is
+    * unknown and reports Long.MaxValue (the caller then treats the
+    * prune as real). Metadata-scale: one sidecar read.
+    */
+  private[graft] def maxRowsOf(spark: SparkSession, dir: String,
+      abs: Set[String]): Long = {
+    if (abs.isEmpty) return 0L
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, Sidecar))) return Long.MaxValue
+    val rows = sidecar(spark, dir).select("file", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    abs.map(a => rows.getOrElse(relKey(dir, a), Long.MaxValue))
+      .foldLeft(0L)(math.max)
   }
 
   /** Per-file operational inventory of a version dir — relative path,
@@ -808,13 +865,21 @@ object Stats {
 
   /** Metadata-served distinct counts (B180): merge the per-file HLL
     * sketches the annotator records for `'graft.ndv.columns'` into one
-    * estimate per column — ZERO data files opened. The estimate is
-    * EXACTLY the number a full scan's `hll_sketch_estimate(
-    * hll_sketch_agg(col))` returns (integer-family cast to LONG):
-    * HLL registers merge by max, so the union of per-file sketches IS
-    * the sketch of the union — no approximation is added by serving
-    * from metadata, and duplicate sidecar rows are harmless (union is
-    * idempotent). NdvSpec pins the equality.
+    * estimate per column — ZERO data files opened, zero Spark jobs
+    * (the union is a sequential driver loop over metadata-scale blobs
+    * in sorted file order, so repeated serves are byte-deterministic).
+    * Serving from metadata adds NO approximation on top of the sketch:
+    * union merges registers by max, so the merged state describes
+    * exactly the union of the files' value sets, with the same lgK=12
+    * error bounds (±1.6% RSE) as a scan-side `hll_sketch_agg`. While
+    * every sketch is still in the exact coupon regime (≲1k distincts
+    * per the lgK=12 promotion threshold) the estimate EQUALS a full
+    * scan's `hll_sketch_estimate(hll_sketch_agg(col))` — NdvSpec pins
+    * that; past promotion the two are both within bounds but not
+    * bit-equal (DataSketches' HIP estimator is merge-structure-
+    * dependent — a distributed agg's nondeterministic merge order
+    * yields a slightly different, equally valid estimate). Duplicate
+    * sidecar rows are harmless (union is idempotent).
     *
     * Declines loudly (never estimates wrong): deletion vectors or
     * pending equality deletes hide rows a sketch already absorbed
@@ -864,9 +929,14 @@ object Stats {
         byFile.get(rel).filterNot(_.isNullAt(3)).map(_.getAs[Array[Byte]](3)))
       val est =
         if (sketches.isEmpty) 0L // every live file empty or all-null
-        else sketches.toDF("hll")
-          .agg(hll_sketch_estimate(hll_union_agg(col("hll"))))
-          .head.getLong(0)
+        else {
+          // lgMaxK matches hll_sketch_agg's default (12) — the blobs
+          // were built by it, and the union must not downsize them
+          val u = new org.apache.datasketches.hll.Union(12)
+          sketches.foreach(b => u.update(
+            org.apache.datasketches.hll.HllSketch.heapify(b)))
+          Math.round(u.getEstimate) // hll_sketch_estimate's rounding
+        }
       (c, est)
     }
   }

@@ -107,6 +107,22 @@ private[graft] object TableProps {
     load(root).get(NdvKey).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** Declared CBO histogram columns (`'graft.histogram.columns'`,
+    * round-16): the per-commit exact data pass records per-file
+    * equi-height quantile boundaries for each, and
+    * [[graft.catalog.CboStats]] merges them into a table-level
+    * equi-height histogram served through the scan's column statistics
+    * — what lets Spark's FilterEstimation see SKEW (an equality
+    * predicate on a heavy value estimates by the bins it spans, not by
+    * rows/ndv). Numeric family only; validated at CREATE/ALTER.
+    */
+  val HistogramKey = "graft.histogram.columns"
+
+  /** The declared histogram columns of `root` (empty = none). */
+  def histogramColumns(root: String): Seq[String] =
+    load(root).get(HistogramKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   val RetainVersionsKey = "graft.retain.versions"
   val RetainHoursKey = "graft.retain.hours"
 
@@ -153,6 +169,14 @@ private[graft] object TableProps {
     */
   val DmlModeKey = "graft.dml.mode"
 
+  /** Merge-door schema evolution opt-in (`'graft.schema.autoMerge' =
+    * 'true'`): every MERGE INTO the table behaves as if it carried the
+    * explicit `WITH SCHEMA EVOLUTION` clause — source-only columns
+    * auto-ADD (metadata-only) before the merge. Without the property,
+    * evolution still happens when the statement spells the clause.
+    */
+  val AutoMergeKey = "graft.schema.automerge"
+
   /** Behavior-bearing `graft.*` table properties — the ONE list both
     * CREATE TABLE (persist at declaration) and ALTER TABLE SET/UNSET
     * (mutate later) accept, so a property one door honors can never be
@@ -160,7 +184,12 @@ private[graft] object TableProps {
     * declared MOR at CREATE ran copy-on-write without warning).
     */
   def behaviorKeys: Set[String] = Set(DmlModeKey, DistributeKey, StatsKey, NdvKey,
-    BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey, ClusterWriteKey)
+    BloomKey, ClusterKey, RetainVersionsKey, RetainHoursKey, ClusterWriteKey,
+    AutoMergeKey, HistogramKey)
+
+  /** True iff `root` opted every MERGE into automatic schema evolution. */
+  def autoMergeSchema(root: String): Boolean =
+    load(root).get(AutoMergeKey).exists(_.equalsIgnoreCase("true"))
 
   /** True iff `root` opted into distributed partitioned writes. */
   def distributeWrites(root: String): Boolean =

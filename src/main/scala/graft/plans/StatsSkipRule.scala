@@ -189,6 +189,12 @@ object StatsSkipRule extends Rule[LogicalPlan] {
     // nothing pruned: leave the plan for the ordinary scan (and, on
     // DV/mapped/mixed tables, for DvReadRule's swap)
     if (kept.size == all.size) return None
+    // round-16: a swap that drops only ZERO-ROW files (the CTAS/INSERT
+    // empty schema-anchor, an all-null stripe) saves no data I/O but
+    // would trade away the v2 scan's exact column statistics (CBO
+    // histograms/NDV — FilterEstimation runs above THIS node) and its
+    // key-grouped partition reporting. Skip only when real rows skip.
+    if (Stats.maxRowsOf(spark, dir, all -- kept) == 0L) return None
     val readSchema = Sinks.readSchemaFor(spark, t.snapshotTableRoot, dir)
     val pruned = Transforms.dropHidden(ColMap.toLogical(
       Stats.readFiles(spark, dir, kept.toSeq.sorted, readSchema), dir))

@@ -260,6 +260,40 @@ object ScanOps extends QueryModule {
         "ORDER BY n_nationkey")
     }),
 
+    // Round-16 (B198): MERGE WITH SCHEMA EVOLUTION — the source's extra
+    // columns ADD metadata-only (ColMap ADD records through Spark's own
+    // ResolveMergeIntoSchemaEvolution → alterTable) before the upsert.
+    // The hash match proves all three populations exact: matched rows
+    // updated with real values, unmatched source rows inserted, and
+    // pre-existing rows outside the source NULL-backfilled in the new
+    // columns without a byte of their files rewritten.
+    "q_merge_evolution" -> ((s, dir) => {
+      val wh = mergeEvolutionWarehouse(s, dir)
+      val cat = "graftmev_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"SELECT c_custkey, c_name, c_mktsegment, c_acctbal " +
+        s"FROM $cat.cust_ev ORDER BY c_custkey")
+    }),
+
+    // Round-16 (B199): generated columns — every seg2 value was derived
+    // by the insert funnel from the NULL compute-me marker; the filter
+    // on the SOURCE column rides the invertible-shape rewrite into a
+    // directory predicate (plan-asserted in GeneratedSpec). The hash
+    // match proves derivation and pruning value-exact vs the recompute.
+    "q_generated_cols" -> ((s, dir) => {
+      val wh = generatedWarehouse(s, dir)
+      val cat = "graftgen_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT seg2, count(*) AS n_rows,
+           |       sum(c_custkey) AS keysum
+           |FROM $cat.cust_gen
+           |WHERE c_mktsegment >= 'F'
+           |GROUP BY seg2 ORDER BY seg2""".stripMargin)
+    }),
+
     // B189 bucket co-location: orders and lineitem land as PURE-bucket
     // hidden-partitioned catalog tables on the order key (bucket(16)) —
     // the HIGH-cardinality co-location identity dirs can't give. The
@@ -1507,6 +1541,89 @@ object ScanOps extends QueryModule {
       root
     }
 
+  /** Warehouse for q_merge_evolution (round-16, B198): `cust_ev` starts
+    * as the two-column (c_custkey, c_name) even-key half of the customer
+    * fixture; one `MERGE WITH SCHEMA EVOLUTION` from the four-column
+    * `% 3 == 0` slice then ADDs c_mktsegment/c_acctbal METADATA-ONLY
+    * (Spark's ResolveMergeIntoSchemaEvolution → our alterTable → ColMap
+    * ADD records — zero pre-existing bytes rewritten) and runs the
+    * upsert: matched evens gain real values, unmatched odds insert, and
+    * every even key outside the source keeps NULL in the new columns
+    * (the null-backfill the metadata ADD promises). Cached per content
+    * stamp; the merge is build-time, the query is read-only.
+    */
+  private def mergeEvolutionWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val wh = "/tmp/graft_mev_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cat = "graftmev_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val tbl = s"$wh/cust_ev"
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|mev1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        val cust = Tables.customer(s, dir)
+        Sinks.publishVersioned(
+          cust.filter(col("c_custkey") % 2 === 0)
+            .select("c_custkey", "c_name").repartition(4), tbl, None)
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+          .createOrReplaceTempView("mev_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.cust_ev t
+             |USING mev_src s ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
+  /** Warehouse for q_generated_cols (round-16, B199): `cust_gen` declares
+    * `seg2 STRING GENERATED ALWAYS AS (substring(c_mktsegment, 1, 2))`
+    * and is PARTITIONED BY (seg2) — the INSERT passes NULL (the
+    * compute-me marker) and the insert funnel derives every value, so
+    * the grid directories hold derived prefixes and source-column
+    * predicates prune them (GeneratedSpec plan-asserts; the oracle here
+    * proves the derivation value-exact against DuckDB's recompute).
+    */
+  private def generatedWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val wh = "/tmp/graft_gencol_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cat = "graftgen_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val tbl = s"$wh/cust_gen"
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|gen1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        s.sql(s"CREATE TABLE $cat.cust_gen (c_custkey BIGINT, " +
+          "c_mktsegment STRING, c_acctbal DOUBLE, " +
+          "seg2 STRING GENERATED ALWAYS AS (substring(c_mktsegment, 1, 2))" +
+          ") USING parquet PARTITIONED BY (seg2)")
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .createOrReplaceTempView("gen_cust_src")
+        s.sql(s"INSERT INTO $cat.cust_gen " +
+          "SELECT c_custkey, c_mktsegment, c_acctbal, NULL FROM gen_cust_src")
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
   /** Warehouse for q_purge (B179): nations v0 = the fixture, v1 = a MOR
     * delete of the n_nationkey >= 20 tail (history that still holds the
     * rows, plus a deletion vector whose carried subtraction the purge
@@ -2460,6 +2577,28 @@ object ScanOps extends QueryModule {
         |  UNION ALL SELECT CAST(200 AS BIGINT), 'omitted', 'std'
         |  UNION ALL SELECT CAST(201 AS BIGINT), 'nullrow', NULL
         |) ORDER BY n_nationkey""".stripMargin,
+
+    // the generated-column derivation recomputed inline
+    "q_generated_cols" ->
+      """SELECT substring(c_mktsegment, 1, 2) AS seg2,
+        |       count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS keysum
+        |FROM customer WHERE c_mktsegment >= 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the MERGE-evolution populations recomputed as a full outer join
+    // of the pre-merge target slice and the wider source slice
+    "q_merge_evolution" ->
+      """SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        |       COALESCE(s.c_name, t.c_name) AS c_name,
+        |       s.c_mktsegment AS c_mktsegment,
+        |       s.c_acctbal AS c_acctbal
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_custkey % 2 = 0) t
+        |FULL JOIN (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |           FROM customer WHERE c_custkey % 3 = 0) s
+        |  ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     // variant typed-path access recomputed over the raw JSON strings
     "q_variant_props" ->

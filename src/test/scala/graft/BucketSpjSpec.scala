@@ -256,4 +256,80 @@ class BucketSpjSpec extends AnyFunSuite {
     assert(m.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
       "a day+bucket table must stay on the v2 scan path (round-15)")
   }
+
+  test("SPJ survives RENAME COLUMN (round-16): co-bucketed join stays zero-Exchange through a column mapping") {
+    // a metadata-only rename used to drop the version to the v1 funnel,
+    // re-introducing the shuffle a co-located layout exists to avoid —
+    // until the next compaction. Round-16 serves rename/drop mappings on
+    // the v2 path: the builder prunes/pushes under PHYSICAL footer
+    // names, the scan re-aliases its read schema back to logical, and
+    // the reported KeyGroupedPartitioning speaks logical names too.
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 20000L).map(i => (i % 4000L, i)).toDF("k", "a")
+      .createOrReplaceTempView("bkt_cm_l_src")
+    (0L until 4000L).map(i => (i, i * 3)).toDF("k", "b")
+      .createOrReplaceTempView("bkt_cm_r_src")
+    spark.sql(s"CREATE TABLE $cat.l (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.l SELECT * FROM bkt_cm_l_src")
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.r SELECT * FROM bkt_cm_r_src")
+    // rename BOTH the payload and the join key (the bucket SOURCE): the
+    // key rename is the hard case — the grid dirs stay `_tp_bucket_8_k`
+    // (physical) while the plan joins on the logical name
+    spark.sql(s"ALTER TABLE $cat.r RENAME COLUMN b TO amount")
+    spark.sql(s"ALTER TABLE $cat.r RENAME COLUMN k TO kk")
+    val r = spark.table(s"$cat.r")
+    assert(r.columns.toSeq == Seq("kk", "amount"))
+    assert(r.queryExecution.executedPlan.toString.contains("BatchScan gbkt"),
+      "a pure-rename mapping must stay on the v2 scan path")
+    val expected = spark.table("bkt_cm_l_src")
+      .join(spark.table("bkt_cm_r_src"), "k")
+      .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.l")
+        .join(r, col("k") === col("kk"))
+      val got = joined
+        .agg(count(lit(1)).as("n"), sum(col("a") + col("amount")).as("s")).head
+      assert(got == expected, s"renamed-column SPJ result drifted: $got vs $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"a rename must not re-introduce the co-bucketed join's shuffle:\n$plan")
+    }
+    // filter pushdown translates logical→physical: the implied bucket
+    // directory-equality prune still works on the renamed source column
+    val hit = spark.table(s"$cat.r").filter(col("kk") === 123L)
+    assert(hit.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((123L, 369L)))
+    // writes after the rename land under the carried PHYSICAL footer
+    // schema and re-derive the grid from the mapped source
+    spark.sql(s"INSERT INTO $cat.r VALUES (99001, -1)")
+    assert(spark.table(s"$cat.r").filter(col("kk") === 99001L).count() == 1L)
+    // DV + rename compose reader-side: DELETE keeps the v2 path and the
+    // join stays shuffle-free over the subtracted rows
+    spark.sql(s"ALTER TABLE $cat.r SET TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql(s"DELETE FROM $cat.r WHERE kk % 10 = 7")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table(s"$cat.l")
+        .join(spark.table(s"$cat.r"), col("k") === col("kk"))
+      val got2 = joined
+        .agg(count(lit(1)).as("n"), sum(col("a") + col("amount")).as("s")).head
+      val exp2 = spark.table("bkt_cm_l_src")
+        .join(spark.table("bkt_cm_r_src").filter(col("k") % 10 =!= 7), "k")
+        .agg(count(lit(1)).as("n"), sum(col("a") + col("b")).as("s")).head
+      assert(got2 == exp2, s"DV+rename SPJ drifted: $got2 vs $exp2")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DV + rename must stay zero-Exchange reader-side:\n$plan")
+    }
+  }
 }

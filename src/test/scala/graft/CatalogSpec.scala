@@ -1785,4 +1785,70 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("CALL graft.system.restore('t_trunc', version => 1)")
     assert(spark.sql("SELECT count(*) FROM graft.t_trunc").collect().head.getLong(0) == 50)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: metadata-only ADD, NULL backfill, time travel below (round-16)") {
+    root
+    spark.sql("CREATE TABLE graft.mev (k BIGINT, v STRING) USING parquet")
+    spark.sql("INSERT INTO graft.mev VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("SELECT CAST(2 AS BIGINT) AS k, 'B' AS v, " +
+      "CAST(20.5 AS DOUBLE) AS score UNION ALL " +
+      "SELECT CAST(9 AS BIGINT), 'i', CAST(90.5 AS DOUBLE)")
+      .createOrReplaceTempView("mev_spec_src")
+    // without the clause (and without the table property) the star
+    // expansion binds TARGET columns only — the merge applies but the
+    // schema must NOT silently evolve (Spark's own star semantics)
+    spark.sql(
+      """MERGE INTO graft.mev t USING mev_spec_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table("graft.mev").columns.toSeq == Seq("k", "v"),
+      "a clause-less merge must not evolve the schema")
+    assert(spark.sql("SELECT v FROM graft.mev WHERE k = 2").head.getString(0)
+      == "B", "the clause-less merge still applies to shared columns")
+    val dataBytes = graft.io.Fs.walkParquet(
+      Paths.get(Sinks.resolve(s"$root/mev")))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.mev t
+        |USING mev_spec_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, v, score FROM graft.mev ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2).toString)).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+    assert(got(0)._3 == null && got(2)._3 == null,
+      s"pre-existing unmatched rows must NULL-backfill the added column: $got")
+    assert(got(1)._3 != null && got(3)._3 != null)
+    // metadata-only: every pre-merge data file survives byte-identical
+    // (the evolution ADDs through ColMap records; the merge's MOR route
+    // carries untouched files by hardlink)
+    val after = graft.io.Fs.walkParquet(
+      Paths.get(Sinks.resolve(s"$root/mev")))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    dataBytes.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz),
+        s"pre-merge file $f must survive the metadata-only evolution") }
+    // time travel below the evolution serves the pre-merge two-column
+    // schema (v0 CREATE anchor, v1 INSERT, v2 ALTER-ADD, v3 merge)
+    val pre = spark.sql("SELECT * FROM graft.mev VERSION AS OF 1")
+    assert(pre.columns.toSeq == Seq("k", "v"), pre.columns.toSeq.toString)
+    assert(pre.count() == 3)
+    // INSERT door after the evolution: the evolved schema accepts and
+    // serves a three-column row
+    spark.sql("INSERT INTO graft.mev VALUES (10, 'j', 100.5)")
+    assert(spark.sql("SELECT score FROM graft.mev WHERE k = 10")
+      .collect().head.get(0) != null)
+    // the autoMerge property folds the clause in: a PLAIN merge on an
+    // opted-in table evolves too
+    spark.sql("CREATE TABLE graft.mev2 (k BIGINT, v STRING) USING parquet " +
+      "TBLPROPERTIES ('graft.schema.autoMerge' = 'true')")
+    spark.sql("INSERT INTO graft.mev2 VALUES (1, 'a')")
+    spark.sql(
+      """MERGE INTO graft.mev2 t USING mev_spec_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.mev2").columns.toSeq == Seq("k", "v", "score"))
+    assert(spark.sql("SELECT count(*) FROM graft.mev2 WHERE score IS NULL")
+      .collect().head.getLong(0) == 1L, "pre-evolution row NULL-backfills")
+  }
 }

@@ -135,6 +135,9 @@ class CommitProtocolSpec extends AnyFunSuite {
     // file, a foreign directory, a half-written _PROPS.tmp, and a dead
     // tag-write tmp. A tag pins its version through the sweep.
     Sinks.tagVersion(root, "keepme", v)
+    // the streaming CDC feed dir ("feed", NOT underscore-prefixed) is
+    // LIVE root-level state — an aged sweep must never count it foreign
+    Sinks.enableStreamFeed(root)
     Files.write(Paths.get(root, "somebody_elses.csv"), Array[Byte](1))
     Files.createDirectories(Paths.get(root, "_temporary", "0"))
     Files.write(Paths.get(root, "_PROPS.tmp"), Array[Byte](2))
@@ -150,6 +153,8 @@ class CommitProtocolSpec extends AnyFunSuite {
       !Files.exists(Paths.get(root, "_temporary")) &&
       !Files.exists(Paths.get(root, "_PROPS.tmp")) &&
       !Files.exists(Paths.get(root, "_tags", ".dead.tmp99999")))
+    assert(Files.isDirectory(Paths.get(root, "feed")),
+      "the change-feed dir must survive an aged orphan sweep")
     // referenced state all survives: pointer, props, tag, live version
     assert(Sinks.listTags(root) == Map("keepme" -> v))
     assert(Sinks.readCurrent(spark, root).count() == 1)

@@ -8,9 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Metadata-served NDV (B180, `'graft.ndv.columns'` + `Stats.ndv` +
   * `CALL system.ndv`): per-file HLL sketches recorded by the commit-time
-  * annotator, merged at metadata scale into EXACTLY the estimate a full
-  * scan's `hll_sketch_agg` returns (register merge is the same
-  * operation, so serving from metadata adds zero approximation).
+  * annotator, merged at metadata scale (a deterministic driver-side
+  * union in sorted file order — zero jobs). In the sketch's exact
+  * coupon regime (≲1k distincts at lgK=12) the serve EQUALS a full
+  * scan's `hll_sketch_agg` estimate bit-for-bit; past promotion the
+  * scan's own estimate becomes merge-order-dependent (DataSketches HIP
+  * estimator), so the scale-stable invariant is determinism + the
+  * sketch's 3σ error bound against the exact count — both pinned here.
   */
 class NdvSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -59,8 +63,17 @@ class NdvSpec extends AnyFunSuite {
     Sinks.appendVersioned(extra, tbl, Some(0L))
     val full = Sinks.readCurrent(spark, tbl)
     val served = Stats.ndv(spark, tbl, Seq("k", "who")).toMap
-    assert(served("k") == scanNdv(full, "k"))
+    // `who` (212 distincts) is still in the exact coupon regime: the
+    // serve equals the scan's estimate bit-for-bit
     assert(served("who") == scanNdv(full, "who"))
+    // `k` (1537 distincts) crossed the lgK=12 promotion threshold: the
+    // scan's own estimate is merge-order-dependent there, so the pinned
+    // invariants are determinism and the sketch's 3σ (~4.9%) bound
+    assert(served("k") == Stats.ndv(spark, tbl, Seq("k")).head._2,
+      "repeated serves must be byte-deterministic")
+    val exactK = full.select("k").distinct().count()
+    assert(math.abs(served("k").toDouble - exactK) / exactK <= 0.05,
+      s"served ${served("k")} vs exact $exactK breaches the 3σ bound")
   }
 
   test("declines on deletion vectors; compaction restores service") {

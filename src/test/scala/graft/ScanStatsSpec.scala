@@ -331,4 +331,48 @@ class ScanStatsSpec extends AnyFunSuite {
       assert(off.head.getLong(0) == 60000L, "results agree either way")
     }
   }
+
+  test("CBO histograms see skew: the heavy-value predicate loses the broadcast only with histograms (round-16)") {
+    val cat = mkCat()
+    import spark.implicits._
+    // v is 95% zero: the uniform rows/ndv guess puts `v = 0` at ~20
+    // rows; the merged equi-height histogram's point bins put it at
+    // ~38k. Identical tables, the ONLY difference is the declared
+    // 'graft.histogram.columns' — so a broadcast flip between them
+    // proves the histogram decided it.
+    (0L until 40000L).map(i =>
+      (i, if (i % 20L != 0L) 0L else (i % 2000L) + 1L))
+      .toDF("k", "v").createOrReplaceTempView("hist_fact_src")
+    (0L until 20000L).map(i => (i, i * 3)).toDF("k", "w")
+      .createOrReplaceTempView("hist_dim_src")
+    spark.sql(s"CREATE TABLE $cat.fh TBLPROPERTIES (" +
+      "'graft.stats.columns' = 'k,v', 'graft.ndv.columns' = 'v', " +
+      "'graft.histogram.columns' = 'v') AS SELECT * FROM hist_fact_src")
+    spark.sql(s"CREATE TABLE $cat.fn TBLPROPERTIES (" +
+      "'graft.stats.columns' = 'k,v', 'graft.ndv.columns' = 'v') " +
+      "AS SELECT * FROM hist_fact_src")
+    spark.sql(s"CREATE TABLE $cat.d TBLPROPERTIES " +
+      "('graft.stats.columns' = 'k') AS SELECT * FROM hist_dim_src")
+    def joined(t: String) = spark.table(s"$cat.$t").filter($"v" === 0L)
+      .join(spark.table(s"$cat.d"), "k")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val noHist = joined("fn").queryExecution.executedPlan.toString
+      assert(noHist.contains("BroadcastHashJoin"),
+        s"without a histogram the uniform guess must keep the broadcast:\n$noHist")
+      val withHist = joined("fh").queryExecution.executedPlan.toString
+      assert(!withHist.contains("BroadcastHashJoin"),
+        s"the histogram must price the heavy value and lose the broadcast:\n$withHist")
+      // both answer identically — the histogram only moved the plan
+      val expected = spark.table("hist_fact_src").filter($"v" === 0L)
+        .join(spark.table("hist_dim_src"), "k")
+        .agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+      assert(joined("fh").agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+        == expected)
+      assert(joined("fn").agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+        == expected)
+    }
+  }
 }
