@@ -315,13 +315,42 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     assignments: Seq[Assignment], condition: Option[Expression],
     tRoot: String, baseVersion: Long) extends LeafRunnableCommand {
   import GraftDml._
+
+  /** The recompute expression of a generated column with every
+    * single-part source reference SUBSTITUTED through `sub` (the
+    * assignment's value expression when the source is assigned). All
+    * of an UPDATE's output columns evaluate simultaneously over the
+    * PRE row, so substituting assigned exprs into the generation SQL
+    * IS "recompute over the post row" — no second pass, and the data
+    * and the change feed read the same expressions.
+    */
+  private def genRecompute(spark: SparkSession, sql: String,
+      sub: String => Option[Expression]): Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    col0(parsed.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 && sub(ua.nameParts.head).isDefined =>
+        sub(ua.nameParts.head).get
+    })
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    // generated columns (round-16): refuse assignments to the column or
-    // its sources on BOTH routes — a stale stored derivation is silent
-    // corruption; unrelated columns update freely
-    graft.ops.Generated.refuseAssignments(spark, tRoot,
-      assignments.flatMap(_.key.collectFirst { case a: Attribute => a.name }),
-      "graft UPDATE")
+    // generated columns (round-16): a DIRECT assignment stays refused
+    // (ALWAYS semantics); an assignment to a SOURCE column re-derives
+    // the generated value in the same projection — the Delta semantic,
+    // on both routes and in the change feed
+    val genSpecs = graft.ops.Generated.specs(tRoot)
+    val assignedLower = assignments.flatMap(
+      _.key.collectFirst { case a: Attribute => a.name.toLowerCase }).toSet
+    genSpecs.foreach(s => require(!assignedLower.contains(s.col),
+      s"graft UPDATE cannot assign generated column ${s.col} — it is " +
+        s"GENERATED ALWAYS AS (${s.sql}); assign its sources and the " +
+        "column re-derives"))
+    // recompute only the generated columns whose sources this statement
+    // assigns — others keep their stored (still-valid) values
+    val genRecomputed: Map[String, graft.ops.Generated.Spec] =
+      genSpecs.filter(s => graft.ops.Generated.sourceCols(spark, s)
+        .exists(assignedLower)).map(s => s.col -> s).toMap
     // merge-on-read route (B136): same selection as DELETE — table
     // property, or forced by an existing vector (COW would resurrect)
     val morDir = Sinks.versionPath(tRoot, baseVersion)
@@ -350,10 +379,21 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
         case a: Attribute =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
       })
-      val assignMap = target.output.flatMap { attr =>
+      val assignMap0 = target.output.flatMap { attr =>
         assignedValue(assignments, attr).map(v =>
           attr.name -> nameBound(v).cast(attr.dataType))
       }.toMap
+      // re-derive source-touched generated columns inside the same
+      // one-select rewrite (updateVector applies assignments over the
+      // matched PRE rows simultaneously)
+      val assignMap = assignMap0 ++ target.output.flatMap { attr =>
+        genRecomputed.get(attr.name.toLowerCase).map { s =>
+          attr.name -> genRecompute(spark, s.sql, n =>
+            assignMap0.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(n) => GraftSqlShims.expression(v)
+            }).cast(attr.dataType)
+        }
+      }
       val cond0 = condition.map(nameBound).getOrElse(lit(true))
       // CHECK constraints gate the updated copies exactly as the COW
       // path gates its rewrite — enforcement wraps the written frame
@@ -367,11 +407,23 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     // raw condition: filter drops NULL rows either way, and raw pushes
     // down to the parquet row groups
     val (touchedAbs, touchedRel) = touchedFiles(t, cond, liveDir)
+    // an assigned source's RAW value expr (cast to the source's type),
+    // for substitution into a generated column's recompute — the when
+    // wrapper is added once around the whole recompute below
+    def assignedExpr(name: String): Option[Expression] =
+      target.output.find(_.name.equalsIgnoreCase(name)).flatMap(a0 =>
+        assignedValue(assignments, a0).map(v =>
+          GraftSqlShims.expression(col0(v).cast(a0.dataType))))
     val outCols = target.output.map { attr =>
-      assignedValue(assignments, attr) match {
-        case Some(v) =>
-          when(cond, col0(v).cast(attr.dataType)).otherwise(col0(attr)).as(attr.name)
-        case None => col0(attr).as(attr.name)
+      genRecomputed.get(attr.name.toLowerCase) match {
+        case Some(s) =>
+          when(cond, genRecompute(spark, s.sql, assignedExpr)
+            .cast(attr.dataType)).otherwise(col0(attr)).as(attr.name)
+        case None => assignedValue(assignments, attr) match {
+          case Some(v) =>
+            when(cond, col0(v).cast(attr.dataType)).otherwise(col0(attr)).as(attr.name)
+          case None => col0(attr).as(attr.name)
+        }
       }
     }
     val touched = prunedTarget(spark, target, touchedAbs, liveDir)
@@ -382,8 +434,12 @@ case class GraftUpdateCommand(target: DataSourceV2Relation,
     val names = target.output.map(_.name)
     val pre = struct(target.output.map(a => col0(a).as(a.name)): _*)
     val post = struct(target.output.map { attr =>
-      assignedValue(assignments, attr)
-        .map(e => col0(e).cast(attr.dataType)).getOrElse(col0(attr)).as(attr.name)
+      genRecomputed.get(attr.name.toLowerCase) match {
+        case Some(s) =>
+          genRecompute(spark, s.sql, assignedExpr).cast(attr.dataType).as(attr.name)
+        case None => assignedValue(assignments, attr)
+          .map(e => col0(e).cast(attr.dataType)).getOrElse(col0(attr)).as(attr.name)
+      }
     }: _*)
     val feed = touched.filter(coalesce(cond, lit(false)))
       .select(pre.as("_pre"), post.as("_post"))

@@ -132,14 +132,13 @@ private[graft] object MorSpj {
     // logical, partition-locally, so a rename no longer drops a
     // co-located join back to the full shuffle until compaction.
     // Metadata-only ADDs and WIDENs stay on the funnel (they change
-    // the value/type surface, not just names), and eq-deletes under a
-    // mapping stay on the funnel too (the tombstone sidecar speaks
-    // physical names against the funnel's reconstructed rows).
-    if (hasMap) {
-      if (ColMap.added(dir).nonEmpty || ColMap.widened(dir).nonEmpty)
-        return false
-      if (hasEq) return false
-    }
+    // the value/type surface, not just names). Eq-deletes COMPOSE with
+    // a rename/drop mapping: the tombstone sidecar stores PHYSICAL key
+    // names (the write funnel translates like the data), which is the
+    // name space the reader-side delegate scans.
+    if (hasMap &&
+        (ColMap.added(dir).nonEmpty || ColMap.widened(dir).nonEmpty))
+      return false
     // stored sidecar keys are URI-encoded file subpaths — the per-file
     // prefix strip needs a URI-transparent dir (same contract as the
     // funnel's relKey)
@@ -176,9 +175,16 @@ private[graft] object MorSpj {
         .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
       if (keys.exists(k => partCols(k.name.toLowerCase))) return false
       // exact-type match against the table column: the reader-side
-      // lookup compares INTERNAL values with no implicit cast
+      // lookup compares INTERNAL values with no implicit cast. Both the
+      // sidecar keys and tableSchema (readSchemaFor pins the footer
+      // schema) speak PHYSICAL names, so the lookup is direct — but a
+      // sidecar predating the physical-name write discipline can carry
+      // a since-renamed LOGICAL name (toPhysicalName maps it elsewhere):
+      // such versions keep the funnel, whose drift check is the loud
+      // backstop (remedy: compact).
       keys.forall { k =>
         eqKeyType(k.dataType) &&
+          ColMap.toPhysicalName(dir, k.name).equalsIgnoreCase(k.name) &&
           tableSchema.find(_.name.equalsIgnoreCase(k.name))
             .exists(_.dataType == k.dataType)
       }

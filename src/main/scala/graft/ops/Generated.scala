@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   *    write fails row-locally (`raise_error` inside the insert funnel —
   *    never a silently wrong stored value). The check and the fill are
   *    one codegen'd projection, no extra pass.
-  *  - UPDATE/MERGE refuse assignments to the generated column AND to
-  *    its source columns (round-16 boundary): a source-column update
-  *    would silently strand the stored derivation. Refusal-over-
-  *    staleness, loudly, at analysis time; unrelated columns update
-  *    freely. Compaction or INSERT-rewrite is the recompute door.
+  *  - UPDATE re-derives: an assignment to a SOURCE column substitutes
+  *    the assigned expressions into the generation SQL inside the same
+  *    one-pass projection (all output columns evaluate over the PRE
+  *    row simultaneously — [[graft.catalog.GraftUpdateCommand]]), on
+  *    both the copy-on-write and merge-on-read routes and in the
+  *    change feed. A DIRECT assignment to the generated column stays
+  *    refused (ALWAYS semantics). MERGE refuses tables with generated
+  *    columns outright (its output frames bypass the derivation
+  *    funnel — the remaining round-16 boundary).
   *  - Declared over a PARTITION column, the grid stores derived values
   *    and [[graft.catalog.GraftScanBuilder]] rewrites source-column
   *    predicates into directory predicates where the expression parses
@@ -179,25 +183,4 @@ object Generated {
     }
   }
 
-  /** Refuse DML assignments that would strand a derivation: targets
-    * must include neither a generated column (ALWAYS semantics) nor any
-    * of its sources (a stale stored value is silent corruption — the
-    * round-16 boundary keeps it structurally impossible).
-    */
-  def refuseAssignments(spark: org.apache.spark.sql.SparkSession,
-      root: String, assigned: Seq[String], door: String): Unit = {
-    val sp = specs(root)
-    if (sp.isEmpty) return
-    val lower = assigned.map(_.toLowerCase).toSet
-    sp.foreach { s =>
-      require(!lower.contains(s.col),
-        s"$door cannot assign generated column ${s.col} — it is " +
-          s"GENERATED ALWAYS AS (${s.sql})")
-      val hit = sourceCols(spark, s).intersect(lower)
-      require(hit.isEmpty,
-        s"$door cannot assign ${hit.mkString(", ")} — generated column " +
-          s"${s.col} = (${s.sql}) derives from it and would go stale; " +
-          "rewrite via INSERT (or compact) instead")
-    }
-  }
 }

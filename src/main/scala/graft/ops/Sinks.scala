@@ -1234,7 +1234,14 @@ object Sinks
       // Prior parts of both sidecars carry by hardlink below.
       val eqSeq = expected.getOrElse(-1L) + 1
       eqDelete.foreach { kdf =>
-        kdf.withColumn("__gf_seq", org.apache.spark.sql.functions.lit(eqSeq))
+        // tombstone keys land under PHYSICAL names like the data
+        // (round-16): the funnel subtracts in physical space and the
+        // reader-side wrapper reads a physical delegate — and without
+        // the translation, upserts before and after a key RENAME would
+        // write sidecar parts with DIFFERENT column names (mergeSchema
+        // would then fail the drift check loudly on every later read)
+        val kdfPhys = baseMapDir.fold(kdf)(d => ColMap.toPhysical(kdf, d))
+        kdfPhys.withColumn("__gf_seq", org.apache.spark.sql.functions.lit(eqSeq))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$stage/${EqDel.Sidecar}")
       }

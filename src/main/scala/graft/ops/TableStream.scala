@@ -62,9 +62,16 @@ object TableStream {
     foreachBatchSink(stream, root, checkpoint) { (batch, batchTag) =>
       // transform runs INSIDE the retry loop: a per-batch enrichment
       // that reads table state (e.g. the ANN quantizer sidecar) must
-      // recompute against the current version after a CME re-base
-      Sinks.appendVersioned(transform(batch), root,
-        Sinks.currentVersion(root),
+      // recompute against the current version after a CME re-base.
+      // Identity assignment and generated-column derivation (round-16)
+      // ride here too — the streaming door is a first-class writer, so
+      // a NULL identity cell reserves under the commit lock and a NULL
+      // generated cell derives exactly like a SQL INSERT (a retried
+      // batch re-reserves: gaps, never collisions — the identity
+      // contract; the _BATCHID dedupe already stops double-commits)
+      Sinks.appendVersioned(
+        Generated.enforce(Identity.assign(transform(batch), root), root),
+        root, Sinks.currentVersion(root),
         statsCols, emitFeed = emitFeed, batchTag = Some(batchTag))
       ()
     }

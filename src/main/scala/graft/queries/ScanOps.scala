@@ -343,6 +343,30 @@ object ScanOps extends QueryModule {
            |ORDER BY okey_mod""".stripMargin)
     }),
 
+    // Round-16 (B192 ext.): the co-bucketed join AFTER the orders side's
+    // columns were RENAMED (payload and the bucket-source join key) and
+    // a MOR DELETE landed on top — the metadata-only mapping used to
+    // drop the version to the v1 funnel's shuffle until compaction; the
+    // reader-side colmap path scans physical footer names, re-aliases
+    // logical, and keeps bucket(16) KeyGroupedPartitioning, so the join
+    // stays zero-Exchange through rename + deletion vector. The hash
+    // match proves the aliasing and the subtraction value-exact.
+    "q_spj_rename" -> ((s, dir) => {
+      val wh = spjRenameWarehouse(s, dir)
+      val cat = "graftsren_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.sql(
+        s"""SELECT o.okey % 10 AS okey_mod, count(*) AS pairs,
+           |       sum(o.okey + l.l_linenumber) AS keysum
+           |FROM $cat.orders_ren o
+           |JOIN $cat.lineitem_ren l ON o.okey = l.l_orderkey
+           |GROUP BY o.okey % 10
+           |ORDER BY okey_mod""".stripMargin)
+    }),
+
     // Round-15 (B195): identity columns — GENERATED BY DEFAULT AS
     // IDENTITY (START WITH 10 INCREMENT BY 2). The warehouse build
     // inserts three omitted-id rows (single-row commits — each reserves
@@ -1348,6 +1372,58 @@ object ScanOps extends QueryModule {
           "q_spj_mor warehouse: the DELETE must route merge-on-read")
         require(graft.catalog.MorSpj.readerSide(root + "/orders_bkt", live),
           "q_spj_mor warehouse: the version must take the reader-side SPJ path")
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** Warehouse for q_spj_rename (round-16, B192 ext.): the co-bucketed
+    * orders/lineitem pair with the ORDERS side renamed after load
+    * (payload AND the bucket-source join key) plus a post-rename MOR
+    * DELETE — the metadata-only mapping used to drop the version to the
+    * v1 funnel and its shuffle; the reader-side colmap path keeps the
+    * v2 scan (physical-name delegate, logical re-alias) so the join
+    * stays zero-Exchange through rename + deletion vector. Cached per
+    * content stamp.
+    */
+  private def spjRenameWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = "/tmp/graft_spjren_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(root, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "orders") + "|" +
+        Tables.srcStamp(dir, "lineitem") + "|ren1"
+      val fresh = Files.isDirectory(Paths.get(root + "/orders_ren")) &&
+        Files.isDirectory(Paths.get(root + "/lineitem_ren")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        val cat = "graftrenwh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .createOrReplaceTempView("spj_ren_orders_src")
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))
+          .createOrReplaceTempView("spj_ren_lineitem_src")
+        s.sql(s"CREATE TABLE $cat.orders_ren (o_orderkey BIGINT, o_custkey BIGINT) " +
+          "USING parquet PARTITIONED BY (bucket(16, o_orderkey)) " +
+          "TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+        s.sql(s"INSERT INTO $cat.orders_ren SELECT * FROM spj_ren_orders_src")
+        s.sql(s"CREATE TABLE $cat.lineitem_ren (l_orderkey BIGINT, l_linenumber INT) " +
+          "USING parquet PARTITIONED BY (bucket(16, l_orderkey))")
+        s.sql(s"INSERT INTO $cat.lineitem_ren SELECT * FROM spj_ren_lineitem_src")
+        // rename BOTH columns (the bucket-source key is the hard case),
+        // then a MOR DELETE so the vector and the mapping compose
+        s.sql(s"ALTER TABLE $cat.orders_ren RENAME COLUMN o_custkey TO cust")
+        s.sql(s"ALTER TABLE $cat.orders_ren RENAME COLUMN o_orderkey TO okey")
+        s.sql(s"DELETE FROM $cat.orders_ren WHERE cust % 7 = 3")
+        val live = graft.ops.Sinks.resolve(root + "/orders_ren")
+        require(graft.ops.Dv.exists(live) && graft.ops.ColMap.exists(live),
+          "q_spj_rename warehouse: DV and mapping must both be present")
+        require(graft.catalog.MorSpj.readerSide(root + "/orders_ren", live),
+          "q_spj_rename warehouse: the version must take the reader-side path")
         Files.write(stampFile, stamp.getBytes("UTF-8"))
       }
       root
@@ -2641,6 +2717,18 @@ object ScanOps extends QueryModule {
     // the delete predicate inverted — proves the reader-side deletion-
     // vector subtraction is value-exact through the shuffle-free join
     "q_spj_mor" ->
+      """SELECT o_orderkey % 10 AS okey_mod, count(*) AS pairs,
+        |       CAST(sum(o_orderkey + l_linenumber) AS BIGINT) AS keysum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey % 7 <> 3
+        |GROUP BY o_orderkey % 10
+        |ORDER BY okey_mod""".stripMargin,
+
+    // the renamed co-bucketed join after the MOR DELETE, recomputed
+    // flat under the ORIGINAL fixture names with the delete predicate
+    // inverted — proves the logical↔physical aliasing and the vector
+    // subtraction value-exact through the shuffle-free join
+    "q_spj_rename" ->
       """SELECT o_orderkey % 10 AS okey_mod, count(*) AS pairs,
         |       CAST(sum(o_orderkey + l_linenumber) AS BIGINT) AS keysum
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -66,20 +66,42 @@ class GeneratedSpec extends AnyFunSuite {
         .GENERATION_EXPRESSION_METADATA_KEY)))
   }
 
-  test("refusal matrix: UPDATE of the column or its sources, MERGE, RENAME/DROP of sources") {
-    val (cat, _) = mkCat()
+  test("UPDATE re-derives on source assignment (both routes); direct SET, MERGE, RENAME/DROP refuse") {
+    val (cat, root) = mkCat()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, code STRING, note STRING, " +
       "pfx STRING GENERATED ALWAYS AS (substring(code, 1, 2))) USING parquet")
-    spark.sql(s"INSERT INTO $cat.t (k, code, note) VALUES (1, 'ABCD', 'n')")
+    spark.sql(s"INSERT INTO $cat.t (k, code, note) VALUES (1, 'ABCD', 'n'), " +
+      "(2, 'EFGH', 'm')")
     val e1 = intercept[Exception](
       spark.sql(s"UPDATE $cat.t SET pfx = 'ZZ' WHERE k = 1"))
     assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
-    val e2 = intercept[Exception](
-      spark.sql(s"UPDATE $cat.t SET code = 'WXYZ' WHERE k = 1"))
-    assert(e2.getMessage.contains("would go stale"), e2.getMessage)
-    // unrelated columns update freely
+    // a SOURCE assignment re-derives in the same pass — copy-on-write
+    // route first; unmatched rows keep their values
+    spark.sql(s"UPDATE $cat.t SET code = 'WXYZ' WHERE k = 1")
+    val afterCow = spark.table(s"$cat.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(afterCow == Seq((1L, "WXYZ", "WX"), (2L, "EFGH", "EF")), afterCow)
+    // the change feed's post-image re-derives too
+    // the change feed's post-state row carries the re-derived value too
+    // (this table serves a reconstructed insert/delete diff)
+    val feedAll = spark.sql(s"SELECT * FROM table_changes('$root/t', 1, 2)")
+      .collect()
+    val post = feedAll.filter(r =>
+      Set("insert", "update_postimage")(r.getAs[String]("_change_type")) &&
+        r.getAs[String]("code") == "WXYZ")
+    assert(post.nonEmpty && post.head.getAs[String]("pfx") == "WX",
+      s"feed post-state must re-derive: ${feedAll.mkString("; ")}")
+    // merge-on-read route: same derivation inside the vector rewrite
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql(s"UPDATE $cat.t SET code = concat(code, 'Q'), note = 'mor' " +
+      "WHERE k = 2")
+    val afterMor = spark.table(s"$cat.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(afterMor == Seq((1L, "WXYZ", "WX"), (2L, "EFGHQ", "EF")), afterMor)
+    // unrelated columns update without touching the derivation
     spark.sql(s"UPDATE $cat.t SET note = 'updated' WHERE k = 1")
-    assert(spark.table(s"$cat.t").head.getString(2) == "updated")
+    assert(spark.table(s"$cat.t").filter(col("k") === 1).head.getString(2)
+      == "updated")
     val e3 = intercept[Exception](spark.sql(
       s"""MERGE INTO $cat.t t USING (SELECT 1 AS mk) s ON t.k = s.mk
          |WHEN MATCHED THEN UPDATE SET note = 'm'""".stripMargin))

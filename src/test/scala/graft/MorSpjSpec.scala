@@ -314,6 +314,59 @@ class MorSpjSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.c").filter($"k" between(4400, 4600)).count() == 100)
   }
 
+  test("eq-deletes compose with COLUMN MAPPING reader-side: rename the key, upsert, join zero-Exchange") {
+    // round-16: the tombstone sidecar stores PHYSICAL key names (the
+    // write funnel translates like the data), so a rename/drop mapping
+    // no longer drops an eq-deleted version to the funnel — and upserts
+    // BEFORE and AFTER a key rename land under ONE sidecar column name.
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    (0L until 12000L).map(i => (i % 3000L, i)).toDF("k", "a")
+      .createOrReplaceTempView("mspj_cm_l_src")
+    (0L until 3000L).map(i => (i, i * 5)).toDF("k", "b")
+      .createOrReplaceTempView("mspj_cm_r_src")
+    spark.sql(s"CREATE TABLE $cat.el (k BIGINT, a BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.el SELECT * FROM mspj_cm_l_src")
+    spark.sql(s"CREATE TABLE $cat.er (k BIGINT, b BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.er SELECT * FROM mspj_cm_r_src")
+    // upsert BEFORE the rename (sidecar written under physical 'k')
+    EqDel.upsertBatch(spark,
+      (0L until 100L).map(i => (i, -1L)).toDF("k", "b"), s"$root/er", Seq("k"))
+    spark.sql(s"ALTER TABLE $cat.er RENAME COLUMN b TO amount")
+    spark.sql(s"ALTER TABLE $cat.er RENAME COLUMN k TO kk")
+    // upsert AFTER the rename (caller speaks logical names; the funnel
+    // translates the batch AND the tombstone keys back to physical)
+    EqDel.upsertBatch(spark,
+      (100L until 200L).map(i => (i, -2L)).toDF("kk", "amount"),
+      s"$root/er", Seq("kk"))
+    val live = Sinks.resolve(s"$root/er")
+    assert(EqDel.exists(live) && graft.ops.ColMap.exists(live))
+    assert(graft.catalog.MorSpj.readerSide(s"$root/er", live),
+      "eq-deletes + rename mapping must ride reader-side")
+    val expected = spark.table("mspj_cm_l_src")
+      .join(spark.table("mspj_cm_r_src").filter($"k" >= 200L)
+        .union((0L until 100L).map(i => (i, -1L)).toDF("k", "b"))
+        .union((100L until 200L).map(i => (i, -2L)).toDF("k", "b")), "k")
+      .agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s")).head
+    withConfs(spjConfs: _*) {
+      val joined = spark.table(s"$cat.el")
+        .join(spark.table(s"$cat.er"), col("k") === col("kk"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"eqdel+rename must keep the co-bucketed join shuffle-free:\n$plan")
+      val got = joined
+        .agg(count(lit(1)).as("n"), sum(col("a") + col("amount")).as("s")).head
+      assert(got == expected, s"eqdel+rename SPJ drifted: $got vs $expected")
+    }
+    // the funnel door agrees (format read of the same version)
+    val viaFunnel = spark.read.format("graft").load(s"$root/er")
+    assert(viaFunnel.columns.toSeq == Seq("kk", "amount"))
+    assert(viaFunnel.filter(col("kk") < 200L)
+      .agg(sum(col("amount"))).head.getLong(0) == (-1L * 100) + (-2L * 100))
+  }
+
   test("pending tombstones compose with bucket-count REDUCTION: bucket(8)+eqdel ⋈ bucket(4), zero Exchange") {
     // round-16 verdict item: B192's reader-side subtraction and
     // round-15's ReducibleFunction bucket reducers must compose — a

@@ -175,6 +175,38 @@ class TableStreamSpec extends AnyFunSuite {
     assert(Sinks.readCurrent(spark, root).select("k").distinct().count() == 150)
   }
 
+  test("streamTo assigns identity values and derives generated columns (round-16)") {
+    // the streaming sink is a first-class writer: a NULL identity cell
+    // reserves under the commit lock and a NULL generated cell derives,
+    // exactly like a SQL INSERT — previously both landed as silent NULLs
+    import spark.implicits._
+    val base = tmp("streamgen")
+    val root = base + "/t"
+    val cp = tmp("streamgencp")
+    val src = tmp("streamgensrc")
+    spark.conf.set("spark.sql.catalog.graft_tsg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tsg.root", base)
+    // declare BEFORE the first batch creates data: the table must exist
+    // with its specs so the stream's first commit derives too
+    spark.sql(s"CREATE TABLE graft_tsg.t (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 1), code STRING, " +
+      "pfx STRING GENERATED ALWAYS AS (substring(code, 1, 2))) USING parquet")
+    (0 until 6).map(i => (null.asInstanceOf[java.lang.Long], s"C${i}XX", null
+      .asInstanceOf[String])).toDF("id", "code", "pfx")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = TableStream.streamTo(
+      spark.readStream.schema("id LONG, code STRING, pfx STRING").parquet(src),
+      root, cp)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_tsg.t").orderBy("code").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 6)
+    assert(got.map(_._1).distinct.length == 6 && got.map(_._1).forall(_ >= 100L),
+      s"identity values must be unique reservations: ${got.mkString(",")}")
+    assert(got.forall(t => t._3 == t._2.take(2)),
+      s"generated values must derive: ${got.mkString(",")}")
+  }
+
   test("a committed-then-crashed batch is not re-appended (commit survives a lost props update)") {
     import spark.implicits._
     val root = tmp("crash") + "/t"
