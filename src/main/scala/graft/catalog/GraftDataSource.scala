@@ -94,6 +94,16 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     val (root, dir) = resolve(options)
     GraftTables.requireReadRule(dir, root, s"graft path table $root")
     val delegate = GraftTables.delegate(s"graft.`$root`", root, dir)
+    // round-16: a reader-side COLUMN-MAPPED version scans through a
+    // PHYSICAL-name delegate on this door too (the catalog door's
+    // scanDelegate twin) — the builder translates pruning/pushdown
+    // logical→physical and the scan re-aliases back, so footer filter
+    // pushdown keeps working on renamed columns. The user-facing
+    // schema() below stays the LOGICAL delegate's.
+    lazy val scanDelegate =
+      if (graft.ops.ColMap.load(dir).nonEmpty && MorSpj.readerSide(root, dir))
+        GraftTables.delegate(s"graft.`$root`", root, dir, physicalNames = true)
+      else delegate
     new Table with SupportsRead with GraftSnapshotDir {
       override def snapshotVersionDir: String = dir
       override def snapshotTableRoot: String = root
@@ -116,7 +126,7 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         caps
       }
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        GraftScans.wrap(delegate.newScanBuilder(options), root, dir)
+        GraftScans.wrap(scanDelegate.newScanBuilder(options), root, dir)
     }
   }
 

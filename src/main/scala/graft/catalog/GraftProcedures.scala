@@ -243,10 +243,14 @@ private[graft] object GraftProcedures {
       require(missing.isEmpty,
         s"column(s) not in $table: ${missing.mkString(", ")}")
       // declared NDV columns retrofit their sketches through this CALL
-      // (the documented remedy when 'graft.ndv.columns' lands after data)
+      // (the documented remedy when 'graft.ndv.columns' lands after
+      // data); declared histogram columns (round-16) retrofit their
+      // equi-height boundaries the same way
       val ndvCols = graft.ops.TableProps.ndvColumns(root)
         .filter(c => cols.exists(_.equalsIgnoreCase(c)))
-      graft.ops.Stats.annotate(spark, live, cols, ndvCols)
+      val histCols = graft.ops.TableProps.histogramColumns(root)
+        .filter(c => cols.exists(_.equalsIgnoreCase(c)))
+      graft.ops.Stats.annotate(spark, live, cols, ndvCols, histCols)
       val v = graft.ops.Sinks.currentVersion(root).getOrElse(0L)
       val result: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =

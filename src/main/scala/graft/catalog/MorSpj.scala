@@ -364,6 +364,25 @@ private[graft] final class MorSubtractReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     inner.supportColumnarReads(partition)
 
+  /** Container-cached DV probe: row indexes arrive in ascending runs
+    * (the readers' generated index), so consecutive probes share the
+    * same high-16-bit container — caching it removes the per-row
+    * TreeMap lookup (boxed-key get) that dominated the subtraction at
+    * scale. Caches the ABSENT case too (the common one on a
+    * mostly-clean file).
+    */
+  private final class DvProbe(
+      containers: java.util.TreeMap[Long, Roaring.Container]) {
+    private var high = -1L
+    private var cont: Roaring.Container = null
+    def deleted(pos: Long): Boolean = {
+      if (pos < 0) return false
+      val h = pos >>> 16
+      if (h != high) { high = h; cont = containers.get(h) }
+      cont != null && Roaring.containerContains(cont, (pos & 0xFFFF).toInt)
+    }
+  }
+
   private lazy val dvByFile: java.util.HashMap[String, Array[Byte]] = {
     val m = new java.util.HashMap[String, Array[Byte]](dvEntries.length * 2 + 1)
     dvEntries.foreach { case (f, b) => m.put(f, b) }
@@ -419,7 +438,7 @@ private[graft] final class MorSubtractReaderFactory(
 
       private var idx = 0
       private var cur: PartitionReader[InternalRow] = null
-      private var curContainers: java.util.TreeMap[Long, Roaring.Container] = null
+      private var curProbe: DvProbe = null
       private var curFseq = -1L
       private var ready: InternalRow = null
 
@@ -429,13 +448,13 @@ private[graft] final class MorSubtractReaderFactory(
             if (idx >= files.length) return false
             val pf = files(idx); idx += 1
             val st = fileState(pf)
-            curContainers = st._1
+            curProbe = if (st._1 == null) null else new DvProbe(st._1)
             curFseq = st._2
             cur = inner.createReader(FilePartition(0, Array(pf)))
           } else if (cur.next()) {
             val r = cur.get()
-            val dvDel = curContainers != null &&
-              Roaring.containsIn(curContainers, r.getLong(rowIdxOrdinal))
+            val dvDel = curProbe != null &&
+              curProbe.deleted(r.getLong(rowIdxOrdinal))
             if (!dvDel && !eqDeleted(r, curFseq)) {
               ready = project(r)
               return true
@@ -459,7 +478,7 @@ private[graft] final class MorSubtractReaderFactory(
       private val files = fp.files
       private var idx = 0
       private var cur: PartitionReader[ColumnarBatch] = null
-      private var curContainers: java.util.TreeMap[Long, Roaring.Container] = null
+      private var curProbe: DvProbe = null
       private var curFseq = -1L
       private var ready: ColumnarBatch = null
       // mapping scratch, grown to the largest batch seen
@@ -468,14 +487,13 @@ private[graft] final class MorSubtractReaderFactory(
       /** Filter one delegate batch. Returns null when every row died. */
       private def subtract(batch: ColumnarBatch): ColumnarBatch = {
         val n = batch.numRows()
-        val dvVec = if (curContainers == null) null else batch.column(rowIdxOrdinal)
+        val dvVec = if (curProbe == null) null else batch.column(rowIdxOrdinal)
         if (mapping.length < n) mapping = new Array[Int](n)
         var live = 0
         var r = 0
         val checkEq = eqDel.isDefined
         while (r < n) {
-          val dvDel = dvVec != null &&
-            Roaring.containsIn(curContainers, dvVec.getLong(r))
+          val dvDel = dvVec != null && curProbe.deleted(dvVec.getLong(r))
           if (!dvDel && !(checkEq && eqDeleted(batch.getRow(r), curFseq))) {
             mapping(live) = r
             live += 1
@@ -499,7 +517,7 @@ private[graft] final class MorSubtractReaderFactory(
             if (idx >= files.length) return false
             val pf = files(idx); idx += 1
             val st = fileState(pf)
-            curContainers = st._1
+            curProbe = if (st._1 == null) null else new DvProbe(st._1)
             curFseq = st._2
             cur = inner.createColumnarReader(FilePartition(0, Array(pf)))
           } else if (cur.next()) {

@@ -225,26 +225,27 @@ object Roaring {
     * O(log) per call, the per-row cost of the scan-time [[RoaringLookup]]
     * probe.
     */
+  /** Membership of the 16-bit value `v` in ONE container. */
+  private[graft] def containerContains(c: Container, v: Int): Boolean =
+    if (c.bits != null) (c.bits(v >>> 6) & (1L << (v & 63))) != 0L
+    else {
+      var lo = 0; var hi = c.card - 1; var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val mv = c.low(mid) & 0xFFFF
+        if (mv == v) found = true
+        else if (mv < v) lo = mid + 1
+        else hi = mid - 1
+      }
+      found
+    }
+
   private[graft] def containsIn(
       containers: java.util.TreeMap[Long, Container], pos: Long): Boolean = {
     if (pos < 0) return false
     val c = containers.get(pos >>> 16)
     if (c == null) false
-    else {
-      val v = (pos & 0xFFFF).toInt
-      if (c.bits != null) (c.bits(v >>> 6) & (1L << (v & 63))) != 0L
-      else {
-        var lo = 0; var hi = c.card - 1; var found = false
-        while (lo <= hi && !found) {
-          val mid = (lo + hi) >>> 1
-          val mv = c.low(mid) & 0xFFFF
-          if (mv == v) found = true
-          else if (mv < v) lo = mid + 1
-          else hi = mid - 1
-        }
-        found
-      }
-    }
+    else containerContains(c, (pos & 0xFFFF).toInt)
   }
 
   /** All positions, ascending. */

@@ -311,6 +311,14 @@ class BucketSpjSpec extends AnyFunSuite {
     // schema and re-derive the grid from the mapped source
     spark.sql(s"INSERT INTO $cat.r VALUES (99001, -1)")
     assert(spark.table(s"$cat.r").filter(col("kk") === 99001L).count() == 1L)
+    // the FORMAT door serves the same reader-side colmap path with
+    // footer filter pushdown intact (physical-name delegate there too)
+    val rRoot = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/r"
+    val fd = spark.read.format("graft").load(rRoot).filter(col("kk") === 123L)
+    val fdPlan = fd.queryExecution.executedPlan.toString
+    assert(fdPlan.contains("EqualTo(k,123)"),
+      s"format-door pushdown must translate the renamed column:\n$fdPlan")
+    assert(fd.count() == 1L)
     // DV + rename compose reader-side: DELETE keeps the v2 path and the
     // join stays shuffle-free over the subtracted rows
     spark.sql(s"ALTER TABLE $cat.r SET TBLPROPERTIES ('graft.dml.mode' = 'mor')")

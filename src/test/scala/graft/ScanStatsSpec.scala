@@ -373,6 +373,16 @@ class ScanStatsSpec extends AnyFunSuite {
         == expected)
       assert(joined("fn").agg(count(lit(1)).as("n"), sum($"w").as("s")).head
         == expected)
+      // declared AFTER data: CALL system.annotate_stats retrofits the
+      // boundaries (the documented NDV remedy, extended to histograms)
+      // and the broadcast flips on the previously-uniform table too
+      spark.sql(s"ALTER TABLE $cat.fn SET TBLPROPERTIES " +
+        "('graft.histogram.columns' = 'v')")
+      spark.sql(s"CALL $cat.system.annotate_stats(table => 'fn', " +
+        "columns => 'k,v')")
+      val retro = joined("fn").queryExecution.executedPlan.toString
+      assert(!retro.contains("BroadcastHashJoin"),
+        s"the retrofitted histogram must price the heavy value:\n$retro")
     }
   }
 }
