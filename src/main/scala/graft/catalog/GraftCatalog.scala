@@ -756,13 +756,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
           f.dataType match {
             case StringType | BinaryType | ByteType | ShortType |
-                 IntegerType | LongType => None
+                 IntegerType | LongType | DateType | TimestampType => None
             case other => Some(s"$c: ${other.simpleString}")
           })
       }
       require(bad.isEmpty,
         s"$catalogName: ${graft.ops.TableProps.NdvKey} supports string, " +
-          s"binary and integral columns only; got ${bad.mkString(", ")}")
+          s"binary, integral and date/timestamp columns; got " +
+          bad.mkString(", "))
     }
     // retention policy values must parse (a malformed number would
     // silently disable the policy on every later maintenance run)
@@ -1165,12 +1166,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
               f.dataType match {
                 case StringType | BinaryType | ByteType | ShortType |
-                     IntegerType | LongType => None
+                     IntegerType | LongType | DateType | TimestampType => None
                 case other => Some(s"$c: ${other.simpleString}")
               }))
           require(bad.isEmpty,
-            s"$catalogName: $NdvKey supports string, binary and integral " +
-              s"columns only; got ${bad.mkString(", ")}")
+            s"$catalogName: $NdvKey supports string, binary, integral " +
+              s"and date/timestamp columns; got ${bad.mkString(", ")}")
         }
         if (key == BloomKey) {
           import org.apache.spark.sql.types._
@@ -1191,12 +1192,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
               f.dataType match {
                 case ByteType | ShortType | IntegerType | LongType |
-                     FloatType | DoubleType => None
+                     FloatType | DoubleType | DateType | TimestampType => None
                 case other => Some(s"$c: ${other.simpleString}")
               }))
           require(bad.isEmpty,
-            s"$catalogName: $HistogramKey supports the numeric family " +
-              s"only; got ${bad.mkString(", ")}")
+            s"$catalogName: $HistogramKey supports the numeric and " +
+              s"date/timestamp families; got ${bad.mkString(", ")}")
         }
       case RetainVersionsKey =>
         require(value.trim.toIntOption.exists(_ >= 0),

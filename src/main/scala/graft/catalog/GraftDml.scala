@@ -143,6 +143,68 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           m.notMatchedActions, m.notMatchedBySourceActions,
           w.tableRootPath, w.tableBaseVersion): LogicalPlan
       }.getOrElse(m)
+
+    // `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+    // COLUMNS]` (round-16): Spark has no v2 ANALYZE — route the SQL
+    // standard's spelling onto the engine's sidecar annotate pass (the
+    // `CALL system.annotate_stats` twin). Row/size stats are already
+    // exact on every commit (B167), so the statement's value is the
+    // column tier: min/max skipping bounds, declared NDV sketches and
+    // histogram boundaries.
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn =>
+      analyzeRoot(a.child).map(root => GraftAnalyzeCommand(root,
+        a.columnNames.getOrElse(Nil), a.allColumns): LogicalPlan)
+        .getOrElse(a)
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable
+        if a.partitionSpec.isEmpty =>
+      // no column list: refresh the DECLARED tiers (the retrofit
+      // remedy, no names needed); NOSCAN validates and does nothing —
+      // the commit-maintained row/size stats are already exact
+      analyzeRoot(a.child).map(root => GraftAnalyzeCommand(root, Nil,
+        allColumns = false, noScan = a.noScan): LogicalPlan).getOrElse(a)
+  }
+
+  private def analyzeRoot(child: LogicalPlan): Option[String] = child match {
+    case rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+      rt.table match {
+        case w: GraftWritableTable => Some(w.tableRootPath)
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
+/** The runnable side of the ANALYZE rewrite: resolve the column set
+  * (explicit, ALL, or the declared tiers) and run the same sidecar
+  * annotate pass the `CALL system.annotate_stats` door runs — declared
+  * NDV/histogram columns inside the set retrofit their sketches and
+  * boundaries exactly like the CALL.
+  */
+case class GraftAnalyzeCommand(tRoot: String, explicitCols: Seq[String],
+    allColumns: Boolean, noScan: Boolean = false) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (noScan) return Seq.empty
+    val schema = graft.ops.Sinks.readCurrent(spark, tRoot).schema
+    val ndvDecl = graft.ops.TableProps.ndvColumns(tRoot)
+    val histDecl = graft.ops.TableProps.histogramColumns(tRoot)
+    val cols: Seq[String] =
+      if (allColumns) schema.fieldNames.toSeq
+      else if (explicitCols.nonEmpty) {
+        val known = schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = explicitCols.filterNot(c => known(c.toLowerCase))
+        require(missing.isEmpty,
+          s"ANALYZE: column(s) not in $tRoot: ${missing.mkString(", ")}")
+        explicitCols
+      } else
+        // bare ANALYZE TABLE: the declared tiers (stats ∪ ndv ∪ hist)
+        (graft.ops.TableProps.statsColumns(tRoot) ++ ndvDecl ++ histDecl)
+          .map(_.toLowerCase).distinct
+          .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (cols.isEmpty) return Seq.empty
+    graft.ops.Stats.annotate(spark, graft.ops.Sinks.resolve(tRoot), cols,
+      ndvCols = ndvDecl.filter(c => cols.exists(_.equalsIgnoreCase(c))),
+      histCols = histDecl.filter(c => cols.exists(_.equalsIgnoreCase(c))))
+    Seq.empty
   }
 }
 
@@ -502,15 +564,86 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       when(coalesce(actionCond(a), lit(false)), lit(t)).otherwise(els)
     }
 
+  /** Generated-column support (round-16, the boundary lifted): MERGE
+    * publishes its output frames directly, so derivation happens INSIDE
+    * the per-action projection — the same one-pass discipline as the
+    * UPDATE door. All references in the generation SQL are substituted
+    * (never resolved by name against the two-sided join frame, where
+    * target and source legitimately share names): an assigned source
+    * becomes the action's value expression, an unassigned one the
+    * route's current-target reference (UPDATE actions) or a NULL
+    * literal (INSERT actions, the omitted-column contract).
+    */
+  private def genDerived(spark: SparkSession, spec: graft.ops.Generated.Spec,
+      sub: String => Option[Expression],
+      tpe: org.apache.spark.sql.types.DataType): Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(spec.sql)
+    col0(parsed.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 && sub(ua.nameParts.head).isDefined =>
+        sub(ua.nameParts.head).get
+    }).cast(tpe)
+  }
+
+  /** UPDATE-action value of generated `attr`: unchanged sources keep
+    * the stored (still-valid) value; an assigned source re-derives by
+    * substitution. `bind` turns a statement expression into a Column on
+    * the route's frame (COW: exprId-bound; MOR: name-rebound), and
+    * `tRef` is the route's reference to a current target column.
+    */
+  private def genUpdateValue(spark: SparkSession, s: graft.ops.Generated.Spec,
+      u: UpdateAction, attr: Attribute, bind: Expression => Column,
+      tRef: String => Expression): Column = {
+    def assignedOf(n: String): Option[Expression] =
+      target.output.find(_.name.equalsIgnoreCase(n)).flatMap(sa =>
+        assignedValue(u.assignments, sa).map(e =>
+          GraftSqlShims.expression(bind(e).cast(sa.dataType))))
+    if (!graft.ops.Generated.sourceCols(spark, s).exists(n => assignedOf(n).isDefined))
+      col0(tRef(attr.name))
+    else genDerived(spark, s,
+      n => assignedOf(n).orElse(Some(tRef(n))), attr.dataType)
+  }
+
+  /** INSERT-action value of `attr`: the assigned expression or NULL —
+    * and for a generated column the door contract ([[graft.ops.Generated.reconcile]]):
+    * derive the NULL/omitted cell from the action's assigned sources,
+    * refuse a mismatching explicit value row-locally.
+    */
+  private def genInsertValue(spark: SparkSession, ins: InsertAction,
+      attr: Attribute, gspec: Option[graft.ops.Generated.Spec],
+      bind: Expression => Column): Column = {
+    val explicit = assignedValue(ins.assignments, attr)
+      .map(e => bind(e).cast(attr.dataType))
+    gspec match {
+      case None => explicit.getOrElse(lit(null).cast(attr.dataType))
+      case Some(s) =>
+        val gen = genDerived(spark, s, n =>
+          target.output.find(_.name.equalsIgnoreCase(n)).map(sa =>
+            assignedValue(ins.assignments, sa)
+              .map(e => GraftSqlShims.expression(bind(e).cast(sa.dataType)))
+              .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal
+                .create(null, sa.dataType))), attr.dataType)
+        explicit.fold(gen)(v =>
+          graft.ops.Generated.reconcile(v, gen, attr.name, s.sql))
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    // generated columns (round-16 boundary): MERGE publishes its output
-    // frames directly (no insert funnel), so a merged row would bypass
-    // the derivation/enforcement projection — refuse rather than store
-    // an unvalidated value. INSERT and UPDATE are the generated doors.
-    require(graft.ops.Generated.specs(tRoot).isEmpty,
-      "graft MERGE into a table with GENERATED ALWAYS AS (expr) columns " +
-        "is unsupported — route inserts through INSERT INTO (derives and " +
-        "enforces) and updates through UPDATE")
+    // generated columns: a DIRECT assignment in any UPDATE action stays
+    // refused (ALWAYS semantics — same message as the UPDATE door);
+    // sources re-derive, INSERT actions derive/reconcile (helpers above)
+    val genSpecs = graft.ops.Generated.specs(tRoot)
+    (matchedActions ++ notMatchedBySourceActions).foreach {
+      case u: UpdateAction =>
+        val assigned = u.assignments.flatMap(_.key.collectFirst {
+          case a: Attribute => a.name.toLowerCase }).toSet
+        genSpecs.foreach(s => require(!assigned(s.col),
+          s"graft MERGE cannot assign generated column ${s.col} — it is " +
+            s"GENERATED ALWAYS AS (${s.sql}); assign its sources and the " +
+            "column re-derives"))
+      case _ => ()
+    }
+    val genByCol = genSpecs.map(s => s.col -> s).toMap
     // merge-on-read route (same selection as DELETE/UPDATE): matched
     // update/delete rows' positions join the vector, updated copies and
     // inserts are the commit's only new files — no file rewrites
@@ -594,12 +727,11 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       val tagged = anti.withColumn(OP, dispatch(insertTagged0, "drop"))
         .filter(col(OP) =!= "drop").localCheckpoint()
       val outCols0 = target.output.map { attr =>
+        val gspec = genByCol.get(attr.name.toLowerCase)
         var c: Column = lit(null).cast(attr.dataType)
         insertTagged0.foreach {
           case (ins: InsertAction, tag) =>
-            val v = assignedValue(ins.assignments, attr)
-              .map(e => col0(e).cast(attr.dataType))
-              .getOrElse(lit(null).cast(attr.dataType))
+            val v = genInsertValue(spark, ins, attr, gspec, col0)
             c = when(col(OP) === tag, v).otherwise(c)
           case _ => ()
         }
@@ -699,21 +831,29 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
     val kept = resolved.filter(!(col(OP) === "drop" || col(OP).startsWith("d")))
 
     val outCols = target.output.map { attr =>
+      val gspec = genByCol.get(attr.name.toLowerCase)
       var c: Column = when(col(OP) === "keep", col0(attr))
       (matchedTagged ++ nmbsTagged).foreach {
         case (u: UpdateAction, tag) =>
-          val v = assignedValue(u.assignments, attr)
-            .map(e => col0(e).cast(attr.dataType)).getOrElse(col0(attr))
+          // a generated column re-derives when the action assigns any of
+          // its sources (substitution over the PRE row — UPDATE-door
+          // semantics); otherwise the stored value is still valid
+          val v = gspec match {
+            case Some(s) => genUpdateValue(spark, s, u, attr, col0,
+              n => target.output.find(_.name.equalsIgnoreCase(n))
+                .getOrElse(attr))
+            case None => assignedValue(u.assignments, attr)
+              .map(e => col0(e).cast(attr.dataType)).getOrElse(col0(attr))
+          }
           c = c.when(col(OP) === tag, v)
         case _ => ()
       }
       insertTagged.foreach {
         case (ins: InsertAction, tag) =>
           // columns the INSERT clause leaves unassigned are NULL, the
-          // same null-backfill contract as additive schema evolution
-          val v = assignedValue(ins.assignments, attr)
-            .map(e => col0(e).cast(attr.dataType))
-            .getOrElse(lit(null).cast(attr.dataType))
+          // same null-backfill contract as additive schema evolution;
+          // generated columns derive/reconcile (the INSERT-door contract)
+          val v = genInsertValue(spark, ins, attr, gspec, col0)
           c = c.when(col(OP) === tag, v)
         case _ => ()
       }
@@ -875,20 +1015,30 @@ case class GraftMergeCommand(target: DataSourceV2Relation, source: LogicalPlan,
       .select(col(MT + "dvk").as("file"), col(MT + "dvp").as("row_index"))
 
     // the commit's new rows: updated copies + inserts
+    // generated columns on this route too: the same derivation helpers,
+    // with statement expressions NAME-rebound (rebindT) and the current
+    // target referenced through the reserved prefix
+    val genByCol = graft.ops.Generated.specs(tRoot).map(s => s.col -> s).toMap
+    def tPrefixed(n: String): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(
+        MT + target.output.find(_.name.equalsIgnoreCase(n))
+          .map(_.name).getOrElse(n))
     val newCols = target.output.map { attr =>
+      val gspec = genByCol.get(attr.name.toLowerCase)
       var c: Column = lit(null).cast(attr.dataType)
       (matchedTagged ++ nmbsTagged).foreach {
         case (u: UpdateAction, tag) =>
-          val v = assignedValue(u.assignments, attr)
-            .map(e => rcol(e).cast(attr.dataType)).getOrElse(tcol(attr))
+          val v = gspec match {
+            case Some(s) => genUpdateValue(spark, s, u, attr, rcol, tPrefixed)
+            case None => assignedValue(u.assignments, attr)
+              .map(e => rcol(e).cast(attr.dataType)).getOrElse(tcol(attr))
+          }
           c = when(col(OP) === tag, v).otherwise(c)
         case _ => ()
       }
       insertTagged.foreach {
         case (ins: InsertAction, tag) =>
-          val v = assignedValue(ins.assignments, attr)
-            .map(e => rcol(e).cast(attr.dataType))
-            .getOrElse(lit(null).cast(attr.dataType))
+          val v = genInsertValue(spark, ins, attr, gspec, rcol)
           c = when(col(OP) === tag, v).otherwise(c)
         case _ => ()
       }

@@ -738,6 +738,10 @@ private[graft] object CboStats {
     val numeric = f.dataType match {
       case ByteType | ShortType | IntegerType | LongType |
           FloatType | DoubleType => true
+      // datetime family (round-16): boundaries recorded as the
+      // catalyst-internal epoch days/micros — the same double domain
+      // EstimationUtils.toDouble puts date/timestamp literals in
+      case DateType | TimestampType => true
       case _ => false
     }
     if (!numeric || bearing.isEmpty || !bearing.forall(_.hist.isDefined))

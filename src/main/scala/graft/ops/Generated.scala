@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   *    row simultaneously — [[graft.catalog.GraftUpdateCommand]]), on
   *    both the copy-on-write and merge-on-read routes and in the
   *    change feed. A DIRECT assignment to the generated column stays
-  *    refused (ALWAYS semantics). MERGE refuses tables with generated
-  *    columns outright (its output frames bypass the derivation
-  *    funnel — the remaining round-16 boundary).
+  *    refused (ALWAYS semantics).
+  *  - MERGE derives too (round-16, boundary lifted): an UPDATE action
+  *    assigning a source re-derives by the same substitution, an
+  *    INSERT action derives NULL/omitted cells and [[reconcile]]s an
+  *    explicit value against the recompute — on both the copy-on-write
+  *    and merge-on-read routes and in the change feed; a DIRECT
+  *    assignment in any UPDATE action refuses.
   *  - Declared over a PARTITION column, the grid stores derived values
   *    and [[graft.catalog.GraftScanBuilder]] rewrites source-column
   *    predicates into directory predicates where the expression parses
@@ -96,6 +100,19 @@ object Generated {
     })
   }
 
+  /** The door contract as ONE reusable Column: a NULL cell derives
+    * (`gen`), an explicit value must equal the recompute or the row
+    * fails loudly — shared by the insert funnel and the MERGE INSERT
+    * actions so both doors reconcile identically.
+    */
+  def reconcile(cur: Column, gen: Column, name: String, sql: String): Column =
+    when(cur.isNull, gen)
+      .when(!(cur <=> gen), raise_error(concat(
+        lit(s"generated column $name = ($sql): explicit "),
+        lit("value "), cur.cast("string"),
+        lit(" does not match the recompute "), gen.cast("string"))))
+      .otherwise(cur)
+
   /** The insert-funnel projection: fill NULL generated cells with the
     * recompute; refuse (row-locally, loudly) an explicit value the
     * recompute disagrees with. One pass, codegen'd.
@@ -104,14 +121,7 @@ object Generated {
     specs(root).foldLeft(df) { (d, spec) =>
       d.schema.fields.find(_.name.equalsIgnoreCase(spec.col)).fold(d) { f =>
         val gen = expr(spec.sql).cast(f.dataType)
-        val cur = col(s"`${f.name}`")
-        d.withColumn(f.name,
-          when(cur.isNull, gen)
-            .when(!(cur <=> gen), raise_error(concat(
-              lit(s"generated column ${f.name} = (${spec.sql}): explicit "),
-              lit("value "), cur.cast("string"),
-              lit(" does not match the recompute "), gen.cast("string"))))
-            .otherwise(cur))
+        d.withColumn(f.name, reconcile(col(s"`${f.name}`"), gen, f.name, spec.sql))
       }
     }
 

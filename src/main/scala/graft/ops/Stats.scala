@@ -294,8 +294,10 @@ object Stats {
     // Datasketches HLL over the sketchable domain. Integer-family casts
     // to LONG (injective — the sketch describes the same value set and
     // one cast spelling keeps per-file and whole-scan sketches
-    // hash-identical); string/binary sketch as-is; other types record
-    // no sketch and the serve side declines.
+    // hash-identical); string/binary sketch as-is; date/timestamp
+    // (round-16) sketch their zone-free internal images (epoch
+    // days/micros — injective); other types record no sketch and the
+    // serve side declines.
     val ndvSel: Seq[(String, org.apache.spark.sql.Column)] =
       ndvCols.flatMap(c => canonical(c).collect {
         case f if f.dataType == StringType || f.dataType == BinaryType =>
@@ -303,17 +305,29 @@ object Stats {
         case f if f.dataType == ByteType || f.dataType == ShortType ||
             f.dataType == IntegerType || f.dataType == LongType =>
           (c, col(f.name).cast(LongType))
+        case f if f.dataType == DateType =>
+          (c, unix_date(col(f.name)).cast(LongType))
+        case f if f.dataType == TimestampType =>
+          (c, unix_micros(col(f.name)))
       })
     // CBO histogram columns (round-16 'graft.histogram.columns'):
     // per-file equi-height quantile boundaries ([[HistBins]]+1 values)
-    // over the numeric family, in the DOUBLE of the catalyst-internal
-    // value — the domain FilterEstimation's histogram math runs in.
+    // over the numeric + datetime families, in the DOUBLE of the
+    // catalyst-internal value — the domain FilterEstimation's histogram
+    // math runs in (EstimationUtils.toDouble: dates as epoch DAYS,
+    // timestamps as epoch MICROS). unix_date/unix_micros are zone-free
+    // images of exactly those internals; TimestampNTZ is excluded (no
+    // zone-free spelling reaches its internal through an expression).
     val histSel: Seq[(String, org.apache.spark.sql.Column)] =
       histCols.flatMap(c => canonical(c).collect {
         case f if f.dataType == ByteType || f.dataType == ShortType ||
             f.dataType == IntegerType || f.dataType == LongType ||
             f.dataType == FloatType || f.dataType == DoubleType =>
           (c, col(f.name).cast(DoubleType))
+        case f if f.dataType == DateType =>
+          (c, unix_date(col(f.name)).cast(DoubleType))
+        case f if f.dataType == TimestampType =>
+          (c, unix_micros(col(f.name)).cast(DoubleType))
       })
     if (stringCols.isEmpty && intCols.isEmpty && ndvSel.isEmpty &&
       histSel.isEmpty) return stats

@@ -294,6 +294,25 @@ object ScanOps extends QueryModule {
            |GROUP BY seg2 ORDER BY seg2""".stripMargin)
     }),
 
+    // Round-16 (B199, the MERGE boundary lifted): MERGE derives
+    // generated columns — matched UPDATE actions substitute their
+    // assigned expressions into the generation SQL (the UPDATE-door
+    // semantic), unmatched INSERT actions derive from the action's
+    // values, and the partition grid re-files the moved rows under the
+    // re-derived directories. The hash match proves both derivations
+    // exact vs DuckDB's full-join recompute of the whole merge.
+    "q_generated_merge" -> ((s, dir) => {
+      val wh = generatedMergeWarehouse(s, dir)
+      val cat = "graftgmg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT seg2, count(*) AS n_rows, sum(c_custkey) AS keysum,
+           |       round(sum(c_acctbal), 4) AS balsum
+           |FROM $cat.cust_gm
+           |GROUP BY seg2 ORDER BY seg2""".stripMargin)
+    }),
+
     // B189 bucket co-location: orders and lineitem land as PURE-bucket
     // hidden-partitioned catalog tables on the order key (bucket(16)) —
     // the HIGH-cardinality co-location identity dirs can't give. The
@@ -1700,6 +1719,54 @@ object ScanOps extends QueryModule {
       wh
     }
 
+  /** Warehouse for q_generated_merge (round-16, B199's MERGE boundary
+    * lifted): `cust_gm` declares the generated seg2 partition column;
+    * the build INSERTs the even-key half (NULL compute-me markers) and
+    * then MERGEs the `% 3 == 0` slice with c_mktsegment prefixed 'X' —
+    * matched evens RE-DERIVE seg2 through the update substitution
+    * (moving them to new grid directories), unmatched thirds derive
+    * through the insert action. Cached per content stamp; the merge is
+    * build-time, the query read-only.
+    */
+  private def generatedMergeWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val wh = "/tmp/graft_genmrg_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cat = "graftgmg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val tbl = s"$wh/cust_gm"
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|gmrg1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        s.sql(s"CREATE TABLE $cat.cust_gm (c_custkey BIGINT, " +
+          "c_mktsegment STRING, c_acctbal DOUBLE, " +
+          "seg2 STRING GENERATED ALWAYS AS (substring(c_mktsegment, 1, 2))" +
+          ") USING parquet PARTITIONED BY (seg2)")
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .createOrReplaceTempView("gmrg_cust_src")
+        s.sql(s"INSERT INTO $cat.cust_gm SELECT c_custkey, c_mktsegment, " +
+          "c_acctbal, NULL FROM gmrg_cust_src WHERE c_custkey % 2 = 0")
+        s.sql(
+          s"""MERGE INTO $cat.cust_gm t
+             |USING (SELECT c_custkey, concat('X', c_mktsegment) AS m,
+             |              c_acctbal + 10 AS b
+             |       FROM gmrg_cust_src WHERE c_custkey % 3 = 0) s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET c_mktsegment = s.m, c_acctbal = s.b
+             |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
+             |  VALUES (s.c_custkey, s.m, s.b)""".stripMargin)
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
   /** Warehouse for q_purge (B179): nations v0 = the fixture, v1 = a MOR
     * delete of the n_nationkey >= 20 tail (history that still holds the
     * rows, plus a deletion vector whose carried subtraction the purge
@@ -2661,6 +2728,27 @@ object ScanOps extends QueryModule {
         |       CAST(sum(c_custkey) AS BIGINT) AS keysum
         |FROM customer WHERE c_mktsegment >= 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the generated-column MERGE recomputed as a full outer join — the
+    // derivation applies over the merged post-rows
+    "q_generated_merge" ->
+      """WITH t0 AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |            FROM customer WHERE c_custkey % 2 = 0),
+        |src AS (SELECT c_custkey, 'X' || c_mktsegment AS m,
+        |               c_acctbal + 10 AS b
+        |        FROM customer WHERE c_custkey % 3 = 0),
+        |merged AS (
+        |  SELECT COALESCE(s.c_custkey, t0.c_custkey) AS c_custkey,
+        |         CASE WHEN s.c_custkey IS NOT NULL THEN s.m
+        |              ELSE t0.c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN s.c_custkey IS NOT NULL THEN s.b
+        |              ELSE t0.c_acctbal END AS c_acctbal
+        |  FROM t0 FULL JOIN src s ON t0.c_custkey = s.c_custkey)
+        |SELECT substring(c_mktsegment, 1, 2) AS seg2,
+        |       count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS keysum,
+        |       round(sum(c_acctbal), 4) AS balsum
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the MERGE-evolution populations recomputed as a full outer join
     // of the pre-merge target slice and the wider source slice

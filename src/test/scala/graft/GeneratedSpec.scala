@@ -8,10 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Generated columns (round-16, B199): `GENERATED ALWAYS AS (expr)` —
   * spec in `_PROPS` (footers stripped), INSERT doors derive NULLs and
-  * refuse mismatching explicit values row-locally, UPDATE/MERGE refuse
-  * assignments that would strand the derivation, and a generated
-  * PARTITION column whose expression is an invertible zone-free
-  * Transforms shape prunes directories from SOURCE-column predicates.
+  * refuse mismatching explicit values row-locally, UPDATE and MERGE
+  * re-derive on source assignment (direct assignment refuses), and a
+  * generated PARTITION column whose expression is an invertible
+  * zone-free Transforms shape prunes directories from SOURCE-column
+  * predicates.
   */
 class GeneratedSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -102,9 +103,11 @@ class GeneratedSpec extends AnyFunSuite {
     spark.sql(s"UPDATE $cat.t SET note = 'updated' WHERE k = 1")
     assert(spark.table(s"$cat.t").filter(col("k") === 1).head.getString(2)
       == "updated")
+    // MERGE no longer refuses the table (derivation lifted — see the
+    // dedicated MERGE test); a DIRECT generated assignment still does
     val e3 = intercept[Exception](spark.sql(
       s"""MERGE INTO $cat.t t USING (SELECT 1 AS mk) s ON t.k = s.mk
-         |WHEN MATCHED THEN UPDATE SET note = 'm'""".stripMargin))
+         |WHEN MATCHED THEN UPDATE SET pfx = 'ZZ'""".stripMargin))
     assert(e3.getMessage.contains("GENERATED ALWAYS"), e3.getMessage)
     val e4 = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN code TO code2"))
@@ -118,6 +121,71 @@ class GeneratedSpec extends AnyFunSuite {
         "b STRING GENERATED ALWAYS AS (substring(a, 1, 2)), " +
         "c STRING GENERATED ALWAYS AS (substring(b, 1, 1))) USING parquet"))
     assert(e6.getMessage.toLowerCase.contains("generated"), e6.getMessage)
+  }
+
+  test("MERGE derives: update actions substitute sources, insert actions derive and reconcile (both routes)") {
+    val (cat, root) = mkCat()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, code STRING, " +
+      "pfx STRING GENERATED ALWAYS AS (substring(code, 1, 2))) USING parquet")
+    spark.sql(s"INSERT INTO $cat.t (k, code) VALUES (1, 'ABCD'), (2, 'EFGH')")
+    // copy-on-write route: the matched UPDATE assigns the source → pfx
+    // re-derives from the ASSIGNED expression; the unmatched INSERT
+    // omits pfx → derives from the action's values
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING (
+         |  SELECT 1 AS mk, 'MNOP' AS mcode UNION ALL SELECT 3, 'QRST') s
+         |ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET code = s.mcode
+         |WHEN NOT MATCHED THEN INSERT (k, code) VALUES (s.mk, s.mcode)""".stripMargin)
+    val afterCow = spark.table(s"$cat.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(afterCow == Seq((1L, "MNOP", "MN"), (2L, "EFGH", "EF"),
+      (3L, "QRST", "QR")), afterCow.toString)
+    // the merge's change images carry derived values (post-state rows,
+    // whether served from a stored feed or a reconstructed diff)
+    val feed = spark.sql(s"SELECT * FROM table_changes('$root/t', 1, 2)")
+      .collect().filter(r => Set("insert", "update_postimage")(
+        r.getAs[String]("_change_type")) &&
+        Set("MNOP", "QRST")(r.getAs[String]("code")))
+    assert(feed.nonEmpty)
+    feed.foreach(r => assert(
+      r.getAs[String]("pfx") == r.getAs[String]("code").take(2),
+      s"feed post-state must derive: $r"))
+    // insert-only MERGE (the linked-append fast path) reconciles an
+    // explicit value: matching lands, mismatching refuses row-locally
+    spark.sql(s"MERGE INTO $cat.t t USING (SELECT 4 AS mk, 'UVWX' AS mcode) s " +
+      "ON t.k = s.mk " +
+      "WHEN NOT MATCHED THEN INSERT (k, code, pfx) VALUES (s.mk, s.mcode, 'UV')")
+    assert(spark.table(s"$cat.t").filter(col("k") === 4).head.getString(2) == "UV")
+    val bad = intercept[Exception](spark.sql(
+      s"MERGE INTO $cat.t t USING (SELECT 5 AS mk, 'YYYY' AS mcode) s " +
+        "ON t.k = s.mk " +
+        "WHEN NOT MATCHED THEN INSERT (k, code, pfx) VALUES (s.mk, s.mcode, 'ZZ')"))
+    assert(msgs(bad).exists(_.contains("does not match the recompute")),
+      msgs(bad).mkString(" | "))
+    assert(spark.table(s"$cat.t").filter(col("k") === 5).count() == 0)
+    // merge-on-read route: the same derivation inside the vector rewrite
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('graft.dml.mode' = 'mor')")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING (
+         |  SELECT 2 AS mk, 'IJKL' AS mcode UNION ALL SELECT 6, 'GHIJ') s
+         |ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET code = s.mcode
+         |WHEN NOT MATCHED THEN INSERT (k, code) VALUES (s.mk, s.mcode)""".stripMargin)
+    val afterMor = spark.table(s"$cat.t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(afterMor == Seq((1L, "MNOP", "MN"), (2L, "IJKL", "IJ"),
+      (3L, "QRST", "QR"), (4L, "UVWX", "UV"), (6L, "GHIJ", "GH")),
+      afterMor.toString)
+    // WHEN NOT MATCHED BY SOURCE updates re-derive too (the non-COW
+    // full-table path)
+    spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1 AS mk) s ON t.k = s.mk " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k = 3 " +
+      "THEN UPDATE SET code = concat('Z', t.code)")
+    val k3 = spark.table(s"$cat.t").filter(col("k") === 3).head
+    assert((k3.getString(1), k3.getString(2)) == ("ZQRST", "ZQ"))
   }
 
   test("generated PARTITION column: source predicates prune directories (invertible shapes)") {

@@ -385,4 +385,90 @@ class ScanStatsSpec extends AnyFunSuite {
         s"the retrofitted histogram must price the heavy value:\n$retro")
     }
   }
+
+  test("datetime histograms: a heavy DATE value prices correctly (round-16)") {
+    val cat = mkCat()
+    import spark.implicits._
+    // 95% of the fact rows land on one day — the uniform rows/ndv guess
+    // prices the heavy-day predicate ~300× too low; the merged
+    // equi-height histogram (epoch-day domain) sees the plateau
+    (0L until 40000L).map { i =>
+      val d = if (i % 20L != 0L) java.time.LocalDate.of(2024, 6, 1)
+        else java.time.LocalDate.of(2024, 6, 2).plusDays(i % 300L)
+      (i, java.sql.Date.valueOf(d))
+    }.toDF("k", "d").createOrReplaceTempView("dh_fact_src")
+    (0L until 20000L).map(i => (i, i * 3)).toDF("k", "w")
+      .createOrReplaceTempView("dh_dim_src")
+    spark.sql(s"CREATE TABLE $cat.fh TBLPROPERTIES (" +
+      "'graft.stats.columns' = 'k,d', 'graft.ndv.columns' = 'd', " +
+      "'graft.histogram.columns' = 'd') AS SELECT * FROM dh_fact_src")
+    spark.sql(s"CREATE TABLE $cat.fn TBLPROPERTIES (" +
+      "'graft.stats.columns' = 'k,d', 'graft.ndv.columns' = 'd') " +
+      "AS SELECT * FROM dh_fact_src")
+    spark.sql(s"CREATE TABLE $cat.d TBLPROPERTIES " +
+      "('graft.stats.columns' = 'k') AS SELECT * FROM dh_dim_src")
+    def joined(t: String) = spark.table(s"$cat.$t")
+      .filter($"d" === java.sql.Date.valueOf("2024-06-01"))
+      .join(spark.table(s"$cat.d"), "k")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val noHist = joined("fn").queryExecution.executedPlan.toString
+      assert(noHist.contains("BroadcastHashJoin"),
+        s"without a histogram the uniform date guess keeps the broadcast:\n$noHist")
+      val withHist = joined("fh").queryExecution.executedPlan.toString
+      assert(!withHist.contains("BroadcastHashJoin"),
+        s"the date histogram must price the heavy day:\n$withHist")
+      val expected = spark.table("dh_fact_src")
+        .filter($"d" === java.sql.Date.valueOf("2024-06-01"))
+        .join(spark.table("dh_dim_src"), "k")
+        .agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+      assert(joined("fh").agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+        == expected)
+      assert(joined("fn").agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+        == expected)
+    }
+  }
+
+  test("ANALYZE TABLE routes to the sidecar annotate pass (round-16 SQL door)") {
+    val cat = mkCat()
+    import spark.implicits._
+    (0L until 40000L).map(i =>
+      (i, if (i % 20L != 0L) 0L else (i % 2000L) + 1L))
+      .toDF("k", "v").createOrReplaceTempView("an_fact_src")
+    (0L until 20000L).map(i => (i, i * 3)).toDF("k", "w")
+      .createOrReplaceTempView("an_dim_src")
+    // created with NO stats declarations and no sidecar column tier
+    spark.sql(s"CREATE TABLE $cat.f AS SELECT * FROM an_fact_src")
+    spark.sql(s"CREATE TABLE $cat.d AS SELECT * FROM an_dim_src")
+    // declare the NDV/histogram tiers after the fact; the SQL-standard
+    // spelling retrofits them exactly like CALL system.annotate_stats
+    spark.sql(s"ALTER TABLE $cat.f SET TBLPROPERTIES (" +
+      "'graft.ndv.columns' = 'v', 'graft.histogram.columns' = 'v')")
+    spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS k, v")
+    spark.sql(s"ANALYZE TABLE $cat.d COMPUTE STATISTICS FOR ALL COLUMNS")
+    def joined = spark.table(s"$cat.f").filter($"v" === 0L)
+      .join(spark.table(s"$cat.d"), "k")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"the ANALYZE-built histogram must price the heavy value:\n$plan")
+      val expected = spark.table("an_fact_src").filter($"v" === 0L)
+        .join(spark.table("an_dim_src"), "k")
+        .agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+      assert(joined.agg(count(lit(1)).as("n"), sum($"w").as("s")).head
+        == expected)
+    }
+    // bare ANALYZE refreshes the DECLARED tiers (no names needed),
+    // NOSCAN validates and does nothing, an unknown column refuses
+    spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $cat.f COMPUTE STATISTICS NOSCAN")
+    val e = intercept[Exception](spark.sql(
+      s"ANALYZE TABLE $cat.f COMPUTE STATISTICS FOR COLUMNS nope"))
+    assert(e.getMessage.contains("not in"), e.getMessage)
+  }
 }
