@@ -33,12 +33,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata-only counts all fire on format-read tables too. Sessions
   * WITHOUT the extensions are refused for any table whose bare scan
   * would be wrong ([[GraftTables.requireReadRule]]) rather than served
-  * resurrected rows. Read-only: writes go through the catalog or the
-  * library's commit funnels (`save()` fails for lack of write
-  * capability, never corrupts a version dir).
+  * resurrected rows.
+  *
+  * The WRITE door (round-16): `df.write.format("graft")` rides the V1
+  * [[org.apache.spark.sql.sources.CreatableRelationProvider]] funnel —
+  * the v2 table deliberately advertises no write capability, so every
+  * SaveMode (including the create modes v2 TableProviders cannot
+  * express) falls back to [[createRelation]], which routes through the
+  * SAME commit protocol as the catalog door: OCC against the version
+  * resolved at write time, identity/generated/CHECK gates, O(delta)
+  * linked appends with the insert feed, declared-partitioning layout.
+  * A fresh root CREATES the table (empty v0 + partition spec, data as
+  * v1 — the catalog's CREATE ordering); time-travel options refuse
+  * (writes target the CURRENT version by definition).
   */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
 
@@ -130,12 +141,131 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     }
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITER path hands getTable the frame's schema instead
+  // of forcing inferSchema — which must keep failing loudly for a
+  // missing root on the READ path (below), but would otherwise kill
+  // `df.write.format("graft").save(<fresh root>)` before the V1
+  // create funnel gets its chance
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     snapshot(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    snapshot(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "format(\"graft\") requires .load/.save(<table root>)"))
+    // a root with no published version: a WRITE in flight (the stub's
+    // absent capabilities route it to the V1 create funnel) or a read
+    // that must fail loudly — at scan build, with the same message the
+    // schema-inferred path throws at load
+    if (Sinks.currentVersion(root).isEmpty &&
+        !Seq("versionAsOf", "tag", "timestampAsOf").exists(options.containsKey))
+      new Table {
+        override def name(): String = s"graft.`$root`"
+        override def schema(): StructType = schema
+        override def capabilities(): util.Set[TableCapability] =
+          new util.HashSet[TableCapability]()
+      }
+    else snapshot(options)
+  }
+
+  /** The V1 write funnel — every `df.write.format("graft")` SaveMode
+    * lands here (the v2 table has no write capability, by design).
+    */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.datasources.DataSourceUtils
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val spark = data.sparkSession
+    val root = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "format(\"graft\") requires .save(<table root>)"))
+    require(!Seq("versionAsOf", "tag", "timestampAsOf").exists(k =>
+      parameters.keys.exists(_.equalsIgnoreCase(k))),
+      "graft writes target the CURRENT version — time-travel options " +
+        "(versionAsOf/tag/timestampAsOf) are read-only")
+    val partBy: Seq[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(DataSourceUtils.PARTITIONING_COLUMNS_KEY) =>
+        DataSourceUtils.decodePartitioningColumns(v)
+    }.getOrElse(Nil)
+
+    /** By-name alignment against the table's LOGICAL schema: unknown
+      * columns refuse, missing ones fill with their declared DEFAULT
+      * (or NULL — the identity/generated compute-me marker), everything
+      * casts to the declared type. The same row gates as the catalog's
+      * INSERT door, in the same order.
+      */
+    def gated(tableSchema: StructType): org.apache.spark.sql.DataFrame = {
+      val known = tableSchema.fieldNames.map(_.toLowerCase).toSet
+      val extra = data.columns.filterNot(c => known(c.toLowerCase))
+      require(extra.isEmpty,
+        s"column(s) not in $root: ${extra.mkString(", ")} — ALTER TABLE " +
+          "ADD COLUMNS first (or use the catalog door's MERGE WITH " +
+          "SCHEMA EVOLUTION)")
+      val defaults = GraftDefaults.load(root)
+      val aligned = data.select(tableSchema.map { f =>
+        if (data.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        else defaults.get(f.name.toLowerCase)
+          .map(sql => expr(sql).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }.toIndexedSeq: _*)
+      GraftCheck.enforce(
+        graft.ops.Generated.enforce(
+          graft.ops.Identity.assign(aligned, root), root), root)
+    }
+
+    Sinks.currentVersion(root) match {
+      case None =>
+        // CREATE: the catalog's ordering — empty flat v0 wins the race,
+        // the partition spec lands as props, the data appends as v1
+        // (laid out under the declared grid)
+        partBy.foreach(c => require(
+          data.columns.exists(_.equalsIgnoreCase(c)),
+          s"partitionBy column $c is not in the frame"))
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), data.schema)
+        Sinks.publishVersioned(empty, root, None)
+        if (partBy.nonEmpty)
+          graft.ops.TableProps.store(root, Map(
+            graft.ops.TableProps.PartitionKey -> StructType(partBy.map(c =>
+              data.schema(data.columns.find(_.equalsIgnoreCase(c)).get))).toDDL))
+        Sinks.appendVersioned(data, root, Some(0L), emitFeed = true)
+      case Some(v) =>
+        val declared = graft.ops.TableProps.partitionCols(root)
+        require(partBy.isEmpty ||
+          partBy.map(_.toLowerCase) == declared.map(_.toLowerCase),
+          s"partitionBy(${partBy.mkString(", ")}) does not match the " +
+            s"table's declared partitioning (${declared.mkString(", ")}) — " +
+            "omit partitionBy: the declared layout applies to every write")
+        val tableSchema = Sinks.readCurrent(spark, root).schema
+        mode match {
+          case SaveMode.ErrorIfExists => throw new IllegalStateException(
+            s"$root already holds a graft table (v$v) — use " +
+              "mode(\"append\") or mode(\"overwrite\")")
+          case SaveMode.Ignore => ()
+          case SaveMode.Append =>
+            Sinks.appendVersioned(gated(tableSchema), root, Some(v),
+              emitFeed = true)
+          case SaveMode.Overwrite =>
+            // full replace; the skipping tier re-annotates with the live
+            // sidecar's columns (the catalog overwrite's discipline)
+            val statsCols = graft.ops.Stats.sidecarCols(
+              spark, Sinks.versionPath(root, v))
+            Sinks.publishVersioned(gated(tableSchema), root, Some(v), statsCols)
+        }
+    }
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 }

@@ -294,6 +294,20 @@ object ScanOps extends QueryModule {
            |GROUP BY seg2 ORDER BY seg2""".stripMargin)
     }),
 
+    // Round-16 (B201): the path-based WRITE door —
+    // `df.write.format("graft")` CREATEs the table (empty v0 + declared
+    // partition spec, data as v1) and APPENDs O(delta) through the same
+    // commit protocol as the catalog door, no registration needed. The
+    // hash match proves both commits landed value-exact and the declared
+    // grid holds the data (partition dirs pruned on the read below).
+    "q_format_write" -> ((s, dir) => {
+      val wh = formatWriteWarehouse(s, dir)
+      s.read.format("graft").load(s"$wh/nat_w")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_nationkey")).as("keysum"))
+        .orderBy("n_regionkey")
+    }),
+
     // Round-16 (B199, the MERGE boundary lifted): MERGE derives
     // generated columns — matched UPDATE actions substitute their
     // assigned expressions into the generation SQL (the UPDATE-door
@@ -1719,6 +1733,37 @@ object ScanOps extends QueryModule {
       wh
     }
 
+  /** Warehouse for q_format_write (round-16, B201): `nat_w` is built
+    * ENTIRELY through `df.write.format("graft")` — the create
+    * (partitionBy landing the spec + grid), then a linked append of the
+    * key tail. Cached per content stamp.
+    */
+  private def formatWriteWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val wh = "/tmp/graft_fmtw_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = s"$wh/nat_w"
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "nation") + "|fmtw1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        val nat = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        nat.filter(col("n_nationkey") < 15)
+          .write.format("graft").partitionBy("n_regionkey").save(tbl)
+        nat.filter(col("n_nationkey") >= 15)
+          .write.format("graft").mode("append").save(tbl)
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
   /** Warehouse for q_generated_merge (round-16, B199's MERGE boundary
     * lifted): `cust_gm` declares the generated seg2 partition column;
     * the build INSERTs the even-key half (NULL compute-me markers) and
@@ -2728,6 +2773,14 @@ object ScanOps extends QueryModule {
         |       CAST(sum(c_custkey) AS BIGINT) AS keysum
         |FROM customer WHERE c_mktsegment >= 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the write-door populations recomputed from the fixture (create +
+    // append = the whole table)
+    "q_format_write" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS keysum
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the generated-column MERGE recomputed as a full outer join — the
     // derivation applies over the merged post-rows

@@ -94,10 +94,86 @@ class DataSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("does not exist"), e2.getMessage)
     intercept[Exception](
       spark.read.format("graft").load(s"${tmp()}/absent").count())
-    // read-only: a write through the format must fail, not corrupt
+    // writes exist now (round-16) but stay refusal-gated: a time-travel
+    // option refuses (writes target the CURRENT version), a misaligned
+    // frame refuses — the table is never corrupted either way
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val e3 = intercept[Exception](
+      spark.range(3).write.format("graft").option("versionAsOf", 0)
+        .mode("append").save(tbl))
+    assert(msgs(e3).exists(_.contains("read-only")), msgs(e3).mkString(" | "))
+    val e4 = intercept[Exception](
       spark.range(3).write.format("graft").mode("append").save(tbl))
-    assert(Sinks.listVersions(tbl) == Seq(0L), e3.getMessage)
+    assert(msgs(e4).exists(_.contains("not in")), msgs(e4).mkString(" | "))
+    assert(Sinks.listVersions(tbl) == Seq(0L))
+  }
+
+  test("the write door: create, append O(delta), overwrite, save modes, gates (round-16)") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // default mode on a fresh root CREATES: empty v0 (the race anchor),
+    // partition spec as props, data as v1 under the declared grid
+    spark.range(0, 40).select($"id".as("k"), ($"id" % 4).cast("string").as("p"))
+      .write.format("graft").partitionBy("p").save(tbl)
+    assert(Sinks.listVersions(tbl) == Seq(0L, 1L))
+    assert(graft.ops.TableProps.partitionCols(tbl) == Seq("p"))
+    val dir1 = Sinks.versionPath(tbl, 1L)
+    assert(graft.io.Fs.listDir(java.nio.file.Paths.get(dir1))
+      .exists(_.getFileName.toString.startsWith("p=")),
+      "the created table must lay data out under the declared grid")
+    assert(spark.read.format("graft").load(tbl).count() == 40)
+    // append is a LINKED commit: prior files carried by inode, and the
+    // insert feed makes the commit table_changes-readable
+    val before = graft.io.Fs.walkParquet(java.nio.file.Paths.get(dir1)).size
+    spark.range(40, 50).select($"id".as("k"), ($"id" % 4).cast("string").as("p"))
+      .write.format("graft").mode("append").save(tbl)
+    assert(spark.read.format("graft").load(tbl).count() == 50)
+    val changed = spark.sql(s"SELECT * FROM table_changes('$tbl', 1, 2)")
+    assert(changed.filter(col("_change_type") === "insert").count() == 10)
+    // save-mode matrix on an existing table
+    val e = intercept[Exception](spark.range(3).select($"id".as("k"),
+      lit("0").as("p")).write.format("graft").save(tbl))
+    assert(msgs(e).exists(_.contains("already holds")), msgs(e).mkString(" | "))
+    spark.range(3).select($"id".as("k"), lit("0").as("p"))
+      .write.format("graft").mode("ignore").save(tbl)
+    assert(spark.read.format("graft").load(tbl).count() == 50, "ignore is a no-op")
+    // partitionBy disagreeing with the declared layout refuses
+    val e2 = intercept[Exception](spark.range(3).select($"id".as("k"),
+      lit("0").as("p")).write.format("graft").mode("append")
+      .partitionBy("k").save(tbl))
+    assert(msgs(e2).exists(_.contains("declared partitioning")),
+      msgs(e2).mkString(" | "))
+    // by-name alignment: column order does not matter, missing columns
+    // NULL-fill, casts land
+    Seq(("9", 90)).toDF("p", "k").write.format("graft").mode("append").save(tbl)
+    assert(spark.read.format("graft").load(tbl)
+      .filter(col("k") === 90L && col("p") === "9").count() == 1)
+    // overwrite replaces the live contents; history stays travelable
+    spark.range(0, 7).select($"id".as("k"), lit("z").as("p"))
+      .write.format("graft").mode("overwrite").save(tbl)
+    assert(spark.read.format("graft").load(tbl).count() == 7)
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(tbl)
+      .count() == 50, "pre-overwrite versions stay travelable")
+    // the row gates ride this door too: a catalog-declared generated
+    // column derives on a path-door append, identity assigns, and the
+    // value lands under the same table the catalog serves
+    val cat = "gfmtw"
+    val root2 = tmp()
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root2)
+    spark.sql(s"CREATE TABLE $cat.g (rid BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "code STRING, pfx STRING GENERATED ALWAYS AS (substring(code, 1, 2))" +
+      ") USING parquet")
+    Seq("ABCD", "EFGH").toDF("code")
+      .write.format("graft").mode("append").save(s"$root2/g")
+    val got = spark.table(s"$cat.g").orderBy("code")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("ABCD", "AB"), ("EFGH", "EF")), got.toString)
+    assert(spark.table(s"$cat.g").select("rid").distinct().count() == 2,
+      "identity values must assign on the path door")
   }
 
   test("partitioned tables keep declared partition types through the format") {
