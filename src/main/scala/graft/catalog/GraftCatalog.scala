@@ -6,7 +6,7 @@ import java.util
 import graft.ops.{Sinks, TableProps}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -57,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[graft.ops.Merge.applyTo]], which shuffles only the delta.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with ViewCatalog
+    with ViewCatalog with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
@@ -545,6 +545,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val tr = tableRoot(ident)
+    if (Sinks.currentVersion(tr).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    requireCreatableAt(ident, tr)
+    val (empty, props) = planCreate(ident, schema, partitions, properties)
+    // a lost CREATE race must surface as the exception Spark's
+    // IF NOT EXISTS handling understands, not a raw OCC conflict
+    try Sinks.publishVersioned(empty, tr, None)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    // layout + constraint properties land AFTER the publish wins the
+    // CREATE race — a loser must never write props into the winner's
+    // table. The v0 empty file carries all columns flat, so reads are
+    // whole before the props land; the spec governs v1+ writes.
+    if (props.nonEmpty) graft.ops.TableProps.update(tr)(_ => props)
+    loadTable(ident)
+  }
+
+  /** The table/view/namespace shape guards shared by CREATE and the
+    * staged (atomic CTAS / REPLACE) doors: the target must not be a
+    * VIEW or a NAMESPACE, and its parent must be the catalog root or a
+    * real namespace (a table "created" inside another table's directory
+    * would become invisible collateral of that table's DROP).
+    */
+  private def requireCreatableAt(ident: Identifier, tr: String): Unit = {
+    // the table/view namespaces are one namespace (SQL standard): a
+    // CREATE TABLE over an existing view must fail loudly, not bury the
+    // view's marker under version directories
+    if (GraftViews.isView(tr))
+      throw new IllegalStateException(
+        s"$catalogName.${ident.toString} already exists as a VIEW " +
+          "(DROP VIEW first)")
+    // an existing NAMESPACE must not be silently converted into a table
+    // (its child tables would become invisible and a later DROP TABLE
+    // would take their data with it)
+    if (isNamespaceDir(Paths.get(tr)))
+      throw new IllegalStateException(
+        s"$catalogName.${ident.toString} already exists as a NAMESPACE")
+    val parent = Paths.get(tr).getParent
+    val parentOk =
+      // the root itself comes from trusted config — create it on first use
+      if (ident.namespace().isEmpty) { Files.createDirectories(parent); true }
+      else isNamespaceDir(parent)
+    if (!parentOk)
+      throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
+  }
+
+  /** Every CREATE-shaped validation and the derived table properties,
+    * WITHOUT publishing anything — shared by [[createTable]] and the
+    * staged doors. Returns the footer-clean empty frame (identity /
+    * generated metadata stripped) and the full `_PROPS` map.
+    */
+  private def planCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : (org.apache.spark.sql.DataFrame, Map[String, String]) = {
     // PARTITIONED BY (col, …): identity columns give Hive-style
     // directory partitioning inside each version dir. Transform
     // partitioning — days/months/years(ts), bucket(n, col),
@@ -623,34 +680,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"$catalogName tables are parquet; USING $p is not supported"))
     require(!properties.containsKey("location"),
       s"$catalogName tables live under the catalog root; LOCATION is not supported")
-    val tr = tableRoot(ident)
-    if (Sinks.currentVersion(tr).isDefined)
-      throw new TableAlreadyExistsException(ident)
-    // the table/view namespaces are one namespace (SQL standard): a
-    // CREATE TABLE over an existing view must fail loudly, not bury the
-    // view's marker under version directories
-    if (GraftViews.isView(tr))
-      throw new IllegalStateException(
-        s"$catalogName.${ident.toString} already exists as a VIEW " +
-          "(DROP VIEW first)")
-    // an existing NAMESPACE must not be silently converted into a table
-    // (its child tables would become invisible and a later DROP TABLE
-    // would take their data with it)
-    if (isNamespaceDir(Paths.get(tr)))
-      throw new IllegalStateException(
-        s"$catalogName.${ident.toString} already exists as a NAMESPACE")
-    // the parent must be the root or a real NAMESPACE, same guard as
-    // renameTable: publishVersioned would silently createDirectories a
-    // missing namespace, and CREATE TABLE ns.t where `ns` is itself a
-    // TABLE would nest this table inside that table's directory — the
-    // outer table's DROP would then silently take it too
-    val parent = Paths.get(tr).getParent
-    val parentOk =
-      // the root itself comes from trusted config — create it on first use
-      if (ident.namespace().isEmpty) { Files.createDirectories(parent); true }
-      else isNamespaceDir(parent)
-    if (!parentOk)
-      throw new NoSuchNamespaceException(name() +: ident.namespace().toSeq)
     // identity columns (round-15): the spec rides _PROPS, never footers
     // — strip the IDENTITY_INFO_* metadata (and force the assign-me
     // nullability) before the v0 schema lands in files
@@ -790,17 +819,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       val f = schema.fields.find(_.name.equalsIgnoreCase(cl)).get
       GraftDefaults.validate(f.name, f.dataType, sql, "CREATE TABLE")
     }
-    // a lost CREATE race must surface as the exception Spark's
-    // IF NOT EXISTS handling understands, not a raw OCC conflict
-    try Sinks.publishVersioned(empty, tr, None)
-    catch {
-      case _: java.util.ConcurrentModificationException =>
-        throw new TableAlreadyExistsException(ident)
-    }
-    // layout + constraint properties land AFTER the publish wins the
-    // CREATE race — a loser must never write props into the winner's
-    // table. The v0 empty file carries all columns flat, so reads are
-    // whole before the props land; the spec governs v1+ writes.
     val partProp =
       if (partCols.isEmpty) Map.empty[String, String]
       else Map(graft.ops.TableProps.PartitionKey ->
@@ -826,13 +844,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       (graft.ops.Identity.HwmPrefix + s.col) -> s.start.toString)).toMap
     val generatedProps = generatedSpecs.map(s =>
       (graft.ops.Generated.Prefix + s.col) -> s.sql).toMap
-    if (checks.nonEmpty || partProp.nonEmpty || behaviorProps.nonEmpty ||
-        defaultProps.nonEmpty || identityProps.nonEmpty ||
-        generatedProps.nonEmpty)
-      graft.ops.TableProps.update(tr)(_ =>
-        checks.toMap ++ partProp ++ behaviorProps ++ defaultProps ++
-          identityProps ++ generatedProps)
-    loadTable(ident)
+    (empty, checks.toMap ++ partProp ++ behaviorProps ++ defaultProps ++
+      identityProps ++ generatedProps)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -846,6 +859,135 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (existed) graft.io.Fs.deleteRecursively(Paths.get(tr))
       existed
     }
+  }
+
+  /** Atomic `CREATE [OR REPLACE] TABLE … AS SELECT` / `REPLACE TABLE`
+    * (round-16, B203). Spark routes CTAS/RTAS through these doors the
+    * moment the catalog implements `StagingTableCatalog` — and the
+    * versioned layout makes the atomicity FREE:
+    *
+    *  - CTAS commits through the same empty-v0-wins-the-race + props +
+    *    linked-append ordering as [[createTable]]; a failed data write
+    *    removes the created shell (no half-created table survives).
+    *  - REPLACE is a HISTORY-PRESERVING versioned commit, not Spark's
+    *    non-staging drop+create: the new definition's props swap in
+    *    (rolled back on failure — the repartitionTable discipline) and
+    *    the new contents publish as the NEXT version under OCC. Every
+    *    pre-replace version keeps its own `_PSPEC`/footer truth, so
+    *    `VERSION AS OF` below the replace serves the OLD schema, data
+    *    and layout — the Delta CREATE OR REPLACE semantic.
+    *
+    * The staged table advertises only the V1 write capabilities; the
+    * exec's AppendData lands in [[GraftStagedTable.doCommit]], which
+    * runs the identity → generated → CHECK gates of the new definition
+    * (props land before the gates read them).
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val tr = tableRoot(ident)
+    val existing = Sinks.currentVersion(tr)
+    if (!replace && existing.isDefined)
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && existing.isEmpty)
+      throw new NoSuchTableException(ident)
+    requireCreatableAt(ident, tr)
+    // every CREATE-shaped validation fires NOW — a bad definition fails
+    // before the query executes, and nothing has landed
+    val (empty, props) = planCreate(ident, schema, partitions, properties)
+    new GraftStagedTable(ident, tr, schema, partitions, empty, props, existing)
+  }
+
+  private final class GraftStagedTable(ident: Identifier, tr: String,
+      declaredSchema: StructType, parts: Array[Transform],
+      empty: org.apache.spark.sql.DataFrame, props: Map[String, String],
+      baseVersion: Option[Long]) extends StagedTable with SupportsWrite {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+    import org.apache.spark.sql.sources.InsertableRelation
+
+    private val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def name(): String = s"$catalogName.${ident.toString}"
+    override def schema(): StructType = declaredSchema
+    override def partitioning(): Array[Transform] = parts
+    override def properties(): util.Map[String, String] = new util.HashMap()
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = new util.HashSet[TableCapability]()
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      // an RTAS lands as OverwriteByExpression(true) on the staged
+      // table — truncation is vacuous here (the staged commit replaces
+      // the contents by construction), but the capability must be
+      // spelled or TableCapabilityCheck refuses the plan
+      caps.add(TableCapability.TRUNCATE)
+      caps
+    }
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = doCommit(Some(data))
+            }
+        }
+      }
+    /** The one atomic landing: the exec's write (when the statement has
+      * a query) or commitStagedChanges (plain REPLACE TABLE) — first
+      * caller wins, the other no-ops.
+      */
+    private def doCommit(data: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      if (!committed.compareAndSet(false, true)) return
+      def gated(d: org.apache.spark.sql.DataFrame) =
+        GraftCheck.enforce(graft.ops.Generated.enforce(
+          graft.ops.Identity.assign(d, tr), tr), tr)
+      baseVersion match {
+        case None =>
+          try Sinks.publishVersioned(empty, tr, None)
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              throw new TableAlreadyExistsException(ident)
+          }
+          if (props.nonEmpty) graft.ops.TableProps.update(tr)(_ => props)
+          try data.foreach(d =>
+            Sinks.appendVersioned(gated(d), tr, Some(0L), emitFeed = true))
+          catch {
+            case e: Throwable =>
+              // the atomic-CTAS contract: a failed data write leaves NO
+              // half-created table behind
+              Sinks.withTableLock(tr)(
+                graft.io.Fs.deleteRecursively(Paths.get(tr)))
+              throw e
+          }
+        case Some(cur) =>
+          val oldProps = graft.ops.TableProps.load(tr)
+          graft.ops.TableProps.store(tr, props)
+          try Sinks.publishVersioned(gated(data.getOrElse(empty)), tr,
+            Some(cur), opTag = "replace")
+          catch {
+            case e: Throwable =>
+              graft.ops.TableProps.store(tr, oldProps); throw e
+          }
+      }
+    }
+    override def commitStagedChanges(): Unit = doCommit(None)
+    override def abortStagedChanges(): Unit = ()
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

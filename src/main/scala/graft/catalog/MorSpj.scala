@@ -166,14 +166,13 @@ private[graft] object MorSpj {
       val delSchema = spark.read.parquet(s"$dir/${EqDel.Sidecar}").schema
       val keys = delSchema.filterNot(_.name == SeqCol)
       if (keys.isEmpty) return false
-      // a key that IS a partition column lives in directory values, not
-      // in the data files — [[augment]] can only source unprojected keys
-      // from the scan's dataSchema, so such versions take the funnel
-      // (whose join sees the reconstructed full row) instead of failing
-      // at scan build
-      val partCols = Sinks.partitionSchemaFor(root, dir)
-        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
-      if (keys.exists(k => partCols(k.name.toLowerCase))) return false
+      // round-16: a key that IS a partition column no longer funnels —
+      // [[augment]] sources unprojected partition keys from the scan's
+      // readPartitionSchema (the reader appends the per-file directory
+      // value to every row), so the type gate below is the only
+      // requirement; readSchemaFor's schema includes partition columns
+      // at their DECLARED types, which is what the directory values
+      // parse to
       // exact-type match against the table column: the reader-side
       // lookup compares INTERNAL values with no implicit cast. Both the
       // sidecar keys and tableSchema (readSchemaFor pins the footer
@@ -205,20 +204,34 @@ private[graft] object MorSpj {
       data = data.add(RowIdxField)
       injected += RowIdxName
     }
+    var part = scan.readPartitionSchema
     if (EqDel.exists(dir)) {
-      val present = (data.fieldNames ++ scan.readPartitionSchema.fieldNames)
+      val present = (data.fieldNames ++ part.fieldNames)
         .map(_.toLowerCase).toSet
       EqDel.keyColumns(spark, dir).foreach { k =>
         if (!present(k.toLowerCase)) {
-          val f = scan.dataSchema.find(_.name.equalsIgnoreCase(k)).getOrElse(
-            throw new IllegalStateException(
-              s"equality-delete key column $k absent from $dir's data schema"))
-          data = data.add(f)
-          injected += f.name
+          scan.dataSchema.find(_.name.equalsIgnoreCase(k)) match {
+            case Some(f) =>
+              data = data.add(f)
+              injected += f.name
+            case None =>
+              // round-16: a key that IS a partition column lives in
+              // directory values — inject it into the PARTITION read
+              // schema instead (the file reader appends the per-file
+              // value to every row, exactly what the lookup needs)
+              val pf = scan.fileIndex.partitionSchema
+                .find(_.name.equalsIgnoreCase(k)).getOrElse(
+                  throw new IllegalStateException(
+                    s"equality-delete key column $k absent from $dir's " +
+                      "data and partition schemas"))
+              part = part.add(pf)
+              injected += pf.name
+          }
         }
       }
     }
-    (scan.copy(readDataSchema = data), injected.result())
+    (scan.copy(readDataSchema = data, readPartitionSchema = part),
+      injected.result())
   }
 
   /** Schema-independent cached half of the subtraction payload: decoded

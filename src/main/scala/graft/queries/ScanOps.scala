@@ -294,6 +294,25 @@ object ScanOps extends QueryModule {
            |GROUP BY seg2 ORDER BY seg2""".stripMargin)
     }),
 
+    // Round-16 (B203): atomic CREATE OR REPLACE preserving history —
+    // the live read serves the REPLACED definition (new schema/values),
+    // the VERSION AS OF read serves the pre-replace table from the same
+    // root; the hash match proves the replace landed as one versioned
+    // commit with the old epoch intact underneath.
+    "q_replace_table" -> ((s, dir) => {
+      val wh = replaceTableWarehouse(s, dir)
+      val cat = "graftrpl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(
+        s"""SELECT 'new' AS epoch, count(*) AS n_rows, sum(ck) AS vsum
+           |FROM $cat.cust_rp
+           |UNION ALL
+           |SELECT 'old', count(*), sum(c_custkey)
+           |FROM $cat.cust_rp VERSION AS OF 1
+           |ORDER BY epoch""".stripMargin)
+    }),
+
     // Round-16 (B201): the path-based WRITE door —
     // `df.write.format("graft")` CREATEs the table (empty v0 + declared
     // partition spec, data as v1) and APPENDs O(delta) through the same
@@ -1733,6 +1752,39 @@ object ScanOps extends QueryModule {
       wh
     }
 
+  /** Warehouse for q_replace_table (round-16, B203): `cust_rp` is CTAS'd
+    * from the even-key half, then CREATE OR REPLACE'd into a different
+    * schema over the `% 3 == 0` slice — one staged versioned commit,
+    * every pre-replace version left travelable. Cached per content stamp.
+    */
+  private def replaceTableWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val wh = "/tmp/graft_rpl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cat = "graftrpl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val tbl = s"$wh/cust_rp"
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|rpl1"
+      val fresh = Files.isDirectory(Paths.get(tbl)) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
+          .createOrReplaceTempView("rpl_cust_src")
+        s.sql(s"CREATE TABLE $cat.cust_rp AS SELECT c_custkey, c_name " +
+          "FROM rpl_cust_src WHERE c_custkey % 2 = 0")
+        s.sql(s"CREATE OR REPLACE TABLE $cat.cust_rp USING parquet AS " +
+          "SELECT CAST(c_custkey * 1000 AS BIGINT) AS ck, c_mktsegment AS seg " +
+          "FROM rpl_cust_src WHERE c_custkey % 3 = 0")
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
   /** Warehouse for q_format_write (round-16, B201): `nat_w` is built
     * ENTIRELY through `df.write.format("graft")` — the create
     * (partitionBy landing the spec + grid), then a linked append of the
@@ -2773,6 +2825,16 @@ object ScanOps extends QueryModule {
         |       CAST(sum(c_custkey) AS BIGINT) AS keysum
         |FROM customer WHERE c_mktsegment >= 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both epochs of the replace recomputed from the fixture
+    "q_replace_table" ->
+      """SELECT 'new' AS epoch, count(*) AS n_rows,
+        |       CAST(sum(c_custkey * 1000) AS BIGINT) AS vsum
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT 'old', count(*), CAST(sum(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY epoch""".stripMargin,
 
     // the write-door populations recomputed from the fixture (create +
     // append = the whole table)

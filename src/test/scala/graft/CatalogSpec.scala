@@ -203,14 +203,17 @@ class CatalogSpec extends AnyFunSuite {
     root
     spark.sql("CREATE TABLE graft.t9 AS SELECT * FROM graft.t1 VERSION AS OF 0")
     try {
-      // CREATE OR REPLACE = drop + create + write on a non-staging catalog
+      // round-16 (B203): the staging door makes the replace ONE
+      // history-preserving versioned commit — no drop, no reset
       spark.sql("CREATE OR REPLACE TABLE graft.t9 AS " +
         "SELECT * FROM graft.t1 VERSION AS OF 0 LIMIT 2")
       assert(spark.sql("SELECT * FROM graft.t9").count() == 2)
-      // replace resets history (drop removed the old layout)
-      assert(Sinks.listVersions(s"$root/t9") == Seq(0L, 1L))
-      // DataFrameReader option spelling of VERSION AS OF
+      assert(Sinks.listVersions(s"$root/t9") == Seq(0L, 1L, 2L),
+        "replace lands on top of the old history")
+      // DataFrameReader option spelling of VERSION AS OF reaches both
+      // epochs: v0 = the original CTAS's empty shell, v1 = its data
       assert(spark.read.option("versionAsOf", "0").table("graft.t9").count() == 0)
+      assert(spark.read.option("versionAsOf", "1").table("graft.t9").count() > 2)
       assert(spark.read.table("graft.t9").count() == 2)
     } finally spark.sql("DROP TABLE IF EXISTS graft.t9")
   }

@@ -212,12 +212,13 @@ class MorSpjSpec extends AnyFunSuite {
     assert(rows.head == (0L, "UP0"), s"got ${rows.head}")
   }
 
-  test("eq-delete keys on a partition column route to the funnel, not a scan-build crash") {
-    // an equality delete keyed on an identity PARTITION column has its
-    // key values in directory names, not data files — the reader-side
-    // wrapper can't source them for unprojecting queries, so readerSide
-    // must route the version to the v1 funnel (whose reconstructed full
-    // row carries the partition value) instead of throwing at scan build
+  test("eq-delete keys on a partition column stay reader-side: directory values source the lookup") {
+    // round-16 upgrade (was: route to the funnel): an equality delete
+    // keyed on an identity PARTITION column has its key values in
+    // directory names, not data files — augment injects the column into
+    // the PARTITION read schema, so the file reader appends the
+    // per-file directory value to every row and the tombstone lookup
+    // sees it even when the query does not project the column
     val (cat, root) = mkCat()
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.p (x BIGINT, g BIGINT) USING parquet " +
@@ -229,9 +230,9 @@ class MorSpjSpec extends AnyFunSuite {
       Seq((10000L, 2L), (10001L, 5L)).toDF("x", "g"), s"$root/p", Seq("g"))
     val live = Sinks.resolve(s"$root/p")
     assert(EqDel.exists(live))
-    assert(!graft.catalog.MorSpj.readerSide(s"$root/p", live),
-      "partition-column eq-delete keys must keep the funnel")
-    // a query NOT projecting the partition column still answers exactly:
+    assert(graft.catalog.MorSpj.readerSide(s"$root/p", live),
+      "partition-column eq-delete keys ride the reader-side path (round-16)")
+    // a query NOT projecting the partition column answers exactly:
     // groups 2 and 5 are fully tombstoned then re-inserted with one row
     val got = spark.table(s"$cat.p").agg(
       count(lit(1)).as("n"), sum($"x").as("s")).head
@@ -239,6 +240,13 @@ class MorSpjSpec extends AnyFunSuite {
       .union(Seq((10000L, 2L), (10001L, 5L)).toDF("x", "g"))
       .agg(count(lit(1)).as("n"), sum($"x").as("s")).head
     assert(got == expected, s"got $got, expected $expected")
+    // a PROJECTING point read stays exact and partition pruning fires
+    // on the v2 scan the reader-side path keeps
+    val g2 = spark.table(s"$cat.p").filter($"g" === 2L)
+    assert(g2.count() == 1L && g2.head.getLong(0) == 10000L, g2.collect().toSeq)
+    val plan = g2.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), plan.take(2000))
   }
 
   test("reader-side subtraction is exact on the parquet-mr (non-vectorized) path too") {
