@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -266,6 +267,53 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
       override def schema: StructType = data.schema
+    }
+  }
+
+  /** The V1 STREAMING sink — `df.writeStream.format("graft")
+    * .option("path", root).start()` (the v2 table advertises no
+    * streaming-write capability, so Spark falls back here). Each
+    * micro-batch rides [[graft.ops.TableStream.sinkBatch]]: the
+    * exactly-once dedupe + OCC-retry + high-water-mark contract of the
+    * library's `TableStream.streamTo`, with a fresh root created on
+    * the first batch. Append output mode only (a versioned table IS an
+    * append-only log of versions; use MERGE/eq-delete upserts for
+    * update semantics).
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "writeStream.format(\"graft\") requires .option(\"path\", <root>) " +
+        "or .start(<table root>)"))
+    require(!Seq("versionAsOf", "tag", "timestampAsOf").exists(k =>
+      parameters.keys.exists(_.equalsIgnoreCase(k))),
+      "graft writes target the CURRENT version — time-travel options " +
+        "(versionAsOf/tag/timestampAsOf) are read-only")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft streaming sink supports Append output mode only " +
+        s"(got $outputMode) — aggregate with watermarks and append, or " +
+        "land updates as eq-delete upserts")
+    // the writer tag derives from the checkpoint so a RESTARTED query
+    // dedupes its replayed batches; distinct checkpoints stay distinct
+    val checkpoint = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }.getOrElse(root)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def name(): String = s"graft.`$root`"
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        // the V1 contract hands a frame with streaming-flagged leaves
+        // (`.write` would refuse) whose execution is already this
+        // batch's fixed slice — re-wrap it as a standalone batch frame
+        // before the commit funnel runs its own jobs over it
+        val fresh = org.apache.spark.sql.GraftSqlShims.sinkBatchFrame(data)
+        graft.ops.TableStream.sinkBatch(root, checkpoint, batchId, fresh,
+          partitionColumns)
+      }
     }
   }
 }

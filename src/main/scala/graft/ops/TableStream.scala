@@ -115,6 +115,67 @@ object TableStream {
       .start()
   }
 
+  /** One micro-batch landing for the V1 streaming-sink door
+    * (`df.writeStream.format("graft")` —
+    * [[graft.catalog.GraftDataSource]]): the same dedupe +
+    * empty-replay-skip + CME-retry + high-water-mark contract as
+    * [[foreachBatchSink]], with the batch handed in directly by
+    * Spark's Sink API instead of a foreachBatch closure. A FRESH root
+    * creates the table on the first batch (the batch write door's
+    * CREATE ordering: empty v0 wins the race, `partitionBy` lands the
+    * declared spec, the batch appends under the grid); the row gates
+    * run in the catalog door's order.
+    */
+  private[graft] def sinkBatch(root: String, checkpoint: String, id: Long,
+      batch: DataFrame, partitionBy: Seq[String]): Unit = {
+    val tag = writerTag(checkpoint)
+    if (committed(root, tag, id)) return
+    val spark = batch.sparkSession
+    val skip = Sinks.currentVersion(root).isDefined && batch.isEmpty
+    if (!skip) {
+      if (Sinks.currentVersion(root).isEmpty) {
+        partitionBy.foreach(c => require(
+          batch.columns.exists(_.equalsIgnoreCase(c)),
+          s"partitionBy column $c is not in the stream"))
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[Row](), batch.schema)
+        // a lost CREATE race is fine — the winner's table absorbs the
+        // append below under its own OCC
+        try Sinks.publishVersioned(empty, root, None)
+        catch { case _: java.util.ConcurrentModificationException => () }
+        if (partitionBy.nonEmpty &&
+            !TableProps.load(root).contains(TableProps.PartitionKey))
+          TableProps.update(root)(_ + (TableProps.PartitionKey ->
+            StructType(partitionBy.map(c =>
+              batch.schema(batch.columns.find(_.equalsIgnoreCase(c)).get)))
+              .toDDL))
+      } else {
+        val declared = TableProps.partitionCols(root)
+        require(partitionBy.isEmpty ||
+          partitionBy.map(_.toLowerCase) == declared.map(_.toLowerCase),
+          s"partitionBy(${partitionBy.mkString(", ")}) does not match the " +
+            s"table's declared partitioning (${declared.mkString(", ")}) — " +
+            "omit partitionBy: the declared layout applies to every write")
+      }
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          Sinks.appendVersioned(
+            graft.catalog.GraftCheck.enforce(
+              Generated.enforce(Identity.assign(batch, root), root), root),
+            root, Sinks.currentVersion(root), emitFeed = true,
+            batchTag = Some(s"$tag:$id"))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException if attempts < 5 =>
+            attempts += 1 // a concurrent writer moved the table; re-base
+        }
+      }
+    }
+    TableProps.update(root)(_ + (lastBatchKey(tag) -> id.toString))
+  }
+
   /** The table's change feed as a streaming DataFrame: every committed
     * `_changes` row (keys ++ payload ++ `_change_type`) plus
     * `_commit_version` parsed from the feed file name. Standard

@@ -31,6 +31,20 @@ object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A V1 streaming Sink's per-batch frame as a standalone BATCH frame:
+    * the handed Dataset still carries streaming-flagged leaves (so
+    * `.write` refuses), but its execution is already the batch slice —
+    * re-wrap the executed plan's InternalRow RDD under the same schema
+    * with the streaming flag down. Deterministic to re-run: the
+    * sources were replaced with this batch's fixed slice.
+    */
+  def sinkBatchFrame(data: DataFrame): DataFrame = {
+    val qe = data.queryExecution
+    data.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(qe.toRdd, qe.analyzed.schema,
+        isStreaming = false)
+  }
+
   /** Fully analyzed (and analysis-checked) plan — the nested-analysis
     * door view expansion uses: the inner run gets every analyzer batch
     * (CTE substitution included, which an outer fixed point would no

@@ -176,6 +176,50 @@ class DataSourceSpec extends AnyFunSuite {
       "identity values must assign on the path door")
   }
 
+  test("the streaming sink door: creates on first batch, appends exactly-once, restart dedupes (round-16)") {
+    val tbl = s"${tmp()}/t"
+    val cp = s"${tmp()}/cp"
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "p").writeStream
+      .format("graft").option("checkpointLocation", cp)
+      .partitionBy("p").start(tbl)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    assert(spark.read.format("graft").load(tbl).count() == 2)
+    assert(graft.ops.TableProps.partitionCols(tbl) == Seq("p"),
+      "the first batch must land the declared partition spec")
+    mem.addData((3L, "a"))
+    q.processAllAvailable()
+    assert(spark.read.format("graft").load(tbl).count() == 3)
+    q.stop()
+    // a restart on the SAME checkpoint resumes without re-appending
+    val q2 = mem.toDF().toDF("k", "p").writeStream
+      .format("graft").option("checkpointLocation", cp).start(tbl)
+    mem.addData((4L, "b"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.format("graft").load(tbl).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L), rows.toString)
+    // the grid is real (directory partitioning under each version)
+    assert(graft.io.Fs.listDir(java.nio.file.Paths.get(Sinks.resolve(tbl)))
+      .exists(_.getFileName.toString.startsWith("p=")))
+    // non-append output modes refuse loudly
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val e = intercept[Exception](
+      mem2.toDF().toDF("k", "p").groupBy("p").count().writeStream
+        .format("graft").option("checkpointLocation", s"${tmp()}/cp2")
+        .outputMode("complete").start(s"${tmp()}/t2"))
+    assert(msgs(e).exists(_.contains("Append output mode only")),
+      msgs(e).mkString(" | "))
+  }
+
   test("partitioned tables keep declared partition types through the format") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
