@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -269,6 +270,41 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       override def schema: StructType = data.schema
     }
   }
+
+  /** The V1 STREAMING source — `spark.readStream.format("graft")
+    * .load(root)`: the table's change feed as a stream (the Delta CDF
+    * readStream parity spelling of `TableStream.streamFeed`). The v2
+    * table advertises no streaming-read capability, so Spark falls
+    * back here; the source delegates to Spark's own file-stream source
+    * over `feed/` (checkpointed seen-file tracking — robust to the
+    * reconciler's out-of-order back-links), each batch stamped with
+    * `_commit_version`. Requires `Sinks.enableStreamFeed(root)`, the
+    * same contract as the library door.
+    */
+  private def rootOf(parameters: Map[String, String]): String = {
+    val root = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "format(\"graft\") requires .load/.start(<table root>)"))
+    require(!Seq("versionAsOf", "tag", "timestampAsOf").exists(k =>
+      parameters.keys.exists(_.equalsIgnoreCase(k))),
+      "graft streams read the live change feed — time-travel options " +
+        "(versionAsOf/tag/timestampAsOf) are batch-read-only")
+    root
+  }
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), graft.ops.TableStream.feedSourceSchema(
+      sqlContext.sparkSession, rootOf(parameters)))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    graft.ops.TableStream.feedSource(sqlContext.sparkSession,
+      rootOf(parameters), metadataPath)
 
   /** The V1 STREAMING sink — `df.writeStream.format("graft")
     * .option("path", root).start()` (the v2 table advertises no

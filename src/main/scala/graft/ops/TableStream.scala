@@ -193,10 +193,77 @@ object TableStream {
     require(Files.isDirectory(feedPath),
       s"no feed directory under $root — call Sinks.enableStreamFeed(root) " +
         "before the first commit you want streamed")
-    spark.readStream.schema(feedSchema(spark, root)).parquet(feedPath.toString)
-      .withColumn("_commit_version",
-        regexp_extract(col("_metadata.file_name"), "^v(\\d+)-", 1).cast("long"))
+    stampCommitVersion(
+      spark.readStream.schema(feedSchema(spark, root)).parquet(feedPath.toString))
   }
+
+  /** The `readStream.format("graft")` door's V1 Source (B205 —
+    * [[graft.catalog.GraftDataSource]]): Spark's own file-stream
+    * source over `feed/` (checkpointed seen-file tracking, robust to
+    * the reconciler's out-of-order back-links — a prefix-index offset
+    * over a sorted listing would NOT be), each batch stamped with
+    * `_commit_version` exactly like [[streamFeed]].
+    */
+  private[graft] def feedSource(spark: SparkSession, root: String,
+      metadataPath: String): org.apache.spark.sql.execution.streaming.Source = {
+    val feedPath = Paths.get(root, Sinks.FeedDir)
+    require(Files.isDirectory(feedPath),
+      s"no feed directory under $root — call Sinks.enableStreamFeed(root) " +
+        "before the first commit you want streamed")
+    val raw = feedSchema(spark, root)
+    val base = org.apache.spark.sql.GraftSqlShims.parquetFileSource(
+      spark, feedPath.toString, raw, metadataPath)
+    // the engine drives a file-stream source through its admission
+    // control (latestOffset with a read limit, maxFilesPerTrigger et
+    // al.) — the wrapper must forward those interfaces or the engine
+    // falls back to getOffset, which FileStreamSource refuses
+    import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+    new org.apache.spark.sql.execution.streaming.Source
+        with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+      private val ac = base.asInstanceOf[SupportsAdmissionControl]
+      override def schema: StructType = feedStreamSchema(raw)
+      override def getOffset
+          : Option[org.apache.spark.sql.execution.streaming.Offset] =
+        base.getOffset
+      override def getDefaultReadLimit: ReadLimit = ac.getDefaultReadLimit
+      override def latestOffset(startOffset: ConnOffset,
+          limit: ReadLimit): ConnOffset = ac.latestOffset(startOffset, limit)
+      override def reportLatestOffset(): ConnOffset = ac.reportLatestOffset()
+      override def initialOffset(): ConnOffset = base.initialOffset()
+      override def deserializeOffset(json: String): ConnOffset =
+        base.deserializeOffset(json)
+      override def prepareForTriggerAvailableNow(): Unit = base match {
+        case t: SupportsTriggerAvailableNow => t.prepareForTriggerAvailableNow()
+        case _ => ()
+      }
+      override def getBatch(
+          start: Option[org.apache.spark.sql.execution.streaming.Offset],
+          end: org.apache.spark.sql.execution.streaming.Offset): DataFrame =
+        stampCommitVersion(base.getBatch(start, end))
+      override def commit(end: ConnOffset): Unit = base.commit(end)
+      override def stop(): Unit = base.stop()
+    }
+  }
+
+  /** [[feedSource]]'s declared schema for `root` — what the provider's
+    * `sourceSchema` must report before any source exists. The feed-dir
+    * requirement fires HERE too, so a feed-less table refuses at
+    * `load()` instead of a later `start()`.
+    */
+  private[graft] def feedSourceSchema(spark: SparkSession,
+      root: String): StructType = {
+    require(Files.isDirectory(Paths.get(root, Sinks.FeedDir)),
+      s"no feed directory under $root — call Sinks.enableStreamFeed(root) " +
+        "before the first commit you want streamed")
+    feedStreamSchema(feedSchema(spark, root))
+  }
+
+  private def feedStreamSchema(raw: StructType): StructType =
+    raw.add("_commit_version", org.apache.spark.sql.types.LongType)
+
+  private def stampCommitVersion(df: DataFrame): DataFrame =
+    df.withColumn("_commit_version",
+      regexp_extract(col("_metadata.file_name"), "^v(\\d+)-", 1).cast("long"))
 
   /** Feed row schema: borrowed from the NEWEST commit's feed file when
     * any exist (feed rows speak the logical names of their commit time,

@@ -45,6 +45,20 @@ object GraftSqlShims {
         isStreaming = false)
   }
 
+  /** Spark's own V1 file-stream Source over a directory of parquet
+    * files — battle-tested checkpointed seen-file tracking (robust to
+    * out-of-order file arrivals), which the graft feed's
+    * `readStream.format("graft")` door delegates to.
+    */
+  def parquetFileSource(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      metadataPath: String): execution.streaming.Source =
+    execution.datasources.DataSource(
+      sparkSession = spark,
+      className = "parquet",
+      userSpecifiedSchema = Some(schema),
+      options = Map("path" -> path)).createSource(metadataPath)
+
   /** Fully analyzed (and analysis-checked) plan — the nested-analysis
     * door view expansion uses: the inner run gets every analyzer batch
     * (CTE substitution included, which an outer fixed point would no

@@ -220,6 +220,48 @@ class DataSourceSpec extends AnyFunSuite {
       msgs(e).mkString(" | "))
   }
 
+  test("the streaming source door: readStream tails the change feed; format-to-format composes (round-16)") {
+    val tbl = s"${tmp()}/t"
+    import spark.implicits._
+    Sinks.enableStreamFeed(tbl)
+    Sinks.publishVersioned(
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "s"), tbl, None)
+    Sinks.appendVersioned((10L until 15L).map(i => (i, s"b$i")).toDF("k", "s"),
+      tbl, Some(0L), emitFeed = true)
+    val q = spark.readStream.format("graft").load(tbl)
+      .writeStream.format("memory").queryName("fmt_feed")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("fmt_feed").count() == 5,
+      "the plain v0 publish emits no feed; the append's 5 inserts do")
+    // a later commit streams incrementally into the SAME running query
+    Sinks.appendVersioned((15L until 18L).map(i => (i, s"c$i")).toDF("k", "s"),
+      tbl, Some(1L), emitFeed = true)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmt_feed")
+    assert(rows.count() == 8)
+    assert(rows.groupBy("_commit_version").count().orderBy("_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 3L)))
+    // format-to-format: the feed stream lands in ANOTHER graft table
+    // through the sink door — the bronze→silver shape, zero catalog
+    val out = s"${tmp()}/silver"
+    val q2 = spark.readStream.format("graft").load(tbl)
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"${tmp()}/cp").start(out)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.format("graft").load(out).count() == 8)
+    // a feed-less table refuses at load, with the remedy
+    val bare = s"${tmp()}/bare"
+    Sinks.publishVersioned(spark.range(3).toDF("k"), bare, None)
+    val e = intercept[Exception](
+      spark.readStream.format("graft").load(bare))
+    assert(e.getMessage.contains("enableStreamFeed"), e.getMessage)
+  }
+
   test("partitioned tables keep declared partition types through the format") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._
