@@ -389,8 +389,11 @@ object Stress {
         s"reader-side MOR scan must stay columnar:\n$plan")
       val cleanDf = spark.sql(s"SELECT * FROM $mrCat.t VERSION AS OF $preV")
       agg(cleanDf); agg(dvDf) // warm both paths (footers, code)
-      val (cleanN, tClean) = timed(agg(cleanDf))
-      val (dvN, tDv) = timed(agg(dvDf))
+      // best-of-3 per path: the scans are ~0.1 s at this scale, where a
+      // single GC pause or JIT re-profile flips the ratio — the gate
+      // pins the structural cost, not scheduler luck
+      val (cleanN, tClean) = (1 to 3).map(_ => timed(agg(cleanDf))).minBy(_._2)
+      val (dvN, tDv) = (1 to 3).map(_ => timed(agg(dvDf))).minBy(_._2)
       require(dvN < cleanN, s"DV subtraction must drop rows: $dvN vs $cleanN")
       val ratio = tDv / math.max(tClean, 1e-9)
       System.err.println(f"[stress] mor_read: clean=$tClean%.3f s dv=$tDv%.3f s " +

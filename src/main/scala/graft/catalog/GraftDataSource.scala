@@ -304,7 +304,7 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     graft.ops.TableStream.feedSource(sqlContext.sparkSession,
-      rootOf(parameters), metadataPath)
+      rootOf(parameters), metadataPath, parameters)
 
   /** The V1 STREAMING sink — `df.writeStream.format("graft")
     * .option("path", root).start()` (the v2 table advertises no

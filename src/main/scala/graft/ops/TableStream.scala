@@ -205,14 +205,20 @@ object TableStream {
     * `_commit_version` exactly like [[streamFeed]].
     */
   private[graft] def feedSource(spark: SparkSession, root: String,
-      metadataPath: String): org.apache.spark.sql.execution.streaming.Source = {
+      metadataPath: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.execution.streaming.Source = {
     val feedPath = Paths.get(root, Sinks.FeedDir)
     require(Files.isDirectory(feedPath),
       s"no feed directory under $root — call Sinks.enableStreamFeed(root) " +
         "before the first commit you want streamed")
     val raw = feedSchema(spark, root)
+    // reader options pass through to the delegate (maxFilesPerTrigger,
+    // maxFileAge, latestFirst — the file-stream source's own surface);
+    // "path" is ours
     val base = org.apache.spark.sql.GraftSqlShims.parquetFileSource(
-      spark, feedPath.toString, raw, metadataPath)
+      spark, feedPath.toString, raw, metadataPath,
+      options.filter(!_._1.equalsIgnoreCase("path")))
     // the engine drives a file-stream source through its admission
     // control (latestOffset with a read limit, maxFilesPerTrigger et
     // al.) — the wrapper must forward those interfaces or the engine

@@ -52,12 +52,13 @@ object GraftSqlShims {
     */
   def parquetFileSource(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      metadataPath: String): execution.streaming.Source =
+      metadataPath: String,
+      extraOptions: Map[String, String] = Map.empty): execution.streaming.Source =
     execution.datasources.DataSource(
       sparkSession = spark,
       className = "parquet",
       userSpecifiedSchema = Some(schema),
-      options = Map("path" -> path)).createSource(metadataPath)
+      options = extraOptions + ("path" -> path)).createSource(metadataPath)
 
   /** Fully analyzed (and analysis-checked) plan — the nested-analysis
     * door view expansion uses: the inner run gets every analyzer batch

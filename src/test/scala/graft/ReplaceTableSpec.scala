@@ -116,6 +116,24 @@ class ReplaceTableSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 4)
   }
 
+  test("DataFrameWriterV2: writeTo create / append / createOrReplace ride the same doors") {
+    val (cat, _) = mkCat()
+    import spark.implicits._
+    (0L until 10L).map(i => (i, s"n$i")).toDF("k", "nm")
+      .writeTo(s"$cat.t").create()
+    assert(spark.table(s"$cat.t").count() == 10)
+    (10L until 13L).map(i => (i, s"n$i")).toDF("k", "nm")
+      .writeTo(s"$cat.t").append()
+    assert(spark.table(s"$cat.t").count() == 13)
+    // createOrReplace = the staged history-preserving replace
+    (0L until 4L).map(i => (i * 2, s"r$i")).toDF("v", "w")
+      .writeTo(s"$cat.t").createOrReplace()
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("v", "w"))
+    assert(spark.table(s"$cat.t").count() == 4)
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").count() == 13,
+      "the pre-replace epoch stays travelable under writeTo too")
+  }
+
   test("IF NOT EXISTS CTAS stays a no-op on an existing table") {
     val (cat, _) = mkCat()
     import spark.implicits._
