@@ -67,6 +67,7 @@ object SparkEntry {
     "q_spj_bucket", "q_default_values", "q_spj_mor", "q_spj_days",
     "q_add_default", "q_identity", "q_variant_props", "q_spj_grain",
     "q_merge_evolution", "q_generated_cols", "q_spj_rename",
-    "q_generated_merge", "q_format_write", "q_replace_table")
+    "q_generated_merge", "q_format_write", "q_replace_table",
+    "q_stream_doors")
     .filter(queries.contains)
 }

@@ -313,6 +313,20 @@ object ScanOps extends QueryModule {
            |ORDER BY epoch""".stripMargin)
     }),
 
+    // Round-16 (B204/B205): the streaming doors END-TO-END — the bronze
+    // table's insert feed is tailed by readStream.format("graft") and
+    // landed into silver by writeStream.format("graft") (zero catalog,
+    // zero hand-wired sources). The hash match proves the full
+    // bronze→silver stream moved every row exactly once.
+    "q_stream_doors" -> ((s, dir) => {
+      val wh = streamDoorsWarehouse(s, dir)
+      s.read.format("graft").load(s"$wh/silver")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c_custkey")).as("keysum"),
+          round(sum(col("c_acctbal")), 4).as("balsum"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Round-16 (B201): the path-based WRITE door —
     // `df.write.format("graft")` CREATEs the table (empty v0 + declared
     // partition spec, data as v1) and APPENDs O(delta) through the same
@@ -1785,6 +1799,48 @@ object ScanOps extends QueryModule {
       wh
     }
 
+  /** Warehouse for q_stream_doors (round-16, B204/B205): `bronze` gets
+    * the customer fixture as TWO feed-emitting appends; one streaming
+    * query — `readStream.format("graft")` tailing bronze's change feed
+    * into `writeStream.format("graft")` — lands the insert rows in
+    * `silver` (the first batch CREATES it). Cached per content stamp;
+    * the stream is build-time, the query read-only.
+    */
+  private def streamDoorsWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.ops.Sinks
+      val wh = "/tmp/graft_sdoor_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stampFile = Paths.get(wh, "_SRCSTAMP")
+      val stamp = Tables.srcStamp(dir, "customer") + "|sdoor1"
+      val fresh = Files.isDirectory(Paths.get(s"$wh/silver")) &&
+        Files.exists(stampFile) &&
+        new String(Files.readAllBytes(stampFile), "UTF-8").trim == stamp
+      if (!fresh) {
+        graft.io.Fs.deleteRecursively(Paths.get(wh))
+        val bronze = s"$wh/bronze"
+        Sinks.enableStreamFeed(bronze)
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        Sinks.publishVersioned(cust.limit(0), bronze, None)
+        Sinks.appendVersioned(cust.filter(col("c_custkey") % 2 === 0),
+          bronze, Some(0L), emitFeed = true)
+        Sinks.appendVersioned(cust.filter(col("c_custkey") % 2 === 1),
+          bronze, Some(1L), emitFeed = true)
+        val q = s.readStream.format("graft").load(bronze)
+          .where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$wh/_cp")
+          .start(s"$wh/silver")
+        q.processAllAvailable()
+        q.stop()
+        Files.createDirectories(Paths.get(wh))
+        Files.write(stampFile, stamp.getBytes("UTF-8"))
+      }
+      wh
+    }
+
   /** Warehouse for q_format_write (round-16, B201): `nat_w` is built
     * ENTIRELY through `df.write.format("graft")` — the create
     * (partitionBy landing the spec + grid), then a linked append of the
@@ -2835,6 +2891,14 @@ object ScanOps extends QueryModule {
         |SELECT 'old', count(*), CAST(sum(c_custkey) AS BIGINT)
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY epoch""".stripMargin,
+
+    // the bronze→silver stream recomputed: both appends' inserts = the
+    // whole fixture
+    "q_stream_doors" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS keysum,
+        |       round(sum(c_acctbal), 4) AS balsum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the write-door populations recomputed from the fixture (create +
     // append = the whole table)
