@@ -71,7 +71,17 @@ private[graft] trait SinksMaintenance { this: Sinks.type =>
       val referenced = isVersionDir(n) || n == "_CURRENT" || n == "_PROPS" ||
         n == "_LOCK" || n == "_tags" || n.startsWith(".stage-") ||
         n.startsWith("_txn-") || n == FeedDir
-      !referenced && oldEnough(p)
+      // round-16 (the feed finding's whole CLASS, closed): OTHER
+      // underscore-prefixed entries are user/system-reserved and
+      // survive — Delta's documented VACUUM contract, protecting
+      // streaming checkpoints (`_checkpoint`), `_spark_metadata`, and
+      // any `_`-prefixed operator artifact parked at the table root.
+      // Only recognizably ENGINE-SHAPED debris among them is swept:
+      // `_temporary` (the Hadoop committer's crash leftovers) and
+      // half-written `*.tmp*` files (`_PROPS.tmp`).
+      val sparedUserReserved = n.startsWith("_") &&
+        n != "_temporary" && !n.contains(".tmp")
+      !referenced && !sparedUserReserved && oldEnough(p)
     }
     val tagTmps = {
       val td = Paths.get(root, "_tags")

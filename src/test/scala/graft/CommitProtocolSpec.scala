@@ -142,6 +142,11 @@ class CommitProtocolSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(root, "_temporary", "0"))
     Files.write(Paths.get(root, "_PROPS.tmp"), Array[Byte](2))
     Files.write(Paths.get(root, "_tags", ".dead.tmp99999"), Array[Byte](3))
+    // round-16: OTHER underscore-prefixed entries are user-reserved
+    // (Delta's VACUUM contract) — a streaming checkpoint parked at the
+    // table root must survive an aged sweep
+    Files.createDirectories(Paths.get(root, "_checkpoint", "offsets"))
+    Files.write(Paths.get(root, "_checkpoint", "offsets", "0"), Array[Byte](4))
     val kept2 = spark.sql(
       "CALL graftvo.system.vacuum_orphans(table => 't')").collect()(0)
     assert(kept2.getLong(3) == 0, s"fresh foreign entries survive the window: $kept2")
@@ -155,6 +160,8 @@ class CommitProtocolSpec extends AnyFunSuite {
       !Files.exists(Paths.get(root, "_tags", ".dead.tmp99999")))
     assert(Files.isDirectory(Paths.get(root, "feed")),
       "the change-feed dir must survive an aged orphan sweep")
+    assert(Files.exists(Paths.get(root, "_checkpoint", "offsets", "0")),
+      "user-reserved underscore entries must survive an aged sweep")
     // referenced state all survives: pointer, props, tag, live version
     assert(Sinks.listTags(root) == Map("keepme" -> v))
     assert(Sinks.readCurrent(spark, root).count() == 1)
