@@ -228,7 +228,11 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       case None =>
         // CREATE: the catalog's ordering — empty flat v0 wins the race,
         // the partition spec lands as props, the data appends as v1
-        // (laid out under the declared grid)
+        // (laid out under the declared grid). A graft VIEW's storage
+        // dir must not be silently buried under version dirs.
+        require(!GraftViews.isView(root),
+          s"$root holds a graft VIEW definition — DROP the view or pick " +
+            "a different path")
         partBy.foreach(c => require(
           data.columns.exists(_.equalsIgnoreCase(c)),
           s"partitionBy column $c is not in the frame"))

@@ -134,6 +134,9 @@ object TableStream {
     val skip = Sinks.currentVersion(root).isDefined && batch.isEmpty
     if (!skip) {
       if (Sinks.currentVersion(root).isEmpty) {
+        require(!graft.catalog.GraftViews.isView(root),
+          s"$root holds a graft VIEW definition — DROP the view or pick " +
+            "a different path")
         partitionBy.foreach(c => require(
           batch.columns.exists(_.equalsIgnoreCase(c)),
           s"partitionBy column $c is not in the stream"))
