@@ -65,37 +65,54 @@ object Bpe {
     * the merge table is (rank, pair, merged, weight) — metadata-scale,
     * the artifact a tokenizer ships; the final vocab is (w, n, sym)
     * with every learned merge applied — the word-level encoder input.
-    * Each iteration persists the vocab frame and unpersists its
-    * predecessor so lineage stays O(1) across iterations.
+    *
+    * Iteration cost: one Spark job per merge (the pair aggregation +
+    * 1-row top collect). Learned merges ride on the PERSISTED base
+    * vocab as a lazy chain of codegen'd string-replace expressions —
+    * applying a merge is pure per-row compute (microseconds over the
+    * vocab table), so materializing a new vocab per iteration bought
+    * nothing and cost a second job + persist/unpersist churn per round
+    * (measured: it doubled the per-iteration wall time at bench scale).
+    * The chain re-pins every [[RepinEvery]] merges so expression depth
+    * (and thus plan/codegen size) stays bounded for production-scale
+    * merge counts, keeping lineage O(RepinEvery) at any nMerges.
     */
+  private val RepinEvery = 24
+
   def train(docs: DataFrame, textCol: String, nMerges: Int)
       : (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = vocabulary(docs, textCol).persist()
-    vocab.count() // materialize before the loop mutates the reference
+    var pinned = vocabulary(docs, textCol).persist()
+    pinned.count() // ONE corpus pass, materialized before the loop
+    var pending = List.empty[String] // merges since last pin, newest first
+    def cur: DataFrame = pinned.withColumn("sym",
+      pending.reverse.foldLeft(col("sym"))((c, m) => applyMerge(c, m)))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var done = false
     var r = 1
     while (r <= nMerges && !done) {
-      val top = pairCounts(vocab)
+      val top = pairCounts(cur)
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
       if (top.isEmpty) done = true // every word fully merged
       else {
         val pair = top(0).getString(0)
         val cnt = top(0).getLong(1)
         merges += ((r, pair, pair.replace(" ", ""), cnt))
-        val next = vocab.withColumn("sym", applyMerge(col("sym"), pair))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        pending ::= pair
+        if (pending.length >= RepinEvery) {
+          val next = cur.persist()
+          next.count()
+          pinned.unpersist()
+          pinned = next
+          pending = Nil
+        }
       }
       r += 1
     }
-    (merges.toSeq.toDF("rank", "pair", "merged", "weight"), vocab)
+    (merges.toSeq.toDF("rank", "pair", "merged", "weight"), cur)
   }
 
   /** Encode a corpus under a learned merge table: distinct words encode
