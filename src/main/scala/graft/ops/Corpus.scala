@@ -64,14 +64,20 @@ object Corpus {
       idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = ngramDigests(bench, idCol, textCol, n).select("h").distinct()
     val trainGrams = ngramDigests(train, idCol, textCol, n).distinct()
-    val tot = trainGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val hit = trainGrams.join(benchGrams, "h")
-      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
-    tot.join(hit, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"), 6)
-          .as("hit_ratio"))
+    // ONE pass over the training gram stream: a left join against the
+    // (distinct'd, tiny) benchmark digests marks hits, and a single
+    // per-doc aggregate counts totals and hits together. The previous
+    // shape — separate `tot` and `hit` aggregates re-joined per doc —
+    // aggregated the corpus-scale gram stream twice and paid a third
+    // shuffle for the tot⋈hit join; count(mark) over the left join is
+    // value-identical (bench digests are distinct, so the join never
+    // multiplies rows).
+    trainGrams
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1))), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("hit_ratio"))
   }
 
   /** Concatenate-then-chunk sequence packing (the GPT-style pretraining
@@ -311,7 +317,7 @@ object Corpus {
     * pre-salts declaratively via [[Skew.saltedJoinMulti]]: the
     * corpus-scale bigram stream takes a content-derived salt (doc_id
     * varies within a hot key, so the head really spreads), the count
-    * tables replicate `saltBuckets`× (they are ≪ corpus), and each hot
+    * table replicates `saltBuckets`× (it is ≪ corpus), and each hot
     * key's rows land on `saltBuckets` reducers instead of one. Join
     * multiplicity is unchanged, so the result is value-identical
     * (CorpusSpec pins salted ≡ unsalted on a synthetic Zipf head).
@@ -331,18 +337,22 @@ object Corpus {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("double").as("n12"))
-    // head counts roll up from the (small) bigram-count table —
-    // c1(w1) = Σ_w2 c12(w1,w2) exactly — instead of re-aggregating the
-    // corpus-scale bigram stream a second time
-    val c1 = c12.groupBy("w1")
-      .agg(sum(col("n12")).as("n1"))
+    // head counts ride the (small) bigram-count table as a WINDOW sum —
+    // c1(w1) = Σ_w2 c12(w1,w2), exact (integral counts, double-safe) —
+    // not a separate groupBy branch: a second aggregate over c12 made
+    // the optimizer plan the corpus-scale tokenize+explode+count
+    // subtree TWICE (the c12 build feeds a broadcast, so there is no
+    // shuffle stage for AQE to reuse), and the executed plan re-scanned
+    // the corpus just to rebuild c12 for the rollup. The window
+    // shuffles only the vocab²-scale count table, and carrying n1 on
+    // the same row halves the probe joins (one broadcast, not two).
+    val counts = c12.withColumn("n1",
+      sum(col("n12")).over(Window.partitionBy("w1")))
     val v = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("vsize"))
     val withCounts =
-      if (saltBuckets <= 1) bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      else Skew.saltedJoinMulti(
-        Skew.saltedJoinMulti(bi, c12, Seq("w1", "w2"), saltBuckets),
-        c1, Seq("w1"), saltBuckets)
+      if (saltBuckets <= 1) bi.join(counts, Seq("w1", "w2"))
+      else Skew.saltedJoinMulti(bi, counts, Seq("w1", "w2"), saltBuckets)
     withCounts
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))

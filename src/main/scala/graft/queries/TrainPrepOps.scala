@@ -137,15 +137,22 @@ object TrainPrepOps extends QueryModule {
       // 1. decontaminate: drop docs with >50% benchmark 4-gram overlap
       //    (docs too short to gram have no report row and can't match)
       val cont = Corpus.ngramContamination(train, bench, "doc_id", "text", n = 4)
-      // the decontaminated corpus feeds FOUR downstream consumers (LM
+      // the decontamination verdict feeds FOUR downstream consumers (LM
       // model, median anchor, quality join, mixture) — pin it once so
-      // the contamination join isn't re-run per consumer. Pin.stable,
-      // not localCheckpoint: the pinned corpus is checkpointed to real
-      // storage, so an executor loss re-reads it instead of killing all
-      // four consumers (round-8 verdict item 5)
-      val clean = graft.ops.Pin.stable(train.join(
-          cont.filter(col("hit_ratio") > 0.5).select("doc_id"),
-          Seq("doc_id"), "left_anti"))
+      // the contamination aggregation isn't re-run per consumer. What
+      // gets pinned is the DIRTY ID LIST (the decision rows: a few
+      // bytes per contaminated doc), not the surviving corpus text:
+      // checkpointing the text paid a full corpus write plus one
+      // re-read per consumer, where each consumer can instead re-scan
+      // the columnar source (pruned, no shuffle) behind a left_anti
+      // join against the tiny pinned list — the planner broadcasts it
+      // from its file size, so the corpus is never shuffled to attach
+      // the verdict. Pin.stable, not localCheckpoint: durable storage,
+      // an executor loss re-reads instead of killing all consumers
+      // (round-8 verdict item 5).
+      val dirty = graft.ops.Pin.stable(
+        cont.filter(col("hit_ratio") > 0.5).select("doc_id"))
+      val clean = train.join(dirty, Seq("doc_id"), "left_anti")
       // 2. LM-quality gate: keep docs at or below the clean corpus's
       //    median NLL (model trained on the clean corpus itself)
       val scored = graft.ops.Pin.stable(Corpus.lmScore(clean, "doc_id", "text"))
