@@ -236,7 +236,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // the derived `_tp_*` directory columns and appends them to its
     // schema — the TABLE's logical schema must not carry them (readers
     // hide, writers re-derive)
-    override def schema(): StructType = GraftDefaults.injectExistence(
+    // computed once per table object (the checkProps discipline:
+    // analysis asks schema() many times per statement, and each call
+    // re-read the added-column marker and rebuilt the field list —
+    // stack-sampled as a top driver cost of the DDL family)
+    private lazy val snapshotSchema: StructType = GraftDefaults.injectExistence(
       StructType(delegate.schema
         .filterNot(f => graft.ops.Transforms.parse(f.name).isDefined)
         // footer-echoed DEFAULT metadata never leaks (an INSERT writes
@@ -252,6 +256,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .map(GraftDefaults.stripFieldDefaults)
         .map(graft.ops.Identity.stripField)
         .map(graft.ops.Generated.stripField)), versionDir)
+    override def schema(): StructType = snapshotSchema
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): util.Map[String, String] = delegate.properties()
     // B185/B186: sidecar-exact plan statistics + key-grouped partition
@@ -1248,7 +1253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           ((GraftDefaults.Prefix + a.fieldNames()(0).toLowerCase) ->
             a.defaultValue().getSql))
     }
-    val physNames = spark.read.parquet(liveDir).schema.fieldNames
+    val physNames = Sinks.inferSchema(spark, liveDir).fieldNames
       .map(_.toLowerCase).toSet ++
       graft.ops.ColMap.dropped(liveDir).map(_.toLowerCase)
     if (!adds.exists(a => physNames(a.fieldNames()(0).toLowerCase))) {
@@ -1991,7 +1996,7 @@ private[catalog] object GraftTables {
       if (mapping.isEmpty && gone.isEmpty) Sinks.readSchemaFor(spark, tRoot, path)
       else {
         val phys = Sinks.readSchemaFor(spark, tRoot, path)
-          .getOrElse(spark.read.parquet(path).schema)
+          .getOrElse(Sinks.inferSchema(spark, path))
         val physToLogical = mapping.map { case (l, p) => p.toLowerCase -> l }
         Some(org.apache.spark.sql.types.StructType(phys
           .filterNot(f => gone.contains(f.name.toLowerCase)) // DROP tombstones

@@ -49,8 +49,25 @@ object Tables {
       java.nio.file.Files.size(p)
   }
 
-  private def scan(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  /** Fixture schemas memoized per (session, path, content stamp): the
+    * fixtures are immutable between driver regenerations (the stamp
+    * catches a regeneration), and a bare `spark.read.parquet` re-infers
+    * the schema with a driver-blocking footer-read job on EVERY call —
+    * a fixed ~tens-of-ms tax each of the hundreds of fixture scans a
+    * bench/verify run makes. Passing the memoized schema explicitly is
+    * plan-identical (same footer schema, pushdown and pruning reach the
+    * scan unchanged); only the repeated inference job disappears.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), StructType]()
+  private def scan(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = path(sfDir, name)
+    // sessionUUID, not an identity hash (the sidecar-memo discipline)
+    val key = (org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark), p,
+      srcStamp(sfDir, name))
+    val s = schemaMemo.computeIfAbsent(key, _ => spark.read.parquet(p).schema)
+    spark.read.schema(s).parquet(p)
+  }
 
   /** Generic accessor; routes `events` through the ns-timestamp fix. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -99,10 +99,9 @@ object Sinks
         else Dv.subtract(eqApplied, p, cols)
       return ColMap.toLogical(subtracted, p)
     }
-    val base = readSchemaFor(spark, root, p) match {
-      case None => spark.read.parquet(p)
-      case Some(fixed) => spark.read.schema(fixed).parquet(p)
-    }
+    val base =
+      spark.read.schema(readSchemaFor(spark, root, p)
+        .getOrElse(inferSchema(spark, p))).parquet(p)
     // hidden partitioning (B161): derived `_tp_*` directory columns are
     // write-side machinery — the caller sees the source columns only.
     // The drop lands as a Project ABOVE the scan, so a pushed-down
@@ -230,7 +229,7 @@ object Sinks
     */
   private def legReadSchema(spark: SparkSession, root: String, p: String,
       scanDir: String): org.apache.spark.sql.types.StructType = {
-    val inferred = spark.read.parquet(scanDir).schema
+    val inferred = inferSchema(spark, scanDir)
     val pinned = scanDirSpec(root, p, scanDir) match {
       case None => inferred
       case Some(declared) =>
@@ -332,6 +331,55 @@ object Sinks
     } else TableProps.partitionSchema(root)
   }
 
+  /** Memoized parquet schema inference over one directory. Every
+    * inference is a driver-blocking Spark job (footer read + Hadoop-conf
+    * broadcast, tens of ms of fixed overhead), and a single DDL/DML
+    * statement's analysis infers the same version dir several times —
+    * stack-sampling showed the catalog family spending more wall time
+    * waiting on these footer jobs than on the statements' real work.
+    * Version dirs are immutable once their stage→vN rename lands, so
+    * the result is memoizable; the stamp guards the cases where a PATH
+    * is nonetheless reused (drop+recreate restarting at v0, a stage dir
+    * growing mid-build, sidecar folds) by walking the data files' names,
+    * sizes and mtimes — O(files) stat calls, orders of magnitude cheaper
+    * than the job it replaces, and the same walk every commit already
+    * does. Keyed per session (inference obeys session confs).
+    */
+  private val inferMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]()
+  private def dirStamp(p: String): String = {
+    val d = Paths.get(p)
+    val top = Files.readAttributes(d,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val files = Fs.walkParquet(d)
+    val sig = files.foldLeft((0L, 0L, 0L, 0L)) { case ((n, bytes, mt, hh), f) =>
+      val a = Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      (n + 1, bytes + a.size,
+        math.max(mt, a.lastModifiedTime.toMillis),
+        hh + d.relativize(f).toString.hashCode.toLong)
+    }
+    s"${top.fileKey}|${top.lastModifiedTime.toMillis}|$sig"
+  }
+  private[graft] def inferSchema(spark: SparkSession, p: String)
+      : org.apache.spark.sql.types.StructType = {
+    val stamp =
+      try dirStamp(p)
+      catch { case _: java.io.IOException => return spark.read.parquet(p).schema }
+    // sessionUUID, not an identity hash: a NEW session can collide with
+    // a GC'd one's hash and adopt a schema inferred under different
+    // session confs (the round-11 advisor finding on the sidecar memo)
+    val key = (org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark), p, stamp)
+    val hit = inferMemo.get(key)
+    if (hit != null) hit
+    else {
+      val s = spark.read.parquet(p).schema
+      if (inferMemo.size > 4096) inferMemo.clear() // crude bound; refill is cheap
+      inferMemo.put(key, s)
+      s
+    }
+  }
+
   /** The full read schema of version dir `p` with declared partition
     * types substituted — what a reader (or the catalog's user-specified
     * schema) must pin so inference never rewrites partition types. None
@@ -355,7 +403,7 @@ object Sinks
       return Some(merged)
     }
     val pinned = partitionSchemaFor(root, p).map { declared =>
-      val inferred = spark.read.parquet(p).schema
+      val inferred = inferSchema(spark, p)
       org.apache.spark.sql.types.StructType(inferred.map { f =>
         declared.find(_.name.equalsIgnoreCase(f.name))
           .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
@@ -370,7 +418,7 @@ object Sinks
     val withAdded =
       if (added.isEmpty) pinned
       else {
-        val base = pinned.getOrElse(spark.read.parquet(p).schema)
+        val base = pinned.getOrElse(inferSchema(spark, p))
         val have = base.fieldNames.map(_.toLowerCase).toSet
         Some(added.foldLeft(base)((s, f) =>
           if (have(f.name.toLowerCase)) s else s.add(f.copy(nullable = true))))
@@ -380,7 +428,7 @@ object Sinks
     // per file, files written after the widen are wide already
     if (ColMap.widened(p).isEmpty) withAdded
     else Some(ColMap.applyWidened(p,
-      withAdded.getOrElse(spark.read.parquet(p).schema)))
+      withAdded.getOrElse(inferSchema(spark, p))))
   }
 
   /** Snapshot versions present under `root`, ascending — the time-travel
