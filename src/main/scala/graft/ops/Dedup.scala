@@ -137,7 +137,24 @@ object Dedup {
     * hex prefix makes the min-string a valid min-hash; ASCII compare of
     * equal-length lowercase hex is engine-independent.
     */
-  def minhashSignatureMd5(text: Column, n: Int, numPerm: Int): Column =
+  def minhashSignatureMd5(text: Column, n: Int, numPerm: Int): Column = {
+    import org.apache.spark.sql.graft.ExprBridge
+    // the native single-loop expression ([[graft.functions.MinHashSigMd5]]):
+    // bit-identical to [[minhashSignatureMd5Hof]] (LlmSpec pins parity)
+    // without the interpreted per-shingle×permutation lambda/concat/hex
+    // overhead — profiled as the dominant cost of the near-dup index
+    // probe and every md5-LSH surface
+    ExprBridge.column(graft.functions.MinHashSigMd5(
+      ExprBridge.expr(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(numPerm)))
+  }
+
+  /** The HOF reference form of [[minhashSignatureMd5]] — kept as the
+    * spec's parity oracle for the native expression (and as the
+    * documentation of the exact arithmetic the DuckDB oracle mirrors).
+    */
+  private[graft] def minhashSignatureMd5Hof(text: Column, n: Int, numPerm: Int): Column =
     aggregate(
       transform(shingles(text, n),
         s => transform(sequence(lit(1), lit(numPerm)),

@@ -127,6 +127,32 @@ class LlmSpec extends AnyFunSuite {
     assert(ndiffs.isEmpty, s"native sigs differ for docs: ${ndiffs.take(5)}")
   }
 
+  test("B60 native md5 MinHash expression is bit-identical to the HOF form") {
+    import spark.implicits._
+    // fixture docs plus the shingling edge cases: empty text, fewer
+    // words than n (whole-doc shingle), repeated/trailing spaces
+    // (split limit -1 keeps empties), and exactly-n words
+    val edges = Seq((100001L, ""), (100002L, "one"), (100003L, "a  b"),
+      (100004L, "a b "), (100005L, "x y z")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .unionByName(edges)
+    val hof = docs.select(col("doc_id"),
+        Dedup.minhashSignatureMd5Hof(col("text"), 3, 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val native = docs.select(col("doc_id"),
+        Dedup.minhashSignatureMd5(col("text"), 3, 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native.keySet == hof.keySet)
+    val diffs = hof.keys.filter(k => hof(k) != native(k))
+    assert(diffs.isEmpty, s"md5 sigs differ for docs: ${diffs.take(5)}")
+    // schema-invisible swap: same result type as the HOF form
+    val hofType = docs.select(
+      Dedup.minhashSignatureMd5Hof(col("text"), 3, 16).as("sig")).schema("sig").dataType
+    val natType = docs.select(
+      Dedup.minhashSignatureMd5(col("text"), 3, 16).as("sig")).schema("sig").dataType
+    assert(natType == hofType, s"result type drifted: $natType vs $hofType")
+  }
+
   test("B60 LSH candidates include every truly-similar pair (no false negatives)") {
     import spark.implicits._
     // construct near-duplicates: doc + same doc with last token changed
