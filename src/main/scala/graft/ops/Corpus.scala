@@ -40,12 +40,17 @@ object Corpus {
     */
   def ngramDigests(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val w = split(col(textCol), " ")
-    docs.select(col(idCol), w.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
-          i => substring(md5(array_join(slice(col("w"), i, lit(n)), " ")), 1, 16))).as("h"))
+    // native one-loop digest array ([[graft.functions.NgramMd5]]),
+    // bit-identical to the HOF transform/slice/array_join form it
+    // replaces (CorpusSpec pins parity) without the interpreted
+    // per-gram lambda + slice/join/hex allocations; a short doc yields
+    // an empty array, so explode drops it — the same "no rows below n
+    // words" contract the size filter used to enforce, one split cheaper
+    import org.apache.spark.sql.graft.ExprBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    docs.select(col(idCol),
+      explode(ExprBridge.column(graft.functions.NgramMd5(
+        ExprBridge.expr(col(textCol)), Literal(n), Literal(16)))).as("h"))
   }
 
   /** Benchmark decontamination report: for every training document, how
@@ -135,11 +140,18 @@ object Corpus {
       n: Int): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("t"))
-    val grams = toks.filter(size(col("t")) >= n)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("t")) - n),
-        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
-      .select(col(idCol), col("pos").as("p"), col("col").as("digest"))
+    // native one-loop digest array (full 32-hex here) — the posexplode
+    // positions are the same ascending window starts the HOF
+    // transform/sequence form produced, and a short doc's empty array
+    // explodes to no rows exactly like the size filter did
+    val grams = {
+      import org.apache.spark.sql.graft.ExprBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      docs.select(col(idCol), posexplode(ExprBridge.column(
+          graft.functions.NgramMd5(
+            ExprBridge.expr(col(textCol)), Literal(n), Literal(32)))))
+        .select(col(idCol), col("pos").as("p"), col("col").as("digest"))
+    }
     val dup = grams.groupBy("digest")
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
     val matched = grams.join(dup.select("digest"), "digest")
@@ -325,9 +337,10 @@ object Corpus {
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5, saltBuckets: Int = 1): DataFrame = {
+    // array_remove, not filter(length>0): value-identical and codegen'd
+    // (the HOF filter interprets its lambda per token on the hot path)
     val toks = docs.select(col(idCol),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        x => length(x) > 0).as("t"))
+      array_remove(split(lower(col(textCol)), "[^a-z0-9]+"), "").as("t"))
     val bi = toks.filter(size(col("t")) >= 2)
       .select(col(idCol),
         explode(zip_with(

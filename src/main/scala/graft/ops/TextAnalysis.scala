@@ -35,7 +35,10 @@ object TextAnalysis {
     * fixtures. Empty/blank text tokenizes to [] (not [""]).
     */
   private[ops] def toks(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+    array_remove(split(c, "\\s+"), "")
+    // array_remove, not filter(length>0): value-identical (split never
+    // yields nulls, so the empties are exactly the removable elements)
+    // but codegen'd — the HOF filter interprets its lambda per token
 
   /** Whitespace token count as a scalar — the SQL-function spelling. */
   def tokenCount(text: Column): Column = size(toks(text))

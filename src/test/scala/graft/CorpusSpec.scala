@@ -299,4 +299,32 @@ class CorpusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.ops.Corpus.chunk(docs, "doc_id", "text", 10, 0))
   }
+
+  test("native NgramMd5 is bit-identical to the HOF digest form (16 and 32 hex)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ExprBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // fixture docs plus edge cases: empty text, fewer words than n,
+    // doubled/trailing spaces (split limit -1 keeps empties), exactly n
+    val edges = Seq((900101L, ""), (900102L, "one two"), (900103L, "a  b c d"),
+      (900104L, "a b c "), (900105L, "w x y z")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .unionByName(edges)
+    for (hexLen <- Seq(16, 32)) {
+      val n = 4
+      val w = split(col("text"), " ")
+      val hof = docs.select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => substring(md5(array_join(slice(col("w"), i, lit(n)), " ")), 1, hexLen))))
+        .as[(Long, Int, String)].collect().toSet
+      val native = docs.select(col("doc_id"), posexplode(ExprBridge.column(
+          graft.functions.NgramMd5(
+            ExprBridge.expr(col("text")), Literal(n), Literal(hexLen)))))
+        .as[(Long, Int, String)].collect().toSet
+      assert(native == hof,
+        s"hexLen=$hexLen: ${(native -- hof).take(3)} vs ${(hof -- native).take(3)}")
+    }
+  }
 }
