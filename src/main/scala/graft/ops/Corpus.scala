@@ -341,12 +341,16 @@ object Corpus {
     // (the HOF filter interprets its lambda per token on the hot path)
     val toks = docs.select(col(idCol),
       array_remove(split(lower(col(textCol)), "[^a-z0-9]+"), "").as("t"))
-    val bi = toks.filter(size(col("t")) >= 2)
-      .select(col(idCol),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    // Bigram assembly is the native single-loop expression
+    // ([[graft.functions.Bigrams]]): value-identical to the zip_with/
+    // slice HOF form (parity pinned in CorpusSpec) but compiled —
+    // this subtree is evaluated on every corpus pass (c12 build AND
+    // the probe side), so the per-row win applies twice. <2 tokens →
+    // empty array, so explode keeps the old filter(size>=2) contract.
+    val bi = docs.select(col(idCol),
+        explode(org.apache.spark.sql.graft.ExprBridge.column(
+          graft.functions.Bigrams(
+            org.apache.spark.sql.graft.ExprBridge.expr(col(textCol))))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = bi.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("double").as("n12"))

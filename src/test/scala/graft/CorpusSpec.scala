@@ -327,4 +327,34 @@ class CorpusSpec extends AnyFunSuite {
         s"hexLen=$hexLen: ${(native -- hof).take(3)} vs ${(hof -- native).take(3)}")
     }
   }
+
+  test("native Bigrams is value-identical to the zip_with/slice HOF form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ExprBridge
+    // fixture docs plus edge cases: empty, one token, exactly two,
+    // punctuation-only, unicode uppercase (lower() parity), digits,
+    // leading/trailing separators (split's boundary empties)
+    val edges = Seq((910101L, ""), (910102L, "solo"), (910103L, "Two words"),
+      (910104L, "?!,;"), (910105L, "ÀÉÎ öü ss"), (910106L, "a1 2b c3 4d"),
+      (910107L, "  lead and trail  "), (910108L, "x—y–z")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .unionByName(edges)
+    val t = array_remove(split(lower(col("text")), "[^a-z0-9]+"), "")
+    val hof = docs.select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+      .as[(Long, Int, String, String)].collect().toSet
+    val native = docs.select(col("doc_id"),
+        posexplode(ExprBridge.column(
+          graft.functions.Bigrams(ExprBridge.expr(col("text"))))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(native == hof,
+      s"${(native -- hof).take(3)} vs ${(hof -- native).take(3)}")
+  }
 }
