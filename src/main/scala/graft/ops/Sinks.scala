@@ -347,7 +347,7 @@ object Sinks
     */
   private val inferMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String), org.apache.spark.sql.types.StructType]()
-  private def dirStamp(p: String): String = {
+  private[graft] def dirStamp(p: String): String = {
     val d = Paths.get(p)
     val top = Files.readAttributes(d,
       classOf[java.nio.file.attribute.BasicFileAttributes])

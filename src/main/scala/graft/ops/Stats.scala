@@ -669,17 +669,36 @@ object Stats {
     * it never silently demotes a skippable table to full scans. Shared
     * by compaction, appends, and INSERT OVERWRITE.
     */
+  // Session-scoped memo (the inferSchema treatment): every linked
+  // commit, rewrite, compaction AND StatsSkipRule planning pass asks
+  // for the recorded column set, and each call was a distinct+collect
+  // Spark job over the sidecar (plus a mergeSchema footer job) —
+  // stack-sampled as a top driver cost of the warehouse query family.
+  // The stamp walks the sidecar dir's part names/sizes/mtimes, so an
+  // in-place retrofit ([[annotatePairs]]) or a carried-part append
+  // misses naturally; version dirs are otherwise immutable.
+  private val sidecarColsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Seq[String]]()
+
   def sidecarCols(spark: SparkSession, dir: String): Seq[String] =
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, Sidecar))) {
-      // a metadata-dropped column sheds its stats entries everywhere at
-      // once: carried rows keyed by a tombstoned physical are inert (no
-      // predicate can name the column) and must not propagate into the
-      // re-annotation set of appends/rewrites — the new files don't
-      // carry the column at all
-      val gone = ColMap.dropped(dir).map(_.toLowerCase)
-      sidecar(spark, dir).select("col").distinct()
-        .collect().map(_.getString(0)).toSeq
-        .filterNot(c => gone.contains(c.toLowerCase)).sorted
+      val stamp =
+        try Sinks.dirStamp(s"$dir/$Sidecar")
+        catch { case _: java.io.IOException => java.util.UUID.randomUUID.toString }
+      val key = (org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark),
+        java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString, stamp)
+      if (sidecarColsMemo.size > 4096) sidecarColsMemo.clear()
+      sidecarColsMemo.computeIfAbsent(key, _ => {
+        // a metadata-dropped column sheds its stats entries everywhere at
+        // once: carried rows keyed by a tombstoned physical are inert (no
+        // predicate can name the column) and must not propagate into the
+        // re-annotation set of appends/rewrites — the new files don't
+        // carry the column at all
+        val gone = ColMap.dropped(dir).map(_.toLowerCase)
+        sidecar(spark, dir).select("col").distinct()
+          .collect().map(_.getString(0)).toSeq
+          .filterNot(c => gone.contains(c.toLowerCase)).sorted
+      })
     } else Nil
 
   /** Files of `dir` that MIGHT contain a row with `colName` in
