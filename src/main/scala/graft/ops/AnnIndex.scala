@@ -149,7 +149,7 @@ object AnnIndex {
       queries: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.graft.ExprBridge
     val cents = centroids(spark, root)
-    val books = Pq.fromFrame(pqBooks(spark, root))
+    val books = pqBooksDecoded(spark, root)
     val codes = Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
       .select(col("label"), col("vec_id"), col("pqcodes"))
@@ -212,6 +212,22 @@ object AnnIndex {
       .withColumnRenamed("bucket", "label")
       .join(broadcast(probed), Seq("label"))
       .select(col("vec_id"), col("embedding"))
+  }
+
+  // The DECODED codebook array, memoized per (session, live version
+  // dir) like [[sidecarFrame]]: the codebook is immutable per version
+  // (a rebuild resolves to a new dir and misses), and without the memo
+  // every searchPq call paid one collect job at plan-construction time
+  // — pure driver latency in the probe-many serving pattern.
+  private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+  private def pqBooksDecoded(spark: SparkSession,
+      root: String): Array[Array[Array[Double]]] = {
+    val live = Sinks.resolve(root)
+    if (pqBooksMemo.size > 256) pqBooksMemo.clear()
+    pqBooksMemo.computeIfAbsent(
+      s"${org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark)}|$live",
+      _ => Pq.fromFrame(pqBooks(spark, root)))
   }
 
   /** The persisted PQ codebooks of the LIVE index version. */
