@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // in-process chmod for the local-FS commit path (no libhadoop in
+      // this environment, so the stock FS forks a subprocess per
+      // staged-write _temporary dir — see graft.io.FastLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Headline subset (mirrors BASELINE.md's measured queries), one warmup
