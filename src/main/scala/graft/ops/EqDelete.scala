@@ -274,20 +274,31 @@ object EqDel {
       opCol: Option[String] = None, dedupeBy: Seq[String] = Nil,
       batchTag: Option[String] = None): Long = {
     val spark = batch0.sparkSession
-    val batch =
+    val collapsed =
       if (dedupeBy.isEmpty) batch0
       else Merge.latestPerKey(batch0, keys, dedupeBy).drop(dedupeBy: _*)
-    opCol match {
-      case None =>
-        upsertBatch(spark, batch, root, keys, batchTag = batchTag)
-      case Some(oc) =>
-        require(batch.columns.exists(_.equalsIgnoreCase(oc)),
-          s"op column $oc not in the batch (${batch.columns.mkString(", ")})")
-        val ups = batch.filter(not(col(oc) <=> lit("delete"))).drop(oc)
-        val dels = batch.filter(col(oc) <=> lit("delete"))
-          .select(keys.map(col): _*)
-        upsertBatch(spark, ups, root, keys, extraDeletes = Some(dels),
-          batchTag = batchTag)
-    }
+    // The commit consumes this frame as SEVERAL separate actions (the
+    // data stage, the delete-key sidecar, the op split's two branches)
+    // — without a persist each action re-runs the source scan and the
+    // latest-per-key aggregation from scratch (separate jobs share no
+    // exchange). A micro-batch is batch-sized by contract, so pinning
+    // it for the commit's duration is the standard foreachBatch
+    // multiple-writes discipline, released in the finally.
+    val batch = collapsed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      opCol match {
+        case None =>
+          upsertBatch(spark, batch, root, keys, batchTag = batchTag)
+        case Some(oc) =>
+          require(batch.columns.exists(_.equalsIgnoreCase(oc)),
+            s"op column $oc not in the batch (${batch.columns.mkString(", ")})")
+          val ups = batch.filter(not(col(oc) <=> lit("delete"))).drop(oc)
+          val dels = batch.filter(col(oc) <=> lit("delete"))
+            .select(keys.map(col): _*)
+          upsertBatch(spark, ups, root, keys, extraDeletes = Some(dels),
+            batchTag = batchTag)
+      }
+    } finally { batch.unpersist(); () }
   }
 }
