@@ -312,8 +312,9 @@ object Corpus {
     * (perplexity = e^score). Docs with fewer than 2 tokens have no
     * bigrams and drop out.
     *
-    * Scale shape: tokenization and bigram assembly are codegen'd
-    * higher-order functions (slice+zip_with — no shuffle, no UDF); the
+    * Scale shape: tokenization and bigram assembly are one compiled
+    * loop per row ([[graft.functions.Bigrams]] — no shuffle, no UDF,
+    * no interpreted lambda); the
     * model is two count aggregates over the bigram stream; scoring
     * re-joins the stream to the counts on the bigram key — all
     * equi-shuffles on count tables ≪ corpus size, with the vocabulary
