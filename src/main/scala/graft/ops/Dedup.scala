@@ -201,12 +201,28 @@ object Dedup {
     * Any change here changes ALL of them together — which is the point.
     */
   private[ops] def bandedBuckets(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame =
+      rowsPerBand: Int): DataFrame = {
+    // native one-loop banding ([[graft.functions.Bands]]): bit-identical
+    // to the HOF transform/slice/concat_ws form it replaces (LlmSpec
+    // pins parity) without the interpreted per-band lambda — this
+    // projection runs per doc × band on every index, probe and ad-hoc
+    // candidate surface
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
     sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand))))))
+        posexplode(ExprBridge.column(graft.functions.Bands(
+          ExprBridge.expr(col("sig")), Literal(bands), Literal(rowsPerBand)))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** The HOF reference form of [[bandedBuckets]]'s banding projection —
+    * kept as the spec's parity oracle for the native expression (and as
+    * documentation of the exact shape the DuckDB oracle's
+    * `string_agg(v, ',' ORDER BY i)` recompute mirrors).
+    */
+  private[graft] def bandsHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** LSH band-bucket candidate pairs: docs sharing any (band, band-slice
     * of signature) bucket. bands*rowsPerBand must equal numPerm.
@@ -255,12 +271,17 @@ object Dedup {
       Par.spread(docs.filter(col("text").isNotNull))
         .select(col("doc_id"), ExprBridge.column(graft.functions.MinHashSig(
           ExprBridge.expr(col("text")), Literal(n), Literal(numPerm))).as("sig")))
+    // native banding here too: the HOF form sliced per band through an
+    // interpreted lambda and concat_ws'd the slice (with an implicit
+    // array<bigint> → array<string> cast) before hashing; Bands renders
+    // the identical comma-joined decimal string in one compiled loop,
+    // so xxhash64 sees the same bytes
     val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      posexplode(ExprBridge.column(graft.functions.Bands(
+        ExprBridge.expr(col("sig")), Literal(bands), Literal(rowsPerBand)))))
       .select(col("doc_id"), col("pos").as("band"),
-        // hash the band slice into a single bucket key
-        xxhash64(concat_ws(",", col("col")), col("pos")).as("bucket"))
+        // hash the band key into a single bucket key
+        xxhash64(col("col"), col("pos")).as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("doc_id").as("doc_b"))

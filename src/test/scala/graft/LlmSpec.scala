@@ -153,6 +153,54 @@ class LlmSpec extends AnyFunSuite {
     assert(natType == hofType, s"result type drifted: $natType vs $hofType")
   }
 
+  test("B60 native bands expression is bit-identical to the HOF banding form") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
+    def native(sig: org.apache.spark.sql.Column, b: Int, r: Int) =
+      ExprBridge.column(graft.functions.Bands(
+        ExprBridge.expr(sig), Literal(b), Literal(r)))
+    // md5 (string) signatures: fixture docs + signature edge cases —
+    // a signature SHORTER than bands*rowsPerBand (partial and empty
+    // band windows) and single-element bands
+    val strSigs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignatureMd5(col("text"), 3, 16).as("sig"))
+      .unionByName(Seq(
+        (200001L, Seq("aa", "bb", "cc")), // 3 elements under 4 bands × 4
+        (200002L, Seq.empty[String]),
+        (200003L, Seq("zz"))).toDF("doc_id", "sig"))
+    for ((b, r) <- Seq((4, 4), (8, 2), (16, 1), (3, 5))) {
+      val hof = strSigs.select(col("doc_id"),
+          Dedup.bandsHof(col("sig"), b, r).as("bk"))
+        .as[(Long, Seq[String])].collect().toMap
+      val nat = strSigs.select(col("doc_id"), native(col("sig"), b, r).as("bk"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(nat == hof, s"string band keys differ at bands=$b rows=$r: " +
+        hof.keys.filter(k => hof(k) != nat(k)).take(3).toSeq)
+    }
+    // xxhash64 (long) signatures: the HOF form concat_ws'd the slice
+    // through an implicit array<bigint> → array<string> cast; the
+    // native expression must render the identical decimal strings
+    val longSigs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 2, 32).as("sig"))
+      .unionByName(Seq(
+        (200004L, Seq(Long.MinValue, -1L, 0L, Long.MaxValue)),
+        (200005L, Seq.empty[Long])).toDF("doc_id", "sig"))
+    val hofL = longSigs.select(col("doc_id"),
+        Dedup.bandsHof(col("sig"), 8, 4).as("bk"))
+      .as[(Long, Seq[String])].collect().toMap
+    val natL = longSigs.select(col("doc_id"), native(col("sig"), 8, 4).as("bk"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(natL == hofL, "long band keys differ: " +
+      hofL.keys.filter(k => hofL(k) != natL(k)).take(3).toSeq)
+    // schema-invisible swap
+    val hofType = strSigs.select(Dedup.bandsHof(col("sig"), 4, 4).as("bk"))
+      .schema("bk").dataType
+    val natType = strSigs.select(native(col("sig"), 4, 4).as("bk"))
+      .schema("bk").dataType
+    assert(natType == hofType, s"result type drifted: $natType vs $hofType")
+  }
+
   test("B60 LSH candidates include every truly-similar pair (no false negatives)") {
     import spark.implicits._
     // construct near-duplicates: doc + same doc with last token changed
