@@ -148,12 +148,11 @@ object AnnIndex {
   private[graft] def pqShortlist(spark: SparkSession, root: String,
       queries: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.graft.ExprBridge
-    val cents = centroids(spark, root)
     val books = pqBooksDecoded(spark, root)
     val codes = Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
       .select(col("label"), col("vec_id"), col("pqcodes"))
-    val probed = Similarity.probeBuckets(cents, queries, nprobe)
+    val probed = probeLive(spark, root, queries, nprobe)
       .withColumn("lut", Pq.lutCol(Pq.unit(col("qvec")), books))
     Similarity.topKPerQuery(
       codes.join(broadcast(probed), Seq("label"))
@@ -206,12 +205,68 @@ object AnnIndex {
     */
   private def rerankScan(spark: SparkSession, root: String,
       queries: DataFrame, nprobe: Int): DataFrame = {
-    val probed = Similarity.probeBuckets(centroids(spark, root), queries, nprobe)
+    val probed = probeLive(spark, root, queries, nprobe)
       .select(col("label")).distinct()
     Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
       .join(broadcast(probed), Seq("label"))
       .select(col("vec_id"), col("embedding"))
+  }
+
+  // The DECODED quantizer (label → centroid, sorted by label), memoized
+  // per (session, live version dir) like the PQ codebook below: the
+  // sidecar is a few KB and immutable per version (a rebuild resolves
+  // to a new dir and misses), so collecting it once per version removes
+  // the per-search centroid-side stages outright — see [[probeLive]].
+  private val centroidArrMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Double])]]()
+  private def centroidsDecoded(spark: SparkSession,
+      root: String): Seq[(Long, Seq[Double])] = {
+    val live = Sinks.resolve(root)
+    centroids(spark, root) // existence / loud-failure contract first
+    if (centroidArrMemo.size > 256) centroidArrMemo.clear()
+    centroidArrMemo.computeIfAbsent(
+      s"${org.apache.spark.sql.graft.ExprBridge.sessionUUID(spark)}|$live",
+      _ => centroids(spark, root)
+        .select(col("label").cast("long"),
+          col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq)
+  }
+
+  /** Per-query probe-bucket ranking against the LIVE persisted
+    * quantizer — the stage-collapsed twin of
+    * [[Similarity.probeBuckets]] for the serving paths: the decoded
+    * centroid table rides as ONE literal (collected once per version
+    * dir, memoized like the PQ codebook), each query row scores and
+    * ranks it in a single row-local expression, and the nprobe winners
+    * explode out. Value-identical to the window form — same cosine,
+    * same (c_sim DESC, label ASC) order with NULLS LAST, same
+    * fewer-buckets-than-nprobe behavior (AnnIndexSpec pins the parity)
+    * — but the probe subtree plans with NO exchange at all: the window
+    * form paid a broadcast of the centroid sidecar plus a hash
+    * exchange + sort + WindowExec per probe surface (the two-stage
+    * searches run TWO of them), which at sub-second serving latency
+    * was pure AQE stage-wave coordination (the driver's 32-core
+    * q_ann_index ran SLOWER than its 8-core leg). The centroid table
+    * is metadata-scale by construction (a coarse quantizer is KBs at
+    * any corpus size), so the literal is bounded the same way the
+    * broadcast it replaces was.
+    */
+  private[graft] def probeLive(spark: SparkSession, root: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
+    val cents = typedLit(centroidsDecoded(spark, root))
+    // (sort key, label) per centroid: ascending struct order ==
+    // (c_sim DESC NULLS LAST, label ASC) — cosine is in [-1, 1], so a
+    // null (zero-norm centroid) maps past every real score
+    val ranked = sort_array(transform(cents, c => struct(
+      coalesce(-graft.functions.Vec.cosine6Native(col("qvec"),
+        c.getField("_2")), lit(2.0)).as("nk"),
+      c.getField("_1").as("label"))))
+    queries.select(col("query_id"), col("qvec"),
+        explode(slice(ranked, 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.label").as("label"))
   }
 
   // The DECODED codebook array, memoized per (session, live version
@@ -271,11 +326,10 @@ object AnnIndex {
     */
   private[graft] def sq8Shortlist(spark: SparkSession, root: String,
       queries: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
-    val cents = centroids(spark, root)
     val codes = Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
       .select(col("label"), col("vec_id"), col("qcodes"))
-    val probed = Similarity.probeBuckets(cents, queries, nprobe)
+    val probed = probeLive(spark, root, queries, nprobe)
     Similarity.topKPerQuery(
       codes.join(broadcast(probed), Seq("label"))
         .select(col("label"), col("query_id"), col("vec_id"),
@@ -494,10 +548,9 @@ object AnnIndex {
     */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val cents = centroids(spark, root)
     val corpus = Sinks.readCurrent(spark, root)
       .withColumnRenamed("bucket", "label")
-    val probed = Similarity.probeBuckets(cents, queries, nprobe)
+    val probed = probeLive(spark, root, queries, nprobe)
     val scored = corpus.join(broadcast(probed), Seq("label"))
       .select(col("label"), col("query_id"), col("vec_id"),
         graft.functions.Vec.cosine6Native(col("embedding"), col("qvec")).as("cos_sim"))

@@ -60,18 +60,35 @@ object Dsir {
     */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
-    val t = split(col(textCol), " ")
+    // native one-loop gram hashing ([[graft.functions.DsirBuckets]]):
+    // bit-identical to the HOF chain it replaces — unigrams + adjacent
+    // bigrams of split(text, " "), each bucketed by the first 8 md5 hex
+    // chars read as an unsigned int mod `buckets` (DsirSpec pins the
+    // parity) — without the interpreted per-bigram concat lambda or the
+    // per-gram hex-string + substring + string base-conversion. This
+    // subtree runs over the whole corpus on every weights() call (and
+    // its consumers evaluate it up to 3× in one plan).
+    // is_target rides the exploded stream (a 1-byte column) so the
+    // distribution split never needs a join back to the corpus.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
+    docs.select(col(idCol), col("is_target"),
+      explode(ExprBridge.column(graft.functions.DsirBuckets(
+        ExprBridge.expr(col(textCol)), Literal(buckets)))).as("bucket"))
+  }
+
+  /** The HOF reference form of [[gramBuckets]]'s per-row bucket array —
+    * kept as the spec's parity oracle for the native expression (and as
+    * documentation of the exact chain the DuckDB oracle mirrors).
+    */
+  private[graft] def gramBucketsHof(textCol: Column, buckets: Int): Column = {
+    val t = split(textCol, " ")
     val bigrams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    // is_target rides the exploded stream (a 1-byte column) so the
-    // distribution split never needs a join back to the corpus.
-    docs.select(col(idCol), col("is_target"),
-        explode(concat(t, bigrams)).as("g"))
-      .select(col(idCol), col("is_target"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-          % buckets).as("bucket"))
+    transform(concat(t, bigrams),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
   }
 
   /** Per-document DSIR log importance ratio. Input rows carry

@@ -43,6 +43,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.size == 50)
   }
 
+  test("probeLive ranks the identical nprobe buckets as the window form, with no exchange or window") {
+    val root = tmp("annprobe")
+    val emb = Tables.embeddings(spark, sf001)
+    AnnIndex.buildFixed(spark, emb, root)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"), col("label").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // exact parity at a normal depth AND past the bucket count (the
+    // fewer-buckets-than-nprobe edge both forms must truncate alike)
+    for (nprobe <- Seq(1, 3, 99)) {
+      val win = canon(Similarity.probeBuckets(
+        AnnIndex.centroids(spark, root), queries5, nprobe))
+      val lit = canon(AnnIndex.probeLive(spark, root, queries5, nprobe))
+      assert(lit == win, s"probe sets diverge at nprobe=$nprobe")
+    }
+    // the stage-collapse claim: the probe subtree plans with no
+    // exchange, no window — one projection over the queries scan
+    val plan = AnnIndex.probeLive(spark, root, queries5, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"probe subtree still stages:\n$plan")
+  }
+
   test("search probes with dynamic partition pruning — unprobed bucket dirs are skipped") {
     val root = tmp("annidxdpp")
     AnnIndex.buildFixed(spark, Tables.embeddings(spark, sf001), root)

@@ -37,6 +37,29 @@ class DsirSpec extends AnyFunSuite {
     assert(w(10L).getLong(2) == 9L)
   }
 
+  test("native dsir_buckets is bit-identical to the HOF gram-bucket chain") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ExprBridge
+    // fixture docs + edges: empty text (one empty-string unigram),
+    // single token (no bigrams), repeated spaces (split -1 keeps
+    // empties), unicode
+    val edges = Seq((400001L, ""), (400002L, "one"), (400003L, "a  b"),
+      (400004L, "x y "), (400005L, "ü ö")).toDF("doc_id", "text")
+    val all = graft.io.Tables.documents(spark, TestSpark.sf001)
+      .select("doc_id", "text").unionByName(edges)
+    for (buckets <- Seq(64, 1024)) {
+      val hof = all.select(col("doc_id"),
+          Dsir.gramBucketsHof(col("text"), buckets).as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val nat = all.select(col("doc_id"),
+          ExprBridge.column(graft.functions.DsirBuckets(
+            ExprBridge.expr(col("text")), Literal(buckets))).as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(nat == hof, s"bucket arrays differ at buckets=$buckets: " +
+        hof.keys.filter(k => hof(k) != nat(k)).take(3).toSeq)
+    }
+  }
+
   test("selectTopK flags only raw docs, ranks deterministically, targets rank 0") {
     val sel = Dsir.selectTopK(
         Dsir.weights(docs, "doc_id", "text", col("tgt"), buckets = 64),
