@@ -981,13 +981,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               throw e
           }
         case Some(cur) =>
-          val oldProps = graft.ops.TableProps.load(tr)
-          graft.ops.TableProps.store(tr, props)
-          try Sinks.publishVersioned(gated(data.getOrElse(empty)), tr,
-            Some(cur), opTag = "replace")
-          catch {
-            case e: Throwable =>
-              graft.ops.TableProps.store(tr, oldProps); throw e
+          // props swap + data publish in ONE commit-lock scope (the
+          // lock is reentrant, so the inner publish composes): without
+          // it a concurrent writer could commit between the props store
+          // and the publish — observing the NEW props over the OLD
+          // data, or having its own legitimate props update (partition
+          // spec sync, a concurrent ALTER) silently clobbered by this
+          // writer's failure-path restore. The staged data write still
+          // happens under the new props (REPLACE may re-declare the
+          // partition spec, and the staging layout must follow it).
+          Sinks.withTableLock(tr) {
+            val oldProps = graft.ops.TableProps.load(tr)
+            graft.ops.TableProps.store(tr, props)
+            try Sinks.publishVersioned(gated(data.getOrElse(empty)), tr,
+              Some(cur), opTag = "replace")
+            catch {
+              case e: Throwable =>
+                graft.ops.TableProps.store(tr, oldProps); throw e
+            }
           }
       }
     }

@@ -338,10 +338,21 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         s"(got $outputMode) — aggregate with watermarks and append, or " +
         "land updates as eq-delete upserts")
     // the writer tag derives from the checkpoint so a RESTARTED query
-    // dedupes its replayed batches; distinct checkpoints stay distinct
+    // dedupes its replayed batches; distinct checkpoints stay distinct.
+    // The option is REQUIRED here, not defaulted to the table root:
+    // Spark's V1 Sink API does not hand this method the RESOLVED
+    // checkpoint, so two queries relying on the session-default
+    // checkpoint dir (distinct resolved checkpoints!) would silently
+    // share one root-derived tag and dedupe each other's batch ids — a
+    // silent exactly-once violation. Refusing is the only honest move.
     val checkpoint = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
-    }.getOrElse(root)
+    }.getOrElse(throw new IllegalArgumentException(
+      "writeStream.format(\"graft\") requires an explicit " +
+        ".option(\"checkpointLocation\", ...): the exactly-once batch " +
+        "dedupe tag derives from it, and a session-default checkpoint " +
+        "is not visible to the sink — two default-checkpointed queries " +
+        "writing one table would silently dedupe each other's batches"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def name(): String = s"graft.`$root`"
       override def addBatch(batchId: Long,

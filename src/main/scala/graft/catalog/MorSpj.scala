@@ -251,6 +251,13 @@ private[graft] object MorSpj {
   // 256 MB bitmap payload, so keep few entries rather than many.
   private val sideMemo = new ConcurrentHashMap[String, SideCache]()
 
+  // Stamp discipline matches Sinks.dirStamp (names + sizes + mtimes +
+  // count, round-18 back-port of the r17 inference-memo stamp): the old
+  // count+max-mtime stamp could serve STALE TOMBSTONES — this memo is
+  // on the deletion-correctness path — when a sidecar part was rewritten
+  // in place within one mtime granule with the same part count
+  // (part-file names are writer-unique, so the name fold alone breaks
+  // that class). MorSpjSpec pins the same-millisecond rewrite.
   private def sideStamp(dir: String): String =
     Seq(Dv.Sidecar, EqDel.Sidecar, EqDel.SeqSidecar).map { s =>
       val d = Paths.get(dir, s)
@@ -258,8 +265,15 @@ private[graft] object MorSpj {
       else {
         val parts = graft.io.Fs.listDir(d)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-        s"${parts.size}:${if (parts.isEmpty) 0L
-          else parts.map(p => Files.getLastModifiedTime(p).toMillis).max}"
+        val sig = parts.foldLeft((0L, 0L, 0L, 0L)) {
+          case ((n, bytes, mt, hh), f) =>
+            val a = Files.readAttributes(f,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            (n + 1, bytes + a.size,
+              math.max(mt, a.lastModifiedTime.toMillis),
+              hh + f.getFileName.toString.hashCode.toLong)
+        }
+        sig.toString
       }
     }.mkString(",")
 

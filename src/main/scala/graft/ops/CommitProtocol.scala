@@ -141,10 +141,34 @@ object LocalFsCommit extends CommitProtocol {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def withCommitLock[T](root: String)(body: => T): T = this.synchronized {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try { val lock = ch.lock(); try body finally lock.release() }
-    finally ch.close()
+  // Per-root JVM locks (round-18): REENTRANT — a caller composing a
+  // multi-step mutation under one lock scope (REPLACE TABLE's
+  // props-swap + publish) can nest the committing call without
+  // deadlocking or double-acquiring the file lock — and PER-TABLE,
+  // so commits of unrelated tables no longer serialize on one global
+  // monitor (the old `this.synchronized` held every table's committers
+  // behind whichever commit was in flight). The cross-process file
+  // lock is taken once per (thread, root) scope; sorted-root
+  // multi-table acquisition ([[Txn]]'s lockAll) keeps its documented
+  // deadlock-freedom unchanged. Entries are never evicted (one small
+  // lock object per table root touched by this JVM) — evicting a held
+  // entry would hand a second thread a fresh lock for the same root.
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  override def withCommitLock[T](root: String)(body: => T): T = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    val l = jvmLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    l.lock()
+    try {
+      if (l.getHoldCount > 1) body // already inside this root's scope
+      else {
+        val ch = java.nio.channels.FileChannel.open(Paths.get(root, "_LOCK"),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        try { val lock = ch.lock(); try body finally lock.release() }
+        finally ch.close()
+      }
+    } finally l.unlock()
   }
 }

@@ -945,34 +945,96 @@ object Stats {
     import spark.implicits._
     cols.map { c =>
       val phys = ColMap.toPhysicalName(live, c)
-      val rows = side.filter(lower(col("col")) === phys.toLowerCase)
-        .select("file", "rows", "nulls", "hll").collect()
+      val colSide = side.filter(lower(col("col")) === phys.toLowerCase)
+      // Small tables (≤ NdvFanIn live files) keep the pre-round-18 path
+      // verbatim — one collect, driver fold in sorted file order — so
+      // their estimates are bit-identical and no job is added. Past the
+      // fan-in, validation collects METADATA ONLY (never the blobs: at
+      // 100k files the blob-carrying collect shipped O(files × sketch)
+      // bytes to the driver before a single union ran) and the fold
+      // runs as DISTRIBUTED tree rounds of NdvFanIn-ary unions. The
+      // tree SHAPE is fixed by (rank = position in sorted file order,
+      // fan-in) alone, so repeated serves stay byte-deterministic
+      // regardless of which executor merges which node, and the driver
+      // never loops over O(files) blobs (the r16/r17 watch item).
+      val small = liveRels.size <= NdvFanIn
+      val rows =
+        if (small) colSide
+          .select(col("file"), col("rows"), col("nulls"),
+            col("hll").isNull.as("no_sketch"), col("hll"))
+          .collect()
+        else colSide
+          .select(col("file"), col("rows"), col("nulls"),
+            col("hll").isNull.as("no_sketch"))
+          .collect()
       val byFile = rows.map(r => r.getString(0) -> r).toMap
       liveRels.foreach { rel =>
         val r = byFile.getOrElse(rel, throw new IllegalStateException(
           s"ndv($c): live file $rel has no sidecar row — " +
             "CALL system.annotate_stats to retrofit"))
-        if (r.getLong(1) > r.getLong(2) && r.isNullAt(3))
+        if (r.getLong(1) > r.getLong(2) && r.getBoolean(3))
           throw new IllegalStateException(
             s"ndv($c): live file $rel carries no sketch (annotated before " +
               "'graft.ndv.columns' was declared?) — CALL " +
               "system.annotate_stats to retrofit")
       }
-      val sketches = liveRels.toSeq.sorted.flatMap(rel =>
-        byFile.get(rel).filterNot(_.isNullAt(3)).map(_.getAs[Array[Byte]](3)))
+      val withSketch = liveRels.toSeq.sorted
+        .filter(rel => byFile.get(rel).exists(!_.getBoolean(3)))
       val est =
-        if (sketches.isEmpty) 0L // every live file empty or all-null
+        if (withSketch.isEmpty) 0L // every live file empty or all-null
         else {
+          val tail: Seq[Array[Byte]] =
+            if (small) withSketch.map(rel => byFile(rel).getAs[Array[Byte]](4))
+            else {
+              val rankDf = spark.createDataFrame(
+                withSketch.zipWithIndex.map { case (f, i) => (f, i.toLong) })
+                .toDF("file", "rank")
+              var cur = colSide.filter(col("hll").isNotNull)
+                .join(broadcast(rankDf), "file")
+                .select(col("rank"), col("hll"))
+              var n = withSketch.size
+              while (n > NdvFanIn) {
+                cur = cur
+                  .groupBy(floor(col("rank") / NdvFanIn).as("grp"))
+                  .agg(sort_array(collect_list(struct(col("rank"), col("hll"))))
+                    .as("xs"))
+                  .select(col("grp").cast("long").as("rank"),
+                    ndvMergeUdf(col("xs")).as("hll"))
+                n = ((n + NdvFanIn - 1) / NdvFanIn).toInt
+              }
+              cur.orderBy("rank").select("hll").collect()
+                .map(_.getAs[Array[Byte]](0)).toSeq
+            }
           // lgMaxK matches hll_sketch_agg's default (12) — the blobs
           // were built by it, and the union must not downsize them
           val u = new org.apache.datasketches.hll.Union(12)
-          sketches.foreach(b => u.update(
+          tail.foreach(b => u.update(
             org.apache.datasketches.hll.HllSketch.heapify(b)))
           Math.round(u.getEstimate) // hll_sketch_estimate's rounding
         }
       (c, est)
     }
   }
+
+  /** One NDV tree-merge node: union the group's sketches in rank order
+    * (the input array arrives sort_array'd on its rank field) and
+    * serialize the merged state. lgMaxK 12 matches the leaf sketches;
+    * compact serialization round-trips through `HllSketch.heapify`
+    * losslessly.
+    */
+  private val ndvMergeUdf = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    val u = new org.apache.datasketches.hll.Union(12)
+    xs.foreach(r => u.update(
+      org.apache.datasketches.hll.HllSketch.heapify(r.getAs[Array[Byte]](1))))
+    u.getResult.toCompactByteArray
+  })
+
+  /** Fan-in of the NDV sketch merge: at or below it the driver folds the
+    * blobs directly (the exact pre-round-18 behavior, so small tables'
+    * estimates are bit-identical); above it each tree node unions this
+    * many children per round.
+    */
+  private val NdvFanIn = 64
 
   /** [[readWhere]] over the LIVE version of a [[Sinks]] versioned table
     * (publish with `statsCols` to make the sidecar exist). The read

@@ -224,9 +224,9 @@ private[graft] object TableProps {
   }
 
   /** The lock-free inner write — for callers ALREADY inside the table's
-    * commit lock (the lock is not reentrant): [[Sinks]]'s commit path
-    * syncing the partition spec from a restored version's `_PSPEC`.
-    * Everyone else goes through [[update]].
+    * commit lock (re-entering is safe since round-18 but pointless):
+    * [[Sinks]]'s commit path syncing the partition spec from a restored
+    * version's `_PSPEC`. Everyone else goes through [[update]].
     */
   private[graft] def updateLocked(root: String)(
       f: Map[String, String] => Map[String, String]): Unit = {

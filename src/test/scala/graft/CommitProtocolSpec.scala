@@ -178,6 +178,49 @@ class CommitProtocolSpec extends AnyFunSuite {
     try body finally Txn.failpoint = _ => ()
   }
 
+  test("commit lock: reentrant per root, exclusive against concurrent props writers, independent across tables") {
+    import graft.ops.{Sinks, TableProps}
+    val base = Files.createTempDirectory("graft_lock").toString
+    val a = s"$base/a"
+    val b = s"$base/b"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(a))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(b))
+    // 1. reentrancy — REPLACE's props-swap + publish composes in one
+    //    scope (the pre-round-18 lock threw OverlappingFileLockException
+    //    on a nested acquire of the same root)
+    val nested = Sinks.withTableLock(a) { Sinks.withTableLock(a) { 42 } }
+    assert(nested == 42)
+    // 2. exclusivity — a concurrent props writer cannot interleave with
+    //    a held scope (the REPLACE props/publish window): it blocks
+    //    until the scope releases
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Sinks.withTableLock(a) {
+      val t = new Thread(() => {
+        entered.countDown()
+        TableProps.update(a)(_ + ("x" -> "1"))
+        done.set(true)
+      })
+      t.start()
+      entered.await()
+      // 3. independence — another TABLE's writer proceeds while a's
+      //    scope is held (the old global monitor serialized them)
+      val tb = new Thread(() => {
+        TableProps.update(b)(_ + ("y" -> "2")); bDone.set(true)
+      })
+      tb.start()
+      tb.join(10000)
+      assert(bDone.get, "a held lock on table a must not block table b")
+      Thread.sleep(150)
+      assert(!done.get, "a props update interleaved with a held lock scope")
+    }
+    val t1 = System.nanoTime()
+    while (!done.get && (System.nanoTime() - t1) < 10e9) Thread.sleep(10)
+    assert(done.get, "the blocked props update must proceed after release")
+    assert(TableProps.load(a).get("x").contains("1"))
+  }
+
   test("multi-table transaction: bronze+silver commit atomically; stale OCC aborts both") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_txn").toString

@@ -220,6 +220,31 @@ class DataSourceSpec extends AnyFunSuite {
       msgs(e).mkString(" | "))
   }
 
+  test("the streaming sink refuses a missing checkpointLocation (exactly-once tag must not default to the root)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // the hazardous case is a SESSION-DEFAULT checkpoint: Spark resolves
+    // a real (per-query) checkpoint dir but the sink's parameters carry
+    // no checkpointLocation, so the old root-derived fallback would give
+    // two such queries on one table the SAME batch-dedupe tag — they
+    // would silently skip each other's batch ids. The door must refuse.
+    val key = "spark.sql.streaming.checkpointLocation"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, s"${tmp()}/sessdefault")
+    try {
+      val e = intercept[Exception](
+        mem.toDF().toDF("k", "p").writeStream
+          .format("graft").start(s"${tmp()}/t"))
+      assert(msgs(e).exists(m => m.contains("checkpointLocation") &&
+          m.contains("dedupe")),
+        msgs(e).mkString(" | "))
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("the streaming source door: readStream tails the change feed; format-to-format composes (round-16)") {
     val tbl = s"${tmp()}/t"
     import spark.implicits._

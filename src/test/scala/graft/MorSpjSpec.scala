@@ -144,6 +144,52 @@ class MorSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("sidecar memo misses an in-place rewrite with the same part count and millisecond (stamp folds names+sizes)") {
+    val (cat, root) = mkCat()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v STRING) USING parquet " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("mspj_rw_src")
+    spark.sql(s"INSERT INTO $cat.r SELECT * FROM mspj_rw_src")
+    EqDel.upsertBatch(spark,
+      Seq((10L, "UP10")).toDF("k", "v"), s"$root/r", Seq("k"))
+    // warm the reader-side sidecar memo
+    assert(spark.table(s"$cat.r").count() == 100)
+    // rewrite the _eqdel sidecar IN PLACE — a repair/retrofit: same
+    // part count, every part's mtime pinned to the old max, different
+    // content (one extra tombstone hiding k=0). The old count+max-mtime
+    // stamp served the STALE memo here; the names+sizes fold must miss.
+    val live = Sinks.resolve(s"$root/r")
+    val scDir = java.nio.file.Paths.get(live, EqDel.Sidecar)
+    val parts0 = graft.io.Fs.listDir(scDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val oldMtime = parts0.map(p => Files.getLastModifiedTime(p)).max
+    val old = spark.read.parquet(scDir.toString)
+    val cols = old.columns.toSeq
+    val extra = Seq((0L, Long.MaxValue)).toDF("k", "__gf_seq")
+      .select(cols.map(col): _*)
+    val rewritten = old.unionByName(extra).coalesce(1).collect()
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_morspj_rw")
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rewritten: _*)), old.schema)
+      .coalesce(parts0.size).write.mode("overwrite").parquet(tmpDir.toString)
+    graft.io.Fs.deleteRecursively(scDir)
+    java.nio.file.Files.move(tmpDir, scDir,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val partsNew = graft.io.Fs.listDir(scDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(partsNew.size == parts0.size,
+      s"rewrite must keep the part count (${partsNew.size} vs ${parts0.size})")
+    partsNew.foreach(p => Files.setLastModifiedTime(p, oldMtime))
+    // the fresh tombstone must be honored: k=0 is hidden
+    val after = spark.table(s"$cat.r").as[(Long, String)].collect().toMap
+    assert(!after.contains(0L),
+      "stale sidecar memo served: the rewritten tombstone was ignored")
+    assert(after(10L) == "UP10" && after.size == 99)
+  }
+
   test("DV + eq-deletes together; unpartitioned tables keep the funnel") {
     val (cat, root) = mkCat()
     import spark.implicits._

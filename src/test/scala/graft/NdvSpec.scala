@@ -76,6 +76,26 @@ class NdvSpec extends AnyFunSuite {
       s"served ${served("k")} vs exact $exactK breaches the 3σ bound")
   }
 
+  test("many-file refresh merges distributed (tree rounds), stays exact in coupon regime and byte-deterministic") {
+    val tbl = s"${tmp()}/t"
+    TableProps.store(tbl, Map(TableProps.NdvKey -> "k,who"))
+    // 150 live files — past the 64-ary driver fold bound, so the serve
+    // takes the distributed tree path (one grouped-union round, then
+    // the bounded driver fold over the round's ≤64 outputs)
+    Sinks.publishVersioned(mkDf(6000).repartition(150), tbl, None)
+    val full = Sinks.readCurrent(spark, tbl)
+    assert(graft.io.Fs.walkParquet(java.nio.file.Paths.get(Sinks.resolve(tbl)))
+      .size > 64, "fixture must exceed the driver fold bound")
+    val served = Stats.ndv(spark, tbl, Seq("k", "who")).toMap
+    // coupon regime (537 / 211 distincts at lgK=12): every merge
+    // structure is exact, so the distributed tree must land on the
+    // full scan's estimate
+    assert(served("k") == scanNdv(full, "k"))
+    assert(served("who") == scanNdv(full, "who"))
+    // and repeated serves are byte-deterministic (fixed tree shape)
+    assert(Stats.ndv(spark, tbl, Seq("k", "who")).toMap == served)
+  }
+
   test("declines on deletion vectors; compaction restores service") {
     val tbl = s"${tmp()}/t"
     TableProps.store(tbl, Map(TableProps.NdvKey -> "k"))
