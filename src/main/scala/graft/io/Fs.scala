@@ -46,6 +46,43 @@ object Fs {
     * version's data; a plain Spark read of the directory sees only the
     * top-level (current-layout) subset because legs are `_`-hidden.
     */
+  /** Write a tiny `(file STRING, seq BIGINT)` table as ONE parquet part
+    * file, driver-side — no Spark job. The eq-delete `_eqseq` sidecar
+    * is O(files-per-commit) rows of a few dozen bytes each; submitting
+    * a distributed job to write it cost more scheduling than writing
+    * (every maintained-table commit paid one extra job). Schema merges
+    * cleanly with the Spark-written parts older commits carried
+    * (optional vs required binary → nullable string), and the part name
+    * follows the `part-*.parquet` convention every sidecar walker
+    * filters on. Snappy, like Spark's default.
+    */
+  def writeFileSeqParquet(dir: Path, rows: Seq[(String, Long)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    Files.createDirectories(dir)
+    val schema = MessageTypeParser.parseMessageType(
+      "message eqseq { required binary file (UTF8); required int64 seq; }")
+    val out = dir.resolve(
+      s"part-00000-${java.util.UUID.randomUUID()}-c000.snappy.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(out.toUri), conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try rows.foreach { case (f, s) =>
+      val g = factory.newGroup()
+      g.append("file", f)
+      g.append("seq", s)
+      writer.write(g)
+    } finally writer.close()
+  }
+
   def walkParquet(dir: Path): Seq[Path] = {
     // Spark's own hidden-path rule (HadoopFSUtils): `.`-prefixed always
     // hidden; `_`-prefixed hidden UNLESS the name contains `=` — a

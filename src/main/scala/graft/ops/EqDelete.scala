@@ -239,9 +239,16 @@ object EqDel {
         fromRows.unionByName(d.select(keys.map(col): _*))
       }
     }
-    Sinks.appendVersioned(batch, root, Sinks.currentVersion(root),
-      eqDelete = Some(delKeys), opTag = "eq-upsert", batchTag = batchTag)
+    commitUpsert(batch, root, delKeys, batchTag)
   }
+
+  /** The shared commit tail: `data`'s rows land as new files, `delKeys`
+    * rows become the commit's tombstones. Callers have validated both.
+    */
+  private def commitUpsert(data: DataFrame, root: String,
+      delKeys: DataFrame, batchTag: Option[String]): Long =
+    Sinks.appendVersioned(data, root, Sinks.currentVersion(root),
+      eqDelete = Some(delKeys), opTag = "eq-upsert", batchTag = batchTag)
 
   /** Exactly-once streaming upsert sink: each micro-batch is ONE blind
     * [[upsertBatch]] commit — the bronze→silver CDC loop without the
@@ -293,11 +300,15 @@ object EqDel {
         case Some(oc) =>
           require(batch.columns.exists(_.equalsIgnoreCase(oc)),
             s"op column $oc not in the batch (${batch.columns.mkString(", ")})")
+          keys.foreach(k => require(batch.columns.exists(_.equalsIgnoreCase(k)),
+            s"key column $k not in the batch (${batch.columns.mkString(", ")})"))
           val ups = batch.filter(not(col(oc) <=> lit("delete"))).drop(oc)
-          val dels = batch.filter(col(oc) <=> lit("delete"))
-            .select(keys.map(col): _*)
-          upsertBatch(spark, ups, root, keys, extraDeletes = Some(dels),
-            batchTag = batchTag)
+          // every collapsed row tombstones its key — upserts AND
+          // deletes — so the sidecar is ONE scan of the pinned batch
+          // (round-18): the old ups.keys ∪ delete.keys union evaluated
+          // two filtered branches over the cache to produce the
+          // identical multiset (each row lands in exactly one branch)
+          commitUpsert(ups, root, batch.select(keys.map(col): _*), batchTag)
       }
     } finally { batch.unpersist(); () }
   }

@@ -843,6 +843,20 @@ object Sinks
     else df.repartition(pcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
   }
 
+  /** Label the jobs `body` submits (guide §1.5): commit funnels run
+    * several actions per statement, and an unlabeled job listing is
+    * unreadable in the UI and in per-job profiling. Thread-local, so
+    * concurrent writers label independently; restores the caller's own
+    * description (a labeled action inside a labeled query keeps the
+    * inner name).
+    */
+  private[graft] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Per-version operation marker (`_OP`) — what DESCRIBE HISTORY's
     * `operation` column reads; written into the stage so it rides the
     * atomic commit. Pre-marker versions surface as "write".
@@ -1216,8 +1230,10 @@ object Sinks
       val toWrite =
         distributeForWrite(Transforms.derive(toWrite0, pcols), root, pcols)
       if (skipDataWrite) Files.createDirectories(stage)
-      else if (pcols.isEmpty) toWrite.write.mode("overwrite").parquet(stage.toString)
-      else toWrite.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      else labeled(spark, s"$opTag data stage") {
+        if (pcols.isEmpty) toWrite.write.mode("overwrite").parquet(stage.toString)
+        else toWrite.write.mode("overwrite").partitionBy(pcols: _*).parquet(stage.toString)
+      }
       baseMapDir.foreach(d => ColMap.carry(Paths.get(d), stage))
       // an append must not silently demote the table from skippable to
       // full-scan (the same guarantee compaction gives): when the caller
@@ -1289,17 +1305,22 @@ object Sinks
         // write sidecar parts with DIFFERENT column names (mergeSchema
         // would then fail the drift check loudly on every later read)
         val kdfPhys = baseMapDir.fold(kdf)(d => ColMap.toPhysical(kdf, d))
-        kdfPhys.withColumn("__gf_seq", org.apache.spark.sql.functions.lit(eqSeq))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$stage/${EqDel.Sidecar}")
+        labeled(spark, "eq-delete tombstone sidecar") {
+          kdfPhys.withColumn("__gf_seq", org.apache.spark.sql.functions.lit(eqSeq))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stage/${EqDel.Sidecar}")
+        }
       }
       val underEqDel = eqDelete.isDefined || expected.exists(v =>
         EqDel.maintained(versionPath(root, v)))
       if (underEqDel && hasNew) {
-        import spark.implicits._
-        Fs.walkParquet(stage).map(p => (stage.relativize(p).toString, eqSeq))
-          .toDF("file", "seq").coalesce(1)
-          .write.mode("append").parquet(s"$stage/${EqDel.SeqSidecar}")
+        // driver-side single-part write (round-18): the stamp table is
+        // O(files-per-commit) rows of metadata the driver just walked —
+        // the Spark job that used to write it was pure scheduling
+        // overhead on every maintained-table commit (one of the
+        // per-microbatch jobs the streaming upsert pays)
+        Fs.writeFileSeqParquet(stage.resolve(EqDel.SeqSidecar),
+          Fs.walkParquet(stage).map(p => (stage.relativize(p).toString, eqSeq)))
       }
       if (emitFeed) {
         import org.apache.spark.sql.functions.lit
@@ -1308,8 +1329,10 @@ object Sinks
         val back =
           if (hasNew) readDir(spark, root, stage.toString)
           else aligned.limit(0)
-        back.withColumn("_change_type", lit("insert"))
-          .write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
+        labeled(spark, "insert feed readback") {
+          back.withColumn("_change_type", lit("insert"))
+            .write.mode("overwrite").parquet(s"$stage/$ChangesSidecar")
+        }
         Files.write(Paths.get(s"$stage/$ChangesSidecar", "_BASE"),
           expected.getOrElse(-1L).toString.getBytes("UTF-8"))
       }

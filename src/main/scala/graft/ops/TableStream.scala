@@ -92,7 +92,8 @@ object TableStream {
         if (!committed(root, tag, id)) {
           // skip truly empty replays only when the table already exists —
           // the first batch must still create it
-          val skip = Sinks.currentVersion(root).isDefined && batch.isEmpty
+          val skip = Sinks.currentVersion(root).isDefined &&
+            Sinks.labeled(batch.sparkSession, "empty-replay probe")(batch.isEmpty)
           if (!skip) {
             var attempts = 0
             var done = false
