@@ -67,6 +67,12 @@ object Fs {
     val out = dir.resolve(
       s"part-00000-${java.util.UUID.randomUUID()}-c000.snappy.parquet")
     val conf = new org.apache.hadoop.conf.Configuration(false)
+    // raw local FS: the default (checksummed) LocalFileSystem would
+    // drop a stray .part-*.crc next to the part file — harmless
+    // (dot-hidden to every walker) but noise in a sidecar dir whose
+    // other parts Spark wrote without one
+    conf.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
     val writer = ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
